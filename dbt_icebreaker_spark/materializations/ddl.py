@@ -1,0 +1,67 @@
+"""DDL surface (SURVEY §2.2 M5; ref impl.py:440-529,
+macros/adapters.sql:18-94) plus M7 schema-name generation
+(adapters.sql:9-16)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+def generate_schema_name(target_schema: str, custom_schema: str | None = None) -> str:
+    """M7: `target_schema` or `target_schema + "_" + custom_schema`
+    (ref macros/adapters.sql:9-16, mirrored in connections.py:378-409).
+    """
+    if custom_schema:
+        return f"{target_schema}_{custom_schema.strip()}"
+    return target_schema
+
+
+@dataclass
+class Ddl:
+    spark: SparkSession
+
+    def create_schema(self, schema: str) -> None:
+        # ref impl.py:478-482
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+    def drop_schema(self, schema: str, cascade: bool = True) -> None:
+        # ref impl.py:484-488 (DROP SCHEMA … CASCADE)
+        suffix = " CASCADE" if cascade else ""
+        self.spark.sql(f"DROP DATABASE IF EXISTS {schema}{suffix}")
+
+    def drop_relation(self, schema: str, identifier: str, kind: str = "table") -> None:
+        # ref impl.py:490-494, adapters.sql:59-61 (typed DROP IF EXISTS)
+        kw = "VIEW" if kind.lower() == "view" else "TABLE"
+        self.spark.sql(f"DROP {kw} IF EXISTS {schema}.{identifier}")
+
+    def truncate(self, schema: str, identifier: str) -> None:
+        # ref impl.py:496-500: truncate implemented as DELETE FROM;
+        # Spark supports TRUNCATE TABLE on managed tables
+        self.spark.sql(f"TRUNCATE TABLE {schema}.{identifier}")
+
+    def rename(self, schema: str, old: str, new: str) -> None:
+        # ref impl.py:502-506 (ALTER TABLE … RENAME TO)
+        self.spark.sql(f"ALTER TABLE {schema}.{old} RENAME TO {schema}.{new}")
+
+    def list_schemas(self) -> list[str]:
+        # ref impl.py:516-520
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
+    def list_relations(self, schema: str) -> list[tuple[str, str]]:
+        # ref impl.py:451-476 → (name, type)
+        out = []
+        for t in self.spark.catalog.listTables(schema):
+            out.append((t.name, (t.tableType or "table").lower()))
+        return out
+
+    def list_columns(self, schema: str, identifier: str) -> list[tuple[str, str]]:
+        # ref impl.py:440-449 (information_schema introspection)
+        return [
+            (c.name, c.dataType)
+            for c in self.spark.catalog.listColumns(f"{schema}.{identifier}")
+        ]
+
+    def table_exists(self, schema: str, identifier: str) -> bool:
+        return self.spark.catalog.tableExists(f"{schema}.{identifier}")

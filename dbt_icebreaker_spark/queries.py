@@ -1,0 +1,1043 @@
+"""Query corpus: one entry per operator/capability from SURVEY §2.
+
+Each entry pairs a Spark implementation with a DuckDB oracle:
+- relational queries (SURVEY §2.4 Q-surface + §2.3 T-transforms) are
+  written in **Snowflake dialect** and executed through the
+  Transpiler — the corpus exercises the dialect boundary end-to-end;
+- X-ops (SURVEY §2.6) call the DataFrame implementations in
+  ``xops/`` and carry hand-written ANSI oracles (md5-based hashing
+  keeps every pipeline step reproducible in both engines);
+- entries without an oracle (approximate LSH, stubs, pandas-UDF ops)
+  get the driver's weaker rows-only check by design.
+
+Column types are explicitly cast on BOTH sides because the engines'
+inference differs (DuckDB sum(int)→HUGEINT vs Spark→LONG, ntile
+INT vs BIGINT, …) and the driver hash-compares schemas.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources import register_dir
+from .transpiler import Transpiler
+
+_transpiler = Transpiler()
+
+
+def run_sf_sql(spark: SparkSession, sf_dir: str, snowflake_sql: str) -> DataFrame:
+    register_dir(spark, sf_dir)
+    return spark.sql(_transpiler.to_spark(snowflake_sql))
+
+
+# --------------------------------------------------------------------
+# Relational corpus: (name, snowflake_sql, duckdb_oracle_sql)
+# --------------------------------------------------------------------
+SQL_QUERIES: dict[str, tuple[str, str]] = {}
+
+
+def _q(name: str, sf: str, oracle: str) -> None:
+    SQL_QUERIES[name] = (sf, oracle)
+
+
+# ---- aggregation / scan (TPC-H Q1 shape; router whitelist
+# auto_router.py:138) -----------------------------------------------
+_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
+           CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(AVG(l_discount) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATEADD('day', -90, TO_DATE('1998-12-01'))
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
+           CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(AVG(l_discount) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 90 DAY
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# ---- QUALIFY top-1-per-group (T14; tests/test_auto_router.py:192-211)
+_q(
+    "q02_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+
+# ---- 3-way join + agg + order/limit (TPC-H Q3 shape) ---------------
+_q(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < '1997-03-15'::DATE
+      AND l.l_shipdate > '1997-03-15'::DATE
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    """
+    SELECT l_orderkey,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1997-03-15'
+      AND l.l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+# ---- 6-way star join (TPC-H Q5 shape) ------------------------------
+_q(
+    "q04_region_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= '1996-01-01'::DATE
+      AND o_orderdate < '1997-01-01'::DATE
+    GROUP BY n_name
+    """,
+    """
+    SELECT n_name,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+
+# ---- correlated EXISTS (TPC-H Q4 shape; incremental.sql:176-181) ---
+_q(
+    "q05_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+
+# ---- window navigation (auto_router.py:140) ------------------------
+_q(
+    "q06_window_nav",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS running_last
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS running_last
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+# ---- ranking windows (auto_router.py:139) --------------------------
+_q(
+    "q07_rank_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INT) AS drnk,
+           CAST(NTILE(7) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS bucket
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INT) AS drnk,
+           CAST(NTILE(7) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS bucket
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+
+# ---- ROLLUP / CUBE / GROUPING SETS (memory_guard.py:125-126) -------
+_q(
+    "q08_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+_q(
+    "q09_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+_q(
+    "q10_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '#') AS flag,
+           COALESCE(l_linestatus, '#') AS status,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    """
+    SELECT COALESCE(l_returnflag, '#') AS flag,
+           COALESCE(l_linestatus, '#') AS status,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+
+# ---- LISTAGG WITHIN GROUP (T1, transpiler.py:187-197) --------------
+_q(
+    "q11_listagg",
+    """
+    SELECT n_regionkey,
+           LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    """
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+
+# ---- JSON path access on VARIANT-as-string (T16; events.props) -----
+_q(
+    "q12_json_extract",
+    """
+    SELECT event_type,
+           CAST(AVG(props:k::INT) AS DOUBLE) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    """
+    SELECT event_type,
+           CAST(AVG(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
+# ---- OBJECT_CONSTRUCT → JSON (T6) ----------------------------------
+_q(
+    "q13_object_construct",
+    """
+    SELECT event_id,
+           OBJECT_CONSTRUCT('type', event_type,
+                            'k', props:k::STRING) AS obj
+    FROM events WHERE event_id < 100
+    """,
+    """
+    SELECT event_id,
+           json_object('type', event_type,
+                       'k', json_extract_string(props, '$.k'))::VARCHAR AS obj
+    FROM events WHERE event_id < 100
+    """,
+)
+
+# ---- FLATTEN → LATERAL VIEW explode (T13) --------------------------
+_q(
+    "q14_flatten_tokens",
+    """
+    SELECT f.value AS word, COUNT(*) AS n
+    FROM documents d,
+         LATERAL FLATTEN(input => STRTOK_TO_ARRAY(d.text, ' ')) f
+    WHERE d.doc_id < 50 AND f.value != ''
+    GROUP BY f.value
+    """,
+    """
+    SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 50
+    ) t WHERE word != '' GROUP BY word
+    """,
+)
+
+# ---- set operations (SURVEY §2.4) ----------------------------------
+_q(
+    "q15_set_ops",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+_q(
+    "q15b_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+
+# ---- conditionals: IFF/NVL/NVL2/ZEROIFNULL/NULLIF/CASE (T2-T4, T10)
+_q(
+    "q16_conditionals",
+    """
+    SELECT o_orderkey,
+           IFF(o_totalprice > 150000, 'big', 'small') AS size_class,
+           NVL(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+           NVL2(NULLIF(o_orderstatus, 'F'), 'not-f', 'is-f') AS nvl2_x,
+           CAST(ZEROIFNULL(NULLIF(o_totalprice, o_totalprice)) AS DOUBLE) AS zero_x,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 1
+                WHEN o_orderpriority LIKE '2%' THEN 2 ELSE 9 END AS prio_class
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+           CASE WHEN NULLIF(o_orderstatus, 'F') IS NOT NULL THEN 'not-f' ELSE 'is-f' END AS nvl2_x,
+           CAST(COALESCE(NULLIF(o_totalprice, o_totalprice), 0) AS DOUBLE) AS zero_x,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 1
+                WHEN o_orderpriority LIKE '2%' THEN 2 ELSE 9 END AS prio_class
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+
+# ---- TRY_TO_* null-on-failure casts (T5) ---------------------------
+_q(
+    "q17_try_cast",
+    """
+    SELECT event_id,
+           TRY_TO_NUMBER(props:k) AS k_num,
+           TRY_TO_NUMBER(event_type) AS not_num,
+           TRY_TO_BOOLEAN(IFF(value > 5, 'true', 'banana')) AS maybe_bool,
+           TRY_TO_DATE(SUBSTRING(CAST(ts AS VARCHAR), 1, 10)) AS ts_date
+    FROM events WHERE event_id < 200
+    """,
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+           TRY_CAST(event_type AS DOUBLE) AS not_num,
+           TRY_CAST(CASE WHEN value > 5 THEN 'true' ELSE 'banana' END AS BOOLEAN) AS maybe_bool,
+           TRY_CAST(SUBSTRING(CAST(ts AS VARCHAR), 1, 10) AS DATE) AS ts_date
+    FROM events WHERE event_id < 200
+    """,
+)
+
+# ---- date functions (T15; auto_router.py:145) ----------------------
+_q(
+    "q18_date_funcs",
+    """
+    SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+           COUNT(*) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total,
+           CAST(MIN(DATEDIFF('day', CAST(o_orderdate AS DATE), '2002-01-01'::DATE)) AS INT) AS min_age_days,
+           CAST(MAX(EXTRACT(YEAR FROM o_orderdate)) AS INT) AS max_year
+    FROM orders
+    WHERE o_orderdate >= DATEADD('year', 1, '1994-01-01'::DATE)
+    GROUP BY 1
+    """,
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total,
+           CAST(MIN(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INT) AS min_age_days,
+           CAST(MAX(EXTRACT(YEAR FROM o_orderdate)) AS INT) AS max_year
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01' + INTERVAL 1 YEAR
+    GROUP BY 1
+    """,
+)
+
+# ---- string functions (auto_router.py:144) -------------------------
+_q(
+    "q19_strings",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_name) AS lo,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           TRIM(CONCAT('  ', c_name, ' ')) AS trimmed,
+           CAST(LEN(c_name) AS INT) AS name_len,
+           c_name || '-x' AS catted,
+           CAST(CHARINDEX('1', c_name) AS INT) AS pos1
+    FROM customer WHERE c_custkey <= 300
+    """,
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_name) AS lo,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           TRIM(CONCAT('  ', c_name, ' ')) AS trimmed,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           c_name || '-x' AS catted,
+           CAST(INSTR(c_name, '1') AS INT) AS pos1
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+
+# ---- regex (auto_router.py:148; catalog_reader.py:242) -------------
+_q(
+    "q20_regex",
+    """
+    SELECT c_custkey,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#') AS masked,
+           REGEXP_SUBSTR(c_name, '[0-9]+') AS digits,
+           IFF(c_name REGEXP '.*[0-9]{3}.*', 1, 0) AS has3
+    FROM customer WHERE c_custkey <= 300
+    """,
+    """
+    SELECT c_custkey,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS masked,
+           REGEXP_EXTRACT(c_name, '[0-9]+') AS digits,
+           CASE WHEN regexp_matches(c_name, '.*[0-9]{3}.*') THEN 1 ELSE 0 END AS has3
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+
+# ---- MD5 hashing — SCD id parity (snapshot.sql:99-107) -------------
+_q(
+    "q21_md5_scd_id",
+    """
+    SELECT o_orderkey,
+           MD5(CONCAT_WS('-', CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS scd_id
+    FROM orders WHERE o_orderkey < 500
+    """,
+    """
+    SELECT o_orderkey,
+           MD5(CONCAT_WS('-', CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS scd_id
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+
+# ---- HAVING --------------------------------------------------------
+_q(
+    "q22_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n, CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 500000
+    """,
+    """
+    SELECT o_custkey, COUNT(*) AS n, CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 500000
+    """,
+)
+
+# ---- conditional aggregation (pivot-style) -------------------------
+_q(
+    "q23_conditional_agg",
+    """
+    SELECT o_custkey,
+           CAST(SUM(IFF(o_orderstatus = 'F', o_totalprice, 0)) AS DOUBLE) AS f_total,
+           CAST(SUM(IFF(o_orderstatus = 'O', o_totalprice, 0)) AS DOUBLE) AS o_total,
+           CAST(SUM(IFF(o_orderstatus = 'P', o_totalprice, 0)) AS DOUBLE) AS p_total,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+    """
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS f_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS o_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS p_total,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+
+# ---- anti-join via NOT EXISTS (incremental.sql:174-189) ------------
+_q(
+    "q24_not_exists",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+)
+
+# ---- chained CTEs + NTILE (tests/test_auto_router.py:194-207) ------
+_q(
+    "q25_cte_decile",
+    """
+    WITH cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT o_custkey, n, total,
+               NTILE(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+        FROM cust_orders
+    )
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_cust,
+           CAST(SUM(total) AS DOUBLE) AS decile_total
+    FROM ranked GROUP BY decile
+    """,
+    """
+    WITH cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT o_custkey, n, total,
+               NTILE(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+        FROM cust_orders
+    )
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_cust,
+           CAST(SUM(total) AS DOUBLE) AS decile_total
+    FROM ranked GROUP BY decile
+    """,
+)
+
+# ---- cross join (memory_guard.py:324-329 warns; still supported) ---
+_q(
+    "q26_cross_join",
+    """
+    SELECT n.n_name, r.r_name
+    FROM nation n CROSS JOIN region r
+    WHERE n.n_regionkey = r.r_regionkey
+    """,
+    """
+    SELECT n.n_name, r.r_name
+    FROM nation n CROSS JOIN region r
+    WHERE n.n_regionkey = r.r_regionkey
+    """,
+)
+
+# ---- multiple COUNT(DISTINCT) --------------------------------------
+_q(
+    "q27_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT DATE_TRUNC('month', o_orderdate)) AS n_months
+    FROM orders GROUP BY o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT DATE_TRUNC('month', o_orderdate)) AS n_months
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+# ---- merge-strategy semantics as SQL (incremental.sql:161-190) -----
+_q(
+    "q28_merge_semantics",
+    """
+    WITH old AS (SELECT * FROM orders WHERE o_orderdate < '1999-01-01'::DATE),
+         new AS (SELECT * FROM orders WHERE o_orderdate >= '1999-01-01'::DATE)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM (
+        SELECT * FROM new
+        UNION ALL
+        SELECT o.* FROM old o
+        WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey = o.o_orderkey)
+    ) merged
+    GROUP BY o_orderstatus
+    """,
+    """
+    WITH old AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+         new AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1999-01-01')
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM (
+        SELECT * FROM new
+        UNION ALL
+        SELECT o.* FROM old o
+        WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey = o.o_orderkey)
+    ) merged
+    GROUP BY o_orderstatus
+    """,
+)
+
+# ---- SCD2 staging expression over events (snapshot.sql:132-153) ----
+_q(
+    "q29_scd2_staging",
+    """
+    SELECT user_id,
+           MAX_BY(event_type, ts) AS latest_type,
+           MD5(CONCAT_WS('-', CAST(user_id AS VARCHAR),
+               DATE_FORMAT(MAX(ts), 'yyyy-MM-dd HH:mm:ss'))) AS dbt_scd_id,
+           MAX(ts) AS dbt_valid_from
+    FROM events GROUP BY user_id
+    """,
+    """
+    SELECT user_id,
+           MAX_BY(event_type, ts) AS latest_type,
+           MD5(CONCAT_WS('-', CAST(user_id AS VARCHAR),
+               STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S'))) AS dbt_scd_id,
+           MAX(ts) AS dbt_valid_from
+    FROM events GROUP BY user_id
+    """,
+)
+
+# ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
+_q(
+    "q30_limit_sample",
+    """
+    SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    """
+    SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+)
+
+
+# --------------------------------------------------------------------
+# X-ops: DataFrame implementations + ANSI oracles
+# --------------------------------------------------------------------
+def _x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import dedup
+    register_dir(spark, sf_dir)
+    return dedup.exact_dedup(spark.table("documents"), "doc_id", "text")
+
+
+def _x_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import dedup
+    register_dir(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        spark.table("documents"), "doc_id", "text", n_hashes=8, bands=4, shingle_k=3
+    )
+
+
+def _x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import dedup
+    register_dir(spark, sf_dir)
+    return dedup.simhash(
+        spark.table("documents").filter(F.col("doc_id") < 100), "doc_id", "text"
+    )
+
+
+def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import dedup
+    register_dir(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        spark.table("documents").filter(F.col("doc_id") < 200),
+        "doc_id", "text", k=2, threshold=0.2,
+    )
+
+
+def _x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import dedup
+    register_dir(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(
+        spark.table("embeddings"), "vec_id", "embedding", threshold=0.35, max_id=300
+    )
+
+
+def _x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import similarity
+    register_dir(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _x_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import text
+    register_dir(spark, sf_dir)
+    return text.language_id(spark.table("documents"), "doc_id", "text")
+
+
+def _x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import text
+    register_dir(spark, sf_dir)
+    return text.quality_score(spark.table("documents"), "doc_id", "text")
+
+
+def _x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import text
+    register_dir(spark, sf_dir)
+    return text.token_stats(spark.table("documents"), "doc_id", "text")
+
+
+def _x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import text
+    register_dir(spark, sf_dir)
+    return text.fingerprint(spark.table("documents"), "doc_id", "text")
+
+
+def _x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate — no oracle (rows-only check by design)
+    from .xops import similarity
+    register_dir(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_planes=6,
+    )
+
+
+def _x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary plumbing + mapInPandas — no SQL oracle (pandas-UDF op)
+    from .xops import multimodal
+    register_dir(spark, sf_dir)
+    media = multimodal.attach_binary_column(
+        spark.table("documents").filter(F.col("doc_id") < 100), "doc_id", "text"
+    )
+    return multimodal.extract_features(media)
+
+
+def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stub endpoint, deterministic but pandas-UDF — rows-only check
+    from .xops import llm
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", llm.sentiment(F.col("text")).alias("sentiment")
+    )
+
+
+# shared oracle fragments -------------------------------------------
+_SHINGLES_3 = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    )
+"""
+
+XOP_ORACLES: dict[str, str | None] = {
+    "x01_dedup_exact": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               COUNT(*) AS n_copies, MD5(text) AS text_hash
+        FROM documents GROUP BY MD5(text)
+    """,
+    "x02_minhash_lsh": f"""
+        WITH {_SHINGLES_3},
+        hashed AS (
+          SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
+        ),
+        sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+        wide AS (
+          SELECT doc_id,
+                 MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
+                 MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
+                 MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
+                 MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
+                 MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
+                 MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
+                 MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
+                 MIN(CASE WHEN seed = 7 THEN minh END) AS s7
+          FROM sig GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
+          UNION ALL
+          SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
+          UNION ALL
+          SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
+          UNION ALL
+          SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
+        )
+        SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                        CAST(b.doc_id AS BIGINT) AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    "x03_simhash": """
+        WITH words AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id < 100
+          ) WHERE w <> ''
+        ),
+        h AS (SELECT doc_id, md5(w) AS h FROM words),
+        bits AS (
+          SELECT doc_id, b,
+                 ((instr('0123456789abcdef', substr(h, (b // 4) + 1, 1)) - 1)
+                  // CAST(POW(2, b % 4) AS INT)) % 2 AS bit
+          FROM h, LATERAL unnest(generate_series(0, 31)) AS t(b)
+        ),
+        sums AS (SELECT doc_id, b, SUM(2 * bit - 1) AS s FROM bits GROUP BY 1, 2)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        FROM sums GROUP BY doc_id
+    """,
+    "x04_ngram_jaccard": """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 200
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+          FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ns
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+               CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.2
+    """,
+    "x05_embedding_neardup": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM e
+        ),
+        n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM x GROUP BY 1),
+        d AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
+               dot / (na.nrm * nb.nrm) AS cosine
+        FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+        WHERE dot / (na.nrm * nb.nrm) >= 0.35
+    """,
+    "x06_ann_topk": """
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM x GROUP BY 1),
+        q AS (SELECT * FROM x WHERE vec_id < 10),
+        d AS (
+          SELECT q.vec_id AS qa, c.vec_id AS ca, SUM(q.v * c.v) AS dot
+          FROM q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT qa, ca, dot / (nq.nrm * nc.nrm) AS cosine
+          FROM d JOIN n nq ON nq.vec_id = qa JOIN n nc ON nc.vec_id = ca
+        )
+        SELECT CAST(qa AS BIGINT) AS query_id, CAST(ca AS BIGINT) AS neighbor_id,
+               cosine, CAST(rn AS INT) AS rnk
+        FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qa
+                     ORDER BY cosine DESC, ca) AS rn FROM s) t
+        WHERE rn <= 5
+    """,
+    "x07_langid": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, COUNT(*) AS n,
+            SUM(CASE WHEN word IN ('the','a','of','and','to','in','is','it','that','for') THEN 1 ELSE 0 END) AS c_en,
+            SUM(CASE WHEN word IN ('el','la','de','y','que','en','un','una','es','los') THEN 1 ELSE 0 END) AS c_es,
+            SUM(CASE WHEN word IN ('le','la','de','et','que','en','un','une','est','les') THEN 1 ELSE 0 END) AS c_fr,
+            SUM(CASE WHEN word IN ('der','die','das','und','zu','in','ein','eine','ist','den') THEN 1 ELSE 0 END) AS c_de
+          FROM w WHERE word <> '' GROUP BY 1
+        ),
+        ratios AS (
+          SELECT doc_id,
+                 CAST(c_en AS DOUBLE) / GREATEST(n, 1) AS r_en,
+                 CAST(c_es AS DOUBLE) / GREATEST(n, 1) AS r_es,
+                 CAST(c_fr AS DOUBLE) / GREATEST(n, 1) AS r_fr,
+                 CAST(c_de AS DOUBLE) / GREATEST(n, 1) AS r_de
+          FROM counts
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(r_en, r_es, r_fr, r_de) < 0.02 THEN 'unknown'
+                    WHEN r_en = GREATEST(r_en, r_es, r_fr, r_de) THEN 'en'
+                    WHEN r_es = GREATEST(r_en, r_es, r_fr, r_de) THEN 'es'
+                    WHEN r_fr = GREATEST(r_en, r_es, r_fr, r_de) THEN 'fr'
+                    ELSE 'de' END AS lang_pred,
+               CAST(GREATEST(r_en, r_es, r_fr, r_de) AS DOUBLE) AS best_ratio
+        FROM ratios
+    """,
+    "x08_quality": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, text, words,
+                 len(words) AS n_words, LENGTH(text) AS n_chars_m,
+                 CAST(list_sum(list_transform(words, x -> LENGTH(x))) AS DOUBLE)
+                   / GREATEST(len(words), 1) AS mean_word_len,
+                 CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) AS punct_ratio,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                      x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                   / GREATEST(len(words), 1) AS stopword_ratio,
+                 CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) AS alnum_ratio
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_chars_m AS BIGINT) AS n_chars_m,
+               mean_word_len, punct_ratio, stopword_ratio, alnum_ratio,
+               CAST((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END)
+                  + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+                  + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+                  + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END) AS DOUBLE)
+                 AS quality_score
+        FROM base
+    """,
+    "x09_token_stats": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+               CAST(LENGTH(text) AS DOUBLE) / GREATEST(len(words), 1) AS chars_per_token
+        FROM w
+    """,
+    "x10_fingerprint": """
+        WITH n AS (
+          SELECT doc_id,
+                 regexp_replace(TRIM(lower(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        )
+        SELECT doc_id, MD5(norm) AS content_md5,
+               SUBSTR(MD5(norm), 1, 16) AS short_key,
+               MD5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bag_md5
+        FROM n
+    """,
+    "x11_lsh_topk": None,        # approximate by design
+    "x12_multimodal_features": None,  # pandas-UDF plumbing, stub decode
+    "x13_llm_sentiment": None,   # pandas-UDF stub endpoint
+}
+
+XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x01_dedup_exact": _x_dedup_exact,
+    "x02_minhash_lsh": _x_minhash,
+    "x03_simhash": _x_simhash,
+    "x04_ngram_jaccard": _x_ngram_jaccard,
+    "x05_embedding_neardup": _x_embedding_neardup,
+    "x06_ann_topk": _x_ann_topk,
+    "x07_langid": _x_langid,
+    "x08_quality": _x_quality,
+    "x09_token_stats": _x_token_stats,
+    "x10_fingerprint": _x_fingerprint,
+    "x11_lsh_topk": _x_lsh_topk,
+    "x12_multimodal_features": _x_multimodal,
+    "x13_llm_sentiment": _x_llm_sentiment,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (sf_sql, _oracle) in SQL_QUERIES.items():
+        out[name] = (lambda s: lambda spark, sf_dir: run_sf_sql(spark, sf_dir, s))(sf_sql)
+    out.update(XOP_FUNCS)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {name: oracle for name, (_sf, oracle) in SQL_QUERIES.items()}
+    for name, oracle in XOP_ORACLES.items():
+        if oracle is not None:
+            out[name] = oracle
+    return out

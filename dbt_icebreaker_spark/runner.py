@@ -1,0 +1,171 @@
+"""Model runner — the engine's single public execution path.
+
+Replaces the reference's dual-venue lifecycle (SURVEY §3: dbt
+materialization → routing decision → add_query pipeline → engine
+switch/fallback) with: transpile → validate → execute → materialize →
+track. No venue branch — Spark is the only engine (SURVEY §7.0).
+
+API shape follows `IcebreakerAdapter.execute_model`
+(ref impl.py:222-246) and the materialization macros (table.sql:15-97,
+view.sql:5-23, incremental.sql:13-215, snapshot.sql:18-232).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .materializations.ddl import Ddl, generate_schema_name
+from .materializations.incremental import run_incremental
+from .materializations.snapshot import run_snapshot
+from .transpiler import Transpiler
+
+
+@dataclass
+class RunResult:
+    model: str
+    materialization: str
+    relation: str | None
+    rows: int
+    duration_s: float
+    details: dict = field(default_factory=dict)
+
+
+@dataclass
+class IcebreakerEngine:
+    """One engine, one dialect boundary (SURVEY §7.0)."""
+
+    spark: SparkSession
+    schema: str = "analytics"
+    # dev sampling (M6: ref impl.py:403-415) — LIMIT injection in dev
+    dev_mode: bool = False
+    dev_sample_size: int = 10_000
+    custom_schema: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        self.transpiler = Transpiler()
+        self.ddl = Ddl(self.spark)
+        self.effective_schema = generate_schema_name(self.schema, self.custom_schema)
+        self.ddl.create_schema(self.effective_schema)
+
+    # -------------------------------------------------------- execute
+    def sql_to_spark(self, sql: str) -> str:
+        return self.transpiler.to_spark(sql)
+
+    def execute(self, sql: str) -> DataFrame:
+        """Transpile Snowflake SQL and run it. Multi-statement scripts
+        run per statement (T17); the last statement's result returns."""
+        result: DataFrame | None = None
+        for stmt in self.transpiler.to_spark_statements(sql):
+            result = self.spark.sql(stmt)
+        if result is None:
+            raise ValueError("empty SQL")
+        return result
+
+    def _maybe_sample(self, df: DataFrame, sql: str) -> DataFrame:
+        # ref impl.py:403-415: wrap in LIMIT n unless SQL already limits
+        if self.dev_mode and " limit " not in sql.lower():
+            return df.limit(self.dev_sample_size)
+        return df
+
+    def _qualified(self, name: str) -> str:
+        return f"{self.effective_schema}.{name}"
+
+    # ------------------------------------------------- materializations
+    def run_model(
+        self,
+        name: str,
+        sql: str,
+        materialization: str = "table",
+        unique_key: str | Sequence[str] | None = None,
+        incremental_strategy: str = "merge",
+        partition_by: Optional[str] = None,
+        full_refresh: bool = False,
+    ) -> RunResult:
+        start = time.time()
+        target = self._qualified(name)
+
+        if materialization == "view":
+            # M2: ref view.sql:5-23 / adapters.sql:49-53
+            spark_sql = self.sql_to_spark(sql)
+            self.spark.sql(f"CREATE OR REPLACE VIEW {target} AS {spark_sql}")
+            return RunResult(name, "view", target, -1, time.time() - start)
+
+        df = self._maybe_sample(self.execute(sql), sql)
+
+        if materialization == "table":
+            # M1: ref table.sql:72-76 (CREATE OR REPLACE TABLE … AS)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.saveAsTable(target)
+            rows = self.spark.table(target).count()
+            return RunResult(name, "table", target, rows, time.time() - start)
+
+        if materialization == "incremental":
+            # M3
+            details = run_incremental(
+                self.spark,
+                target,
+                df,
+                strategy=incremental_strategy,
+                unique_key=unique_key,
+                partition_by=partition_by,
+                full_refresh=full_refresh,
+            )
+            rows = self.spark.table(target).count()
+            return RunResult(name, "incremental", target, rows, time.time() - start, details)
+
+        if materialization == "ephemeral":
+            # dbt ephemeral = temp view, not persisted
+            df.createOrReplaceTempView(name)
+            return RunResult(name, "ephemeral", None, -1, time.time() - start)
+
+        raise ValueError(f"unknown materialization: {materialization}")
+
+    def run_snapshot(
+        self,
+        name: str,
+        sql: str,
+        unique_key: str | Sequence[str],
+        strategy: str = "timestamp",
+        updated_at: Optional[str] = "updated_at",
+        check_cols: Optional[Sequence[str]] = None,
+        invalidate_hard_deletes: bool = False,
+        now: Optional[_dt.datetime] = None,
+    ) -> RunResult:
+        start = time.time()
+        target = self._qualified(name)
+        source = self.execute(sql)
+        details = run_snapshot(
+            self.spark,
+            target,
+            source,
+            unique_key=unique_key,
+            strategy=strategy,
+            updated_at=updated_at,
+            check_cols=check_cols,
+            invalidate_hard_deletes=invalidate_hard_deletes,
+            now=now,
+        )
+        rows = self.spark.table(target).count()
+        return RunResult(name, "snapshot", target, rows, time.time() - start, details)
+
+    def seed_csv(self, name: str, path: str, header: bool = True) -> RunResult:
+        """S9 CSV seed load (ref macros/adapters.sql:130-152 renders
+        INSERT VALUES literals; DataFrame CSV reader replaces literal
+        quoting entirely)."""
+        start = time.time()
+        target = self._qualified(name)
+        df = (
+            self.spark.read.option("header", str(header).lower())
+            .option("inferSchema", "true")
+            .csv(path)
+        )
+        df.write.mode("overwrite").saveAsTable(target)
+        rows = self.spark.table(target).count()
+        return RunResult(name, "seed", target, rows, time.time() - start)

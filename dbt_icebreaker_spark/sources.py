@@ -1,0 +1,249 @@
+"""Source registration + Parquet source cache (SURVEY §2.1 S1–S3).
+
+The reference caches warehouse tables as one local Parquet file per
+table under ``~/.icebreaker/cache`` with a TTL'd JSON manifest
+(`source_cache.py:100-153`), then registers DuckDB views over
+``read_parquet(...)`` (`source_cache.py:389-426`). Here the same
+design registers Spark temp views over parquet paths; the "warehouse
+download" side (`source_cache.py:310-387`, Arrow batch streaming) is
+abstracted behind a fetch callback since no live warehouse exists in
+this environment.
+
+At 100 TB the cache concept inverts: Spark *is* the scale-out engine,
+so big sources are read in place (predicate pushdown + partition
+pruning reach the parquet scan); the cache remains useful for small
+dimension snapshots pinned local for broadcast joins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them
+    as long (spark.sql.legacy.parquet.nanosAsLong) and we convert."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet + nanosecond-timestamp normalization (ns →
+    microsecond TimestampType via integer div — same floor DuckDB's
+    TIMESTAMP_NS → µs fetch applies)."""
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def register_dir(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every parquet table under sf_dir as a temp view (S1:
+    ref source_cache.py:389-426 registers DuckDB views the same way)."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_parquet(spark, path).createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@dataclass
+class CacheConfig:
+    """Defaults mirror the reference: TTL 24 h, cap 10 GB
+    (`source_cache.py:33-34`, `connections.py:128-130`)."""
+
+    cache_dir: str = os.path.expanduser("~/.spark_icebreaker/cache")
+    ttl_hours: float = 24.0
+    max_gb: float = 10.0
+
+
+@dataclass
+class SourceCache:
+    """Parquet source cache with TTL manifest (S2/S3).
+
+    Manifest format mirrors `source_cache.py:100-119`: JSON dict
+    ``{"db.schema.table": {"cached_at": epoch, "path": …, "bytes": n}}``.
+    """
+
+    spark: SparkSession
+    config: CacheConfig = field(default_factory=CacheConfig)
+    # fetch(db, schema, table) -> DataFrame pulled from the remote
+    # warehouse; in tests this reads local parquet. Replaces the
+    # Snowflake Arrow-batch download of source_cache.py:310-387.
+    fetch: Optional[Callable[[str, str, str], DataFrame]] = None
+
+    def _manifest_path(self) -> Path:
+        return Path(self.config.cache_dir) / "manifest.json"
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if p.exists():
+            try:
+                return json.loads(p.read_text())
+            except json.JSONDecodeError:
+                return {}
+        return {}
+
+    def _save_manifest(self, m: dict) -> None:
+        p = self._manifest_path()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(m, indent=2))
+
+    def _key(self, db: str, schema: str, table: str) -> str:
+        return f"{db}.{schema}.{table}".lower()
+
+    def _table_dir(self, db: str, schema: str, table: str) -> Path:
+        return Path(self.config.cache_dir) / db.lower() / schema.lower() / f"{table.lower()}.parquet"
+
+    def is_fresh(self, db: str, schema: str, table: str) -> bool:
+        """TTL check (ref source_cache.py:134-153)."""
+        entry = self._load_manifest().get(self._key(db, schema, table))
+        if not entry:
+            return False
+        age_h = (time.time() - entry["cached_at"]) / 3600.0
+        return age_h < self.config.ttl_hours and os.path.exists(entry["path"])
+
+    def cache_table(self, db: str, schema: str, table: str, force: bool = False) -> str:
+        """Materialize a remote table to local snappy parquet (S2: ref
+        source_cache.py:163-222). Returns the local path."""
+        if not force and self.is_fresh(db, schema, table):
+            return self._load_manifest()[self._key(db, schema, table)]["path"]
+        if self.fetch is None:
+            raise RuntimeError(
+                f"source {db}.{schema}.{table} not cached and no fetch "
+                "callback configured (no warehouse connection available)"
+            )
+        df = self.fetch(db, schema, table)
+        dest = self._table_dir(db, schema, table)
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        df.write.mode("overwrite").option("compression", "snappy").parquet(str(dest))
+        size = sum(f.stat().st_size for f in dest.rglob("*") if f.is_file())
+        m = self._load_manifest()
+        m[self._key(db, schema, table)] = {
+            "cached_at": time.time(),
+            "path": str(dest),
+            "bytes": size,
+        }
+        self._save_manifest(m)
+        self.prune()
+        return str(dest)
+
+    def register(self, db: str, schema: str, table: str) -> None:
+        """Expose the cached parquet as view ``schema_table`` (S1: ref
+        source_cache.py:389-426; DuckDB view name s.t → here
+        schema_table since temp views are flat)."""
+        path = self.cache_table(db, schema, table)
+        self.spark.read.parquet(path).createOrReplaceTempView(f"{schema}_{table}".lower())
+
+    def prune(self) -> list[str]:
+        """Age/size prune (ref source_cache.py:513-549): drop expired
+        entries, then oldest-first until under max_gb."""
+        m = self._load_manifest()
+        removed: list[str] = []
+        now = time.time()
+        for key, entry in list(m.items()):
+            if (now - entry["cached_at"]) / 3600.0 >= self.config.ttl_hours:
+                self._drop(entry)
+                removed.append(key)
+                del m[key]
+        total = sum(e["bytes"] for e in m.values())
+        cap = self.config.max_gb * 1024**3
+        for key, entry in sorted(m.items(), key=lambda kv: kv[1]["cached_at"]):
+            if total <= cap:
+                break
+            self._drop(entry)
+            total -= entry["bytes"]
+            removed.append(key)
+            del m[key]
+        self._save_manifest(m)
+        return removed
+
+    def _drop(self, entry: dict) -> None:
+        path = entry.get("path")
+        if path and os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+    def status(self) -> dict:
+        """Cache status for the CLI (ref cli.py:675-715)."""
+        m = self._load_manifest()
+        return {
+            "entries": len(m),
+            "total_bytes": sum(e["bytes"] for e in m.values()),
+            "tables": {
+                k: {
+                    "age_hours": round((time.time() - e["cached_at"]) / 3600.0, 2),
+                    "bytes": e["bytes"],
+                    "fresh": (time.time() - e["cached_at"]) / 3600.0 < self.config.ttl_hours,
+                }
+                for k, e in m.items()
+            },
+        }
+
+    def clear(self) -> None:
+        shutil.rmtree(self.config.cache_dir, ignore_errors=True)
+
+
+import re
+
+_TABLE_REF_RE = re.compile(
+    # ref connections.py:663-666 regex: FROM/JOIN schema.table
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)(?:\.([A-Za-z_][\w$]*))?",
+    re.IGNORECASE,
+)
+
+
+def extract_table_refs(sql: str) -> list[tuple[str, ...]]:
+    """S3 auto-cache scan (ref connections.py:646-689): find
+    schema.table / db.schema.table refs in FROM/JOIN clauses."""
+    out = []
+    for m in _TABLE_REF_RE.finditer(sql):
+        parts = tuple(p for p in m.groups() if p)
+        out.append(parts)
+    return out
+
+
+def auto_cache_sources(cache: SourceCache, sql: str, default_db: str = "warehouse") -> list[str]:
+    """For each referenced schema.table not present in the Spark
+    catalog, cache + register it (S3). Returns registered view names."""
+    registered = []
+    for parts in extract_table_refs(sql):
+        if len(parts) == 2:
+            db, schema, table = default_db, parts[0], parts[1]
+        else:
+            db, schema, table = parts
+        view = f"{schema}_{table}".lower()
+        try:
+            exists = cache.spark.catalog.tableExists(view) or cache.spark.catalog.tableExists(f"{schema}.{table}")
+        except Exception:
+            exists = False
+        if not exists:
+            cache.register(db, schema, table)
+            registered.append(view)
+    return registered

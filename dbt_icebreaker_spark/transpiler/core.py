@@ -1,0 +1,68 @@
+"""Transpiler entry points.
+
+Mirrors the reference API (`transpiler.py:27-433`): parse → transform
+pipeline → regenerate. Multi-statement scripts are split on top-level
+';' and transpiled per statement (ref `transpiler.py:56-74`).
+"""
+
+from __future__ import annotations
+
+from . import transforms
+from .tokenizer import render, split_statements, tokenize
+
+
+class TranspileError(Exception):
+    """Raised when SQL cannot be converted to Spark SQL."""
+
+
+class UnsupportedFunctionError(TranspileError):
+    """Cloud-only function with no Spark equivalent (ref
+    transpiler.py:398-433 blacklist; errors.py:43-64 actionable style).
+    """
+
+    def __init__(self, functions: list[str]):
+        self.functions = functions
+        fns = ", ".join(functions)
+        super().__init__(
+            f"Unsupported function(s): {fns}. These are cloud-only in the "
+            "reference (SNOWFLAKE.CORTEX / ML.* / XML / SYSTEM$) and have "
+            "no Spark implementation. Rewrite the model without them, or "
+            "use the xops LLM-column operators for CORTEX-style calls."
+        )
+
+
+class Transpiler:
+    """Snowflake SQL → Spark SQL."""
+
+    def to_spark(self, sql: str) -> str:
+        """Transpile one script (possibly multi-statement) to Spark SQL.
+
+        Returns statements joined by ';' like the reference
+        (`transpiler.py:56-74`).
+        """
+        blacklisted = transforms.detect_blacklisted_functions(sql)
+        if blacklisted:
+            raise UnsupportedFunctionError(blacklisted)
+        stmts = split_statements(tokenize(sql))
+        out: list[str] = []
+        for stmt in stmts:
+            toks = stmt
+            for fn in transforms.PIPELINE:
+                toks = fn(toks)
+            out.append(render(toks))
+        return ";".join(out)
+
+    def to_spark_statements(self, sql: str) -> list[str]:
+        """Like to_spark but returns one string per statement, for
+        callers that loop spark.sql() per statement (SURVEY T17)."""
+        text = self.to_spark(sql)
+        return [s for s in text.split(";") if s.strip()]
+
+    def can_transpile(self, sql: str) -> tuple[bool, str | None]:
+        """Probe used by routing Gate 3 (ref transpiler.py:385-396,
+        traffic.py:241-248)."""
+        try:
+            self.to_spark(sql)
+            return True, None
+        except Exception as exc:  # noqa: BLE001 - probe contract
+            return False, str(exc)

@@ -1,0 +1,649 @@
+"""Snowflake→Spark token-stream transforms (SURVEY §2.3 T1–T18).
+
+Each transform takes and returns a token list. Reference semantics come
+from `/root/reference/dbt/adapters/icebreaker/transpiler.py` (cited per
+transform); the *target* dialect here is Spark SQL 4.x, which natively
+covers much of what the reference had to rewrite for DuckDB
+(LISTAGG WITHIN GROUP, NVL/NVL2/IFNULL/ZEROIFNULL, TRY_CAST,
+3-arg DATEADD/DATEDIFF, CONVERT_TIMEZONE, GROUP BY ordinals,
+GROUPING SETS) — those are verified native by tests rather than
+rewritten.
+
+VARIANT model: like the reference (`transpiler.py:104-117`,
+`source_cache.py:271-308`), semi-structured values are represented as
+JSON **strings**; path access `col:a.b::t` becomes
+``CAST(get_json_object(col, '$.a.b') AS t)``.
+"""
+
+from __future__ import annotations
+
+from .tokenizer import (
+    OP,
+    STRING,
+    WORD,
+    Token,
+    WS,
+    find_matching_paren,
+    next_code,
+    prev_code,
+    split_args,
+    tokenize,
+)
+
+Tokens = list[Token]
+
+
+def _word(text: str) -> Token:
+    return Token(WORD, text)
+
+
+def _op(text: str) -> Token:
+    return Token(OP, text)
+
+
+def _sp() -> Token:
+    return Token(WS, " ")
+
+
+def _is_call(tokens: Tokens, i: int, name: str) -> bool:
+    """tokens[i] is WORD name followed by '(' — and not preceded by '.'
+    (so schema-qualified x.FLATTEN isn't matched)."""
+    t = tokens[i]
+    if not (t.kind == WORD and t.upper == name):
+        return False
+    j = next_code(tokens, i + 1)
+    if j >= len(tokens) or not tokens[j].is_op("("):
+        return False
+    p = prev_code(tokens, i - 1)
+    if p >= 0 and tokens[p].is_op("."):
+        return False
+    return True
+
+
+def _rename_funcs(tokens: Tokens, mapping: dict[str, str]) -> Tokens:
+    out: Tokens = []
+    for i, t in enumerate(tokens):
+        if t.kind == WORD and t.upper in mapping and _is_call(tokens, i, t.upper):
+            out.append(_word(mapping[t.upper]))
+        else:
+            out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------- T2/T3
+def rewrite_simple_renames(tokens: Tokens) -> Tokens:
+    """IFF→IF (ref transpiler.py:199-209), NVL→COALESCE (211-217),
+    plus Snowflake spellings Spark lacks: GETDATE/SYSDATE→
+    CURRENT_TIMESTAMP, SQUARE→POW2 handled inline, TO_NUMBER family
+    handled in rewrite_try_to (T5)."""
+    mapping = {
+        "IFF": "IF",
+        "NVL": "COALESCE",
+        "STRTOK_TO_ARRAY": "SPLIT",
+        "ARRAY_SIZE": "SIZE",
+        "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
+        "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
+        "LEN": "LENGTH",
+        "EDITDISTANCE": "LEVENSHTEIN",
+        "REGEXP_LIKE": "REGEXP_LIKE",
+        "TO_CHAR": "TO_CHAR_X",     # placeholder, fixed below
+        "TO_VARCHAR": "TO_CHAR_X",
+    }
+    out = _rename_funcs(tokens, mapping)
+    return out
+
+
+def _fixup_placeholders(tokens: Tokens) -> Tokens:
+    """Resolve multi-arg placeholder renames from rewrite_simple_renames."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.text in ("SLICE_0", "INSTR_SWAP", "TO_CHAR_X") and _is_call(tokens, i, t.text):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            args = split_args(tokens, op_i + 1, close)
+            if t.text == "SLICE_0" and len(args) == 3:
+                # ARRAY_SLICE(arr, from0, to0) → SLICE(arr, from0+1, to0-from0)
+                arr = tokens[args[0][0]:args[0][1]]
+                lo = tokens[args[1][0]:args[1][1]]
+                hi = tokens[args[2][0]:args[2][1]]
+                out += [_word("slice"), _op("(")] + arr + [_op(","), _sp(), _op("(")] + lo + [_op(")"), _sp(), _op("+"), _sp(), Token(WORD, "1"), _op(","), _sp(), _op("(")] + hi + [_op(")"), _sp(), _op("-"), _sp(), _op("(")] + lo + [_op(")"), _op(")")]
+            elif t.text == "INSTR_SWAP" and len(args) == 2:
+                # CHARINDEX(needle, haystack) → INSTR(haystack, needle)
+                needle = tokens[args[0][0]:args[0][1]]
+                hay = tokens[args[1][0]:args[1][1]]
+                out += [_word("instr"), _op("(")] + hay + [_op(","), _sp()] + needle + [_op(")")]
+            elif t.text == "TO_CHAR_X":
+                if len(args) == 1:
+                    # TO_CHAR(x) → CAST(x AS STRING)
+                    x = tokens[args[0][0]:args[0][1]]
+                    out += [_word("CAST"), _op("(")] + x + [_sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
+                else:
+                    # TO_CHAR(x, fmt) → date_format(x, fmt') with common
+                    # Snowflake→java format mapping
+                    x = tokens[args[0][0]:args[0][1]]
+                    fmt = tokens[args[1][0]:args[1][1]]
+                    conv = list(fmt)
+                    for k, ft in enumerate(conv):
+                        if ft.kind == STRING:
+                            s = ft.text
+                            s = s.replace("YYYY", "yyyy").replace("MM", "MM")
+                            s = s.replace("DD", "dd").replace("HH24", "HH")
+                            s = s.replace("HH12", "hh").replace("MI", "mm")
+                            s = s.replace("SS", "ss")
+                            conv[k] = Token(STRING, s)
+                    out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
+            else:
+                # arity mismatch: emit name sans placeholder best-effort
+                fallback = {"SLICE_0": "slice", "INSTR_SWAP": "instr", "TO_CHAR_X": "CAST"}[t.text]
+                out.append(_word(fallback))
+                i += 1
+                continue
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T5
+_TRY_TO_TYPES = {
+    # ref transpiler.py:235-267 type map (TRY_TO_NUMBER→DOUBLE etc.)
+    "TRY_TO_NUMBER": "DOUBLE",
+    "TRY_TO_NUMERIC": "DOUBLE",
+    "TRY_TO_DECIMAL": "DECIMAL(38,9)",
+    "TRY_TO_DOUBLE": "DOUBLE",
+    "TRY_TO_DATE": "DATE",
+    "TRY_TO_TIME": "TIMESTAMP",  # Spark has no TIME type; documented deviation
+    "TRY_TO_TIMESTAMP": "TIMESTAMP",
+    "TRY_TO_TIMESTAMP_NTZ": "TIMESTAMP_NTZ",
+    "TRY_TO_TIMESTAMP_LTZ": "TIMESTAMP",
+    "TRY_TO_TIMESTAMP_TZ": "TIMESTAMP",
+    "TRY_TO_BOOLEAN": "BOOLEAN",
+    "TRY_TO_VARCHAR": "STRING",
+    # non-try versions that Spark lacks under these names
+    "TO_NUMBER_SF": "DOUBLE",
+}
+
+
+def rewrite_try_to(tokens: Tokens) -> Tokens:
+    """TRY_TO_NUMBER(x) → TRY_CAST(x AS DOUBLE) etc (ref 235-267)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in _TRY_TO_TYPES and _is_call(tokens, i, t.upper):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            args = split_args(tokens, op_i + 1, close)
+            typ = _TRY_TO_TYPES[t.upper]
+            if len(args) == 1:
+                inner = tokens[args[0][0]:args[0][1]]
+                out += [_word("TRY_CAST"), _op("(")] + inner + [
+                    _sp(), _word("AS"), _sp()] + tokenize(typ) + [_op(")")]
+                i = close + 1
+                continue
+            elif len(args) == 2 and typ in ("DATE", "TIMESTAMP", "TIMESTAMP_NTZ"):
+                # TRY_TO_DATE(x, fmt) → try_to_timestamp + cast
+                x = tokens[args[0][0]:args[0][1]]
+                fmt = tokens[args[1][0]:args[1][1]]
+                out += [_word("TRY_CAST"), _op("("), _word("try_to_timestamp"), _op("(")] + x + [_op(","), _sp()] + fmt + [_op(")"), _sp(), _word("AS"), _sp()] + tokenize(typ) + [_op(")")]
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T6
+def rewrite_object_construct(tokens: Tokens) -> Tokens:
+    """OBJECT_CONSTRUCT('k1',v1,…) → TO_JSON(MAP('k1',v1,…)) (ref
+    transpiler.py:269-280 targets JSON_OBJECT; JSON-string model here).
+    MAP (not named_struct) so duplicate/dynamic keys behave."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in ("OBJECT_CONSTRUCT", "OBJECT_CONSTRUCT_KEEP_NULL") and _is_call(tokens, i, t.upper):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            inner = tokens[op_i + 1:close]
+            out += [_word("TO_JSON"), _op("("), _word("MAP"), _op("(")] + inner + [_op(")"), _op(")")]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T7/T9
+def rewrite_variant_funcs(tokens: Tokens) -> Tokens:
+    """JSON-string VARIANT model:
+    PARSE_JSON(s) → s (already a JSON string; ref transpiler.py:282-292
+    casts to JSON — identity in the string model);
+    TO_VARIANT(x) → CAST(x AS STRING) (ref 304-313);
+    TO_JSON on a *string* is identity in Snowflake — left alone (Spark
+    TO_JSON works on structs; callers use OBJECT_CONSTRUCT for those).
+    """
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and _is_call(tokens, i, "PARSE_JSON"):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            inner = tokens[op_i + 1:close]
+            out += [_op("(")] + inner + [_op(")")]
+            i = close + 1
+            continue
+        if t.kind == WORD and _is_call(tokens, i, "TO_VARIANT"):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            inner = tokens[op_i + 1:close]
+            out += [_word("CAST"), _op("(")] + inner + [_sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T8
+def rewrite_array_construct(tokens: Tokens) -> Tokens:
+    """ARRAY_CONSTRUCT(…) → ARRAY(…) (ref transpiler.py:294-302)."""
+    return _rename_funcs(tokens, {
+        "ARRAY_CONSTRUCT": "ARRAY",
+        "ARRAY_CONSTRUCT_COMPACT": "ARRAY_COMPACT_X",  # not supported; detect below
+        "ARRAY_CAT": "CONCAT",
+        "ARRAY_TO_STRING": "ARRAY_JOIN",
+    })
+
+
+# ------------------------------------------------------------------- T12
+_VARIANT_TYPES = ("VARIANT", "OBJECT")
+
+
+def rewrite_variant_casts(tokens: Tokens) -> Tokens:
+    """CAST(x AS VARIANT) / x::VARIANT → STRING (ref transpiler.py:104-117).
+    Also `AS OBJECT`, and bare VARCHAR/CHAR/TEXT → STRING (Spark
+    requires VARCHAR(n) with a length; Snowflake's bare VARCHAR is
+    unbounded = Spark STRING). Bare `ARRAY` casts are left for Spark
+    to reject (rare; needs element type)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in _VARIANT_TYPES:
+            p = prev_code(tokens, i - 1)
+            if p >= 0 and (tokens[p].is_word("AS") or tokens[p].is_op("::")):
+                out.append(_word("STRING"))
+                i += 1
+                continue
+        if t.kind == WORD and t.upper in ("VARCHAR", "CHAR", "TEXT"):
+            j = next_code(tokens, i + 1)
+            if not (j < n and tokens[j].is_op("(")):
+                p = prev_code(tokens, i - 1)
+                if p >= 0 and (tokens[p].is_word("AS") or tokens[p].is_op("::")):
+                    out.append(_word("STRING"))
+                    i += 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T13
+def rewrite_flatten(tokens: Tokens) -> Tokens:
+    """[LATERAL|TABLE] FLATTEN(input => X) [AS] f →
+    LATERAL VIEW EXPLODE(X) f AS value   (ref transpiler.py:326-364).
+
+    Handles the common Snowflake form
+        FROM t, LATERAL FLATTEN(input => t.arr) f
+    The preceding comma/`,` join separator is removed because Spark's
+    LATERAL VIEW attaches without a join comma. `path => '…'` lowers to
+    get_json_object on the JSON-string model.
+    """
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in ("LATERAL", "TABLE"):
+            j = next_code(tokens, i + 1)
+            if j < n and _is_call(tokens, j, "FLATTEN"):
+                op_i = next_code(tokens, j + 1)
+                close = find_matching_paren(tokens, op_i)
+                args = split_args(tokens, op_i + 1, close)
+                input_expr: Tokens = []
+                path_lit: str | None = None
+                outer = False
+                for a_lo, a_hi in args:
+                    arg = tokens[a_lo:a_hi]
+                    code = [x for x in arg if x.kind not in (WS,)]
+                    if len(code) >= 3 and code[0].kind == WORD and code[1].is_op("=>"):
+                        key = code[0].upper
+                        val = code[2:]
+                        if key == "INPUT":
+                            # preserve original spacing of the value
+                            k = a_lo
+                            while k < a_hi and not (tokens[k].is_op("=>")):
+                                k += 1
+                            input_expr = tokens[k + 1:a_hi]
+                        elif key == "PATH" and val and val[0].kind == STRING:
+                            path_lit = val[0].text[1:-1]
+                        elif key == "OUTER" and val and val[0].is_word("TRUE"):
+                            outer = True
+                    elif not input_expr:
+                        input_expr = arg
+                # strip preceding comma (snowflake `, LATERAL FLATTEN`)
+                p = len(out) - 1
+                while p >= 0 and out[p].kind in (WS,):
+                    p -= 1
+                if p >= 0 and out[p].is_op(","):
+                    del out[p]
+                # alias after the closing paren: [AS] name
+                k = next_code(tokens, close + 1)
+                alias = "f"
+                consumed_to = close
+                if k < n and tokens[k].is_word("AS"):
+                    k2 = next_code(tokens, k + 1)
+                    if k2 < n and tokens[k2].kind == WORD:
+                        alias = tokens[k2].text
+                        consumed_to = k2
+                elif k < n and tokens[k].kind == WORD and tokens[k].upper not in (
+                    "WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "HAVING",
+                    "JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "ON", "UNION",
+                    "LATERAL",
+                ):
+                    alias = tokens[k].text
+                    consumed_to = k
+                src = input_expr
+                if path_lit is not None:
+                    src = [_word("get_json_object"), _op("(")] + src + [
+                        _op(","), _sp(), Token(STRING, f"'$.{path_lit}'"), _op(")")]
+                explode = "explode_outer" if outer else "explode"
+                out += [_sp(), _word("LATERAL"), _sp(), _word("VIEW"), _sp(),
+                        _word(explode), _op("(")] + src + [_op(")"), _sp(),
+                        _word(alias), _sp(), _word("AS"), _sp(), _word("value")]
+                i = consumed_to + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T14
+_QUALIFY_STOP = ("ORDER", "LIMIT", "WINDOW", "UNION", "EXCEPT", "INTERSECT", "MINUS")
+
+
+def rewrite_qualify(tokens: Tokens) -> Tokens:
+    """QUALIFY <pred> → wrap the SELECT in a subquery filtering on a
+    computed boolean (Spark 4.1 has no QUALIFY; sqlglot does the same
+    subquery rewrite). Handles QUALIFY at any nesting depth, repeatedly
+    until none remain:
+
+        SELECT <list> FROM … QUALIFY <pred> [ORDER BY …] [LIMIT …]
+        ⇒ SELECT * EXCEPT (__qualify__) FROM (
+              SELECT <list>, (<pred>) AS __qualify__ FROM …
+          ) WHERE __qualify__ [ORDER BY …] [LIMIT …]
+    """
+    changed = True
+    while changed:
+        tokens, changed = _rewrite_one_qualify(tokens)
+    return tokens
+
+
+def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
+    n = len(tokens)
+    depth = 0
+    select_at_depth: dict[int, int] = {}
+    for i in range(n):
+        t = tokens[i]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            select_at_depth.pop(depth, None)
+            depth -= 1
+        elif t.is_word("SELECT"):
+            select_at_depth[depth] = i
+        elif t.is_word("QUALIFY") and depth in select_at_depth:
+            sel_i = select_at_depth[depth]
+            # find end of qualify predicate: next top-level stopper at
+            # this depth, or the paren closing this depth, or EOF
+            d2 = 0
+            end = n
+            for j in range(i + 1, n):
+                tj = tokens[j]
+                if tj.is_op("("):
+                    d2 += 1
+                elif tj.is_op(")"):
+                    if d2 == 0:
+                        end = j
+                        break
+                    d2 -= 1
+                elif d2 == 0 and tj.kind == WORD and tj.upper in _QUALIFY_STOP:
+                    end = j
+                    break
+                elif d2 == 0 and tj.is_op(";"):
+                    end = j
+                    break
+            pred = tokens[i + 1:end]
+            inner = tokens[sel_i:i]  # SELECT … up to QUALIFY
+            # build: SELECT * EXCEPT (__qualify__) FROM ( <inner>,
+            #        (<pred>) AS __qualify__ inserted after select list ) WHERE __qualify__
+            # Insert the qualify column at the end of the select list =
+            # just before FROM at top level of inner.
+            d3 = 0
+            from_i = None
+            for k in range(len(inner)):
+                tk = inner[k]
+                if tk.is_op("("):
+                    d3 += 1
+                elif tk.is_op(")"):
+                    d3 -= 1
+                elif d3 == 0 and tk.is_word("FROM"):
+                    from_i = k
+                    break
+            if from_i is None:
+                # SELECT without FROM + QUALIFY — malformed; leave as-is
+                return tokens, False
+            new_inner = (
+                inner[:from_i]
+                + [_op(","), _sp(), _op("(")] + pred + [_op(")"), _sp(),
+                   _word("AS"), _sp(), _word("__qualify__"), _sp()]
+                + inner[from_i:]
+            )
+            replacement = (
+                [_word("SELECT"), _sp(), _op("*"), _sp(), _word("EXCEPT"),
+                 _sp(), _op("("), _word("__qualify__"), _op(")"), _sp(),
+                 _word("FROM"), _sp(), _op("(")]
+                + new_inner
+                + [_op(")"), _sp(), _word("WHERE"), _sp(), _word("__qualify__"), _sp()]
+            )
+            new_tokens = tokens[:sel_i] + replacement + tokens[end:]
+            return new_tokens, True
+    return tokens, False
+
+
+# ------------------------------------------------------------------- T15
+_DATE_UNIT_FUNCS = ("DATEADD", "DATEDIFF", "TIMESTAMPADD", "TIMESTAMPDIFF", "DATE_ADD", "TIME_SLICE", "LAST_DAY")
+_UNIT_ALIASES = {
+    "'DAY'": "DAY", "'DAYS'": "DAY", "'D'": "DAY", "'DD'": "DAY",
+    "'WEEK'": "WEEK", "'W'": "WEEK", "'WK'": "WEEK",
+    "'MONTH'": "MONTH", "'MONTHS'": "MONTH", "'MON'": "MONTH", "'MM'": "MONTH",
+    "'QUARTER'": "QUARTER", "'Q'": "QUARTER",
+    "'YEAR'": "YEAR", "'YEARS'": "YEAR", "'Y'": "YEAR", "'YY'": "YEAR", "'YYYY'": "YEAR",
+    "'HOUR'": "HOUR", "'H'": "HOUR", "'HH'": "HOUR",
+    "'MINUTE'": "MINUTE", "'MI'": "MINUTE", "'MIN'": "MINUTE",
+    "'SECOND'": "SECOND", "'S'": "SECOND", "'SEC'": "SECOND",
+}
+
+
+def rewrite_date_units(tokens: Tokens) -> Tokens:
+    """DATEADD('month', …) → DATEADD(MONTH, …): Spark's 3-arg
+    dateadd/datediff (native, verified) want a bare unit keyword while
+    Snowflake also allows a quoted string (ref transpiler.py:372-376
+    delegates to sqlglot which does this normalization)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in _DATE_UNIT_FUNCS and _is_call(tokens, i, t.upper):
+            op_i = next_code(tokens, i + 1)
+            first = next_code(tokens, op_i + 1)
+            if first < n and tokens[first].kind == STRING:
+                unit = _UNIT_ALIASES.get(tokens[first].upper)
+                if unit:
+                    out.append(t)
+                    out += tokens[i + 1:first]
+                    out.append(_word(unit))
+                    i = first + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- T16
+def rewrite_json_path(tokens: Tokens) -> Tokens:
+    """`col:field.sub` / `col:field::type` → get_json_object (+ CAST).
+
+    Matches WORD ':' WORD([.WORD|['idx']]*) where the colon is not part
+    of '::' and not inside an hour-literal context. The reference keeps
+    these on the cloud venue (`auto_router.py:360-364`) but the
+    transpiler delegates to sqlglot (`transpiler.py:378-383`); our
+    engine supports them directly on the JSON-string model.
+    """
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        # candidate: identifier (possibly dotted chain ends here) ':' identifier
+        if (
+            t.is_op(":")
+            and out
+            and i + 1 < n
+        ):
+            p = prev_code(out, len(out) - 1)
+            j = next_code(tokens, i + 1)
+            if (
+                p >= 0
+                and out[p].kind in (WORD,)
+                and not _is_keyword(out[p].upper)
+                and j < n
+                and tokens[j].kind in (WORD,)
+            ):
+                # collect base: dotted identifier chain already in `out`
+                base_lo = p
+                while base_lo - 2 >= 0 and out[base_lo - 1].is_op(".") and out[base_lo - 2].kind == WORD:
+                    base_lo -= 2
+                base = out[base_lo:p + 1]
+                # collect path: WORD (.WORD | [n])*
+                path_parts = [tokens[j].text]
+                k = j + 1
+                while k < n:
+                    k2 = next_code(tokens, k)
+                    if k2 < n and tokens[k2].is_op(".") :
+                        k3 = next_code(tokens, k2 + 1)
+                        if k3 < n and tokens[k3].kind == WORD:
+                            path_parts.append(tokens[k3].text)
+                            k = k3 + 1
+                            continue
+                    if k2 < n and tokens[k2].is_op("["):
+                        close_b = k2
+                        while close_b < n and not tokens[close_b].is_op("]"):
+                            close_b += 1
+                        idx_toks = [x for x in tokens[k2 + 1:close_b] if x.kind not in (WS,)]
+                        if len(idx_toks) == 1:
+                            path_parts[-1] = path_parts[-1] + f"[{idx_toks[0].text.strip(chr(39))}]"
+                        k = close_b + 1
+                        continue
+                    break
+                path = "$." + ".".join(path_parts)
+                del out[base_lo:]
+                out += [_word("get_json_object"), _op("(")] + base + [
+                    _op(","), _sp(), Token(STRING, f"'{path}'"), _op(")")]
+                i = k
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "HAVING", "LIMIT",
+    "JOIN", "ON", "AND", "OR", "NOT", "IN", "AS", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "UNION", "ALL", "DISTINCT", "WITH", "OVER", "PARTITION",
+    "BETWEEN", "LIKE", "IS", "NULL", "TRUE", "FALSE", "THEN", "ELSE",
+}
+
+
+def _is_keyword(u: str) -> bool:
+    return u in _KEYWORDS
+
+
+# ------------------------------------------------------------------- T18
+BLACKLISTED_PATTERNS = (
+    # ref transpiler.py:398-433 (set at 406-419)
+    "SNOWFLAKE.CORTEX",
+    "ML.PREDICT",
+    "ML.EXPLAIN",
+    "ML.EVALUATE",
+    "ML.TRAINING_INFO",
+    "PARSE_XML",
+    "XMLGET",
+    "GET_DDL",
+    "SYSTEM$",
+)
+
+
+def detect_blacklisted_functions(sql: str) -> list[str]:
+    """Find cloud-only function references (ref transpiler.py:398-433).
+    With no second engine to route to, callers raise UnsupportedFunction."""
+    toks = tokenize(sql)
+    found: list[str] = []
+    for i, t in enumerate(toks):
+        if t.kind != WORD:
+            continue
+        u = t.upper
+        if u.startswith("SYSTEM$"):
+            found.append(t.text)
+            continue
+        j = next_code(toks, i + 1)
+        if j < len(toks) and toks[j].is_op("."):
+            k = next_code(toks, j + 1)
+            if k < len(toks) and toks[k].kind == WORD:
+                dotted = f"{u}.{toks[k].upper}"
+                for pat in BLACKLISTED_PATTERNS:
+                    if dotted.startswith(pat) or pat.startswith(dotted + "."):
+                        if pat in (dotted,) or dotted == pat or pat.startswith(dotted):
+                            found.append(dotted)
+        for pat in ("PARSE_XML", "XMLGET", "GET_DDL"):
+            if u == pat:
+                found.append(u)
+    # SNOWFLAKE.CORTEX.X shows as SNOWFLAKE.CORTEX prefix via 2-part scan
+    return sorted(set(found))
+
+
+# ------------------------------------------------------------- pipeline
+PIPELINE = (
+    rewrite_variant_casts,     # before json_path so ::VARIANT is gone
+    rewrite_try_to,
+    rewrite_object_construct,
+    rewrite_variant_funcs,
+    rewrite_array_construct,
+    rewrite_simple_renames,
+    _fixup_placeholders,
+    rewrite_date_units,
+    rewrite_flatten,
+    rewrite_json_path,
+    rewrite_qualify,
+)

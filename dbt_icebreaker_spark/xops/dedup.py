@@ -1,0 +1,236 @@
+"""Deduplication operators (SURVEY §2.6 X1) — designed for 100 TB.
+
+All hashing is md5-based (hex-string min instead of integer min) so
+every step is reproducible in ANSI SQL for the DuckDB oracle — and
+md5-as-string preserves uniformity, so lexicographic min is a valid
+MinHash permutation surrogate.
+
+Scale design notes:
+- shingling explodes O(tokens) rows but immediately re-aggregates per
+  (doc, seed) with map-side partial min — shuffle carries only
+  n_docs × n_hashes rows.
+- LSH banding turns all-pairs O(n²) into a self-join on band keys;
+  band-key groups are the only quadratic site and AQE skew-split
+  handles hot buckets.
+- exact dedup is one hash-aggregate, no join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    smallest id kept (hash-groupBy; single shuffle on the 128-bit md5,
+    no skew at any scale)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", "text_hash")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-grams per document: (id, shingle). JVM-side only
+    (split/sequence/transform), no Python UDF."""
+    words = F.split(F.col(text_col), " ")
+    # 1-based start positions; guard size >= k because Spark's
+    # sequence(1, 0) counts DOWN (would yield bogus indices)
+    shingles = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)]),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    md5(i || ':' || shingle), i in [0, n_hashes). Output:
+    (id, sig_0..sig_{n-1}) — one wide row per doc.
+
+    The per-(doc,seed) min computes partially map-side; the shuffle
+    carries n_docs×n_hashes tiny rows regardless of corpus size."""
+    sh = word_shingles(df, id_col, text_col, k=shingle_k)
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        id_col,
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    sig = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
+    return sig.groupBy(id_col).pivot("seed", list(range(n_hashes))).agg(F.first("minh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any
+    band (md5 of r=n_hashes/bands consecutive signature values) become
+    a candidate pair. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(str(b * r + j)) for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.lit(b), *cols)).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").cast("long").alias("doc_a"),
+            F.col(f"b.{id_col}").cast("long").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per doc from word unigrams.
+
+    Bit b of the fingerprint: over distinct words w, let v(w) be the
+    integer value of hex digit (b div 4) of md5(w) and bit(w,b) =
+    (v >> (b mod 4)) & 1; fingerprint bit = 1 iff sum(2*bit-1) > 0.
+    Output: (id, simhash) with the fingerprint as a {bits}-char
+    bit-string (portable across engines — no 64-bit int overflow games).
+    All arithmetic is integer → exactly reproducible in the oracle.
+    """
+    words = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .withColumn("h", F.md5(F.col("w")))
+    )
+    # value of hex digit i (0-based) of h: instr('0123..f', substr(h,i+1,1)) - 1
+    bit_exprs = []
+    for b in range(bits):
+        hex_i = b // 4
+        bit_k = b % 4
+        v = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), hex_i + 1, 1)) - 1
+        bit = F.shiftrightunsigned(v.cast("int"), bit_k) % 2
+        bit_exprs.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    sums = words.groupBy(id_col).agg(*bit_exprs)
+    fp = F.concat(*[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(bits)])
+    return sums.select(F.col(id_col).cast("long").alias("doc_id"), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with
+    |A∩B| / |A∪B| ≥ threshold. Candidate generation via the inverted
+    shingle index (docs sharing ≥1 shingle), so disjoint docs never
+    pair — still worst-case quadratic for near-identical corpora; use
+    minhash_lsh_pairs as the prefilter at scale.
+    Output: (doc_a, doc_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
+        )
+    )
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.35, max_id: int | None = None
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Brute-force all-pairs via self-join (correct baseline; the
+    LSH-bucketed scale path lives in similarity.random_hyperplane_lsh).
+    Dot products run JVM-side with zip_with/aggregate in double —
+    deterministic left-to-right summation, oracle-reproducible.
+    """
+    base = df
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    v = base.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    v = v.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").cast("long").alias("vec_a"),
+            F.col("b.vid").cast("long").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

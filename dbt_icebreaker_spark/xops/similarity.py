@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (SURVEY §2.6 X2).
+
+Baseline: brute-force cosine top-k (exact; the oracle path).
+Scale path: random-hyperplane LSH bucketing — candidates only within
+matching buckets, then exact re-rank. At 100 TB the bucketed join
+replaces the broadcast cross-join; bucket count scales with corpus
+size so per-bucket work stays bounded.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double_vec(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    v = df.select(
+        F.col(id_col).alias(out_id),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(f"{out_id}_vec"),
+    )
+    return v.withColumn(
+        f"{out_id}_norm",
+        F.sqrt(
+            F.aggregate(
+                F.col(f"{out_id}_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    queries is small ⇒ broadcast it; the corpus streams through one
+    stage (no shuffle until the per-query top-k, which AQE keeps tiny
+    because only k rows per query survive the window filter's
+    partial-rank pushdown). Output: (query_id, neighbor_id, cosine,
+    rank), ties broken by neighbor_id.
+    """
+    q = _as_double_vec(queries, id_col, vec_col, "query_id")
+    c = _as_double_vec(corpus, id_col, vec_col, "neighbor_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("query_id_vec"), F.col("neighbor_id_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            "cosine",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of dot products
+    with n_planes fixed pseudo-random hyperplanes.
+
+    Planes are derived deterministically from (seed, plane, coord) via
+    a splitmix-style integer mix — no RNG state, so executors
+    regenerate them identically and the operator stays reproducible
+    across runs/retries (needed for incremental re-indexing).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        planes_lit.alias("planes"),
+    )
+    bits = F.transform(
+        F.col("planes"),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("vec"), p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return v.select(
+        F.col(id_col), F.array_join(bits, "").alias("bucket"), F.col("vec")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the
+    query, then exact cosine re-rank. Recall < 1.0 by construction —
+    this is the 1000-executor path where brute force is infeasible;
+    multi-probe (flip one bit) widens recall."""
+    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim, seed)
+    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim, seed)
+    qb = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col("vec").alias("qvec"),
+    )
+    cb = cb.select(
+        F.col(id_col).alias("neighbor_id"), F.col("bucket"), F.col("vec").alias("cvec")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qnorm = F.sqrt(F.aggregate(F.col("qvec"), F.lit(0.0), lambda a, x: a + x * x))
+    cnorm = F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        cb.join(F.broadcast(qb), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (qnorm * cnorm)).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            "cosine",
+            F.col("rank").cast("int"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators (SURVEY §2.6 X3) — all JVM-side built-in
+functions (split/regexp/aggregate), no Python UDFs in the hot path, so
+whole-stage codegen covers the full pipeline and the operators scale
+linearly with input splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "les"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "den"),
+}
+
+_TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+"  # BPE-ish: letter runs / digit runs
+
+
+def _words(text_col):
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: highest stopword-hit ratio wins; below
+    2% coverage → 'unknown'. Output (id, lang_pred, best_ratio)."""
+    words = _words(F.lower(F.col(text_col)))
+    n = F.size(words)
+    ratios = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*sw))) / F.greatest(n, F.lit(1))
+        for lang, sw in STOPWORDS.items()
+    }
+    best_ratio = F.greatest(*ratios.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(ratios)):  # earlier langs win ties
+        pred = F.when(ratios[lang] == best_ratio, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_ratio >= 0.02, pred).otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best_ratio.cast("double").alias("best_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document quality heuristics: length, mean word length,
+    punctuation ratio, stopword ratio, alnum ratio, and a composite
+    score in [0,1]. Mirrors common LLM-corpus filters (C4/Gopher
+    rules)."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    mean_wlen = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    sw = STOPWORDS["en"]
+    stop_ratio = F.size(
+        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w.isin(*sw))
+    ) / F.greatest(n_words, F.lit(1))
+    alnum_ratio = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars_m"),
+        mean_wlen.cast("double").alias("mean_word_len"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        stop_ratio.cast("double").alias("stopword_ratio"),
+        alnum_ratio.cast("double").alias("alnum_ratio"),
+        score.cast("double").alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter/digit runs), distinct whitespace tokens, chars/token."""
+    t = F.col(text_col)
+    ws_tokens = _words(t)
+    bpe_tokens = F.regexp_extract_all(t, F.lit(_TOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(ws_tokens).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_tokens).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(ws_tokens)).cast("long").alias("n_distinct_tokens"),
+        (F.length(t) / F.greatest(F.size(ws_tokens), F.lit(1)))
+        .cast("double")
+        .alias("chars_per_token"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (lowercase,
+    collapsed whitespace) plus a 64-bit-style short key (first 16 hex
+    chars) for bucketing — the rolling-hash analog built from sorted
+    distinct words so token order doesn't break near-identical docs."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    sorted_words = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        F.substring(F.md5(norm), 1, 16).alias("short_key"),
+        F.md5(sorted_words).alias("bag_md5"),
+    )
