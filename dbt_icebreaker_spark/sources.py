@@ -61,13 +61,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_registered: dict[tuple[int, str], str] = {}
+
+
 def register_dir(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every parquet table under sf_dir as a temp view (S1:
-    ref source_cache.py:389-426 registers DuckDB views the same way)."""
+    ref source_cache.py:389-426 registers DuckDB views the same way).
+
+    Idempotent per (session, dir): re-registration re-reads 10 parquet
+    footers and re-runs analysis (~0.5 s) — cached away since corpus
+    queries call this per query."""
+    key = (id(spark), ",".join(tables))
+    if _registered.get(key) == sf_dir:
+        return
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             read_parquet(spark, path).createOrReplaceTempView(name)
+    _registered[key] = sf_dir
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

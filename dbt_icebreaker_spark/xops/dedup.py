@@ -35,23 +35,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-grams per document: (id, shingle). JVM-side only
-    (split/sequence/transform), no Python UDF."""
-    words = F.split(F.col(text_col), " ")
+def shingle_array(text_col, k: int):
+    """Column expr: DISTINCT word k-gram array for one document —
+    dedup happens per-row with array_distinct, so shingling needs NO
+    shuffle (vs explode+distinct, which shuffles every shingle
+    instance)."""
+    words = F.split(text_col, " ")
     # 1-based start positions; guard size >= k because Spark's
     # sequence(1, 0) counts DOWN (would yield bogus indices)
-    shingles = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)]),
-        ),
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(k)]
+                ),
+            ),
+        )
     )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-grams per document: (id, shingle). JVM-side only
+    (split/sequence/transform), no Python UDF.
+
+    The input is repartitioned to full parallelism first: document
+    corpora often arrive as few large files (here: one), and the
+    CPU-heavy shingle fan-out would otherwise run on as many cores as
+    there are input splits. The text shuffle is cheap relative to the
+    downstream hashing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col), F.explode(shingle_array(F.col(text_col), k)).alias("shingle")
+        )
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -60,22 +80,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
     md5(i || ':' || shingle), i in [0, n_hashes). Output:
-    (id, sig_0..sig_{n-1}) — one wide row per doc.
+    (id, "0".."{n-1}") — one wide row per doc.
 
-    The per-(doc,seed) min computes partially map-side; the shuffle
-    carries n_docs×n_hashes tiny rows regardless of corpus size."""
+    Shape notes: explode + groupBy rather than 8 array_min
+    projections over a shared shingle-array column — Catalyst's
+    projection collapse would inline (= recompute) the shingling into
+    every signature expression; the explode materializes each shingle
+    exactly once, and the n mins run as parallel partial aggregates
+    map-side, so the groupBy shuffle carries only n_docs rows."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-    )
-    sig = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
-    return sig.groupBy(id_col).pivot("seed", list(range(n_hashes))).agg(F.first("minh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(str(i))
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -92,32 +110,44 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(str(b * r + j)) for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
+    # one explode instead of a bands-way union: the signature subtree
+    # is computed once, not `bands` times
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", F.lit(b), *cols)).alias("band_key"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(b), *[F.col(str(b * r + j)) for j in range(r)]
+                    )
+                ).alias("band_key"),
             )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b = banded.alias("b")
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    # group-collect instead of self-join: the signature subtree is
+    # evaluated ONCE (a self-join would recompute it per side), and
+    # in-bucket pair generation is a double explode of the (small)
+    # bucket member list. Degenerate hot buckets are the quadratic
+    # risk at scale — bound them if needed by salting or capping
+    # bucket size; AQE splits the skewed explode output.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.select(F.posexplode("ids").alias("pos", "doc_a"), F.col("ids"))
         .select(
-            F.col(f"a.{id_col}").cast("long").alias("doc_a"),
-            F.col(f"b.{id_col}").cast("long").alias("doc_b"),
+            F.col("doc_a"),
+            F.explode(F.slice(F.col("ids"), F.col("pos") + 2, F.size("ids"))).alias(
+                "doc_b"
+            ),
         )
+        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
         .distinct()
     )
     return pairs
