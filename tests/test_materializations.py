@@ -1,0 +1,249 @@
+"""Materialization golden tests (SURVEY §5.2 item 3): incremental
+(3 strategies) and snapshot over consecutive batches, compared to a
+straight-SQL recomputation in DuckDB."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_icebreaker_spark import IcebreakerEngine
+from dbt_icebreaker_spark.materializations.ddl import generate_schema_name
+from dbt_icebreaker_spark.sources import register_dir
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    register_dir(spark, SF)
+    return IcebreakerEngine(spark, schema="mat_test")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("orders", "events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+class TestTableView:
+    def test_table(self, spark, engine):
+        r = engine.run_model(
+            "t_table", "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+        )
+        con = _duck()
+        expected = con.execute(
+            "SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000"
+        ).fetchone()[0]
+        assert r.rows == expected
+
+    def test_table_overwrites(self, spark, engine):
+        engine.run_model("t_ovr", "SELECT 1 AS a")
+        engine.run_model("t_ovr", "SELECT 2 AS a UNION ALL SELECT 3")
+        assert spark.table("mat_test.t_ovr").count() == 2
+
+    def test_view_reflects_underlying(self, spark, engine):
+        engine.run_model("t_base", "SELECT 1 AS a")
+        engine.run_model("t_view", "SELECT a + 1 AS b FROM mat_test.t_base", "view")
+        assert spark.table("mat_test.t_view").collect()[0].b == 2
+        engine.run_model("t_base", "SELECT 10 AS a")
+        assert spark.table("mat_test.t_view").collect()[0].b == 11
+
+
+class TestIncremental:
+    """Strategies vs DuckDB recomputation (ref incremental.sql)."""
+
+    def test_append(self, spark, engine):
+        b1 = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 100"
+        b2 = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200"
+        engine.run_model("inc_app", b1, "incremental", incremental_strategy="append", full_refresh=True)
+        engine.run_model("inc_app", b2, "incremental", incremental_strategy="append")
+        con = _duck()
+        expected = con.execute(
+            "SELECT COUNT(*) FROM orders WHERE o_orderkey < 200"
+        ).fetchone()[0]
+        assert spark.table("mat_test.inc_app").count() == expected
+
+    def test_merge_upserts(self, spark, engine):
+        # batch2 overlaps batch1 on keys → union of keys, batch2 wins
+        b1 = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 150"
+        b2 = "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 250"
+        engine.run_model("inc_mrg", b1, "incremental", unique_key="o_orderkey", full_refresh=True)
+        engine.run_model("inc_mrg", b2, "incremental", unique_key="o_orderkey")
+        con = _duck()
+        # golden: DELETE matching + INSERT ALL == anti ∪ batch2
+        golden = con.execute(
+            """
+            WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 150),
+                 b2 AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+                        WHERE o_orderkey >= 100 AND o_orderkey < 250)
+            SELECT * FROM b2
+            UNION ALL
+            SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+            ORDER BY o_orderkey
+            """
+        ).fetchall()
+        actual = sorted(
+            (r.o_orderkey, r.o_totalprice)
+            for r in spark.table("mat_test.inc_mrg").collect()
+        )
+        assert actual == [tuple(g) for g in golden]
+
+    def test_merge_multi_key(self, spark, engine):
+        # unique_key as list (ref incremental.sql:27-34)
+        b1 = "SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE event_id < 500 GROUP BY 1, 2"
+        b2 = "SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE event_id < 800 GROUP BY 1, 2"
+        engine.run_model("inc_mk", b1, "incremental", unique_key=["user_id", "event_type"], full_refresh=True)
+        engine.run_model("inc_mk", b2, "incremental", unique_key=["user_id", "event_type"])
+        con = _duck()
+        golden = con.execute(
+            """
+            WITH b1 AS (SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE event_id < 500 GROUP BY 1, 2),
+                 b2 AS (SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE event_id < 800 GROUP BY 1, 2)
+            SELECT * FROM b2
+            UNION ALL
+            SELECT b1.* FROM b1 ANTI JOIN b2 USING (user_id, event_type)
+            """
+        ).fetchall()
+        actual = spark.table("mat_test.inc_mk").collect()
+        assert sorted(map(tuple, actual)) == sorted(map(tuple, golden))
+
+    def test_delete_insert_by_partition(self, spark, engine):
+        b1 = "SELECT event_type, user_id, value FROM events WHERE event_id < 500"
+        b2 = "SELECT event_type, user_id, value * 10 AS value FROM events WHERE event_id >= 500 AND event_id < 600 AND event_type = 'click'"
+        engine.run_model("inc_di", b1, "incremental", partition_by="event_type",
+                         incremental_strategy="delete+insert", full_refresh=True)
+        engine.run_model("inc_di", b2, "incremental", partition_by="event_type",
+                         incremental_strategy="delete+insert")
+        con = _duck()
+        golden_n = con.execute(
+            """
+            WITH b1 AS (SELECT event_type, user_id, value FROM events WHERE event_id < 500),
+                 b2 AS (SELECT event_type, user_id, value * 10 AS value FROM events
+                        WHERE event_id >= 500 AND event_id < 600 AND event_type = 'click')
+            SELECT COUNT(*) FROM (
+              SELECT * FROM b2
+              UNION ALL
+              SELECT * FROM b1 WHERE event_type NOT IN (SELECT DISTINCT event_type FROM b2)
+            )
+            """
+        ).fetchone()[0]
+        assert spark.table("mat_test.inc_di").count() == golden_n
+
+
+class TestSnapshot:
+    def test_scd2_lifecycle(self, spark, engine):
+        t1 = datetime.datetime(2026, 1, 1)
+        t2 = datetime.datetime(2026, 1, 2)
+        src1 = "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 30"
+        # 10 changed, 5 new, rest unchanged
+        src2 = """
+            SELECT c_custkey,
+                   IFF(c_custkey < 10, c_acctbal + 50, c_acctbal) AS c_acctbal
+            FROM customer WHERE c_custkey < 35
+        """
+        engine.spark.sql("DROP TABLE IF EXISTS mat_test.snap")
+        engine.run_snapshot("snap", src1, unique_key="c_custkey",
+                            strategy="check", check_cols=["c_acctbal"], now=t1)
+        tbl = spark.table("mat_test.snap")
+        assert tbl.count() == 30
+        assert tbl.filter("dbt_valid_to IS NULL").count() == 30
+
+        engine.run_snapshot("snap", src2, unique_key="c_custkey",
+                            strategy="check", check_cols=["c_acctbal"], now=t2)
+        tbl = spark.table("mat_test.snap")
+        # 30 original + 10 new versions + 5 new keys = 45 rows
+        assert tbl.count() == 45
+        current = tbl.filter("dbt_valid_to IS NULL")
+        assert current.count() == 35
+        closed = tbl.filter("dbt_valid_to IS NOT NULL")
+        assert closed.count() == 10
+        # closed rows carry staging's valid_from as valid_to (snapshot.sql:163-172)
+        assert set(r.dbt_valid_to for r in closed.collect()) == {t2}
+        # changed rows' current version has the bumped balance
+        bumped = current.filter("c_custkey < 10").collect()
+        orig = {
+            r.c_custkey: r.c_acctbal
+            for r in spark.sql(
+                "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 10"
+            ).collect()
+        }
+        for r in bumped:
+            assert abs(r.c_acctbal - (orig[r.c_custkey] + 50)) < 1e-9
+
+    def test_timestamp_strategy_scd_id_is_md5(self, spark, engine):
+        engine.spark.sql("DROP TABLE IF EXISTS mat_test.snap_ts")
+        engine.run_snapshot(
+            "snap_ts",
+            "SELECT user_id, event_type, ts AS updated_at FROM events WHERE event_id < 20",
+            unique_key=["user_id", "event_type"],
+            strategy="timestamp",
+            updated_at="updated_at",
+        )
+        row = spark.table("mat_test.snap_ts").limit(1).collect()[0]
+        # md5 parity (snapshot.sql:99-107) — recompute in DuckDB
+        con = duckdb.connect()
+        expected = con.execute(
+            "SELECT md5(concat_ws('-', ?, ?, ?))",
+            [str(row.user_id), row.event_type, str(row.updated_at)],
+        ).fetchone()[0]
+        assert row.dbt_scd_id == expected
+
+    def test_hard_delete_invalidation(self, spark, engine):
+        t1 = datetime.datetime(2026, 2, 1)
+        t2 = datetime.datetime(2026, 2, 2)
+        engine.spark.sql("DROP TABLE IF EXISTS mat_test.snap_hd")
+        engine.run_snapshot("snap_hd", "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 20",
+                            unique_key="c_custkey", strategy="check", now=t1)
+        engine.run_snapshot("snap_hd", "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 10",
+                            unique_key="c_custkey", strategy="check",
+                            invalidate_hard_deletes=True, now=t2)
+        tbl = spark.table("mat_test.snap_hd")
+        # keys 10-19 vanished → closed at t2 (snapshot.sql:193-207)
+        gone = tbl.filter("c_custkey >= 10")
+        assert gone.count() == 10
+        assert all(r.dbt_valid_to == t2 for r in gone.collect())
+        assert tbl.filter("dbt_valid_to IS NULL").count() == 10
+
+
+class TestDdl:
+    def test_schema_name_generation(self):
+        # ref adapters.sql:9-16
+        assert generate_schema_name("analytics") == "analytics"
+        assert generate_schema_name("analytics", "staging") == "analytics_staging"
+
+    def test_rename_and_drop(self, spark, engine):
+        engine.run_model("ddl_a", "SELECT 1 AS x")
+        engine.ddl.rename("mat_test", "ddl_a", "ddl_b")
+        assert engine.ddl.table_exists("mat_test", "ddl_b")
+        assert not engine.ddl.table_exists("mat_test", "ddl_a")
+        engine.ddl.drop_relation("mat_test", "ddl_b")
+        assert not engine.ddl.table_exists("mat_test", "ddl_b")
+
+    def test_truncate(self, spark, engine):
+        engine.run_model("ddl_t", "SELECT 1 AS x UNION ALL SELECT 2")
+        engine.ddl.truncate("mat_test", "ddl_t")
+        assert spark.table("mat_test.ddl_t").count() == 0
+
+    def test_list_columns(self, spark, engine):
+        engine.run_model("ddl_c", "SELECT 1 AS x, 'a' AS y")
+        cols = dict(engine.ddl.list_columns("mat_test", "ddl_c"))
+        assert cols == {"x": "int", "y": "string"}
+
+
+class TestDevSampling:
+    def test_limit_injected(self, spark):
+        eng = IcebreakerEngine(spark, schema="mat_test", dev_mode=True, dev_sample_size=5)
+        r = eng.run_model("dev_sample", "SELECT o_orderkey FROM orders")
+        assert r.rows == 5
+
+    def test_existing_limit_respected(self, spark):
+        eng = IcebreakerEngine(spark, schema="mat_test", dev_mode=True, dev_sample_size=5)
+        r = eng.run_model("dev_lim", "SELECT o_orderkey FROM orders LIMIT 3")
+        assert r.rows == 3

