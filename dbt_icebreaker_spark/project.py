@@ -1,0 +1,135 @@
+"""Multi-model project runner — the dbt-shaped orchestration层.
+
+The reference rides dbt's DAG (materializations invoked per model on
+`threads` workers, default 4 — ref connections.py:75) and reorders
+sync with Kahn (sync_manager.py:417-501). Here the engine owns the
+DAG: models declare `depends_on`, run in Kahn order, parallel within
+a level via a thread pool sharing the one SparkSession (thread-safe,
+mirroring the reference's single shared handle,
+connections.py:1057-1169).
+
+Observability is wired the way the reference's comment-protocol did
+it (R13 — replaced by direct calls, SURVEY §2.5): WAL around each
+model, savings logged per run, session summary at the end.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from .observability.run_summary import RunSummary
+from .observability.savings import SavingsTracker
+from .observability.state import CrashWal
+from .runner import IcebreakerEngine, RunResult
+from .sync import kahn_order
+
+DEFAULT_THREADS = 4  # ref connections.py:75
+
+
+@dataclass
+class ModelDef:
+    name: str
+    sql: str
+    materialization: str = "table"
+    unique_key: str | Sequence[str] | None = None
+    incremental_strategy: str = "merge"
+    partition_by: Optional[str] = None
+    depends_on: list[str] = field(default_factory=list)
+    # snapshot-only
+    strategy: str = "timestamp"
+    updated_at: Optional[str] = "updated_at"
+    check_cols: Optional[Sequence[str]] = None
+
+
+class ProjectRunner:
+    def __init__(
+        self,
+        engine: IcebreakerEngine,
+        threads: int = DEFAULT_THREADS,
+        state_dir: Optional[str] = None,
+    ):
+        self.engine = engine
+        self.threads = threads
+        state_dir = state_dir or os.path.expanduser("~/.spark_icebreaker")
+        self.wal = CrashWal(os.path.join(state_dir, "wal.json"))
+        self.savings = SavingsTracker(os.path.join(state_dir, "savings.db"))
+        self.summary = RunSummary(os.path.join(state_dir, "runs"))
+
+    def _run_one(self, m: ModelDef, full_refresh: bool) -> RunResult:
+        self.wal.pre_execute(m.name)
+        try:
+            if m.materialization == "snapshot":
+                result = self.engine.run_snapshot(
+                    m.name,
+                    m.sql,
+                    unique_key=m.unique_key,
+                    strategy=m.strategy,
+                    updated_at=m.updated_at,
+                    check_cols=m.check_cols,
+                )
+            else:
+                result = self.engine.run_model(
+                    m.name,
+                    m.sql,
+                    materialization=m.materialization,
+                    unique_key=m.unique_key,
+                    incremental_strategy=m.incremental_strategy,
+                    partition_by=m.partition_by,
+                    full_refresh=full_refresh,
+                )
+            self.wal.post_execute(m.name, success=True)
+            saved = self.savings.log_run(m.name, result.duration_s)
+            self.summary.record(
+                m.name, result.materialization, result.duration_s, result.rows, saved
+            )
+            return result
+        except Exception as exc:
+            self.wal.post_execute(m.name, success=False)
+            self.summary.record(m.name, m.materialization, 0.0, -1,
+                                status="error", reason=str(exc)[:500])
+            raise
+
+    def run(self, models: list[ModelDef], full_refresh: bool = False) -> dict:
+        """Kahn-ordered level-parallel execution; a failed model skips
+        its downstream subtree (dbt semantics), independent subtrees
+        continue."""
+        by_name = {m.name: m for m in models}
+        deps = {m.name: [d for d in m.depends_on if d in by_name] for m in models}
+        order = kahn_order(deps)
+
+        # level-ize: a model's level = 1 + max(level of deps)
+        level: dict[str, int] = {}
+        for name in order:
+            level[name] = 1 + max((level[d] for d in deps[name]), default=-1)
+        levels: dict[int, list[str]] = {}
+        for name, lv in level.items():
+            levels.setdefault(lv, []).append(name)
+
+        results: dict[str, RunResult] = {}
+        failed: set[str] = set()
+        for lv in sorted(levels):
+            runnable = [
+                by_name[n]
+                for n in levels[lv]
+                if not any(d in failed or d not in results and deps[n] and d in failed
+                           for d in deps[n])
+                and not (set(deps[n]) & failed)
+            ]
+            skipped = [n for n in levels[lv] if set(deps[n]) & failed]
+            for n in skipped:
+                failed.add(n)
+                self.summary.record(n, by_name[n].materialization, 0.0, -1,
+                                    status="skipped", reason="upstream failed")
+            with ThreadPoolExecutor(max_workers=self.threads) as pool:
+                futures = {m.name: pool.submit(self._run_one, m, full_refresh) for m in runnable}
+                for name, fut in futures.items():
+                    try:
+                        results[name] = fut.result()
+                    except Exception:
+                        failed.add(name)
+        session = self.summary.finish()
+        session["failed"] = sorted(failed)
+        return session

@@ -1,0 +1,218 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming surface (SURVEY §2.4: "Streaming ops —
+None"); its incremental materializations are batch micro-updates.
+These operators are the Spark-idiomatic upgrade path for the same
+use-cases (the `events` fixture is the append-style input):
+
+- ``stream_incremental_append`` — readStream over a parquet/json/csv
+  directory → transform → append sink with checkpoint. With
+  ``Trigger.AvailableNow`` this IS the dbt incremental-append model,
+  but exactly-once: the checkpoint replaces dbt's max-timestamp
+  bookkeeping, and late files are picked up next run without a
+  WHERE ts > (SELECT MAX...) race.
+- ``windowed_counts`` — event-time tumbling window + watermark: the
+  scalable form of `GROUP BY DATE_TRUNC(...)` for unbounded input.
+- ``sessionize`` — applyInPandasWithState custom stateful operator
+  (session windows with inactivity gap), the pattern for operators
+  Spark lacks natively.
+
+Scale notes: all three shuffle only on their keys; state stores are
+per-key (RocksDB-backed on a real cluster via
+spark.sql.streaming.stateStore.providerClass). maxFilesPerTrigger
+bounds micro-batch size for backpressure.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_incremental_append(
+    spark: SparkSession,
+    source_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    schema: Optional[StructType] = None,
+    transform_sql: Optional[str] = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> None:
+    """Streaming incremental-append materialization (M3-append,
+    exactly-once). `transform_sql` is Snowflake-dialect SQL over the
+    stream registered as view `stream_source` (the transpiler runs on
+    it like any model)."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # infer from existing files (dev convenience; production
+        # should pass an explicit schema)
+        static = spark.read.format(fmt).load(source_dir)
+        reader = reader.schema(static.schema)
+    stream = reader.load(source_dir)
+
+    if transform_sql:
+        from ..transpiler import Transpiler
+
+        stream.createOrReplaceTempView("stream_source")
+        stream = spark.sql(Transpiler().to_spark(transform_sql))
+
+    writer = stream.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.toTable(target_table)
+    if available_now:
+        query.awaitTermination()
+    return query
+    # non-availableNow: caller owns the query lifecycle
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: Optional[str] = "value",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark for
+    late data. Works on both streaming and batch DataFrames (same
+    plan — batch ignores the watermark), so the oracle can check the
+    batch rendering."""
+    aggs = [F.count("*").alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).cast("double").alias("total_value"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            *[c for c in ("n", "total_value") if value_col or c == "n"],
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "start TIMESTAMP, last TIMESTAMP, n LONG, total DOUBLE"
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit closed sessions; keep the open one in state. Inactivity
+        gap closes a session (processing-time timeout closes the final
+        one when the stream idles)."""
+        import datetime as dt
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [[user_id, start, last, n, total]],
+                    columns=[f.name for f in SESSION_SCHEMA.fields],
+                )
+            return
+
+        rows = pd.concat(list(batches)).sort_values("ts")
+        closed = []
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last is not None and (ts - last).total_seconds() > gap_seconds:
+                closed.append([user_id, start, last, n, total])
+                start, n, total = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            total += float(value)
+        state.update((start, last, n, total))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def sessionize(
+    events,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator: session windows with an inactivity
+    gap, via applyInPandasWithState (streaming) — the (b)-tier pattern
+    from the build rules for semantics Spark lacks natively. Input
+    needs columns (user_id, ts, value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch rendering of the same session semantics (oracle-checkable
+    and the backfill path): gap-based sessionization via the classic
+    lag/cumsum window idiom — no Python in the loop."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.when(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        > gap_seconds,
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("new_session", gap).withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+        .drop("session_id")
+    )
