@@ -786,6 +786,27 @@ def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rendering of the stateful sessionizer (streaming §2.4
+    upgrade path) — gap-based session windows, oracle-checkable."""
+    from .streaming.pipeline import sessionize_batch
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts", "value")
+    return sessionize_batch(ev, gap_seconds=3600)
+
+
+def _s_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rendering of the watermarked tumbling-window aggregate
+    (same plan streaming uses; batch ignores the watermark)."""
+    from .streaming.pipeline import windowed_counts
+
+    register_dir(spark, sf_dir)
+    return windowed_counts(
+        spark.table("events"), window="1 day", watermark="2 days"
+    )
+
+
 # shared oracle fragments -------------------------------------------
 _SHINGLES_3 = """
     words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1008,6 +1029,37 @@ XOP_ORACLES: dict[str, str | None] = {
     "x11_lsh_topk": None,        # approximate by design
     "x12_multimodal_features": None,  # pandas-UDF plumbing, stub decode
     "x13_llm_sentiment": None,   # pandas-UDF stub endpoint
+    "s01_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(value) AS DOUBLE) AS total_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    "s02_windowed_agg": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(value) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
 }
 
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1024,6 +1076,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_lsh_topk": _x_lsh_topk,
     "x12_multimodal_features": _x_multimodal,
     "x13_llm_sentiment": _x_llm_sentiment,
+    "s01_sessionize": _s_sessionize,
+    "s02_windowed_agg": _s_windowed_agg,
 }
 
 
