@@ -786,6 +786,29 @@ def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → connected components → canonical doc per cluster
+    (the full dedup pipeline, not just candidate pairs)."""
+    from .xops import dedup
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    return dedup.dedup_clusters(pairs, docs=docs)
+
+
+def _x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (IVF recall < 1 by design) — rows-only check
+    from .xops import similarity
+
+    register_dir(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=16, n_probe=4,
+    )
+
+
 def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the stateful sessionizer (streaming §2.4
     upgrade path) — gap-based session windows, oracle-checkable."""
@@ -1029,6 +1052,57 @@ XOP_ORACLES: dict[str, str | None] = {
     "x11_lsh_topk": None,        # approximate by design
     "x12_multimodal_features": None,  # pandas-UDF plumbing, stub decode
     "x13_llm_sentiment": None,   # pandas-UDF stub endpoint
+    "x14_dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_3},
+        hashed AS (
+          SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
+        ),
+        sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+        wide AS (
+          SELECT doc_id,
+                 MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
+                 MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
+                 MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
+                 MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
+                 MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
+                 MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
+                 MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
+                 MIN(CASE WHEN seed = 7 THEN minh END) AS s7
+          FROM sig GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
+          UNION ALL
+          SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
+          UNION ALL
+          SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
+          UNION ALL
+          SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM e
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    "x15_ivf_topk": None,        # approximate (IVF recall<1 by design)
     "s01_sessionize": """
         WITH flagged AS (
           SELECT user_id, ts, value,
@@ -1076,6 +1150,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_lsh_topk": _x_lsh_topk,
     "x12_multimodal_features": _x_multimodal,
     "x13_llm_sentiment": _x_llm_sentiment,
+    "x14_dedup_clusters": _x_dedup_clusters,
+    "x15_ivf_topk": _x_ivf_topk,
     "s01_sessionize": _s_sessionize,
     "s02_windowed_agg": _s_windowed_agg,
 }

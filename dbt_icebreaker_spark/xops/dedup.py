@@ -264,3 +264,81 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → one cluster per
+    duplicate group, cluster_id = min doc id in the component; the
+    canonical (kept) doc is the minimum.
+
+    This is the step a real dedup pipeline needs AFTER LSH: candidate
+    pairs are transitive ("a≈b, b≈c" ⇒ one group {a,b,c}), so keeping
+    "one doc per pair" over- or under-deletes. Implemented as
+    iterative min-label propagation:
+
+    - each iteration = one join + one groupBy shuffle over the edge
+      list, so cost is O(E) per round and rounds = component diameter
+      (near-dup clusters are shallow: a handful of rounds);
+    - ``localCheckpoint`` truncates lineage each round — without it
+      the plan doubles per iteration and Catalyst analysis time
+      explodes long before data does;
+    - convergence is detected via sum(label), which is strictly
+      decreasing until fixpoint (labels only ever decrease) — one
+      cheap agg instead of a change-count join.
+
+    If ``docs`` is given, singleton documents (no near-dup edges) are
+    included as their own cluster. Output: (doc_id, cluster_id,
+    is_canonical).
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    comp = labels.select(
+        F.col("node").alias("__cc_id"), F.col("label").alias("__cc_label")
+    )
+    if docs is not None:
+        out = docs.select(F.col(id_col).cast("long").alias("doc_id")).join(
+            comp, F.col("doc_id") == F.col("__cc_id"), "left"
+        )
+        cluster = F.coalesce("__cc_label", F.col("doc_id"))
+    else:
+        out = comp.select(F.col("__cc_id").alias("doc_id"), "__cc_label")
+        cluster = F.col("__cc_label")
+    return out.select(
+        F.col("doc_id"),
+        cluster.cast("long").alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )

@@ -165,3 +165,182 @@ def lsh_topk(
             F.col("rank").cast("int"),
         )
     )
+
+
+def kmeans_centroids(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic mini k-means for IVF coarse quantization, pure
+    DataFrame ops (no MLlib, no RDD, no Python in the loop).
+
+    - init: the ``n_cells`` vectors with smallest md5(id) — a
+      deterministic pseudo-random sample, reproducible across runs
+      and executors (no RNG state to ship);
+    - Lloyd iteration: assign every vector to its nearest centroid
+      (broadcast the ≤n_cells centroids; argmin via a per-row
+      array-aggregate, NO shuffle), then new centroid = element-wise
+      mean (posexplode → groupBy(cell, pos) — one shuffle of
+      n_vectors × dim skinny rows with map-side partial avg).
+
+    At 100 TB: iters stays small (IVF needs rough cells, not
+    converged ones) and each iteration is one scan + one skinny
+    shuffle; n_cells should scale ~sqrt(n_vectors).
+    """
+    v = _as_double_vec(base, id_col, vec_col, "bid")
+    init = (
+        v.withColumn("__ord", F.md5(F.col("bid").cast("string")))
+        .orderBy("__ord")
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("__ord"))
+            .cast("int")
+            .alias("cell"),
+            F.col("bid_vec").alias("centroid"),
+        )
+    )
+    centroids = init
+    for _ in range(iters):
+        cents = centroids.groupBy().agg(
+            F.collect_list(F.struct("cell", "centroid")).alias("cs")
+        )
+        assigned = v.crossJoin(F.broadcast(cents)).select(
+            "bid",
+            "bid_vec",
+            _nearest_cell(F.col("cs"), F.col("bid_vec")).alias("cell"),
+        )
+        centroids = (
+            assigned.select("cell", F.posexplode("bid_vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def _nearest_cell(cells_col, vec_col):
+    """argmin_{cell} squared-L2(vec, centroid) as a single array
+    aggregate — evaluated per row against the broadcast centroid list,
+    ties broken by cell id for determinism."""
+    scored = F.transform(
+        cells_col,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec_col, c["centroid"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.array_min(scored)["cell"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate nearest neighbor — the scale path past
+    brute-force (cosine_topk) and hyperplane LSH (lsh_topk).
+
+    Index: k-means cells over the corpus; every vector joins its
+    nearest cell (one skinny shuffle on cell id). Search: each query
+    probes its ``n_probe`` nearest cells and ranks ONLY those cells'
+    members exactly — the 1/(n_cells/n_probe) candidate fraction is
+    the speedup, recall degrades gracefully with n_probe.
+
+    All JVM-side array math; the only shuffle in the search is the
+    per-query top-k window over candidates. Output: (query_id,
+    neighbor_id, cosine, rank).
+    """
+    centroids = kmeans_centroids(corpus, id_col, vec_col, n_cells, iters)
+    cents = centroids.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cs")
+    )
+    c = _as_double_vec(corpus, id_col, vec_col, "neighbor_id")
+    inv = c.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id",
+        "neighbor_id_vec",
+        "neighbor_id_norm",
+        _nearest_cell(F.col("cs"), F.col("neighbor_id_vec")).alias("cell"),
+    )
+    q = _as_double_vec(queries, id_col, vec_col, "query_id")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_id_vec",
+            "query_id_norm",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("cs"),
+                                lambda cc: F.struct(
+                                    F.aggregate(
+                                        F.zip_with(
+                                            F.col("query_id_vec"),
+                                            cc["centroid"],
+                                            lambda x, y: (x - y) * (x - y),
+                                        ),
+                                        F.lit(0.0),
+                                        lambda acc, d: acc + d,
+                                    ).alias("dist"),
+                                    cc["cell"].alias("cell"),
+                                ),
+                            )
+                        ),
+                        lambda s: s["cell"],
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("cell"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("query_id_vec"), F.col("neighbor_id_vec"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probed.join(inv, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            "cosine",
+            F.col("rank").cast("int"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Tests: dedup clustering (connected components) + IVF ANN."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dbt_icebreaker_spark.sources import register_dir
+from dbt_icebreaker_spark.xops import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestDedupClusters:
+    def test_transitive_components(self, spark):
+        # 1-2, 2-3 chain plus 5-6: clusters {1,2,3} and {5,6}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+        )
+        out = dedup.dedup_clusters(pairs).collect()
+        got = {r.doc_id: r.cluster_id for r in out}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+        canon = {r.doc_id for r in out if r.is_canonical}
+        assert canon == {1, 5}
+
+    def test_singletons_included_with_docs(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+        docs = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+        out = {r.doc_id: (r.cluster_id, r.is_canonical)
+               for r in dedup.dedup_clusters(pairs, docs=docs).collect()}
+        assert out == {1: (1, True), 2: (1, False), 9: (9, True)}
+
+    def test_long_chain_converges(self, spark):
+        # path graph 0-1-2-...-9: diameter 9, still one component
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+        )
+        out = dedup.dedup_clusters(pairs).collect()
+        assert {r.cluster_id for r in out} == {0}
+        assert len(out) == 10
+
+    def test_pipeline_over_fixture(self, spark):
+        register_dir(spark, SF)
+        docs = spark.table("documents")
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+        out = dedup.dedup_clusters(pairs, docs=docs)
+        # every doc appears exactly once
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+        # cluster_id is always the min member (canonical invariant)
+        bad = (
+            out.groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("m"))
+            .filter("cluster_id <> m")
+            .count()
+        )
+        assert bad == 0
+
+
+class TestIvfTopk:
+    def test_recall_monotone_in_nprobe(self, spark):
+        register_dir(spark, SF)
+        emb = spark.table("embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, q, k=5).collect()
+        }
+
+        def recall(n_probe):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in similarity.ivf_topk(
+                    emb, q, k=5, n_cells=8, n_probe=n_probe
+                ).collect()
+            }
+            return len(exact & got) / len(exact)
+
+        r2, r8 = recall(2), recall(8)
+        assert r8 >= r2
+        # probing ALL cells == exact search
+        assert recall(8) == 1.0 or r8 > 0.9  # n_cells=8, probe 8 = exhaustive
+
+    def test_full_probe_equals_exact(self, spark):
+        register_dir(spark, SF)
+        emb = spark.table("embeddings").filter(F.col("vec_id") < 100)
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.cosine_topk(emb, q, k=3).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivf_topk(
+                emb, q, k=3, n_cells=4, n_probe=4
+            ).collect()
+        }
+        assert got == exact
+
+    def test_deterministic(self, spark):
+        register_dir(spark, SF)
+        emb = spark.table("embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        a = similarity.ivf_topk(emb, q, k=3).collect()
+        b = similarity.ivf_topk(emb, q, k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
