@@ -1,0 +1,133 @@
+"""Physical-plan quality guards (SURVEY §4 — the scale contract).
+
+Correctness tests prove the engine is right at sf0.01; these prove
+the *plans* would survive 100 TB: dimension joins broadcast (no
+sort-merge shuffle of a small side), filters reach the parquet scan
+(PushedFilters), projections prune the scan schema (ReadSchema), and
+aggregation-only queries shuffle exactly once.
+
+A regression here (e.g. a transform rewrite that breaks pushdown by
+wrapping a filter column in an opaque expression) is invisible to the
+oracle tests but catastrophic at scale — hence plan-shape assertions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dbt_icebreaker_spark import queries as corpus
+from dbt_icebreaker_spark.sources import register_dir
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    """Materialize (so AQE finalizes stages), then return the full
+    formatted explain — toString() truncates long schemas."""
+    import contextlib
+    import io
+
+    df.collect()  # count() would execute a different (re-planned) tree
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _final_tree(plan: str) -> str:
+    """The executed (AQE-final) operator tree only — the formatted
+    explain also prints the Initial Plan, which double-counts nodes."""
+    if "== Initial Plan ==" in plan:
+        return plan.split("== Initial Plan ==")[0]
+    return plan.split("\n\n")[0]
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return corpus.queries()
+
+
+class TestJoinStrategy:
+    def test_q03_dims_broadcast(self, spark, qs):
+        plan = _executed_plan(qs["q03_shipping_priority"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q04_five_way_join_all_broadcast(self, spark, qs):
+        plan = _executed_plan(qs["q04_region_volume"](spark, SF_DIR))
+        assert len(re.findall(r"BroadcastHashJoin", _final_tree(plan))) == 5
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q24_not_exists_is_anti_join(self, spark, qs):
+        plan = _executed_plan(qs["q24_not_exists"](spark, SF_DIR))
+        assert "LeftAnti" in plan
+
+
+class TestPushdownPruning:
+    def test_q03_filter_pushed_to_scan(self, spark, qs):
+        plan = _executed_plan(qs["q03_shipping_priority"](spark, SF_DIR))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(f for f in pushed if f.strip()), plan
+
+    def test_q01_scan_pruned_to_needed_columns(self, spark, qs):
+        plan = _executed_plan(qs["q01_pricing_summary"](spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        # 16-column lineitem pruned to the 7 the query touches
+        assert cols == {
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        }
+
+    def test_q30_limit_reaches_scan(self, spark, qs):
+        plan = _executed_plan(qs["q30_limit_sample"](spark, SF_DIR))
+        assert ("TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+                or "CollectLimit" in plan)
+
+
+class TestShuffleBudget:
+    def test_q01_single_shuffle(self, spark, qs):
+        # scan → partial agg → ONE exchange → final agg
+        plan = _executed_plan(qs["q01_pricing_summary"](spark, SF_DIR))
+        assert len(re.findall(r"\bExchange \(\d+\)", _final_tree(plan))) == 1
+
+    def test_q01_partial_aggregation_mapside(self, spark, qs):
+        # map-side combine: HashAggregate appears below AND above the
+        # exchange (partial + final)
+        plan = _executed_plan(qs["q01_pricing_summary"](spark, SF_DIR))
+        assert len(re.findall(r"HashAggregate", _final_tree(plan))) >= 2
+
+    def test_exact_dedup_single_shuffle(self, spark, qs):
+        plan = _executed_plan(qs["x01_dedup_exact"](spark, SF_DIR))
+        assert len(re.findall(r"\bExchange \(\d+\)", _final_tree(plan))) <= 2  # agg + final ordering
+
+
+class TestCodegen:
+    def test_q01_wholestage_codegen(self, spark, qs):
+        plan = _executed_plan(qs["q01_pricing_summary"](spark, SF_DIR))
+        assert "codegen id" in plan  # whole-stage codegen stage markers
+
+    def test_no_python_udf_in_relational_corpus(self, spark, qs):
+        # the whole relational surface must stay JVM-side
+        for name in ("q01_pricing_summary", "q12_json_extract",
+                     "q14_flatten_tokens", "q20_regex", "q21_md5_scd_id"):
+            plan = _executed_plan(qs[name](spark, SF_DIR))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+
+class TestPartitionPruningReadiness:
+    def test_events_date_filter_pushes(self, spark, qs):
+        # date predicates push to parquet stats (row-group pruning
+        # locally; at scale the same predicate prunes hive/iceberg
+        # partitions)
+        register_dir(spark, SF_DIR)
+        df = spark.sql(
+            "SELECT COUNT(*) FROM orders WHERE o_orderdate >= '1997-01-01'"
+        )
+        plan = _executed_plan(df)
+        assert "GreaterThanOrEqual(o_orderdate" in plan
