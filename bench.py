@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "x06_ann_topk",
     "x09_token_stats",
     "x10_fingerprint",
+    "x14_dedup_clusters",
+    "s01_sessionize",
 ]
 
 

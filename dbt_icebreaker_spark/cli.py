@@ -1,8 +1,8 @@
 """CLI (SURVEY R12; ref cli.py:14-199 dispatch, commands 202-715).
 
-Commands: savings / summary / health / explain / cache / run /
-snapshot / verify / version. `explain` is strictly richer than the
-reference's (static advice + Spark's formatted physical plan,
+Commands: savings / summary / sync-status / stats / health / explain
+/ cache / run / verify / version. `explain` is strictly richer than
+the reference's (static advice + Spark's formatted physical plan,
 SURVEY §3.3).
 
 Usage: python -m dbt_icebreaker_spark.cli <command> [...]
@@ -109,6 +109,13 @@ def cmd_run(args) -> int:
     )
     tracker = _savings_tracker()
     saved = tracker.log_run(args.model, result.duration_s)
+    from .observability.run_summary import RunSummary
+
+    summary = RunSummary(os.path.join(STATE_DIR, "runs"))
+    summary.record(
+        result.model, result.materialization, result.duration_s, result.rows, saved
+    )
+    summary.finish()
     print(
         json.dumps(
             {
@@ -134,6 +141,74 @@ def cmd_verify(args) -> int:
     b = spark.table(args.table_b).count()
     print(json.dumps({"table_a": a, "table_b": b, "match": a == b}))
     return 0 if a == b else 1
+
+
+def cmd_summary(args) -> int:
+    """Latest run-session summaries (ref run_summary.py:22-257,
+    cli.py:623-672)."""
+    import glob
+
+    runs = sorted(glob.glob(os.path.join(STATE_DIR, "runs", "*.json")))
+    if not runs:
+        print(json.dumps({"sessions": 0}))
+        return 0
+    latest = json.load(open(runs[-1]))
+    print(json.dumps({"sessions": len(runs), "latest": latest}, indent=2))
+    return 0
+
+
+def cmd_sync_status(args) -> int:
+    """Sync ledger success rate + recent entries (ref
+    sync_manager.py:258-414, cli.py:283-378)."""
+    from .sync import SyncLedger
+
+    ledger = SyncLedger(os.path.join(STATE_DIR, "sync.db"))
+    with ledger._conn() as conn:
+        rows = conn.execute(
+            "SELECT table_name, status, rows, attempts, error, ts "
+            "FROM sync_log ORDER BY ts DESC LIMIT ?",
+            (args.limit,),
+        ).fetchall()
+    print(
+        json.dumps(
+            {
+                "success_rate": ledger.success_rate(),
+                "recent": [
+                    dict(zip(("table", "status", "rows", "attempts", "error", "ts"), r))
+                    for r in rows
+                ],
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Input-volume estimation for a SQL's source tables (ref
+    catalog_scanner.py:51-234, cli.py:547-620) — file-listing based,
+    feeds broadcast-join advice."""
+    from .observability.advisor import Advisor, classify_complexity
+    from .session import get_spark
+
+    sql = args.sql
+    if os.path.exists(sql):
+        sql = open(sql).read()
+    spark = get_spark(app_name="stats")
+    advisor = Advisor(spark)
+    dirs = (args.data_dir,) if args.data_dir else ()
+    sizes = advisor.table_bytes(sql, search_dirs=dirs)
+    print(
+        json.dumps(
+            {
+                "tables": {t: b for t, b in sizes.items()},
+                "total_bytes": sum(sizes.values()),
+                "complexity": classify_complexity(sql),
+            },
+            indent=2,
+        )
+    )
+    return 0
 
 
 def cmd_version(args) -> int:
@@ -182,6 +257,18 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("table_a")
     vp.add_argument("table_b")
     vp.set_defaults(fn=cmd_verify)
+
+    mp = sub.add_parser("summary", help="latest run-session summaries")
+    mp.set_defaults(fn=cmd_summary)
+
+    yp = sub.add_parser("sync-status", help="sync ledger status")
+    yp.add_argument("--limit", type=int, default=10)
+    yp.set_defaults(fn=cmd_sync_status)
+
+    tp = sub.add_parser("stats", help="input volume + complexity for a SQL")
+    tp.add_argument("sql", help="SQL text or file path")
+    tp.add_argument("--data-dir", default=None)
+    tp.set_defaults(fn=cmd_stats)
 
     zp = sub.add_parser("version")
     zp.set_defaults(fn=cmd_version)

@@ -13,6 +13,7 @@ view.sql:5-23, incremental.sql:13-215, snapshot.sql:18-232).
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -76,6 +77,29 @@ class IcebreakerEngine:
         return f"{self.effective_schema}.{name}"
 
     # ------------------------------------------------- materializations
+    def _clear_orphaned_location(self, target: str) -> None:
+        """A managed table's directory can outlive its catalog entry
+        (each CLI invocation is a fresh in-memory metastore over the
+        persistent warehouse dir); `saveAsTable` then fails with
+        LOCATION_ALREADY_EXISTS. If the catalog does NOT know the
+        table but its conventional managed location exists, the dir is
+        orphaned — remove it so CREATE OR REPLACE semantics hold."""
+        import shutil
+        from urllib.parse import urlparse
+
+        if self.spark.catalog.tableExists(target):
+            return  # mode("overwrite") handles a live table itself
+        parts = target.split(".")
+        if len(parts) != 2:
+            return
+        db, tbl = parts
+        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if not wh:
+            return
+        loc = os.path.join(wh, f"{db}.db", tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
     def run_model(
         self,
         name: str,
@@ -99,6 +123,7 @@ class IcebreakerEngine:
 
         if materialization == "table":
             # M1: ref table.sql:72-76 (CREATE OR REPLACE TABLE … AS)
+            self._clear_orphaned_location(target)
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(partition_by)
