@@ -667,6 +667,63 @@ _q(
     """,
 )
 
+# ---- hard-tail combos (SURVEY §7.3: the dialect-fidelity tail) -----
+_q(
+    "q31_nested_object_path",
+    """
+    WITH j AS (
+      SELECT event_id,
+             OBJECT_CONSTRUCT('outer',
+               OBJECT_CONSTRUCT('k', props:k::INT, 'type', event_type)) AS obj
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           obj:outer.k::INT AS k2,
+           obj:outer.type::STRING AS t
+    FROM j
+    """,
+    """
+    WITH j AS (
+      SELECT event_id,
+             json_object('outer',
+               json_object('k', CAST(json_extract_string(props, '$.k') AS INT),
+                           'type', event_type)) AS obj
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           CAST(json_extract_string(obj, '$.outer.k') AS INT) AS k2,
+           json_extract_string(obj, '$.outer.type') AS t
+    FROM j
+    """,
+)
+_q(
+    "q32_qualify_flatten_listagg",
+    """
+    WITH words AS (
+      SELECT d.doc_id, f.value::STRING AS w
+      FROM documents d, LATERAL FLATTEN(input => STRTOK_TO_ARRAY(d.text, ' ')) f
+      WHERE d.doc_id < 50
+    )
+    SELECT w, COUNT(*) AS n,
+           LISTAGG(DISTINCT doc_id, ',') WITHIN GROUP (ORDER BY doc_id) AS docs
+    FROM words
+    GROUP BY w
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) <= 5
+    """,
+    """
+    WITH words AS (
+      SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w
+      FROM documents d
+      WHERE d.doc_id < 50
+    )
+    SELECT w, COUNT(*) AS n,
+           array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS docs
+    FROM words
+    GROUP BY w
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) <= 5
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",

@@ -199,10 +199,33 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
 
 
 # ------------------------------------------------------------------- T6
-def rewrite_object_construct(tokens: Tokens) -> Tokens:
-    """OBJECT_CONSTRUCT('k1',v1,…) → TO_JSON(MAP('k1',v1,…)) (ref
-    transpiler.py:269-280 targets JSON_OBJECT; JSON-string model here).
-    MAP (not named_struct) so duplicate/dynamic keys behave."""
+def _all_keys_literal(inner: Tokens) -> bool:
+    """True when every even-positioned argument (the keys) is a string
+    literal — the NAMED_STRUCT-safe case."""
+    args = split_args(inner, 0, len(inner))
+    if not args or len(args) % 2 != 0:
+        return False
+    for k in range(0, len(args), 2):
+        lo, hi = args[k]
+        codes = [t for t in inner[lo:hi] if t.kind != WS]
+        if len(codes) != 1 or codes[0].kind != STRING:
+            return False
+    return True
+
+
+def rewrite_object_construct(tokens: Tokens, top: bool = True) -> Tokens:
+    """OBJECT_CONSTRUCT('k1',v1,…) → TO_JSON(NAMED_STRUCT('k1',v1,…))
+    (ref transpiler.py:269-280 targets JSON_OBJECT; JSON-string model
+    here).
+
+    NAMED_STRUCT (literal keys — the overwhelmingly common shape)
+    preserves native value types (ints stay unquoted in the JSON) and
+    NESTS: an inner OBJECT_CONSTRUCT becomes a bare NAMED_STRUCT so
+    the single outer TO_JSON serializes a true nested object — with
+    MAP the inner call would double-encode as an escaped string and
+    `obj:outer.k` paths would return NULL. Dynamic keys fall back to
+    MAP (values coerce to a common type); `OBJECT_CONSTRUCT(*)` →
+    TO_JSON(STRUCT(*))."""
     out: Tokens = []
     i = 0
     n = len(tokens)
@@ -211,8 +234,19 @@ def rewrite_object_construct(tokens: Tokens) -> Tokens:
         if t.kind == WORD and t.upper in ("OBJECT_CONSTRUCT", "OBJECT_CONSTRUCT_KEEP_NULL") and _is_call(tokens, i, t.upper):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
-            inner = tokens[op_i + 1:close]
-            out += [_word("TO_JSON"), _op("("), _word("MAP"), _op("(")] + inner + [_op(")"), _op(")")]
+            raw = tokens[op_i + 1:close]
+            inner = rewrite_object_construct(raw, top=False)
+            codes = [x for x in raw if x.kind != WS]
+            if len(codes) == 1 and codes[0].is_op("*"):
+                builder = [_word("STRUCT"), _op("(")] + inner + [_op(")")]
+            elif _all_keys_literal(raw):
+                builder = [_word("NAMED_STRUCT"), _op("(")] + inner + [_op(")")]
+            else:
+                builder = [_word("MAP"), _op("(")] + inner + [_op(")")]
+            if top:
+                out += [_word("TO_JSON"), _op("(")] + builder + [_op(")")]
+            else:
+                out += builder
             i = close + 1
             continue
         out.append(t)
@@ -590,6 +624,95 @@ def _is_keyword(u: str) -> bool:
     return u in _KEYWORDS
 
 
+# ------------------------------------------------------------------- T1
+def rewrite_listagg_distinct(tokens: Tokens) -> Tokens:
+    """LISTAGG(DISTINCT x [, d]) WITHIN GROUP (ORDER BY x [ASC|DESC])
+    → CONCAT_WS(d, TRANSFORM(ARRAY_SORT(COLLECT_SET(x)), v -> CAST(v
+    AS STRING))).
+
+    Spark's native listagg implicitly casts its input to STRING, so
+    with DISTINCT the WITHIN GROUP expression no longer "matches the
+    function input" (INVALID_WITHIN_GROUP_EXPRESSION) whenever x is
+    non-string. The collect_set form also orders by the NATIVE type
+    (10 after 2), matching Snowflake, where a cast-to-string rewrite
+    would sort lexicographically. Only fires when the ORDER BY expr
+    token-matches the DISTINCT input — anything else isn't expressible
+    with DISTINCT in Spark and is left for Spark's own clear error."""
+
+    def norm(ts: Tokens) -> str:
+        return " ".join(t.upper for t in ts if t.kind != WS)
+
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not (t.kind == WORD and t.upper == "LISTAGG" and _is_call(tokens, i, "LISTAGG")):
+            out.append(t)
+            i += 1
+            continue
+        op_i = next_code(tokens, i + 1)
+        close = find_matching_paren(tokens, op_i)
+        inner = [x for x in tokens[op_i + 1:close]]
+        first = next_code(inner, 0)
+        if first >= len(inner) or inner[first].upper != "DISTINCT":
+            out.append(t)
+            i += 1
+            continue
+        # split args at top-level comma
+        depth = 0
+        split = None
+        for j in range(first + 1, len(inner)):
+            x = inner[j]
+            if x.is_op("("):
+                depth += 1
+            elif x.is_op(")"):
+                depth -= 1
+            elif x.is_op(",") and depth == 0:
+                split = j
+                break
+        expr = inner[first + 1:split] if split is not None else inner[first + 1:]
+        delim = inner[split + 1:] if split is not None else [_word("''")]
+        # expect WITHIN GROUP ( ORDER BY <expr> [ASC|DESC] )
+        w = next_code(tokens, close + 1)
+        if not (w < n and tokens[w].kind == WORD and tokens[w].upper == "WITHIN"):
+            out.append(t)
+            i += 1
+            continue
+        g = next_code(tokens, w + 1)
+        p = next_code(tokens, g + 1)  # "("
+        wg_close = find_matching_paren(tokens, p)
+        wg = tokens[p + 1:wg_close]
+        o = next_code(wg, 0)
+        b = next_code(wg, o + 1)
+        order_toks = [x for x in wg[b + 1:] if x.kind != WS]
+        desc = bool(order_toks) and order_toks[-1].upper == "DESC"
+        if order_toks and order_toks[-1].upper in ("ASC", "DESC"):
+            order_toks = order_toks[:-1]
+        if norm(order_toks) != norm(expr):
+            out.append(t)  # not expressible; keep native listagg
+            i += 1
+            continue
+        sorted_arr: Tokens = (
+            [_word("ARRAY_SORT"), _op("("), _word("COLLECT_SET"), _op("(")]
+            + expr
+            + [_op(")"), _op(")")]
+        )
+        if desc:
+            sorted_arr = [_word("REVERSE"), _op("(")] + sorted_arr + [_op(")")]
+        out += (
+            [_word("CONCAT_WS"), _op("(")]
+            + delim
+            + [_op(","), _sp(), _word("TRANSFORM"), _op("(")]
+            + sorted_arr
+            + [_op(","), _sp(), _word("v"), _sp(), _op("->"), _sp(),
+               _word("CAST"), _op("("), _word("v"), _sp(), _word("AS"), _sp(),
+               _word("STRING"), _op(")"), _op(")"), _op(")")]
+        )
+        i = wg_close + 1
+    return out
+
+
 # ------------------------------------------------------------------- T18
 BLACKLISTED_PATTERNS = (
     # ref transpiler.py:398-433 (set at 406-419)
@@ -637,6 +760,7 @@ def detect_blacklisted_functions(sql: str) -> list[str]:
 PIPELINE = (
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,
+    rewrite_listagg_distinct,
     rewrite_object_construct,
     rewrite_variant_funcs,
     rewrite_array_construct,

@@ -68,8 +68,46 @@ class TestSemiStructured:
         assert "VARCHAR(10)" in t.to_spark("SELECT CAST(x AS VARCHAR(10)) FROM t")
 
     def test_object_construct(self):
+        # literal keys → NAMED_STRUCT (native value types, true nesting)
         out = t.to_spark("SELECT OBJECT_CONSTRUCT('k', v, 'j', w) FROM t")
-        assert "TO_JSON(MAP('k', v, 'j', w))" in out
+        assert "TO_JSON(NAMED_STRUCT('k', v, 'j', w))" in out
+
+    def test_object_construct_nested(self):
+        # inner call is a bare struct so the outer TO_JSON serializes a
+        # true nested object (MAP would double-encode it as a string)
+        out = t.to_spark(
+            "SELECT OBJECT_CONSTRUCT('a', OBJECT_CONSTRUCT('b', x)) FROM t"
+        )
+        assert out.count("TO_JSON") == 1
+        assert "NAMED_STRUCT('a', NAMED_STRUCT('b', x))" in out
+
+    def test_object_construct_dynamic_keys_map(self):
+        # non-literal keys can't use NAMED_STRUCT → MAP fallback
+        out = t.to_spark("SELECT OBJECT_CONSTRUCT(key_col, v) FROM t")
+        assert "TO_JSON(MAP(key_col, v))" in out
+
+    def test_object_construct_star(self):
+        out = t.to_spark("SELECT OBJECT_CONSTRUCT(*) FROM t")
+        assert "TO_JSON(STRUCT(*))" in out
+
+    def test_listagg_distinct_within_group(self):
+        # Spark's listagg rejects DISTINCT + WITHIN GROUP on non-string
+        # input (implicit cast breaks the match) → collect_set rewrite
+        # ordered in the NATIVE type
+        out = t.to_spark(
+            "SELECT LISTAGG(DISTINCT doc_id, ',') WITHIN GROUP (ORDER BY doc_id) FROM t"
+        )
+        assert "CONCAT_WS(" in out and "COLLECT_SET" in out and "ARRAY_SORT" in out
+
+    def test_listagg_distinct_desc(self):
+        out = t.to_spark(
+            "SELECT LISTAGG(DISTINCT x, ';') WITHIN GROUP (ORDER BY x DESC) FROM t"
+        )
+        assert "REVERSE(ARRAY_SORT(COLLECT_SET(" in out.replace(" ", "")
+
+    def test_listagg_plain_untouched(self):
+        out = t.to_spark("SELECT LISTAGG(x, ',') FROM t")
+        assert "LISTAGG(x, ',')" in out
 
     def test_parse_json_identity(self):
         out = t.to_spark("SELECT PARSE_JSON(s) FROM t")
