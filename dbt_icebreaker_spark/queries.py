@@ -724,6 +724,48 @@ _q(
     """,
 )
 
+# ---- extended scalar-function surface (beyond the router whitelist:
+# what a Snowflake user actually writes day-to-day) ------------------
+_q(
+    "q33_fn_surface",
+    """
+    SELECT o_orderkey,
+           TO_CHAR(o_orderdate, 'YYYY-MM') AS ym,
+           SPLIT_PART(o_orderpriority, '-', 1) AS prio_num,
+           CHARINDEX('URGENT', o_orderpriority) AS urgent_pos,
+           CAST(SQUARE(o_custkey % 7 + 1) AS DOUBLE) AS sq,
+           LEN(o_orderstatus) AS status_len,
+           DECODE(SPLIT_PART(o_orderpriority, '-', 1), '1', 'top', '2', 'high', 'other') AS prio_class
+    FROM orders WHERE o_orderkey < 200
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS urgent_pos,
+           CAST(POWER(o_custkey % 7 + 1, 2) AS DOUBLE) AS sq,
+           CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+           CASE split_part(o_orderpriority, '-', 1)
+             WHEN '1' THEN 'top' WHEN '2' THEN 'high' ELSE 'other' END AS prio_class
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+_q(
+    "q34_array_agg_within",
+    """
+    SELECT o_custkey,
+           ARRAY_AGG(DISTINCT o_orderpriority) WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+           COUNT(*) AS n
+    FROM orders WHERE o_custkey < 100 GROUP BY 1
+    """,
+    """
+    SELECT o_custkey,
+           list_sort(list_distinct(list(o_orderpriority))) AS prios,
+           COUNT(*) AS n
+    FROM orders WHERE o_custkey < 100 GROUP BY 1
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",

@@ -88,9 +88,46 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "REGEXP_LIKE": "REGEXP_LIKE",
         "TO_CHAR": "TO_CHAR_X",     # placeholder, fixed below
         "TO_VARCHAR": "TO_CHAR_X",
+        "ARRAY_TO_STRING": "ARRAY_JOIN",
+        "UUID_STRING": "UUID",
+        "HLL": "APPROX_COUNT_DISTINCT",   # HLL estimate ≈ approx distinct
+        "GREATEST_IGNORE_NULLS": "GREATEST",  # Spark greatest skips NULLs
+        "LEAST_IGNORE_NULLS": "LEAST",
+        "OBJECT_KEYS": "JSON_OBJECT_KEYS",
+        "SQUARE": "SQUARE_X",       # placeholder → POWER(x, 2)
+        "ARRAY_CONTAINS": "ARRCONT_SWAP",  # snowflake (val, arr) → spark (arr, val)
+        "INSERT": "OVERLAY_X",      # INSERT(b,p,l,r) → OVERLAY(b,r,p,l)
+        "BITAND": "BITOP_AND",
+        "BITOR": "BITOP_OR",
+        "BITXOR": "BITOP_XOR",
+        "TO_DATE": "TO_DATE_X",     # 2-arg needs format translation
+        "TO_TIMESTAMP": "TO_TS_X",
+        "TO_TIMESTAMP_NTZ": "TO_TS_X",
+        "TO_TIMESTAMP_LTZ": "TO_TS_X",
     }
     out = _rename_funcs(tokens, mapping)
     return out
+
+
+# Snowflake → java.time format elements, applied in order (SS before
+# FF3 so the emitted SSS fraction pattern isn't re-lowercased)
+_SNOWFLAKE_FMT = (
+    ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("DY", "EEE"),
+    ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"), ("MI", "mm"),
+    ("SS", "ss"), ("FF3", "SSS"), ("FF", "SSSSSS"), ("AM", "a"),
+    ("PM", "a"),
+)
+
+
+def _convert_fmt_tokens(fmt: Tokens) -> Tokens:
+    conv = list(fmt)
+    for k, ft in enumerate(conv):
+        if ft.kind == STRING:
+            s = ft.text
+            for sf, jf in _SNOWFLAKE_FMT:
+                s = s.replace(sf, jf)
+            conv[k] = Token(STRING, s)
+    return conv
 
 
 def _fixup_placeholders(tokens: Tokens) -> Tokens:
@@ -100,7 +137,11 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
     n = len(tokens)
     while i < n:
         t = tokens[i]
-        if t.kind == WORD and t.text in ("SLICE_0", "INSTR_SWAP", "TO_CHAR_X") and _is_call(tokens, i, t.text):
+        if t.kind == WORD and t.text in (
+            "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
+            "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
+            "TO_DATE_X", "TO_TS_X",
+        ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
             args = split_args(tokens, op_i + 1, close)
@@ -124,20 +165,46 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     # TO_CHAR(x, fmt) → date_format(x, fmt') with common
                     # Snowflake→java format mapping
                     x = tokens[args[0][0]:args[0][1]]
-                    fmt = tokens[args[1][0]:args[1][1]]
-                    conv = list(fmt)
-                    for k, ft in enumerate(conv):
-                        if ft.kind == STRING:
-                            s = ft.text
-                            s = s.replace("YYYY", "yyyy").replace("MM", "MM")
-                            s = s.replace("DD", "dd").replace("HH24", "HH")
-                            s = s.replace("HH12", "hh").replace("MI", "mm")
-                            s = s.replace("SS", "ss")
-                            conv[k] = Token(STRING, s)
+                    conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
                     out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
+            elif t.text == "SQUARE_X" and len(args) == 1:
+                x = tokens[args[0][0]:args[0][1]]
+                out += [_word("POWER"), _op("(")] + x + [_op(","), _sp(), _word("2"), _op(")")]
+            elif t.text == "ARRCONT_SWAP" and len(args) == 2:
+                # Snowflake ARRAY_CONTAINS(value, array) → spark (array, value)
+                val = tokens[args[0][0]:args[0][1]]
+                arr = tokens[args[1][0]:args[1][1]]
+                out += [_word("array_contains"), _op("(")] + arr + [_op(","), _sp()] + val + [_op(")")]
+            elif t.text == "OVERLAY_X" and len(args) == 4:
+                # INSERT(base, pos, len, repl) → OVERLAY(base, repl, pos, len)
+                b, p_, l, r = (tokens[a:b2] for a, b2 in args)
+                out += ([_word("overlay"), _op("(")] + b + [_op(","), _sp()] + r
+                        + [_op(","), _sp()] + p_ + [_op(","), _sp()] + l + [_op(")")])
+            elif t.text in ("BITOP_AND", "BITOP_OR", "BITOP_XOR") and len(args) == 2:
+                sym = {"BITOP_AND": "&", "BITOP_OR": "|", "BITOP_XOR": "^"}[t.text]
+                a1 = tokens[args[0][0]:args[0][1]]
+                a2 = tokens[args[1][0]:args[1][1]]
+                out += ([_op("("), _op("(")] + a1 + [_op(")"), _sp(), _op(sym), _sp(), _op("(")]
+                        + a2 + [_op(")"), _op(")")])
+            elif t.text in ("TO_DATE_X", "TO_TS_X"):
+                fn = "to_date" if t.text == "TO_DATE_X" else "to_timestamp"
+                if len(args) == 2:
+                    x = tokens[args[0][0]:args[0][1]]
+                    conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
+                    out += [_word(fn), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
+                else:
+                    x = tokens[args[0][0]:args[0][1]] if args else []
+                    out += [_word(fn), _op("(")] + x + [_op(")")]
             else:
                 # arity mismatch: emit name sans placeholder best-effort
-                fallback = {"SLICE_0": "slice", "INSTR_SWAP": "instr", "TO_CHAR_X": "CAST"}[t.text]
+                fallback = {
+                    "SLICE_0": "slice", "INSTR_SWAP": "instr",
+                    "TO_CHAR_X": "CAST", "SQUARE_X": "POWER",
+                    "ARRCONT_SWAP": "array_contains", "OVERLAY_X": "overlay",
+                    "BITOP_AND": "BITAND", "BITOP_OR": "BITOR",
+                    "BITOP_XOR": "BITXOR", "TO_DATE_X": "to_date",
+                    "TO_TS_X": "to_timestamp",
+                }[t.text]
                 out.append(_word(fallback))
                 i += 1
                 continue
@@ -713,6 +780,63 @@ def rewrite_listagg_distinct(tokens: Tokens) -> Tokens:
     return out
 
 
+def rewrite_array_agg_within(tokens: Tokens) -> Tokens:
+    """ARRAY_AGG([DISTINCT] x) WITHIN GROUP (ORDER BY x [ASC|DESC]) →
+    [REVERSE(]ARRAY_SORT(COLLECT_LIST|COLLECT_SET(x))[)] — Spark has
+    array_agg but rejects the WITHIN GROUP syntax. Only fires when the
+    ORDER BY expr token-matches the input (else left for Spark's
+    error, same policy as rewrite_listagg_distinct)."""
+
+    def norm(ts: Tokens) -> str:
+        return " ".join(t.upper for t in ts if t.kind != WS)
+
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not (t.kind == WORD and t.upper == "ARRAY_AGG" and _is_call(tokens, i, "ARRAY_AGG")):
+            out.append(t)
+            i += 1
+            continue
+        op_i = next_code(tokens, i + 1)
+        close = find_matching_paren(tokens, op_i)
+        inner = tokens[op_i + 1:close]
+        first = next_code(inner, 0)
+        distinct = first < len(inner) and inner[first].upper == "DISTINCT"
+        expr = inner[first + 1:] if distinct else inner
+        w = next_code(tokens, close + 1)
+        if not (w < n and tokens[w].kind == WORD and tokens[w].upper == "WITHIN"):
+            out.append(t)
+            i += 1
+            continue
+        g = next_code(tokens, w + 1)
+        p = next_code(tokens, g + 1)
+        wg_close = find_matching_paren(tokens, p)
+        wg = tokens[p + 1:wg_close]
+        o = next_code(wg, 0)
+        b = next_code(wg, o + 1)
+        order_toks = [x for x in wg[b + 1:] if x.kind != WS]
+        desc = bool(order_toks) and order_toks[-1].upper == "DESC"
+        if order_toks and order_toks[-1].upper in ("ASC", "DESC"):
+            order_toks = order_toks[:-1]
+        if norm(order_toks) != norm(expr):
+            out.append(t)
+            i += 1
+            continue
+        collect = "COLLECT_SET" if distinct else "COLLECT_LIST"
+        body: Tokens = (
+            [_word("ARRAY_SORT"), _op("("), _word(collect), _op("(")]
+            + list(expr)
+            + [_op(")"), _op(")")]
+        )
+        if desc:
+            body = [_word("REVERSE"), _op("(")] + body + [_op(")")]
+        out += body
+        i = wg_close + 1
+    return out
+
+
 # ------------------------------------------------------------------- T18
 BLACKLISTED_PATTERNS = (
     # ref transpiler.py:398-433 (set at 406-419)
@@ -761,6 +885,7 @@ PIPELINE = (
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,
     rewrite_listagg_distinct,
+    rewrite_array_agg_within,
     rewrite_object_construct,
     rewrite_variant_funcs,
     rewrite_array_construct,

@@ -247,3 +247,60 @@ class TestExecutesOnSpark:
     def test_runs(self, spark, sf_sql):
         rows = spark.sql(t.to_spark(sf_sql)).collect()
         assert len(rows) >= 1
+
+
+class TestExtendedFunctionSurface:
+    """Snowflake spellings beyond the router whitelist (day-to-day
+    user surface)."""
+
+    def test_array_contains_arg_swap(self):
+        out = t.to_spark("SELECT ARRAY_CONTAINS(2, arr) FROM t1").replace(" ", "")
+        assert "array_contains(arr,2)" in out
+
+    def test_array_slice_zero_based(self):
+        out = t.to_spark("SELECT ARRAY_SLICE(arr, 1, 3) FROM t1")
+        assert "slice(arr" in out
+
+    def test_insert_overlay(self):
+        out = t.to_spark("SELECT INSERT(a, 2, 3, b) FROM t1").replace(" ", "")
+        assert "overlay(a,b,2,3)" in out
+
+    def test_insert_statement_untouched(self):
+        out = t.to_spark("INSERT INTO t1 SELECT * FROM t2")
+        assert out.startswith("INSERT INTO")
+
+    def test_bit_ops(self):
+        out = t.to_spark("SELECT BITAND(a, b), BITOR(a, b), BITXOR(a, b) FROM t1")
+        assert "&" in out and "|" in out and "^" in out
+
+    def test_square_power(self):
+        assert "POWER(x, 2)" in t.to_spark("SELECT SQUARE(x) FROM t1")
+
+    def test_to_char_fmt_translation(self):
+        out = t.to_spark("SELECT TO_CHAR(d, 'YYYY-MM-DD HH24:MI:SS.FF3') FROM t1").replace(" ", "")
+        assert "date_format(d,'yyyy-MM-ddHH:mm:ss.SSS')" in out
+
+    def test_to_date_fmt_translation(self):
+        out = t.to_spark("SELECT TO_DATE(s, 'DD/MM/YYYY') FROM t1").replace(" ", "")
+        assert "to_date(s,'dd/MM/yyyy')" in out
+
+    def test_to_date_single_arg(self):
+        assert "to_date(s)" in t.to_spark("SELECT TO_DATE(s) FROM t1")
+
+    def test_array_agg_within_group(self):
+        out = t.to_spark(
+            "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY x) FROM t1"
+        ).replace(" ", "")
+        assert "ARRAY_SORT(COLLECT_LIST(x))" in out
+
+    def test_array_agg_distinct_desc(self):
+        out = t.to_spark(
+            "SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY x DESC) FROM t1"
+        ).replace(" ", "")
+        assert "REVERSE(ARRAY_SORT(COLLECT_SET(x)))" in out
+
+    def test_hll_uuid_object_keys(self):
+        out = t.to_spark("SELECT HLL(x), UUID_STRING(), OBJECT_KEYS(j) FROM t1")
+        assert "APPROX_COUNT_DISTINCT(x)" in out
+        assert "UUID()" in out
+        assert "JSON_OBJECT_KEYS(j)" in out
