@@ -806,8 +806,12 @@ def _x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .xops import dedup
     register_dir(spark, sf_dir)
+    # modulo sample (not a prefix): planted near-dups are uniform over
+    # the id range, so doc_id<N slices miss them all at larger SFs
     return dedup.ngram_jaccard_pairs(
-        spark.table("documents").filter(F.col("doc_id") < 200),
+        spark.table("documents").filter(
+            (F.col("doc_id") % 5 == 0) | (F.col("doc_id") < 200)
+        ),
         "doc_id", "text", k=2, threshold=0.2,
     )
 
@@ -1002,7 +1006,7 @@ XOP_ORACLES: dict[str, str | None] = {
     "x04_ngram_jaccard": """
         WITH words AS (
           SELECT doc_id, string_split(text, ' ') AS w
-          FROM documents WHERE doc_id < 200
+          FROM documents WHERE doc_id % 5 = 0 OR doc_id < 200
         ),
         sh AS (
           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
