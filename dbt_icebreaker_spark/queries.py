@@ -766,6 +766,33 @@ _q(
     """,
 )
 
+_q(
+    "q35_distribution_aggs",
+    """
+    SELECT o_orderpriority,
+           CAST(MEDIAN(o_totalprice) AS DOUBLE) AS med,
+           CAST(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p90,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(STDDEV_SAMP(o_totalprice) AS DOUBLE) AS sd,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+    # (approx_count_distinct is deliberately absent: each engine's HLL
+    # sketch differs, so it can never hash-match an oracle; the HLL→
+    # approx_count_distinct mapping is covered by transpiler tests)
+    """
+    SELECT o_orderpriority,
+           CAST(MEDIAN(o_totalprice) AS DOUBLE) AS med,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(STDDEV_SAMP(o_totalprice) AS DOUBLE) AS sd,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",
