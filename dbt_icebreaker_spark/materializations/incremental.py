@@ -53,6 +53,72 @@ def _staged_overwrite(spark: SparkSession, df: DataFrame, target: str) -> None:
     spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
 
 
+def _apply_schema_change(
+    spark: SparkSession,
+    target: str,
+    old: DataFrame,
+    new_rows: DataFrame,
+    mode: str,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Schema-drift policy (`on_schema_change`). The reference
+    DECLARES this config but never implements it
+    (incremental.sql:25 — read once, defaulted to 'ignore', unused);
+    here all four dbt modes work:
+
+    - ``ignore``             — insert using the TARGET's columns;
+                               new source columns dropped, removed
+                               ones become NULL (reference behavior)
+    - ``fail``               — raise on any drift
+    - ``append_new_columns`` — new source columns are added to the
+                               target (existing rows read NULL)
+    - ``sync_all_columns``   — add new AND drop removed columns
+
+    Returns (old_aligned, new_aligned, final_columns). Widening the
+    target is metadata-only until the next overwrite — on plain
+    parquet the union rewrite pays the cost; on Iceberg/Delta it maps
+    to ALTER TABLE ADD COLUMNS.
+    """
+    old_cols = list(old.columns)
+    new_cols = list(new_rows.columns)
+    added = [c for c in new_cols if c not in old_cols]
+    removed = [c for c in old_cols if c not in new_cols]
+
+    if mode == "fail":
+        if added or removed:
+            raise ValueError(
+                f"schema drift on {target}: added={added} removed={removed} "
+                "(on_schema_change='fail')"
+            )
+        return old, new_rows.select(old_cols), old_cols
+
+    if mode == "append_new_columns":
+        final = old_cols + added
+        old_a = old.select(
+            *old_cols, *[F.lit(None).cast(new_rows.schema[c].dataType).alias(c) for c in added]
+        )
+        new_a = new_rows.select(
+            *[F.col(c) if c in new_cols else F.lit(None).cast(old.schema[c].dataType).alias(c)
+              for c in final]
+        )
+        return old_a, new_a, final
+
+    if mode == "sync_all_columns":
+        final = [c for c in old_cols if c not in removed] + added
+        old_a = old.select(
+            *[c for c in old_cols if c not in removed],
+            *[F.lit(None).cast(new_rows.schema[c].dataType).alias(c) for c in added],
+        )
+        return old_a, new_rows.select(final), final
+
+    # 'ignore' (default; reference behavior incremental.sql:25):
+    # target schema wins; missing source columns become NULL
+    new_a = new_rows.select(
+        *[F.col(c) if c in new_cols else F.lit(None).cast(old.schema[c].dataType).alias(c)
+          for c in old_cols]
+    )
+    return old, new_a, old_cols
+
+
 def run_incremental(
     spark: SparkSession,
     target: str,
@@ -61,6 +127,7 @@ def run_incremental(
     unique_key: str | Sequence[str] | None = None,
     partition_by: Optional[str] = None,
     full_refresh: bool = False,
+    on_schema_change: str = "ignore",
 ) -> dict:
     """Apply one incremental batch. Returns stats dict."""
     keys = _normalize_keys(unique_key)
@@ -75,9 +142,19 @@ def run_incremental(
         return {"strategy": "create", "rows": spark.table(target).count()}
 
     old = spark.table(target)
-    # align new batch to target schema by name (schema drift is
-    # 'ignore' in the reference too: incremental.sql:25)
-    new_aligned = new_rows.select([F.col(c) for c in old.columns])
+    old, new_aligned, final_cols = _apply_schema_change(
+        spark, target, old, new_rows, on_schema_change
+    )
+    schema_widened = list(final_cols) != list(spark.table(target).columns)
+    if schema_widened and strategy == "append":
+        # append can't widen in place on plain parquet — rewrite once
+        result = old.unionByName(new_aligned)
+        _staged_overwrite(spark, result, target)
+        return {
+            "strategy": "append(schema-change rewrite)",
+            "rows": spark.table(target).count(),
+            "schema_change": on_schema_change,
+        }
 
     if strategy == "append":
         # incremental.sql:120-128

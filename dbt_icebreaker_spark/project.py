@@ -36,6 +36,7 @@ class ModelDef:
     materialization: str = "table"
     unique_key: str | Sequence[str] | None = None
     incremental_strategy: str = "merge"
+    on_schema_change: str = "ignore"
     partition_by: Optional[str] = None
     depends_on: list[str] = field(default_factory=list)
     # snapshot-only
@@ -77,6 +78,7 @@ class ProjectRunner:
                     materialization=m.materialization,
                     unique_key=m.unique_key,
                     incremental_strategy=m.incremental_strategy,
+                    on_schema_change=m.on_schema_change,
                     partition_by=m.partition_by,
                     full_refresh=full_refresh,
                 )

@@ -109,6 +109,7 @@ class IcebreakerEngine:
         incremental_strategy: str = "merge",
         partition_by: Optional[str] = None,
         full_refresh: bool = False,
+        on_schema_change: str = "ignore",
     ) -> RunResult:
         start = time.time()
         target = self._qualified(name)
@@ -141,6 +142,7 @@ class IcebreakerEngine:
                 unique_key=unique_key,
                 partition_by=partition_by,
                 full_refresh=full_refresh,
+                on_schema_change=on_schema_change,
             )
             rows = self.spark.table(target).count()
             return RunResult(name, "incremental", target, rows, time.time() - start, details)

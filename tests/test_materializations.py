@@ -247,3 +247,70 @@ class TestDevSampling:
         eng = IcebreakerEngine(spark, schema="mat_test", dev_mode=True, dev_sample_size=5)
         r = eng.run_model("dev_lim", "SELECT o_orderkey FROM orders LIMIT 3")
         assert r.rows == 3
+
+
+class TestOnSchemaChange:
+    """All four dbt on_schema_change modes (the reference declares the
+    config but never implements it — incremental.sql:25)."""
+
+    def _fresh(self, spark, engine, name, cols_sql):
+        spark.sql(f"DROP TABLE IF EXISTS {engine.effective_schema}.{name}")
+        engine.run_model(name, cols_sql, "incremental", unique_key="k")
+
+    def test_ignore_drops_new_and_nulls_missing(self, spark, engine):
+        self._fresh(spark, engine, "osc_ignore", "SELECT 1 AS k, 'a' AS v")
+        # batch adds `extra`, drops `v`
+        engine.run_model(
+            "osc_ignore", "SELECT 2 AS k, 99 AS extra",
+            "incremental", unique_key="k", on_schema_change="ignore",
+        )
+        t = spark.table(f"{engine.effective_schema}.osc_ignore")
+        assert set(t.columns) == {"k", "v"}
+        rows = {r.k: r.v for r in t.collect()}
+        assert rows == {1: "a", 2: None}
+
+    def test_fail_raises_on_drift(self, spark, engine):
+        self._fresh(spark, engine, "osc_fail", "SELECT 1 AS k, 'a' AS v")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="schema drift"):
+            engine.run_model(
+                "osc_fail", "SELECT 2 AS k, 'b' AS v, 1 AS extra",
+                "incremental", unique_key="k", on_schema_change="fail",
+            )
+
+    def test_append_new_columns_widens(self, spark, engine):
+        self._fresh(spark, engine, "osc_widen", "SELECT 1 AS k, 'a' AS v")
+        engine.run_model(
+            "osc_widen", "SELECT 2 AS k, 'b' AS v, 42 AS extra",
+            "incremental", unique_key="k",
+            on_schema_change="append_new_columns",
+        )
+        t = spark.table(f"{engine.effective_schema}.osc_widen")
+        assert set(t.columns) == {"k", "v", "extra"}
+        rows = {r.k: (r.v, r.extra) for r in t.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 42)}
+
+    def test_sync_all_columns_adds_and_drops(self, spark, engine):
+        self._fresh(spark, engine, "osc_sync", "SELECT 1 AS k, 'a' AS v, 7 AS gone")
+        engine.run_model(
+            "osc_sync", "SELECT 2 AS k, 'b' AS v, 42 AS extra",
+            "incremental", unique_key="k", on_schema_change="sync_all_columns",
+        )
+        t = spark.table(f"{engine.effective_schema}.osc_sync")
+        assert set(t.columns) == {"k", "v", "extra"}
+        rows = {r.k: (r.v, r.extra) for r in t.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 42)}
+
+    def test_append_strategy_with_widen_rewrites(self, spark, engine):
+        self._fresh(spark, engine, "osc_app", "SELECT 1 AS k, 'a' AS v")
+        res = engine.run_model(
+            "osc_app", "SELECT 2 AS k, 'b' AS v, 1.5 AS score",
+            "incremental", unique_key=None,
+            incremental_strategy="append",
+            on_schema_change="append_new_columns",
+        )
+        t = spark.table(f"{engine.effective_schema}.osc_app")
+        assert set(t.columns) == {"k", "v", "score"}
+        assert t.count() == 2
+        assert "schema-change" in res.details["strategy"]
