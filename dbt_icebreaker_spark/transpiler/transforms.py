@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from .tokenizer import (
     OP,
+    QIDENT,
     STRING,
     WORD,
     Token,
@@ -104,6 +105,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TO_TIMESTAMP": "TO_TS_X",
         "TO_TIMESTAMP_NTZ": "TO_TS_X",
         "TO_TIMESTAMP_LTZ": "TO_TS_X",
+        "GET_PATH": "GETPATH_X",    # GET_PATH(j,'a.b[0]') → get_json_object
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -140,7 +142,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
         if t.kind == WORD and t.text in (
             "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
             "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
-            "TO_DATE_X", "TO_TS_X",
+            "TO_DATE_X", "TO_TS_X", "GETPATH_X",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -186,6 +188,19 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 a2 = tokens[args[1][0]:args[1][1]]
                 out += ([_op("("), _op("(")] + a1 + [_op(")"), _sp(), _op(sym), _sp(), _op("(")]
                         + a2 + [_op(")"), _op(")")])
+            elif t.text == "GETPATH_X" and len(args) == 2:
+                x = tokens[args[0][0]:args[0][1]]
+                lit = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
+                if len(lit) == 1 and lit[0].kind == STRING:
+                    path = lit[0].text[1:-1]
+                    out += [_word("get_json_object"), _op("(")] + x + [
+                        _op(","), _sp(), Token(STRING, f"'$.{path}'"), _op(")")]
+                else:
+                    # non-literal path: get_json_object requires a
+                    # foldable path — emit it anyway for Spark's clear
+                    # error rather than an UNRESOLVED_ROUTINE
+                    out += [_word("get_json_object"), _op("(")] + x + [
+                        _op(","), _sp()] + tokens[args[1][0]:args[1][1]] + [_op(")")]
             elif t.text in ("TO_DATE_X", "TO_TS_X"):
                 fn = "to_date" if t.text == "TO_DATE_X" else "to_timestamp"
                 if len(args) == 2:
@@ -466,12 +481,20 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     consumed_to = k
                 src = input_expr
                 if path_lit is not None:
-                    src = [_word("get_json_object"), _op("(")] + src + [
-                        _op(","), _sp(), Token(STRING, f"'$.{path_lit}'"), _op(")")]
-                explode = "explode_outer" if outer else "explode"
+                    # get_json_object returns a STRING; FLATTEN needs an
+                    # array — parse the extracted JSON array
+                    src = [_word("from_json"), _op("("),
+                           _word("get_json_object"), _op("(")] + src + [
+                        _op(","), _sp(), Token(STRING, f"'$.{path_lit}'"),
+                        _op(")"), _op(","), _sp(),
+                        Token(STRING, "'array<string>'"), _op(")")]
+                # posexplode so both f.value AND f.index resolve
+                # (Snowflake FLATTEN exposes value/index/key/…)
+                explode = "posexplode_outer" if outer else "posexplode"
                 out += [_sp(), _word("LATERAL"), _sp(), _word("VIEW"), _sp(),
                         _word(explode), _op("(")] + src + [_op(")"), _sp(),
-                        _word(alias), _sp(), _word("AS"), _sp(), _word("value")]
+                        _word(alias), _sp(), _word("AS"), _sp(),
+                        _word("index"), _op(","), _sp(), _word("value")]
                 i = consumed_to + 1
                 continue
         out.append(t)
@@ -640,22 +663,27 @@ def rewrite_json_path(tokens: Tokens) -> Tokens:
                 and out[p].kind in (WORD,)
                 and not _is_keyword(out[p].upper)
                 and j < n
-                and tokens[j].kind in (WORD,)
+                and tokens[j].kind in (WORD, STRING, QIDENT)
             ):
                 # collect base: dotted identifier chain already in `out`
                 base_lo = p
                 while base_lo - 2 >= 0 and out[base_lo - 1].is_op(".") and out[base_lo - 2].kind == WORD:
                     base_lo -= 2
                 base = out[base_lo:p + 1]
-                # collect path: WORD (.WORD | [n])*
-                path_parts = [tokens[j].text]
+
+                def _seg(tok) -> str:
+                    # quoted key `col:"my key"` → bare segment text
+                    return tok.text[1:-1] if tok.kind in (STRING, QIDENT) else tok.text
+
+                # collect path: WORD|STRING (.WORD|STRING | [n])*
+                path_parts = [_seg(tokens[j])]
                 k = j + 1
                 while k < n:
                     k2 = next_code(tokens, k)
                     if k2 < n and tokens[k2].is_op(".") :
                         k3 = next_code(tokens, k2 + 1)
-                        if k3 < n and tokens[k3].kind == WORD:
-                            path_parts.append(tokens[k3].text)
+                        if k3 < n and tokens[k3].kind in (WORD, STRING, QIDENT):
+                            path_parts.append(_seg(tokens[k3]))
                             k = k3 + 1
                             continue
                     if k2 < n and tokens[k2].is_op("["):

@@ -132,20 +132,21 @@ class TestFlatten:
     # mirrors reference tests/test_transpiler.py:88-129 (FLATTEN→UNNEST)
     def test_lateral_flatten(self):
         out = t.to_spark("SELECT f.value FROM t, LATERAL FLATTEN(input => t.arr) f")
-        assert "LATERAL VIEW explode( t.arr) f AS value" in out
+        assert "LATERAL VIEW posexplode( t.arr) f AS index, value" in out
         assert ", LATERAL" not in out  # comma join removed
 
     def test_flatten_with_path(self):
         out = t.to_spark(
             "SELECT f.value FROM t, LATERAL FLATTEN(input => props, path => 'tags') AS f"
         )
-        assert "explode(get_json_object( props, '$.tags'))" in out
+        # path extraction returns a JSON string — must parse to array
+        assert "from_json(get_json_object( props, '$.tags'), 'array<string>')" in out
 
     def test_flatten_outer(self):
         out = t.to_spark(
             "SELECT f.value FROM t, LATERAL FLATTEN(input => arr, outer => TRUE) f"
         )
-        assert "explode_outer(" in out
+        assert "posexplode_outer(" in out
 
 
 class TestQualify:
@@ -304,3 +305,41 @@ class TestExtendedFunctionSurface:
         assert "APPROX_COUNT_DISTINCT(x)" in out
         assert "UUID()" in out
         assert "JSON_OBJECT_KEYS(j)" in out
+
+
+class TestJsonPathEdge:
+    def test_array_index(self):
+        out = t.to_spark("SELECT j:arr[0]::INT FROM t1")
+        assert "get_json_object(j, '$.arr[0]')::INT" in out
+
+    def test_quoted_key(self):
+        out = t.to_spark('SELECT j:"my key"::STRING FROM t1')
+        assert "get_json_object(j, '$.my key')" in out
+
+    def test_quoted_key_with_index(self):
+        out = t.to_spark('SELECT j:"arr"[1]::INT FROM t1')
+        assert "get_json_object(j, '$.arr[1]')" in out
+
+    def test_get_path_literal(self):
+        out = t.to_spark("SELECT GET_PATH(j, 'o.deep[0]') FROM t1")
+        assert "get_json_object(j, '$.o.deep[0]')" in out
+
+
+class TestFlattenIndex:
+    def test_index_column_resolves(self, spark):
+        spark.sql("SELECT ARRAY(10,20,30) AS a").createOrReplaceTempView("fi_t")
+        rows = spark.sql(t.to_spark(
+            "SELECT f.value::INT AS v, f.index AS i FROM fi_t, "
+            "LATERAL FLATTEN(input => a) f"
+        )).collect()
+        assert [(r.v, r.i) for r in rows] == [(10, 0), (20, 1), (30, 2)]
+
+    def test_path_variant_runs(self, spark):
+        spark.sql(
+            "SELECT '{\"tags\": [\"x\",\"y\"]}' AS j"
+        ).createOrReplaceTempView("fp_t")
+        rows = spark.sql(t.to_spark(
+            "SELECT f.value::STRING AS v FROM fp_t, "
+            "LATERAL FLATTEN(input => j, path => 'tags') f"
+        )).collect()
+        assert sorted(r.v for r in rows) == ["x", "y"]
