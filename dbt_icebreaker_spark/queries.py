@@ -939,6 +939,16 @@ def _x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .xops import text
+
+    register_dir(spark, sf_dir)
+    return text.tfidf_top_terms(
+        spark.table("documents").filter(F.col("doc_id") < 100),
+        "doc_id", "text", top_k=3,
+    )
+
+
 def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the stateful sessionizer (streaming §2.4
     upgrade path) — gap-based session windows, oracle-checkable."""
@@ -1233,6 +1243,37 @@ XOP_ORACLES: dict[str, str | None] = {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """,
     "x15_ivf_topk": None,        # approximate (IVF recall<1 by design)
+    "x16_tfidf_topk": """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+        ),
+        words AS (
+          SELECT doc_id, w AS term
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM docs
+          ) WHERE w <> ''
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+                 tf.tf * ln((n.n_docs + 1.0) / (dfreq.df_docs + 1.0)) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df_docs AS BIGINT) AS df_docs,
+               CAST(tfidf AS DOUBLE) AS tfidf,
+               CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+    """,
     "s01_sessionize": """
         WITH flagged AS (
           SELECT user_id, ts, value,
@@ -1282,6 +1323,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x13_llm_sentiment": _x_llm_sentiment,
     "x14_dedup_clusters": _x_dedup_clusters,
     "x15_ivf_topk": _x_ivf_topk,
+    "x16_tfidf_topk": _x_tfidf,
     "s01_sessionize": _s_sessionize,
     "s02_windowed_agg": _s_windowed_agg,
 }

@@ -5,7 +5,7 @@ linearly with input splits."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -112,4 +112,52 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("content_md5"),
         F.substring(F.md5(norm), 1, 16).alias("short_key"),
         F.md5(sorted_words).alias("bag_md5"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (tf × ln((N+1)/(df+1))) — pure aggregates + one window, fully
+    oracle-expressible (no hashing-trick UDF needed at any scale:
+    the term vocabulary shuffles on the term key, doc-frequency is a
+    map-side-combined count, and N broadcasts as a 1-row literal).
+
+    Output: (doc_id, term, tf, df_docs, tfidf, rank).
+    """
+    words = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0].n
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_docs") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id", "term", "tf", "df_docs",
+            F.col("tfidf").cast("double").alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
