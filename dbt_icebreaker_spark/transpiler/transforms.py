@@ -106,6 +106,11 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TO_TIMESTAMP_NTZ": "TO_TS_X",
         "TO_TIMESTAMP_LTZ": "TO_TS_X",
         "GET_PATH": "GETPATH_X",    # GET_PATH(j,'a.b[0]') → get_json_object
+        "ARRAY_INTERSECTION": "ARRAY_INTERSECT",
+        "ARRAY_CAT": "CONCAT",
+        "ARRAY_FLATTEN": "flatten",  # scalar flatten (LATERAL FLATTEN is T13)
+        "ARRAY_PREPEND": "ARRPRE_SWAP",  # snowflake (val, arr) → spark (arr, val)
+        "ARRAY_POSITION": "ARRPOS_SWAP",  # + 1-based→0-based/NULL semantics
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -142,7 +147,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
         if t.kind == WORD and t.text in (
             "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
             "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
-            "TO_DATE_X", "TO_TS_X", "GETPATH_X",
+            "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -188,6 +193,20 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 a2 = tokens[args[1][0]:args[1][1]]
                 out += ([_op("("), _op("(")] + a1 + [_op(")"), _sp(), _op(sym), _sp(), _op("(")]
                         + a2 + [_op(")"), _op(")")])
+            elif t.text == "ARRPRE_SWAP" and len(args) == 2:
+                val = tokens[args[0][0]:args[0][1]]
+                arr = tokens[args[1][0]:args[1][1]]
+                out += [_word("array_prepend"), _op("(")] + arr + [_op(","), _sp()] + val + [_op(")")]
+            elif t.text == "ARRPOS_SWAP" and len(args) == 2:
+                # Snowflake: 0-based index, NULL if absent;
+                # Spark: 1-based, 0 if absent → NULLIF(pos,0)-1
+                val = tokens[args[0][0]:args[0][1]]
+                arr = tokens[args[1][0]:args[1][1]]
+                out += ([_op("("), _word("NULLIF"), _op("("),
+                         _word("array_position"), _op("(")] + arr
+                        + [_op(","), _sp()] + val
+                        + [_op(")"), _op(","), _sp(), _word("0"), _op(")"),
+                           _sp(), _op("-"), _sp(), _word("1"), _op(")")])
             elif t.text == "GETPATH_X" and len(args) == 2:
                 x = tokens[args[0][0]:args[0][1]]
                 lit = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
@@ -218,7 +237,9 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     "ARRCONT_SWAP": "array_contains", "OVERLAY_X": "overlay",
                     "BITOP_AND": "BITAND", "BITOP_OR": "BITOR",
                     "BITOP_XOR": "BITXOR", "TO_DATE_X": "to_date",
-                    "TO_TS_X": "to_timestamp",
+                    "TO_TS_X": "to_timestamp", "GETPATH_X": "get_json_object",
+                    "ARRPRE_SWAP": "array_prepend",
+                    "ARRPOS_SWAP": "array_position",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1
@@ -480,6 +501,16 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     alias = tokens[k].text
                     consumed_to = k
                 src = input_expr
+                # json-path input (`input => j:tags`): the later T16
+                # rewrite turns it into get_json_object → a STRING;
+                # wrap in from_json so the explode sees an array
+                has_json_path = any(
+                    x.is_op(":") for x in src
+                ) and path_lit is None
+                if has_json_path:
+                    src = [_word("from_json"), _op("(")] + src + [
+                        _op(","), _sp(), Token(STRING, "'array<string>'"),
+                        _op(")")]
                 if path_lit is not None:
                     # get_json_object returns a STRING; FLATTEN needs an
                     # array — parse the extracted JSON array

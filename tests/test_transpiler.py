@@ -343,3 +343,32 @@ class TestFlattenIndex:
             "LATERAL FLATTEN(input => j, path => 'tags') f"
         )).collect()
         assert sorted(r.v for r in rows) == ["x", "y"]
+
+
+class TestArrayFamily:
+    def test_intersection_flatten_cat(self):
+        out = t.to_spark(
+            "SELECT ARRAY_INTERSECTION(a,b), ARRAY_FLATTEN(c), ARRAY_CAT(a,b) FROM t1"
+        )
+        assert "ARRAY_INTERSECT(a,b)" in out
+        assert "flatten(c)" in out
+        assert "CONCAT(a,b)" in out
+
+    def test_prepend_swap(self):
+        out = t.to_spark("SELECT ARRAY_PREPEND(0, a) FROM t1").replace(" ", "")
+        assert "array_prepend(a,0)" in out
+
+    def test_position_semantics(self, spark):
+        # Snowflake: 0-based, NULL when absent
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_POSITION(2, ARRAY(1,2,3)) AS hit, "
+            "ARRAY_POSITION(9, ARRAY(1,2,3)) AS miss"
+        )).collect()[0]
+        assert r.hit == 1 and r.miss is None
+
+    def test_flatten_json_path_input(self, spark):
+        spark.sql("SELECT '{\"tags\":[\"x\",\"y\"]}' AS j").createOrReplaceTempView("af_t")
+        rows = spark.sql(t.to_spark(
+            "SELECT f.value AS v FROM af_t, LATERAL FLATTEN(input => j:tags) f"
+        )).collect()
+        assert sorted(r.v for r in rows) == ["x", "y"]
