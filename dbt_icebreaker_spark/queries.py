@@ -793,6 +793,44 @@ _q(
     """,
 )
 
+_q(
+    "q36_window_frames",
+    """
+    SELECT o_orderkey,
+           CAST(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg,
+           CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+    FROM orders WHERE o_custkey < 200
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg,
+           CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+# note: referencing the pivot's grouping column BY NAME trips a Spark
+# 4.1 resolver quirk (AMBIGUOUS_REFERENCE `p` though the schema holds
+# one p) — `SELECT *` resolves fine, so the entry emits the pivot's
+# natural columns and the oracle aliases to match
+_q(
+    "q37_pivot",
+    """
+    SELECT * FROM (SELECT o_orderpriority AS p, o_orderstatus AS s, o_totalprice AS v FROM orders)
+    PIVOT (SUM(v) FOR s IN ('O', 'F', 'P'))
+    """,
+    """
+    SELECT o_orderpriority AS p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS DOUBLE) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS DOUBLE) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS DOUBLE) AS "P"
+    FROM orders GROUP BY 1
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",

@@ -18,6 +18,7 @@ JSON **strings**; path access `col:a.b::t` becomes
 from __future__ import annotations
 
 from .tokenizer import (
+    NUMBER,
     OP,
     QIDENT,
     STRING,
@@ -839,6 +840,43 @@ def rewrite_listagg_distinct(tokens: Tokens) -> Tokens:
     return out
 
 
+def rewrite_sample(tokens: Tokens) -> Tokens:
+    """Snowflake sampling → Spark TABLESAMPLE:
+    ``t SAMPLE (10)`` / ``t TABLESAMPLE BERNOULLI (10)`` →
+    ``t TABLESAMPLE (10 PERCENT)``; ``SAMPLE (5 ROWS)`` →
+    ``TABLESAMPLE (5 ROWS)``. Method words (BERNOULLI/ROW/SYSTEM/
+    BLOCK) collapse — Spark has one Bernoulli-style sampler."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in ("SAMPLE", "TABLESAMPLE"):
+            j = next_code(tokens, i + 1)
+            method = None
+            if j < n and tokens[j].kind == WORD and tokens[j].upper in (
+                "BERNOULLI", "ROW", "SYSTEM", "BLOCK",
+            ):
+                method = j
+                j = next_code(tokens, j + 1)
+            if j < n and tokens[j].is_op("("):
+                close = find_matching_paren(tokens, j)
+                inner = [x for x in tokens[j + 1:close] if x.kind != WS]
+                if 1 <= len(inner) <= 2 and inner[0].kind == NUMBER:
+                    unit = "ROWS" if (
+                        len(inner) == 2 and inner[1].upper == "ROWS"
+                    ) else "PERCENT"
+                    out += [_word("TABLESAMPLE"), _sp(), _op("("),
+                            _word(inner[0].text), _sp(), _word(unit), _op(")")]
+                    i = close + 1
+                    continue
+            if method is not None:
+                pass  # fall through: not the sampling pattern
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_array_agg_within(tokens: Tokens) -> Tokens:
     """ARRAY_AGG([DISTINCT] x) WITHIN GROUP (ORDER BY x [ASC|DESC]) →
     [REVERSE(]ARRAY_SORT(COLLECT_LIST|COLLECT_SET(x))[)] — Spark has
@@ -945,6 +983,7 @@ PIPELINE = (
     rewrite_try_to,
     rewrite_listagg_distinct,
     rewrite_array_agg_within,
+    rewrite_sample,
     rewrite_object_construct,
     rewrite_variant_funcs,
     rewrite_array_construct,

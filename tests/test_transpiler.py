@@ -372,3 +372,27 @@ class TestArrayFamily:
             "SELECT f.value AS v FROM af_t, LATERAL FLATTEN(input => j:tags) f"
         )).collect()
         assert sorted(r.v for r in rows) == ["x", "y"]
+
+
+class TestSample:
+    def test_sample_percent(self):
+        out = t.to_spark("SELECT * FROM orders SAMPLE (10)")
+        assert "TABLESAMPLE (10 PERCENT)" in out
+
+    def test_tablesample_bernoulli(self):
+        out = t.to_spark("SELECT * FROM orders TABLESAMPLE BERNOULLI (10)")
+        assert "TABLESAMPLE (10 PERCENT)" in out
+        assert "BERNOULLI" not in out
+
+    def test_sample_rows(self):
+        out = t.to_spark("SELECT * FROM orders SAMPLE (50 ROWS)")
+        assert "TABLESAMPLE (50 ROWS)" in out
+
+    def test_sample_runs(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, "/root/testdata/sf0.001")
+        n = spark.sql(t.to_spark(
+            "SELECT COUNT(*) AS c FROM orders SAMPLE (25 ROWS)"
+        )).collect()[0].c
+        assert n == 25
