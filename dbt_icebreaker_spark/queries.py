@@ -831,6 +831,50 @@ _q(
     """,
 )
 
+_q(
+    "q38_unpivot",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority AS p,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS open_tot,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS filled_tot
+      FROM orders GROUP BY 1
+    ) UNPIVOT (val FOR metric IN (open_tot, filled_tot))
+    """,
+    """
+    WITH agg AS (
+      SELECT o_orderpriority AS p,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS open_tot,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) AS DOUBLE) AS filled_tot
+      FROM orders GROUP BY 1
+    )
+    SELECT p, 'open_tot' AS metric, open_tot AS val FROM agg
+    UNION ALL
+    SELECT p, 'filled_tot', filled_tot FROM agg
+    """,
+)
+_q(
+    "q39_recursive_cte",
+    """
+    WITH RECURSIVE seq(n) AS (
+      SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10
+    )
+    SELECT n, COUNT(*) AS n_orders,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS tot
+    FROM seq JOIN orders ON o_custkey % 10 = n - 1
+    GROUP BY n
+    """,
+    """
+    WITH RECURSIVE seq(n) AS (
+      SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10
+    )
+    SELECT n, COUNT(*) AS n_orders,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS tot
+    FROM seq JOIN orders ON o_custkey % 10 = n - 1
+    GROUP BY n
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",
