@@ -43,6 +43,14 @@ class Transpiler:
         blacklisted = transforms.detect_blacklisted_functions(sql)
         if blacklisted:
             raise UnsupportedFunctionError(blacklisted)
+        tt = transforms.detect_time_travel(sql)
+        if tt:
+            raise TranspileError(
+                f"Time-travel clause {tt} is not supported on plain "
+                "parquet tables (no history). On an Iceberg/Delta "
+                "catalog table use Spark's `VERSION AS OF` / "
+                "`TIMESTAMP AS OF` instead (see iceberg.attach_catalog)."
+            )
         stmts = split_statements(tokenize(sql))
         out: list[str] = []
         for stmt in stmts:

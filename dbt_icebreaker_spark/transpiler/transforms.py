@@ -977,6 +977,29 @@ def detect_blacklisted_functions(sql: str) -> list[str]:
     return sorted(set(found))
 
 
+def detect_time_travel(sql: str) -> str | None:
+    """Snowflake `AT(TIMESTAMP|OFFSET|STATEMENT => …)` / `BEFORE(…)`
+    time-travel clauses — unsupported on plain parquet (no table
+    history); returns the offending clause text for an actionable
+    error instead of Spark's opaque parse failure."""
+    toks = tokenize(sql)
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if t.kind == WORD and t.upper in ("AT", "BEFORE"):
+            j = next_code(toks, i + 1)
+            if j < n and toks[j].is_op("("):
+                k = next_code(toks, j + 1)
+                if (
+                    k < n
+                    and toks[k].kind == WORD
+                    and toks[k].upper in ("TIMESTAMP", "OFFSET", "STATEMENT", "STREAM")
+                ):
+                    m = next_code(toks, k + 1)
+                    if m < n and toks[m].is_op("=>"):
+                        return f"{t.upper}({toks[k].upper} => …)"
+    return None
+
+
 # ------------------------------------------------------------- pipeline
 PIPELINE = (
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone

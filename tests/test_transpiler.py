@@ -396,3 +396,24 @@ class TestSample:
             "SELECT COUNT(*) AS c FROM orders SAMPLE (25 ROWS)"
         )).collect()[0].c
         assert n == 25
+
+
+class TestTimeTravel:
+    def test_at_timestamp_actionable(self):
+        ok, err = t.can_transpile(
+            "SELECT * FROM orders AT(TIMESTAMP => '2024-01-01'::TIMESTAMP)"
+        )
+        assert not ok and "VERSION AS OF" in err and "AT(TIMESTAMP" in err
+
+    def test_before_statement_actionable(self):
+        ok, err = t.can_transpile(
+            "SELECT * FROM orders BEFORE(STATEMENT => 'qid')"
+        )
+        assert not ok and "BEFORE(STATEMENT" in err
+
+    def test_at_as_alias_untouched(self):
+        # `at` as a plain alias/column must not trigger
+        out = t.to_spark("SELECT at FROM t1 WHERE at > 5")
+        assert "at" in out
+        ok, _ = t.can_transpile("SELECT at FROM t1")
+        assert ok
