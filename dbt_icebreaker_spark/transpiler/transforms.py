@@ -112,6 +112,15 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_FLATTEN": "flatten",  # scalar flatten (LATERAL FLATTEN is T13)
         "ARRAY_PREPEND": "ARRPRE_SWAP",  # snowflake (val, arr) → spark (arr, val)
         "ARRAY_POSITION": "ARRPOS_SWAP",  # + 1-based→0-based/NULL semantics
+        "DATE_FROM_PARTS": "MAKE_DATE",
+        "TIMESTAMP_FROM_PARTS": "MAKE_TIMESTAMP",
+        "TIMESTAMP_NTZ_FROM_PARTS": "MAKE_TIMESTAMP_NTZ",
+        "BOOLOR_AGG": "BOOL_OR",
+        "BOOLAND_AGG": "BOOL_AND",
+        "DIV0": "DIV0_X",           # a/b with 0 (not error) on b=0
+        "DIV0NULL": "DIV0NULL_X",   # …also 0 when b IS NULL
+        "TRUNCATE": "TRUNC0_X",     # numeric truncation toward zero
+        "TRUNC_NUM": "TRUNC0_X",
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -149,6 +158,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
             "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
             "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
+            "DIV0_X", "DIV0NULL_X", "TRUNC0_X",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -208,6 +218,31 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                         + [_op(","), _sp()] + val
                         + [_op(")"), _op(","), _sp(), _word("0"), _op(")"),
                            _sp(), _op("-"), _sp(), _word("1"), _op(")")])
+            elif t.text in ("DIV0_X", "DIV0NULL_X") and len(args) == 2:
+                # DIV0: 0 instead of error when b=0 (NULL inputs stay
+                # NULL); DIV0NULL additionally treats NULL b as 0-result
+                a1 = tokens[args[0][0]:args[0][1]]
+                a2 = tokens[args[1][0]:args[1][1]]
+                cond: Tokens = [_op("(")] + a2 + [_op(")"), _sp(), _op("="), _sp(), _word("0")]
+                if t.text == "DIV0NULL_X":
+                    cond += [_sp(), _word("OR"), _sp(), _op("(")] + a2 + [
+                        _op(")"), _sp(), _word("IS"), _sp(), _word("NULL")]
+                out += ([_word("IF"), _op("(")] + cond
+                        + [_op(","), _sp(), _word("0"), _op(","), _sp(), _op("(")]
+                        + a1 + [_op(")"), _sp(), _op("/"), _sp(), _op("(")]
+                        + a2 + [_op(")"), _op(")")])
+            elif t.text == "TRUNC0_X" and len(args) in (1, 2):
+                # numeric truncation toward zero (Spark's TRUNC is
+                # date-only): sign(x)*floor(abs(x)*10^d)/10^d
+                x = tokens[args[0][0]:args[0][1]]
+                d = tokens[args[1][0]:args[1][1]] if len(args) == 2 else [_word("0")]
+                out += ([_op("("), _word("SIGN"), _op("(")] + x + [
+                    _op(")"), _sp(), _op("*"), _sp(),
+                    _word("FLOOR"), _op("("), _word("ABS"), _op("(")] + x + [
+                    _op(")"), _sp(), _op("*"), _sp(), _word("POWER"), _op("("),
+                    _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")"),
+                    _sp(), _op("/"), _sp(), _word("POWER"), _op("("),
+                    _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")")])
             elif t.text == "GETPATH_X" and len(args) == 2:
                 x = tokens[args[0][0]:args[0][1]]
                 lit = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
@@ -241,6 +276,8 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     "TO_TS_X": "to_timestamp", "GETPATH_X": "get_json_object",
                     "ARRPRE_SWAP": "array_prepend",
                     "ARRPOS_SWAP": "array_position",
+                    "DIV0_X": "DIV0", "DIV0NULL_X": "DIV0NULL",
+                    "TRUNC0_X": "TRUNC",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1

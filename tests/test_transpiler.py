@@ -417,3 +417,38 @@ class TestTimeTravel:
         assert "at" in out
         ok, _ = t.can_transpile("SELECT at FROM t1")
         assert ok
+
+
+class TestDiv0AndParts:
+    def test_div0(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DIV0(10, 0) AS z, DIV0(10, 4) AS q, DIV0(NULL, 4) AS n"
+        )).collect()[0]
+        assert r.z == 0 and r.q == 2.5 and r.n is None
+
+    def test_div0null(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DIV0NULL(10, NULL) AS z, DIV0NULL(10, 5) AS q"
+        )).collect()[0]
+        assert r.z == 0 and r.q == 2.0
+
+    def test_from_parts(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DATE_FROM_PARTS(2024, 3, 5) AS d, "
+            "TIMESTAMP_FROM_PARTS(2024, 3, 5, 13, 45, 30) AS ts"
+        )).collect()[0]
+        assert str(r.d) == "2024-03-05" and "13:45:30" in str(r.ts)
+
+    def test_bool_aggs(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT BOOLOR_AGG(x) AS o, BOOLAND_AGG(x) AS a "
+            "FROM VALUES (true),(false) AS t(x)"
+        )).collect()[0]
+        assert r.o is True and r.a is False
+
+    def test_truncate_toward_zero(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT TRUNCATE(3.7) AS p, TRUNCATE(-3.7) AS n, "
+            "TRUNCATE(3.14159, 2) AS d"
+        )).collect()[0]
+        assert r.p == 3 and r.n == -3 and abs(r.d - 3.14) < 1e-9
