@@ -875,6 +875,29 @@ _q(
     """,
 )
 
+_q(
+    "q40_div0_parts",
+    """
+    SELECT o_orderpriority,
+           CAST(DIV0(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),
+                     COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)) AS DOUBLE) AS avg_open,
+           CAST(TRUNCATE(AVG(o_totalprice), 2) AS DOUBLE) AS avg_trunc,
+           BOOLOR_AGG(o_orderstatus = 'P') AS any_pending,
+           COUNT_IF(o_totalprice > 100000) AS n_big
+    FROM orders GROUP BY 1
+    """,
+    """
+    SELECT o_orderpriority,
+           CAST(CASE WHEN COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) = 0 THEN 0
+                     ELSE SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+                        / COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) END AS DOUBLE) AS avg_open,
+           CAST(SIGN(AVG(o_totalprice)) * FLOOR(ABS(AVG(o_totalprice)) * 100) / 100 AS DOUBLE) AS avg_trunc,
+           BOOL_OR(o_orderstatus = 'P') AS any_pending,
+           COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big
+    FROM orders GROUP BY 1
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",
