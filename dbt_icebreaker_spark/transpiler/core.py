@@ -43,6 +43,13 @@ class Transpiler:
         blacklisted = transforms.detect_blacklisted_functions(sql)
         if blacklisted:
             raise UnsupportedFunctionError(blacklisted)
+        sf_only = transforms.detect_snowflake_only_statement(sql)
+        if sf_only:
+            stmt, suggestion = sf_only
+            raise TranspileError(
+                f"Statement '{stmt}' is Snowflake-only and has no Spark "
+                f"statement equivalent. Use {suggestion}."
+            )
         tt = transforms.detect_time_travel(sql)
         if tt:
             raise TranspileError(

@@ -29,6 +29,7 @@ from .tokenizer import (
     next_code,
     prev_code,
     split_args,
+    split_statements,
     tokenize,
 )
 
@@ -1012,6 +1013,41 @@ def detect_blacklisted_functions(sql: str) -> list[str]:
                 found.append(u)
     # SNOWFLAKE.CORTEX.X shows as SNOWFLAKE.CORTEX prefix via 2-part scan
     return sorted(set(found))
+
+
+_SNOWFLAKE_ONLY_STATEMENTS = {
+    # statement shape → what to use on Spark instead
+    ("COPY", "INTO"): "spark.read.<fmt>(...).write / df.write.<fmt>(...) "
+                      "(or sources.SourceCache for warehouse ingest)",
+    ("CREATE", "STAGE"): "direct paths with spark.read/write — Spark needs "
+                         "no named stage objects",
+    ("CREATE", "STREAM"): "Structured Streaming (streaming.stream_"
+                          "incremental_append / readStream) — change "
+                          "capture is checkpoint-based, not a STREAM object",
+    ("CREATE", "TASK"): "an external scheduler (cron/airflow) driving "
+                        "ProjectRunner — Spark has no task scheduler object",
+    ("CREATE", "PIPE"): "Structured Streaming file sources with "
+                        "availableNow triggers",
+}
+
+
+def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
+    """Statement-level Snowflake features with no Spark statement
+    equivalent. Returns (statement, suggestion) so callers raise an
+    actionable error instead of a Spark parse failure. Only the
+    statement HEAD is inspected (a column alias `stage` mid-query
+    never triggers)."""
+    for stmt in split_statements(tokenize(sql)):
+        words = [t.upper for t in stmt if t.kind == WORD][:4]
+        if not words:
+            continue
+        # normalize CREATE OR REPLACE X → CREATE X
+        if words[:3] == ["CREATE", "OR", "REPLACE"]:
+            words = ["CREATE"] + words[3:]
+        head = tuple(words[:2])
+        if head in _SNOWFLAKE_ONLY_STATEMENTS:
+            return (" ".join(head), _SNOWFLAKE_ONLY_STATEMENTS[head])
+    return None
 
 
 def detect_time_travel(sql: str) -> str | None:

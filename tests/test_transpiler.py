@@ -452,3 +452,28 @@ class TestDiv0AndParts:
             "TRUNCATE(3.14159, 2) AS d"
         )).collect()[0]
         assert r.p == 3 and r.n == -3 and abs(r.d - 3.14) < 1e-9
+
+
+class TestSnowflakeOnlyStatements:
+    def test_copy_into_actionable(self):
+        ok, err = t.can_transpile("COPY INTO t FROM @stage/file.csv")
+        assert not ok and "COPY INTO" in err and "spark.read" in err
+
+    def test_create_stream_actionable(self):
+        ok, err = t.can_transpile(
+            "CREATE OR REPLACE STREAM s ON TABLE orders"
+        )
+        assert not ok and "Structured Streaming" in err
+
+    def test_create_task_actionable(self):
+        ok, err = t.can_transpile("CREATE TASK t1 AS SELECT 1")
+        assert not ok and "scheduler" in err
+
+    def test_stage_as_alias_untouched(self):
+        # 'stage' mid-query must not trigger (statement-head only)
+        ok, _ = t.can_transpile("SELECT stage, COUNT(*) FROM t GROUP BY stage")
+        assert ok
+
+    def test_create_table_still_fine(self):
+        ok, _ = t.can_transpile("CREATE OR REPLACE TABLE x AS SELECT 1")
+        assert ok
