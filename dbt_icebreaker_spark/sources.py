@@ -22,6 +22,7 @@ import os
 import shutil
 import time
 from dataclasses import dataclass, field
+from functools import lru_cache
 from pathlib import Path
 from typing import Callable, Optional
 
@@ -34,34 +35,67 @@ TABLES = (
 )
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+# Runtime-settable SQL confs the engine requires on ANY session —
+# including sessions it did not create (the correctness driver owns
+# its own SparkSession and calls queries() with it, so the builder
+# confs in session.py never apply there). Both are plain SQL confs
+# that spark.conf.set accepts on a live session.
+_SESSION_CONFS = {
+    # parquet TIMESTAMP(NANOS) is otherwise PARQUET_TYPE_ILLEGAL for
+    # Spark's reader; read as long and convert in read_parquet.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB oracles compare naive UTC timestamps.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply required runtime confs to an arbitrary session (idempotent,
+    cheap: conf.get is a local lookup)."""
+    for k, v in _SESSION_CONFS.items():
+        try:
+            current = spark.conf.get(k, None)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them
-    as long (spark.sql.legacy.parquet.nanosAsLong) and we convert."""
+    as long (spark.sql.legacy.parquet.nanosAsLong) and we convert.
+    lru_cache: the footer never changes during a run and re-reading it
+    per query costs a pyarrow open per table (bench floor)."""
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
         schema = pq.read_schema(path)
-        return [
+        return tuple(
             f.name
             for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
+        )
     except Exception:
-        return []
+        return ()
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet + nanosecond-timestamp normalization (ns →
     microsecond TimestampType via integer div — same floor DuckDB's
-    TIMESTAMP_NS → µs fetch applies)."""
+    TIMESTAMP_NS → µs fetch applies). Works on sessions the engine did
+    not create: required confs are applied at runtime first."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 
-_registered: dict[tuple[int, str], str] = {}
+# Keyed by applicationId (stable for the session's lifetime) — id(spark)
+# can be reused by CPython after GC and false-hit the cache.
+_registered: dict[tuple[str, str], str] = {}
 
 
 def register_dir(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
@@ -71,7 +105,7 @@ def register_dir(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TAB
     Idempotent per (session, dir): re-registration re-reads 10 parquet
     footers and re-runs analysis (~0.5 s) — cached away since corpus
     queries call this per query."""
-    key = (id(spark), ",".join(tables))
+    key = (spark.sparkContext.applicationId, ",".join(tables))
     if _registered.get(key) == sf_dir:
         return
     for name in tables:
