@@ -9,6 +9,31 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 
+def clear_orphaned_location(spark: SparkSession, qualified_name: str) -> None:
+    """A managed table's directory can outlive its catalog entry (each
+    process is a fresh in-memory metastore over the persistent
+    warehouse dir); ``saveAsTable`` / ``ALTER TABLE RENAME`` then fail
+    with LOCATION_ALREADY_EXISTS. If the catalog does NOT know the
+    table but its conventional managed location exists, the dir is
+    orphaned — remove it so CREATE OR REPLACE semantics hold."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(qualified_name):
+        return  # mode("overwrite") handles a live table itself
+    parts = qualified_name.split(".")
+    if len(parts) != 2:
+        return
+    db, tbl = parts
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not wh:
+        return
+    loc = os.path.join(wh, f"{db}.db", tbl)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def generate_schema_name(target_schema: str, custom_schema: str | None = None) -> str:
     """M7: `target_schema` or `target_schema + "_" + custom_schema`
     (ref macros/adapters.sql:9-16, mirrored in connections.py:378-409).

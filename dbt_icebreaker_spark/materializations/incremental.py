@@ -32,6 +32,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ddl import clear_orphaned_location
+
 
 def _normalize_keys(unique_key: str | Sequence[str] | None) -> list[str]:
     if unique_key is None:
@@ -41,16 +43,53 @@ def _normalize_keys(unique_key: str | Sequence[str] | None) -> list[str]:
     return list(unique_key)
 
 
-def _staged_overwrite(spark: SparkSession, df: DataFrame, target: str) -> None:
+def _sync_partitions(spark: SparkSession, table: str) -> None:
+    """Re-point a renamed table's partition metadata at its moved
+    directory. Hive stores ABSOLUTE per-partition locations, so after
+    ALTER TABLE RENAME a partitioned table reads empty — worse,
+    dropping it would delete files at the stale locations (verified:
+    the un-repaired backup's DROP removed the live target's files).
+    No-op for unpartitioned tables."""
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    except Exception:
+        pass  # NOT_A_PARTITIONED_TABLE
+
+
+def _staged_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    partition_by: Optional[str] = None,
+) -> None:
     """Replace `target` with `df` even when df reads from target:
     write to a staging table first, then swap. Avoids Spark's
     cannot-overwrite-table-that-is-being-read error without caching
-    the whole result in memory."""
+    the whole result in memory.
+
+    Crash safety: the old table is renamed aside (not dropped) before
+    the staging table takes its name, and only dropped once the swap
+    completed — a crash mid-swap leaves the data in either the backup
+    or staging table instead of losing the target entirely. Partition
+    layout is preserved via ``partition_by`` (a partitioned table would
+    otherwise silently become unpartitioned after the first rewrite);
+    each rename is followed by a partition-metadata sync BEFORE the
+    backup is dropped — see _sync_partitions."""
     staging = f"{target}__icebreaker_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    df.write.mode("overwrite").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    backup = f"{target}__icebreaker_old"
+    for t in (staging, backup):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        clear_orphaned_location(spark, t)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.saveAsTable(staging)
+    if spark.catalog.tableExists(target):
+        spark.sql(f"ALTER TABLE {target} RENAME TO {backup}")
+        _sync_partitions(spark, backup)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+    _sync_partitions(spark, target)
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
 
 
 def _apply_schema_change(
@@ -135,6 +174,7 @@ def run_incremental(
 
     if not exists or full_refresh:
         # incremental.sql:73-94 — first run / --full-refresh ⇒ CTAS
+        clear_orphaned_location(spark, target)
         writer = new_rows.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -149,7 +189,7 @@ def run_incremental(
     if schema_widened and strategy == "append":
         # append can't widen in place on plain parquet — rewrite once
         result = old.unionByName(new_aligned)
-        _staged_overwrite(spark, result, target)
+        _staged_overwrite(spark, result, target, partition_by)
         return {
             "strategy": "append(schema-change rewrite)",
             "rows": spark.table(target).count(),
@@ -168,11 +208,15 @@ def run_incremental(
             parts = new_aligned.select(partition_by).distinct()
             kept = old.join(F.broadcast(parts), on=partition_by, how="left_anti")
         elif keys:
-            kept = old.join(new_aligned.select(keys).distinct(), on=keys, how="left_anti")
+            # new batch is usually small relative to the target ⇒
+            # broadcast its key set instead of shuffling the target
+            kept = old.join(
+                F.broadcast(new_aligned.select(keys).distinct()), on=keys, how="left_anti"
+            )
         else:
             raise ValueError("delete+insert needs unique_key or partition_by")
         result = kept.unionByName(new_aligned)
-        _staged_overwrite(spark, result, target)
+        _staged_overwrite(spark, result, target, partition_by)
         return {"strategy": "delete+insert", "rows": spark.table(target).count()}
 
     if strategy == "merge":
@@ -182,9 +226,11 @@ def run_incremental(
             # reference merge without unique_key degenerates to append
             new_aligned.write.mode("append").saveAsTable(target)
             return {"strategy": "merge(append)", "rows_appended": new_aligned.count()}
-        kept = old.join(new_aligned.select(keys).distinct(), on=keys, how="left_anti")
+        kept = old.join(
+            F.broadcast(new_aligned.select(keys).distinct()), on=keys, how="left_anti"
+        )
         result = kept.unionByName(new_aligned)
-        _staged_overwrite(spark, result, target)
+        _staged_overwrite(spark, result, target, partition_by)
         return {"strategy": "merge", "rows": spark.table(target).count()}
 
     raise ValueError(f"unknown incremental strategy: {strategy}")

@@ -27,9 +27,10 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .ddl import clear_orphaned_location
 from .incremental import _normalize_keys, _staged_overwrite
 
 META_COLS = ("dbt_valid_from", "dbt_valid_to", "dbt_scd_id", "dbt_updated_at")
@@ -89,8 +90,23 @@ def run_snapshot(
 
     staged = _with_meta(source, keys, strategy, updated_at, check_cols, now)
 
+    # One row per unique_key, keeping the latest dbt_valid_from (scd_id
+    # as deterministic tiebreak): a batch with duplicate keys would
+    # otherwise fan out the join against `current` — duplicated
+    # carried/closed rows and multiple open versions per key, silently
+    # corrupting SCD2 history (dbt's snapshot contract is 1 row/key).
+    dedup_w = Window.partitionBy(*keys).orderBy(
+        F.col("dbt_valid_from").desc(), F.col("dbt_scd_id").desc()
+    )
+    staged = (
+        staged.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
     if not spark.catalog.tableExists(target):
         # snapshot.sql:89-111 — first run CTAS
+        clear_orphaned_location(spark, target)
         staged.write.mode("overwrite").saveAsTable(target)
         return {"run": "first", "rows": spark.table(target).count()}
 

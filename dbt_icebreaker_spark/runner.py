@@ -78,27 +78,11 @@ class IcebreakerEngine:
 
     # ------------------------------------------------- materializations
     def _clear_orphaned_location(self, target: str) -> None:
-        """A managed table's directory can outlive its catalog entry
-        (each CLI invocation is a fresh in-memory metastore over the
-        persistent warehouse dir); `saveAsTable` then fails with
-        LOCATION_ALREADY_EXISTS. If the catalog does NOT know the
-        table but its conventional managed location exists, the dir is
-        orphaned — remove it so CREATE OR REPLACE semantics hold."""
-        import shutil
-        from urllib.parse import urlparse
+        """See materializations.ddl.clear_orphaned_location — shared
+        with the incremental/snapshot first-run paths."""
+        from .materializations.ddl import clear_orphaned_location
 
-        if self.spark.catalog.tableExists(target):
-            return  # mode("overwrite") handles a live table itself
-        parts = target.split(".")
-        if len(parts) != 2:
-            return
-        db, tbl = parts
-        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if not wh:
-            return
-        loc = os.path.join(wh, f"{db}.db", tbl)
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        clear_orphaned_location(self.spark, target)
 
     def run_model(
         self,
@@ -193,6 +177,7 @@ class IcebreakerEngine:
             .option("inferSchema", "true")
             .csv(path)
         )
+        self._clear_orphaned_location(target)
         df.write.mode("overwrite").saveAsTable(target)
         rows = self.spark.table(target).count()
         return RunResult(name, "seed", target, rows, time.time() - start)

@@ -314,3 +314,60 @@ class TestOnSchemaChange:
         assert set(t.columns) == {"k", "v", "score"}
         assert t.count() == 2
         assert "schema-change" in res.details["strategy"]
+
+
+class TestStagedOverwriteSafety:
+    """Regression tests for the staged-swap rewrite path: partition
+    layout must survive the rename dance (Hive keeps ABSOLUTE
+    per-partition locations — un-repaired, a renamed partitioned table
+    reads empty and dropping the backup deletes the live target's
+    files), and duplicate-key snapshot batches must not fan out."""
+
+    def test_partitioned_merge_keeps_partitioning_and_data(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.part_merge")
+        b1 = "SELECT event_id AS k, event_type, value FROM events WHERE event_id < 300"
+        b2 = "SELECT event_id AS k, event_type, value * 2 AS value FROM events WHERE event_id >= 200 AND event_id < 400"
+        engine.run_model("part_merge", b1, "incremental", unique_key="k",
+                         partition_by="event_type", incremental_strategy="merge",
+                         full_refresh=True)
+        engine.run_model("part_merge", b2, "incremental", unique_key="k",
+                         partition_by="event_type", incremental_strategy="merge")
+        t = spark.table(f"{sch}.part_merge")
+        assert t.count() == 400  # distinct event_id < 400
+        # partition layout preserved after the staged swap
+        ddl = spark.sql(f"SHOW CREATE TABLE {sch}.part_merge").collect()[0][0]
+        assert "PARTITIONED BY" in ddl and "event_type" in ddl
+        # third batch still works (backup/staging left no debris)
+        engine.run_model("part_merge", "SELECT 9999 AS k, 'click' AS event_type, 1.0 AS value",
+                         "incremental", unique_key="k",
+                         partition_by="event_type", incremental_strategy="merge")
+        assert spark.table(f"{sch}.part_merge").count() == 401
+        assert not spark.catalog.tableExists(f"{sch}.part_merge__icebreaker_stage")
+        assert not spark.catalog.tableExists(f"{sch}.part_merge__icebreaker_old")
+
+    def test_snapshot_duplicate_key_batch_dedupes(self, spark, engine):
+        import datetime as dt
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.snap_dup")
+        # batch contains every key TWICE (union with itself, one side
+        # modified) — staging must collapse to one row per key
+        src = """
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c_custkey, c_acctbal + 1 AS c_acctbal FROM customer WHERE c_custkey < 10
+        """
+        engine.run_snapshot("snap_dup", src, unique_key="c_custkey",
+                            strategy="check", check_cols=["c_acctbal"],
+                            now=dt.datetime(2026, 1, 1))
+        t = spark.table(f"{sch}.snap_dup")
+        assert t.count() == 10
+        assert t.filter("dbt_valid_to IS NULL").count() == 10
+        # second run with the same dup batch: scd ids unchanged for the
+        # surviving row per key ⇒ still exactly one open row per key
+        engine.run_snapshot("snap_dup", src, unique_key="c_custkey",
+                            strategy="check", check_cols=["c_acctbal"],
+                            now=dt.datetime(2026, 1, 2))
+        t = spark.table(f"{sch}.snap_dup")
+        assert t.filter("dbt_valid_to IS NULL").count() == 10
+        assert t.groupBy("c_custkey").count().filter("count > 2").count() == 0
