@@ -67,6 +67,17 @@ def _rename_funcs(tokens: Tokens, mapping: dict[str, str]) -> Tokens:
     out: Tokens = []
     for i, t in enumerate(tokens):
         if t.kind == WORD and t.upper in mapping and _is_call(tokens, i, t.upper):
+            if t.upper == "INSERT":
+                # Snowflake's INSERT(base,pos,len,repl) string function
+                # shares its name with INSERT DML. Only rewrite in
+                # expression context: `WHEN NOT MATCHED THEN INSERT
+                # (cols) VALUES …` and statement-leading INSERT must
+                # pass through untouched or valid MERGE/INSERT DML
+                # becomes overlay(...) garbage.
+                p = prev_code(tokens, i - 1)
+                if p < 0 or tokens[p].upper == "THEN":
+                    out.append(t)
+                    continue
             out.append(_word(mapping[t.upper]))
         else:
             out.append(t)
@@ -431,10 +442,35 @@ def rewrite_variant_funcs(tokens: Tokens) -> Tokens:
 
 # ------------------------------------------------------------------- T8
 def rewrite_array_construct(tokens: Tokens) -> Tokens:
-    """ARRAY_CONSTRUCT(…) → ARRAY(…) (ref transpiler.py:294-302)."""
-    return _rename_funcs(tokens, {
+    """ARRAY_CONSTRUCT(…) → ARRAY(…) (ref transpiler.py:294-302);
+    ARRAY_CONSTRUCT_COMPACT(…) → filter(array(…), x -> x IS NOT NULL)
+    (Spark-native NULL-dropping equivalent)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == WORD
+            and t.upper == "ARRAY_CONSTRUCT_COMPACT"
+            and _is_call(tokens, i, t.upper)
+        ):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            inner = rewrite_array_construct(tokens[op_i + 1:close])
+            out += (
+                [_word("filter"), _op("("), _word("array"), _op("(")]
+                + inner
+                + [_op(")"), _op(","), _sp(), _word("__x"), _sp(), _op("->"),
+                   _sp(), _word("__x"), _sp(), _word("IS"), _sp(),
+                   _word("NOT"), _sp(), _word("NULL"), _op(")")]
+            )
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return _rename_funcs(out, {
         "ARRAY_CONSTRUCT": "ARRAY",
-        "ARRAY_CONSTRUCT_COMPACT": "ARRAY_COMPACT_X",  # not supported; detect below
         "ARRAY_CAT": "CONCAT",
         "ARRAY_TO_STRING": "ARRAY_JOIN",
     })

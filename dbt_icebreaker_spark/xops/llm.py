@@ -52,17 +52,19 @@ def _stub_endpoint(task: str, payload: pd.Series) -> pd.Series:
     return payload.map(one)
 
 
-def _call(task: str, payload: pd.Series) -> pd.Series:
-    fn = _endpoint or _stub_endpoint
-    return fn(task, payload)
-
-
 def _make_udf(task: str):
+    # Capture the endpoint at UDF-definition time: pandas UDFs run in
+    # separate Python worker processes where this module is re-imported
+    # fresh (module-global _endpoint would silently revert to the
+    # stub). cloudpickle ships the captured callable to the workers —
+    # so a real endpoint must be picklable.
+    fn = _endpoint or _stub_endpoint
+
     @pandas_udf("string")
     def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # iterator form: endpoint/client initialized once per worker
         for s in batches:
-            yield _call(task, s)
+            yield fn(task, s)
 
     return run
 
@@ -100,24 +102,46 @@ def cached_apply(
     appears in the Parquet cache skip the endpoint; only misses call
     the model, then the cache is appended. At 100 TB this is the
     difference between re-paying the whole corpus per run and paying
-    the delta."""
-    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    the delta.
+
+    The endpoint is paid exactly once per distinct missing text: miss
+    results are materialized INTO the cache first, then all rows read
+    their result back from the refreshed cache — returning the lazy
+    `computed` plan directly would re-invoke the endpoint when the
+    caller consumes the DataFrame (twice per miss, and a
+    non-deterministic endpoint could return values that differ from
+    what was cached). Cache membership is decided by a join match
+    indicator, not result NULL-ness, so a legitimately-NULL cached
+    result is still a hit."""
+    # sentinel for NULL text: md5(NULL) is NULL and NULL join keys
+    # never match, so NULL-text rows would re-miss every run
+    hashed = df.withColumn(
+        "__h", F.md5(F.coalesce(F.col(text_col), F.lit("\x00__null__")))
+    )
     try:
         cache = spark.read.parquet(cache_path).select("__h", "__result")
     except Exception:
         cache = None
     if cache is not None:
-        hit = hashed.join(F.broadcast(cache), "__h", "left")
-        misses = hit.filter(F.col("__result").isNull()).drop("__result")
+        marker = cache.select("__h").withColumn("__cached", F.lit(True))
+        misses = (
+            hashed.join(F.broadcast(marker), "__h", "left")
+            .filter(F.col("__cached").isNull())
+            .drop("__cached")
+        )
     else:
-        hit = None
         misses = hashed
-    computed = misses.withColumn("__result", _make_udf(task)(F.col(text_col)))
-    new_cache = computed.select("__h", "__result").distinct()
-    new_cache.write.mode("append").parquet(cache_path)
-    if hit is not None:
-        hits_only = hit.filter(F.col("__result").isNotNull())
-        result = hits_only.unionByName(computed)
-    else:
-        result = computed
+    miss_payloads = misses.select("__h", text_col).distinct()
+    computed = miss_payloads.select(
+        "__h", _make_udf(task)(F.col(text_col)).alias("__result")
+    )
+    computed.write.mode("append").parquet(cache_path)
+    # one result per hash even if appends ever duplicate (max ties
+    # deterministically; NULL results survive as NULL)
+    full_cache = (
+        spark.read.parquet(cache_path)
+        .groupBy("__h")
+        .agg(F.max("__result").alias("__result"))
+    )
+    result = hashed.join(full_cache, "__h", "left")
     return result.drop("__h").withColumnRenamed("__result", f"{task}_result")

@@ -477,3 +477,43 @@ class TestSnowflakeOnlyStatements:
     def test_create_table_still_fine(self):
         ok, _ = t.can_transpile("CREATE OR REPLACE TABLE x AS SELECT 1")
         assert ok
+
+
+class TestInsertContext:
+    """INSERT is both Snowflake's string function and DML — only the
+    expression form may become overlay()."""
+
+    def test_merge_insert_clause_untouched(self):
+        merge = (
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v, a, b) VALUES (s.id, s.v, s.a, s.b)"
+        )
+        out = t.to_spark(merge)
+        assert "overlay" not in out.lower()
+        assert "INSERT (id, v, a, b)" in out
+        ok, _ = t.can_transpile(merge)
+        assert ok
+
+    def test_insert_into_statement_untouched(self):
+        out = t.to_spark("INSERT INTO t SELECT * FROM s")
+        assert "overlay" not in out.lower()
+
+    def test_insert_function_still_rewrites(self):
+        out = t.to_spark("SELECT INSERT(name, 2, 3, 'xy') FROM t")
+        assert "overlay(name" in out.lower().replace(" ", "").replace("overlay(name", "overlay(name")
+        assert "overlay" in out.lower()
+
+
+class TestArrayConstructCompact:
+    def test_rewrites_to_filter(self):
+        out = t.to_spark("SELECT ARRAY_CONSTRUCT_COMPACT(1, NULL, 2) AS a")
+        assert "ARRAY_COMPACT_X" not in out
+        assert "filter(array(" in out.lower().replace(" ", "")
+
+    def test_nested_array_construct(self, spark):
+        out = t.to_spark(
+            "SELECT ARRAY_CONSTRUCT_COMPACT(1, NULL, 2, NULL) AS a"
+        )
+        rows = spark.sql(out).collect()
+        assert rows[0].a == [1, 2]

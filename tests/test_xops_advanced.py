@@ -103,3 +103,43 @@ class TestIvfTopk:
         a = similarity.ivf_topk(emb, q, k=3).collect()
         b = similarity.ivf_topk(emb, q, k=3).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestLlmCache:
+    """cached_apply must pay the endpoint exactly once per distinct
+    missing text — not twice per miss (cache write + caller consume) —
+    and a cached NULL result must count as a hit."""
+
+    def test_endpoint_paid_once_per_distinct_miss(self, spark, tmp_path):
+        from dbt_icebreaker_spark.xops import llm
+
+        calls_log = tmp_path / "calls.log"
+
+        def counting_endpoint(task, payload):
+            import pandas as pd
+            with open(calls_log, "a") as f:
+                for v in payload:
+                    f.write(f"{v}\n")
+            return payload.map(lambda t: None if t is None else f"r:{t}")
+
+        llm.set_endpoint(counting_endpoint)
+        try:
+            cache_path = str(tmp_path / "cache")
+            df = spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "a"), (4, None)], "id long, txt string"
+            )
+            out1 = llm.cached_apply(spark, df, "id", "txt", "complete", cache_path)
+            rows1 = {r.id: r.complete_result for r in out1.collect()}
+            assert rows1 == {1: "r:a", 2: "r:b", 3: "r:a", 4: None}
+            n_calls_run1 = len(calls_log.read_text().splitlines())
+            # 3 distinct texts (a, b, NULL) — consuming the result must
+            # not have re-invoked the endpoint
+            assert n_calls_run1 == 3
+
+            # second run: everything (including the NULL result) is a hit
+            out2 = llm.cached_apply(spark, df, "id", "txt", "complete", cache_path)
+            assert {r.id: r.complete_result for r in out2.collect()} == rows1
+            assert len(calls_log.read_text().splitlines()) == n_calls_run1
+        finally:
+            llm.set_endpoint(None)
+    # noqa: set_endpoint(None) restores the stub via `_endpoint or _stub_endpoint`
