@@ -103,10 +103,19 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     band (md5 of r=n_hashes/bands consecutive signature values) become
     a candidate pair. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    Hot-bucket bound: buckets up to ``max_bucket_size`` emit exact
+    all-pairs; larger buckets (empty/boilerplate docs hashing to one
+    band key — the quadratic + giant-collect_list OOM risk at scale)
+    degrade to star pairs (bucket_min_id, id) — connectivity (and thus
+    downstream clustering) is preserved with O(bucket) pairs and
+    graph diameter 2 (a chain would stall label propagation), and the
+    member list is never materialized.
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
@@ -130,27 +139,37 @@ def minhash_lsh_pairs(
     )
     # group-collect instead of self-join: the signature subtree is
     # evaluated ONCE (a self-join would recompute it per side), and
-    # in-bucket pair generation is a double explode of the (small)
-    # bucket member list. Degenerate hot buckets are the quadratic
-    # risk at scale — bound them if needed by salting or capping
-    # bucket size; AQE splits the skewed explode output.
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") >= 2)
+    # in-bucket pair generation is a double explode of the bucket
+    # member list — bounded by max_bucket_size, so no giant-array row.
+    # Bucket size is computed streaming in the same window shuffle as
+    # the member rank (one exchange, two sorts).
+    size_w = Window.partitionBy("band", "band_key")
+    ranked = banded.withColumn("__sz", F.count("*").over(size_w)).withColumn(
+        "__anchor", F.min(F.col(id_col)).over(size_w)
     )
-    pairs = (
-        buckets.select(F.posexplode("ids").alias("pos", "doc_a"), F.col("ids"))
+    small_buckets = (
+        ranked.where((F.col("__sz") >= 2) & (F.col("__sz") <= max_bucket_size))
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+    )
+    pairs_exact = (
+        small_buckets.select(F.posexplode("ids").alias("pos", "doc_a"), F.col("ids"))
         .select(
             F.col("doc_a"),
             F.explode(F.slice(F.col("ids"), F.col("pos") + 2, F.size("ids"))).alias(
                 "doc_b"
             ),
         )
+    )
+    pairs_star = (
+        ranked.where((F.col("__sz") > max_bucket_size) & (F.col(id_col) != F.col("__anchor")))
+        .select(F.col("__anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    return (
+        pairs_exact.unionByName(pairs_star)
         .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
         .distinct()
     )
-    return pairs
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

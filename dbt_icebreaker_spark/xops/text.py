@@ -140,14 +140,18 @@ def tfidf_top_terms(
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
-    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0].n
+    # corpus size as a broadcast 1-row crossJoin, NOT a driver
+    # collect(): keeps the op one lazy plan (no extra job, composable
+    # downstream)
+    n_docs = df.select(F.countDistinct(F.col(id_col)).cast("double").alias("__n_docs"))
     scored = (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.col("tf")
-            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_docs") + 1.0)),
+            F.col("tf") * F.log((F.col("__n_docs") + 1.0) / (F.col("df_docs") + 1.0)),
         )
+        .drop("__n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")

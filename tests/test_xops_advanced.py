@@ -143,3 +143,35 @@ class TestLlmCache:
         finally:
             llm.set_endpoint(None)
     # noqa: set_endpoint(None) restores the stub via `_endpoint or _stub_endpoint`
+
+
+class TestLshBucketCap:
+    """Oversized LSH buckets (500 identical docs → one band key per
+    band) must not materialize a giant member array; chain pairs keep
+    the bucket connected with O(n) pairs instead of O(n^2)."""
+
+    def test_degenerate_corpus_bounded(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "the same exact boilerplate text repeated everywhere") for i in range(500)],
+            "doc_id long, text string",
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", max_bucket_size=50
+        )
+        n_pairs = pairs.count()
+        # chain mode: far below the 124,750 all-pairs blowup
+        assert 0 < n_pairs < 5000
+        # connectivity preserved: one component spanning all 500 docs
+        clusters = dedup.dedup_clusters(pairs, docs, "doc_id")
+        assert clusters.select("cluster_id").distinct().count() == 1
+        assert clusters.count() == 500
+
+    def test_small_buckets_still_exact(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon zeta"),
+             (3, "totally different words entirely here now")],
+            "doc_id long, text string",
+        )
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
