@@ -213,28 +213,37 @@ def ngram_jaccard_pairs(
     shingle index (docs sharing ≥1 shingle), so disjoint docs never
     pair — still worst-case quadratic for near-identical corpora; use
     minhash_lsh_pairs as the prefilter at scale.
+
+    Each side carries its shingle count (one window over the shingle
+    rows), enabling (a) the lossless size-ratio prune in the join
+    condition — J ≥ t implies t·max(|A|,|B|) ≤ min(|A|,|B|), so
+    mismatched-size pairs are dropped before the pair aggregation —
+    and (b) folding the sizes into the groupBy keys, which removes the
+    two post-aggregation size-lookup joins the op otherwise needs.
     Output: (doc_a, doc_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, k=k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh = word_shingles(df, id_col, text_col, k=k).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy(id_col))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
         )
         .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count("*").alias("n_shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    out = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+    return (
+        shared.withColumn(
             "jaccard",
             (F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))).cast("double"),
         )
@@ -243,7 +252,6 @@ def ngram_jaccard_pairs(
             F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
         )
     )
-    return out
 
 
 def embedding_neardup_pairs(
@@ -305,7 +313,9 @@ def dedup_clusters(
       (near-dup clusters are shallow: a handful of rounds);
     - ``localCheckpoint`` truncates lineage each round — without it
       the plan doubles per iteration and Catalyst analysis time
-      explodes long before data does;
+      explodes long before data does; the checkpoint is LAZY and the
+      convergence agg materializes it, so each round is ONE Spark job
+      (eager checkpointing would double the job count);
     - convergence is detected via sum(label), which is strictly
       decreasing until fixpoint (labels only ever decrease) — one
       cheap agg instead of a change-count join.
@@ -322,7 +332,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -339,7 +349,7 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
