@@ -4,6 +4,7 @@ data-processing capabilities of tysondoberneck/dbt-icebreaker.
 Blueprint: SURVEY.md. Reference (read-only): /root/reference/.
 """
 
+from .errors import ExecutionError, IcebreakerError
 from .runner import IcebreakerEngine, RunResult
 from .session import get_spark
 from .transpiler import Transpiler, TranspileError, UnsupportedFunctionError
@@ -13,6 +14,8 @@ __version__ = "0.1.0"
 __all__ = [
     "IcebreakerEngine",
     "RunResult",
+    "IcebreakerError",
+    "ExecutionError",
     "get_spark",
     "Transpiler",
     "TranspileError",

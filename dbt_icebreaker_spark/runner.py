@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .errors import raise_classified
 from .materializations.ddl import Ddl, generate_schema_name
 from .materializations.incremental import run_incremental
 from .materializations.snapshot import run_snapshot
@@ -59,10 +60,16 @@ class IcebreakerEngine:
 
     def execute(self, sql: str) -> DataFrame:
         """Transpile Snowflake SQL and run it. Multi-statement scripts
-        run per statement (T17); the last statement's result returns."""
+        run per statement (T17); the last statement's result returns.
+        Analysis failures (typo'd column, unknown function/table, …)
+        raise actionable ExecutionErrors instead of raw
+        AnalysisExceptions (ref connections.py:352-371)."""
         result: DataFrame | None = None
         for stmt in self.transpiler.to_spark_statements(sql):
-            result = self.spark.sql(stmt)
+            try:
+                result = self.spark.sql(stmt)
+            except Exception as e:  # classified or re-raised unchanged
+                raise_classified(e, stmt)
         if result is None:
             raise ValueError("empty SQL")
         return result
@@ -112,22 +119,28 @@ class IcebreakerEngine:
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(partition_by)
-            writer.saveAsTable(target)
+            try:  # runtime failures (e.g. bad cast) → actionable error
+                writer.saveAsTable(target)
+            except Exception as e:
+                raise_classified(e, sql)
             rows = self.spark.table(target).count()
             return RunResult(name, "table", target, rows, time.time() - start)
 
         if materialization == "incremental":
             # M3
-            details = run_incremental(
-                self.spark,
-                target,
-                df,
-                strategy=incremental_strategy,
-                unique_key=unique_key,
-                partition_by=partition_by,
-                full_refresh=full_refresh,
-                on_schema_change=on_schema_change,
-            )
+            try:
+                details = run_incremental(
+                    self.spark,
+                    target,
+                    df,
+                    strategy=incremental_strategy,
+                    unique_key=unique_key,
+                    partition_by=partition_by,
+                    full_refresh=full_refresh,
+                    on_schema_change=on_schema_change,
+                )
+            except Exception as e:
+                raise_classified(e, sql)
             rows = self.spark.table(target).count()
             return RunResult(name, "incremental", target, rows, time.time() - start, details)
 

@@ -1,0 +1,78 @@
+"""Runtime error classifier (ref errors.py:11-64 shape,
+connections.py:352-371 classification): each common failure class must
+surface an actionable message — what's wrong AND what to do — instead
+of a raw AnalysisException."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_icebreaker_spark import ExecutionError, IcebreakerEngine
+from dbt_icebreaker_spark.errors import classify_execution_error
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = IcebreakerEngine(spark, schema="err_test")
+    spark.createDataFrame(
+        [(1, "a", "7"), (2, "b", "not-a-number")],
+        "id long, name string, raw string",
+    ).createOrReplaceTempView("err_src")
+    yield eng
+    spark.sql("DROP DATABASE IF EXISTS err_test CASCADE")
+
+
+def _err(engine, sql, materialization="view", **kw) -> ExecutionError:
+    with pytest.raises(ExecutionError) as ei:
+        engine.execute(sql).collect()
+    return ei.value
+
+
+class TestFiveFailureClasses:
+    def test_unresolved_column(self, engine):
+        e = _err(engine, "SELECT missing_col FROM err_src")
+        assert e.condition.startswith("UNRESOLVED_COLUMN")
+        assert "missing_col" in e.message
+        # Spark's did-you-mean candidates surface in the message
+        assert "Did you mean" in e.message or "Check the column" in e.suggestion
+        assert "WHERE" in e.suggestion  # alias-in-WHERE gotcha explained
+
+    def test_unresolved_function(self, engine):
+        e = _err(engine, "SELECT totally_fake_fn(id) FROM err_src")
+        assert e.condition == "UNRESOLVED_ROUTINE"
+        assert "totally_fake_fn" in e.message
+        assert "can_transpile" in e.suggestion
+
+    def test_table_not_found(self, engine):
+        e = _err(engine, "SELECT * FROM err_test.nope_not_here")
+        assert e.condition.startswith("TABLE_OR_VIEW_NOT_FOUND")
+        assert "register_dir" in e.suggestion
+
+    def test_bad_cast_at_runtime(self, engine, spark):
+        # CAST_INVALID_INPUT raises at action time, inside run_model
+        with pytest.raises(ExecutionError) as ei:
+            engine.run_model(
+                "bad_cast", "SELECT CAST(raw AS INT) AS n FROM err_src", "table"
+            )
+        assert ei.value.condition.startswith("CAST_INVALID_INPUT")
+        assert "TRY_CAST" in ei.value.suggestion
+
+    def test_parse_error(self, engine):
+        e = _err(engine, "SELEC 1")
+        assert e.condition.startswith("PARSE_SYNTAX_ERROR")
+        assert "transpiler" in e.suggestion
+
+
+class TestClassifierContract:
+    def test_unrecognized_errors_pass_through(self):
+        assert classify_execution_error(ValueError("boom")) is None
+
+    def test_original_exception_chained(self, engine):
+        with pytest.raises(ExecutionError) as ei:
+            engine.execute("SELECT missing FROM err_src")
+        assert ei.value.__cause__ is not None
+
+    def test_format_has_error_and_suggestion_sections(self, engine):
+        e = _err(engine, "SELECT missing FROM err_src")
+        s = str(e)
+        assert s.startswith("Error:") and "Suggestion:" in s
