@@ -25,6 +25,7 @@ from pyspark.sql import SparkSession
 
 from ..transpiler import Transpiler
 from .state import CrashWal
+from .telemetry import TelemetryStore
 
 # complexity regex classes mirror memory_guard.py:112-152
 _RE_JOIN = re.compile(r"\bJOIN\b", re.I)
@@ -105,15 +106,27 @@ class Advice:
 # broadcast() up to 8× that for dimension tables
 BROADCAST_HINT_BYTES = 80 * 1024 * 1024
 
+# measured-run gates — same thresholds as the reference's traffic
+# controller (traffic.py:30-43: max_local_seconds=600,
+# max_spill_bytes=1 GiB)
+MAX_RUNTIME_S = 600.0
+MAX_SPILL_BYTES = 1024**3
+
 
 class Advisor:
     """Static analysis in the shape of AutoRouter.explain
     (ref auto_router.py:424-459) + TrafficController gates
     (traffic.py:96-152), emitting plan advice for the one engine."""
 
-    def __init__(self, spark: SparkSession, wal: Optional[CrashWal] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal: Optional[CrashWal] = None,
+        telemetry: Optional[TelemetryStore] = None,
+    ):
         self.spark = spark
         self.wal = wal
+        self.telemetry = telemetry
         self.transpiler = Transpiler()
 
     # ---- volume estimation (R4: ref catalog_scanner.py:51-234) ----
@@ -200,6 +213,36 @@ class Advisor:
                 f"partitions ≈ {max(32, input_bytes // (128 * 1024**2))} "
                 "(~128 MB each) and prefer partition-pruned predicates"
             )
+
+        # measured-run gates (R5: ref traffic.py:30-43 thresholds fed
+        # by metadata.py's harvested stats) — advice from what the
+        # model actually did last run, not the static estimate
+        last = self.telemetry.last(model) if self.telemetry is not None else None
+        if last:
+            dur = last.get("duration_s", 0.0)
+            spill = last.get("spill_bytes", 0.0)
+            shuffle_b = last.get("shuffle_write_bytes", 0.0)
+            peak = last.get("peak_memory_bytes", 0.0)
+            hints.append(
+                f"measured last run: {dur:.1f}s, {last.get('rows', 0)} rows, "
+                f"shuffle {shuffle_b / 1e6:.1f} MB, spill {spill / 1e6:.1f} MB, "
+                f"peak memory {peak / 1e6:.1f} MB"
+            )
+            if dur > MAX_RUNTIME_S:
+                warnings.append(
+                    f"measured runtime {dur:.0f}s exceeds the {MAX_RUNTIME_S:.0f}s "
+                    "gate — split the model or pre-aggregate its heaviest input"
+                )
+            if spill > MAX_SPILL_BYTES:
+                warnings.append(
+                    f"measured spill {spill / 1024**3:.1f} GiB exceeds the 1 GiB "
+                    "gate — raise spark.sql.shuffle.partitions or executor memory"
+                )
+            elif spill > 0:
+                hints.append(
+                    f"last run spilled {spill / 1e6:.1f} MB — partitions are "
+                    "near the memory ceiling; watch this model as data grows"
+                )
 
         if available_memory_bytes is not None and est_memory > available_memory_bytes * 0.8:
             warnings.append(

@@ -24,6 +24,7 @@ from .errors import raise_classified
 from .materializations.ddl import Ddl, generate_schema_name
 from .materializations.incremental import run_incremental
 from .materializations.snapshot import run_snapshot
+from .observability.telemetry import TelemetryStore, harvest_last_execution
 from .transpiler import Transpiler
 
 
@@ -47,12 +48,19 @@ class IcebreakerEngine:
     dev_mode: bool = False
     dev_sample_size: int = 10_000
     custom_schema: Optional[str] = None
+    # R5: per-run measured metrics (shuffle/spill/peak memory) recorded
+    # here and consumed by Advisor for runtime-derived gates
+    telemetry: Optional["TelemetryStore"] = None
 
     def __post_init__(self) -> None:
         self.transpiler = Transpiler()
         self.ddl = Ddl(self.spark)
         self.effective_schema = generate_schema_name(self.schema, self.custom_schema)
         self.ddl.create_schema(self.effective_schema)
+
+    def _record_run(self, name: str, start: float, rows: int, metrics: dict) -> None:
+        if self.telemetry is not None:
+            self.telemetry.record(name, time.time() - start, rows, metrics)
 
     # -------------------------------------------------------- execute
     def sql_to_spark(self, sql: str) -> str:
@@ -123,7 +131,11 @@ class IcebreakerEngine:
                 writer.saveAsTable(target)
             except Exception as e:
                 raise_classified(e, sql)
+            # harvest the WRITE execution's metrics before the row
+            # count runs its own execution
+            metrics = harvest_last_execution(self.spark) if self.telemetry else {}
             rows = self.spark.table(target).count()
+            self._record_run(name, start, rows, metrics)
             return RunResult(name, "table", target, rows, time.time() - start)
 
         if materialization == "incremental":
@@ -141,7 +153,9 @@ class IcebreakerEngine:
                 )
             except Exception as e:
                 raise_classified(e, sql)
+            metrics = harvest_last_execution(self.spark) if self.telemetry else {}
             rows = self.spark.table(target).count()
+            self._record_run(name, start, rows, metrics)
             return RunResult(name, "incremental", target, rows, time.time() - start, details)
 
         if materialization == "ephemeral":

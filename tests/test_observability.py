@@ -252,3 +252,68 @@ class TestHealth:
         out = health_check(sync_ledger=p)
         # 90% success → WARN band (≥80 <95, ref health_check.py:262-263)
         assert out["checks"][0]["status"] == "warning"
+
+
+class TestTelemetry:
+    """R5 (ref metadata.py:45-267 + traffic.py:30-43): per-run metrics
+    are MEASURED from Spark's SQL execution store, persisted, and the
+    advisor's second-run advice derives from them."""
+
+    def test_second_run_advice_uses_measured_metrics(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.observability.advisor import Advisor
+        from dbt_icebreaker_spark.observability.telemetry import TelemetryStore
+        from dbt_icebreaker_spark.sources import register_dir
+
+        store = TelemetryStore(path=str(tmp_path / "telemetry.json"))
+        eng = IcebreakerEngine(spark, schema="tele_test", telemetry=store)
+        register_dir(spark, "/root/testdata/sf0.001")
+        sql = (
+            "SELECT o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS total "
+            "FROM orders GROUP BY o_orderpriority"
+        )
+        advisor = Advisor(spark, telemetry=store)
+
+        # before any run: advice has no measured hint
+        a0 = advisor.advise("tele_model", sql)
+        assert not any("measured last run" in h for h in a0.hints)
+
+        res = eng.run_model("tele_model", sql, "table")
+        assert res.rows == 5
+
+        rec = store.last("tele_model")
+        assert rec is not None
+        assert rec["duration_s"] > 0
+        assert rec["rows"] == 5
+        # groupBy shuffles: the write execution must show real
+        # shuffle-write bytes, proving metrics come from measurement
+        assert rec["shuffle_write_bytes"] > 0
+
+        a1 = advisor.advise("tele_model", sql)
+        measured = [h for h in a1.hints if "measured last run" in h]
+        assert measured and "shuffle" in measured[0]
+        spark.sql("DROP DATABASE IF EXISTS tele_test CASCADE")
+
+    def test_spill_gate_warning(self, tmp_path):
+        from dbt_icebreaker_spark.observability.telemetry import TelemetryStore
+
+        store = TelemetryStore(path=str(tmp_path / "t.json"))
+        store.record("spilly", 12.0, 100, {"spill_bytes": 2.5 * 1024**3})
+        # advisor gate fires without a SparkSession dependency on the
+        # telemetry path — construct with a None spark only for advise
+        from dbt_icebreaker_spark.observability.advisor import Advisor
+
+        adv = Advisor(spark=None, telemetry=store)
+        a = adv.advise("spilly", "SELECT 1")
+        assert any("exceeds the 1 GiB" in w for w in a.warnings)
+
+    def test_metric_parsing(self):
+        from dbt_icebreaker_spark.observability.telemetry import _parse_metric
+
+        assert _parse_metric("112.1 KiB") == 112.1 * 1024
+        assert _parse_metric("6,000") == 6000
+        assert _parse_metric("0.0 B") == 0
+        assert (
+            _parse_metric("total (min, med, max (stageId: taskId))\n16.5 MiB (1 MiB, 2 MiB, 3 MiB)")
+            == 16.5 * 1024**2
+        )
