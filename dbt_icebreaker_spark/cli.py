@@ -157,6 +157,43 @@ def cmd_summary(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Drive a verified, Kahn-ordered sync (ref cli.py:283-488 sync +
+    verify): copy tables to a target schema prefix or a parquet dir,
+    verify row counts, record the ledger. Table specs may declare
+    upstream deps as 'table:dep1,dep2'."""
+    from .session import get_spark
+    from .sync import (
+        SyncConfig,
+        SyncManager,
+        parquet_roundtrip_writer,
+        spark_table_writer,
+    )
+
+    spark = get_spark(app_name="sync")
+    if args.parquet_dir:
+        writer, counter = parquet_roundtrip_writer(spark, args.parquet_dir)
+    else:
+        writer, counter = spark_table_writer(spark, args.target_prefix)
+    mgr = SyncManager(
+        spark,
+        writer,
+        counter,
+        SyncConfig(ledger_path=os.path.join(STATE_DIR, "sync.db")),
+    )
+    deps: dict[str, list[str]] = {}
+    for spec in args.tables:
+        if ":" in spec:
+            t, d = spec.split(":", 1)
+            deps[t] = [x for x in d.split(",") if x]
+        else:
+            deps[spec] = []
+    results = mgr.sync_all(deps)
+    ok = bool(results) and all(r["status"] == "success" for r in results)
+    print(json.dumps({"ok": ok, "results": results}, indent=2))
+    return 0 if ok else 1
+
+
 def cmd_sync_status(args) -> int:
     """Sync ledger success rate + recent entries (ref
     sync_manager.py:258-414, cli.py:283-378)."""
@@ -260,6 +297,15 @@ def main(argv: list[str] | None = None) -> int:
 
     mp = sub.add_parser("summary", help="latest run-session summaries")
     mp.set_defaults(fn=cmd_summary)
+
+    sy = sub.add_parser("sync", help="verified table sync (Kahn-ordered)")
+    sy.add_argument("tables", nargs="+",
+                    help="source tables, optionally 'table:dep1,dep2'")
+    sy.add_argument("--target-prefix", default="synced_",
+                    help="prefix/schema for saveAsTable targets")
+    sy.add_argument("--parquet-dir", default=None,
+                    help="sync via parquet round-trip to this dir instead")
+    sy.set_defaults(fn=cmd_sync)
 
     yp = sub.add_parser("sync-status", help="sync ledger status")
     yp.add_argument("--limit", type=int, default=10)

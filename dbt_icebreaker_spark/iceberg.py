@@ -34,9 +34,13 @@ class IcebergConfig:
     uri: Optional[str] = None
     warehouse: Optional[str] = None
     token: Optional[str] = None
+    # OAuth client credential — the reference's TOKEN/CREDENTIAL
+    # either-or (connections.py:1030-1033)
+    credential: Optional[str] = None
     s3_access_key: Optional[str] = None
     s3_secret_key: Optional[str] = None
     s3_endpoint: Optional[str] = None
+    s3_region: Optional[str] = None
     properties: dict[str, str] = field(default_factory=dict)
 
 
@@ -58,14 +62,18 @@ def catalog_conf(cfg: IcebergConfig) -> dict[str, str]:
         conf[f"{base}.warehouse"] = cfg.warehouse
     if cfg.token:
         conf[f"{base}.token"] = cfg.token
-    # S3 creds via hadoop fs conf (ref connections.py:1038-1055 sets
-    # the same creds on the DuckDB secret)
+    elif cfg.credential:  # TOKEN wins over CREDENTIAL (ref :1030-1033)
+        conf[f"{base}.credential"] = cfg.credential
+    # S3 creds via hadoop fs conf (ref connections.py:1012-1017 sets
+    # the same creds on the DuckDB session)
     if cfg.s3_access_key:
         conf["spark.hadoop.fs.s3a.access.key"] = cfg.s3_access_key
     if cfg.s3_secret_key:
         conf["spark.hadoop.fs.s3a.secret.key"] = cfg.s3_secret_key
     if cfg.s3_endpoint:
         conf["spark.hadoop.fs.s3a.endpoint"] = cfg.s3_endpoint
+    if cfg.s3_region:
+        conf["spark.hadoop.fs.s3a.endpoint.region"] = cfg.s3_region
     for k, v in cfg.properties.items():
         conf[f"{base}.{k}"] = v
     return conf

@@ -175,6 +175,25 @@ class SourceCache:
         age_h = (time.time() - entry["cached_at"]) / 3600.0
         return age_h < self.config.ttl_hours and os.path.exists(entry["path"])
 
+    @staticmethod
+    def _downcast_variants(df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """VARIANT/OBJECT/ARRAY handling at ingest (S2: ref
+        source_cache.py:224-308 wraps such columns in TO_VARCHAR so the
+        cache holds JSON text). Spark equivalent: struct/map/array
+        columns become to_json strings, so cached sources obey the
+        engine's VARIANT-as-JSON-string model and `col:path::type`
+        extraction works on them."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        variant_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        for c in variant_cols:
+            df = df.withColumn(c, F.to_json(F.col(c)))
+        return df, variant_cols
+
     def cache_table(self, db: str, schema: str, table: str, force: bool = False) -> str:
         """Materialize a remote table to local snappy parquet (S2: ref
         source_cache.py:163-222). Returns the local path."""
@@ -185,7 +204,7 @@ class SourceCache:
                 f"source {db}.{schema}.{table} not cached and no fetch "
                 "callback configured (no warehouse connection available)"
             )
-        df = self.fetch(db, schema, table)
+        df, _variant_cols = self._downcast_variants(self.fetch(db, schema, table))
         dest = self._table_dir(db, schema, table)
         dest.parent.mkdir(parents=True, exist_ok=True)
         df.write.mode("overwrite").option("compression", "snappy").parquet(str(dest))
