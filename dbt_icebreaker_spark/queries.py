@@ -1054,6 +1054,55 @@ def _x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's most recent prior
+    (or simultaneous) click. Union + per-key window rendering — one
+    shuffle, no range explosion (xops/temporal.asof_join)."""
+    from .xops.temporal import asof_join
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["click_value"], suffix="_c",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts_c").alias("click_ts"),
+        F.col("click_value_c").cast("double").alias("click_value"),
+    )
+
+
+def _x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events inside each user's first-6-hours window,
+    via interval binning (xops/temporal.range_join) + rollup."""
+    from .xops.temporal import range_join
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts", "value")
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    joined = range_join(
+        ev, iv, point_col="ts", start_col="start_ts", end_col="end_ts",
+        on="user_id", bin_seconds=6 * 3600.0,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_first6h"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
+
+
 def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the stateful sessionizer (streaming §2.4
     upgrade path) — gap-based session windows, oracle-checkable."""
@@ -1379,6 +1428,26 @@ XOP_ORACLES: dict[str, str | None] = {
           FROM scored
         ) WHERE rnk <= 3
     """,
+    "x17_asof_join": """
+        SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
+               c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "x18_range_join": """
+        WITH iv AS (
+          SELECT user_id, MIN(ts) AS start_ts,
+                 MIN(ts) + INTERVAL 6 HOUR AS end_ts
+          FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, COUNT(*) AS n_first6h,
+               CAST(SUM(e.value) AS DOUBLE) AS total_value
+        FROM events e
+        JOIN iv ON e.user_id = iv.user_id
+               AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+        GROUP BY e.user_id
+    """,
     "s01_sessionize": """
         WITH flagged AS (
           SELECT user_id, ts, value,
@@ -1429,6 +1498,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x14_dedup_clusters": _x_dedup_clusters,
     "x15_ivf_topk": _x_ivf_topk,
     "x16_tfidf_topk": _x_tfidf,
+    "x17_asof_join": _x_asof_join,
+    "x18_range_join": _x_range_join,
     "s01_sessionize": _s_sessionize,
     "s02_windowed_agg": _s_windowed_agg,
 }
