@@ -1011,6 +1011,25 @@ def _x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def _x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction with a REAL round-trip: PNG payloads
+    are synthesized JVM-side (real magic + IHDR header, dims derived
+    from doc_id), probed back via mapInPandas header parsing, and the
+    oracle recomputes the dims arithmetically — so the binary encode →
+    parse path is hash-verified, not rows-only."""
+    from .xops import multimodal
+
+    register_dir(spark, sf_dir)
+    media = multimodal.synthesize_png_corpus(
+        spark.table("documents").filter(F.col("doc_id") < 200), "doc_id", "text"
+    )
+    probed = multimodal.probe_media(media)
+    return probed.select(
+        "media_id", "format", "width", "height",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"), "valid",
+    )
+
+
 def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stub endpoint, deterministic but pandas-UDF — rows-only check
     from .xops import llm
@@ -1428,6 +1447,15 @@ XOP_ORACLES: dict[str, str | None] = {
           FROM scored
         ) WHERE rnk <= 3
     """,
+    "x19_media_probe": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               'png' AS format,
+               CAST(doc_id % 640 + 16 AS INT) AS width,
+               CAST(doc_id % 480 + 16 AS INT) AS height,
+               CAST(24 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               TRUE AS valid
+        FROM documents WHERE doc_id < 200
+    """,
     "x17_asof_join": """
         SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
                c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
@@ -1500,6 +1528,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x16_tfidf_topk": _x_tfidf,
     "x17_asof_join": _x_asof_join,
     "x18_range_join": _x_range_join,
+    "x19_media_probe": _x_media_probe,
     "s01_sessionize": _s_sessionize,
     "s02_windowed_agg": _s_windowed_agg,
 }

@@ -1,28 +1,41 @@
-"""Multimodal columns (SURVEY §2.6 X4 plumbing).
+"""Multimodal columns (SURVEY §2.6 X4).
 
 Image/audio/video are opaque ``binary`` columns with typed metadata.
-The Spark-side plumbing — schema, partition sizing, Arrow-batched
-mapInPandas signature — is real and tested; the actual decode is
-STUBBED (``decode_stub``) because no image/audio libraries exist in
-this container. Swapping in PIL/torchaudio is a one-line change inside
-the pandas iterator.
+Three tiers, by what this container can genuinely do:
+
+1. REAL: container-format header probing (``probe_bytes`` /
+   ``probe_media``) — PNG/GIF/JPEG dimensions and WAV
+   channels/sample-rate/duration parsed from the bytes with pure
+   Python (published file-format layouts, no PIL/ffmpeg needed). This
+   is the metadata-extraction step of a real media pipeline and is
+   fully tested, including a DuckDB-oracled corpus entry over
+   synthesized-in-Spark PNG payloads.
+2. REAL plumbing, fake kernel: ``extract_features`` — Arrow-batched
+   mapInPandas with a fixed output schema; the pixel-level decode is a
+   deterministic fake (`decode_stub`).
+3. Contract stub: video decode raises NotImplementedError (needs
+   ffmpeg; swapping it in is one line inside the pandas iterator).
 
 Scale notes: binary payloads dominate partition size, so
 ``repartition_for_payloads`` targets ~128 MB of payload per task
-(matching spark.sql.files.maxPartitionBytes); decode runs inside
-mapInPandas so each Arrow batch is decoded in one Python call, not
+(matching spark.sql.files.maxPartitionBytes); probing/decoding runs
+inside mapInPandas so each Arrow batch is one Python call, not one
 per row.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct as _struct
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -66,12 +79,134 @@ def attach_binary_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def repartition_for_payloads(
-    df: DataFrame, target_mb: int = 128, avg_payload_kb: int = 256
+    df: DataFrame,
+    target_mb: int = 128,
+    payload_col: str = "payload",
+    total_bytes: Optional[int] = None,
 ) -> DataFrame:
-    """Size partitions by payload volume, not row count."""
-    rows_per_part = max(1, (target_mb * 1024) // avg_payload_kb)
-    n = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    return df.repartition(n, "media_id") if rows_per_part else df
+    """Size partitions by MEASURED payload volume, not row count —
+    binary media rows vary by orders of magnitude, so row-count
+    partitioning gives some tasks gigabytes and others kilobytes.
+    Costs one aggregate job when total_bytes isn't supplied (pass a
+    known figure — e.g. from source file listing — to stay lazy)."""
+    if total_bytes is None:
+        total_bytes = (
+            df.agg(F.sum(F.length(F.col(payload_col)))).collect()[0][0] or 0
+        )
+    n = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
+    return df.repartition(n, "media_id")
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),       # png|gif|jpeg|wav|unknown
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_bytes", LongType()),
+        StructField("valid", BooleanType()),
+    ]
+)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def probe_bytes(raw: bytes) -> dict:
+    """Parse container-format headers for typed media metadata — the
+    real metadata-extraction step of a media pipeline, implementable
+    without decode libraries because the layouts are published:
+
+    - PNG: 8-byte magic, then the IHDR chunk; width/height are
+      big-endian u32 at offsets 16/20.
+    - GIF: 'GIF87a'/'GIF89a', logical screen size little-endian u16 at
+      offsets 6/8.
+    - JPEG: scan marker segments for SOF0/1/2 (0xC0-0xC2); height and
+      width are big-endian u16 at +5/+7 inside the segment.
+    - WAV: 'RIFF…WAVE'; the fmt chunk carries channels (u16 LE @22)
+      and sample rate (u32 LE @24); duration derives from the data
+      chunk size / byte rate.
+    """
+    out: dict = {
+        "format": "unknown", "width": None, "height": None,
+        "channels": None, "sample_rate": None, "duration_s": None,
+        "n_bytes": len(raw), "valid": False,
+    }
+    try:
+        if raw.startswith(_PNG_MAGIC) and len(raw) >= 24:
+            w, h = _struct.unpack(">II", raw[16:24])
+            out.update(format="png", width=w, height=h, valid=True)
+        elif raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+            w, h = _struct.unpack("<HH", raw[6:10])
+            out.update(format="gif", width=w, height=h, valid=True)
+        elif raw[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(raw):
+                if raw[i] != 0xFF:
+                    break
+                marker = raw[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = _struct.unpack(">HH", raw[i + 5 : i + 9])
+                    out.update(format="jpeg", width=w, height=h, valid=True)
+                    break
+                seg_len = _struct.unpack(">H", raw[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            if out["format"] == "unknown":
+                out.update(format="jpeg")  # magic matched, no SOF found
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE" and len(raw) >= 44:
+            channels = _struct.unpack("<H", raw[22:24])[0]
+            rate = _struct.unpack("<I", raw[24:28])[0]
+            byte_rate = _struct.unpack("<I", raw[28:32])[0]
+            data_size = _struct.unpack("<I", raw[40:44])[0]
+            out.update(
+                format="wav", channels=channels, sample_rate=rate,
+                duration_s=(data_size / byte_rate) if byte_rate else None,
+                valid=True,
+            )
+    except Exception:
+        pass  # malformed header → valid=False row, never a task failure
+    return out
+
+
+def probe_media(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas media probe: binary column → typed metadata rows
+    (PROBE_SCHEMA). One Python call per Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe_bytes(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(rows)
+            out["media_id"] = pdf[id_col].values
+            yield out[[f.name for f in PROBE_SCHEMA.fields]]
+
+    return df.mapInPandas(run, PROBE_SCHEMA)
+
+
+def synthesize_png_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-PNG-header payloads from a text corpus (no
+    media fixtures exist in the test data): width/height derive from
+    the id, the text bytes ride along as fake pixel data. Built
+    JVM-side (unhex/concat/encode — no UDF), so synthesis scales like
+    any projection and `probe_media` round-trips it exactly."""
+    w = (F.col(id_col) % 640 + 16).cast("long")
+    h = (F.col(id_col) % 480 + 16).cast("long")
+    header_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),            # PNG magic
+        F.lit("0000000D49484452"),            # IHDR length + type
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/png").alias("mime"),
+        F.concat(F.unhex(header_hex), F.encode(F.col(text_col), "UTF-8")).alias(
+            "payload"
+        ),
+        F.to_json(F.struct(w.alias("width"), h.alias("height"))).alias("meta_json"),
+    )
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:

@@ -175,3 +175,76 @@ class TestLshBucketCap:
         )
         pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
         assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+class TestMediaProbe:
+    """Header parsing over all four supported container formats, built
+    byte-by-byte from the published layouts — no media libs needed."""
+
+    def test_png(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        raw = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 800, 600)
+        d = probe_bytes(raw)
+        assert (d["format"], d["width"], d["height"], d["valid"]) == ("png", 800, 600, True)
+
+    def test_gif(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        raw = b"GIF89a" + struct.pack("<HH", 320, 240)
+        d = probe_bytes(raw)
+        assert (d["format"], d["width"], d["height"], d["valid"]) == ("gif", 320, 240, True)
+
+    def test_jpeg_sof_after_skippable_segment(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"xx"          # skippable APP0
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+        d = probe_bytes(b"\xff\xd8" + app0 + sof0)
+        assert (d["format"], d["width"], d["height"], d["valid"]) == ("jpeg", 640, 480, True)
+
+    def test_wav(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + 88200) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+            + b"data" + struct.pack("<I", 88200)
+        )
+        d = probe_bytes(hdr)
+        assert (d["format"], d["channels"], d["sample_rate"], d["valid"]) == ("wav", 2, 44100, True)
+        assert abs(d["duration_s"] - 0.5) < 1e-9
+
+    def test_malformed_never_raises(self):
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        for raw in (b"", b"\x89PNG", b"GIF89a", b"\xff\xd8\xff", b"RIFFxxxxWAVE"):
+            d = probe_bytes(raw)
+            assert d["valid"] is False
+
+    def test_probe_media_roundtrip_on_spark(self, spark):
+        from dbt_icebreaker_spark.xops import multimodal
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} body text") for i in range(5)], "doc_id long, text string"
+        )
+        media = multimodal.synthesize_png_corpus(docs, "doc_id", "text")
+        probed = multimodal.probe_media(media)
+        rows = {r.media_id: r for r in probed.collect()}
+        assert all(rows[i].format == "png" and rows[i].valid for i in range(5))
+        assert rows[3].width == 3 % 640 + 16 and rows[3].height == 3 % 480 + 16
+
+    def test_repartition_by_measured_bytes(self, spark):
+        from dbt_icebreaker_spark.xops import multimodal
+
+        docs = spark.createDataFrame(
+            [(i, "x" * 1000) for i in range(100)], "doc_id long, text string"
+        )
+        media = multimodal.synthesize_png_corpus(docs, "doc_id", "text")
+        # ~100 KB total at a 1 MB target → single partition
+        out = multimodal.repartition_for_payloads(media, target_mb=1)
+        assert out.rdd.getNumPartitions() == 1
