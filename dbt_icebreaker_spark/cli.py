@@ -1,9 +1,10 @@
 """CLI (SURVEY R12; ref cli.py:14-199 dispatch, commands 202-715).
 
-Commands: savings / summary / sync-status / stats / health / explain
-/ cache / run / verify / version. `explain` is strictly richer than
-the reference's (static advice + Spark's formatted physical plan,
-SURVEY §3.3).
+Commands: savings / status / summary / sync / sync-status / stats /
+update-stats / health / explain / cache / run / verify / version —
+the reference's full 12-command surface (ref cli.py:24-199). `explain`
+is strictly richer than the reference's (static advice + Spark's
+formatted physical plan, SURVEY §3.3).
 
 Usage: python -m dbt_icebreaker_spark.cli <command> [...]
 """
@@ -51,6 +52,65 @@ def cmd_health(args) -> int:
     return 0 if result["status"] != "error" else 1
 
 
+def cmd_status(args) -> int:
+    """One-screen engine status (ref cli.py:221-246): savings totals,
+    cache state, sync success rate, recent telemetry — without
+    starting a SparkSession."""
+    from .observability.telemetry import TelemetryStore
+    from .sync import SyncLedger
+
+    out: dict = {}
+    try:
+        out["savings"] = _savings_tracker().summary(days=30.0)
+    except Exception as exc:
+        out["savings"] = {"error": str(exc)}
+    manifest = os.path.join(STATE_DIR, "cache", "manifest.json")
+    if os.path.exists(manifest):
+        m = json.load(open(manifest))
+        out["cache"] = {
+            "entries": len(m),
+            "total_bytes": sum(e.get("bytes", 0) for e in m.values()),
+        }
+    else:
+        out["cache"] = {"entries": 0, "total_bytes": 0}
+    ledger_path = os.path.join(STATE_DIR, "sync.db")
+    if os.path.exists(ledger_path):
+        out["sync_success_rate"] = SyncLedger(ledger_path).success_rate()
+    tele = TelemetryStore(path=os.path.join(STATE_DIR, "telemetry.json"))
+    models = tele._load()
+    out["telemetry_models"] = len(models)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_update_stats(args) -> int:
+    """Refresh per-model stats from measured telemetry (ref
+    cli.py:557-620 update-stats re-harvests warehouse query history;
+    here the history is Spark's own measured runs). Prints per-model
+    aggregates over the last N runs."""
+    from .observability.telemetry import TelemetryStore
+
+    tele = TelemetryStore(path=os.path.join(STATE_DIR, "telemetry.json"))
+    data = tele._load()
+    stats = {}
+    for model, runs in data.items():
+        recent = runs[-args.runs :]
+        if not recent:
+            continue
+        stats[model] = {
+            "runs": len(recent),
+            "avg_duration_s": round(sum(r["duration_s"] for r in recent) / len(recent), 3),
+            "max_duration_s": max(r["duration_s"] for r in recent),
+            "avg_rows": int(sum(r["rows"] for r in recent) / len(recent)),
+            "max_spill_bytes": max(r.get("spill_bytes", 0) for r in recent),
+            "max_shuffle_write_bytes": max(
+                r.get("shuffle_write_bytes", 0) for r in recent
+            ),
+        }
+    print(json.dumps({"models": stats}, indent=2))
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .observability.advisor import Advisor
     from .observability.state import CrashWal
@@ -84,6 +144,13 @@ def cmd_cache(args) -> int:
     elif args.action == "prune":
         removed = cache.prune()
         print(json.dumps({"removed": removed}, indent=2))
+    elif args.action == "refresh":
+        # ref cli.py:144-152 re-downloads; with no warehouse connection
+        # in the CLI context, report which entries are stale so the
+        # caller can re-cache them through an engine with a fetch hook
+        status = cache.status()
+        stale = [k for k, v in status["tables"].items() if not v["fresh"]]
+        print(json.dumps({"stale": stale, "fresh": len(status["tables"]) - len(stale)}, indent=2))
     return 0
 
 
@@ -273,8 +340,15 @@ def main(argv: list[str] | None = None) -> int:
     ep.set_defaults(fn=cmd_explain)
 
     cp = sub.add_parser("cache", help="source cache admin")
-    cp.add_argument("action", choices=["status", "clear", "prune"])
+    cp.add_argument("action", choices=["status", "clear", "prune", "refresh"])
     cp.set_defaults(fn=cmd_cache)
+
+    st = sub.add_parser("status", help="one-screen engine status")
+    st.set_defaults(fn=cmd_status)
+
+    us = sub.add_parser("update-stats", help="per-model telemetry aggregates")
+    us.add_argument("--runs", type=int, default=10)
+    us.set_defaults(fn=cmd_update_stats)
 
     rp = sub.add_parser("run", help="run a model")
     rp.add_argument("model")

@@ -133,3 +133,30 @@ class TestIcebergConf:
     )
     def test_attach_with_runtime(self, spark):  # pragma: no cover
         assert runtime_available(spark)
+
+
+class TestCliStatusCommands:
+    def test_status_runs_without_spark(self, tmp_path, monkeypatch, capsys):
+        from dbt_icebreaker_spark import cli
+
+        monkeypatch.setattr(cli, "STATE_DIR", str(tmp_path))
+        rc = cli.main(["status"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert out["cache"] == {"entries": 0, "total_bytes": 0}
+        assert out["telemetry_models"] == 0
+
+    def test_update_stats_aggregates_telemetry(self, tmp_path, monkeypatch, capsys):
+        from dbt_icebreaker_spark import cli
+        from dbt_icebreaker_spark.observability.telemetry import TelemetryStore
+
+        monkeypatch.setattr(cli, "STATE_DIR", str(tmp_path))
+        store = TelemetryStore(path=str(tmp_path / "telemetry.json"))
+        store.record("m1", 2.0, 100, {"spill_bytes": 5.0})
+        store.record("m1", 4.0, 200, {"shuffle_write_bytes": 7.0})
+        rc = cli.main(["update-stats"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        s = out["models"]["m1"]
+        assert s["runs"] == 2 and s["avg_duration_s"] == 3.0
+        assert s["max_spill_bytes"] == 5.0 and s["max_shuffle_write_bytes"] == 7.0
