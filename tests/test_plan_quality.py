@@ -131,3 +131,33 @@ class TestPartitionPruningReadiness:
         )
         plan = _executed_plan(df)
         assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+class TestTemporalJoinShapes:
+    """x17/x18: the whole point of these operators is avoiding the
+    nested-loop plan Catalyst gives raw inequality joins — lock that
+    property in."""
+
+    def test_asof_join_is_window_not_nlj(self, spark, qs):
+        plan = _executed_plan(qs["x17_asof_join"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "Window" in tree
+        assert "BroadcastNestedLoopJoin" not in tree
+        assert "CartesianProduct" not in tree
+        # union-of-sides rendering: no join node at all
+        assert "SortMergeJoin" not in tree
+
+    def test_range_join_is_hash_join_not_nlj(self, spark, qs):
+        plan = _executed_plan(qs["x18_range_join"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "BroadcastNestedLoopJoin" not in tree
+        assert "CartesianProduct" not in tree
+        assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+
+    def test_media_probe_scan_prunes_columns(self, spark, qs):
+        plan = _executed_plan(qs["x19_media_probe"](spark, SF_DIR))
+        # only doc_id and text should be read from documents
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(
+            c.split(":")[0] for c in m.group(1).split(",") if c
+        ) <= {"doc_id", "text"}
