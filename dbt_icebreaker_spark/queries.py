@@ -1122,6 +1122,32 @@ def _x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (language rebalancing shape):
+    membership from a multiplicative id-hash — reproducible across
+    engines/partitionings, no shuffle (xops/sampling)."""
+    from .xops.sampling import stratified_hash_sample
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", fractions={"en": 0.25}, default_fraction=0.75
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing for LLM training batches
+    (xops/text.pack_sequences): sharded sequential chunking."""
+    from .xops.text import pack_sequences
+
+    register_dir(spark, sf_dir)
+    return pack_sequences(
+        spark.table("documents"), "doc_id", "text",
+        budget_tokens=512, n_shards=16,
+    )
+
+
 def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the stateful sessionizer (streaming §2.4
     upgrade path) — gap-based session windows, oracle-checkable."""
@@ -1456,6 +1482,32 @@ XOP_ORACLES: dict[str, str | None] = {
                TRUE AS valid
         FROM documents WHERE doc_id < 200
     """,
+    "x20_stratified_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+              < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
+    """,
+    "x21_pack_sequences": """
+        WITH t AS (
+          SELECT doc_id, doc_id % 16 AS shard,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+          FROM t
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id
+        FROM c
+    """,
     "x17_asof_join": """
         SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
                c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
@@ -1529,6 +1581,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x17_asof_join": _x_asof_join,
     "x18_range_join": _x_range_join,
     "x19_media_probe": _x_media_probe,
+    "x20_stratified_sample": _x_stratified_sample,
+    "x21_pack_sequences": _x_pack_sequences,
     "s01_sessionize": _s_sessionize,
     "s02_windowed_agg": _s_windowed_agg,
 }

@@ -1,0 +1,80 @@
+"""Deterministic sampling & splitting for training-data pipelines
+(SURVEY §2.6 X-ops family).
+
+`df.sample()` is seed-dependent on partitioning and `sampleBy` is
+row-order sensitive — neither is reproducible across engines or
+re-partitions, which breaks dataset versioning. These ops decide
+membership from the ROW ID alone via multiplicative hashing (Knuth's
+2654435761 over 2^32) in pure integer arithmetic, so:
+
+- the same row always lands in the same sample/split, regardless of
+  partitioning, cluster size, or engine (any SQL engine reproduces
+  the expression bit-for-bit — oracle-checkable);
+- sampling composes with incremental data: new rows don't reshuffle
+  old membership (critical for frozen eval sets);
+- no shuffle at all — membership is a projection + filter, pushed
+  into the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH_MULT = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+_MOD = 4294967296  # 2^32
+
+
+def hash01(id_col: str | Column, salt: int = 0) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod((c.cast("long") + F.lit(salt)) * F.lit(KNUTH_MULT), F.lit(_MOD)) / F.lit(
+        float(_MOD)
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: int = 0) -> DataFrame:
+    """Keep ~fraction of rows, membership decided by id hash."""
+    return df.where(hash01(id_col, salt) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum keep fractions (e.g. language rebalancing: keep 10%
+    of English, 100% of low-resource languages)."""
+    frac = F.lit(float(default_fraction))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(frac)
+    return df.where(hash01(id_col, salt) < frac)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: int = 0,
+) -> DataFrame:
+    """Add a `split` column assigning each row to one partition of the
+    dataset by hash — frozen under repartitioning and appends."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = float(sum(weights))
+    h = hash01(id_col, salt)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for w, name in zip(weights[:-1], names[:-1]):
+        cum += w / total
+        conds.append((cum, name))
+    for cum_w, name in reversed(conds):
+        expr = F.when(h < F.lit(cum_w), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -115,6 +115,45 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int = 512,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget packs by sequential chunking — each doc's pack
+    is floor(cumulative-tokens-before-it / budget) within its shard,
+    ordered by id. A pack may overrun the budget by at most one doc
+    (streaming-packer semantics: a doc is never split).
+
+    Sharding (id % n_shards) bounds the window partition so the
+    cumulative sum never funnels 100 TB through one task — packing is
+    global-enough per shard, embarrassingly parallel across shards,
+    deterministic, and plain-SQL oracle-checkable.
+
+    Output: (doc_id, shard, n_tokens, pack_id).
+    """
+    tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(float(budget_tokens))).cast("long")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

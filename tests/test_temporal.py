@@ -88,3 +88,82 @@ class TestRangeJoin:
         )
         out = range_join(points, intervals, "ts", "start_ts", "end_ts", bin_seconds=60.0)
         assert {r.iid for r in out.collect()} == {10, 11}
+
+
+class TestHashSampling:
+    """Deterministic sampling: membership must be a pure function of
+    the id — stable under repartitioning and appends."""
+
+    def test_stable_under_repartition(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect()}
+        b = {r.doc_id for r in hash_sample(df.repartition(13), "doc_id", 0.3).collect()}
+        assert a == b
+        assert 0.2 < len(a) / 2000 < 0.4
+
+    def test_append_does_not_reshuffle_membership(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import hash_sample
+
+        small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in hash_sample(small, "doc_id", 0.3).collect()}
+        b = {r.doc_id for r in hash_sample(big, "doc_id", 0.3).collect()}
+        assert a == {x for x in b if x < 1000}
+
+    def test_salt_changes_sample(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, salt=0).collect()}
+        b = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, salt=1).collect()}
+        assert a != b
+
+    def test_split_partitions_and_proportions(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import train_val_test_split
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        out = train_val_test_split(df, "doc_id", weights=(0.8, 0.1, 0.1))
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 5000
+        assert 0.75 < counts["train"] / 5000 < 0.85
+
+    def test_no_shuffle_in_plan(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import hash_sample
+
+        df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        plan = hash_sample(df, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestPackSequences:
+    def test_budget_overrun_bounded_by_one_doc(self, spark):
+        from dbt_icebreaker_spark.xops.text import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (10 + i % 37))) for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = pack_sequences(docs, "doc_id", "text", budget_tokens=100, n_shards=4)
+        rows = out.collect()
+        packs = {}
+        for r in rows:
+            packs.setdefault((r.shard, r.pack_id), []).append(r.n_tokens)
+        for (_, _), toks in packs.items():
+            # chunking semantics: total minus the last doc fits the budget
+            assert sum(toks) - max(toks) < 100 + max(toks)
+        # every doc assigned exactly once
+        assert len(rows) == 200
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dbt_icebreaker_spark.xops.text import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (5 + i % 11))) for i in range(100)],
+            "doc_id long, text string",
+        )
+        a = {(r.doc_id, r.pack_id) for r in pack_sequences(docs, "doc_id", "text", 64, 4).collect()}
+        b = {(r.doc_id, r.pack_id) for r in pack_sequences(docs.repartition(7), "doc_id", "text", 64, 4).collect()}
+        assert a == b
