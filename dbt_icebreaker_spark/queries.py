@@ -898,6 +898,33 @@ _q(
     """,
 )
 
+_q(
+    "q41_window_ratio",
+    # Snowflake-only window fns: RATIO_TO_REPORT → x/SUM(x) OVER,
+    # CONDITIONAL_TRUE_EVENT → running SUM(CASE WHEN) — unique ORDER BY
+    # key so RANGE-frame peer grouping can't diverge from row semantics
+    """
+    SELECT o_orderkey,
+           CAST(RATIO_TO_REPORT(o_totalprice)
+                OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share,
+           CONDITIONAL_TRUE_EVENT(o_totalprice > 150000)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS n_big_so_far,
+           TO_BOOLEAN(CASE WHEN o_orderstatus = 'O' THEN 'true' ELSE 'no' END) AS is_open
+    FROM orders
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice / SUM(o_totalprice)
+                OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share,
+           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS n_big_so_far,
+           (o_orderstatus = 'O') AS is_open
+    FROM orders
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",

@@ -43,6 +43,12 @@ class Transpiler:
         blacklisted = transforms.detect_blacklisted_functions(sql)
         if blacklisted:
             raise UnsupportedFunctionError(blacklisted)
+        unsupported = transforms.detect_unsupported_scalars(sql)
+        if unsupported:
+            details = "; ".join(f"{fn} — use {sugg}" for fn, sugg in unsupported)
+            raise TranspileError(
+                f"Function(s) with no faithful Spark rendering: {details}."
+            )
         sf_only = transforms.detect_snowflake_only_statement(sql)
         if sf_only:
             stmt, suggestion = sf_only

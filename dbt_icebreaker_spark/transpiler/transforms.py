@@ -131,6 +131,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "BOOLAND_AGG": "BOOL_AND",
         "DIV0": "DIV0_X",           # a/b with 0 (not error) on b=0
         "DIV0NULL": "DIV0NULL_X",   # …also 0 when b IS NULL
+        "TO_BOOLEAN": "TO_BOOL_X",  # CAST(x AS BOOLEAN)
         "TRUNCATE": "TRUNC0_X",     # numeric truncation toward zero
         "TRUNC_NUM": "TRUNC0_X",
     }
@@ -170,7 +171,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
             "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
             "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
-            "DIV0_X", "DIV0NULL_X", "TRUNC0_X",
+            "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -255,6 +256,12 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")"),
                     _sp(), _op("/"), _sp(), _word("POWER"), _op("("),
                     _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")")])
+            elif t.text == "TO_BOOL_X" and len(args) == 1:
+                # TO_BOOLEAN(x) → CAST(x AS BOOLEAN) (Spark's string→
+                # boolean cast accepts the same t/true/y/yes/1 family)
+                x = tokens[args[0][0]:args[0][1]]
+                out += [_word("CAST"), _op("(")] + x + [
+                    _sp(), _word("AS"), _sp(), _word("BOOLEAN"), _op(")")]
             elif t.text == "GETPATH_X" and len(args) == 2:
                 x = tokens[args[0][0]:args[0][1]]
                 lit = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
@@ -1109,6 +1116,87 @@ def detect_time_travel(sql: str) -> str | None:
     return None
 
 
+def rewrite_window_ratio_funcs(tokens: Tokens) -> Tokens:
+    """Snowflake window functions Spark lacks:
+
+    - ``RATIO_TO_REPORT(x) OVER (w)`` → ``((x) / SUM(x) OVER (w))``
+    - ``CONDITIONAL_TRUE_EVENT(c)``   → ``SUM(CASE WHEN (c) THEN 1
+      ELSE 0 END)`` — the user's OVER clause stays as written (running
+      count of true events; use a unique ORDER BY key, since Spark's
+      default RANGE frame groups peers where Snowflake counts rows).
+    """
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == WORD
+            and t.upper == "RATIO_TO_REPORT"
+            and _is_call(tokens, i, t.upper)
+        ):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            expr = rewrite_window_ratio_funcs(tokens[op_i + 1:close])
+            ov = next_code(tokens, close + 1)
+            if ov < n and tokens[ov].is_word("OVER"):
+                wop = next_code(tokens, ov + 1)
+                wclose = find_matching_paren(tokens, wop)
+                win = tokens[wop : wclose + 1]
+                out += (
+                    [_op("("), _op("(")] + expr + [_op(")"), _sp(), _op("/"),
+                     _sp(), _word("SUM"), _op("(")] + expr
+                    + [_op(")"), _sp(), _word("OVER"), _sp()] + win + [_op(")")]
+                )
+                i = wclose + 1
+                continue
+        if (
+            t.kind == WORD
+            and t.upper == "CONDITIONAL_TRUE_EVENT"
+            and _is_call(tokens, i, t.upper)
+        ):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            expr = rewrite_window_ratio_funcs(tokens[op_i + 1:close])
+            out += (
+                [_word("SUM"), _op("("), _word("CASE"), _sp(), _word("WHEN"),
+                 _sp(), _op("(")] + expr
+                + [_op(")"), _sp(), _word("THEN"), _sp(), _word("1"), _sp(),
+                   _word("ELSE"), _sp(), _word("0"), _sp(), _word("END"),
+                   _op(")")]
+            )
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# Scalar functions with no faithful Spark rendering — actionable error
+# (ref errors.py style) instead of UNRESOLVED_ROUTINE at runtime.
+_UNSUPPORTED_SCALARS = {
+    "OBJECT_INSERT": "rebuild the object with OBJECT_CONSTRUCT (VARIANTs "
+                     "are JSON strings here; field types wouldn't survive "
+                     "a string-map splice)",
+    "OBJECT_DELETE": "rebuild the object with OBJECT_CONSTRUCT",
+    "MINHASH": "xops.dedup.minhash_signatures (distributed MinHash)",
+    "MINHASH_COMBINE": "xops.dedup.minhash_signatures",
+    "APPROXIMATE_SIMILARITY": "xops.dedup.minhash_lsh_pairs",
+    "APPROXIMATE_JACCARD_INDEX": "xops.dedup.ngram_jaccard_pairs",
+}
+
+
+def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
+    """(function, suggestion) pairs for Snowflake scalars with no
+    faithful Spark rendering referenced by the SQL."""
+    toks = tokenize(sql)
+    found: list[tuple[str, str]] = []
+    for i, t in enumerate(toks):
+        if t.kind == WORD and t.upper in _UNSUPPORTED_SCALARS and _is_call(toks, i, t.upper):
+            found.append((t.upper, _UNSUPPORTED_SCALARS[t.upper]))
+    return sorted(set(found))
+
+
 # ------------------------------------------------------------- pipeline
 PIPELINE = (
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
@@ -1119,6 +1207,7 @@ PIPELINE = (
     rewrite_object_construct,
     rewrite_variant_funcs,
     rewrite_array_construct,
+    rewrite_window_ratio_funcs,
     rewrite_simple_renames,
     _fixup_placeholders,
     rewrite_date_units,

@@ -517,3 +517,38 @@ class TestArrayConstructCompact:
         )
         rows = spark.sql(out).collect()
         assert rows[0].a == [1, 2]
+
+
+class TestWindowRatioFuncs:
+    def test_ratio_to_report_rewrites(self):
+        out = t.to_spark(
+            "SELECT RATIO_TO_REPORT(v) OVER (PARTITION BY p) FROM x"
+        )
+        assert "RATIO_TO_REPORT" not in out.upper()
+        assert "/ SUM" in out.replace("  ", " ") or "/ SUM" in out
+
+    def test_conditional_true_event_rewrites(self):
+        out = t.to_spark(
+            "SELECT CONDITIONAL_TRUE_EVENT(v > 1) OVER (ORDER BY id) FROM x"
+        )
+        assert "CONDITIONAL_TRUE_EVENT" not in out.upper()
+        assert "CASE" in out.upper() and "OVER" in out.upper()
+
+    def test_to_boolean_casts(self):
+        out = t.to_spark("SELECT TO_BOOLEAN(flag) FROM x")
+        assert "CAST(flag AS BOOLEAN)" in out
+
+
+class TestUnsupportedScalars:
+    def test_object_insert_actionable(self):
+        ok, msg = t.can_transpile("SELECT OBJECT_INSERT(o, 'k', 1) FROM x")
+        assert not ok and "OBJECT_CONSTRUCT" in msg
+
+    def test_minhash_points_at_xops(self):
+        ok, msg = t.can_transpile("SELECT MINHASH(20, txt) FROM x")
+        assert not ok and "minhash_signatures" in msg
+
+    def test_column_named_minhash_untouched(self):
+        # bare word (not a call) must not trigger
+        ok, _ = t.can_transpile("SELECT minhash FROM x")
+        assert ok
