@@ -1175,6 +1175,43 @@ def _x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    8-gram with the held-out benchmark slice (doc_id % 20 == 0 — the
+    planted near-dups are uniform over doc_id, so the slice always
+    contains leak sources). Broadcast semi-probe, corpus never
+    shuffled (xops/dedup.ngram_decontaminate)."""
+    from .xops import dedup
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return dedup.ngram_decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
+def _x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters
+    (xops/text.repetition_stats)."""
+    from .xops import text
+
+    register_dir(spark, sf_dir)
+    return text.repetition_stats(spark.table("documents"), "doc_id", "text")
+
+
+def _x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: rebalance the corpus toward target
+    language proportions by hash-downsampling (xops/sampling.domain_mix)."""
+    from .xops.sampling import domain_mix
+
+    register_dir(spark, sf_dir)
+    out = domain_mix(
+        spark.table("documents"), "doc_id", "lang",
+        target={"en": 0.4, "es": 0.15, "fr": 0.15, "de": 0.15, "zh": 0.15},
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the stateful sessionizer (streaming §2.4
     upgrade path) — gap-based session windows, oracle-checkable."""
@@ -1535,6 +1572,90 @@ XOP_ORACLES: dict[str, str | None] = {
                CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id
         FROM c
     """,
+    "x22_decontaminate": """
+        WITH bench AS (
+          SELECT DISTINCT g AS gram FROM (
+            SELECT unnest(list_distinct(list_transform(
+              generate_series(1, len(w) - 7),
+              i -> array_to_string(w[i:i+7], ' ')
+            ))) AS g
+            FROM (SELECT string_split(lower(text), ' ') AS w
+                  FROM documents WHERE doc_id % 20 = 0)
+          ) WHERE g <> ''
+        ),
+        corpus AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents WHERE doc_id % 20 <> 0
+        ),
+        grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(w) - 7),
+              i -> array_to_string(w[i:i+7], ' ')
+            ))) AS g FROM corpus
+          ) WHERE g <> ''
+        ),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n
+          FROM grams JOIN bench ON grams.g = bench.gram
+          GROUP BY doc_id
+        )
+        SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+    "x23_repetition": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS words
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, words, len(words) AS n_words,
+                 list_transform(generate_series(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1]) AS g2
+          FROM w
+        ),
+        arr AS (
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+            CAST(n_words - len(list_distinct(words)) AS DOUBLE)
+              / GREATEST(n_words, 1) AS dup_word_ratio,
+            CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+              / GREATEST(len(g2), 1) AS dup_2gram_ratio
+          FROM base
+        ),
+        top AS (
+          SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_word_ratio
+          FROM (SELECT doc_id, word, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(words) AS word FROM w)
+                GROUP BY 1, 2)
+          GROUP BY doc_id
+        )
+        SELECT arr.doc_id, n_words, dup_word_ratio, dup_2gram_ratio,
+               CAST(COALESCE(top.top_word_ratio, 0.0) AS DOUBLE) AS top_word_ratio
+        FROM arr LEFT JOIN top USING (doc_id)
+    """,
+    "x24_domain_mix": """
+        WITH counts AS (SELECT lang AS dom, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        scored AS (
+          SELECT dom, cnt,
+                 CAST(CASE dom WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.15
+                               WHEN 'fr' THEN 0.15 WHEN 'de' THEN 0.15
+                               WHEN 'zh' THEN 0.15 ELSE 0.0 END AS DOUBLE)
+                   / cnt AS wpc
+          FROM counts
+        ),
+        peak AS (SELECT MAX(wpc) AS pk FROM scored),
+        rates AS (
+          SELECT dom, LEAST(wpc / pk, CAST(1.0 AS DOUBLE)) AS rate
+          FROM scored CROSS JOIN peak
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN rates ON d.lang = rates.dom
+        WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < rate
+    """,
     "x17_asof_join": """
         SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
                c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
@@ -1610,6 +1731,9 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x19_media_probe": _x_media_probe,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
+    "x22_decontaminate": _x_decontaminate,
+    "x23_repetition": _x_repetition,
+    "x24_domain_mix": _x_domain_mix,
     "s01_sessionize": _s_sessionize,
     "s02_windowed_agg": _s_windowed_agg,
 }

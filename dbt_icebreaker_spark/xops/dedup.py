@@ -35,25 +35,32 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingles_of(words_col, k: int):
+    """Column expr: DISTINCT k-gram array from a word-array column.
+    slice+array_join, NOT k element_at calls — codegen does no CSE
+    across lambda boundaries, so per-element expressions re-evaluate
+    whatever produced the array once per call (k× per gram); slice
+    touches it once per gram. Bind the array as a projected attribute
+    when possible (word_shingles does) so it's computed once per row."""
+    # 1-based start positions; guard size >= k because Spark's
+    # sequence(1, 0) counts DOWN (would yield bogus indices)
+    return F.array_distinct(
+        F.when(
+            F.size(words_col) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words_col) - (k - 1)),
+                lambda i: F.array_join(F.slice(words_col, i, k), " "),
+            ),
+        )
+    )
+
+
 def shingle_array(text_col, k: int):
     """Column expr: DISTINCT word k-gram array for one document —
     dedup happens per-row with array_distinct, so shingling needs NO
     shuffle (vs explode+distinct, which shuffles every shingle
     instance)."""
-    words = F.split(text_col, " ")
-    # 1-based start positions; guard size >= k because Spark's
-    # sequence(1, 0) counts DOWN (would yield bogus indices)
-    return F.array_distinct(
-        F.when(
-            F.size(words) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + j) for j in range(k)]
-                ),
-            ),
-        )
-    )
+    return shingles_of(F.split(text_col, " "), k)
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -68,8 +75,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__words"))
         .select(
-            F.col(id_col), F.explode(shingle_array(F.col(text_col), k)).alias("shingle")
+            F.col(id_col), F.explode(shingles_of(F.col("__words"), k)).alias("shingle")
         )
         .where(F.col("shingle") != "")
     )
@@ -370,4 +378,59 @@ def dedup_clusters(
         F.col("doc_id"),
         cluster.cast("long").alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with a held-out benchmark/eval set (the standard
+    13-gram test-set-leak filter from LLM pretraining, parameterized).
+
+    Shape: the benchmark side is small by definition (eval sets are
+    MBs against a 100 TB corpus), so its distinct n-grams broadcast
+    and the corpus-side probe is a map-side broadcast hash join — no
+    shuffle of the corpus grams at all; the per-doc hit count then
+    aggregates with map-side partial combine on the doc id. At extreme
+    benchmark sizes swap the broadcast for a bloom filter over 64-bit
+    gram hashes (same plan shape, constant memory).
+
+    Output: (doc_id, n_hit_grams, contaminated) — one row per corpus
+    document, deterministic and plain-SQL oracle-checkable.
+    """
+    bench_grams = (
+        benchmark.select(F.split(F.lower(F.col(text_col)), " ").alias("__words"))
+        .select(F.explode(shingles_of(F.col("__words"), n)).alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+    )
+    corpus_grams = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " ").alias("__words"),
+        )
+        .select(
+            F.col("doc_id"),
+            F.explode(shingles_of(F.col("__words"), n)).alias("gram"),
+        )
+        .where(F.col("gram") != "")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

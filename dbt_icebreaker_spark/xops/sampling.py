@@ -78,3 +78,50 @@ def train_val_test_split(
     for cum_w, name in reversed(conds):
         expr = F.when(h < F.lit(cum_w), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target: Mapping[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Rebalance a corpus across domains (source buckets) by
+    deterministic downsampling — the data-mixing step of a pretraining
+    pipeline. With no explicit `target`, every domain is downsampled
+    to the size of the smallest one (uniform mix); with a target map
+    {domain: weight}, acceptance scales so realized proportions track
+    the weights as closely as downsampling-only allows.
+
+    Shape: per-domain counts are a tiny groupBy aggregate (map-side
+    combined), broadcast back onto the corpus — the corpus itself is
+    never shuffled; membership is the same multiplicative id-hash as
+    hash_sample, a pure projection+filter the scan can stream through,
+    so the op is one broadcast join at any scale and membership is
+    frozen under repartitioning.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count("*").alias("__cnt")
+    )
+    if target is None:
+        floor = counts.agg(F.min("__cnt").alias("__floor"))
+        rates = counts.crossJoin(F.broadcast(floor)).select(
+            "__dom", (F.col("__floor") / F.col("__cnt")).alias("__rate")
+        )
+    else:
+        # scale so the most-constrained domain keeps 100% of its rows:
+        # rate_d = (w_d / cnt_d) / max_d'(w_d' / cnt_d'), capped at 1
+        w = F.lit(0.0)
+        for dom, wt in target.items():
+            w = F.when(F.col("__dom") == F.lit(dom), F.lit(float(wt))).otherwise(w)
+        scored = counts.select("__dom", "__cnt", (w / F.col("__cnt")).alias("__wpc"))
+        peak = scored.agg(F.max("__wpc").alias("__peak"))
+        rates = scored.crossJoin(F.broadcast(peak)).select(
+            "__dom", F.least(F.col("__wpc") / F.col("__peak"), F.lit(1.0)).alias("__rate")
+        )
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("__dom"))
+        .where(hash01(id_col, salt) < F.col("__rate"))
+        .drop("__dom", "__rate")
+    )

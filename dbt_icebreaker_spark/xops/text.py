@@ -204,3 +204,62 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters: fraction of duplicate word
+    2-grams, fraction of duplicate words, and the mass of the single
+    most frequent word — the standard "is this document degenerate
+    boilerplate?" pretraining signals.
+
+    Shape: the array-side ratios (dup words / dup 2-grams) are pure
+    per-row expressions (split/transform/array_distinct — whole-stage
+    codegen, zero shuffle); the top-word mass needs a per-(doc, word)
+    count, which explodes and re-aggregates with map-side partial
+    combine — one shuffle on doc_id, no skew (doc_id is unique).
+
+    Output: (doc_id, n_words, dup_word_ratio, dup_2gram_ratio,
+    top_word_ratio).
+    """
+    # bind the word array as a projected attribute — codegen does no
+    # CSE across lambda boundaries, so inline use would re-split the
+    # text once per gram (see xops/dedup.shingles_of)
+    wdf = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _words(F.lower(F.col(text_col))).alias("__words"),
+    )
+    words = F.col("__words")
+    n_words = F.size(words)
+    grams2 = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    gdf = wdf.select(F.col("doc_id"), words, grams2.alias("__g2"))
+    g2 = F.col("__g2")
+    n_g2 = F.size(g2)
+    base = gdf.select(
+        F.col("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        ((n_words - F.size(F.array_distinct(words)))
+         / F.greatest(n_words, F.lit(1))).cast("double").alias("dup_word_ratio"),
+        ((n_g2 - F.size(F.array_distinct(g2)))
+         / F.greatest(n_g2, F.lit(1))).cast("double").alias("dup_2gram_ratio"),
+    )
+    exploded = wdf.select("doc_id", F.explode(words).alias("word"))
+    top = (
+        exploded.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_word_cnt"), F.sum("cnt").alias("tot"))
+        .select(
+            "doc_id",
+            (F.col("top_word_cnt") / F.col("tot")).cast("double").alias("top_word_ratio"),
+        )
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id", "n_words", "dup_word_ratio", "dup_2gram_ratio",
+        F.coalesce("top_word_ratio", F.lit(0.0)).cast("double").alias("top_word_ratio"),
+    )

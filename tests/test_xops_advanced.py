@@ -248,3 +248,98 @@ class TestMediaProbe:
         # ~100 KB total at a 1 MB target → single partition
         out = multimodal.repartition_for_payloads(media, target_mb=1)
         assert out.rdd.getNumPartitions() == 1
+
+
+class TestDecontaminate:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_flags_exact_ngram_overlap(self, spark):
+        bench = self._df(spark, [(100, "alpha beta gamma delta epsilon")])
+        corpus = self._df(
+            spark,
+            [
+                (1, "x y alpha beta gamma delta epsilon z"),  # contains the 5-gram
+                (2, "alpha beta gamma other words here now"),  # only a 3-gram overlap
+            ],
+        )
+        out = dedup.ngram_decontaminate(corpus, bench, "doc_id", "text", n=5)
+        got = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+        assert got == {1: True, 2: False}
+
+    def test_short_docs_never_flagged(self, spark):
+        bench = self._df(spark, [(100, "a b c d e f g h")])
+        corpus = self._df(spark, [(1, "a b c")])  # shorter than n
+        out = dedup.ngram_decontaminate(corpus, bench, "doc_id", "text", n=8)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["contaminated"] is False
+
+    def test_hit_count_is_distinct_grams(self, spark):
+        # same gram appearing twice in the corpus doc counts once
+        bench = self._df(spark, [(100, "p q r")])
+        corpus = self._df(spark, [(1, "p q r p q r")])
+        out = dedup.ngram_decontaminate(corpus, bench, "doc_id", "text", n=3)
+        row = out.collect()[0]
+        # corpus doc grams (distinct): "p q r", "q r p", "r p q" → 1 hit
+        assert row["n_hit_grams"] == 1
+
+
+class TestRepetitionStats:
+    def test_degenerate_doc_scores_high(self, spark):
+        from dbt_icebreaker_spark.xops import text as xtext
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"), (2, "all words here differ")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in xtext.repetition_stats(df, "doc_id", "text").collect()}
+        assert out[1]["dup_word_ratio"] == 0.75  # 4 words, 1 distinct
+        assert out[1]["dup_2gram_ratio"] == 2 / 3  # 3 grams, 1 distinct
+        assert out[1]["top_word_ratio"] == 1.0
+        assert out[2]["dup_word_ratio"] == 0.0
+        assert out[2]["dup_2gram_ratio"] == 0.0
+        assert out[2]["top_word_ratio"] == 0.25
+
+    def test_single_word_doc(self, spark):
+        from dbt_icebreaker_spark.xops import text as xtext
+
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        row = xtext.repetition_stats(df, "doc_id", "text").collect()[0]
+        assert row["n_words"] == 1
+        assert row["dup_2gram_ratio"] == 0.0
+        assert row["top_word_ratio"] == 1.0
+
+
+class TestDomainMix:
+    def test_uniform_downsamples_to_min(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import domain_mix
+
+        rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        out = domain_mix(df, "doc_id", "dom")
+        counts = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+        assert counts["small"] == 50  # rate 1.0 — kept in full
+        # big is hash-thresholded at 50/400 = 12.5%; uniform hash → near 50
+        assert 20 <= counts["big"] <= 90
+
+    def test_weighted_target_tracks_proportions(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import domain_mix
+
+        rows = [(i, "a") for i in range(600)] + [(2000 + i, "b") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        out = domain_mix(df, "doc_id", "dom", target={"a": 0.5, "b": 0.5})
+        counts = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+        # b is most constrained (0.5/200) → kept in full; a downsampled to ~200
+        assert counts["b"] == 200
+        assert 140 <= counts["a"] <= 260
+
+    def test_membership_frozen_under_repartition(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import domain_mix
+
+        rows = [(i, "a") for i in range(300)] + [(5000 + i, "b") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        ids1 = sorted(r["doc_id"] for r in domain_mix(df, "doc_id", "dom").collect())
+        ids2 = sorted(
+            r["doc_id"] for r in domain_mix(df.repartition(13), "doc_id", "dom").collect()
+        )
+        assert ids1 == ids2
