@@ -1212,6 +1212,25 @@ def _x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def _s_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest dedup
+    (streaming/pipeline.stream_dedup → dedup_keep_first):
+    deterministic keep-first event per (user_id, event_type)."""
+    from .streaming.pipeline import dedup_keep_first
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    out = dedup_keep_first(
+        ev, ["user_id", "event_type"], ts_col="ts", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the stateful sessionizer (streaming §2.4
     upgrade path) — gap-based session windows, oracle-checkable."""
@@ -1676,6 +1695,15 @@ XOP_ORACLES: dict[str, str | None] = {
                AND e.ts BETWEEN iv.start_ts AND iv.end_ts
         GROUP BY e.user_id
     """,
+    "s03_dedup_events": """
+        SELECT user_id, event_type, ts, CAST(value AS DOUBLE) AS value
+        FROM (
+          SELECT user_id, event_type, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
     "s01_sessionize": """
         WITH flagged AS (
           SELECT user_id, ts, value,
@@ -1735,6 +1763,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x23_repetition": _x_repetition,
     "x24_domain_mix": _x_domain_mix,
     "s01_sessionize": _s_sessionize,
+    "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,
 }
 

@@ -111,6 +111,50 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep one event per key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    ingestion-time dedup stage of a training-data pipeline (repeated
+    sends, at-least-once sources). State is per-key and expires with
+    the watermark, so memory is bounded by the distinct-key arrival
+    rate × horizon, not the stream length.
+
+    Which duplicate survives is arrival-order-dependent (first seen);
+    use ``dedup_keep_first`` as the deterministic batch twin /
+    backfill path."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def dedup_keep_first(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Batch twin of ``stream_dedup``: deterministic keep-FIRST-per-key
+    by (ts, tiebreak) — one row_number window, single shuffle on the
+    key, oracle-checkable. The tiebreak column makes ties (same key,
+    same timestamp) deterministic across engines."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

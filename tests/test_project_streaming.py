@@ -181,3 +181,52 @@ class TestIceberg:
             pytest.skip("iceberg runtime present")
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             attach_catalog(spark, IcebergConfig())
+
+
+class TestStreamDedup:
+    def test_stream_dedup_within_watermark(self, spark, tmp_path):
+        """File stream with duplicated sends → one row per key."""
+        from dbt_icebreaker_spark.streaming.pipeline import stream_dedup
+
+        # duplicate the whole source once (at-least-once delivery twin)
+        dup_dir = str(tmp_path / "events_dup")
+        base = read_parquet(spark, f"{SF}/events.parquet")
+        base.write.parquet(dup_dir)
+        base.write.mode("append").parquet(dup_dir)
+
+        stream = (
+            spark.readStream.schema(base.schema)
+            .parquet(dup_dir)
+            .select("event_id", "user_id", "event_type", "ts", "value")
+        )
+        deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM dedup_out")
+        assert out.count() == base.count()
+        assert out.select("event_id").distinct().count() == base.count()
+
+    def test_batch_twin_keeps_first_deterministically(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import dedup_keep_first
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        out = dedup_keep_first(
+            ev, ["user_id", "event_type"], ts_col="ts", tiebreak="event_id"
+        )
+        # one row per key, and it is the min-(ts, event_id) row
+        keys = ev.select("user_id", "event_type").distinct().count()
+        assert out.count() == keys
+        first = (
+            ev.groupBy("user_id", "event_type")
+            .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+            .select("user_id", "event_type", F.col("m.event_id").alias("event_id"))
+        )
+        got = out.join(first, ["user_id", "event_type", "event_id"]).count()
+        assert got == keys
