@@ -109,6 +109,8 @@ class IcebreakerEngine:
         partition_by: Optional[str] = None,
         full_refresh: bool = False,
         on_schema_change: str = "ignore",
+        clustered_by: str | Sequence[str] | None = None,
+        buckets: Optional[int] = None,
     ) -> RunResult:
         start = time.time()
         target = self._qualified(name)
@@ -127,6 +129,22 @@ class IcebreakerEngine:
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(partition_by)
+            if clustered_by and buckets:
+                # dbt-spark's clustered_by/buckets contract: persist
+                # bucketed+sorted layout so equi-joins and aggregations
+                # on the bucket key skip their shuffle entirely (the
+                # 100 TB co-located-join path; see
+                # tests/test_plan_quality.py::TestBucketedJoin)
+                cols = (
+                    [clustered_by]
+                    if isinstance(clustered_by, str)
+                    else list(clustered_by)
+                )
+                writer = writer.bucketBy(buckets, *cols).sortBy(*cols)
+            elif bool(clustered_by) != bool(buckets):
+                raise ValueError(
+                    "clustered_by and buckets must be set together"
+                )
             try:  # runtime failures (e.g. bad cast) → actionable error
                 writer.saveAsTable(target)
             except Exception as e:

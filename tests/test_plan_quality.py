@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_icebreaker_spark import queries as corpus
 from dbt_icebreaker_spark.sources import register_dir
@@ -161,3 +162,95 @@ class TestTemporalJoinShapes:
         assert m and set(
             c.split(":")[0] for c in m.group(1).split(",") if c
         ) <= {"doc_id", "text"}
+
+
+class TestBucketedJoin:
+    """clustered_by/buckets materialization: two tables bucketed on
+    the same key with the same bucket count must join with NO
+    Exchange — the co-located-join path that replaces a 100 TB
+    shuffle with local sorts."""
+
+    def test_bucketed_join_has_no_exchange(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark, schema="bucket_demo")
+        register_dir(spark, SF_DIR)
+        eng.run_model(
+            "cust_b", "SELECT c_custkey, c_name FROM customer",
+            "table", clustered_by="c_custkey", buckets=8,
+        )
+        eng.run_model(
+            "ord_b", "SELECT o_custkey, o_totalprice FROM orders",
+            "table", clustered_by="o_custkey", buckets=8,
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = spark.sql(
+                "SELECT c.c_custkey, c.c_name, SUM(o.o_totalprice) AS t "
+                "FROM bucket_demo.cust_b c "
+                "JOIN bucket_demo.ord_b o ON c.c_custkey = o.o_custkey "
+                "GROUP BY c.c_custkey, c.c_name"
+            )
+            plan = _executed_plan(df)
+            tree = _final_tree(plan)
+            assert "SortMergeJoin" in tree
+            assert "Exchange" not in tree  # bucketing removed ALL shuffles
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_clustered_by_requires_buckets(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark, schema="bucket_demo")
+        register_dir(spark, SF_DIR)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="clustered_by and buckets"):
+            eng.run_model(
+                "bad_b", "SELECT c_custkey FROM customer",
+                "table", clustered_by="c_custkey",
+            )
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        # 2000 rows of one hot key + a uniform tail
+        hot = spark.range(2000).select(
+            F.lit(7).alias("k"), F.col("id").alias("v")
+        )
+        tail = spark.range(500).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        return hot.unionAll(tail)
+
+    def test_salted_join_matches_plain_join(self, spark):
+        from dbt_icebreaker_spark.xops.skew import salted_join
+
+        left = self._skewed(spark)
+        right = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        got = salted_join(left, right, on="k", n_salts=8)
+        want = left.join(right, "k")
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+    def test_salt_extends_join_key(self, spark):
+        from dbt_icebreaker_spark.xops.skew import SALT_COL, salted_join
+
+        left = self._skewed(spark)
+        right = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        plan = _executed_plan(salted_join(left, right, on="k", n_salts=8))
+        assert SALT_COL in plan  # the physical join keys carry the salt
+
+    def test_right_join_rejected(self, spark):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.xops.skew import salted_join
+
+        df = self._skewed(spark)
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(df, df, on="k", how="right")
