@@ -1212,6 +1212,26 @@ def _x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def _x_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs exact Jaccard per LSH candidate pair —
+    measured sketch accuracy (xops/dedup.minhash_jaccard_estimate)."""
+    from .xops import dedup
+
+    register_dir(spark, sf_dir)
+    return dedup.minhash_jaccard_estimate(
+        spark.table("documents"), "doc_id", "text"
+    )
+
+
+def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length profile of the corpus
+    (xops/profile.profile_numeric) — exact percentiles, one aggregate."""
+    from .xops.profile import profile_numeric
+
+    register_dir(spark, sf_dir)
+    return profile_numeric(spark.table("documents"), "lang", "n_chars")
+
+
 def _s_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming ingest dedup
     (streaming/pipeline.stream_dedup → dedup_keep_first):
@@ -1675,6 +1695,83 @@ XOP_ORACLES: dict[str, str | None] = {
         FROM documents d JOIN rates ON d.lang = rates.dom
         WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < rate
     """,
+    "x25_jaccard_estimate": f"""
+        WITH {_SHINGLES_3},
+        hashed AS (
+          SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
+        ),
+        sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+        wide AS (
+          SELECT doc_id,
+                 MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
+                 MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
+                 MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
+                 MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
+                 MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
+                 MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
+                 MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
+                 MIN(CASE WHEN seed = 7 THEN minh END) AS s7
+          FROM sig GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
+          UNION ALL
+          SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
+          UNION ALL
+          SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
+          UNION ALL
+          SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST((CASE WHEN wa.s0 = wb.s0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s1 = wb.s1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s2 = wb.s2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s3 = wb.s3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s4 = wb.s4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s5 = wb.s5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s6 = wb.s6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN wa.s7 = wb.s7 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 8.0 AS est_jaccard
+          FROM pairs p
+          JOIN wide wa ON p.doc_a = wa.doc_id
+          JOIN wide wb ON p.doc_b = wb.doc_id
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT CAST(e.doc_a AS BIGINT) AS doc_a,
+               CAST(e.doc_b AS BIGINT) AS doc_b,
+               e.est_jaccard,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - COALESCE(i.i, 0)) AS exact_jaccard
+        FROM est e
+        JOIN counts ca ON ca.doc_id = e.doc_a
+        JOIN counts cb ON cb.doc_id = e.doc_b
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    """,
+    "x26_profile": """
+        SELECT lang AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(AVG(n_chars) AS DOUBLE) AS avg_v,
+               MIN(n_chars) AS min_v,
+               MAX(n_chars) AS max_v,
+               CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
+        FROM documents GROUP BY lang
+    """,
     "x17_asof_join": """
         SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
                c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
@@ -1762,6 +1859,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x22_decontaminate": _x_decontaminate,
     "x23_repetition": _x_repetition,
     "x24_domain_mix": _x_domain_mix,
+    "x25_jaccard_estimate": _x_jaccard_est,
+    "x26_profile": _x_profile,
     "s01_sessionize": _s_sessionize,
     "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,

@@ -97,6 +97,15 @@ def minhash_signatures(
     exactly once, and the n mins run as parallel partial aggregates
     map-side, so the groupBy shuffle carries only n_docs rows."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
+    return signatures_from_shingles(sh, id_col, n_hashes=n_hashes)
+
+
+def signatures_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """Signature aggregation over a precomputed (id, shingle) frame —
+    split out so multi-consumer pipelines (jaccard estimate) can
+    persist the shingles once instead of re-shingling per consumer."""
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(str(i))
         for i in range(n_hashes)
@@ -125,8 +134,23 @@ def minhash_lsh_pairs(
     graph diameter 2 (a chain would stall label propagation), and the
     member list is never materialized.
     """
-    r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    return pairs_from_signatures(
+        sig, id_col, n_hashes=n_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding over a precomputed signature frame (see
+    minhash_lsh_pairs for semantics; split out for signature reuse)."""
+    r = n_hashes // bands
     # one explode instead of a bands-way union: the signature subtree
     # is computed once, not `bands` times
     band_structs = F.array(
@@ -432,5 +456,87 @@ def ngram_decontaminate(
             "doc_id",
             F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
             (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Sketch accuracy, measured: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (signature agreement rate — what a 100 TB
+    pipeline would threshold on) next to the EXACT shingle Jaccard
+    (ground truth, affordable only on the candidate subset). The gap
+    between the two columns IS the sketch error, so LSH parameters
+    (n_hashes/bands) can be tuned against data instead of folklore.
+
+    Shape: signatures and pairs reuse the minhash pipeline (explode +
+    partial-min agg); exact intersection joins each side's distinct
+    shingles only WITHIN candidate pairs — O(candidates × shingles),
+    never all-pairs. All hashing is md5 → fully oracle-checkable.
+
+    Output: (doc_a, doc_b, est_jaccard, exact_jaccard).
+    """
+    from pyspark import StorageLevel
+
+    # shingles feed three consumers (signatures → est + pairs, exact
+    # intersection, per-doc counts) and signatures feed two — persist
+    # both so the shingle fan-out runs once, spilling to disk if the
+    # corpus outgrows executor memory
+    sh_raw = word_shingles(df, id_col, text_col, k=shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = signatures_from_shingles(sh_raw, id_col, n_hashes=n_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = pairs_from_signatures(
+        sig, id_col, n_hashes=n_hashes, bands=bands
+    )
+    sig_a = sig.select(
+        F.col(id_col).cast("long").alias("doc_a"),
+        *[F.col(str(i)).alias(f"__a{i}") for i in range(n_hashes)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).cast("long").alias("doc_b"),
+        *[F.col(str(i)).alias(f"__b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )
+    sh = sh_raw.select(F.col(id_col).cast("long").alias("__sid"), "shingle")
+    counts = sh.groupBy("__sid").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("__sid", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("__sid").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        est.join(counts.select(F.col("__sid").alias("doc_a"), F.col("n_sh").alias("__na")), "doc_a")
+        .join(counts.select(F.col("__sid").alias("doc_b"), F.col("n_sh").alias("__nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b", "est_jaccard",
+            (
+                F.coalesce("__inter", F.lit(0)).cast("double")
+                / (F.col("__na") + F.col("__nb") - F.coalesce("__inter", F.lit(0)))
+            ).alias("exact_jaccard"),
         )
     )

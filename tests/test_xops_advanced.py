@@ -343,3 +343,52 @@ class TestDomainMix:
             r["doc_id"] for r in domain_mix(df.repartition(13), "doc_id", "dom").collect()
         )
         assert ids1 == ids2
+
+
+class TestJaccardEstimate:
+    def test_identical_docs_score_one(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "totally different words in this document here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.minhash_jaccard_estimate(df, "doc_id", "text")
+        rows = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+        assert (1, 2) in rows
+        assert rows[(1, 2)]["est_jaccard"] == 1.0
+        assert rows[(1, 2)]["exact_jaccard"] == 1.0
+
+    def test_estimate_within_sketch_error(self, spark):
+        # half-overlapping docs: exact jaccard is known; the 8-hash
+        # estimate must land within the coarse sketch grid (multiples
+        # of 1/8) and not be degenerate
+        a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        b = "w1 w2 w3 w4 w5 w6 x7 x8 x9 x10"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        out = dedup.minhash_jaccard_estimate(df, "doc_id", "text").collect()
+        if out:  # pair only exists if LSH banding catches it
+            r = out[0]
+            assert 0.0 <= r["est_jaccard"] <= 1.0
+            assert abs(r["est_jaccard"] * 8 - round(r["est_jaccard"] * 8)) < 1e-9
+            assert 0.0 < r["exact_jaccard"] < 1.0
+
+
+class TestProfile:
+    def test_known_percentiles(self, spark):
+        from dbt_icebreaker_spark.xops.profile import profile_numeric
+
+        df = spark.createDataFrame(
+            [("a", v) for v in (1, 2, 3, 4, 5)] + [("b", 10)],
+            "grp string, v long",
+        )
+        out = {r["stratum"]: r for r in profile_numeric(df, "grp", "v").collect()}
+        assert out["a"]["n"] == 5
+        assert out["a"]["p50"] == 3.0
+        assert out["a"]["min_v"] == 1 and out["a"]["max_v"] == 5
+        assert out["b"]["p50"] == 10.0
+        assert out["b"]["avg_v"] == 10.0
