@@ -1232,6 +1232,30 @@ def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric(spark.table("documents"), "lang", "n_chars")
 
 
+def _x_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing (xops/text.scrub_pii) over documents with
+    synthetic contamination injected deterministically (the fixture
+    corpus has no real emails/URLs) — the scrub round-trip is
+    hash-verified, not just counted."""
+    from .xops.text import scrub_pii
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://docs.example.com/page/"),
+            F.col("doc_id").cast("string"), F.lit(" end"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_urls", "n_emails",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def _s_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming ingest dedup
     (streaming/pipeline.stream_dedup → dedup_keep_first):
@@ -1772,6 +1796,29 @@ XOP_ORACLES: dict[str, str | None] = {
                CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
         FROM documents GROUP BY lang
     """,
+    "x27_scrub_pii": """
+        WITH contaminated AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com or https://docs.example.com/page/'
+                      || CAST(doc_id AS VARCHAR) || ' end' AS text
+          FROM documents
+        ),
+        no_urls AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+                 regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+          FROM contaminated
+        )
+        SELECT doc_id, n_urls,
+               CAST(len(regexp_extract_all(t2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               MD5(regexp_replace(t2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g')) AS clean_md5
+        FROM no_urls
+    """,
     "x17_asof_join": """
         SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
                c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
@@ -1861,6 +1908,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x24_domain_mix": _x_domain_mix,
     "x25_jaccard_estimate": _x_jaccard_est,
     "x26_profile": _x_profile,
+    "x27_scrub_pii": _x_scrub,
     "s01_sessionize": _s_sessionize,
     "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,

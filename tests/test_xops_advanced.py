@@ -392,3 +392,27 @@ class TestProfile:
         assert out["a"]["min_v"] == 1 and out["a"]["max_v"] == 5
         assert out["b"]["p50"] == 10.0
         assert out["b"]["avg_v"] == 10.0
+
+
+class TestScrubPii:
+    def test_scrub_counts_and_tokens(self, spark):
+        from dbt_icebreaker_spark.xops.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.io and c.d+e@sub.example.co.uk now"),
+                (2, "see https://a.b/c?d=e#f and http://x.y end"),
+                (3, "url with userinfo https://u:p@host.com/path plus w@z.org"),
+                (4, "clean document"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in scrub_pii(df, "doc_id", "text").collect()}
+        assert (out[1]["n_emails"], out[1]["n_urls"]) == (2, 0)
+        assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+        assert (out[2]["n_emails"], out[2]["n_urls"]) == (0, 2)
+        # userinfo URL scrubbed as URL, not half-eaten as an email
+        assert (out[3]["n_emails"], out[3]["n_urls"]) == (1, 1)
+        assert out[3]["clean_text"] == "url with userinfo <URL> plus <EMAIL>"
+        assert (out[4]["n_emails"], out[4]["n_urls"]) == (0, 0)
+        assert out[4]["clean_text"] == "clean document"
