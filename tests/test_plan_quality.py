@@ -254,3 +254,40 @@ class TestSaltedJoin:
         df = self._skewed(spark)
         with _pytest.raises(ValueError, match="inner/left"):
             salted_join(df, df, on="k", how="right")
+
+
+class TestTrainingPipelineShapes:
+    """x22/x24: the scale contract of the new corpus-hygiene ops —
+    the CORPUS side must never shuffle; only tiny derived frames
+    (benchmark grams, per-domain rates) may move, as broadcasts."""
+
+    def test_decontaminate_corpus_never_shuffles(self, spark, qs):
+        plan = _executed_plan(qs["x22_decontaminate"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        # both joins build on broadcast sides
+        assert len(re.findall(r"BroadcastHashJoin", tree)) == 2
+        assert "SortMergeJoin" not in tree
+        # the only Exchanges allowed: the bench-gram distinct and the
+        # per-doc hit-count aggregate (both tiny); corpus text rows
+        # themselves stream map-side
+        assert len(re.findall(r"\bExchange \(\d+\)", tree)) <= 2
+
+    def test_domain_mix_is_broadcast_filter(self, spark, qs):
+        plan = _executed_plan(qs["x24_domain_mix"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "BroadcastHashJoin" in tree
+        assert "SortMergeJoin" not in tree
+
+    def test_scrub_is_pure_projection(self, spark, qs):
+        plan = _executed_plan(qs["x27_scrub_pii"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        # no join, no aggregate, no shuffle — a scan + project only
+        assert "Join" not in tree
+        assert "Exchange" not in tree
+
+    def test_profile_single_aggregate(self, spark, qs):
+        plan = _executed_plan(qs["x26_profile"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        # one partial+final aggregate pair → exactly one exchange
+        assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 1
+        assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
