@@ -134,6 +134,17 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TO_BOOLEAN": "TO_BOOL_X",  # CAST(x AS BOOLEAN)
         "TRUNCATE": "TRUNC0_X",     # numeric truncation toward zero
         "TRUNC_NUM": "TRUNC0_X",
+        "STRTOK": "STRTOK_X",       # (s[,delim[,part]]) → split_part
+        "BITSHIFTLEFT": "SHIFTLEFT",
+        "BITSHIFTRIGHT": "SHIFTRIGHT",
+        # gap-tolerant sequence ids — Snowflake SEQ* doesn't guarantee
+        # gap-free either (docs say "may have gaps")
+        "SEQ1": "SEQ_X", "SEQ2": "SEQ_X", "SEQ4": "SEQ_X", "SEQ8": "SEQ_X",
+        "BASE64_ENCODE": "BASE64",
+        "BASE64_DECODE_STRING": "B64DEC_X",  # → CAST(unbase64 AS STRING)
+        "HEX_ENCODE": "HEX",
+        "HEX_DECODE_STRING": "HEXDEC_X",
+        "UNIFORM": "UNIFORM_X",     # drop/convert the RANDOM() generator arg
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -160,6 +171,33 @@ def _convert_fmt_tokens(fmt: Tokens) -> Tokens:
     return conv
 
 
+def _unwrap_string_cast(val: Tokens) -> Tokens:
+    """If val is exactly CAST(inner AS STRING) — the residue of an
+    earlier ::VARIANT rewrite — return inner. Spark arrays are typed;
+    probing an int array with a string-cast value is a type-mismatch
+    error, while the uncast value coerces correctly (matches
+    Snowflake's VARIANT comparison semantics for array functions)."""
+    code = [k for k, c in enumerate(val) if c.kind != WS]
+    # form 1: trailing `:: STRING` (the ::VARIANT rewrite keeps cast
+    # operator syntax)
+    if len(code) >= 3:
+        cl, cm1 = val[code[-1]], val[code[-2]]
+        if cl.kind == WORD and cl.upper == "STRING" and cm1.is_op("::"):
+            return val[: code[-2]]
+    # form 2: exactly CAST(inner AS STRING)
+    if len(code) >= 6:
+        c0, c1 = val[code[0]], val[code[1]]
+        cl, cm2, cm1 = val[code[-1]], val[code[-3]], val[code[-2]]
+        if (
+            c0.kind == WORD and c0.upper == "CAST" and c1.is_op("(")
+            and cl.is_op(")") and cm1.kind == WORD and cm1.upper == "STRING"
+            and cm2.kind == WORD and cm2.upper == "AS"
+            and find_matching_paren(val, code[1]) == code[-1]
+        ):
+            return val[code[1] + 1:code[-3]]
+    return val
+
+
 def _fixup_placeholders(tokens: Tokens) -> Tokens:
     """Resolve multi-arg placeholder renames from rewrite_simple_renames."""
     out: Tokens = []
@@ -172,6 +210,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
             "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
             "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
+            "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -203,7 +242,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 out += [_word("POWER"), _op("(")] + x + [_op(","), _sp(), _word("2"), _op(")")]
             elif t.text == "ARRCONT_SWAP" and len(args) == 2:
                 # Snowflake ARRAY_CONTAINS(value, array) → spark (array, value)
-                val = tokens[args[0][0]:args[0][1]]
+                val = _unwrap_string_cast(tokens[args[0][0]:args[0][1]])
                 arr = tokens[args[1][0]:args[1][1]]
                 out += [_word("array_contains"), _op("(")] + arr + [_op(","), _sp()] + val + [_op(")")]
             elif t.text == "OVERLAY_X" and len(args) == 4:
@@ -224,7 +263,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             elif t.text == "ARRPOS_SWAP" and len(args) == 2:
                 # Snowflake: 0-based index, NULL if absent;
                 # Spark: 1-based, 0 if absent → NULLIF(pos,0)-1
-                val = tokens[args[0][0]:args[0][1]]
+                val = _unwrap_string_cast(tokens[args[0][0]:args[0][1]])
                 arr = tokens[args[1][0]:args[1][1]]
                 out += ([_op("("), _word("NULLIF"), _op("("),
                          _word("array_position"), _op("(")] + arr
@@ -262,6 +301,45 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 x = tokens[args[0][0]:args[0][1]]
                 out += [_word("CAST"), _op("(")] + x + [
                     _sp(), _word("AS"), _sp(), _word("BOOLEAN"), _op(")")]
+            elif t.text == "STRTOK_X" and len(args) in (1, 2, 3):
+                # STRTOK(s[,delim[,part]]) → split_part(s, delim, part)
+                # (defaults: delim ' ', part 1). Caveat: Snowflake
+                # treats multi-char delim as a character SET; split_part
+                # as a whole string — identical for the 1-char case.
+                s = tokens[args[0][0]:args[0][1]]
+                d = tokens[args[1][0]:args[1][1]] if len(args) >= 2 else [Token(STRING, "' '")]
+                p_ = tokens[args[2][0]:args[2][1]] if len(args) == 3 else [_word("1")]
+                out += ([_word("split_part"), _op("(")] + s + [_op(","), _sp()]
+                        + d + [_op(","), _sp()] + p_ + [_op(")")])
+            elif t.text == "SEQ_X" and len(args) <= 1:
+                # SEQ1/2/4/8([0|1]) → monotonically_increasing_id():
+                # both produce unique-but-gappy per-row sequence values
+                out += [_word("monotonically_increasing_id"), _op("("), _op(")")]
+            elif t.text == "B64DEC_X" and len(args) == 1:
+                x = tokens[args[0][0]:args[0][1]]
+                out += [_word("CAST"), _op("("), _word("unbase64"), _op("(")] + x + [
+                    _op(")"), _sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
+            elif t.text == "HEXDEC_X" and len(args) == 1:
+                x = tokens[args[0][0]:args[0][1]]
+                out += [_word("CAST"), _op("("), _word("unhex"), _op("(")] + x + [
+                    _op(")"), _sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
+            elif t.text == "UNIFORM_X" and len(args) in (2, 3):
+                # UNIFORM(min, max, RANDOM([seed])) → uniform(min, max
+                # [, seed]) — Spark's seed must be foldable, so a bare
+                # RANDOM() generator is dropped (non-deterministic in
+                # both engines) and RANDOM(seed) passes its seed through
+                a1 = tokens[args[0][0]:args[0][1]]
+                a2 = tokens[args[1][0]:args[1][1]]
+                seed: Tokens = []
+                if len(args) == 3:
+                    g = [c for c in tokens[args[2][0]:args[2][1]] if c.kind != WS]
+                    if (len(g) > 3 and g[0].kind == WORD and g[0].upper == "RANDOM"
+                            and g[1].is_op("(") and not g[2].is_op(")")):
+                        seed = g[2:-1]
+                out += [_word("uniform"), _op("(")] + a1 + [_op(","), _sp()] + a2
+                if seed:
+                    out += [_op(","), _sp()] + seed
+                out += [_op(")")]
             elif t.text == "GETPATH_X" and len(args) == 2:
                 x = tokens[args[0][0]:args[0][1]]
                 lit = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
@@ -297,6 +375,9 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     "ARRPOS_SWAP": "array_position",
                     "DIV0_X": "DIV0", "DIV0NULL_X": "DIV0NULL",
                     "TRUNC0_X": "TRUNC",
+                    "STRTOK_X": "split_part", "SEQ_X": "monotonically_increasing_id",
+                    "B64DEC_X": "unbase64", "HEXDEC_X": "unhex",
+                    "UNIFORM_X": "uniform", "TO_BOOL_X": "CAST",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1

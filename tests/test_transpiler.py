@@ -552,3 +552,42 @@ class TestUnsupportedScalars:
         # bare word (not a call) must not trigger
         ok, _ = t.can_transpile("SELECT minhash FROM x")
         assert ok
+
+
+
+
+def _norm(sql: str) -> str:
+    import re as _re
+    return _re.sub(r"\s+", " ", sql)
+
+class TestTokenAndEncodingFuncs:
+    def test_strtok_defaults_and_args(self):
+        out = _norm(t.to_spark("SELECT STRTOK(s, '-', 2) FROM x"))
+        assert "split_part(s, '-', 2)" in out
+        out = _norm(t.to_spark("SELECT STRTOK(s) FROM x"))
+        assert "split_part(s, ' ', 1)" in out
+
+    def test_bitshifts(self):
+        out = _norm(t.to_spark("SELECT BITSHIFTLEFT(a, 1), BITSHIFTRIGHT(b, 2) FROM x"))
+        assert "SHIFTLEFT(a, 1)" in out and "SHIFTRIGHT(b, 2)" in out
+
+    def test_seq_to_monotonic_id(self):
+        out = _norm(t.to_spark("SELECT SEQ4() FROM x"))
+        assert "monotonically_increasing_id()" in out
+
+    def test_base64_hex_decode(self):
+        out = _norm(t.to_spark("SELECT BASE64_DECODE_STRING(b), HEX_DECODE_STRING(h) FROM x"))
+        assert "CAST(unbase64(b) AS STRING)" in out
+        assert "CAST(unhex(h) AS STRING)" in out
+
+    def test_uniform_drops_bare_random_keeps_seed(self):
+        out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM()) FROM x"))
+        assert "uniform(1, 10)" in out
+        out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM(42)) FROM x"))
+        assert "uniform(1, 10, 42)" in out
+
+    def test_variant_cast_unwrapped_in_array_probes(self):
+        out = _norm(t.to_spark("SELECT ARRAY_POSITION(2::VARIANT, arr) FROM x"))
+        assert "::STRING" not in out and "array_position( arr, 2)" in out
+        out = _norm(t.to_spark("SELECT ARRAY_CONTAINS(2::VARIANT, arr) FROM x"))
+        assert "array_contains( arr, 2)" in out
