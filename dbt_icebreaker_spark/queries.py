@@ -925,6 +925,31 @@ _q(
     """,
 )
 
+_q(
+    "q42_token_encoding",
+    # Snowflake token/bit/encoding scalars over a stable projection:
+    # STRTOK → split_part (defaults), BITSHIFTLEFT → SHIFTLEFT,
+    # BASE64_DECODE_STRING(base64 round trip) → unbase64/unhex family
+    """
+    SELECT c_custkey,
+           STRTOK(c_name, '#', 2) AS name_tail,
+           BITSHIFTLEFT(c_custkey, 2) AS key4,
+           BITSHIFTRIGHT(c_custkey, 1) AS keyhalf,
+           BASE64_DECODE_STRING(BASE64_ENCODE(c_mktsegment)) AS seg_rt,
+           HEX_DECODE_STRING(HEX_ENCODE(c_name)) AS name_rt
+    FROM customer
+    """,
+    """
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS name_tail,
+           c_custkey * 4 AS key4,
+           c_custkey // 2 AS keyhalf,
+           c_mktsegment AS seg_rt,
+           c_name AS name_rt
+    FROM customer
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",
