@@ -90,3 +90,24 @@ class Ddl:
 
     def table_exists(self, schema: str, identifier: str) -> bool:
         return self.spark.catalog.tableExists(f"{schema}.{identifier}")
+
+
+def configure_writer(
+    writer,
+    partition_by=None,
+    clustered_by=None,
+    buckets=None,
+):
+    """Apply layout options to a DataFrameWriter — shared by the table
+    and incremental materializations so partitioning AND bucketing
+    survive every rewrite path (a bucketed table silently degrading to
+    unbucketed after one merge would lose the zero-Exchange join
+    property nobody re-checks)."""
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if clustered_by and buckets:
+        cols = [clustered_by] if isinstance(clustered_by, str) else list(clustered_by)
+        writer = writer.bucketBy(buckets, *cols).sortBy(*cols)
+    elif bool(clustered_by) != bool(buckets):
+        raise ValueError("clustered_by and buckets must be set together")
+    return writer

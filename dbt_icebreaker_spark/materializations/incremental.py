@@ -32,7 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ddl import clear_orphaned_location
+from .ddl import clear_orphaned_location, configure_writer
 
 
 def _normalize_keys(unique_key: str | Sequence[str] | None) -> list[str]:
@@ -61,6 +61,8 @@ def _staged_overwrite(
     df: DataFrame,
     target: str,
     partition_by: Optional[str] = None,
+    clustered_by: str | Sequence[str] | None = None,
+    buckets: Optional[int] = None,
 ) -> None:
     """Replace `target` with `df` even when df reads from target:
     write to a staging table first, then swap. Avoids Spark's
@@ -80,9 +82,9 @@ def _staged_overwrite(
     for t in (staging, backup):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         clear_orphaned_location(spark, t)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
+    writer = configure_writer(
+        df.write.mode("overwrite"), partition_by, clustered_by, buckets
+    )
     writer.saveAsTable(staging)
     if spark.catalog.tableExists(target):
         spark.sql(f"ALTER TABLE {target} RENAME TO {backup}")
@@ -167,6 +169,8 @@ def run_incremental(
     partition_by: Optional[str] = None,
     full_refresh: bool = False,
     on_schema_change: str = "ignore",
+    clustered_by: str | Sequence[str] | None = None,
+    buckets: Optional[int] = None,
 ) -> dict:
     """Apply one incremental batch. Returns stats dict."""
     keys = _normalize_keys(unique_key)
@@ -175,9 +179,9 @@ def run_incremental(
     if not exists or full_refresh:
         # incremental.sql:73-94 — first run / --full-refresh ⇒ CTAS
         clear_orphaned_location(spark, target)
-        writer = new_rows.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
+        writer = configure_writer(
+            new_rows.write.mode("overwrite"), partition_by, clustered_by, buckets
+        )
         writer.saveAsTable(target)
         return {"strategy": "create", "rows": spark.table(target).count()}
 
@@ -189,7 +193,7 @@ def run_incremental(
     if schema_widened and strategy == "append":
         # append can't widen in place on plain parquet — rewrite once
         result = old.unionByName(new_aligned)
-        _staged_overwrite(spark, result, target, partition_by)
+        _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {
             "strategy": "append(schema-change rewrite)",
             "rows": spark.table(target).count(),
@@ -197,8 +201,12 @@ def run_incremental(
         }
 
     if strategy == "append":
-        # incremental.sql:120-128
-        new_aligned.write.mode("append").saveAsTable(target)
+        # incremental.sql:120-128; a bucketed target needs the bucket
+        # spec re-declared on every append or Spark rejects the write
+        writer = configure_writer(
+            new_aligned.write.mode("append"), None, clustered_by, buckets
+        )
+        writer.saveAsTable(target)
         return {"strategy": "append", "rows_appended": new_aligned.count()}
 
     if strategy == "delete+insert":
@@ -216,7 +224,7 @@ def run_incremental(
         else:
             raise ValueError("delete+insert needs unique_key or partition_by")
         result = kept.unionByName(new_aligned)
-        _staged_overwrite(spark, result, target, partition_by)
+        _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {"strategy": "delete+insert", "rows": spark.table(target).count()}
 
     if strategy == "merge":
@@ -230,7 +238,7 @@ def run_incremental(
             F.broadcast(new_aligned.select(keys).distinct()), on=keys, how="left_anti"
         )
         result = kept.unionByName(new_aligned)
-        _staged_overwrite(spark, result, target, partition_by)
+        _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {"strategy": "merge", "rows": spark.table(target).count()}
 
     raise ValueError(f"unknown incremental strategy: {strategy}")

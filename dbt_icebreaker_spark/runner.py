@@ -21,7 +21,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from .errors import raise_classified
-from .materializations.ddl import Ddl, generate_schema_name
+from .materializations.ddl import Ddl, configure_writer, generate_schema_name
 from .materializations.incremental import run_incremental
 from .materializations.snapshot import run_snapshot
 from .observability.telemetry import TelemetryStore, harvest_last_execution
@@ -126,25 +126,14 @@ class IcebreakerEngine:
         if materialization == "table":
             # M1: ref table.sql:72-76 (CREATE OR REPLACE TABLE … AS)
             self._clear_orphaned_location(target)
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(partition_by)
-            if clustered_by and buckets:
-                # dbt-spark's clustered_by/buckets contract: persist
-                # bucketed+sorted layout so equi-joins and aggregations
-                # on the bucket key skip their shuffle entirely (the
-                # 100 TB co-located-join path; see
-                # tests/test_plan_quality.py::TestBucketedJoin)
-                cols = (
-                    [clustered_by]
-                    if isinstance(clustered_by, str)
-                    else list(clustered_by)
-                )
-                writer = writer.bucketBy(buckets, *cols).sortBy(*cols)
-            elif bool(clustered_by) != bool(buckets):
-                raise ValueError(
-                    "clustered_by and buckets must be set together"
-                )
+            # dbt-spark's clustered_by/buckets contract: persist
+            # bucketed+sorted layout so equi-joins and aggregations on
+            # the bucket key skip their shuffle entirely (the 100 TB
+            # co-located-join path; see
+            # tests/test_plan_quality.py::TestBucketedJoin)
+            writer = configure_writer(
+                df.write.mode("overwrite"), partition_by, clustered_by, buckets
+            )
             try:  # runtime failures (e.g. bad cast) → actionable error
                 writer.saveAsTable(target)
             except Exception as e:
@@ -168,6 +157,8 @@ class IcebreakerEngine:
                     partition_by=partition_by,
                     full_refresh=full_refresh,
                     on_schema_change=on_schema_change,
+                    clustered_by=clustered_by,
+                    buckets=buckets,
                 )
             except Exception as e:
                 raise_classified(e, sql)

@@ -291,3 +291,43 @@ class TestTrainingPipelineShapes:
         # one partial+final aggregate pair → exactly one exchange
         assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 1
         assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
+
+
+class TestBucketedIncremental:
+    def test_merge_preserves_bucketed_layout(self, spark):
+        """A bucketed incremental table must still join Exchange-free
+        AFTER a merge batch rewrites it (the staged-overwrite path
+        re-declares the bucket spec)."""
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark, schema="bucket_demo")
+        register_dir(spark, SF_DIR)
+        eng.run_model(
+            "cust_inc", "SELECT c_custkey, c_name FROM customer",
+            "incremental", unique_key="c_custkey",
+            incremental_strategy="merge", clustered_by="c_custkey", buckets=8,
+        )
+        # second batch rewrites via staged overwrite
+        eng.run_model(
+            "cust_inc", "SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100",
+            "incremental", unique_key="c_custkey",
+            incremental_strategy="merge", clustered_by="c_custkey", buckets=8,
+        )
+        eng.run_model(
+            "ord_inc2", "SELECT o_custkey, o_totalprice FROM orders",
+            "table", clustered_by="o_custkey", buckets=8,
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = spark.sql(
+                "SELECT c.c_custkey, SUM(o.o_totalprice) AS t "
+                "FROM bucket_demo.cust_inc c "
+                "JOIN bucket_demo.ord_inc2 o ON c.c_custkey = o.o_custkey "
+                "GROUP BY c.c_custkey"
+            )
+            tree = _final_tree(_executed_plan(df))
+            assert "SortMergeJoin" in tree
+            assert "Exchange" not in tree
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
