@@ -144,9 +144,12 @@ def dedup_keep_first(
     same timestamp) deterministic across engines."""
     from pyspark.sql import Window
 
-    order = [F.col(ts_col).asc()]
+    # nulls LAST explicitly: Spark's default asc is NULLS FIRST while
+    # most engines (incl. the DuckDB oracle) default NULLS LAST — a
+    # NULL timestamp must not beat every real one
+    order = [F.col(ts_col).asc_nulls_last()]
     if tiebreak:
-        order.append(F.col(tiebreak).asc())
+        order.append(F.col(tiebreak).asc_nulls_last())
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         events.withColumn("__rn", F.row_number().over(w))

@@ -302,34 +302,71 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 out += [_word("CAST"), _op("(")] + x + [
                     _sp(), _word("AS"), _sp(), _word("BOOLEAN"), _op(")")]
             elif t.text == "STRTOK_X" and len(args) in (1, 2, 3):
-                # STRTOK(s[,delim[,part]]) → split_part(s, delim, part)
-                # (defaults: delim ' ', part 1). Caveat: Snowflake
-                # treats multi-char delim as a character SET; split_part
-                # as a whole string — identical for the 1-char case.
+                # STRTOK(s[,delim[,part]]): delim is a character SET,
+                # empty tokens are SKIPPED, out-of-range part → NULL.
+                # Literal delim → faithful rendering:
+                #   try_element_at(filter(split(s, '[<escaped set>]'),
+                #                         x -> x != ''), part)
+                # Non-literal delim (rare) → split_part fallback, which
+                # keeps empty tokens and returns '' out of range —
+                # documented deviation.
+                import re as _re
+
                 s = tokens[args[0][0]:args[0][1]]
                 d = tokens[args[1][0]:args[1][1]] if len(args) >= 2 else [Token(STRING, "' '")]
                 p_ = tokens[args[2][0]:args[2][1]] if len(args) == 3 else [_word("1")]
-                out += ([_word("split_part"), _op("(")] + s + [_op(","), _sp()]
-                        + d + [_op(","), _sp()] + p_ + [_op(")")])
+                d_code = [c for c in d if c.kind != WS]
+                if len(d_code) == 1 and d_code[0].kind == STRING:
+                    inner = d_code[0].text[1:-1]
+                    cls = "[" + _re.escape(inner) + "]"
+                    lit = Token(STRING, "'" + cls.replace("\\", "\\\\").replace("'", "''") + "'")
+                    out += ([_word("try_element_at"), _op("("),
+                             _word("filter"), _op("("),
+                             _word("split"), _op("(")] + s
+                            + [_op(","), _sp(), lit, _op(")"), _op(","), _sp(),
+                               _word("x"), _sp(), _op("->"), _sp(),
+                               _word("x"), _sp(), _op("!="), _sp(),
+                               Token(STRING, "''"), _op(")"), _op(","), _sp()]
+                            + p_ + [_op(")")])
+                else:
+                    out += ([_word("split_part"), _op("(")] + s + [_op(","), _sp()]
+                            + d + [_op(","), _sp()] + p_ + [_op(")")])
             elif t.text == "SEQ_X" and len(args) <= 1:
                 # SEQ1/2/4/8([0|1]) → monotonically_increasing_id():
                 # both produce unique-but-gappy per-row sequence values
                 out += [_word("monotonically_increasing_id"), _op("("), _op(")")]
-            elif t.text == "B64DEC_X" and len(args) == 1:
+            elif t.text in ("B64DEC_X", "HEXDEC_X"):
+                if len(args) != 1:
+                    # Snowflake's optional alphabet argument has no
+                    # Spark equivalent — refuse at transpile time
+                    # rather than emit silently-wrong standard-alphabet
+                    # decoding (can_transpile then reports it)
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "BASE64/HEX decode with a custom alphabet "
+                        "argument has no Spark equivalent; use the "
+                        "standard alphabet (1-arg form)."
+                    )
+                fn = "unbase64" if t.text == "B64DEC_X" else "unhex"
                 x = tokens[args[0][0]:args[0][1]]
-                out += [_word("CAST"), _op("("), _word("unbase64"), _op("(")] + x + [
-                    _op(")"), _sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
-            elif t.text == "HEXDEC_X" and len(args) == 1:
-                x = tokens[args[0][0]:args[0][1]]
-                out += [_word("CAST"), _op("("), _word("unhex"), _op("(")] + x + [
+                out += [_word("CAST"), _op("("), _word(fn), _op("(")] + x + [
                     _op(")"), _sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
             elif t.text == "UNIFORM_X" and len(args) in (2, 3):
-                # UNIFORM(min, max, RANDOM([seed])) → uniform(min, max
-                # [, seed]) — Spark's seed must be foldable, so a bare
-                # RANDOM() generator is dropped (non-deterministic in
-                # both engines) and RANDOM(seed) passes its seed through
+                # UNIFORM(min, max, RANDOM([seed])) → uniform(...) —
+                # Spark's seed must be foldable, so a bare RANDOM()
+                # generator is dropped (non-deterministic in both
+                # engines) and RANDOM(seed) passes its seed through.
+                # Snowflake's max is INCLUSIVE, Spark's is EXCLUSIVE
+                # for integers (verified: uniform(1,3) never yields 3)
+                # — an integer-literal max is bumped to max+1; float
+                # bounds are continuous so the boundary has measure
+                # zero and passes through unchanged.
                 a1 = tokens[args[0][0]:args[0][1]]
                 a2 = tokens[args[1][0]:args[1][1]]
+                a2_code = [c for c in a2 if c.kind != WS]
+                if len(a2_code) == 1 and a2_code[0].text.isdigit():
+                    a2 = [_word(str(int(a2_code[0].text) + 1))]
                 seed: Tokens = []
                 if len(args) == 3:
                     g = [c for c in tokens[args[2][0]:args[2][1]] if c.kind != WS]

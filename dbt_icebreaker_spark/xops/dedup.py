@@ -467,6 +467,8 @@ def minhash_jaccard_estimate(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """Sketch accuracy, measured: for every LSH candidate pair, the
     MinHash Jaccard ESTIMATE (signature agreement rate — what a 100 TB
@@ -480,6 +482,15 @@ def minhash_jaccard_estimate(
     shingles only WITHIN candidate pairs — O(candidates × shingles),
     never all-pairs. All hashing is md5 → fully oracle-checkable.
 
+    Caveats: pairs inherit ``max_bucket_size`` hot-bucket degradation
+    (buckets past the cap emit star pairs, not all pairs) — a plain-SQL
+    oracle enumerating exact per-bucket pairs only matches while every
+    bucket is under the cap. The two persisted intermediates stay
+    cached for the session (the result is lazy, so this function
+    cannot unpersist them itself); pass ``persist=False`` in
+    long-lived sessions that call this repeatedly, or clear with
+    ``spark.catalog.clearCache()``.
+
     Output: (doc_a, doc_b, est_jaccard, exact_jaccard).
     """
     from pyspark import StorageLevel
@@ -488,14 +499,15 @@ def minhash_jaccard_estimate(
     # intersection, per-doc counts) and signatures feed two — persist
     # both so the shingle fan-out runs once, spilling to disk if the
     # corpus outgrows executor memory
-    sh_raw = word_shingles(df, id_col, text_col, k=shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = signatures_from_shingles(sh_raw, id_col, n_hashes=n_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_raw = word_shingles(df, id_col, text_col, k=shingle_k)
+    if persist:
+        sh_raw = sh_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = signatures_from_shingles(sh_raw, id_col, n_hashes=n_hashes)
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = pairs_from_signatures(
-        sig, id_col, n_hashes=n_hashes, bands=bands
+        sig, id_col, n_hashes=n_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
     )
     sig_a = sig.select(
         F.col(id_col).cast("long").alias("doc_a"),

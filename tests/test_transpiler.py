@@ -561,11 +561,18 @@ def _norm(sql: str) -> str:
     return _re.sub(r"\s+", " ", sql)
 
 class TestTokenAndEncodingFuncs:
-    def test_strtok_defaults_and_args(self):
+    def test_strtok_skips_empty_tokens_null_oob(self):
+        # faithful STRTOK: char-set split, empty tokens skipped,
+        # out-of-range part -> NULL (try_element_at)
         out = _norm(t.to_spark("SELECT STRTOK(s, '-', 2) FROM x"))
-        assert "split_part(s, '-', 2)" in out
+        assert "try_element_at(filter(split(s," in out
+        assert "x -> x != ''" in out and ", 2)" in out
         out = _norm(t.to_spark("SELECT STRTOK(s) FROM x"))
-        assert "split_part(s, ' ', 1)" in out
+        assert "try_element_at" in out and ", 1)" in out
+
+    def test_strtok_nonliteral_delim_falls_back(self):
+        out = _norm(t.to_spark("SELECT STRTOK(s, d, 2) FROM x"))
+        assert "split_part(s, d, 2)" in out
 
     def test_bitshifts(self):
         out = _norm(t.to_spark("SELECT BITSHIFTLEFT(a, 1), BITSHIFTRIGHT(b, 2) FROM x"))
@@ -580,11 +587,20 @@ class TestTokenAndEncodingFuncs:
         assert "CAST(unbase64(b) AS STRING)" in out
         assert "CAST(unhex(h) AS STRING)" in out
 
-    def test_uniform_drops_bare_random_keeps_seed(self):
+    def test_uniform_inclusive_max_and_seed(self):
+        # Snowflake max is inclusive; Spark's is exclusive for ints ->
+        # integer-literal max bumps by one
         out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM()) FROM x"))
-        assert "uniform(1, 10)" in out
+        assert "uniform(1, 11)" in out
         out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM(42)) FROM x"))
-        assert "uniform(1, 10, 42)" in out
+        assert "uniform(1, 11, 42)" in out
+        # float max passes through (continuous range)
+        out = _norm(t.to_spark("SELECT UNIFORM(0.0, 1.5, RANDOM()) FROM x"))
+        assert "uniform(0.0, 1.5)" in out
+
+    def test_base64_custom_alphabet_rejected(self):
+        ok, msg = t.can_transpile("SELECT BASE64_DECODE_STRING(b, 'abc') FROM x")
+        assert not ok and "alphabet" in msg
 
     def test_variant_cast_unwrapped_in_array_probes(self):
         out = _norm(t.to_spark("SELECT ARRAY_POSITION(2::VARIANT, arr) FROM x"))
