@@ -1,16 +1,43 @@
-"""Extension operators for LLM-data pipelines (SURVEY §2.6 X1–X4).
+"""Extension operators for LLM-data pipelines (SURVEY §2.6 X-ops).
 
 No reference implementation exists (the reference only *recognizes*
 CORTEX calls and routes them to the cloud, `auto_router.py:78-84`);
 these are designed Spark-first for 100 TB scale:
 
-- dedup: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine
-- similarity: brute-force cosine top-k + LSH-bucketed scale path
-- text: language-ID, quality scoring, token stats, fingerprinting
-- multimodal: binary columns + Pandas-UDF decode plumbing (stubbed)
+- dedup: exact, MinHash+LSH (+ measured sketch accuracy), SimHash,
+  n-gram Jaccard, embedding cosine, connected-components clustering,
+  benchmark decontamination
+- similarity: brute-force cosine top-k + LSH/IVF scale paths
+- text: language-ID, quality scoring, token stats, fingerprinting,
+  sequence packing, repetition filters, PII/URL scrubbing
+- temporal: as-of and range joins
+- sampling: deterministic hash samples/splits, domain mixing
+- profile: per-stratum numeric distribution profiling
+- skew: salted joins + hot-key diagnostics
+- multimodal: binary columns, media header probing, decode plumbing
 - llm: CORTEX-shaped model-call columns (pluggable endpoint, stubbed)
 """
 
-from . import dedup, multimodal, similarity, text
+from . import (
+    dedup,
+    llm,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup",
+    "llm",
+    "multimodal",
+    "profile",
+    "sampling",
+    "similarity",
+    "skew",
+    "temporal",
+    "text",
+]
