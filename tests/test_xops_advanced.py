@@ -416,3 +416,12 @@ class TestScrubPii:
         assert out[3]["clean_text"] == "url with userinfo <URL> plus <EMAIL>"
         assert (out[4]["n_emails"], out[4]["n_urls"]) == (0, 0)
         assert out[4]["clean_text"] == "clean document"
+
+    def test_approx_variant_close_to_exact(self, spark):
+        from dbt_icebreaker_spark.xops.profile import profile_numeric
+
+        df = spark.createDataFrame([("a", float(v)) for v in range(1000)], "grp string, v double")
+        exact = profile_numeric(df, "grp", "v").collect()[0]
+        approx = profile_numeric(df, "grp", "v", approx=True).collect()[0]
+        assert abs(exact["p50"] - approx["p50"]) <= 10  # t-digest tolerance
+        assert exact["n"] == approx["n"]
