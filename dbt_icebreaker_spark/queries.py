@@ -950,6 +950,112 @@ _q(
     """,
 )
 
+_q(
+    "q43_stat_aggs",
+    # Snowflake SKEW/KURTOSIS are SAMPLE-corrected (as are DuckDB's)
+    # while Spark's skewness/kurtosis are population estimators — the
+    # transpiler emits the correction arithmetic, verified here to
+    # float precision against the oracle. MEDIAN ≡ quantile_cont(0.5)
+    # in both engines; MODE is deterministic on this data (no tie).
+    """
+    SELECT l_returnflag,
+           SKEW(l_extendedprice) AS skew_price,
+           KURTOSIS(l_extendedprice) AS kurt_price,
+           MEDIAN(l_quantity) AS med_qty,
+           CAST(MODE(l_linenumber) AS INT) AS mode_line
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           skewness(l_extendedprice) AS skew_price,
+           kurtosis(l_extendedprice) AS kurt_price,
+           median(l_quantity) AS med_qty,
+           CAST(mode(l_linenumber) AS INT) AS mode_line
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+_q(
+    "q44_date_spine",
+    # dbt_utils.date_spine idiom: TABLE(GENERATOR(ROWCOUNT => n)) +
+    # ROW_NUMBER. Lowered to Spark's distributed range() TVF — no
+    # driver-side array, partitions over the id domain, so a 10⁹-row
+    # spine parallelizes instead of OOMing one task.
+    """
+    SELECT DATEADD(DAY, ROW_NUMBER() OVER (ORDER BY 1) - 1,
+                   DATE '1995-01-01') AS d
+    FROM TABLE(GENERATOR(ROWCOUNT => 120))
+    ORDER BY d
+    """,
+    """
+    SELECT CAST(DATE '1995-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS d
+    FROM range(120) t(i)
+    ORDER BY d
+    """,
+)
+
+_q(
+    "q45_split_to_table",
+    # SPLIT_TO_TABLE: literal-delimiter split with Snowflake's 1-BASED
+    # index (FLATTEN's is 0-based) — one LATERAL VIEW inline(transform)
+    # per row, no shuffle before the aggregate.
+    """
+    SELECT f.value AS tok, COUNT(*) AS n
+    FROM part, LATERAL SPLIT_TO_TABLE(p_name, ' ') f
+    WHERE f.index = 2
+    GROUP BY f.value
+    ORDER BY tok
+    """,
+    """
+    SELECT string_split(p_name, ' ')[2] AS tok, COUNT(*) AS n
+    FROM part
+    GROUP BY 1
+    ORDER BY tok
+    """,
+)
+
+_q(
+    "q46_datename_scalars",
+    # DAYNAME/MONTHNAME → date_format EEE/MMM (3-letter English, both
+    # engines locale-independent here); TIMEADD alias of DATEADD.
+    """
+    SELECT o_orderkey,
+           DAYNAME(o_orderdate) AS dname,
+           MONTHNAME(o_orderdate) AS mname,
+           TIMEADD('hour', 6, o_orderdate) AS t6
+    FROM orders
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%a') AS dname,
+           strftime(o_orderdate, '%b') AS mname,
+           o_orderdate + INTERVAL 6 HOUR AS t6
+    FROM orders
+    """,
+)
+
+_q(
+    "q47_tryjson_regex",
+    # TRY_PARSE_JSON in the JSON-string VARIANT model (NULL on
+    # malformed input) + REGEXP_SUBSTR_ALL → regexp_extract_all.
+    """
+    SELECT event_id,
+           TRY_PARSE_JSON(props) IS NOT NULL AS is_valid,
+           ARRAY_TO_STRING(REGEXP_SUBSTR_ALL(props, '[0-9]+'), '|') AS nums
+    FROM events
+    """,
+    """
+    SELECT event_id,
+           json_valid(props) AS is_valid,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), '|') AS nums
+    FROM events
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",

@@ -145,6 +145,17 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "HEX_ENCODE": "HEX",
         "HEX_DECODE_STRING": "HEXDEC_X",
         "UNIFORM": "UNIFORM_X",     # drop/convert the RANDOM() generator arg
+        "TIMEADD": "DATEADD",       # Snowflake aliases of DATEADD/DATEDIFF;
+        "TIMESTAMPADD": "DATEADD",  # renames run before rewrite_date_units
+        "TIMEDIFF": "DATEDIFF",     # so quoted units still normalize
+        "TIMESTAMPDIFF": "DATEDIFF",
+        "DAYNAME": "DAYNAME_X",     # → date_format(x,'EEE') ('Mon')
+        "MONTHNAME": "MONTHNAME_X",  # → date_format(x,'MMM') ('Jan')
+        "ARRAY_UNIQUE_AGG": "COLLECT_SET",
+        "REGEXP_SUBSTR_ALL": "RXALL_X",  # → regexp_extract_all(s,p,0)
+        "OBJECT_AGG": "OBJAGG_X",   # → to_json(map_from_entries(collect_list(struct)))
+        "SKEW": "SKEW_X",           # sample-corrected (Spark skewness is population)
+        "KURTOSIS": "KURT_X",       # sample excess kurtosis correction
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -211,6 +222,8 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
             "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
             "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
+            "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
+            "SKEW_X", "KURT_X",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -399,6 +412,82 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 else:
                     x = tokens[args[0][0]:args[0][1]] if args else []
                     out += [_word(fn), _op("(")] + x + [_op(")")]
+            elif t.text in ("DAYNAME_X", "MONTHNAME_X") and len(args) == 1:
+                # Snowflake DAYNAME/MONTHNAME return 3-letter English
+                # abbreviations ('Mon'/'Jan') — java.time EEE/MMM.
+                x = tokens[args[0][0]:args[0][1]]
+                fmt = "'EEE'" if t.text == "DAYNAME_X" else "'MMM'"
+                out += [_word("date_format"), _op("(")] + x + [
+                    _op(","), _sp(), Token(STRING, fmt), _op(")")]
+            elif t.text == "RXALL_X":
+                if len(args) != 2:
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "REGEXP_SUBSTR_ALL with position/occurrence/"
+                        "parameter arguments has no direct Spark "
+                        "rendering; pre-slice with SUBSTR and use the "
+                        "2-argument form (→ regexp_extract_all)."
+                    )
+                s = tokens[args[0][0]:args[0][1]]
+                p_ = tokens[args[1][0]:args[1][1]]
+                out += [_word("regexp_extract_all"), _op("(")] + s + [
+                    _op(","), _sp()] + p_ + [_op(","), _sp(), _word("0"), _op(")")]
+            elif t.text == "OBJAGG_X" and len(args) == 2:
+                # OBJECT_AGG(k, v) → JSON-string VARIANT model:
+                # to_json(map_from_entries(collect_list(struct(k, v)))).
+                # Key order follows input order (unspecified in
+                # Snowflake too).
+                k_ = tokens[args[0][0]:args[0][1]]
+                v_ = tokens[args[1][0]:args[1][1]]
+                out += ([_word("to_json"), _op("("), _word("map_from_entries"),
+                         _op("("), _word("collect_list"), _op("("),
+                         _word("struct"), _op("(")] + k_ + [_op(","), _sp()]
+                        + v_ + [_op(")"), _op(")"), _op(")"), _op(")")])
+            elif t.text in ("SKEW_X", "KURT_X") and len(args) == 1:
+                # Snowflake (and DuckDB) return SAMPLE-corrected
+                # skewness/excess-kurtosis; Spark's skewness/kurtosis
+                # are population estimators (g1, g2). Emit the
+                # correction: G1 = g1·√(n(n−1))/(n−2),
+                # G2 = (n−1)/((n−2)(n−3))·((n+1)·g2 + 6), n = count(x).
+                # Each agg needs its own OVER, so a window spelling
+                # can't be patched here — refuse with the two-pass hint.
+                nxt = next_code(tokens, close + 1)
+                if nxt < n and tokens[nxt].is_word("OVER"):
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        f"{'SKEW' if t.text == 'SKEW_X' else 'KURTOSIS'} "
+                        "as a window function needs the sample "
+                        "correction applied per-window; compute the "
+                        "group aggregate in a subquery and join it "
+                        "back instead."
+                    )
+                x = tokens[args[0][0]:args[0][1]]
+                cnt = [_word("count"), _op("(")] + x + [_op(")")]
+                if t.text == "SKEW_X":
+                    out += ([_op("("), _word("skewness"), _op("(")] + x
+                            + [_op(")"), _sp(), _op("*"), _sp(), _word("sqrt"),
+                               _op("(")] + cnt + [_sp(), _op("*"), _sp(), _op("(")]
+                            + cnt + [_sp(), _op("-"), _sp(), _word("1.0"),
+                                     _op(")"), _op(")"), _sp(), _op("/"), _sp(),
+                                     _op("(")]
+                            + cnt + [_sp(), _op("-"), _sp(), _word("2.0"),
+                                     _op(")"), _op(")")])
+                else:
+                    out += ([_op("("), _op("(")] + cnt
+                            + [_sp(), _op("-"), _sp(), _word("1.0"), _op(")"),
+                               _sp(), _op("/"), _sp(), _op("("), _op("(")]
+                            + cnt + [_sp(), _op("-"), _sp(), _word("2.0"),
+                                     _op(")"), _sp(), _op("*"), _sp(), _op("(")]
+                            + cnt + [_sp(), _op("-"), _sp(), _word("3.0"),
+                                     _op(")"), _op(")"), _sp(), _op("*"), _sp(),
+                                     _op("("), _op("(")]
+                            + cnt + [_sp(), _op("+"), _sp(), _word("1.0"),
+                                     _op(")"), _sp(), _op("*"), _sp(),
+                                     _word("kurtosis"), _op("(")] + x
+                            + [_op(")"), _sp(), _op("+"), _sp(), _word("6.0"),
+                               _op(")"), _op(")")])
             else:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
@@ -415,6 +504,9 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     "STRTOK_X": "split_part", "SEQ_X": "monotonically_increasing_id",
                     "B64DEC_X": "unbase64", "HEXDEC_X": "unhex",
                     "UNIFORM_X": "uniform", "TO_BOOL_X": "CAST",
+                    "DAYNAME_X": "date_format", "MONTHNAME_X": "date_format",
+                    "RXALL_X": "regexp_extract_all", "OBJAGG_X": "to_json",
+                    "SKEW_X": "skewness", "KURT_X": "kurtosis",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1
@@ -553,6 +645,22 @@ def rewrite_variant_funcs(tokens: Tokens) -> Tokens:
             out += [_op("(")] + inner + [_op(")")]
             i = close + 1
             continue
+        if t.kind == WORD and _is_call(tokens, i, "TRY_PARSE_JSON"):
+            # NULL on malformed input (Snowflake contract). In the
+            # JSON-string model: keep the string iff it parses —
+            # get_json_object(s, '$') is NULL exactly when s is not
+            # valid JSON (also NULL for input NULL, matching).
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            inner = tokens[op_i + 1:close]
+            out += ([_word("CASE"), _sp(), _word("WHEN"), _sp(),
+                     _word("get_json_object"), _op("(")] + inner
+                    + [_op(","), _sp(), Token(STRING, "'$'"), _op(")"),
+                       _sp(), _word("IS"), _sp(), _word("NOT"), _sp(),
+                       _word("NULL"), _sp(), _word("THEN"), _sp(), _op("(")]
+                    + inner + [_op(")"), _sp(), _word("END")])
+            i = close + 1
+            continue
         if t.kind == WORD and _is_call(tokens, i, "TO_VARIANT"):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -636,9 +744,92 @@ def rewrite_variant_casts(tokens: Tokens) -> Tokens:
 
 
 # ------------------------------------------------------------------- T13
+# Table functions accepted after LATERAL / TABLE( by rewrite_flatten
+_LATERAL_TABLE_FUNCS = ("FLATTEN", "SPLIT_TO_TABLE", "STRTOK_SPLIT_TO_TABLE")
+
+# Java-regex metacharacters needing escape when a literal delimiter is
+# lowered into split()'s regex argument / a character class
+_REGEX_SPECIALS = set(".^$*+?()[]{}|\\")
+_REGEX_CLASS_SPECIALS = set("\\]^-[&")
+
+
+def rewrite_generator(tokens: Tokens) -> Tokens:
+    """TABLE(GENERATOR(ROWCOUNT => n)) → (SELECT id AS seq_gen FROM
+    range((n))) — the dbt_utils date-spine pattern. Spark's range() is
+    a distributed table-valued function (parallel partitions over the
+    id domain), so a 10⁹-row spine never materializes a driver-side
+    array the way explode(sequence(…)) would; ROWCOUNT 0 yields an
+    empty relation, matching Snowflake. TIMELIMIT has no bounded-plan
+    equivalent → actionable error."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "TABLE":
+            j = next_code(tokens, i + 1)
+            if j < n and tokens[j].is_op("("):
+                j2 = next_code(tokens, j + 1)
+                if j2 < n and _is_call(tokens, j2, "GENERATOR"):
+                    outer_close = find_matching_paren(tokens, j)
+                    op_i = next_code(tokens, j2 + 1)
+                    close = find_matching_paren(tokens, op_i)
+                    rowcount: Tokens | None = None
+                    for a_lo, a_hi in split_args(tokens, op_i + 1, close):
+                        code = [x for x in tokens[a_lo:a_hi] if x.kind != WS]
+                        if len(code) >= 3 and code[0].kind == WORD and code[1].is_op("=>"):
+                            if code[0].upper == "ROWCOUNT":
+                                k = a_lo
+                                while k < a_hi and not tokens[k].is_op("=>"):
+                                    k += 1
+                                rowcount = tokens[k + 1:a_hi]
+                            elif code[0].upper == "TIMELIMIT":
+                                from .core import TranspileError
+
+                                raise TranspileError(
+                                    "GENERATOR(TIMELIMIT => …) is "
+                                    "wall-clock-bounded row production "
+                                    "with no Spark equivalent; use "
+                                    "ROWCOUNT."
+                                )
+                    if rowcount is not None:
+                        out += ([_op("("), _word("SELECT"), _sp(),
+                                 _word("id"), _sp(), _word("AS"), _sp(),
+                                 _word("seq_gen"), _sp(), _word("FROM"),
+                                 _sp(), _word("range"), _op("("), _op("(")]
+                                + rowcount + [_op(")"), _op(")"), _op(")")])
+                        i = outer_close + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _inject_dual_if_bare_from(out: Tokens) -> None:
+    """A standalone `FROM TABLE(FLATTEN/SPLIT_TO_TABLE(…))` (constant
+    input, Snowflake-legal) leaves LATERAL VIEW with no base relation —
+    attach a 1-row dual subquery."""
+    p = len(out) - 1
+    while p >= 0 and out[p].kind == WS:
+        p -= 1
+    if p >= 0 and out[p].kind == WORD and out[p].upper == "FROM":
+        out += [_sp(), _op("("), _word("SELECT"), _sp(), _word("1"), _sp(),
+                _word("AS"), _sp(), _word("__dummy"), _op(")"), _sp(),
+                _word("__dual")]
+
+
 def rewrite_flatten(tokens: Tokens) -> Tokens:
-    """[LATERAL|TABLE] FLATTEN(input => X) [AS] f →
-    LATERAL VIEW EXPLODE(X) f AS value   (ref transpiler.py:326-364).
+    """[LATERAL|TABLE()] FLATTEN(input => X) [AS] f →
+    LATERAL VIEW POSEXPLODE(X) f AS index, value (ref
+    transpiler.py:326-364), and the split table functions:
+
+    - SPLIT_TO_TABLE(s, d): literal-delimiter split; Snowflake's
+      ``index`` is 1-BASED (unlike FLATTEN's 0-based) → one
+      ``LATERAL VIEW inline(transform(split(...), (x,i) →
+      struct(i+1, x)))``
+    - STRTOK_SPLIT_TO_TABLE(s, delims): each char of delims is a
+      separator (character class), empty tokens skipped, index 1-based
+      over kept tokens
 
     Handles the common Snowflake form
         FROM t, LATERAL FLATTEN(input => t.arr) f
@@ -653,7 +844,123 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
         t = tokens[i]
         if t.kind == WORD and t.upper in ("LATERAL", "TABLE"):
             j = next_code(tokens, i + 1)
-            if j < n and _is_call(tokens, j, "FLATTEN"):
+            outer_close = -1
+            if t.upper == "TABLE" and j < n and tokens[j].is_op("("):
+                # TABLE(FLATTEN(…)) / TABLE(SPLIT_TO_TABLE(…)) — unwrap
+                # the TABLE() parens and remember where they close so
+                # the alias scan starts after them
+                j2 = next_code(tokens, j + 1)
+                if (
+                    j2 < n and tokens[j2].kind == WORD
+                    and tokens[j2].upper in _LATERAL_TABLE_FUNCS
+                    and _is_call(tokens, j2, tokens[j2].upper)
+                ):
+                    outer_close = find_matching_paren(tokens, j)
+                    j = j2
+            fn = (
+                tokens[j].upper
+                if j < n and tokens[j].kind == WORD
+                and tokens[j].upper in _LATERAL_TABLE_FUNCS
+                and _is_call(tokens, j, tokens[j].upper)
+                else None
+            )
+            if fn in ("SPLIT_TO_TABLE", "STRTOK_SPLIT_TO_TABLE"):
+                op_i = next_code(tokens, j + 1)
+                close = find_matching_paren(tokens, op_i)
+                args = split_args(tokens, op_i + 1, close)
+                # strip preceding comma (snowflake `, LATERAL SPLIT_…`)
+                p = len(out) - 1
+                while p >= 0 and out[p].kind in (WS,):
+                    p -= 1
+                if p >= 0 and out[p].is_op(","):
+                    del out[p]
+                _inject_dual_if_bare_from(out)
+                anchor = outer_close if outer_close >= 0 else close
+                k = next_code(tokens, anchor + 1)
+                alias = "f"
+                consumed_to = anchor
+                if k < n and tokens[k].is_word("AS"):
+                    k2 = next_code(tokens, k + 1)
+                    if k2 < n and tokens[k2].kind == WORD:
+                        alias = tokens[k2].text
+                        consumed_to = k2
+                elif k < n and tokens[k].kind == WORD and tokens[k].upper not in (
+                    "WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "HAVING",
+                    "JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "ON", "UNION",
+                    "LATERAL",
+                ):
+                    alias = tokens[k].text
+                    consumed_to = k
+                s_expr = tokens[args[0][0]:args[0][1]] if args else []
+                delim = (
+                    tokens[args[1][0]:args[1][1]] if len(args) >= 2
+                    else [Token(STRING, "' '")]
+                )
+                d_code = [c for c in delim if c.kind != WS]
+                d_lit = (
+                    d_code[0].text[1:-1]
+                    if len(d_code) == 1 and d_code[0].kind == STRING
+                    else None
+                )
+                if fn == "SPLIT_TO_TABLE":
+                    # Snowflake splits on the LITERAL delimiter; Spark
+                    # split() takes a regex → escape metachars (literal
+                    # delim) or \Q…\E-quote (expression delim). index
+                    # is 1-BASED (unlike FLATTEN's 0-based) → inline
+                    # over a (i+1, x) struct array, one lateral view.
+                    if d_lit is not None:
+                        esc = "".join(
+                            ("\\\\" + c) if c in _REGEX_SPECIALS else c
+                            for c in d_lit
+                        )
+                        pat: Tokens = [Token(STRING, f"'{esc}'")]
+                    else:
+                        pat = ([_word("concat"), _op("("),
+                                Token(STRING, "'\\\\Q'"), _op(","), _sp(),
+                                _op("(")] + delim
+                               + [_op(")"), _op(","), _sp(),
+                                  Token(STRING, "'\\\\E'"), _op(")")])
+                    arr = ([_word("split"), _op("("), _op("(")] + s_expr
+                           + [_op(")"), _op(","), _sp()] + pat + [_op(")")])
+                else:
+                    # STRTOK: delimiter string = SET of single-char
+                    # separators (char class), empty tokens skipped,
+                    # index 1-based over the KEPT tokens
+                    if d_lit is None:
+                        from .core import TranspileError
+
+                        raise TranspileError(
+                            "STRTOK_SPLIT_TO_TABLE needs a literal "
+                            "delimiter string (a character-class regex "
+                            "is built from it at transpile time)."
+                        )
+                    esc = "".join(
+                        ("\\\\" + c) if c in _REGEX_CLASS_SPECIALS else c
+                        for c in d_lit
+                    )
+                    arr = ([_word("filter"), _op("("), _word("split"),
+                            _op("("), _op("(")] + s_expr
+                           + [_op(")"), _op(","), _sp(),
+                              Token(STRING, f"'[{esc}]'"), _op(")"),
+                              _op(","), _sp(), _word("_x"), _sp(),
+                              _op("->"), _sp(), _word("_x"), _sp(),
+                              _op("!="), _sp(), Token(STRING, "''"),
+                              _op(")")])
+                out += ([_sp(), _word("LATERAL"), _sp(), _word("VIEW"),
+                         _sp(), _word("inline"), _op("("),
+                         _word("transform"), _op("(")] + arr
+                        + [_op(","), _sp(), _op("("), _word("_x"),
+                           _op(","), _sp(), _word("_i"), _op(")"), _sp(),
+                           _op("->"), _sp(), _word("struct"), _op("("),
+                           _word("_i"), _sp(), _op("+"), _sp(),
+                           _word("1"), _op(","), _sp(), _word("_x"),
+                           _op(")"), _op(")"), _op(")"), _sp(),
+                           _word(alias), _sp(), _word("AS"), _sp(),
+                           _word("index"), _op(","), _sp(),
+                           _word("value")])
+                i = consumed_to + 1
+                continue
+            if fn == "FLATTEN":
                 op_i = next_code(tokens, j + 1)
                 close = find_matching_paren(tokens, op_i)
                 args = split_args(tokens, op_i + 1, close)
@@ -684,10 +991,13 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     p -= 1
                 if p >= 0 and out[p].is_op(","):
                     del out[p]
-                # alias after the closing paren: [AS] name
-                k = next_code(tokens, close + 1)
+                _inject_dual_if_bare_from(out)
+                # alias after the closing paren (after the TABLE()
+                # wrapper's close when present): [AS] name
+                anchor = outer_close if outer_close >= 0 else close
+                k = next_code(tokens, anchor + 1)
                 alias = "f"
-                consumed_to = close
+                consumed_to = anchor
                 if k < n and tokens[k].is_word("AS"):
                     k2 = next_code(tokens, k + 1)
                     if k2 < n and tokens[k2].kind == WORD:
@@ -1301,6 +1611,10 @@ _UNSUPPORTED_SCALARS = {
     "MINHASH_COMBINE": "xops.dedup.minhash_signatures",
     "APPROXIMATE_SIMILARITY": "xops.dedup.minhash_lsh_pairs",
     "APPROXIMATE_JACCARD_INDEX": "xops.dedup.ngram_jaccard_pairs",
+    "CONDITIONAL_CHANGE_EVENT": "a two-pass window: LAG(expr) OVER w in "
+                                "a subquery, then a running SUM of "
+                                "change flags (nested windows can't be "
+                                "spelled inline in Spark SQL)",
 }
 
 
@@ -1329,6 +1643,7 @@ PIPELINE = (
     rewrite_simple_renames,
     _fixup_placeholders,
     rewrite_date_units,
+    rewrite_generator,
     rewrite_flatten,
     rewrite_json_path,
     rewrite_qualify,

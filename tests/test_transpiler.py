@@ -607,3 +607,152 @@ class TestTokenAndEncodingFuncs:
         assert "::STRING" not in out and "array_position( arr, 2)" in out
         out = _norm(t.to_spark("SELECT ARRAY_CONTAINS(2::VARIANT, arr) FROM x"))
         assert "array_contains( arr, 2)" in out
+
+
+class TestStatAggsAndNameFuncs:
+    def test_skew_kurtosis_sample_corrected(self, spark, duck):
+        # Snowflake/DuckDB return SAMPLE-corrected estimators; Spark's
+        # skewness/kurtosis are population — the rewrite emits the
+        # correction, so values must match DuckDB to float precision
+        vals = [1.0, 2.0, 2.0, 3.0, 9.0, 4.0, 4.0, 4.0, 7.0]
+        spark.createDataFrame([(v,) for v in vals], "x double") \
+            .createOrReplaceTempView("skew_v")
+        r = spark.sql(t.to_spark(
+            "SELECT SKEW(x) AS s, KURTOSIS(x) AS k FROM skew_v"
+        )).collect()[0]
+        ds, dk = duck.execute(
+            "SELECT skewness(x), kurtosis(x) FROM (SELECT unnest(?) AS x)",
+            [vals],
+        ).fetchone()
+        assert abs(r.s - ds) < 1e-9 and abs(r.k - dk) < 1e-9
+
+    def test_skew_window_refused(self):
+        ok, msg = t.can_transpile(
+            "SELECT SKEW(x) OVER (PARTITION BY g) FROM t"
+        )
+        assert not ok and "window" in msg.lower()
+
+    def test_dayname_monthname(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DAYNAME(DATE '2024-01-06') AS d, "
+            "MONTHNAME(DATE '2024-02-06') AS m"
+        )).collect()[0]
+        assert r.d == "Sat" and r.m == "Feb"
+
+    def test_timeadd_timediff_aliases(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT TIMEADD('hour', 3, TIMESTAMP '2024-01-01 00:00:00') AS t1, "
+            "TIMESTAMPDIFF('day', DATE '2024-01-01', DATE '2024-02-01') AS t2"
+        )).collect()[0]
+        assert "03:00" in str(r.t1) and r.t2 == 31
+
+    def test_regexp_substr_all(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_TO_STRING(REGEXP_SUBSTR_ALL('a1b22c333', '[0-9]+'), ',') AS r"
+        )).collect()[0]
+        assert r.r == "1,22,333"
+
+    def test_regexp_substr_all_extra_args_refused(self):
+        ok, msg = t.can_transpile(
+            "SELECT REGEXP_SUBSTR_ALL(s, 'x', 2) FROM t"
+        )
+        assert not ok and "2-argument" in msg
+
+    def test_object_agg_json(self, spark):
+        import json
+
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int") \
+            .createOrReplaceTempView("oa_kv")
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_AGG(k, v) AS o FROM oa_kv"
+        )).collect()[0]
+        assert json.loads(r.o) == {"a": 1, "b": 2}
+
+    def test_array_unique_agg(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_TO_STRING(ARRAY_UNIQUE_AGG(x), '|') AS u "
+            "FROM VALUES (1),(2),(2),(1) AS t(x)"
+        )).collect()[0]
+        assert sorted(r.u.split("|")) == ["1", "2"]
+
+    def test_try_parse_json(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT TRY_PARSE_JSON('{\"a\":1}') AS good, "
+            "TRY_PARSE_JSON('{oops') AS bad, TRY_PARSE_JSON(NULL) AS nul"
+        )).collect()[0]
+        assert r.good == '{"a":1}' and r.bad is None and r.nul is None
+
+    def test_conditional_change_event_actionable(self):
+        ok, msg = t.can_transpile(
+            "SELECT CONDITIONAL_CHANGE_EVENT(x) OVER (ORDER BY i) FROM t"
+        )
+        assert not ok and "LAG" in msg
+
+
+class TestGeneratorAndSplitToTable:
+    def test_generator_rowcount(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT seq_gen FROM TABLE(GENERATOR(ROWCOUNT => 5)) ORDER BY seq_gen"
+        )).collect()
+        assert [r.seq_gen for r in rows] == [0, 1, 2, 3, 4]
+
+    def test_generator_zero_rows(self, spark):
+        assert spark.sql(t.to_spark(
+            "SELECT COUNT(*) AS n FROM TABLE(GENERATOR(ROWCOUNT => 0))"
+        )).collect()[0].n == 0
+
+    def test_generator_timelimit_refused(self):
+        ok, msg = t.can_transpile(
+            "SELECT 1 FROM TABLE(GENERATOR(TIMELIMIT => 10))"
+        )
+        assert not ok and "ROWCOUNT" in msg
+
+    def test_date_spine_pattern(self, spark):
+        # the dbt_utils date-spine idiom end-to-end
+        rows = spark.sql(t.to_spark(
+            "SELECT DATEADD(DAY, ROW_NUMBER() OVER (ORDER BY 1) - 1, "
+            "DATE '2001-01-01') AS d "
+            "FROM TABLE(GENERATOR(ROWCOUNT => 3)) ORDER BY d"
+        )).collect()
+        assert [str(r.d)[:10] for r in rows] == [
+            "2001-01-01", "2001-01-02", "2001-01-03"]
+
+    def test_split_to_table_one_based_keeps_empties(self, spark):
+        spark.createDataFrame([("a,b,,c",)], "s string") \
+            .createOrReplaceTempView("stt_t")
+        rows = spark.sql(t.to_spark(
+            "SELECT f.index, f.value FROM stt_t, "
+            "LATERAL SPLIT_TO_TABLE(s, ',') f ORDER BY f.index"
+        )).collect()
+        assert [(r["index"], r.value) for r in rows] == [
+            (1, "a"), (2, "b"), (3, ""), (4, "c")]
+
+    def test_split_to_table_literal_dot_delim(self, spark):
+        # '.' must split literally, not as a regex wildcard
+        rows = spark.sql(t.to_spark(
+            "SELECT f.value FROM TABLE(SPLIT_TO_TABLE('a.b.c', '.')) f"
+        )).collect()
+        assert [r.value for r in rows] == ["a", "b", "c"]
+
+    def test_strtok_split_to_table_skips_empties(self, spark):
+        spark.createDataFrame([("a, b;;c",)], "s string") \
+            .createOrReplaceTempView("stt_t2")
+        rows = spark.sql(t.to_spark(
+            "SELECT f.index, f.value FROM stt_t2, "
+            "LATERAL STRTOK_SPLIT_TO_TABLE(s, ' ,;') f ORDER BY f.index"
+        )).collect()
+        assert [(r["index"], r.value) for r in rows] == [
+            (1, "a"), (2, "b"), (3, "c")]
+
+    def test_strtok_split_nonliteral_delim_refused(self):
+        ok, msg = t.can_transpile(
+            "SELECT f.value FROM t, LATERAL STRTOK_SPLIT_TO_TABLE(s, d) f"
+        )
+        assert not ok and "literal" in msg
+
+    def test_table_flatten_paren_form(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT f.index, f.value "
+            "FROM TABLE(FLATTEN(input => ARRAY_CONSTRUCT('p','q'))) f"
+        )).collect()
+        assert [(r["index"], r.value) for r in rows] == [(0, "p"), (1, "q")]
