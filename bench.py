@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "x09_token_stats",
     "x10_fingerprint",
     "x14_dedup_clusters",
+    "x28_incremental_dedup",
     "s01_sessionize",
 ]
 

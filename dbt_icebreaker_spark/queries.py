@@ -1085,6 +1085,23 @@ def _x_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment workflow: docs with doc_id % 3 == 0 play the
+    already-deduped corpus (only their persisted signatures are used);
+    the rest arrive as the new batch and are deduped against corpus +
+    batch without the corpus ever being re-shingled or shuffled."""
+    from .xops import dedup
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    old_sigs = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text"
+    )
+    kept, _kept_sigs = dedup.incremental_lsh_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0), old_sigs, "doc_id", "text"
+    )
+    return kept.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+
 def _x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .xops import dedup
     register_dir(spark, sf_dir)
@@ -1477,6 +1494,52 @@ XOP_ORACLES: dict[str, str | None] = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
+    """,
+    "x28_incremental_dedup": f"""
+        WITH {_SHINGLES_3},
+        hashed AS (
+          SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
+        ),
+        sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+        wide AS (
+          SELECT doc_id,
+                 MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
+                 MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
+                 MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
+                 MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
+                 MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
+                 MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
+                 MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
+                 MIN(CASE WHEN seed = 7 THEN minh END) AS s7
+          FROM sig GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
+          UNION ALL
+          SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
+          UNION ALL
+          SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
+          UNION ALL
+          SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
+        ),
+        old_b AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+        new_b AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+        dup_old AS (
+          SELECT DISTINCT n.doc_id FROM new_b n
+          JOIN old_b o ON n.band = o.band AND n.band_key = o.band_key
+        ),
+        dup_batch AS (
+          SELECT DISTINCT n.doc_id FROM new_b n
+          JOIN new_b m ON n.band = m.band AND n.band_key = m.band_key
+                      AND m.doc_id < n.doc_id
+        ),
+        drops AS (SELECT doc_id FROM dup_old UNION SELECT doc_id FROM dup_batch)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        FROM documents d
+        WHERE d.doc_id % 3 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+        ORDER BY doc_id
     """,
     "x03_simhash": """
         WITH words AS (
@@ -2015,6 +2078,7 @@ XOP_ORACLES: dict[str, str | None] = {
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_exact": _x_dedup_exact,
     "x02_minhash_lsh": _x_minhash,
+    "x28_incremental_dedup": _x_incremental_dedup,
     "x03_simhash": _x_simhash,
     "x04_ngram_jaccard": _x_ngram_jaccard,
     "x05_embedding_neardup": _x_embedding_neardup,

@@ -141,18 +141,14 @@ def minhash_lsh_pairs(
     )
 
 
-def pairs_from_signatures(
-    sig: DataFrame,
-    id_col: str,
-    n_hashes: int = 8,
-    bands: int = 4,
-    max_bucket_size: int = 1000,
+def band_keys(
+    sig: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """LSH banding over a precomputed signature frame (see
-    minhash_lsh_pairs for semantics; split out for signature reuse)."""
+    """(id, band, band_key) rows from a wide signature frame — band_key
+    = md5 of the band's r=n_hashes/bands consecutive signature values.
+    One explode instead of a bands-way union: the signature subtree is
+    computed once, not ``bands`` times."""
     r = n_hashes // bands
-    # one explode instead of a bands-way union: the signature subtree
-    # is computed once, not `bands` times
     band_structs = F.array(
         *[
             F.struct(
@@ -166,9 +162,21 @@ def pairs_from_signatures(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+
+
+def pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding over a precomputed signature frame (see
+    minhash_lsh_pairs for semantics; split out for signature reuse)."""
+    banded = band_keys(sig, id_col, n_hashes=n_hashes, bands=bands)
     # group-collect instead of self-join: the signature subtree is
     # evaluated ONCE (a self-join would recompute it per side), and
     # in-bucket pair generation is a double explode of the bucket
@@ -202,6 +210,64 @@ def pairs_from_signatures(
         .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
         .distinct()
     )
+
+
+def incremental_lsh_dedup(
+    new_df: DataFrame,
+    existing_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    broadcast_delta: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-deduped corpus whose
+    MinHash signatures are persisted (the daily-crawl-increment
+    workflow: signatures are written once per batch and accumulated;
+    the corpus text is never re-read, re-shingled, or re-shuffled).
+
+    A new doc is dropped when
+      (a) any of its LSH bands matches an existing-corpus band, or
+      (b) a band bucket contains a smaller-id doc of the same batch
+          (keep-first; the one-pass bucket-min rule — exact transitive
+          clustering within a batch is ``dedup_clusters``).
+
+    Returns ``(kept_rows, kept_signatures)`` — append the latter to
+    the signature store for the next increment.
+
+    Scale shape: with ``broadcast_delta`` (default) the DELTA's band
+    keys are broadcast and the corpus signature table is scanned
+    map-side — zero shuffle of the corpus, cost O(|corpus|) scan +
+    O(|delta|) shuffle, which is the whole point at 100 TB where the
+    corpus side is ~1000× the daily increment. Set it False if a
+    backfill-sized delta would not fit in a broadcast (falls back to a
+    shuffled equi-join on band_key, still bucket-local).
+    """
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    new_bands = band_keys(new_sigs, id_col, n_hashes=n_hashes, bands=bands)
+    old_bands = band_keys(existing_sigs, id_col, n_hashes=n_hashes, bands=bands)
+    delta = F.broadcast(new_bands) if broadcast_delta else new_bands
+    dup_vs_old = (
+        old_bands.join(delta.select(
+            F.col(id_col).alias("__new_id"), "band", "band_key"
+        ), ["band", "band_key"])
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    w = Window.partitionBy("band", "band_key")
+    dup_in_batch = (
+        new_bands.withColumn("__mn", F.min(F.col(id_col)).over(w))
+        .where(F.col(id_col) != F.col("__mn"))
+        .select(id_col)
+        .distinct()
+    )
+    drops = dup_vs_old.unionByName(dup_in_batch).distinct()
+    kept = new_df.join(drops, id_col, "left_anti")
+    kept_sigs = new_sigs.join(drops, id_col, "left_anti")
+    return kept, kept_sigs
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

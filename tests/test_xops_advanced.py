@@ -425,3 +425,55 @@ class TestScrubPii:
         approx = profile_numeric(df, "grp", "v", approx=True).collect()[0]
         assert abs(exact["p50"] - approx["p50"]) <= 10  # t-digest tolerance
         assert exact["n"] == approx["n"]
+
+
+class TestIncrementalDedup:
+    def _run(self, spark, broadcast_delta=True):
+        corpus = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                # near-copy of corpus doc 100 → dropped vs corpus
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely different words about spark distributed engines here"),
+                # copy of doc 2 → dropped by the in-batch keep-first rule
+                (3, "completely different words about spark distributed engines here"),
+                (4, "yet another unique document with its own vocabulary tokens"),
+            ],
+            ["doc_id", "text"],
+        )
+        sigs = dedup.minhash_signatures(corpus, "doc_id", "text")
+        return dedup.incremental_lsh_dedup(
+            batch, sigs, "doc_id", "text", broadcast_delta=broadcast_delta
+        )
+
+    def test_drops_vs_corpus_and_within_batch(self, spark):
+        kept, kept_sigs = self._run(spark)
+        assert {r.doc_id for r in kept.collect()} == {2, 4}
+        # returned signatures cover exactly the survivors (the store
+        # append for the next increment)
+        assert {r.doc_id for r in kept_sigs.collect()} == {2, 4}
+
+    def test_shuffled_fallback_same_result(self, spark):
+        kept, _sigs = self._run(spark, broadcast_delta=False)
+        assert {r.doc_id for r in kept.collect()} == {2, 4}
+
+    def test_corpus_side_not_shuffled(self, spark):
+        # the whole point at scale: the existing corpus' signature
+        # table must reach its join as a scan, not through an Exchange
+        kept, _sigs = self._run(spark, broadcast_delta=True)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_no_shingle_docs_kept(self, spark):
+        # < shingle_k words → no signature → nothing to match on →
+        # conservatively kept (both here and in the SQL oracle)
+        corpus = spark.createDataFrame(
+            [(9, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame([(1, "tiny doc")], ["doc_id", "text"])
+        sigs = dedup.minhash_signatures(corpus, "doc_id", "text")
+        kept, _ = dedup.incremental_lsh_dedup(batch, sigs, "doc_id", "text")
+        assert [r.doc_id for r in kept.collect()] == [1]
