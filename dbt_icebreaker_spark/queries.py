@@ -1056,6 +1056,35 @@ _q(
     """,
 )
 
+_q(
+    "q48_array_semantics",
+    # Index-semantics traps: Snowflake ARRAY_INSERT is 0-based (Spark's
+    # array_insert is 1-based — transpiler shifts), ARRAY_GENERATE_RANGE
+    # has an EXCLUSIVE stop (Spark sequence is inclusive — transpiler
+    # guards + filters). Oracle uses DuckDB list slicing / range(),
+    # which natively match Snowflake's conventions.
+    """
+    SELECT c_custkey,
+           ARRAY_TO_STRING(
+             ARRAY_INSERT(STRTOK_TO_ARRAY(c_name, '#'), 1, c_mktsegment),
+             '|') AS ins,
+           ARRAY_TO_STRING(ARRAY_GENERATE_RANGE(0, c_custkey % 4), ',') AS rng
+    FROM customer
+    """,
+    """
+    SELECT c_custkey,
+           array_to_string(
+             list_concat(
+               list_concat(string_split(c_name, '#')[1:1], [c_mktsegment]),
+               string_split(c_name, '#')[2:]),
+             '|') AS ins,
+           -- DuckDB array_to_string of an empty list is NULL; Snowflake
+           -- (and the Spark side) return '' — align the oracle
+           coalesce(array_to_string(range(0, c_custkey % 4), ','), '') AS rng
+    FROM customer
+    """,
+)
+
 # ---- dev sampling / LIMIT (M6: impl.py:403-415) --------------------
 _q(
     "q30_limit_sample",

@@ -156,6 +156,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "OBJECT_AGG": "OBJAGG_X",   # → to_json(map_from_entries(collect_list(struct)))
         "SKEW": "SKEW_X",           # sample-corrected (Spark skewness is population)
         "KURTOSIS": "KURT_X",       # sample excess kurtosis correction
+        "ARRAY_INSERT": "ARRINS_X",  # Snowflake pos is 0-based, Spark's 1-based
+        "ARRAY_GENERATE_RANGE": "ARRGEN_X",  # exclusive stop vs sequence's inclusive
+        "GET": "GET_X",             # object key → JSON path; array index native
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -223,7 +226,7 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
             "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
             "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
-            "SKEW_X", "KURT_X",
+            "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
         ) and _is_call(tokens, i, t.text):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
@@ -488,6 +491,80 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                                      _word("kurtosis"), _op("(")] + x
                             + [_op(")"), _sp(), _op("+"), _sp(), _word("6.0"),
                                _op(")"), _op(")")])
+            elif t.text == "ARRINS_X" and len(args) == 3:
+                # Snowflake ARRAY_INSERT position is 0-BASED; Spark's
+                # array_insert is 1-based. Literal non-negative → +1 at
+                # transpile time; expression → runtime CASE shift.
+                # Negative positions are refused: Snowflake counts the
+                # slot from the end differently than Spark 4 and a
+                # silent off-by-one in DML is worse than an error.
+                arr = tokens[args[0][0]:args[0][1]]
+                p_ = tokens[args[1][0]:args[1][1]]
+                e_ = tokens[args[2][0]:args[2][1]]
+                p_code = [c for c in p_ if c.kind != WS]
+                if len(p_code) == 1 and p_code[0].text.isdigit():
+                    pos: Tokens = [_word(str(int(p_code[0].text) + 1))]
+                elif (
+                    len(p_code) == 2 and p_code[0].is_op("-")
+                    and p_code[1].text.isdigit()
+                ):
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "ARRAY_INSERT with a negative position: "
+                        "Snowflake and Spark count end-relative slots "
+                        "differently; rewrite with a non-negative "
+                        "position (e.g. size(arr) + pos)."
+                    )
+                else:
+                    pos = ([_op("("), _word("CASE"), _sp(), _word("WHEN"),
+                            _sp(), _op("(")] + p_
+                           + [_op(")"), _sp(), _op(">="), _sp(), _word("0"),
+                              _sp(), _word("THEN"), _sp(), _op("(")] + p_
+                           + [_op(")"), _sp(), _op("+"), _sp(), _word("1"),
+                              _sp(), _word("ELSE"), _sp(), _op("(")] + p_
+                           + [_op(")"), _sp(), _word("END"), _op(")")])
+                out += ([_word("array_insert"), _op("(")] + arr
+                        + [_op(","), _sp()] + pos + [_op(","), _sp()] + e_
+                        + [_op(")")])
+            elif t.text == "ARRGEN_X" and len(args) in (2, 3):
+                # ARRAY_GENERATE_RANGE(a, b[, step]): EXCLUSIVE stop;
+                # Spark sequence() is inclusive and errors when the
+                # step points away from the stop (Snowflake returns
+                # []). Emit a direction guard + filter out the stop.
+                a_ = tokens[args[0][0]:args[0][1]]
+                b_ = tokens[args[1][0]:args[1][1]]
+                c_ = (tokens[args[2][0]:args[2][1]] if len(args) == 3
+                      else [_word("1")])
+                out += ([_word("CASE"), _sp(), _word("WHEN"), _sp(),
+                         _op("("), _op("(")] + b_
+                        + [_op(")"), _sp(), _op("-"), _sp(), _op("(")] + a_
+                        + [_op(")"), _op(")"), _sp(), _op("*"), _sp(),
+                           _op("(")] + c_
+                        + [_op(")"), _sp(), _op(">="), _sp(), _word("0"),
+                           _sp(), _word("THEN"), _sp(), _word("filter"),
+                           _op("("), _word("sequence"), _op("("), _op("(")]
+                        + a_ + [_op(")"), _op(","), _sp(), _op("(")] + b_
+                        + [_op(")"), _op(","), _sp(), _op("(")] + c_
+                        + [_op(")"), _op(")"), _op(","), _sp(), _word("_x"),
+                           _sp(), _op("->"), _sp(), _word("_x"), _sp(),
+                           _op("!="), _sp(), _op("(")] + b_
+                        + [_op(")"), _op(")"), _sp(), _word("ELSE"), _sp(),
+                           _word("array"), _op("("), _op(")"), _sp(),
+                           _word("END")])
+            elif t.text == "GET_X" and len(args) == 2:
+                # GET(obj, 'key') on the JSON-string VARIANT model →
+                # get_json_object; GET(arr, i) stays native (Spark get
+                # is 0-based, matching Snowflake's array GET).
+                x = tokens[args[0][0]:args[0][1]]
+                k_code = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
+                if len(k_code) == 1 and k_code[0].kind == STRING:
+                    key = k_code[0].text[1:-1]
+                    out += [_word("get_json_object"), _op("(")] + x + [
+                        _op(","), _sp(), Token(STRING, f"'$.{key}'"), _op(")")]
+                else:
+                    out += ([_word("get"), _op("(")] + x + [_op(","), _sp()]
+                            + tokens[args[1][0]:args[1][1]] + [_op(")")])
             else:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
@@ -507,6 +584,8 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     "DAYNAME_X": "date_format", "MONTHNAME_X": "date_format",
                     "RXALL_X": "regexp_extract_all", "OBJAGG_X": "to_json",
                     "SKEW_X": "skewness", "KURT_X": "kurtosis",
+                    "ARRINS_X": "array_insert", "ARRGEN_X": "sequence",
+                    "GET_X": "get",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1
@@ -1607,6 +1686,8 @@ _UNSUPPORTED_SCALARS = {
                      "are JSON strings here; field types wouldn't survive "
                      "a string-map splice)",
     "OBJECT_DELETE": "rebuild the object with OBJECT_CONSTRUCT",
+    "OBJECT_PICK": "rebuild the object with OBJECT_CONSTRUCT over the "
+                   "wanted keys (get_json_object per key)",
     "MINHASH": "xops.dedup.minhash_signatures (distributed MinHash)",
     "MINHASH_COMBINE": "xops.dedup.minhash_signatures",
     "APPROXIMATE_SIMILARITY": "xops.dedup.minhash_lsh_pairs",

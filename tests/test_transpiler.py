@@ -756,3 +756,46 @@ class TestGeneratorAndSplitToTable:
             "FROM TABLE(FLATTEN(input => ARRAY_CONSTRUCT('p','q'))) f"
         )).collect()
         assert [(r["index"], r.value) for r in rows] == [(0, "p"), (1, "q")]
+
+
+class TestArrayIndexSemantics:
+    def test_array_insert_zero_based(self, spark):
+        # Snowflake position 2 (0-based) = Spark position 3 (1-based)
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_INSERT(ARRAY_CONSTRUCT('a','b','c'), 2, 'X') AS a"
+        )).collect()[0]
+        assert r.a == ["a", "b", "X", "c"]
+
+    def test_array_insert_expression_position(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_INSERT(ARRAY_CONSTRUCT('a','b'), 1 + 0, 'X') AS a"
+        )).collect()[0]
+        assert r.a == ["a", "X", "b"]
+
+    def test_array_insert_negative_refused(self):
+        ok, msg = t.can_transpile(
+            "SELECT ARRAY_INSERT(arr, -1, 'X') FROM v"
+        )
+        assert not ok and "negative" in msg
+
+    def test_array_generate_range(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_GENERATE_RANGE(0, 5) AS up, "
+            "ARRAY_GENERATE_RANGE(5, 0, -2) AS down, "
+            "ARRAY_GENERATE_RANGE(0, 0) AS empty, "
+            "ARRAY_GENERATE_RANGE(0, -5) AS wrongway"
+        )).collect()[0]
+        assert r.up == [0, 1, 2, 3, 4]
+        assert r.down == [5, 3, 1]
+        assert r.empty == [] and r.wrongway == []
+
+    def test_get_object_key_and_array_index(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT GET(PARSE_JSON('{\"a\": 7}'), 'a') AS obj_v, "
+            "GET(ARRAY_CONSTRUCT('x','y'), 1) AS arr_v"
+        )).collect()[0]
+        assert r.obj_v == "7" and r.arr_v == "y"
+
+    def test_object_pick_actionable(self):
+        ok, msg = t.can_transpile("SELECT OBJECT_PICK(o, 'a') FROM v")
+        assert not ok and "OBJECT_CONSTRUCT" in msg
