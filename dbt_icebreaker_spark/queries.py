@@ -1234,6 +1234,25 @@ def _x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_resize_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline round trip: synthesize real PNG headers → rewrite
+    IHDR dims to 200×150 (resize_images; resampling stubbed, byte work
+    real) → re-probe the BYTES. The oracle states the expected probe
+    output arithmetically, so the splice is hash-verified end-to-end —
+    a wrong offset or endianness would change width/height/n_bytes."""
+    from .xops import multimodal
+
+    register_dir(spark, sf_dir)
+    media = multimodal.synthesize_png_corpus(
+        spark.table("documents").filter(F.col("doc_id") % 7 == 0), "doc_id", "text"
+    )
+    probed = multimodal.probe_media(multimodal.resize_images(media, 200, 150))
+    return probed.select(
+        "media_id", "format", "width", "height",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"), "valid",
+    )
+
+
 def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stub endpoint, deterministic but pandas-UDF — rows-only check
     from .xops import llm
@@ -1832,6 +1851,15 @@ XOP_ORACLES: dict[str, str | None] = {
                TRUE AS valid
         FROM documents WHERE doc_id < 200
     """,
+    "x29_resize_probe": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               'png' AS format,
+               CAST(200 AS INT) AS width,
+               CAST(150 AS INT) AS height,
+               CAST(24 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               TRUE AS valid
+        FROM documents WHERE doc_id % 7 = 0
+    """,
     "x20_stratified_sample": """
         SELECT doc_id, lang, source
         FROM documents
@@ -2125,6 +2153,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x17_asof_join": _x_asof_join,
     "x18_range_join": _x_range_join,
     "x19_media_probe": _x_media_probe,
+    "x29_resize_probe": _x_resize_probe,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

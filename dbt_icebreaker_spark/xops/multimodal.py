@@ -10,9 +10,12 @@ Three tiers, by what this container can genuinely do:
    is the metadata-extraction step of a real media pipeline and is
    fully tested, including a DuckDB-oracled corpus entry over
    synthesized-in-Spark PNG payloads.
-2. REAL plumbing, fake kernel: ``extract_features`` — Arrow-batched
-   mapInPandas with a fixed output schema; the pixel-level decode is a
-   deterministic fake (`decode_stub`).
+2. REAL plumbing, fake kernel: ``extract_features`` (Arrow-batched
+   mapInPandas, fixed output schema, deterministic `decode_stub`),
+   ``resize_images`` (REAL PNG IHDR rewrite — probe-verifiable — with
+   the pixel resampling stubbed behind a documented PIL one-liner) and
+   ``sample_frames`` (the 1→N frame-explosion batch shape with a
+   deterministic byte slicer where PyAV/ffmpeg would decode).
 3. Contract stub: video decode raises NotImplementedError (needs
    ffmpeg; swapping it in is one line inside the pandas iterator).
 
@@ -207,6 +210,102 @@ def synthesize_png_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFram
         ),
         F.to_json(F.struct(w.alias("width"), h.alias("height"))).alias("meta_json"),
     )
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over binary payloads (MEDIA_SCHEMA in and
+    out). The header-level work is REAL: for PNG payloads the IHDR
+    width/height words are rewritten to the target, so a subsequent
+    ``probe_media`` reads the new dimensions straight from the bytes
+    (round-trip oracled in corpus x29). The pixel resampling itself is
+    the stubbed kernel — a real deployment replaces the byte splice
+    with ``PIL.Image.open(...).resize((width, height)).save(...)``
+    inside the same iterator; nothing else changes (schema, Arrow
+    batching, payload-sized partitioning via
+    ``repartition_for_payloads`` all carry over).
+
+    Non-PNG payloads pass through unchanged with ``resized: false`` in
+    meta_json — a quarantine-not-crash policy, matching probe_bytes'
+    malformed-header stance."""
+    import json
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                info = probe_bytes(raw)
+                if info["format"] == "png" and info["valid"]:
+                    new = raw[:16] + _struct.pack(">II", width, height) + raw[24:]
+                    meta = {"width": width, "height": height, "resized": True,
+                            "src_width": info["width"], "src_height": info["height"]}
+                else:
+                    new = raw
+                    meta = {"resized": False, "format": info["format"]}
+                payloads.append(new)
+                metas.append(json.dumps(meta, sort_keys=True))
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "mime": pdf["mime"].values,
+                    "payload": payloads,
+                    "meta_json": metas,
+                }
+            )
+            yield out[[f.name for f in MEDIA_SCHEMA.fields]]
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_s", DoubleType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    fps: float = 1.0,
+    max_frames: int = 8,
+    frame_bytes: int = 256,
+) -> DataFrame:
+    """Frame sampling: one input row → N frame rows (FRAME_SCHEMA).
+    This is the 1→N mapInPandas shape a real video pipeline needs —
+    pandas batches in, a longer frame batch out, fixed schema so
+    downstream SQL/dedup/embedding ops compose. The decoder is the
+    stubbed kernel: frames here are deterministic byte slices of the
+    payload; a real deployment swaps the slicer for PyAV/ffmpeg
+    keyframe extraction inside the same iterator (the container has no
+    media libs — documented stub, tiers in the module docstring).
+
+    Scale note: frame explosion multiplies payload volume by up to
+    ``max_frames`` — run ``repartition_for_payloads`` BEFORE this op
+    so the post-explosion partitions stay near the 128 MB target."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = min(max_frames, max(1, len(raw) // frame_bytes))
+                for k in range(n):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": k,
+                            "ts_s": k / fps,
+                            "frame_payload": raw[k * frame_bytes:(k + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:

@@ -238,6 +238,61 @@ class TestMediaProbe:
         assert all(rows[i].format == "png" and rows[i].valid for i in range(5))
         assert rows[3].width == 3 % 640 + 16 and rows[3].height == 3 % 480 + 16
 
+    def test_resize_rewrites_png_header(self, spark):
+        import json
+
+        from dbt_icebreaker_spark.xops import multimodal
+
+        docs = spark.createDataFrame(
+            [(i, f"payload body {i}") for i in range(4)], "doc_id long, text string"
+        )
+        media = multimodal.synthesize_png_corpus(docs, "doc_id", "text")
+        resized = multimodal.resize_images(media, 320, 240)
+        # the bytes themselves must carry the new dims — re-probe them
+        probed = {r.media_id: r for r in multimodal.probe_media(resized).collect()}
+        assert all(
+            probed[i].width == 320 and probed[i].height == 240 and probed[i].valid
+            for i in range(4)
+        )
+        meta = json.loads(resized.orderBy("media_id").first().meta_json)
+        assert meta["resized"] is True and meta["src_width"] == 16
+
+    def test_resize_non_png_passthrough(self, spark):
+        import json
+
+        from dbt_icebreaker_spark.xops import multimodal
+
+        docs = spark.createDataFrame([(1, "not an image")], "doc_id long, text string")
+        media = multimodal.attach_binary_column(docs, "doc_id", "text")
+        out = multimodal.resize_images(media, 100, 100).collect()[0]
+        assert bytes(out.payload) == b"not an image"
+        assert json.loads(out.meta_json)["resized"] is False
+
+    def test_sample_frames_shape_and_determinism(self, spark):
+        from dbt_icebreaker_spark.xops import multimodal
+
+        docs = spark.createDataFrame(
+            [(1, "a" * 1000), (2, "b" * 100)], "doc_id long, text string"
+        )
+        media = multimodal.attach_binary_column(docs, "doc_id", "text")
+        frames = multimodal.sample_frames(media, fps=2.0, max_frames=3, frame_bytes=256)
+        rows = frames.collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r)
+        # 1000 bytes / 256 → 3 frames (capped); 100 bytes → 1 frame
+        assert len(by_id[1]) == 3 and len(by_id[2]) == 1
+        f1 = sorted(by_id[1], key=lambda r: r.frame_idx)
+        assert [r.ts_s for r in f1] == [0.0, 0.5, 1.0]
+        assert bytes(f1[0].frame_payload) == b"a" * 256
+        # deterministic across runs
+        again = multimodal.sample_frames(
+            media, fps=2.0, max_frames=3, frame_bytes=256
+        ).collect()
+        assert sorted((r.media_id, r.frame_idx) for r in again) == sorted(
+            (r.media_id, r.frame_idx) for r in rows
+        )
+
     def test_repartition_by_measured_bytes(self, spark):
         from dbt_icebreaker_spark.xops import multimodal
 
