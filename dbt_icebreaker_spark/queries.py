@@ -1057,6 +1057,30 @@ _q(
 )
 
 _q(
+    "q49_epoch_extract",
+    # Spark's date_part/extract have no epoch field — EPOCH_* units
+    # lower to unix_timestamp/unix_millis (ns-floor parity with
+    # DuckDB's native ns read holds because µs-floor then ms/s-floor
+    # equals direct ms/s-floor).
+    """
+    SELECT event_id,
+           DATE_PART(EPOCH_SECOND, ts) AS es,
+           DATE_PART('epoch_millisecond', ts) AS ems,
+           EXTRACT(EPOCH FROM ts) AS e2,
+           CAST(DATE_PART(month, ts) AS BIGINT) AS m
+    FROM events
+    """,
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es,
+           epoch_ms(ts) AS ems,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e2,
+           CAST(date_part('month', ts) AS BIGINT) AS m
+    FROM events
+    """,
+)
+
+_q(
     "q48_array_semantics",
     # Index-semantics traps: Snowflake ARRAY_INSERT is 0-based (Spark's
     # array_insert is 1-based — transpiler shifts), ARRAY_GENERATE_RANGE

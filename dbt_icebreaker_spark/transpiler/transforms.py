@@ -1217,6 +1217,92 @@ def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
 
 # ------------------------------------------------------------------- T15
 _DATE_UNIT_FUNCS = ("DATEADD", "DATEDIFF", "TIMESTAMPADD", "TIMESTAMPDIFF", "DATE_ADD", "TIME_SLICE", "LAST_DAY")
+
+# Snowflake epoch units (DATE_PART / EXTRACT) → Spark epoch function.
+# Spark's date_part/extract have no epoch field at all; unix_timestamp
+# is seconds, unix_millis/unix_micros need a TIMESTAMP input, and
+# nanoseconds derive from micros ×1000.
+_EPOCH_UNITS = {
+    "EPOCH": ("unix_timestamp", 1),
+    "EPOCH_SECOND": ("unix_timestamp", 1),
+    "EPOCH_SECONDS": ("unix_timestamp", 1),
+    "EPOCH_MILLISECOND": ("unix_millis", 1),
+    "EPOCH_MILLISECONDS": ("unix_millis", 1),
+    "EPOCH_MICROSECOND": ("unix_micros", 1),
+    "EPOCH_MICROSECONDS": ("unix_micros", 1),
+    "EPOCH_NANOSECOND": ("unix_micros", 1000),
+    "EPOCH_NANOSECONDS": ("unix_micros", 1000),
+}
+
+
+def _emit_epoch(fn: str, mult: int, expr: Tokens) -> Tokens:
+    """fn(CAST((expr) AS TIMESTAMP)) [* mult] — the cast makes DATE
+    inputs legal (Snowflake accepts them; unix_millis/micros do not)."""
+    out = ([_word(fn), _op("("), _word("CAST"), _op("("), _op("(")] + expr
+           + [_op(")"), _sp(), _word("AS"), _sp(), _word("TIMESTAMP"),
+              _op(")"), _op(")")])
+    if mult != 1:
+        out = [_op("(")] + out + [_sp(), _op("*"), _sp(), _word(str(mult)), _op(")")]
+    return out
+
+
+def rewrite_epoch_extract(tokens: Tokens) -> Tokens:
+    """Epoch extraction — Spark has no epoch field in date_part/extract:
+
+    - ``DATE_PART(EPOCH_SECOND | 'epoch_…', x)`` → unix_timestamp /
+      unix_millis / unix_micros (ns = micros × 1000)
+    - ``EXTRACT(EPOCH[…] FROM x)`` → same
+    - ``DATE_PART(bare_unit, x)`` for ordinary units → quoted canonical
+      unit (Spark's date_part requires a foldable string; Snowflake
+      allows the bare keyword)
+    """
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "DATE_PART" and _is_call(tokens, i, "DATE_PART"):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            args = split_args(tokens, op_i + 1, close)
+            if len(args) == 2:
+                u_code = [c for c in tokens[args[0][0]:args[0][1]] if c.kind != WS]
+                expr = tokens[args[1][0]:args[1][1]]
+                unit = None
+                if len(u_code) == 1 and u_code[0].kind == WORD:
+                    unit = u_code[0].upper
+                elif len(u_code) == 1 and u_code[0].kind == STRING:
+                    unit = u_code[0].text[1:-1].upper()
+                if unit in _EPOCH_UNITS:
+                    fn, mult = _EPOCH_UNITS[unit]
+                    out += _emit_epoch(fn, mult, rewrite_epoch_extract(expr))
+                    i = close + 1
+                    continue
+                if unit is not None and len(u_code) == 1 and u_code[0].kind == WORD:
+                    canon = _UNIT_ALIASES.get(f"'{unit}'", unit)
+                    out += ([_word("DATE_PART"), _op("("),
+                             Token(STRING, f"'{canon}'"), _op(","), _sp()]
+                            + rewrite_epoch_extract(expr) + [_op(")")])
+                    i = close + 1
+                    continue
+        if t.kind == WORD and t.upper == "EXTRACT" and _is_call(tokens, i, "EXTRACT"):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            u_i = next_code(tokens, op_i + 1)
+            f_i = next_code(tokens, u_i + 1) if u_i < n else n
+            if (
+                u_i < n and tokens[u_i].kind == WORD
+                and tokens[u_i].upper in _EPOCH_UNITS
+                and f_i < n and tokens[f_i].is_word("FROM")
+            ):
+                fn, mult = _EPOCH_UNITS[tokens[u_i].upper]
+                expr = tokens[next_code(tokens, f_i + 1):close]
+                out += _emit_epoch(fn, mult, rewrite_epoch_extract(expr))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
 _UNIT_ALIASES = {
     "'DAY'": "DAY", "'DAYS'": "DAY", "'D'": "DAY", "'DD'": "DAY",
     "'WEEK'": "WEEK", "'W'": "WEEK", "'WK'": "WEEK",
@@ -1724,6 +1810,7 @@ PIPELINE = (
     rewrite_simple_renames,
     _fixup_placeholders,
     rewrite_date_units,
+    rewrite_epoch_extract,
     rewrite_generator,
     rewrite_flatten,
     rewrite_json_path,

@@ -799,3 +799,31 @@ class TestArrayIndexSemantics:
     def test_object_pick_actionable(self):
         ok, msg = t.can_transpile("SELECT OBJECT_PICK(o, 'a') FROM v")
         assert not ok and "OBJECT_CONSTRUCT" in msg
+
+
+class TestEpochExtract:
+    def test_date_part_epoch_spellings(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DATE_PART(EPOCH_SECOND, TIMESTAMP '2024-01-01 00:00:00') AS es, "
+            "DATE_PART('epoch_millisecond', TIMESTAMP '2024-01-01 00:00:00') AS ems, "
+            "DATE_PART(EPOCH_NANOSECOND, TIMESTAMP '2024-01-01 00:00:00') AS ens, "
+            "EXTRACT(EPOCH FROM TIMESTAMP '2024-01-01 00:00:00') AS ex"
+        )).collect()[0]
+        assert r.es == r.ex == 1704067200
+        assert r.ems == 1704067200000 and r.ens == 1704067200000000000
+
+    def test_date_part_epoch_on_date(self, spark):
+        # Snowflake accepts DATE input; unix_timestamp needs the cast
+        r = spark.sql(t.to_spark(
+            "SELECT DATE_PART(EPOCH_SECOND, DATE '2024-01-01') AS e"
+        )).collect()[0]
+        assert r.e == 1704067200
+
+    def test_date_part_bare_unit_quoted(self, spark):
+        # Snowflake allows the bare unit keyword; Spark's date_part
+        # needs a foldable string — including alias normalization (dd)
+        r = spark.sql(t.to_spark(
+            "SELECT DATE_PART(month, DATE '2024-03-05') AS m, "
+            "DATE_PART(dd, DATE '2024-03-05') AS d"
+        )).collect()[0]
+        assert r.m == 3 and r.d == 5
