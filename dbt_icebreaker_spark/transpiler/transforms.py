@@ -93,7 +93,8 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
     mapping = {
         "IFF": "IF",
         "NVL": "COALESCE",
-        "STRTOK_TO_ARRAY": "SPLIT",
+        "STRTOK_TO_ARRAY": "STRTOKARR_X",  # char-SET delims, skips empties
+        "SPLIT": "SPLIT_X",         # Snowflake delim is LITERAL; Spark's is regex
         "ARRAY_SIZE": "SIZE",
         "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
@@ -212,22 +213,44 @@ def _unwrap_string_cast(val: Tokens) -> Tokens:
     return val
 
 
+_PLACEHOLDER_NAMES = frozenset((
+    "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
+    "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
+    "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
+    "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
+    "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
+    "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
+    "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
+    "SPLIT_X", "STRTOKARR_X",
+))
+
+
 def _fixup_placeholders(tokens: Tokens) -> Tokens:
-    """Resolve multi-arg placeholder renames from rewrite_simple_renames."""
+    """Resolve multi-arg placeholder renames from rewrite_simple_renames.
+
+    A single pass consumes each outer placeholder call and copies its
+    argument tokens verbatim, so a placeholder NESTED inside another's
+    arguments (e.g. STRTOK_TO_ARRAY inside ARRAY_INSERT) survives one
+    pass — iterate to fixpoint; each pass strictly reduces the
+    placeholder count (every branch, including the arity-mismatch
+    fallback, replaces the placeholder name)."""
+    for _ in range(20):
+        if not any(t.kind == WORD and t.text in _PLACEHOLDER_NAMES for t in tokens):
+            break
+        tokens = _fixup_placeholders_once(tokens)
+    return tokens
+
+
+def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
     out: Tokens = []
     i = 0
     n = len(tokens)
     while i < n:
         t = tokens[i]
-        if t.kind == WORD and t.text in (
-            "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
-            "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
-            "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
-            "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
-            "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
-            "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
-            "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
-        ) and _is_call(tokens, i, t.text):
+        if (
+            t.kind == WORD and t.text in _PLACEHOLDER_NAMES
+            and _is_call(tokens, i, t.text)
+        ):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
             args = split_args(tokens, op_i + 1, close)
@@ -565,6 +588,70 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                 else:
                     out += ([_word("get"), _op("(")] + x + [_op(","), _sp()]
                             + tokens[args[1][0]:args[1][1]] + [_op(")")])
+            elif t.text == "SPLIT_X" and len(args) == 2:
+                # Snowflake SPLIT's delimiter is a LITERAL string;
+                # Spark split() takes a regex — escape metachars
+                # (literal) or \Q…\E-quote (expression). An empty
+                # literal delimiter yields the whole string as one
+                # token (Snowflake contract; Spark would split per
+                # char).
+                s_ = tokens[args[0][0]:args[0][1]]
+                d_ = tokens[args[1][0]:args[1][1]]
+                d_code = [c for c in d_ if c.kind != WS]
+                d_lit = (
+                    d_code[0].text[1:-1]
+                    if len(d_code) == 1 and d_code[0].kind == STRING
+                    else None
+                )
+                if d_lit == "":
+                    out += [_word("array"), _op("("), _op("(")] + s_ + [_op(")"), _op(")")]
+                elif d_lit is not None:
+                    esc = "".join(
+                        ("\\\\" + c) if c in _REGEX_SPECIALS else c
+                        for c in d_lit
+                    )
+                    out += ([_word("split"), _op("("), _op("(")] + s_
+                            + [_op(")"), _op(","), _sp(),
+                               Token(STRING, f"'{esc}'"), _op(")")])
+                else:
+                    out += ([_word("split"), _op("("), _op("(")] + s_
+                            + [_op(")"), _op(","), _sp(), _word("concat"),
+                               _op("("), Token(STRING, "'\\\\Q'"), _op(","),
+                               _sp(), _op("(")] + d_
+                            + [_op(")"), _op(","), _sp(),
+                               Token(STRING, "'\\\\E'"), _op(")"), _op(")")])
+            elif t.text == "STRTOKARR_X" and len(args) in (1, 2):
+                # STRTOK_TO_ARRAY: each CHAR of the delimiter string is
+                # a separator (character class) and empty tokens are
+                # skipped — same contract as STRTOK/STRTOK_SPLIT_TO_TABLE
+                s_ = tokens[args[0][0]:args[0][1]]
+                if len(args) == 2:
+                    d_code = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
+                    if len(d_code) != 1 or d_code[0].kind != STRING:
+                        from .core import TranspileError
+
+                        raise TranspileError(
+                            "STRTOK_TO_ARRAY needs a literal delimiter "
+                            "string (a character-class regex is built "
+                            "from it at transpile time)."
+                        )
+                    d_lit = d_code[0].text[1:-1]
+                else:
+                    d_lit = " "
+                if d_lit == "":
+                    inner = [_word("array"), _op("("), _op("(")] + s_ + [_op(")"), _op(")")]
+                else:
+                    esc = "".join(
+                        ("\\\\" + c) if c in _REGEX_CLASS_SPECIALS else c
+                        for c in d_lit
+                    )
+                    inner = ([_word("split"), _op("("), _op("(")] + s_
+                             + [_op(")"), _op(","), _sp(),
+                                Token(STRING, f"'[{esc}]'"), _op(")")])
+                out += ([_word("filter"), _op("(")] + inner
+                        + [_op(","), _sp(), _word("_x"), _sp(), _op("->"),
+                           _sp(), _word("_x"), _sp(), _op("!="), _sp(),
+                           Token(STRING, "''"), _op(")")])
             else:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
@@ -585,7 +672,8 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
                     "RXALL_X": "regexp_extract_all", "OBJAGG_X": "to_json",
                     "SKEW_X": "skewness", "KURT_X": "kurtosis",
                     "ARRINS_X": "array_insert", "ARRGEN_X": "sequence",
-                    "GET_X": "get",
+                    "GET_X": "get", "SPLIT_X": "split",
+                    "STRTOKARR_X": "split",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1

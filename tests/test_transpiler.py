@@ -827,3 +827,45 @@ class TestEpochExtract:
             "DATE_PART(dd, DATE '2024-03-05') AS d"
         )).collect()[0]
         assert r.m == 3 and r.d == 5
+
+
+class TestSplitLiteralSemantics:
+    def test_split_literal_dot(self, spark):
+        # Snowflake SPLIT's delimiter is literal; the regex passthrough
+        # used to return six empty strings here
+        r = spark.sql(t.to_spark("SELECT SPLIT('a.b.c', '.') AS x")).collect()[0]
+        assert r.x == ["a", "b", "c"]
+
+    def test_split_keeps_empty_tokens(self, spark):
+        r = spark.sql(t.to_spark("SELECT SPLIT('a,,b', ',') AS x")).collect()[0]
+        assert r.x == ["a", "", "b"]
+
+    def test_split_empty_delim_single_token(self, spark):
+        r = spark.sql(t.to_spark("SELECT SPLIT('abc', '') AS x")).collect()[0]
+        assert r.x == ["abc"]
+
+    def test_split_expression_delim_quoted(self, spark):
+        spark.createDataFrame([("a.b", ".")], "s string, d string") \
+            .createOrReplaceTempView("sp_t")
+        r = spark.sql(t.to_spark("SELECT SPLIT(s, d) AS x FROM sp_t")).collect()[0]
+        assert r.x == ["a", "b"]
+
+    def test_strtok_to_array_charset_skips_empties(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT STRTOK_TO_ARRAY('a,, b', ', ') AS x, "
+            "STRTOK_TO_ARRAY('one two') AS y"
+        )).collect()[0]
+        assert r.x == ["a", "b"] and r.y == ["one", "two"]
+
+    def test_strtok_to_array_nonliteral_refused(self):
+        ok, msg = t.can_transpile("SELECT STRTOK_TO_ARRAY(s, d) FROM v")
+        assert not ok and "literal" in msg
+
+    def test_nested_placeholders_resolve(self, spark):
+        # placeholder inside another placeholder's arguments (fixpoint
+        # iteration in _fixup_placeholders, not a single pass)
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_INSERT(STRTOK_TO_ARRAY('a#b', '#'), 1, 'X') AS a, "
+            "DIV0(CHARINDEX('b', 'ab'), TRUNCATE(2.9)) AS d"
+        )).collect()[0]
+        assert r.a == ["a", "X", "b"] and r.d == 1.0
