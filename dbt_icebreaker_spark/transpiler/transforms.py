@@ -95,6 +95,13 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "NVL": "COALESCE",
         "STRTOK_TO_ARRAY": "STRTOKARR_X",  # char-SET delims, skips empties
         "SPLIT": "SPLIT_X",         # Snowflake delim is LITERAL; Spark's is regex
+        # Spark's 2-arg trim family takes (trimStr, srcStr) — REVERSED
+        # from Snowflake's (string, characters); silent wrong results
+        "TRIM": "TRIM_X",
+        "LTRIM": "LTRIM_X",
+        "RTRIM": "RTRIM_X",
+        "REGEXP_REPLACE": "RXREP_X",  # \1 backrefs → $1; 2-arg/position forms
+        "REGEXP_SUBSTR": "RXSUB_X",   # position/occurrence/params/group args
         "ARRAY_SIZE": "SIZE",
         "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
@@ -222,7 +229,82 @@ _PLACEHOLDER_NAMES = frozenset((
     "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
     "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
     "SPLIT_X", "STRTOKARR_X",
+    "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
 ))
+
+
+def _apply_regex_params(tokens, arg_span, pattern, fn_name, return_e=False):
+    """Lower a Snowflake regex-parameters argument ('c','i','s','m',
+    'e') onto the pattern as inline (?ism) flags. 'c' (case-sensitive)
+    is the Java default; 'e' (extract group 1) is only meaningful for
+    REGEXP_SUBSTR and is returned as a flag. Anything else — or a
+    non-literal parameters/pattern — has no faithful rendering."""
+    from .core import TranspileError
+
+    code = [c for c in tokens[arg_span[0]:arg_span[1]] if c.kind != WS]
+    if len(code) != 1 or code[0].kind != STRING:
+        raise TranspileError(
+            f"{fn_name}: regex parameters must be a literal string "
+            "(they become inline (?ism) flags at transpile time)."
+        )
+    params = code[0].text[1:-1]
+    flags = ""
+    e_flag = False
+    for ch in params:
+        if ch == "c":
+            continue
+        if ch in "ism":
+            if ch not in flags:
+                flags += ch
+            continue
+        if ch == "e" and return_e:
+            e_flag = True
+            continue
+        raise TranspileError(
+            f"{fn_name}: regex parameter {ch!r} has no Spark "
+            "equivalent (supported: c, i, s, m"
+            + (", e" if return_e else "") + ")."
+        )
+    if flags:
+        p_code = [c for c in pattern if c.kind != WS]
+        if len(p_code) != 1 or p_code[0].kind != STRING:
+            raise TranspileError(
+                f"{fn_name}: regex flags need a literal pattern to "
+                "attach (?"+ flags + ") to."
+            )
+        pattern = [Token(STRING, "'(?" + flags + ")" + p_code[0].text[1:-1] + "'")]
+    return (pattern, e_flag) if return_e else pattern
+
+
+def _snowflake_backrefs_to_java(raw: str) -> str:
+    """Convert a Snowflake replacement-string literal (SQL-source text,
+    quotes stripped) to Java semantics: ``\\N`` backreferences become
+    ``$N``; a literal ``$`` is escaped so Java doesn't read it as a
+    group reference. Operates on raw source text, so both the common
+    ``'\\\\1'`` spelling and a bare ``'\\1'`` map to ``$1``."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == "\\":
+            j = i
+            while j < n and raw[j] == "\\":
+                j += 1
+            nbs = j - i
+            if j < n and raw[j].isdigit() and nbs in (1, 2):
+                out.append("$" + raw[j])
+                i = j + 1
+                continue
+            out.append(raw[i:j])
+            i = j
+            continue
+        if c == "$":
+            out.append("\\\\$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _fixup_placeholders(tokens: Tokens) -> Tokens:
@@ -652,6 +734,117 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         + [_op(","), _sp(), _word("_x"), _sp(), _op("->"),
                            _sp(), _word("_x"), _sp(), _op("!="), _sp(),
                            Token(STRING, "''"), _op(")")])
+            elif t.text == "TRIM_X":
+                # TRIM(s, chars) → btrim(s, chars) (same arg order as
+                # Snowflake; Spark's 2-arg trim() is REVERSED). The
+                # keyword forms TRIM([BOTH|LEADING|TRAILING] x FROM y)
+                # arrive as a single "arg" and pass through untouched.
+                if len(args) == 2:
+                    a_ = tokens[args[0][0]:args[0][1]]
+                    b_ = tokens[args[1][0]:args[1][1]]
+                    out += ([_word("btrim"), _op("(")] + a_ + [_op(","), _sp()]
+                            + b_ + [_op(")")])
+                else:
+                    out += [_word("TRIM")] + tokens[op_i:close + 1]
+            elif t.text in ("LTRIM_X", "RTRIM_X"):
+                # LTRIM/RTRIM(s, chars): Spark's 2-arg forms are
+                # (trimStr, srcStr) — reversed — so emit the unambiguous
+                # TRIM(LEADING/TRAILING chars FROM s)
+                side = "LEADING" if t.text == "LTRIM_X" else "TRAILING"
+                fn = "ltrim" if t.text == "LTRIM_X" else "rtrim"
+                if len(args) == 2:
+                    s_ = tokens[args[0][0]:args[0][1]]
+                    c_ = tokens[args[1][0]:args[1][1]]
+                    out += ([_word("TRIM"), _op("("), _word(side), _sp(),
+                             _op("(")] + c_ + [_op(")"), _sp(), _word("FROM"),
+                            _sp(), _op("(")] + s_ + [_op(")"), _op(")")])
+                else:
+                    out += [_word(fn)] + tokens[op_i:close + 1]
+            elif t.text == "RXREP_X" and 2 <= len(args) <= 6:
+                # REGEXP_REPLACE(s, p[, r[, pos[, occ[, params]]]]):
+                # Snowflake backrefs are \N, Java's are $N (a literal
+                # replacement is converted; an expression replacement
+                # passes through — runtime backrefs in expressions are
+                # vanishingly rare). 2-arg deletes matches. A position
+                # arg splits the string; occurrence-specific replace
+                # has no Spark rendering.
+                s_ = tokens[args[0][0]:args[0][1]]
+                p_ = tokens[args[1][0]:args[1][1]]
+                if len(args) >= 3:
+                    r_ = tokens[args[2][0]:args[2][1]]
+                    r_code = [c for c in r_ if c.kind != WS]
+                    if len(r_code) == 1 and r_code[0].kind == STRING:
+                        conv = _snowflake_backrefs_to_java(r_code[0].text[1:-1])
+                        r_ = [Token(STRING, f"'{conv}'")]
+                else:
+                    r_ = [Token(STRING, "''")]
+                if len(args) >= 5:
+                    occ_code = [c for c in tokens[args[4][0]:args[4][1]] if c.kind != WS]
+                    if not (len(occ_code) == 1 and occ_code[0].text == "0"):
+                        from .core import TranspileError
+
+                        raise TranspileError(
+                            "REGEXP_REPLACE with a specific occurrence "
+                            "has no Spark rendering (only occurrence 0 "
+                            "= replace all); restructure with "
+                            "REGEXP_SUBSTR + OVERLAY."
+                        )
+                if len(args) == 6:
+                    p_ = _apply_regex_params(tokens, args[5], p_, "REGEXP_REPLACE")
+                core = [_word("regexp_replace"), _op("(")]
+                if len(args) >= 4:
+                    pos_ = tokens[args[3][0]:args[3][1]]
+                    out += ([_word("concat"), _op("("), _word("substr"),
+                             _op("("), _op("(")] + s_
+                            + [_op(")"), _op(","), _sp(), _word("1"),
+                               _op(","), _sp(), _op("(")] + pos_
+                            + [_op(")"), _sp(), _op("-"), _sp(), _word("1"),
+                               _op(")"), _op(","), _sp()]
+                            + core + [_word("substr"), _op("("), _op("(")] + s_
+                            + [_op(")"), _op(","), _sp(), _op("(")] + pos_
+                            + [_op(")"), _op(")"), _op(","), _sp()] + p_
+                            + [_op(","), _sp()] + r_ + [_op(")"), _op(")")])
+                else:
+                    out += (core + [_op("(")] + s_ + [_op(")"), _op(","), _sp()]
+                            + p_ + [_op(","), _sp()] + r_ + [_op(")")])
+            elif t.text == "RXSUB_X" and 2 <= len(args) <= 6:
+                # REGEXP_SUBSTR(s, p[, pos[, occ[, params[, group]]]]):
+                # Spark's regexp_substr is 2-arg only. position →
+                # substr slice; occurrence/group → try_element_at over
+                # regexp_extract_all (NULL when absent, matching
+                # Snowflake); params 'i/s/m' → inline (?i…) flags,
+                # 'e' → extract group 1.
+                s_ = tokens[args[0][0]:args[0][1]]
+                p_ = tokens[args[1][0]:args[1][1]]
+                grp: Tokens = [_word("0")]
+                if len(args) >= 5:
+                    p_, e_flag = _apply_regex_params(
+                        tokens, args[4], p_, "REGEXP_SUBSTR", return_e=True
+                    )
+                    if e_flag:
+                        grp = [_word("1")]
+                if len(args) == 6:
+                    grp = [_op("(")] + tokens[args[5][0]:args[5][1]] + [_op(")")]
+                if len(args) >= 3:
+                    pos_ = tokens[args[2][0]:args[2][1]]
+                    s_eff = ([_word("substr"), _op("("), _op("(")] + s_
+                             + [_op(")"), _op(","), _sp(), _op("(")] + pos_
+                             + [_op(")"), _op(")")])
+                else:
+                    s_eff = [_op("(")] + s_ + [_op(")")]
+                occ_ = (
+                    [_op("(")] + tokens[args[3][0]:args[3][1]] + [_op(")")]
+                    if len(args) >= 4 else [_word("1")]
+                )
+                if len(args) <= 3:
+                    out += [_word("regexp_substr"), _op("(")] + s_eff + [
+                        _op(","), _sp()] + p_ + [_op(")")]
+                else:
+                    out += ([_word("try_element_at"), _op("("),
+                             _word("regexp_extract_all"), _op("(")] + s_eff
+                            + [_op(","), _sp()] + p_ + [_op(","), _sp()]
+                            + grp + [_op(")"), _op(","), _sp()] + occ_
+                            + [_op(")")])
             else:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
@@ -674,6 +867,9 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "ARRINS_X": "array_insert", "ARRGEN_X": "sequence",
                     "GET_X": "get", "SPLIT_X": "split",
                     "STRTOKARR_X": "split",
+                    "TRIM_X": "trim", "LTRIM_X": "ltrim",
+                    "RTRIM_X": "rtrim", "RXREP_X": "regexp_replace",
+                    "RXSUB_X": "regexp_substr",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1

@@ -869,3 +869,55 @@ class TestSplitLiteralSemantics:
             "DIV0(CHARINDEX('b', 'ab'), TRUNCATE(2.9)) AS d"
         )).collect()[0]
         assert r.a == ["a", "X", "b"] and r.d == 1.0
+
+
+class TestTrimAndRegexpExtended:
+    def test_two_arg_trim_family_order(self, spark):
+        # Spark's 2-arg trim/ltrim/rtrim are (trimStr, srcStr) —
+        # REVERSED; the passthrough used to return '' here
+        r = spark.sql(t.to_spark(
+            "SELECT RTRIM('xxabcxx', 'x') AS r, LTRIM('xxabcxx', 'x') AS l, "
+            "TRIM('xxabcxx', 'x') AS b"
+        )).collect()[0]
+        assert (r.r, r.l, r.b) == ("xxabc", "abcxx", "abc")
+
+    def test_one_arg_and_keyword_trim_untouched(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT RTRIM('  pad  ') AS r, TRIM(BOTH 'x' FROM 'xxaxx') AS k"
+        )).collect()[0]
+        assert r.r == "  pad" and r.k == "a"
+
+    def test_regexp_replace_backrefs(self, spark):
+        r = spark.sql(t.to_spark(
+            r"SELECT REGEXP_REPLACE('ab12cd', '([0-9]+)', '<\\1>') AS a, "
+            "REGEXP_REPLACE('pay $5 now', 'now', 'later') AS b, "
+            "REGEXP_REPLACE('ab12cd', '[0-9]') AS c"
+        )).collect()[0]
+        # \1 → $1 for Java; literal $ escaped; 2-arg deletes matches
+        assert (r.a, r.b, r.c) == ("ab<12>cd", "pay $5 later", "abcd")
+
+    def test_regexp_replace_position(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT REGEXP_REPLACE('aXbXc', 'X', '-', 3) AS a"
+        )).collect()[0]
+        assert r.a == "aXb-c"
+
+    def test_regexp_replace_occurrence_refused(self):
+        ok, msg = t.can_transpile("SELECT REGEXP_REPLACE(s,'y','z',1,2) FROM v")
+        assert not ok and "occurrence" in msg
+
+    def test_regexp_substr_pos_occ_flags_group(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT REGEXP_SUBSTR('a1b22c', '[0-9]+', 3) AS p3, "
+            "REGEXP_SUBSTR('a1b22c', '[0-9]+', 1, 2) AS o2, "
+            "REGEXP_SUBSTR('a1b22c', '[0-9]+', 1, 9) AS miss, "
+            "REGEXP_SUBSTR('Dog cat', 'DOG', 1, 1, 'i') AS ci, "
+            "REGEXP_SUBSTR('id=42;', 'id=([0-9]+)', 1, 1, 'e') AS eg, "
+            "REGEXP_SUBSTR('a1-b22', '([a-z])([0-9]+)', 1, 2, 'c', 2) AS g2"
+        )).collect()[0]
+        assert (r.p3, r.o2, r.miss, r.ci, r.eg, r.g2) == (
+            "22", "22", None, "Dog", "42", "22")
+
+    def test_regexp_substr_unknown_param_refused(self):
+        ok, msg = t.can_transpile("SELECT REGEXP_SUBSTR(s, p, 1, 1, 'g') FROM v")
+        assert not ok and "'g'" in msg
