@@ -1081,6 +1081,30 @@ _q(
 )
 
 _q(
+    "q50_trim_regexp",
+    # The silent-wrong class: Spark's 2-arg trim family reverses the
+    # args and Java replacements use $N where Snowflake uses \N —
+    # DuckDB follows Snowflake's conventions natively, so the oracle
+    # catches any regression at value level.
+    """
+    SELECT c_custkey,
+           RTRIM(c_name, '0123456789') AS root,
+           TRIM(c_mktsegment, 'AY') AS seg_trim,
+           REGEXP_REPLACE(c_name, 'Customer#0*([0-9]+)', 'C\\\\1') AS short_id,
+           REGEXP_SUBSTR(c_name, '[0-9]+', 1, 1) AS digits
+    FROM customer
+    """,
+    """
+    SELECT c_custkey,
+           rtrim(c_name, '0123456789') AS root,
+           trim(c_mktsegment, 'AY') AS seg_trim,
+           regexp_replace(c_name, 'Customer#0*([0-9]+)', 'C\\1') AS short_id,
+           regexp_extract(c_name, '[0-9]+') AS digits
+    FROM customer
+    """,
+)
+
+_q(
     "q48_array_semantics",
     # Index-semantics traps: Snowflake ARRAY_INSERT is 0-based (Spark's
     # array_insert is 1-based — transpiler shifts), ARRAY_GENERATE_RANGE

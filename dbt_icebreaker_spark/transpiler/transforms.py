@@ -28,6 +28,7 @@ from .tokenizer import (
     find_matching_paren,
     next_code,
     prev_code,
+    render,
     split_args,
     split_statements,
     tokenize,
@@ -102,6 +103,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "RTRIM": "RTRIM_X",
         "REGEXP_REPLACE": "RXREP_X",  # \1 backrefs → $1; 2-arg/position forms
         "REGEXP_SUBSTR": "RXSUB_X",   # position/occurrence/params/group args
+        "PARSE_URL": "PARSEURL_X",  # → JSON object from part-based parse_url
         "ARRAY_SIZE": "SIZE",
         "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
@@ -230,7 +232,26 @@ _PLACEHOLDER_NAMES = frozenset((
     "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
     "SPLIT_X", "STRTOKARR_X",
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
+    "PARSEURL_X",
 ))
+
+
+# Snowflake PARSE_URL(url) → OBJECT with alphabetical keys; in the
+# JSON-string VARIANT model: a JSON object assembled from Spark's
+# part-based parse_url. Keys follow Snowflake: fragment, host,
+# parameters (query params as an object), path (NO leading slash),
+# port (absent when the URL has none — to_json drops NULL fields),
+# query, scheme (lowercased). `:key::type` extraction composes on the
+# result like on any VARIANT.
+_PARSE_URL_TEMPLATE = """to_json(named_struct(
+  'fragment', parse_url({u}, 'REF'),
+  'host', parse_url({u}, 'HOST'),
+  'parameters', str_to_map(parse_url({u}, 'QUERY'), '&', '='),
+  'path', regexp_replace(parse_url({u}, 'PATH'), '^/', ''),
+  'port', nullif(regexp_extract(parse_url({u}, 'AUTHORITY'), ':([0-9]+)$', 1), ''),
+  'query', parse_url({u}, 'QUERY'),
+  'scheme', lower(parse_url({u}, 'PROTOCOL'))
+))"""
 
 
 def _apply_regex_params(tokens, arg_span, pattern, fn_name, return_e=False):
@@ -845,6 +866,12 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                             + [_op(","), _sp()] + p_ + [_op(","), _sp()]
                             + grp + [_op(")"), _op(","), _sp()] + occ_
                             + [_op(")")])
+            elif t.text == "PARSEURL_X" and len(args) in (1, 2):
+                # 2nd (permissive) argument only relaxes Snowflake's
+                # error behavior — irrelevant here since parse_url
+                # already returns NULL parts on malformed input
+                u_sql = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(_PARSE_URL_TEMPLATE.replace("{u}", u_sql))
             else:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
@@ -869,7 +896,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "STRTOKARR_X": "split",
                     "TRIM_X": "trim", "LTRIM_X": "ltrim",
                     "RTRIM_X": "rtrim", "RXREP_X": "regexp_replace",
-                    "RXSUB_X": "regexp_substr",
+                    "RXSUB_X": "regexp_substr", "PARSEURL_X": "parse_url",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1
@@ -1685,6 +1712,15 @@ def rewrite_json_path(tokens: Tokens) -> Tokens:
                             path_parts[-1] = path_parts[-1] + f"[{idx_toks[0].text.strip(chr(39))}]"
                         k = close_b + 1
                         continue
+                    # colon-chained nesting: Snowflake allows a:b:c as
+                    # well as a:b.c (':' is a single-colon OP — '::'
+                    # casts tokenize as one op and never match here)
+                    if k2 < n and tokens[k2].is_op(":"):
+                        k3 = next_code(tokens, k2 + 1)
+                        if k3 < n and tokens[k3].kind in (WORD, STRING, QIDENT):
+                            path_parts.append(_seg(tokens[k3]))
+                            k = k3 + 1
+                            continue
                     break
                 path = "$." + ".".join(path_parts)
                 del out[base_lo:]

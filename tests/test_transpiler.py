@@ -921,3 +921,42 @@ class TestTrimAndRegexpExtended:
     def test_regexp_substr_unknown_param_refused(self):
         ok, msg = t.can_transpile("SELECT REGEXP_SUBSTR(s, p, 1, 1, 'g') FROM v")
         assert not ok and "'g'" in msg
+
+
+class TestParseUrl:
+    def test_parse_url_object(self, spark):
+        import json
+
+        r = spark.sql(t.to_spark(
+            "SELECT PARSE_URL('https://Example.com:8080/a/b?x=1&y=2#frag') AS u"
+        )).collect()[0]
+        assert json.loads(r.u) == {
+            "fragment": "frag", "host": "Example.com",
+            "parameters": {"x": "1", "y": "2"}, "path": "a/b",
+            "port": "8080", "query": "x=1&y=2", "scheme": "https",
+        }
+
+    def test_parse_url_omits_absent_parts(self, spark):
+        import json
+
+        r = spark.sql(t.to_spark(
+            "SELECT PARSE_URL('https://h.io/p') AS u"
+        )).collect()[0]
+        # no port/query/fragment → keys absent (to_json drops NULLs),
+        # matching Snowflake's object shape
+        assert json.loads(r.u) == {"host": "h.io", "path": "p", "scheme": "https"}
+
+    def test_parse_url_composes_with_json_path(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT p:host::STRING AS h, p:parameters:x::INT AS x "
+            "FROM (SELECT PARSE_URL('https://h.io/p?x=7') AS p)"
+        )).collect()[0]
+        assert r.h == "h.io" and r.x == 7
+
+    def test_colon_chained_json_path(self, spark):
+        # Snowflake allows a:b:c as well as a:b.c
+        r = spark.sql(t.to_spark(
+            "SELECT j:a:b::INT AS v, j:a.b::INT AS w "
+            "FROM (SELECT '{\"a\": {\"b\": 5}}' AS j)"
+        )).collect()[0]
+        assert r.v == 5 and r.w == 5
