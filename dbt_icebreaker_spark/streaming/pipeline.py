@@ -37,8 +37,19 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
+
+
+def _watermarkable(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local-tz semantics); parquet
+    written with isAdjustedToUTC=false infers as TIMESTAMP_NTZ, which
+    EventTimeWatermark rejects. Session timezone is pinned to UTC
+    (sources._SESSION_CONFS), so the cast is value-preserving."""
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        return events.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    return events
 
 
 def stream_incremental_append(
@@ -99,7 +110,8 @@ def windowed_counts(
     if value_col:
         aggs.append(F.sum(value_col).cast("double").alias("total_value"))
     return (
-        events.withWatermark(ts_col, watermark)
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(*aggs)
         .select(
@@ -127,8 +139,10 @@ def stream_dedup(
     Which duplicate survives is arrival-order-dependent (first seen);
     use ``dedup_keep_first`` as the deterministic batch twin /
     backfill path."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 
