@@ -1551,6 +1551,39 @@ _SHINGLES_3 = """
     )
 """
 
+def _x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (xops/text.chunk_documents):
+    sequence+explode+substring, offsets preserved."""
+    from .xops.text import chunk_documents
+
+    register_dir(spark, sf_dir)
+    return chunk_documents(
+        spark.table("documents"), "doc_id", "text", size=200, overlap=50
+    )
+
+
+def _x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle
+    (xops/sampling.epoch_shuffle): two-round mixed multiplicative
+    hash, distributed range sort."""
+    from .xops.sampling import epoch_shuffle
+
+    register_dir(spark, sf_dir)
+    return epoch_shuffle(
+        spark.table("documents").select("doc_id"), "doc_id", epoch=3
+    )
+
+
+def _x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency table, top 20
+    (xops/text.top_ngrams): one partial-aggregated groupBy over
+    exploded JVM-built gram arrays."""
+    from .xops.text import top_ngrams
+
+    register_dir(spark, sf_dir)
+    return top_ngrams(spark.table("documents"), "doc_id", "text", n=2, k=20)
+
+
 XOP_ORACLES: dict[str, str | None] = {
     "x01_dedup_exact": """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -2118,6 +2151,52 @@ XOP_ORACLES: dict[str, str | None] = {
                     '<EMAIL>', 'g')) AS clean_md5
         FROM no_urls
     """,
+    "x30_chunk_documents": """
+        WITH n AS (
+          SELECT doc_id, text,
+                 GREATEST(1, CAST(CEIL((LENGTH(text) - 50) / 150.0) AS BIGINT))
+                   AS n_chunks
+          FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * 150 AS BIGINT) AS char_start,
+               substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        FROM n, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS t(i)
+    """,
+    "x31_epoch_shuffle": """
+        WITH h AS (
+          SELECT doc_id,
+                 ((doc_id + 3 * 1000003) % 2147483647) * 2654435761 AS p1
+          FROM documents
+        ),
+        h2 AS (SELECT doc_id, p1 % 4294967296 AS h1 FROM h),
+        m AS (SELECT doc_id, xor(h1, h1 >> 16) AS mixed FROM h2)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST((mixed * 1327217885) % 4294967296 AS BIGINT) AS shuffle_key
+        FROM m
+    """,
+    "x32_top_ngrams": """
+        WITH lists AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS lst
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(lst)),
+                                       i -> lst[i] || ' ' || lst[i + 1])) AS ngram
+          FROM lists
+        )
+        SELECT ngram,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS occurrences
+        FROM grams
+        GROUP BY ngram
+        ORDER BY occurrences DESC, ngram ASC
+        LIMIT 20
+    """,
     "x17_asof_join": """
         SELECT p.user_id, p.ts, CAST(p.value AS DOUBLE) AS value,
                c.ts AS click_ts, CAST(c.value AS DOUBLE) AS click_value
@@ -2210,6 +2289,9 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_jaccard_estimate": _x_jaccard_est,
     "x26_profile": _x_profile,
     "x27_scrub_pii": _x_scrub,
+    "x30_chunk_documents": _x_chunk_documents,
+    "x31_epoch_shuffle": _x_epoch_shuffle,
+    "x32_top_ngrams": _x_top_ngrams,
     "s01_sessionize": _s_sessionize,
     "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,

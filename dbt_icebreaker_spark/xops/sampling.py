@@ -125,3 +125,44 @@ def domain_mix(
         .where(hash01(id_col, salt) < F.col("__rate"))
         .drop("__dom", "__rate")
     )
+
+
+# second-round multiplier (< 2^31 so the mix below never overflows a
+# signed 64-bit intermediate in either engine)
+_K2 = 1327217885
+_MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def shuffle_key(id_col: str | Column, epoch: int = 0) -> Column:
+    """Deterministic per-epoch shuffle key for training-order
+    randomization. Two hash rounds with an xor-shift mix between them:
+    a single multiplicative hash with an additive epoch salt would
+    make epoch e+1's order a near-rotation of epoch e's (adding a
+    constant mod M only reorders at the wrap point); the mix breaks
+    that structure so epochs are independent-looking permutations.
+
+    All intermediates stay below 2^63 (first operand reduced mod
+    2^31-1 before the 2^31.3 multiplier; second multiplier < 2^31), so
+    the same expression runs overflow-free on Spark AND any BIGINT SQL
+    engine — the oracle reproduces it bit-for-bit.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    c1 = F.pmod(c.cast("long") + F.lit(epoch * 1000003), F.lit(_MERSENNE31))
+    h1 = F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD))
+    mixed = h1.bitwiseXOR(F.shiftright(h1, 16))
+    return F.pmod(mixed * F.lit(_K2), F.lit(_MOD)).cast("long")
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int = 0) -> DataFrame:
+    """Global deterministic shuffle of a corpus for one training epoch:
+    appends `shuffle_key` and returns the frame ordered by (key, id).
+
+    The sort is Spark's distributed range-partitioned sort (sampled
+    boundaries, no single-task funnel), which a writer preserves with
+    a partitioned write — this is how you lay out 100 TB in a
+    reproducible random order without ever collecting anything. The
+    id tiebreak makes the order total even across key collisions.
+    """
+    return df.withColumn("shuffle_key", shuffle_key(id_col, epoch)).orderBy(
+        "shuffle_key", id_col
+    )

@@ -302,3 +302,88 @@ def scrub_pii(
         .alias("n_emails"),
         F.regexp_replace(F.col("__no_urls"), EMAIL_RE, email_token).alias("clean_text"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the context-window splitting step of a RAG / pretraining pipeline
+    (a doc longer than the model window becomes ceil((len-overlap)/
+    step) chunks of `size` chars stepping by size-overlap; short docs
+    yield exactly one chunk; chunk boundaries carry offsets so spans
+    map back to the source).
+
+    Pure sequence+explode+substring — no shuffle, no Python, and the
+    explode factor is len/step per row, so output bytes ≈ input bytes
+    × size/step regardless of cluster size. Token-based chunking is
+    this same shape with the words array (slice instead of substring).
+
+    Output: (doc_id, chunk_idx, char_start, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(float(step))),
+    ).cast("long")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * step).cast("long").alias("char_start"),
+        F.substring(F.col("__t"), F.col("chunk_idx") * step + 1, size).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table (top k): the raw material
+    for contamination analysis, boilerplate detection, and quality
+    dashboards. Counts every occurrence (not per-doc distinct).
+
+    Shape: per-row n-gram arrays are built JVM-side (transform over a
+    sequence — same kernel as dedup.shingles_of), exploded, and
+    counted in ONE partial-aggregated groupBy; top-k is a global sort
+    of the (distinct n-gram) aggregate, which is tiny relative to the
+    corpus. Deterministic tiebreak: count DESC, ngram ASC.
+
+    Output: (ngram, n_docs, occurrences).
+    """
+    words = _words(F.col(text_col))
+    # NOT dedup.shingles_of — that is array_distinct'd (per-doc
+    # membership); a frequency table needs every occurrence
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(grams).alias("ngram")
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.countDistinct("__id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("occurrences"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

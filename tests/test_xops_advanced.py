@@ -532,3 +532,89 @@ class TestIncrementalDedup:
         sigs = dedup.minhash_signatures(corpus, "doc_id", "text")
         kept, _ = dedup.incremental_lsh_dedup(batch, sigs, "doc_id", "text")
         assert [r.doc_id for r in kept.collect()] == [1]
+
+
+class TestChunkDocuments:
+    def test_short_doc_single_chunk(self, spark):
+        from dbt_icebreaker_spark.xops.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "tiny"), (2, "")], ["doc_id", "text"])
+        rows = chunk_documents(df, "doc_id", "text", size=100, overlap=10).collect()
+        assert {(r.doc_id, r.chunk_idx, r.char_start) for r in rows} == {
+            (1, 0, 0), (2, 0, 0)
+        }
+        assert {r.chunk_text for r in rows} == {"tiny", ""}
+
+    def test_overlap_and_coverage(self, spark):
+        from dbt_icebreaker_spark.xops.text import chunk_documents
+
+        text = "abcdefghij" * 10  # 100 chars
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", size=40, overlap=10).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # step 30: chunks at 0,30,60,90 → ceil((100-10)/30)=3 → 0,30,60
+        assert [r.char_start for r in rows] == [0, 30, 60]
+        # consecutive chunks share exactly `overlap` chars
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk_text[-10:] == b.chunk_text[:10]
+        # chunks cover the full text
+        assert rows[-1].char_start + len(rows[-1].chunk_text) == 100
+
+    def test_overlap_ge_size_raises(self, spark):
+        from dbt_icebreaker_spark.xops.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", size=10, overlap=10)
+
+
+class TestEpochShuffle:
+    def test_deterministic_and_epoch_independent(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import epoch_shuffle
+
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        o0 = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=0).collect()]
+        o0b = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=0).collect()]
+        o1 = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=1).collect()]
+        assert o0 == o0b  # reproducible
+        assert sorted(o0) == sorted(o1) == list(range(200))  # permutations
+        assert o0 != o1  # epochs differ
+        # not a rotation of each other (the mix round's whole point)
+        i = o1.index(o0[0])
+        assert o1[i:] + o1[:i] != o0
+
+    def test_no_single_partition_funnel(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import epoch_shuffle
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        plan = (
+            epoch_shuffle(df, "doc_id", epoch=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # distributed range sort, not a Window over one partition
+        assert "rangepartitioning" in plan.lower()
+        assert "Window" not in plan
+
+
+class TestTopNgrams:
+    def test_counts_every_occurrence(self, spark):
+        from dbt_icebreaker_spark.xops.text import top_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "a b c")], ["doc_id", "text"]
+        )
+        rows = {r.ngram: (r.n_docs, r.occurrences) for r in
+                top_ngrams(df, "doc_id", "text", n=2, k=10).collect()}
+        assert rows["a b"] == (2, 4)   # 3 in doc1 + 1 in doc2
+        assert rows["b a"] == (1, 2)
+        assert rows["b c"] == (1, 1)
+
+    def test_short_docs_dropped(self, spark):
+        from dbt_icebreaker_spark.xops.text import top_ngrams
+
+        df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+        assert top_ngrams(df, "doc_id", "text", n=2, k=10).count() == 0
