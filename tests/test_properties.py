@@ -1,0 +1,194 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2's differential
+suite checks fixed corpora; these check INVARIANTS over generated
+inputs, where the failure modes are boundary arithmetic (chunk
+offsets, pack budgets, hash ranges) and dialect edge cases the fixed
+corpus can't enumerate.
+
+Spark-backed properties batch each hypothesis example into one
+DataFrame job and keep max_examples small; transpiler string
+properties are pure-Python and run at full default example counts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_icebreaker_spark.transpiler import Transpiler
+
+_t = Transpiler()
+
+# ---------------------------------------------------------------
+# transpiler string properties (no Spark — fast, many examples)
+# ---------------------------------------------------------------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_num = st.integers(min_value=0, max_value=10**6)
+# no spaces/commas inside literals: the whitespace-mutation property
+# below rewrites every space in the statement and must not be able to
+# change literal CONTENT, only token separation
+_str_lit = st.from_regex(r"[a-zA-Z0-9_.-]{0,12}", fullmatch=True)
+
+
+def _scalar_exprs(col, n, s):
+    """Snowflake-dialect scalar expressions over a column name, an
+    integer literal, and a string literal."""
+    return [
+        f"IFF({col} > {n}, '{s}', NULL)",
+        f"NVL({col}, {n})",
+        f"NVL2({col}, {n}, 0)",
+        f"ZEROIFNULL({col})",
+        f"TRY_TO_NUMBER('{n}')",
+        f"DATEADD(day, {n % 1000}, CURRENT_DATE)",
+        f"LISTAGG({col}, ',')",
+        f"OBJECT_CONSTRUCT('k', {col})",
+        f"ARRAY_CONSTRUCT({n}, {n + 1})",
+        f"SPLIT_PART('{s}', ',', 1)",
+        f"STRTOK('{s}', ',', 1)",
+        f"DIV0({col}, {n})",
+    ]
+
+
+@given(col=_ident, n=_num, s=_str_lit, idx=st.integers(0, 11), ws=st.integers(1, 4))
+def test_transpile_whitespace_and_case_insensitive(col, n, s, idx, ws):
+    """Extra whitespace and function-name case must not change the
+    transpiled output (the tokenizer normalizes structure, not
+    content)."""
+    expr = _scalar_exprs(col, n, s)[idx]
+    sql = f"SELECT {expr} AS v FROM t1"
+    spaced = re.sub(r" ", " " * ws, sql)
+    lowered = re.sub(
+        r"\b(IFF|NVL2|NVL|ZEROIFNULL|TRY_TO_NUMBER|DATEADD|LISTAGG|"
+        r"OBJECT_CONSTRUCT|ARRAY_CONSTRUCT|SPLIT_PART|STRTOK|DIV0|"
+        r"SELECT|FROM|AS)\b",
+        lambda m: m.group(0).lower(),
+        sql,
+    )
+    base = _t.to_spark(sql)
+    assert _t.to_spark(spaced).split() == base.split()
+    assert _t.to_spark(lowered).lower().split() == base.lower().split()
+
+
+@given(col=_ident, n=_num, s=_str_lit, idx=st.integers(0, 11))
+def test_transpile_no_internal_placeholders_or_imbalance(col, n, s, idx):
+    """Output never leaks internal placeholder names (the
+    ARRAY_COMPACT_X-style bug class) and preserves parenthesis
+    balance."""
+    sql = f"SELECT {_scalar_exprs(col, n, s)[idx]} AS v FROM t1"
+    out = _t.to_spark(sql)
+    assert not re.search(r"_X\b", out), out
+    assert out.count("(") == out.count(")"), out
+    ok, _err = _t.can_transpile(sql)
+    assert ok
+
+
+# ---------------------------------------------------------------
+# Spark-backed invariants (few examples, one job per example)
+# ---------------------------------------------------------------
+
+_spark_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_texts = st.lists(
+    st.text(
+        alphabet="ab cdef",  # spaces included → multi-word docs
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_spark_settings
+@given(texts=_texts, size=st.integers(2, 50), overlap_frac=st.floats(0, 0.9))
+def test_chunk_documents_reconstructs_text(spark, texts, size, overlap_frac):
+    """Chunks tile the document exactly: first chunk + the non-overlap
+    tail of each later chunk reassemble the original text, offsets
+    match, and every chunk except the last is full-size."""
+    from dbt_icebreaker_spark.xops.text import chunk_documents
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    step = size - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_documents(df, "doc_id", "text", size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for doc_id, text in enumerate(texts):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert [c.char_start for c in chunks] == [i * step for i in range(len(chunks))]
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == text
+        for c in chunks[:-1]:
+            assert len(c.chunk_text) == size
+
+
+@_spark_settings
+@given(
+    n=st.integers(1, 300),
+    fraction=st.floats(0.0, 1.0),
+    salt=st.integers(0, 5),
+    parts=st.integers(1, 7),
+)
+def test_hash_sample_partition_invariant(spark, n, fraction, salt, parts):
+    """Sample membership is a pure function of the id — identical for
+    any physical partitioning of the same rows."""
+    from dbt_icebreaker_spark.xops.sampling import hash_sample
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, "doc_id", fraction, salt).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(df.repartition(parts), "doc_id", fraction, salt).collect()
+    }
+    assert a == b
+
+
+@_spark_settings
+@given(n=st.integers(1, 200), epoch=st.integers(0, 4))
+def test_epoch_shuffle_is_permutation(spark, n, epoch):
+    from dbt_icebreaker_spark.xops.sampling import epoch_shuffle
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=epoch).collect()]
+    assert sorted(out) == list(range(n))
+
+
+@_spark_settings
+@given(
+    tokens=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    budget=st.integers(1, 64),
+)
+def test_pack_sequences_budget_overrun_bound(spark, tokens, budget):
+    """A pack never exceeds the budget by more than one document (docs
+    are never split), and pack ids are contiguous from 0 per shard."""
+    from dbt_icebreaker_spark.xops.text import pack_sequences
+
+    rows = [(i, " ".join("w" for _ in range(t))) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, "doc_id", "text", budget_tokens=budget, n_shards=4)
+    by_shard: dict[int, list] = {}
+    for r in sorted(out.collect(), key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        # pack ids are non-decreasing in doc order (floor of a
+        # cumulative sum; ids may SKIP when one doc overflows the
+        # budget — documented floor-chunking semantics)
+        pids = [r.pack_id for r in shard_rows]
+        assert pids == sorted(pids)
+        packs = {}
+        for r in shard_rows:
+            packs.setdefault(r.pack_id, []).append(r.n_tokens)
+        for pid, sizes in packs.items():
+            # a pack only overruns because of its final doc
+            assert len(sizes) == 1 or sum(sizes[:-1]) < budget
