@@ -56,6 +56,43 @@ def _sync_partitions(spark: SparkSession, table: str) -> None:
         pass  # NOT_A_PARTITIONED_TABLE
 
 
+def _swap_names(target: str) -> tuple[str, str]:
+    return f"{target}__icebreaker_stage", f"{target}__icebreaker_old"
+
+
+def recover_staged_swap(spark: SparkSession, target: str) -> Optional[str]:
+    """Heal a crash that interrupted _staged_overwrite's rename swap.
+
+    Between 'RENAME target TO backup' and 'RENAME staging TO target'
+    the target does not exist — without recovery the next incremental
+    run would take the first-run CTAS path, rebuild the table from one
+    batch, and the run after that would unconditionally DROP the
+    backup: silent loss of all accumulated history. Called before any
+    existence check that gates a CTAS.
+
+    Preference order when target is missing:
+    - staging exists ⇒ finish the swap (saveAsTable registers the
+      table only after a complete write, so a cataloged staging table
+      IS the full new state), then drop the backup;
+    - else backup exists ⇒ roll back (re-apply of the interrupted
+      batch is the caller's natural next step).
+    Returns the action taken ('completed'/'rolled_back') or None.
+    """
+    if spark.catalog.tableExists(target):
+        return None
+    staging, backup = _swap_names(target)
+    if spark.catalog.tableExists(staging):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+        _sync_partitions(spark, target)
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        return "completed"
+    if spark.catalog.tableExists(backup):
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {target}")
+        _sync_partitions(spark, target)
+        return "rolled_back"
+    return None
+
+
 def _staged_overwrite(
     spark: SparkSession,
     df: DataFrame,
@@ -77,8 +114,7 @@ def _staged_overwrite(
     otherwise silently become unpartitioned after the first rewrite);
     each rename is followed by a partition-metadata sync BEFORE the
     backup is dropped — see _sync_partitions."""
-    staging = f"{target}__icebreaker_stage"
-    backup = f"{target}__icebreaker_old"
+    staging, backup = _swap_names(target)
     for t in (staging, backup):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         clear_orphaned_location(spark, t)
@@ -174,6 +210,7 @@ def run_incremental(
 ) -> dict:
     """Apply one incremental batch. Returns stats dict."""
     keys = _normalize_keys(unique_key)
+    recovered = recover_staged_swap(spark, target)
     exists = spark.catalog.tableExists(target)
 
     if not exists or full_refresh:
@@ -183,7 +220,10 @@ def run_incremental(
             new_rows.write.mode("overwrite"), partition_by, clustered_by, buckets
         )
         writer.saveAsTable(target)
-        return {"strategy": "create", "rows": spark.table(target).count()}
+        stats = {"strategy": "create", "rows": spark.table(target).count()}
+        if recovered:
+            stats["recovered_swap"] = recovered
+        return stats
 
     old = spark.table(target)
     old, new_aligned, final_cols = _apply_schema_change(
@@ -213,13 +253,18 @@ def run_incremental(
         # incremental.sql:130-159: with partition_by, delete whole
         # partitions present in the batch; else delete by key tuple
         if partition_by:
+            # distinct partition values are tiny by construction —
+            # broadcasting is always safe here
             parts = new_aligned.select(partition_by).distinct()
             kept = old.join(F.broadcast(parts), on=partition_by, how="left_anti")
         elif keys:
-            # new batch is usually small relative to the target ⇒
-            # broadcast its key set instead of shuffling the target
+            # no forced broadcast of the key set: a backfill-sized
+            # batch force-broadcast past autoBroadcastJoinThreshold
+            # must be collected to the driver (OOM). AQE's runtime
+            # join selection broadcasts small batches anyway and
+            # shuffle-joins big ones.
             kept = old.join(
-                F.broadcast(new_aligned.select(keys).distinct()), on=keys, how="left_anti"
+                new_aligned.select(keys).distinct(), on=keys, how="left_anti"
             )
         else:
             raise ValueError("delete+insert needs unique_key or partition_by")
@@ -234,8 +279,10 @@ def run_incremental(
             # reference merge without unique_key degenerates to append
             new_aligned.write.mode("append").saveAsTable(target)
             return {"strategy": "merge(append)", "rows_appended": new_aligned.count()}
+        # AQE picks broadcast vs shuffle from the batch's runtime size
+        # (see delete+insert note — a forced hint OOMs on backfills)
         kept = old.join(
-            F.broadcast(new_aligned.select(keys).distinct()), on=keys, how="left_anti"
+            new_aligned.select(keys).distinct(), on=keys, how="left_anti"
         )
         result = kept.unionByName(new_aligned)
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)

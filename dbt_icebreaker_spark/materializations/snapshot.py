@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ddl import clear_orphaned_location
-from .incremental import _normalize_keys, _staged_overwrite
+from .incremental import _normalize_keys, _staged_overwrite, recover_staged_swap
 
 META_COLS = ("dbt_valid_from", "dbt_valid_to", "dbt_scd_id", "dbt_updated_at")
 
@@ -87,6 +87,10 @@ def run_snapshot(
     if not keys:
         raise ValueError("snapshot requires unique_key")
     now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    # heal a previously interrupted staged swap BEFORE the existence
+    # check — otherwise a crash mid-swap reroutes to first-run CTAS
+    # and the accumulated SCD2 history is silently lost
+    recover_staged_swap(spark, target)
 
     staged = _with_meta(source, keys, strategy, updated_at, check_cols, now)
 

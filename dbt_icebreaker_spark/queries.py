@@ -1944,7 +1944,7 @@ XOP_ORACLES: dict[str, str | None] = {
     "x20_stratified_sample": """
         SELECT doc_id, lang, source
         FROM documents
-        WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+        WHERE (((doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0
               < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
     """,
     "x21_pack_sequences": """
@@ -2049,7 +2049,8 @@ XOP_ORACLES: dict[str, str | None] = {
         )
         SELECT d.doc_id, d.lang, d.source
         FROM documents d JOIN rates ON d.lang = rates.dom
-        WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < rate
+        WHERE (((d.doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0
+              < rate
     """,
     "x25_jaccard_estimate": f"""
         WITH {_SHINGLES_3},

@@ -61,12 +61,30 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
-@lru_cache(maxsize=256)
+def _mtime_token(path: str) -> float:
+    """Cheap change token: a rewrite at the same path (e.g.
+    SourceCache.cache_table(force=True)) bumps the file's — or, for a
+    parquet directory, the directory's — mtime, invalidating the
+    footer cache below. Without it a long-lived session would keep a
+    stale ns-column list and silently skip or misapply the ns→µs
+    conversion after a refresh changes the schema."""
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    return _nanos_timestamp_cols_cached(path, _mtime_token(path))
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols_cached(path: str, _token: float) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them
     as long (spark.sql.legacy.parquet.nanosAsLong) and we convert.
-    lru_cache: the footer never changes during a run and re-reading it
-    per query costs a pyarrow open per table (bench floor)."""
+    lru_cache keyed by (path, mtime): re-reading the footer per query
+    costs a pyarrow open per table (bench floor), but the cache must
+    not outlive a rewrite of the file."""
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa

@@ -28,11 +28,18 @@ _MOD = 4294967296  # 2^32
 
 
 def hash01(id_col: str | Column, salt: int = 0) -> Column:
-    """Deterministic uniform-ish value in [0, 1) from an integer id."""
+    """Deterministic uniform-ish value in [0, 1) from an integer id.
+
+    The id is reduced mod 2^31-1 BEFORE the 2^31.3 multiplier so no
+    intermediate exceeds 2^63: a raw multiply overflows signed 64-bit
+    for ids >= ~3.5e9 (e.g. every monotonically_increasing_id beyond
+    partition 0) — a hard ARITHMETIC_OVERFLOW under Spark's default
+    ANSI mode, and a broken bit-for-bit oracle contract on engines
+    that error on BIGINT overflow. Membership is unchanged for ids
+    below 2^31-1 (the reduction is the identity there)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod((c.cast("long") + F.lit(salt)) * F.lit(KNUTH_MULT), F.lit(_MOD)) / F.lit(
-        float(_MOD)
-    )
+    c1 = F.pmod(c.cast("long") + F.lit(salt), F.lit(2147483647))
+    return F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD)) / F.lit(float(_MOD))
 
 
 def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: int = 0) -> DataFrame:

@@ -82,10 +82,14 @@ def asof_join(
         .where(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
+        # cast("double") keeps fractional seconds — unix_timestamp
+        # truncates to whole seconds, which both keeps stale matches
+        # (1.8s gap floored to 1s vs tolerance 1.0) and drops valid
+        # ones under sub-second tolerances
         in_window = (
             F.col("__match").isNotNull()
             & (
-                F.unix_timestamp("__t") - F.unix_timestamp("__match.__rt")
+                F.col("__t").cast("double") - F.col("__match.__rt").cast("double")
                 <= F.lit(float(tolerance_seconds))
             )
         )

@@ -371,3 +371,85 @@ class TestStagedOverwriteSafety:
         t = spark.table(f"{sch}.snap_dup")
         assert t.filter("dbt_valid_to IS NULL").count() == 10
         assert t.groupBy("c_custkey").count().filter("count > 2").count() == 0
+
+
+class TestSwapCrashRecovery:
+    """A crash between _staged_overwrite's two renames leaves no
+    target table; the next run must heal (finish the swap from the
+    complete staging table) instead of CTAS-rebuilding from one batch
+    and later dropping the only surviving copy of the history."""
+
+    def _simulate_interrupted_swap(self, spark, engine, name):
+        sch = engine.effective_schema
+        tgt = f"{sch}.{name}"
+        for suffix in ("", "__icebreaker_stage", "__icebreaker_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {tgt}{suffix}")
+        # established table: keys 1..5
+        engine.run_model(
+            name,
+            "SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 5",
+            "incremental", unique_key="k", incremental_strategy="merge",
+            full_refresh=True,
+        )
+        # the would-be post-merge state: keys 1..8 (complete staging)
+        spark.sql(
+            f"CREATE TABLE {tgt}__icebreaker_stage AS "
+            f"SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 8"
+        )
+        # crash point: target renamed aside, staging not yet renamed in
+        spark.sql(f"ALTER TABLE {tgt} RENAME TO {tgt}__icebreaker_old")
+        assert not spark.catalog.tableExists(tgt)
+        return tgt
+
+    def test_next_incremental_run_completes_swap(self, spark, engine):
+        tgt = self._simulate_interrupted_swap(spark, engine, "crashy")
+        res = engine.run_model(
+            "crashy",
+            "SELECT o_orderkey AS k, o_totalprice * 3 AS v FROM orders WHERE o_orderkey = 9",
+            "incremental", unique_key="k", incremental_strategy="merge",
+        )
+        got = spark.table(tgt)
+        # history (1..8, from the healed staging state) + new batch (9)
+        assert sorted(r.k for r in got.collect()) == list(range(0, 10))
+        assert not spark.catalog.tableExists(f"{tgt}__icebreaker_stage")
+        assert not spark.catalog.tableExists(f"{tgt}__icebreaker_old")
+
+    def test_rollback_when_only_backup_survives(self, spark, engine):
+        tgt = self._simulate_interrupted_swap(spark, engine, "crashy2")
+        spark.sql(f"DROP TABLE {tgt}__icebreaker_stage")
+        from dbt_icebreaker_spark.materializations.incremental import (
+            recover_staged_swap,
+        )
+        assert recover_staged_swap(spark, tgt) == "rolled_back"
+        assert sorted(r.k for r in spark.table(tgt).collect()) == [0, 1, 2, 3, 4, 5]
+
+    def test_snapshot_run_heals_before_existence_check(self, spark, engine):
+        sch = engine.effective_schema
+        tgt = f"{sch}.crashy3"
+        for suffix in ("", "__icebreaker_stage", "__icebreaker_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {tgt}{suffix}")
+        engine.run_snapshot(
+            "crashy3",
+            "SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 5",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=datetime.datetime(2026, 1, 1),
+        )
+        # crash mid-swap of a snapshot update: complete staging (same
+        # content incl. meta columns), target renamed aside
+        spark.sql(
+            f"CREATE TABLE {tgt}__icebreaker_stage AS SELECT * FROM {tgt}"
+        )
+        spark.sql(f"ALTER TABLE {tgt} RENAME TO {tgt}__icebreaker_old")
+        # next snapshot run heals first, then closes changed rows —
+        # which requires the pre-crash history to have survived
+        engine.run_snapshot(
+            "crashy3",
+            "SELECT o_orderkey AS k, o_totalprice * 2 AS v FROM orders WHERE o_orderkey <= 5",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=datetime.datetime(2026, 3, 1),
+        )
+        snap = spark.table(tgt)
+        closed = snap.filter(F.col("dbt_valid_to").isNotNull()).count()
+        open_ = snap.filter(F.col("dbt_valid_to").isNull()).count()
+        assert (closed, open_) == (6, 6)
+        assert not spark.catalog.tableExists(f"{tgt}__icebreaker_old")

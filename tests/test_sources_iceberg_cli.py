@@ -160,3 +160,22 @@ class TestCliStatusCommands:
         s = out["models"]["m1"]
         assert s["runs"] == 2 and s["avg_duration_s"] == 3.0
         assert s["max_spill_bytes"] == 5.0 and s["max_shuffle_write_bytes"] == 7.0
+
+
+class TestNanosFooterCacheInvalidation:
+    def test_rewrite_at_same_path_refreshes(self, tmp_path):
+        import time
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from dbt_icebreaker_spark.sources import _nanos_timestamp_cols
+
+        p = str(tmp_path / "t.parquet")
+        ns = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))})
+        pq.write_table(ns, p)
+        assert _nanos_timestamp_cols(p) == ("ts",)
+        time.sleep(0.01)
+        us = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))})
+        pq.write_table(us, p)
+        import os
+        os.utime(p)  # ensure mtime advances even on coarse filesystems
+        assert _nanos_timestamp_cols(p) == ()

@@ -618,3 +618,59 @@ class TestTopNgrams:
 
         df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
         assert top_ngrams(df, "doc_id", "text", n=2, k=10).count() == 0
+
+
+class TestHashSampleLargeIds:
+    def test_no_overflow_on_monotonic_ids(self, spark):
+        """Ids beyond partition 0 of monotonically_increasing_id are
+        >= 2^33 — the raw multiplicative hash overflowed signed 64-bit
+        there (ARITHMETIC_OVERFLOW under default ANSI mode)."""
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.sampling import (
+            epoch_shuffle, hash_sample, train_val_test_split,
+        )
+
+        big = spark.createDataFrame(
+            [(8589934592,), (2**40 + 17,), (2**62,)], ["doc_id"]
+        )
+        assert hash_sample(big, "doc_id", 1.0).count() == 3
+        assert train_val_test_split(big, "doc_id").count() == 3
+        assert epoch_shuffle(big, "doc_id", epoch=2).count() == 3
+
+    def test_membership_unchanged_below_2_31(self, spark):
+        """The mod-2^31-1 reduction is the identity for small ids, so
+        the oracled membership contract is untouched."""
+        from dbt_icebreaker_spark.xops.sampling import hash01
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        raw = df.select(
+            (F.pmod(F.col("doc_id") * 2654435761, F.lit(4294967296))
+             / 4294967296.0).alias("a"),
+            hash01("doc_id").alias("b"),
+        )
+        assert raw.filter(F.col("a") != F.col("b")).count() == 0
+
+
+class TestAsofSubsecondTolerance:
+    def test_fractional_gap_respected(self, spark):
+        import datetime as dt
+        from dbt_icebreaker_spark.xops.temporal import asof_join
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0, 100000)   # right: .1s
+        t1 = dt.datetime(2026, 1, 1, 10, 0, 1, 900000)   # left: 1.9s → gap 1.8s
+        t2 = dt.datetime(2026, 1, 1, 10, 0, 0, 900000)   # left: .9s → gap 0.8s
+        left = spark.createDataFrame(
+            [(1, t1, "a"), (1, t2, "b")], ["k", "ts", "tag"]
+        )
+        right = spark.createDataFrame([(1, t0, 5.0)], ["k", "ts", "v"])
+        out = {
+            r.tag: r.v_r
+            for r in asof_join(
+                left, right, on="k", tolerance_seconds=1.0
+            ).collect()
+        }
+        # 1.8s gap: unix_timestamp flooring used to KEEP this match
+        assert out["a"] is None
+        # 0.8s gap is genuinely inside the 1.0s window
+        assert out["b"] == 5.0
