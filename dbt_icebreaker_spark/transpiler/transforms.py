@@ -70,14 +70,33 @@ def _rename_funcs(tokens: Tokens, mapping: dict[str, str]) -> Tokens:
         if t.kind == WORD and t.upper in mapping and _is_call(tokens, i, t.upper):
             if t.upper == "INSERT":
                 # Snowflake's INSERT(base,pos,len,repl) string function
-                # shares its name with INSERT DML. Only rewrite in
-                # expression context: `WHEN NOT MATCHED THEN INSERT
-                # (cols) VALUES …` and statement-leading INSERT must
-                # pass through untouched or valid MERGE/INSERT DML
-                # becomes overlay(...) garbage.
+                # shares its name with INSERT DML. Rewrite only in
+                # expression context — MERGE's `THEN INSERT (cols)
+                # VALUES …` must pass through or valid DML becomes
+                # overlay(...) garbage. A bare prev==THEN test is not
+                # enough: CASE's `WHEN c THEN INSERT(s,1,2,'x')` is an
+                # expression. The discriminator is what FOLLOWS the
+                # parenthesized list — MERGE DML continues with VALUES
+                # (its column list), an expression call does not.
                 p = prev_code(tokens, i - 1)
-                if p < 0 or tokens[p].upper == "THEN":
-                    out.append(t)
+                if p < 0 or tokens[p].is_op(";"):
+                    out.append(t)  # statement-leading DML
+                    continue
+                j = next_code(tokens, i + 1)  # '(' (per _is_call)
+                depth = 0
+                k = j
+                while k < len(tokens):
+                    if tokens[k].is_op("("):
+                        depth += 1
+                    elif tokens[k].is_op(")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                after = next_code(tokens, k + 1)
+                if after < len(tokens) and after >= 0 and tokens[after].kind == WORD \
+                        and tokens[after].upper == "VALUES":
+                    out.append(t)  # MERGE `INSERT (cols) VALUES …`
                     continue
             out.append(_word(mapping[t.upper]))
         else:
@@ -459,9 +478,8 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 p_ = tokens[args[2][0]:args[2][1]] if len(args) == 3 else [_word("1")]
                 d_code = [c for c in d if c.kind != WS]
                 if len(d_code) == 1 and d_code[0].kind == STRING:
-                    inner = d_code[0].text[1:-1]
-                    cls = "[" + _re.escape(inner) + "]"
-                    lit = Token(STRING, "'" + cls.replace("\\", "\\\\").replace("'", "''") + "'")
+                    inner = _unescape_sql_literal(d_code[0].text[1:-1])
+                    lit = Token(STRING, "'[" + _regex_class_source(inner) + "]'")
                     out += ([_word("try_element_at"), _op("("),
                              _word("filter"), _op("("),
                              _word("split"), _op("(")] + s
@@ -495,30 +513,71 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += [_word("CAST"), _op("("), _word(fn), _op("(")] + x + [
                     _op(")"), _sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
             elif t.text == "UNIFORM_X" and len(args) in (2, 3):
-                # UNIFORM(min, max, RANDOM([seed])) → uniform(...) —
-                # Spark's seed must be foldable, so a bare RANDOM()
-                # generator is dropped (non-deterministic in both
-                # engines) and RANDOM(seed) passes its seed through.
-                # Snowflake's max is INCLUSIVE, Spark's is EXCLUSIVE
-                # for integers (verified: uniform(1,3) never yields 3)
-                # — an integer-literal max is bumped to max+1; float
-                # bounds are continuous so the boundary has measure
-                # zero and passes through unchanged.
+                # UNIFORM(min, max, RANDOM([seed])). Snowflake: both
+                # bounds INCLUSIVE; integer bounds → integer result.
+                # Spark's uniform() truncates toward zero (verified:
+                # uniform(1,3) never yields 3, and uniform(-5,-1)
+                # yields {-4..-1} — wrong on BOTH ends for negative
+                # ranges), so no max-bump can fix integer semantics in
+                # general. Integer-literal bounds (incl. negative) are
+                # rewritten to the explicit inclusive form
+                #   (min + CAST(FLOOR(rand([seed]) * span) AS BIGINT))
+                # float-literal bounds keep uniform(a, b) (continuous;
+                # the boundary has measure zero); non-literal bounds
+                # are refused — int-vs-float semantics depend on types
+                # the transpiler cannot see, and emitting either form
+                # risks silently skewed distributions.
+                def _int_lit(ts: Tokens) -> int | None:
+                    code = [c for c in ts if c.kind != WS]
+                    if len(code) == 1 and code[0].text.isdigit():
+                        return int(code[0].text)
+                    if (len(code) == 2 and code[0].is_op("-")
+                            and code[1].text.isdigit()):
+                        return -int(code[1].text)
+                    return None
+
+                def _float_lit(ts: Tokens) -> bool:
+                    code = [c for c in ts if c.kind != WS]
+                    txt = "".join(c.text for c in code)
+                    try:
+                        float(txt)
+                        return True
+                    except ValueError:
+                        return False
+
                 a1 = tokens[args[0][0]:args[0][1]]
                 a2 = tokens[args[1][0]:args[1][1]]
-                a2_code = [c for c in a2 if c.kind != WS]
-                if len(a2_code) == 1 and a2_code[0].text.isdigit():
-                    a2 = [_word(str(int(a2_code[0].text) + 1))]
+                lo, hi = _int_lit(a1), _int_lit(a2)
                 seed: Tokens = []
                 if len(args) == 3:
                     g = [c for c in tokens[args[2][0]:args[2][1]] if c.kind != WS]
                     if (len(g) > 3 and g[0].kind == WORD and g[0].upper == "RANDOM"
                             and g[1].is_op("(") and not g[2].is_op(")")):
                         seed = g[2:-1]
-                out += [_word("uniform"), _op("(")] + a1 + [_op(","), _sp()] + a2
-                if seed:
-                    out += [_op(","), _sp()] + seed
-                out += [_op(")")]
+                if lo is not None and hi is not None:
+                    span = hi - lo + 1
+                    out += [_op("("), _word(str(lo)), _sp(), _op("+"), _sp(),
+                            _word("CAST"), _op("("), _word("FLOOR"), _op("("),
+                            _word("rand"), _op("(")]
+                    out += seed
+                    out += [_op(")"), _sp(), _op("*"), _sp(), _word(str(span)),
+                            _op(")"), _sp(), _word("AS"), _sp(), _word("BIGINT"),
+                            _op(")"), _op(")")]
+                elif _float_lit(a1) and _float_lit(a2):
+                    out += [_word("uniform"), _op("(")] + a1 + [_op(","), _sp()] + a2
+                    if seed:
+                        out += [_op(","), _sp()] + seed
+                    out += [_op(")")]
+                else:
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "UNIFORM with non-literal bounds cannot be "
+                        "transpiled faithfully: Snowflake's inclusive "
+                        "integer semantics vs float semantics depend "
+                        "on argument types. Use literal bounds, or "
+                        "write the rand() arithmetic explicitly."
+                    )
             elif t.text == "GETPATH_X" and len(args) == 2:
                 x = tokens[args[0][0]:args[0][1]]
                 lit = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
@@ -702,17 +761,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 d_ = tokens[args[1][0]:args[1][1]]
                 d_code = [c for c in d_ if c.kind != WS]
                 d_lit = (
-                    d_code[0].text[1:-1]
+                    _unescape_sql_literal(d_code[0].text[1:-1])
                     if len(d_code) == 1 and d_code[0].kind == STRING
                     else None
                 )
                 if d_lit == "":
                     out += [_word("array"), _op("("), _op("(")] + s_ + [_op(")"), _op(")")]
                 elif d_lit is not None:
-                    esc = "".join(
-                        ("\\\\" + c) if c in _REGEX_SPECIALS else c
-                        for c in d_lit
-                    )
+                    esc = _regex_literal_source(d_lit)
                     out += ([_word("split"), _op("("), _op("(")] + s_
                             + [_op(")"), _op(","), _sp(),
                                Token(STRING, f"'{esc}'"), _op(")")])
@@ -738,16 +794,13 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                             "string (a character-class regex is built "
                             "from it at transpile time)."
                         )
-                    d_lit = d_code[0].text[1:-1]
+                    d_lit = _unescape_sql_literal(d_code[0].text[1:-1])
                 else:
                     d_lit = " "
                 if d_lit == "":
                     inner = [_word("array"), _op("("), _op("(")] + s_ + [_op(")"), _op(")")]
                 else:
-                    esc = "".join(
-                        ("\\\\" + c) if c in _REGEX_CLASS_SPECIALS else c
-                        for c in d_lit
-                    )
+                    esc = _regex_class_source(d_lit)
                     inner = ([_word("split"), _op("("), _op("(")] + s_
                              + [_op(")"), _op(","), _sp(),
                                 Token(STRING, f"'[{esc}]'"), _op(")")])
@@ -1142,6 +1195,49 @@ _LATERAL_TABLE_FUNCS = ("FLATTEN", "SPLIT_TO_TABLE", "STRTOK_SPLIT_TO_TABLE")
 _REGEX_SPECIALS = set(".^$*+?()[]{}|\\")
 _REGEX_CLASS_SPECIALS = set("\\]^-[&")
 
+_SQL_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "0": "\0"}
+
+
+def _unescape_sql_literal(raw: str) -> str:
+    """SQL-source text between quotes → the REAL string value. The
+    escaping sites below previously operated on the raw source text,
+    so a delimiter written '\\\\' (one real backslash) was treated as
+    two characters and regex-escaped into an invalid pattern."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
+        if ch == "'" and i + 1 < n and raw[i + 1] == "'":
+            out.append("'")
+            i += 2
+        elif ch == "\\" and i + 1 < n:
+            out.append(_SQL_ESCAPES.get(raw[i + 1], raw[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _sql_string_source(s: str) -> str:
+    """Real string → SQL source text Spark's parser reads back as s."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _regex_literal_source(s: str) -> str:
+    """SQL source text of a regex matching the REAL string s
+    literally (one real backslash → '\\\\' in the pattern → four
+    backslashes in source)."""
+    pat = "".join(("\\" + c) if c in _REGEX_SPECIALS else c for c in s)
+    return _sql_string_source(pat)
+
+
+def _regex_class_source(s: str) -> str:
+    """SQL source text of the inside of a [..] class whose members
+    are the REAL characters of s."""
+    pat = "".join(("\\" + c) if c in _REGEX_CLASS_SPECIALS else c for c in s)
+    return _sql_string_source(pat)
+
 
 def rewrite_generator(tokens: Tokens) -> Tokens:
     """TABLE(GENERATOR(ROWCOUNT => n)) → (SELECT id AS seq_gen FROM
@@ -1288,7 +1384,7 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                 )
                 d_code = [c for c in delim if c.kind != WS]
                 d_lit = (
-                    d_code[0].text[1:-1]
+                    _unescape_sql_literal(d_code[0].text[1:-1])
                     if len(d_code) == 1 and d_code[0].kind == STRING
                     else None
                 )
@@ -1299,10 +1395,7 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     # is 1-BASED (unlike FLATTEN's 0-based) → inline
                     # over a (i+1, x) struct array, one lateral view.
                     if d_lit is not None:
-                        esc = "".join(
-                            ("\\\\" + c) if c in _REGEX_SPECIALS else c
-                            for c in d_lit
-                        )
+                        esc = _regex_literal_source(d_lit)
                         pat: Tokens = [Token(STRING, f"'{esc}'")]
                     else:
                         pat = ([_word("concat"), _op("("),
@@ -1324,10 +1417,7 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                             "delimiter string (a character-class regex "
                             "is built from it at transpile time)."
                         )
-                    esc = "".join(
-                        ("\\\\" + c) if c in _REGEX_CLASS_SPECIALS else c
-                        for c in d_lit
-                    )
+                    esc = _regex_class_source(d_lit)
                     arr = ([_word("filter"), _op("("), _word("split"),
                             _op("("), _op("(")] + s_expr
                            + [_op(")"), _op(","), _sp(),

@@ -587,16 +587,32 @@ class TestTokenAndEncodingFuncs:
         assert "CAST(unbase64(b) AS STRING)" in out
         assert "CAST(unhex(h) AS STRING)" in out
 
-    def test_uniform_inclusive_max_and_seed(self):
-        # Snowflake max is inclusive; Spark's is exclusive for ints ->
-        # integer-literal max bumps by one
+    def test_uniform_inclusive_int_semantics(self):
+        # Snowflake int bounds are inclusive both ends; Spark's
+        # uniform() truncates toward zero (wrong on both ends for
+        # negative ranges) -> explicit rand() arithmetic for int
+        # literals, seed passed through
         out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM()) FROM x"))
-        assert "uniform(1, 11)" in out
+        assert "(1 + CAST(FLOOR(rand() * 10) AS BIGINT))" in out
         out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM(42)) FROM x"))
-        assert "uniform(1, 11, 42)" in out
-        # float max passes through (continuous range)
+        assert "(1 + CAST(FLOOR(rand(42) * 10) AS BIGINT))" in out
+        # negative bounds (the case no max-bump could fix)
+        out = _norm(t.to_spark("SELECT UNIFORM(-5, -1, RANDOM()) FROM x"))
+        assert "(-5 + CAST(FLOOR(rand() * 5) AS BIGINT))" in out
+        # float bounds pass through (continuous range)
         out = _norm(t.to_spark("SELECT UNIFORM(0.0, 1.5, RANDOM()) FROM x"))
         assert "uniform(0.0, 1.5)" in out
+
+    def test_uniform_expression_bounds_refused(self):
+        # int-vs-float semantics depend on types the transpiler can't
+        # see -> actionable error instead of a silently skewed emit
+        import pytest as _pytest
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with _pytest.raises(TranspileError, match="UNIFORM"):
+            t.to_spark("SELECT UNIFORM(1, n, RANDOM()) FROM x")
+        ok, msg = t.can_transpile("SELECT UNIFORM(1, n, RANDOM()) FROM x")
+        assert not ok and "UNIFORM" in msg
 
     def test_base64_custom_alphabet_rejected(self):
         ok, msg = t.can_transpile("SELECT BASE64_DECODE_STRING(b, 'abc') FROM x")
@@ -960,3 +976,49 @@ class TestParseUrl:
             "FROM (SELECT '{\"a\": {\"b\": 5}}' AS j)"
         )).collect()[0]
         assert r.v == 5 and r.w == 5
+
+
+class TestDelimiterEscaping:
+    """The delimiter literal is SQL-unescaped first, then
+    regex-escaped, then re-escaped as SQL source — a backslash
+    delimiter written '\\\\' (one real backslash) must emit a
+    4-backslash source literal (2-char regex), not 6 (invalid)."""
+
+    def test_split_backslash(self):
+        out = t.to_spark(r"SELECT SPLIT(s, '\\') FROM x")
+        assert "'" + "\\" * 4 + "'" in out
+
+    def test_split_newline_escape(self):
+        out = t.to_spark(r"SELECT SPLIT(s, '\n') FROM x")
+        # real newline character inside the emitted literal, not
+        # a regex-escaped 'n'
+        assert "'\n'" in out
+
+    def test_strtok_backslash_class(self):
+        out = t.to_spark(r"SELECT STRTOK(s, '\\ ', 1) FROM x")
+        assert "[" + "\\" * 4 + " ]" in out
+
+    def test_split_to_table_backslash(self):
+        out = t.to_spark(r"SELECT v.value FROM TABLE(SPLIT_TO_TABLE(s, '\\')) v")
+        assert "\\" * 4 in out
+
+    def test_doubled_quote_delimiter(self):
+        out = t.to_spark("SELECT SPLIT(s, '''') FROM x")
+        # '' in source is one real quote -> re-escaped as \'
+        assert "'\\''" in out
+
+
+class TestInsertContexts:
+    def test_case_then_insert_is_string_fn(self):
+        out = t.to_spark("SELECT CASE WHEN a THEN INSERT(s, 1, 2, 'x') END FROM t1")
+        assert "overlay" in out.lower()
+        assert "INSERT" not in out.upper().replace("OVERLAY", "")
+
+    def test_merge_insert_with_condition_kept(self):
+        sql = (
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN NOT MATCHED AND src.v > 5 THEN INSERT (id, v) VALUES (src.id, src.v)"
+        )
+        out = t.to_spark(sql)
+        assert "INSERT (id, v) VALUES" in out
+        assert "overlay" not in out.lower()
