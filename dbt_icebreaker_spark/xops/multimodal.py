@@ -145,29 +145,62 @@ def probe_bytes(raw: bytes) -> dict:
             w, h = _struct.unpack("<HH", raw[6:10])
             out.update(format="gif", width=w, height=h, valid=True)
         elif raw[:2] == b"\xff\xd8":
+            # marker scan per the JPEG spec: fill 0xFF bytes before a
+            # marker are legal padding; TEM (0x01) and RST (0xD0-D7)
+            # markers are standalone (NO length field); everything
+            # else after SOI carries a big-endian length that includes
+            # its own two bytes
             i = 2
-            while i + 9 < len(raw):
+            n = len(raw)
+            while i + 1 < n:
                 if raw[i] != 0xFF:
                     break
                 marker = raw[i + 1]
-                if marker in (0xC0, 0xC1, 0xC2):
+                if marker == 0xFF:  # fill byte, marker continues
+                    i += 1
+                    continue
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker, no segment length
+                    continue
+                if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= n:
                     h, w = _struct.unpack(">HH", raw[i + 5 : i + 9])
                     out.update(format="jpeg", width=w, height=h, valid=True)
                     break
+                if marker == 0xD9 or i + 4 > n:  # EOI / truncated
+                    break
                 seg_len = _struct.unpack(">H", raw[i + 2 : i + 4])[0]
+                if seg_len < 2:
+                    break  # malformed length, stop rather than loop
                 i += 2 + seg_len
             if out["format"] == "unknown":
                 out.update(format="jpeg")  # magic matched, no SOF found
-        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE" and len(raw) >= 44:
-            channels = _struct.unpack("<H", raw[22:24])[0]
-            rate = _struct.unpack("<I", raw[24:28])[0]
-            byte_rate = _struct.unpack("<I", raw[28:32])[0]
-            data_size = _struct.unpack("<I", raw[40:44])[0]
-            out.update(
-                format="wav", channels=channels, sample_rate=rate,
-                duration_s=(data_size / byte_rate) if byte_rate else None,
-                valid=True,
-            )
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            # walk the RIFF chunk list instead of assuming the
+            # 44-byte canonical layout: editors commonly emit LIST/
+            # fact chunks before data (and extended fmt chunks), which
+            # fixed offsets would misread as garbage marked valid
+            channels = rate = byte_rate = data_size = None
+            i = 12
+            n = len(raw)
+            while i + 8 <= n:
+                cid = raw[i : i + 4]
+                size = _struct.unpack("<I", raw[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 24 <= n:
+                    channels = _struct.unpack("<H", raw[i + 10 : i + 12])[0]
+                    rate = _struct.unpack("<I", raw[i + 12 : i + 16])[0]
+                    byte_rate = _struct.unpack("<I", raw[i + 16 : i + 20])[0]
+                elif cid == b"data":
+                    data_size = size
+                # chunks are word-aligned: odd sizes carry a pad byte
+                i += 8 + size + (size % 2)
+            if channels is not None and data_size is not None:
+                out.update(
+                    format="wav", channels=channels, sample_rate=rate,
+                    duration_s=(data_size / byte_rate) if byte_rate else None,
+                    valid=True,
+                )
+            else:
+                out.update(format="wav")  # magic matched, chunks missing
     except Exception:
         pass  # malformed header → valid=False row, never a task failure
     return out

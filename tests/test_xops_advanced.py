@@ -674,3 +674,50 @@ class TestAsofSubsecondTolerance:
         assert out["a"] is None
         # 0.8s gap is genuinely inside the 1.0s window
         assert out["b"] == 5.0
+
+
+class TestProbeRobustness:
+    def test_jpeg_fill_bytes_and_rst_markers(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        # SOI + fill 0xFF padding + APP0 segment + standalone TEM +
+        # SOF0 (h=7, w=9) — legal per spec, broke the fixed scanner
+        app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 7, 9) + b"\x01\x00\x00\x00"
+        raw = b"\xff\xd8" + b"\xff" + app0 + b"\xff\x01" + sof
+        out = probe_bytes(raw)
+        assert (out["format"], out["width"], out["height"], out["valid"]) == ("jpeg", 9, 7, True)
+
+    def test_jpeg_sof_at_buffer_end(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        sof = b"\xff\xc2" + struct.pack(">H", 7) + b"\x08" + struct.pack(">HH", 3, 4)
+        raw = b"\xff\xd8" + sof  # SOF read ends exactly at len(raw)
+        out = probe_bytes(raw)
+        assert (out["width"], out["height"], out["valid"]) == (4, 3, True)
+
+    def test_wav_with_list_chunk_before_data(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", 1, 2, 44100, 176400, 4, 16
+        )
+        lst = b"LIST" + struct.pack("<I", 10) + b"INFOxxxxxx"
+        data = b"data" + struct.pack("<I", 176400) + b""
+        raw = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(lst) + len(data)) + b"WAVE" + fmt + lst + data
+        out = probe_bytes(raw)
+        assert out["valid"] is True
+        assert (out["channels"], out["sample_rate"]) == (2, 44100)
+        assert abs(out["duration_s"] - 1.0) < 1e-9
+
+    def test_wav_missing_data_chunk_not_valid(self):
+        import struct
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        raw = b"RIFF" + struct.pack("<I", 4 + len(fmt)) + b"WAVE" + fmt
+        out = probe_bytes(raw)
+        assert out["format"] == "wav" and out["valid"] is False
