@@ -196,6 +196,20 @@ def _apply_schema_change(
     return old, new_a, old_cols
 
 
+def merge_into_sql(target: str, batch_view: str, keys: list[str]) -> str:
+    """The literal MERGE INTO statement for catalogs with row-level
+    DML (Delta/Iceberg): rewrites only matched files instead of the
+    whole table — the preferred shape at 100 TB. Mirrors the
+    reference's DELETE-matching + INSERT-all semantics
+    (incremental.sql:161-190) as UPDATE SET * / INSERT *."""
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return (
+        f"MERGE INTO {target} t USING {batch_view} s ON {cond} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     target: str,
@@ -207,6 +221,7 @@ def run_incremental(
     on_schema_change: str = "ignore",
     clustered_by: str | Sequence[str] | None = None,
     buckets: Optional[int] = None,
+    use_sql_merge: bool = False,
 ) -> dict:
     """Apply one incremental batch. Returns stats dict."""
     keys = _normalize_keys(unique_key)
@@ -275,6 +290,29 @@ def run_incremental(
     if strategy == "merge":
         # incremental.sql:161-190: DELETE WHERE EXISTS(key match) then
         # INSERT ALL tmp rows ⇒ old rows not in batch ∪ batch
+        if use_sql_merge and keys:
+            # row-level DML path (Delta/Iceberg): only matched files
+            # rewrite. Spark's built-in parquet tables lack MERGE —
+            # surface that as an actionable error, never a silent
+            # fallback that hides a misconfigured catalog.
+            view = "__icebreaker_merge_batch"
+            new_aligned.createOrReplaceTempView(view)
+            try:
+                spark.sql(merge_into_sql(target, view, keys))
+            except Exception as e:
+                msg = str(e)
+                if "MERGE" in msg.upper() or "does not support" in msg:
+                    raise ValueError(
+                        f"use_sql_merge=True but {target}'s catalog does "
+                        "not support MERGE INTO (Spark built-in parquet "
+                        "tables have no row-level DML). Use the default "
+                        "rewrite path, or store the table in a Delta/"
+                        "Iceberg catalog."
+                    ) from e
+                raise
+            finally:
+                spark.catalog.dropTempView(view)
+            return {"strategy": "merge(sql)", "rows": spark.table(target).count()}
         if not keys:
             # reference merge without unique_key degenerates to append
             new_aligned.write.mode("append").saveAsTable(target)

@@ -111,6 +111,7 @@ class IcebreakerEngine:
         on_schema_change: str = "ignore",
         clustered_by: str | Sequence[str] | None = None,
         buckets: Optional[int] = None,
+        use_sql_merge: bool = False,
     ) -> RunResult:
         start = time.time()
         target = self._qualified(name)
@@ -159,6 +160,7 @@ class IcebreakerEngine:
                     on_schema_change=on_schema_change,
                     clustered_by=clustered_by,
                     buckets=buckets,
+                    use_sql_merge=use_sql_merge,
                 )
             except Exception as e:
                 raise_classified(e, sql)

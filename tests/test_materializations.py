@@ -453,3 +453,29 @@ class TestSwapCrashRecovery:
         open_ = snap.filter(F.col("dbt_valid_to").isNull()).count()
         assert (closed, open_) == (6, 6)
         assert not spark.catalog.tableExists(f"{tgt}__icebreaker_old")
+
+
+class TestSqlMerge:
+    def test_merge_into_statement_shape(self):
+        from dbt_icebreaker_spark.materializations.incremental import merge_into_sql
+
+        sql = merge_into_sql("db.tgt", "batch", ["id", "ts"])
+        assert sql == (
+            "MERGE INTO db.tgt t USING batch s ON t.id = s.id AND t.ts = s.ts "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def test_parquet_catalog_raises_actionable(self, spark, engine):
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.sqlmerge_t")
+        base = spark.createDataFrame([(1, "a")], ["k", "v"])
+        run_incremental(spark, f"{sch}.sqlmerge_t", base, unique_key="k")
+        batch = spark.createDataFrame([(1, "b")], ["k", "v"])
+        with pytest.raises(ValueError, match="MERGE INTO"):
+            run_incremental(
+                spark, f"{sch}.sqlmerge_t", batch, unique_key="k",
+                use_sql_merge=True,
+            )
