@@ -1574,6 +1574,20 @@ def _x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_global_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global row numbering in shuffled training order
+    (xops/sampling.with_global_position): range repartition +
+    per-partition window + broadcast offsets — no single-task global
+    window."""
+    from .xops.sampling import shuffle_key, with_global_position
+
+    register_dir(spark, sf_dir)
+    keyed = spark.table("documents").select(
+        "doc_id", shuffle_key("doc_id", epoch=1).alias("shuffle_key")
+    )
+    return with_global_position(keyed, ["shuffle_key", "doc_id"])
+
+
 def _x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequency table, top 20
     (xops/text.top_ngrams): one partial-aggregated groupBy over
@@ -2177,6 +2191,25 @@ XOP_ORACLES: dict[str, str | None] = {
                CAST((mixed * 1327217885) % 4294967296 AS BIGINT) AS shuffle_key
         FROM m
     """,
+    "x33_global_position": """
+        WITH h AS (
+          SELECT doc_id,
+                 ((doc_id + 1 * 1000003) % 2147483647) * 2654435761 AS p1
+          FROM documents
+        ),
+        h2 AS (SELECT doc_id, p1 % 4294967296 AS h1 FROM h),
+        m AS (
+          SELECT doc_id,
+                 CAST((xor(h1, h1 >> 16) * 1327217885) % 4294967296 AS BIGINT)
+                   AS shuffle_key
+          FROM h2
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               shuffle_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                    AS BIGINT) AS position
+        FROM m
+    """,
     "x32_top_ngrams": """
         WITH lists AS (
           SELECT doc_id,
@@ -2293,6 +2326,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_chunk_documents": _x_chunk_documents,
     "x31_epoch_shuffle": _x_epoch_shuffle,
     "x32_top_ngrams": _x_top_ngrams,
+    "x33_global_position": _x_global_position,
     "s01_sessionize": _s_sessionize,
     "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,

@@ -173,3 +173,58 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int = 0) -> DataFrame:
     return df.withColumn("shuffle_key", shuffle_key(id_col, epoch)).orderBy(
         "shuffle_key", id_col
     )
+
+
+def with_global_position(
+    df: DataFrame,
+    order_by: str | Sequence[str],
+    pos_col: str = "position",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row its 0-based global position in the total order
+    `order_by` — the "write a training index" step after epoch_shuffle.
+
+    The naive rendering, ``row_number() OVER (ORDER BY …)``, collapses
+    the whole dataset into ONE window task; this is the distributed
+    form: range-repartition on the order keys (sampled boundaries →
+    balanced partitions, globally ordered BY CONSTRUCTION), then
+    per-partition row_number plus an offset computed from the tiny
+    per-partition count aggregate (one row per partition, broadcast
+    back). Two shuffle-free passes over the data after the range
+    exchange; no single-task funnel at any size.
+
+    `order_by` must be a TOTAL order (include a unique id as the last
+    key) — with ties across a partition boundary the position of tied
+    rows would depend on the sampled boundaries.
+    """
+    from typing import Sequence as _Seq  # noqa: F401
+
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    cols = [F.col(k) for k in keys]
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.repartitionByRange(int(parts), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("__pid").count()
+    from pyspark.sql import Window as _W
+
+    offsets = counts.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("count").over(
+                _W.orderBy("__pid").rowsBetween(_W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__offset")
+    w = _W.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            pos_col,
+            (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )

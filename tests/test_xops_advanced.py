@@ -721,3 +721,41 @@ class TestProbeRobustness:
         raw = b"RIFF" + struct.pack("<I", 4 + len(fmt)) + b"WAVE" + fmt
         out = probe_bytes(raw)
         assert out["format"] == "wav" and out["valid"] is False
+
+
+class TestGlobalPosition:
+    def test_positions_match_naive_row_number(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.sampling import with_global_position
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.col("id") * 37, F.lit(101)).alias("key"),
+        )
+        got = {
+            r.doc_id: r.position
+            for r in with_global_position(df, ["key", "doc_id"]).collect()
+        }
+        naive = {
+            r.doc_id: r.rn - 1
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("key", "doc_id"))
+            ).collect()
+        }
+        assert got == naive
+
+    def test_no_global_single_partition_window(self, spark):
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.sampling import with_global_position
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        out = with_global_position(df, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # ranged exchange present; every Window is keyed by __pid, so
+        # no windowspec with an EMPTY partition clause exists
+        assert "rangepartitioning" in plan.lower()
+        import re
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "__pid" in spec
+        assert "__pid" not in out.columns
