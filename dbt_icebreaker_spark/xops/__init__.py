@@ -9,9 +9,11 @@ these are designed Spark-first for 100 TB scale:
   benchmark decontamination
 - similarity: brute-force cosine top-k + LSH/IVF scale paths
 - text: language-ID, quality scoring, token stats, fingerprinting,
-  sequence packing, repetition filters, PII/URL scrubbing
+  sequence packing, repetition filters, PII/URL scrubbing, document
+  chunking, corpus n-gram stats
 - temporal: as-of and range joins
-- sampling: deterministic hash samples/splits, domain mixing
+- sampling: deterministic hash samples/splits, domain mixing, epoch
+  shuffle, scalable global row positions
 - profile: per-stratum numeric distribution profiling
 - skew: salted joins + hot-key diagnostics
 - multimodal: binary columns, media header probing, decode plumbing
