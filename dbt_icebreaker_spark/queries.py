@@ -1529,6 +1529,21 @@ def _s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_seconds=3600)
 
 
+def _s_native_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window rendering of the same gap semantics —
+    the JVM-state-store production path (streaming/pipeline.
+    sessionize_native); shares s01's oracle because window-merge-on-
+    touch equals the lag-based > gap rule (boundary-probed)."""
+    from .streaming.pipeline import sessionize_native
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts", "value")
+    out = sessionize_native(ev, gap_seconds=3600)
+    # session_window emits TIMESTAMP (LTZ) after the watermark cast;
+    # align to the oracle's NTZ reading under the UTC session tz
+    return out
+
+
 def _s_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the watermarked tumbling-window aggregate
     (same plan streaming uses; batch ignores the watermark)."""
@@ -2293,6 +2308,11 @@ XOP_ORACLES: dict[str, str | None] = {
     """,
 }
 
+# both sessionize renderings implement identical gap semantics
+# (boundary behavior probed: an event at exactly start+gap stays in
+# the session under BOTH window-merge-on-touch and the lag > gap rule)
+XOP_ORACLES["s04_native_sessionize"] = XOP_ORACLES["s01_sessionize"]
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_exact": _x_dedup_exact,
     "x02_minhash_lsh": _x_minhash,
@@ -2328,6 +2348,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_top_ngrams": _x_top_ngrams,
     "x33_global_position": _x_global_position,
     "s01_sessionize": _s_sessionize,
+    "s04_native_sessionize": _s_native_sessionize,
     "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,
 }

@@ -277,3 +277,40 @@ def sessionize_batch(
         )
         .drop("session_id")
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window —
+    the production-scale path (JVM state store, RocksDB-backed on a
+    cluster, no Python workers in the loop). `sessionize` keeps the
+    applyInPandasWithState rendering as the custom-stateful-operator
+    pattern; this one is what you deploy when the semantics fit the
+    built-in: session_window merges overlapping [ts, ts+gap) windows
+    per key, which is exactly inactivity-gap sessionization, so both
+    renderings (and the s01 SQL oracle) agree row-for-row.
+
+    Works on batch and streaming frames; streaming needs the
+    watermark to close sessions and emit them.
+    """
+    e = _watermarkable(events, ts_col)
+    if streaming:
+        e = e.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        e.groupBy(win.alias("w"), "user_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
