@@ -201,7 +201,13 @@ def merge_into_sql(target: str, batch_view: str, keys: list[str]) -> str:
     DML (Delta/Iceberg): rewrites only matched files instead of the
     whole table — the preferred shape at 100 TB. Mirrors the
     reference's DELETE-matching + INSERT-all semantics
-    (incremental.sql:161-190) as UPDATE SET * / INSERT *."""
+    (incremental.sql:161-190) as UPDATE SET * / INSERT *.
+
+    Divergence from the rewrite path: a batch with MULTIPLE rows per
+    unique_key inserts them all under the rewrite (reference
+    INSERT-all), but SQL MERGE raises MERGE_CARDINALITY_VIOLATION —
+    run_incremental converts that into an actionable error rather
+    than silently changing semantics."""
     cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     return (
         f"MERGE INTO {target} t USING {batch_view} s ON {cond} "
@@ -226,6 +232,9 @@ def run_incremental(
     """Apply one incremental batch. Returns stats dict."""
     keys = _normalize_keys(unique_key)
     recovered = recover_staged_swap(spark, target)
+    # surfaced on EVERY return path: operators must learn a crash-
+    # recovery event happened no matter which strategy then ran
+    extra = {"recovered_swap": recovered} if recovered else {}
     exists = spark.catalog.tableExists(target)
 
     if not exists or full_refresh:
@@ -235,10 +244,7 @@ def run_incremental(
             new_rows.write.mode("overwrite"), partition_by, clustered_by, buckets
         )
         writer.saveAsTable(target)
-        stats = {"strategy": "create", "rows": spark.table(target).count()}
-        if recovered:
-            stats["recovered_swap"] = recovered
-        return stats
+        return {"strategy": "create", "rows": spark.table(target).count(), **extra}
 
     old = spark.table(target)
     old, new_aligned, final_cols = _apply_schema_change(
@@ -253,6 +259,7 @@ def run_incremental(
             "strategy": "append(schema-change rewrite)",
             "rows": spark.table(target).count(),
             "schema_change": on_schema_change,
+            **extra,
         }
 
     if strategy == "append":
@@ -262,7 +269,7 @@ def run_incremental(
             new_aligned.write.mode("append"), None, clustered_by, buckets
         )
         writer.saveAsTable(target)
-        return {"strategy": "append", "rows_appended": new_aligned.count()}
+        return {"strategy": "append", "rows_appended": new_aligned.count(), **extra}
 
     if strategy == "delete+insert":
         # incremental.sql:130-159: with partition_by, delete whole
@@ -285,7 +292,7 @@ def run_incremental(
             raise ValueError("delete+insert needs unique_key or partition_by")
         result = kept.unionByName(new_aligned)
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
-        return {"strategy": "delete+insert", "rows": spark.table(target).count()}
+        return {"strategy": "delete+insert", "rows": spark.table(target).count(), **extra}
 
     if strategy == "merge":
         # incremental.sql:161-190: DELETE WHERE EXISTS(key match) then
@@ -300,8 +307,13 @@ def run_incremental(
             try:
                 spark.sql(merge_into_sql(target, view, keys))
             except Exception as e:
-                msg = str(e)
-                if "MERGE" in msg.upper() or "does not support" in msg:
+                # classify by Spark's error condition, NOT substring-
+                # matching "MERGE" (every failure of a MERGE statement
+                # mentions MERGE in its plan dump — a typo'd column
+                # would be misreported as a catalog limitation)
+                cond = e.getCondition() if hasattr(e, "getCondition") else ""
+                cond = cond or ""
+                if cond.startswith("UNSUPPORTED_FEATURE"):
                     raise ValueError(
                         f"use_sql_merge=True but {target}'s catalog does "
                         "not support MERGE INTO (Spark built-in parquet "
@@ -309,14 +321,22 @@ def run_incremental(
                         "rewrite path, or store the table in a Delta/"
                         "Iceberg catalog."
                     ) from e
+                if "MERGE_CARDINALITY_VIOLATION" in cond:
+                    raise ValueError(
+                        "SQL MERGE requires at most one batch row per "
+                        f"unique_key, but this batch has duplicates "
+                        f"(keys: {keys}). Dedupe the batch first, or use "
+                        "the default rewrite path, which keeps ALL batch "
+                        "rows (reference DELETE+INSERT-all semantics)."
+                    ) from e
                 raise
             finally:
                 spark.catalog.dropTempView(view)
-            return {"strategy": "merge(sql)", "rows": spark.table(target).count()}
+            return {"strategy": "merge(sql)", "rows": spark.table(target).count(), **extra}
         if not keys:
             # reference merge without unique_key degenerates to append
             new_aligned.write.mode("append").saveAsTable(target)
-            return {"strategy": "merge(append)", "rows_appended": new_aligned.count()}
+            return {"strategy": "merge(append)", "rows_appended": new_aligned.count(), **extra}
         # AQE picks broadcast vs shuffle from the batch's runtime size
         # (see delete+insert note — a forced hint OOMs on backfills)
         kept = old.join(
@@ -324,6 +344,6 @@ def run_incremental(
         )
         result = kept.unionByName(new_aligned)
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
-        return {"strategy": "merge", "rows": spark.table(target).count()}
+        return {"strategy": "merge", "rows": spark.table(target).count(), **extra}
 
     raise ValueError(f"unknown incremental strategy: {strategy}")

@@ -61,17 +61,21 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
-def _mtime_token(path: str) -> float:
+def _mtime_token(path: str) -> tuple[int, int]:
     """Cheap change token: a rewrite at the same path (e.g.
     SourceCache.cache_table(force=True)) bumps the file's — or, for a
-    parquet directory, the directory's — mtime, invalidating the
-    footer cache below. Without it a long-lived session would keep a
-    stale ns-column list and silently skip or misapply the ns→µs
-    conversion after a refresh changes the schema."""
+    parquet directory, the directory's — (mtime_ns, size),
+    invalidating the footer cache below. Without it a long-lived
+    session would keep a stale ns-column list and silently skip or
+    misapply the ns→µs conversion after a refresh changes the schema.
+    mtime_ns + size (not float seconds): coarse-mtime filesystems can
+    rewrite within one second, and a schema change almost always
+    changes the footer size too."""
     try:
-        return os.path.getmtime(path)
+        st = os.stat(path)
+        return st.st_mtime_ns, st.st_size
     except OSError:
-        return -1.0
+        return -1, -1
 
 
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
@@ -79,7 +83,7 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 @lru_cache(maxsize=256)
-def _nanos_timestamp_cols_cached(path: str, _token: float) -> tuple[str, ...]:
+def _nanos_timestamp_cols_cached(path: str, _token: tuple[int, int]) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them
     as long (spark.sql.legacy.parquet.nanosAsLong) and we convert.
     lru_cache keyed by (path, mtime): re-reading the footer per query

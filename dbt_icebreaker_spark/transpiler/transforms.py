@@ -527,23 +527,27 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # are refused — int-vs-float semantics depend on types
                 # the transpiler cannot see, and emitting either form
                 # risks silently skewed distributions.
-                def _int_lit(ts: Tokens) -> int | None:
+                def _num_tok(ts: Tokens):
+                    """(sign, NUMBER token) for a bare/negated numeric
+                    literal, else None. Kind-checked: float('inf')
+                    would otherwise accept a column NAMED inf/nan and
+                    bypass the non-literal refusal below."""
                     code = [c for c in ts if c.kind != WS]
-                    if len(code) == 1 and code[0].text.isdigit():
-                        return int(code[0].text)
+                    if len(code) == 1 and code[0].kind == NUMBER:
+                        return 1, code[0]
                     if (len(code) == 2 and code[0].is_op("-")
-                            and code[1].text.isdigit()):
-                        return -int(code[1].text)
+                            and code[1].kind == NUMBER):
+                        return -1, code[1]
+                    return None
+
+                def _int_lit(ts: Tokens) -> int | None:
+                    nt = _num_tok(ts)
+                    if nt and nt[1].text.isdigit():
+                        return nt[0] * int(nt[1].text)
                     return None
 
                 def _float_lit(ts: Tokens) -> bool:
-                    code = [c for c in ts if c.kind != WS]
-                    txt = "".join(c.text for c in code)
-                    try:
-                        float(txt)
-                        return True
-                    except ValueError:
-                        return False
+                    return _num_tok(ts) is not None
 
                 a1 = tokens[args[0][0]:args[0][1]]
                 a2 = tokens[args[1][0]:args[1][1]]

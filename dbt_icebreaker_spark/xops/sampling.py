@@ -187,18 +187,26 @@ def with_global_position(
     The naive rendering, ``row_number() OVER (ORDER BY …)``, collapses
     the whole dataset into ONE window task; this is the distributed
     form: range-repartition on the order keys (sampled boundaries →
-    balanced partitions, globally ordered BY CONSTRUCTION), then
-    per-partition row_number plus an offset computed from the tiny
-    per-partition count aggregate (one row per partition, broadcast
-    back). Two shuffle-free passes over the data after the range
-    exchange; no single-task funnel at any size.
+    balanced partitions, globally ordered BY CONSTRUCTION), then a
+    per-partition local index (Arrow mapInPandas streaming pass —
+    partition-preserving, NO second full-data shuffle; a
+    Window.partitionBy(partition_id) would hash-shuffle everything
+    again) plus broadcast offsets from the tiny per-partition count
+    aggregate. ONE full-data exchange total.
+
+    The ranged frame is localCheckpoint'ed before fanning out to the
+    counts branch and the output branch: range boundaries are SAMPLED,
+    so two independent evaluations of the exchange can produce
+    different partitionings — correctness must not depend on
+    exchange-reuse kicking in (verified failure mode: with
+    spark.sql.exchange.reuse=false, unpinned plans yield duplicate
+    positions). The checkpoint pins one materialized partitioning
+    that both branches read.
 
     `order_by` must be a TOTAL order (include a unique id as the last
     key) — with ties across a partition boundary the position of tied
     rows would depend on the sampled boundaries.
     """
-    from typing import Sequence as _Seq  # noqa: F401
-
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     cols = [F.col(k) for k in keys]
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -206,7 +214,25 @@ def with_global_position(
         df.repartitionByRange(int(parts), *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(ranged.schema.fields) + [StructField("__idx", LongType())]
+    )
+
+    def _number(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__idx"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield pdf
+
+    indexed = ranged.mapInPandas(_number, out_schema)
+
     counts = ranged.groupBy("__pid").count()
     from pyspark.sql import Window as _W
 
@@ -219,12 +245,8 @@ def with_global_position(
             F.lit(0),
         ),
     ).select("__pid", "__offset")
-    w = _W.partitionBy("__pid").orderBy(*cols)
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            pos_col,
-            (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"),
-        )
-        .drop("__pid", "__offset")
+        indexed.join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, (F.col("__idx") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__offset", "__idx")
     )

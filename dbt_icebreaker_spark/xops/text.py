@@ -323,6 +323,10 @@ def chunk_documents(
     × size/step regardless of cluster size. Token-based chunking is
     this same shape with the words array (slice instead of substring).
 
+    NULL text yields exactly one chunk with NULL chunk_text (greatest
+    skips NULLs in Spark AND DuckDB, verified) — documents are never
+    silently dropped from the output.
+
     Output: (doc_id, chunk_idx, char_start, chunk_text).
     """
     if overlap >= size:

@@ -479,3 +479,47 @@ class TestSqlMerge:
                 spark, f"{sch}.sqlmerge_t", batch, unique_key="k",
                 use_sql_merge=True,
             )
+
+
+class TestSqlMergeClassifier:
+    def test_unresolved_column_not_misreported(self, spark, engine):
+        """A typo'd column inside MERGE must surface as the real
+        analysis error, not 'catalog does not support MERGE INTO'."""
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.smc_t")
+        run_incremental(
+            spark, f"{sch}.smc_t",
+            spark.createDataFrame([(1, "a")], ["k", "v"]), unique_key="k",
+        )
+        bad = spark.createDataFrame([(1, "b")], ["kk", "v"])
+        with pytest.raises(Exception) as ei:
+            run_incremental(
+                spark, f"{sch}.smc_t", bad, unique_key="kk",
+                use_sql_merge=True, on_schema_change="append_new_columns",
+            )
+        assert "does not support MERGE INTO" not in str(ei.value) or \
+            "UNSUPPORTED_FEATURE" in str(getattr(ei.value, "__cause__", ""))
+
+    def test_recovered_swap_surfaced_on_merge_path(self, spark, engine):
+        sch = engine.effective_schema
+        tgt = f"{sch}.recstat"
+        for suffix in ("", "__icebreaker_stage", "__icebreaker_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {tgt}{suffix}")
+        engine.run_model(
+            "recstat",
+            "SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 5",
+            "incremental", unique_key="k", incremental_strategy="merge",
+            full_refresh=True,
+        )
+        spark.sql(f"CREATE TABLE {tgt}__icebreaker_stage AS SELECT * FROM {tgt}")
+        spark.sql(f"ALTER TABLE {tgt} RENAME TO {tgt}__icebreaker_old")
+        res = engine.run_model(
+            "recstat",
+            "SELECT 99 AS k, 1.0 AS v",
+            "incremental", unique_key="k", incremental_strategy="merge",
+        )
+        # healed on the MERGE path (not CTAS) and the stat says so
+        assert res.details.get("recovered_swap") == "completed"
+        assert res.details["strategy"] == "merge"

@@ -746,16 +746,51 @@ class TestGlobalPosition:
         assert got == naive
 
     def test_no_global_single_partition_window(self, spark):
-        from pyspark.sql import functions as F
         from dbt_icebreaker_spark.xops.sampling import with_global_position
 
         df = spark.range(1000).withColumnRenamed("id", "doc_id")
         out = with_global_position(df, "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # ranged exchange present; every Window is keyed by __pid, so
-        # no windowspec with an EMPTY partition clause exists
-        assert "rangepartitioning" in plan.lower()
-        import re
-        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-            assert "__pid" in spec
+        # no windowspec over the data at all (the local index is a
+        # partition-preserving Arrow pass); only the tiny counts
+        # branch may window (over partition ids)
         assert "__pid" not in out.columns
+        assert plan.lower().count("rangepartitioning") <= 1
+
+    def test_correct_without_exchange_reuse(self, spark):
+        """Range boundaries are SAMPLED: if the two consumers of the
+        ranged frame re-evaluated the exchange independently, their
+        partitionings could disagree and positions would duplicate.
+        The localCheckpoint pins one materialization — verify with
+        exchange reuse disabled (the failure mode a review reproduced
+        on the unpinned plan: ~1.94M of 2M positions wrong)."""
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.sampling import with_global_position
+
+        old = spark.conf.get("spark.sql.exchange.reuse", "true")
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        try:
+            df = spark.range(200_000).repartition(8).withColumnRenamed(
+                "id", "doc_id"
+            )
+            out = with_global_position(df, "doc_id")
+            n = out.count()
+            nd = out.select("position").distinct().count()
+            mx = out.agg(F.max("position")).collect()[0][0]
+            assert (n, nd, mx) == (200_000, 200_000, 199_999)
+        finally:
+            spark.conf.set("spark.sql.exchange.reuse", old)
+
+
+class TestChunkNullText:
+    def test_null_text_doc_not_dropped(self, spark):
+        from dbt_icebreaker_spark.xops.text import chunk_documents
+
+        df = spark.createDataFrame([(1, None), (2, "ok")], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", size=10, overlap=2).collect(),
+            key=lambda r: r.doc_id,
+        )
+        assert [(r.doc_id, r.chunk_idx, r.chunk_text) for r in rows] == [
+            (1, 0, None), (2, 0, "ok"),
+        ]
