@@ -1,0 +1,98 @@
+"""Scale smoke: replicate sf0.1 documents N× with remapped ids and
+time the dedup pipeline under a deliberate hot-bucket stress.
+
+Each text appears in N replicas, so every doc gains >= ~N*(N-1)/2
+intra-replica near-dup pairs — the LSH pair workload grows
+super-linearly while input grows linearly. Sub-linear wall-time
+growth under that super-linear workload is the empirical backing for
+the bucket-cap + explode/groupBy design notes in xops/dedup.py and
+BASELINE.md's scale-smoke table.
+
+Usage: python scripts/scale_smoke.py [replicas] [sf_dir]
+Prints one JSON line per op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dbt_icebreaker_spark import get_spark
+    from dbt_icebreaker_spark.sources import read_parquet
+    from dbt_icebreaker_spark.xops import dedup
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n1 = docs1.count()
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "r")
+    docsN = (
+        docs1.crossJoin(rep)
+        .select((F.col("doc_id") * REPLICAS + F.col("r")).alias("doc_id"), "text")
+        .localCheckpoint()  # time the ops, not the replication
+    )
+    nN = docsN.count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = round(time.time() - t0, 2)
+        print(json.dumps({"op": name, **out, "sec": dt}))
+
+    timed(
+        "exact_dedup_1x",
+        lambda: {"rows": dedup.exact_dedup(docs1, "doc_id", "text").count(), "docs": n1},
+    )
+    timed(
+        "exact_dedup_Nx",
+        lambda: {"rows": dedup.exact_dedup(docsN, "doc_id", "text").count(), "docs": nN},
+    )
+    timed(
+        "lsh_pairs_1x",
+        lambda: {"pairs": dedup.minhash_lsh_pairs(docs1, "doc_id", "text").count()},
+    )
+    timed(
+        "lsh_pairs_Nx",
+        lambda: {"pairs": dedup.minhash_lsh_pairs(docsN, "doc_id", "text").count()},
+    )
+    timed(
+        "dedup_clusters_1x",
+        lambda: {
+            "clusters": dedup.dedup_clusters(
+                dedup.minhash_lsh_pairs(docs1, "doc_id", "text"), docs1
+            )
+            .select("cluster_id")
+            .distinct()
+            .count()
+        },
+    )
+    timed(
+        "dedup_clusters_Nx",
+        lambda: {
+            "clusters": dedup.dedup_clusters(
+                dedup.minhash_lsh_pairs(docsN, "doc_id", "text"), docsN
+            )
+            .select("cluster_id")
+            .distinct()
+            .count()
+        },
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
