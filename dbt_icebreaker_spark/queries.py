@@ -1603,6 +1603,16 @@ def _x_global_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_position(keyed, ["shuffle_key", "doc_id"])
 
 
+def _x_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pack-with-splitting (xops/text.split_pack): global
+    token-stream cut every 64 tokens via the distributed cumsum
+    primitive; docs spanning a cut contribute a slice to each side."""
+    from .xops.text import split_pack
+
+    register_dir(spark, sf_dir)
+    return split_pack(spark.table("documents"), "doc_id", "text", seq_len=64)
+
+
 def _x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequency table, top 20
     (xops/text.top_ngrams): one partial-aggregated groupBy over
@@ -2225,6 +2235,35 @@ XOP_ORACLES: dict[str, str | None] = {
                     AS BIGINT) AS position
         FROM m
     """,
+    "x34_split_pack": """
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS tok_start
+          FROM t
+        ),
+        s AS (
+          SELECT doc_id, n_tokens, tok_start,
+                 unnest(generate_series(CAST(tok_start // 64 AS BIGINT),
+                        CAST((tok_start + n_tokens - 1) // 64 AS BIGINT)))
+                   AS seq_id
+          FROM c WHERE n_tokens > 0
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(GREATEST(0, seq_id * 64 - tok_start) AS BIGINT)
+                 AS slice_start,
+               CAST(LEAST(n_tokens, (seq_id + 1) * 64 - tok_start) AS BIGINT)
+                 AS slice_end
+        FROM s
+    """,
     "x32_top_ngrams": """
         WITH lists AS (
           SELECT doc_id,
@@ -2347,6 +2386,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x31_epoch_shuffle": _x_epoch_shuffle,
     "x32_top_ngrams": _x_top_ngrams,
     "x33_global_position": _x_global_position,
+    "x34_split_pack": _x_split_pack,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,
     "s03_dedup_events": _s_dedup_events,

@@ -207,6 +207,30 @@ def with_global_position(
     key) — with ties across a partition boundary the position of tied
     rows would depend on the sampled boundaries.
     """
+    return with_global_cumsum(
+        df, order_by, value_col=None, out_col=pos_col,
+        num_partitions=num_partitions,
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_by: str | Sequence[str],
+    value_col: str | None = None,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``value_col`` (row count when
+    None) in the total order `order_by` — the primitive behind global
+    row positions and token-stream offsets.
+
+    Distributed shape (same argument as with_global_position's
+    docstring): one range exchange, an Arrow mapInPandas local prefix
+    pass (partition-preserving — no second full-data shuffle), and
+    broadcast per-partition totals. The ranged frame is
+    localCheckpoint'ed so both consumers read ONE materialized
+    partitioning (sampled range boundaries must not be re-evaluated).
+    """
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     cols = [F.col(k) for k in keys]
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -220,33 +244,41 @@ def with_global_position(
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
-        list(ranged.schema.fields) + [StructField("__idx", LongType())]
+        list(ranged.schema.fields) + [StructField("__local", LongType())]
     )
 
-    def _number(batches):
-        i = 0
+    def _prefix(batches):
+        import pandas as pd
+
+        run = 0
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["__idx"] = range(i, i + len(pdf))
-            i += len(pdf)
+            v = (
+                pdf[value_col].fillna(0).astype("int64")
+                if value_col
+                else pd.Series(1, index=pdf.index, dtype="int64")
+            )
+            pdf["__local"] = (v.cumsum() - v + run).astype("int64")
+            run += int(v.sum())
             yield pdf
 
-    indexed = ranged.mapInPandas(_number, out_schema)
+    prefixed = ranged.mapInPandas(_prefix, out_schema)
 
-    counts = ranged.groupBy("__pid").count()
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0)) if value_col else F.lit(1)
+    totals = ranged.groupBy("__pid").agg(F.sum(val).alias("__tot"))
     from pyspark.sql import Window as _W
 
-    offsets = counts.withColumn(
+    offsets = totals.withColumn(
         "__offset",
         F.coalesce(
-            F.sum("count").over(
+            F.sum("__tot").over(
                 _W.orderBy("__pid").rowsBetween(_W.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),
     ).select("__pid", "__offset")
     return (
-        indexed.join(F.broadcast(offsets), "__pid")
-        .withColumn(pos_col, (F.col("__idx") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__offset", "__idx")
+        prefixed.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__offset", "__local")
     )

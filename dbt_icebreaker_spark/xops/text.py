@@ -391,3 +391,81 @@ def top_ngrams(
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Each document's [tok_start, tok_end) span in the concatenated
+    corpus token stream, ordered by id — the coordinate system of
+    GPT-style pretraining packing. tok_start is an EXCLUSIVE global
+    prefix sum of per-doc token counts, computed with the distributed
+    cumsum primitive (range exchange + Arrow local prefix + broadcast
+    partition totals — sampling.with_global_cumsum), never a
+    single-task global window.
+
+    Output: (doc_id, n_tokens, tok_start).
+    """
+    from .sampling import with_global_cumsum
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return with_global_cumsum(
+        base, "doc_id", value_col="n_tokens", out_col="tok_start",
+        num_partitions=num_partitions,
+    )
+
+
+def split_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing WITH document splitting: the corpus
+    token stream (docs concatenated in id order) is cut every
+    `seq_len` tokens; a doc spanning a cut contributes a slice to each
+    side. Complements pack_sequences (which never splits a doc and
+    allows overrun): here every sequence is exactly seq_len tokens
+    (except the final one) and no padding is wasted — the standard
+    pretraining tradeoff.
+
+    Per doc, the covered sequence ids are floor(tok_start/L) ..
+    floor((tok_end-1)/L) — a sequence+explode fan-out of
+    (n_tokens/L + 1) rows per doc, no further shuffle after the
+    cumsum's range exchange. Slice offsets are in DOC token
+    coordinates so a tokenizer can cut the text locally.
+
+    Output: (seq_id, doc_id, slice_start, slice_end) with
+    slice tokens = doc tokens [slice_start, slice_end); empty docs
+    yield no rows.
+    """
+    spans = token_spans(df, id_col, text_col, num_partitions=num_partitions)
+    L = seq_len
+    first = F.floor(F.col("tok_start") / L).cast("long")
+    last = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / L).cast("long")
+    return (
+        spans.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id", "n_tokens", "tok_start",
+            F.explode(F.sequence(first, last)).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            "doc_id",
+            F.greatest(F.lit(0), F.col("seq_id") * L - F.col("tok_start"))
+            .cast("long")
+            .alias("slice_start"),
+            F.least(
+                F.col("n_tokens"), (F.col("seq_id") + 1) * L - F.col("tok_start")
+            )
+            .cast("long")
+            .alias("slice_end"),
+        )
+    )

@@ -794,3 +794,57 @@ class TestChunkNullText:
         assert [(r.doc_id, r.chunk_idx, r.chunk_text) for r in rows] == [
             (1, 0, None), (2, 0, "ok"),
         ]
+
+
+class TestSplitPack:
+    """GPT-style pack-with-splitting invariants."""
+
+    def test_sequences_exactly_full_and_docs_tiled(self, spark):
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.text import split_pack, token_spans
+
+        texts = [
+            (0, "a b c"), (1, ""), (2, " ".join(f"w{i}" for i in range(17))),
+            (3, "x"), (4, " ".join("y" for _ in range(9))),
+        ]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        L = 8
+        out = split_pack(df, "doc_id", "text", seq_len=L).collect()
+
+        # every sequence except the last carries exactly L tokens
+        per_seq = {}
+        for r in out:
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + (r.slice_end - r.slice_start)
+        last = max(per_seq)
+        for sid, tok in per_seq.items():
+            assert tok == L or sid == last
+        total = 3 + 0 + 17 + 1 + 9
+        assert sum(per_seq.values()) == total
+        assert sorted(per_seq) == list(range(len(per_seq)))
+
+        # each doc's slices tile [0, n_tokens) without gaps/overlap
+        spans = {r.doc_id: r.n_tokens for r in token_spans(df, "doc_id", "text").collect()}
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.slice_start, r.slice_end))
+        assert 1 not in by_doc  # empty doc yields no rows
+        for doc_id, slices in by_doc.items():
+            slices.sort()
+            assert slices[0][0] == 0
+            assert slices[-1][1] == spans[doc_id]
+            for (a, b), (c, d) in zip(slices, slices[1:]):
+                assert b == c
+
+    def test_token_spans_are_exclusive_prefix(self, spark):
+        from dbt_icebreaker_spark.xops.text import token_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join("t" for _ in range(i + 1))) for i in range(50)],
+            ["doc_id", "text"],
+        )
+        rows = sorted(token_spans(df, "doc_id", "text").collect(),
+                      key=lambda r: r.doc_id)
+        run = 0
+        for r in rows:
+            assert r.tok_start == run
+            run += r.n_tokens
