@@ -124,6 +124,18 @@ def classify_execution_error(exc: Exception, sql: str = "") -> Optional[Executio
             "run_model); can_transpile(sql) explains unsupported "
             "statements with alternatives.",
         )
+    if condition.startswith("PARQUET_TYPE_ILLEGAL"):
+        return ExecutionError(
+            condition,
+            "A parquet column uses a physical type Spark cannot read "
+            "directly (typically TIMESTAMP(NANOS))."
+            + (f" ({names[0]})" if names else ""),
+            "Read through sources.read_parquet / register_dir (or "
+            "session.get_spark), which set "
+            "spark.sql.legacy.parquet.nanosAsLong and convert ns "
+            "columns to timestamps — a bare spark.read.parquet on an "
+            "unconfigured session cannot open these files.",
+        )
     if condition.startswith("DIVIDE_BY_ZERO"):
         return ExecutionError(
             condition,

@@ -76,3 +76,30 @@ class TestClassifierContract:
         e = _err(engine, "SELECT missing FROM err_src")
         s = str(e)
         assert s.startswith("Error:") and "Suggestion:" in s
+
+
+class TestParquetNanosClassified:
+    def test_nanos_read_error_is_actionable(self, tmp_path):
+        """The exact failure class that zeroed round 1's correctness
+        gate: a bare spark.read.parquet on TIMESTAMP(NANOS) files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbt_icebreaker_spark.errors import classify_execution_error
+
+        p = str(tmp_path / "ns.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))}), p
+        )
+
+        class FakeCondition(Exception):
+            def getCondition(self):
+                return "PARQUET_TYPE_ILLEGAL"
+
+        err = classify_execution_error(
+            FakeCondition("[PARQUET_TYPE_ILLEGAL] Illegal Parquet type: "
+                          "INT64 (TIMESTAMP(NANOS,false)).")
+        )
+        assert err is not None
+        assert "read_parquet" in err.suggestion
+        assert "nanosAsLong" in err.suggestion
