@@ -1544,6 +1544,19 @@ def _s_native_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _s_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rendering (1h window / 30min slide) of the
+    watermarked aggregate — each event fans out to window/slide
+    overlapping windows (streaming/pipeline.windowed_counts)."""
+    from .streaming.pipeline import windowed_counts
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events").select("event_type", "ts", "value")
+    return windowed_counts(
+        ev, window="1 hour", slide="30 minutes"
+    )
+
+
 def _s_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the watermarked tumbling-window aggregate
     (same plan streaming uses; batch ignores the watermark)."""
@@ -2336,6 +2349,29 @@ XOP_ORACLES: dict[str, str | None] = {
         FROM sess
         GROUP BY user_id, session_id
     """,
+    "s05_sliding_agg": """
+        WITH e AS (
+          SELECT event_type, value,
+                 -- integer floor, NOT CAST(epoch(..) AS BIGINT):
+                 -- DuckDB's double->BIGINT cast ROUNDS, shifting
+                 -- events within 0.5s below a window boundary
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+          FROM events
+        ),
+        w AS (
+          SELECT event_type, value,
+                 unnest(generate_series((es - 3600) // 1800 + 1,
+                                        es // 1800)) AS k
+          FROM e
+        )
+        SELECT make_timestamp(k * 1800 * 1000000) AS window_start,
+               make_timestamp((k * 1800 + 3600) * 1000000) AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(value) AS DOUBLE) AS total_value
+        FROM w
+        GROUP BY 1, 2, 3
+    """,
     "s02_windowed_agg": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
@@ -2391,6 +2427,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s04_native_sessionize": _s_native_sessionize,
     "s03_dedup_events": _s_dedup_events,
     "s02_windowed_agg": _s_windowed_agg,
+    "s05_sliding_agg": _s_sliding_agg,
 }
 
 

@@ -101,18 +101,27 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     value_col: Optional[str] = "value",
+    slide: Optional[str] = None,
 ) -> DataFrame:
-    """Event-time tumbling-window aggregation with a watermark for
-    late data. Works on both streaming and batch DataFrames (same
-    plan — batch ignores the watermark), so the oracle can check the
-    batch rendering."""
+    """Event-time windowed aggregation with a watermark for late
+    data: tumbling by default, SLIDING when `slide` is given (each
+    event lands in window/slide overlapping windows — Spark expands
+    that fan-out internally, state is one row per open window per
+    key). Works on both streaming and batch DataFrames (same plan —
+    batch ignores the watermark), so the oracle can check the batch
+    rendering."""
     aggs = [F.count("*").alias("n")]
     if value_col:
         aggs.append(F.sum(value_col).cast("double").alias("total_value"))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         _watermarkable(events, ts_col)
         .withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
