@@ -1626,6 +1626,17 @@ def _x_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_pack(spark.table("documents"), "doc_id", "text", seq_len=64)
 
 
+def _x_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap
+    (xops/text.chunk_documents_tokens), 48-token chunks stepping 40."""
+    from .xops.text import chunk_documents_tokens
+
+    register_dir(spark, sf_dir)
+    return chunk_documents_tokens(
+        spark.table("documents"), "doc_id", "text", size=48, overlap=8
+    )
+
+
 def _x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequency table, top 20
     (xops/text.top_ngrams): one partial-aggregated groupBy over
@@ -2248,6 +2259,25 @@ XOP_ORACLES: dict[str, str | None] = {
                     AS BIGINT) AS position
         FROM m
     """,
+    "x35_chunk_tokens": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id, w,
+                 GREATEST(1, CAST(CEIL((len(w) - 8) / 40.0) AS BIGINT)) AS nc
+          FROM t
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * 40 AS BIGINT) AS tok_start,
+               array_to_string(w[(CAST(i * 40 + 1 AS INT)):(CAST(i * 40 + 48 AS INT))], ' ')
+                 AS chunk_text
+        FROM n, LATERAL unnest(generate_series(0, CAST(nc - 1 AS INT))) AS t2(i)
+    """,
     "x34_split_pack": """
         WITH t AS (
           SELECT doc_id,
@@ -2423,6 +2453,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_top_ngrams": _x_top_ngrams,
     "x33_global_position": _x_global_position,
     "x34_split_pack": _x_split_pack,
+    "x35_chunk_tokens": _x_chunk_tokens,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,
     "s03_dedup_events": _s_dedup_events,

@@ -469,3 +469,45 @@ def split_pack(
             .alias("slice_end"),
         )
     )
+
+
+def chunk_documents_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Token-window variant of chunk_documents: overlapping chunks of
+    `size` whitespace tokens stepping by size-overlap — the unit most
+    model-context budgets are denominated in. Same zero-shuffle
+    sequence+explode shape; the words array is bound as a projected
+    column FIRST so the split isn't re-evaluated per chunk
+    (projection collapse would inline it into every slice — the
+    shingles_of lesson).
+
+    Output: (doc_id, chunk_idx, tok_start, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    bound = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _words(F.col(text_col)).alias("__w"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__w") - F.lit(overlap)) / F.lit(float(step))),
+    ).cast("long")
+    return bound.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("__w"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * step).cast("long").alias("tok_start"),
+        F.array_join(
+            F.slice(F.col("__w"), F.col("chunk_idx") * step + 1, size), " "
+        ).alias("chunk_text"),
+    )

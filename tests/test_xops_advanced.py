@@ -848,3 +848,32 @@ class TestSplitPack:
         for r in rows:
             assert r.tok_start == run
             run += r.n_tokens
+
+
+class TestChunkTokens:
+    def test_token_chunks_tile_with_overlap(self, spark):
+        from dbt_icebreaker_spark.xops.text import chunk_documents_tokens
+
+        words = [f"w{i}" for i in range(100)]
+        df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents_tokens(df, "doc_id", "text", size=40, overlap=10).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # step 30, ceil((100-10)/30)=3 chunks at 0/30/60
+        assert [r.tok_start for r in rows] == [0, 30, 60]
+        for r in rows[:-1]:
+            assert len(r.chunk_text.split()) == 40
+        # overlap: each chunk's last 10 tokens = next chunk's first 10
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk_text.split()[-10:] == b.chunk_text.split()[:10]
+        # full coverage
+        assert rows[-1].chunk_text.split()[-1] == "w99"
+
+    def test_short_and_empty_docs(self, spark):
+        from dbt_icebreaker_spark.xops.text import chunk_documents_tokens
+
+        df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+        rows = {r.doc_id: r.chunk_text for r in
+                chunk_documents_tokens(df, "doc_id", "text", size=10, overlap=2).collect()}
+        assert rows == {1: "a b", 2: ""}
