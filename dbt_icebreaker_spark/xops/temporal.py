@@ -45,6 +45,9 @@ def asof_join(
     Output: all left columns + right_cols renamed with `suffix` +
     `<right_time><suffix>` (the matched time, NULL if no match).
     `tolerance_seconds` nulls out matches older than the lookback.
+    Multiple right rows at the same (key, time) tie-break
+    deterministically to the greatest payload (lexicographic struct
+    order over right_cols).
     """
     keys = _keys(on)
     rcols = [c for c in (right_cols or right.columns) if c not in keys and c != right_time]
@@ -71,9 +74,14 @@ def asof_join(
         F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
+    # __rp as the final sort key: multiple RIGHT rows at the same
+    # (key, time) would otherwise make the match partition-order
+    # nondeterministic (surfaced by the merge_asof differential
+    # property test); struct ordering is lexicographic, so ties
+    # resolve deterministically to the greatest payload.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__rp").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

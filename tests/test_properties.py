@@ -192,3 +192,67 @@ def test_pack_sequences_budget_overrun_bound(spark, tokens, budget):
         for pid, sizes in packs.items():
             # a pack only overruns because of its final doc
             assert len(sizes) == 1 or sum(sizes[:-1]) < budget
+
+
+@_spark_settings
+@given(
+    n_left=st.integers(1, 40),
+    n_right=st.integers(0, 40),
+    n_keys=st.integers(1, 4),
+    tol=st.one_of(st.none(), st.integers(1, 500)),
+    seed=st.integers(0, 10**6),
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, n_left, n_right, n_keys, tol, seed
+):
+    """Differential oracle for the as-of join: pandas.merge_asof
+    implements the same backward-inclusive semantics single-node."""
+    import random
+
+    import pandas as pd
+
+    from dbt_icebreaker_spark.xops.temporal import asof_join
+
+    rng = random.Random(seed)
+    base = pd.Timestamp("2026-01-01")
+
+    def rows(n):
+        return [
+            (
+                rng.randrange(n_keys),
+                (base + pd.Timedelta(seconds=rng.randrange(10_000))).to_pydatetime(),
+                float(i),
+            )
+            for i in range(n)
+        ]
+
+    lrows = rows(n_left)
+    # unique (k, ts) on the right: merge_asof's tie choice among
+    # duplicate right timestamps is positional (frame order), which
+    # no distributed engine can reproduce; asof_join's documented tie
+    # rule (greatest payload) is covered by a dedicated unit test
+    rrows = list({(k, ts): (k, ts, v) for k, ts, v in rows(n_right)}.values())
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lv double")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rv double")
+    got = {
+        (r.k, r.ts, r.lv): r.rv_r
+        for r in asof_join(
+            left, right, on="k",
+            tolerance_seconds=float(tol) if tol else None,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts")
+    kwargs = dict(on="ts", by="k", direction="backward")
+    if tol:
+        kwargs["tolerance"] = pd.Timedelta(seconds=tol)
+    if len(rpd):
+        exp_df = pd.merge_asof(lpd, rpd, **kwargs)
+    else:
+        exp_df = lpd.assign(rv=None)
+    exp = {
+        (r.k, r.ts.to_pydatetime(), r.lv): (None if pd.isna(r.rv) else r.rv)
+        for r in exp_df.itertuples()
+    }
+    assert got == exp

@@ -877,3 +877,23 @@ class TestChunkTokens:
         rows = {r.doc_id: r.chunk_text for r in
                 chunk_documents_tokens(df, "doc_id", "text", size=10, overlap=2).collect()}
         assert rows == {1: "a b", 2: ""}
+
+
+class TestAsofTieDeterminism:
+    def test_duplicate_right_timestamps_pick_greatest_payload(self, spark):
+        import datetime as dt
+        from dbt_icebreaker_spark.xops.temporal import asof_join
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+        left = spark.createDataFrame([(1, t0, "L")], "k long, ts timestamp, tag string")
+        right = spark.createDataFrame(
+            [(1, t0, 22.0), (1, t0, 31.0), (1, t0, 5.0)],
+            "k long, ts timestamp, rv double",
+        )
+        vals = set()
+        for parts in (1, 3, 7):
+            out = asof_join(left, right.repartition(parts), on="k").collect()
+            vals.add(out[0].rv_r)
+        # deterministic across partitionings, and the documented rule:
+        # greatest payload wins the tie
+        assert vals == {31.0}
