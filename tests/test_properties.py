@@ -256,3 +256,53 @@ def test_asof_join_matches_pandas_merge_asof(
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+@_spark_settings
+@given(
+    n_points=st.integers(0, 40),
+    n_intervals=st.integers(0, 15),
+    n_keys=st.integers(1, 3),
+    bin_seconds=st.sampled_from([60.0, 3600.0, 86400.0]),
+    seed=st.integers(0, 10**6),
+)
+def test_range_join_matches_naive_inequality_join(
+    spark, n_points, n_intervals, n_keys, bin_seconds, seed
+):
+    """The binned range join must return exactly the rows a naive
+    cross-join + containment filter returns, for any bin width
+    (bin width is a performance knob, never a semantics knob)."""
+    import random
+
+    import pandas as pd
+
+    from dbt_icebreaker_spark.xops.temporal import range_join
+
+    rng = random.Random(seed)
+    base = pd.Timestamp("2026-01-01")
+
+    def ts():
+        return (base + pd.Timedelta(seconds=rng.randrange(200_000))).to_pydatetime()
+
+    prows = [(rng.randrange(n_keys), ts(), float(i)) for i in range(n_points)]
+    irows = []
+    for i in range(n_intervals):
+        a, b = ts(), ts()
+        irows.append((rng.randrange(n_keys), min(a, b), max(a, b), float(i)))
+    points = spark.createDataFrame(prows, "k long, pt timestamp, pv double")
+    intervals = spark.createDataFrame(
+        irows, "k long, s timestamp, e timestamp, iv double"
+    )
+    got = {
+        (r.k, r.pt, r.pv, r.iv)
+        for r in range_join(
+            points, intervals, "pt", "s", "e", on="k", bin_seconds=bin_seconds
+        ).collect()
+    }
+    exp = {
+        (pk, pt, pv, iv)
+        for pk, pt, pv in prows
+        for ik, s, e, iv in irows
+        if pk == ik and s <= pt <= e
+    }
+    assert got == exp
