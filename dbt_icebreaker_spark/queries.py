@@ -1647,7 +1647,134 @@ def _x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(spark.table("documents"), "doc_id", "text", n=2, k=20)
 
 
+def _x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-tagged Gopher/C4-style corpus filter + one-row rejection
+    report (xops/text.filter_corpus + filter_report): per-rule failure
+    counts answer 'what would relaxing this rule recover'. Single
+    scan, no shuffle before the final 1-row aggregate."""
+    from .xops.text import filter_corpus, filter_report
+
+    register_dir(spark, sf_dir)
+    flags = filter_corpus(spark.table("documents"), "doc_id", "text")
+    return filter_report(flags)
+
+
+def _x_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate signal (xops/dedup.common_shingle_stats):
+    fraction of a doc's distinct 3-grams occurring in >= 5 docs."""
+    from .xops.dedup import common_shingle_stats
+
+    register_dir(spark, sf_dir)
+    return common_shingle_stats(
+        spark.table("documents"), "doc_id", "text", k=3, min_df=5
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_shingles").cast("long"),
+        F.col("n_common").cast("long"),
+        "common_ratio",
+    )
+
+
+def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (xops/similarity.semantic_dedup):
+    k-means cells bound the pair search; keep-lowest-id within cell.
+    Run-only (k-means iterations are not SQL-expressible); the pytest
+    differential gate checks k=1 equals the brute-force rule."""
+    from .xops.similarity import semantic_dedup
+
+    register_dir(spark, sf_dir)
+    return semantic_dedup(
+        spark.table("embeddings"), "vec_id", "embedding",
+        threshold=0.35, n_cells=8, iters=2,
+    )
+
+
+def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 30 min after a view by the same
+    user (streaming/pipeline.attribute_clicks — the batch rendering of
+    the stream-stream watermark join; same join code both modes)."""
+    from .streaming.pipeline import attribute_clicks
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events")
+    return attribute_clicks(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon_minutes=30,
+    )
+
+
 XOP_ORACLES: dict[str, str | None] = {
+    "x36_quality_filter": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 CAST(list_sum(list_transform(words, x -> LENGTH(x))) AS DOUBLE)
+                   / GREATEST(len(words), 1) AS mean_word_len,
+                 CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) AS punct_ratio,
+                 CAST(len(list_filter(list_transform(words, x -> lower(x)),
+                      x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                   / GREATEST(len(words), 1) AS stopword_ratio,
+                 COALESCE(CAST(list_max(list_transform(list_distinct(words),
+                      d -> len(list_filter(words, x -> x = d)))) AS DOUBLE), 0)
+                   / GREATEST(len(words), 1) AS top_ratio
+          FROM w
+        ),
+        flags AS (
+          SELECT doc_id,
+                 n_words >= 10 AS pass_min_words,
+                 n_words <= 100000 AS pass_max_words,
+                 mean_word_len BETWEEN 2.0 AND 12.0 AS pass_word_len,
+                 punct_ratio <= 0.2 AS pass_punct,
+                 stopword_ratio >= 0.01 AS pass_stopword,
+                 top_ratio <= 0.15 AS pass_repetition
+          FROM base
+        )
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN pass_min_words AND pass_max_words
+                             AND pass_word_len AND pass_punct
+                             AND pass_stopword AND pass_repetition
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN NOT pass_min_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_words,
+               CAST(SUM(CASE WHEN NOT pass_max_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_max_words,
+               CAST(SUM(CASE WHEN NOT pass_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+               CAST(SUM(CASE WHEN NOT pass_punct THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct,
+               CAST(SUM(CASE WHEN NOT pass_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+               CAST(SUM(CASE WHEN NOT pass_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
+        FROM flags
+    """,
+    "x37_common_shingles": f"""
+        WITH {_SHINGLES_3},
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+               CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1) AS common_ratio
+        FROM sh JOIN dfreq USING (shingle)
+        GROUP BY sh.doc_id
+    """,
+    "s06_click_attribution": """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(date_diff('second', CAST(v.ts AS TIMESTAMP),
+                              CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS delay_sec
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
     "x01_dedup_exact": """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                COUNT(*) AS n_copies, MD5(text) AS text_hash
@@ -2454,6 +2581,10 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x33_global_position": _x_global_position,
     "x34_split_pack": _x_split_pack,
     "x35_chunk_tokens": _x_chunk_tokens,
+    "x36_quality_filter": _x_quality_filter,
+    "x37_common_shingles": _x_common_shingles,
+    "x38_semantic_dedup": _x_semantic_dedup,
+    "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,
     "s03_dedup_events": _s_dedup_events,

@@ -323,3 +323,60 @@ def sessionize_native(
             "user_id", "session_start", "session_end", "n_events", "total_value"
         )
     )
+
+
+def attribute_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (click attribution): every click
+    within `horizon_minutes` AFTER a view by the same user. The SAME
+    code path serves batch and streaming inputs — the join condition
+    is identical; when both sides are streams, the per-side watermarks
+    plus the bounded time range let Spark expire join state (without
+    the interval bound, stream-stream inner join state grows forever).
+
+    Shape at scale: the join shuffles both sides on user_col; state
+    per key is bounded by watermark + horizon. The output carries both
+    event ids, both timestamps, and the view→click delay in seconds.
+    """
+    v = _watermarkable(views, ts_col)
+    c = _watermarkable(clicks, ts_col)
+    if v.isStreaming:
+        v = v.withWatermark(ts_col, watermark)
+    if c.isStreaming:
+        c = c.withWatermark(ts_col, watermark)
+    v = v.select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("view_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    c = c.select(
+        F.col(user_col).alias("__uc"),
+        F.col(id_col).alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        (F.col("__u") == F.col("__uc"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        F.col("__u").alias(user_col),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
+        ).cast("long").alias("delay_sec"),
+    )

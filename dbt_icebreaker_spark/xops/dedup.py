@@ -352,6 +352,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def common_shingle_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Boilerplate signal per document: what fraction of a doc's
+    distinct word k-grams also occur in ≥ min_df documents. High
+    ratios mark template/boilerplate text (navigation chrome, license
+    headers, spam mills) — the per-doc score the exact-substring-dedup
+    literature (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") uses to decide which documents need span
+    removal.
+
+    Shape: one shingle explode, one groupBy(shingle) computing
+    document frequency (map-side partial counts — word_shingles
+    emits each (doc, shingle) once, so count(*) IS document
+    frequency), then a join back on shingle and a per-doc aggregate.
+    The shingle→doc join runs on the SAME key as the groupBy, so the
+    exchange is reused, and the doc-frequency side is the smaller
+    aggregated set. No quadratic site: cost is O(total shingles) at
+    any corpus size.
+
+    Output: (id, n_shingles, n_common, common_ratio).
+    """
+    sh = word_shingles(df, id_col, text_col, k=k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("__df") >= min_df).cast("long")).alias("n_common"),
+        )
+        .withColumn(
+            "common_ratio",
+            (F.col("n_common") / F.greatest(F.col("n_shingles"), F.lit(1))).cast(
+                "double"
+            ),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.35, max_id: int | None = None
 ) -> DataFrame:

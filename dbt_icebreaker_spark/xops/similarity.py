@@ -344,3 +344,74 @@ def ivf_topk(
             F.col("rank").cast("int"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then drop every vector that has a
+    same-cell neighbor with cosine ≥ threshold and a smaller id (the
+    deterministic keep-lowest-id rule — one survivor per near-dup
+    chain within a cell).
+
+    The cluster step bounds the pair search: all-pairs cosine runs
+    only WITHIN a cell, so the quadratic term is (corpus/n_cells)²
+    per cell instead of corpus² — with n_cells ~ sqrt(n), total work
+    stays ~n^1.5 and each cell's pair join is an independent
+    partition-local task. The price is the SemDeDup approximation:
+    near-dups straddling a cell boundary are missed (raise n_cells
+    recall via finer cells only where profiling shows boundary mass).
+
+    All deterministic: k-means init is md5-ordered, assignment ties
+    break by cell id, so reruns keep the same survivors — required
+    for incremental corpus builds.
+
+    Output: (id, cell, keep) — one row per input vector.
+    """
+    centroids = kmeans_centroids(corpus, id_col, vec_col, n_cells, iters)
+    cents = centroids.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cs")
+    )
+    v = _as_double_vec(corpus, id_col, vec_col, "vid")
+    assigned = v.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "vid_vec",
+        "vid_norm",
+        _nearest_cell(F.col("cs"), F.col("vid_vec")).alias("cell"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vid_vec"), F.col("b.vid_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # a vector is dropped when ANY smaller-id same-cell vector sits
+    # within the threshold — semi join, not pair materialization, so
+    # the output stays one row per vector no matter how dense the
+    # near-dup chains are
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vid") < F.col("a.vid")),
+        )
+        .filter(dot / (F.col("a.vid_norm") * F.col("b.vid_norm")) >= threshold)
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").cast("long").alias(id_col),
+            F.col("cell").cast("int"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

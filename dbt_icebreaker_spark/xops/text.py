@@ -83,6 +83,97 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def filter_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 10,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_ratio: float = 0.01,
+    max_top_word_ratio: float = 0.15,
+) -> DataFrame:
+    """Gopher/C4-style rule-tagged corpus filtering: each rule is a
+    named boolean column so a pipeline can report WHY documents were
+    dropped, not just how many (per-rule rejection stats are one
+    groupBy away). The reference's engine has no corpus surface; the
+    rules mirror the published Gopher heuristics (word count bounds,
+    mean word length, symbol ratio, stopword presence) plus a
+    most-frequent-word concentration cap (boilerplate/spam signal).
+
+    Everything is built-in higher-order functions over one projected
+    word array — single pass, whole-stage codegen, no shuffle: at
+    100 TB this filter runs at scan speed and its selectivity column
+    (`keep`) pushes into downstream scans when persisted as a
+    partition or stats column.
+    """
+    words = _words(F.col(text_col))
+    t = F.col("__t")  # post-projection names: text/words bound ONCE below
+    w = F.col("__w")
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    mean_wlen = F.aggregate(w, F.lit(0.0), lambda a, x: a + F.length(x)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    punct_ratio = F.length(
+        F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}]", "")
+    ) / F.greatest(n_chars, F.lit(1))
+    sw = STOPWORDS["en"]
+    stop_ratio = F.size(
+        F.filter(F.transform(w, F.lower), lambda x: x.isin(*sw))
+    ) / F.greatest(n_words, F.lit(1))
+    # most-frequent-word share: count each DISTINCT word once against
+    # the full array — quadratic in per-doc vocabulary but entirely
+    # row-local (no shuffle) and codegen'd; documents cap vocab, not
+    # corpus size, so this does not grow with the 100 TB corpus
+    top_ratio = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda d: F.size(F.filter(w, lambda x: x == d)),
+        )
+    ).cast("double") / F.greatest(n_words, F.lit(1))
+    flags = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), words.alias("__w")
+    ).select(
+        F.col(id_col),
+        (n_words >= min_words).alias("pass_min_words"),
+        (n_words <= max_words).alias("pass_max_words"),
+        mean_wlen.between(min_mean_word_len, max_mean_word_len).alias(
+            "pass_word_len"
+        ),
+        (punct_ratio <= max_punct_ratio).alias("pass_punct"),
+        (stop_ratio >= min_stop_ratio).alias("pass_stopword"),
+        (F.coalesce(top_ratio, F.lit(0.0)) <= max_top_word_ratio).alias(
+            "pass_repetition"
+        ),
+    )
+    keep = (
+        F.col("pass_min_words")
+        & F.col("pass_max_words")
+        & F.col("pass_word_len")
+        & F.col("pass_punct")
+        & F.col("pass_stopword")
+        & F.col("pass_repetition")
+    )
+    return flags.withColumn("keep", keep)
+
+
+def filter_report(flags: DataFrame) -> DataFrame:
+    """Aggregate a filter_corpus frame into one stats row: total docs,
+    kept docs, and per-rule failure counts (a doc failing two rules
+    counts in both — the per-rule columns answer 'what would relaxing
+    this rule recover'). One map-side-combined groupBy of booleans."""
+    rules = [c for c in flags.columns if c.startswith("pass_")]
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("keep").cast("long")).alias("n_kept")]
+    aggs += [
+        F.sum((~F.col(c)).cast("long")).alias(c.replace("pass_", "fail_"))
+        for c in rules
+    ]
+    return flags.agg(*aggs)
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex tokens
     (letter/digit runs), distinct whitespace tokens, chars/token."""

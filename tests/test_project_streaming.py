@@ -230,3 +230,57 @@ class TestStreamDedup:
         )
         got = out.join(first, ["user_id", "event_type", "event_id"]).count()
         assert got == keys
+
+
+class TestClickAttribution:
+    def test_batch_interval_join(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import attribute_clicks
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        out = attribute_clicks(
+            ev.filter("event_type = 'view'"),
+            ev.filter("event_type = 'click'"),
+            horizon_minutes=30,
+        )
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0 <= r.delay_sec <= 30 * 60
+            assert r.click_ts >= r.view_ts
+
+    def test_stream_stream_matches_batch(self, spark, tmp_path):
+        """The SAME operator over two file streams must produce the
+        batch join's rows once both watermarks pass (availableNow
+        drains everything, so the inner-join output is complete)."""
+        from dbt_icebreaker_spark.streaming.pipeline import attribute_clicks
+
+        base = read_parquet(spark, f"{SF}/events.parquet")
+        vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+        base.filter("event_type = 'view'").write.parquet(vdir)
+        base.filter("event_type = 'click'").write.parquet(cdir)
+
+        views = spark.readStream.schema(base.schema).parquet(vdir)
+        clicks = spark.readStream.schema(base.schema).parquet(cdir)
+        joined = attribute_clicks(views, clicks, horizon_minutes=30)
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("attrib_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.view_id, r.click_id)
+            for r in spark.sql("SELECT * FROM attrib_out").collect()
+        }
+        want = {
+            (r.view_id, r.click_id)
+            for r in attribute_clicks(
+                base.filter("event_type = 'view'"),
+                base.filter("event_type = 'click'"),
+                horizon_minutes=30,
+            ).collect()
+        }
+        assert got == want

@@ -897,3 +897,79 @@ class TestAsofTieDeterminism:
         # deterministic across partitionings, and the documented rule:
         # greatest payload wins the tie
         assert vals == {31.0}
+
+
+class TestFilterCorpus:
+    def test_rule_flags_and_keep(self, spark):
+        from dbt_icebreaker_spark.xops.text import filter_corpus, filter_report
+
+        rows = [
+            (1, "the cat sat on the mat and it is a fine day for all of us"),
+            (2, "tiny"),                                  # fails min_words
+            (3, "spam " * 40),                            # fails repetition+stopword
+            (4, "x y z " * 10),                           # short words, no stopwords
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        flags = {r.doc_id: r for r in filter_corpus(df, "doc_id", "text").collect()}
+        assert flags[1].keep
+        assert not flags[2].pass_min_words and not flags[2].keep
+        assert not flags[3].pass_repetition and not flags[3].keep
+        assert not flags[4].pass_stopword and not flags[4].keep
+        rep = filter_report(filter_corpus(df, "doc_id", "text")).collect()[0]
+        assert rep.n_docs == 4 and rep.n_kept == 1
+        assert rep.fail_min_words == 1
+
+    def test_empty_text_does_not_null_out(self, spark):
+        from dbt_icebreaker_spark.xops.text import filter_corpus
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = filter_corpus(df, "doc_id", "text").collect()[0]
+        assert r.keep is False  # fails min_words, but never NULL
+
+
+class TestCommonShingles:
+    def test_boilerplate_ratio(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import common_shingle_stats
+
+        boiler = "all rights reserved contact us today"
+        rows = [(i, f"unique text number {i} beta gamma {boiler}") for i in range(6)]
+        rows.append((99, "completely different content with no shared grams at all x"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               common_shingle_stats(df, "doc_id", "text", k=3, min_df=5).collect()}
+        # the boilerplate tail appears in 6 docs -> common for them
+        assert out[0].n_common >= 4 and out[0].common_ratio > 0.3
+        assert out[99].n_common == 0 and out[99].common_ratio == 0.0
+
+
+class TestSemanticDedup:
+    def test_single_cell_matches_bruteforce(self, spark):
+        """With one cell, SemDeDup must equal the brute-force rule:
+        drop iff some smaller-id vector has cosine >= threshold."""
+        register_dir(spark, SF)
+        emb = spark.table("embeddings").filter("vec_id < 120")
+        th = 0.35
+        sem = {
+            r.vec_id: r.keep
+            for r in similarity.semantic_dedup(
+                emb, "vec_id", "embedding", threshold=th, n_cells=1, iters=0
+            ).collect()
+        }
+        pairs = dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=th
+        ).collect()
+        brute_dropped = {max(p.vec_a, p.vec_b) for p in pairs}
+        ids = [r.vec_id for r in emb.select("vec_id").collect()]
+        assert sem == {i: i not in brute_dropped for i in ids}
+
+    def test_deterministic_across_partitionings(self, spark):
+        register_dir(spark, SF)
+        emb = spark.table("embeddings").filter("vec_id < 200")
+        outs = []
+        for parts in (1, 5):
+            r = similarity.semantic_dedup(
+                emb.repartition(parts), "vec_id", "embedding",
+                threshold=0.35, n_cells=4, iters=2,
+            )
+            outs.append(sorted((x.vec_id, x.cell, x.keep) for x in r.collect()))
+        assert outs[0] == outs[1]
