@@ -331,3 +331,47 @@ class TestBucketedIncremental:
             assert "Exchange" not in tree
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestRound3OpPlans:
+    def test_quality_filter_scans_once_no_presort(self, spark, qs):
+        """filter_corpus is scan-speed: the per-doc flags are one
+        projection; the only exchange is the final 1-row report agg."""
+        plan = _executed_plan(qs["x36_quality_filter"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "Join" not in tree
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # partial agg map-side, single exchange to the 1-row final
+        assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 1
+
+    def test_common_shingles_reuses_shingle_exchange(self, spark, qs):
+        """doc-frequency groupBy and the join back run on the same
+        shingle key: the join must not add a SortMergeJoin re-shuffle
+        of the corpus side beyond the shared shingle exchange + the
+        final per-doc aggregate."""
+        plan = _executed_plan(qs["x37_common_shingles"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "PythonUDF" not in plan
+        # shingle-key exchanges + per-doc agg exchange; the repartition
+        # in word_shingles adds one more — cap the total
+        assert len(re.findall(r"\bExchange \(\d+\)", tree)) <= 5
+
+    def test_semantic_dedup_broadcasts_centroids(self, spark, qs):
+        """centroid assignment must broadcast (≤n_cells rows); the
+        within-cell pair join may shuffle on cell, never on vectors
+        crossed against vectors."""
+        plan = _executed_plan(qs["x38_semantic_dedup"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+        assert "CartesianProduct" not in tree
+
+    def test_click_attribution_no_cartesian(self, spark, qs):
+        """the interval join must hash-join on user_id with the time
+        range as residual condition — a cartesian/NLJ plan would scan
+        views x clicks."""
+        plan = _executed_plan(qs["s06_click_attribution"](spark, SF_DIR))
+        tree = _final_tree(plan)
+        assert "CartesianProduct" not in tree
+        assert ("BroadcastHashJoin" in tree) or ("SortMergeJoin" in tree) or (
+            "ShuffledHashJoin" in tree
+        )
