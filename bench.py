@@ -64,7 +64,19 @@ def main() -> None:
     # alone); on a TB-scale dir the same rule scales partitions up
     input_bytes = _dir_bytes(SF_DIR)
     shuffle = max(8, min(2048, input_bytes // (32 * 1024 * 1024)))
-    spark = get_spark(app_name="bench", shuffle_partitions=int(shuffle))
+    # AQE is sized the same way: its per-query stage re-optimization
+    # (materialize shuffle stats -> replan -> reschedule) costs a
+    # fixed fraction of a second per stage, which dominates sub-second
+    # queries (measured 29% of a bench subset at sf0.1) while its
+    # benefits (skew splitting, runtime coalescing, join demotion)
+    # only materialize on multi-GB shuffles. Below ~4 GB of input the
+    # static plan is already right; at the 100 TB target AQE stays on.
+    adaptive = "true" if input_bytes >= 4 * 1024**3 else "false"
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=int(shuffle),
+        extra_conf={"spark.sql.adaptive.enabled": adaptive},
+    )
     register_dir(spark, SF_DIR)
     # warmup (not counted): parquet footer caches + whole-stage-codegen
     # JIT for the recurring plan shapes (scan/agg, shuffle join, window,
@@ -90,7 +102,7 @@ def main() -> None:
     # noise spikes (observed 1.5-3x swings on this host); the min is
     # the steady-state number a long-lived cluster sees. Declared in
     # the output ("reps"/"agg") for transparency.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
