@@ -1689,6 +1689,17 @@ def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (xops/dedup.remove_duplicate_spans):
+    cut word spans whose 3-gram occurs in >= 5 docs, keep the rest."""
+    from .xops.dedup import remove_duplicate_spans
+
+    register_dir(spark, sf_dir)
+    return remove_duplicate_spans(
+        spark.table("documents"), "doc_id", "text", k=3, min_df=5
+    )
+
+
 def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: clicks within 30 min after a view by the same
     user (streaming/pipeline.attribute_clicks — the batch rendering of
@@ -1759,6 +1770,38 @@ XOP_ORACLES: dict[str, str | None] = {
                  / GREATEST(COUNT(*), 1) AS common_ratio
         FROM sh JOIN dfreq USING (shingle)
         GROUP BY sh.doc_id
+    """,
+    "x39_remove_spans": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        pg AS (
+          SELECT doc_id, i AS pos,
+                 words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+          FROM w, LATERAL unnest(generate_series(1, len(words) - 2)) AS t(i)
+          WHERE len(words) >= 3
+        ),
+        common AS (
+          SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pg)
+          GROUP BY shingle HAVING COUNT(*) >= 5
+        ),
+        starts AS (
+          SELECT pg.doc_id, list(pos) AS sts
+          FROM pg JOIN common USING (shingle) GROUP BY pg.doc_id
+        ),
+        base AS (
+          SELECT w.doc_id, w.words,
+                 COALESCE(list_distinct(flatten(list_transform(sts,
+                     s -> generate_series(s, s + 2)))), []) AS cov
+          FROM w LEFT JOIN starts ON w.doc_id = starts.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(cov) AS BIGINT) AS n_removed,
+               array_to_string(
+                 list_transform(
+                   list_filter(list_transform(words, (x, i) -> {'w': x, 'p': i}),
+                               s -> NOT list_contains(cov, s.p)),
+                   s -> s.w), ' ') AS cleaned_text
+        FROM base
     """,
     "s06_click_attribution": """
         SELECT v.user_id,
@@ -2584,6 +2627,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x36_quality_filter": _x_quality_filter,
     "x37_common_shingles": _x_common_shingles,
     "x38_semantic_dedup": _x_semantic_dedup,
+    "x39_remove_spans": _x_remove_spans,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,

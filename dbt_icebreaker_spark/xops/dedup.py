@@ -396,6 +396,93 @@ def common_shingle_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL (the acting counterpart to
+    common_shingle_stats' detection): cut every word span whose k-gram
+    occurs in ≥ min_df documents, keeping the rest of the document —
+    the Lee et al. 2022 exact-substring-dedup step that strips
+    boilerplate/licenses/templates without dropping whole documents.
+
+    Shape: grams WITH word positions (per-row array build, no
+    shuffle), one groupBy(shingle) for document frequency, one join of
+    positioned grams against the common-gram set (same key as the
+    groupBy — exchange reused), one per-doc collect of span starts
+    (bounded by words-per-doc, never corpus-sized), then a pure
+    array-expression rebuild: covered positions = union of [s, s+k-1]
+    windows, kept words = positions outside the cover. Per-row cost is
+    O(words × covered) — document-bounded, so the op scales with the
+    scan like every other text op.
+
+    Output: (id, n_words, n_removed, cleaned_text) for EVERY input
+    doc (docs with no duplicated span pass through intact).
+    """
+    words_col = F.split(F.col(text_col), " ")
+    # all positioned k-grams (NOT distinct — every occurrence must be
+    # removable), 1-based word positions
+    grams = F.when(
+        F.size("__words") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__words") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(F.col("__words"), i, k), " ").alias("shingle"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pos_grams = (
+        df.select(F.col(id_col), words_col.alias("__words"))
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.shingle").alias("shingle"))
+    )
+    # document frequency over DISTINCT per-doc grams (word_shingles) —
+    # a gram repeated inside one doc is not "duplicated across docs"
+    dfreq = (
+        word_shingles(df, id_col, text_col, k=k)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("shingle")
+    )
+    starts = (
+        pos_grams.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("__starts"), lambda s: F.sequence(s, s + (k - 1))
+            )
+        )
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__words"),
+            lambda w, i: F.struct(w.alias("w"), (i + F.lit(1)).alias("p")),
+        ),
+        lambda s: ~F.array_contains(F.col("__cov"), s["p"]),
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), words_col.alias("__words"))
+        .join(starts, id_col, "left")
+        .withColumn("__cov", F.coalesce(covered, F.array()))
+        .select(
+            F.col(id_col).cast("long"),
+            F.size("__words").cast("long").alias("n_words"),
+            F.size("__cov").cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda s: s["w"]), " "
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.35, max_id: int | None = None
 ) -> DataFrame:

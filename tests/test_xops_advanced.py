@@ -973,3 +973,44 @@ class TestSemanticDedup:
             )
             outs.append(sorted((x.vec_id, x.cell, x.keep) for x in r.collect()))
         assert outs[0] == outs[1]
+
+
+class TestRemoveDuplicateSpans:
+    def test_boilerplate_cut_unique_kept(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import remove_duplicate_spans
+
+        boiler = "all rights reserved contact us"
+        rows = [(i, f"doc{i} unique words here {boiler}") for i in range(5)]
+        rows.append((99, "nothing shared in this one at all whatsoever today"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               remove_duplicate_spans(df, "doc_id", "text", k=3, min_df=5).collect()}
+        # the shared tail is gone; doc-specific head survives
+        assert "rights" not in out[0].cleaned_text
+        assert out[0].cleaned_text.startswith("doc0")
+        assert out[0].n_removed > 0
+        # untouched doc passes through byte-identical
+        assert out[99].cleaned_text == rows[-1][1] and out[99].n_removed == 0
+
+    def test_short_docs_pass_through(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a b"), (5, "a b")],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(df, "doc_id", "text", k=3, min_df=5).collect()
+        # shorter than k -> no grams -> nothing removable
+        assert all(r.n_removed == 0 and r.cleaned_text == "a b" for r in out)
+
+    def test_overlapping_spans_merge(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import remove_duplicate_spans
+
+        shared = "p q r s t"  # 3 overlapping 3-grams -> one merged cover
+        rows = [(i, f"u{i} {shared}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_duplicate_spans(df, "doc_id", "text", k=3, min_df=5).collect()
+        for r in out:
+            # covered positions merge: exactly the 5 shared words removed
+            assert r.n_removed == 5
+            assert r.cleaned_text == f"u{r.doc_id}"
