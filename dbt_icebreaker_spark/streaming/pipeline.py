@@ -380,3 +380,67 @@ def attribute_clicks(
             F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
         ).cast("long").alias("delay_sec"),
     )
+
+
+def stream_incremental_merge(
+    spark: SparkSession,
+    source_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    unique_key: str | list,
+    schema: Optional[StructType] = None,
+    transform_sql: Optional[str] = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """Streaming UPSERT materialization: readStream → foreachBatch →
+    the batch incremental-merge path (anti-join + union staged
+    rewrite, or MERGE INTO on row-level-DML catalogs). This closes
+    the loop between the streaming surface and the dbt-style
+    materializations — the same merge semantics a nightly batch run
+    applies, continuously.
+
+    Exactly-once note: foreachBatch is at-least-once on retry, but
+    merge-by-key is idempotent (replaying a batch reasserts the same
+    rows), so the target converges — the standard Structured
+    Streaming upsert pattern. The checkpoint still dedups source
+    files; only mid-batch crashes replay.
+
+    At scale the per-batch cost is the batch-sized anti-join (AQE
+    broadcasts small micro-batches against the big target — see
+    run_incremental), NOT a per-row update stream.
+    """
+    from ..materializations.incremental import run_incremental
+
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.format(fmt).load(source_dir)
+        reader = reader.schema(static.schema)
+    stream = reader.load(source_dir)
+
+    if transform_sql:
+        from ..transpiler import Transpiler
+
+        stream.createOrReplaceTempView("stream_source")
+        stream = spark.sql(Transpiler().to_spark(transform_sql))
+
+    def _merge_batch(batch_df, _batch_id: int) -> None:
+        run_incremental(
+            spark,
+            target_table,
+            batch_df,
+            strategy="merge",
+            unique_key=unique_key,
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query

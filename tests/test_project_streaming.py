@@ -284,3 +284,42 @@ class TestClickAttribution:
             ).collect()
         }
         assert got == want
+
+
+class TestStreamIncrementalMerge:
+    def test_streaming_upsert_converges(self, spark, tmp_path):
+        """Streamed micro-batches merged by key == batch-distinct keys;
+        re-running over overlapping data adds nothing new."""
+        from dbt_icebreaker_spark.streaming.pipeline import stream_incremental_merge
+
+        base = read_parquet(spark, f"{SF}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        src = str(tmp_path / "merge_src")
+        base.write.parquet(src)
+
+        target = "stream_test.events_upsert"
+        spark.sql("CREATE DATABASE IF NOT EXISTS stream_test")
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        stream_incremental_merge(
+            spark, src, target, str(tmp_path / "ckpt_m1"), unique_key="event_id"
+        )
+        n_keys = base.select("event_id").distinct().count()
+        assert spark.table(target).count() == n_keys
+
+        # second pass: same data re-sent with one row patched ->
+        # still one row per key, updated value wins (one batch row
+        # per key: the engine's merge keeps ALL batch rows by design)
+        upd = spark.createDataFrame(
+            [(0, 999, "patched", 123.0)],
+            "event_id long, user_id long, event_type string, value double",
+        )
+        base.filter("event_id <> 0").unionByName(upd).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream_incremental_merge(
+            spark, src, target, str(tmp_path / "ckpt_m2"), unique_key="event_id"
+        )
+        assert spark.table(target).count() == n_keys
+        got = spark.table(target).filter("event_id = 0").collect()[0]
+        assert got.event_type == "patched"
