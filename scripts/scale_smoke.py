@@ -91,6 +91,36 @@ def main() -> None:
             .count()
         },
     )
+    # boilerplate ops under the SAME stress: with N replicas every
+    # gram is common (df >= N), so the common-gram set and the span
+    # cover hit their worst case — these must stay linear-ish because
+    # neither op materializes pairs
+    timed(
+        "common_shingles_1x",
+        lambda: {"rows": dedup.common_shingle_stats(docs1, "doc_id", "text").count()},
+    )
+    timed(
+        "common_shingles_Nx",
+        lambda: {"rows": dedup.common_shingle_stats(docsN, "doc_id", "text").count()},
+    )
+    # sum(length(cleaned_text)), NOT count(): count lets Catalyst
+    # prune the rebuilt text column and skip the op being measured
+    timed(
+        "remove_spans_1x",
+        lambda: {
+            "out_chars": dedup.remove_duplicate_spans(docs1, "doc_id", "text")
+            .agg(F.sum(F.length("cleaned_text")))
+            .collect()[0][0]
+        },
+    )
+    timed(
+        "remove_spans_Nx",
+        lambda: {
+            "out_chars": dedup.remove_duplicate_spans(docsN, "doc_id", "text")
+            .agg(F.sum(F.length("cleaned_text")))
+            .collect()[0][0]
+        },
+    )
     spark.stop()
 
 
