@@ -21,6 +21,7 @@ these are designed Spark-first for 100 TB scale:
 """
 
 from . import (
+    dataset,
     dedup,
     llm,
     multimodal,
@@ -33,6 +34,7 @@ from . import (
 )
 
 __all__ = [
+    "dataset",
     "dedup",
     "llm",
     "multimodal",

@@ -1014,3 +1014,50 @@ class TestRemoveDuplicateSpans:
             # covered positions merge: exactly the 5 shared words removed
             assert r.n_removed == 5
             assert r.cleaned_text == f"u{r.doc_id}"
+
+
+class TestShardedDataset:
+    def test_write_verify_roundtrip(self, spark, tmp_path):
+        from dbt_icebreaker_spark.xops.dataset import (
+            verify_dataset, write_sharded_dataset,
+        )
+
+        register_dir(spark, SF)
+        docs = spark.table("documents").select("doc_id", "text")
+        path = str(tmp_path / "ds")
+        manifest = write_sharded_dataset(docs, path, "doc_id", "text", n_shards=4)
+        assert manifest["total_rows"] == docs.count()
+        assert len(manifest["shards"]) == 4
+        report = verify_dataset(spark, path)
+        assert report["ok"], report
+
+    def test_rerun_reproduces_manifest(self, spark, tmp_path):
+        from dbt_icebreaker_spark.xops.dataset import write_sharded_dataset
+
+        register_dir(spark, SF)
+        docs = spark.table("documents").select("doc_id", "text")
+        m1 = write_sharded_dataset(
+            docs, str(tmp_path / "a"), "doc_id", "text", n_shards=4
+        )
+        # different partitioning in, same shards + hashes out
+        m2 = write_sharded_dataset(
+            docs.repartition(7), str(tmp_path / "b"), "doc_id", "text", n_shards=4
+        )
+        assert m1["shards"] == m2["shards"]
+
+    def test_tamper_detected(self, spark, tmp_path):
+        import glob, os
+        from dbt_icebreaker_spark.xops.dataset import (
+            verify_dataset, write_sharded_dataset,
+        )
+
+        register_dir(spark, SF)
+        docs = spark.table("documents").select("doc_id", "text")
+        path = str(tmp_path / "ds2")
+        write_sharded_dataset(docs, path, "doc_id", "text", n_shards=4)
+        # drop one shard's data file
+        victim = glob.glob(f"{path}/shard=0/*.parquet")[0]
+        os.remove(victim)
+        report = verify_dataset(spark, path)
+        assert not report["ok"]
+        assert "0" in report["mismatches"] or "0" in report["missing"]
