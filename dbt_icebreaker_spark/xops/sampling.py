@@ -93,6 +93,7 @@ def domain_mix(
     domain_col: str,
     target: Mapping[str, float] | None = None,
     salt: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Rebalance a corpus across domains (source buckets) by
     deterministic downsampling — the data-mixing step of a pretraining
@@ -107,9 +108,17 @@ def domain_mix(
     hash_sample, a pure projection+filter the scan can stream through,
     so the op is one broadcast join at any scale and membership is
     frozen under repartitioning.
+
+    ``weight_col`` switches the balancing quantity from rows to a
+    per-row weight (pass a token-count column to mix by TOKENS — the
+    quantity a training run actually budgets; long-document domains
+    then downsample harder than their row share suggests). Acceptance
+    stays per-row, so realized weighted proportions track the target
+    in expectation.
     """
+    size = F.sum(F.col(weight_col)) if weight_col else F.count("*")
     counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
-        F.count("*").alias("__cnt")
+        size.alias("__cnt")
     )
     if target is None:
         floor = counts.agg(F.min("__cnt").alias("__floor"))

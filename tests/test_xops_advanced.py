@@ -1061,3 +1061,47 @@ class TestShardedDataset:
         report = verify_dataset(spark, path)
         assert not report["ok"]
         assert "0" in report["mismatches"] or "0" in report["missing"]
+
+
+class TestTokenWeightedMix:
+    def test_weighted_mix_tracks_token_target(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import domain_mix
+
+        # domain a: 400 docs x 10 tokens; domain b: 100 docs x 100
+        # tokens -> b holds 4000/10000 tokens despite 1/5 of the rows
+        rows = [(i, "a", 10) for i in range(400)]
+        rows += [(1000 + i, "b", 100) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string, n_tok long")
+        out = domain_mix(
+            df, "doc_id", "dom", target={"a": 0.5, "b": 0.5},
+            weight_col="n_tok",
+        )
+        got = {
+            r.dom: r.tok
+            for r in out.groupBy("dom").agg(F.sum("n_tok").alias("tok")).collect()
+        }
+        total = sum(got.values())
+        # realized token share within sampling noise of 50/50
+        assert abs(got["a"] / total - 0.5) < 0.12, got
+        # row-count mix (weight_col=None) would instead keep b tiny:
+        rows_out = domain_mix(df, "doc_id", "dom", target={"a": 0.5, "b": 0.5})
+        rows_got = {
+            r.dom: r.n for r in
+            rows_out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+        }
+        row_total = sum(rows_got.values())
+        assert abs(rows_got["a"] / row_total - 0.5) < 0.12
+
+    def test_weighted_deterministic(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import domain_mix
+
+        rows = [(i, "a" if i % 3 else "b", (i % 7) + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string, n_tok long")
+        a = sorted(r.doc_id for r in domain_mix(
+            df, "doc_id", "dom", target={"a": 0.7, "b": 0.3}, weight_col="n_tok"
+        ).collect())
+        b = sorted(r.doc_id for r in domain_mix(
+            df.repartition(11), "doc_id", "dom",
+            target={"a": 0.7, "b": 0.3}, weight_col="n_tok",
+        ).collect())
+        assert a == b
