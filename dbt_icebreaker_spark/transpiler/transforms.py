@@ -181,6 +181,13 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "DAYNAME": "DAYNAME_X",     # → date_format(x,'EEE') ('Mon')
         "MONTHNAME": "MONTHNAME_X",  # → date_format(x,'MMM') ('Jan')
         "ARRAY_UNIQUE_AGG": "COLLECT_SET",
+        "BITAND_AGG": "BIT_AND",
+        "BITOR_AGG": "BIT_OR",
+        "BITXOR_AGG": "BIT_XOR",
+        "ARRAY_UNION_AGG": "ARRUNAGG_X",  # → array_distinct(flatten(collect_list))
+        "LAST_DAY": "LASTDAY_X",    # Spark last_day is month-only; 2-arg form below
+        "PREVIOUS_DAY": "PREVDAY_X",  # Spark has next_day only
+        "TIME_SLICE": "TIMESLICE_X",  # fixed-width bucket floor/ceil
         "REGEXP_SUBSTR_ALL": "RXALL_X",  # → regexp_extract_all(s,p,0)
         "OBJECT_AGG": "OBJAGG_X",   # → to_json(map_from_entries(collect_list(struct)))
         "SKEW": "SKEW_X",           # sample-corrected (Spark skewness is population)
@@ -251,7 +258,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
     "SPLIT_X", "STRTOKARR_X",
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
-    "PARSEURL_X",
+    "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
 ))
 
 
@@ -361,6 +368,18 @@ def _fixup_placeholders(tokens: Tokens) -> Tokens:
             break
         tokens = _fixup_placeholders_once(tokens)
     return tokens
+
+
+def _unit_name(arg_tokens: Tokens) -> str:
+    """Normalize a date-part / keyword argument: a quoted literal
+    ('month') or bare identifier (month) → upper-cased name."""
+    code = [t for t in arg_tokens if t.kind in (WORD, STRING)]
+    if len(code) != 1:
+        return render(arg_tokens).strip().upper()
+    txt = code[0].text
+    if code[0].kind == STRING:
+        txt = txt[1:-1]
+    return txt.strip().upper()
 
 
 def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
@@ -923,6 +942,75 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                             + [_op(","), _sp()] + p_ + [_op(","), _sp()]
                             + grp + [_op(")"), _op(","), _sp()] + occ_
                             + [_op(")")])
+            elif t.text == "ARRUNAGG_X" and len(args) == 1:
+                # ARRAY_UNION_AGG: aggregate set-union of arrays
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"array_distinct(flatten(collect_list({x})))")
+            elif t.text == "LASTDAY_X" and len(args) in (1, 2):
+                # Spark last_day is month-only; Snowflake's 2-arg form
+                # takes a date part
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                part = "MONTH"
+                if len(args) == 2:
+                    part = _unit_name(tokens[args[1][0]:args[1][1]])
+                if part in ("MONTH", "MON", "MONTHS", "MM"):
+                    out += tokenize(f"last_day({x})")
+                elif part in ("YEAR", "YEARS", "YYYY", "YY", "YR"):
+                    out += tokenize(f"make_date(year({x}), 12, 31)")
+                elif part in ("QUARTER", "QUARTERS", "QTR", "Q"):
+                    out += tokenize(
+                        "date_sub(add_months(CAST(date_trunc('quarter', "
+                        f"{x}) AS DATE), 3), 1)"
+                    )
+                elif part in ("WEEK", "WEEKS", "WK", "W"):
+                    # Snowflake default WEEK_START=0 ⇒ Monday-start
+                    # weeks ⇒ last day is the Sunday ON/after x
+                    out += tokenize(f"next_day(date_sub({x}, 1), 'Sun')")
+                else:
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        f"LAST_DAY part '{part}' has no Spark rendering "
+                        "(supported: month, quarter, year, week)"
+                    )
+            elif t.text == "PREVDAY_X" and len(args) == 2:
+                # PREVIOUS_DAY = latest <dow> STRICTLY before x, even
+                # when x is that weekday (Snowflake semantics); Spark
+                # only has next_day (strictly after) — shift one day
+                # back, jump forward, subtract a week
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                dow = render(tokens[args[1][0]:args[1][1]]).strip()
+                out += tokenize(f"date_sub(next_day(date_sub({x}, 1), {dow}), 7)")
+            elif t.text == "TIMESLICE_X" and len(args) in (3, 4):
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                n_txt = render(tokens[args[1][0]:args[1][1]]).strip()
+                unit = _unit_name(tokens[args[2][0]:args[2][1]])
+                kind = (
+                    _unit_name(tokens[args[3][0]:args[3][1]])
+                    if len(args) == 4 else "START"
+                )
+                secs = {
+                    "SECOND": 1, "SECONDS": 1, "MINUTE": 60, "MINUTES": 60,
+                    "HOUR": 3600, "HOURS": 3600, "DAY": 86400, "DAYS": 86400,
+                }
+                if unit not in secs or not n_txt.isdigit():
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        f"TIME_SLICE({n_txt}, '{unit}') has no fixed-width "
+                        "Spark rendering — calendar units (WEEK/MONTH/"
+                        "QUARTER/YEAR) vary in length; use DATE_TRUNC for "
+                        "single-unit slices"
+                    )
+                width = int(n_txt) * secs[unit]
+                # FLOOR division handles pre-epoch timestamps; session
+                # TZ is pinned UTC so timestamp_seconds round-trips NTZ
+                # values exactly
+                end = f" + {width}" if kind == "END" else ""
+                out += tokenize(
+                    f"timestamp_seconds(CAST(FLOOR(unix_timestamp({x}) "
+                    f"/ {width}) AS BIGINT) * {width}{end})"
+                )
             elif t.text == "PARSEURL_X" and len(args) in (1, 2):
                 # 2nd (permissive) argument only relaxes Snowflake's
                 # error behavior — irrelevant here since parse_url
@@ -954,6 +1042,8 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "TRIM_X": "trim", "LTRIM_X": "ltrim",
                     "RTRIM_X": "rtrim", "RXREP_X": "regexp_replace",
                     "RXSUB_X": "regexp_substr", "PARSEURL_X": "parse_url",
+                    "ARRUNAGG_X": "collect_list", "LASTDAY_X": "last_day",
+                    "PREVDAY_X": "next_day", "TIMESLICE_X": "date_trunc",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1

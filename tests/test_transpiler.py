@@ -1022,3 +1022,53 @@ class TestInsertContexts:
         out = t.to_spark(sql)
         assert "INSERT (id, v) VALUES" in out
         assert "overlay" not in out.lower()
+
+
+class TestRound3Functions:
+    """BITAND_AGG/BITOR_AGG/BITXOR_AGG, ARRAY_UNION_AGG, 2-arg
+    LAST_DAY, PREVIOUS_DAY, TIME_SLICE — all verified by execution
+    against Spark during development; these pin the emitted SQL."""
+
+    def setup_method(self):
+        from dbt_icebreaker_spark.transpiler import Transpiler
+        self.t = Transpiler()
+
+    def test_bit_aggs(self):
+        out = self.t.to_spark("SELECT BITAND_AGG(v), BITOR_AGG(v), BITXOR_AGG(v) FROM t")
+        assert "BIT_AND(v)" in out and "BIT_OR(v)" in out and "BIT_XOR(v)" in out
+
+    def test_array_union_agg(self):
+        out = self.t.to_spark("SELECT ARRAY_UNION_AGG(a) FROM t")
+        assert "array_distinct(flatten(collect_list((a))))" in out
+
+    def test_last_day_parts(self):
+        t = self.t
+        assert "last_day((d))" in t.to_spark("SELECT LAST_DAY(d) FROM t")
+        assert "last_day((d))" in t.to_spark("SELECT LAST_DAY(d, 'month') FROM t")
+        assert "make_date(year((d)), 12, 31)" in t.to_spark(
+            "SELECT LAST_DAY(d, 'year') FROM t"
+        )
+        assert "date_trunc('quarter'" in t.to_spark("SELECT LAST_DAY(d, 'quarter') FROM t")
+        # bare identifier part + Monday-start week -> Sunday
+        assert "next_day(date_sub((d), 1), 'Sun')" in t.to_spark(
+            "SELECT LAST_DAY(d, week) FROM t"
+        )
+        import pytest as _pytest
+        from dbt_icebreaker_spark.transpiler import TranspileError
+        with _pytest.raises(TranspileError, match="LAST_DAY part"):
+            t.to_spark("SELECT LAST_DAY(d, 'decade') FROM t")
+
+    def test_previous_day_strictly_earlier(self):
+        out = self.t.to_spark("SELECT PREVIOUS_DAY(d, 'Friday') FROM t")
+        # the -1/+7 shift that keeps the result strictly before d
+        assert "date_sub(next_day(date_sub((d), 1), 'Friday'), 7)" in out
+
+    def test_time_slice(self):
+        out = self.t.to_spark("SELECT TIME_SLICE(ts, 15, 'MINUTE') FROM t")
+        assert "/ 900" in out and "* 900" in out and "timestamp_seconds" in out
+        end = self.t.to_spark("SELECT TIME_SLICE(ts, 15, 'MINUTE', 'END') FROM t")
+        assert "* 900 + 900" in end
+        import pytest as _pytest
+        from dbt_icebreaker_spark.transpiler import TranspileError
+        with _pytest.raises(TranspileError, match="TIME_SLICE"):
+            self.t.to_spark("SELECT TIME_SLICE(ts, 2, 'MONTH') FROM t")
