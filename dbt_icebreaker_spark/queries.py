@@ -1144,6 +1144,45 @@ _q(
     """,
 )
 
+# LAST_DAY parts / PREVIOUS_DAY / TIME_SLICE / DECODE / WIDTH_BUCKET —
+# the round-3 scalar additions, driver-gated. DuckDB lacks several of
+# them, so the oracle spells out the arithmetic (previous-Friday via
+# dayofweek, 4-hour slice via epoch floor, bucket via FLOOR).
+_q(
+    "q51_scalar_extras",
+    """
+    SELECT o_orderkey,
+           LAST_DAY(o_orderdate) AS month_end,
+           LAST_DAY(o_orderdate, 'year') AS year_end,
+           LAST_DAY(o_orderdate, 'quarter') AS quarter_end,
+           PREVIOUS_DAY(o_orderdate, 'Friday') AS prev_friday,
+           TIME_SLICE(CAST(o_orderdate AS TIMESTAMP), 4, 'HOUR') AS slice_4h,
+           DECODE(o_orderpriority, '1-URGENT', 1, '2-HIGH', 2, 0) AS prio_code,
+           WIDTH_BUCKET(o_totalprice, 0, 500000, 10) AS price_bucket
+    FROM orders WHERE o_orderkey < 500
+    """,
+    """
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           make_date(CAST(year(o_orderdate) AS INT), 12, 31) AS year_end,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS quarter_end,
+           CAST(o_orderdate AS DATE)
+             - CAST(CASE WHEN (dayofweek(o_orderdate) + 2) % 7 = 0 THEN 7
+                         ELSE (dayofweek(o_orderdate) + 2) % 7 END AS INT)
+             AS prev_friday,
+           make_timestamp((epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                           // 14400000000) * 14400000000) AS slice_4h,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 1
+                WHEN '2-HIGH' THEN 2 ELSE 0 END AS prio_code,
+           CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 500000 THEN 11
+                     ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT)
+             AS price_bucket
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+
 
 # --------------------------------------------------------------------
 # X-ops: DataFrame implementations + ANSI oracles
