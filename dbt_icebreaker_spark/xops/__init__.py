@@ -6,14 +6,19 @@ these are designed Spark-first for 100 TB scale:
 
 - dedup: exact, MinHash+LSH (+ measured sketch accuracy), SimHash,
   n-gram Jaccard, embedding cosine, connected-components clustering,
-  benchmark decontamination
-- similarity: brute-force cosine top-k + LSH/IVF scale paths
-- text: language-ID, quality scoring, token stats, fingerprinting,
-  sequence packing, repetition filters, PII/URL scrubbing, document
-  chunking, corpus n-gram stats
+  benchmark decontamination, boilerplate common-shingle stats,
+  exact duplicate-span removal
+- similarity: brute-force cosine top-k + LSH/IVF scale paths,
+  SemDeDup semantic dedup (k-means-bounded within-cell pruning)
+- text: language-ID, quality scoring + Gopher/C4 rule-tagged corpus
+  filtering, token stats, fingerprinting, sequence packing,
+  repetition filters, PII/URL scrubbing, document chunking, corpus
+  n-gram stats
 - temporal: as-of and range joins
-- sampling: deterministic hash samples/splits, domain mixing, epoch
-  shuffle, scalable global row positions
+- sampling: deterministic hash samples/splits, domain mixing (row- or
+  token-weighted), epoch shuffle, scalable global row positions
+- dataset: hash-balanced sharded export + integrity manifest
+  (recompute-and-diff verification)
 - profile: per-stratum numeric distribution profiling
 - skew: salted joins + hot-key diagnostics
 - multimodal: binary columns, media header probing, decode plumbing

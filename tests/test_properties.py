@@ -306,3 +306,49 @@ def test_range_join_matches_naive_inequality_join(
         if pk == ik and s <= pt <= e
     }
     assert got == exp
+
+
+_raw_texts = st.lists(
+    st.text(min_size=0, max_size=80),  # arbitrary unicode incl. \n\t, quotes, CJK
+    min_size=1,
+    max_size=5,
+)
+
+
+@_spark_settings
+@given(texts=_raw_texts)
+def test_filter_corpus_total_on_arbitrary_unicode(spark, texts):
+    """filter_corpus is TOTAL: one row out per row in, every rule
+    column and keep non-NULL, on arbitrary unicode (regex-special
+    chars, newlines, empty strings) — a corpus filter that throws or
+    NULLs on weird bytes silently drops data at 100 TB."""
+    from dbt_icebreaker_spark.xops.text import filter_corpus
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = filter_corpus(df, "doc_id", "text").collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        for c in rows[0].asDict():
+            assert r[c] is not None, (c, r)
+
+
+@_spark_settings
+@given(texts=_raw_texts)
+def test_remove_spans_preserves_unshared_text(spark, texts):
+    """With min_df above the corpus size nothing is common, so every
+    document must round-trip through the split/rebuild untouched
+    (modulo the word-split convention: split on single spaces)."""
+    from dbt_icebreaker_spark.xops.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(
+        df, "doc_id", "text", k=3, min_df=len(texts) + 1
+    ).collect()
+    got = {r.doc_id: (r.cleaned_text, r.n_removed) for r in out}
+    for i, t in enumerate(texts):
+        assert got[i][1] == 0
+        assert got[i][0] == t
