@@ -1739,6 +1739,18 @@ def _x_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout n-gram leakage report (xops/dedup.split_leakage
+    over xops/sampling.train_val_test_split): per non-train split, the
+    count of docs sharing an 8-gram with the training split."""
+    from .xops.dedup import split_leakage
+    from .xops.sampling import train_val_test_split
+
+    register_dir(spark, sf_dir)
+    split = train_val_test_split(spark.table("documents"), "doc_id")
+    return split_leakage(split, "doc_id", "text", n=8)
+
+
 def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: clicks within 30 min after a view by the same
     user (streaming/pipeline.attribute_clicks — the batch rendering of
@@ -1809,6 +1821,41 @@ XOP_ORACLES: dict[str, str | None] = {
                  / GREATEST(COUNT(*), 1) AS common_ratio
         FROM sh JOIN dfreq USING (shingle)
         GROUP BY sh.doc_id
+    """,
+    "x40_split_leakage": """
+        WITH s AS (
+          SELECT doc_id, text,
+                 CASE WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296)
+                           / 4294967296.0 < 0.8 THEN 'train'
+                      WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296)
+                           / 4294967296.0 < 0.9 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        w AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM s),
+        g AS (
+          SELECT doc_id, split,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                 || ' ' || w[i+7] AS gram
+          FROM w, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+          WHERE len(w) >= 8
+        ),
+        tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train' AND gram <> ''),
+        hits AS (
+          SELECT DISTINCT g.doc_id, g.split
+          FROM g JOIN tg USING (gram) WHERE g.split <> 'train'
+        ),
+        hold AS (SELECT doc_id, split FROM s WHERE split <> 'train')
+        SELECT hold.split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaked,
+               CAST(SUM(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / GREATEST(COUNT(*), 1) AS leak_ratio
+        FROM hold
+        LEFT JOIN hits ON hold.doc_id = hits.doc_id AND hold.split = hits.split
+        GROUP BY hold.split
     """,
     "x39_remove_spans": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -2667,6 +2714,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x37_common_shingles": _x_common_shingles,
     "x38_semantic_dedup": _x_semantic_dedup,
     "x39_remove_spans": _x_remove_spans,
+    "x40_split_leakage": _x_split_leakage,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,

@@ -396,6 +396,64 @@ def common_shingle_stats(
     )
 
 
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    train_name: str = "train",
+    n: int = 8,
+) -> DataFrame:
+    """Train/holdout leakage report: per non-train split, how many
+    documents share at least one word n-gram with the training split
+    (the train-side twin of benchmark decontamination — X9 guards
+    against EXTERNAL eval sets, this guards the pipeline's own
+    val/test splits after dedup-imperfect splitting).
+
+    Unlike ngram_decontaminate, the gram index side here is the TRAIN
+    split — most of the corpus — so no broadcast: the gram match is a
+    plain shuffle equi-join on the gram (distinct-ed per side first,
+    which is the big shrink), then one per-doc and one per-split
+    aggregate. Cost is O(total grams) shuffle — the honest shape when
+    the index side is 80% of 100 TB.
+
+    Output: (split, n_docs, n_leaked, leak_ratio) — one row per
+    non-train split.
+    """
+    g = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("gram"),
+    ).where(F.col("gram") != "")
+    train_grams = (
+        g.where(F.col(split_col) == train_name).select("gram").distinct()
+    )
+    holdout = df.where(F.col(split_col) != train_name)
+    hit_docs = (
+        g.where(F.col(split_col) != train_name)
+        .join(train_grams, "gram")
+        .select(id_col, split_col)
+        .distinct()
+        .withColumn("__leaked", F.lit(1))
+    )
+    per_doc = holdout.select(id_col, split_col).join(
+        hit_docs, [id_col, split_col], "left"
+    )
+    return (
+        per_doc.groupBy(split_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__leaked"), F.lit(0))).alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_ratio",
+            (F.col("n_leaked") / F.greatest(F.col("n_docs"), F.lit(1))).cast(
+                "double"
+            ),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str,

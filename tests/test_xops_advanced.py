@@ -1105,3 +1105,23 @@ class TestTokenWeightedMix:
             target={"a": 0.7, "b": 0.3}, weight_col="n_tok",
         ).collect())
         assert a == b
+
+
+class TestSplitLeakage:
+    def test_planted_leak_found(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import split_leakage
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota"
+        rows = [
+            (1, "train", base + " one"),
+            (2, "train", "totally different words with no overlap at all here"),
+            (3, "val", base + " two"),          # shares an 8-gram with doc 1
+            (4, "val", "unique val content nothing shared with training data x"),
+            (5, "test", "another unrelated holdout document entirely its own y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+        out = {r.split: r for r in
+               split_leakage(df, "doc_id", "text", n=8).collect()}
+        assert out["val"].n_docs == 2 and out["val"].n_leaked == 1
+        assert out["test"].n_docs == 1 and out["test"].n_leaked == 0
+        assert abs(out["val"].leak_ratio - 0.5) < 1e-9
