@@ -1183,6 +1183,76 @@ _q(
     """,
 )
 
+# ISO calendar fields, TIME model (epoch-day timestamps), VARIANT
+# accessors (AS_*/CHECK_JSON), BOOL* scalars, regex position args,
+# strict TO_DECIMAL — the round-4 scalar additions, driver-gated.
+# DuckDB natively has isodow/week/isoyear/unicode; the rest of the
+# oracle spells out the arithmetic.
+_q(
+    "q52_scalar_round4",
+    """
+    SELECT o_orderkey,
+           DAYOFWEEKISO(o_orderdate) AS iso_dow,
+           WEEKISO(o_orderdate) AS iso_week,
+           YEAROFWEEKISO(o_orderdate) AS iso_year,
+           TIME_FROM_PARTS(o_orderkey % 24, 30, 0) AS t_slot,
+           BOOLOR(o_orderkey % 2, o_orderkey % 3) AS b_or,
+           BOOLXOR(o_orderkey % 2, o_orderkey % 3) AS b_xor,
+           BOOLNOT(o_orderkey % 2) AS b_not,
+           REGEXP_COUNT(o_orderpriority, '[A-Z]', 3) AS rx_cnt,
+           REGEXP_INSTR(o_orderpriority, 'E', 4) AS rx_pos,
+           AS_INTEGER(PARSE_JSON(CAST(o_custkey AS VARCHAR))) AS n_int,
+           AS_CHAR(PARSE_JSON('"' || o_orderpriority || '"')) AS s_char,
+           CHECK_JSON('{"k":' || o_custkey || '}') AS js_ok,
+           NULLIFZERO(o_orderkey % 3) AS nz,
+           UNICODE(o_orderpriority) AS uni,
+           TO_DECIMAL(o_totalprice, 12, 1) AS dec1
+    FROM orders WHERE o_orderkey < 400
+    """,
+    """
+    SELECT o_orderkey,
+           isodow(o_orderdate) AS iso_dow,
+           week(o_orderdate) AS iso_week,
+           isoyear(o_orderdate) AS iso_year,
+           make_timestamp(1970, 1, 1, o_orderkey % 24, 30, 0) AS t_slot,
+           ((o_orderkey % 2) <> 0) OR ((o_orderkey % 3) <> 0) AS b_or,
+           ((o_orderkey % 2) <> 0) <> ((o_orderkey % 3) <> 0) AS b_xor,
+           NOT ((o_orderkey % 2) <> 0) AS b_not,
+           length(regexp_extract_all(substr(o_orderpriority, 3), '[A-Z]')) AS rx_cnt,
+           CASE WHEN strpos(substr(o_orderpriority, 4), 'E') = 0 THEN 0
+                ELSE strpos(substr(o_orderpriority, 4), 'E') + 3 END AS rx_pos,
+           CAST(o_custkey AS BIGINT) AS n_int,
+           o_orderpriority AS s_char,
+           CAST(NULL AS VARCHAR) AS js_ok,
+           NULLIF(o_orderkey % 3, 0) AS nz,
+           unicode(o_orderpriority) AS uni,
+           CAST(o_totalprice AS DECIMAL(12, 1)) AS dec1
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+
+# BOOLOR/BOOLAND/BOOLXOR_AGG group semantics (exactly-one-true
+# contract for XOR) — aggregate tier of the round-4 additions.
+_q(
+    "q53_bool_aggs",
+    """
+    SELECT o_orderpriority,
+           BOOLOR_AGG(o_orderkey % 7 = 0) AS any_sevenly,
+           BOOLAND_AGG(o_totalprice > 0) AS all_positive,
+           BOOLXOR_AGG(o_orderkey % 1000 = 7) AS exactly_one
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority,
+           bool_or(o_orderkey % 7 = 0) AS any_sevenly,
+           bool_and(o_totalprice > 0) AS all_positive,
+           (count(*) FILTER (WHERE o_orderkey % 1000 = 7)) = 1 AS exactly_one
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
 
 # --------------------------------------------------------------------
 # X-ops: DataFrame implementations + ANSI oracles

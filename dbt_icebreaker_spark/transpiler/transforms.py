@@ -128,7 +128,39 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
         "LEN": "LENGTH",
         "EDITDISTANCE": "LEVENSHTEIN",
-        "REGEXP_LIKE": "REGEXP_LIKE",
+        "REGEXP_LIKE": "RXLIKE_X",  # 3-arg params → inline (?ism) flags
+        "REGEXP_COUNT": "RXCOUNT_X",  # position / params args
+        "REGEXP_INSTR": "RXINSTR_X",  # position arg (occurrence unsupported)
+        "GETDATE": "CURRENT_TIMESTAMP",
+        # Snowflake SYSDATE() is UTC; the engine pins the session to
+        # UTC (sources._SESSION_CONFS) so current_timestamp matches
+        "SYSDATE": "CURRENT_TIMESTAMP",
+        "SYSTIMESTAMP": "CURRENT_TIMESTAMP",
+        "VARIANCE_POP": "VAR_POP",
+        "VARIANCE_SAMP": "VAR_SAMP",
+        "UNICODE": "ASCII",        # Spark ascii() returns the code point
+        "WEEKISO": "WEEKOFYEAR",   # Spark weekofyear is ISO-week
+        "DAYOFWEEKISO": "DOWISO_X",    # → weekday()+1 (1=Mon..7=Sun)
+        "YEAROFWEEK": "YOW_X",         # → EXTRACT(YEAROFWEEK …)
+        "YEAROFWEEKISO": "YOW_X",
+        "TIME_FROM_PARTS": "TIMEFP_X",  # TIME model = timestamp on 1970-01-01
+        "CHECK_JSON": "CHECKJSON_X",
+        "IS_NULL_VALUE": "ISNULLVAL_X",
+        "AS_INTEGER": "ASINT_X", "AS_BIGINT": "ASINT_X",
+        "AS_NUMBER": "ASNUM_X", "AS_DECIMAL": "ASNUM_X",
+        "AS_DOUBLE": "ASDBL_X", "AS_REAL": "ASDBL_X",
+        "AS_CHAR": "ASCHAR_X", "AS_VARCHAR": "ASCHAR_X",
+        "AS_BOOLEAN": "ASBOOL_X",
+        "AS_DATE": "ASDATE_X",
+        "AS_TIMESTAMP_NTZ": "ASTS_X", "AS_TIMESTAMP_LTZ": "ASTS_X",
+        "AS_TIMESTAMP_TZ": "ASTS_X",
+        "AS_ARRAY": "IDENT_X", "AS_OBJECT": "IDENT_X",
+        "TO_OBJECT": "IDENT_X",  # JSON-string VARIANT model: identity
+        "TO_ARRAY": "TOARR_X",
+        "BOOLOR": "BOOLSC_OR", "BOOLAND": "BOOLSC_AND",
+        "BOOLXOR": "BOOLSC_XOR", "BOOLNOT": "BOOLSC_NOT",
+        "BOOLXOR_AGG": "BOOLXORAGG_X",
+        "NORMAL": "NORMAL_X",
         "TO_CHAR": "TO_CHAR_X",     # placeholder, fixed below
         "TO_VARCHAR": "TO_CHAR_X",
         "ARRAY_TO_STRING": "ARRAY_JOIN",
@@ -259,6 +291,11 @@ _PLACEHOLDER_NAMES = frozenset((
     "SPLIT_X", "STRTOKARR_X",
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
     "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
+    "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
+    "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
+    "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
+    "IDENT_X", "TOARR_X", "BOOLSC_OR", "BOOLSC_AND", "BOOLSC_XOR",
+    "BOOLSC_NOT", "BOOLXORAGG_X", "NORMAL_X",
 ))
 
 
@@ -1011,6 +1048,148 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"timestamp_seconds(CAST(FLOOR(unix_timestamp({x}) "
                     f"/ {width}) AS BIGINT) * {width}{end})"
                 )
+            elif t.text == "RXLIKE_X" and len(args) in (2, 3):
+                # REGEXP_LIKE(s, p[, params]) — params lower to inline
+                # (?ism) flags on a literal pattern
+                s_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                pat = tokens[args[1][0]:args[1][1]]
+                if len(args) == 3:
+                    pat = _apply_regex_params(tokens, args[2], pat, "REGEXP_LIKE")
+                out += tokenize(f"regexp_like({s_r}, {render(pat)})")
+            elif t.text == "RXCOUNT_X" and len(args) in (2, 3, 4):
+                # REGEXP_COUNT(s, p[, position[, params]]): position is
+                # a pre-slice (matches can't start before it); params →
+                # inline flags
+                s_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                pat = tokens[args[1][0]:args[1][1]]
+                if len(args) == 4:
+                    pat = _apply_regex_params(tokens, args[3], pat, "REGEXP_COUNT")
+                if len(args) >= 3:
+                    pos = "(" + render(tokens[args[2][0]:args[2][1]]) + ")"
+                    s_r = f"substr({s_r}, {pos})"
+                out += tokenize(f"regexp_count({s_r}, {render(pat)})")
+            elif t.text == "RXINSTR_X" and len(args) in (2, 3):
+                # REGEXP_INSTR(s, p[, position]): slice from position,
+                # then shift the hit back to original coordinates
+                # (0 = not found stays 0). occurrence/option/group args
+                # are refused in detect_unsupported-style below.
+                s_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                p_r = render(tokens[args[1][0]:args[1][1]])
+                if len(args) == 2:
+                    out += tokenize(f"regexp_instr({s_r}, {p_r})")
+                else:
+                    pos = "(" + render(tokens[args[2][0]:args[2][1]]) + ")"
+                    hit = f"regexp_instr(substr({s_r}, {pos}), {p_r})"
+                    out += tokenize(
+                        f"IF({hit} = 0, 0, {hit} + {pos} - 1)")
+            elif t.text == "RXINSTR_X":
+                from .core import TranspileError
+
+                raise TranspileError(
+                    "REGEXP_INSTR with occurrence/option/group "
+                    "arguments has no faithful Spark rendering; "
+                    "pre-slice with SUBSTR or use REGEXP_SUBSTR."
+                )
+            elif t.text == "DOWISO_X" and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                # ISO day-of-week 1=Mon..7=Sun; Spark weekday is 0=Mon
+                out += tokenize(f"(weekday({x}) + 1)")
+            elif t.text == "YOW_X" and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"EXTRACT(YEAROFWEEK FROM {x})")
+            elif t.text == "TIMEFP_X" and len(args) in (3, 4):
+                # TIME_FROM_PARTS(h, m, s[, ns]) → timestamp on the
+                # epoch day (the engine's TIME model; no TimeType)
+                h, m, s = (render(tokens[a:b2]).strip() for a, b2 in args[:3])
+                sec = (f"(({s}) + ({render(tokens[args[3][0]:args[3][1]]).strip()})"
+                       " / 1000000000)" if len(args) == 4 else f"({s})")
+                out += tokenize(
+                    f"make_timestamp(1970, 1, 1, ({h}), ({m}), {sec})")
+            elif t.text == "CHECKJSON_X" and len(args) == 1:
+                # NULL when valid (or input NULL), error text otherwise;
+                # get_json_object returns non-NULL for every valid JSON
+                # document including the 'null' literal
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(
+                    f"CASE WHEN {x} IS NULL THEN NULL"
+                    f" WHEN get_json_object({x}, '$') IS NOT NULL"
+                    f" THEN NULL ELSE 'invalid JSON text' END")
+            elif t.text == "ISNULLVAL_X" and len(args) == 1:
+                # TRUE iff the VARIANT (JSON string) is the null
+                # literal; SQL NULL propagates through the comparison
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"(trim(CAST({x} AS STRING)) = 'null')")
+            elif t.text == "ASINT_X" and len(args) == 1:
+                # strict VARIANT accessor: JSON number → value, quoted
+                # string / non-number → NULL (try_cast on the raw JSON
+                # text gives exactly that)
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"TRY_CAST({x} AS BIGINT)")
+            elif t.text == "ASNUM_X" and len(args) in (1, 2, 3):
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                p_r = render(tokens[args[1][0]:args[1][1]]).strip() if len(args) >= 2 else "38"
+                s_r = render(tokens[args[2][0]:args[2][1]]).strip() if len(args) == 3 else "0"
+                out += tokenize(f"TRY_CAST({x} AS DECIMAL({p_r}, {s_r}))")
+            elif t.text == "ASDBL_X" and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"TRY_CAST({x} AS DOUBLE)")
+            elif t.text == "ASCHAR_X" and len(args) == 1:
+                # only a JSON *string* unquotes; other variants → NULL
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(
+                    f"CASE WHEN {x} LIKE '\"%' THEN"
+                    f" get_json_object({x}, '$') END")
+            elif t.text == "ASBOOL_X" and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(
+                    f"CASE WHEN trim(CAST({x} AS STRING)) IN"
+                    f" ('true', 'false') THEN"
+                    f" CAST(trim(CAST({x} AS STRING)) AS BOOLEAN) END")
+            elif t.text == "ASDATE_X" and len(args) == 1:
+                # JSON dates are quoted strings — unquote then cast
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(
+                    f"TRY_CAST(get_json_object({x}, '$') AS DATE)")
+            elif t.text == "ASTS_X" and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(
+                    f"TRY_CAST(get_json_object({x}, '$') AS TIMESTAMP)")
+            elif t.text == "IDENT_X" and len(args) == 1:
+                # AS_ARRAY / AS_OBJECT / TO_OBJECT: identity on the
+                # JSON-string VARIANT model
+                out += [_op("(")] + tokens[args[0][0]:args[0][1]] + [_op(")")]
+            elif t.text == "TOARR_X" and len(args) == 1:
+                # TO_ARRAY(NULL) → NULL, scalar → 1-element array.
+                # (An input that is ALREADY an array nests — Snowflake
+                # returns it unchanged — but the token stream can't see
+                # types; scalar wrapping is the documented contract.)
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"IF({x} IS NULL, NULL, array({x}))")
+            elif t.text in ("BOOLSC_OR", "BOOLSC_AND", "BOOLSC_XOR") and len(args) == 2:
+                # numeric/boolean args; non-zero = true, SQL
+                # three-valued NULL rules match Snowflake's
+                op = {"BOOLSC_OR": "OR", "BOOLSC_AND": "AND",
+                      "BOOLSC_XOR": "<>"}[t.text]
+                a1 = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                a2 = "(" + render(tokens[args[1][0]:args[1][1]]) + ")"
+                out += tokenize(
+                    f"(CAST({a1} AS BOOLEAN) {op} CAST({a2} AS BOOLEAN))")
+            elif t.text == "BOOLSC_NOT" and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"(NOT CAST({x} AS BOOLEAN))")
+            elif t.text == "BOOLXORAGG_X" and len(args) == 1:
+                # Snowflake contract: TRUE iff EXACTLY ONE non-NULL
+                # record is true; all-NULL/empty group → NULL
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(
+                    f"CASE WHEN COUNT({x}) = 0 THEN NULL ELSE"
+                    f" COUNT_IF(CAST({x} AS BOOLEAN)) = 1 END")
+            elif t.text == "NORMAL_X" and len(args) == 3:
+                # NORMAL(mean, stddev, gen): the generator argument is
+                # dropped (same policy as UNIFORM's RANDOM() arg)
+                m_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                sd = "(" + render(tokens[args[1][0]:args[1][1]]) + ")"
+                out += tokenize(f"({m_r} + {sd} * randn())")
             elif t.text == "PARSEURL_X" and len(args) in (1, 2):
                 # 2nd (permissive) argument only relaxes Snowflake's
                 # error behavior — irrelevant here since parse_url
@@ -1044,6 +1223,18 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "RXSUB_X": "regexp_substr", "PARSEURL_X": "parse_url",
                     "ARRUNAGG_X": "collect_list", "LASTDAY_X": "last_day",
                     "PREVDAY_X": "next_day", "TIMESLICE_X": "date_trunc",
+                    "RXLIKE_X": "regexp_like", "RXCOUNT_X": "regexp_count",
+                    "DOWISO_X": "weekday", "YOW_X": "extract",
+                    "TIMEFP_X": "make_timestamp",
+                    "CHECKJSON_X": "get_json_object",
+                    "ISNULLVAL_X": "isnull", "ASINT_X": "CAST",
+                    "ASNUM_X": "CAST", "ASDBL_X": "CAST",
+                    "ASCHAR_X": "CAST", "ASBOOL_X": "CAST",
+                    "ASDATE_X": "CAST", "ASTS_X": "CAST",
+                    "IDENT_X": "", "TOARR_X": "array",
+                    "BOOLSC_OR": "BOOLOR", "BOOLSC_AND": "BOOLAND",
+                    "BOOLSC_XOR": "BOOLXOR", "BOOLSC_NOT": "BOOLNOT",
+                    "BOOLXORAGG_X": "bool_or", "NORMAL_X": "randn",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1
@@ -1063,33 +1254,90 @@ _TRY_TO_TYPES = {
     "TRY_TO_DECIMAL": "DECIMAL(38,9)",
     "TRY_TO_DOUBLE": "DOUBLE",
     "TRY_TO_DATE": "DATE",
-    "TRY_TO_TIME": "TIMESTAMP",  # Spark has no TIME type; documented deviation
     "TRY_TO_TIMESTAMP": "TIMESTAMP",
     "TRY_TO_TIMESTAMP_NTZ": "TIMESTAMP_NTZ",
     "TRY_TO_TIMESTAMP_LTZ": "TIMESTAMP",
     "TRY_TO_TIMESTAMP_TZ": "TIMESTAMP",
     "TRY_TO_BOOLEAN": "BOOLEAN",
     "TRY_TO_VARCHAR": "STRING",
-    # non-try versions that Spark lacks under these names
+    # non-try versions that Spark lacks under these names (Spark's own
+    # to_number REQUIRES a format argument; Snowflake's is optional).
+    # Strict TO_* emit plain CAST — ANSI mode (Spark 4 default) errors
+    # on bad input just like Snowflake; TRY_* emit TRY_CAST → NULL.
     "TO_NUMBER_SF": "DOUBLE",
+    "TO_NUMBER": "DOUBLE",
+    "TO_NUMERIC": "DOUBLE",
+    "TO_DECIMAL": "DECIMAL(38,9)",
+    "TO_DOUBLE": "DOUBLE",
 }
+
+# the numeric family accepts optional (precision[, scale]) arguments —
+# literal ints map onto the cast's DECIMAL target
+_NUMERIC_TO_TYPES = frozenset((
+    "TRY_TO_NUMBER", "TRY_TO_NUMERIC", "TRY_TO_DECIMAL",
+    "TO_NUMBER", "TO_NUMERIC", "TO_DECIMAL", "TO_NUMBER_SF",
+))
+
+# TIME has no Spark type: the engine's model is a timestamp on the
+# epoch day (1970-01-01), consistent across TO_TIME / TIME_FROM_PARTS
+# / TRY_TO_TIME
+_TIME_TO_FUNCS = {"TO_TIME": "CAST_TIME", "TRY_TO_TIME": "TRY_TIME"}
 
 
 def rewrite_try_to(tokens: Tokens) -> Tokens:
-    """TRY_TO_NUMBER(x) → TRY_CAST(x AS DOUBLE) etc (ref 235-267)."""
+    """TRY_TO_NUMBER(x) → TRY_CAST(x AS DOUBLE) etc (ref 235-267).
+    Strict TO_NUMBER/TO_DECIMAL/TO_NUMERIC/TO_DOUBLE emit plain CAST
+    (ANSI mode errors on bad input, matching Snowflake); the numeric
+    family's optional (precision[, scale]) args become the DECIMAL
+    cast target; TO_TIME/TRY_TO_TIME use the epoch-day TIME model."""
+    from .core import TranspileError
+
     out: Tokens = []
     i = 0
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        if t.kind == WORD and t.upper in _TIME_TO_FUNCS and _is_call(tokens, i, t.upper):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            args = split_args(tokens, op_i + 1, close)
+            if len(args) == 1:
+                x = render(tokens[args[0][0]:args[0][1]])
+                anchored = f"concat('1970-01-01 ', CAST(({x}) AS STRING))"
+                if t.upper == "TO_TIME":
+                    out += tokenize(f"CAST({anchored} AS TIMESTAMP)")
+                else:
+                    out += tokenize(f"try_to_timestamp({anchored})")
+                i = close + 1
+                continue
         if t.kind == WORD and t.upper in _TRY_TO_TYPES and _is_call(tokens, i, t.upper):
             op_i = next_code(tokens, i + 1)
             close = find_matching_paren(tokens, op_i)
             args = split_args(tokens, op_i + 1, close)
             typ = _TRY_TO_TYPES[t.upper]
+            cast_kw = "TRY_CAST" if t.upper.startswith("TRY_") else "CAST"
+            if len(args) in (2, 3) and t.upper in _NUMERIC_TO_TYPES:
+                # (x, precision[, scale]) — literal ints only; a string
+                # second argument is a Snowflake numeric FORMAT, which
+                # has no faithful Spark rendering
+                p_code = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
+                if len(p_code) == 1 and p_code[0].kind == STRING:
+                    raise TranspileError(
+                        f"{t.upper} with a format string: Spark's "
+                        "to_number format language differs; strip the "
+                        "format or pre-clean with REGEXP_REPLACE."
+                    )
+                p_r = render(tokens[args[1][0]:args[1][1]]).strip()
+                s_r = (render(tokens[args[2][0]:args[2][1]]).strip()
+                       if len(args) == 3 else "0")
+                x = render(tokens[args[0][0]:args[0][1]])
+                out += tokenize(
+                    f"{cast_kw}(({x}) AS DECIMAL({p_r}, {s_r}))")
+                i = close + 1
+                continue
             if len(args) == 1:
                 inner = tokens[args[0][0]:args[0][1]]
-                out += [_word("TRY_CAST"), _op("(")] + inner + [
+                out += [_word(cast_kw), _op("(")] + inner + [
                     _sp(), _word("AS"), _sp()] + tokenize(typ) + [_op(")")]
                 i = close + 1
                 continue
@@ -1741,6 +1989,24 @@ def _emit_epoch(fn: str, mult: int, expr: Tokens) -> Tokens:
     return out
 
 
+# ISO calendar fields Spark's extract/date_part cannot spell: lowered
+# to expressions (weekday is 0=Monday; weekofyear IS the ISO week)
+_ISO_UNITS = {
+    "DAYOFWEEKISO": "dowiso", "WEEKDAY_ISO": "dowiso", "DOW_ISO": "dowiso",
+    "WEEKISO": "weekiso", "WEEK_ISO": "weekiso", "WEEKOFYEARISO": "weekiso",
+    "YEAROFWEEKISO": "yow",
+}
+
+
+def _emit_iso_unit(kind: str, expr: Tokens) -> Tokens:
+    x = "(" + render(expr).strip() + ")"
+    if kind == "dowiso":
+        return tokenize(f"(weekday({x}) + 1)")
+    if kind == "weekiso":
+        return tokenize(f"weekofyear({x})")
+    return tokenize(f"EXTRACT(YEAROFWEEK FROM {x})")
+
+
 def rewrite_epoch_extract(tokens: Tokens) -> Tokens:
     """Epoch extraction — Spark has no epoch field in date_part/extract:
 
@@ -1773,6 +2039,11 @@ def rewrite_epoch_extract(tokens: Tokens) -> Tokens:
                     out += _emit_epoch(fn, mult, rewrite_epoch_extract(expr))
                     i = close + 1
                     continue
+                if unit in _ISO_UNITS:
+                    out += _emit_iso_unit(
+                        _ISO_UNITS[unit], rewrite_epoch_extract(expr))
+                    i = close + 1
+                    continue
                 if unit is not None and len(u_code) == 1 and u_code[0].kind == WORD:
                     canon = _UNIT_ALIASES.get(f"'{unit}'", unit)
                     out += ([_word("DATE_PART"), _op("("),
@@ -1793,6 +2064,17 @@ def rewrite_epoch_extract(tokens: Tokens) -> Tokens:
                 fn, mult = _EPOCH_UNITS[tokens[u_i].upper]
                 expr = tokens[next_code(tokens, f_i + 1):close]
                 out += _emit_epoch(fn, mult, rewrite_epoch_extract(expr))
+                i = close + 1
+                continue
+            if (
+                u_i < n and tokens[u_i].kind == WORD
+                and tokens[u_i].upper in _ISO_UNITS
+                and f_i < n and tokens[f_i].is_word("FROM")
+            ):
+                expr = tokens[next_code(tokens, f_i + 1):close]
+                out += _emit_iso_unit(
+                    _ISO_UNITS[tokens[u_i].upper],
+                    rewrite_epoch_extract(expr))
                 i = close + 1
                 continue
         out.append(t)
@@ -2286,6 +2568,9 @@ _UNSUPPORTED_SCALARS = {
                                 "a subquery, then a running SUM of "
                                 "change flags (nested windows can't be "
                                 "spelled inline in Spark SQL)",
+    "ZIPF": "an explicit inverse-CDF over UNIFORM (Spark has no "
+            "zipf generator; xops.sampling covers deterministic "
+            "weighted draws)",
 }
 
 
