@@ -1821,6 +1821,20 @@ def _x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(split, "doc_id", "text", n=8)
 
 
+def _x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample
+    (xops/sampling.weighted_sample): 200 docs drawn without
+    replacement with selection probability ∝ n_chars — the
+    quality/token-weighted curation draw. Oracle = identical integer
+    hash + ln-key arithmetic in DuckDB, ORDER BY key LIMIT k."""
+    from .xops.sampling import weighted_sample
+
+    register_dir(spark, sf_dir)
+    return weighted_sample(
+        spark.table("documents"), "doc_id", "n_chars", k=200
+    ).select("doc_id", "source", "n_chars")
+
+
 def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: clicks within 30 min after a view by the same
     user (streaming/pipeline.attribute_clicks — the batch rendering of
@@ -1837,6 +1851,16 @@ def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XOP_ORACLES: dict[str, str | None] = {
+    "x41_weighted_sample": """
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY ln((CAST(((doc_id % 2147483647) * 2654435761)
+                          % 4294967296 AS DOUBLE) + 1.0)
+                    / 4294967297.0) / n_chars DESC,
+                 doc_id
+        LIMIT 200
+    """,
     "x36_quality_filter": """
         WITH w AS (
           SELECT doc_id, text,
@@ -2785,6 +2809,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x38_semantic_dedup": _x_semantic_dedup,
     "x39_remove_spans": _x_remove_spans,
     "x40_split_leakage": _x_split_leakage,
+    "x41_weighted_sample": _x_weighted_sample,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,

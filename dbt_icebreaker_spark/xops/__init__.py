@@ -16,7 +16,8 @@ these are designed Spark-first for 100 TB scale:
   n-gram stats
 - temporal: as-of and range joins
 - sampling: deterministic hash samples/splits, domain mixing (row- or
-  token-weighted), epoch shuffle, scalable global row positions
+  token-weighted), Efraimidis–Spirakis weighted sampling without
+  replacement, epoch shuffle, scalable global row positions
 - dataset: hash-balanced sharded export + integrity manifest
   (recompute-and-diff verification)
 - profile: per-stratum numeric distribution profiling

@@ -291,3 +291,84 @@ def with_global_cumsum(
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
         .drop("__pid", "__offset", "__local")
     )
+
+
+def es_key(id_col: str | Column, weight_col: str | Column, salt: int = 0) -> Column:
+    """Efraimidis–Spirakis priority for weighted sampling WITHOUT
+    replacement: key = ln(u) / w with u deterministic in (0, 1] from
+    the row id — the log form of u^(1/w) (same order, no pow
+    underflow for tiny weights). Rows ranked by key DESCENDING are a
+    weighted sample: P(row i in top-k) follows the A-Res race of
+    Efraimidis & Spirakis (IPL 2006).
+
+    u uses the same overflow-safe multiplicative hash as hash01 but
+    shifted to (0, 1] — u = 0 would put ln at -inf and make the row's
+    selection undefined under IEEE comparisons. Every term is exact
+    integer arithmetic until the final divide, so any BIGINT+DOUBLE
+    engine reproduces the key (oracle-checkable; only sub-ulp libm
+    differences in ln() could ever flip a boundary row)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    c1 = F.pmod(c.cast("long") + F.lit(salt), F.lit(_MERSENNE31))
+    m = F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD))
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(float(_MOD + 1))
+    return F.log(u) / w.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Deterministic weighted sample of k rows WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): quality- or token-weighted corpus
+    subsampling where a doc with twice the weight is twice as likely
+    to survive — the selection step of a "keep the best 10B tokens"
+    curation pass. Non-positive / NULL weights never selected.
+
+    Deterministic in (id, salt) alone: the same rows win on any
+    cluster size, partitioning, or engine — reruns and incremental
+    appends don't reshuffle earlier picks, and the same arithmetic in
+    plain SQL is the oracle.
+
+    Scale shape: the naive rendering is a full sort — at 100 TB that
+    is THE bottleneck. Here:
+    - ``orderBy(key).limit(k)`` compiles to TakeOrderedAndProject
+      (per-partition top-k heaps + single merge of k·P candidate
+      rows, no global sort exchange) — right for the k ≤ ~100k that
+      fits one collection point;
+    - for larger k, ``prefilter=True`` (default) first estimates the
+      k-th key with approx_percentile on a conservative 2k/n quantile
+      and filters map-side, so the top-k machinery only sees ~2k
+      surviving rows instead of the corpus; if the sketch
+      under-selects (< k survivors — bounded-error event), it falls
+      back to the exact path. Selection is IDENTICAL either way; the
+      threshold only prunes rows that cannot win.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    keyed = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", es_key(id_col, weight_col, salt))
+    )
+    candidates = keyed
+    if prefilter:
+        n = keyed.count()
+        if n > 4 * k:
+            # conservative threshold: aim at rank 2k so t-digest error
+            # can't push the cut above the true k-th key
+            q = 1.0 - min(1.0, (2.0 * k) / n)
+            thr = keyed.agg(
+                F.expr(f"approx_percentile(__es_key, {q})").alias("t")
+            ).collect()[0]["t"]
+            pruned = keyed.where(F.col("__es_key") >= F.lit(float(thr)))
+            if pruned.count() >= k:
+                candidates = pruned
+    return (
+        candidates.orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(int(k))
+        .drop("__es_key")
+    )

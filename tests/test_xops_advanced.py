@@ -1125,3 +1125,65 @@ class TestSplitLeakage:
         assert out["val"].n_docs == 2 and out["val"].n_leaked == 1
         assert out["test"].n_docs == 1 and out["test"].n_leaked == 0
         assert abs(out["val"].leak_ratio - 0.5) < 1e-9
+
+
+class TestWeightedSample:
+    """Efraimidis–Spirakis weighted sampling (xops/sampling.weighted_sample):
+    determinism under repartitioning, prefilter ≡ exact path, weight
+    monotonicity in aggregate, and non-positive-weight exclusion."""
+
+    def _docs(self, spark, n=600):
+        from pyspark.sql import functions as F
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                # weights 1..6, deterministic
+                (F.col("id") % 6 + 1).cast("long").alias("w"),
+            )
+        )
+
+    def test_deterministic_under_repartition(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample
+        df = self._docs(spark)
+        a = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 50).collect()}
+        b = {
+            r.doc_id
+            for r in weighted_sample(df.repartition(13), "doc_id", "w", 50).collect()
+        }
+        assert a == b and len(a) == 50
+
+    def test_prefilter_matches_exact(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample
+        df = self._docs(spark)
+        fast = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 40, prefilter=True).collect()}
+        exact = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 40, prefilter=False).collect()}
+        assert fast == exact
+
+    def test_weight_monotonicity(self, spark):
+        # heavier rows must be overrepresented: mean weight of the
+        # sample strictly above the population mean (weights 1..6,
+        # population mean 3.5; ES with w up to 6x lifts it well clear)
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample
+        df = self._docs(spark, n=1200)
+        samp = weighted_sample(df, "doc_id", "w", 200)
+        mean_w = samp.agg(F.avg("w")).collect()[0][0]
+        assert mean_w > 3.8
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pyspark.sql import functions as F
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample
+        df = self._docs(spark).withColumn(
+            "w",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+            .when(F.col("doc_id") % 3 == 1, F.lit(0))
+            .otherwise(F.col("w")),
+        )
+        out = weighted_sample(df, "doc_id", "w", 100).collect()
+        assert all(r.doc_id % 3 == 2 for r in out) and len(out) == 100
+
+    def test_k_larger_than_population(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample
+        df = self._docs(spark, n=30)
+        assert weighted_sample(df, "doc_id", "w", 100).count() == 30
