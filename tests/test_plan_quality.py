@@ -375,3 +375,20 @@ class TestRound3OpPlans:
         assert ("BroadcastHashJoin" in tree) or ("SortMergeJoin" in tree) or (
             "ShuffledHashJoin" in tree
         )
+
+
+class TestWeightedSampleShape:
+    """weighted_sample's exact path must be heap-based top-k — a plan
+    with a global sort Exchange would be THE bottleneck at 100 TB."""
+
+    def test_take_ordered_no_exchange(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample
+
+        df = spark.range(50000).selectExpr("id AS doc_id", "id % 7 + 1 AS w")
+        out = weighted_sample(df, "doc_id", "w", 50, prefilter=False)
+        plan = _executed_plan(out)
+        tree = _final_tree(plan)
+        assert "TakeOrderedAndProject" in tree
+        assert "Exchange" not in tree
+        # weight filter stays inside the codegen span before the heap
+        assert "Filter" in tree
