@@ -1835,6 +1835,23 @@ def _x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def _s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static dimension enrichment (streaming/pipeline.
+    enrich_stream — batch rendering; the streaming twin re-reads the
+    dimension per micro-batch): events left-joined to the customer
+    dim, broadcast so the fact side never shuffles."""
+    from .streaming.pipeline import enrich_stream
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal"
+    )
+    return enrich_stream(ev, dim, "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_acctbal"
+    )
+
+
 def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: clicks within 30 min after a view by the same
     user (streaming/pipeline.attribute_clicks — the batch rendering of
@@ -1860,6 +1877,12 @@ XOP_ORACLES: dict[str, str | None] = {
                     / 4294967297.0) / n_chars DESC,
                  doc_id
         LIMIT 200
+    """,
+    "s07_stream_enrich": """
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment, c.c_acctbal
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
     "x36_quality_filter": """
         WITH w AS (
@@ -2810,6 +2833,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x39_remove_spans": _x_remove_spans,
     "x40_split_leakage": _x_split_leakage,
     "x41_weighted_sample": _x_weighted_sample,
+    "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,

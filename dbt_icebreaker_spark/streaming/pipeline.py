@@ -444,3 +444,48 @@ def stream_incremental_merge(
     if available_now:
         query.awaitTermination()
     return query
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list,
+    dim_prefix: str = "",
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream–static dimension enrichment: join a (possibly streaming)
+    fact side to a slowly-changing static dimension — the lookup step
+    of every event pipeline (events × customers, requests × models).
+    ONE code path serves both modes: on a batch fact side this is a
+    plain broadcast join; on a streaming side Spark's stream-static
+    join re-evaluates the static plan per micro-batch, so a dimension
+    refreshed underneath (e.g. a swapped parquet snapshot) is picked
+    up on the next trigger WITHOUT restarting the query — the
+    streaming twin of the reference's TTL'd source cache
+    (`source_cache.py:56-57` refresh semantics).
+
+    Shape at scale: stream-static joins support no watermark state —
+    the static side must be join-local. `broadcast_dim=True` (default)
+    pins a broadcast hash join so the fact stream is NEVER shuffled;
+    a dimension too big to broadcast (> a few GB) should instead be
+    pre-bucketed on the key so the fact side alone shuffles (set
+    broadcast_dim=False and let AQE choose).
+
+    Join keys may collide with dimension payload column names —
+    `dim_prefix` renames every non-key dimension column on the way in
+    (prefix "c_" style dims usually don't need it).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if dim.isStreaming:
+        raise ValueError(
+            "enrich_stream's dimension side must be static; for "
+            "stream-stream joins use attribute_clicks-style interval "
+            "joins with watermarks"
+        )
+    if dim_prefix:
+        for c in dim.columns:
+            if c not in keys:
+                dim = dim.withColumnRenamed(c, f"{dim_prefix}{c}")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on=keys, how=how)

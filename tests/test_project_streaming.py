@@ -323,3 +323,97 @@ class TestStreamIncrementalMerge:
         assert spark.table(target).count() == n_keys
         got = spark.table(target).filter("event_id = 0").collect()[0]
         assert got.event_type == "patched"
+
+
+class TestStreamEnrich:
+    """Stream–static dimension enrichment (enrich_stream): the
+    streaming rendering must equal the batch twin, the dimension must
+    broadcast (fact side unshuffled), and a dimension snapshot swapped
+    underneath is picked up on the next trigger without a restart."""
+
+    def test_stream_matches_batch_twin(self, spark, tmp_path):
+        from dbt_icebreaker_spark.streaming.pipeline import enrich_stream
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        dim = read_parquet(spark, f"{SF}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        src = str(tmp_path / "ev_src")
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = enrich_stream(stream, dim, "user_id")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enrich_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT user_id, c_mktsegment, COUNT(*) AS n FROM enrich_out "
+            "GROUP BY user_id, c_mktsegment"
+        )
+        want = (
+            enrich_stream(ev, dim, "user_id")
+            .groupBy("user_id", "c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_dimension_broadcast_no_fact_shuffle(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import enrich_stream
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        dim = read_parquet(spark, f"{SF}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_acctbal"
+        )
+        plan = enrich_stream(ev, dim, "user_id")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_refreshed_dimension_next_trigger(self, spark, tmp_path):
+        """Swap the dimension parquet between two availableNow runs of
+        the SAME checkpointed query — the second batch must see v2."""
+        from dbt_icebreaker_spark.streaming.pipeline import enrich_stream
+
+        dim_dir = str(tmp_path / "dim")
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+        spark.createDataFrame([(1, "v1")], "user_id long, tag string") \
+            .write.mode("overwrite").parquet(dim_dir)
+        ev1 = spark.createDataFrame([(100, 1)], "event_id long, user_id long")
+        ev1.write.parquet(src)
+
+        def run_once():
+            # file sink + shared checkpoint: each availableNow run
+            # processes only NEW source files, against the dimension
+            # snapshot read at (re)start
+            dim = spark.read.parquet(dim_dir)
+            stream = spark.readStream.schema(ev1.schema).parquet(src)
+            q = (
+                enrich_stream(stream, dim, "user_id")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        rows = {(r.event_id, r.tag) for r in spark.read.parquet(out_dir).collect()}
+        assert rows == {(100, "v1")}
+        # v2 snapshot + a new fact file → only the new event flows, and
+        # it joins against the refreshed dimension
+        spark.createDataFrame([(1, "v2")], "user_id long, tag string") \
+            .write.mode("overwrite").parquet(dim_dir)
+        spark.createDataFrame([(200, 1)], "event_id long, user_id long") \
+            .write.mode("append").parquet(src)
+        run_once()
+        rows = {(r.event_id, r.tag) for r in spark.read.parquet(out_dir).collect()}
+        assert rows == {(100, "v1"), (200, "v2")}
