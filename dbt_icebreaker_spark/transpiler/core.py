@@ -56,6 +56,13 @@ class Transpiler:
                 f"Statement '{stmt}' is Snowflake-only and has no Spark "
                 f"statement equivalent. Use {suggestion}."
             )
+        clause = transforms.detect_unsupported_clause(sql)
+        if clause:
+            name, suggestion = clause
+            raise TranspileError(
+                f"Clause '{name}' has no Spark equivalent. Use "
+                f"{suggestion}."
+            )
         tt = transforms.detect_time_travel(sql)
         if tt:
             raise TranspileError(

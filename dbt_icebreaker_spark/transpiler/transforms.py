@@ -2472,6 +2472,34 @@ def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
     return None
 
 
+_UNSUPPORTED_CLAUSES = (
+    # (first-word, second-word-or-None, clause name, suggestion)
+    ("CONNECT", "BY", "CONNECT BY",
+     "a recursive CTE (WITH RECURSIVE … UNION ALL), which Spark and "
+     "this engine support — same hierarchy walk, standard SQL"),
+    ("MATCH_RECOGNIZE", None, "MATCH_RECOGNIZE",
+     "window functions (LAG/LEAD + running flags) or "
+     "xops/temporal.asof_join for event-sequence patterns"),
+)
+
+
+def detect_unsupported_clause(sql: str) -> tuple[str, str] | None:
+    """Clause-level Snowflake features with no Spark clause equivalent
+    (hierarchical CONNECT BY, pattern matching MATCH_RECOGNIZE).
+    Token-scanned so strings/comments never false-positive; returns
+    (clause, suggestion) for an actionable error instead of a Spark
+    parse failure."""
+    toks = tokenize(sql)
+    uppers = [t.upper for t in toks if t.kind == WORD]
+    for first, second, name, sugg in _UNSUPPORTED_CLAUSES:
+        for i, u in enumerate(uppers):
+            if u != first:
+                continue
+            if second is None or (i + 1 < len(uppers) and uppers[i + 1] == second):
+                return (name, sugg)
+    return None
+
+
 def detect_time_travel(sql: str) -> str | None:
     """Snowflake `AT(TIMESTAMP|OFFSET|STATEMENT => …)` / `BEFORE(…)`
     time-travel clauses — unsupported on plain parquet (no table

@@ -1183,3 +1183,27 @@ class TestRound4Functions:
         )
         found = detect_unsupported_scalars("SELECT ZIPF(1, 10, RANDOM())")
         assert found and found[0][0] == "ZIPF"
+
+
+class TestUnsupportedClauses:
+    def test_connect_by_actionable(self):
+        with pytest.raises(TranspileError, match="CONNECT BY.*recursive CTE"):
+            t.to_spark(
+                "SELECT emp, mgr FROM staff START WITH mgr IS NULL "
+                "CONNECT BY PRIOR emp = mgr"
+            )
+
+    def test_match_recognize_actionable(self):
+        with pytest.raises(TranspileError, match="MATCH_RECOGNIZE"):
+            t.to_spark(
+                "SELECT * FROM trades MATCH_RECOGNIZE (PARTITION BY sym "
+                "ORDER BY ts MEASURES FIRST(ts) AS t0 PATTERN (a b+) "
+                "DEFINE b AS price > PREV(price))"
+            )
+
+    def test_no_false_positive_on_identifiers(self):
+        # 'connect' as a bare column and a string literal never trigger
+        out = t.to_spark("SELECT connect, 'CONNECT BY' AS s FROM t")
+        assert "connect" in out
+        ok, _ = t.can_transpile("SELECT connect FROM t")
+        assert ok
