@@ -1835,6 +1835,26 @@ def _x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical CONNECT BY rewritten to a recursive CTE
+    (transpiler rewrite_connect_by): org tree synthesized from
+    customer (parent = custkey div 10), walked from the roots with
+    LEVEL. Oracle spells the same WITH RECURSIVE in DuckDB."""
+    register_dir(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW org AS "
+        "SELECT c_custkey AS emp, "
+        "CASE WHEN c_custkey = 0 THEN NULL "
+        "ELSE CAST(FLOOR(c_custkey / 10) AS BIGINT) END AS mgr "
+        "FROM customer"
+    )
+    sf = (
+        "SELECT emp, mgr, LEVEL FROM org START WITH mgr IS NULL "
+        "CONNECT BY PRIOR emp = mgr"
+    )
+    return spark.sql(_transpiler.to_spark(sf))
+
+
 def _s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static dimension enrichment (streaming/pipeline.
     enrich_stream — batch rendering; the streaming twin re-reads the
@@ -1883,6 +1903,21 @@ XOP_ORACLES: dict[str, str | None] = {
                c.c_mktsegment, c.c_acctbal
         FROM events e
         LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "q54_connect_by": """
+        WITH RECURSIVE org AS (
+          SELECT c_custkey AS emp,
+                 CASE WHEN c_custkey = 0 THEN NULL
+                      ELSE CAST(FLOOR(c_custkey / 10) AS BIGINT) END AS mgr
+          FROM customer
+        ),
+        h AS (
+          SELECT emp, mgr, 1 AS level FROM org WHERE mgr IS NULL
+          UNION ALL
+          SELECT o.emp, o.mgr, h.level + 1
+          FROM org o JOIN h ON o.mgr = h.emp
+        )
+        SELECT emp, mgr, level FROM h
     """,
     "x36_quality_filter": """
         WITH w AS (
@@ -2833,6 +2868,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x39_remove_spans": _x_remove_spans,
     "x40_split_leakage": _x_split_leakage,
     "x41_weighted_sample": _x_weighted_sample,
+    "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,

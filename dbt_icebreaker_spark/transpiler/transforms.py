@@ -2474,13 +2474,238 @@ def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
 
 _UNSUPPORTED_CLAUSES = (
     # (first-word, second-word-or-None, clause name, suggestion)
-    ("CONNECT", "BY", "CONNECT BY",
-     "a recursive CTE (WITH RECURSIVE … UNION ALL), which Spark and "
-     "this engine support — same hierarchy walk, standard SQL"),
     ("MATCH_RECOGNIZE", None, "MATCH_RECOGNIZE",
      "window functions (LAG/LEAD + running flags) or "
      "xops/temporal.asof_join for event-sequence patterns"),
 )
+
+
+def _cb_error(detail: str):
+    from .core import TranspileError
+
+    raise TranspileError(
+        f"CONNECT BY: {detail}. The engine rewrites the common "
+        "single-table hierarchy (SELECT cols FROM t [WHERE …] START "
+        "WITH … CONNECT BY [PRIOR] a = [PRIOR] b [ORDER BY …], LEVEL "
+        "supported) into a recursive CTE; spell anything richer as "
+        "WITH RECURSIVE directly. For the CONNECT BY LEVEL <= n "
+        "row-generator idiom use TABLE(GENERATOR(ROWCOUNT => n))."
+    )
+
+
+def _cb_column_of(side: Tokens, src_names: set[str]) -> str:
+    """A CONNECT BY side must be `col` or `alias.col` (alias naming the
+    source) — anything else has no mechanical CTE rendering."""
+    code = [c for c in side if c.kind != WS]
+    if len(code) == 1 and code[0].kind in (WORD, QIDENT):
+        return code[0].text
+    if (
+        len(code) == 3 and code[1].is_op(".")
+        and code[0].kind in (WORD, QIDENT) and code[2].kind in (WORD, QIDENT)
+        and code[0].upper in src_names
+    ):
+        return code[2].text
+    _cb_error(
+        f"join side `{render(side).strip()}` is not a plain column "
+        "reference"
+    )
+
+
+def _cb_sub_level(seg: Tokens) -> Tokens:
+    """Replace the LEVEL pseudo-column (bare word, not a call, not a
+    qualified field) with the generated __level column."""
+    out: Tokens = []
+    for k, tok in enumerate(seg):
+        if tok.kind == WORD and tok.upper == "LEVEL":
+            j = next_code(seg, k + 1)
+            prev = prev_code(seg, k)
+            is_call = j < len(seg) and seg[j].is_op("(")
+            is_field = prev >= 0 and seg[prev].is_op(".")
+            if not is_call and not is_field:
+                out.append(_word("__level"))
+                continue
+        out.append(tok)
+    return out
+
+
+def rewrite_connect_by(tokens: Tokens) -> Tokens:
+    """Snowflake/Oracle hierarchical query → Spark recursive CTE.
+
+    `SELECT cols FROM t [WHERE w] START WITH s CONNECT BY [PRIOR] a =
+    [PRIOR] b [ORDER BY o]` becomes
+
+        WITH RECURSIVE __cb AS (
+          SELECT t.*, 1 AS __level FROM t WHERE s
+          UNION ALL
+          SELECT t.*, __cb.__level + 1 FROM t JOIN __cb
+            ON t.<child> = __cb.<parent>
+        ) SELECT cols FROM __cb AS t [WHERE w] [ORDER BY o]
+
+    matching Oracle/Snowflake semantics: START WITH seeds the roots,
+    PRIOR marks the parent side, WHERE filters the RESULT (not the
+    traversal), LEVEL counts from 1 at the roots. The recursion is
+    aliased back to the source's name so qualified references keep
+    resolving. Shapes outside the single-table/single-equality form
+    raise an actionable error (the rewrite must not guess)."""
+    # locate CONNECT BY / START WITH at statement top level
+    depth = 0
+    i_connect = i_start = -1
+    for i, tok in enumerate(tokens):
+        if tok.is_op("("):
+            depth += 1
+        elif tok.is_op(")"):
+            depth -= 1
+        elif tok.kind == WORD and depth == 0:
+            j = next_code(tokens, i + 1)
+            nxt = tokens[j].upper if j < len(tokens) and tokens[j].kind == WORD else ""
+            if tok.upper == "CONNECT" and nxt == "BY" and i_connect < 0:
+                i_connect = i
+            elif tok.upper == "START" and nxt == "WITH" and i_start < 0:
+                i_start = i
+        elif tok.kind == WORD and tok.upper == "CONNECT" and depth > 0:
+            j = next_code(tokens, i + 1)
+            if j < len(tokens) and tokens[j].is_word("BY"):
+                _cb_error("only a top-level CONNECT BY is rewritten "
+                          "(found one inside a subquery)")
+    if i_connect < 0:
+        return tokens
+    for bad in ("CONNECT_BY_ROOT", "SYS_CONNECT_BY_PATH",
+                "CONNECT_BY_ISLEAF", "CONNECT_BY_ISCYCLE"):
+        if any(t.kind == WORD and t.upper == bad for t in tokens):
+            _cb_error(f"{bad} has no mechanical rendering")
+    if any(t.kind == WORD and t.upper in ("SIBLINGS", "NOCYCLE") for t in tokens):
+        _cb_error("ORDER SIBLINGS BY / NOCYCLE are unsupported")
+    if i_start < 0:
+        _cb_error("no START WITH clause (the recursive CTE needs an "
+                  "anchor; CONNECT BY LEVEL row generators have none)")
+
+    # clause boundaries
+    n = len(tokens)
+    idx: dict[str, int] = {"START": i_start, "CONNECT": i_connect}
+    depth = 0
+    i_select = i_from = i_where = i_order = -1
+    for i, tok in enumerate(tokens):
+        if tok.is_op("("):
+            depth += 1
+        elif tok.is_op(")"):
+            depth -= 1
+        elif tok.kind == WORD and depth == 0:
+            u = tok.upper
+            if u == "SELECT" and i_select < 0:
+                i_select = i
+            elif u == "FROM" and i_from < 0 and i_select >= 0:
+                i_from = i
+            elif u == "WHERE" and i_where < 0:
+                i_where = i
+            elif u == "ORDER" and i_order < 0 and i > i_connect:
+                i_order = i
+            elif u in ("GROUP", "HAVING", "QUALIFY", "LIMIT") and i > i_connect:
+                _cb_error(f"{u} combined with CONNECT BY is not "
+                          "rewritten; wrap the hierarchy in a CTE")
+    if i_select != 0 or i_from < 0:
+        _cb_error("only a plain SELECT … FROM … statement is rewritten")
+    if i_where >= 0 and i_where > min(i_start, i_connect):
+        _cb_error("WHERE must precede START WITH / CONNECT BY")
+
+    bounds = sorted(x for x in (i_start, i_connect, i_order) if x >= 0) + [n]
+
+    def seg_end(begin: int) -> int:
+        return min(b for b in bounds if b > begin)
+
+    sel = tokens[i_select + 1:i_from]
+    src_end = i_where if i_where >= 0 else min(i_start, i_connect)
+    src = [c for c in tokens[i_from + 1:src_end] if c.kind != WS]
+    where_seg = (
+        tokens[i_where + 1:min(i_start, i_connect)] if i_where >= 0 else None
+    )
+    start_cond = tokens[next_code(tokens, next_code(tokens, i_start + 1) + 1):seg_end(i_start)]
+    connect_cond = tokens[next_code(tokens, next_code(tokens, i_connect + 1) + 1):seg_end(i_connect)]
+    tail = tokens[i_order:] if i_order >= 0 else []
+
+    # source: dotted name + optional alias, nothing else
+    if any(c.is_op("(") or c.is_op(",") for c in src) or any(
+        c.kind == WORD and c.upper in ("JOIN", "LATERAL") for c in src
+    ):
+        _cb_error("the hierarchy source must be a single table")
+    alias = None
+    name_toks = list(src)
+    if len(name_toks) >= 2 and name_toks[-2].is_word("AS"):
+        alias = name_toks[-1].text
+        name_toks = name_toks[:-2]
+    elif (
+        len(name_toks) >= 2
+        and name_toks[-1].kind in (WORD, QIDENT)
+        and not name_toks[-2].is_op(".")
+    ):
+        alias = name_toks[-1].text
+        name_toks = name_toks[:-1]
+    if not name_toks or name_toks[0].kind not in (WORD, QIDENT):
+        _cb_error("the hierarchy source must be a named table")
+    table = "".join(t.text for t in name_toks)
+    out_alias = alias or name_toks[-1].text
+    src_names = {out_alias.upper(), name_toks[-1].upper}
+
+    # CONNECT BY [PRIOR] a = [PRIOR] b — exactly one PRIOR side
+    cc = [c for c in connect_cond if c.kind != WS]
+    eq = next((k for k, c in enumerate(cc) if c.is_op("=")), None)
+    if eq is None or any(
+        c.kind == WORD and c.upper in ("AND", "OR") for c in cc
+    ):
+        _cb_error("the condition must be a single equality")
+    left, right = cc[:eq], cc[eq + 1:]
+
+    def _strip_prior(side):
+        if side and side[0].kind == WORD and side[0].upper == "PRIOR":
+            return side[1:], True
+        return side, False
+
+    left, lp = _strip_prior(left)
+    right, rp = _strip_prior(right)
+    if lp == rp:
+        _cb_error("exactly one side of the equality must be PRIOR "
+                  "(the parent row)")
+    parent_side, child_side = (left, right) if lp else (right, left)
+    parent_col = _cb_column_of(parent_side, src_names)
+    child_col = _cb_column_of(child_side, src_names)
+
+    # a bare `LEVEL` select item keeps its Snowflake output name;
+    # LEVEL inside expressions substitutes positionally
+    items: list[str] = []
+    depth2 = 0
+    item: Tokens = []
+    for tok in list(sel) + [_op(",")]:
+        if tok.is_op("("):
+            depth2 += 1
+        elif tok.is_op(")"):
+            depth2 -= 1
+        if tok.is_op(",") and depth2 == 0:
+            code = [c for c in item if c.kind != WS]
+            if len(code) == 1 and code[0].kind == WORD and code[0].upper == "LEVEL":
+                items.append("__level AS level")
+            else:
+                items.append(render(_cb_sub_level(item)).strip())
+            item = []
+        else:
+            item.append(tok)
+    sel_txt = ", ".join(items)
+    if sel_txt == "*" or sel_txt.endswith(".*"):
+        _cb_error("SELECT * would also expose the generated __level "
+                  "column; list the columns (LEVEL is available)")
+    start_txt = render(start_cond).strip()
+    where_txt = render(_cb_sub_level(where_seg)).strip() if where_seg else ""
+    tail_txt = render(_cb_sub_level(tail)).strip() if tail else ""
+    a = out_alias
+    gen = (
+        f"WITH RECURSIVE __cb AS ("
+        f"SELECT {a}.*, 1 AS __level FROM {table} {a} WHERE {start_txt} "
+        f"UNION ALL "
+        f"SELECT {a}.*, __cb.__level + 1 FROM {table} {a} "
+        f"JOIN __cb ON {a}.{child_col} = __cb.{parent_col}"
+        f") SELECT {sel_txt} FROM __cb AS {a}"
+        + (f" WHERE {where_txt}" if where_txt else "")
+        + (f" {tail_txt}" if tail_txt else "")
+    )
+    return tokenize(gen)
 
 
 def detect_unsupported_clause(sql: str) -> tuple[str, str] | None:
@@ -2615,6 +2840,7 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
 
 # ------------------------------------------------------------- pipeline
 PIPELINE = (
+    rewrite_connect_by,        # whole-statement restructure runs first
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,
     rewrite_listagg_distinct,

@@ -1186,13 +1186,6 @@ class TestRound4Functions:
 
 
 class TestUnsupportedClauses:
-    def test_connect_by_actionable(self):
-        with pytest.raises(TranspileError, match="CONNECT BY.*recursive CTE"):
-            t.to_spark(
-                "SELECT emp, mgr FROM staff START WITH mgr IS NULL "
-                "CONNECT BY PRIOR emp = mgr"
-            )
-
     def test_match_recognize_actionable(self):
         with pytest.raises(TranspileError, match="MATCH_RECOGNIZE"):
             t.to_spark(
@@ -1207,3 +1200,53 @@ class TestUnsupportedClauses:
         assert "connect" in out
         ok, _ = t.can_transpile("SELECT connect FROM t")
         assert ok
+
+
+class TestConnectBy:
+    """CONNECT BY → recursive CTE (rewrite_connect_by), execution-
+    verified against a 6-row org tree during development; these pin
+    the generated shape and the refusal surface."""
+
+    def test_basic_rewrite_shape(self):
+        out = t.to_spark(
+            "SELECT emp, mgr, LEVEL FROM staff START WITH mgr IS NULL "
+            "CONNECT BY PRIOR emp = mgr ORDER BY LEVEL, emp"
+        )
+        assert out.startswith("WITH RECURSIVE __cb AS (")
+        assert "1 AS __level" in out and "__cb.__level + 1" in out
+        assert "JOIN __cb ON staff.mgr = __cb.emp" in out
+        assert "__level AS level" in out          # bare LEVEL keeps its name
+        assert "ORDER BY __level, emp" in out
+
+    def test_prior_on_right(self):
+        out = t.to_spark(
+            "SELECT emp FROM staff START WITH mgr IS NULL "
+            "CONNECT BY mgr = PRIOR emp"
+        )
+        assert "ON staff.mgr = __cb.emp" in out
+
+    def test_alias_and_where_semantics(self):
+        # WHERE filters the RESULT (outer), not the traversal
+        out = t.to_spark(
+            "SELECT s.emp FROM staff s WHERE s.emp > 3 START WITH s.mgr IS NULL "
+            "CONNECT BY PRIOR s.emp = s.mgr"
+        )
+        assert "FROM staff s WHERE s.mgr IS NULL" in out  # anchor = START WITH
+        assert out.rstrip().endswith("WHERE s.emp > 3")   # outer = WHERE
+        assert "FROM __cb AS s" in out
+
+    def test_refusals_actionable(self):
+        cases = [
+            ("SELECT * FROM staff START WITH mgr IS NULL "
+             "CONNECT BY PRIOR emp = mgr", "SELECT \\*"),
+            ("SELECT emp FROM staff CONNECT BY LEVEL <= 5", "START WITH"),
+            ("SELECT emp FROM staff START WITH mgr IS NULL "
+             "CONNECT BY PRIOR emp = mgr AND x = 1", "single equality"),
+            ("SELECT emp FROM a JOIN b ON a.x = b.x START WITH mgr IS NULL "
+             "CONNECT BY PRIOR emp = mgr", "single table"),
+            ("SELECT CONNECT_BY_ROOT emp FROM staff START WITH mgr IS NULL "
+             "CONNECT BY PRIOR emp = mgr", "CONNECT_BY_ROOT"),
+        ]
+        for sql, pat in cases:
+            with pytest.raises(TranspileError, match=pat):
+                t.to_spark(sql)
