@@ -1835,6 +1835,17 @@ def _x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def _x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal bigram LM fluency score (xops/text.lm_score):
+    mean add-1-smoothed bigram log-probability per document — the
+    CCNet-style signal that ranks gibberish/boilerplate far from the
+    corpus distribution."""
+    from .xops.text import lm_score
+
+    register_dir(spark, sf_dir)
+    return lm_score(spark.table("documents"), "doc_id", "text")
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -1903,6 +1914,41 @@ XOP_ORACLES: dict[str, str | None] = {
                c.c_mktsegment, c.c_acctbal
         FROM events e
         LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "x42_lm_score": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 2
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+        v AS (
+          SELECT COUNT(DISTINCT x) AS v
+          FROM (SELECT w1 AS x FROM bg UNION ALL SELECT w2 FROM bg)
+        ),
+        lp AS (
+          SELECT bg.doc_id,
+                 ln((COALESCE(c2.n2, 0) + 1.0)
+                    / (COALESCE(c1.n1, 0) + 1.0 * v.v)) AS lp
+          FROM bg
+          LEFT JOIN c2 USING (w1, w2)
+          LEFT JOIN c1 USING (w1)
+          CROSS JOIN v
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS lm_logprob
+          FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+               agg.lm_logprob
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -2868,6 +2914,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x39_remove_spans": _x_remove_spans,
     "x40_split_leakage": _x_split_leakage,
     "x41_weighted_sample": _x_weighted_sample,
+    "x42_lm_score": _x_lm_score,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

@@ -602,3 +602,90 @@ def chunk_documents_tokens(
             F.slice(F.col("__w"), F.col("chunk_idx") * step + 1, size), " "
         ).alias("chunk_text"),
     )
+
+
+def bigram_lm(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame, int]:
+    """Corpus-internal bigram language model: (bigram_counts,
+    unigram_counts, vocab_size) over lowercase whitespace words. The
+    model IS the aggregate — at 100 TB the corpus explodes once into
+    word pairs and partial-aggregated groupBys reduce it to a model
+    whose size tracks vocabulary, not corpus (broadcastable for
+    scoring).
+
+    Returns DataFrames (w1, w2, c2) and (w1, c1) plus |V|."""
+    words = _words(F.lower(F.col(text_col)))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    unigrams = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = pairs.select("w2").union(pairs.select(F.col("w1").alias("w2")))
+    v = vocab.distinct().count()
+    return bigrams, unigrams, v
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-alpha
+    smoothed corpus LM — the CCNet/Gopher-style fluency signal
+    (gibberish and boilerplate sit far from the corpus distribution;
+    rank by lm_logprob ascending to find them). Scored against the
+    corpus itself by default, or against `model_df` (a reference
+    corpus, e.g. a known-clean slice) for CCNet-style filtering.
+
+    Output: (id, n_bigrams, lm_logprob) — NULL score for docs with no
+    bigram (< 2 words).
+
+    Shape at scale: TWO corpus explosions (model build + scoring),
+    each feeding a partial-aggregated groupBy; the scoring join is
+    against model tables whose size is vocabulary-bound, so Catalyst
+    broadcasts them when small and AQE picks shuffle-hash beyond
+    that. ln() + one final avg keep everything whole-stage codegen;
+    the same arithmetic in plain SQL is the oracle (corpus x42).
+    """
+    bigrams, unigrams, v = bigram_lm(model_df if model_df is not None else df, text_col)
+    words = _words(F.lower(F.col(text_col)))
+    doc_pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        doc_pairs.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(alpha * v)))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("lm_logprob")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+        )
+    )

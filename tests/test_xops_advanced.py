@@ -1187,3 +1187,40 @@ class TestWeightedSample:
         from dbt_icebreaker_spark.xops.sampling import weighted_sample
         df = self._docs(spark, n=30)
         assert weighted_sample(df, "doc_id", "w", 100).count() == 30
+
+
+class TestLmScore:
+    """Bigram LM fluency scoring (xops/text.lm_score)."""
+
+    def test_gibberish_scores_lower(self, spark):
+        from dbt_icebreaker_spark.xops.text import lm_score
+        rows = [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(20)]
+        rows.append((99, "zqx vbn qwk jxp zzv mml qqp wvx bnz kjq"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.lm_logprob for r in lm_score(df, "doc_id", "text").collect()}
+        fluent = out[0]
+        assert out[99] < fluent  # unseen bigrams → far lower log-prob
+
+    def test_short_docs_null_score(self, spark):
+        from dbt_icebreaker_spark.xops.text import lm_score
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, ""), (3, "a b")], "doc_id long, text string"
+        )
+        got = {r.doc_id: (r.n_bigrams, r.lm_logprob) for r in lm_score(df, "doc_id", "text").collect()}
+        assert got[1] == (0, None) and got[2] == (0, None)
+        assert got[3][0] == 1 and got[3][1] is not None
+
+    def test_reference_model_scoring(self, spark):
+        # scoring against a clean reference corpus: a doc made of
+        # reference bigrams outscores one made of unseen words
+        from dbt_icebreaker_spark.xops.text import lm_score
+        ref = spark.createDataFrame(
+            [(i, "good clean text flows well") for i in range(10)],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(1, "good clean text"), (2, "xxqq yyzz wwvv")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.lm_logprob for r in lm_score(target, "doc_id", "text", model_df=ref).collect()}
+        assert out[1] > out[2]
