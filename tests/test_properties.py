@@ -352,3 +352,49 @@ def test_remove_spans_preserves_unshared_text(spark, texts):
     for i, t in enumerate(texts):
         assert got[i][1] == 0
         assert got[i][0] == t
+
+
+@_spark_settings
+@given(
+    parents=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    ),
+    n_roots=st.integers(min_value=1, max_value=3),
+)
+def test_connect_by_matches_bfs(spark, parents, n_roots):
+    """CONNECT BY → recursive CTE differential: for a random forest
+    (node i's parent drawn from earlier nodes, first n_roots are
+    roots), the rewritten hierarchy walk must equal a Python BFS —
+    same reachable set, same level per node."""
+    from dbt_icebreaker_spark.transpiler import Transpiler
+
+    rows = []
+    for i, p in enumerate(parents):
+        node = i + 100
+        parent = None if i < n_roots else (100 + (p % i)) if i > 0 else None
+        rows.append((node, parent))
+    # python BFS oracle
+    from collections import defaultdict, deque
+
+    kids = defaultdict(list)
+    for node, parent in rows:
+        if parent is not None:
+            kids[parent].append(node)
+    want = {}
+    dq = deque((n, 1) for n, p in rows if p is None)
+    while dq:
+        n, lvl = dq.popleft()
+        want[n] = lvl
+        for k in kids[n]:
+            dq.append((k, lvl + 1))
+
+    df = spark.createDataFrame(rows, "emp long, mgr long")
+    df.createOrReplaceTempView("cb_prop")
+    out = spark.sql(
+        Transpiler().to_spark(
+            "SELECT emp, LEVEL FROM cb_prop START WITH mgr IS NULL "
+            "CONNECT BY PRIOR emp = mgr"
+        )
+    )
+    got = {r.emp: r.level for r in out.collect()}
+    assert got == want
