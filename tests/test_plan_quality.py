@@ -392,3 +392,19 @@ class TestWeightedSampleShape:
         assert "Exchange" not in tree
         # weight filter stays inside the codegen span before the heap
         assert "Filter" in tree
+
+
+class TestLmScoreShape:
+    """lm_score's model joins must be broadcast at fixture scale (the
+    model is vocabulary-bound); a SortMergeJoin would mean the corpus
+    side is being sorted for a dimension-sized build."""
+
+    def test_model_joins_broadcast(self, spark):
+        from dbt_icebreaker_spark.xops.text import lm_score
+
+        register_dir(spark, SF_DIR)
+        out = lm_score(spark.table("documents"), "doc_id", "text")
+        plan = _executed_plan(out)
+        tree = _final_tree(plan)
+        assert "BroadcastHashJoin" in tree
+        assert "SortMergeJoin" not in tree
