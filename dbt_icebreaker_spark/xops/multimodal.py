@@ -131,6 +131,9 @@ def probe_bytes(raw: bytes) -> dict:
     - WAV: 'RIFF…WAVE'; the fmt chunk carries channels (u16 LE @22)
       and sample rate (u32 LE @24); duration derives from the data
       chunk size / byte rate.
+    - MP4/ISO-BMFF: box walk (u32 size + 4cc, 64-bit largesize and
+      run-to-EOF handled); moov→mvhd gives duration/timescale,
+      moov→trak→tkhd gives 16.16-fixed track dimensions.
     """
     out: dict = {
         "format": "unknown", "width": None, "height": None,
@@ -174,6 +177,60 @@ def probe_bytes(raw: bytes) -> dict:
                 i += 2 + seg_len
             if out["format"] == "unknown":
                 out.update(format="jpeg")  # magic matched, no SOF found
+        elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+            # MP4 / ISO-BMFF (ISO 14496-12): a sequence of boxes
+            # [u32 BE size][4cc type], size==1 → u64 largesize follows,
+            # size==0 → box runs to EOF. moov is a pure container;
+            # mvhd carries timescale+duration (v0: u32s after 4-byte
+            # version/flags + 2×u32 times; v1: u64 times/duration),
+            # tkhd carries 16.16-fixed track width/height at +76 (v0)
+            # / +88 (v1) past the version byte.
+            def _boxes(lo: int, hi: int):
+                i2 = lo
+                while i2 + 8 <= hi:
+                    size = _struct.unpack(">I", raw[i2:i2 + 4])[0]
+                    typ = raw[i2 + 4:i2 + 8]
+                    hdr = 8
+                    if size == 1 and i2 + 16 <= hi:
+                        size = _struct.unpack(">Q", raw[i2 + 8:i2 + 16])[0]
+                        hdr = 16
+                    elif size == 0:
+                        size = hi - i2
+                    if size < hdr:
+                        break
+                    yield typ, i2 + hdr, min(i2 + size, hi)
+                    i2 += size
+
+            dur = width = height = None
+            for typ, lo, hi in _boxes(0, len(raw)):
+                if typ != b"moov":
+                    continue
+                for t2, l2, h2 in _boxes(lo, hi):
+                    if t2 == b"mvhd" and h2 - l2 >= 20:
+                        ver = raw[l2]
+                        if ver == 1 and h2 - l2 >= 28:
+                            ts = _struct.unpack(">I", raw[l2 + 20:l2 + 24])[0]
+                            d = _struct.unpack(">Q", raw[l2 + 24:l2 + 32])[0]
+                        else:
+                            ts = _struct.unpack(">I", raw[l2 + 12:l2 + 16])[0]
+                            d = _struct.unpack(">I", raw[l2 + 16:l2 + 20])[0]
+                        if ts:
+                            dur = d / ts
+                    elif t2 == b"trak":
+                        for t3, l3, h3 in _boxes(l2, h2):
+                            if t3 != b"tkhd":
+                                continue
+                            off = 88 if raw[l3] == 1 else 76
+                            if h3 - l3 >= off + 8 and width is None:
+                                w_fx, h_fx = _struct.unpack(
+                                    ">II", raw[l3 + off:l3 + off + 8])
+                                if w_fx and h_fx:
+                                    width = w_fx >> 16
+                                    height = h_fx >> 16
+            out.update(
+                format="mp4", duration_s=dur, width=width, height=height,
+                valid=dur is not None,
+            )
         elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             # walk the RIFF chunk list instead of assuming the
             # 44-byte canonical layout: editors commonly emit LIST/

@@ -1224,3 +1224,52 @@ class TestLmScore:
         )
         out = {r.doc_id: r.lm_logprob for r in lm_score(target, "doc_id", "text", model_df=ref).collect()}
         assert out[1] > out[2]
+
+
+class TestMp4Probe:
+    """ISO-BMFF box-walk probing (spec layouts synthesized in the test
+    — no media libs needed)."""
+
+    @staticmethod
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        import struct
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def _mp4(self, version=0, timescale=1000, duration=2500, w=640, h=360):
+        import struct
+        B = self._box
+        if version == 1:
+            mvhd = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(
+                ">IQ", timescale, duration)
+            tk_pre = 88
+        else:
+            mvhd = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(
+                ">II", timescale, duration)
+            tk_pre = 76
+        tkhd_ver = b"\x01" if version == 1 else b"\x00"
+        tkhd = tkhd_ver + b"\x00" * (tk_pre - 1) + struct.pack(
+            ">II", w << 16, h << 16)
+        moov = B(b"mvhd", mvhd) + B(b"trak", B(b"tkhd", tkhd))
+        return B(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + B(b"moov", moov)
+
+    def test_mp4_v0(self):
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+        out = probe_bytes(self._mp4())
+        assert out["format"] == "mp4" and out["valid"]
+        assert abs(out["duration_s"] - 2.5) < 1e-9
+        assert (out["width"], out["height"]) == (640, 360)
+
+    def test_mp4_v1_64bit(self):
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+        out = probe_bytes(self._mp4(version=1, timescale=600, duration=1800,
+                                    w=1920, h=1080))
+        assert out["format"] == "mp4" and out["valid"]
+        assert abs(out["duration_s"] - 3.0) < 1e-9
+        assert (out["width"], out["height"]) == (1920, 1080)
+
+    def test_truncated_mp4_never_raises(self):
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+        raw = self._mp4()
+        for cut in (9, 15, 20, 40, len(raw) - 3):
+            out = probe_bytes(raw[:cut])
+            assert out["n_bytes"] == cut  # no exception, metadata best-effort
