@@ -201,8 +201,15 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         # gap-tolerant sequence ids — Snowflake SEQ* doesn't guarantee
         # gap-free either (docs say "may have gaps")
         "SEQ1": "SEQ_X", "SEQ2": "SEQ_X", "SEQ4": "SEQ_X", "SEQ8": "SEQ_X",
-        "BASE64_ENCODE": "BASE64",
+        "BASE64_ENCODE": "B64ENC_X",  # extra max-line/alphabet args
         "BASE64_DECODE_STRING": "B64DEC_X",  # → CAST(unbase64 AS STRING)
+        "MD5_HEX": "MD5",
+        "SHA1_HEX": "SHA1",
+        "SHA2_HEX": "SHA2",
+        "MD5_BINARY": "MD5B_X",      # → unhex(md5(x))
+        "SHA1_BINARY": "SHA1B_X",
+        "SHA2_BINARY": "SHA2B_X",
+        "TRUNC": "TRUNC0_X",         # numeric OR date-part (unit literal)
         "HEX_ENCODE": "HEX",
         "HEX_DECODE_STRING": "HEXDEC_X",
         "UNIFORM": "UNIFORM_X",     # drop/convert the RANDOM() generator arg
@@ -280,6 +287,50 @@ def _unwrap_string_cast(val: Tokens) -> Tokens:
     return val
 
 
+# Snowflake TRUNC/DATE_TRUNC date-part spellings → Spark date_trunc
+# units (date_trunc accepts these; trunc() itself can't do sub-day)
+_TRUNC_DATE_UNITS = {
+    "YEAR": "year", "YYYY": "year", "YY": "year",
+    "QUARTER": "quarter", "Q": "quarter", "QTR": "quarter",
+    "MONTH": "month", "MM": "month", "MON": "month",
+    "WEEK": "week", "W": "week", "WK": "week",
+    "DAY": "day", "D": "day", "DD": "day",
+    "HOUR": "hour", "HH": "hour", "HH24": "hour",
+    "MINUTE": "minute", "MI": "minute",
+    "SECOND": "second", "SS": "second",
+}
+
+
+def _epoch_literal(arg: Tokens) -> str | None:
+    """Snowflake TO_TIMESTAMP of an integer (or all-digit string)
+    LITERAL is an epoch, scale auto-detected by magnitude (the
+    documented 31536000000-family thresholds: seconds < 3.15e10 <
+    ms < 3.15e13 < µs < 3.15e16 < ns). Returns the Spark constructor
+    source, or None when the argument isn't such a literal (dynamic
+    expressions keep to_timestamp, whose bigint path is seconds)."""
+    code = [c for c in arg if c.kind != WS]
+    neg = ""
+    if len(code) == 2 and code[0].is_op("-"):
+        neg, code = "-", code[1:]
+    if len(code) != 1:
+        return None
+    tk = code[0]
+    if tk.kind == NUMBER and tk.text.isdigit():
+        n = int(neg + tk.text)
+    elif tk.kind == STRING and tk.text[1:-1].isdigit() and tk.text[1:-1]:
+        n = int(neg + tk.text[1:-1])
+    else:
+        return None
+    mag = abs(n)
+    if mag < 31536000000:
+        return f"timestamp_seconds({n})"
+    if mag < 31536000000000:
+        return f"timestamp_millis({n})"
+    if mag < 31536000000000000:
+        return f"timestamp_micros({n})"
+    return f"timestamp_micros({n} div 1000)"
+
+
 _PLACEHOLDER_NAMES = frozenset((
     "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
     "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
@@ -291,6 +342,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "SPLIT_X", "STRTOKARR_X",
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
     "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
+    "B64ENC_X", "MD5B_X", "SHA1B_X", "SHA2B_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -438,11 +490,12 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 lo = tokens[args[1][0]:args[1][1]]
                 hi = tokens[args[2][0]:args[2][1]]
                 out += [_word("slice"), _op("(")] + arr + [_op(","), _sp(), _op("(")] + lo + [_op(")"), _sp(), _op("+"), _sp(), Token(WORD, "1"), _op(","), _sp(), _op("(")] + hi + [_op(")"), _sp(), _op("-"), _sp(), _op("(")] + lo + [_op(")"), _op(")")]
-            elif t.text == "INSTR_SWAP" and len(args) == 2:
-                # CHARINDEX(needle, haystack) → INSTR(haystack, needle)
-                needle = tokens[args[0][0]:args[0][1]]
-                hay = tokens[args[1][0]:args[1][1]]
-                out += [_word("instr"), _op("(")] + hay + [_op(","), _sp()] + needle + [_op(")")]
+            elif t.text == "INSTR_SWAP" and len(args) in (2, 3):
+                # CHARINDEX(needle, haystack[, start]) → Spark locate,
+                # which shares CHARINDEX's argument order AND start-
+                # position semantics (1-based, 0 = not found)
+                parts = [render(tokens[a:b2]).strip() for a, b2 in args]
+                out += tokenize(f"locate({', '.join(parts)})")
             elif t.text == "TO_CHAR_X":
                 if len(args) == 1:
                     # TO_CHAR(x) → CAST(x AS STRING)
@@ -500,6 +553,19 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         + [_op(","), _sp(), _word("0"), _op(","), _sp(), _op("(")]
                         + a1 + [_op(")"), _sp(), _op("/"), _sp(), _op("(")]
                         + a2 + [_op(")"), _op(")")])
+            elif t.text == "TRUNC0_X" and len(args) == 2 and (
+                lambda dc: len(dc) == 1 and dc[0].kind == STRING
+                and _TRUNC_DATE_UNITS.get(dc[0].text[1:-1].upper()) is not None
+            )([c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]):
+                # TRUNC(x, 'MONTH'/'HOUR'/…) is DATE truncation in
+                # Snowflake (Spark's trunc can't do sub-day units and
+                # silently NULLs on them) → date_trunc. Output is a
+                # timestamp; Snowflake preserves DATE for date input —
+                # documented deviation, cast at the call site if needed.
+                unit_tok = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS][0]
+                unit = _TRUNC_DATE_UNITS[unit_tok.text[1:-1].upper()]
+                x_r = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                out += tokenize(f"date_trunc('{unit}', {x_r})")
             elif t.text == "TRUNC0_X" and len(args) in (1, 2):
                 # numeric truncation toward zero (Spark's TRUNC is
                 # date-only): sign(x)*floor(abs(x)*10^d)/10^d
@@ -659,7 +725,11 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     out += [_word(fn), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
                 else:
                     x = tokens[args[0][0]:args[0][1]] if args else []
-                    out += [_word(fn), _op("(")] + x + [_op(")")]
+                    epoch = _epoch_literal(x) if t.text == "TO_TS_X" else None
+                    if epoch is not None:
+                        out += tokenize(epoch)
+                    else:
+                        out += [_word(fn), _op("(")] + x + [_op(")")]
             elif t.text in ("DAYNAME_X", "MONTHNAME_X") and len(args) == 1:
                 # Snowflake DAYNAME/MONTHNAME return 3-letter English
                 # abbreviations ('Mon'/'Jan') — java.time EEE/MMM.
@@ -1190,6 +1260,37 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 m_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 sd = "(" + render(tokens[args[1][0]:args[1][1]]) + ")"
                 out += tokenize(f"({m_r} + {sd} * randn())")
+            elif t.text in ("MD5B_X", "SHA1B_X", "SHA2B_X"):
+                # *_BINARY hash variants → unhex over the hex digest
+                inner_fn = {"MD5B_X": "md5", "SHA1B_X": "sha1",
+                            "SHA2B_X": "sha2"}[t.text]
+                parts = [render(tokens[a:b2]).strip() for a, b2 in args]
+                out += tokenize(f"unhex({inner_fn}({', '.join(parts)}))")
+            elif t.text == "B64ENC_X" and len(args) in (1, 2, 3):
+                # BASE64_ENCODE(x[, max_line_length[, alphabet]]):
+                # Spark's base64 never wraps lines, which IS
+                # max_line_length = 0 (the Snowflake default); any
+                # other wrapping or a custom alphabet can't be spelled
+                x_r = render(tokens[args[0][0]:args[0][1]]).strip()
+                if len(args) >= 2:
+                    mll = render(tokens[args[1][0]:args[1][1]]).strip()
+                    if mll != "0":
+                        from .core import TranspileError
+
+                        raise TranspileError(
+                            "BASE64_ENCODE with a non-zero "
+                            "max_line_length (or custom alphabet): "
+                            "Spark's base64 emits one unwrapped line "
+                            "only (= max_line_length 0)."
+                        )
+                if len(args) == 3:
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "BASE64_ENCODE with a custom alphabet has no "
+                        "Spark rendering."
+                    )
+                out += tokenize(f"base64({x_r})")
             elif t.text == "PARSEURL_X" and len(args) in (1, 2):
                 # 2nd (permissive) argument only relaxes Snowflake's
                 # error behavior — irrelevant here since parse_url
@@ -1199,7 +1300,9 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
             else:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
-                    "SLICE_0": "slice", "INSTR_SWAP": "instr",
+                    "SLICE_0": "slice", "INSTR_SWAP": "locate",
+                    "MD5B_X": "md5", "SHA1B_X": "sha1",
+                    "SHA2B_X": "sha2", "B64ENC_X": "base64",
                     "TO_CHAR_X": "CAST", "SQUARE_X": "POWER",
                     "ARRCONT_SWAP": "array_contains", "OVERLAY_X": "overlay",
                     "BITOP_AND": "BITAND", "BITOP_OR": "BITOR",
@@ -1415,8 +1518,9 @@ def rewrite_variant_funcs(tokens: Tokens) -> Tokens:
     PARSE_JSON(s) → s (already a JSON string; ref transpiler.py:282-292
     casts to JSON — identity in the string model);
     TO_VARIANT(x) → CAST(x AS STRING) (ref 304-313);
-    TO_JSON on a *string* is identity in Snowflake — left alone (Spark
-    TO_JSON works on structs; callers use OBJECT_CONSTRUCT for those).
+    TO_JSON(variant) → identity on the string model (Spark's to_json
+    ERRORS on strings) — preserved as Spark to_json only over genuine
+    struct/map builders; STRIP_NULL_VALUE → JSON-null → SQL NULL.
     """
     out: Tokens = []
     i = 0
@@ -1451,6 +1555,37 @@ def rewrite_variant_funcs(tokens: Tokens) -> Tokens:
             close = find_matching_paren(tokens, op_i)
             inner = tokens[op_i + 1:close]
             out += [_word("CAST"), _op("(")] + inner + [_sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
+            i = close + 1
+            continue
+        if t.kind == WORD and _is_call(tokens, i, "TO_JSON"):
+            # Snowflake TO_JSON(variant) serializes — identity in the
+            # JSON-string model (Spark's to_json ERRORS on strings).
+            # Keep Spark's to_json when the argument is a genuine
+            # struct/map builder (incl. the output of an inner
+            # OBJECT_CONSTRUCT rewrite, which is already to_json(...)).
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            inner = rewrite_variant_funcs(tokens[op_i + 1:close])
+            first = next((c for c in inner if c.kind != WS), None)
+            if first is not None and first.kind == WORD and first.upper in (
+                "NAMED_STRUCT", "STRUCT", "MAP", "MAP_FROM_ENTRIES",
+            ):
+                out.append(t)
+                i += 1
+                continue
+            out += [_op("(")] + inner + [_op(")")]
+            i = close + 1
+            continue
+        if t.kind == WORD and _is_call(tokens, i, "STRIP_NULL_VALUE"):
+            # JSON null → SQL NULL; anything else passes through
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            x = "(" + render(
+                rewrite_variant_funcs(tokens[op_i + 1:close])
+            ).strip() + ")"
+            out += tokenize(
+                f"CASE WHEN trim(CAST({x} AS STRING)) = 'null' "
+                f"THEN NULL ELSE {x} END")
             i = close + 1
             continue
         out.append(t)

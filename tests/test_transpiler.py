@@ -32,7 +32,7 @@ class TestSimpleRenames:
     def test_len_charindex_tochar(self):
         out = t.to_spark("SELECT LEN(x), CHARINDEX('a', x), TO_CHAR(d, 'YYYY-MM-DD') FROM t")
         assert "LENGTH(x)" in out
-        assert "instr( x, 'a')" in out
+        assert "locate('a', x)" in out
         assert "date_format(d,  'yyyy-MM-dd')" in out
 
 
@@ -1250,3 +1250,57 @@ class TestConnectBy:
         for sql, pat in cases:
             with pytest.raises(TranspileError, match=pat):
                 t.to_spark(sql)
+
+
+class TestRound5Functions:
+    """Epoch-literal TO_TIMESTAMP, CHARINDEX→locate, hash variants,
+    BASE64_ENCODE args, TRUNC date parts, TO_JSON/STRIP_NULL_VALUE on
+    the VARIANT string model — execution-verified on Spark during
+    development; these pin the emitted SQL."""
+
+    def test_epoch_literal_scales(self):
+        assert "timestamp_seconds(1700000000)" in t.to_spark(
+            "SELECT TO_TIMESTAMP(1700000000)")
+        assert "timestamp_seconds(1700000000)" in t.to_spark(
+            "SELECT TO_TIMESTAMP('1700000000')")
+        assert "timestamp_millis(1700000000123)" in t.to_spark(
+            "SELECT TO_TIMESTAMP(1700000000123)")
+        assert "timestamp_micros(1700000000123456)" in t.to_spark(
+            "SELECT TO_TIMESTAMP(1700000000123456)")
+        # non-literal args keep to_timestamp (bigint path = seconds)
+        assert "to_timestamp(x)" in t.to_spark("SELECT TO_TIMESTAMP(x) FROM t")
+
+    def test_charindex_locate(self):
+        out = t.to_spark("SELECT CHARINDEX('b', s, 3) FROM t")
+        assert "locate('b', s, 3)" in out
+
+    def test_hash_variants(self):
+        out = t.to_spark("SELECT MD5_HEX(x), MD5_BINARY(x), SHA2_BINARY(x, 256) FROM t")
+        assert "MD5(x)" in out
+        assert "unhex(md5(x))" in out
+        assert "unhex(sha2(x, 256))" in out
+
+    def test_base64_encode_args(self):
+        assert "base64(x)" in t.to_spark("SELECT BASE64_ENCODE(x, 0) FROM t")
+        with pytest.raises(TranspileError, match="max_line_length"):
+            t.to_spark("SELECT BASE64_ENCODE(x, 76) FROM t")
+
+    def test_trunc_date_parts(self):
+        out = t.to_spark("SELECT TRUNC(ts, 'HOUR') FROM t")
+        assert "date_trunc('hour', (ts))" in out
+        out = t.to_spark("SELECT TRUNC(d, 'MM') FROM t")
+        assert "date_trunc('month', (d))" in out
+        # numeric forms stay numeric truncation
+        assert "FLOOR" in t.to_spark("SELECT TRUNC(x, 2) FROM t")
+        assert "FLOOR" in t.to_spark("SELECT TRUNC(x) FROM t")
+
+    def test_to_json_variant_identity(self):
+        out = t.to_spark("SELECT TO_JSON(PARSE_JSON(s)) FROM t")
+        assert "TO_JSON" not in out.upper().replace("GET_JSON", "")
+        # struct builders keep Spark's to_json
+        out = t.to_spark("SELECT TO_JSON(OBJECT_CONSTRUCT('k', v)) FROM t")
+        assert out.upper().count("TO_JSON") == 1
+
+    def test_strip_null_value(self):
+        out = t.to_spark("SELECT STRIP_NULL_VALUE(v) FROM t")
+        assert "= 'null'" in out and "THEN NULL ELSE" in out
