@@ -1231,6 +1231,42 @@ _q(
     """,
 )
 
+# Epoch-literal TO_TIMESTAMP, TRUNC date parts, CHARINDEX start
+# position, hash binary variants — the round-5 scalar additions,
+# driver-gated (DuckDB: to_timestamp/epoch_ms, date_trunc, strpos
+# arithmetic, unhex over hex digests).
+_q(
+    "q55_scalar_round5",
+    """
+    SELECT o_orderkey,
+           TO_TIMESTAMP(1700000000) AS ts_epoch_s,
+           TO_TIMESTAMP(1700000000123) AS ts_epoch_ms,
+           TRUNC(CAST(o_orderdate AS TIMESTAMP), 'HOUR') AS ts_hour,
+           TRUNC(o_orderdate, 'MM') AS month_start,
+           CHARINDEX('E', o_orderpriority, 4) AS pos_e,
+           LENGTH(MD5_BINARY(o_orderpriority)) AS md5b_len,
+           MD5_HEX(o_orderpriority) AS md5h,
+           BASE64_ENCODE(o_orderstatus, 0) AS b64,
+           TRUNC(o_totalprice, 1) AS price_trunc
+    FROM orders WHERE o_orderkey < 400
+    """,
+    """
+    SELECT o_orderkey,
+           epoch_ms(1700000000000) AS ts_epoch_s,
+           epoch_ms(1700000000123) AS ts_epoch_ms,
+           date_trunc('hour', CAST(o_orderdate AS TIMESTAMP)) AS ts_hour,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CASE WHEN strpos(substr(o_orderpriority, 4), 'E') = 0 THEN 0
+                ELSE strpos(substr(o_orderpriority, 4), 'E') + 3 END AS pos_e,
+           octet_length(unhex(md5(o_orderpriority))) AS md5b_len,
+           md5(o_orderpriority) AS md5h,
+           to_base64(encode(o_orderstatus)) AS b64,
+           sign(o_totalprice) * floor(abs(o_totalprice) * 10) / 10
+             AS price_trunc
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+
 # BOOLOR/BOOLAND/BOOLXOR_AGG group semantics (exactly-one-true
 # contract for XOR) — aggregate tier of the round-4 additions.
 _q(
