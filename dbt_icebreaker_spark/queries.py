@@ -1882,6 +1882,18 @@ def _x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(spark.table("documents"), "doc_id", "text")
 
 
+def _x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (xops/similarity.
+    hard_negatives): per query vector, top-5 most-similar vectors
+    with a DIFFERENT label — query side broadcast, label inequality
+    inside the join condition."""
+    from .xops.similarity import hard_negatives
+
+    register_dir(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -1985,6 +1997,35 @@ XOP_ORACLES: dict[str, str | None] = {
                COALESCE(agg.n_bigrams, 0) AS n_bigrams,
                agg.lm_logprob
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    "x43_hard_negatives": """
+        WITH x AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM x GROUP BY 1),
+        q AS (SELECT * FROM x WHERE vec_id < 10),
+        d AS (
+          SELECT q.vec_id AS qa, q.label AS ql,
+                 c.vec_id AS ca, c.label AS cl,
+                 SUM(q.v * c.v) AS dot
+          FROM q JOIN x c
+            ON q.i = c.i AND q.vec_id <> c.vec_id
+               AND q.label IS DISTINCT FROM c.label
+          GROUP BY 1, 2, 3, 4
+        ),
+        s AS (
+          SELECT qa, ql, ca, cl, dot / (nq.nrm * nc.nrm) AS cosine
+          FROM d JOIN n nq ON nq.vec_id = qa JOIN n nc ON nc.vec_id = ca
+        )
+        SELECT CAST(qa AS BIGINT) AS query_id, CAST(ql AS INT) AS query_label,
+               CAST(ca AS BIGINT) AS neighbor_id,
+               CAST(cl AS INT) AS neighbor_label,
+               cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qa
+                     ORDER BY cosine DESC, ca) AS rn FROM s) t
+        WHERE rn <= 5
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -2951,6 +2992,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x40_split_leakage": _x_split_leakage,
     "x41_weighted_sample": _x_weighted_sample,
     "x42_lm_score": _x_lm_score,
+    "x43_hard_negatives": _x_hard_negatives,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

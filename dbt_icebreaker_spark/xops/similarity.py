@@ -415,3 +415,74 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k nearest corpus vectors with a DIFFERENT label — the
+    near-misses a retrieval/embedding model trains against (easy
+    random negatives carry no gradient signal; the hard ones sit just
+    across the decision boundary).
+
+    Same physical shape as cosine_topk (query side broadcast, corpus
+    streams through one stage, per-query top-k window) with the label
+    inequality folded into the broadcast join condition, so excluded
+    same-label pairs are dropped BEFORE any scoring work. Output:
+    (query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rank), ties broken by neighbor_id.
+    """
+    q = _as_double_vec(queries, id_col, vec_col, "query_id").join(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+        ),
+        "query_id",
+    )
+    c = _as_double_vec(corpus, id_col, vec_col, "neighbor_id").join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("query_id_vec"), F.col("neighbor_id_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (
+                ~F.col("neighbor_label").eqNullSafe(F.col("query_label"))
+            ),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("query_label").cast("int"),
+            F.col("neighbor_id").cast("long"),
+            F.col("neighbor_label").cast("int"),
+            "cosine",
+            F.col("rank").cast("int"),
+        )
+    )

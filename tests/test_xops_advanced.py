@@ -1273,3 +1273,38 @@ class TestMp4Probe:
         for cut in (9, 15, 20, 40, len(raw) - 3):
             out = probe_bytes(raw[:cut])
             assert out["n_bytes"] == cut  # no exception, metadata best-effort
+
+
+class TestHardNegatives:
+    def test_no_same_label_and_topk(self, spark):
+        from dbt_icebreaker_spark.xops.similarity import hard_negatives
+        import math
+        rows = []
+        for i in range(40):
+            ang = i * 0.15
+            rows.append((i, [math.cos(ang), math.sin(ang)], i % 3))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = hard_negatives(df, df.filter("vec_id < 4"), k=3).collect()
+        assert len(out) == 12  # 4 queries x 3
+        for r in out:
+            assert r.neighbor_label != r.query_label
+            assert r.neighbor_id != r.query_id
+        # nearest different-label vector is angularly adjacent-ish:
+        # cosine of the top hit beats the 3rd hit
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, hits in by_q.items():
+            hits.sort(key=lambda r: r.rank)
+            assert hits[0].cosine >= hits[-1].cosine
+
+    def test_null_labels_never_match_as_same(self, spark):
+        from dbt_icebreaker_spark.xops.similarity import hard_negatives
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], None), (2, [0.9, 0.1], None), (3, [0.8, 0.2], 1)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        out = hard_negatives(df, df.filter("vec_id = 1"), k=5).collect()
+        # NULL-label query: NULL eqNullSafe NULL → same → excluded;
+        # only the labeled vector qualifies
+        assert {r.neighbor_id for r in out} == {3}
