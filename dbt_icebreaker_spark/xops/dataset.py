@@ -55,16 +55,22 @@ def write_sharded_dataset(
     text_col: str,
     n_shards: int = 16,
     extra_cols: Optional[list[str]] = None,
+    fmt: str = "parquet",
 ) -> dict:
-    """Write `df` as `n_shards` hash-balanced parquet shards under
-    `path` (partitioned by `shard=`), plus a `manifest.json` with
-    per-shard row counts, token counts and content hashes.
+    """Write `df` as `n_shards` hash-balanced shards under `path`
+    (partitioned by `shard=`), plus a `manifest.json` with per-shard
+    row counts, token counts and content hashes. ``fmt="json"``
+    writes JSON-Lines — the format most LLM training loaders stream —
+    with identical sharding and the same recompute-and-diff
+    verification (the manifest records the format).
 
     Returns the manifest dict. The shard column is
     pmod(xxhash64(id), n_shards): deterministic, so re-running the
     pipeline on identical input reproduces identical shard membership
     (the manifest hashes then prove it).
     """
+    if fmt not in ("parquet", "json"):
+        raise ValueError("fmt must be 'parquet' or 'json'")
     cols = [id_col, text_col] + list(extra_cols or [])
     sharded = df.select(*cols).withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
@@ -73,12 +79,13 @@ def write_sharded_dataset(
         sharded.repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
     # stats from what is actually ON DISK, not the input plan — a
     # write-path bug (lost partition, double write) must show up here
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    written = spark.read.format(fmt).load(path)
     stats = {
         int(r.shard): {
             "rows": int(r.rows),
@@ -89,6 +96,7 @@ def write_sharded_dataset(
     }
     manifest = {
         "n_shards": n_shards,
+        "format": fmt,
         "id_col": id_col,
         "text_col": text_col,
         "total_rows": sum(s["rows"] for s in stats.values()),
@@ -107,8 +115,18 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
     "unexpected": [...]}."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
+    # a verifier must see DISK truth: drop any cached file listing for
+    # the path (a same-session write left sizes in the file-status
+    # cache; post-write tampering would otherwise fail the read with a
+    # length mismatch instead of being reported per shard)
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass
     actual_df = _shard_stats(
-        spark.read.parquet(path), manifest["id_col"], manifest["text_col"]
+        spark.read.format(manifest.get("format", "parquet")).load(path),
+        manifest["id_col"],
+        manifest["text_col"],
     )
     actual = {
         str(int(r.shard)): {

@@ -121,6 +121,39 @@ def main() -> None:
             .collect()[0][0]
         },
     )
+    # round-4/5 ops under the same replication: weighted sampling must
+    # stay heap-based (per-partition top-k — wall time ~linear in
+    # input, independent of k ordering cost), and the LM model build
+    # is vocabulary-bound so replicas grow counts, not model size
+    docs1w = docs1.withColumn("w", F.length("text").cast("long"))
+    docsNw = docsN.withColumn("w", F.length("text").cast("long"))
+    from dbt_icebreaker_spark.xops import sampling as xsampling
+    from dbt_icebreaker_spark.xops import text as xtext
+
+    timed(
+        "weighted_sample_1x",
+        lambda: {
+            "rows": xsampling.weighted_sample(docs1w, "doc_id", "w", 500).count()
+        },
+    )
+    timed(
+        "weighted_sample_Nx",
+        lambda: {
+            "rows": xsampling.weighted_sample(docsNw, "doc_id", "w", 500).count()
+        },
+    )
+    timed(
+        "lm_score_1x",
+        lambda: {
+            "rows": xtext.lm_score(docs1, "doc_id", "text").count()
+        },
+    )
+    timed(
+        "lm_score_Nx",
+        lambda: {
+            "rows": xtext.lm_score(docsN, "doc_id", "text").count()
+        },
+    )
     spark.stop()
 
 

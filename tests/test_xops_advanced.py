@@ -1308,3 +1308,59 @@ class TestHardNegatives:
         # NULL-label query: NULL eqNullSafe NULL → same → excluded;
         # only the labeled vector qualifies
         assert {r.neighbor_id for r in out} == {3}
+
+
+class TestJsonlExport:
+    """JSONL rendering of the sharded export: identical sharding and
+    manifest verification as parquet, corruption localized per shard."""
+
+    def test_jsonl_roundtrip_and_verify(self, spark, tmp_path):
+        from dbt_icebreaker_spark.xops.dataset import (
+            write_sharded_dataset, verify_dataset,
+        )
+        df = spark.range(200).selectExpr(
+            "id AS doc_id", "concat('text number ', id) AS text"
+        )
+        path = str(tmp_path / "jsonl_ds")
+        man = write_sharded_dataset(df, path, "doc_id", "text",
+                                    n_shards=4, fmt="json")
+        assert man["format"] == "json" and man["total_rows"] == 200
+        # files are genuine JSON lines
+        import glob, json as _json
+        files = glob.glob(f"{path}/shard=*/*.json")
+        assert files
+        with open(files[0]) as f:
+            row = _json.loads(f.readline())
+        assert set(row) >= {"doc_id", "text"}
+        assert verify_dataset(spark, path)["ok"]
+
+    def test_jsonl_matches_parquet_sharding(self, spark, tmp_path):
+        from dbt_icebreaker_spark.xops.dataset import write_sharded_dataset
+        df = spark.range(150).selectExpr("id AS doc_id", "concat('d', id) AS text")
+        mj = write_sharded_dataset(df, str(tmp_path / "j"), "doc_id", "text",
+                                   n_shards=4, fmt="json")
+        mp = write_sharded_dataset(df, str(tmp_path / "p"), "doc_id", "text",
+                                   n_shards=4, fmt="parquet")
+        assert mj["shards"] == mp["shards"]  # identical membership + hashes
+
+    def test_corruption_detected(self, spark, tmp_path):
+        from dbt_icebreaker_spark.xops.dataset import (
+            write_sharded_dataset, verify_dataset,
+        )
+        df = spark.range(100).selectExpr("id AS doc_id", "concat('d', id) AS text")
+        path = str(tmp_path / "jc")
+        write_sharded_dataset(df, path, "doc_id", "text", n_shards=4, fmt="json")
+        import glob
+        victim = sorted(glob.glob(f"{path}/shard=2/*.json"))[0]
+        lines = open(victim).readlines()
+        with open(victim, "w") as f:
+            f.writelines(lines[1:])  # drop one row
+        # simulate EXTERNAL corruption: the local-FS .crc sidecar would
+        # otherwise fail the read before the row-level diff runs
+        import os
+        crc = os.path.join(os.path.dirname(victim),
+                           "." + os.path.basename(victim) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        rep = verify_dataset(spark, path)
+        assert not rep["ok"] and list(rep["mismatches"]) == ["2"]
