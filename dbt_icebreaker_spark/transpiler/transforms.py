@@ -161,6 +161,15 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "BOOLXOR": "BOOLSC_XOR", "BOOLNOT": "BOOLSC_NOT",
         "BOOLXOR_AGG": "BOOLXORAGG_X",
         "NORMAL": "NORMAL_X",
+        # VARIANT type reflection on the JSON-string model — Spark's
+        # own typeof() would return the SQL type ('string'), silently
+        # wrong for every variant
+        "TYPEOF": "TYPEOF_X",
+        "IS_OBJECT": "ISTYPE_OBJECT", "IS_ARRAY": "ISTYPE_ARRAY",
+        "IS_BOOLEAN": "ISTYPE_BOOLEAN", "IS_INTEGER": "ISTYPE_INTEGER",
+        "IS_DECIMAL": "ISTYPE_NUMBER", "IS_DOUBLE": "ISTYPE_NUMBER",
+        "IS_REAL": "ISTYPE_NUMBER",
+        "IS_VARCHAR": "ISTYPE_VARCHAR", "IS_CHAR": "ISTYPE_VARCHAR",
         "TO_CHAR": "TO_CHAR_X",     # placeholder, fixed below
         "TO_VARCHAR": "TO_CHAR_X",
         "ARRAY_TO_STRING": "ARRAY_JOIN",
@@ -348,6 +357,8 @@ _PLACEHOLDER_NAMES = frozenset((
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
     "IDENT_X", "TOARR_X", "BOOLSC_OR", "BOOLSC_AND", "BOOLSC_XOR",
     "BOOLSC_NOT", "BOOLXORAGG_X", "NORMAL_X",
+    "TYPEOF_X", "ISTYPE_OBJECT", "ISTYPE_ARRAY", "ISTYPE_BOOLEAN",
+    "ISTYPE_INTEGER", "ISTYPE_NUMBER", "ISTYPE_VARCHAR",
 ))
 
 
@@ -1254,6 +1265,46 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(
                     f"CASE WHEN COUNT({x}) = 0 THEN NULL ELSE"
                     f" COUNT_IF(CAST({x} AS BOOLEAN)) = 1 END")
+            elif t.text == "TYPEOF_X" and len(args) == 1:
+                # JSON-type classification of the VARIANT string:
+                # Snowflake names (OBJECT/ARRAY/BOOLEAN/INTEGER/
+                # VARCHAR/NULL_VALUE; non-integer numbers report
+                # DOUBLE — Snowflake may say DECIMAL for fixed-point,
+                # a documented deviation). Invalid JSON → NULL.
+                x = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                v = f"trim(CAST({x} AS STRING))"
+                out += tokenize(
+                    f"CASE WHEN {x} IS NULL THEN NULL"
+                    f" WHEN {v} = 'null' THEN 'NULL_VALUE'"
+                    f" WHEN {v} LIKE '{{%' THEN 'OBJECT'"
+                    f" WHEN {v} LIKE '[%' THEN 'ARRAY'"
+                    f" WHEN {v} IN ('true', 'false') THEN 'BOOLEAN'"
+                    f" WHEN {v} LIKE '\"%' THEN 'VARCHAR'"
+                    f" WHEN TRY_CAST({v} AS BIGINT) IS NOT NULL"
+                    f" THEN 'INTEGER'"
+                    f" WHEN TRY_CAST({v} AS DOUBLE) IS NOT NULL"
+                    f" THEN 'DOUBLE'"
+                    f" END")
+            elif t.text.startswith("ISTYPE_") and len(args) == 1:
+                x = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                v = f"trim(CAST({x} AS STRING))"
+                kind = t.text.removeprefix("ISTYPE_")
+                cond = {
+                    "OBJECT": f"{v} LIKE '{{%'",
+                    "ARRAY": f"{v} LIKE '[%'",
+                    "BOOLEAN": f"{v} IN ('true', 'false')",
+                    "VARCHAR": f"{v} LIKE '\"%'",
+                    "INTEGER": (
+                        f"{v} NOT LIKE '\"%' AND"
+                        f" TRY_CAST({v} AS BIGINT) IS NOT NULL"
+                    ),
+                    "NUMBER": (
+                        f"{v} NOT LIKE '\"%' AND"
+                        f" TRY_CAST({v} AS DOUBLE) IS NOT NULL"
+                    ),
+                }[kind]
+                out += tokenize(
+                    f"CASE WHEN {x} IS NULL THEN NULL ELSE ({cond}) END")
             elif t.text == "NORMAL_X" and len(args) == 3:
                 # NORMAL(mean, stddev, gen): the generator argument is
                 # dropped (same policy as UNIFORM's RANDOM() arg)
@@ -1338,6 +1389,10 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "BOOLSC_OR": "BOOLOR", "BOOLSC_AND": "BOOLAND",
                     "BOOLSC_XOR": "BOOLXOR", "BOOLSC_NOT": "BOOLNOT",
                     "BOOLXORAGG_X": "bool_or", "NORMAL_X": "randn",
+                    "TYPEOF_X": "typeof", "ISTYPE_OBJECT": "isnotnull",
+                    "ISTYPE_ARRAY": "isnotnull", "ISTYPE_BOOLEAN": "isnotnull",
+                    "ISTYPE_INTEGER": "isnotnull", "ISTYPE_NUMBER": "isnotnull",
+                    "ISTYPE_VARCHAR": "isnotnull",
                 }[t.text]
                 out.append(_word(fallback))
                 i += 1

@@ -1304,3 +1304,25 @@ class TestRound5Functions:
     def test_strip_null_value(self):
         out = t.to_spark("SELECT STRIP_NULL_VALUE(v) FROM t")
         assert "= 'null'" in out and "THEN NULL ELSE" in out
+
+
+class TestVariantTypeReflection:
+    """TYPEOF / IS_* on the JSON-string VARIANT model (Spark's own
+    typeof would report the SQL type 'string' for every variant) —
+    execution-verified during development."""
+
+    def test_typeof_shape(self):
+        out = t.to_spark("SELECT TYPEOF(PARSE_JSON(s)) FROM t")
+        for token in ("'OBJECT'", "'ARRAY'", "'BOOLEAN'", "'INTEGER'",
+                      "'DOUBLE'", "'VARCHAR'", "'NULL_VALUE'"):
+            assert token in out
+        assert "typeof" not in out.lower()
+
+    def test_is_predicates(self):
+        out = t.to_spark("SELECT IS_OBJECT(v), IS_ARRAY(v), IS_INTEGER(v) FROM t")
+        assert out.count("CASE WHEN") == 3
+        assert "LIKE '{%'" in out and "LIKE '[%'" in out
+        assert "TRY_CAST" in out
+        # quoted JSON strings never classify as numbers
+        out = t.to_spark("SELECT IS_DOUBLE(v) FROM t")
+        assert "NOT LIKE '\"%'" in out
