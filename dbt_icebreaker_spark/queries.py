@@ -1267,6 +1267,41 @@ _q(
     """,
 )
 
+# TYPEOF / IS_* VARIANT reflection on per-row JSON of all six JSON
+# types — the oracle states the expected classification directly
+# from the same modulo that built the JSON.
+_q(
+    "q56_variant_reflection",
+    """
+    SELECT o_orderkey,
+           TYPEOF(PARSE_JSON(CASE o_orderkey % 6
+             WHEN 0 THEN '{"a":1}'
+             WHEN 1 THEN '[1,2]'
+             WHEN 2 THEN CAST(o_custkey AS VARCHAR)
+             WHEN 3 THEN '1.5'
+             WHEN 4 THEN 'true'
+             ELSE '"s"' END)) AS ty,
+           IS_INTEGER(PARSE_JSON(CAST(o_custkey AS VARCHAR))) AS is_int,
+           IS_OBJECT(PARSE_JSON('{"k":2}')) AS is_obj,
+           IS_ARRAY(PARSE_JSON('"not an array"')) AS is_arr
+    FROM orders WHERE o_orderkey < 300
+    """,
+    """
+    SELECT o_orderkey,
+           CASE o_orderkey % 6
+             WHEN 0 THEN 'OBJECT'
+             WHEN 1 THEN 'ARRAY'
+             WHEN 2 THEN 'INTEGER'
+             WHEN 3 THEN 'DOUBLE'
+             WHEN 4 THEN 'BOOLEAN'
+             ELSE 'VARCHAR' END AS ty,
+           TRUE AS is_int,
+           TRUE AS is_obj,
+           FALSE AS is_arr
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+
 # BOOLOR/BOOLAND/BOOLXOR_AGG group semantics (exactly-one-true
 # contract for XOR) — aggregate tier of the round-4 additions.
 _q(
