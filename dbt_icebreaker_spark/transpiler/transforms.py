@@ -18,6 +18,7 @@ JSON **strings**; path access `col:a.b::t` becomes
 from __future__ import annotations
 
 from .tokenizer import (
+    COMMENT,
     NUMBER,
     OP,
     QIDENT,
@@ -1131,12 +1132,20 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 )
             elif t.text == "RXLIKE_X" and len(args) in (2, 3):
                 # REGEXP_LIKE(s, p[, params]) — params lower to inline
-                # (?ism) flags on a literal pattern
+                # (?ism) flags; Snowflake implicitly anchors the
+                # pattern at BOTH ends (the subject must match
+                # entirely), Spark's regexp_like is substring search —
+                # wrap as ^(?:…)$ to keep the booleans honest
                 s_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 pat = tokens[args[1][0]:args[1][1]]
                 if len(args) == 3:
                     pat = _apply_regex_params(tokens, args[2], pat, "REGEXP_LIKE")
-                out += tokenize(f"regexp_like({s_r}, {render(pat)})")
+                p_code = [c for c in pat if c.kind != WS]
+                if len(p_code) == 1 and p_code[0].kind == STRING:
+                    pat_sql = "'^(?:" + p_code[0].text[1:-1] + ")$'"
+                else:
+                    pat_sql = f"concat('^(?:', {render(pat).strip()}, ')$')"
+                out += tokenize(f"regexp_like({s_r}, {pat_sql})")
             elif t.text == "RXCOUNT_X" and len(args) in (2, 3, 4):
                 # REGEXP_COUNT(s, p[, position[, params]]): position is
                 # a pre-slice (matches can't start before it); params →
@@ -1423,8 +1432,10 @@ _TRY_TO_TYPES = {
     # Strict TO_* emit plain CAST — ANSI mode (Spark 4 default) errors
     # on bad input just like Snowflake; TRY_* emit TRY_CAST → NULL.
     "TO_NUMBER_SF": "DOUBLE",
-    "TO_NUMBER": "DOUBLE",
-    "TO_NUMERIC": "DOUBLE",
+    # Snowflake's default NUMBER target is (38,0) — TO_NUMBER('12.5')
+    # ROUNDS to 13; DOUBLE would silently keep the fraction
+    "TO_NUMBER": "DECIMAL(38,0)",
+    "TO_NUMERIC": "DECIMAL(38,0)",
     "TO_DECIMAL": "DECIMAL(38,9)",
     "TO_DOUBLE": "DOUBLE",
 }
@@ -1466,6 +1477,16 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                     out += tokenize(f"CAST({anchored} AS TIMESTAMP)")
                 else:
                     out += tokenize(f"try_to_timestamp({anchored})")
+                i = close + 1
+                continue
+            if len(args) == 2:
+                # TO_TIME(s, fmt): a time-only java format already
+                # anchors Spark's to_timestamp at 1970-01-01
+                x = tokens[args[0][0]:args[0][1]]
+                conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
+                fn2 = ("to_timestamp" if t.upper == "TO_TIME"
+                       else "try_to_timestamp")
+                out += [_word(fn2), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
                 i = close + 1
                 continue
         if t.kind == WORD and t.upper in _TRY_TO_TYPES and _is_call(tokens, i, t.upper):
@@ -2686,7 +2707,7 @@ def _cb_error(detail: str):
 def _cb_column_of(side: Tokens, src_names: set[str]) -> str:
     """A CONNECT BY side must be `col` or `alias.col` (alias naming the
     source) — anything else has no mechanical CTE rendering."""
-    code = [c for c in side if c.kind != WS]
+    code = [c for c in side if c.kind not in (WS, COMMENT)]
     if len(code) == 1 and code[0].kind in (WORD, QIDENT):
         return code[0].text
     if (
@@ -2791,8 +2812,10 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 i_order = i
             elif u in ("GROUP", "HAVING", "QUALIFY", "LIMIT") and i > i_connect:
                 _cb_error(f"{u} combined with CONNECT BY is not "
-                          "rewritten; wrap the hierarchy in a CTE")
-    if i_select != 0 or i_from < 0:
+                          "rewritten; stage the hierarchy walk as its "
+                          "own model (or spell it WITH RECURSIVE) and "
+                          f"apply {u} downstream")
+    if i_select != next_code(tokens, 0) or i_from < 0:
         _cb_error("only a plain SELECT … FROM … statement is rewritten")
     if i_where >= 0 and i_where > min(i_start, i_connect):
         _cb_error("WHERE must precede START WITH / CONNECT BY")
@@ -2802,15 +2825,21 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     def seg_end(begin: int) -> int:
         return min(b for b in bounds if b > begin)
 
-    sel = tokens[i_select + 1:i_from]
+    def _clean(seg: Tokens) -> Tokens:
+        # the rewrite re-renders everything into ONE line — comments
+        # must go ('--' would swallow the remainder of the output)
+        return [c for c in seg if c.kind != COMMENT]
+
+    sel = _clean(tokens[i_select + 1:i_from])
     src_end = i_where if i_where >= 0 else min(i_start, i_connect)
-    src = [c for c in tokens[i_from + 1:src_end] if c.kind != WS]
+    src = [c for c in tokens[i_from + 1:src_end] if c.kind not in (WS, COMMENT)]
     where_seg = (
-        tokens[i_where + 1:min(i_start, i_connect)] if i_where >= 0 else None
+        _clean(tokens[i_where + 1:min(i_start, i_connect)])
+        if i_where >= 0 else None
     )
-    start_cond = tokens[next_code(tokens, next_code(tokens, i_start + 1) + 1):seg_end(i_start)]
-    connect_cond = tokens[next_code(tokens, next_code(tokens, i_connect + 1) + 1):seg_end(i_connect)]
-    tail = tokens[i_order:] if i_order >= 0 else []
+    start_cond = _clean(tokens[next_code(tokens, next_code(tokens, i_start + 1) + 1):seg_end(i_start)])
+    connect_cond = _clean(tokens[next_code(tokens, next_code(tokens, i_connect + 1) + 1):seg_end(i_connect)])
+    tail = _clean(tokens[i_order:]) if i_order >= 0 else []
 
     # source: dotted name + optional alias, nothing else
     if any(c.is_op("(") or c.is_op(",") for c in src) or any(
@@ -2870,6 +2899,11 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
             depth2 -= 1
         if tok.is_op(",") and depth2 == 0:
             code = [c for c in item if c.kind != WS]
+            item_txt = render(item).strip()
+            if item_txt == "*" or item_txt.endswith(".*"):
+                _cb_error(
+                    "SELECT * would also expose the generated __level "
+                    "column; list the columns (LEVEL is available)")
             if len(code) == 1 and code[0].kind == WORD and code[0].upper == "LEVEL":
                 items.append("__level AS level")
             else:
@@ -2878,9 +2912,6 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         else:
             item.append(tok)
     sel_txt = ", ".join(items)
-    if sel_txt == "*" or sel_txt.endswith(".*"):
-        _cb_error("SELECT * would also expose the generated __level "
-                  "column; list the columns (LEVEL is available)")
     start_txt = render(start_cond).strip()
     where_txt = render(_cb_sub_level(where_seg)).strip() if where_seg else ""
     tail_txt = render(_cb_sub_level(tail)).strip() if tail else ""

@@ -201,6 +201,10 @@ def probe_bytes(raw: bytes) -> dict:
                     yield typ, i2 + hdr, min(i2 + size, hi)
                     i2 += size
 
+            # tag the container as soon as the magic matches, like
+            # the JPEG/WAV branches: a truncated moov still reports
+            # format='mp4' with best-effort metadata
+            out.update(format="mp4")
             dur = width = height = None
             for typ, lo, hi in _boxes(0, len(raw)):
                 if typ != b"moov":
@@ -208,7 +212,7 @@ def probe_bytes(raw: bytes) -> dict:
                 for t2, l2, h2 in _boxes(lo, hi):
                     if t2 == b"mvhd" and h2 - l2 >= 20:
                         ver = raw[l2]
-                        if ver == 1 and h2 - l2 >= 28:
+                        if ver == 1 and h2 - l2 >= 32:
                             ts = _struct.unpack(">I", raw[l2 + 20:l2 + 24])[0]
                             d = _struct.unpack(">Q", raw[l2 + 24:l2 + 32])[0]
                         else:
@@ -218,7 +222,7 @@ def probe_bytes(raw: bytes) -> dict:
                             dur = d / ts
                     elif t2 == b"trak":
                         for t3, l3, h3 in _boxes(l2, h2):
-                            if t3 != b"tkhd":
+                            if t3 != b"tkhd" or h3 - l3 < 1:
                                 continue
                             off = 88 if raw[l3] == 1 else 76
                             if h3 - l3 >= off + 8 and width is None:
@@ -228,7 +232,7 @@ def probe_bytes(raw: bytes) -> dict:
                                     width = w_fx >> 16
                                     height = h_fx >> 16
             out.update(
-                format="mp4", duration_s=dur, width=width, height=height,
+                duration_s=dur, width=width, height=height,
                 valid=dur is not None,
             )
         elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":

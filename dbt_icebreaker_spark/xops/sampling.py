@@ -321,7 +321,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     salt: int = 0,
-    prefilter: bool = True,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Deterministic weighted sample of k rows WITHOUT replacement
     (Efraimidis–Spirakis A-Res): quality- or token-weighted corpus
@@ -340,13 +340,17 @@ def weighted_sample(
       (per-partition top-k heaps + single merge of k·P candidate
       rows, no global sort exchange) — right for the k ≤ ~100k that
       fits one collection point;
-    - for larger k, ``prefilter=True`` (default) first estimates the
-      k-th key with approx_percentile on a conservative 2k/n quantile
-      and filters map-side, so the top-k machinery only sees ~2k
-      surviving rows instead of the corpus; if the sketch
-      under-selects (< k survivors — bounded-error event), it falls
-      back to the exact path. Selection is IDENTICAL either way; the
-      threshold only prunes rows that cannot win.
+    - for larger k (> ~100k candidates at one collection point),
+      ``prefilter`` (auto-enabled at k > 100_000, forceable either
+      way) estimates the k-th key with approx_percentile on a
+      conservative 2k/n quantile and filters map-side, so the top-k
+      machinery only sees ~2k surviving rows instead of the corpus;
+      if the sketch under-selects (< k survivors — bounded-error
+      event), it falls back to the exact path. The keyed frame is
+      persisted across the prefilter's extra passes (count /
+      threshold / prune-count) so the source is scanned once, and
+      selection is IDENTICAL either way — the threshold only prunes
+      rows that cannot win.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -354,19 +358,34 @@ def weighted_sample(
         df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__es_key", es_key(id_col, weight_col, salt))
     )
+    if prefilter is None:
+        prefilter = k > 100_000
     candidates = keyed
     if prefilter:
-        n = keyed.count()
-        if n > 4 * k:
-            # conservative threshold: aim at rank 2k so t-digest error
-            # can't push the cut above the true k-th key
-            q = 1.0 - min(1.0, (2.0 * k) / n)
-            thr = keyed.agg(
-                F.expr(f"approx_percentile(__es_key, {q})").alias("t")
-            ).collect()[0]["t"]
-            pruned = keyed.where(F.col("__es_key") >= F.lit(float(thr)))
-            if pruned.count() >= k:
-                candidates = pruned
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = keyed.count()
+            candidates = keyed
+            if n > 4 * k:
+                # conservative threshold: aim at rank 2k so t-digest
+                # error can't push the cut above the true k-th key
+                q = 1.0 - min(1.0, (2.0 * k) / n)
+                thr = keyed.agg(
+                    F.expr(f"approx_percentile(__es_key, {q})").alias("t")
+                ).collect()[0]["t"]
+                pruned = keyed.where(F.col("__es_key") >= F.lit(float(thr)))
+                if pruned.count() >= k:
+                    candidates = pruned
+            return (
+                candidates.orderBy(F.col("__es_key").desc(), F.col(id_col))
+                .limit(int(k))
+                .drop("__es_key")
+                .localCheckpoint()  # materialize before unpersist
+            )
+        finally:
+            keyed.unpersist()
     return (
         candidates.orderBy(F.col("__es_key").desc(), F.col(id_col))
         .limit(int(k))

@@ -438,20 +438,28 @@ def hard_negatives(
     (query_id, query_label, neighbor_id, neighbor_label, cosine,
     rank), ties broken by neighbor_id.
     """
-    q = _as_double_vec(queries, id_col, vec_col, "query_id").join(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(label_col).alias("query_label"),
-        ),
-        "query_id",
-    )
-    c = _as_double_vec(corpus, id_col, vec_col, "neighbor_id").join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("neighbor_label"),
-        ),
-        "neighbor_id",
-    )
+    def _vec_with_label(df: DataFrame, out_id: str, lbl: str) -> DataFrame:
+        # one projection carries id + vec + norm + label — a join back
+        # to the source just for the label would shuffle the full
+        # corpus before any scoring work
+        v = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(label_col).alias(lbl),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                f"{out_id}_vec"
+            ),
+        )
+        return v.withColumn(
+            f"{out_id}_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col(f"{out_id}_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        )
+
+    q = _vec_with_label(queries, "query_id", "query_label")
+    c = _vec_with_label(corpus, "neighbor_id", "neighbor_label")
     dot = F.aggregate(
         F.zip_with(F.col("query_id_vec"), F.col("neighbor_id_vec"), lambda x, y: x * y),
         F.lit(0.0),

@@ -1119,7 +1119,7 @@ class TestRound4Functions:
 
     def test_strict_to_number_family(self):
         t = self.t
-        assert "CAST('12.5' AS DOUBLE)" in t.to_spark("SELECT TO_NUMBER('12.5')")
+        assert "CAST('12.5' AS DECIMAL(38,0))" in t.to_spark("SELECT TO_NUMBER('12.5')")
         assert "CAST((x) AS DECIMAL(10, 2))" in t.to_spark(
             "SELECT TO_DECIMAL(x, 10, 2) FROM t")
         assert "TRY_CAST((x) AS DECIMAL(10, 2))" in t.to_spark(
@@ -1133,8 +1133,11 @@ class TestRound4Functions:
         assert "substr(" in out and "'(?i)a'" in out
         out = t.to_spark("SELECT REGEXP_INSTR(s, 'b', 3) FROM t")
         assert "IF(" in out and "- 1)" in out
+        # REGEXP_LIKE is implicitly anchored in Snowflake
         out = t.to_spark("SELECT REGEXP_LIKE(s, 'a.*', 'is') FROM t")
-        assert "'(?is)a.*'" in out
+        assert "'^(?:(?is)a.*)$'" in out
+        out = t.to_spark("SELECT REGEXP_LIKE(s, p) FROM t")
+        assert "concat('^(?:', p, ')$')" in out
         with pytest.raises(TranspileError, match="REGEXP_INSTR"):
             t.to_spark("SELECT REGEXP_INSTR(s, 'b', 1, 2) FROM t")
 
