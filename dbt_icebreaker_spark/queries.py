@@ -1267,6 +1267,27 @@ _q(
     """,
 )
 
+# Snowflake REGEXP_LIKE is implicitly anchored at both ends (full
+# match) — DuckDB's regexp_full_match has the same contract, making
+# the anchoring semantics themselves driver-gated.
+_q(
+    "q57_regexp_anchoring",
+    """
+    SELECT o_orderkey,
+           REGEXP_LIKE(o_orderpriority, '[0-9]-[A-Z]+') AS full_match,
+           REGEXP_LIKE(o_orderpriority, 'URGENT') AS partial_is_false,
+           REGEXP_LIKE(o_orderpriority, '.*URGENT.*') AS wrapped_is_true
+    FROM orders WHERE o_orderkey < 300
+    """,
+    """
+    SELECT o_orderkey,
+           regexp_full_match(o_orderpriority, '[0-9]-[A-Z]+') AS full_match,
+           regexp_full_match(o_orderpriority, 'URGENT') AS partial_is_false,
+           regexp_full_match(o_orderpriority, '.*URGENT.*') AS wrapped_is_true
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+
 # TYPEOF / IS_* VARIANT reflection on per-row JSON of all six JSON
 # types — the oracle states the expected classification directly
 # from the same modulo that built the JSON.
