@@ -2929,6 +2929,84 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     return tokenize(gen)
 
 
+def _snowflake_collation_to_spark(spec: str) -> str:
+    """Snowflake collation spec ('en-ci', 'utf8', 'fr-ci-ai', …) →
+    Spark 4 collation name ('en_CI', 'UTF8_BINARY', 'fr_CI_AI').
+    ci/cs and ai/as map to Spark's _CI/_AI suffixes; the specifiers
+    Spark cannot express (punctuation-insensitivity, first-case,
+    trimming, upper/lower comparison) raise actionably."""
+    from .core import TranspileError
+
+    parts = [p for p in spec.strip().lower().split("-") if p]
+    if not parts:
+        return "UTF8_BINARY"
+    flags = {"ci", "cs", "ai", "as"}
+    locale = parts[0] if parts[0] not in flags else "utf8"
+    mods = parts if parts[0] in flags else parts[1:]
+    bad = [m for m in mods if m not in flags]
+    if locale in ("upper", "lower") or bad:
+        what = locale if locale in ("upper", "lower") else ", ".join(bad)
+        raise TranspileError(
+            f"COLLATE specifier '{what}' has no Spark collation "
+            "equivalent (supported: locale, ci/cs, ai/as)."
+        )
+    ci = "ci" in mods
+    ai = "ai" in mods
+    if locale in ("utf8", "binary"):
+        if ai:
+            # UTF8 family has no accent-insensitive member
+            name = "UNICODE_CI_AI" if ci else "UNICODE_AI"
+        else:
+            name = "UTF8_LCASE" if ci else "UTF8_BINARY"
+        return name
+    name = locale
+    if ci:
+        name += "_CI"
+    if ai:
+        name += "_AI"
+    return name
+
+
+def rewrite_collate(tokens: Tokens) -> Tokens:
+    """Snowflake collation → Spark 4 collations: the COLLATE(x, 'spec')
+    function keeps Spark's collate() with the spec translated, and the
+    `x COLLATE 'spec'` operator form becomes Spark's unquoted
+    `x COLLATE name` (Spark takes an identifier there, not a string)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "COLLATE":
+            if _is_call(tokens, i, "COLLATE"):
+                op_i = next_code(tokens, i + 1)
+                close = find_matching_paren(tokens, op_i)
+                args = split_args(tokens, op_i + 1, close)
+                if len(args) == 2:
+                    spec_code = [
+                        c for c in tokens[args[1][0]:args[1][1]]
+                        if c.kind not in (WS, COMMENT)
+                    ]
+                    if len(spec_code) == 1 and spec_code[0].kind == STRING:
+                        name = _snowflake_collation_to_spark(
+                            spec_code[0].text[1:-1]
+                        )
+                        x = render(tokens[args[0][0]:args[0][1]]).strip()
+                        out += tokenize(f"collate({x}, '{name}')")
+                        i = close + 1
+                        continue
+            else:
+                j = next_code(tokens, i + 1)
+                if j < n and tokens[j].kind == STRING:
+                    name = _snowflake_collation_to_spark(tokens[j].text[1:-1])
+                    out += [t, _sp(), _word(name)]
+                    i = j + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def detect_unsupported_clause(sql: str) -> tuple[str, str] | None:
     """Clause-level Snowflake features with no Spark clause equivalent
     (hierarchical CONNECT BY, pattern matching MATCH_RECOGNIZE).
@@ -3062,6 +3140,7 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
 # ------------------------------------------------------------- pipeline
 PIPELINE = (
     rewrite_connect_by,        # whole-statement restructure runs first
+    rewrite_collate,           # quoted specs → Spark collation names
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,
     rewrite_listagg_distinct,

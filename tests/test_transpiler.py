@@ -1329,3 +1329,27 @@ class TestVariantTypeReflection:
         # quoted JSON strings never classify as numbers
         out = t.to_spark("SELECT IS_DOUBLE(v) FROM t")
         assert "NOT LIKE '\"%'" in out
+
+
+class TestCollate:
+    """Snowflake collation specs → Spark 4 collations (execution-
+    verified: en-ci equality, fr-ci-ai accent folding)."""
+
+    def test_function_form(self):
+        out = t.to_spark("SELECT COLLATE(x, 'en-ci') FROM t")
+        assert "collate(x, 'en_CI')" in out
+        out = t.to_spark("SELECT COLLATE(x, 'fr-ci-ai') FROM t")
+        assert "collate(x, 'fr_CI_AI')" in out
+        out = t.to_spark("SELECT COLLATE(x, 'utf8-ci') FROM t")
+        assert "'UTF8_LCASE'" in out
+        out = t.to_spark("SELECT COLLATE(x, 'utf8') FROM t")
+        assert "'UTF8_BINARY'" in out
+
+    def test_operator_form_unquotes(self):
+        out = t.to_spark("SELECT y FROM t WHERE y COLLATE 'en-ci' = 'a'")
+        assert "COLLATE en_CI" in out and "'en-ci'" not in out
+
+    def test_unsupported_specifiers_actionable(self):
+        for spec in ("en-ci-pi", "upper", "lower", "en-fu"):
+            with pytest.raises(TranspileError, match="COLLATE specifier"):
+                t.to_spark(f"SELECT COLLATE(x, '{spec}') FROM t")
