@@ -176,6 +176,15 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_TO_STRING": "ARRAY_JOIN",
         "UUID_STRING": "UUID",
         "HLL": "APPROX_COUNT_DISTINCT",   # HLL estimate ≈ approx distinct
+        # Snowflake's sketch pipeline → Spark's Datasketches HLL:
+        # accumulate partials per partition/day, union them, estimate
+        # once — the 100 TB partial-aggregation pattern. The sketch
+        # BINARY is Datasketches-format, not Snowflake's (states are
+        # engine-internal on both sides; EXPORT/IMPORT interop is
+        # refused in _UNSUPPORTED_SCALARS).
+        "HLL_ACCUMULATE": "hll_sketch_agg",
+        "HLL_COMBINE": "hll_union_agg",
+        "HLL_ESTIMATE": "hll_sketch_estimate",
         "GREATEST_IGNORE_NULLS": "GREATEST",  # Spark greatest skips NULLs
         "LEAST_IGNORE_NULLS": "LEAST",
         "OBJECT_KEYS": "JSON_OBJECT_KEYS",
@@ -3123,6 +3132,11 @@ _UNSUPPORTED_SCALARS = {
     "ZIPF": "an explicit inverse-CDF over UNIFORM (Spark has no "
             "zipf generator; xops.sampling covers deterministic "
             "weighted draws)",
+    "HLL_EXPORT": "keeping sketches engine-internal — Spark's "
+                  "Datasketches binary is not Snowflake's HLL state "
+                  "format (HLL_ACCUMULATE/COMBINE/ESTIMATE map 1:1)",
+    "HLL_IMPORT": "re-accumulating from raw values (state formats "
+                  "are engine-internal)",
 }
 
 

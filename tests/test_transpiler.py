@@ -1353,3 +1353,22 @@ class TestCollate:
         for spec in ("en-ci-pi", "upper", "lower", "en-fu"):
             with pytest.raises(TranspileError, match="COLLATE specifier"):
                 t.to_spark(f"SELECT COLLATE(x, '{spec}') FROM t")
+
+
+class TestHllSketchPipeline:
+    """HLL_ACCUMULATE/COMBINE/ESTIMATE → Spark Datasketches HLL
+    (execution-verified: partial-union-estimate roundtrip == 3 on
+    {1,2} ∪ {2,3})."""
+
+    def test_renames(self):
+        out = t.to_spark(
+            "SELECT HLL_ESTIMATE(HLL_COMBINE(s)) FROM "
+            "(SELECT HLL_ACCUMULATE(x) AS s FROM t GROUP BY d)"
+        )
+        assert "hll_sketch_estimate" in out
+        assert "hll_union_agg" in out
+        assert "hll_sketch_agg(x)" in out
+
+    def test_export_import_refused(self):
+        ok, msg = t.can_transpile("SELECT HLL_EXPORT(s) FROM t")
+        assert not ok and "Datasketches" in msg
