@@ -2670,6 +2670,12 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
                         "ProjectRunner — Spark has no task scheduler object",
     ("CREATE", "PIPE"): "Structured Streaming file sources with "
                         "availableNow triggers",
+    ("CREATE", "DYNAMIC"): "streaming.stream_incremental_merge (foreachBatch "
+                           "upsert — the TARGET_LAG refresh loop as a "
+                           "Structured Streaming query) or an incremental "
+                           "model on a schedule",
+    ("ALTER", "SESSION"): "SparkSession confs (spark.conf.set) — session "
+                          "parameters are engine-specific",
 }
 
 
