@@ -1950,6 +1950,18 @@ def _x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (xops/sampling.dsir_weights, Xie et al.
+    2023): hashed unigram+bigram log-likelihood ratio of a target
+    slice (source='src18') vs the raw corpus, per document."""
+    from .xops.sampling import dsir_weights
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.filter(F.col("source") == "src18")
+    return dsir_weights(docs, "doc_id", "text", target, n_buckets=2000)
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -2082,6 +2094,44 @@ XOP_ORACLES: dict[str, str | None] = {
         FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qa
                      ORDER BY cosine DESC, ca) AS rn FROM s) t
         WHERE rn <= 5
+    """,
+    "x44_dsir_weights": """
+        WITH w AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, source, unnest(ws) AS g FROM w
+          UNION ALL
+          SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS g
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 2
+        ),
+        bk AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(g), 1, 8))::BIGINT % 2000 AS b
+          FROM g
+        ),
+        ct AS (SELECT b, COUNT(*) AS ct FROM bk WHERE source = 'src18' GROUP BY b),
+        cs AS (SELECT b, COUNT(*) AS cs FROM bk GROUP BY b),
+        tt AS (SELECT COUNT(*) AS t FROM bk WHERE source = 'src18'),
+        ts AS (SELECT COUNT(*) AS t FROM bk),
+        lr AS (
+          SELECT cs.b,
+                 ln((COALESCE(ct.ct, 0) + 1.0) / (tt.t + 1.0 * 2000))
+                 - ln((cs.cs + 1.0) / (ts.t + 1.0 * 2000)) AS lr
+          FROM cs LEFT JOIN ct USING (b) CROSS JOIN tt CROSS JOIN ts
+        ),
+        pd AS (
+          SELECT bk.doc_id, COUNT(*) AS n_grams,
+                 SUM(COALESCE(lr.lr, 0)) AS dsir_logweight
+          FROM bk LEFT JOIN lr USING (b) GROUP BY bk.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(pd.n_grams, 0) AS n_grams,
+               COALESCE(pd.dsir_logweight, 0.0) AS dsir_logweight
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3049,6 +3099,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x41_weighted_sample": _x_weighted_sample,
     "x42_lm_score": _x_lm_score,
     "x43_hard_negatives": _x_hard_negatives,
+    "x44_dsir_weights": _x_dsir_weights,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

@@ -391,3 +391,147 @@ def weighted_sample(
         .limit(int(k))
         .drop("__es_key")
     )
+
+
+def _hashed_gram_buckets(text_col: Column, n_buckets: int) -> Column:
+    """Hashed bag-of-ngrams features (unigrams + bigrams of lowercase
+    whitespace words) as bucket ids. The bucket hash is the first 8
+    md5 hex digits — reproducible in any engine with md5 + hex
+    parsing, so importance weights are oracle-checkable bit-for-bit
+    (xxhash64 would be Spark-only)."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(words, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    target_text_col: str | None = None,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every corpus document by how
+    much more likely its hashed-ngram bag is under the TARGET
+    distribution (e.g. a trusted/high-quality corpus) than under the
+    raw corpus itself — log w(x) = Σ_b c_b(x)·(log p̂_target(b) −
+    log p̂_source(b)) with add-α smoothing over `n_buckets` hashed
+    unigram+bigram features.
+
+    Output: (id, n_grams, dsir_logweight); docs with no grams get
+    weight 0. Shape at scale: both distributions are n_buckets-sized
+    aggregates (broadcast), the corpus explodes once into gram
+    buckets and joins map-side — no corpus shuffle beyond the per-doc
+    sum's partial aggregation.
+    """
+    t_col = target_text_col or text_col
+    B = int(n_buckets)
+
+    def bucket_counts(frame: DataFrame, col: str) -> DataFrame:
+        return (
+            frame.select(
+                F.explode(_hashed_gram_buckets(F.col(col), B)).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    tgt = bucket_counts(target_df, t_col)
+    src = bucket_counts(df, text_col)
+    t_tot = float(target_df.select(
+        F.sum(F.size(_hashed_gram_buckets(F.col(t_col), B)))
+    ).collect()[0][0] or 0)
+    s_tot = float(df.select(
+        F.sum(F.size(_hashed_gram_buckets(F.col(text_col), B)))
+    ).collect()[0][0] or 0)
+    a = float(alpha)
+    ratio = (
+        tgt.withColumnRenamed("c", "ct")
+        .join(src.withColumnRenamed("c", "cs"), ["b"], "full")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                    / F.lit(t_tot + a * B)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cs"), F.lit(0)) + F.lit(a))
+                    / F.lit(s_tot + a * B)
+                )
+            ).alias("lr"),
+        )
+    )
+    doc_buckets = df.select(
+        F.col(id_col),
+        F.explode(_hashed_gram_buckets(F.col(text_col), B)).alias("b"),
+    )
+    per_doc = (
+        doc_buckets.join(F.broadcast(ratio), ["b"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            # unmatched buckets (neither corpus saw them — impossible
+            # for source-built buckets, but belt) contribute 0
+            F.sum(F.coalesce(F.col("lr"), F.lit(0.0))).alias("dsir_logweight"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    k: int,
+    target_text_col: str | None = None,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """DSIR selection: draw k docs without replacement with
+    probability ∝ exp(dsir_logweight) via the deterministic
+    Gumbel-max race — key = ln(−ln u) − logweight (u from the id
+    hash), smallest k win. Everything stays in log space so extreme
+    weights can't overflow, and the draw is frozen under
+    repartitioning/engines like weighted_sample's. The top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    weights = dsir_weights(
+        df, id_col, text_col, target_df, target_text_col, n_buckets, alpha
+    )
+    c = F.col(id_col)
+    c1 = F.pmod(c.cast("long") + F.lit(salt), F.lit(_MERSENNE31))
+    m = F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD))
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(float(_MOD + 1))
+    keyed = weights.withColumn(
+        "__gumbel_key", F.log(-F.log(u)) - F.col("dsir_logweight")
+    )
+    return (
+        keyed.orderBy(F.col("__gumbel_key").asc(), c.asc())
+        .limit(int(k))
+        .drop("__gumbel_key")
+    )

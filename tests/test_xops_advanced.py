@@ -1364,3 +1364,55 @@ class TestJsonlExport:
             os.remove(crc)
         rep = verify_dataset(spark, path)
         assert not rep["ok"] and list(rep["mismatches"]) == ["2"]
+
+
+class TestDsir:
+    """DSIR importance resampling (Xie et al. 2023) — hashed-ngram
+    log-likelihood ratios + deterministic Gumbel-max selection."""
+
+    def _corpus(self, spark):
+        rows = []
+        for i in range(200):
+            if i % 4 == 0:
+                rows.append((i, "clean wiki prose about science topics", "good"))
+            else:
+                rows.append((i, "spam spam buy now click here offer", "raw"))
+        return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+    def test_target_like_docs_score_higher(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import dsir_weights
+        from pyspark.sql import functions as F
+        df = self._corpus(spark)
+        target = df.filter("src = 'good'")
+        w = dsir_weights(df, "doc_id", "text", target, n_buckets=500)
+        j = w.join(df.select("doc_id", "src"), "doc_id")
+        means = {r.src: r.m for r in j.groupBy("src").agg(F.avg("dsir_logweight").alias("m")).collect()}
+        assert means["good"] > means["raw"]
+
+    def test_selection_shifts_toward_target(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import dsir_sample
+        df = self._corpus(spark)
+        target = df.filter("src = 'good'")
+        sel = dsir_sample(df, "doc_id", "text", target, k=60, n_buckets=500)
+        got = sel.join(df.select("doc_id", "src"), "doc_id")
+        frac_good = got.filter("src = 'good'").count() / 60
+        assert frac_good > 0.25  # corpus base rate is 0.25; DSIR lifts it
+
+    def test_deterministic_under_repartition(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import dsir_sample
+        df = self._corpus(spark)
+        target = df.filter("src = 'good'")
+        a = {r.doc_id for r in dsir_sample(df, "doc_id", "text", target, 40, n_buckets=500).collect()}
+        b = {r.doc_id for r in dsir_sample(df.repartition(11), "doc_id", "text", target, 40, n_buckets=500).collect()}
+        assert a == b and len(a) == 40
+
+    def test_empty_docs_get_zero_weight(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import dsir_weights
+        df = spark.createDataFrame(
+            [(1, "some words here"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        w = {r.doc_id: (r.n_grams, r.dsir_logweight)
+             for r in dsir_weights(df, "doc_id", "text", df, n_buckets=100).collect()}
+        assert w[2] == (0, 0.0) and w[3] == (0, 0.0)
+        assert w[1][0] > 0
