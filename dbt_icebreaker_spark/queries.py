@@ -1962,6 +1962,23 @@ def _x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, "doc_id", "text", target, n_buckets=2000)
 
 
+def _x_dedupe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (xops/dedup.dedupe_lines_global):
+    a synthetic boilerplate banner is prepended to every even doc,
+    then every line appearing in >= 5 docs is removed."""
+    from .xops.dedup import dedupe_lines_global
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("SHARED BANNER\n"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedupe_lines_global(docs, "doc_id", "text", min_df=5)
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -2132,6 +2149,37 @@ XOP_ORACLES: dict[str, str | None] = {
                COALESCE(pd.n_grams, 0) AS n_grams,
                COALESCE(pd.dsir_logweight, 0.0) AS dsir_logweight
         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+    "x45_dedupe_lines": """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN 'SHARED BANNER' || chr(10) || text
+                      ELSE text END AS text
+          FROM documents
+        ),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+        allpos AS (
+          SELECT doc_id, i - 1 AS pos, ls[i] AS line
+          FROM l, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+        ),
+        pl AS (SELECT * FROM allpos WHERE trim(line) <> ''),
+        common AS (
+          SELECT line FROM (SELECT DISTINCT doc_id, line FROM pl)
+          GROUP BY line HAVING COUNT(*) >= 5
+        ),
+        hits AS (SELECT pl.doc_id, pl.pos FROM pl JOIN common USING (line)),
+        rebuilt AS (
+          SELECT a.doc_id,
+                 COUNT(*) AS n_lines,
+                 COUNT(h.pos) AS n_removed,
+                 COALESCE(string_agg(a.line, chr(10) ORDER BY a.pos)
+                          FILTER (WHERE h.pos IS NULL), '') AS cleaned_text
+          FROM allpos a
+          LEFT JOIN hits h ON a.doc_id = h.doc_id AND a.pos = h.pos
+          GROUP BY a.doc_id
+        )
+        SELECT doc_id, n_lines, n_removed, cleaned_text FROM rebuilt
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3100,6 +3148,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x42_lm_score": _x_lm_score,
     "x43_hard_negatives": _x_hard_negatives,
     "x44_dsir_weights": _x_dsir_weights,
+    "x45_dedupe_lines": _x_dedupe_lines,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

@@ -815,3 +815,72 @@ def minhash_jaccard_estimate(
             ).alias("exact_jaccard"),
         )
     )
+
+
+def dedupe_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-wide LINE deduplication (Raffel et al. 2020
+    kept only one occurrence of any three-sentence span; the common
+    line-level rendering drops every line whose exact text appears in
+    ≥ min_df documents — navigation chrome, cookie banners, license
+    headers). Documents are rebuilt from their surviving lines in
+    original order; line-less docs pass through intact.
+
+    Shape: lines with positions are a per-row array build (no
+    shuffle); ONE groupBy(line) over distinct (doc, line) pairs
+    computes document frequency; the common-line set is joined back on
+    the same key (exchange reused) and the rebuild is a pure array
+    expression (array_except on positions) — the corpus is never
+    pair-joined, so cost is O(total lines) at any scale, the same
+    argument as remove_duplicate_spans.
+
+    Output: (id, n_lines, n_removed, cleaned_text).
+    """
+    lines_col = F.split(F.col(text_col), sep)
+    base = df.select(F.col(id_col), lines_col.alias("__lines"))
+    pos_lines = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("__lines")).alias("pos", "line"),
+    ).where(F.trim(F.col("line")) != "")
+    common = (
+        pos_lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("line")
+    )
+    hit_positions = (
+        pos_lines.join(common, ["line"])
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__hits"))
+    )
+    rebuilt = (
+        base.join(hit_positions, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.size("__lines").alias("n_lines"),
+            F.coalesce(F.size("__hits"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    # surviving positions in original order —
+                    # array_except is the hash-set difference (and
+                    # preserves first-array order), not a per-position
+                    # scan of the hit list (same 8× lesson as
+                    # remove_duplicate_spans)
+                    F.array_except(
+                        F.sequence(F.lit(0), F.size("__lines") - 1),
+                        F.coalesce(F.col("__hits"), F.array().cast("array<int>")),
+                    ),
+                    lambda p: F.element_at(F.col("__lines"), p + 1),
+                ),
+                sep,
+            ).alias("cleaned_text"),
+        )
+    )
+    return rebuilt

@@ -1416,3 +1416,34 @@ class TestDsir:
              for r in dsir_weights(df, "doc_id", "text", df, n_buckets=100).collect()}
         assert w[2] == (0, 0.0) and w[3] == (0, 0.0)
         assert w[1][0] > 0
+
+
+class TestDedupeLinesGlobal:
+    def test_banner_removed_everywhere(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import dedupe_lines_global
+        rows = [(i, f"BANNER\nunique {i}") for i in range(5)] + [(9, "solo doc")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in dedupe_lines_global(df, "doc_id", "text", min_df=3).collect()}
+        for i in range(5):
+            assert out[i].cleaned_text == f"unique {i}" and out[i].n_removed == 1
+        assert out[9].cleaned_text == "solo doc" and out[9].n_removed == 0
+
+    def test_within_doc_repeats_count_once(self, spark):
+        # df is DOCUMENT frequency: a line repeated inside one doc
+        # doesn't cross the threshold by itself
+        from dbt_icebreaker_spark.xops.dedup import dedupe_lines_global
+        df = spark.createDataFrame(
+            [(1, "x\nx\nx\nx\nbody"), (2, "other")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedupe_lines_global(df, "doc_id", "text", min_df=3).collect()}
+        assert out[1].n_removed == 0
+
+    def test_empty_lines_survive(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import dedupe_lines_global
+        rows = [(i, "DUP\n\ntail") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedupe_lines_global(df, "doc_id", "text", min_df=3).collect()
+        # DUP and tail both cross df>=3 and go; the blank line is
+        # never a candidate and survives as the only remaining line
+        assert all(r.cleaned_text == "" and r.n_removed == 2 for r in out)
