@@ -2754,6 +2754,21 @@ def _cb_sub_level(seg: Tokens) -> Tokens:
     return out
 
 
+def _has_top_connect_by(seg: Tokens) -> bool:
+    """CONNECT BY at paren-depth 0 of the segment."""
+    depth = 0
+    for i, tok in enumerate(seg):
+        if tok.is_op("("):
+            depth += 1
+        elif tok.is_op(")"):
+            depth -= 1
+        elif tok.kind == WORD and depth == 0 and tok.upper == "CONNECT":
+            j = next_code(seg, i + 1)
+            if j < len(seg) and seg[j].is_word("BY"):
+                return True
+    return False
+
+
 def rewrite_connect_by(tokens: Tokens) -> Tokens:
     """Snowflake/Oracle hierarchical query → Spark recursive CTE.
 
@@ -2771,8 +2786,35 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     PRIOR marks the parent side, WHERE filters the RESULT (not the
     traversal), LEVEL counts from 1 at the roots. The recursion is
     aliased back to the source's name so qualified references keep
-    resolving. Shapes outside the single-table/single-equality form
-    raise an actionable error (the rewrite must not guess)."""
+    resolving. CONNECT BY inside a subquery or CTE body rewrites
+    recursively (Spark accepts WITH RECURSIVE in both positions).
+    Shapes outside the single-table/single-equality form raise an
+    actionable error (the rewrite must not guess)."""
+    # recurse into parenthesized SELECT bodies (subqueries, CTE
+    # bodies) that contain their own top-level CONNECT BY — each
+    # becomes a self-contained WITH RECURSIVE inside its parens
+    pre: Tokens = []
+    i = 0
+    n0 = len(tokens)
+    while i < n0:
+        tok = tokens[i]
+        if tok.is_op("("):
+            close = find_matching_paren(tokens, i)
+            inner = tokens[i + 1:close]
+            j = next_code(inner, 0)
+            if (
+                j < len(inner)
+                and inner[j].kind == WORD
+                and inner[j].upper == "SELECT"
+                and _has_top_connect_by(inner)
+            ):
+                pre += [tok] + rewrite_connect_by(inner) + [tokens[close]]
+                i = close + 1
+                continue
+        pre.append(tok)
+        i += 1
+    tokens = pre
+
     # locate CONNECT BY / START WITH at statement top level
     depth = 0
     i_connect = i_start = -1
@@ -2791,8 +2833,11 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         elif tok.kind == WORD and tok.upper == "CONNECT" and depth > 0:
             j = next_code(tokens, i + 1)
             if j < len(tokens) and tokens[j].is_word("BY"):
-                _cb_error("only a top-level CONNECT BY is rewritten "
-                          "(found one inside a subquery)")
+                _cb_error(
+                    "a CONNECT BY nested in a non-SELECT-headed "
+                    "subquery is not rewritten; move the hierarchy "
+                    "walk into its own SELECT subquery or CTE body"
+                )
     if i_connect < 0:
         return tokens
     for bad in ("CONNECT_BY_ROOT", "SYS_CONNECT_BY_PATH",

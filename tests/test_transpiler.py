@@ -1372,3 +1372,36 @@ class TestHllSketchPipeline:
     def test_export_import_refused(self):
         ok, msg = t.can_transpile("SELECT HLL_EXPORT(s) FROM t")
         assert not ok and "Datasketches" in msg
+
+
+class TestConnectByNested:
+    """CONNECT BY inside CTE bodies / inline subqueries rewrites to a
+    self-contained WITH RECURSIVE in place (execution-verified: CTE
+    and subquery forms walk a 5-node tree; GROUP BY downstream of the
+    CTE works — the workaround the refusal message suggests)."""
+
+    def test_cte_body(self):
+        out = t.to_spark(
+            "WITH h AS (SELECT emp, LEVEL FROM staff START WITH mgr IS NULL "
+            "CONNECT BY PRIOR emp = mgr) SELECT COUNT(*) FROM h"
+        )
+        assert "WITH h AS (WITH RECURSIVE __cb AS (" in out
+        assert "CONNECT" not in out.upper().replace("__CB", "")
+
+    def test_inline_subquery(self):
+        out = t.to_spark(
+            "SELECT MAX(lvl) FROM (SELECT emp, LEVEL AS lvl FROM staff "
+            "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr) x"
+        )
+        assert "(WITH RECURSIVE __cb AS (" in out
+
+    def test_two_hierarchies_one_statement(self):
+        sql = (
+            "SELECT a.c + b.c FROM "
+            "(SELECT COUNT(*) AS c FROM (SELECT emp FROM staff START WITH mgr IS NULL "
+            "CONNECT BY PRIOR emp = mgr) x) a, "
+            "(SELECT COUNT(*) AS c FROM (SELECT emp FROM org START WITH boss IS NULL "
+            "CONNECT BY PRIOR emp = boss) y) b"
+        )
+        out = t.to_spark(sql)
+        assert out.count("WITH RECURSIVE") == 2
