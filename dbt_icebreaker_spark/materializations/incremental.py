@@ -196,7 +196,27 @@ def _apply_schema_change(
     return old, new_a, old_cols
 
 
-def merge_into_sql(target: str, batch_view: str, keys: list[str]) -> str:
+def _dest_pred(pred: str, alias: str | None = None) -> str:
+    """Normalize a dbt incremental_predicate: the conventional
+    DBT_INTERNAL_DEST / DBT_INTERNAL_SOURCE aliases map to the
+    target/batch relation (SQL-merge path) or to bare target columns
+    (rewrite path, alias=None)."""
+    out = pred
+    if alias is None:
+        out = out.replace("DBT_INTERNAL_DEST.", "").replace(
+            "DBT_INTERNAL_SOURCE.", "")
+    else:
+        out = out.replace("DBT_INTERNAL_DEST", alias).replace(
+            "DBT_INTERNAL_SOURCE", "s")
+    return out
+
+
+def merge_into_sql(
+    target: str,
+    batch_view: str,
+    keys: list[str],
+    predicates: Optional[Sequence[str]] = None,
+) -> str:
     """The literal MERGE INTO statement for catalogs with row-level
     DML (Delta/Iceberg): rewrites only matched files instead of the
     whole table — the preferred shape at 100 TB. Mirrors the
@@ -209,6 +229,11 @@ def merge_into_sql(target: str, batch_view: str, keys: list[str]) -> str:
     run_incremental converts that into an actionable error rather
     than silently changing semantics."""
     cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    for p in predicates or ():
+        # extra ON conjuncts — on Delta/Iceberg these prune the
+        # TARGET-side file scan (the dbt incremental_predicates
+        # contract: rows outside the predicate are never matched)
+        cond += f" AND ({_dest_pred(p, 't')})"
     return (
         f"MERGE INTO {target} t USING {batch_view} s ON {cond} "
         "WHEN MATCHED THEN UPDATE SET * "
@@ -228,8 +253,19 @@ def run_incremental(
     clustered_by: str | Sequence[str] | None = None,
     buckets: Optional[int] = None,
     use_sql_merge: bool = False,
+    incremental_predicates: Optional[Sequence[str]] = None,
 ) -> dict:
-    """Apply one incremental batch. Returns stats dict."""
+    """Apply one incremental batch. Returns stats dict.
+
+    ``incremental_predicates`` (dbt contract) bound which TARGET rows
+    are eligible for matching: rows outside every predicate are
+    carried through untouched and never join against the batch. On
+    the SQL-merge path the predicates become ON-clause conjuncts
+    (Delta/Iceberg prune target files with them — the 100 TB shape);
+    on the rewrite path out-of-scope rows bypass the anti-join's
+    exchange entirely, so only the predicate's slice shuffles. The
+    caller promises the predicates cover every row the batch could
+    match — the same promise dbt requires."""
     keys = _normalize_keys(unique_key)
     recovered = recover_staged_swap(spark, target)
     # surfaced on EVERY return path: operators must learn a crash-
@@ -271,25 +307,38 @@ def run_incremental(
         writer.saveAsTable(target)
         return {"strategy": "append", "rows_appended": new_aligned.count(), **extra}
 
+    def _scope_split(frame: DataFrame):
+        """(in_scope, out_of_scope) under incremental_predicates —
+        out-of-scope rows (predicate false OR NULL) skip the join."""
+        if not incremental_predicates:
+            return frame, None
+        pred = F.lit(True)
+        for p in incremental_predicates:
+            pred = pred & F.coalesce(F.expr(_dest_pred(p)), F.lit(False))
+        return frame.filter(pred), frame.filter(~pred)
+
     if strategy == "delete+insert":
         # incremental.sql:130-159: with partition_by, delete whole
         # partitions present in the batch; else delete by key tuple
+        scoped, carried = _scope_split(old)
         if partition_by:
             # distinct partition values are tiny by construction —
             # broadcasting is always safe here
             parts = new_aligned.select(partition_by).distinct()
-            kept = old.join(F.broadcast(parts), on=partition_by, how="left_anti")
+            kept = scoped.join(F.broadcast(parts), on=partition_by, how="left_anti")
         elif keys:
             # no forced broadcast of the key set: a backfill-sized
             # batch force-broadcast past autoBroadcastJoinThreshold
             # must be collected to the driver (OOM). AQE's runtime
             # join selection broadcasts small batches anyway and
             # shuffle-joins big ones.
-            kept = old.join(
+            kept = scoped.join(
                 new_aligned.select(keys).distinct(), on=keys, how="left_anti"
             )
         else:
             raise ValueError("delete+insert needs unique_key or partition_by")
+        if carried is not None:
+            kept = kept.unionByName(carried)
         result = kept.unionByName(new_aligned)
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {"strategy": "delete+insert", "rows": spark.table(target).count(), **extra}
@@ -305,7 +354,7 @@ def run_incremental(
             view = "__icebreaker_merge_batch"
             new_aligned.createOrReplaceTempView(view)
             try:
-                spark.sql(merge_into_sql(target, view, keys))
+                spark.sql(merge_into_sql(target, view, keys, incremental_predicates))
             except Exception as e:
                 # classify by Spark's error condition, NOT substring-
                 # matching "MERGE" (every failure of a MERGE statement
@@ -339,9 +388,12 @@ def run_incremental(
             return {"strategy": "merge(append)", "rows_appended": new_aligned.count(), **extra}
         # AQE picks broadcast vs shuffle from the batch's runtime size
         # (see delete+insert note — a forced hint OOMs on backfills)
-        kept = old.join(
+        scoped, carried = _scope_split(old)
+        kept = scoped.join(
             new_aligned.select(keys).distinct(), on=keys, how="left_anti"
         )
+        if carried is not None:
+            kept = kept.unionByName(carried)
         result = kept.unionByName(new_aligned)
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {"strategy": "merge", "rows": spark.table(target).count(), **extra}

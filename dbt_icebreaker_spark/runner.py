@@ -112,6 +112,7 @@ class IcebreakerEngine:
         clustered_by: str | Sequence[str] | None = None,
         buckets: Optional[int] = None,
         use_sql_merge: bool = False,
+        incremental_predicates: Optional[Sequence[str]] = None,
     ) -> RunResult:
         start = time.time()
         target = self._qualified(name)
@@ -158,6 +159,7 @@ class IcebreakerEngine:
                     partition_by=partition_by,
                     full_refresh=full_refresh,
                     on_schema_change=on_schema_change,
+                    incremental_predicates=incremental_predicates,
                     clustered_by=clustered_by,
                     buckets=buckets,
                     use_sql_merge=use_sql_merge,

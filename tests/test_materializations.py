@@ -523,3 +523,59 @@ class TestSqlMergeClassifier:
         # healed on the MERGE path (not CTAS) and the stat says so
         assert res.details.get("recovered_swap") == "completed"
         assert res.details["strategy"] == "merge"
+
+
+class TestIncrementalPredicates:
+    """dbt incremental_predicates: out-of-scope target rows are
+    carried untouched (never matched), in-scope rows merge by key."""
+
+    def test_merge_scoped(self, spark, engine):
+        import uuid
+        t = f"{engine.schema}.pred_merge_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame(
+            [(1, "old", 2020), (2, "old", 2024), (3, "old", 2024)],
+            "k long, v string, yr int",
+        )
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        batch = spark.createDataFrame(
+            [(1, "new", 2020), (2, "new", 2024), (9, "new", 2024)],
+            "k long, v string, yr int",
+        )
+        run_incremental(
+            spark, t, batch, strategy="merge", unique_key="k",
+            incremental_predicates=["DBT_INTERNAL_DEST.yr >= 2024"],
+        )
+        rows = {(r.k, r.v) for r in spark.table(t).collect()}
+        # k=1 (yr 2020, out of scope): old row CARRIED and the batch
+        # row inserted — the dbt contract when predicates don't cover
+        # a matching row; k=2 in scope → replaced; k=9 new → inserted
+        assert (1, "old") in rows and (1, "new") in rows
+        assert (2, "new") in rows and (2, "old") not in rows
+        assert (3, "old") in rows and (9, "new") in rows
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_delete_insert_scoped(self, spark, engine):
+        import uuid
+        t = f"{engine.schema}.pred_di_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "a"), (3, 99, "a")], "k long, grp int, v string"
+        )
+        run_incremental(spark, t, base, strategy="delete+insert", unique_key="k")
+        batch = spark.createDataFrame([(3, 99, "b")], "k long, grp int, v string")
+        run_incremental(
+            spark, t, batch, strategy="delete+insert", unique_key="k",
+            incremental_predicates=["grp = 99"],
+        )
+        rows = sorted((r.k, r.v) for r in spark.table(t).collect())
+        assert rows == [(1, "a"), (2, "a"), (3, "b")]
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_merge_sql_predicate_in_on_clause(self):
+        from dbt_icebreaker_spark.materializations.incremental import merge_into_sql
+        sql = merge_into_sql(
+            "db.t", "batch", ["k"],
+            predicates=["DBT_INTERNAL_DEST.ts > '2024-01-01'"],
+        )
+        assert "AND (t.ts > '2024-01-01')" in sql
