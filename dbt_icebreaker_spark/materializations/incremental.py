@@ -216,6 +216,7 @@ def merge_into_sql(
     batch_view: str,
     keys: list[str],
     predicates: Optional[Sequence[str]] = None,
+    update_columns: Optional[Sequence[str]] = None,
 ) -> str:
     """The literal MERGE INTO statement for catalogs with row-level
     DML (Delta/Iceberg): rewrites only matched files instead of the
@@ -234,9 +235,14 @@ def merge_into_sql(
         # TARGET-side file scan (the dbt incremental_predicates
         # contract: rows outside the predicate are never matched)
         cond += f" AND ({_dest_pred(p, 't')})"
+    if update_columns:
+        sets = ", ".join(f"t.{c} = s.{c}" for c in update_columns)
+        update = f"UPDATE SET {sets}"
+    else:
+        update = "UPDATE SET *"
     return (
         f"MERGE INTO {target} t USING {batch_view} s ON {cond} "
-        "WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN MATCHED THEN {update} "
         "WHEN NOT MATCHED THEN INSERT *"
     )
 
@@ -254,6 +260,8 @@ def run_incremental(
     buckets: Optional[int] = None,
     use_sql_merge: bool = False,
     incremental_predicates: Optional[Sequence[str]] = None,
+    merge_update_columns: Optional[Sequence[str]] = None,
+    merge_exclude_columns: Optional[Sequence[str]] = None,
 ) -> dict:
     """Apply one incremental batch. Returns stats dict.
 
@@ -267,6 +275,10 @@ def run_incremental(
     caller promises the predicates cover every row the batch could
     match — the same promise dbt requires."""
     keys = _normalize_keys(unique_key)
+    if merge_update_columns and merge_exclude_columns:
+        raise ValueError(
+            "merge_update_columns and merge_exclude_columns are "
+            "mutually exclusive (dbt contract)")
     recovered = recover_staged_swap(spark, target)
     # surfaced on EVERY return path: operators must learn a crash-
     # recovery event happened no matter which strategy then ran
@@ -343,6 +355,15 @@ def run_incremental(
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {"strategy": "delete+insert", "rows": spark.table(target).count(), **extra}
 
+    update_cols: Optional[list[str]] = None
+    if merge_update_columns:
+        update_cols = [c for c in merge_update_columns if c not in keys]
+    elif merge_exclude_columns:
+        excl = set(merge_exclude_columns)
+        update_cols = [
+            c for c in final_cols if c not in excl and c not in keys
+        ]
+
     if strategy == "merge":
         # incremental.sql:161-190: DELETE WHERE EXISTS(key match) then
         # INSERT ALL tmp rows ⇒ old rows not in batch ∪ batch
@@ -354,7 +375,7 @@ def run_incremental(
             view = "__icebreaker_merge_batch"
             new_aligned.createOrReplaceTempView(view)
             try:
-                spark.sql(merge_into_sql(target, view, keys, incremental_predicates))
+                spark.sql(merge_into_sql(target, view, keys, incremental_predicates, update_cols))
             except Exception as e:
                 # classify by Spark's error condition, NOT substring-
                 # matching "MERGE" (every failure of a MERGE statement
@@ -389,6 +410,52 @@ def run_incremental(
         # AQE picks broadcast vs shuffle from the batch's runtime size
         # (see delete+insert note — a forced hint OOMs on backfills)
         scoped, carried = _scope_split(old)
+        if update_cols is not None:
+            # partial update: matched rows take only update_cols from
+            # the batch; a batch with duplicate keys would fan the
+            # join out — same cardinality contract as SQL MERGE
+            if new_aligned.select(keys).distinct().count() != new_aligned.count():
+                raise ValueError(
+                    "merge_update_columns/merge_exclude_columns need "
+                    f"at most one batch row per unique_key {keys}; "
+                    "dedupe the batch first."
+                )
+            b = new_aligned.select(
+                *[F.col(k).alias(f"__bk_{k}") for k in keys],
+                *[F.col(c).alias(f"__bv_{c}") for c in update_cols],
+            )
+            join_cond = None
+            for k in keys:
+                c = scoped[k] == b[f"__bk_{k}"]
+                join_cond = c if join_cond is None else (join_cond & c)
+            # when(matched).otherwise(old) — NOT coalesce: a matched
+            # batch row carrying an explicit NULL must write the NULL
+            # (UPDATE SET semantics), not fall back to the old value
+            matched = F.col(f"__bk_{keys[0]}").isNotNull()
+            merged = scoped.join(b, join_cond, "left").select(
+                *[
+                    F.when(matched, F.col(f"__bv_{c}"))
+                    .otherwise(scoped[c]).alias(c)
+                    if c in update_cols
+                    else scoped[c].alias(c)
+                    for c in final_cols
+                ]
+            )
+            new_only = new_aligned.join(
+                old.select(keys).distinct(), on=keys, how="left_anti"
+            ).select(*final_cols)
+            kept = merged
+            if carried is not None:
+                kept = kept.unionByName(carried.select(*final_cols))
+            result = kept.unionByName(new_only)
+            _staged_overwrite(
+                spark, result, target, partition_by, clustered_by, buckets
+            )
+            return {
+                "strategy": "merge(partial-update)",
+                "rows": spark.table(target).count(),
+                **extra,
+            }
         kept = scoped.join(
             new_aligned.select(keys).distinct(), on=keys, how="left_anti"
         )

@@ -113,6 +113,8 @@ class IcebreakerEngine:
         buckets: Optional[int] = None,
         use_sql_merge: bool = False,
         incremental_predicates: Optional[Sequence[str]] = None,
+        merge_update_columns: Optional[Sequence[str]] = None,
+        merge_exclude_columns: Optional[Sequence[str]] = None,
     ) -> RunResult:
         start = time.time()
         target = self._qualified(name)
@@ -160,6 +162,8 @@ class IcebreakerEngine:
                     full_refresh=full_refresh,
                     on_schema_change=on_schema_change,
                     incremental_predicates=incremental_predicates,
+                    merge_update_columns=merge_update_columns,
+                    merge_exclude_columns=merge_exclude_columns,
                     clustered_by=clustered_by,
                     buckets=buckets,
                     use_sql_merge=use_sql_merge,

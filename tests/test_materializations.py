@@ -579,3 +579,75 @@ class TestIncrementalPredicates:
             predicates=["DBT_INTERNAL_DEST.ts > '2024-01-01'"],
         )
         assert "AND (t.ts > '2024-01-01')" in sql
+
+
+class TestMergePartialUpdate:
+    """dbt merge_update_columns / merge_exclude_columns: matched rows
+    take only the named columns from the batch and keep the rest."""
+
+    def test_update_columns(self, spark, engine):
+        import uuid
+        t = f"{engine.schema}.mupd_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame(
+            [(1, "v1", "keep1"), (2, "v1", "keep2")], "k long, v string, created string"
+        )
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        batch = spark.createDataFrame(
+            [(1, "v2", "CLOBBER"), (3, "v2", "new3")], "k long, v string, created string"
+        )
+        run_incremental(
+            spark, t, batch, strategy="merge", unique_key="k",
+            merge_update_columns=["v"],
+        )
+        rows = {r.k: (r.v, r.created) for r in spark.table(t).collect()}
+        assert rows[1] == ("v2", "keep1")   # v updated, created kept
+        assert rows[2] == ("v1", "keep2")   # untouched
+        assert rows[3] == ("v2", "new3")    # inserted whole
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_exclude_columns_and_null_write(self, spark, engine):
+        import uuid
+        t = f"{engine.schema}.mexc_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame(
+            [(1, "v1", "keep")], "k long, v string, created string"
+        )
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        batch = spark.createDataFrame(
+            [(1, None, "CLOBBER")], "k long, v string, created string"
+        )
+        run_incremental(
+            spark, t, batch, strategy="merge", unique_key="k",
+            merge_exclude_columns=["created"],
+        )
+        row = spark.table(t).collect()[0]
+        # v takes the batch's explicit NULL (UPDATE semantics, not
+        # coalesce); created excluded → kept
+        assert row.v is None and row.created == "keep"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_duplicate_batch_keys_refused(self, spark, engine):
+        import uuid, pytest as _p
+        t = f"{engine.schema}.mdup_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        batch = spark.createDataFrame([(1, "b"), (1, "c")], "k long, v string")
+        with _p.raises(ValueError, match="one batch row per unique_key"):
+            run_incremental(
+                spark, t, batch, strategy="merge", unique_key="k",
+                merge_update_columns=["v"],
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_mutually_exclusive(self, spark, engine):
+        import pytest as _p
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        with _p.raises(ValueError, match="mutually exclusive"):
+            run_incremental(
+                spark, f"{engine.schema}.never_created_tbl", df,
+                strategy="merge", unique_key="k",
+                merge_update_columns=["v"], merge_exclude_columns=["v"],
+            )
