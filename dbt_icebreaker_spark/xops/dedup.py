@@ -884,3 +884,44 @@ def dedupe_lines_global(
         )
     )
     return rebuilt
+
+
+def tune_lsh(
+    target_jaccard: float,
+    max_hashes: int = 128,
+) -> dict:
+    """Pick (n_hashes, bands, rows_per_band) whose S-curve threshold
+    sits closest to `target_jaccard` — the standard MMDS tuning rule
+    t ≈ (1/b)^(1/r) for candidate probability 1 − (1 − s^r)^b, so the
+    LSH parameters come from the similarity you actually care about
+    instead of folklore defaults. Complements minhash_jaccard_estimate
+    (x25), which measures the realized accuracy on YOUR corpus.
+
+    Returns {n_hashes, bands, rows_per_band, threshold, p_at_target,
+    p_at_low}: p_at_target = candidate probability exactly at the
+    target (want high), p_at_low = probability at half the target
+    (want low — controls wasted verification work)."""
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    best = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            n = r * b
+            if n > max_hashes:
+                continue
+            thr = (1.0 / b) ** (1.0 / r)
+            score = abs(thr - target_jaccard)
+            # prefer fewer hashes on ties (cheaper signatures)
+            key = (score, n)
+            if best is None or key < best[0]:
+                best = (key, r, b, n, thr)
+    _, r, b, n, thr = best
+    p = lambda s: 1.0 - (1.0 - s ** r) ** b
+    return {
+        "n_hashes": n,
+        "bands": b,
+        "rows_per_band": r,
+        "threshold": round(thr, 4),
+        "p_at_target": round(p(target_jaccard), 4),
+        "p_at_low": round(p(target_jaccard / 2), 4),
+    }

@@ -1447,3 +1447,22 @@ class TestDedupeLinesGlobal:
         # DUP and tail both cross df>=3 and go; the blank line is
         # never a candidate and survives as the only remaining line
         assert all(r.cleaned_text == "" and r.n_removed == 2 for r in out)
+
+
+class TestTuneLsh:
+    def test_threshold_tracks_target(self):
+        from dbt_icebreaker_spark.xops.dedup import tune_lsh
+        for t in (0.3, 0.5, 0.7, 0.9):
+            cfg = tune_lsh(t)
+            assert abs(cfg["threshold"] - t) < 0.05
+            assert cfg["bands"] * cfg["rows_per_band"] == cfg["n_hashes"]
+            assert cfg["n_hashes"] <= 128
+            # S-curve sanity: likely at target, unlikely at half
+            assert cfg["p_at_target"] > cfg["p_at_low"]
+
+    def test_rejects_degenerate_targets(self):
+        import pytest as _p
+        from dbt_icebreaker_spark.xops.dedup import tune_lsh
+        for bad in (0.0, 1.0, -0.5):
+            with _p.raises(ValueError):
+                tune_lsh(bad)
