@@ -15,9 +15,11 @@ these are designed Spark-first for 100 TB scale:
   repetition filters, PII/URL scrubbing, document chunking, corpus
   n-gram stats
 - temporal: as-of and range joins
+- dedup extras: C4 line-level corpus dedup, S-curve LSH tuning
 - sampling: deterministic hash samples/splits, domain mixing (row- or
   token-weighted), Efraimidis–Spirakis weighted sampling without
-  replacement, epoch shuffle, scalable global row positions
+  replacement, DSIR importance resampling, epoch shuffle, scalable
+  global row positions
 - dataset: hash-balanced sharded export + integrity manifest
   (recompute-and-diff verification)
 - profile: per-stratum numeric distribution profiling
