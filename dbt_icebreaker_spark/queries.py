@@ -1979,6 +1979,25 @@ def _x_dedupe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_lines_global(docs, "doc_id", "text", min_df=5)
 
 
+def _x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite similarity join / record linkage (xops/dedup.
+    fuzzy_join, exact path = the oracle baseline): link the low-id
+    document slice against the high-id slice by 2-gram Jaccard."""
+    from .xops.dedup import fuzzy_join
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    return fuzzy_join(
+        docs.filter(F.col("doc_id") < 250).select(
+            F.col("doc_id").alias("lid"), "text"
+        ),
+        docs.filter(F.col("doc_id") >= 250).select(
+            F.col("doc_id").alias("rid"), "text"
+        ),
+        "lid", "rid", "text", k=2, threshold=0.2, exact=True,
+    )
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -2180,6 +2199,40 @@ XOP_ORACLES: dict[str, str | None] = {
           GROUP BY a.doc_id
         )
         SELECT doc_id, n_lines, n_removed, cleaned_text FROM rebuilt
+    """,
+    "x46_fuzzy_join": """
+        WITH lw AS (
+          SELECT doc_id AS lid, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 250
+        ),
+        rw AS (
+          SELECT doc_id AS rid, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id >= 250
+        ),
+        ls AS (
+          SELECT DISTINCT lid, w[i] || ' ' || w[i+1] AS shingle
+          FROM lw, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        rs AS (
+          SELECT DISTINCT rid, w[i] || ' ' || w[i+1] AS shingle
+          FROM rw, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        ln AS (SELECT lid, COUNT(*) AS n FROM ls GROUP BY 1),
+        rn AS (SELECT rid, COUNT(*) AS n FROM rs GROUP BY 1),
+        shared AS (
+          SELECT ls.lid, rs.rid, COUNT(*) AS ns
+          FROM ls JOIN rs ON ls.shingle = rs.shingle
+          GROUP BY 1, 2
+        )
+        SELECT CAST(shared.lid AS BIGINT) AS lid,
+               CAST(shared.rid AS BIGINT) AS rid,
+               CAST(ns AS DOUBLE) / (ln.n + rn.n - ns) AS jaccard
+        FROM shared
+        JOIN ln ON ln.lid = shared.lid
+        JOIN rn ON rn.rid = shared.rid
+        WHERE CAST(ns AS DOUBLE) / (ln.n + rn.n - ns) >= 0.2
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3149,6 +3202,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x43_hard_negatives": _x_hard_negatives,
     "x44_dsir_weights": _x_dsir_weights,
     "x45_dedupe_lines": _x_dedupe_lines,
+    "x46_fuzzy_join": _x_fuzzy_join,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

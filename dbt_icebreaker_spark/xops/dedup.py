@@ -925,3 +925,107 @@ def tune_lsh(
         "p_at_target": round(p(target_jaccard), 4),
         "p_at_low": round(p(target_jaccard / 2), 4),
     }
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str | None = None,
+    k: int = 2,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Bipartite similarity join (record linkage / entity resolution):
+    pair every left row with the right rows whose word-k-gram Jaccard
+    ≥ threshold — "which crawl pages match which benchmark docs",
+    "which vendor names match which ledger entries".
+
+    Two physical strategies, identical results above the threshold:
+
+    - ``exact=True``: inverted-index join on shared shingles with the
+      lossless size-ratio prune (J ≥ t ⇒ t·max(|A|,|B|) ≤ min) — the
+      oracle baseline; worst-case quadratic on near-identical sides.
+    - ``exact=False`` (default): MinHash-LSH blocking FIRST — both
+      sides get signatures from the SAME hash family, candidates are
+      the (band, band_key) matches, and only candidates pay the exact
+      Jaccard verification. At 100 TB this is the only shape: the
+      cross-side work is proportional to true matches, not |L|×|R|;
+      LSH recall at the threshold follows the tuned S-curve
+      (see tune_lsh) — pairs far above threshold are found with
+      probability ≈ 1, borderline pairs can be missed (documented
+      approximation, verification never admits false positives).
+
+    Output: (left_id, right_id, jaccard) with original ids.
+    """
+    rt = right_text or left_text
+    # disambiguate ids into one namespace-tagged column set
+    lsh_frame = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_text).alias("__text")
+    )
+    rsh_frame = right.select(
+        F.col(right_id).alias("__rid"), F.col(rt).alias("__text")
+    )
+    l_sh = word_shingles(lsh_frame, "__lid", "__text", k=k).withColumn(
+        "n_l", F.count("*").over(Window.partitionBy("__lid"))
+    )
+    r_sh = word_shingles(rsh_frame, "__rid", "__text", k=k).withColumn(
+        "n_r", F.count("*").over(Window.partitionBy("__rid"))
+    )
+
+    def verified(pairs_pruned: DataFrame) -> DataFrame:
+        shared = (
+            pairs_pruned.groupBy("__lid", "__rid", "n_l", "n_r")
+            .agg(F.count("*").alias("n_shared"))
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_shared")
+                    / (F.col("n_l") + F.col("n_r") - F.col("n_shared"))
+                ).cast("double"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return shared.select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "jaccard",
+        )
+
+    if exact:
+        joined = l_sh.join(
+            r_sh,
+            (l_sh["shingle"] == r_sh["shingle"])
+            & (l_sh["n_l"] * threshold <= r_sh["n_r"])
+            & (r_sh["n_r"] * threshold <= l_sh["n_l"]),
+        ).select("__lid", "__rid", "n_l", "n_r")
+        return verified(joined)
+
+    # LSH blocking: same hash family on both sides → band-key equi-join
+    l_sig = signatures_from_shingles(l_sh.select("__lid", "shingle"), "__lid", n_hashes)
+    r_sig = signatures_from_shingles(r_sh.select("__rid", "shingle"), "__rid", n_hashes)
+    l_bk = band_keys(l_sig, "__lid", n_hashes=n_hashes, bands=bands)
+    r_bk = band_keys(r_sig, "__rid", n_hashes=n_hashes, bands=bands)
+    cand = (
+        l_bk.join(r_bk, ["band", "band_key"])
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    # exact verification only on candidates: fan candidates to their
+    # left shingles, then hash equi-join on (right id, shingle) — the
+    # shingle is IN the join key, so the intermediate is the shared-
+    # shingle rows, never a per-pair S_L × S_R cross product
+    cand_sh = (
+        cand.join(l_sh.select("__lid", "shingle", "n_l"), ["__lid"])
+        .join(r_sh.select("__rid", "shingle", "n_r"), ["__rid", "shingle"])
+        .where(
+            (F.col("n_l") * threshold <= F.col("n_r"))
+            & (F.col("n_r") * threshold <= F.col("n_l"))
+        )
+        .select("__lid", "__rid", "n_l", "n_r")
+    )
+    return verified(cand_sh)

@@ -1466,3 +1466,47 @@ class TestTuneLsh:
         for bad in (0.0, 1.0, -0.5):
             with _p.raises(ValueError):
                 tune_lsh(bad)
+
+
+class TestFuzzyJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame([
+            (1, "acme corporation global holdings inc"),
+            (2, "northern lights bakery company"),
+            (3, "totally unrelated words entirely"),
+        ], "lid long, name string")
+        right = spark.createDataFrame([
+            (10, "acme corporation global holdings incorporated"),
+            (11, "northern lights bakery co"),
+            (12, "different text altogether now"),
+        ], "rid long, name string")
+        return left, right
+
+    def test_exact_links_similar_pairs(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import fuzzy_join
+        left, right = self._frames(spark)
+        out = fuzzy_join(left, right, "lid", "rid", "name",
+                         k=2, threshold=0.3, exact=True)
+        pairs = {(r.lid, r.rid) for r in out.collect()}
+        assert pairs == {(1, 10), (2, 11)}
+
+    def test_lsh_matches_exact_above_threshold(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import fuzzy_join
+        left, right = self._frames(spark)
+        ex = {(r.lid, r.rid, round(r.jaccard, 6)) for r in fuzzy_join(
+            left, right, "lid", "rid", "name", k=2, threshold=0.3, exact=True
+        ).collect()}
+        ap = {(r.lid, r.rid, round(r.jaccard, 6)) for r in fuzzy_join(
+            left, right, "lid", "rid", "name", k=2, threshold=0.3, exact=False
+        ).collect()}
+        # verification never admits false positives; on clearly-similar
+        # pairs LSH recall is ~1, so the sets agree here
+        assert ap <= ex and ap == ex
+
+    def test_different_text_columns(self, spark):
+        from dbt_icebreaker_spark.xops.dedup import fuzzy_join
+        left = spark.createDataFrame([(1, "alpha beta gamma delta")], "lid long, a string")
+        right = spark.createDataFrame([(2, "alpha beta gamma epsilon")], "rid long, b string")
+        out = fuzzy_join(left, right, "lid", "rid", "a", right_text="b",
+                         k=2, threshold=0.3, exact=True).collect()
+        assert len(out) == 1 and out[0].lid == 1 and out[0].rid == 2
