@@ -3027,6 +3027,124 @@ def _snowflake_collation_to_spark(spec: str) -> str:
     return name
 
 
+def rewrite_select_modifiers(tokens: Tokens) -> Tokens:
+    """Snowflake star modifiers and TOP:
+
+    - ``* EXCLUDE (a, b)`` / ``* EXCLUDE a`` → Spark ``* EXCEPT (a, b)``
+    - ``* RENAME (a AS b, …)`` → ``* EXCEPT (a), a AS b, …``
+      (Spark has no RENAME; the renamed columns move to the END of the
+      select list — a documented position deviation)
+    - ``SELECT TOP n …`` → trailing ``LIMIT n``
+
+    EXCLUDE/RENAME only trigger directly after a ``*`` (or ``t.*``),
+    so identifiers named exclude/rename never do."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    depth = 0
+    pending_limit: Tokens | None = None
+    while i < n:
+        t = tokens[i]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        if (
+            t.kind == WORD and t.upper == "TOP"
+            and i > 0
+        ):
+            p = prev_code(tokens, i - 1)
+            j = next_code(tokens, i + 1)
+            if (
+                p >= 0 and tokens[p].is_word("SELECT", "DISTINCT")
+                and j < n and tokens[j].kind == NUMBER
+            ):
+                if depth > 0:
+                    # a nested TOP's LIMIT belongs inside ITS subquery —
+                    # rewrite the subquery body recursively instead
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "SELECT TOP inside a subquery: spell LIMIT on "
+                        "the subquery directly (the statement-level "
+                        "rewrite would misplace it)."
+                    )
+                pending_limit = [tokens[j]]
+                i = j + 1
+                continue
+        if t.kind == WORD and t.upper in ("EXCLUDE", "RENAME"):
+            p = prev_code(tokens, i - 1)
+            after_star = p >= 0 and tokens[p].is_op("*")
+            # RENAME may also follow an emitted EXCEPT (...) group
+            after_except = (
+                t.upper == "RENAME" and p >= 0 and tokens[p].is_op(")")
+            )
+            if after_star or after_except:
+                j = next_code(tokens, i + 1)
+                if j < n and tokens[j].is_op("("):
+                    close = find_matching_paren(tokens, j)
+                    args = split_args(tokens, j + 1, close)
+                    nxt = close + 1
+                else:
+                    # single unparenthesized item: col  |  col AS new
+                    k = j
+                    seg_start = j
+                    while k < n and not (
+                        tokens[k].kind == WORD
+                        and tokens[k].upper in (
+                            "FROM", "EXCLUDE", "RENAME", "WHERE",
+                        )
+                        and not tokens[prev_code(tokens, k - 1)].is_word("AS")
+                    ) and not tokens[k].is_op(",", "(", ")"):
+                        k += 1
+                    args = [(seg_start, k)]
+                    nxt = k
+                if t.upper == "EXCLUDE":
+                    cols = ", ".join(
+                        render(tokens[a:b]).strip() for a, b in args
+                    )
+                    out += tokenize(f" EXCEPT ({cols})")
+                    i = nxt
+                    continue
+                # RENAME: fold sources into an EXCEPT and append
+                # aliased items after the star term
+                pairs = []
+                for a, b in args:
+                    seg = [c for c in tokens[a:b] if c.kind not in (WS, COMMENT)]
+                    as_i = next(
+                        (k2 for k2, c in enumerate(seg)
+                         if c.kind == WORD and c.upper == "AS"),
+                        None,
+                    )
+                    if as_i is None:
+                        _cb_error_rename()
+                    src = render(seg[:as_i]).strip()
+                    dst = render(seg[as_i + 1:]).strip()
+                    pairs.append((src, dst))
+                excepts = ", ".join(src for src, _ in pairs)
+                aliases = ", ".join(f"{src} AS {dst}" for src, dst in pairs)
+                out += tokenize(f" EXCEPT ({excepts}), {aliases}")
+                i = nxt
+                continue
+        out.append(t)
+        i += 1
+    if pending_limit is not None:
+        has_limit = any(
+            c.kind == WORD and c.upper == "LIMIT" for c in out
+        )
+        if not has_limit:
+            out += [_sp(), _word("LIMIT"), _sp()] + pending_limit
+    return out
+
+
+def _cb_error_rename():
+    from .core import TranspileError
+
+    raise TranspileError(
+        "RENAME items must be `col AS new_name` (Snowflake syntax)."
+    )
+
+
 def rewrite_collate(tokens: Tokens) -> Tokens:
     """Snowflake collation → Spark 4 collations: the COLLATE(x, 'spec')
     function keeps Spark's collate() with the spec translated, and the
@@ -3206,6 +3324,7 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
 PIPELINE = (
     rewrite_connect_by,        # whole-statement restructure runs first
     rewrite_collate,           # quoted specs → Spark collation names
+    rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,
     rewrite_listagg_distinct,

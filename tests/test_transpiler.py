@@ -1405,3 +1405,29 @@ class TestConnectByNested:
         )
         out = t.to_spark(sql)
         assert out.count("WITH RECURSIVE") == 2
+
+
+class TestSelectModifiers:
+    """Snowflake * EXCLUDE / * RENAME / SELECT TOP — execution-
+    verified against Spark during development."""
+
+    def test_exclude(self):
+        assert "* EXCEPT (s)" in t.to_spark("SELECT * EXCLUDE (s) FROM t")
+        assert "* EXCEPT (s)" in t.to_spark("SELECT * EXCLUDE s FROM t")
+        assert "* EXCEPT (s, v)" in t.to_spark("SELECT * EXCLUDE (s, v) FROM t")
+        out = t.to_spark("SELECT t.* EXCLUDE (v) FROM t")
+        assert "t.*" in out and "EXCEPT (v)" in out
+
+    def test_rename_moves_to_end(self):
+        out = t.to_spark("SELECT * RENAME (s AS label) FROM t")
+        assert "EXCEPT (s), s AS label" in out
+
+    def test_top(self):
+        out = t.to_spark("SELECT TOP 3 g FROM t ORDER BY g")
+        assert "TOP" not in out.upper() and out.rstrip().endswith("LIMIT 3")
+        with pytest.raises(TranspileError, match="TOP inside a subquery"):
+            t.to_spark("SELECT * FROM (SELECT TOP 2 g FROM t) x")
+
+    def test_identifiers_named_exclude_untouched(self):
+        out = t.to_spark("SELECT exclude, rename FROM t")
+        assert "EXCEPT" not in out
