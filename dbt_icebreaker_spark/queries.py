@@ -1288,6 +1288,20 @@ _q(
     """,
 )
 
+# Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
+# rewrite itself driver-gated).
+_q(
+    "q58_select_modifiers",
+    """
+    SELECT TOP 50 * EXCLUDE (o_totalprice, o_orderdate)
+    FROM orders ORDER BY o_orderkey
+    """,
+    """
+    SELECT * EXCLUDE (o_totalprice, o_orderdate)
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+
 # TYPEOF / IS_* VARIANT reflection on per-row JSON of all six JSON
 # types — the oracle states the expected classification directly
 # from the same modulo that built the JSON.
