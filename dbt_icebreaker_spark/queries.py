@@ -2012,6 +2012,18 @@ def _x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical profiling (xops/profile.profile_strings): per
+    string column counts / nulls / distinct / avg length / top-3
+    values with deterministic tie-breaks."""
+    from .xops.profile import profile_strings
+
+    register_dir(spark, sf_dir)
+    return profile_strings(
+        spark.table("documents"), ["lang", "source"], top_k=3
+    )
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -2247,6 +2259,38 @@ XOP_ORACLES: dict[str, str | None] = {
         JOIN ln ON ln.lid = shared.lid
         JOIN rn ON rn.rid = shared.rid
         WHERE CAST(ns AS DOUBLE) / (ln.n + rn.n - ns) >= 0.2
+    """,
+    "x47_profile_strings": """
+        WITH stacked AS (
+          SELECT 'lang' AS col, lang AS value FROM documents
+          UNION ALL
+          SELECT 'source' AS col, source AS value FROM documents
+        ),
+        counts AS (
+          SELECT col, value, COUNT(*) AS cnt FROM stacked
+          WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        tops AS (
+          SELECT col,
+                 list(value || ':' || cnt ORDER BY rn) AS top_values
+          FROM (
+            SELECT col, value, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY col
+                        ORDER BY cnt DESC, value) AS rn
+            FROM counts
+          ) WHERE rn <= 3 GROUP BY col
+        ),
+        stats AS (
+          SELECT col,
+                 COUNT(*) AS n,
+                 COUNT(*) FILTER (WHERE value IS NULL) AS n_null,
+                 COUNT(DISTINCT value) AS n_distinct,
+                 AVG(length(value)) AS avg_len
+          FROM stacked GROUP BY col
+        )
+        SELECT stats.col AS "column", n, n_null, n_distinct, avg_len,
+               top_values
+        FROM stats LEFT JOIN tops ON stats.col = tops.col
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3217,6 +3261,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x44_dsir_weights": _x_dsir_weights,
     "x45_dedupe_lines": _x_dedupe_lines,
     "x46_fuzzy_join": _x_fuzzy_join,
+    "x47_profile_strings": _x_profile_strings,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

@@ -1510,3 +1510,26 @@ class TestFuzzyJoin:
         out = fuzzy_join(left, right, "lid", "rid", "a", right_text="b",
                          k=2, threshold=0.3, exact=True).collect()
         assert len(out) == 1 and out[0].lid == 1 and out[0].rid == 2
+
+
+class TestProfileStrings:
+    def test_counts_and_tops(self, spark):
+        from dbt_icebreaker_spark.xops.profile import profile_strings
+        df = spark.createDataFrame(
+            [("en", "a"), ("en", "b"), ("fr", None), (None, "a")],
+            "lang string, src string",
+        )
+        out = {r.column: r for r in profile_strings(df, ["lang", "src"], top_k=2).collect()}
+        lang = out["lang"]
+        assert (lang.n, lang.n_null, lang.n_distinct) == (4, 1, 2)
+        assert lang.top_values[0] == "en:2"
+        src = out["src"]
+        assert src.top_values == ["a:2", "b:1"]
+
+    def test_deterministic_tiebreak(self, spark):
+        from dbt_icebreaker_spark.xops.profile import profile_strings
+        df = spark.createDataFrame(
+            [("x",), ("y",), ("z",)], "c string"
+        )
+        out = profile_strings(df, ["c"], top_k=2).collect()[0]
+        assert out.top_values == ["x:1", "y:1"]  # value-ordered ties
