@@ -324,6 +324,15 @@ def run_incremental(
         out-of-scope rows (predicate false OR NULL) skip the join."""
         if not incremental_predicates:
             return frame, None
+        for p in incremental_predicates:
+            if "DBT_INTERNAL_SOURCE" in p:
+                raise ValueError(
+                    "incremental_predicates referencing "
+                    "DBT_INTERNAL_SOURCE need use_sql_merge=True (the "
+                    "rewrite path evaluates predicates on the TARGET "
+                    "only; a batch-side predicate would silently bind "
+                    "to target columns)."
+                )
         pred = F.lit(True)
         for p in incremental_predicates:
             pred = pred & F.coalesce(F.expr(_dest_pred(p)), F.lit(False))
@@ -358,11 +367,21 @@ def run_incremental(
     update_cols: Optional[list[str]] = None
     if merge_update_columns:
         update_cols = [c for c in merge_update_columns if c not in keys]
+        if not update_cols:
+            raise ValueError(
+                "merge_update_columns contains only unique_key columns "
+                "— nothing to update (keys never change on a match)."
+            )
     elif merge_exclude_columns:
         excl = set(merge_exclude_columns)
         update_cols = [
             c for c in final_cols if c not in excl and c not in keys
         ]
+        if not update_cols:
+            raise ValueError(
+                "merge_exclude_columns excludes every non-key column "
+                "— nothing to update."
+            )
 
     if strategy == "merge":
         # incremental.sql:161-190: DELETE WHERE EXISTS(key match) then
@@ -390,6 +409,13 @@ def run_incremental(
                         "tables have no row-level DML). Use the default "
                         "rewrite path, or store the table in a Delta/"
                         "Iceberg catalog."
+                    ) from e
+                if cond.startswith("AMBIGUOUS_REFERENCE"):
+                    raise ValueError(
+                        "MERGE predicate references an unqualified "
+                        "column that exists on both sides; qualify "
+                        "incremental_predicates with DBT_INTERNAL_DEST "
+                        "(target) or DBT_INTERNAL_SOURCE (batch)."
                     ) from e
                 if "MERGE_CARDINALITY_VIOLATION" in cond:
                     raise ValueError(
@@ -441,8 +467,12 @@ def run_incremental(
                     for c in final_cols
                 ]
             )
+            # anti-join against the SCOPED slice: a batch row whose
+            # key matches only an out-of-scope target row is NOT
+            # matched (same as the SQL merge's predicate-qualified ON)
+            # and therefore INSERTs
             new_only = new_aligned.join(
-                old.select(keys).distinct(), on=keys, how="left_anti"
+                scoped.select(keys).distinct(), on=keys, how="left_anti"
             ).select(*final_cols)
             kept = merged
             if carried is not None:

@@ -3074,64 +3074,77 @@ def rewrite_select_modifiers(tokens: Tokens) -> Tokens:
                 continue
         if t.kind == WORD and t.upper in ("EXCLUDE", "RENAME"):
             p = prev_code(tokens, i - 1)
-            after_star = p >= 0 and tokens[p].is_op("*")
-            # RENAME may also follow an emitted EXCEPT (...) group
-            after_except = (
-                t.upper == "RENAME" and p >= 0 and tokens[p].is_op(")")
-            )
-            if after_star or after_except:
-                j = next_code(tokens, i + 1)
-                if j < n and tokens[j].is_op("("):
-                    close = find_matching_paren(tokens, j)
-                    args = split_args(tokens, j + 1, close)
-                    nxt = close + 1
-                else:
-                    # single unparenthesized item: col  |  col AS new
-                    k = j
-                    seg_start = j
-                    while k < n and not (
-                        tokens[k].kind == WORD
-                        and tokens[k].upper in (
-                            "FROM", "EXCLUDE", "RENAME", "WHERE",
-                        )
-                        and not tokens[prev_code(tokens, k - 1)].is_word("AS")
-                    ) and not tokens[k].is_op(",", "(", ")"):
-                        k += 1
-                    args = [(seg_start, k)]
-                    nxt = k
-                if t.upper == "EXCLUDE":
-                    cols = ", ".join(
-                        render(tokens[a:b]).strip() for a, b in args
+            # modifiers attach DIRECTLY after a star; RENAME is also
+            # accepted as the immediate continuation of an EXCLUDE
+            # (handled by the look-ahead below), never after an
+            # arbitrary ')' — an alias named `rename` must not trigger
+            if p >= 0 and tokens[p].is_op("*"):
+                excl_cols: list[str] = []
+                pairs: list[tuple[str, str]] = []
+                j = i
+                while j < n and tokens[j].kind == WORD and tokens[j].upper in (
+                    "EXCLUDE", "RENAME",
+                ):
+                    kind = tokens[j].upper
+                    g = next_code(tokens, j + 1)
+                    if g < n and tokens[g].is_op("("):
+                        close = find_matching_paren(tokens, g)
+                        args = split_args(tokens, g + 1, close)
+                        j = next_code(tokens, close + 1)
+                    else:
+                        k = g
+                        while k < n and not (
+                            tokens[k].kind == WORD
+                            and tokens[k].upper in (
+                                "FROM", "EXCLUDE", "RENAME", "WHERE",
+                            )
+                            and not tokens[prev_code(tokens, k - 1)].is_word("AS")
+                        ) and not tokens[k].is_op(",", "(", ")"):
+                            k += 1
+                        args = [(g, k)]
+                        j = next_code(tokens, k)
+                    if kind == "EXCLUDE":
+                        excl_cols += [
+                            render(tokens[a:b]).strip() for a, b in args
+                        ]
+                    else:
+                        for a, b in args:
+                            seg = [c for c in tokens[a:b]
+                                   if c.kind not in (WS, COMMENT)]
+                            as_i = next(
+                                (k2 for k2, c in enumerate(seg)
+                                 if c.kind == WORD and c.upper == "AS"),
+                                None,
+                            )
+                            if as_i is None:
+                                _cb_error_rename()
+                            pairs.append((
+                                render(seg[:as_i]).strip(),
+                                render(seg[as_i + 1:]).strip(),
+                            ))
+                excepts = ", ".join(excl_cols + [src for src, _ in pairs])
+                rendered = f" EXCEPT ({excepts})"
+                if pairs:
+                    rendered += ", " + ", ".join(
+                        f"{src} AS {dst}" for src, dst in pairs
                     )
-                    out += tokenize(f" EXCEPT ({cols})")
-                    i = nxt
-                    continue
-                # RENAME: fold sources into an EXCEPT and append
-                # aliased items after the star term
-                pairs = []
-                for a, b in args:
-                    seg = [c for c in tokens[a:b] if c.kind not in (WS, COMMENT)]
-                    as_i = next(
-                        (k2 for k2, c in enumerate(seg)
-                         if c.kind == WORD and c.upper == "AS"),
-                        None,
-                    )
-                    if as_i is None:
-                        _cb_error_rename()
-                    src = render(seg[:as_i]).strip()
-                    dst = render(seg[as_i + 1:]).strip()
-                    pairs.append((src, dst))
-                excepts = ", ".join(src for src, _ in pairs)
-                aliases = ", ".join(f"{src} AS {dst}" for src, dst in pairs)
-                out += tokenize(f" EXCEPT ({excepts}), {aliases}")
-                i = nxt
+                out += tokenize(rendered) + [_sp()]
+                i = j
                 continue
         out.append(t)
         i += 1
     if pending_limit is not None:
-        has_limit = any(
-            c.kind == WORD and c.upper == "LIMIT" for c in out
-        )
+        # only a TOP-LEVEL limit conflicts; one inside a subquery must
+        # not swallow the TOP
+        d2 = 0
+        has_limit = False
+        for c in out:
+            if c.is_op("("):
+                d2 += 1
+            elif c.is_op(")"):
+                d2 -= 1
+            elif c.kind == WORD and c.upper == "LIMIT" and d2 == 0:
+                has_limit = True
         if not has_limit:
             out += [_sp(), _word("LIMIT"), _sp()] + pending_limit
     return out

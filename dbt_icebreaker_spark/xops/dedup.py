@@ -841,7 +841,13 @@ def dedupe_lines_global(
 
     Output: (id, n_lines, n_removed, cleaned_text).
     """
-    lines_col = F.split(F.col(text_col), sep)
+    # F.split takes a REGEX; the separator is a literal (and the
+    # rebuild joins it literally) — escape metacharacters so sep='.'
+    # or '|' can't silently shred the text
+    sep_re = "".join(
+        ("\\" + ch) if ch in "\\.[]{}()*+?^$|" else ch for ch in sep
+    )
+    lines_col = F.split(F.col(text_col), sep_re)
     base = df.select(F.col(id_col), lines_col.alias("__lines"))
     pos_lines = base.select(
         F.col(id_col),

@@ -293,6 +293,17 @@ def with_global_cumsum(
     )
 
 
+def u01(id_col: str | Column, salt: int = 0) -> Column:
+    """Deterministic uniform value in (0, 1] from an integer id — the
+    overflow-safe multiplicative hash shifted off zero (ln(u) must be
+    finite). Shared by es_key and dsir_sample so the determinism
+    contract has exactly one rendering."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    c1 = F.pmod(c.cast("long") + F.lit(salt), F.lit(_MERSENNE31))
+    m = F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD))
+    return (m.cast("double") + F.lit(1.0)) / F.lit(float(_MOD + 1))
+
+
 def es_key(id_col: str | Column, weight_col: str | Column, salt: int = 0) -> Column:
     """Efraimidis–Spirakis priority for weighted sampling WITHOUT
     replacement: key = ln(u) / w with u deterministic in (0, 1] from
@@ -307,12 +318,8 @@ def es_key(id_col: str | Column, weight_col: str | Column, salt: int = 0) -> Col
     integer arithmetic until the final divide, so any BIGINT+DOUBLE
     engine reproduces the key (oracle-checkable; only sub-ulp libm
     differences in ln() could ever flip a boundary row)."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    c1 = F.pmod(c.cast("long") + F.lit(salt), F.lit(_MERSENNE31))
-    m = F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD))
-    u = (m.cast("double") + F.lit(1.0)) / F.lit(float(_MOD + 1))
-    return F.log(u) / w.cast("double")
+    return F.log(u01(id_col, salt)) / w.cast("double")
 
 
 def weighted_sample(
@@ -453,12 +460,11 @@ def dsir_weights(
 
     tgt = bucket_counts(target_df, t_col)
     src = bucket_counts(df, text_col)
-    t_tot = float(target_df.select(
-        F.sum(F.size(_hashed_gram_buckets(F.col(t_col), B)))
-    ).collect()[0][0] or 0)
-    s_tot = float(df.select(
-        F.sum(F.size(_hashed_gram_buckets(F.col(text_col), B)))
-    ).collect()[0][0] or 0)
+    # gram totals are the sums of the bucket aggregates — never
+    # re-scan/re-explode the corpora for them (the count frames are
+    # n_buckets-sized)
+    t_tot = float(tgt.agg(F.sum("c")).collect()[0][0] or 0)
+    s_tot = float(src.agg(F.sum("c")).collect()[0][0] or 0)
     a = float(alpha)
     ratio = (
         tgt.withColumnRenamed("c", "ct")
@@ -524,11 +530,9 @@ def dsir_sample(
         df, id_col, text_col, target_df, target_text_col, n_buckets, alpha
     )
     c = F.col(id_col)
-    c1 = F.pmod(c.cast("long") + F.lit(salt), F.lit(_MERSENNE31))
-    m = F.pmod(c1 * F.lit(KNUTH_MULT), F.lit(_MOD))
-    u = (m.cast("double") + F.lit(1.0)) / F.lit(float(_MOD + 1))
     keyed = weights.withColumn(
-        "__gumbel_key", F.log(-F.log(u)) - F.col("dsir_logweight")
+        "__gumbel_key",
+        F.log(-F.log(u01(id_col, salt))) - F.col("dsir_logweight"),
     )
     return (
         keyed.orderBy(F.col("__gumbel_key").asc(), c.asc())

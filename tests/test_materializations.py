@@ -651,3 +651,53 @@ class TestMergePartialUpdate:
                 strategy="merge", unique_key="k",
                 merge_update_columns=["v"], merge_exclude_columns=["v"],
             )
+
+
+class TestPredicatePartialUpdateInteraction:
+    """Review follow-ups: out-of-scope matches must INSERT on the
+    partial-update path (same as SQL merge); source-side predicates
+    refuse on the rewrite path; empty update sets refuse."""
+
+    def test_out_of_scope_match_inserts(self, spark, engine):
+        import uuid
+        t = f"{engine.schema}.ppi_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame([(1, "old", 2020)], "k long, v string, yr int")
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        batch = spark.createDataFrame([(1, "new", 2020)], "k long, v string, yr int")
+        run_incremental(
+            spark, t, batch, strategy="merge", unique_key="k",
+            incremental_predicates=["yr >= 2024"],
+            merge_update_columns=["v"],
+        )
+        rows = {(r.k, r.v) for r in spark.table(t).collect()}
+        # the out-of-scope old row is carried AND the unmatched (by
+        # scope) batch row inserts — identical to the SQL-merge result
+        assert rows == {(1, "old"), (1, "new")}
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_source_predicate_refused_on_rewrite_path(self, spark, engine):
+        import uuid, pytest as _p
+        t = f"{engine.schema}.srcp_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        with _p.raises(ValueError, match="DBT_INTERNAL_SOURCE.*use_sql_merge"):
+            run_incremental(
+                spark, t, base, strategy="merge", unique_key="k",
+                incremental_predicates=["DBT_INTERNAL_SOURCE.v = 'a'"],
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_keys_only_update_set_refused(self, spark, engine):
+        import uuid, pytest as _p
+        t = f"{engine.schema}.keyu_{uuid.uuid4().hex[:6]}"
+        from dbt_icebreaker_spark.materializations.incremental import run_incremental
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        run_incremental(spark, t, base, strategy="merge", unique_key="k")
+        with _p.raises(ValueError, match="nothing to update"):
+            run_incremental(
+                spark, t, base, strategy="merge", unique_key="k",
+                merge_update_columns=["k"],
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1533,3 +1533,13 @@ class TestProfileStrings:
         )
         out = profile_strings(df, ["c"], top_k=2).collect()[0]
         assert out.top_values == ["x:1", "y:1"]  # value-ordered ties
+
+
+class TestLineSepEscaping:
+    def test_metacharacter_separator(self, spark):
+        # sep='|' is a regex metachar — must behave literally
+        from dbt_icebreaker_spark.xops.dedup import dedupe_lines_global
+        rows = [(i, f"DUP|unique {i}") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedupe_lines_global(df, "doc_id", "text", min_df=3, sep="|").collect()
+        assert all(r.cleaned_text == f"unique {r.doc_id}" for r in out)
