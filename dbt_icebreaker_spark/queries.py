@@ -1288,6 +1288,30 @@ _q(
     """,
 )
 
+# Modern-idiom passthroughs the engine must keep native: GROUP BY
+# ALL, LIKE ANY / ILIKE (oracle spells the OR expansion / lower()).
+_q(
+    "q59_modern_idioms",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(o_totalprice) AS total
+    FROM orders
+    WHERE o_orderpriority LIKE ANY ('1-%', '2-%')
+       OR o_orderpriority ILIKE '%urgent%'
+    GROUP BY ALL
+    """,
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(o_totalprice) AS total
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+       OR lower(o_orderpriority) LIKE '%urgent%'
+    GROUP BY o_orderpriority
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(
