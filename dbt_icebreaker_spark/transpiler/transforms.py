@@ -2840,8 +2840,7 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 )
     if i_connect < 0:
         return tokens
-    for bad in ("CONNECT_BY_ROOT", "SYS_CONNECT_BY_PATH",
-                "CONNECT_BY_ISLEAF", "CONNECT_BY_ISCYCLE"):
+    for bad in ("CONNECT_BY_ISLEAF", "CONNECT_BY_ISCYCLE"):
         if any(t.kind == WORD and t.upper == bad for t in tokens):
             _cb_error(f"{bad} has no mechanical rendering")
     if any(t.kind == WORD and t.upper in ("SIBLINGS", "NOCYCLE") for t in tokens):
@@ -2947,6 +2946,70 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     parent_col = _cb_column_of(parent_side, src_names)
     child_col = _cb_column_of(child_side, src_names)
 
+    # CONNECT_BY_ROOT col / SYS_CONNECT_BY_PATH(col, 'sep') become
+    # generated columns CARRIED THROUGH the recursion (root: anchor
+    # value propagated; path: separator-prefixed accumulation — the
+    # Oracle/Snowflake contract)
+    specials: dict[tuple, str] = {}
+
+    def _sub_special(seg: Tokens) -> Tokens:
+        out2: Tokens = []
+        i2 = 0
+        n2 = len(seg)
+        while i2 < n2:
+            tk = seg[i2]
+            if (
+                tk.kind == WORD and tk.upper == "SYS_CONNECT_BY_PATH"
+                and _is_call(seg, i2, tk.upper)
+            ):
+                op2 = next_code(seg, i2 + 1)
+                close2 = find_matching_paren(seg, op2)
+                args2 = split_args(seg, op2 + 1, close2)
+                if len(args2) != 2:
+                    _cb_error("SYS_CONNECT_BY_PATH takes (column, "
+                              "'separator')")
+                col = _cb_column_of(
+                    seg[args2[0][0]:args2[0][1]], src_names)
+                sepc = [c for c in seg[args2[1][0]:args2[1][1]]
+                        if c.kind not in (WS, COMMENT)]
+                if len(sepc) != 1 or sepc[0].kind != STRING:
+                    _cb_error("SYS_CONNECT_BY_PATH needs a literal "
+                              "separator string")
+                key = ("path", col, sepc[0].text)
+                name = specials.setdefault(key, f"__cbp{len(specials)}")
+                out2.append(_word(name))
+                i2 = close2 + 1
+                continue
+            if tk.kind == WORD and tk.upper == "CONNECT_BY_ROOT":
+                j2 = next_code(seg, i2 + 1)
+                if j2 < n2 and seg[j2].is_op("("):
+                    close2 = find_matching_paren(seg, j2)
+                    col = _cb_column_of(seg[j2 + 1:close2], src_names)
+                    nxt2 = close2 + 1
+                elif j2 < n2 and seg[j2].kind in (WORD, QIDENT):
+                    end2 = j2 + 1
+                    dot = next_code(seg, end2)
+                    if dot < n2 and seg[dot].is_op("."):
+                        end2 = next_code(seg, dot + 1) + 1
+                    col = _cb_column_of(seg[j2:end2], src_names)
+                    nxt2 = end2
+                else:
+                    _cb_error("CONNECT_BY_ROOT needs a column")
+                key = ("root", col, "")
+                name = specials.setdefault(key, f"__cbr{len(specials)}")
+                out2.append(_word(name))
+                i2 = nxt2
+                continue
+            out2.append(tk)
+            i2 += 1
+        return out2
+
+    sel = _sub_special(sel)
+    if where_seg:
+        where_seg = _sub_special(where_seg)
+    if tail:
+        tail = _sub_special(tail)
+
     # a bare `LEVEL` select item keeps its Snowflake output name;
     # LEVEL inside expressions substitutes positionally
     items: list[str] = []
@@ -2976,11 +3039,25 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     where_txt = render(_cb_sub_level(where_seg)).strip() if where_seg else ""
     tail_txt = render(_cb_sub_level(tail)).strip() if tail else ""
     a = out_alias
+    anchor_extra = rec_extra = ""
+    for (kind, col, sep), name in specials.items():
+        if kind == "path":
+            anchor_extra += (
+                f", concat({sep}, CAST({a}.{col} AS STRING)) AS {name}"
+            )
+            rec_extra += (
+                f", concat(__cb.{name}, {sep}, "
+                f"CAST({a}.{col} AS STRING)) AS {name}"
+            )
+        else:  # root: anchor value rides down unchanged
+            anchor_extra += f", {a}.{col} AS {name}"
+            rec_extra += f", __cb.{name} AS {name}"
     gen = (
         f"WITH RECURSIVE __cb AS ("
-        f"SELECT {a}.*, 1 AS __level FROM {table} {a} WHERE {start_txt} "
+        f"SELECT {a}.*, 1 AS __level{anchor_extra} "
+        f"FROM {table} {a} WHERE {start_txt} "
         f"UNION ALL "
-        f"SELECT {a}.*, __cb.__level + 1 FROM {table} {a} "
+        f"SELECT {a}.*, __cb.__level + 1{rec_extra} FROM {table} {a} "
         f"JOIN __cb ON {a}.{child_col} = __cb.{parent_col}"
         f") SELECT {sel_txt} FROM __cb AS {a}"
         + (f" WHERE {where_txt}" if where_txt else "")

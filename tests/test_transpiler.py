@@ -1247,8 +1247,8 @@ class TestConnectBy:
              "CONNECT BY PRIOR emp = mgr AND x = 1", "single equality"),
             ("SELECT emp FROM a JOIN b ON a.x = b.x START WITH mgr IS NULL "
              "CONNECT BY PRIOR emp = mgr", "single table"),
-            ("SELECT CONNECT_BY_ROOT emp FROM staff START WITH mgr IS NULL "
-             "CONNECT BY PRIOR emp = mgr", "CONNECT_BY_ROOT"),
+            ("SELECT CONNECT_BY_ISLEAF FROM staff START WITH mgr IS NULL "
+             "CONNECT BY PRIOR emp = mgr", "CONNECT_BY_ISLEAF"),
         ]
         for sql, pat in cases:
             with pytest.raises(TranspileError, match=pat):
@@ -1433,3 +1433,41 @@ class TestSelectModifiers:
     def test_identifiers_named_exclude_untouched(self):
         out = t.to_spark("SELECT exclude, rename FROM t")
         assert "EXCEPT" not in out
+
+
+class TestConnectByPathRoot:
+    """SYS_CONNECT_BY_PATH / CONNECT_BY_ROOT carried through the
+    recursion (execution-verified: '/ceo/vp/dir/mgr' paths and root
+    propagation on a 4-level chain)."""
+
+    def test_path_and_root_columns(self):
+        out = t.to_spark(
+            "SELECT emp, SYS_CONNECT_BY_PATH(title, '/') AS path, "
+            "CONNECT_BY_ROOT title AS root_title "
+            "FROM staff START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
+        )
+        assert "concat('/', CAST(staff.title AS STRING)) AS __cbp0" in out
+        assert "concat(__cb.__cbp0, '/'" in out
+        assert "staff.title AS __cbr1" in out and "__cb.__cbr1 AS __cbr1" in out
+        assert "__cbp0 AS path" in out and "__cbr1 AS root_title" in out
+
+    def test_paren_root_form(self):
+        out = t.to_spark(
+            "SELECT CONNECT_BY_ROOT(emp) AS root_emp FROM staff "
+            "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
+        )
+        assert "AS __cbr0" in out
+
+    def test_non_literal_separator_refused(self):
+        with pytest.raises(TranspileError, match="literal separator"):
+            t.to_spark(
+                "SELECT SYS_CONNECT_BY_PATH(title, sep_col) FROM staff "
+                "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
+            )
+
+    def test_isleaf_still_refused(self):
+        with pytest.raises(TranspileError, match="CONNECT_BY_ISLEAF"):
+            t.to_spark(
+                "SELECT CONNECT_BY_ISLEAF FROM staff "
+                "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
+            )
