@@ -2991,6 +2991,15 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                     dot = next_code(seg, end2)
                     if dot < n2 and seg[dot].is_op("."):
                         end2 = next_code(seg, dot + 1) + 1
+                    after = next_code(seg, end2)
+                    if after < n2 and seg[after].is_op("("):
+                        # CONNECT_BY_ROOT UPPER(x) — an expression, not
+                        # a column; refuse rather than emit garbage
+                        _cb_error(
+                            "CONNECT_BY_ROOT takes a plain column; "
+                            "wrap expressions around the rewritten "
+                            "output instead"
+                        )
                     col = _cb_column_of(seg[j2:end2], src_names)
                     nxt2 = end2
                 else:
