@@ -2048,6 +2048,19 @@ def _x_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-interleaved training order (xops/sampling.
+    interleave_domains): round-robin striping across sources so
+    batches never clump; within-domain order = epoch-0 shuffle."""
+    from .xops.sampling import interleave_domains
+
+    register_dir(spark, sf_dir)
+    return interleave_domains(
+        spark.table("documents").select("doc_id", "source"),
+        "doc_id", "source", epoch=0,
+    ).select("doc_id", "source", "interleave_rank")
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -2315,6 +2328,29 @@ XOP_ORACLES: dict[str, str | None] = {
         SELECT stats.col AS "column", n, n_null, n_distinct, avg_len,
                top_values
         FROM stats LEFT JOIN tops ON stats.col = tops.col
+    """,
+    "x48_interleave_domains": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 ((doc_id + 0 * 1000003) % 2147483647) * 2654435761 AS p1
+          FROM documents
+        ),
+        h2 AS (SELECT doc_id, source, p1 % 4294967296 AS h1 FROM h),
+        k AS (
+          SELECT doc_id, source,
+                 (xor(h1, h1 >> 16) * 1327217885) % 4294967296 AS sk
+          FROM h2
+        ),
+        dr AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY sk, doc_id) AS r
+          FROM k
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(ROW_NUMBER() OVER (ORDER BY r, source, doc_id) - 1
+                    AS BIGINT) AS interleave_rank
+        FROM dr
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3286,6 +3322,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x45_dedupe_lines": _x_dedupe_lines,
     "x46_fuzzy_join": _x_fuzzy_join,
     "x47_profile_strings": _x_profile_strings,
+    "x48_interleave_domains": _x_interleave,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s06_click_attribution": _s_click_attribution,

@@ -539,3 +539,37 @@ def dsir_sample(
         .limit(int(k))
         .drop("__gumbel_key")
     )
+
+
+def interleave_domains(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic domain-interleaved training order: rows are
+    striped round-robin across domains (rank-within-domain first,
+    then domain, then the epoch-shuffle key) so consecutive training
+    batches never clump on one source — the anti-correlation
+    complement of epoch_shuffle, which randomizes globally but can
+    still run long single-domain stretches when one domain dominates.
+
+    Within each domain the order is the deterministic epoch shuffle,
+    so different epochs stripe different documents while the striping
+    structure (and engine-reproducibility) is preserved.
+
+    Output: input columns + `interleave_rank` (0-based total order).
+    Shape: one window shuffle on domain for the within-domain rank,
+    then the global rank comes from with_global_position's range
+    sort — NEVER a bare row_number() OVER (ORDER BY …) single-task
+    funnel (the same discipline as x33)."""
+    from pyspark.sql import Window
+
+    key = shuffle_key(id_col, epoch)
+    w = Window.partitionBy(domain_col).orderBy(key, F.col(id_col))
+    ranked = df.withColumn("__dr", F.row_number().over(w))
+    positioned = with_global_position(
+        ranked, order_by=["__dr", domain_col, id_col],
+        pos_col="interleave_rank",
+    )
+    return positioned.drop("__dr")

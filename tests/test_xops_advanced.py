@@ -1543,3 +1543,28 @@ class TestLineSepEscaping:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = dedupe_lines_global(df, "doc_id", "text", min_df=3, sep="|").collect()
         assert all(r.cleaned_text == f"unique {r.doc_id}" for r in out)
+
+
+class TestInterleaveDomains:
+    def test_stripes_and_determinism(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import interleave_domains
+        rows = [(i, "big") for i in range(12)] + [(100 + i, "small") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        out = interleave_domains(df, "doc_id", "dom").orderBy("interleave_rank").collect()
+        order = [r.dom for r in out]
+        # while both domains last, positions alternate perfectly
+        assert order[:8].count("small") == 4
+        # frozen under repartitioning
+        b = interleave_domains(df.repartition(7), "doc_id", "dom") \
+            .orderBy("interleave_rank").collect()
+        assert [r.doc_id for r in out] == [r.doc_id for r in b]
+
+    def test_epochs_restripe_within_domain(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import interleave_domains
+        rows = [(i, "a") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        e0 = [r.doc_id for r in interleave_domains(df, "doc_id", "dom", epoch=0)
+              .orderBy("interleave_rank").collect()]
+        e1 = [r.doc_id for r in interleave_domains(df, "doc_id", "dom", epoch=1)
+              .orderBy("interleave_rank").collect()]
+        assert sorted(e0) == sorted(e1) and e0 != e1
