@@ -42,6 +42,23 @@ from pyspark.sql.types import (
 )
 
 
+def _has_watermark(df: DataFrame) -> bool:
+    """True when an EventTimeWatermark is already declared upstream —
+    composed pipelines (dedup → enrich → windowed agg) must not
+    redefine it (Spark fails the query at runtime)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """withWatermark unless one is already set upstream (composable)."""
+    if not df.isStreaming or _has_watermark(df):
+        return df
+    return df.withWatermark(ts_col, watermark)
+
+
 def _watermarkable(events: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP (with local-tz semantics); parquet
     written with isAdjustedToUTC=false infers as TIMESTAMP_NTZ, which
@@ -120,7 +137,7 @@ def windowed_counts(
     )
     return (
         _watermarkable(events, ts_col)
-        .withWatermark(ts_col, watermark)
+        .transform(lambda d: _with_watermark(d, ts_col, watermark))
         .groupBy(win.alias("w"), F.col(key_col))
         .agg(*aggs)
         .select(
@@ -150,7 +167,7 @@ def stream_dedup(
     backfill path."""
     return (
         _watermarkable(events, ts_col)
-        .withWatermark(ts_col, watermark)
+        .transform(lambda d: _with_watermark(d, ts_col, watermark))
         .dropDuplicatesWithinWatermark(list(keys))
     )
 
@@ -309,7 +326,7 @@ def sessionize_native(
     """
     e = _watermarkable(events, ts_col)
     if streaming:
-        e = e.withWatermark(ts_col, watermark)
+        e = e.transform(lambda d: _with_watermark(d, ts_col, watermark))
     win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
     return (
         e.groupBy(win.alias("w"), "user_id")
@@ -348,9 +365,9 @@ def attribute_clicks(
     v = _watermarkable(views, ts_col)
     c = _watermarkable(clicks, ts_col)
     if v.isStreaming:
-        v = v.withWatermark(ts_col, watermark)
+        v = v.transform(lambda d: _with_watermark(d, ts_col, watermark))
     if c.isStreaming:
-        c = c.withWatermark(ts_col, watermark)
+        c = c.transform(lambda d: _with_watermark(d, ts_col, watermark))
     v = v.select(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("view_id"),

@@ -417,3 +417,60 @@ class TestStreamEnrich:
         run_once()
         rows = {(r.event_id, r.tag) for r in spark.read.parquet(out_dir).collect()}
         assert rows == {(100, "v1"), (200, "v2")}
+
+
+class TestComposedStreamingPipeline:
+    """End-to-end streaming ingestion showcase: file stream → dedup
+    within watermark → static dimension enrichment → windowed counts,
+    all composed in ONE streaming query, checked against the same
+    operators composed in batch."""
+
+    def test_dedup_enrich_window_chain(self, spark, tmp_path):
+        from dbt_icebreaker_spark.streaming.pipeline import (
+            dedup_keep_first, enrich_stream, stream_dedup, windowed_counts,
+        )
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        dim = read_parquet(spark, f"{SF}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        # duplicated source = at-least-once delivery
+        src = str(tmp_path / "dup_src")
+        ev.write.parquet(src)
+        ev.write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        piped = windowed_counts(
+            enrich_stream(
+                stream_dedup(stream, ["event_id"], ts_col="ts",
+                             watermark="1 hour"),
+                dim, "user_id",
+            ),
+            ts_col="ts", window="10 minutes", key_col="c_mktsegment",
+        )
+        q = (
+            piped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("composed_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_comp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT window_start, c_mktsegment, n FROM composed_out"
+        )
+        # batch twin of the SAME composition; append mode withholds
+        # windows the watermark hasn't finalized, so the stream's
+        # output must be a subset that agrees exactly per emitted
+        # (window, segment) — and must be non-trivial
+        want = windowed_counts(
+            enrich_stream(
+                dedup_keep_first(ev, ["event_id"], ts_col="ts",
+                                 tiebreak="event_id"),
+                dim, "user_id",
+            ),
+            ts_col="ts", window="10 minutes", key_col="c_mktsegment",
+        ).select("window_start", "c_mktsegment", "n")
+        assert got.count() > 0
+        assert got.exceptAll(want).count() == 0
