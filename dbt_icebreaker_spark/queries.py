@@ -2098,6 +2098,29 @@ def _s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_composed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ingestion pipeline, batch rendering (the stream twin
+    is integration-tested): keep-first dedup by event_id → customer
+    dimension enrichment → 10-minute windowed counts per segment."""
+    from .streaming.pipeline import (
+        dedup_keep_first, enrich_stream, windowed_counts,
+    )
+
+    register_dir(spark, sf_dir)
+    ev = spark.table("events")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return windowed_counts(
+        enrich_stream(
+            dedup_keep_first(ev, ["event_id"], ts_col="ts",
+                             tiebreak="event_id"),
+            dim, "user_id",
+        ),
+        ts_col="ts", window="10 minutes", key_col="c_mktsegment",
+    ).select("window_start", "c_mktsegment", "n")
+
+
 def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: clicks within 30 min after a view by the same
     user (streaming/pipeline.attribute_clicks — the batch rendering of
@@ -2351,6 +2374,24 @@ XOP_ORACLES: dict[str, str | None] = {
                CAST(ROW_NUMBER() OVER (ORDER BY r, source, doc_id) - 1
                     AS BIGINT) AS interleave_rank
         FROM dr
+    """,
+    "s08_composed_pipeline": """
+        WITH d AS (
+          SELECT * FROM (
+            SELECT e.*, ROW_NUMBER() OVER (PARTITION BY event_id
+                         ORDER BY ts, event_id) AS rn
+            FROM events e
+          ) WHERE rn = 1
+        ),
+        enr AS (
+          SELECT d.*, c.c_mktsegment
+          FROM d LEFT JOIN customer c ON d.user_id = c.c_custkey
+        )
+        SELECT epoch_ms(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+                        * 1000) AS window_start,
+               c_mktsegment,
+               COUNT(*) AS n
+        FROM enr GROUP BY 1, 2
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3325,6 +3366,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x48_interleave_domains": _x_interleave,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
+    "s08_composed_pipeline": _s_composed_pipeline,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,
