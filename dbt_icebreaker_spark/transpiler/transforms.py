@@ -523,11 +523,27 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     x = tokens[args[0][0]:args[0][1]]
                     out += [_word("CAST"), _op("(")] + x + [_sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
                 else:
-                    # TO_CHAR(x, fmt) → date_format(x, fmt') with common
-                    # Snowflake→java format mapping
+                    # TO_CHAR(x, fmt): a NUMERIC format (digits/group/
+                    # decimal/sign/currency only — '9,999.99', '$…',
+                    # 'S…', '0…') keeps Spark's native numeric to_char
+                    # (same format language); anything else is a date
+                    # format → date_format with Snowflake→java mapping
                     x = tokens[args[0][0]:args[0][1]]
-                    conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
-                    out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
+                    f_code = [c for c in tokens[args[1][0]:args[1][1]]
+                              if c.kind != WS]
+                    is_num_fmt = (
+                        len(f_code) == 1 and f_code[0].kind == STRING
+                        and f_code[0].text[1:-1] != ""
+                        and all(ch in "90,.$SsBbMmIiPpRr"
+                                for ch in f_code[0].text[1:-1])
+                        and any(ch in "90" for ch in f_code[0].text[1:-1])
+                    )
+                    if is_num_fmt:
+                        out += ([_word("to_char"), _op("(")] + x
+                                + [_op(","), _sp(), f_code[0], _op(")")])
+                    else:
+                        conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
+                        out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
             elif t.text == "SQUARE_X" and len(args) == 1:
                 x = tokens[args[0][0]:args[0][1]]
                 out += [_word("POWER"), _op("(")] + x + [_op(","), _sp(), _word("2"), _op(")")]

@@ -1471,3 +1471,23 @@ class TestConnectByPathRoot:
                 "SELECT CONNECT_BY_ISLEAF FROM staff "
                 "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
             )
+
+
+class TestToCharNumericFormats:
+    """TO_CHAR numeric formats route to Spark's native to_char (same
+    format language) instead of date_format — execution-verified:
+    '9,999.9' → '1,234.5', '$…' and zero-padding work, date formats
+    still take the java-mapped date_format path."""
+
+    def test_numeric_routing(self):
+        out = t.to_spark("SELECT TO_CHAR(x, '9,999.99') FROM t")
+        assert "to_char(x" in out and "date_format" not in out
+        out = t.to_spark("SELECT TO_CHAR(x, '$9,999.99') FROM t")
+        assert "to_char(" in out
+
+    def test_date_routing_unchanged(self):
+        out = t.to_spark("SELECT TO_CHAR(d, 'YYYY-MM-DD') FROM t")
+        assert "date_format(d,  'yyyy-MM-dd')" in out
+        # digit-free formats (MI = minutes) stay on the date path
+        out = t.to_spark("SELECT TO_CHAR(ts, 'HH24:MI') FROM t")
+        assert "date_format" in out
