@@ -1526,11 +1526,20 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                 # has no faithful Spark rendering
                 p_code = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
                 if len(p_code) == 1 and p_code[0].kind == STRING:
-                    raise TranspileError(
-                        f"{t.upper} with a format string: Spark's "
-                        "to_number format language differs; strip the "
-                        "format or pre-clean with REGEXP_REPLACE."
-                    )
+                    # format string → Spark's native to_number /
+                    # try_to_number (same Oracle-style numeric format
+                    # language — verified '$9,999.99' parses equally)
+                    if len(args) != 2:
+                        raise TranspileError(
+                            f"{t.upper} takes (expr, 'format') or "
+                            "(expr, precision[, scale])."
+                        )
+                    fn3 = ("try_to_number" if t.upper.startswith("TRY_")
+                           else "to_number")
+                    x = render(tokens[args[0][0]:args[0][1]]).strip()
+                    out += tokenize(f"{fn3}({x}, {p_code[0].text})")
+                    i = close + 1
+                    continue
                 p_r = render(tokens[args[1][0]:args[1][1]]).strip()
                 s_r = (render(tokens[args[2][0]:args[2][1]]).strip()
                        if len(args) == 3 else "0")

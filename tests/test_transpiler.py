@@ -1124,8 +1124,11 @@ class TestRound4Functions:
             "SELECT TO_DECIMAL(x, 10, 2) FROM t")
         assert "TRY_CAST((x) AS DECIMAL(10, 2))" in t.to_spark(
             "SELECT TRY_TO_DECIMAL(x, 10, 2) FROM t")
-        with pytest.raises(TranspileError, match="format"):
-            t.to_spark("SELECT TO_NUMBER(x, '$99.99') FROM t")
+        # format strings route to Spark's native to_number family
+        assert "to_number(x, '$99.99')" in t.to_spark(
+            "SELECT TO_NUMBER(x, '$99.99') FROM t")
+        assert "try_to_number(x, '999')" in t.to_spark(
+            "SELECT TRY_TO_NUMBER(x, '999') FROM t")
 
     def test_regex_extended_args(self):
         t = self.t
