@@ -2061,6 +2061,19 @@ def _x_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "interleave_rank")
 
 
+def _x_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain weighted quota draw (xops/sampling.
+    weighted_sample_per_group): up to 5 docs per source, selection
+    probability ∝ n_chars, deterministic ES priorities."""
+    from .xops.sampling import weighted_sample_per_group
+
+    register_dir(spark, sf_dir)
+    return weighted_sample_per_group(
+        spark.table("documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", k_per_group=5,
+    ).select("doc_id", "source", "n_chars", "group_rank")
+
+
 def _q_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical CONNECT BY rewritten to a recursive CTE
     (transpiler rewrite_connect_by): org tree synthesized from
@@ -2392,6 +2405,23 @@ XOP_ORACLES: dict[str, str | None] = {
                c_mktsegment,
                COUNT(*) AS n
         FROM enr GROUP BY 1, 2
+    """,
+    "x49_weighted_per_group": """
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 ln((CAST(((doc_id % 2147483647) * 2654435761)
+                          % 4294967296 AS DOUBLE) + 1.0)
+                    / 4294967297.0) / n_chars AS es_key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, source, n_chars,
+               CAST(rn AS INT) AS group_rank
+        FROM (
+          SELECT keyed.*, ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY es_key DESC, doc_id) AS rn
+          FROM keyed
+        ) WHERE rn <= 5
     """,
     "q54_connect_by": """
         WITH RECURSIVE org AS (
@@ -3364,6 +3394,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x46_fuzzy_join": _x_fuzzy_join,
     "x47_profile_strings": _x_profile_strings,
     "x48_interleave_domains": _x_interleave,
+    "x49_weighted_per_group": _x_weighted_per_group,
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s08_composed_pipeline": _s_composed_pipeline,

@@ -573,3 +573,42 @@ def interleave_domains(
         pos_col="interleave_rank",
     )
     return positioned.drop("__dr")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k_per_group: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: an
+    Efraimidis–Spirakis draw of up to ``k_per_group`` rows inside
+    EVERY group — the "quality-weighted budget per domain/language"
+    curation step (global weighted_sample would let big domains eat
+    the whole budget). Same deterministic ln(u)/w priorities, so the
+    winners are frozen under repartitioning/appends/engines.
+
+    Shape at scale: ONE window shuffle on the group key (rank over
+    the ES priority) + filter — no per-group sorts beyond the window's
+    partition-local ordering, no driver involvement at any group
+    count. Skewed giant groups are the usual window caveat; AQE
+    skew-split applies. Non-positive/NULL weights never selected.
+
+    Output: input columns + `group_rank` (1-based within group)."""
+    from pyspark.sql import Window
+
+    if k_per_group <= 0:
+        raise ValueError("k_per_group must be positive")
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es_key", es_key(id_col, weight_col, salt))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__es_key").desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= k_per_group)
+        .drop("__es_key")
+    )

@@ -1568,3 +1568,28 @@ class TestInterleaveDomains:
         e1 = [r.doc_id for r in interleave_domains(df, "doc_id", "dom", epoch=1)
               .orderBy("interleave_rank").collect()]
         assert sorted(e0) == sorted(e1) and e0 != e1
+
+
+class TestWeightedSamplePerGroup:
+    def test_quota_and_determinism(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample_per_group
+        rows = [(i, "a" if i < 40 else "b", i % 5 + 1) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string, w long")
+        out = weighted_sample_per_group(df, "doc_id", "dom", "w", 7)
+        per = {r.dom: r.n for r in out.groupBy("dom").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        assert per == {"a": 7, "b": 7}
+        a = {r.doc_id for r in out.collect()}
+        b = {r.doc_id for r in weighted_sample_per_group(
+            df.repartition(9), "doc_id", "dom", "w", 7).collect()}
+        assert a == b
+
+    def test_small_group_keeps_all(self, spark):
+        from dbt_icebreaker_spark.xops.sampling import weighted_sample_per_group
+        df = spark.createDataFrame(
+            [(1, "x", 2), (2, "x", 3), (3, "y", 1)],
+            "doc_id long, dom string, w long",
+        )
+        out = weighted_sample_per_group(df, "doc_id", "dom", "w", 10).collect()
+        assert len(out) == 3
