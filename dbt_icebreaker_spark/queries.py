@@ -1312,6 +1312,53 @@ _q(
     """,
 )
 
+# Round-2 scalar batch: EQUAL_NULL / NULLIFZERO / BITNOT /
+# RTRIMMED_LENGTH / ARRAY_REVERSE / JSON_EXTRACT_PATH_TEXT /
+# HAVERSINE / TRY_HEX_DECODE_STRING / TRY_BASE64_DECODE_STRING.
+# Oracle: DuckDB IS NOT DISTINCT FROM, ~, list_reverse,
+# json_extract_string, the identical haversine formula (same IEEE
+# double ops → same result), decode(unhex/from_base64(...)).
+_q(
+    "q60_scalar_round6",
+    """
+    SELECT o_orderkey,
+           EQUAL_NULL(NULLIF(o_orderstatus, 'O'), NULLIF(o_orderstatus, 'O'))
+             AS en_self,
+           EQUAL_NULL(o_orderstatus, 'F') AS en_f,
+           NULLIFZERO(o_orderkey % 3) AS mod_nz,
+           BITNOT(o_orderkey) AS key_not,
+           RTRIMMED_LENGTH(o_orderstatus || '  ') AS rt_len,
+           ARRAY_TO_STRING(ARRAY_REVERSE(STRTOK_TO_ARRAY(o_orderpriority, '-')), '|')
+             AS prio_rev,
+           JSON_EXTRACT_PATH_TEXT(
+             '{"a":{"b":"' || o_orderpriority || '"}}', 'a.b') AS jpath,
+           HAVERSINE(40.7, -74.0, 40.7 + (o_orderkey % 10), -73.9) AS hav_km,
+           TRY_HEX_DECODE_STRING(HEX_ENCODE(o_orderstatus)) AS hex_rt,
+           TRY_BASE64_DECODE_STRING(BASE64_ENCODE(o_orderpriority)) AS b64_rt
+    FROM orders WHERE o_orderkey < 400
+    """,
+    """
+    SELECT o_orderkey,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM
+            NULLIF(o_orderstatus, 'O')) AS en_self,
+           (o_orderstatus IS NOT DISTINCT FROM 'F') AS en_f,
+           NULLIF(o_orderkey % 3, 0) AS mod_nz,
+           ~o_orderkey AS key_not,
+           LENGTH(RTRIM(o_orderstatus || '  ')) AS rt_len,
+           array_to_string(list_reverse(string_split(o_orderpriority, '-')), '|')
+             AS prio_rev,
+           json_extract_string(
+             '{"a":{"b":"' || o_orderpriority || '"}}', '$.a.b') AS jpath,
+           (2 * 6371 * ASIN(SQRT(
+             POWER(SIN(RADIANS((40.7 + (o_orderkey % 10)) - (40.7)) / 2), 2) +
+             COS(RADIANS(40.7)) * COS(RADIANS(40.7 + (o_orderkey % 10))) *
+             POWER(SIN(RADIANS((-73.9) - (-74.0)) / 2), 2)))) AS hav_km,
+           decode(unhex(hex(o_orderstatus))) AS hex_rt,
+           decode(from_base64(to_base64(encode(o_orderpriority)))) AS b64_rt
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

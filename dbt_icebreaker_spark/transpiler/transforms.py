@@ -253,6 +253,16 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_INSERT": "ARRINS_X",  # Snowflake pos is 0-based, Spark's 1-based
         "ARRAY_GENERATE_RANGE": "ARRGEN_X",  # exclusive stop vs sequence's inclusive
         "GET": "GET_X",             # object key → JSON path; array index native
+        "EQUAL_NULL": "EQNULL_X",   # null-safe equality → (a <=> b)
+        "NULLIFZERO": "NULLIF0_X",  # → NULLIF(x, 0)
+        "BITNOT": "BITNOT_X",       # → ~(x) (Spark has the operator, not the fn)
+        "RTRIMMED_LENGTH": "RTLEN_X",  # → LENGTH(RTRIM(x))
+        "ARRAY_REVERSE": "REVERSE",
+        "JSON_EXTRACT_PATH_TEXT": "JSONPATHTXT_X",  # → get_json_object('$.'+path)
+        "HAVERSINE": "HAVERSINE_X",  # km great-circle formula (no Spark builtin)
+        "TRY_BASE64_DECODE_STRING": "TRYB64DEC_X",  # → CAST(try_to_binary AS STRING)
+        "TRY_HEX_DECODE_STRING": "TRYHEXDEC_X",
+        "DIFFERENCE": "SOUNDEXDIFF_X",  # positional soundex-char match count 0-4
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -369,6 +379,8 @@ _PLACEHOLDER_NAMES = frozenset((
     "BOOLSC_NOT", "BOOLXORAGG_X", "NORMAL_X",
     "TYPEOF_X", "ISTYPE_OBJECT", "ISTYPE_ARRAY", "ISTYPE_BOOLEAN",
     "ISTYPE_INTEGER", "ISTYPE_NUMBER", "ISTYPE_VARCHAR",
+    "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
+    "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
 ))
 
 
@@ -547,6 +559,59 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
             elif t.text == "SQUARE_X" and len(args) == 1:
                 x = tokens[args[0][0]:args[0][1]]
                 out += [_word("POWER"), _op("(")] + x + [_op(","), _sp(), _word("2"), _op(")")]
+            elif t.text == "EQNULL_X" and len(args) == 2:
+                # EQUAL_NULL(a,b): NULL-safe equality — Spark's <=>
+                a_s, b_s = (render(tokens[a:b2]).strip() for a, b2 in args)
+                out += tokenize(f"(({a_s}) <=> ({b_s}))")
+            elif t.text == "NULLIF0_X" and len(args) == 1:
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                out += tokenize(f"NULLIF(({x_s}), 0)")
+            elif t.text == "BITNOT_X" and len(args) == 1:
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                out += tokenize(f"(~(({x_s})))")
+            elif t.text == "RTLEN_X" and len(args) == 1:
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                out += tokenize(f"LENGTH(RTRIM(({x_s})))")
+            elif t.text == "JSONPATHTXT_X" and len(args) == 2:
+                # JSON_EXTRACT_PATH_TEXT(j, 'a.b') → get_json_object(j,'$.a.b')
+                # (literal path folded; dynamic path via concat)
+                j_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                p_code = [c for c in tokens[args[1][0]:args[1][1]]
+                          if c.kind != WS]
+                if len(p_code) == 1 and p_code[0].kind == STRING:
+                    path = p_code[0].text[1:-1]
+                    out += tokenize(f"get_json_object(({j_s}), '$.{path}')")
+                else:
+                    p_s = render(tokens[args[1][0]:args[1][1]]).strip()
+                    out += tokenize(
+                        f"get_json_object(({j_s}), concat('$.', {p_s}))")
+            elif t.text == "HAVERSINE_X" and len(args) == 4:
+                # Snowflake HAVERSINE(lat1,lon1,lat2,lon2) → km on a
+                # 6371-km sphere; no Spark builtin, inline the formula
+                la1, lo1, la2, lo2 = (
+                    render(tokens[a:b2]).strip() for a, b2 in args)
+                out += tokenize(
+                    f"(2 * 6371 * ASIN(SQRT("
+                    f"POWER(SIN(RADIANS(({la2}) - ({la1})) / 2), 2) + "
+                    f"COS(RADIANS(({la1}))) * COS(RADIANS(({la2}))) * "
+                    f"POWER(SIN(RADIANS(({lo2}) - ({lo1})) / 2), 2))))")
+            elif t.text == "TRYB64DEC_X" and len(args) == 1:
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                out += tokenize(
+                    f"CAST(try_to_binary(({x_s}), 'base64') AS STRING)")
+            elif t.text == "TRYHEXDEC_X" and len(args) == 1:
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                out += tokenize(
+                    f"CAST(try_to_binary(({x_s}), 'hex') AS STRING)")
+            elif t.text == "SOUNDEXDIFF_X" and len(args) == 2:
+                # DIFFERENCE(a,b): count of same-position characters in
+                # the two 4-char soundex codes (Snowflake's 0-4 scale)
+                a_s, b_s = (render(tokens[a:b2]).strip() for a, b2 in args)
+                terms = " + ".join(
+                    f"(CASE WHEN substr(soundex(({a_s})), {i}, 1) = "
+                    f"substr(soundex(({b_s})), {i}, 1) THEN 1 ELSE 0 END)"
+                    for i in (1, 2, 3, 4))
+                out += tokenize(f"({terms})")
             elif t.text == "ARRCONT_SWAP" and len(args) == 2:
                 # Snowflake ARRAY_CONTAINS(value, array) → spark (array, value)
                 val = _unwrap_string_cast(tokens[args[0][0]:args[0][1]])
@@ -1415,6 +1480,13 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "DOWISO_X": "weekday", "YOW_X": "extract",
                     "TIMEFP_X": "make_timestamp",
                     "CHECKJSON_X": "get_json_object",
+                    "EQNULL_X": "equal_null", "NULLIF0_X": "nullif",
+                    "BITNOT_X": "bitnot", "RTLEN_X": "length",
+                    "JSONPATHTXT_X": "get_json_object",
+                    "HAVERSINE_X": "haversine",
+                    "TRYB64DEC_X": "try_to_binary",
+                    "TRYHEXDEC_X": "try_to_binary",
+                    "SOUNDEXDIFF_X": "soundex",
                     "ISNULLVAL_X": "isnull", "ASINT_X": "CAST",
                     "ASNUM_X": "CAST", "ASDBL_X": "CAST",
                     "ASCHAR_X": "CAST", "ASBOOL_X": "CAST",
@@ -3430,6 +3502,15 @@ _UNSUPPORTED_SCALARS = {
                   "format (HLL_ACCUMULATE/COMBINE/ESTIMATE map 1:1)",
     "HLL_IMPORT": "re-accumulating from raw values (state formats "
                   "are engine-internal)",
+    "JAROWINKLER_SIMILARITY": "EDITDISTANCE (levenshtein) or "
+                              "xops.dedup.ngram_jaccard_pairs for "
+                              "fuzzy string similarity",
+    "GET_IGNORE_CASE": "GET with the exact key, or lower-case keys "
+                       "at OBJECT_CONSTRUCT time (the JSON-string "
+                       "VARIANT model has no case-folding lookup)",
+    "RANDSTR": "UUID_STRING() for opaque ids, or MD5 of a seeded "
+               "expression for deterministic pseudo-random strings "
+               "(RANDSTR's generator state has no Spark equivalent)",
 }
 
 

@@ -1494,3 +1494,65 @@ class TestToCharNumericFormats:
         # digit-free formats (MI = minutes) stay on the date path
         out = t.to_spark("SELECT TO_CHAR(ts, 'HH24:MI') FROM t")
         assert "date_format" in out
+
+
+class TestScalarRound6:
+    """Round-2 batch: EQUAL_NULL / NULLIFZERO / BITNOT /
+    RTRIMMED_LENGTH / ARRAY_REVERSE / JSON_EXTRACT_PATH_TEXT /
+    HAVERSINE / TRY_*_DECODE_STRING / DIFFERENCE, plus refusals for
+    the functions with no faithful rendering. Execution parity is
+    driver-gated by corpus q60_scalar_round6."""
+
+    def test_equal_null(self):
+        assert "<=>" in t.to_spark("SELECT EQUAL_NULL(a, b) FROM t")
+
+    def test_nullifzero(self):
+        out = t.to_spark("SELECT NULLIFZERO(x + 1) FROM t")
+        assert "NULLIF((x + 1), 0)" in out
+
+    def test_bitnot(self):
+        assert "(~((f)))" in t.to_spark("SELECT BITNOT(f) FROM t")
+
+    def test_rtrimmed_length(self):
+        out = t.to_spark("SELECT RTRIMMED_LENGTH(s) FROM t")
+        assert "LENGTH(RTRIM((s)))" in out
+
+    def test_array_reverse(self):
+        assert "REVERSE(arr)" in t.to_spark("SELECT ARRAY_REVERSE(arr) FROM t")
+
+    def test_json_extract_path_text_literal(self):
+        out = t.to_spark("SELECT JSON_EXTRACT_PATH_TEXT(j, 'a.b') FROM t")
+        assert "get_json_object((j), '$.a.b')" in out
+
+    def test_json_extract_path_text_dynamic(self):
+        out = t.to_spark("SELECT JSON_EXTRACT_PATH_TEXT(j, p) FROM t")
+        assert "concat('$.', p)" in out
+
+    def test_haversine_formula(self):
+        out = t.to_spark("SELECT HAVERSINE(a, b, c, d) FROM t")
+        assert "6371" in out and "ASIN" in out and "RADIANS" in out
+
+    def test_try_decode_strings(self):
+        out = t.to_spark("SELECT TRY_BASE64_DECODE_STRING(s) FROM t")
+        assert "try_to_binary((s), 'base64')" in out
+        out = t.to_spark("SELECT TRY_HEX_DECODE_STRING(s) FROM t")
+        assert "try_to_binary((s), 'hex')" in out
+
+    def test_difference_soundex(self):
+        out = t.to_spark("SELECT DIFFERENCE(a, b) FROM t")
+        assert out.count("soundex") == 8  # 4 positions x 2 sides
+
+    def test_native_passthroughs(self):
+        # Spark 4 evaluates these natively — the transpiler must NOT
+        # touch them (verified against a live session in round 2)
+        for fn in ("SOUNDEX(a)", "MEDIAN(x)", "WIDTH_BUCKET(x, 0, 10, 5)",
+                   "DECODE(x, 1, 'a', 'z')", "MONTHS_BETWEEN(d1, d2)",
+                   "STARTSWITH(s, 'a')", "ARRAY_COMPACT(arr)"):
+            sql = f"SELECT {fn} FROM t"
+            assert fn in t.to_spark(sql)
+
+    def test_refusals(self):
+        for fn in ("JAROWINKLER_SIMILARITY(a, b)", "RANDSTR(5, RANDOM())",
+                   "GET_IGNORE_CASE(o, 'K')"):
+            with pytest.raises(TranspileError):
+                t.to_spark(f"SELECT {fn} FROM t")
