@@ -1587,6 +1587,54 @@ def _x_resize_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, hash-verified: synthesize fully decodable
+    PNGs (real zlib IDAT, scanline filters rotating none/sub/up by
+    row id), decode them with the pure-numpy PNG decoder
+    (xops/imaging.py — stdlib zlib + published filter spec, no PIL),
+    and emit pixel statistics. The images are vertical RGB gradients
+    whose values are pure arithmetic in doc_id, so the oracle
+    recomputes every mean without touching a byte: a single wrong
+    unfiltered pixel would shift a channel mean and break the hash."""
+    from .xops import imaging
+
+    register_dir(spark, sf_dir)
+    media = imaging.synthesize_decodable_pngs(
+        spark.table("documents").filter(F.col("doc_id") < 300), "doc_id"
+    )
+    stats = imaging.image_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("std_luma", 6).alias("std_luma"),
+        "mean_r", "mean_g", "mean_b", "ok",
+    )
+
+
+def _x_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup, hash-verified: block-pattern PNGs
+    whose dHash is a pure function of doc_id // 3, decoded for real,
+    hashed (dhash over decoded pixels), paired via hamming-LSH
+    (16-bit bands + bit_count verify, JVM-side). The construction
+    makes the correct pair set exactly the in-group pairs, so a SQL
+    oracle verifies the whole decode→hash→LSH-join pipeline."""
+    from .xops import imaging
+
+    register_dir(spark, sf_dir)
+    media = imaging.synthesize_block_pngs(
+        spark.table("documents").filter(F.col("doc_id") < 102), "doc_id"
+    )
+    stats = imaging.image_stats(media)
+    return (
+        imaging.image_neardup_pairs(stats, max_hamming=3)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
 def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stub endpoint, deterministic but pandas-UDF — rows-only check
     from .xops import llm
@@ -2978,6 +3026,40 @@ XOP_ORACLES: dict[str, str | None] = {
                TRUE AS valid
         FROM documents WHERE doc_id % 7 = 0
     """,
+    # REAL PNG decode verified arithmetically: the synthesized images
+    # are vertical RGB gradients (r=base+y, g=base+2y, b=base+3y,
+    # base=doc_id%97, H=(doc_id%32)+8, W=(doc_id%24)+8), so every
+    # decoded statistic is derivable from doc_id alone. mean over the
+    # gradient: channel c mean = base + c*(H-1)/2; luma weights
+    # (.299,.587,.114) sum to 1 → mean_luma = base + 1.815*(H-1)/2,
+    # std_luma = 1.815*sqrt((H^2-1)/12) (population std of 0..H-1).
+    "x50_image_stats": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST((doc_id % 24) + 8 AS INT) AS width,
+               CAST((doc_id % 32) + 8 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               ROUND((doc_id % 97) +
+                     1.815 * (((doc_id % 32) + 8) - 1) / 2.0, 6) AS mean_luma,
+               ROUND(1.815 * sqrt(
+                     (POW((doc_id % 32) + 8, 2) - 1) / 12.0), 6) AS std_luma,
+               CAST((doc_id % 97) +
+                    (((doc_id % 32) + 8) - 1) / 2.0 AS DOUBLE) AS mean_r,
+               CAST((doc_id % 97) +
+                    (((doc_id % 32) + 8) - 1) AS DOUBLE) AS mean_g,
+               CAST((doc_id % 97) +
+                    1.5 * (((doc_id % 32) + 8) - 1) AS DOUBLE) AS mean_b,
+               TRUE AS ok
+        FROM documents WHERE doc_id < 300
+    """,
+    # the block-pattern construction makes the correct near-dup pair
+    # set exactly the in-group (doc_id // 3) pairs at hamming 0
+    "x51_image_neardup": """
+        WITH ids AS (SELECT doc_id AS k FROM documents WHERE doc_id < 102)
+        SELECT CAST(a.k AS BIGINT) AS id_a,
+               CAST(b.k AS BIGINT) AS id_b,
+               CAST(0 AS INT) AS hamming
+        FROM ids a JOIN ids b ON a.k < b.k AND a.k // 3 = b.k // 3
+    """,
     "x20_stratified_sample": """
         SELECT doc_id, lang, source
         FROM documents
@@ -3414,6 +3496,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_range_join": _x_range_join,
     "x19_media_probe": _x_media_probe,
     "x29_resize_probe": _x_resize_probe,
+    "x50_image_stats": _x_image_stats,
+    "x51_image_neardup": _x_image_neardup,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

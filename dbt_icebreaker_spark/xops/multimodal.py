@@ -403,12 +403,26 @@ def sample_frames(
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
-    """Deterministic fake decode. Real impl would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` — not available here.
-    Raises for video to demonstrate the NotImplementedError contract.
-    """
+    """Decode kernel with a REAL path: PNG payloads go through the
+    pure-numpy PNG decoder (xops/imaging.py — stdlib zlib + the
+    published filter spec) and return actual pixel statistics. Other
+    image formats fall back to the deterministic fake (JPEG needs a
+    codec); video raises to demonstrate the NotImplementedError
+    contract (needs ffmpeg)."""
     if media_type == "video":
         raise NotImplementedError("video decode requires ffmpeg — not in container")
+    from .imaging import _luma, decode_png
+
+    px = decode_png(payload)
+    if px is not None:
+        h, w, c = px.shape
+        return {
+            "decoded": "png",
+            "width": w,
+            "height": h,
+            "channels": c,
+            "mean_luma": round(float(_luma(px).mean()), 6),
+        }
     return {"n_bytes": len(payload), "fake_dim": len(payload) % 224}
 
 

@@ -1593,3 +1593,82 @@ class TestWeightedSamplePerGroup:
         )
         out = weighted_sample_per_group(df, "doc_id", "dom", "w", 10).collect()
         assert len(out) == 3
+
+
+class TestImaging:
+    """REAL PNG codec (xops/imaging.py): encode/decode round-trip
+    across scanline filters, pixel stats on decoded arrays, dHash
+    injectivity of the block construction, and the hamming-LSH
+    near-dup join. Driver-gated by x50 (arithmetic-oracled decoded
+    means) and x51 (exact pair set)."""
+
+    def test_codec_roundtrip_all_filters(self):
+        import numpy as np
+        from dbt_icebreaker_spark.xops.imaging import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for shape, ft in [((8, 5, 3), 0), ((16, 9, 3), 1), ((12, 7, 3), 2),
+                          ((9, 9, 1), 1), ((6, 4, 4), 2)]:
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            dec = decode_png(encode_png(arr, filter_type=ft))
+            assert dec is not None and (dec == arr).all()
+
+    def test_decode_rejects_garbage(self):
+        from dbt_icebreaker_spark.xops.imaging import decode_png
+
+        assert decode_png(b"not a png") is None
+        assert decode_png(b"\x89PNG\r\n\x1a\xffrest") is None
+
+    def test_image_stats_real_means(self, spark):
+        import numpy as np
+        from dbt_icebreaker_spark.xops import imaging
+
+        arr = np.zeros((10, 6, 3), dtype=np.uint8)
+        arr[:, :, 0] = 50
+        arr[:, :, 1] = 100
+        arr[:, :, 2] = 200
+        df = spark.createDataFrame(
+            [(1, bytearray(imaging.encode_png(arr)))], "media_id long, payload binary"
+        )
+        row = imaging.image_stats(df).collect()[0]
+        assert row.ok and row.width == 6 and row.height == 10
+        assert row.mean_r == 50.0 and row.mean_g == 100.0 and row.mean_b == 200.0
+
+    def test_block_hash_separation(self, spark):
+        # distinct seeds ≥ hamming 4 apart; same seed identical
+        from dbt_icebreaker_spark.xops import imaging
+
+        ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+        media = imaging.synthesize_block_pngs(ids, "doc_id")
+        stats = imaging.image_stats(media).collect()
+        by_seed = {}
+        for r in stats:
+            by_seed.setdefault(r.media_id // 3, []).append(r.dhash)
+        seeds = sorted(by_seed)
+        for s in seeds:
+            assert len(set(by_seed[s])) == 1
+        for i, s in enumerate(seeds):
+            for t in seeds[i + 1:]:
+                ham = bin((by_seed[s][0] ^ by_seed[t][0]) & (2**64 - 1)).count("1")
+                assert ham >= 4, (s, t, ham)
+
+    def test_neardup_pairs_exact(self, spark):
+        from dbt_icebreaker_spark.xops import imaging
+
+        ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+        media = imaging.synthesize_block_pngs(ids, "doc_id")
+        pairs = imaging.image_neardup_pairs(imaging.image_stats(media))
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        want = {(a, b) for g in range(4) for a in range(3 * g, 3 * g + 3)
+                for b in range(a + 1, 3 * g + 3)}
+        assert got == want
+
+    def test_decode_stub_real_png_path(self):
+        import numpy as np
+        from dbt_icebreaker_spark.xops import imaging, multimodal
+
+        arr = np.full((4, 4, 3), 90, dtype=np.uint8)
+        d = multimodal.decode_stub(imaging.encode_png(arr), "image")
+        assert d["decoded"] == "png" and d["width"] == 4 and d["mean_luma"] == 90.0
+        d2 = multimodal.decode_stub(b"\xff\xd8 not decodable jpeg", "image")
+        assert "fake_dim" in d2
