@@ -1635,6 +1635,53 @@ def _x_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode + DSP, hash-verified: synthesized square waves
+    have closed-form statistics (|x| = A everywhere → RMS = peak = A
+    exactly in both IEEE and integer arithmetic; alternating signs →
+    n-1 zero crossings), so the oracle recomputes every value from
+    doc_id. A mis-parsed header offset or sample misalignment changes
+    RMS and breaks the hash."""
+    from .xops import audio
+
+    register_dir(spark, sf_dir)
+    media = audio.synthesize_wav_corpus(
+        spark.table("documents").filter(F.col("doc_id") < 300), "doc_id"
+    )
+    return audio.audio_stats(media).select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        "duration_s", "rms", "peak", "zero_crossings", "ok",
+    )
+
+
+def _x_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation round trip: slice each waveform into 50 ms
+    windows, re-emit every slice as a complete WAV, then DECODE THE
+    SEGMENTS — n_samples proves sample-aligned boundaries and valid
+    headers, rms = A proves the slice carried the right bytes. The
+    oracle derives the per-segment layout (ceil split, short tail)
+    arithmetically."""
+    from .xops import audio
+
+    register_dir(spark, sf_dir)
+    media = audio.synthesize_wav_corpus(
+        spark.table("documents").filter(F.col("doc_id") < 100), "doc_id"
+    )
+    segs = audio.segment_audio(media, window_s=0.05)
+    keyed = segs.select(
+        (F.col("media_id") * 1000 + F.col("seg_idx")).alias("seg_key"),
+        "payload",
+    )
+    stats = audio.audio_stats(keyed, id_col="seg_key")
+    # audio_stats emits the id under the fixed name media_id
+    return stats.select(
+        F.expr("media_id div 1000").cast("bigint").alias("media_id"),
+        (F.col("media_id") % 1000).cast("int").alias("seg_idx"),
+        "n_samples",
+        "rms",
+    )
+
+
 def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stub endpoint, deterministic but pandas-UDF — rows-only check
     from .xops import llm
@@ -3060,6 +3107,39 @@ XOP_ORACLES: dict[str, str | None] = {
                CAST(0 AS INT) AS hamming
         FROM ids a JOIN ids b ON a.k < b.k AND a.k // 3 = b.k // 3
     """,
+    # square wave of amplitude A = 1000 + (doc_id % 20000), length
+    # n = 800 + (doc_id % 7)*160 at 8 kHz: RMS = peak = A exactly,
+    # zero crossings = n - 1, duration = n / 8000
+    "x52_audio_stats": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples,
+               (800 + (doc_id % 7) * 160) / 8000.0 AS duration_s,
+               CAST(1000 + (doc_id % 20000) AS DOUBLE) AS rms,
+               CAST(1000 + (doc_id % 20000) AS INT) AS peak,
+               CAST(800 + (doc_id % 7) * 160 - 1 AS BIGINT) AS zero_crossings,
+               TRUE AS ok
+        FROM documents WHERE doc_id < 300
+    """,
+    # 50 ms windows at 8 kHz = 400-sample segments; tail = n mod 400
+    "x53_audio_segments": """
+        WITH d AS (
+          SELECT doc_id AS k,
+                 800 + (doc_id % 7) * 160 AS n,
+                 1000 + (doc_id % 20000) AS a
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT CAST(k AS BIGINT) AS media_id,
+               CAST(seg AS INT) AS seg_idx,
+               CAST(LEAST(400, n - 400 * seg) AS BIGINT) AS n_samples,
+               CAST(a AS DOUBLE) AS rms
+        FROM (
+          SELECT k, n, a,
+                 unnest(range(0, CAST(ceil(n / 400.0) AS BIGINT))) AS seg
+          FROM d
+        )
+    """,
     "x20_stratified_sample": """
         SELECT doc_id, lang, source
         FROM documents
@@ -3498,6 +3578,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_resize_probe": _x_resize_probe,
     "x50_image_stats": _x_image_stats,
     "x51_image_neardup": _x_image_neardup,
+    "x52_audio_stats": _x_audio_stats,
+    "x53_audio_segments": _x_audio_segments,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

@@ -1672,3 +1672,80 @@ class TestImaging:
         assert d["decoded"] == "png" and d["width"] == 4 and d["mean_luma"] == 90.0
         d2 = multimodal.decode_stub(b"\xff\xd8 not decodable jpeg", "image")
         assert "fake_dim" in d2
+
+
+class TestAudio:
+    """REAL PCM WAV codec (xops/audio.py): encode/decode round-trip,
+    non-canonical chunk layouts, DSP stats on decoded samples, and
+    sample-aligned segmentation emitting valid WAVs. Driver-gated by
+    x52 (closed-form stats oracle) and x53 (segment layout oracle)."""
+
+    def test_codec_roundtrip(self):
+        import numpy as np
+        from dbt_icebreaker_spark.xops.audio import decode_wav, encode_wav
+
+        rng = np.random.default_rng(3)
+        samples = rng.integers(-30000, 30000, size=777, dtype=np.int16)
+        dec = decode_wav(encode_wav(samples, 16000))
+        assert dec is not None
+        out, rate, ch = dec
+        assert rate == 16000 and ch == 1 and (out == samples).all()
+
+    def test_decode_noncanonical_chunks(self):
+        # LIST chunk before data, odd-size pad byte — the layouts
+        # editors actually emit
+        import struct
+        import numpy as np
+        from dbt_icebreaker_spark.xops.audio import decode_wav
+
+        pcm = np.array([5, -5, 7], dtype="<i2").tobytes()
+        body = (
+            b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # odd + pad
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        raw = b"RIFF" + struct.pack("<I", len(body)) + body
+        dec = decode_wav(raw)
+        assert dec is not None and list(dec[0]) == [5, -5, 7]
+
+    def test_decode_rejects_non_pcm(self):
+        import struct
+        from dbt_icebreaker_spark.xops.audio import decode_wav
+
+        body = (
+            b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+            + b"data" + struct.pack("<I", 0)
+        )
+        raw = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert decode_wav(raw) is None
+        assert decode_wav(b"garbage") is None
+
+    def test_audio_stats_square_wave(self, spark):
+        import numpy as np
+        from dbt_icebreaker_spark.xops import audio
+
+        wave = np.where(np.arange(100) % 2 == 0, 250, -250).astype(np.int16)
+        df = spark.createDataFrame(
+            [(7, bytearray(audio.encode_wav(wave, 8000)))],
+            "media_id long, payload binary",
+        )
+        r = audio.audio_stats(df).collect()[0]
+        assert r.ok and r.rms == 250.0 and r.peak == 250
+        assert r.zero_crossings == 99 and r.duration_s == 100 / 8000
+
+    def test_segments_are_valid_wavs(self, spark):
+        import numpy as np
+        from dbt_icebreaker_spark.xops import audio
+
+        wave = np.where(np.arange(1000) % 2 == 0, 400, -400).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(audio.encode_wav(wave, 8000)))],
+            "media_id long, payload binary",
+        )
+        segs = audio.segment_audio(df, window_s=0.05).collect()  # 400-sample wins
+        assert [s.seg_idx for s in segs] == [0, 1, 2]
+        assert [s.start_s for s in segs] == [0.0, 0.05, 0.1]
+        for s in segs:
+            dec = audio.decode_wav(bytes(s.payload))
+            assert dec is not None
+        assert len(audio.decode_wav(bytes(segs[-1].payload))[0]) == 200
