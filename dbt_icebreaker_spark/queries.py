@@ -1359,6 +1359,42 @@ _q(
     """,
 )
 
+# CONDITIONAL_CHANGE_EVENT needs a window (LAG) inside a window
+# aggregate (running SUM) — illegal inline in Spark AND DuckDB, so the
+# engine's subquery rewrite is itself what the oracle spells out
+# explicitly. CONDITIONAL_TRUE_EVENT is the single-window form.
+# ORDER BY keys are unique per partition (event_id tiebreak) so the
+# running frames are deterministic.
+_q(
+    "q61_conditional_events",
+    """
+    SELECT event_id, user_id,
+           CONDITIONAL_CHANGE_EVENT(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS type_epoch,
+           CONDITIONAL_TRUE_EVENT(value > 50)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS hot_count
+    FROM events WHERE user_id < 50
+    """,
+    """
+    SELECT event_id, user_id,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS type_epoch,
+           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS hot_count
+    FROM (
+      SELECT *,
+             CASE WHEN event_type <>
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id < 50
+    )
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

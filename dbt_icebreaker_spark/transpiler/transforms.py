@@ -17,6 +17,8 @@ JSON **strings**; path access `col:a.b::t` becomes
 
 from __future__ import annotations
 
+import re
+
 from .tokenizer import (
     COMMENT,
     NUMBER,
@@ -3421,6 +3423,185 @@ def detect_time_travel(sql: str) -> str | None:
     return None
 
 
+def rewrite_conditional_change(tokens: Tokens) -> Tokens:
+    """``CONDITIONAL_CHANGE_EVENT(expr) OVER (PARTITION BY p ORDER BY
+    o)`` — Snowflake's change counter needs a window function (LAG)
+    inside another window aggregate (running SUM), which Spark forbids
+    inline. The mechanical rendering is the same two-level shape
+    Snowflake documents:
+
+        SELECT a, CCE(x) OVER (w) FROM t …
+        ⇒ SELECT a, SUM(__ccev0) OVER (w ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) FROM (
+             SELECT *, CASE WHEN (x) <> LAG(x) OVER (w) THEN 1
+                       ELSE 0 END AS __ccev0 FROM t …)
+
+    First row: LAG is NULL → ``x <> NULL`` is NULL → no increment →
+    event 0, matching Snowflake. NULL transitions follow SQL
+    three-valued logic (NULL↔value does not increment). Refused
+    actionably with DISTINCT / GROUP BY (the subquery would change
+    grain) and with an explicit frame in the OVER (CCE takes none)."""
+    changed = True
+    while changed:
+        tokens, changed = _rewrite_one_cce(tokens)
+    return tokens
+
+
+def _cce_error(detail: str):
+    from .core import TranspileError
+
+    raise TranspileError(f"CONDITIONAL_CHANGE_EVENT: {detail}")
+
+
+def _rewrite_one_cce(tokens: Tokens) -> tuple[Tokens, bool]:
+    n = len(tokens)
+    depth = 0
+    sel_stack: list[tuple[int, int]] = []  # (depth, select index)
+    for i in range(n):
+        t = tokens[i]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+            while sel_stack and sel_stack[-1][0] > depth:
+                sel_stack.pop()
+        elif t.is_word("SELECT"):
+            if sel_stack and sel_stack[-1][0] == depth:
+                sel_stack.pop()
+            sel_stack.append((depth, i))
+        elif (
+            t.kind == WORD
+            and t.upper == "CONDITIONAL_CHANGE_EVENT"
+            and _is_call(tokens, i, t.upper)
+        ):
+            if not sel_stack:
+                _cce_error("call outside any SELECT list")
+            sel_depth, sel_i = sel_stack[-1]
+            # locate this select's FROM and segment end at sel_depth
+            d2 = 0
+            from_i = end = tail_i = None
+            j = sel_i + 1
+            seg_end = n
+            while j < n:
+                tj = tokens[j]
+                if tj.is_op("("):
+                    d2 += 1
+                elif tj.is_op(")"):
+                    if d2 == 0:
+                        seg_end = j
+                        break
+                    d2 -= 1
+                elif d2 == 0 and tj.is_op(";"):
+                    seg_end = j
+                    break
+                elif d2 == 0 and tj.kind == WORD:
+                    u = tj.upper
+                    if u == "FROM" and from_i is None:
+                        from_i = j
+                    elif u in ("UNION", "INTERSECT", "EXCEPT", "MINUS"):
+                        seg_end = j
+                        break
+                    elif from_i is not None and tail_i is None and u in ("ORDER", "LIMIT"):
+                        tail_i = j
+                    elif u in ("GROUP", "HAVING", "DISTINCT") and (
+                        from_i is not None or u == "DISTINCT"
+                    ):
+                        _cce_error(
+                            f"not supported with {u} in the same SELECT "
+                            "(the rewrite's subquery would change the row "
+                            "grain). Aggregate in an inner subquery, then "
+                            "apply CONDITIONAL_CHANGE_EVENT outside."
+                        )
+                j += 1
+            if from_i is None:
+                _cce_error("containing SELECT has no FROM clause")
+            if tail_i is None:
+                tail_i = seg_end
+            # rewrite every CCE call in this select's list region
+            list_lo, list_hi = sel_i + 1, from_i
+            out_list: Tokens = []
+            inner_cols: list[Tokens] = []
+            k = list_lo
+            while k < list_hi:
+                tk = tokens[k]
+                if (
+                    tk.kind == WORD
+                    and tk.upper == "CONDITIONAL_CHANGE_EVENT"
+                    and _is_call(tokens, k, tk.upper)
+                ):
+                    op_i = next_code(tokens, k + 1)
+                    close = find_matching_paren(tokens, op_i)
+                    arg = render(tokens[op_i + 1 : close]).strip()
+                    if not arg:
+                        _cce_error("empty argument")
+                    ov = next_code(tokens, close + 1)
+                    if ov >= list_hi or not tokens[ov].is_word("OVER"):
+                        _cce_error("requires an OVER clause")
+                    wop = next_code(tokens, ov + 1)
+                    wclose = find_matching_paren(tokens, wop)
+                    spec = render(tokens[wop + 1 : wclose]).strip()
+                    if re.search(r"\b(ROWS|RANGE)\b", spec, re.IGNORECASE):
+                        _cce_error(
+                            "takes no frame in its OVER clause "
+                            "(PARTITION BY / ORDER BY only)"
+                        )
+                    idx = len(inner_cols)
+                    inner_cols.append(
+                        tokenize(
+                            f"CASE WHEN ({arg}) <> LAG({arg}) OVER ({spec}) "
+                            f"THEN 1 ELSE 0 END AS __ccev{idx}"
+                        )
+                    )
+                    out_list += tokenize(
+                        f"SUM(__ccev{idx}) OVER ({spec} ROWS BETWEEN "
+                        f"UNBOUNDED PRECEDING AND CURRENT ROW)"
+                    )
+                    k = wclose + 1
+                    continue
+                out_list.append(tk)
+                k += 1
+            # a bare * in the outer list would re-expose the helper
+            # columns — exclude them
+            if inner_cols:
+                helpers = ", ".join(f"__ccev{m}" for m in range(len(inner_cols)))
+                fixed: Tokens = []
+                d4 = 0
+                for m2, tk2 in enumerate(out_list):
+                    if tk2.is_op("("):
+                        d4 += 1
+                    elif tk2.is_op(")"):
+                        d4 -= 1
+                    if d4 == 0 and tk2.is_op("*"):
+                        # projection star (list-leading or after a
+                        # comma), not multiplication
+                        p2 = prev_code(out_list, m2 - 1)
+                        nx = next_code(out_list, m2 + 1)
+                        if (p2 < 0 or out_list[p2].is_op(",")) and (
+                            nx >= len(out_list) or out_list[nx].is_op(",")
+                        ):
+                            fixed += tokenize(f"* EXCEPT ({helpers})")
+                            continue
+                    fixed.append(tk2)
+                out_list = fixed
+            inner_extra: Tokens = []
+            for col in inner_cols:
+                inner_extra += [_op(","), _sp()] + col
+            new_tokens = (
+                tokens[:sel_i]
+                + [_word("SELECT"), _sp()]
+                + out_list
+                + [_sp(), _word("FROM"), _sp(), _op("("),
+                   _word("SELECT"), _sp(), _op("*")]
+                + inner_extra
+                + [_sp()]
+                + tokens[from_i:tail_i]
+                + [_op(")"), _sp()]
+                + tokens[tail_i:]
+            )
+            return new_tokens, True
+    return tokens, False
+
+
 def rewrite_window_ratio_funcs(tokens: Tokens) -> Tokens:
     """Snowflake window functions Spark lacks:
 
@@ -3490,10 +3671,6 @@ _UNSUPPORTED_SCALARS = {
     "MINHASH_COMBINE": "xops.dedup.minhash_signatures",
     "APPROXIMATE_SIMILARITY": "xops.dedup.minhash_lsh_pairs",
     "APPROXIMATE_JACCARD_INDEX": "xops.dedup.ngram_jaccard_pairs",
-    "CONDITIONAL_CHANGE_EVENT": "a two-pass window: LAG(expr) OVER w in "
-                                "a subquery, then a running SUM of "
-                                "change flags (nested windows can't be "
-                                "spelled inline in Spark SQL)",
     "ZIPF": "an explicit inverse-CDF over UNIFORM (Spark has no "
             "zipf generator; xops.sampling covers deterministic "
             "weighted draws)",
@@ -3538,6 +3715,7 @@ PIPELINE = (
     rewrite_object_construct,
     rewrite_variant_funcs,
     rewrite_array_construct,
+    rewrite_conditional_change,  # before ratio: both parse OVER specs
     rewrite_window_ratio_funcs,
     rewrite_simple_renames,
     _fixup_placeholders,

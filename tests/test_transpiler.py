@@ -699,11 +699,13 @@ class TestStatAggsAndNameFuncs:
         )).collect()[0]
         assert r.good == '{"a":1}' and r.bad is None and r.nul is None
 
-    def test_conditional_change_event_actionable(self):
+    def test_conditional_change_event_now_supported(self):
+        # refused until round 2; now rewritten to the LAG + running
+        # SUM subquery (TestConditionalChangeEvent, corpus q61)
         ok, msg = t.can_transpile(
             "SELECT CONDITIONAL_CHANGE_EVENT(x) OVER (ORDER BY i) FROM t"
         )
-        assert not ok and "LAG" in msg
+        assert ok, msg
 
 
 class TestGeneratorAndSplitToTable:
@@ -1556,3 +1558,61 @@ class TestScalarRound6:
                    "GET_IGNORE_CASE(o, 'K')"):
             with pytest.raises(TranspileError):
                 t.to_spark(f"SELECT {fn} FROM t")
+
+
+class TestConditionalChangeEvent:
+    """CONDITIONAL_CHANGE_EVENT → subquery with LAG change flags +
+    running SUM (nested windows are illegal inline in Spark).
+    Execution parity is driver-gated by corpus q61."""
+
+    def test_basic_rewrite(self):
+        out = t.to_spark(
+            "SELECT id, CONDITIONAL_CHANGE_EVENT(s) OVER "
+            "(PARTITION BY g ORDER BY ts) AS ev FROM t"
+        )
+        assert "LAG(s) OVER (PARTITION BY g ORDER BY ts)" in out
+        assert "SUM(__ccev0) OVER (PARTITION BY g ORDER BY ts ROWS" in out
+
+    def test_two_calls_one_subquery(self):
+        out = t.to_spark(
+            "SELECT CONDITIONAL_CHANGE_EVENT(a) OVER (ORDER BY ts) AS e1, "
+            "CONDITIONAL_CHANGE_EVENT(b) OVER (ORDER BY ts) AS e2 FROM t"
+        )
+        assert "__ccev0" in out and "__ccev1" in out
+        assert out.count("FROM (SELECT *") == 1
+
+    def test_where_stays_inside_order_by_outside(self):
+        out = t.to_spark(
+            "SELECT id, CONDITIONAL_CHANGE_EVENT(s) OVER (ORDER BY ts) AS ev "
+            "FROM t WHERE x > 1 ORDER BY id"
+        )
+        inner = out[out.index("FROM ("):]
+        assert "WHERE x > 1" in inner
+        assert out.rstrip().endswith("ORDER BY id")
+
+    def test_star_excludes_helper(self):
+        out = t.to_spark(
+            "SELECT *, CONDITIONAL_CHANGE_EVENT(s) OVER (ORDER BY ts) AS ev FROM t"
+        )
+        assert "* EXCEPT (__ccev0)" in out
+
+    def test_multiplication_star_untouched(self):
+        out = t.to_spark(
+            "SELECT a * b AS prod, CONDITIONAL_CHANGE_EVENT(s) "
+            "OVER (ORDER BY ts) AS ev FROM t"
+        )
+        assert "a * b AS prod" in out
+
+    def test_refusals(self):
+        with pytest.raises(TranspileError, match="GROUP"):
+            t.to_spark(
+                "SELECT g, CONDITIONAL_CHANGE_EVENT(s) OVER (ORDER BY ts) "
+                "FROM t GROUP BY g"
+            )
+        with pytest.raises(TranspileError, match="frame"):
+            t.to_spark(
+                "SELECT CONDITIONAL_CHANGE_EVENT(s) OVER "
+                "(ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+            )
+        with pytest.raises(TranspileError, match="OVER"):
+            t.to_spark("SELECT CONDITIONAL_CHANGE_EVENT(s) FROM t")
