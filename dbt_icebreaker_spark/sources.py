@@ -119,6 +119,41 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # can be reused by CPython after GC and false-hit the cache.
 _registered: dict[tuple[str, str], str] = {}
 
+# Spark's out-of-the-box value; an explicit user setting (anything
+# else) is never overridden by autotune below.
+_SPARK_DEFAULT_SHUFFLE = "200"
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def autotune_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Data-sized shuffle partitioning for sessions the engine did not
+    create: ~32 MB of input per partition (floor 8, cap 2048) — the
+    same sizing rule bench.py applies to its own session. 200 hash
+    partitions over a few-MB dev directory costs ~25× the useful task
+    count on every exchange (and range exchanges cannot rely on AQE
+    coalescing, which plans post-shuffle only); on a TB-scale
+    directory the same rule scales partitions UP. Applied only while
+    the session still runs Spark's out-of-the-box default, so an
+    explicit user/cluster setting always wins."""
+    try:
+        current = spark.conf.get("spark.sql.shuffle.partitions", _SPARK_DEFAULT_SHUFFLE)
+    except Exception:
+        return
+    if current != _SPARK_DEFAULT_SHUFFLE:
+        return
+    target = max(8, min(2048, _dir_bytes(sf_dir) // (32 * 1024 * 1024)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(target)))
+
 
 def register_dir(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every parquet table under sf_dir as a temp view (S1:
@@ -130,6 +165,7 @@ def register_dir(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TAB
     key = (spark.sparkContext.applicationId, ",".join(tables))
     if _registered.get(key) == sf_dir:
         return
+    autotune_shuffle_partitions(spark, sf_dir)
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

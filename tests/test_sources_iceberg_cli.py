@@ -179,3 +179,38 @@ class TestNanosFooterCacheInvalidation:
         import os
         os.utime(p)  # ensure mtime advances even on coarse filesystems
         assert _nanos_timestamp_cols(p) == ()
+
+
+class TestShuffleAutotune:
+    """register_dir sizes shuffle partitions to the data directory on
+    sessions still running Spark's out-of-the-box 200 — and never
+    overrides an explicit setting."""
+
+    def test_tunes_default_200(self, spark):
+        from dbt_icebreaker_spark.sources import autotune_shuffle_partitions
+
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "200")
+            autotune_shuffle_partitions(spark, "/root/testdata/sf0.001")
+            tuned = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            assert tuned == 8  # few-MB dir → floor
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def test_respects_explicit_setting(self, spark):
+        from dbt_icebreaker_spark.sources import autotune_shuffle_partitions
+
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+            autotune_shuffle_partitions(spark, "/root/testdata/sf0.001")
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "64"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def test_scales_up_with_size(self):
+        from dbt_icebreaker_spark.sources import _dir_bytes
+
+        # sizing rule: 32 MB per partition, floor 8, cap 2048
+        assert _dir_bytes("/root/testdata/sf0.001") > 0
