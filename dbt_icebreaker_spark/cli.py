@@ -322,6 +322,34 @@ def cmd_version(args) -> int:
     return 0
 
 
+_HELP_EXAMPLES = """\
+spark-icebreaker — command examples (ref cli.py:96-100 'help')
+
+  savings --days 30          estimated cloud spend avoided by local runs
+  status                     one-screen engine status
+  health                     engine/cache/ledger health checks
+  explain "SELECT …" --data-dir /data/sf0.1
+                             routing advice + formatted Spark plan
+  stats "SELECT …"           input volume + complexity estimate
+  run daily_rev q.sql --materialization incremental \\
+      --unique-key order_id --strategy merge
+  run m q.sql --dev          LIMIT-sampled dev run
+  sync orders lineitem:orders --target-prefix synced_
+                             verified Kahn-ordered table sync
+  sync-status --limit 10     sync ledger tail
+  verify t_a t_b             row-count compare two tables
+  cache status|refresh|clear|prune
+  update-stats --runs 10     per-model telemetry aggregates
+  summary                    latest run-session summaries
+  version
+"""
+
+
+def cmd_help(args) -> int:
+    print(_HELP_EXAMPLES)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spark-icebreaker")
     sub = p.add_subparsers(dest="command", required=True)
@@ -392,6 +420,9 @@ def main(argv: list[str] | None = None) -> int:
 
     zp = sub.add_parser("version")
     zp.set_defaults(fn=cmd_version)
+
+    hl = sub.add_parser("help", help="usage examples per command")
+    hl.set_defaults(fn=cmd_help)
 
     args = p.parse_args(argv)
     return args.fn(args)

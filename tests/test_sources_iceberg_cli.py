@@ -214,3 +214,15 @@ class TestShuffleAutotune:
 
         # sizing rule: 32 MB per partition, floor 8, cap 2048
         assert _dir_bytes("/root/testdata/sf0.001") > 0
+
+
+class TestCliHelp:
+    def test_help_lists_every_command(self, capsys):
+        from dbt_icebreaker_spark.cli import main
+
+        assert main(["help"]) == 0
+        out = capsys.readouterr().out
+        for cmd in ("savings", "status", "health", "explain", "stats",
+                    "run", "sync", "sync-status", "verify", "cache",
+                    "update-stats", "summary", "version"):
+            assert cmd in out
