@@ -30,7 +30,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -255,18 +255,30 @@ def image_stats(
 
 
 def image_neardup_pairs(
-    stats: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    stats: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Perceptual near-dup pairs from dHash via hamming-LSH: split the
-    64-bit hash into ``n_bands`` exact-match words, bucket-join, verify
-    with bit_count(xor). Pigeonhole: hamming ≤ n_bands-1 always shares
-    a band, so the default (3, 4) prefilter is lossless. All JVM-side
-    (shifts + bit_count) — no Python in the join path."""
+    64-bit hash into ``n_bands`` exact-match words, bucket by band
+    value, verify with bit_count(xor). Pigeonhole: hamming ≤
+    n_bands-1 always shares a band, so the default (3, 4) prefilter
+    is lossless. All JVM-side (shifts + bit_count) — no Python in the
+    join path.
+
+    Hot-bucket bound (the same contract as dedup.pairs_from_
+    signatures): real corpora are full of blank/uniform images that
+    all hash to ONE value, making a naive band self-join quadratic in
+    the largest bucket. Buckets up to ``max_bucket_size`` emit exact
+    in-bucket pairs via group-collect + double explode (no self-join,
+    no giant-array row past the cap); larger buckets degrade to star
+    pairs against the bucket's min-id member — hamming still verified
+    per emitted pair, connectivity of true duplicate groups preserved
+    with O(bucket) pairs."""
     bits = 64 // n_bands
     mask = (1 << bits) - 1
-    hashed = stats.filter(F.col("ok")).select(
-        F.col("media_id"), F.col("dhash")
-    )
+    hashed = stats.filter(F.col("ok")).select("media_id", "dhash")
     bands = hashed.select(
         "media_id",
         "dhash",
@@ -282,26 +294,44 @@ def image_neardup_pairs(
             )
         ).alias("b"),
     ).select("media_id", "dhash", "b.band", "b.key")
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.key") == F.col("r.key"),
-                F.col("l.media_id") < F.col("r.media_id"),
-            ],
+    size_w = Window.partitionBy("band", "key")
+    member = F.struct(F.col("media_id"), F.col("dhash"))
+    ranked = bands.withColumn("__sz", F.count("*").over(size_w)).withColumn(
+        "__anchor", F.min(member).over(size_w)
+    )
+    small = (
+        ranked.where((F.col("__sz") >= 2) & (F.col("__sz") <= max_bucket_size))
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+    )
+    pairs_exact = (
+        small.select(F.posexplode("ms").alias("pos", "a"), F.col("ms"))
+        .select(
+            F.col("a"),
+            F.explode(F.slice(F.col("ms"), F.col("pos") + 2, F.size("ms"))).alias("b"),
         )
         .select(
-            F.col("l.media_id").alias("id_a"),
-            F.col("r.media_id").alias("id_b"),
-            F.expr("bit_count(l.dhash ^ r.dhash)").alias("hamming"),
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.expr("bit_count(a.dhash ^ b.dhash)").alias("hamming"),
         )
+    )
+    pairs_star = (
+        ranked.where(
+            (F.col("__sz") > max_bucket_size)
+            & (F.col("media_id") != F.col("__anchor.media_id"))
+        )
+        .select(
+            F.col("__anchor.media_id").alias("id_a"),
+            F.col("media_id").alias("id_b"),
+            F.expr("bit_count(__anchor.dhash ^ dhash)").alias("hamming"),
+        )
+    )
+    return (
+        pairs_exact.unionByName(pairs_star)
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 def synthesize_decodable_pngs(

@@ -1749,3 +1749,31 @@ class TestAudio:
             dec = audio.decode_wav(bytes(s.payload))
             assert dec is not None
         assert len(audio.decode_wav(bytes(segs[-1].payload))[0]) == 200
+
+
+class TestImagingHotBucket:
+    def test_degenerate_bucket_degrades_to_star(self, spark):
+        # 40 identical images (one dhash → one bucket in every band):
+        # cap 10 forces the star path; all pairs anchor at the min id,
+        # hamming 0, and the count is O(bucket), not O(bucket^2)
+        from dbt_icebreaker_spark.xops import imaging
+
+        ids = spark.range(0, 40).select((F.col("id") * 3).alias("doc_id"))
+        media = imaging.synthesize_block_pngs(ids, "doc_id", group_div=10**9)
+        stats = imaging.image_stats(media)
+        pairs = imaging.image_neardup_pairs(stats, max_bucket_size=10).collect()
+        assert len(pairs) == 39  # star, not 780 exact pairs
+        assert all(p.id_a == 0 and p.hamming == 0 for p in pairs)
+
+    def test_exact_path_unchanged_under_cap(self, spark):
+        from dbt_icebreaker_spark.xops import imaging
+
+        ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+        media = imaging.synthesize_block_pngs(ids, "doc_id")
+        pairs = imaging.image_neardup_pairs(
+            imaging.image_stats(media), max_bucket_size=1000
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        want = {(a, b) for g in range(4) for a in range(3 * g, 3 * g + 3)
+                for b in range(a + 1, 3 * g + 3)}
+        assert got == want
