@@ -2312,6 +2312,42 @@ def _s_composed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "c_mktsegment", "n")
 
 
+def _s_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end streaming upsert, hash-verified: two
+    micro-batches flow through readStream → availableNow trigger →
+    checkpoint → foreachBatch → the batch incremental-merge path,
+    and the FINAL TABLE STATE is compared against the oracle's
+    declarative merge (batch 2 wins on key overlap). The second run
+    reuses the first run's checkpoint, so it processes only the newly
+    appended files — the checkpoint file-dedup contract is itself
+    under test."""
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import stream_incremental_merge
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="s09_")
+    db = f"s09_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    target = f"{db}.merged"
+    ev = spark.table("events").select("event_id", "user_id", "event_type", "value")
+    b1 = ev.filter(F.col("user_id") < 40)
+    b2 = ev.filter((F.col("user_id") >= 20) & (F.col("user_id") < 60)).withColumn(
+        "value", F.col("value") * 2
+    )
+    src = f"{base}/src"
+    b1.write.parquet(src)
+    stream_incremental_merge(
+        spark, src, target, f"{base}/ckpt", unique_key="event_id"
+    )
+    b2.write.mode("append").parquet(src)
+    stream_incremental_merge(
+        spark, src, target, f"{base}/ckpt", unique_key="event_id"
+    )
+    return spark.table(target).select("event_id", "user_id", "event_type", "value")
+
+
 def _s_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: clicks within 30 min after a view by the same
     user (streaming/pipeline.attribute_clicks — the batch rendering of
@@ -3590,6 +3626,23 @@ XOP_ORACLES: dict[str, str | None] = {
 # the session under BOTH window-merge-on-touch and the lag > gap rule)
 XOP_ORACLES["s04_native_sessionize"] = XOP_ORACLES["s01_sessionize"]
 
+# final table state after two streamed micro-batch merges: batch 2
+# (users 20-59, value doubled) wins on key overlap with batch 1
+# (users 0-39); keys unique per batch
+XOP_ORACLES["s09_streaming_merge"] = """
+    WITH b1 AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE user_id < 40
+    ),
+    b2 AS (
+      SELECT event_id, user_id, event_type, value * 2 AS value
+      FROM events WHERE user_id >= 20 AND user_id < 60
+    )
+    SELECT * FROM b2
+    UNION ALL
+    SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
+"""
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_exact": _x_dedup_exact,
     "x02_minhash_lsh": _x_minhash,
@@ -3647,6 +3700,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_connect_by": _q_connect_by,
     "s07_stream_enrich": _s_enrich,
     "s08_composed_pipeline": _s_composed_pipeline,
+    "s09_streaming_merge": _s_streaming_merge,
     "s06_click_attribution": _s_click_attribution,
     "s01_sessionize": _s_sessionize,
     "s04_native_sessionize": _s_native_sessionize,
