@@ -210,6 +210,24 @@ def cmd_verify(args) -> int:
     return 0 if a == b else 1
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction (maintenance.compact_table) — scale
+    extension; every incremental/streaming table fragments over
+    time."""
+    from .materializations.maintenance import compact_table
+    from .session import get_spark
+
+    spark = get_spark(app_name="compact")
+    stats = compact_table(
+        spark,
+        args.table,
+        target_file_mb=args.target_mb,
+        partition_by=args.partition_by,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_summary(args) -> int:
     """Latest run-session summaries (ref run_summary.py:22-257,
     cli.py:623-672)."""
@@ -338,6 +356,8 @@ spark-icebreaker — command examples (ref cli.py:96-100 'help')
                              verified Kahn-ordered table sync
   sync-status --limit 10     sync ledger tail
   verify t_a t_b             row-count compare two tables
+  compact analytics.orders --target-mb 128
+                             rewrite small files to ~128 MB
   cache status|refresh|clear|prune
   update-stats --runs 10     per-model telemetry aggregates
   summary                    latest run-session summaries
@@ -391,6 +411,12 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)
     rp.set_defaults(fn=cmd_run)
+
+    cm = sub.add_parser("compact", help="small-file compaction for a table")
+    cm.add_argument("table")
+    cm.add_argument("--target-mb", type=int, default=128)
+    cm.add_argument("--partition-by", default=None)
+    cm.set_defaults(fn=cmd_compact)
 
     vp = sub.add_parser("verify", help="row-count compare two tables")
     vp.add_argument("table_a")

@@ -1,0 +1,107 @@
+"""Table maintenance (scale extension — the reference delegates file
+layout to its warehouses; on a self-managed lake the engine owns it).
+
+Small-file compaction is the 100 TB maintenance op every
+incremental/streaming table eventually needs: every micro-batch merge
+and append writes at least one file per shuffle partition, and a
+table accumulating thousands of KB-sized files pays per-file open
+cost, footer reads, and scheduler overhead on every scan. Compaction
+rewrites the table into ~target-sized files through the SAME
+crash-safe staged swap the incremental engine uses (backup rename →
+staging rename → drop), preserving partition/bucket layout.
+
+Sizing note: the file count target derives from the MEASURED table
+bytes (catalog location walk), not row counts — the same
+payload-not-rows principle as multimodal.repartition_for_payloads.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from .incremental import _staged_overwrite
+
+
+def table_location(spark: SparkSession, target: str) -> Optional[str]:
+    """Filesystem path of a cataloged table (None for non-path
+    tables)."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {target}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if (r.col_name or "").strip() == "Location":
+            loc = r.data_type
+            # file:/p, file:///p — os.path tolerates repeated slashes
+            return loc[5:] if loc.startswith("file:") else loc
+    return None
+
+
+def _scan_files(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under a table location."""
+    n = total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):  # _SUCCESS, .crc, metadata
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+            except OSError:
+                pass
+    return n, total
+
+
+def compact_table(
+    spark: SparkSession,
+    target: str,
+    target_file_mb: int = 128,
+    partition_by: Optional[str] = None,
+    clustered_by: str | Sequence[str] | None = None,
+    buckets: Optional[int] = None,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite ``target`` into ~``target_file_mb``-sized files.
+
+    Skips (no-op stats) when the table already has fewer than
+    ``min_files`` files or is already at/under the target count —
+    compaction must be safe to run on a schedule without rewriting
+    healthy tables. Bucketed tables keep their bucket spec (the file
+    count is then buckets-driven; pass the original ``buckets`` /
+    ``clustered_by``); partitioned tables compact per-partition via
+    a partition-keyed repartition.
+    """
+    loc = table_location(spark, target)
+    if loc is None or not os.path.exists(loc):
+        raise ValueError(f"table {target} has no scannable location")
+    files_before, total_bytes = _scan_files(loc)
+    target_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    if files_before < min_files or files_before <= target_files:
+        return {
+            "action": "skipped",
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total_bytes,
+        }
+    df = spark.table(target)
+    if buckets and clustered_by:
+        # bucket spec dictates layout; staged writer re-applies it
+        compacted = df
+    elif partition_by:
+        compacted = df.repartition(target_files, partition_by)
+    else:
+        compacted = df.repartition(target_files)
+    _staged_overwrite(
+        spark, compacted, target, partition_by, clustered_by, buckets
+    )
+    new_loc = table_location(spark, target) or loc
+    files_after, _ = _scan_files(new_loc)
+    return {
+        "action": "compacted",
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -701,3 +701,65 @@ class TestPredicatePartialUpdateInteraction:
                 merge_update_columns=["k"],
             )
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestCompaction:
+    """Small-file compaction (materializations/maintenance.py):
+    many-file tables rewrite to ~target-sized files through the
+    crash-safe staged swap; healthy tables are left untouched; data
+    and partition layout survive."""
+
+    def _make_fragmented(self, spark, name, n_parts=40):
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS compact_t")
+        spark.sql(f"DROP TABLE IF EXISTS compact_t.{name}")
+        df = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        df.repartition(n_parts).write.saveAsTable(f"compact_t.{name}")
+        return f"compact_t.{name}", df.count()
+
+    def test_compacts_fragmented_table(self, spark):
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            compact_table,
+        )
+
+        target, n_rows = self._make_fragmented(spark, "frag")
+        stats = compact_table(spark, target, target_file_mb=128)
+        assert stats["action"] == "compacted"
+        assert stats["files_before"] >= 40
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] <= 2
+        assert spark.table(target).count() == n_rows
+
+    def test_skips_healthy_table(self, spark):
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            compact_table,
+        )
+
+        target, _ = self._make_fragmented(spark, "healthy", n_parts=1)
+        stats = compact_table(spark, target, target_file_mb=128)
+        assert stats["action"] == "skipped"
+        assert stats["files_after"] == stats["files_before"]
+
+    def test_partitioned_layout_survives(self, spark):
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            compact_table,
+            table_location,
+        )
+        from dbt_icebreaker_spark.sources import read_parquet
+        import os
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS compact_t")
+        spark.sql("DROP TABLE IF EXISTS compact_t.part")
+        df = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        df.withColumn("status", F.col("o_orderstatus")).repartition(20).write \
+            .partitionBy("status").saveAsTable("compact_t.part")
+        n = spark.table("compact_t.part").count()
+        stats = compact_table(
+            spark, "compact_t.part", target_file_mb=128, partition_by="status"
+        )
+        assert stats["action"] == "compacted"
+        assert spark.table("compact_t.part").count() == n
+        loc = table_location(spark, "compact_t.part")
+        subdirs = [d for d in os.listdir(loc) if d.startswith("status=")]
+        assert len(subdirs) >= 2  # partition dirs still there
