@@ -408,3 +408,42 @@ class TestLmScoreShape:
         tree = _final_tree(plan)
         assert "BroadcastHashJoin" in tree
         assert "SortMergeJoin" not in tree
+
+
+class TestMediaOpPlans:
+    """Round-2 decode ops must keep the shapes that survive 100 TB:
+    per-row decode pipelines are exchange-free (synthesis → decode is
+    one mapInPandas chain, no shuffle), and the dHash near-dup join
+    shuffles exactly once (band window + in-bucket pair explode —
+    never a self-join that recomputes the decode per side)."""
+
+    def test_image_stats_pipeline_no_exchange(self, spark):
+        from dbt_icebreaker_spark.xops import imaging
+
+        ids = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+        stats = imaging.image_stats(
+            imaging.synthesize_decodable_pngs(ids, "doc_id")
+        )
+        plan = _executed_plan(stats)
+        assert "Exchange" not in plan
+        # synth + decode, chained (node list entries, not tree echoes)
+        assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
+
+    def test_audio_stats_pipeline_no_exchange(self, spark):
+        from dbt_icebreaker_spark.xops import audio
+
+        ids = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+        stats = audio.audio_stats(audio.synthesize_wav_corpus(ids, "doc_id"))
+        plan = _executed_plan(stats)
+        assert "Exchange" not in plan
+
+    def test_image_neardup_single_band_shuffle(self, spark):
+        from dbt_icebreaker_spark.xops import imaging
+
+        ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+        stats = imaging.image_stats(imaging.synthesize_block_pngs(ids, "doc_id"))
+        pairs = imaging.image_neardup_pairs(stats)
+        plan = _executed_plan(pairs)
+        # no join operator at all: pair generation is window + group +
+        # explode over band buckets
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
