@@ -55,6 +55,60 @@ def _scan_files(path: str) -> tuple[int, int]:
     return n, total
 
 
+def zorder_key(df, cols: Sequence[str], bits: int = 8):
+    """Z-order (Morton) key column over 2+ numeric columns — the
+    multi-dimensional clustering key behind Delta/Iceberg OPTIMIZE
+    ZORDER. Each column is linearly scaled to ``bits`` bits via
+    broadcast min/max (one tiny aggregate — no per-column global
+    sort), then the bit planes are interleaved JVM-side (pure
+    shift/or arithmetic, whole-stage codegen). Sorting/range-
+    partitioning by the key co-locates rows that are close in EVERY
+    dimension, so per-file min/max stats narrow on all of them at
+    once and multi-column predicates skip files that a single-column
+    sort could not.
+
+    Returns (df_with_key, key_col_name). NULLs scale to 0 (first
+    files), matching the null-first convention of range layout."""
+    from pyspark.sql import functions as F
+
+    max_v = (1 << bits) - 1
+    agg = df.agg(
+        *[f(c).cast("double").alias(f"__{n}_{c}")
+          for c in cols for f, n in ((F.min, "mn"), (F.max, "mx"))]
+    )
+    out = df.crossJoin(F.broadcast(agg))
+    scaled = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled.append(
+            F.coalesce(
+                F.floor((F.col(c).cast("double") - mn) / span * max_v)
+                .cast("bigint"),
+                F.lit(0),
+            )
+        )
+    k = len(cols)
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, bit).bitwiseAND(F.lit(1)),
+                            bit * k + j)
+            )
+    out = out.withColumn("__zvalue", z).drop(
+        *[f"__{n}_{c}" for c in cols for n in ("mn", "mx")]
+    )
+    return out, "__zvalue"
+
+
+def cluster_by_zorder(df, cols: Sequence[str], num_files: int):
+    """Range-partition by the z-order key into ``num_files`` output
+    partitions (→ files on write). One range exchange total."""
+    keyed, key = zorder_key(df, cols)
+    return keyed.repartitionByRange(num_files, key).drop(key)
+
+
 def compact_table(
     spark: SparkSession,
     target: str,

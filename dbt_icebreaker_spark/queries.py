@@ -2312,6 +2312,23 @@ def _s_composed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "c_mktsegment", "n")
 
 
+def _x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice)
+    — the multi-dimensional layout key behind OPTIMIZE ZORDER,
+    computed with broadcast min/max scaling + JVM bit interleaving.
+    The key arithmetic is deterministic, so the oracle replicates the
+    interleave bit-for-bit in SQL; the file-skipping effect (per-file
+    min/max narrowing on BOTH columns) is asserted in
+    tests/test_materializations.py."""
+    from .materializations.maintenance import zorder_key
+
+    register_dir(spark, sf_dir)
+    keyed, key = zorder_key(
+        spark.table("orders"), ["o_custkey", "o_totalprice"], bits=8
+    )
+    return keyed.select("o_orderkey", F.col(key).alias("zvalue"))
+
+
 def _s_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end streaming upsert, hash-verified: two
     micro-batches flow through readStream → availableNow trigger →
@@ -3626,6 +3643,34 @@ XOP_ORACLES: dict[str, str | None] = {
 # the session under BOTH window-merge-on-touch and the lag > gap rule)
 XOP_ORACLES["s04_native_sessionize"] = XOP_ORACLES["s01_sessionize"]
 
+# z-order oracle: identical scale-then-interleave arithmetic (IEEE
+# double division both engines → identical floors); 8 bits × 2 cols
+_ZO_TERMS = " + ".join(
+    f"(((v{j + 1} >> {b}) & 1) << {2 * b + j})"
+    for b in range(8)
+    for j in range(2)
+)
+XOP_ORACLES["x54_zorder_key"] = f"""
+    WITH mm AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS mn1,
+             CAST(max(o_custkey) AS DOUBLE) AS mx1,
+             CAST(min(o_totalprice) AS DOUBLE) AS mn2,
+             CAST(max(o_totalprice) AS DOUBLE) AS mx2
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey,
+             CAST(floor((CAST(o_custkey AS DOUBLE) - mn1) /
+                  (CASE WHEN mx1 > mn1 THEN mx1 - mn1 ELSE 1.0 END) * 255)
+                  AS BIGINT) AS v1,
+             CAST(floor((CAST(o_totalprice AS DOUBLE) - mn2) /
+                  (CASE WHEN mx2 > mn2 THEN mx2 - mn2 ELSE 1.0 END) * 255)
+                  AS BIGINT) AS v2
+      FROM orders, mm
+    )
+    SELECT o_orderkey, CAST({_ZO_TERMS} AS BIGINT) AS zvalue FROM s
+"""
+
 # final table state after two streamed micro-batch merges: batch 2
 # (users 20-59, value doubled) wins on key overlap with batch 1
 # (users 0-39); keys unique per batch
@@ -3669,6 +3714,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x51_image_neardup": _x_image_neardup,
     "x52_audio_stats": _x_audio_stats,
     "x53_audio_segments": _x_audio_segments,
+    "x54_zorder_key": _x_zorder,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

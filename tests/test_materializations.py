@@ -763,3 +763,61 @@ class TestCompaction:
         loc = table_location(spark, "compact_t.part")
         subdirs = [d for d in os.listdir(loc) if d.startswith("status=")]
         assert len(subdirs) >= 2  # partition dirs still there
+
+
+class TestZOrder:
+    """cluster_by_zorder narrows per-file min/max stats on EVERY
+    clustered column simultaneously — the property that makes
+    multi-column predicates skip files. Key arithmetic is
+    driver-gated (corpus x54); this asserts the layout effect on
+    real written parquet stats."""
+
+    @staticmethod
+    def _file_ranges(path, cols):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        spans = {c: [] for c in cols}
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            mins = dict.fromkeys(cols)
+            maxs = dict.fromkeys(cols)
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    col = md.row_group(rg).column(i)
+                    name = col.path_in_schema
+                    if name in cols and col.statistics:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            for c in cols:
+                if mins[c] is not None:
+                    spans[c].append(maxs[c] - mins[c])
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    def test_both_columns_narrow(self, spark, tmp_path):
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            cluster_by_zorder,
+        )
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        df = read_parquet(spark, "/root/testdata/sf0.01/orders.parquet")
+        cols = ["o_custkey", "o_totalprice"]
+        df.repartition(16).write.parquet(str(tmp_path / "plain"))
+        cluster_by_zorder(df, cols, 16).write.parquet(str(tmp_path / "z"))
+        plain = self._file_ranges(str(tmp_path / "plain"), cols)
+        z = self._file_ranges(str(tmp_path / "z"), cols)
+        for c in cols:
+            assert plain[c] / z[c] > 1.5, (c, plain[c], z[c])
+
+    def test_key_is_deterministic(self, spark):
+        from dbt_icebreaker_spark.materializations.maintenance import zorder_key
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        df = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        k1, key = zorder_key(df, ["o_custkey", "o_totalprice"])
+        k2, _ = zorder_key(df, ["o_custkey", "o_totalprice"])
+        a = {r.o_orderkey: r[key] for r in k1.select("o_orderkey", key).collect()}
+        b = {r.o_orderkey: r[key] for r in k2.select("o_orderkey", key).collect()}
+        assert a == b
