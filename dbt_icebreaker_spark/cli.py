@@ -406,7 +406,8 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--schema", default="analytics")
     rp.add_argument("--unique-key", default=None)
     rp.add_argument("--strategy", default="merge",
-                    choices=["merge", "append", "delete+insert"])
+                    choices=["merge", "append", "delete+insert",
+                             "insert_overwrite"])
     rp.add_argument("--full-refresh", action="store_true")
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)
