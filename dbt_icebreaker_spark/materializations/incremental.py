@@ -262,6 +262,7 @@ def run_incremental(
     incremental_predicates: Optional[Sequence[str]] = None,
     merge_update_columns: Optional[Sequence[str]] = None,
     merge_exclude_columns: Optional[Sequence[str]] = None,
+    collect_stats: bool = True,
 ) -> dict:
     """Apply one incremental batch. Returns stats dict.
 
@@ -292,7 +293,11 @@ def run_incremental(
             new_rows.write.mode("overwrite"), partition_by, clustered_by, buckets
         )
         writer.saveAsTable(target)
-        return {"strategy": "create", "rows": spark.table(target).count(), **extra}
+        return {
+            "strategy": "create",
+            "rows": spark.table(target).count() if collect_stats else None,
+            **extra,
+        }
 
     old = spark.table(target)
     old, new_aligned, final_cols = _apply_schema_change(
@@ -362,7 +367,10 @@ def run_incremental(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         return {
             "strategy": "insert_overwrite",
-            "rows": spark.table(target).count(),
+            # rows = table scan; callers looping many batches
+            # (microbatch) skip it — at scale one count per window is
+            # a full-table scan per window
+            "rows": spark.table(target).count() if collect_stats else None,
             **extra,
         }
 
