@@ -2329,6 +2329,19 @@ def _x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("o_orderkey", F.col(key).alias("zvalue"))
 
 
+def _x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization, hash-verified: per-vector scale
+    and the measured reconstruction error after quantize→dequantize.
+    The quantizer uses one explicit rounding formula (floor(x·127/s
+    + 0.5)) so the oracle recomputes codes bit-for-bit from the raw
+    floats; a wrong scale, rounding mode, or reconstruction factor
+    shifts max_err and breaks the hash."""
+    from .xops.similarity import dequantize_error
+
+    register_dir(spark, sf_dir)
+    return dequantize_error(spark.table("embeddings"))
+
+
 def _s_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end streaming upsert, hash-verified: two
     micro-batches flow through readStream → availableNow trigger →
@@ -3650,6 +3663,26 @@ _ZO_TERMS = " + ".join(
     for b in range(8)
     for j in range(2)
 )
+# int8 quantization error: err_i = |v_i − floor(v_i·127/s + 0.5)·s/127|
+# recomputed from the raw floats alone (identical IEEE double ops)
+XOP_ORACLES["x55_quantize_embeddings"] = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(scale AS DOUBLE) AS scale,
+           CAST(CASE WHEN scale > 0 THEN
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE) -
+                             floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                             * scale / 127.0)))
+                ELSE 0.0 END AS DOUBLE) AS max_err
+    FROM s
+"""
+
 XOP_ORACLES["x54_zorder_key"] = f"""
     WITH mm AS (
       SELECT CAST(min(o_custkey) AS DOUBLE) AS mn1,
@@ -3715,6 +3748,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x52_audio_stats": _x_audio_stats,
     "x53_audio_segments": _x_audio_segments,
     "x54_zorder_key": _x_zorder,
+    "x55_quantize_embeddings": _x_quantize,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

@@ -494,3 +494,114 @@ def hard_negatives(
             F.col("rank").cast("int"),
         )
     )
+
+
+# ------------------------------------------------------------- int8 PQ-lite
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4× storage lever
+    for a 100 TB embedding store (float32 → int8 + one float scale).
+
+    q_i = floor(v_i · 127 / scale + 0.5) with scale = max|v_i| — a
+    single explicit rounding formula (NOT the engine-dependent
+    round()) so any SQL engine reproduces the codes bit-for-bit; the
+    all-zero vector keeps scale 0 and zero codes. Cosine is
+    scale-invariant, so quantized search (``quantized_cosine_topk``)
+    ranks on the int8 codes directly — no dequantization pass.
+
+    Everything is JVM-side array arithmetic (transform/aggregate) —
+    whole-stage codegen, no UDFs. Output: (id, scale float,
+    qvec array<int> in [-127, 127])."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.when(scale > 0, F.transform(
+        v, lambda x: F.floor(x * 127.0 / scale + 0.5).cast("int")
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        scale.cast("double").alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def dequantize_error(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize → reconstruct → per-vector max absolute error. The
+    quantizer's contract is err ≤ scale/254 + float noise (half a
+    code step); emitting the measured error makes the bound testable
+    and the oracle recomputable."""
+    qd = quantize_embeddings(df, id_col, vec_col)
+    joined = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).join(qd, id_col)
+    recon = F.transform(F.col("qvec"), lambda x: x * F.col("scale") / 127.0)
+    err = F.array_max(
+        F.zip_with(F.col("__v"), recon, lambda a, b: F.abs(a - b))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("scale"),
+        err.cast("double").alias("max_err"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8 codes: quantize both sides,
+    broadcast the (small) query side, rank on integer dot products
+    normalized by code norms — cosine's scale invariance means the
+    per-vector scales cancel, so the scan reads 1/4 the bytes of the
+    float32 path with ~1e-2 cosine error (measured in tests)."""
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q")
+    )
+    cc = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: (x * x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double"))
+    scored = (
+        cc.crossJoin(F.broadcast(qq))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                (norm(F.col("q")) > 0) & (norm(F.col("c")) > 0),
+                dot / (norm(F.col("q")) * norm(F.col("c"))),
+            ).otherwise(F.lit(0.0)).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.col("qcosine").cast("double"),
+            F.col("rank").cast("int"),
+        )
+    )

@@ -1777,3 +1777,50 @@ class TestImagingHotBucket:
         want = {(a, b) for g in range(4) for a in range(3 * g, 3 * g + 3)
                 for b in range(a + 1, 3 * g + 3)}
         assert got == want
+
+
+class TestQuantization:
+    """int8 embedding quantization (similarity.quantize_embeddings):
+    codes bounded, reconstruction error within half a code step,
+    quantized cosine ranking tracks the float ranking. Driver-gated
+    by x55 (bit-for-bit error oracle)."""
+
+    def test_codes_and_error_bound(self, spark):
+        from dbt_icebreaker_spark.sources import read_parquet
+        from dbt_icebreaker_spark.xops import similarity
+
+        emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity.quantize_embeddings(emb)
+        row = q.select(
+            F.max(F.array_max("qvec")).alias("mx"),
+            F.min(F.array_min("qvec")).alias("mn"),
+        ).collect()[0]
+        assert row.mx <= 127 and row.mn >= -127
+        errs = similarity.dequantize_error(emb).collect()
+        for r in errs:
+            # half a code step (scale/254) plus float32→double noise
+            assert r.max_err <= r.scale / 254 + 1e-6, (r.vec_id, r.max_err)
+
+    def test_zero_vector_safe(self, spark):
+        from dbt_icebreaker_spark.xops import similarity
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in similarity.dequantize_error(df).collect()}
+        assert rows[1].scale == 0.0 and rows[1].max_err == 0.0
+        assert rows[2].scale == 2.0
+
+    def test_quantized_ranking_tracks_float(self, spark):
+        from dbt_icebreaker_spark.sources import read_parquet
+        from dbt_icebreaker_spark.xops import similarity
+
+        emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = similarity.cosine_topk(emb, queries, k=5)
+        quant = similarity.quantized_cosine_topk(emb, queries, k=5)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        g = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+        # recall@5 of the quantized path vs exact float cosine
+        assert len(e & g) / len(e) >= 0.8, (len(e & g), len(e))
