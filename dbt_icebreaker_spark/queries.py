@@ -1395,6 +1395,35 @@ _q(
     """,
 )
 
+# Rolling time-window frames: RANGE BETWEEN INTERVAL ... PRECEDING is
+# native on Spark 4 (probed — '7 days'/'12 hours' spellings included)
+# AND on DuckDB, so the calendar-frame semantics themselves are
+# driver-gated. ORDER BY ts is a genuine RANGE order (peers = equal
+# timestamps share the frame).
+_q(
+    "q62_rolling_time_windows",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1d_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '12 hours' PRECEDING AND CURRENT ROW)
+                AS rolling_12h_n
+    FROM events WHERE user_id < 60
+    """,
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1d_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '12 hours' PRECEDING AND CURRENT ROW)
+                AS rolling_12h_n
+    FROM events WHERE user_id < 60
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(
@@ -2327,6 +2356,26 @@ def _x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("orders"), ["o_custkey", "o_totalprice"], bits=8
     )
     return keyed.select("o_orderkey", F.col(key).alias("zvalue"))
+
+
+def _x_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-constrained extraction with validation + repair-retry
+    (llm.extract_structured). Endpoint is the documented stub (no
+    model in the container) → rows-only check by design, like x13;
+    the validation/retry/quarantine plumbing is the tested part."""
+    from .xops import llm
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 50)
+    out = llm.extract_structured(
+        docs.select("doc_id", "text"), "text",
+        {"topic": "string", "score": "double"},
+    )
+    return out.select(
+        "doc_id", "extract_ok",
+        F.col("extracted.topic").alias("topic"),
+        F.col("extracted.score").alias("score"),
+    )
 
 
 def _x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3749,6 +3798,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x53_audio_segments": _x_audio_segments,
     "x54_zorder_key": _x_zorder,
     "x55_quantize_embeddings": _x_quantize,
+    "x56_llm_extract": _x_llm_extract,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

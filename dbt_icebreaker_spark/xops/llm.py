@@ -48,6 +48,30 @@ def _stub_endpoint(task: str, payload: pd.Series) -> pd.Series:
             return " ".join(text.split()[:10])
         if task == "translate":
             return text[::-1]
+        if task == "extract_json":
+            # payload = "{schema}\x00{text}" (or the REPAIR form);
+            # answer with a deterministic valid object per schema
+            import json as _json
+
+            parts = text.split("\x00")
+            schema_part = parts[1] if parts[0] == "REPAIR" else parts[0]
+            try:
+                fields = _json.loads(schema_part)
+            except _json.JSONDecodeError:
+                return "{}"
+            out = {}
+            for k, typ in sorted(fields.items()):
+                hv = int(hashlib.md5(f"{k}:{text}".encode()).hexdigest()[:8], 16)
+                t = typ.lower()
+                if "int" in t or "long" in t:
+                    out[k] = hv % 1000
+                elif "double" in t or "float" in t:
+                    out[k] = round(hv % 1000 / 10.0, 1)
+                elif "bool" in t:
+                    out[k] = bool(hv % 2)
+                else:
+                    out[k] = f"v{hv % 10000}"
+            return _json.dumps(out, sort_keys=True)
         return f"[{task}:{h[:12]}]"
     return payload.map(one)
 
@@ -145,3 +169,77 @@ def cached_apply(
     )
     result = hashed.join(full_cache, "__h", "left")
     return result.drop("__h").withColumnRenamed("__result", f"{task}_result")
+
+
+# ------------------------------------------------------- structured output
+def extract_structured(
+    df: DataFrame,
+    text_col: str,
+    fields: dict[str, str],
+    max_retries: int = 1,
+    task: str = "extract_json",
+) -> DataFrame:
+    """Schema-constrained extraction with validation + repair-retry —
+    the plumbing a production extraction pipeline needs around any
+    model endpoint:
+
+    1. the endpoint receives a payload of ``{schema}\\x00{text}`` and
+       must return a JSON object with the requested ``fields``
+       (name → Spark type string);
+    2. outputs are validated JVM-side: JSON-parseable object AND the
+       typed from_json struct materializes (a missing/mistyped field
+       nulls the struct field, a non-object nulls the struct);
+    3. invalid rows are re-sent up to ``max_retries`` times with a
+       repair payload embedding the previous bad output;
+    4. still-invalid rows land with ``extract_ok = false`` and a NULL
+       struct — quarantine, never a crash (the X4 contract).
+
+    The retry loop is driver-side composition of bounded depth — each
+    pass is one lazy transform, so Catalyst sees max_retries+1
+    branches, not an unbounded iteration. The stub endpoint answers
+    deterministically; tests exercise the repair path by installing a
+    first-call-garbled endpoint via set_endpoint."""
+    import json as _json
+
+    schema_json = _json.dumps(fields, sort_keys=True)
+    struct_ddl = ", ".join(f"`{k}` {v}" for k, v in sorted(fields.items()))
+
+    def payload(col, prev=None):
+        base = F.concat(F.lit(schema_json + "\x00"), F.coalesce(col, F.lit("")))
+        if prev is None:
+            return base
+        return F.concat(
+            F.lit("REPAIR\x00" + schema_json + "\x00"),
+            F.coalesce(col, F.lit("")),
+            F.lit("\x00PREVIOUS_INVALID\x00"),
+            F.coalesce(prev, F.lit("")),
+        )
+
+    def attempt(frame, prev_col):
+        out = _make_udf(task)(
+            payload(F.col(text_col), None if prev_col is None else F.col(prev_col))
+        )
+        # from_json with a STRUCT schema is PERMISSIVE (all-null row,
+        # never NULL) — the map-schema parse is the strict probe: NULL
+        # for malformed JSON and for non-object values (scalars,
+        # arrays), probed against a live session
+        return frame.withColumn("__out", out).withColumn(
+            "__ok",
+            F.from_json(F.col("__out"), "map<string,string>").isNotNull(),
+        )
+
+    current = attempt(df, None)
+    for _ in range(max_retries):
+        good = current.filter(F.col("__ok"))
+        bad = current.filter(~F.col("__ok")).withColumnRenamed("__out", "__prev")
+        if bad is None:
+            break
+        retried = attempt(bad.drop("__ok"), "__prev").drop("__prev")
+        current = good.unionByName(retried)
+    return current.select(
+        *df.columns,
+        F.col("__ok").alias("extract_ok"),
+        F.when(F.col("__ok"), F.from_json(F.col("__out"), struct_ddl))
+        .otherwise(F.lit(None))
+        .alias("extracted"),
+    )

@@ -1824,3 +1824,68 @@ class TestQuantization:
         g = {(r.query_id, r.neighbor_id) for r in quant.collect()}
         # recall@5 of the quantized path vs exact float cosine
         assert len(e & g) / len(e) >= 0.8, (len(e & g), len(e))
+
+
+class TestExtractStructured:
+    """Schema-constrained LLM extraction (llm.extract_structured):
+    validation is JVM-side, invalid outputs retry with a repair
+    payload, unrecoverable rows quarantine with extract_ok=false."""
+
+    def _docs(self, spark):
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        return read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).limit(8)
+
+    def test_stub_endpoint_validates(self, spark):
+        from dbt_icebreaker_spark.xops import llm
+
+        out = llm.extract_structured(
+            self._docs(spark), "text",
+            {"topic": "string", "score": "double", "n": "int"},
+        )
+        rows = out.collect()
+        assert all(r.extract_ok for r in rows)
+        for r in rows:
+            assert isinstance(r.extracted.topic, str)
+            assert isinstance(r.extracted.score, float)
+            assert isinstance(r.extracted.n, int)
+
+    def test_repair_retry_recovers(self, spark):
+        import pandas as pd
+
+        from dbt_icebreaker_spark.xops import llm
+
+        def flaky(task, s):
+            def one(t):
+                if t is not None and not t.startswith("REPAIR"):
+                    return "garbage {{{"
+                return llm._stub_endpoint(task, pd.Series([t])).iloc[0]
+            return s.map(one)
+
+        llm.set_endpoint(flaky)
+        try:
+            out = llm.extract_structured(
+                self._docs(spark), "text", {"topic": "string"}
+            )
+            assert all(r.extract_ok for r in out.collect())
+        finally:
+            llm.set_endpoint(None)
+
+    def test_unrecoverable_rows_quarantine(self, spark):
+        import pandas as pd
+
+        from dbt_icebreaker_spark.xops import llm
+
+        llm.set_endpoint(lambda task, s: s.map(lambda _t: "never json"))
+        try:
+            out = llm.extract_structured(
+                self._docs(spark), "text", {"topic": "string"}, max_retries=2
+            )
+            rows = out.collect()
+            assert all(not r.extract_ok for r in rows)
+            assert all(r.extracted is None for r in rows)
+            assert len(rows) == 8  # nothing dropped
+        finally:
+            llm.set_endpoint(None)
