@@ -166,12 +166,16 @@ def cmd_run(args) -> int:
     if args.data_dir:
         register_dir(spark, args.data_dir)
     engine = IcebreakerEngine(spark, schema=args.schema, dev_mode=args.dev)
+    if args.strategy == "insert_overwrite" and not args.partition_by:
+        print("error: --strategy insert_overwrite requires --partition-by")
+        return 2
     result = engine.run_model(
         args.model,
         sql,
         materialization=args.materialization,
         unique_key=args.unique_key.split(",") if args.unique_key else None,
         incremental_strategy=args.strategy,
+        partition_by=args.partition_by,
         full_refresh=args.full_refresh,
     )
     tracker = _savings_tracker()
@@ -408,6 +412,8 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--strategy", default="merge",
                     choices=["merge", "append", "delete+insert",
                              "insert_overwrite"])
+    rp.add_argument("--partition-by", default=None,
+                    help="partition column (required for insert_overwrite)")
     rp.add_argument("--full-refresh", action="store_true")
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)

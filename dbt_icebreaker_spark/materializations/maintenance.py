@@ -40,18 +40,57 @@ def table_location(spark: SparkSession, target: str) -> Optional[str]:
     return None
 
 
-def _scan_files(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) under a table location."""
-    n = total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.startswith(("_", ".")):  # _SUCCESS, .crc, metadata
+def table_layout(
+    spark: SparkSession, target: str
+) -> tuple[list[str], list[str], Optional[int]]:
+    """(partition_cols, bucket_cols, num_buckets) from the catalog —
+    so maintenance rewrites can PRESERVE layout without the caller
+    restating it (a compaction that silently unpartitions a table is
+    data-loss-adjacent: the next insert_overwrite run would
+    dynamic-overwrite the whole table)."""
+    import re as _re
+
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {target}").collect()
+    except Exception:
+        return [], [], None
+    part_cols: list[str] = []
+    bucket_cols: list[str] = []
+    buckets: Optional[int] = None
+    in_part = False
+    for r in rows:
+        name = (r.col_name or "").strip()
+        if name == "# Partition Information":
+            in_part = True
+            continue
+        if in_part:
+            if name == "# col_name" or name == "":
+                in_part = name != ""
                 continue
+            if name.startswith("#"):
+                in_part = False
+            else:
+                part_cols.append(name)
+                continue
+        if name == "Num Buckets":
             try:
-                total += os.path.getsize(os.path.join(root, f))
-                n += 1
-            except OSError:
-                pass
+                buckets = int(r.data_type)
+            except (TypeError, ValueError):
+                buckets = None
+        elif name == "Bucket Columns":
+            bucket_cols = _re.findall(r"`([^`]+)`", r.data_type or "")
+    return part_cols, bucket_cols, buckets
+
+
+def _scan_files(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under a table location — one
+    shared walker (sources.iter_data_files) for all size accounting."""
+    from ..sources import iter_data_files
+
+    n = total = 0
+    for _p, size in iter_data_files(path):
+        n += 1
+        total += size
     return n, total
 
 
@@ -131,6 +170,13 @@ def compact_table(
     loc = table_location(spark, target)
     if loc is None or not os.path.exists(loc):
         raise ValueError(f"table {target} has no scannable location")
+    # preserve catalog layout unless explicitly overridden — the
+    # docstring's promise must not depend on the caller restating it
+    cat_parts, cat_bucket_cols, cat_buckets = table_layout(spark, target)
+    if partition_by is None and cat_parts:
+        partition_by = cat_parts if len(cat_parts) > 1 else cat_parts[0]
+    if clustered_by is None and cat_bucket_cols:
+        clustered_by, buckets = cat_bucket_cols, cat_buckets
     files_before, total_bytes = _scan_files(loc)
     target_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
     if files_before < min_files or files_before <= target_files:
@@ -145,7 +191,8 @@ def compact_table(
         # bucket spec dictates layout; staged writer re-applies it
         compacted = df
     elif partition_by:
-        compacted = df.repartition(target_files, partition_by)
+        pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        compacted = df.repartition(target_files, *pcols)
     else:
         compacted = df.repartition(target_files)
     _staged_overwrite(

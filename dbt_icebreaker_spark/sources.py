@@ -124,15 +124,24 @@ _registered: dict[tuple[str, str], str] = {}
 _SPARK_DEFAULT_SHUFFLE = "200"
 
 
-def _dir_bytes(d: str) -> int:
-    total = 0
+def iter_data_files(d: str):
+    """(path, size) for every DATA file under ``d`` — metadata
+    (_SUCCESS, .crc, hidden) skipped. The single directory walker
+    shared by shuffle autotune and table maintenance, so filtering
+    and error-handling fixes apply everywhere at once."""
     for root, _dirs, files in os.walk(d):
         for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
             try:
-                total += os.path.getsize(os.path.join(root, f))
+                yield p, os.path.getsize(p)
             except OSError:
                 pass
-    return total
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(size for _p, size in iter_data_files(d))
 
 
 def autotune_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:

@@ -3453,6 +3453,52 @@ def _cce_error(detail: str):
     raise TranspileError(f"CONDITIONAL_CHANGE_EVENT: {detail}")
 
 
+_CCE_BODY_STOP = frozenset(
+    ("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT")
+)
+
+
+def _cce_body_alias(body: Tokens) -> str | None:
+    """Alias of a simple single-table `FROM [db.]table [AS] alias`
+    body (None for multi-table FROMs, subquery sources, or no alias).
+    Used to re-alias the CCE rewrite's wrapping subquery so qualified
+    references in the hoisted select list keep resolving."""
+    # multi-table: top-level JOIN or comma anywhere in the body
+    d = 0
+    for t in body:
+        if t.is_op("("):
+            d += 1
+        elif t.is_op(")"):
+            d -= 1
+        elif d == 0 and (
+            t.is_op(",") or (t.kind == WORD and t.upper == "JOIN")
+        ):
+            return None
+    i = next_code(body, 1)  # past FROM
+    if i >= len(body) or body[i].is_op("("):
+        return None  # subquery source
+    # swallow [db.]table[.part] chain
+    j = i
+    while True:
+        nxt = next_code(body, j + 1)
+        if nxt < len(body) and body[nxt].is_op("."):
+            j = next_code(body, nxt + 1)
+            if j >= len(body):
+                return None
+        else:
+            break
+    k = next_code(body, j + 1)
+    if k < len(body) and body[k].kind == WORD and body[k].upper == "AS":
+        k = next_code(body, k + 1)
+    if (
+        k < len(body)
+        and body[k].kind in (WORD, QIDENT)
+        and body[k].upper not in _CCE_BODY_STOP
+    ):
+        return body[k].text
+    return None
+
+
 def _rewrite_one_cce(tokens: Tokens) -> tuple[Tokens, bool]:
     n = len(tokens)
     depth = 0
@@ -3517,6 +3563,15 @@ def _rewrite_one_cce(tokens: Tokens) -> tuple[Tokens, bool]:
                 _cce_error("containing SELECT has no FROM clause")
             if tail_i is None:
                 tail_i = seg_end
+            if not (sel_i < i < from_i):
+                # a call in QUALIFY/WHERE/ORDER BY would re-trigger the
+                # scan on every pass (the select-list rewrite never
+                # consumes it) — refuse instead of looping
+                _cce_error(
+                    "only supported in the SELECT list; compute it "
+                    "there (optionally in a subquery) and filter/order "
+                    "on the alias"
+                )
             # rewrite every CCE call in this select's list region
             list_lo, list_hi = sel_i + 1, from_i
             out_list: Tokens = []
@@ -3586,6 +3641,24 @@ def _rewrite_one_cce(tokens: Tokens) -> tuple[Tokens, bool]:
             inner_extra: Tokens = []
             for col in inner_cols:
                 inner_extra += [_op(","), _sp()] + col
+            # the wrapped subquery hides the FROM body's table aliases
+            # from the hoisted outer list/specs: a simple `FROM t [AS]
+            # a` body re-aliases the subquery as `a`; a multi-table
+            # body can't take one alias — refuse if the hoisted region
+            # still uses qualified refs (they would all be unresolved)
+            body = tokens[from_i:tail_i]
+            sub_alias = _cce_body_alias(body)
+            if sub_alias is None and any(t2.is_op(".") for t2 in out_list):
+                _cce_error(
+                    "qualified column references over a multi-table "
+                    "FROM: the rewrite wraps the FROM body in a "
+                    "subquery, hiding its aliases. Use unqualified "
+                    "column names in the SELECT list and OVER clauses, "
+                    "or pre-join in a subquery/CTE."
+                )
+            alias_tokens: Tokens = (
+                [_sp(), _word(sub_alias)] if sub_alias else []
+            )
             new_tokens = (
                 tokens[:sel_i]
                 + [_word("SELECT"), _sp()]
@@ -3594,8 +3667,10 @@ def _rewrite_one_cce(tokens: Tokens) -> tuple[Tokens, bool]:
                    _word("SELECT"), _sp(), _op("*")]
                 + inner_extra
                 + [_sp()]
-                + tokens[from_i:tail_i]
-                + [_op(")"), _sp()]
+                + body
+                + [_op(")")]
+                + alias_tokens
+                + [_sp()]
                 + tokens[tail_i:]
             )
             return new_tokens, True

@@ -42,16 +42,22 @@ from pyspark.sql.types import (
 
 
 # ------------------------------------------------------------------ codec
-def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """Minimal REAL PCM WAV encoder (mono int16) for distributed
-    fixture synthesis: canonical 44-byte header + raw samples."""
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Minimal REAL PCM WAV encoder (int16, interleaved channels) for
+    distributed fixture synthesis and segment re-emission: canonical
+    44-byte header + raw samples."""
     pcm = samples.astype("<i2").tobytes()
-    byte_rate = sample_rate * 2
+    block_align = 2 * channels
+    byte_rate = sample_rate * block_align
     return (
         b"RIFF"
         + _struct.pack("<I", 36 + len(pcm))
         + b"WAVEfmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + _struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16
+        )
         + b"data"
         + _struct.pack("<I", len(pcm))
         + pcm
@@ -182,7 +188,12 @@ def segment_audio(
                             "media_id": int(mid),
                             "seg_idx": idx,
                             "start_s": (lo // ch) / rate,
-                            "payload": encode_wav(samples[lo : lo + win], rate),
+                            # header carries the SOURCE channel count —
+                            # a stereo segment re-encoded as mono would
+                            # double its apparent duration
+                            "payload": encode_wav(
+                                samples[lo : lo + win], rate, channels=ch
+                            ),
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)

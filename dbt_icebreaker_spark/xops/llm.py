@@ -222,18 +222,28 @@ def extract_structured(
         # from_json with a STRUCT schema is PERMISSIVE (all-null row,
         # never NULL) — the map-schema parse is the strict probe: NULL
         # for malformed JSON and for non-object values (scalars,
-        # arrays), probed against a live session
-        return frame.withColumn("__out", out).withColumn(
-            "__ok",
-            F.from_json(F.col("__out"), "map<string,string>").isNotNull(),
-        )
+        # arrays), probed against a live session. On top of that,
+        # every requested field must be PRESENT, and a present
+        # non-null value must survive the typed cast (a mistyped
+        # field nulls the struct field while the raw map value is
+        # non-null → invalid → retry). An explicit JSON null is a
+        # legal answer.
+        frame = frame.withColumn("__out", out)
+        m = F.from_json(F.col("__out"), "map<string,string>")
+        s = F.from_json(F.col("__out"), struct_ddl)
+        ok = m.isNotNull()
+        for k2 in fields:
+            ok = (
+                ok
+                & F.map_contains_key(m, k2)
+                & (s[k2].isNotNull() | F.element_at(m, k2).isNull())
+            )
+        return frame.withColumn("__ok", ok)
 
     current = attempt(df, None)
     for _ in range(max_retries):
         good = current.filter(F.col("__ok"))
         bad = current.filter(~F.col("__ok")).withColumnRenamed("__out", "__prev")
-        if bad is None:
-            break
         retried = attempt(bad.drop("__ok"), "__prev").drop("__prev")
         current = good.unionByName(retried)
     return current.select(

@@ -564,22 +564,33 @@ def quantized_cosine_topk(
     normalized by code norms — cosine's scale invariance means the
     per-vector scales cancel, so the scan reads 1/4 the bytes of the
     float32 path with ~1e-2 cosine error (measured in tests)."""
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: (x * x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    # norms are per-ROW scalars — compute them once per side BEFORE
+    # the crossJoin (inside the projection they would be re-evaluated
+    # per (corpus × query) pair: ~4·N·Q·d wasted multiply-adds)
     qq = quantize_embeddings(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("q")
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q"),
+        norm(F.col("qvec")).alias("qn"),
     )
     cc = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c"),
+        norm(F.col("qvec")).alias("cn"),
     )
     dot = F.aggregate(
         F.zip_with("q", "c", lambda a, b: (a * b).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     ).cast("double")
-    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(col, lambda x: (x * x).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    ).cast("double"))
     scored = (
         cc.crossJoin(F.broadcast(qq))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -587,8 +598,8 @@ def quantized_cosine_topk(
             "query_id",
             "neighbor_id",
             F.when(
-                (norm(F.col("q")) > 0) & (norm(F.col("c")) > 0),
-                dot / (norm(F.col("q")) * norm(F.col("c"))),
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot / (F.col("qn") * F.col("cn")),
             ).otherwise(F.lit(0.0)).alias("qcosine"),
         )
     )

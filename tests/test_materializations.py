@@ -964,3 +964,30 @@ class TestMicrobatch:
         assert w[-1][1] == dt.datetime(2024, 1, 18)
         m = plan_batches(dt.datetime(2024, 11, 20), dt.datetime(2025, 2, 1), "month")
         assert [x[0].month for x in m] == [11, 12, 1]
+
+
+class TestCompactionLayoutFromCatalog:
+    def test_partition_layout_preserved_without_args(self, spark):
+        # the review finding: compaction must read layout from the
+        # catalog, not depend on the caller restating it
+        import os
+
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            compact_table,
+            table_layout,
+            table_location,
+        )
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS compact_t")
+        spark.sql("DROP TABLE IF EXISTS compact_t.autolayout")
+        df = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        df.withColumn("status", F.col("o_orderstatus")).repartition(20).write \
+            .partitionBy("status").saveAsTable("compact_t.autolayout")
+        parts, bcols, nb = table_layout(spark, "compact_t.autolayout")
+        assert parts == ["status"]
+        stats = compact_table(spark, "compact_t.autolayout", target_file_mb=128)
+        assert stats["action"] == "compacted"
+        loc = table_location(spark, "compact_t.autolayout")
+        subdirs = [d for d in os.listdir(loc) if d.startswith("status=")]
+        assert len(subdirs) >= 2, "partition layout lost"

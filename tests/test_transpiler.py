@@ -1616,3 +1616,40 @@ class TestConditionalChangeEvent:
             )
         with pytest.raises(TranspileError, match="OVER"):
             t.to_spark("SELECT CONDITIONAL_CHANGE_EVENT(s) FROM t")
+
+
+class TestCCEReviewFixes:
+    """Round-2 review findings: CCE outside the select list must
+    refuse (not loop), and alias-qualified references must survive
+    the subquery wrap."""
+
+    def test_qualify_placed_cce_refuses_fast(self):
+        with pytest.raises(TranspileError, match="SELECT list"):
+            t.to_spark(
+                "SELECT event_id FROM events QUALIFY "
+                "CONDITIONAL_CHANGE_EVENT(event_type) OVER "
+                "(PARTITION BY user_id ORDER BY ts) = 0"
+            )
+
+    def test_alias_qualified_single_table(self):
+        out = t.to_spark(
+            "SELECT e.event_id, CONDITIONAL_CHANGE_EVENT(e.event_type) "
+            "OVER (PARTITION BY e.user_id ORDER BY e.ts) AS ep "
+            "FROM events e"
+        )
+        # subquery re-aliased as e so e.* keeps resolving
+        assert out.rstrip().endswith(") e") or " ) e" in out
+
+    def test_multi_table_qualified_refused(self):
+        with pytest.raises(TranspileError, match="multi-table"):
+            t.to_spark(
+                "SELECT a.x, CONDITIONAL_CHANGE_EVENT(a.s) OVER "
+                "(ORDER BY a.ts) FROM t1 a JOIN t2 b ON a.id = b.id"
+            )
+
+    def test_multi_table_unqualified_allowed(self):
+        out = t.to_spark(
+            "SELECT x, CONDITIONAL_CHANGE_EVENT(s) OVER (ORDER BY ts) "
+            "AS ev FROM t1 JOIN t2 ON id = id2"
+        )
+        assert "__ccev0" in out

@@ -1889,3 +1889,96 @@ class TestExtractStructured:
             assert len(rows) == 8  # nothing dropped
         finally:
             llm.set_endpoint(None)
+
+
+class TestAudioMultiChannel:
+    def test_stereo_segments_keep_channel_count(self, spark):
+        import numpy as np
+
+        from dbt_icebreaker_spark.xops import audio
+
+        # interleaved stereo: L=+300, R=-300, 800 frames
+        inter = np.empty(1600, dtype=np.int16)
+        inter[0::2] = 300
+        inter[1::2] = -300
+        df = spark.createDataFrame(
+            [(1, bytearray(audio.encode_wav(inter, 8000, channels=2)))],
+            "media_id long, payload binary",
+        )
+        segs = audio.segment_audio(df, window_s=0.05).collect()  # 400-frame wins
+        assert len(segs) == 2
+        for s in segs:
+            out, rate, ch = audio.decode_wav(bytes(s.payload))
+            assert ch == 2 and rate == 8000
+            assert len(out) // ch == 400  # frames, not interleaved samples
+        stats = audio.audio_stats(
+            spark.createDataFrame(
+                [(7, bytearray(segs[0].payload))], "media_id long, payload binary"
+            )
+        ).collect()[0]
+        assert stats.channels == 2
+        assert stats.n_samples == 400  # frames
+        assert stats.duration_s == 400 / 8000
+
+
+class TestExtractStructuredStrict:
+    def test_missing_field_retries_then_quarantines(self, spark):
+        import pandas as pd
+
+        from dbt_icebreaker_spark.sources import read_parquet
+        from dbt_icebreaker_spark.xops import llm
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).limit(4)
+
+        # endpoint always omits 'score' → field-presence check fails
+        llm.set_endpoint(lambda task, s: s.map(lambda _t: '{"topic": "x"}'))
+        try:
+            out = llm.extract_structured(
+                docs.select("doc_id", "text"), "text",
+                {"topic": "string", "score": "double"},
+            )
+            assert all(not r.extract_ok for r in out.collect())
+        finally:
+            llm.set_endpoint(None)
+
+    def test_mistyped_field_invalid(self, spark):
+        from dbt_icebreaker_spark.sources import read_parquet
+        from dbt_icebreaker_spark.xops import llm
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).limit(4)
+        llm.set_endpoint(
+            lambda task, s: s.map(lambda _t: '{"topic": "x", "score": "NaNope"}')
+        )
+        try:
+            out = llm.extract_structured(
+                docs.select("doc_id", "text"), "text",
+                {"topic": "string", "score": "double"},
+            )
+            assert all(not r.extract_ok for r in out.collect())
+        finally:
+            llm.set_endpoint(None)
+
+    def test_explicit_null_field_is_valid(self, spark):
+        from dbt_icebreaker_spark.sources import read_parquet
+        from dbt_icebreaker_spark.xops import llm
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).limit(4)
+        llm.set_endpoint(
+            lambda task, s: s.map(lambda _t: '{"topic": "x", "score": null}')
+        )
+        try:
+            out = llm.extract_structured(
+                docs.select("doc_id", "text"), "text",
+                {"topic": "string", "score": "double"},
+            )
+            rows = out.collect()
+            assert all(r.extract_ok for r in rows)
+            assert all(r.extracted.score is None for r in rows)
+        finally:
+            llm.set_endpoint(None)
