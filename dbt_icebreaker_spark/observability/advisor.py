@@ -161,10 +161,24 @@ class Advisor:
         sql: str,
         search_dirs: tuple[str, ...] = (),
         available_memory_bytes: Optional[int] = None,
+        route_override: Optional[str] = None,
     ) -> Advice:
         errors: list[str] = []
         warnings: list[str] = []
         hints: list[str] = []
+
+        # gate: user override (R1 priority 1 — ref auto_router.py's
+        # `icebreaker_route` model config). One engine → an explicit
+        # 'cloud' pin is surfaced, not silently dropped.
+        if route_override:
+            if str(route_override).lower() in ("cloud", "snowflake", "remote"):
+                warnings.append(
+                    f"model config pins route={route_override!r}, but this "
+                    "engine has no cloud target — running on Spark; drop "
+                    "the override or wire an external catalog/connector"
+                )
+            else:
+                hints.append(f"route override {route_override!r} honored (local)")
 
         # gate: external sources (R1 priority 3; no cloud to route to)
         for pat in _EXTERNAL_PATTERNS:
@@ -261,6 +275,39 @@ class Advisor:
             warnings=warnings,
             errors=errors,
         )
+
+    def advise_project(
+        self,
+        models: dict[str, str],
+        deps: Optional[dict[str, list[str]]] = None,
+        search_dirs: tuple[str, ...] = (),
+    ) -> dict[str, Advice]:
+        """Project-wide advice with dependency propagation (R1
+        priority 5 — ref auto_router.py routes a model to cloud when
+        any upstream went to cloud). Here the propagated signal is
+        advisory: a model whose upstream has advisory ERRORS gets a
+        warning, because its input will be missing/stale if the
+        upstream can't run. Models are visited in Kahn order via the
+        project DAG so upstream advice exists before downstream."""
+        from ..sync import kahn_order
+
+        deps = deps or {}
+        order = kahn_order({m: deps.get(m, []) for m in models})
+        out: dict[str, Advice] = {}
+        for name in order:
+            adv = self.advise(name, models[name], search_dirs)
+            flagged = [
+                u for u in deps.get(name, [])
+                if u in out and not out[u].ok
+            ]
+            if flagged:
+                adv.warnings.append(
+                    f"upstream model(s) {sorted(flagged)} have blocking "
+                    "advice — this model's inputs will be missing or "
+                    "stale until they are fixed"
+                )
+            out[name] = adv
+        return out
 
     def explain(self, model: str, sql: str, search_dirs: tuple[str, ...] = ()) -> str:
         """`engine explain` = advice + Spark's own formatted plan

@@ -317,3 +317,42 @@ class TestTelemetry:
             _parse_metric("total (min, med, max (stageId: taskId))\n16.5 MiB (1 MiB, 2 MiB, 3 MiB)")
             == 16.5 * 1024**2
         )
+
+
+class TestSevenGateParity:
+    """Round-2: the two remaining reference routing gates — user
+    override (priority 1) and dependency propagation (priority 5) —
+    as advisory signals (ref README 'How Routing Works')."""
+
+    def test_route_override_cloud_warns(self, spark):
+        from dbt_icebreaker_spark.observability.advisor import Advisor
+
+        adv = Advisor(spark).advise(
+            "m", "SELECT 1 AS one FROM t", route_override="cloud"
+        )
+        assert any("no cloud target" in w for w in adv.warnings)
+
+    def test_route_override_local_hint(self, spark):
+        from dbt_icebreaker_spark.observability.advisor import Advisor
+
+        adv = Advisor(spark).advise(
+            "m", "SELECT 1 AS one FROM t", route_override="local"
+        )
+        assert any("honored" in h for h in adv.hints)
+        assert not any("no cloud target" in w for w in adv.warnings)
+
+    def test_dependency_propagation(self, spark):
+        from dbt_icebreaker_spark.observability.advisor import Advisor
+
+        models = {
+            # upstream uses an external stage → blocking advisory error
+            "up": "SELECT * FROM @my_stage t",
+            "down": "SELECT a FROM up_table",
+            "island": "SELECT b FROM other_table",
+        }
+        out = Advisor(spark).advise_project(
+            models, deps={"down": ["up"], "island": []}
+        )
+        assert not out["up"].ok
+        assert any("upstream" in w for w in out["down"].warnings)
+        assert not any("upstream" in w for w in out["island"].warnings)
