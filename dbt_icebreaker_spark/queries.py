@@ -2378,6 +2378,45 @@ def _x_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline, hash-verified end to
+    end: quality filter → exact dedup (min-id representative) →
+    MinHash-LSH near-dedup (greedy drop of the higher id of every
+    candidate pair) → PII scrub → token statistics. One lazy plan —
+    the point is that the X-ops COMPOSE: each stage is individually
+    oracled (x01/x02/x08/x09/x27), and this entry oracles their
+    composition, where a subtle contract break between stages (id
+    types, empty-token semantics, survivor policy) would slip through
+    per-op tests."""
+    from .xops import dedup
+    from .xops.text import scrub_pii
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    filtered = docs.filter(
+        (F.length("text") >= 100) & (F.size(words) >= 20)
+    )
+    keep = dedup.exact_dedup(filtered, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    uniq = filtered.join(keep, "doc_id", "inner")
+    pairs = dedup.minhash_lsh_pairs(uniq, "doc_id", "text")
+    drop = pairs.select(F.col("doc_b").cast("long").alias("doc_id")).distinct()
+    survivors = uniq.join(drop, "doc_id", "left_anti")
+    clean = scrub_pii(survivors, "doc_id", "text")
+    out_words = F.filter(
+        F.split(F.col("clean_text"), r"\s+"), lambda x: x != ""
+    )
+    return clean.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        F.size(out_words).cast("long").alias("n_tokens"),
+        F.length("clean_text").cast("long").alias("n_chars"),
+    )
+
+
 def _x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization, hash-verified: per-vector scale
     and the measured reconstruction error after quantize→dequantize.
@@ -3712,6 +3751,86 @@ _ZO_TERMS = " + ".join(
     for b in range(8)
     for j in range(2)
 )
+# composed pipeline: each stage reuses the idiom of its per-op oracle
+# (x01 exact dedup, x02 minhash bands, x27 scrub, x09 token count) —
+# the entry verifies the stages COMPOSE, not just run alone
+XOP_ORACLES["x57_corpus_pipeline"] = """
+    WITH filtered AS (
+      SELECT doc_id, text FROM documents
+      WHERE LENGTH(text) >= 100
+        AND len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) >= 20
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+    uniq AS (SELECT f.doc_id, f.text FROM filtered f
+             JOIN keep k ON f.doc_id = k.doc_id),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM uniq),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+      FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+    wide AS (
+      SELECT doc_id,
+             MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
+             MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
+             MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
+             MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
+             MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
+             MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
+             MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
+             MIN(CASE WHEN seed = 7 THEN minh END) AS s7
+      FROM sig GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
+      UNION ALL
+      SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
+      UNION ALL
+      SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
+      UNION ALL
+      SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    survivors AS (
+      SELECT u.doc_id, u.text FROM uniq u
+      WHERE u.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    no_urls AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                  AS BIGINT) AS n_urls,
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+      FROM survivors
+    ),
+    scrubbed AS (
+      SELECT doc_id, n_urls,
+             CAST(len(regexp_extract_all(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+             regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS clean_text
+      FROM no_urls
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_urls, n_emails,
+           CAST(len(list_filter(string_split_regex(clean_text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(clean_text) AS BIGINT) AS n_chars
+    FROM scrubbed
+"""
+
 # int8 quantization error: err_i = |v_i − floor(v_i·127/s + 0.5)·s/127|
 # recomputed from the raw floats alone (identical IEEE double ops)
 XOP_ORACLES["x55_quantize_embeddings"] = """
@@ -3799,6 +3918,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x54_zorder_key": _x_zorder,
     "x55_quantize_embeddings": _x_quantize,
     "x56_llm_extract": _x_llm_extract,
+    "x57_corpus_pipeline": _x_corpus_pipeline,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,
