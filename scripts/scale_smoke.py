@@ -154,6 +154,55 @@ def main() -> None:
             "rows": xtext.lm_score(docsN, "doc_id", "text").count()
         },
     )
+    # round-2 media ops under the same stress. Replicated docs share
+    # doc_id // N... actually synthesize_block_pngs(group_div=1) gives
+    # every replica ROW a distinct seed; the hot-bucket case is the
+    # interesting one: replicate with IDENTICAL seeds (group_div = N
+    # replica span) so every group of N images is identical — the
+    # dHash LSH bucket workload grows N× per bucket while pair output
+    # is capped by the star degradation.
+    from dbt_icebreaker_spark.xops import audio as xaudio
+    from dbt_icebreaker_spark.xops import imaging as ximaging
+
+    ids1 = docs1.select("doc_id")
+    idsN = docsN.select("doc_id")
+    timed(
+        "image_decode_1x",
+        lambda: {
+            "rows": ximaging.image_stats(
+                ximaging.synthesize_decodable_pngs(ids1, "doc_id")
+            ).filter("ok").count()
+        },
+    )
+    timed(
+        "image_decode_Nx",
+        lambda: {
+            "rows": ximaging.image_stats(
+                ximaging.synthesize_decodable_pngs(idsN, "doc_id")
+            ).filter("ok").count()
+        },
+    )
+    timed(
+        "image_neardup_Nx_hotbucket",
+        lambda: {
+            "pairs": ximaging.image_neardup_pairs(
+                ximaging.image_stats(
+                    ximaging.synthesize_block_pngs(
+                        idsN, "doc_id", group_div=REPLICAS
+                    )
+                ),
+                max_bucket_size=200,
+            ).count()
+        },
+    )
+    timed(
+        "audio_decode_Nx",
+        lambda: {
+            "rows": xaudio.audio_stats(
+                xaudio.synthesize_wav_corpus(idsN, "doc_id")
+            ).filter("ok").count()
+        },
+    )
     spark.stop()
 
 
