@@ -232,6 +232,24 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    """dbt-style generic data tests from a JSON spec file."""
+    from .materializations.data_tests import run_data_tests
+    from .session import get_spark
+    from .sources import register_dir
+
+    specs = json.loads(open(args.specs).read())
+    spark = get_spark(app_name="data-tests")
+    if args.data_dir:
+        register_dir(spark, args.data_dir)
+    results = run_data_tests(
+        spark, specs, store_failures_schema=args.store_failures_schema
+    )
+    for r in results:
+        print(json.dumps(r))
+    return 0 if all(r["status"] == "pass" for r in results) else 1
+
+
 def cmd_summary(args) -> int:
     """Latest run-session summaries (ref run_summary.py:22-257,
     cli.py:623-672)."""
@@ -360,6 +378,9 @@ spark-icebreaker — command examples (ref cli.py:96-100 'help')
                              verified Kahn-ordered table sync
   sync-status --limit 10     sync ledger tail
   verify t_a t_b             row-count compare two tables
+  test tests.json --store-failures-schema audit
+                             dbt generic data tests (unique/not_null/
+                             accepted_values/relationships)
   compact analytics.orders --target-mb 128
                              rewrite small files to ~128 MB
   cache status|refresh|clear|prune
@@ -418,6 +439,12 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)
     rp.set_defaults(fn=cmd_run)
+
+    dt = sub.add_parser("test", help="dbt-style generic data tests")
+    dt.add_argument("specs", help="JSON file: list of test specs")
+    dt.add_argument("--data-dir", default=None)
+    dt.add_argument("--store-failures-schema", default=None)
+    dt.set_defaults(fn=cmd_test)
 
     cm = sub.add_parser("compact", help="small-file compaction for a table")
     cm.add_argument("table")

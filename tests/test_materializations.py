@@ -991,3 +991,71 @@ class TestCompactionLayoutFromCatalog:
         loc = table_location(spark, "compact_t.autolayout")
         subdirs = [d for d in os.listdir(loc) if d.startswith("status=")]
         assert len(subdirs) >= 2, "partition layout lost"
+
+
+class TestDataTests:
+    """dbt generic data tests (materializations/data_tests.py):
+    unique / not_null / accepted_values / relationships with
+    store-failures audit tables."""
+
+    @staticmethod
+    def _setup(spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, "/root/testdata/sf0.001")
+
+    def test_clean_table_passes(self, spark):
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            run_data_tests,
+        )
+
+        self._setup(spark)
+        results = run_data_tests(spark, [
+            {"test": "unique", "table": "orders", "column": "o_orderkey"},
+            {"test": "not_null", "table": "orders", "column": "o_orderkey"},
+            {"test": "accepted_values", "table": "orders",
+             "column": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"test": "relationships", "table": "orders",
+             "column": "o_custkey", "to_table": "customer",
+             "to_column": "c_custkey"},
+        ])
+        assert all(r["status"] == "pass" for r in results), results
+
+    def test_violations_detected_and_stored(self, spark):
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            run_data_tests,
+        )
+
+        self._setup(spark)
+        spark.sql("CREATE DATABASE IF NOT EXISTS dt_t")
+        spark.createDataFrame(
+            [(1, "A"), (1, "B"), (2, None), (3, "Z")],
+            "id long, status string",
+        ).write.mode("overwrite").saveAsTable("dt_t.dirty")
+        results = run_data_tests(spark, [
+            {"test": "unique", "table": "dt_t.dirty", "column": "id"},
+            {"test": "not_null", "table": "dt_t.dirty", "column": "status"},
+            {"test": "accepted_values", "table": "dt_t.dirty",
+             "column": "status", "values": ["A", "B"]},
+        ], store_failures_schema="dt_t")
+        by = {r["test"]: r for r in results}
+        assert by["unique"]["status"] == "fail" and by["unique"]["failures"] == 1
+        assert by["unique"]["sample"][0]["value"] == 1
+        assert by["not_null"]["failures"] == 1
+        assert by["accepted_values"]["failures"] == 1  # 'Z'
+        assert spark.table(by["unique"]["failures_table"]).count() == 1
+
+    def test_relationships_null_children_pass(self, spark):
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            relationships_violations,
+        )
+
+        self._setup(spark)
+        spark.sql("CREATE DATABASE IF NOT EXISTS dt_t")
+        spark.createDataFrame(
+            [(1, 0), (2, None), (3, 999999)], "id long, cust long"
+        ).write.mode("overwrite").saveAsTable("dt_t.children")
+        bad = relationships_violations(
+            spark, "dt_t.children", "cust", "customer", "c_custkey"
+        ).collect()
+        assert [r.id for r in bad] == [3]  # NULL passes, orphan fails
