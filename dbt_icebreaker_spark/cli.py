@@ -246,7 +246,8 @@ def cmd_test(args) -> int:
         spark, specs, store_failures_schema=args.store_failures_schema
     )
     for r in results:
-        print(json.dumps(r))
+        # sample rows may carry dates/Decimals — stringify, don't die
+        print(json.dumps(r, default=str))
     return 0 if all(r["status"] == "pass" for r in results) else 1
 
 

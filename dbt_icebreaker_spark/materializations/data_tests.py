@@ -12,6 +12,8 @@ key-distinct projection (broadcast when small, AQE otherwise);
 `not_null`/`accepted_values` are scan-level filters that push down to
 parquet. `store_failures` mirrors dbt's flag: violating rows persist
 to an audit table for debugging instead of only being counted.
+dbt's `where` config is supported per spec (the filter composes
+before the test query, exactly like dbt's jinja-rendered subquery).
 """
 
 from __future__ import annotations
@@ -22,30 +24,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def unique_violations(spark: SparkSession, table: str, column: str) -> DataFrame:
-    """Values appearing more than once (dbt `unique`). NULLs are not
-    duplicates of each other (dbt's SQL groups them, but a NULL key
-    is not_null's job — we follow dbt's actual macro, which does
-    count NULL groups; keep parity)."""
+def _base(spark: SparkSession, table: str, where: Optional[str]) -> DataFrame:
+    df = spark.table(table)
+    return df.filter(F.expr(where)) if where else df
+
+
+def unique_violations(
+    spark: SparkSession, table: str, column: str, where: Optional[str] = None
+) -> DataFrame:
+    """Values appearing more than once (dbt `unique`). NULLs are
+    excluded — dbt's default__test_unique filters `where column is
+    not null` (NULL keys are not_null's job)."""
     return (
-        spark.table(table)
+        _base(spark, table, where)
+        .filter(F.col(column).isNotNull())
         .groupBy(F.col(column).alias("value"))
         .count()
         .filter(F.col("count") > 1)
     )
 
 
-def not_null_violations(spark: SparkSession, table: str, column: str) -> DataFrame:
-    return spark.table(table).filter(F.col(column).isNull())
+def not_null_violations(
+    spark: SparkSession, table: str, column: str, where: Optional[str] = None
+) -> DataFrame:
+    return _base(spark, table, where).filter(F.col(column).isNull())
 
 
 def accepted_values_violations(
-    spark: SparkSession, table: str, column: str, values: Sequence[Any]
+    spark: SparkSession,
+    table: str,
+    column: str,
+    values: Sequence[Any],
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Non-NULL values outside the accepted set (dbt ignores NULLs
     here — not_null is a separate test)."""
     return (
-        spark.table(table)
+        _base(spark, table, where)
         .filter(F.col(column).isNotNull() & ~F.col(column).isin(list(values)))
         .groupBy(F.col(column).alias("value"))
         .count()
@@ -58,11 +73,12 @@ def relationships_violations(
     column: str,
     to_table: str,
     to_column: str,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Child values with no matching parent (referential integrity).
     NULL children pass, per dbt. Parent side reduced to its distinct
     keys before the anti-join."""
-    child = spark.table(table).filter(F.col(column).isNotNull())
+    child = _base(spark, table, where).filter(F.col(column).isNotNull())
     parent = spark.table(to_table).select(
         F.col(to_column).alias(column)
     ).distinct()
@@ -70,11 +86,26 @@ def relationships_violations(
 
 
 _TESTS = {
-    "unique": unique_violations,
-    "not_null": not_null_violations,
-    "accepted_values": accepted_values_violations,
-    "relationships": relationships_violations,
+    "unique": (unique_violations, {"table", "column", "where"}),
+    "not_null": (not_null_violations, {"table", "column", "where"}),
+    "accepted_values": (
+        accepted_values_violations,
+        {"table", "column", "values", "where"},
+    ),
+    "relationships": (
+        relationships_violations,
+        {"table", "column", "to_table", "to_column", "where"},
+    ),
 }
+
+
+def _default_name(spec: dict) -> str:
+    parts = [spec["test"], spec["table"].replace(".", "_"), spec["column"]]
+    if spec["test"] == "relationships":
+        # two relationships tests on the same (table, column) against
+        # different parents must not collide (names key audit tables)
+        parts.append(spec["to_table"].replace(".", "_"))
+    return "_".join(parts)
 
 
 def run_data_tests(
@@ -84,25 +115,29 @@ def run_data_tests(
     limit: int = 100,
 ) -> list[dict]:
     """Run a list of test specs, dbt-style. Each spec:
-    ``{"test": "unique", "table": t, "column": c, ...kwargs}``.
-    Returns one result dict per spec (name, status pass/fail,
-    failures count, sample). With ``store_failures_schema``,
-    violating rows persist to ``<schema>.<test_name>`` (dbt's
-    --store-failures)."""
+    ``{"test": "unique", "table": t, "column": c, ...kwargs}`` plus
+    optional ``name`` and dbt's ``where``. Returns one result dict
+    per spec (name, status pass/fail, failures count, sample). With
+    ``store_failures_schema``, violating rows persist to
+    ``<schema>.<name>`` (dbt's --store-failures)."""
     results = []
     for spec in specs:
-        kind = spec["test"]
+        kind = spec.get("test")
         if kind not in _TESTS:
             raise ValueError(
                 f"unknown test {kind!r}; supported: {sorted(_TESTS)}"
             )
+        fn, allowed = _TESTS[kind]
         kwargs = {k: v for k, v in spec.items() if k not in ("test", "name")}
-        violations = _TESTS[kind](spark, **kwargs)
+        unknown = set(kwargs) - allowed
+        if unknown:
+            raise ValueError(
+                f"test {kind!r}: unsupported spec key(s) {sorted(unknown)}; "
+                f"allowed: {sorted(allowed)}"
+            )
+        violations = fn(spark, **kwargs)
         n = violations.count()
-        name = spec.get(
-            "name",
-            f"{kind}_{spec['table'].replace('.', '_')}_{spec['column']}",
-        )
+        name = spec.get("name", _default_name(spec))
         res = {
             "name": name,
             "test": kind,

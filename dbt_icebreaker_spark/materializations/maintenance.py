@@ -175,7 +175,16 @@ def compact_table(
     cat_parts, cat_bucket_cols, cat_buckets = table_layout(spark, target)
     if partition_by is None and cat_parts:
         partition_by = cat_parts if len(cat_parts) > 1 else cat_parts[0]
-    if clustered_by is None and cat_bucket_cols:
+    # adopt the catalog bucket spec only when it is COMPLETE and the
+    # caller supplied no bucket opinion at all — a half-parsed spec
+    # (cols without a count) must not abort the rewrite, and explicit
+    # caller values are never clobbered
+    if (
+        clustered_by is None
+        and buckets is None
+        and cat_bucket_cols
+        and cat_buckets
+    ):
         clustered_by, buckets = cat_bucket_cols, cat_buckets
     files_before, total_bytes = _scan_files(loc)
     target_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)

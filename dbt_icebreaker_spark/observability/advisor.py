@@ -295,6 +295,8 @@ class Advisor:
         order = kahn_order({m: deps.get(m, []) for m in models})
         out: dict[str, Advice] = {}
         for name in order:
+            if name not in models:
+                continue  # raw source dep, not an advisable model
             adv = self.advise(name, models[name], search_dirs)
             flagged = [
                 u for u in deps.get(name, [])

@@ -3496,6 +3496,11 @@ def _cce_body_alias(body: Tokens) -> str | None:
         and body[k].upper not in _CCE_BODY_STOP
     ):
         return body[k].text
+    # no explicit alias: the table NAME itself is a legal qualifier
+    # (SELECT events.x FROM events) — re-alias the subquery with the
+    # last name component so such references keep resolving
+    if body[j].kind in (WORD, QIDENT):
+        return body[j].text
     return None
 
 

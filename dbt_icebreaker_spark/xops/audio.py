@@ -128,9 +128,16 @@ def audio_stats(
                 samples, rate, ch = dec
                 x = samples.astype(np.float64)
                 n = len(samples) // ch
-                signs = np.sign(x)
-                nz = signs != 0
-                zc = int(np.count_nonzero(np.diff(signs[nz]) != 0))
+                # crossings PER CHANNEL, summed — diff over raw
+                # interleaved stereo would count an L/R sign flip at
+                # every frame as a "crossing"
+                zc = 0
+                planes = x[: n * ch].reshape(n, ch) if n else x.reshape(0, ch)
+                for c0 in range(ch):
+                    col = planes[:, c0]
+                    signs = np.sign(col)
+                    nz = signs != 0
+                    zc += int(np.count_nonzero(np.diff(signs[nz]) != 0))
                 rows.append(
                     {
                         "media_id": int(mid),

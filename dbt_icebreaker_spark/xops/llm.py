@@ -240,11 +240,19 @@ def extract_structured(
             )
         return frame.withColumn("__ok", ok)
 
-    current = attempt(df, None)
+    # each round's frame is persisted BEFORE the good/bad split: both
+    # branches must read the SAME endpoint outputs. Without the cache,
+    # filter(ok) and filter(~ok) re-invoke the endpoint independently —
+    # a nondeterministic model could judge a row valid in one branch
+    # and invalid in the other (duplicated or silently dropped rows),
+    # and even a deterministic endpoint would be paid once per branch
+    # per round. Caches are bounded: round 0 holds the full batch,
+    # later rounds only the shrinking miss set.
+    current = attempt(df, None).persist()
     for _ in range(max_retries):
         good = current.filter(F.col("__ok"))
         bad = current.filter(~F.col("__ok")).withColumnRenamed("__out", "__prev")
-        retried = attempt(bad.drop("__ok"), "__prev").drop("__prev")
+        retried = attempt(bad.drop("__ok"), "__prev").drop("__prev").persist()
         current = good.unionByName(retried)
     return current.select(
         *df.columns,

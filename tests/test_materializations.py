@@ -1059,3 +1059,68 @@ class TestDataTests:
             spark, "dt_t.children", "cust", "customer", "c_custkey"
         ).collect()
         assert [r.id for r in bad] == [3]  # NULL passes, orphan fails
+
+
+class TestDataTestsReviewFixes:
+    def test_null_keys_not_unique_violations(self, spark):
+        # dbt's default__test_unique filters NULLs out
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            unique_violations,
+        )
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS dt_t")
+        spark.createDataFrame(
+            [(None,), (None,), (1,)], "id long"
+        ).write.mode("overwrite").saveAsTable("dt_t.nulls")
+        assert unique_violations(spark, "dt_t.nulls", "id").count() == 0
+
+    def test_where_config_scopes_the_test(self, spark):
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            run_data_tests,
+        )
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS dt_t")
+        spark.createDataFrame(
+            [(1, "old"), (1, "new"), (2, "new")], "id long, era string"
+        ).write.mode("overwrite").saveAsTable("dt_t.eras")
+        res = run_data_tests(spark, [
+            {"test": "unique", "table": "dt_t.eras", "column": "id",
+             "where": "era = 'new'"},
+        ])
+        assert res[0]["status"] == "pass"
+
+    def test_unknown_spec_key_actionable(self, spark):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            run_data_tests,
+        )
+
+        with _pytest.raises(ValueError, match="severity"):
+            run_data_tests(spark, [
+                {"test": "unique", "table": "t", "column": "c",
+                 "severity": "warn"},
+            ])
+
+    def test_relationships_names_include_target(self, spark):
+        from dbt_icebreaker_spark.materializations.data_tests import (
+            _default_name,
+        )
+
+        a = _default_name({"test": "relationships", "table": "orders",
+                           "column": "o_custkey", "to_table": "customer"})
+        b = _default_name({"test": "relationships", "table": "orders",
+                           "column": "o_custkey", "to_table": "cust_archive"})
+        assert a != b
+
+
+class TestCompactionBucketAdoption:
+    def test_half_parsed_bucket_spec_does_not_abort(self, spark, monkeypatch):
+        from dbt_icebreaker_spark.materializations import maintenance
+
+        target, _ = TestCompaction()._make_fragmented(spark, "halfspec")
+        monkeypatch.setattr(
+            maintenance, "table_layout", lambda s, t: ([], ["id"], None)
+        )
+        stats = maintenance.compact_table(spark, target, target_file_mb=128)
+        assert stats["action"] == "compacted"  # no ValueError

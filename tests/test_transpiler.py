@@ -1653,3 +1653,13 @@ class TestCCEReviewFixes:
             "AS ev FROM t1 JOIN t2 ON id = id2"
         )
         assert "__ccev0" in out
+
+
+class TestCCETableNameQualifier:
+    def test_table_name_qualified_single_table(self):
+        out = t.to_spark(
+            "SELECT events.x, CONDITIONAL_CHANGE_EVENT(events.s) "
+            "OVER (ORDER BY events.ts) AS ev FROM events"
+        )
+        # subquery re-aliased with the table name
+        assert out.rstrip().endswith(") events") or ") events " in out

@@ -1982,3 +1982,54 @@ class TestExtractStructuredStrict:
             assert all(r.extracted.score is None for r in rows)
         finally:
             llm.set_endpoint(None)
+
+
+class TestAudioStereoDSP:
+    def test_constant_stereo_has_zero_crossings(self, spark):
+        import numpy as np
+
+        from dbt_icebreaker_spark.xops import audio
+
+        inter = np.empty(400, dtype=np.int16)
+        inter[0::2] = 300   # L constant +300
+        inter[1::2] = -300  # R constant -300
+        df = spark.createDataFrame(
+            [(1, bytearray(audio.encode_wav(inter, 8000, channels=2)))],
+            "media_id long, payload binary",
+        )
+        r = audio.audio_stats(df).collect()[0]
+        assert r.zero_crossings == 0  # interleaved diff would say 399
+        assert r.rms == 300.0 and r.peak == 300
+
+
+class TestExtractStructuredDeterminism:
+    def test_nondeterministic_endpoint_no_row_loss(self, spark):
+        import itertools
+
+        from dbt_icebreaker_spark.sources import read_parquet
+        from dbt_icebreaker_spark.xops import llm
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).limit(10).coalesce(1)
+
+        counter = itertools.count()
+
+        def flaky(task, s):
+            # alternates valid/invalid across CALLS — without the
+            # persist both filter branches would see different answers
+            return s.map(
+                lambda _t: '{"topic": "x"}' if next(counter) % 2 == 0
+                else "garbage"
+            )
+
+        llm.set_endpoint(flaky)
+        try:
+            out = llm.extract_structured(
+                docs.select("doc_id", "text"), "text", {"topic": "string"}
+            )
+            rows = out.collect()
+            assert len(rows) == 10  # nothing dropped, nothing duplicated
+            assert len({r.doc_id for r in rows}) == 10
+        finally:
+            llm.set_endpoint(None)
