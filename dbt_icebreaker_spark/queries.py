@@ -1594,13 +1594,18 @@ def _x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate — no oracle (rows-only check by design)
+    """Hyperplane-LSH top-k, SQL-oracled (upgraded from run-only in
+    round 2): the planes are seed-derived literals baked into the
+    plan, so the oracle replays the exact bucketing from the same
+    floats; the re-rank orders on cosine ROUNDED to 6 decimals
+    (round_to) so summation-order noise (~1e-15 between engines)
+    cannot flip a rank."""
     from .xops import similarity
     register_dir(spark, sf_dir)
     emb = spark.table("embeddings")
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_planes=6,
+        k=5, n_planes=6, round_to=6,
     )
 
 
@@ -3751,6 +3756,58 @@ _ZO_TERMS = " + ".join(
     for b in range(8)
     for j in range(2)
 )
+# hyperplane-LSH oracle: the SAME plane literals the Spark op bakes
+# into its plan (numpy default_rng(42), 6×64), replayed in SQL —
+# bucket bits from per-plane dots, bucket-join, cosine re-rank
+# rounded to 6dp on both sides so ranking is engine-stable
+def _lsh_plane_values() -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((6, 64))
+    rows = []
+    for p in range(6):
+        for d in range(64):
+            rows.append(f"({p}, {d + 1}, {planes[p, d]!r})")
+    return ", ".join(rows)
+
+
+XOP_ORACLES["x11_lsh_topk"] = f"""
+    WITH planes(p, d, w) AS (VALUES {_lsh_plane_values()}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS bucket
+      FROM (
+        SELECT cv.vec_id, pl.p, SUM(cv.v[pl.d] * pl.w) AS dot
+        FROM c cv JOIN planes pl ON TRUE
+        GROUP BY 1, 2
+      )
+      GROUP BY vec_id
+    ),
+    qb AS (SELECT * FROM cb WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qc.v, nc.v), 6) AS cosine
+      FROM qb q
+      JOIN cb n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+      JOIN c qc ON qc.vec_id = q.vec_id
+      JOIN c nc ON nc.vec_id = n.vec_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cosine,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+"""
+
+
 # composed pipeline: each stage reuses the idiom of its per-op oracle
 # (x01 exact dedup, x02 minhash bands, x27 scrub, x09 token count) —
 # the entry verifies the stages COMPOSE, not just run alone

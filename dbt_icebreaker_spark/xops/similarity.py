@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,10 +86,12 @@ def hyperplane_buckets(
     """Random-hyperplane LSH: bucket = sign-bit string of dot products
     with n_planes fixed pseudo-random hyperplanes.
 
-    Planes are derived deterministically from (seed, plane, coord) via
-    a splitmix-style integer mix — no RNG state, so executors
-    regenerate them identically and the operator stays reproducible
-    across runs/retries (needed for incremental re-indexing).
+    Planes are generated ONCE on the driver from the seed and baked
+    into the plan as literals — executors never regenerate them, so
+    the operator is reproducible across runs/retries (needed for
+    incremental re-indexing), and any engine can replay the exact
+    bucketing from the same (seed, n_planes, dim) literals (the x11
+    oracle does).
     """
     import numpy as np
 
@@ -127,11 +131,18 @@ def lsh_topk(
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    round_to: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the
     query, then exact cosine re-rank. Recall < 1.0 by construction —
     this is the 1000-executor path where brute force is infeasible;
-    multi-probe (flip one bit) widens recall."""
+    multi-probe (flip one bit) widens recall.
+
+    ``round_to`` ranks on the cosine ROUNDED to that many decimals
+    (ties then break on neighbor_id): summation order differs across
+    engines at ~1e-15, so rounding makes the ranking reproducible
+    engine-to-engine — which is what lets the corpus entry carry a
+    DuckDB oracle for an approximate operator."""
     cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim, seed)
     qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim, seed)
     qb = qb.select(
@@ -149,10 +160,13 @@ def lsh_topk(
     )
     qnorm = F.sqrt(F.aggregate(F.col("qvec"), F.lit(0.0), lambda a, x: a + x * x))
     cnorm = F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
+    cos = dot / (qnorm * cnorm)
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     scored = (
         cb.join(F.broadcast(qb), ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (qnorm * cnorm)).alias("cosine"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
