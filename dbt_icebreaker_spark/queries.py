@@ -3756,6 +3756,25 @@ _ZO_TERMS = " + ".join(
     for b in range(8)
     for j in range(2)
 )
+# the LLM stub endpoint is deterministic md5 arithmetic, so even the
+# endpoint-stubbed sentiment column is SQL-replicable — this verifies
+# the iterator pandas-UDF batching path end to end (payload routing,
+# per-batch invocation, null handling), not a model
+XOP_ORACLES["x13_llm_sentiment"] = """
+    WITH h AS (
+      SELECT doc_id, md5('sentiment:' || text) AS hx
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(ROUND(
+             (SELECT SUM((strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                         * POWER(16, 8 - i))
+              FROM range(1, 9) r(i))
+             / 4294967295.0 * 2 - 1, 2) AS VARCHAR) AS sentiment
+    FROM h
+"""
+
+
 # hyperplane-LSH oracle: the SAME plane literals the Spark op bakes
 # into its plan (numpy default_rng(42), 6×64), replayed in SQL —
 # bucket bits from per-plane dots, bucket-join, cosine re-rank
