@@ -25,12 +25,19 @@ these are designed Spark-first for 100 TB scale:
 - profile: per-stratum numeric distribution profiling
 - skew: salted joins + hot-key diagnostics
 - multimodal: binary columns, media header probing, decode plumbing
-- llm: CORTEX-shaped model-call columns (pluggable endpoint, stubbed)
+- imaging: REAL PNG codec (pure numpy/zlib) — decoded pixel stats,
+  dHash perceptual near-dup via hamming-LSH with hot-bucket bounds
+- audio: REAL PCM WAV codec — RMS/peak/crossings DSP from actual
+  samples, sample-aligned segmentation re-emitting valid WAVs
+- llm: CORTEX-shaped model-call columns (pluggable endpoint,
+  stubbed), schema-constrained extraction with repair-retry
 """
 
 from . import (
+    audio,
     dataset,
     dedup,
+    imaging,
     llm,
     multimodal,
     profile,
@@ -42,8 +49,10 @@ from . import (
 )
 
 __all__ = [
+    "audio",
     "dataset",
     "dedup",
+    "imaging",
     "llm",
     "multimodal",
     "profile",
