@@ -69,15 +69,32 @@ class IcebreakerEngine:
     def execute(self, sql: str) -> DataFrame:
         """Transpile Snowflake SQL and run it. Multi-statement scripts
         run per statement (T17); the last statement's result returns.
+        Path-based COPY INTO executes natively (schema-aligned read +
+        append — the reference can only route these to the cloud).
         Analysis failures (typo'd column, unknown function/table, …)
         raise actionable ExecutionErrors instead of raw
         AnalysisExceptions (ref connections.py:352-371)."""
+        from .materializations.copy_into import parse_copy_into, run_copy_into
+        from .transpiler.core import render, split_statements, tokenize
+
         result: DataFrame | None = None
-        for stmt in self.transpiler.to_spark_statements(sql):
-            try:
-                result = self.spark.sql(stmt)
-            except Exception as e:  # classified or re-raised unchanged
-                raise_classified(e, stmt)
+        for stmt_tokens in split_statements(tokenize(sql)):
+            raw = render(stmt_tokens).strip()
+            if not raw:
+                continue
+            spec = parse_copy_into(raw)
+            if spec is not None:
+                stats = run_copy_into(self.spark, spec)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_loaded"], stats["format"])],
+                    "table string, rows_loaded long, format string",
+                )
+                continue
+            for stmt in self.transpiler.to_spark_statements(raw):
+                try:
+                    result = self.spark.sql(stmt)
+                except Exception as e:  # classified or re-raised unchanged
+                    raise_classified(e, stmt)
         if result is None:
             raise ValueError("empty SQL")
         return result

@@ -2758,8 +2758,10 @@ def detect_blacklisted_functions(sql: str) -> list[str]:
 
 _SNOWFLAKE_ONLY_STATEMENTS = {
     # statement shape → what to use on Spark instead
-    ("COPY", "INTO"): "spark.read.<fmt>(...).write / df.write.<fmt>(...) "
-                      "(or sources.SourceCache for warehouse ingest)",
+    ("COPY", "INTO"): "IcebreakerEngine.execute, which runs path-based "
+                      "COPY INTO natively (COPY INTO t FROM '/path' "
+                      "FILE_FORMAT = (TYPE = CSV|PARQUET|JSON)); stage "
+                      "forms need direct paths — Spark has no stages",
     ("CREATE", "STAGE"): "direct paths with spark.read/write — Spark needs "
                          "no named stage objects",
     ("CREATE", "STREAM"): "Structured Streaming (streaming.stream_"

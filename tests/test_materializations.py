@@ -1124,3 +1124,76 @@ class TestCompactionBucketAdoption:
         )
         stats = maintenance.compact_table(spark, target, target_file_mb=128)
         assert stats["action"] == "compacted"  # no ValueError
+
+
+class TestCopyInto:
+    """Path-based COPY INTO executes natively through
+    IcebreakerEngine.execute (the reference can only route COPY INTO
+    to the cloud); stage forms and exotic options refuse actionably."""
+
+    def test_csv_positional_load(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        p = tmp_path / "in.csv"
+        p.write_text("id|name\n1|alpha\n2|beta\n")
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("DROP TABLE IF EXISTS ci_t.loaded")
+        spark.sql("CREATE TABLE ci_t.loaded (id BIGINT, name STRING)")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        out = eng.execute(
+            f"COPY INTO ci_t.loaded FROM '{p}' "
+            "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1 "
+            "FIELD_DELIMITER = '|')"
+        ).collect()[0]
+        assert out.rows_loaded == 2
+        rows = {r.id: r.name for r in spark.table("ci_t.loaded").collect()}
+        assert rows == {1: "alpha", 2: "beta"}
+
+    def test_parquet_by_name_with_cast(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        src = str(tmp_path / "src_pq")
+        read_parquet(spark, "/root/testdata/sf0.001/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        ).write.parquet(src)
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("DROP TABLE IF EXISTS ci_t.orders_slim")
+        spark.sql(
+            "CREATE TABLE ci_t.orders_slim (o_orderstatus STRING, o_orderkey BIGINT)"
+        )
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        out = eng.execute(
+            f"COPY INTO ci_t.orders_slim FROM '{src}' "
+            "FILE_FORMAT = (TYPE = PARQUET)"
+        ).collect()[0]
+        assert out.rows_loaded > 0
+        # by-NAME mapping despite reversed column order in the target
+        r = spark.table("ci_t.orders_slim").filter("o_orderkey = 1").collect()[0]
+        assert isinstance(r.o_orderstatus, str)
+
+    def test_stage_form_refuses(self, spark):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        with _pytest.raises(TranspileError, match="stage"):
+            eng.execute("COPY INTO t FROM @my_stage")
+        with _pytest.raises(TranspileError, match="ON_ERROR"):
+            eng.execute(
+                "COPY INTO t FROM '/x' FILE_FORMAT = (TYPE = CSV) "
+                "ON_ERROR = 'CONTINUE'"
+            )
+
+    def test_missing_target_actionable(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        p = tmp_path / "z.csv"
+        p.write_text("1\n")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        with _pytest.raises(ValueError, match="does not exist"):
+            eng.execute(f"COPY INTO ci_t.nope_missing FROM '{p}'")

@@ -458,7 +458,9 @@ class TestDiv0AndParts:
 class TestSnowflakeOnlyStatements:
     def test_copy_into_actionable(self):
         ok, err = t.can_transpile("COPY INTO t FROM @stage/file.csv")
-        assert not ok and "COPY INTO" in err and "spark.read" in err
+        # round 2: path-based COPY INTO executes via IcebreakerEngine —
+        # the refusal now points there
+        assert not ok and "COPY INTO" in err and "IcebreakerEngine" in err
 
     def test_create_stream_actionable(self):
         ok, err = t.can_transpile(
