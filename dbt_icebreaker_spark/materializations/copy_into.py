@@ -58,11 +58,27 @@ class CopySpec:
     pattern: Optional[str] = None
 
 
+_SUPPORTED_KEYS = frozenset(
+    ("TYPE", "SKIP_HEADER", "FIELD_DELIMITER",
+     "FIELD_OPTIONALLY_ENCLOSED_BY", "PATTERN", "FILE_FORMAT")
+)
+_COMMENT_PREFIX_RE = re.compile(r"^\s*(--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
+
+
+def _strip_leading_comments(sql: str) -> str:
+    while True:
+        m = _COMMENT_PREFIX_RE.match(sql)
+        if not m:
+            return sql.lstrip()
+        sql = sql[m.end():]
+
+
 def parse_copy_into(sql: str) -> Optional[CopySpec]:
     """CopySpec for a path-based COPY INTO; None when the statement is
-    not COPY INTO; TranspileError for stage-based / unsupported
-    clauses."""
-    m = _COPY_RE.match(sql.strip().rstrip(";"))
+    not COPY INTO; TranspileError for stage-based forms and for ANY
+    option this loader doesn't implement — silent option drops load
+    wrong data (e.g. an ignored TYPE would parse parquet as CSV)."""
+    m = _COPY_RE.match(_strip_leading_comments(sql).rstrip(";"))
     if not m:
         return None
     from ..transpiler.core import TranspileError
@@ -81,6 +97,18 @@ def parse_copy_into(sql: str) -> Optional[CopySpec]:
                 f"COPY INTO option {kw} is not supported in the local "
                 "engine — load with explicit spark.read options instead"
             )
+    # every KEY = in the statement must be one we implement: an
+    # ignored FORMAT_NAME/NULL_IF/COMPRESSION silently changes what
+    # lands in the table
+    for key in re.findall(r"\b(\w+)\s*=", rest):
+        if key.upper() not in _SUPPORTED_KEYS:
+            raise TranspileError(
+                f"COPY INTO option {key.upper()} is not implemented by "
+                "the local loader (supported: TYPE, SKIP_HEADER=1, "
+                "FIELD_DELIMITER, FIELD_OPTIONALLY_ENCLOSED_BY, "
+                "PATTERN) — load with explicit spark.read options "
+                "instead"
+            )
     fmt = "csv"
     tm = _TYPE_RE.search(rest)
     if tm:
@@ -93,7 +121,13 @@ def parse_copy_into(sql: str) -> Optional[CopySpec]:
     options: dict = {}
     if fmt == "csv":
         sk = _SKIP_RE.search(rest)
-        options["header"] = "true" if (sk and int(sk.group(1)) >= 1) else "false"
+        if sk and int(sk.group(1)) > 1:
+            raise TranspileError(
+                f"COPY INTO SKIP_HEADER = {sk.group(1)}: Spark skips at "
+                "most one header line per file — strip the extra "
+                "preamble lines upstream"
+            )
+        options["header"] = "true" if (sk and int(sk.group(1)) == 1) else "false"
         dm = _DELIM_RE.search(rest)
         if dm:
             options["sep"] = dm.group(1)
@@ -110,6 +144,28 @@ def parse_copy_into(sql: str) -> Optional[CopySpec]:
     )
 
 
+def _pattern_paths(root: str, pattern: str) -> list[str]:
+    """Snowflake PATTERN is a REGEX over the path relative to the
+    location (not a filename glob — pathGlobFilter would silently
+    select the wrong files). Resolve matching files driver-side; a
+    local/posix listing here, the FileSystem API on object stores."""
+    import os
+
+    rx = re.compile(pattern)
+    out = []
+    if os.path.isfile(root):
+        return [root] if rx.search(os.path.basename(root)) else []
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(r, f)
+            rel = os.path.relpath(full, root)
+            if rx.search(rel):
+                out.append(full)
+    return sorted(out)
+
+
 def run_copy_into(spark: SparkSession, spec: CopySpec) -> dict:
     """Execute a parsed COPY INTO: schema-aligned read + append."""
     if not spark.catalog.tableExists(spec.table):
@@ -119,27 +175,40 @@ def run_copy_into(spark: SparkSession, spec: CopySpec) -> dict:
         )
     target_schema = spark.table(spec.table).schema
     reader = spark.read.options(**spec.options)
+    src: str | list[str] = spec.path
     if spec.pattern:
-        reader = reader.option("pathGlobFilter", spec.pattern)
+        src = _pattern_paths(spec.path, spec.pattern)
+        if not src:
+            # Snowflake loads nothing when no file matches — not an error
+            return {"table": spec.table, "rows_loaded": 0, "format": spec.fmt}
     if spec.fmt == "csv":
         # positional mapping: parse WITH the target schema so types
         # cast during the read (Snowflake CSV semantics)
-        df = reader.schema(target_schema).csv(spec.path)
+        df = reader.schema(target_schema).csv(src)
     elif spec.fmt == "json":
-        df = reader.json(spec.path)
+        df = reader.json(src)
     else:
-        df = reader.parquet(spec.path)
+        df = reader.parquet(*src) if isinstance(src, list) else reader.parquet(src)
     if spec.fmt in ("parquet", "json"):
-        # by-name mapping with casts to the target's declared types
+        # by-name mapping with casts to the target's declared types —
+        # case-insensitive, matching Snowflake (and Spark's default
+        # resolver)
+        by_lower = {c.lower(): c for c in df.columns}
         cols = []
         for f_ in target_schema.fields:
-            if f_.name not in df.columns:
+            src_name = by_lower.get(f_.name.lower())
+            if src_name is None:
                 raise ValueError(
                     f"COPY INTO: source is missing target column "
                     f"{f_.name!r} (by-name mapping for {spec.fmt})"
                 )
-            cols.append(df[f_.name].cast(f_.dataType).alias(f_.name))
+            cols.append(df[src_name].cast(f_.dataType).alias(f_.name))
         df = df.select(*cols)
-    n = df.count()
-    df.write.mode("append").insertInto(spec.table)
+    # one source scan: persist, count the cached frame, append from it
+    df = df.persist()
+    try:
+        n = df.count()
+        df.write.mode("append").insertInto(spec.table)
+    finally:
+        df.unpersist()
     return {"table": spec.table, "rows_loaded": n, "format": spec.fmt}

@@ -1753,7 +1753,8 @@ def _x_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x_llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stub endpoint, deterministic but pandas-UDF — rows-only check
+    # stub endpoint, deterministic md5 arithmetic — SQL-oracled since
+    # round 2 (the oracle verifies the pandas-UDF batching path)
     from .xops import llm
     register_dir(spark, sf_dir)
     docs = spark.table("documents").filter(F.col("doc_id") < 50)
@@ -2366,7 +2367,7 @@ def _x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-constrained extraction with validation + repair-retry
     (llm.extract_structured). Endpoint is the documented stub (no
-    model in the container) → rows-only check by design, like x13;
+    model in the container) → rows-only check by design;
     the validation/retry/quarantine plumbing is the tested part."""
     from .xops import llm
 
@@ -3165,9 +3166,8 @@ XOP_ORACLES: dict[str, str | None] = {
                MD5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bag_md5
         FROM n
     """,
-    "x11_lsh_topk": None,        # approximate by design
+    # x11/x13 oracles assigned below (upgraded from run-only in round 2)
     "x12_multimodal_features": None,  # pandas-UDF plumbing, stub decode
-    "x13_llm_sentiment": None,   # pandas-UDF stub endpoint
     "x14_dedup_clusters": f"""
         WITH RECURSIVE {_SHINGLES_3},
         hashed AS (
@@ -3786,7 +3786,9 @@ def _lsh_plane_values() -> str:
     rows = []
     for p in range(6):
         for d in range(64):
-            rows.append(f"({p}, {d + 1}, {planes[p, d]!r})")
+            # float() first: numpy>=2 reprs np.float64 as
+            # 'np.float64(x)', which is not SQL
+            rows.append(f"({p}, {d + 1}, {float(planes[p, d])!r})")
     return ", ".join(rows)
 
 

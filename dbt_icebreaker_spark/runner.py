@@ -84,7 +84,12 @@ class IcebreakerEngine:
                 continue
             spec = parse_copy_into(raw)
             if spec is not None:
-                stats = run_copy_into(self.spark, spec)
+                try:
+                    stats = run_copy_into(self.spark, spec)
+                except ValueError:
+                    raise  # already actionable
+                except Exception as e:  # same error surface as spark.sql
+                    raise_classified(e, raw)
                 result = self.spark.createDataFrame(
                     [(stats["table"], stats["rows_loaded"], stats["format"])],
                     "table string, rows_loaded long, format string",

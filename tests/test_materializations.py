@@ -1197,3 +1197,77 @@ class TestCopyInto:
         eng = IcebreakerEngine(spark, schema="ci_t")
         with _pytest.raises(ValueError, match="does not exist"):
             eng.execute(f"COPY INTO ci_t.nope_missing FROM '{p}'")
+
+
+class TestCopyIntoReviewFixes:
+    def test_leading_comment_still_parses(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        p = tmp_path / "c.csv"
+        p.write_text("5|five\n")
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("DROP TABLE IF EXISTS ci_t.cmt")
+        spark.sql("CREATE TABLE ci_t.cmt (id BIGINT, name STRING)")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        out = eng.execute(
+            f"-- backfill\nCOPY INTO ci_t.cmt FROM '{p}' "
+            "FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = '|')"
+        ).collect()[0]
+        assert out.rows_loaded == 1
+
+    def test_unknown_option_refuses(self, spark):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        with _pytest.raises(TranspileError, match="FORMAT_NAME"):
+            eng.execute(
+                "COPY INTO t FROM '/x' FILE_FORMAT = (FORMAT_NAME = f)"
+            )
+        with _pytest.raises(TranspileError, match="SKIP_HEADER"):
+            eng.execute(
+                "COPY INTO t FROM '/x' FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 2)"
+            )
+
+    def test_pattern_is_a_regex_over_relative_path(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        d = tmp_path / "files"
+        d.mkdir()
+        (d / "part-0.csv").write_text("1|a\n")
+        (d / "part-1.csv").write_text("2|b\n")
+        (d / "skip.txt").write_text("9|z\n")
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("DROP TABLE IF EXISTS ci_t.pat")
+        spark.sql("CREATE TABLE ci_t.pat (id BIGINT, name STRING)")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        out = eng.execute(
+            f"COPY INTO ci_t.pat FROM '{d}' "
+            "FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = '|') "
+            "PATTERN = 'part-.*[.]csv'"   # Snowflake regex, not a glob
+        ).collect()[0]
+        assert out.rows_loaded == 2
+        # no matches → load nothing, Snowflake semantics, not an error
+        out2 = eng.execute(
+            f"COPY INTO ci_t.pat FROM '{d}' "
+            "FILE_FORMAT = (TYPE = CSV) PATTERN = 'nomatch-.*'"
+        ).collect()[0]
+        assert out2.rows_loaded == 0
+
+    def test_by_name_mapping_case_insensitive(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        src = str(tmp_path / "upper_pq")
+        spark.createDataFrame(
+            [(1, "x")], "O_ORDERKEY long, O_STATUS string"
+        ).write.parquet(src)
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("DROP TABLE IF EXISTS ci_t.lower_t")
+        spark.sql("CREATE TABLE ci_t.lower_t (o_orderkey BIGINT, o_status STRING)")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        out = eng.execute(
+            f"COPY INTO ci_t.lower_t FROM '{src}' FILE_FORMAT = (TYPE = PARQUET)"
+        ).collect()[0]
+        assert out.rows_loaded == 1
