@@ -447,3 +447,24 @@ class TestMediaOpPlans:
         # no join operator at all: pair generation is window + group +
         # explode over band buckets
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestRound2EntryPlans:
+    def test_corpus_pipeline_no_cartesian_no_python_udf(self, spark, qs):
+        df = qs["x57_corpus_pipeline"](spark, SF_DIR)
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # scrub/filters stay JVM-side
+
+    def test_zorder_single_range_exchange(self, spark):
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            cluster_by_zorder,
+        )
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        df = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        plan = _executed_plan(cluster_by_zorder(df, ["o_custkey", "o_totalprice"], 4))
+        # exactly one range exchange, keyed on the z-value (formatted
+        # explain labels the node 'Exchange' with rangepartitioning in
+        # its Arguments detail)
+        assert len(re.findall(r"Arguments: rangepartitioning\(__zvalue", plan)) == 1
