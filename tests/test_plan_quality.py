@@ -467,4 +467,8 @@ class TestRound2EntryPlans:
         # exactly one range exchange, keyed on the z-value (formatted
         # explain labels the node 'Exchange' with rangepartitioning in
         # its Arguments detail)
-        assert len(re.findall(r"Arguments: rangepartitioning\(__zvalue", plan)) == 1
+        # (the detail section repeats once when AQE prints both the
+        # final and initial plans)
+        n_range = len(re.findall(r"Arguments: rangepartitioning\(__zvalue", plan))
+        assert 1 <= n_range <= 2, plan
+        assert "hashpartitioning(__zvalue" not in plan
