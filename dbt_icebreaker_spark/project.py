@@ -1,4 +1,4 @@
-"""Multi-model project runner — the dbt-shaped orchestration层.
+"""Multi-model project runner — the dbt-shaped orchestration layer.
 
 The reference rides dbt's DAG (materializations invoked per model on
 `threads` workers, default 4 — ref connections.py:75) and reorders
@@ -43,6 +43,92 @@ class ModelDef:
     strategy: str = "timestamp"
     updated_at: Optional[str] = "updated_at"
     check_cols: Optional[Sequence[str]] = None
+
+
+_REF_RE = None  # compiled lazily in load_project (keeps import light)
+
+
+def load_project(
+    models_dir: str, schema: str = "analytics"
+) -> list[ModelDef]:
+    """Load a dbt-style models directory: every ``*.sql`` file is a
+    model named by its filename, configured by a leading
+    ``{{ config(...) }}`` block and wired by ``{{ ref('name') }}``
+    calls — the exact file shape a dbt-icebreaker project already
+    has, so switching engines means pointing at the same directory.
+
+    Jinja surface implemented (the part dbt projects actually put in
+    model FILES): ``config(materialized=..., unique_key=...,
+    incremental_strategy=..., partition_by=..., on_schema_change=...,
+    strategy=..., updated_at=..., check_cols=[...])`` and ``ref``.
+    ``ref('x')`` resolves to ``<schema>.x`` (where run_model
+    materializes) and records the dependency edge for Kahn ordering.
+    Anything else jinja-shaped left in the SQL raises — silent
+    partial templating would run a broken query.
+    """
+    import ast as _ast
+    import glob as _glob
+    import re as _re
+
+    ref_re = _re.compile(r"\{\{\s*ref\(\s*['\"](\w+)['\"]\s*\)\s*\}\}")
+    config_re = _re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", _re.DOTALL)
+    jinja_re = _re.compile(r"\{\{.*?\}\}", _re.DOTALL)
+    _CONFIG_KEYS = {
+        "materialized": "materialization",
+        "unique_key": "unique_key",
+        "incremental_strategy": "incremental_strategy",
+        "on_schema_change": "on_schema_change",
+        "partition_by": "partition_by",
+        "strategy": "strategy",
+        "updated_at": "updated_at",
+        "check_cols": "check_cols",
+    }
+
+    models: list[ModelDef] = []
+    names = set()
+    for path in sorted(_glob.glob(os.path.join(models_dir, "*.sql"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        names.add(name)
+    for path in sorted(_glob.glob(os.path.join(models_dir, "*.sql"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        sql = open(path).read()
+        kwargs: dict = {}
+        cm = config_re.search(sql)
+        if cm:
+            # parse config(...) as python keyword args — dbt's config
+            # values are literals (strings/numbers/lists)
+            try:
+                call = _ast.parse(f"f({cm.group(1)})", mode="eval").body
+                for kw in call.keywords:
+                    if kw.arg not in _CONFIG_KEYS:
+                        raise ValueError(
+                            f"model {name}: unsupported config key "
+                            f"{kw.arg!r} (supported: "
+                            f"{sorted(_CONFIG_KEYS)})"
+                        )
+                    kwargs[_CONFIG_KEYS[kw.arg]] = _ast.literal_eval(kw.value)
+            except SyntaxError as e:
+                raise ValueError(
+                    f"model {name}: unparseable config(...): {e}"
+                ) from e
+            sql = config_re.sub("", sql, count=1)
+        deps = sorted({m for m in ref_re.findall(sql) if m in names})
+        unknown_refs = sorted({m for m in ref_re.findall(sql)} - names)
+        if unknown_refs:
+            raise ValueError(
+                f"model {name}: ref() to unknown model(s) {unknown_refs} "
+                f"(files present: {sorted(names)})"
+            )
+        sql = ref_re.sub(lambda m: f"{schema}.{m.group(1)}", sql)
+        leftover = jinja_re.search(sql)
+        if leftover:
+            raise ValueError(
+                f"model {name}: unsupported jinja {leftover.group(0)[:60]!r} "
+                "— only config(...) and ref('name') are templated here"
+            )
+        models.append(ModelDef(name=name, sql=sql.strip(),
+                               depends_on=deps, **kwargs))
+    return models
 
 
 class ProjectRunner:

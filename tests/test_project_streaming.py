@@ -474,3 +474,77 @@ class TestComposedStreamingPipeline:
         ).select("window_start", "c_mktsegment", "n")
         assert got.count() > 0
         assert got.exceptAll(want).count() == 0
+
+
+class TestLoadProject:
+    """dbt-style file loader (project.load_project): *.sql files with
+    {{ config(...) }} + {{ ref('name') }} → ModelDefs with dependency
+    edges, run end-to-end through ProjectRunner."""
+
+    def _write_models(self, d):
+        # table, not view: a persistent view cannot reference the
+        # temp views register_dir creates (Spark INVALID_TEMP_OBJ_REFERENCE)
+        (d / "stg_orders.sql").write_text(
+            "{{ config(materialized='table') }}\n"
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders\n"
+        )
+        (d / "daily_rev.sql").write_text(
+            "{{ config(materialized='incremental', unique_key='o_custkey',\n"
+            "          incremental_strategy='merge') }}\n"
+            "SELECT o_custkey, SUM(o_totalprice) AS rev\n"
+            "FROM {{ ref('stg_orders') }} GROUP BY o_custkey\n"
+        )
+
+    def test_load_and_run(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.project import ProjectRunner, load_project
+        from dbt_icebreaker_spark.sources import register_dir
+
+        d = tmp_path / "models"
+        d.mkdir()
+        self._write_models(d)
+        register_dir(spark, SF)
+        models = load_project(str(d), schema="proj_demo")
+        by = {m.name: m for m in models}
+        assert by["stg_orders"].materialization == "table"
+        assert by["daily_rev"].depends_on == ["stg_orders"]
+        assert "proj_demo.stg_orders" in by["daily_rev"].sql
+        eng = IcebreakerEngine(spark, schema="proj_demo")
+        session = ProjectRunner(eng, state_dir=str(tmp_path / "state")).run(models)
+        assert session["failed"] == []
+        assert spark.table("proj_demo.daily_rev").count() > 0
+
+    def test_unknown_ref_actionable(self, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m2"
+        d.mkdir()
+        (d / "a.sql").write_text("SELECT * FROM {{ ref('missing') }}")
+        with _pytest.raises(ValueError, match="missing"):
+            load_project(str(d))
+
+    def test_leftover_jinja_actionable(self, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m3"
+        d.mkdir()
+        (d / "a.sql").write_text("SELECT {{ var('x') }} AS v FROM t")
+        with _pytest.raises(ValueError, match="jinja"):
+            load_project(str(d))
+
+    def test_unknown_config_key_actionable(self, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m4"
+        d.mkdir()
+        (d / "a.sql").write_text(
+            "{{ config(materialized='table', severity='warn') }}\nSELECT 1 AS one"
+        )
+        with _pytest.raises(ValueError, match="severity"):
+            load_project(str(d))
