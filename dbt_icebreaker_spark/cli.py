@@ -232,6 +232,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_run_project(args) -> int:
+    """Run a dbt-style models directory (load_project + ProjectRunner)."""
+    from .project import ProjectRunner, load_project
+    from .runner import IcebreakerEngine
+    from .session import get_spark
+    from .sources import register_dir
+
+    spark = get_spark(app_name="run-project")
+    if args.data_dir:
+        register_dir(spark, args.data_dir)
+    models = load_project(args.models_dir, schema=args.schema)
+    engine = IcebreakerEngine(spark, schema=args.schema, dev_mode=args.dev)
+    session = ProjectRunner(engine, threads=args.threads).run(
+        models, full_refresh=args.full_refresh
+    )
+    print(json.dumps(session, default=str))
+    return 0 if not session.get("failed") else 1
+
+
 def cmd_test(args) -> int:
     """dbt-style generic data tests from a JSON spec file."""
     from .materializations.data_tests import run_data_tests
@@ -375,6 +394,9 @@ spark-icebreaker — command examples (ref cli.py:96-100 'help')
   run daily_rev q.sql --materialization incremental \\
       --unique-key order_id --strategy merge
   run m q.sql --dev          LIMIT-sampled dev run
+  run-project ./models --schema analytics --data-dir /data/sf0.1
+                             run a dbt-style models directory
+                             ({{ config }} + {{ ref }}, Kahn-ordered)
   sync orders lineitem:orders --target-prefix synced_
                              verified Kahn-ordered table sync
   sync-status --limit 10     sync ledger tail
@@ -440,6 +462,15 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)
     rp.set_defaults(fn=cmd_run)
+
+    pj = sub.add_parser("run-project", help="run a dbt-style models directory")
+    pj.add_argument("models_dir")
+    pj.add_argument("--schema", default="analytics")
+    pj.add_argument("--data-dir", default=None)
+    pj.add_argument("--threads", type=int, default=4)
+    pj.add_argument("--full-refresh", action="store_true")
+    pj.add_argument("--dev", action="store_true")
+    pj.set_defaults(fn=cmd_run_project)
 
     dt = sub.add_parser("test", help="dbt-style generic data tests")
     dt.add_argument("specs", help="JSON file: list of test specs")

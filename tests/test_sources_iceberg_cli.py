@@ -226,3 +226,31 @@ class TestCliHelp:
                     "run", "sync", "sync-status", "verify", "cache",
                     "update-stats", "summary", "version"):
             assert cmd in out
+
+
+class TestCliRunProject:
+    def test_run_project_end_to_end(self, spark, tmp_path, monkeypatch):
+        import json as _json
+
+        from dbt_icebreaker_spark import cli
+
+        d = tmp_path / "models"
+        d.mkdir()
+        (d / "stg.sql").write_text(
+            "{{ config(materialized='table') }}\n"
+            "SELECT o_orderkey, o_totalprice FROM orders\n"
+        )
+        (d / "agg.sql").write_text(
+            "{{ config(materialized='table') }}\n"
+            "SELECT COUNT(*) AS n FROM {{ ref('stg') }}\n"
+        )
+        # reuse the test session instead of building a new one
+        monkeypatch.setattr(cli, "get_spark", lambda **kw: spark, raising=False)
+        import dbt_icebreaker_spark.session as sess
+        monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+        rc = cli.main([
+            "run-project", str(d), "--schema", "cli_proj_t",
+            "--data-dir", "/root/testdata/sf0.001",
+        ])
+        assert rc == 0
+        assert spark.table("cli_proj_t.agg").collect()[0].n > 0
