@@ -2031,6 +2031,54 @@ _SHINGLES_3 = """
     )
 """
 
+# full minhash → LSH → connected-components CTE chain, shared by the
+# x14 and x58 oracles (x58 layers a keep-best window on top)
+_CLUSTERS_CTE = f"""{_SHINGLES_3},
+        hashed AS (
+          SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
+        ),
+        sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+        wide AS (
+          SELECT doc_id,
+                 MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
+                 MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
+                 MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
+                 MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
+                 MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
+                 MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
+                 MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
+                 MIN(CASE WHEN seed = 7 THEN minh END) AS s7
+          FROM sig GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
+          UNION ALL
+          SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
+          UNION ALL
+          SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
+          UNION ALL
+          SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM e
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)"""
+
+
 def _x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking with overlap (xops/text.chunk_documents):
     sequence+explode+substring, offsets preserved."""
@@ -2381,6 +2429,22 @@ def _x_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "extract_ok",
         F.col("extracted.topic").alias("topic"),
         F.col("extracted.score").alias("score"),
+    )
+
+
+def _x_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best curation over dedup clusters (dedup.keep_best): the
+    survivor of each duplicate group is the highest-quality member
+    (n_chars here), not the min id — hash-verified against the same
+    recursive-CTE clustering oracle as x14 plus a window."""
+    from .xops import dedup
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    clusters = dedup.dedup_clusters(pairs, docs=docs)
+    return dedup.keep_best(
+        clusters, docs.select("doc_id", "n_chars"), score_col="n_chars"
     )
 
 
@@ -3169,54 +3233,33 @@ XOP_ORACLES: dict[str, str | None] = {
     # x11/x13 oracles assigned below (upgraded from run-only in round 2)
     "x12_multimodal_features": None,  # pandas-UDF plumbing, stub decode
     "x14_dedup_clusters": f"""
-        WITH RECURSIVE {_SHINGLES_3},
-        hashed AS (
-          SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
-          FROM sh, LATERAL unnest(generate_series(0, 7)) AS s(seed)
-        ),
-        sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
-        wide AS (
-          SELECT doc_id,
-                 MIN(CASE WHEN seed = 0 THEN minh END) AS s0,
-                 MIN(CASE WHEN seed = 1 THEN minh END) AS s1,
-                 MIN(CASE WHEN seed = 2 THEN minh END) AS s2,
-                 MIN(CASE WHEN seed = 3 THEN minh END) AS s3,
-                 MIN(CASE WHEN seed = 4 THEN minh END) AS s4,
-                 MIN(CASE WHEN seed = 5 THEN minh END) AS s5,
-                 MIN(CASE WHEN seed = 6 THEN minh END) AS s6,
-                 MIN(CASE WHEN seed = 7 THEN minh END) AS s7
-          FROM sig GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id, 0 AS band, md5(0 || '|' || s0 || '|' || s1) AS band_key FROM wide
-          UNION ALL
-          SELECT doc_id, 1, md5(1 || '|' || s2 || '|' || s3) FROM wide
-          UNION ALL
-          SELECT doc_id, 2, md5(2 || '|' || s4 || '|' || s5) FROM wide
-          UNION ALL
-          SELECT doc_id, 3, md5(3 || '|' || s6 || '|' || s7) FROM wide
-        ),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-        ),
-        e AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION
-          SELECT doc_b, doc_a FROM pairs
-        ),
-        reach AS (
-          SELECT src AS node, src AS r FROM e
-          UNION
-          SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
-        ),
-        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        WITH RECURSIVE {_CLUSTERS_CTE}
         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
                COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    # keep-best policy on the same clusters: the winner is the
+    # highest-n_chars member (ties → smallest id), not the min id
+    "x58_keep_best": f"""
+        WITH RECURSIVE {_CLUSTERS_CTE},
+        clustered AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ),
+        ranked AS (
+          SELECT clustered.*,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM clustered
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(n_chars AS BIGINT) AS score,
+               rn = 1 AS kept
+        FROM ranked
     """,
     "x15_ivf_topk": None,        # approximate (IVF recall<1 by design)
     "x16_tfidf_topk": """
@@ -3997,6 +4040,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x55_quantize_embeddings": _x_quantize,
     "x56_llm_extract": _x_llm_extract,
     "x57_corpus_pipeline": _x_corpus_pipeline,
+    "x58_keep_best": _x_keep_best,
     "x20_stratified_sample": _x_stratified_sample,
     "x21_pack_sequences": _x_pack_sequences,
     "x22_decontaminate": _x_decontaminate,

@@ -232,17 +232,45 @@ class IcebreakerEngine:
         rows = self.spark.table(target).count()
         return RunResult(name, "snapshot", target, rows, time.time() - start, details)
 
-    def seed_csv(self, name: str, path: str, header: bool = True) -> RunResult:
+    def seed_csv(
+        self,
+        name: str,
+        path: str,
+        header: bool = True,
+        column_types: "dict[str, str] | None" = None,
+    ) -> RunResult:
         """S9 CSV seed load (ref macros/adapters.sql:130-152 renders
         INSERT VALUES literals; DataFrame CSV reader replaces literal
-        quoting entirely)."""
+        quoting entirely). ``column_types`` is dbt's seed config of
+        the same name: per-column type overrides applied as casts on
+        top of inference (a zip-code column inferred as INT loses its
+        leading zeros without it — the canonical dbt seed pitfall)."""
         start = time.time()
         target = self._qualified(name)
-        df = (
-            self.spark.read.option("header", str(header).lower())
-            .option("inferSchema", "true")
-            .csv(path)
-        )
+        reader = self.spark.read.option("header", str(header).lower())
+        if column_types:
+            # inference would already have destroyed e.g. leading
+            # zeros before a cast could run — read overridden columns
+            # as strings, then cast to the declared type
+            reader = reader.option("inferSchema", "false")
+            df = reader.csv(path)
+            inferred = (
+                self.spark.read.option("header", str(header).lower())
+                .option("inferSchema", "true")
+                .csv(path)
+            )
+            by_name = {f.name: f.dataType for f in inferred.schema.fields}
+            from pyspark.sql import functions as F
+
+            cols = []
+            for c in df.columns:
+                if c in column_types:
+                    cols.append(F.col(c).cast(column_types[c]).alias(c))
+                else:
+                    cols.append(F.col(c).cast(by_name[c]).alias(c))
+            df = df.select(*cols)
+        else:
+            df = reader.option("inferSchema", "true").csv(path)
         self._clear_orphaned_location(target)
         df.write.mode("overwrite").saveAsTable(target)
         rows = self.spark.table(target).count()

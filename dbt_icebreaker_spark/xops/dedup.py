@@ -1035,3 +1035,36 @@ def fuzzy_join(
         .select("__lid", "__rid", "n_l", "n_r")
     )
     return verified(cand_sh)
+
+
+def keep_best(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Curation policy over dedup clusters: keep the HIGHEST-quality
+    member of every duplicate group instead of the min-id canonical
+    (dedup_clusters' default) — real pipelines keep the cleanest copy,
+    not the earliest-crawled one. Ties break on smallest id so the
+    choice is deterministic.
+
+    One window shuffle on cluster_id (cluster sizes are small by
+    construction — near-dup groups — so no skew risk). Output:
+    (id, cluster_id, score, kept).
+    """
+    joined = clusters.select(id_col, "cluster_id").join(
+        quality.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col(score_col).alias("score"),
+            (F.col("__rn") == 1).alias("kept"),
+        )
+    )

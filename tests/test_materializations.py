@@ -1271,3 +1271,21 @@ class TestCopyIntoReviewFixes:
             f"COPY INTO ci_t.lower_t FROM '{src}' FILE_FORMAT = (TYPE = PARQUET)"
         ).collect()[0]
         assert out.rows_loaded == 1
+
+
+class TestSeedColumnTypes:
+    def test_leading_zeros_preserved(self, spark, tmp_path):
+        # the canonical dbt seed pitfall: a zip column inferred as INT
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        p = tmp_path / "zips.csv"
+        p.write_text("city,zip\nBoston,02134\nNYC,10001\n")
+        eng = IcebreakerEngine(spark, schema="seed_t")
+        spark.sql("CREATE DATABASE IF NOT EXISTS seed_t")
+        eng.seed_csv("zips", str(p), column_types={"zip": "string"})
+        rows = {r.city: r.zip for r in spark.table("seed_t.zips").collect()}
+        assert rows["Boston"] == "02134"  # not 2134
+        # non-overridden columns keep inference
+        eng.seed_csv("zips_plain", str(p))
+        t = dict(spark.table("seed_t.zips_plain").dtypes)
+        assert t["zip"] in ("int", "bigint")  # shows why the override exists

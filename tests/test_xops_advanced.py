@@ -2033,3 +2033,23 @@ class TestExtractStructuredDeterminism:
             assert len({r.doc_id for r in rows}) == 10
         finally:
             llm.set_endpoint(None)
+
+
+class TestKeepBest:
+    def test_highest_quality_wins(self, spark):
+        from dbt_icebreaker_spark.xops import dedup
+
+        clusters = spark.createDataFrame(
+            [(1, 1, True), (2, 1, False), (3, 3, True), (4, 1, False)],
+            "doc_id long, cluster_id long, is_canonical boolean",
+        )
+        quality = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 5), (4, 99)],
+            "doc_id long, q long",
+        )
+        out = {r.doc_id: r for r in dedup.keep_best(
+            clusters, quality, score_col="q"
+        ).collect()}
+        # cluster 1: docs 2 and 4 tie at 99 → smaller id wins
+        assert out[2].kept and not out[4].kept and not out[1].kept
+        assert out[3].kept  # singleton keeps itself
