@@ -232,6 +232,39 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    """Schema catalog as JSON: per table name, columns/types, row
+    count, data bytes and file count (ref catalog_scanner's stats
+    cache, computed live from the metastore + file listing)."""
+    from .materializations.maintenance import _scan_files, table_location
+    from .session import get_spark
+
+    spark = get_spark(app_name="catalog")
+    out = []
+    for t in spark.catalog.listTables(args.schema):
+        if t.isTemporary:  # listTables mixes session temp views in
+            continue
+        full = f"{args.schema}.{t.name}"
+        cols = [
+            {"name": c.name, "type": c.dataType}
+            for c in spark.catalog.listColumns(full)
+        ]
+        loc = table_location(spark, full)
+        n_files, n_bytes = _scan_files(loc) if loc and os.path.exists(loc) else (0, 0)
+        entry = {
+            "table": full,
+            "type": t.tableType,
+            "columns": cols,
+            "files": n_files,
+            "bytes": n_bytes,
+        }
+        if args.rows:
+            entry["rows"] = spark.table(full).count()
+        out.append(entry)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_run_project(args) -> int:
     """Run a dbt-style models directory (load_project + ProjectRunner)."""
     from .project import ProjectRunner, load_project
@@ -462,6 +495,12 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)
     rp.set_defaults(fn=cmd_run)
+
+    cg = sub.add_parser("catalog", help="schema catalog as JSON")
+    cg.add_argument("schema")
+    cg.add_argument("--rows", action="store_true",
+                    help="include row counts (scans each table)")
+    cg.set_defaults(fn=cmd_catalog)
 
     pj = sub.add_parser("run-project", help="run a dbt-style models directory")
     pj.add_argument("models_dir")

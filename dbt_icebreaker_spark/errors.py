@@ -136,6 +136,16 @@ def classify_execution_error(exc: Exception, sql: str = "") -> Optional[Executio
             "columns to timestamps — a bare spark.read.parquet on an "
             "unconfigured session cannot open these files.",
         )
+    if condition.startswith("PATH_NOT_FOUND"):
+        return ExecutionError(
+            condition,
+            "A data path referenced by the statement does not exist."
+            + (f" ({names[0]})" if names else ""),
+            "Check the path (COPY INTO FROM '<path>' and spark.read "
+            "take filesystem/object-store paths, not stage names); "
+            "for parquet test data, register_dir(spark, sf_dir) lists "
+            "what exists.",
+        )
     if condition.startswith("DIVIDE_BY_ZERO"):
         return ExecutionError(
             condition,

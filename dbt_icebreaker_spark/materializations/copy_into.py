@@ -113,10 +113,10 @@ def parse_copy_into(sql: str) -> Optional[CopySpec]:
     tm = _TYPE_RE.search(rest)
     if tm:
         fmt = tm.group(1).lower()
-    if fmt not in ("csv", "parquet", "json"):
+    if fmt not in ("csv", "parquet", "json", "orc"):
         raise TranspileError(
             f"COPY INTO file format {fmt!r}: supported here are "
-            "CSV / PARQUET / JSON"
+            "CSV / PARQUET / JSON / ORC"
         )
     options: dict = {}
     if fmt == "csv":
@@ -187,9 +187,11 @@ def run_copy_into(spark: SparkSession, spec: CopySpec) -> dict:
         df = reader.schema(target_schema).csv(src)
     elif spec.fmt == "json":
         df = reader.json(src)
+    elif spec.fmt == "orc":
+        df = reader.orc(*src) if isinstance(src, list) else reader.orc(src)
     else:
         df = reader.parquet(*src) if isinstance(src, list) else reader.parquet(src)
-    if spec.fmt in ("parquet", "json"):
+    if spec.fmt in ("parquet", "json", "orc"):
         # by-name mapping with casts to the target's declared types —
         # case-insensitive, matching Snowflake (and Spark's default
         # resolver)

@@ -254,3 +254,55 @@ class TestCliRunProject:
         ])
         assert rc == 0
         assert spark.table("cli_proj_t.agg").collect()[0].n > 0
+
+
+class TestCliCatalog:
+    def test_catalog_lists_tables_with_stats(self, spark, capsys, monkeypatch):
+        import json as _json
+
+        from dbt_icebreaker_spark import cli
+        from dbt_icebreaker_spark.sources import read_parquet
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS cat_t")
+        read_parquet(spark, "/root/testdata/sf0.001/region.parquet") \
+            .write.mode("overwrite").saveAsTable("cat_t.region_c")
+        import dbt_icebreaker_spark.session as sess
+        monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+        assert cli.main(["catalog", "cat_t", "--rows"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        entry = next(e for e in out if e["table"] == "cat_t.region_c")
+        assert entry["rows"] == 5 and entry["bytes"] > 0 and entry["files"] >= 1
+        assert any(c["name"] == "r_name" for c in entry["columns"])
+
+
+class TestCopyIntoOrc:
+    def test_orc_load_by_name(self, spark, tmp_path):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        src = str(tmp_path / "src_orc")
+        spark.createDataFrame([(1, "x")], "id long, v string").write.orc(src)
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("DROP TABLE IF EXISTS ci_t.orc_t")
+        spark.sql("CREATE TABLE ci_t.orc_t (id BIGINT, v STRING)")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        out = eng.execute(
+            f"COPY INTO ci_t.orc_t FROM '{src}' FILE_FORMAT = (TYPE = ORC)"
+        ).collect()[0]
+        assert out.rows_loaded == 1
+
+
+class TestPathNotFoundClassified:
+    def test_copy_into_missing_path_actionable(self, spark):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.errors import ExecutionError
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS ci_t")
+        spark.sql("CREATE TABLE IF NOT EXISTS ci_t.pnf (id BIGINT)")
+        eng = IcebreakerEngine(spark, schema="ci_t")
+        with _pytest.raises(ExecutionError, match="path"):
+            eng.execute(
+                "COPY INTO ci_t.pnf FROM '/nonexistent/nowhere' "
+                "FILE_FORMAT = (TYPE = PARQUET)"
+            )
