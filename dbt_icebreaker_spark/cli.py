@@ -277,9 +277,9 @@ def cmd_run_project(args) -> int:
         register_dir(spark, args.data_dir)
     models = load_project(args.models_dir, schema=args.schema)
     engine = IcebreakerEngine(spark, schema=args.schema, dev_mode=args.dev)
-    session = ProjectRunner(engine, threads=args.threads).run(
-        models, full_refresh=args.full_refresh
-    )
+    session = ProjectRunner(
+        engine, threads=args.threads, state_dir=STATE_DIR
+    ).run(models, full_refresh=args.full_refresh)
     print(json.dumps(session, default=str))
     return 0 if not session.get("failed") else 1
 

@@ -10,7 +10,7 @@ refuse actionably — Spark has no stage objects; use direct paths.
 
 Supported surface (the core dbt-seeds/backfill usage):
     COPY INTO <table> FROM '<path>'
-        [FILE_FORMAT = (TYPE = CSV|PARQUET|JSON
+        [FILE_FORMAT = (TYPE = CSV|PARQUET|JSON|ORC
                         [SKIP_HEADER = 1] [FIELD_DELIMITER = '<c>']
                         [FIELD_OPTIONALLY_ENCLOSED_BY = '<c>'])]
         [PATTERN = '<regex>']

@@ -45,9 +45,6 @@ class ModelDef:
     check_cols: Optional[Sequence[str]] = None
 
 
-_REF_RE = None  # compiled lazily in load_project (keeps import light)
-
-
 def load_project(
     models_dir: str, schema: str = "analytics"
 ) -> list[ModelDef]:
@@ -72,7 +69,9 @@ def load_project(
 
     ref_re = _re.compile(r"\{\{\s*ref\(\s*['\"](\w+)['\"]\s*\)\s*\}\}")
     config_re = _re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", _re.DOTALL)
-    jinja_re = _re.compile(r"\{\{.*?\}\}", _re.DOTALL)
+    # expressions AND block tags/comments: '{% if is_incremental() %}'
+    # must refuse at load time, not die later as PARSE_SYNTAX_ERROR
+    jinja_re = _re.compile(r"\{\{.*?\}\}|\{%.*?%\}|\{#.*?#\}", _re.DOTALL)
     _CONFIG_KEYS = {
         "materialized": "materialization",
         "unique_key": "unique_key",
@@ -84,12 +83,16 @@ def load_project(
         "check_cols": "check_cols",
     }
 
+    # recursive: dbt's standard layout nests models (staging/, marts/)
+    paths = sorted(
+        _glob.glob(os.path.join(models_dir, "**", "*.sql"), recursive=True)
+    )
     models: list[ModelDef] = []
     names = set()
-    for path in sorted(_glob.glob(os.path.join(models_dir, "*.sql"))):
+    for path in paths:
         name = os.path.splitext(os.path.basename(path))[0]
         names.add(name)
-    for path in sorted(_glob.glob(os.path.join(models_dir, "*.sql"))):
+    for path in paths:
         name = os.path.splitext(os.path.basename(path))[0]
         sql = open(path).read()
         kwargs: dict = {}
@@ -99,6 +102,11 @@ def load_project(
             # values are literals (strings/numbers/lists)
             try:
                 call = _ast.parse(f"f({cm.group(1)})", mode="eval").body
+                if call.args:
+                    raise ValueError(
+                        f"model {name}: config() takes keyword "
+                        "arguments only (e.g. materialized='table')"
+                    )
                 for kw in call.keywords:
                     if kw.arg not in _CONFIG_KEYS:
                         raise ValueError(
@@ -106,7 +114,13 @@ def load_project(
                             f"{kw.arg!r} (supported: "
                             f"{sorted(_CONFIG_KEYS)})"
                         )
-                    kwargs[_CONFIG_KEYS[kw.arg]] = _ast.literal_eval(kw.value)
+                    try:
+                        kwargs[_CONFIG_KEYS[kw.arg]] = _ast.literal_eval(kw.value)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"model {name}: config {kw.arg} must be a "
+                            f"literal value (string/number/list) — {e}"
+                        ) from e
             except SyntaxError as e:
                 raise ValueError(
                     f"model {name}: unparseable config(...): {e}"

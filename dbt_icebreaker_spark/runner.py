@@ -254,6 +254,15 @@ class IcebreakerEngine:
             # as strings, then cast to the declared type
             reader = reader.option("inferSchema", "false")
             df = reader.csv(path)
+            missing = set(column_types) - set(df.columns)
+            if missing:
+                # a typo'd override key would silently re-introduce
+                # the inference pitfall the feature exists to prevent
+                raise ValueError(
+                    f"seed {name}: column_types references column(s) "
+                    f"{sorted(missing)} not in the CSV header "
+                    f"(columns: {df.columns})"
+                )
             inferred = (
                 self.spark.read.option("header", str(header).lower())
                 .option("inferSchema", "true")

@@ -1051,10 +1051,13 @@ def keep_best(
 
     One window shuffle on cluster_id (cluster sizes are small by
     construction — near-dup groups — so no skew risk). Output:
-    (id, cluster_id, score, kept).
+    (id, cluster_id, score, kept). Members missing from ``quality``
+    stay in the output with a NULL score and can only win a cluster
+    when every member is unscored (desc ordering puts NULLs last) —
+    an inner join would silently DROP them from the curation output.
     """
     joined = clusters.select(id_col, "cluster_id").join(
-        quality.select(id_col, score_col), id_col
+        quality.select(id_col, score_col), id_col, "left"
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc(score_col), F.asc(id_col)

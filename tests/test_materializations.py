@@ -1289,3 +1289,16 @@ class TestSeedColumnTypes:
         eng.seed_csv("zips_plain", str(p))
         t = dict(spark.table("seed_t.zips_plain").dtypes)
         assert t["zip"] in ("int", "bigint")  # shows why the override exists
+
+
+class TestSeedColumnTypesTypo:
+    def test_typoed_override_key_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        p = tmp_path / "z2.csv"
+        p.write_text("city,zip\nBoston,02134\n")
+        eng = IcebreakerEngine(spark, schema="seed_t")
+        with _pytest.raises(ValueError, match="Zip"):
+            eng.seed_csv("z2", str(p), column_types={"Zip": "string"})

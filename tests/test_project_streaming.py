@@ -548,3 +548,57 @@ class TestLoadProject:
         )
         with _pytest.raises(ValueError, match="severity"):
             load_project(str(d))
+
+
+class TestLoadProjectReviewFixes:
+    def test_nested_model_dirs_load(self, tmp_path):
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m5"
+        (d / "staging").mkdir(parents=True)
+        (d / "marts").mkdir()
+        (d / "staging" / "stg_a.sql").write_text("SELECT 1 AS one")
+        (d / "marts" / "mart_b.sql").write_text(
+            "SELECT * FROM {{ ref('stg_a') }}"
+        )
+        models = load_project(str(d), schema="s")
+        by = {m.name: m for m in models}
+        assert set(by) == {"stg_a", "mart_b"}
+        assert by["mart_b"].depends_on == ["stg_a"]
+
+    def test_block_tags_refuse_at_load(self, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m6"
+        d.mkdir()
+        (d / "a.sql").write_text(
+            "SELECT * FROM t {% if is_incremental() %} WHERE x > 1 {% endif %}"
+        )
+        with _pytest.raises(ValueError, match="jinja"):
+            load_project(str(d))
+
+    def test_positional_config_refuses(self, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m7"
+        d.mkdir()
+        (d / "a.sql").write_text("{{ config('incremental') }}\nSELECT 1 AS one")
+        with _pytest.raises(ValueError, match="keyword"):
+            load_project(str(d))
+
+    def test_non_literal_config_named(self, tmp_path):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.project import load_project
+
+        d = tmp_path / "m8"
+        d.mkdir()
+        (d / "mymodel.sql").write_text(
+            "{{ config(materialized=env_var('M')) }}\nSELECT 1 AS one"
+        )
+        with _pytest.raises(ValueError, match="mymodel"):
+            load_project(str(d))

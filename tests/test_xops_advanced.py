@@ -2053,3 +2053,20 @@ class TestKeepBest:
         # cluster 1: docs 2 and 4 tie at 99 → smaller id wins
         assert out[2].kept and not out[4].kept and not out[1].kept
         assert out[3].kept  # singleton keeps itself
+
+
+class TestKeepBestUnscored:
+    def test_unscored_members_survive_with_null(self, spark):
+        from dbt_icebreaker_spark.xops import dedup
+
+        clusters = spark.createDataFrame(
+            [(1, 1, True), (2, 1, False)],
+            "doc_id long, cluster_id long, is_canonical boolean",
+        )
+        quality = spark.createDataFrame([(2, 5)], "doc_id long, q long")
+        out = {r.doc_id: r for r in dedup.keep_best(
+            clusters, quality, score_col="q"
+        ).collect()}
+        assert set(out) == {1, 2}  # nobody silently dropped
+        assert out[2].kept and not out[1].kept
+        assert out[1].score is None
