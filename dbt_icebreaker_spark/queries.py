@@ -622,7 +622,7 @@ _q(
     WITH old AS (SELECT * FROM orders WHERE o_orderdate < '1999-01-01'::DATE),
          new AS (SELECT * FROM orders WHERE o_orderdate >= '1999-01-01'::DATE)
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
     FROM (
         SELECT * FROM new
         UNION ALL
@@ -635,7 +635,7 @@ _q(
     WITH old AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
          new AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1999-01-01')
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
     FROM (
         SELECT * FROM new
         UNION ALL
@@ -754,13 +754,19 @@ _q(
     "q34_array_agg_within",
     """
     SELECT o_custkey,
-           ARRAY_AGG(DISTINCT o_orderpriority) WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+           ARRAY_TO_STRING(
+             ARRAY_AGG(DISTINCT o_orderpriority) WITHIN GROUP (ORDER BY o_orderpriority),
+             ',') AS prios,
            COUNT(*) AS n
     FROM orders WHERE o_custkey < 100 GROUP BY 1
     """,
+    # prios stringified on both sides: the driver's canonicalizer sorts
+    # pandas frames and chokes on list-typed cells (unhashable), so the
+    # WITHIN-GROUP array is flattened to a CSV string for the oracle gate;
+    # the array semantics themselves stay covered by transpiler unit tests.
     """
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderpriority))) AS prios,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios,
            COUNT(*) AS n
     FROM orders WHERE o_custkey < 100 GROUP BY 1
     """,
@@ -860,7 +866,7 @@ _q(
       SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10
     )
     SELECT n, COUNT(*) AS n_orders,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS tot
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS tot
     FROM seq JOIN orders ON o_custkey % 10 = n - 1
     GROUP BY n
     """,
@@ -869,7 +875,7 @@ _q(
       SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10
     )
     SELECT n, COUNT(*) AS n_orders,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS tot
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS tot
     FROM seq JOIN orders ON o_custkey % 10 = n - 1
     GROUP BY n
     """,
@@ -905,8 +911,8 @@ _q(
     # key so RANGE-frame peer grouping can't diverge from row semantics
     """
     SELECT o_orderkey,
-           CAST(RATIO_TO_REPORT(o_totalprice)
-                OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share,
+           CAST(ROUND(RATIO_TO_REPORT(o_totalprice)
+                OVER (PARTITION BY o_orderpriority), 6) AS DOUBLE) AS share,
            CONDITIONAL_TRUE_EVENT(o_totalprice > 150000)
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey) AS n_big_so_far,
@@ -915,8 +921,8 @@ _q(
     """,
     """
     SELECT o_orderkey,
-           CAST(o_totalprice / SUM(o_totalprice)
-                OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share,
+           CAST(ROUND(o_totalprice / SUM(o_totalprice)
+                OVER (PARTITION BY o_orderpriority), 6) AS DOUBLE) AS share,
            SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey) AS n_big_so_far,
@@ -959,8 +965,8 @@ _q(
     # in both engines; MODE is deterministic on this data (no tie).
     """
     SELECT l_returnflag,
-           SKEW(l_extendedprice) AS skew_price,
-           KURTOSIS(l_extendedprice) AS kurt_price,
+           ROUND(SKEW(l_extendedprice), 6) AS skew_price,
+           ROUND(KURTOSIS(l_extendedprice), 6) AS kurt_price,
            MEDIAN(l_quantity) AS med_qty,
            CAST(MODE(l_linenumber) AS INT) AS mode_line
     FROM lineitem
@@ -969,8 +975,8 @@ _q(
     """,
     """
     SELECT l_returnflag,
-           skewness(l_extendedprice) AS skew_price,
-           kurtosis(l_extendedprice) AS kurt_price,
+           ROUND(skewness(l_extendedprice), 6) AS skew_price,
+           ROUND(kurtosis(l_extendedprice), 6) AS kurt_price,
            median(l_quantity) AS med_qty,
            CAST(mode(l_linenumber) AS INT) AS mode_line
     FROM lineitem
@@ -2304,9 +2310,12 @@ def _x_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .xops.profile import profile_strings
 
     register_dir(spark, sf_dir)
+    # top_values flattened to CSV for the driver gate (its canonicalizer
+    # cannot sort list-typed cells); the array shape is covered by
+    # tests/test_xops_advanced.py.
     return profile_strings(
         spark.table("documents"), ["lang", "source"], top_k=3
-    )
+    ).withColumn("top_values", F.array_join("top_values", ","))
 
 
 def _x_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2747,7 +2756,7 @@ XOP_ORACLES: dict[str, str | None] = {
         ),
         tops AS (
           SELECT col,
-                 list(value || ':' || cnt ORDER BY rn) AS top_values
+                 string_agg(value || ':' || cnt, ',' ORDER BY rn) AS top_values
           FROM (
             SELECT col, value, cnt,
                    ROW_NUMBER() OVER (PARTITION BY col

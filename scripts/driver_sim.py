@@ -27,6 +27,13 @@ TABLES = (
 )
 
 
+class NonScalarColumn(Exception):
+    """The driver's pandas-based canonicalizer crashes on list/dict cells
+    (unhashable in its sort) — so the replica must treat them as a hard
+    FAIL, not quietly tuple-ize them (that is exactly how q34 slipped
+    through the r02 local gate while failing the real driver)."""
+
+
 def norm(v):
     if v is None:
         return None
@@ -37,11 +44,15 @@ def norm(v):
             return "NaN"
         if v == 0:
             return 0.0
-        return float(f"{v:.9g}")  # ~1e-9 relative
+        # ~1e-12 relative: STRICTER than r02's 1e-9 — the driver's hash
+        # flipped on q28/q39/q41 noise that .9g absorbed. Queries must
+        # ROUND float aggregates at the source instead of relying on
+        # gate tolerance.
+        return float(f"{v:.12g}")
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        raise NonScalarColumn(f"non-scalar cell {type(v).__name__}")
     return v
 
 
@@ -103,8 +114,15 @@ def main():
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:
-            sn, dn = norm_rows(scols, srows), norm_rows(dcols, drows)
-            if sn != dn:
+            try:
+                sn, dn = norm_rows(scols, srows), norm_rows(dcols, drows)
+            except NonScalarColumn as ex:
+                sn = dn = None
+                problems.append(
+                    f"{ex} — the driver's canonicalizer cannot sort this; "
+                    "stringify the column (array_join) on both sides"
+                )
+            if sn is not None and sn != dn:
                 diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b][:3]
                 problems.append(f"values, first diffs: {diffs}")
         if problems:
