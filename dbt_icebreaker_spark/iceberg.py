@@ -31,6 +31,12 @@ class IcebergConfig:
 
     catalog_name: str = "iceberg_catalog"
     catalog_type: str = "rest"
+    # DSv2 CatalogPlugin implementation class. The default is the real
+    # Iceberg runtime; tests swap in Spark's own shipped
+    # JDBCTableCatalog (backed by in-memory Derby) so the
+    # attach/write/read code paths execute against a genuine V2
+    # catalog even though the Iceberg JAR is absent in this container.
+    impl: str = "org.apache.iceberg.spark.SparkCatalog"
     uri: Optional[str] = None
     warehouse: Optional[str] = None
     token: Optional[str] = None
@@ -52,10 +58,9 @@ def catalog_conf(cfg: IcebergConfig) -> dict[str, str]:
             f"catalog_type {cfg.catalog_type!r} not in {SUPPORTED_CATALOG_TYPES}"
         )
     base = f"spark.sql.catalog.{cfg.catalog_name}"
-    conf = {
-        base: "org.apache.iceberg.spark.SparkCatalog",
-        f"{base}.type": cfg.catalog_type,
-    }
+    conf = {base: cfg.impl}
+    if cfg.impl == "org.apache.iceberg.spark.SparkCatalog":
+        conf[f"{base}.type"] = cfg.catalog_type
     if cfg.uri:
         conf[f"{base}.uri"] = cfg.uri
     if cfg.warehouse:
@@ -79,10 +84,13 @@ def catalog_conf(cfg: IcebergConfig) -> dict[str, str]:
     return conf
 
 
-def runtime_available(spark: SparkSession) -> bool:
-    """Probe for the Iceberg Spark runtime on the JVM classpath."""
+def runtime_available(
+    spark: SparkSession,
+    impl: str = "org.apache.iceberg.spark.SparkCatalog",
+) -> bool:
+    """Probe for the catalog implementation on the JVM classpath."""
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        spark._jvm.java.lang.Class.forName(impl)
         return True
     except Exception:
         return False
@@ -92,10 +100,12 @@ def attach_catalog(spark: SparkSession, cfg: IcebergConfig) -> None:
     """Apply catalog conf to a live session (ref
     attach_iceberg_catalog, connections.py:990-1055). Fails with an
     actionable error if the runtime JAR is absent (errors.py:43-64
-    style)."""
-    if not runtime_available(spark):
+    style). Catalogs are lazily instantiated, so runtime conf.set is
+    picked up on the catalog's first reference."""
+    if not runtime_available(spark, cfg.impl):
         raise RuntimeError(
-            "Iceberg Spark runtime not on the classpath. Add "
+            f"Catalog implementation {cfg.impl} not on the classpath. "
+            "For Iceberg, add "
             "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 via "
             "spark.jars.packages (requires network) or drop the JAR into "
             "$SPARK_HOME/jars, then retry."
@@ -109,18 +119,26 @@ def write_iceberg(
     table: str,
     partition_by: Optional[str] = None,
     mode: str = "createOrReplace",
+    using: Optional[str] = None,
 ) -> None:
     """S5: `df.writeTo(cat.ns.t).partitionedBy(col).createOrReplace()`
     — the single Spark path replacing bridge.py's four CREATE ICEBERG
     TABLE dialects (snowflake 97-133, databricks 135-166, bigquery
-    168-201, athena 203-232)."""
+    168-201, athena 203-232).
+
+    ``using`` pins the table provider explicitly (an Iceberg catalog
+    infers ``iceberg``; the session catalog needs e.g. ``parquet``)."""
     writer = df.writeTo(table)
+    if using:
+        writer = writer.using(using)
     if partition_by:
         from pyspark.sql import functions as F
 
         writer = writer.partitionedBy(F.col(partition_by))
     if mode == "createOrReplace":
         writer.createOrReplace()
+    elif mode == "create":
+        writer.create()
     elif mode == "append":
         writer.append()
     elif mode == "overwritePartitions":

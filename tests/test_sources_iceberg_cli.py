@@ -135,6 +135,95 @@ class TestIcebergConf:
         assert runtime_available(spark)
 
 
+class TestIcebergRuntimeRoundTrip:
+    """S4/S5 executed for real, not just conf strings. The Iceberg
+    runtime JAR is absent in this container, so the attach/write/read
+    code paths run against Spark's own shipped DSv2 catalog
+    (JDBCTableCatalog over in-memory Derby) via ``IcebergConfig.impl``
+    — the same ``spark.sql.catalog.*`` conf mechanism, lazy catalog
+    instantiation, and ``writeTo()`` V2 write path the Iceberg catalog
+    uses (ref connections.py:990-1055 ATTACH, bridge.py:69-232 DDL)."""
+
+    JDBC_IMPL = (
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
+    )
+
+    @pytest.fixture(scope="class")
+    def v2cat(self, spark):
+        from dbt_icebreaker_spark.iceberg import attach_catalog
+
+        cfg = IcebergConfig(
+            catalog_name="fakecat",
+            catalog_type="hadoop",
+            impl=self.JDBC_IMPL,
+            properties={
+                "url": "jdbc:derby:memory:fakecat_rt;create=true",
+                "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            },
+        )
+        attach_catalog(spark, cfg)  # runtime conf.set, lazily picked up
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS fakecat.ns")
+        return "fakecat"
+
+    def test_missing_runtime_is_actionable(self, spark):
+        from dbt_icebreaker_spark.iceberg import attach_catalog
+
+        assert not runtime_available(spark)  # real Iceberg class absent
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            attach_catalog(spark, IcebergConfig(catalog_name="icy"))
+
+    def test_attach_and_create_or_replace_roundtrip(self, spark, v2cat):
+        from dbt_icebreaker_spark.iceberg import write_iceberg
+
+        df = spark.range(5).withColumnRenamed("id", "k")
+        write_iceberg(df, f"{v2cat}.ns.t_rt", mode="createOrReplace")
+        got = spark.table(f"{v2cat}.ns.t_rt")
+        assert got.count() == 5
+        assert [f.name for f in got.schema.fields] == ["k"]
+        # createOrReplace is idempotent — REPLACE, not duplicate
+        write_iceberg(df, f"{v2cat}.ns.t_rt", mode="createOrReplace")
+        assert spark.table(f"{v2cat}.ns.t_rt").count() == 5
+
+    def test_append_mode(self, spark, v2cat):
+        from dbt_icebreaker_spark.iceberg import write_iceberg
+
+        df = spark.range(4).withColumnRenamed("id", "k")
+        write_iceberg(df, f"{v2cat}.ns.t_app", mode="createOrReplace")
+        write_iceberg(df, f"{v2cat}.ns.t_app", mode="append")
+        assert spark.table(f"{v2cat}.ns.t_app").count() == 8
+
+    def test_partitioned_create(self, spark):
+        """partitionedBy flows through the V2 writer: session catalog +
+        explicit parquet provider (JDBC catalogs reject partitioning,
+        Iceberg accepts it — the writer code path is identical)."""
+        from pyspark.sql import functions as F
+
+        from dbt_icebreaker_spark.iceberg import write_iceberg
+
+        spark.sql("DROP TABLE IF EXISTS default.t_part_rt")
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        )
+        write_iceberg(
+            df,
+            "spark_catalog.default.t_part_rt",
+            partition_by="p",
+            mode="create",
+            using="parquet",
+        )
+        assert spark.table("default.t_part_rt").count() == 10
+        detail = spark.sql("DESCRIBE TABLE default.t_part_rt").collect()
+        txt = "\n".join(str(r) for r in detail)
+        assert "Partition" in txt and "p" in txt
+        spark.sql("DROP TABLE default.t_part_rt")
+
+    def test_unknown_mode_rejected(self, spark):
+        from dbt_icebreaker_spark.iceberg import write_iceberg
+
+        with pytest.raises(ValueError, match="unknown mode"):
+            write_iceberg(spark.range(1), "x.y.z", mode="bogus")
+
+
 class TestCliStatusCommands:
     def test_status_runs_without_spark(self, tmp_path, monkeypatch, capsys):
         from dbt_icebreaker_spark import cli
