@@ -188,9 +188,24 @@ class Advisor:
                     "Spark connector/catalog for it (no cloud fallback)"
                 )
 
+        # gate: toxic types (R2 gate 3, ref traffic.py:251-259 reason
+        # TOXIC_TYPES; auto_router.py:97-101 geo blacklist) — named
+        # separately from general transpile failure so the refusal
+        # leads with the type class, as the reference does.
+        from ..transpiler import transforms as _transforms
+
+        toxic = _transforms.detect_toxic_types(sql)
+        if toxic:
+            errors.append(
+                "toxic types (TOXIC_TYPES gate): unsupported type class "
+                f"geospatial — Types: {', '.join(toxic)}. Spark has no "
+                "native GEOGRAPHY/GEOMETRY; keep this model on the "
+                "warehouse or pre-compute lon/lat numerics upstream"
+            )
+
         # gate: capability (R2 gate 3: can_transpile, traffic.py:241-248)
         ok, err = self.transpiler.can_transpile(sql)
-        if not ok:
+        if not ok and not toxic:  # toxic gate already covers its failure
             errors.append(f"transpile: {err}")
 
         # gate: stability (R2 gate 4: crash WAL, traffic.py:250-262)

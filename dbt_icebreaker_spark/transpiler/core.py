@@ -31,6 +31,25 @@ class UnsupportedFunctionError(TranspileError):
         )
 
 
+class UnsupportedTypeError(TranspileError):
+    """Geospatial "toxic" type with no Spark-native representation
+    (ref auto_router.py:97-101 blacklists st_* / geography;
+    traffic.py:251-259 gates with reason TOXIC_TYPES). Named type
+    class up front, per SURVEY §1.2's "clear unsupported-type
+    refusal"."""
+
+    def __init__(self, references: list[str]):
+        self.references = references
+        self.type_class = "geospatial"
+        super().__init__(
+            "Unsupported type class: geospatial (TOXIC_TYPES gate). "
+            f"Types: {', '.join(references)}. Spark has no native "
+            "GEOGRAPHY/GEOMETRY type or ST_* functions. Keep geospatial "
+            "models on the warehouse, or pre-compute lon/lat doubles "
+            "upstream and use plain numeric predicates."
+        )
+
+
 class Transpiler:
     """Snowflake SQL → Spark SQL."""
 
@@ -40,6 +59,9 @@ class Transpiler:
         Returns statements joined by ';' like the reference
         (`transpiler.py:56-74`).
         """
+        toxic = transforms.detect_toxic_types(sql)
+        if toxic:
+            raise UnsupportedTypeError(toxic)
         blacklisted = transforms.detect_blacklisted_functions(sql)
         if blacklisted:
             raise UnsupportedFunctionError(blacklisted)

@@ -2728,6 +2728,36 @@ BLACKLISTED_PATTERNS = (
 )
 
 
+# Geospatial ("toxic") types — ref auto_router.py:97-101 blacklists
+# st_asgeojson / st_geogfromtext / st_makepolygon / geography, and
+# traffic.py:251-259 routes models carrying toxic types away with
+# reason TOXIC_TYPES. Spark has no native GEOGRAPHY/GEOMETRY type, so
+# the gate refuses up front, naming the type class.
+_TOXIC_TYPE_WORDS = {"GEOGRAPHY", "GEOMETRY"}
+
+
+def detect_toxic_types(sql: str) -> list[str]:
+    """Find geospatial type/function references (ST_* calls,
+    GEOGRAPHY/GEOMETRY type words, TO_GEOGRAPHY/TO_GEOMETRY casts).
+    Word-token based — a string literal 'geometry' never triggers."""
+    found: set[str] = set()
+    toks = tokenize(sql)
+    for i, t in enumerate(toks):
+        if t.kind != WORD:
+            continue
+        u = t.upper
+        if u in _TOXIC_TYPE_WORDS:
+            found.add(u)
+        elif u in ("TO_GEOGRAPHY", "TO_GEOMETRY", "TRY_TO_GEOGRAPHY",
+                   "TRY_TO_GEOMETRY"):
+            found.add(u)
+        elif u.startswith("ST_"):
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_op("("):
+                found.add(u)
+    return sorted(found)
+
+
 def detect_blacklisted_functions(sql: str) -> list[str]:
     """Find cloud-only function references (ref transpiler.py:398-433).
     With no second engine to route to, callers raise UnsupportedFunction."""

@@ -98,6 +98,19 @@ class TestAdvisor:
         assert not adv.ok
         assert any("transpile" in e for e in adv.errors)
 
+    def test_toxic_type_gate_named(self, spark):
+        # ref traffic.py:251-259: reason TOXIC_TYPES with "Types: ..."
+        adv = Advisor(spark).advise(
+            "m", "SELECT ST_ASGEOJSON(geog) AS j, CAST(x AS GEOGRAPHY) FROM t"
+        )
+        assert not adv.ok
+        toxic_errs = [e for e in adv.errors if "TOXIC_TYPES" in e]
+        assert len(toxic_errs) == 1
+        assert "geospatial" in toxic_errs[0]
+        assert "GEOGRAPHY" in toxic_errs[0] and "ST_ASGEOJSON" in toxic_errs[0]
+        # named gate replaces, not duplicates, the generic transpile error
+        assert not any(e.startswith("transpile:") for e in adv.errors)
+
     def test_broadcast_hint(self, spark):
         sql = "SELECT * FROM lineitem l JOIN region r ON l.l_orderkey = r.r_regionkey"
         adv = Advisor(spark).advise("m", sql, (("/root/testdata/sf0.1"),))

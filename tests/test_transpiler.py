@@ -229,6 +229,39 @@ class TestBlacklist:
         assert ok and err is None
 
 
+class TestToxicTypes:
+    """Geo gate — ref auto_router.py:97-101 / traffic.py:251-259."""
+
+    def test_st_function_refused_with_type_class(self):
+        from dbt_icebreaker_spark.transpiler.core import UnsupportedTypeError
+
+        with pytest.raises(UnsupportedTypeError) as ei:
+            t.to_spark("SELECT ST_MAKEPOLYGON(ST_GEOGFROMTEXT(wkt)) FROM t")
+        assert ei.value.type_class == "geospatial"
+        assert "GEOGRAPHY" in str(ei.value) or "ST_" in str(ei.value)
+        assert "ST_MAKEPOLYGON" in ei.value.references
+
+    def test_geography_type_word_refused(self):
+        from dbt_icebreaker_spark.transpiler.core import UnsupportedTypeError
+
+        with pytest.raises(UnsupportedTypeError):
+            t.to_spark("SELECT CAST(x AS GEOGRAPHY) FROM t")
+        with pytest.raises(UnsupportedTypeError):
+            t.to_spark("SELECT TO_GEOMETRY(wkt) FROM t")
+
+    def test_can_transpile_names_the_gate(self):
+        ok, err = t.can_transpile("SELECT ST_ASGEOJSON(g) FROM t")
+        assert not ok and "geospatial" in err and "TOXIC_TYPES" in err
+
+    def test_non_geo_st_word_passes(self):
+        # ST_-prefixed identifiers that are not calls never trigger
+        ok, _ = t.can_transpile("SELECT st_louis_sales FROM t")
+        assert ok
+        # string literal containing 'geometry' never triggers
+        ok, _ = t.can_transpile("SELECT 'geometry lesson' AS s FROM t")
+        assert ok
+
+
 class TestExecutesOnSpark:
     """The generated SQL must actually run (not just look right)."""
 
