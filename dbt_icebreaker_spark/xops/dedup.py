@@ -593,6 +593,7 @@ def dedup_clusters(
     docs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → one cluster per
     duplicate group, cluster_id = min doc id in the component; the
@@ -600,59 +601,113 @@ def dedup_clusters(
 
     This is the step a real dedup pipeline needs AFTER LSH: candidate
     pairs are transitive ("a≈b, b≈c" ⇒ one group {a,b,c}), so keeping
-    "one doc per pair" over- or under-deletes. Implemented as
-    iterative min-label propagation:
+    "one doc per pair" over- or under-deletes.
 
-    - each iteration = one join + one groupBy shuffle over the edge
-      list, so cost is O(E) per round and rounds = component diameter
-      (near-dup clusters are shallow: a handful of rounds);
+    Implemented as the alternating large-star / small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) rather than min-label propagation:
+
+    - **large-star**: every node links its larger neighbors to the
+      minimum of its closed neighborhood; **small-star**: every node
+      links its smaller neighbors (and itself) to that minimum. One
+      alternation contracts star-shaped regions, so rounds are
+      O(log n) in the worst case instead of component diameter —
+      on a 100 TB corpus with a few deep chains that is the
+      difference between 4 and 40 shuffles;
+    - each half-round is one groupBy (min over 2E edges) + one
+      co-partitioned join + distinct, all O(E);
     - ``localCheckpoint`` truncates lineage each round — without it
       the plan doubles per iteration and Catalyst analysis time
       explodes long before data does; the checkpoint is LAZY and the
-      convergence agg materializes it, so each round is ONE Spark job
-      (eager checkpointing would double the job count);
-    - convergence is detected via sum(label), which is strictly
-      decreasing until fixpoint (labels only ever decrease) — one
-      cheap agg instead of a change-count join.
+      convergence checksum materializes it, so each round stays ONE
+      Spark job;
+    - convergence: the (count, sum(src), sum(dst)) checksum of the
+      edge set is stable across a full alternation exactly at the
+      fixpoint (dst labels are monotonically non-increasing).
 
-    If ``docs`` is given, singleton documents (no near-dup edges) are
-    included as their own cluster. Output: (doc_id, cluster_id,
-    is_canonical).
+    ``stats``, if given, receives {"rounds": n} for round-count
+    assertions. If ``docs`` is given, singleton documents (no
+    near-dup edges) are included as their own cluster. Output:
+    (doc_id, cluster_id, is_canonical).
     """
-    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+
+    def _checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)), F.sum("src"), F.sum("dst")
+        ).collect()[0]
+        return tuple(row)
+
+    # Both star ops compute "minimum of the closed neighborhood" with a
+    # WINDOW min over partitionBy(src) instead of groupBy+self-join:
+    # one shuffle instead of two, and no self-join (lazily-checkpointed
+    # self-joins trip Catalyst's attribute dedup in Spark 4.1).
+    from pyspark.sql import Window
+
+    _w = Window.partitionBy("src")
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+        with_min = sym.withColumn(
+            "m", F.least(F.min("dst").over(_w), F.col("src"))
+        )
+        # connect each strictly-larger neighbor to the local minimum
+        return (
+            with_min.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        oriented = edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        with_min = oriented.withColumn("m", F.min("dst").over(_w))
+        # link smaller neighbors AND the center itself to the minimum
+        return (
+            with_min.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("dst").alias("s"), F.col("m")),
+                        F.struct(F.col("src").alias("s"), F.col("m")),
+                    )
+                ).alias("e")
             )
-            .localCheckpoint(eager=False)
+            .select(F.col("e.s").alias("src"), F.col("e.m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+
+    edges = e
+    prev = _checksum(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        rounds += 1
+        cur = _checksum(edges)
+        if cur == prev:
             break
-        prev_sum = cur_sum
-    comp = labels.select(
-        F.col("node").alias("__cc_id"), F.col("label").alias("__cc_label")
-    )
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edge set is a union of stars: (node, component_min) for
+    # every non-min node; minima label themselves
+    comp = edges.select(
+        F.col("src").alias("__cc_id"), F.col("dst").alias("__cc_label")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("__cc_id"), F.col("dst").alias("__cc_label")
+        )
+    ).groupBy("__cc_id").agg(F.min("__cc_label").alias("__cc_label"))
     if docs is not None:
         out = docs.select(F.col(id_col).cast("long").alias("doc_id")).join(
             comp, F.col("doc_id") == F.col("__cc_id"), "left"

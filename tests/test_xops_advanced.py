@@ -38,6 +38,27 @@ class TestDedupClusters:
         assert {r.cluster_id for r in out} == {0}
         assert len(out) == 10
 
+    def test_star_rounds_sublinear_in_diameter(self, spark):
+        # alternating large/small-star (Kiveris et al. SoCC'14)
+        # contracts a diameter-64 path in O(log n) alternations —
+        # min-label propagation would need 64 rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], ["doc_a", "doc_b"]
+        )
+        st: dict = {}
+        out = dedup.dedup_clusters(pairs, stats=st)
+        assert out.select("cluster_id").distinct().collect()[0][0] == 0
+        assert out.count() == 65
+        assert st["rounds"] <= 10  # log-ish, far under diameter 64
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        # same component given in both orientations + repeats
+        pairs = spark.createDataFrame(
+            [(2, 1), (1, 2), (3, 2), (2, 3), (3, 2)], ["doc_a", "doc_b"]
+        )
+        got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
     def test_pipeline_over_fixture(self, spark):
         register_dir(spark, SF)
         docs = spark.table("documents")
