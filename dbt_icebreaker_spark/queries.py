@@ -4005,6 +4005,30 @@ XOP_ORACLES["x54_zorder_key"] = f"""
 # final table state after two streamed micro-batch merges: batch 2
 # (users 20-59, value doubled) wins on key overlap with batch 1
 # (users 0-39); keys unique per batch
+XOP_ORACLES["q63_merge_statement"] = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 10000
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+    )
+    SELECT t.* FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT s.* FROM src s
+    WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+    UNION ALL
+    SELECT s.* FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+"""
+
+XOP_ORACLES["q64_create_clone"] = """
+    SELECT * FROM nation
+"""
+
 XOP_ORACLES["s09_streaming_merge"] = """
     WITH b1 AS (
       SELECT event_id, user_id, event_type, value
@@ -4019,7 +4043,64 @@ XOP_ORACLES["s09_streaming_merge"] = """
     SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
 """
 
+def _q_merge_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal MERGE INTO statement through IcebreakerEngine.execute:
+    parsed (materializations/merge_stmt.parse_merge) and lowered onto
+    the crash-safe incremental rewrite — the parquet-table rendering of
+    ref incremental.sql:161-190. Oracle reproduces the UPDATE-all /
+    INSERT-all semantics declaratively."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q63_")
+    db = f"q63_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.m_target AS "
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 10000"
+    )
+    eng.execute(
+        f"""
+        MERGE INTO {db}.m_target t
+        USING (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+        ) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    return spark.table(f"{db}.m_target")
+
+
+def _q_create_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... CLONE via the transpiler's CTAS fallback
+    (transforms.rewrite_clone; documented deviation: full copy, not
+    Snowflake's zero-copy metadata clone)."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q64_")
+    db = f"q64_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    eng.execute(f"CREATE OR REPLACE TABLE {db}.nation_clone CLONE nation")
+    return spark.table(f"{db}.nation_clone")
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q63_merge_statement": _q_merge_statement,
+    "q64_create_clone": _q_create_clone,
     "x01_dedup_exact": _x_dedup_exact,
     "x02_minhash_lsh": _x_minhash,
     "x28_incremental_dedup": _x_incremental_dedup,

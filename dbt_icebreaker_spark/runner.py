@@ -26,6 +26,7 @@ from .materializations.incremental import run_incremental
 from .materializations.snapshot import run_snapshot
 from .observability.telemetry import TelemetryStore, harvest_last_execution
 from .transpiler import Transpiler
+from .transpiler.core import TranspileError
 
 
 @dataclass
@@ -75,12 +76,28 @@ class IcebreakerEngine:
         raise actionable ExecutionErrors instead of raw
         AnalysisExceptions (ref connections.py:352-371)."""
         from .materializations.copy_into import parse_copy_into, run_copy_into
+        from .materializations.merge_stmt import parse_merge, run_merge_statement
         from .transpiler.core import render, split_statements, tokenize
 
         result: DataFrame | None = None
         for stmt_tokens in split_statements(tokenize(sql)):
             raw = render(stmt_tokens).strip()
             if not raw:
+                continue
+            merge_spec = parse_merge(raw)
+            if merge_spec is not None:
+                # parquet tables have no row-level MERGE; lower onto the
+                # incremental rewrite (same routing pattern as COPY INTO)
+                try:
+                    stats = run_merge_statement(self.spark, merge_spec, self.transpiler)
+                except (ValueError, TranspileError):
+                    raise  # already actionable
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_affected"])],
+                    "table string, rows_affected long",
+                )
                 continue
             spec = parse_copy_into(raw)
             if spec is not None:

@@ -2900,6 +2900,60 @@ def _has_top_connect_by(seg: Tokens) -> bool:
     return False
 
 
+def rewrite_clone(tokens: Tokens) -> Tokens:
+    """CREATE [OR REPLACE] TABLE t CLONE src → CTAS.
+
+    DOCUMENTED DEVIATION: Snowflake CLONE is a zero-copy metadata
+    operation; plain parquet tables have no snapshot layer, so the
+    fallback materializes a full copy (`CREATE ... TABLE t AS SELECT *
+    FROM src`). Time-travel clones (AT/BEFORE) are refused — parquet
+    keeps no history (on Iceberg/Delta use VERSION/TIMESTAMP AS OF).
+    Snowflake's TRANSIENT modifier (no fail-safe storage) is dropped:
+    every Spark table is "transient" in that sense."""
+    words = [(i, t.upper) for i, t in enumerate(tokens) if t.kind == WORD]
+    heads = [w for _, w in words[:5]]
+    if not heads or heads[0] != "CREATE" or "TABLE" not in heads:
+        return tokens
+    clone_pos = None
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "CLONE":
+            clone_pos = i
+            break
+    if clone_pos is None:
+        return tokens
+    tail_words = [t.upper for t in tokens[clone_pos:] if t.kind == WORD]
+    if "AT" in tail_words or "BEFORE" in tail_words:
+        from .tokenizer import render as _render
+
+        raise ValueError(
+            "CREATE TABLE ... CLONE with AT/BEFORE time travel is not "
+            "supported on plain parquet tables (no history): "
+            f"{_render(tokens[clone_pos:]).strip()!r}. On an "
+            "Iceberg/Delta catalog use CTAS with VERSION AS OF / "
+            "TIMESTAMP AS OF."
+        )
+    head = render(tokens[:clone_pos])
+    src = render(tokens[clone_pos + 1 :]).strip()
+    # drop TRANSIENT (Snowflake storage class with no Spark meaning)
+    head = re.sub(r"(?i)\bTRANSIENT\s+", "", head)
+    # Spark's V1 session catalog has no REPLACE TABLE AS SELECT —
+    # lower OR REPLACE to DROP IF EXISTS + CTAS (non-atomic, like the
+    # copy itself; V2 catalogs get true RTAS through the same CTAS)
+    m = re.match(r"(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(.*)$", head)
+    if m:
+        tbl = m.group(1).strip()
+        return tokenize(
+            f"DROP TABLE IF EXISTS {tbl}; "
+            f"CREATE TABLE {tbl} AS SELECT * FROM {src}"
+        )
+    return tokenize(f"{head.rstrip()} AS SELECT * FROM {src}")
+
+
 def rewrite_connect_by(tokens: Tokens) -> Tokens:
     """Snowflake/Oracle hierarchical query → Spark recursive CTE.
 
@@ -3816,6 +3870,7 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
 
 # ------------------------------------------------------------- pipeline
 PIPELINE = (
+    rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)
     rewrite_connect_by,        # whole-statement restructure runs first
     rewrite_collate,           # quoted specs → Spark collation names
     rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n

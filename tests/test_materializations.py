@@ -1302,3 +1302,128 @@ class TestSeedColumnTypesTypo:
         eng = IcebreakerEngine(spark, schema="seed_t")
         with _pytest.raises(ValueError, match="Zip"):
             eng.seed_csv("z2", str(p), column_types={"Zip": "string"})
+
+
+class TestMergeStatement:
+    """Literal MERGE INTO through IcebreakerEngine.execute, lowered
+    onto the incremental rewrite (materializations/merge_stmt.py)."""
+
+    def _seed(self, spark, eng, name):
+        spark.sql(f"DROP TABLE IF EXISTS mat_test.{name}")
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        ).write.saveAsTable(f"mat_test.{name}")
+
+    def test_update_insert(self, spark, engine):
+        self._seed(spark, engine, "mg1")
+        spark.createDataFrame(
+            [(2, "B", 22.0), (4, "d", 40.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg1_src")
+        res = engine.execute(
+            "MERGE INTO mat_test.mg1 t USING mg1_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()
+        assert res[0].rows_affected == 2
+        got = {r.k: (r.s, r.v) for r in spark.table("mat_test.mg1").collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_update_only_never_inserts(self, spark, engine):
+        self._seed(spark, engine, "mg2")
+        spark.createDataFrame(
+            [(2, "B", 22.0), (4, "d", 40.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg2_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg2 t USING mg2_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+        got = {r.k for r in spark.table("mat_test.mg2").collect()}
+        assert got == {1, 2, 3}  # k=4 NOT inserted
+
+    def test_partial_update_columns(self, spark, engine):
+        self._seed(spark, engine, "mg3")
+        spark.createDataFrame(
+            [(2, "ZZZ", 99.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg3_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg3 t USING mg3_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v"
+        )
+        r2 = [r for r in spark.table("mat_test.mg3").collect() if r.k == 2][0]
+        assert r2.v == 99.0 and r2.s == "b"  # s untouched
+
+    def test_matched_delete(self, spark, engine):
+        self._seed(spark, engine, "mg4")
+        spark.createDataFrame([(1,), (3,)], "k int").createOrReplaceTempView("mg4_src")
+        res = engine.execute(
+            "MERGE INTO mat_test.mg4 t USING mg4_src s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        ).collect()
+        assert res[0].rows_affected == 2
+        assert {r.k for r in spark.table("mat_test.mg4").collect()} == {2}
+
+    def test_insert_only(self, spark, engine):
+        self._seed(spark, engine, "mg5")
+        spark.createDataFrame(
+            [(3, "x", 0.0), (5, "e", 50.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg5_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg5 t USING mg5_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r.k: r.s for r in spark.table("mat_test.mg5").collect()}
+        assert got == {1: "a", 2: "b", 3: "c", 5: "e"}  # k=3 NOT replaced
+
+    def test_subquery_source_with_transpiled_dialect(self, spark, engine):
+        self._seed(spark, engine, "mg6")
+        spark.createDataFrame(
+            [(2, "raw", 1.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg6_src")
+        # IFF is Snowflake dialect — proves the USING subquery goes
+        # through the transpiler
+        engine.execute(
+            "MERGE INTO mat_test.mg6 t USING "
+            "(SELECT k, IFF(v > 0, 'pos', 'neg') AS s, v FROM mg6_src) s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
+        )
+        r2 = [r for r in spark.table("mat_test.mg6").collect() if r.k == 2][0]
+        assert r2.s == "pos"
+
+    def test_unsupported_shapes_actionable(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        self._seed(spark, engine, "mg7")
+        with _pytest.raises(TranspileError, match="equality"):
+            engine.execute(
+                "MERGE INTO mat_test.mg7 t USING mg7 s ON t.k < s.k "
+                "WHEN MATCHED THEN DELETE"
+            )
+        with _pytest.raises(TranspileError, match="conditional WHEN"):
+            engine.execute(
+                "MERGE INTO mat_test.mg7 t USING mg7 s ON t.k = s.k "
+                "WHEN MATCHED AND s.v > 1 THEN DELETE"
+            )
+
+
+class TestCreateClone:
+    def test_clone_via_engine(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.cl_src")
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string").write.saveAsTable(
+            "mat_test.cl_src"
+        )
+        engine.execute("CREATE OR REPLACE TABLE mat_test.cl_dst CLONE mat_test.cl_src")
+        assert spark.table("mat_test.cl_dst").count() == 2
+        # re-clone replaces, not appends
+        engine.execute("CREATE OR REPLACE TABLE mat_test.cl_dst CLONE mat_test.cl_src")
+        assert spark.table("mat_test.cl_dst").count() == 2
+
+    def test_time_travel_clone_refused(self, spark, engine):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="[Tt]ime.travel"):
+            engine.execute(
+                "CREATE TABLE c2 CLONE src AT (TIMESTAMP => '2024-01-01'::TIMESTAMP)"
+            )

@@ -1698,3 +1698,26 @@ class TestCCETableNameQualifier:
         )
         # subquery re-aliased with the table name
         assert out.rstrip().endswith(") events") or ") events " in out
+
+
+class TestCloneRewrite:
+    """CREATE TABLE CLONE → CTAS fallback (documented deviation:
+    full copy, Snowflake's clone is zero-copy metadata)."""
+
+    def test_plain_clone(self):
+        out = t.to_spark("CREATE TABLE t2 CLONE t1")
+        assert "AS SELECT * FROM t1" in out and "CLONE" not in out.upper()
+
+    def test_or_replace_lowered_to_drop_ctas(self):
+        stmts = t.to_spark_statements("CREATE OR REPLACE TABLE db.t2 CLONE db.t1")
+        assert len(stmts) == 2
+        assert stmts[0].strip().upper().startswith("DROP TABLE IF EXISTS")
+        assert "AS SELECT * FROM db.t1" in stmts[1]
+
+    def test_transient_dropped(self):
+        out = t.to_spark("CREATE TRANSIENT TABLE t2 CLONE t1")
+        assert "TRANSIENT" not in out.upper()
+
+    def test_clone_as_identifier_untouched(self):
+        out = t.to_spark("SELECT clone FROM t WHERE clone > 1")
+        assert "clone" in out
