@@ -4005,6 +4005,25 @@ XOP_ORACLES["x54_zorder_key"] = f"""
 # final table state after two streamed micro-batch merges: batch 2
 # (users 20-59, value doubled) wins on key overlap with batch 1
 # (users 0-39); keys unique per batch
+XOP_ORACLES["x59_jpeg_stats"] = """
+    WITH base AS (
+      SELECT doc_id,
+             (doc_id % 3) + 1 AS wb,
+             (doc_id % 4) + 1 AS hb,
+             CAST(doc_id % 89 AS DOUBLE) AS g
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(wb * 8 AS INT) AS width,
+           CAST(hb * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           ROUND(g + 9.0 * (hb - 1) / 2 + 5.0 * (wb - 1) / 2, 6) AS mean_luma,
+           ROUND(sqrt((81.0 * (hb * hb - 1) + 25.0 * (wb * wb - 1)) / 12.0), 6)
+               AS std_luma,
+           TRUE AS ok
+    FROM base
+"""
+
 XOP_ORACLES["q63_merge_statement"] = """
     WITH tgt AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -4042,6 +4061,30 @@ XOP_ORACLES["s09_streaming_merge"] = """
     UNION ALL
     SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
 """
+
+def _x_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, hash-verified: synthesize baseline JPEGs
+    (xops/jpeg.py — pure-numpy T.81 DCT + Huffman, all-ones quant)
+    whose 8×8 blocks are constant with values arithmetic in doc_id,
+    decode them through the shared image_stats pass (decode_image
+    dispatcher), and emit pixel statistics. Constant blocks round-trip
+    EXACTLY, so the oracle recomputes mean/std in closed form — one
+    wrong Huffman bit or IDCT coefficient shifts a mean and breaks
+    the hash."""
+    from .xops import imaging
+
+    register_dir(spark, sf_dir)
+    media = imaging.synthesize_block_jpegs(
+        spark.table("documents").filter(F.col("doc_id") < 300), "doc_id"
+    )
+    stats = imaging.image_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("std_luma", 6).alias("std_luma"),
+        "ok",
+    )
+
 
 def _q_merge_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal MERGE INTO statement through IcebreakerEngine.execute:
@@ -4124,6 +4167,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_resize_probe": _x_resize_probe,
     "x50_image_stats": _x_image_stats,
     "x51_image_neardup": _x_image_neardup,
+    "x59_jpeg_stats": _x_jpeg_stats,
     "x52_audio_stats": _x_audio_stats,
     "x53_audio_segments": _x_audio_segments,
     "x54_zorder_key": _x_zorder,

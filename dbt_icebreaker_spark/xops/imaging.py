@@ -8,8 +8,10 @@ perceptual hashing below operate on actual decoded pixels, and the
 corpus entry oracles the decoded means arithmetically (the synthesized
 payloads are real zlib-compressed PNGs whose pixel values derive from
 the row id, so DuckDB can recompute the expected statistics without
-ever seeing the bytes). JPEG stays a documented codec stub — DCT
-entropy decode is a codec, not a container layout.
+ever seeing the bytes). Baseline JPEG decode is equally real — see
+``xops/jpeg.py`` (pure-numpy T.81 sequential DCT + Huffman) and the
+``decode_image`` dispatcher below; only progressive JPEG / mp3 / video
+remain documented stubs.
 
 Scale notes: decode runs inside ``mapInPandas`` (one Python call per
 Arrow batch); pixel arrays never leave the executor — only fixed-width
@@ -165,6 +167,19 @@ def decode_png(raw: bytes) -> Optional[np.ndarray]:
     return out.reshape(height, width, c)
 
 
+def decode_image(raw: bytes) -> Optional[np.ndarray]:
+    """Magic-dispatched decode: PNG (this module) or baseline JPEG
+    (xops/jpeg.py, pure numpy). One entry point so a mixed corpus
+    flows through a single mapInPandas stats pass."""
+    if raw.startswith(_PNG_MAGIC):
+        return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
+    return None
+
+
 def _luma(px: np.ndarray) -> np.ndarray:
     """Grayscale plane from a decoded H×W×C array (Rec.601 weights for
     color; alpha ignored)."""
@@ -227,7 +242,7 @@ def image_stats(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = decode_png(bytes(payload))
+                px = decode_image(bytes(payload))
                 if px is None:
                     rows.append(
                         dict.fromkeys(cols) | {"media_id": int(mid), "ok": False}
@@ -425,6 +440,50 @@ def synthesize_block_pngs(df: DataFrame, id_col: str, group_div: int = 3) -> Dat
                 out.append(
                     {"media_id": k, "payload": encode_png(arr, filter_type=k % 3)}
                 )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return df.mapInPandas(run, schema)
+
+
+def synthesize_block_jpegs(
+    df: DataFrame, id_col: str, wb_mod: int = 3, hb_mod: int = 4
+) -> DataFrame:
+    """Distributed synthesis of REAL baseline JPEGs (xops/jpeg.py
+    encoder, all-ones quantization) whose decoded statistics are pure
+    arithmetic in the row id. Image k is a grid of constant 8×8
+    blocks — wb=(k%wb_mod)+1 × hb=(k%hb_mod)+1 of them — with block
+    (by,bx) holding pixel value base+9·by+5·bx (base=k%89, max 125:
+    never wraps). Constant blocks have an integer DC coefficient and
+    zero AC, so the encode→Huffman→decode round trip is EXACT and the
+    DuckDB oracle recomputes mean and std in closed form:
+    mean = base + 9(hb−1)/2 + 5(wb−1)/2,
+    var  = (81(hb²−1) + 25(wb²−1))/12  (independent uniform by, bx)."""
+    from pyspark.sql.types import BinaryType
+
+    from .jpeg import encode_jpeg
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k in pdf[id_col]:
+                k = int(k)
+                wb = (k % wb_mod) + 1
+                hb = (k % hb_mod) + 1
+                base = k % 89
+                arr = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            base + 9 * by + 5 * bx
+                        )
+                out.append({"media_id": k, "payload": encode_jpeg(arr)})
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     return df.mapInPandas(run, schema)
