@@ -111,10 +111,47 @@ PROBE_SCHEMA = StructType(
         StructField("duration_s", DoubleType()),
         StructField("n_bytes", LongType()),
         StructField("valid", BooleanType()),
+        # jpeg coding process: baseline|extended|progressive (null for
+        # other formats) — a pipeline must know which payloads its
+        # baseline decoder can handle before fanning out decode work
+        StructField("subformat", StringType()),
+        # EXIF tag 0x0112 (1-8; null when absent) — real-world photos
+        # are routinely stored rotated, and resize/crop ops that
+        # ignore orientation silently produce sideways training data
+        StructField("orientation", IntegerType()),
     ]
 )
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _exif_orientation(app1: bytes) -> Optional[int]:
+    """EXIF orientation (tag 0x0112) from an APP1 payload: 'Exif\\0\\0'
+    + TIFF header (II/MM byte order, magic 42, IFD0 offset) + IFD0
+    walk over 12-byte entries. Returns 1-8 or None."""
+    if not app1.startswith(b"Exif\x00\x00") or len(app1) < 16:
+        return None
+    tiff = app1[6:]
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    try:
+        if _struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+            return None
+        (ifd0,) = _struct.unpack(bo + "I", tiff[4:8])
+        (count,) = _struct.unpack(bo + "H", tiff[ifd0 : ifd0 + 2])
+        for e in range(count):
+            off = ifd0 + 2 + 12 * e
+            tag, typ = _struct.unpack(bo + "HH", tiff[off : off + 4])
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = _struct.unpack(bo + "H", tiff[off + 8 : off + 10])
+                return val if 1 <= val <= 8 else None
+    except (_struct.error, IndexError):
+        return None
+    return None
 
 
 def probe_bytes(raw: bytes) -> dict:
@@ -139,6 +176,7 @@ def probe_bytes(raw: bytes) -> dict:
         "format": "unknown", "width": None, "height": None,
         "channels": None, "sample_rate": None, "duration_s": None,
         "n_bytes": len(raw), "valid": False,
+        "subformat": None, "orientation": None,
     }
     try:
         if raw.startswith(_PNG_MAGIC) and len(raw) >= 24:
@@ -167,13 +205,20 @@ def probe_bytes(raw: bytes) -> dict:
                     continue
                 if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= n:
                     h, w = _struct.unpack(">HH", raw[i + 5 : i + 9])
-                    out.update(format="jpeg", width=w, height=h, valid=True)
+                    sub = {0xC0: "baseline", 0xC1: "extended",
+                           0xC2: "progressive"}[marker]
+                    out.update(format="jpeg", width=w, height=h,
+                               subformat=sub, valid=True)
                     break
                 if marker == 0xD9 or i + 4 > n:  # EOI / truncated
                     break
                 seg_len = _struct.unpack(">H", raw[i + 2 : i + 4])[0]
                 if seg_len < 2:
                     break  # malformed length, stop rather than loop
+                if marker == 0xE1:  # APP1: EXIF (precedes SOF in files)
+                    ori = _exif_orientation(raw[i + 4 : i + 2 + seg_len])
+                    if ori is not None:
+                        out["orientation"] = ori
                 i += 2 + seg_len
             if out["format"] == "unknown":
                 out.update(format="jpeg")  # magic matched, no SOF found

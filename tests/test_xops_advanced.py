@@ -2091,3 +2091,67 @@ class TestKeepBestUnscored:
         assert set(out) == {1, 2}  # nobody silently dropped
         assert out[2].kept and not out[1].kept
         assert out[1].score is None
+
+
+class TestProbeSubformatOrientation:
+    """Byte-level: JPEG coding-process detection + EXIF orientation
+    (APP1 TIFF walk), both byte orders."""
+
+    @staticmethod
+    def _seg(marker, body):
+        import struct
+
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def _jpeg(self, sof_marker, app1=b""):
+        import struct
+
+        sof = self._seg(
+            sof_marker, struct.pack(">BHHB", 8, 99, 77, 1) + bytes([1, 0x11, 0])
+        )
+        return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+
+    def test_baseline_vs_progressive(self):
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        assert probe_bytes(self._jpeg(0xC0))["subformat"] == "baseline"
+        assert probe_bytes(self._jpeg(0xC1))["subformat"] == "extended"
+        p = probe_bytes(self._jpeg(0xC2))
+        assert p["subformat"] == "progressive" and (p["width"], p["height"]) == (77, 99)
+
+    def test_exif_orientation_both_byte_orders(self):
+        import struct
+
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        for bo, val in (("<", 6), (">", 8)):
+            tiff = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+            tiff += struct.pack(bo + "I", 8)
+            tiff += struct.pack(bo + "H", 1)
+            tiff += struct.pack(bo + "HHI", 0x0112, 3, 1)
+            tiff += struct.pack(bo + "H", val) + b"\x00\x00"
+            tiff += struct.pack(bo + "I", 0)
+            raw = self._jpeg(0xC0, self._seg(0xE1, b"Exif\x00\x00" + tiff))
+            assert probe_bytes(raw)["orientation"] == val
+
+    def test_no_exif_is_null_and_malformed_safe(self):
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        assert probe_bytes(self._jpeg(0xC0))["orientation"] is None
+        # APP1 that is not EXIF (XMP) and truncated TIFF must not crash
+        assert probe_bytes(
+            self._jpeg(0xC0, self._seg(0xE1, b"http://ns.adobe.com/xap/1.0/\x00"))
+        )["orientation"] is None
+        assert probe_bytes(
+            self._jpeg(0xC0, self._seg(0xE1, b"Exif\x00\x00II\x2a\x00"))
+        )["orientation"] is None
+
+    def test_real_encoder_output_is_baseline(self):
+        import numpy as np
+
+        from dbt_icebreaker_spark.xops.jpeg import encode_jpeg
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        p = probe_bytes(encode_jpeg(np.full((16, 24), 7, dtype=np.uint8)))
+        assert p["format"] == "jpeg" and p["subformat"] == "baseline"
+        assert (p["width"], p["height"]) == (24, 16) and p["valid"]
