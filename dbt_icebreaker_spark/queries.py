@@ -4024,6 +4024,30 @@ XOP_ORACLES["x59_jpeg_stats"] = """
     FROM base
 """
 
+XOP_ORACLES["x60_video_frames"] = """
+    WITH base AS (
+      SELECT doc_id,
+             (doc_id % 4) + 2 AS nf,
+             CAST(doc_id % 80 AS DOUBLE) AS g
+      FROM documents WHERE doc_id < 200
+    ),
+    sel AS (
+      -- mirrors extract_frames_mp4: take = min(3, nf) frames at
+      -- indices {(j*nf)//take}, deduplicated
+      SELECT DISTINCT doc_id, nf, g, (j * nf) // least(3, nf) AS si
+      FROM base, unnest(generate_series(0, least(3, nf) - 1)) AS t(j)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY si) - 1 AS INT)
+               AS frame_idx,
+           ROUND(CAST(si AS DOUBLE) * 0.1, 6) AS ts_s,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           ROUND(g + 7 * si, 6) AS mean_luma,
+           TRUE AS ok
+    FROM sel
+"""
+
 XOP_ORACLES["q63_merge_statement"] = """
     WITH tgt AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -4083,6 +4107,37 @@ def _x_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         F.round("std_luma", 6).alias("std_luma"),
         "ok",
+    )
+
+
+def _x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline, hash-verified end to end: synthesize MJPEG
+    MP4s (xops/video.mux_mjpeg_mp4 — real ISO-BMFF stbl tables, real
+    JPEG samples), demux the sample tables, select frames uniformly,
+    decode each sampled frame through the shared image_stats pass, and
+    emit per-frame stats + container timestamps. The oracle recomputes
+    the sample-selection indices, means, and timestamps arithmetically
+    from doc_id — a wrong stco offset, stts delta, or Huffman bit
+    breaks the hash."""
+    from .xops import imaging, video
+
+    register_dir(spark, sf_dir)
+    media = video.synthesize_mjpeg_corpus(
+        spark.table("documents").filter(F.col("doc_id") < 200), "doc_id"
+    )
+    frames = video.extract_frames_mp4(media, max_frames=3)
+    # frame identity packed into the stats key (frame_idx < 10)
+    keyed = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.round("ts_s", 6).alias("ts_s"),
+        F.col("frame_payload").alias("payload"),
+    )
+    stats = imaging.image_stats(keyed)
+    return stats.join(keyed.select("media_id", "ts_s"), "media_id").select(
+        (F.col("media_id") / 10).cast("long").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        "ts_s", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"), "ok",
     )
 
 
@@ -4168,6 +4223,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x50_image_stats": _x_image_stats,
     "x51_image_neardup": _x_image_neardup,
     "x59_jpeg_stats": _x_jpeg_stats,
+    "x60_video_frames": _x_video_frames,
     "x52_audio_stats": _x_audio_stats,
     "x53_audio_segments": _x_audio_segments,
     "x54_zorder_key": _x_zorder,
