@@ -457,10 +457,15 @@ def synthesize_block_jpegs(
     zero AC, so the encode→Huffman→decode round trip is EXACT and the
     DuckDB oracle recomputes mean and std in closed form:
     mean = base + 9(hb−1)/2 + 5(wb−1)/2,
-    var  = (81(hb²−1) + 25(wb²−1))/12  (independent uniform by, bx)."""
+    var  = (81(hb²−1) + 25(wb²−1))/12  (independent uniform by, bx).
+
+    Odd row ids are encoded PROGRESSIVE (SOF2, all four scan kinds
+    incl. both successive-approximation refinement passes), even ids
+    baseline — the same oracle therefore hash-verifies both decode
+    paths in the driver gate."""
     from pyspark.sql.types import BinaryType
 
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     schema = StructType(
         [
@@ -483,7 +488,8 @@ def synthesize_block_jpegs(
                         arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                             base + 9 * by + 5 * bx
                         )
-                out.append({"media_id": k, "payload": encode_jpeg(arr)})
+                enc = encode_jpeg_progressive if k % 2 else encode_jpeg
+                out.append({"media_id": k, "payload": enc(arr)})
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     return df.mapInPandas(run, schema)

@@ -132,16 +132,54 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
             return sym
     raise ValueError("invalid Huffman code")
 
-
 def decode_jpeg(raw: bytes) -> Optional[np.ndarray]:
-    """Baseline JPEG → H×W×C uint8 (C=1 gray, C=3 RGB), or None for
-    non-JPEG / progressive / arithmetic / 12-bit payloads."""
+    """JPEG → H×W×C uint8 (C=1 gray, C=3 RGB). Handles baseline and
+    extended sequential (SOF0/SOF1) AND progressive (SOF2: spectral
+    selection + successive approximation, per T.81 Annex G). Returns
+    None for non-JPEG / arithmetic-coded / lossless / 12-bit
+    payloads — the quarantine-not-crash policy."""
     if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
         return None
     try:
         return _decode(raw)
-    except (ValueError, IndexError, KeyError, _struct.error, _BitReader._Marker):
+    except (ValueError, IndexError, KeyError, ZeroDivisionError,
+            _struct.error, _BitReader._Marker):
         return None
+
+
+def _geometry(width: int, height: int, comps) -> dict:
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    per = {}
+    for cid, h, v, _tq in comps:
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        per[cid] = {
+            "bw": -(-cw // 8), "bh": -(-ch // 8),   # true block dims
+            "bw_pad": mcux * h, "bh_pad": mcuy * v,  # MCU-padded dims
+            "cw": cw, "ch": ch,
+        }
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy, "per": per}
+
+
+def _next_marker(raw: bytes, pos: int) -> int:
+    """First real marker at/after pos (skips entropy bytes, 0xFF00
+    stuffing, fill bytes and RSTn)."""
+    i, n = pos, len(raw)
+    while i + 1 < n:
+        if raw[i] == 0xFF:
+            nxt = raw[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
 
 
 def _decode(raw: bytes) -> Optional[np.ndarray]:
@@ -150,18 +188,20 @@ def _decode(raw: bytes) -> Optional[np.ndarray]:
     huff_ac: dict[int, dict] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     width = height = None
+    progressive = False
     restart_interval = 0
-    i = 2
-    n = len(raw)
+    geom = None
+    coefs: Optional[dict[int, np.ndarray]] = None
+    i, n = 2, len(raw)
     while i + 4 <= n:
         if raw[i] != 0xFF:
             return None
         marker = raw[i + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
-            return None
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = _struct.unpack(">H", raw[i + 2 : i + 4])
         seg = raw[i + 4 : i + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -185,9 +225,9 @@ def _decode(raw: bytes) -> Optional[np.ndarray]:
                 vals = list(seg[p + 17 : p + 17 + cnt])
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
                 p += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & ext. sequential
-            prec = seg[0]
-            if prec != 8:
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
+            if seg[0] != 8:  # precision
                 return None
             height, width = _struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -195,108 +235,213 @@ def _decode(raw: bytes) -> Optional[np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic
+            return None  # lossless / arithmetic / differential
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS
+            if width is None or not comps:
+                return None
+            if geom is None:
+                geom = _geometry(width, height, comps)
+                coefs = {
+                    cid: np.zeros(
+                        (geom["per"][cid]["bh_pad"], geom["per"][cid]["bw_pad"], 64),
+                        dtype=np.int32,
+                    )
+                    for cid, *_ in comps
+                }
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cid] = (tt >> 4, tt & 15)
-            data_start = i + 2 + seglen
-            return _decode_scan(
-                raw, data_start, width, height, comps, scan_tables,
-                qt, huff_dc, huff_ac, restart_interval,
+                scan_comps.append((cid, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            end = _decode_scan_into(
+                raw, i + 2 + seglen, comps, scan_comps, geom, coefs,
+                huff_dc, huff_ac, restart_interval, ss, se, ah, al,
             )
+            i = _next_marker(raw, end)
+            continue
         i += 2 + seglen
-    return None
-
-
-def _decode_scan(
-    raw, pos, width, height, comps, scan_tables, qt, huff_dc, huff_ac,
-    restart_interval,
-):
-    if width is None or not comps:
+    if coefs is None:
         return None
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
+    return _reconstruct(raw, width, height, comps, geom, coefs, qt)
+
+
+def _decode_scan_into(
+    raw, pos, comps, scan_comps, geom, coefs, huff_dc, huff_ac, dri,
+    ss, se, ah, al,
+):
+    """Decode one entropy-coded scan into the coefficient store
+    (zigzag order). Returns the byte position where entropy data
+    ended. Handles interleaved (ns>1 or full sequential) and
+    non-interleaved (single-component) scans, restart intervals, and
+    all four progressive scan kinds."""
     br = _BitReader(raw, pos)
-    preds = {cid: 0 for cid, *_ in comps}
-    planes = {
-        cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for cid, h, v, _ in comps
-    }
-    mcu_count = 0
+    cmap = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    preds = {cid: 0 for cid, _dc, _ac in scan_comps}
+    state = {"eobrun": 0}
     rst_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                got = br.expect_restart()
-                if got != rst_n:
-                    raise ValueError("restart marker out of sequence")
-                rst_n = (rst_n + 1) % 8
-                preds = {cid: 0 for cid, *_ in comps}
-            for cid, h, v, tq in comps:
-                dc_t, ac_t = scan_tables[cid]
-                for by in range(v):
-                    for bx in range(h):
-                        block = _decode_block(
-                            br, huff_dc[dc_t], huff_ac[ac_t], qt[tq], preds, cid
-                        )
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    # upsample subsampled components to full MCU-grid resolution, crop
+
+    def unit(blk, dc_t, ac_t, cid):
+        if ss == 0 and ah == 0:
+            # DC first (progressive) or full block (sequential)
+            s = _huff_decode(br, huff_dc[dc_t])
+            diff = _extend(br.read(s), s) if s else 0
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+            if se > 0:
+                _ac_first(br, blk, huff_ac[ac_t], 1, se, 0, state)
+        elif ss == 0:  # DC refinement
+            if br.read(1):
+                blk[0] |= 1 << al
+        elif ah == 0:  # AC first
+            _ac_first(br, blk, huff_ac[ac_t], ss, se, al, state)
+        else:  # AC refinement
+            _ac_refine(br, blk, huff_ac[ac_t], ss, se, al, state)
+
+    def maybe_restart(count):
+        nonlocal rst_n
+        if dri and count and count % dri == 0:
+            got = br.expect_restart()
+            if got != rst_n:
+                raise ValueError("restart out of sequence")
+            rst_n = (rst_n + 1) % 8
+            for k in preds:
+                preds[k] = 0
+            state["eobrun"] = 0
+
+    try:
+        if len(scan_comps) == 1 and (ss > 0 or len(comps) > 1):
+            # non-interleaved: raster over the component's TRUE blocks
+            cid, dc_t, ac_t = scan_comps[0]
+            g = geom["per"][cid]
+            cnt = 0
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    maybe_restart(cnt)
+                    unit(coefs[cid][by, bx], dc_t, ac_t, cid)
+                    cnt += 1
+        else:
+            cnt = 0
+            for my in range(geom["mcuy"]):
+                for mx in range(geom["mcux"]):
+                    maybe_restart(cnt)
+                    for cid, dc_t, ac_t in scan_comps:
+                        h, v, _tq = cmap[cid]
+                        for by in range(v):
+                            for bx in range(h):
+                                unit(
+                                    coefs[cid][my * v + by, mx * h + bx],
+                                    dc_t, ac_t, cid,
+                                )
+                    cnt += 1
+    except _BitReader._Marker:
+        pass  # truncated scan: keep what decoded (best-effort layer)
+    return br.pos
+
+
+def _ac_first(br, blk, ac_table, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, blk, ac_table, ss, se, al, state):
+    """T.81 G.1.2.3 successive-approximation AC refinement (the
+    correction-bit pass), mirroring the spec's decoder flow."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_table)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement size")
+                s_val = p1 if br.read(1) else m1
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    if br.read(1) and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = s_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            coef = int(blk[k])
+            if coef != 0:
+                if br.read(1) and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(raw, width, height, comps, geom, coefs, qt):
+    """Dequant + vectorized IDCT + plane assembly + upsample + color."""
     out_planes = []
-    for cid, h, v, _ in comps:
-        p = planes[cid]
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    for cid, h, v, tq in comps:
+        g = geom["per"][cid]
+        zz = coefs[cid].astype(np.float64) * qt[tq]  # dequant (zigzag order)
+        blocks = np.zeros_like(zz)
+        blocks[:, :, _ZIGZAG] = zz  # de-zigzag to row-major 64
+        f = blocks.reshape(g["bh_pad"], g["bw_pad"], 8, 8)
+        # IDCT: T.T @ F @ T for every block, one einsum
+        px = np.einsum("ij,abjk,kl->abil", _T.T, f, _T) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(g["bh_pad"] * 8, g["bw_pad"] * 8)
+        plane = plane[: g["ch"], : g["cw"]]
         if h != hmax or v != vmax:
-            p = np.kron(p, np.ones((vmax // v, hmax // h)))
-        out_planes.append(p[:height, :width])
+            plane = np.kron(plane, np.ones((vmax // v, hmax // h)))
+        out_planes.append(plane[:height, :width])
     if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return g[:, :, None]
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
     if len(out_planes) == 3:
         y, cb, cr = out_planes
         r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack([r, g, b], axis=2)
+        rgb = np.stack([r, gg, b], axis=2)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return None
-
-
-def _decode_block(br, dc_table, ac_table, quant, preds, cid):
-    coefs = np.zeros(64, dtype=np.int64)
-    s = _huff_decode(br, dc_table)
-    diff = _extend(br.read(s), s) if s else 0
-    preds[cid] += diff
-    coefs[0] = preds[cid]
-    k = 1
-    while k < 64:
-        rs = _huff_decode(br, ac_table)
-        if rs == 0x00:  # EOB
-            break
-        if rs == 0xF0:  # ZRL
-            k += 16
-            continue
-        k += rs >> 4
-        size = rs & 15
-        if k > 63:
-            raise ValueError("AC index overflow")
-        coefs[k] = _extend(br.read(size), size)
-        k += 1
-    dq = coefs * quant
-    block = np.zeros(64, dtype=np.float64)
-    block[_ZIGZAG] = dq
-    f = block.reshape(8, 8)
-    return _T.T @ f @ _T + 128.0
 
 
 # ------------------------------------------------------------- encoder
@@ -452,5 +597,193 @@ def encode_jpeg(arr: np.ndarray, quant: Optional[np.ndarray] = None) -> bytes:
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+def encode_jpeg_progressive(
+    arr: np.ndarray, quant: Optional[np.ndarray] = None
+) -> bytes:
+    """Progressive (SOF2) encoder exercising ALL FOUR scan kinds of
+    T.81 Annex G: DC first with successive approximation (Al=1), DC
+    refinement (raw bits), per-component AC first (Al=1), and
+    per-component AC refinement (the correction-bit pass, G.1.2.3).
+    Same 4:4:4/grayscale + all-ones-quant envelope as encode_jpeg, so
+    progressive output decodes to EXACTLY the same pixels as the
+    baseline encoding of the same array — the differential test that
+    pins encoder/decoder asymmetries."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h0, w0, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("1 or 3 channels")
+    q = np.ones(64, dtype=np.int64) if quant is None else quant.astype(np.int64)
+    H, W = -(-h0 // 8) * 8, -(-w0 // 8) * 8
+    padded = np.empty((H, W, c), dtype=np.float64)
+    padded[:h0, :w0] = arr
+    padded[h0:, :w0] = arr[-1:, :, :]
+    padded[:, w0:] = padded[:, w0 - 1 : w0]
+    if c == 3:
+        r, g, b = padded[:, :, 0], padded[:, :, 1], padded[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+    else:
+        planes = [padded[:, :, 0].astype(np.float64)]
+    nbx, nby = W // 8, H // 8
+    comp_blocks: list[list[np.ndarray]] = []
+    for p in planes:
+        blocks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                f = _T @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _T.T
+                zz = np.round(f).astype(np.int64).reshape(-1)[_ZIGZAG]
+                if quant is not None:
+                    zz = np.round(zz / q).astype(np.int64)
+                blocks.append(zz)
+        comp_blocks.append(blocks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals))
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, bytes(body) + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_sym(diff: int):
+        s = abs(diff).bit_length()
+        return s, (diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    ncomp = len(planes)
+    sof = _struct.pack(">BHHB", 8, h0, w0, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+
+    nblocks = nbx * nby
+
+    # ---- scan 1: DC first, interleaved, Al=1 ------------------------
+    al = 1
+    items = []
+    preds = [0] * ncomp
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            v = int(comp_blocks[ci][bi][0]) >> al
+            d = v - preds[ci]
+            preds[ci] = v
+            items.append(dc_sym(d))
+    bits_t, vals_t, codes = _canonical_single_length({s for s, _ in items})
+    out += dht(0, bits_t, vals_t)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    bw = _BitWriter()
+    for s, (extra, elen) in items:
+        code, clen = codes[s]
+        bw.write(code, clen)
+        if elen:
+            bw.write(extra, elen)
+    out += bw.flush()
+
+    # ---- scan 2: DC refinement (raw bit per block) ------------------
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            bw.write(int(comp_blocks[ci][bi][0]) & 1, 1)
+    out += bw.flush()
+
+    # ---- per component: AC first (Al=1) then AC refine (Al=0) -------
+    for ci in range(ncomp):
+        # AC first: codes coef>>1 (toward zero) via baseline RLE syntax
+        syms = []  # (symbol, extra, elen) stream per block
+        stream: list[tuple] = []
+        for bi in range(nblocks):
+            zz = comp_blocks[ci][bi]
+            run = 0
+            emitted = False
+            for k in range(1, 64):
+                t = int(zz[k])
+                v = (abs(t) >> 1) * (1 if t >= 0 else -1)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    stream.append((0xF0, 0, 0))
+                    run -= 16
+                s = abs(v).bit_length()
+                stream.append(((run << 4) | s, v if v >= 0 else v + (1 << s) - 1, s))
+                run = 0
+                emitted = True
+            if run or not emitted:
+                stream.append((0x00, 0, 0))  # EOB (run=1)
+        bits_t, vals_t, codes = _canonical_single_length({s for s, _, _ in stream})
+        out += dht(1, bits_t, vals_t)
+        out += sos([ci + 1], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for sym, extra, elen in stream:
+            code, clen = codes[sym]
+            bw.write(code, clen)
+            if elen:
+                bw.write(extra, elen)
+        out += bw.flush()
+
+        # AC refine: newly-nonzero (|t|==1) via (run,1)+sign, history
+        # (|t|>1) as pending correction bits flushed after each symbol
+        stream2: list[tuple] = []  # ("sym", sym, extra, elen) | ("bit", b)
+        for bi in range(nblocks):
+            zz = comp_blocks[ci][bi]
+            run = 0
+            pending: list[int] = []
+            for k in range(1, 64):
+                t = int(zz[k])
+                a = abs(t)
+                if a == 0:
+                    run += 1
+                    continue
+                if a == 1:  # newly nonzero in this scan
+                    while run > 15:
+                        stream2.append(("sym", 0xF0, 0, 0))
+                        for pb in pending:
+                            stream2.append(("bit", pb))
+                        pending = []
+                        run -= 16
+                    stream2.append(("sym", (run << 4) | 1, 1 if t > 0 else 0, 1))
+                    for pb in pending:
+                        stream2.append(("bit", pb))
+                    pending = []
+                    run = 0
+                else:  # history coefficient: correction bit
+                    pending.append(a & 1)
+            # EOB (eobrun=1) + remaining correction bits
+            stream2.append(("sym", 0x00, 0, 0))
+            for pb in pending:
+                stream2.append(("bit", pb))
+        bits_t, vals_t, codes = _canonical_single_length(
+            {s for kind, s, *_ in stream2 if kind == "sym"}
+        )
+        out += dht(1, bits_t, vals_t)
+        out += sos([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for item in stream2:
+            if item[0] == "sym":
+                _, sym, extra, elen = item
+                code, clen = codes[sym]
+                bw.write(code, clen)
+                if elen:
+                    bw.write(extra, elen)
+            else:
+                bw.write(item[1], 1)
+        out += bw.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -70,12 +70,13 @@ class TestRobustness:
         assert decode_jpeg(b"") is None
         assert decode_jpeg(b"\xff\xd8") is None
 
-    def test_progressive_refused(self):
-        # SOF2 marker → None (progressive is out of scope)
+    def test_lossless_and_arithmetic_refused(self):
         raw = bytearray(encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
         i = raw.find(b"\xff\xc0")
-        raw[i + 1] = 0xC2
-        assert decode_jpeg(bytes(raw)) is None
+        for sof in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic
+            raw2 = bytearray(raw)
+            raw2[i + 1] = sof
+            assert decode_jpeg(bytes(raw2)) is None
 
     def test_truncated_quarantines(self):
         raw = encode_jpeg(np.full((16, 16), 50, dtype=np.uint8))
@@ -154,3 +155,57 @@ class TestDispatcher:
         assert decode_image(encode_jpeg(a)).shape == (8, 8, 1)
         assert decode_image(encode_png(a)).shape == (8, 8, 1)
         assert decode_image(b"neither") is None
+
+
+class TestProgressive:
+    """SOF2 decode: spectral selection + successive approximation
+    (T.81 Annex G), all four scan kinds exercised by the progressive
+    encoder and pinned by bit-exact equivalence with baseline."""
+
+    def _both(self, a):
+        from dbt_icebreaker_spark.xops.jpeg import encode_jpeg_progressive
+
+        db = decode_jpeg(encode_jpeg(a))
+        dp = decode_jpeg(encode_jpeg_progressive(a))
+        assert dp is not None
+        return db, dp
+
+    def test_constant_matches_baseline(self):
+        db, dp = self._both(np.full((16, 24), 77, dtype=np.uint8))
+        assert np.array_equal(db, dp)
+        assert np.array_equal(dp[:, :, 0], np.full((16, 24), 77, dtype=np.uint8))
+
+    def test_noise_matches_baseline_exactly(self):
+        # random noise drives AC refinement hard: newly-nonzero
+        # placement, ZRL runs, history correction bits, EOB tails
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 256, size=(40, 32), dtype=np.uint8)
+        db, dp = self._both(a)
+        assert np.array_equal(db, dp)
+
+    def test_rgb_and_odd_dims(self):
+        rgb = np.zeros((13, 19, 3), dtype=np.uint8)
+        rgb[:, :] = (200, 30, 90)
+        db, dp = self._both(rgb)
+        assert np.array_equal(db, dp) and dp.shape == (13, 19, 3)
+
+    def test_probe_reports_progressive(self):
+        from dbt_icebreaker_spark.xops.jpeg import encode_jpeg_progressive
+        from dbt_icebreaker_spark.xops.multimodal import probe_bytes
+
+        raw = encode_jpeg_progressive(np.full((8, 16), 5, dtype=np.uint8))
+        p = probe_bytes(raw)
+        assert p["subformat"] == "progressive"
+        assert (p["width"], p["height"]) == (16, 8)
+
+    def test_truncated_progressive_best_effort(self):
+        from dbt_icebreaker_spark.xops.jpeg import encode_jpeg_progressive
+
+        a = np.full((16, 16), 90, dtype=np.uint8)
+        raw = encode_jpeg_progressive(a)
+        # cut after the DC scans: decode still yields the DC
+        # approximation (progressive's defining property) or None —
+        # never an exception
+        for cut in (len(raw) // 2, len(raw) - 10):
+            d = decode_jpeg(raw[:cut])
+            assert d is None or d.shape == (16, 16, 1)
