@@ -1781,14 +1781,20 @@ def _x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (IVF recall < 1 by design) — rows-only check
+    """IVF ANN, SQL-oracled end to end: the md5-ordered k-means init,
+    two Lloyd iterations (centroids rounded to 9 dp — the cross-engine
+    noise seam), nearest-cell assignment with (distance, cell)
+    tie-break, 4-cell probing, and cosine top-5 (rounded to 6 dp
+    BEFORE ranking) are all replicated declaratively in DuckDB — an
+    APPROXIMATE operator with an exact differential oracle, upgrading
+    x15 from rows-only (the x11 pattern)."""
     from .xops import similarity
 
     register_dir(spark, sf_dir)
     emb = spark.table("embeddings")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_cells=16, n_probe=4,
+        k=5, n_cells=16, n_probe=4, round_to=6, centroid_round=9,
     )
 
 
@@ -2184,14 +2190,17 @@ def _x_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (xops/similarity.semantic_dedup):
     k-means cells bound the pair search; keep-lowest-id within cell.
-    Run-only (k-means iterations are not SQL-expressible); the pytest
-    differential gate checks k=1 equals the brute-force rule."""
+    SQL-oracled: the deterministic pipeline (md5 init, two Lloyd
+    iterations with 9-dp-rounded centroids, within-cell smaller-id
+    threshold drop) is replicated declaratively in DuckDB, upgrading
+    x38 from rows-only; the pytest differential gate additionally
+    checks k=1 equals the brute-force rule."""
     from .xops.similarity import semantic_dedup
 
     register_dir(spark, sf_dir)
     return semantic_dedup(
         spark.table("embeddings"), "vec_id", "embedding",
-        threshold=0.35, n_cells=8, iters=2,
+        threshold=0.35, n_cells=8, iters=2, centroid_round=9,
     )
 
 
@@ -3270,7 +3279,7 @@ XOP_ORACLES: dict[str, str | None] = {
                rn = 1 AS kept
         FROM ranked
     """,
-    "x15_ivf_topk": None,        # approximate (IVF recall<1 by design)
+    "x15_ivf_topk": None,        # replaced below: full DuckDB k-means replica
     "x16_tfidf_topk": """
         WITH docs AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 100
@@ -4005,6 +4014,96 @@ XOP_ORACLES["x54_zorder_key"] = f"""
 # final table state after two streamed micro-batch merges: batch 2
 # (users 20-59, value doubled) wins on key overlap with batch 1
 # (users 0-39); keys unique per batch
+def _kmeans_cte(n_cells: int) -> str:
+    """DuckDB replica of similarity.kmeans_centroids(iters=2,
+    centroid_round=9): md5-ordered init, two unrolled Lloyd
+    iterations, (distance, cell) argmin tie-break, 9-dp-rounded
+    means. Emits CTEs v (double vectors), c0..c2 (centroids)."""
+    assign = (
+        "SELECT vec_id, vec, cell FROM ("
+        "  SELECT v.vec_id, v.vec, c.cell,"
+        "         ROW_NUMBER() OVER (PARTITION BY v.vec_id"
+        "              ORDER BY list_distance(v.vec, c.centroid), c.cell) AS rn"
+        "  FROM v CROSS JOIN {src} c) WHERE rn = 1"
+    )
+    mean = (
+        "SELECT cell, list(m ORDER BY pos) AS centroid FROM ("
+        "  SELECT cell, i AS pos, ROUND(AVG(vec[i]), 9) AS m"
+        "  FROM {src}, unnest(generate_series(1, len(vec))) AS t(i)"
+        "  GROUP BY cell, i) GROUP BY cell"
+    )
+    return f"""
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+             vec AS centroid
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+    ),
+    a1 AS ({assign.format(src='c0')}),
+    c1 AS ({mean.format(src='a1')}),
+    a2 AS ({assign.format(src='c1')}),
+    c2 AS ({mean.format(src='a2')})
+    """
+
+
+XOP_ORACLES["x15_ivf_topk"] = f"""
+    WITH {_kmeans_cte(16)},
+    inv AS (
+      SELECT vec_id AS neighbor_id, vec, cell FROM (
+        SELECT v.vec_id, v.vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                    ORDER BY list_distance(v.vec, c.centroid), c.cell) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY list_distance(q.vec, c.centroid), c.cell) AS rn
+        FROM q CROSS JOIN c2 c) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, i.neighbor_id,
+             ROUND(list_cosine_similarity(q.vec, i.vec), 6) AS cosine
+      FROM probe p
+      JOIN inv i ON i.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE i.neighbor_id <> p.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+"""
+
+XOP_ORACLES["x38_semantic_dedup"] = f"""
+    WITH {_kmeans_cte(8)},
+    assigned AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT v.vec_id, v.vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                    ORDER BY list_distance(v.vec, c.centroid), c.cell) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
 XOP_ORACLES["x59_jpeg_stats"] = """
     WITH base AS (
       SELECT doc_id,

@@ -187,6 +187,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    centroid_round: Optional[int] = None,
 ) -> DataFrame:
     """Deterministic mini k-means for IVF coarse quantization, pure
     DataFrame ops (no MLlib, no RDD, no Python in the loop).
@@ -227,10 +228,18 @@ def kmeans_centroids(
             "bid_vec",
             _nearest_cell(F.col("cs"), F.col("bid_vec")).alias("cell"),
         )
+        # centroid_round quantizes each mean (e.g. 9 dp): summation
+        # order across engines/partitions perturbs the last bits, and
+        # an unrounded centroid would let that noise flip a nearest-
+        # cell argmin — the one cascade point in an otherwise
+        # deterministic pipeline (same defense as lsh_topk.round_to)
+        mean_expr = F.avg("x")
+        if centroid_round is not None:
+            mean_expr = F.round(mean_expr, centroid_round)
         centroids = (
             assigned.select("cell", F.posexplode("bid_vec").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -269,6 +278,8 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    round_to: Optional[int] = None,
+    centroid_round: Optional[int] = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbor — the scale path past
     brute-force (cosine_topk) and hyperplane LSH (lsh_topk).
@@ -283,7 +294,9 @@ def ivf_topk(
     per-query top-k window over candidates. Output: (query_id,
     neighbor_id, cosine, rank).
     """
-    centroids = kmeans_centroids(corpus, id_col, vec_col, n_cells, iters)
+    centroids = kmeans_centroids(
+        corpus, id_col, vec_col, n_cells, iters, centroid_round=centroid_round
+    )
     cents = centroids.groupBy().agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cs")
     )
@@ -336,16 +349,15 @@ def ivf_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    cos_expr = dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))
+    if round_to is not None:
+        # round BEFORE ranking so cross-engine summation noise cannot
+        # swap near-tie ranks (the x11/lsh_topk defense)
+        cos_expr = F.round(cos_expr, round_to)
     scored = (
         probed.join(inv, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias(
-                "cosine"
-            ),
-        )
+        .select("query_id", "neighbor_id", cos_expr.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -367,6 +379,7 @@ def semantic_dedup(
     threshold: float = 0.8,
     n_cells: int = 16,
     iters: int = 2,
+    centroid_round: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space, then drop every vector that has a
@@ -388,7 +401,9 @@ def semantic_dedup(
 
     Output: (id, cell, keep) — one row per input vector.
     """
-    centroids = kmeans_centroids(corpus, id_col, vec_col, n_cells, iters)
+    centroids = kmeans_centroids(
+        corpus, id_col, vec_col, n_cells, iters, centroid_round=centroid_round
+    )
     cents = centroids.groupBy().agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cs")
     )
