@@ -750,13 +750,19 @@ def encode_jpeg_progressive(
                 if a == 0:
                     run += 1
                     continue
+                # ZRL must be emitted as soon as ANY nonzero (history
+                # or newly-nonzero) follows >15 zero-history positions
+                # — flushing here keeps the buffered correction bits
+                # inside the decoder's 16-zero walk window (libjpeg
+                # jcphuff structure; flushing only at newly-nonzero
+                # coefficients desyncs the stream)
+                while run > 15:
+                    stream2.append(("sym", 0xF0, 0, 0))
+                    for pb in pending:
+                        stream2.append(("bit", pb))
+                    pending = []
+                    run -= 16
                 if a == 1:  # newly nonzero in this scan
-                    while run > 15:
-                        stream2.append(("sym", 0xF0, 0, 0))
-                        for pb in pending:
-                            stream2.append(("bit", pb))
-                        pending = []
-                        run -= 16
                     stream2.append(("sym", (run << 4) | 1, 1 if t > 0 else 0, 1))
                     for pb in pending:
                         stream2.append(("bit", pb))
@@ -764,10 +770,15 @@ def encode_jpeg_progressive(
                     run = 0
                 else:  # history coefficient: correction bit
                     pending.append(a & 1)
-            # EOB (eobrun=1) + remaining correction bits
-            stream2.append(("sym", 0x00, 0, 0))
-            for pb in pending:
-                stream2.append(("bit", pb))
+            # EOB (eobrun=1) + remaining correction bits — but ONLY if
+            # positions remain after the last newly-nonzero: when it
+            # sat exactly at k=63 the decoder's k>Se loop exit already
+            # ends the block, and an extra EOB here desyncs the next
+            # block (caught by the hypothesis bit-identity property)
+            if run > 0 or pending:
+                stream2.append(("sym", 0x00, 0, 0))
+                for pb in pending:
+                    stream2.append(("bit", pb))
         bits_t, vals_t, codes = _canonical_single_length(
             {s for kind, s, *_ in stream2 if kind == "sym"}
         )

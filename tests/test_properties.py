@@ -460,3 +460,83 @@ def test_codecs_never_crash_on_garbage(data):
     decode_wav(data)
     decode_wav(b"RIFF" + data)
     probe_bytes(data)
+
+
+# ------------------------------------------------------------ codecs
+# Property tests for the pure-numpy media codecs: JPEG (baseline +
+# progressive) and the MJPEG-MP4 mux/demux. No Spark session needed —
+# these are executor-side kernels.
+import numpy as np  # noqa: E402
+
+_dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, seed=st.integers(0, 2**32 - 1))
+def test_jpeg_baseline_progressive_bit_identical(dims, seed):
+    """For ANY uint8 image, progressive encode decodes to exactly the
+    same pixels as baseline encode (same coefficients, same quant) —
+    pins all four Annex-G scan kinds against the sequential path."""
+    from dbt_icebreaker_spark.xops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    h, w = dims
+    a = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    db = decode_jpeg(encode_jpeg(a))
+    dp = decode_jpeg(encode_jpeg_progressive(a))
+    assert db is not None and dp is not None
+    assert db.shape == (h, w, 1)
+    assert np.array_equal(db, dp)
+    # all-ones quant: bounded coefficient-rounding error only
+    assert np.abs(db[:, :, 0].astype(int) - a.astype(int)).max() <= 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    cut=st.floats(0.01, 0.99),
+    flip_at=st.integers(2, 4000),
+    flip_to=st.integers(0, 255),
+)
+def test_jpeg_decode_never_raises_on_corruption(seed, cut, flip_at, flip_to):
+    """Truncation and byte corruption quarantine (None or a decoded
+    array) — never an exception escaping into a Spark task."""
+    from dbt_icebreaker_spark.xops.jpeg import decode_jpeg, encode_jpeg
+
+    a = np.random.default_rng(seed).integers(0, 256, size=(16, 16), dtype=np.uint8)
+    raw = bytearray(encode_jpeg(a))
+    raw = raw[: max(2, int(len(raw) * cut))]
+    if flip_at < len(raw):
+        raw[flip_at] = flip_to
+    out = decode_jpeg(bytes(raw))
+    assert out is None or out.dtype == np.uint8
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 8),
+    fps=st.integers(1, 30),
+    seed=st.integers(0, 2**32 - 1),
+    cut=st.floats(0.05, 0.98),
+)
+def test_mp4_mux_demux_roundtrip_and_corruption(n, fps, seed, cut):
+    from dbt_icebreaker_spark.xops.jpeg import encode_jpeg
+    from dbt_icebreaker_spark.xops.video import demux_mp4_samples, mux_mjpeg_mp4
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
+        for _ in range(n)
+    ]
+    raw = mux_mjpeg_mp4(frames, fps=fps, width=8, height=8)
+    info = demux_mp4_samples(raw)
+    assert info["codec"] == "jpeg" and len(info["samples"]) == n
+    for i, (off, size, t) in enumerate(info["samples"]):
+        assert raw[off : off + size] == frames[i]
+        assert t == i * (1000 // fps)
+    # arbitrary truncation must never raise
+    out = demux_mp4_samples(raw[: max(12, int(len(raw) * cut))])
+    assert out is None or isinstance(out, dict)
