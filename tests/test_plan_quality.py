@@ -472,3 +472,77 @@ class TestRound2EntryPlans:
         n_range = len(re.findall(r"Arguments: rangepartitioning\(__zvalue", plan))
         assert 1 <= n_range <= 2, plan
         assert "hashpartitioning(__zvalue" not in plan
+
+
+class TestRound3PlanShapes:
+    """Plan guards for the round-3 operators."""
+
+    def test_video_frame_pipeline_exchange_free(self, spark):
+        """synthesize → demux/extract → decode/stats is a pure
+        mapInPandas chain: ZERO exchanges until an aggregation —
+        payload bytes never shuffle."""
+        from dbt_icebreaker_spark.xops import imaging, video
+
+        base = spark.range(8).select(F.col("id").alias("doc_id"))
+        media = video.synthesize_mjpeg_corpus(base, "doc_id")
+        frames = video.extract_frames_mp4(media, max_frames=2)
+        keyed = frames.select(
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame_payload").alias("payload"),
+        )
+        stats = imaging.image_stats(keyed)
+        plan = _final_tree(_executed_plan(stats))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan  # Arrow batches, not row UDFs
+
+    def test_jpeg_stats_exchange_free(self, spark):
+        from dbt_icebreaker_spark.xops import imaging
+
+        base = spark.range(8).select(F.col("id").alias("doc_id"))
+        media = imaging.synthesize_block_jpegs(base, "doc_id")
+        plan = _final_tree(_executed_plan(imaging.image_stats(media)))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_star_cc_round_is_two_window_shuffles(self, spark):
+        """One alternation = large-star window + small-star window —
+        no joins, no distinct shuffles (the round-3 rewrite's claim).
+        Pinned by running one round's composed plan shape."""
+        from pyspark.sql import Window
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["src", "dst"]
+        )
+        w = Window.partitionBy("src")
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        large = (
+            sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        oriented = large.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        small = oriented.withColumn("m", F.min("dst").over(w))
+        plan = _final_tree(_executed_plan(small))
+        assert plan.count("Exchange") == 2  # one per star op
+        assert "Join" not in plan
+
+    def test_ivf_search_broadcasts_centroids(self, spark):
+        """IVF probe side: centroids reach queries via broadcast, and
+        the candidate join is the only exchange pair — the corpus scan
+        never crosses the network to meet the (tiny) centroid list."""
+        register_dir(spark, SF_DIR)
+        from dbt_icebreaker_spark.xops import similarity
+
+        emb = spark.table("embeddings")
+        out = similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+            k=3, n_cells=4, n_probe=2, round_to=6, centroid_round=9,
+        )
+        plan = _final_tree(_executed_plan(out))
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
