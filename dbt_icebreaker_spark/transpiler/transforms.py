@@ -204,7 +204,11 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_INTERSECTION": "ARRAY_INTERSECT",
         "ARRAY_CAT": "CONCAT",
         "ARRAY_FLATTEN": "flatten",  # scalar flatten (LATERAL FLATTEN is T13)
-        "ARRAY_PREPEND": "ARRPRE_SWAP",  # snowflake (val, arr) → spark (arr, val)
+        # Snowflake ARRAY_PREPEND(array, value) — array FIRST, same as
+        # ARRAY_APPEND and as Spark's array_prepend: straight rename
+        # (the Postgres-style (value, array) swap shipped in r02 was a
+        # bug caught by the round-3 function-surface audit)
+        "ARRAY_PREPEND": "ARRAY_PREPEND",
         "ARRAY_POSITION": "ARRPOS_SWAP",  # + 1-based→0-based/NULL semantics
         "DATE_FROM_PARTS": "MAKE_DATE",
         "TIMESTAMP_FROM_PARTS": "MAKE_TIMESTAMP",
@@ -365,7 +369,7 @@ def _epoch_literal(arg: Tokens) -> str | None:
 _PLACEHOLDER_NAMES = frozenset((
     "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
     "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
-    "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPRE_SWAP", "ARRPOS_SWAP",
+    "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPOS_SWAP",
     "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
     "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
     "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
@@ -630,10 +634,6 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 a2 = tokens[args[1][0]:args[1][1]]
                 out += ([_op("("), _op("(")] + a1 + [_op(")"), _sp(), _op(sym), _sp(), _op("(")]
                         + a2 + [_op(")"), _op(")")])
-            elif t.text == "ARRPRE_SWAP" and len(args) == 2:
-                val = tokens[args[0][0]:args[0][1]]
-                arr = tokens[args[1][0]:args[1][1]]
-                out += [_word("array_prepend"), _op("(")] + arr + [_op(","), _sp()] + val + [_op(")")]
             elif t.text == "ARRPOS_SWAP" and len(args) == 2:
                 # Snowflake: 0-based index, NULL if absent;
                 # Spark: 1-based, 0 if absent → NULLIF(pos,0)-1
@@ -1460,7 +1460,6 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "BITOP_AND": "BITAND", "BITOP_OR": "BITOR",
                     "BITOP_XOR": "BITXOR", "TO_DATE_X": "to_date",
                     "TO_TS_X": "to_timestamp", "GETPATH_X": "get_json_object",
-                    "ARRPRE_SWAP": "array_prepend",
                     "ARRPOS_SWAP": "array_position",
                     "DIV0_X": "DIV0", "DIV0NULL_X": "DIV0NULL",
                     "TRUNC0_X": "TRUNC",

@@ -388,9 +388,11 @@ class TestArrayFamily:
         assert "flatten(c)" in out
         assert "CONCAT(a,b)" in out
 
-    def test_prepend_swap(self):
-        out = t.to_spark("SELECT ARRAY_PREPEND(0, a) FROM t1").replace(" ", "")
-        assert "array_prepend(a,0)" in out
+    def test_prepend_array_first(self, spark):
+        # Snowflake ARRAY_PREPEND(array, value) — array first, like
+        # ARRAY_APPEND; maps 1:1 onto Spark's array_prepend
+        out = t.to_spark("SELECT ARRAY_PREPEND(ARRAY_CONSTRUCT(1, 2), 0) AS r")
+        assert spark.sql(out).collect()[0].r == [0, 1, 2]
 
     def test_position_semantics(self, spark):
         # Snowflake: 0-based, NULL when absent
