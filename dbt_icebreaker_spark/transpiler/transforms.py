@@ -257,6 +257,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "SKEW": "SKEW_X",           # sample-corrected (Spark skewness is population)
         "KURTOSIS": "KURT_X",       # sample excess kurtosis correction
         "ARRAY_INSERT": "ARRINS_X",  # Snowflake pos is 0-based, Spark's 1-based
+        "ARRAY_REMOVE_AT": "ARRREMAT_X",  # 0-based, negative = from end
         "ARRAY_GENERATE_RANGE": "ARRGEN_X",  # exclusive stop vs sequence's inclusive
         "GET": "GET_X",             # object key → JSON path; array index native
         "EQUAL_NULL": "EQNULL_X",   # null-safe equality → (a <=> b)
@@ -373,7 +374,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
     "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
     "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
-    "SKEW_X", "KURT_X", "ARRINS_X", "ARRGEN_X", "GET_X",
+    "SKEW_X", "KURT_X", "ARRINS_X", "ARRREMAT_X", "ARRGEN_X", "GET_X",
     "SPLIT_X", "STRTOKARR_X",
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
     "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
@@ -910,6 +911,17 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                                      _word("kurtosis"), _op("(")] + x
                             + [_op(")"), _sp(), _op("+"), _sp(), _word("6.0"),
                                _op(")"), _op(")")])
+            elif t.text == "ARRREMAT_X" and len(args) == 2:
+                # Snowflake ARRAY_REMOVE_AT(arr, pos): 0-based, negative
+                # counts from the end. Spark has no direct builtin —
+                # lower to an indexed filter lambda (JVM-side, no UDF)
+                arr_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                pos_s = render(tokens[args[1][0]:args[1][1]]).strip()
+                out += tokenize(
+                    f"filter({arr_s}, (__x, __i) -> __i != "
+                    f"(CASE WHEN ({pos_s}) < 0 THEN size({arr_s}) + ({pos_s}) "
+                    f"ELSE ({pos_s}) END))"
+                )
             elif t.text == "ARRINS_X" and len(args) == 3:
                 # Snowflake ARRAY_INSERT position is 0-BASED; Spark's
                 # array_insert is 1-based. Literal non-negative → +1 at

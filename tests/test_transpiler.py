@@ -1723,3 +1723,20 @@ class TestCloneRewrite:
     def test_clone_as_identifier_untouched(self):
         out = t.to_spark("SELECT clone FROM t WHERE clone > 1")
         assert "clone" in out
+
+
+class TestArrayRemoveAt:
+    def test_semantics(self, spark):
+        # Snowflake: 0-based, negative counts from the end
+        for sql, exp in [
+            ("SELECT ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(1,2,3), 1) AS r", [1, 3]),
+            ("SELECT ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(1,2,3), 0) AS r", [2, 3]),
+            ("SELECT ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(1,2,3), -1) AS r", [1, 2]),
+            # out-of-range position leaves the array unchanged
+            ("SELECT ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(1,2), 9) AS r", [1, 2]),
+        ]:
+            assert spark.sql(t.to_spark(sql)).collect()[0].r == exp
+
+    def test_no_python_udf(self):
+        out = t.to_spark("SELECT ARRAY_REMOVE_AT(a, p) FROM t1")
+        assert "filter(" in out  # JVM lambda, not a UDF
