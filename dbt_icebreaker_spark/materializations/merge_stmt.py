@@ -338,3 +338,173 @@ def run_merge_statement(
             new = remaining
         _staged_overwrite(spark, new, spec.target)
     return {"table": spec.target, "rows_affected": rows}
+
+
+# ---------------------------------------------------------------- DML
+@dataclass
+class DeleteSpec:
+    target: str
+    where_sql: Optional[str]  # Snowflake-dialect predicate text
+
+
+@dataclass
+class UpdateSpec:
+    target: str
+    alias: str
+    sets: list[tuple[str, str]]  # (column, Snowflake-dialect expr text)
+    where_sql: Optional[str]
+
+
+def parse_delete(sql: str) -> Optional[DeleteSpec]:
+    """DELETE FROM <t> [alias] [WHERE cond]; the USING multi-table
+    form refuses actionably (it is a MERGE-shaped delete)."""
+    toks = tokenize(sql)
+    words = _word_positions(toks)
+    if len(words) < 2 or words[0][1] != "DELETE" or words[1][1] != "FROM":
+        return None
+    i = next_code(toks, words[1][0] + 1)
+    if i >= len(toks) or toks[i].kind != WORD:
+        raise TranspileError("DELETE FROM: missing table name")
+    target, i = _read_qualified_name(toks, i)
+    # optional alias
+    if i < len(toks) and toks[i].kind == WORD and toks[i].upper not in ("WHERE", "USING"):
+        i = next_code(toks, i + 1)
+    if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "USING":
+        raise TranspileError(
+            "DELETE ... USING is a join-shaped delete: express it as "
+            "MERGE INTO t USING src ON ... WHEN MATCHED THEN DELETE "
+            "(supported), or pre-compute the key set and use WHERE ... IN."
+        )
+    where_sql = None
+    if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "WHERE":
+        where_sql = render(toks[next_code(toks, i + 1):]).strip()
+    return DeleteSpec(target=target, where_sql=where_sql)
+
+
+def parse_update(sql: str) -> Optional[UpdateSpec]:
+    """UPDATE <t> [alias] SET c = expr[, ...] [WHERE cond]; the FROM
+    multi-table form refuses actionably."""
+    toks = tokenize(sql)
+    words = _word_positions(toks)
+    if not words or words[0][1] != "UPDATE":
+        return None
+    i = next_code(toks, words[0][0] + 1)
+    if i >= len(toks) or toks[i].kind != WORD:
+        raise TranspileError("UPDATE: missing table name")
+    target, i = _read_qualified_name(toks, i)
+    alias = target.split(".")[-1]
+    if i < len(toks) and toks[i].kind == WORD and toks[i].upper != "SET":
+        alias = toks[i].text
+        i = next_code(toks, i + 1)
+    if i >= len(toks) or toks[i].upper != "SET":
+        raise TranspileError("UPDATE: missing SET clause")
+    i = next_code(toks, i + 1)
+    # SET items until top-level FROM/WHERE/end
+    sets: list[tuple[str, str]] = []
+    start = i
+    depth = 0
+    where_sql = None
+
+    def flush(lo: int, hi: int) -> None:
+        seg = toks[lo:hi]
+        # col [.col] = expr
+        j = 0
+        code = [k for k, tk in enumerate(seg) if tk.kind not in ("ws", "comment")]
+        if not code:
+            return
+        j = code[0]
+        parts = [seg[j].text]
+        k = next_code(seg, j + 1)
+        while k < len(seg) and seg[k].is_op("."):
+            m = next_code(seg, k + 1)
+            parts.append(seg[m].text)
+            k = next_code(seg, m + 1)
+        if k >= len(seg) or not seg[k].is_op("="):
+            raise TranspileError("UPDATE SET items must be col = expr")
+        sets.append((parts[-1], render(seg[k + 1:]).strip()))
+
+    j = i
+    while j < len(toks):
+        tk = toks[j]
+        if tk.is_op("("):
+            depth += 1
+        elif tk.is_op(")"):
+            depth -= 1
+        elif depth == 0 and tk.is_op(","):
+            flush(start, j)
+            start = j + 1
+        elif depth == 0 and tk.kind == WORD and tk.upper in ("WHERE", "FROM"):
+            break
+        j += 1
+    flush(start, j)
+    if j < len(toks) and toks[j].kind == WORD and toks[j].upper == "FROM":
+        raise TranspileError(
+            "UPDATE ... FROM is a join-shaped update: express it as "
+            "MERGE INTO t USING src ON ... WHEN MATCHED THEN UPDATE "
+            "SET ... (supported)."
+        )
+    if j < len(toks) and toks[j].kind == WORD and toks[j].upper == "WHERE":
+        where_sql = render(toks[next_code(toks, j + 1):]).strip()
+    if not sets:
+        raise TranspileError("UPDATE: empty SET clause")
+    return UpdateSpec(target=target, alias=alias, sets=sets, where_sql=where_sql)
+
+
+def run_delete_statement(spark: SparkSession, spec: DeleteSpec, transpiler) -> dict:
+    """DELETE on a parquet table = staged overwrite keeping the rows
+    where the predicate is NOT TRUE (false or NULL — SQL DELETE only
+    removes TRUE matches)."""
+    from .incremental import _staged_overwrite
+
+    tgt = spark.table(spec.target)
+    before = tgt.count()
+    if spec.where_sql is None:
+        kept = tgt.filter("false")  # DELETE all, schema preserved
+    else:
+        view = f"__icebreaker_del_{abs(hash(spec.target)) % 10**8}"
+        tgt.createOrReplaceTempView(view)
+        pred = transpiler.to_spark(f"SELECT * FROM {view} t WHERE NOT COALESCE(({spec.where_sql}), FALSE)")
+        kept = spark.sql(pred)
+    # materialize the count before the swap drops the source
+    rows = before - kept.count()
+    _staged_overwrite(spark, kept, spec.target)
+    return {"table": spec.target, "rows_affected": rows}
+
+
+def run_update_statement(spark: SparkSession, spec: UpdateSpec, transpiler) -> dict:
+    """UPDATE on a parquet table = staged overwrite with per-column
+    CASE WHEN <cond> THEN <expr> ELSE <col> END — every RHS evaluates
+    against PRE-update values, matching SQL UPDATE semantics."""
+    from .incremental import _staged_overwrite
+
+    tgt = spark.table(spec.target)
+    updated_cols = {c.lower() for c, _ in spec.sets}
+    missing = [c for c, _ in spec.sets if c.lower() not in {x.lower() for x in tgt.columns}]
+    if missing:
+        raise TranspileError(f"UPDATE: unknown column(s) {missing} on {spec.target}")
+    cond = spec.where_sql if spec.where_sql is not None else "TRUE"
+    view = f"__icebreaker_upd_{abs(hash(spec.target)) % 10**8}"
+    tgt.createOrReplaceTempView(view)
+    sel = []
+    set_map = {c.lower(): e for c, e in spec.sets}
+    for col in tgt.columns:
+        if col.lower() in updated_cols:
+            e = set_map[col.lower()]
+            sel.append(
+                f"CASE WHEN COALESCE(({cond}), FALSE) THEN ({e}) "
+                f"ELSE {col} END AS {col}"
+            )
+        else:
+            sel.append(col)
+    sf_sql = f"SELECT {', '.join(sel)} FROM {view} {spec.alias}"
+    new = spark.sql(transpiler.to_spark(sf_sql))
+    n_view = f"{view}_m"
+    tgt.createOrReplaceTempView(n_view)
+    rows = spark.sql(
+        transpiler.to_spark(
+            f"SELECT COUNT(*) AS n FROM {n_view} {spec.alias} "
+            f"WHERE COALESCE(({cond}), FALSE)"
+        )
+    ).collect()[0].n
+    _staged_overwrite(spark, new, spec.target)
+    return {"table": spec.target, "rows_affected": rows}

@@ -4171,6 +4171,25 @@ XOP_ORACLES["q64_create_clone"] = """
     SELECT * FROM nation
 """
 
+XOP_ORACLES["q65_delete_update"] = """
+    WITH t0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 8000
+    ),
+    t1 AS (  -- DELETE: drop TRUE-predicate rows only
+      SELECT * FROM t0
+      WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey > 4000, FALSE)
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 2000
+                THEN CASE WHEN o_totalprice > 100000 THEN 'X'
+                          ELSE o_orderstatus END
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey <= 2000 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM t1
+"""
+
 XOP_ORACLES["s09_streaming_merge"] = """
     WITH b1 AS (
       SELECT event_id, user_id, event_type, value
@@ -4277,6 +4296,36 @@ def _q_merge_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.m_target")
 
 
+def _q_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal DELETE FROM + UPDATE statements through
+    IcebreakerEngine.execute, lowered onto the staged rewrite
+    (materializations/merge_stmt.parse_delete/parse_update). The
+    oracle reproduces both DMLs declaratively: DELETE removes only
+    TRUE-predicate rows; UPDATE's RHS sees pre-update values."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q65_")
+    db = f"q65_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.d_target AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 8000"
+    )
+    eng.execute(f"DELETE FROM {db}.d_target WHERE o_orderstatus = 'F' AND o_orderkey > 4000")
+    eng.execute(
+        f"UPDATE {db}.d_target SET o_totalprice = o_totalprice * 2, "
+        "o_orderstatus = IFF(o_totalprice > 100000, 'X', o_orderstatus) "
+        "WHERE o_orderkey <= 2000"
+    )
+    return spark.table(f"{db}.d_target")
+
+
 def _q_create_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE TABLE ... CLONE via the transpiler's CTAS fallback
     (transforms.rewrite_clone; documented deviation: full copy, not
@@ -4298,6 +4347,7 @@ def _q_create_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
     "q64_create_clone": _q_create_clone,
+    "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,
     "x02_minhash_lsh": _x_minhash,
     "x28_incremental_dedup": _x_incremental_dedup,

@@ -76,13 +76,44 @@ class IcebreakerEngine:
         raise actionable ExecutionErrors instead of raw
         AnalysisExceptions (ref connections.py:352-371)."""
         from .materializations.copy_into import parse_copy_into, run_copy_into
-        from .materializations.merge_stmt import parse_merge, run_merge_statement
+        from .materializations.merge_stmt import (
+            parse_delete,
+            parse_merge,
+            parse_update,
+            run_delete_statement,
+            run_merge_statement,
+            run_update_statement,
+        )
         from .transpiler.core import render, split_statements, tokenize
 
         result: DataFrame | None = None
         for stmt_tokens in split_statements(tokenize(sql)):
             raw = render(stmt_tokens).strip()
             if not raw:
+                continue
+            # row-level DML on parquet tables lowers onto the staged
+            # rewrite (DELETE/UPDATE/MERGE all share the swap machinery)
+            dml_handled = False
+            for parse_fn, run_fn in (
+                (parse_delete, run_delete_statement),
+                (parse_update, run_update_statement),
+            ):
+                dml_spec = parse_fn(raw)
+                if dml_spec is None:
+                    continue
+                try:
+                    stats = run_fn(self.spark, dml_spec, self.transpiler)
+                except (ValueError, TranspileError):
+                    raise
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_affected"])],
+                    "table string, rows_affected long",
+                )
+                dml_handled = True
+                break
+            if dml_handled:
                 continue
             merge_spec = parse_merge(raw)
             if merge_spec is not None:

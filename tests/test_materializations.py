@@ -1427,3 +1427,67 @@ class TestCreateClone:
             engine.execute(
                 "CREATE TABLE c2 CLONE src AT (TIMESTAMP => '2024-01-01'::TIMESTAMP)"
             )
+
+
+class TestDeleteUpdateStatements:
+    """DELETE FROM / UPDATE on parquet tables via the staged rewrite
+    (same machinery as MERGE INTO; Spark parquet has no row-level DML)."""
+
+    def _seed(self, spark, name):
+        spark.sql(f"DROP TABLE IF EXISTS mat_test.{name}")
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+            "k int, s string, v double",
+        ).write.saveAsTable(f"mat_test.{name}")
+
+    def test_delete_where(self, spark, engine):
+        self._seed(spark, "dm1")
+        res = engine.execute("DELETE FROM mat_test.dm1 WHERE v > 25").collect()
+        assert res[0].rows_affected == 2
+        assert {r.k for r in spark.table("mat_test.dm1").collect()} == {1, 2}
+
+    def test_delete_null_predicate_keeps_row(self, spark, engine):
+        # SQL DELETE removes only TRUE matches; NULL predicate rows stay
+        self._seed(spark, "dm2")
+        engine.execute("DELETE FROM mat_test.dm2 WHERE s = 'a'")
+        assert {r.k for r in spark.table("mat_test.dm2").collect()} == {2, 3, 4}
+
+    def test_delete_all(self, spark, engine):
+        self._seed(spark, "dm3")
+        res = engine.execute("DELETE FROM mat_test.dm3").collect()
+        assert res[0].rows_affected == 4
+        assert spark.table("mat_test.dm3").count() == 0
+        # schema preserved
+        assert [f.name for f in spark.table("mat_test.dm3").schema.fields] == ["k", "s", "v"]
+
+    def test_update_where_pre_update_semantics(self, spark, engine):
+        self._seed(spark, "dm4")
+        # both RHS reference pre-update values: v doubles AND s sees old v
+        res = engine.execute(
+            "UPDATE mat_test.dm4 SET v = v * 2, s = IFF(v > 15, 'hi', 'lo') "
+            "WHERE k IN (1, 2)"
+        ).collect()
+        assert res[0].rows_affected == 2
+        got = {r.k: (r.s, r.v) for r in spark.table("mat_test.dm4").collect()}
+        assert got[1] == ("lo", 20.0)  # old v=10 → 'lo', v→20
+        assert got[2] == ("hi", 40.0)  # old v=20 → 'hi', v→40
+        assert got[3] == (None, 30.0)  # untouched
+        assert got[4] == ("d", 40.0)
+
+    def test_update_all_rows(self, spark, engine):
+        self._seed(spark, "dm5")
+        engine.execute("UPDATE mat_test.dm5 SET v = 0")
+        assert {r.v for r in spark.table("mat_test.dm5").collect()} == {0.0}
+
+    def test_join_shaped_dml_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        self._seed(spark, "dm6")
+        with _pytest.raises(TranspileError, match="MERGE INTO"):
+            engine.execute("DELETE FROM mat_test.dm6 USING src WHERE dm6.k = src.k")
+        with _pytest.raises(TranspileError, match="MERGE INTO"):
+            engine.execute("UPDATE mat_test.dm6 SET v = s.v FROM src s WHERE dm6.k = s.k")
+        with _pytest.raises(TranspileError, match="unknown column"):
+            engine.execute("UPDATE mat_test.dm6 SET nope = 1")
