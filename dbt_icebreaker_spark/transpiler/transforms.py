@@ -2216,6 +2216,71 @@ def rewrite_qualify(tokens: Tokens) -> Tokens:
     return tokens
 
 
+def _select_aliases(sel: Tokens) -> dict[str, Tokens]:
+    """Map of explicit select-list aliases (expr AS name) → expr
+    tokens, for alias substitution inside QUALIFY predicates."""
+    # strip leading SELECT [DISTINCT|ALL]
+    k = 0
+    code = [i for i, t in enumerate(sel) if t.kind not in (WS, COMMENT)]
+    if code and sel[code[0]].kind == WORD and sel[code[0]].upper == "SELECT":
+        k = code[0] + 1
+        j = next_code(sel, k)
+        if j < len(sel) and sel[j].kind == WORD and sel[j].upper in ("DISTINCT", "ALL"):
+            k = j + 1
+    out: dict[str, Tokens] = {}
+    depth = 0
+    start = k
+    items: list[tuple[int, int]] = []
+    for i in range(k, len(sel)):
+        t = sel[i]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.is_op(","):
+            items.append((start, i))
+            start = i + 1
+    items.append((start, len(sel)))
+    for lo, hi in items:
+        seg = sel[lo:hi]
+        d = 0
+        as_i = None
+        for i, t in enumerate(seg):
+            if t.is_op("("):
+                d += 1
+            elif t.is_op(")"):
+                d -= 1
+            elif d == 0 and t.kind == WORD and t.upper == "AS":
+                as_i = i  # keep LAST top-level AS
+        if as_i is None:
+            continue
+        j = next_code(seg, as_i + 1)
+        if j < len(seg) and seg[j].kind == WORD:
+            expr = [t for t in seg[:as_i]]
+            out[seg[j].upper] = expr
+    return out
+
+
+def _substitute_aliases(pred: Tokens, aliases: dict[str, Tokens]) -> Tokens:
+    """Replace bare select-alias references in a QUALIFY predicate with
+    their (parenthesized) expressions — Snowflake resolves aliases in
+    QUALIFY, but Spark refuses lateral aliases inside window specs."""
+    if not aliases:
+        return pred
+    out: Tokens = []
+    for i, t in enumerate(pred):
+        if t.kind == WORD and t.upper in aliases:
+            p = prev_code(pred, i - 1)
+            nx = next_code(pred, i + 1)
+            prev_dot = p >= 0 and pred[p].is_op(".")
+            next_call = nx < len(pred) and (pred[nx].is_op("(") or pred[nx].is_op("."))
+            if not prev_dot and not next_call:
+                out += [_op("(")] + [x for x in aliases[t.upper]] + [_op(")")]
+                continue
+        out.append(t)
+    return out
+
+
 def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
     n = len(tokens)
     depth = 0
@@ -2252,6 +2317,22 @@ def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
                     break
             pred = tokens[i + 1:end]
             inner = tokens[sel_i:i]  # SELECT … up to QUALIFY
+            # Snowflake lets QUALIFY reference select-list aliases
+            # (incl. inside window ORDER BY); Spark rejects lateral
+            # aliases in windows — inline them
+            d4 = 0
+            from_for_alias = len(inner)
+            for k in range(len(inner)):
+                if inner[k].is_op("("):
+                    d4 += 1
+                elif inner[k].is_op(")"):
+                    d4 -= 1
+                elif d4 == 0 and inner[k].is_word("FROM"):
+                    from_for_alias = k
+                    break
+            pred = _substitute_aliases(
+                pred, _select_aliases(inner[:from_for_alias])
+            )
             # build: SELECT * EXCEPT (__qualify__) FROM ( <inner>,
             #        (<pred>) AS __qualify__ inserted after select list ) WHERE __qualify__
             # Insert the qualify column at the end of the select list =

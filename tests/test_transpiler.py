@@ -1740,3 +1740,49 @@ class TestArrayRemoveAt:
     def test_no_python_udf(self):
         out = t.to_spark("SELECT ARRAY_REMOVE_AT(a, p) FROM t1")
         assert "filter(" in out  # JVM lambda, not a UDF
+
+
+class TestQualifyAliasSubstitution:
+    """Snowflake QUALIFY may reference select-list aliases (incl.
+    inside window ORDER BY); Spark refuses lateral aliases in windows,
+    so the rewrite inlines the aliased expression."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_alias_in_window_order_by(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, self.SF)
+        sql = (
+            "SELECT o_custkey, SUM(o_totalprice) AS t FROM orders "
+            "GROUP BY o_custkey "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY t DESC) <= 3"
+        )
+        rows = spark.sql(t.to_spark(sql)).collect()
+        assert len(rows) == 3
+        vals = [r.t for r in rows]
+        assert sorted(vals, reverse=True) == vals or len(set(vals)) == 3
+
+    def test_alias_as_qualifier_untouched(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, self.SF)
+        # `ck` is both a select alias and — as x.* qualifier — must not
+        # be substituted where it prefixes a dotted reference
+        sql = (
+            "SELECT x.o_custkey AS ck, COUNT(*) AS n FROM orders x "
+            "GROUP BY 1 QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY ck ORDER BY n DESC) = 1 LIMIT 3"
+        )
+        assert len(spark.sql(t.to_spark(sql)).collect()) == 3
+
+    def test_plain_qualify_regression(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, self.SF)
+        sql = (
+            "SELECT o_custkey, o_orderkey FROM orders QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderkey) = 1"
+        )
+        assert spark.sql(t.to_spark(sql)).count() == 150
