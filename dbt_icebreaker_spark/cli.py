@@ -232,6 +232,29 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Execute Snowflake-dialect statements directly (engine.execute):
+    queries return rows as JSON lines; DML (MERGE INTO, DELETE,
+    UPDATE, COPY INTO, CREATE TABLE ... CLONE) routes through the
+    staged-rewrite paths and reports rows_affected."""
+    from .runner import IcebreakerEngine
+    from .session import get_spark
+    from .sources import register_dir
+
+    sql = args.sql
+    if os.path.exists(sql):
+        sql = open(sql).read()
+    spark = get_spark(app_name="sql")
+    if args.data_dir:
+        register_dir(spark, args.data_dir)
+    engine = IcebreakerEngine(spark, schema=args.schema)
+    df = engine.execute(sql)
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_catalog(args) -> int:
     """Schema catalog as JSON: per table name, columns/types, row
     count, data bytes and file count (ref catalog_scanner's stats
@@ -495,6 +518,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--dev", action="store_true", help="LIMIT-sampled dev run")
     rp.add_argument("--data-dir", default=None)
     rp.set_defaults(fn=cmd_run)
+
+    qq = sub.add_parser("sql", help="execute Snowflake-dialect SQL/DML")
+    qq.add_argument("sql", help="SQL text or file path")
+    qq.add_argument("--schema", default="analytics")
+    qq.add_argument("--data-dir", default=None)
+    qq.add_argument("--limit", type=int, default=100)
+    qq.set_defaults(fn=cmd_sql)
 
     cg = sub.add_parser("catalog", help="schema catalog as JSON")
     cg.add_argument("schema")

@@ -395,3 +395,29 @@ class TestPathNotFoundClassified:
                 "COPY INTO ci_t.pnf FROM '/nonexistent/nowhere' "
                 "FILE_FORMAT = (TYPE = PARQUET)"
             )
+
+
+class TestCliSqlCommand:
+    def test_query_prints_json(self, capsys):
+        from dbt_icebreaker_spark import cli
+
+        rc = cli.main(
+            ["sql", "SELECT NVL(NULL, 7) AS v", "--data-dir", "/root/testdata/sf0.001"]
+        )
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        assert json.loads(out[-1]) == {"v": 7}
+
+    def test_dml_reports_rows_affected(self, spark, tmp_path, capsys):
+        from dbt_icebreaker_spark import cli
+
+        spark.sql("DROP TABLE IF EXISTS default.cli_dml")
+        spark.createDataFrame([(1,), (2,), (3,)], "k int").write.saveAsTable(
+            "default.cli_dml"
+        )
+        rc = cli.main(["sql", "DELETE FROM default.cli_dml WHERE k > 1"])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        rec = json.loads(out[-1])
+        assert rec["rows_affected"] == 2
+        assert spark.table("default.cli_dml").count() == 1
