@@ -508,3 +508,89 @@ def run_update_statement(spark: SparkSession, spec: UpdateSpec, transpiler) -> d
     ).collect()[0].n
     _staged_overwrite(spark, new, spec.target)
     return {"table": spec.target, "rows_affected": rows}
+
+
+@dataclass
+class AlterColumnsSpec:
+    target: str
+    renames: list[tuple[str, str]]  # (old, new)
+    drops: list[str]
+
+
+def parse_alter_columns(sql: str) -> Optional[AlterColumnsSpec]:
+    """ALTER TABLE t RENAME COLUMN a TO b / DROP COLUMN [IF EXISTS] c
+    — the two column DDLs Spark's V1 parquet tables refuse natively
+    (ADD COLUMN works and falls through). Returns None for any other
+    ALTER form so it executes natively."""
+    toks = tokenize(sql)
+    words = _word_positions(toks)
+    heads = [w for _, w in words[:8]]
+    if len(heads) < 4 or heads[0] != "ALTER" or heads[1] != "TABLE":
+        return None
+    i = next_code(toks, words[1][0] + 1)
+    target, i = _read_qualified_name(toks, i)
+    if i >= len(toks) or toks[i].kind != WORD:
+        return None
+    verb = toks[i].upper
+    if verb == "RENAME":
+        j = next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].upper != "COLUMN":
+            return None  # RENAME TO <table> → native
+        j = next_code(toks, j + 1)
+        old = toks[j].text
+        j = next_code(toks, j + 1)
+        if j >= len(toks) or toks[j].upper != "TO":
+            raise TranspileError("ALTER ... RENAME COLUMN: expected TO")
+        j = next_code(toks, j + 1)
+        return AlterColumnsSpec(target=target, renames=[(old, toks[j].text)], drops=[])
+    if verb == "DROP":
+        j = next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].upper not in ("COLUMN", "COLUMNS"):
+            return None  # DROP PARTITION etc → native
+        j = next_code(toks, j + 1)
+        if (
+            j < len(toks) and toks[j].upper == "IF"
+            and next_code(toks, j + 1) < len(toks)
+        ):
+            j = next_code(toks, next_code(toks, j + 1) + 1)  # skip IF EXISTS
+        drops = []
+        while j < len(toks) and toks[j].kind == WORD:
+            drops.append(toks[j].text)
+            j = next_code(toks, j + 1)
+            if j < len(toks) and toks[j].is_op(","):
+                j = next_code(toks, j + 1)
+            else:
+                break
+        if not drops:
+            raise TranspileError("ALTER ... DROP COLUMN: no columns named")
+        return AlterColumnsSpec(target=target, renames=[], drops=drops)
+    return None
+
+
+def run_alter_columns(spark: SparkSession, spec: AlterColumnsSpec) -> dict:
+    """Column rename/drop on a parquet table = staged overwrite with
+    the reshaped projection (Spark V1 parquet has no in-place column
+    DDL; the swap preserves crash safety like every other rewrite)."""
+    from .incremental import _staged_overwrite
+
+    tgt = spark.table(spec.target)
+    cols_lower = {c.lower() for c in tgt.columns}
+    for old, _new in spec.renames:
+        if old.lower() not in cols_lower:
+            raise TranspileError(
+                f"ALTER {spec.target}: column {old!r} does not exist "
+                f"(columns: {tgt.columns})"
+            )
+    for c in spec.drops:
+        if c.lower() not in cols_lower:
+            raise TranspileError(
+                f"ALTER {spec.target}: column {c!r} does not exist "
+                f"(columns: {tgt.columns})"
+            )
+    new = tgt
+    for old, newname in spec.renames:
+        new = new.withColumnRenamed(old, newname)
+    if spec.drops:
+        new = new.drop(*spec.drops)
+    _staged_overwrite(spark, new, spec.target)
+    return {"table": spec.target, "rows_affected": 0}

@@ -77,9 +77,11 @@ class IcebreakerEngine:
         AnalysisExceptions (ref connections.py:352-371)."""
         from .materializations.copy_into import parse_copy_into, run_copy_into
         from .materializations.merge_stmt import (
+            parse_alter_columns,
             parse_delete,
             parse_merge,
             parse_update,
+            run_alter_columns,
             run_delete_statement,
             run_merge_statement,
             run_update_statement,
@@ -90,6 +92,33 @@ class IcebreakerEngine:
         for stmt_tokens in split_statements(tokenize(sql)):
             raw = render(stmt_tokens).strip()
             if not raw:
+                continue
+            # transaction statements: Spark has no multi-statement
+            # transactions; dbt wraps runs in BEGIN/COMMIT, so accept
+            # and no-op rather than fail the whole script
+            head = raw.split(None, 2)[:2]
+            hw = [w.upper().rstrip(";") for w in head]
+            if hw and hw[0] in ("BEGIN", "COMMIT", "ROLLBACK") and (
+                len(hw) == 1 or hw[1] in ("TRANSACTION", "WORK", "NAME")
+            ):
+                result = self.spark.createDataFrame(
+                    [(hw[0].lower(), "noop: Spark has no transactions; "
+                      "writes are per-statement atomic via staged swap")],
+                    "statement string, status string",
+                )
+                continue
+            alter_spec = parse_alter_columns(raw)
+            if alter_spec is not None:
+                try:
+                    stats = run_alter_columns(self.spark, alter_spec)
+                except (ValueError, TranspileError):
+                    raise
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_affected"])],
+                    "table string, rows_affected long",
+                )
                 continue
             # row-level DML on parquet tables lowers onto the staged
             # rewrite (DELETE/UPDATE/MERGE all share the swap machinery)

@@ -2552,6 +2552,7 @@ def rewrite_json_path(tokens: Tokens) -> Tokens:
         ):
             p = prev_code(out, len(out) - 1)
             j = next_code(tokens, i + 1)
+            base_lo = None
             if (
                 p >= 0
                 and out[p].kind in (WORD,)
@@ -2559,10 +2560,35 @@ def rewrite_json_path(tokens: Tokens) -> Tokens:
                 and j < n
                 and tokens[j].kind in (WORD, STRING, QIDENT)
             ):
-                # collect base: dotted identifier chain already in `out`
+                # base: dotted identifier chain already in `out`
                 base_lo = p
                 while base_lo - 2 >= 0 and out[base_lo - 1].is_op(".") and out[base_lo - 2].kind == WORD:
                     base_lo -= 2
+            elif (
+                p >= 0
+                and out[p].is_op(")")
+                and j < n
+                and tokens[j].kind in (WORD, STRING, QIDENT)
+            ):
+                # base: parenthesized expression or function call, e.g.
+                # PARSE_JSON('…'):a[0].b  or  (expr):k — walk back to
+                # the matching '(' plus an optional function-name word
+                depth = 0
+                q = p
+                while q >= 0:
+                    if out[q].is_op(")"):
+                        depth += 1
+                    elif out[q].is_op("("):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    q -= 1
+                if q >= 0:
+                    base_lo = q
+                    r = prev_code(out, q - 1)
+                    if r >= 0 and out[r].kind == WORD and not _is_keyword(out[r].upper):
+                        base_lo = r
+            if base_lo is not None:
                 base = out[base_lo:p + 1]
 
                 def _seg(tok) -> str:

@@ -1491,3 +1491,52 @@ class TestDeleteUpdateStatements:
             engine.execute("UPDATE mat_test.dm6 SET v = s.v FROM src s WHERE dm6.k = s.k")
         with _pytest.raises(TranspileError, match="unknown column"):
             engine.execute("UPDATE mat_test.dm6 SET nope = 1")
+
+
+class TestAlterColumnsAndTransactions:
+    def test_rename_column_staged(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac1")
+        spark.createDataFrame([(1, "a")], "k int, s string").write.saveAsTable(
+            "mat_test.ac1"
+        )
+        engine.execute("ALTER TABLE mat_test.ac1 RENAME COLUMN s TO label")
+        t = spark.table("mat_test.ac1")
+        assert [f.name for f in t.schema.fields] == ["k", "label"]
+        assert t.collect()[0].label == "a"
+
+    def test_drop_columns_staged(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac2")
+        spark.createDataFrame(
+            [(1, "a", 2.0)], "k int, s string, v double"
+        ).write.saveAsTable("mat_test.ac2")
+        engine.execute("ALTER TABLE mat_test.ac2 DROP COLUMN s, v")
+        assert [f.name for f in spark.table("mat_test.ac2").schema.fields] == ["k"]
+
+    def test_unknown_column_actionable(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac3")
+        spark.createDataFrame([(1,)], "k int").write.saveAsTable("mat_test.ac3")
+        with _pytest.raises(TranspileError, match="does not exist"):
+            engine.execute("ALTER TABLE mat_test.ac3 RENAME COLUMN nope TO x")
+
+    def test_add_column_still_native(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac4")
+        spark.createDataFrame([(1,)], "k int").write.saveAsTable("mat_test.ac4")
+        engine.execute("ALTER TABLE mat_test.ac4 ADD COLUMN s STRING")
+        assert "s" in [f.name for f in spark.table("mat_test.ac4").schema.fields]
+
+    def test_begin_commit_noop(self, spark, engine):
+        res = engine.execute("BEGIN; SELECT 41 + 1 AS x; COMMIT").collect()
+        # last statement's result returns — the COMMIT no-op row
+        assert res[0].statement == "commit"
+        res2 = engine.execute("BEGIN TRANSACTION; SELECT 1 AS x").collect()
+        assert res2[0].x == 1
+
+    def test_json_path_on_function_call(self, spark, engine):
+        r = engine.execute(
+            'SELECT PARSE_JSON(\'{"a":[{"b":2}]}\'):a[0].b::INT AS x'
+        ).collect()
+        assert r[0].x == 2
