@@ -345,6 +345,7 @@ def run_merge_statement(
 class DeleteSpec:
     target: str
     where_sql: Optional[str]  # Snowflake-dialect predicate text
+    alias: str = "t"  # user alias, else the table's last name part
 
 
 @dataclass
@@ -366,8 +367,12 @@ def parse_delete(sql: str) -> Optional[DeleteSpec]:
     if i >= len(toks) or toks[i].kind != WORD:
         raise TranspileError("DELETE FROM: missing table name")
     target, i = _read_qualified_name(toks, i)
-    # optional alias
+    # alias defaults to the table's last name part so predicates
+    # qualified by the table name ('WHERE tbl.a = 1') resolve, same as
+    # parse_update
+    alias = target.split(".")[-1]
     if i < len(toks) and toks[i].kind == WORD and toks[i].upper not in ("WHERE", "USING"):
+        alias = toks[i].text
         i = next_code(toks, i + 1)
     if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "USING":
         raise TranspileError(
@@ -378,7 +383,7 @@ def parse_delete(sql: str) -> Optional[DeleteSpec]:
     where_sql = None
     if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "WHERE":
         where_sql = render(toks[next_code(toks, i + 1):]).strip()
-    return DeleteSpec(target=target, where_sql=where_sql)
+    return DeleteSpec(target=target, where_sql=where_sql, alias=alias)
 
 
 def parse_update(sql: str) -> Optional[UpdateSpec]:
@@ -463,7 +468,10 @@ def run_delete_statement(spark: SparkSession, spec: DeleteSpec, transpiler) -> d
     else:
         view = f"__icebreaker_del_{abs(hash(spec.target)) % 10**8}"
         tgt.createOrReplaceTempView(view)
-        pred = transpiler.to_spark(f"SELECT * FROM {view} t WHERE NOT COALESCE(({spec.where_sql}), FALSE)")
+        pred = transpiler.to_spark(
+            f"SELECT * FROM {view} {spec.alias} "
+            f"WHERE NOT COALESCE(({spec.where_sql}), FALSE)"
+        )
         kept = spark.sql(pred)
     # materialize the count before the swap drops the source
     rows = before - kept.count()
@@ -515,6 +523,7 @@ class AlterColumnsSpec:
     target: str
     renames: list[tuple[str, str]]  # (old, new)
     drops: list[str]
+    if_exists: bool = False  # DROP COLUMN IF EXISTS: missing cols are no-ops
 
 
 def parse_alter_columns(sql: str) -> Optional[AlterColumnsSpec]:
@@ -548,11 +557,13 @@ def parse_alter_columns(sql: str) -> Optional[AlterColumnsSpec]:
         if j >= len(toks) or toks[j].upper not in ("COLUMN", "COLUMNS"):
             return None  # DROP PARTITION etc → native
         j = next_code(toks, j + 1)
-        if (
-            j < len(toks) and toks[j].upper == "IF"
-            and next_code(toks, j + 1) < len(toks)
-        ):
-            j = next_code(toks, next_code(toks, j + 1) + 1)  # skip IF EXISTS
+        if_exists = False
+        if j < len(toks) and toks[j].upper == "IF":
+            k = next_code(toks, j + 1)
+            if k >= len(toks) or toks[k].upper != "EXISTS":
+                raise TranspileError("ALTER ... DROP COLUMN IF: expected EXISTS")
+            if_exists = True
+            j = next_code(toks, k + 1)
         drops = []
         while j < len(toks) and toks[j].kind == WORD:
             drops.append(toks[j].text)
@@ -563,7 +574,9 @@ def parse_alter_columns(sql: str) -> Optional[AlterColumnsSpec]:
                 break
         if not drops:
             raise TranspileError("ALTER ... DROP COLUMN: no columns named")
-        return AlterColumnsSpec(target=target, renames=[], drops=drops)
+        return AlterColumnsSpec(
+            target=target, renames=[], drops=drops, if_exists=if_exists
+        )
     return None
 
 
@@ -581,16 +594,22 @@ def run_alter_columns(spark: SparkSession, spec: AlterColumnsSpec) -> dict:
                 f"ALTER {spec.target}: column {old!r} does not exist "
                 f"(columns: {tgt.columns})"
             )
-    for c in spec.drops:
-        if c.lower() not in cols_lower:
-            raise TranspileError(
-                f"ALTER {spec.target}: column {c!r} does not exist "
-                f"(columns: {tgt.columns})"
-            )
+    drops = list(spec.drops)
+    if spec.if_exists:
+        drops = [c for c in drops if c.lower() in cols_lower]
+    else:
+        for c in drops:
+            if c.lower() not in cols_lower:
+                raise TranspileError(
+                    f"ALTER {spec.target}: column {c!r} does not exist "
+                    f"(columns: {tgt.columns})"
+                )
+    if not spec.renames and not drops:
+        return {"table": spec.target, "rows_affected": 0}  # IF EXISTS no-op
     new = tgt
     for old, newname in spec.renames:
         new = new.withColumnRenamed(old, newname)
-    if spec.drops:
-        new = new.drop(*spec.drops)
+    if drops:
+        new = new.drop(*drops)
     _staged_overwrite(spark, new, spec.target)
     return {"table": spec.target, "rows_affected": 0}

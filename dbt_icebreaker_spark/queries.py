@@ -923,9 +923,9 @@ _q(
     SELECT o_orderkey,
            CAST(ROUND(o_totalprice / SUM(o_totalprice)
                 OVER (PARTITION BY o_orderpriority), 6) AS DOUBLE) AS share,
-           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey) AS n_big_so_far,
+                      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS n_big_so_far,
            (o_orderstatus = 'O') AS is_open
     FROM orders
     """,
@@ -1212,7 +1212,7 @@ _q(
            CHECK_JSON('{"k":' || o_custkey || '}') AS js_ok,
            NULLIFZERO(o_orderkey % 3) AS nz,
            UNICODE(o_orderpriority) AS uni,
-           TO_DECIMAL(o_totalprice, 12, 1) AS dec1
+           CAST(TO_DECIMAL(o_totalprice, 12, 1) AS DOUBLE) AS dec1
     FROM orders WHERE o_orderkey < 400
     """,
     """
@@ -1232,7 +1232,7 @@ _q(
            CAST(NULL AS VARCHAR) AS js_ok,
            NULLIF(o_orderkey % 3, 0) AS nz,
            unicode(o_orderpriority) AS uni,
-           CAST(o_totalprice AS DECIMAL(12, 1)) AS dec1
+           CAST(CAST(o_totalprice AS DECIMAL(12, 1)) AS DOUBLE) AS dec1
     FROM orders WHERE o_orderkey < 400
     """,
 )
@@ -1383,13 +1383,13 @@ _q(
     """,
     """
     SELECT event_id, user_id,
-           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS type_epoch,
-           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+             AS BIGINT) AS type_epoch,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS hot_count
+             AS BIGINT) AS hot_count
     FROM (
       SELECT *,
              CASE WHEN event_type <>

@@ -913,14 +913,20 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                                _op(")"), _op(")")])
             elif t.text == "ARRREMAT_X" and len(args) == 2:
                 # Snowflake ARRAY_REMOVE_AT(arr, pos): 0-based, negative
-                # counts from the end. Spark has no direct builtin —
-                # lower to an indexed filter lambda (JVM-side, no UDF)
+                # counts from the end; NULL pos → NULL (a NULL lambda
+                # predicate would silently drop EVERY element, so the
+                # NULL guard must sit outside the filter). Spark has no
+                # direct builtin — lower to an indexed filter lambda
+                # (JVM-side, no UDF). The array/pos expressions are
+                # inlined more than once (documented double-eval; SQL
+                # has no let-binding) — both are pure column exprs here.
                 arr_s = render(tokens[args[0][0]:args[0][1]]).strip()
                 pos_s = render(tokens[args[1][0]:args[1][1]]).strip()
                 out += tokenize(
-                    f"filter({arr_s}, (__x, __i) -> __i != "
+                    f"CASE WHEN ({pos_s}) IS NULL THEN NULL "
+                    f"ELSE filter({arr_s}, (__x, __i) -> __i != "
                     f"(CASE WHEN ({pos_s}) < 0 THEN size({arr_s}) + ({pos_s}) "
-                    f"ELSE ({pos_s}) END))"
+                    f"ELSE ({pos_s}) END)) END"
                 )
             elif t.text == "ARRINS_X" and len(args) == 3:
                 # Snowflake ARRAY_INSERT position is 0-BASED; Spark's
@@ -2854,10 +2860,49 @@ BLACKLISTED_PATTERNS = (
 _TOXIC_TYPE_WORDS = {"GEOGRAPHY", "GEOMETRY"}
 
 
+def _in_type_position(toks: Tokens, i: int) -> bool:
+    """True iff the word at i sits in a type slot: after `::`, after the
+    AS of a CAST/TRY_CAST call, or as a DDL column type (CREATE TABLE
+    column list: preceded by an identifier that follows `(` or `,`).
+    Keeps a plain string column *named* geometry/geography from being
+    flagged — the reference's gate is function-oriented, not
+    identifier-oriented."""
+    p = prev_code(toks, i - 1)
+    if p < 0:
+        return False
+    if toks[p].is_op("::"):
+        return True
+    if toks[p].is_word("AS"):
+        # walk back to the unmatched '(' before AS; a CAST/TRY_CAST
+        # call head right before it makes this a cast type slot
+        depth = 0
+        k = p - 1
+        while k >= 0:
+            tk = toks[k]
+            if tk.is_op(")"):
+                depth += 1
+            elif tk.is_op("("):
+                if depth == 0:
+                    q = prev_code(toks, k - 1)
+                    return q >= 0 and toks[q].is_word("CAST", "TRY_CAST")
+                depth -= 1
+            k -= 1
+        return False
+    # DDL column slot: `(` or `,` → identifier → TYPE inside CREATE TABLE
+    if toks[p].kind in (WORD, QIDENT):
+        pp = prev_code(toks, p - 1)
+        if pp >= 0 and toks[pp].is_op("(", ","):
+            heads = [t.upper for t in toks[:pp] if t.kind == WORD][:4]
+            return "CREATE" in heads and "TABLE" in heads
+    return False
+
+
 def detect_toxic_types(sql: str) -> list[str]:
     """Find geospatial type/function references (ST_* calls,
-    GEOGRAPHY/GEOMETRY type words, TO_GEOGRAPHY/TO_GEOMETRY casts).
-    Word-token based — a string literal 'geometry' never triggers."""
+    GEOGRAPHY/GEOMETRY in type positions, TO_GEOGRAPHY/TO_GEOMETRY
+    casts). Word-token based — a string literal 'geometry' never
+    triggers, and neither does a column/alias merely *named* geometry
+    (only `::GEOMETRY`, `CAST(x AS GEOMETRY)`, or a DDL type slot)."""
     found: set[str] = set()
     toks = tokenize(sql)
     for i, t in enumerate(toks):
@@ -2865,7 +2910,8 @@ def detect_toxic_types(sql: str) -> list[str]:
             continue
         u = t.upper
         if u in _TOXIC_TYPE_WORDS:
-            found.add(u)
+            if _in_type_position(toks, i):
+                found.add(u)
         elif u in ("TO_GEOGRAPHY", "TO_GEOMETRY", "TRY_TO_GEOGRAPHY",
                    "TRY_TO_GEOMETRY"):
             found.add(u)
@@ -3018,6 +3064,53 @@ def _has_top_connect_by(seg: Tokens) -> bool:
     return False
 
 
+_CREATE_TABLE_MODIFIERS = (
+    "TRANSIENT", "TEMPORARY", "TEMP", "LOCAL", "GLOBAL", "VOLATILE",
+)
+
+
+def _clone_keyword_pos(tokens: Tokens) -> int | None:
+    """Index of CLONE iff it is the word immediately after the target
+    table name of a CREATE ... TABLE statement — anchored the way
+    `parse_alter_columns` anchors its verb, so a table/column/alias
+    literally named `clone` (e.g. `CREATE TABLE t AS SELECT clone, x
+    FROM src`) is never misread as a clone statement."""
+    n = len(tokens)
+    i = next_code(tokens, 0)
+    if i >= n or not tokens[i].is_word("CREATE"):
+        return None
+    i = next_code(tokens, i + 1)
+    if i < n and tokens[i].is_word("OR"):
+        i = next_code(tokens, i + 1)
+        if i >= n or not tokens[i].is_word("REPLACE"):
+            return None
+        i = next_code(tokens, i + 1)
+    while i < n and tokens[i].is_word(*_CREATE_TABLE_MODIFIERS):
+        i = next_code(tokens, i + 1)
+    if i >= n or not tokens[i].is_word("TABLE"):
+        return None
+    i = next_code(tokens, i + 1)
+    if i < n and tokens[i].is_word("IF"):
+        j = next_code(tokens, i + 1)
+        k = next_code(tokens, j + 1) if j < n else n
+        if j < n and tokens[j].is_word("NOT") and k < n and tokens[k].is_word("EXISTS"):
+            i = next_code(tokens, k + 1)
+        else:
+            return None
+    # qualified table name: (word|"quoted") (. (word|"quoted"))*
+    if i >= n or tokens[i].kind not in (WORD, QIDENT):
+        return None
+    i = next_code(tokens, i + 1)
+    while i < n and tokens[i].is_op("."):
+        i = next_code(tokens, i + 1)
+        if i >= n or tokens[i].kind not in (WORD, QIDENT):
+            return None
+        i = next_code(tokens, i + 1)
+    if i < n and tokens[i].is_word("CLONE"):
+        return i
+    return None
+
+
 def rewrite_clone(tokens: Tokens) -> Tokens:
     """CREATE [OR REPLACE] TABLE t CLONE src → CTAS.
 
@@ -3028,20 +3121,7 @@ def rewrite_clone(tokens: Tokens) -> Tokens:
     keeps no history (on Iceberg/Delta use VERSION/TIMESTAMP AS OF).
     Snowflake's TRANSIENT modifier (no fail-safe storage) is dropped:
     every Spark table is "transient" in that sense."""
-    words = [(i, t.upper) for i, t in enumerate(tokens) if t.kind == WORD]
-    heads = [w for _, w in words[:5]]
-    if not heads or heads[0] != "CREATE" or "TABLE" not in heads:
-        return tokens
-    clone_pos = None
-    depth = 0
-    for i, t in enumerate(tokens):
-        if t.is_op("("):
-            depth += 1
-        elif t.is_op(")"):
-            depth -= 1
-        elif depth == 0 and t.kind == WORD and t.upper == "CLONE":
-            clone_pos = i
-            break
+    clone_pos = _clone_keyword_pos(tokens)
     if clone_pos is None:
         return tokens
     tail_words = [t.upper for t in tokens[clone_pos:] if t.kind == WORD]

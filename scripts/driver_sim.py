@@ -62,6 +62,11 @@ def norm_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is not None, str(x)) for x in t))
 
 
+# dtype parity (the q41 HUGEINT seam, closed as a class) — shared with
+# tests/test_oracle.py; see module docstring there.
+from dbt_icebreaker_spark.oracle_parity import dtype_parity_problems  # noqa: E402
+
+
 def main():
     import duckdb
     from pyspark.sql import SparkSession
@@ -108,7 +113,9 @@ def main():
             print(f"FAIL {name}: oracle error {str(ex)[:300]}")
             n_fail += 1
             continue
-        problems = []
+        problems = dtype_parity_problems(
+            duck, oracles[name], {c.lower(): t for c, t in sdf.dtypes}
+        )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         if len(srows) != len(drows):

@@ -1492,6 +1492,19 @@ class TestDeleteUpdateStatements:
         with _pytest.raises(TranspileError, match="unknown column"):
             engine.execute("UPDATE mat_test.dm6 SET nope = 1")
 
+    def test_delete_with_alias_qualified_predicate(self, spark, engine):
+        # user alias must be honored, not hard-coded 't'
+        self._seed(spark, "dm7")
+        res = engine.execute("DELETE FROM mat_test.dm7 x WHERE x.v > 25").collect()
+        assert res[0].rows_affected == 2
+        assert {r.k for r in spark.table("mat_test.dm7").collect()} == {1, 2}
+
+    def test_delete_table_name_qualified_predicate(self, spark, engine):
+        # no alias: the table's last name part qualifies (like UPDATE)
+        self._seed(spark, "dm8")
+        engine.execute("DELETE FROM mat_test.dm8 WHERE dm8.k = 1")
+        assert {r.k for r in spark.table("mat_test.dm8").collect()} == {2, 3, 4}
+
 
 class TestAlterColumnsAndTransactions:
     def test_rename_column_staged(self, spark, engine):
@@ -1521,6 +1534,32 @@ class TestAlterColumnsAndTransactions:
         spark.createDataFrame([(1,)], "k int").write.saveAsTable("mat_test.ac3")
         with _pytest.raises(TranspileError, match="does not exist"):
             engine.execute("ALTER TABLE mat_test.ac3 RENAME COLUMN nope TO x")
+
+    def test_drop_column_if_exists_noop(self, spark, engine):
+        # IF EXISTS semantics: missing column is silently skipped
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac5")
+        spark.createDataFrame(
+            [(1, "a", 2.0)], "k int, s string, v double"
+        ).write.saveAsTable("mat_test.ac5")
+        engine.execute("ALTER TABLE mat_test.ac5 DROP COLUMN IF EXISTS nope")
+        assert [f.name for f in spark.table("mat_test.ac5").schema.fields] == [
+            "k", "s", "v",
+        ]
+        # mixed present/missing: present one drops, missing one skipped
+        engine.execute("ALTER TABLE mat_test.ac5 DROP COLUMN IF EXISTS s, nope2")
+        assert [f.name for f in spark.table("mat_test.ac5").schema.fields] == [
+            "k", "v",
+        ]
+
+    def test_drop_column_if_without_exists_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac6")
+        spark.createDataFrame([(1,)], "k int").write.saveAsTable("mat_test.ac6")
+        with _pytest.raises(TranspileError, match="expected EXISTS"):
+            engine.execute("ALTER TABLE mat_test.ac6 DROP COLUMN IF k")
 
     def test_add_column_still_native(self, spark, engine):
         spark.sql("DROP TABLE IF EXISTS mat_test.ac4")

@@ -13,6 +13,11 @@ import math
 import pytest
 
 from dbt_icebreaker_spark import queries as corpus
+from dbt_icebreaker_spark.oracle_parity import (
+    describe_oracle,
+    duck_family,
+    dtype_parity_problems,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -70,6 +75,14 @@ NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
 def test_oracle_match(spark, duck, name):
     _register_duck(duck)
     sdf = QUERIES[name](spark, SF_DIR)
+    # dtype parity (the r03 q41 HUGEINT seam, closed as a class): the
+    # driver's hash is pandas-dtype-sensitive, so an oracle HUGEINT /
+    # DECIMAL column or an int-vs-float family mismatch flips the gate
+    # even when every value is identical.
+    dtype_problems = dtype_parity_problems(
+        duck, ORACLES[name], {c.lower(): t for c, t in sdf.dtypes}
+    )
+    assert not dtype_problems, f"{name}: {dtype_problems}"
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -89,6 +102,38 @@ def test_oracle_match(spark, duck, name):
         (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
     ][:5]
     assert sn == dn, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_all_oracles_dtype_clean(duck):
+    """One-shot DESCRIBE audit over the ENTIRE oracle corpus (bind-only,
+    no execution): zero HUGEINT/UHUGEINT/DECIMAL output columns anywhere,
+    so no future driver rotation can hit the q41-class hash flip."""
+    _register_duck(duck)
+    bad = {}
+    for name in CHECKED:
+        cols = [
+            (c, t) for c, t in describe_oracle(duck, ORACLES[name])
+            if duck_family(t) in ("int128", "decimal")
+        ]
+        if cols:
+            bad[name] = cols
+    assert not bad, f"int128/decimal oracle columns: {bad}"
+
+
+def test_parity_check_flags_hugeint(duck):
+    """The parity check itself must flag a deliberately-HUGEINT oracle
+    (regression test for the detector, per the r03 verdict)."""
+    _register_duck(duck)
+    sql = "SELECT o_orderkey, SUM(1) OVER (ORDER BY o_orderkey) AS c FROM orders"
+    probs = dtype_parity_problems(duck, sql, {"o_orderkey": "bigint", "c": "bigint"})
+    assert any("HUGEINT" in p for p in probs), probs
+    # and the family comparison catches int-vs-float even without int128
+    probs2 = dtype_parity_problems(
+        duck,
+        "SELECT CAST(1 AS DOUBLE) AS c",
+        {"c": "bigint"},
+    )
+    assert any("family mismatch" in p for p in probs2), probs2
 
 
 @pytest.mark.parametrize("name", NO_ORACLE)

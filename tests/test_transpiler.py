@@ -261,6 +261,30 @@ class TestToxicTypes:
         ok, _ = t.can_transpile("SELECT 'geometry lesson' AS s FROM t")
         assert ok
 
+    def test_column_named_geometry_passes(self):
+        # a plain column/alias literally named geometry/geography is
+        # data, not a type — only type positions (::/CAST AS/DDL slot)
+        # trigger, mirroring the reference's function-oriented gate
+        for sql in (
+            "SELECT geometry FROM shapes WHERE geometry IS NOT NULL",
+            "SELECT x AS geometry FROM t",
+            "SELECT t.geography, count(*) FROM t GROUP BY t.geography",
+        ):
+            ok, err = t.can_transpile(sql)
+            assert ok, (sql, err)
+
+    def test_type_positions_still_refused(self):
+        from dbt_icebreaker_spark.transpiler.core import UnsupportedTypeError
+
+        for sql in (
+            "SELECT x::GEOMETRY FROM t",
+            "SELECT CAST(x AS GEOMETRY) FROM t",
+            "SELECT TRY_CAST(wkt AS GEOGRAPHY) FROM t",
+            "CREATE TABLE t (id INT, shape GEOMETRY)",
+        ):
+            with pytest.raises(UnsupportedTypeError):
+                t.to_spark(sql)
+
 
 class TestExecutesOnSpark:
     """The generated SQL must actually run (not just look right)."""
@@ -1724,6 +1748,20 @@ class TestCloneRewrite:
         out = t.to_spark("SELECT clone FROM t WHERE clone > 1")
         assert "clone" in out
 
+    def test_ctas_selecting_column_named_clone(self):
+        # CLONE anywhere later in a CREATE TABLE must NOT trigger the
+        # clone rewrite — only immediately after the target table name
+        out = t.to_spark("CREATE TABLE t AS SELECT clone, x FROM src")
+        assert "AS SELECT clone, x FROM src" in out
+        out2 = t.to_spark(
+            "CREATE OR REPLACE TABLE t AS SELECT a AS clone FROM src"
+        )
+        assert "clone FROM src" in out2
+
+    def test_clone_if_not_exists(self):
+        out = t.to_spark("CREATE TABLE IF NOT EXISTS t2 CLONE t1")
+        assert "AS SELECT * FROM t1" in out and "CLONE" not in out.upper()
+
 
 class TestArrayRemoveAt:
     def test_semantics(self, spark):
@@ -1740,6 +1778,24 @@ class TestArrayRemoveAt:
     def test_no_python_udf(self):
         out = t.to_spark("SELECT ARRAY_REMOVE_AT(a, p) FROM t1")
         assert "filter(" in out  # JVM lambda, not a UDF
+
+    def test_null_position_returns_null(self, spark):
+        # Snowflake: NULL position → NULL, NOT [] (a NULL lambda
+        # predicate would otherwise drop every element)
+        row = spark.sql(
+            t.to_spark(
+                "SELECT ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(1,2,3), "
+                "CAST(NULL AS INT)) AS r"
+            )
+        ).collect()[0]
+        assert row.r is None
+        # NULL array stays NULL
+        row2 = spark.sql(
+            t.to_spark(
+                "SELECT ARRAY_REMOVE_AT(CAST(NULL AS ARRAY<INT>), 1) AS r"
+            )
+        ).collect()[0]
+        assert row2.r is None
 
 
 class TestQualifyAliasSubstitution:
