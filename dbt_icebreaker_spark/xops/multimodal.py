@@ -307,6 +307,24 @@ def probe_bytes(raw: bytes) -> dict:
                 )
             else:
                 out.update(format="wav")  # magic matched, chunks missing
+        elif raw[:3] == b"ID3" or (
+            len(raw) > 4 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+        ):
+            # MPEG audio: frame-header walk (no DSP decode) gives
+            # codec fields + exact VBR-safe duration — audio.probe_mp3
+            from . import audio as _audio
+
+            mp3 = _audio.probe_mp3(raw)
+            if mp3 is not None:
+                out.update(
+                    format="mp3",
+                    channels=mp3["channels"],
+                    sample_rate=mp3["sample_rate"],
+                    duration_s=mp3["duration_s"],
+                    subformat=f"mpeg{mp3['version']}-layer{mp3['layer']}"
+                    + ("-vbr" if mp3["vbr"] else ""),
+                    valid=True,
+                )
     except Exception:
         pass  # malformed header → valid=False row, never a task failure
     return out

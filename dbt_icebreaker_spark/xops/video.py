@@ -110,8 +110,31 @@ def _demux(raw: bytes) -> Optional[dict]:
             tables[t2] = (l2, h2)
         if b"stsd" not in tables or b"stsz" not in tables:
             return None
-        slo, _ = tables[b"stsd"]
+        slo, shi = tables[b"stsd"]
         codec = raw[slo + 12 : slo + 16].decode("latin1")
+        # AVC tracks: the avcC configuration record (SPS/PPS) sits
+        # after the 78-byte VisualSampleEntry header — parse it for
+        # profile/level and the TRUE coded dimensions (tkhd is a
+        # display transform, not the coded size). 14496-15 §5.2.4.
+        h264_info = None
+        if codec in ("avc1", "avc3", "avc2", "avc4"):
+            from . import h264 as _h264
+
+            entry_lo = slo + 8  # past stsd ver/flags + entry_count
+            ext_lo = entry_lo + 8 + 78  # past size+fourcc+sample entry
+            for t3, l3, h3 in _boxes(raw, ext_lo, shi):
+                if t3 == b"avcC":
+                    h264_info = _h264.parse_avcc(raw[l3:h3])
+                    break
+        # stss sync-sample table → keyframe sample numbers (1-based);
+        # absent table means EVERY sample is a sync point (14496-12)
+        keyframes: Optional[list[int]] = None
+        if b"stss" in tables:
+            klo, _ = tables[b"stss"]
+            (nkf,) = _struct.unpack(">I", raw[klo + 4 : klo + 8])
+            keyframes = list(
+                _struct.unpack(f">{nkf}I", raw[klo + 8 : klo + 8 + 4 * nkf])
+            )
         # stsz: u32 ver/flags, u32 uniform_size, u32 count [, sizes]
         zlo, _ = tables[b"stsz"]
         uniform, count = _struct.unpack(">II", raw[zlo + 4 : zlo + 12])
@@ -174,7 +197,13 @@ def _demux(raw: bytes) -> Optional[dict]:
                     si += 1
         if si < count:
             return None
-        return {"codec": codec, "timescale": timescale, "samples": samples}
+        return {
+            "codec": codec,
+            "timescale": timescale,
+            "samples": samples,
+            "keyframes": keyframes,
+            "h264": h264_info,
+        }
     return None
 
 
@@ -245,6 +274,92 @@ def mux_mjpeg_mp4(
     )
     stco = full(b"stco", 0, 0, _struct.pack(">II", 1, chunk_off))
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mux_avc_mp4(
+    samples: list[bytes],
+    avcc: bytes,
+    keyframes: Optional[list[int]] = None,
+    fps: int = 10,
+    width: int = 0,
+    height: int = 0,
+) -> bytes:
+    """Minimal single-track AVC (H.264) MP4 fixture: identical stbl
+    shape to ``mux_mjpeg_mp4`` but with an `avc1` VisualSampleEntry
+    carrying the given avcC configuration record (build one with
+    ``h264.build_avcc``) and an optional stss sync-sample table
+    (1-based keyframe numbers). Samples are opaque byte blobs — this
+    muxer exists so demux/probe tests exercise the real avc1/stss
+    layout without vendored media files."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", len(body) + 8) + typ + body
+
+    def full(typ: bytes, ver: int, flags: int, body: bytes) -> bytes:
+        return box(typ, _struct.pack(">I", (ver << 24) | flags) + body)
+
+    n = len(samples)
+    timescale = 1000
+    delta = timescale // fps
+    duration = n * delta
+    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2avc1")
+    chunk_off = len(ftyp) + 8
+    mdat = box(b"mdat", b"".join(samples))
+    mvhd = full(
+        b"mvhd", 0, 0,
+        _struct.pack(">II", 0, 0) + _struct.pack(">II", timescale, duration)
+        + _struct.pack(">I", 0x00010000) + _struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + _struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        _struct.pack(">II", 0, 0) + _struct.pack(">II", 1, 0)
+        + _struct.pack(">I", duration) + b"\x00" * 16
+        + _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = full(
+        b"mdhd", 0, 0,
+        _struct.pack(">II", 0, 0) + _struct.pack(">II", timescale, duration)
+        + _struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(b"hdlr", 0, 0, _struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"AVC\x00")
+    vmhd = full(b"vmhd", 0, 1, _struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = box(b"dinf", full(b"dref", 0, 0, _struct.pack(">I", 1) + full(b"url ", 0, 1, b"")))
+    sample_entry = box(
+        b"avc1",
+        b"\x00" * 6 + _struct.pack(">H", 1)
+        + b"\x00" * 16
+        + _struct.pack(">HH", width, height)
+        + _struct.pack(">II", 0x00480000, 0x00480000)
+        + _struct.pack(">I", 0) + _struct.pack(">H", 1)
+        + b"\x03AVC" + b"\x00" * 28  # 32-byte compressorname
+        + _struct.pack(">Hh", 24, -1)
+        + box(b"avcC", avcc),
+    )
+    stsd = full(b"stsd", 0, 0, _struct.pack(">I", 1) + sample_entry)
+    stts = full(b"stts", 0, 0, _struct.pack(">III", 1, n, delta))
+    stsc = full(b"stsc", 0, 0, _struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz", 0, 0,
+        _struct.pack(">II", 0, n) + b"".join(_struct.pack(">I", len(f)) for f in samples),
+    )
+    stco = full(b"stco", 0, 0, _struct.pack(">II", 1, chunk_off))
+    stbl_body = stsd + stts + stsc + stsz + stco
+    if keyframes is not None:
+        stbl_body += full(
+            b"stss", 0, 0,
+            _struct.pack(">I", len(keyframes))
+            + b"".join(_struct.pack(">I", k) for k in keyframes),
+        )
+    stbl = box(b"stbl", stbl_body)
     minf = box(b"minf", vmhd + dinf + stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)
