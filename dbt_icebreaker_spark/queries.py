@@ -1430,6 +1430,46 @@ _q(
     """,
 )
 
+# OBJECT_INSERT / OBJECT_DELETE / OBJECT_PICK on the JSON-string
+# VARIANT model (round-4 upgrade of the T31 refusal tail): the engine
+# splices from_json(obj,'map<string,variant>') so field TYPES survive
+# (numbers stay numbers), and emits keys sorted (Snowflake's canonical
+# object order). The oracle doesn't need DuckDB JSON functions at all —
+# with sorted keys the expected JSON text is closed-form from the row
+# columns, so a single mis-spliced byte breaks the value hash.
+_q(
+    "q66_object_manipulation",
+    """
+    SELECT o_orderkey,
+           OBJECT_INSERT(OBJECT_CONSTRUCT('pri', o_orderpriority,
+                                          'key', o_orderkey),
+                         'status', o_orderstatus) AS obj_ins,
+           OBJECT_INSERT(OBJECT_CONSTRUCT('a', o_custkey,
+                                          'b', o_orderpriority),
+                         'a', o_orderkey, TRUE) AS obj_upd,
+           OBJECT_DELETE(OBJECT_CONSTRUCT('a', o_custkey,
+                                          'b', o_orderpriority,
+                                          'c', o_orderstatus), 'b') AS obj_del,
+           OBJECT_PICK(OBJECT_CONSTRUCT('a', o_custkey,
+                                        'b', o_orderpriority,
+                                        'c', o_orderstatus),
+                       'a', 'c') AS obj_pick
+    FROM orders WHERE o_orderkey < 400
+    """,
+    """
+    SELECT o_orderkey,
+           '{"key":' || o_orderkey || ',"pri":"' || o_orderpriority
+             || '","status":"' || o_orderstatus || '"}' AS obj_ins,
+           '{"a":' || o_orderkey || ',"b":"' || o_orderpriority || '"}'
+             AS obj_upd,
+           '{"a":' || o_custkey || ',"c":"' || o_orderstatus || '"}'
+             AS obj_del,
+           '{"a":' || o_custkey || ',"c":"' || o_orderstatus || '"}'
+             AS obj_pick
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

@@ -270,6 +270,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TRY_BASE64_DECODE_STRING": "TRYB64DEC_X",  # → CAST(try_to_binary AS STRING)
         "TRY_HEX_DECODE_STRING": "TRYHEXDEC_X",
         "DIFFERENCE": "SOUNDEXDIFF_X",  # positional soundex-char match count 0-4
+        "OBJECT_INSERT": "OBJINS_X",  # variant-map splice, sorted keys
+        "OBJECT_DELETE": "OBJDEL_X",
+        "OBJECT_PICK": "OBJPICK_X",
     }
     out = _rename_funcs(tokens, mapping)
     return out
@@ -388,7 +391,26 @@ _PLACEHOLDER_NAMES = frozenset((
     "ISTYPE_INTEGER", "ISTYPE_NUMBER", "ISTYPE_VARCHAR",
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
+    "OBJINS_X", "OBJDEL_X", "OBJPICK_X",
 ))
+
+
+# OBJECT_INSERT/DELETE/PICK share the VARIANT model of T6/T7: objects
+# are JSON text, but the manipulation itself runs on
+# from_json(obj, 'map<string,variant>') so FIELD TYPES SURVIVE the
+# splice ({"a":1} stays a number, not "1") — Spark 4's variant-valued
+# maps close the gap that kept these refused through round 3. Output
+# keys are emitted in sorted order, matching Snowflake's canonical
+# OBJECT key ordering (and making the result oracle-stable).
+_VARIANT_MAP = "from_json(({obj}), 'map<string,variant>')"
+
+
+def _sorted_obj_json(map_expr: str) -> str:
+    return (
+        "to_json(map_from_entries(array_sort(map_entries(" + map_expr + "), "
+        "(__x, __y) -> CASE WHEN __x.key < __y.key THEN -1 "
+        "WHEN __x.key > __y.key THEN 1 ELSE 0 END)))"
+    )
 
 
 # Snowflake PARSE_URL(url) → OBJECT with alphabetical keys; in the
@@ -928,6 +950,41 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"(CASE WHEN ({pos_s}) < 0 THEN size({arr_s}) + ({pos_s}) "
                     f"ELSE ({pos_s}) END)) END"
                 )
+            elif t.text == "OBJINS_X" and len(args) in (3, 4):
+                # OBJECT_INSERT(obj, k, v[, update]): splice k:v into a
+                # JSON object. The value is boxed through
+                # to_json(map(k, v)) so its JSON type is preserved for
+                # ANY scalar/array/struct input. Without the update
+                # flag an existing key errors at runtime — Spark's
+                # default mapKeyDedupPolicy=EXCEPTION mirrors
+                # Snowflake's duplicate-key error; with update=TRUE the
+                # old key is filtered out first (upsert).
+                obj = render(tokens[args[0][0]:args[0][1]]).strip()
+                key = render(tokens[args[1][0]:args[1][1]]).strip()
+                val = render(tokens[args[2][0]:args[2][1]]).strip()
+                m = _VARIANT_MAP.format(obj=obj)
+                ins = f"from_json(to_json(map(({key}), ({val}))), 'map<string,variant>')"
+                if len(args) == 4:
+                    flag = render(tokens[args[3][0]:args[3][1]]).strip()
+                    m = (
+                        f"CASE WHEN ({flag}) THEN map_filter({m}, "
+                        f"(__k, __v) -> __k != ({key})) ELSE {m} END"
+                    )
+                out += tokenize(_sorted_obj_json(f"map_concat({m}, {ins})"))
+            elif t.text in ("OBJDEL_X", "OBJPICK_X") and len(args) >= 2:
+                # OBJECT_DELETE / OBJECT_PICK (obj, k1[, k2...]): keep /
+                # drop keys via a JVM map_filter lambda. The Snowflake
+                # array-argument form of OBJECT_PICK isn't supported —
+                # pass keys as varargs (the common spelling).
+                obj = render(tokens[args[0][0]:args[0][1]]).strip()
+                keys = ", ".join(
+                    render(tokens[a:b]).strip() for a, b in args[1:]
+                )
+                op = "NOT IN" if t.text == "OBJDEL_X" else "IN"
+                m = _VARIANT_MAP.format(obj=obj)
+                out += tokenize(_sorted_obj_json(
+                    f"map_filter({m}, (__k, __v) -> __k {op} ({keys}))"
+                ))
             elif t.text == "ARRINS_X" and len(args) == 3:
                 # Snowflake ARRAY_INSERT position is 0-BASED; Spark's
                 # array_insert is 1-based. Literal non-negative → +1 at
@@ -4025,12 +4082,6 @@ def rewrite_window_ratio_funcs(tokens: Tokens) -> Tokens:
 # Scalar functions with no faithful Spark rendering — actionable error
 # (ref errors.py style) instead of UNRESOLVED_ROUTINE at runtime.
 _UNSUPPORTED_SCALARS = {
-    "OBJECT_INSERT": "rebuild the object with OBJECT_CONSTRUCT (VARIANTs "
-                     "are JSON strings here; field types wouldn't survive "
-                     "a string-map splice)",
-    "OBJECT_DELETE": "rebuild the object with OBJECT_CONSTRUCT",
-    "OBJECT_PICK": "rebuild the object with OBJECT_CONSTRUCT over the "
-                   "wanted keys (get_json_object per key)",
     "MINHASH": "xops.dedup.minhash_signatures (distributed MinHash)",
     "MINHASH_COMBINE": "xops.dedup.minhash_signatures",
     "APPROXIMATE_SIMILARITY": "xops.dedup.minhash_lsh_pairs",

@@ -602,10 +602,6 @@ class TestWindowRatioFuncs:
 
 
 class TestUnsupportedScalars:
-    def test_object_insert_actionable(self):
-        ok, msg = t.can_transpile("SELECT OBJECT_INSERT(o, 'k', 1) FROM x")
-        assert not ok and "OBJECT_CONSTRUCT" in msg
-
     def test_minhash_points_at_xops(self):
         ok, msg = t.can_transpile("SELECT MINHASH(20, txt) FROM x")
         assert not ok and "minhash_signatures" in msg
@@ -876,9 +872,63 @@ class TestArrayIndexSemantics:
         )).collect()[0]
         assert r.obj_v == "7" and r.arr_v == "y"
 
-    def test_object_pick_actionable(self):
-        ok, msg = t.can_transpile("SELECT OBJECT_PICK(o, 'a') FROM v")
-        assert not ok and "OBJECT_CONSTRUCT" in msg
+class TestObjectManipulation:
+    """OBJECT_INSERT/DELETE/PICK on the JSON-string VARIANT model
+    (round-4 upgrade of the T31 refusal tail): the splice runs on
+    from_json(obj, 'map<string,variant>') so field types survive, and
+    output keys are sorted — Snowflake's canonical object order."""
+
+    def test_insert_preserves_types_and_sorts(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('z', 1, 'a', 'x'), "
+            "'m', 2.5) AS r"
+        )).collect()[0]
+        assert r.r == '{"a":"x","m":2.5,"z":1}'
+
+    def test_insert_nested_object_value_survives(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_INSERT(PARSE_JSON('{\"n\":{\"deep\":true}}'), "
+            "'m', 5) AS r"
+        )).collect()[0]
+        assert r.r == '{"m":5,"n":{"deep":true}}'
+
+    def test_insert_update_flag_upserts(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1, 'b', 'x'), "
+            "'a', 99, TRUE) AS r"
+        )).collect()[0]
+        assert r.r == '{"a":99,"b":"x"}'
+
+    def test_insert_duplicate_key_errors_like_snowflake(self, spark):
+        with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+            spark.sql(t.to_spark(
+                "SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'a', 2) AS r"
+            )).collect()
+
+    def test_delete_multiple_keys(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_DELETE(OBJECT_CONSTRUCT("
+            "'a', 1, 'b', 'x', 'c', 3), 'b', 'c') AS r"
+        )).collect()[0]
+        assert r.r == '{"a":1}'
+
+    def test_pick_keeps_only_named(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_PICK(OBJECT_CONSTRUCT("
+            "'a', 1, 'b', 'x', 'c', 3), 'a', 'c', 'missing') AS r"
+        )).collect()[0]
+        assert r.r == '{"a":1,"c":3}'
+
+    def test_null_object_stays_null(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_DELETE(NULL, 'a') AS d, "
+            "OBJECT_PICK(NULL, 'a') AS p"
+        )).collect()[0]
+        assert r.d is None and r.p is None
+
+    def test_no_python_udf(self):
+        out = t.to_spark("SELECT OBJECT_PICK(o, 'a') FROM v")
+        assert "map_filter(" in out and "from_json(" in out
 
 
 class TestEpochExtract:
