@@ -1470,6 +1470,46 @@ _q(
     """,
 )
 
+# JAROWINKLER_SIMILARITY (pure-JVM lambda chain, fuzz-pinned to
+# DuckDB's jaro_winkler_similarity incl. floor-transpositions and the
+# 0.7 boost threshold — the oracle IS the reference implementation
+# here) + GET_IGNORE_CASE (case-folded variant-map lookup). Snowflake's
+# function is case-insensitive and returns an integer 0–100.
+_q(
+    "q67_fuzzy_similarity",
+    """
+    SELECT o_orderkey,
+           JAROWINKLER_SIMILARITY(o_orderpriority, '1-URGENT') AS jw_pri,
+           JAROWINKLER_SIMILARITY(o_orderpriority,
+                                  REVERSE(o_orderpriority)) AS jw_rev,
+           JAROWINKLER_SIMILARITY(o_orderstatus, 'o') AS jw_ci,
+           GET_IGNORE_CASE(OBJECT_CONSTRUCT('Alpha', o_custkey,
+                                            'Beta', o_orderpriority),
+                           'alpha') AS g_num,
+           GET_IGNORE_CASE(OBJECT_CONSTRUCT('Alpha', o_custkey,
+                                            'Beta', o_orderpriority),
+                           'BETA') AS g_str,
+           GET_IGNORE_CASE(OBJECT_CONSTRUCT('Alpha', o_custkey),
+                           'gamma') AS g_missing
+    FROM orders WHERE o_orderkey < 400
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(100 * jaro_winkler_similarity(
+                lower(o_orderpriority), lower('1-URGENT'))) AS BIGINT)
+             AS jw_pri,
+           CAST(ROUND(100 * jaro_winkler_similarity(
+                lower(o_orderpriority),
+                lower(REVERSE(o_orderpriority)))) AS BIGINT) AS jw_rev,
+           CAST(ROUND(100 * jaro_winkler_similarity(
+                lower(o_orderstatus), 'o')) AS BIGINT) AS jw_ci,
+           CAST(o_custkey AS VARCHAR) AS g_num,
+           o_orderpriority AS g_str,
+           CAST(NULL AS VARCHAR) AS g_missing
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

@@ -931,6 +931,49 @@ class TestObjectManipulation:
         assert "map_filter(" in out and "from_json(" in out
 
 
+class TestJaroWinklerAndCiGet:
+    """JAROWINKLER_SIMILARITY (round-4 upgrade of the refusal tail):
+    pure-JVM lambda chain, fuzz-pinned to DuckDB semantics (floor
+    transpositions, 0.7 boost threshold, window max(0, len/2-1));
+    Snowflake contract: case-insensitive, integer 0-100."""
+
+    def test_known_values(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT JAROWINKLER_SIMILARITY('MARTHA', 'MARHTA') AS a, "
+            "JAROWINKLER_SIMILARITY('DIXON', 'DICKSONX') AS b, "
+            "JAROWINKLER_SIMILARITY('same', 'same') AS c, "
+            "JAROWINKLER_SIMILARITY('abc', 'xyz') AS d"
+        )).collect()[0]
+        # 0.9611 -> 96, 0.8133 -> 81
+        assert (r.a, r.b, r.c, r.d) == (96, 81, 100, 0)
+
+    def test_case_insensitive(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT JAROWINKLER_SIMILARITY('Phone', 'PHONE') AS x"
+        )).collect()[0]
+        assert r.x == 100
+
+    def test_null_and_empty(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT JAROWINKLER_SIMILARITY(NULL, 'a') AS n, "
+            "JAROWINKLER_SIMILARITY('', 'a') AS e"
+        )).collect()[0]
+        assert r.n is None and r.e == 0
+
+    def test_no_python_udf(self):
+        out = t.to_spark("SELECT JAROWINKLER_SIMILARITY(a, b) FROM x")
+        assert "aggregate(" in out and "udf" not in out.lower()
+
+    def test_get_ignore_case(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT GET_IGNORE_CASE(OBJECT_CONSTRUCT('Alpha', 7, "
+            "'Beta', 'x'), 'ALPHA') AS a, "
+            "GET_IGNORE_CASE(OBJECT_CONSTRUCT('Alpha', 7), 'beta') AS b, "
+            "GET_IGNORE_CASE(PARSE_JSON('{\"K\":{\"n\":1}}'), 'k') AS c"
+        )).collect()[0]
+        assert r.a == "7" and r.b is None and r.c == '{"n":1}'
+
+
 class TestEpochExtract:
     def test_date_part_epoch_spellings(self, spark):
         r = spark.sql(t.to_spark(
