@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 
 from ..transpiler.core import TranspileError
 from ..transpiler.tokenizer import (
+    QIDENT,
     WORD,
     Token,
     find_matching_paren,
@@ -369,11 +370,8 @@ def parse_delete(sql: str) -> Optional[DeleteSpec]:
     target, i = _read_qualified_name(toks, i)
     # alias defaults to the table's last name part so predicates
     # qualified by the table name ('WHERE tbl.a = 1') resolve, same as
-    # parse_update
-    alias = target.split(".")[-1]
-    if i < len(toks) and toks[i].kind == WORD and toks[i].upper not in ("WHERE", "USING"):
-        alias = toks[i].text
-        i = next_code(toks, i + 1)
+    # parse_update; explicit [AS] alias (bare or "quoted") overrides
+    alias, i = _read_optional_alias(toks, i, target, ("WHERE", "USING"))
     if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "USING":
         raise TranspileError(
             "DELETE ... USING is a join-shaped delete: express it as "
@@ -381,9 +379,38 @@ def parse_delete(sql: str) -> Optional[DeleteSpec]:
             "(supported), or pre-compute the key set and use WHERE ... IN."
         )
     where_sql = None
-    if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "WHERE":
-        where_sql = render(toks[next_code(toks, i + 1):]).strip()
+    if i < len(toks):
+        if toks[i].kind == WORD and toks[i].upper == "WHERE":
+            where_sql = render(toks[next_code(toks, i + 1):]).strip()
+        else:
+            # unconsumed tokens before WHERE must be a hard error —
+            # silently ignoring them once turned `DELETE FROM t AS x
+            # WHERE ...` into an unconditional full-table delete
+            raise TranspileError(
+                f"DELETE FROM: unexpected token {toks[i].text!r} "
+                "(expected WHERE or end of statement)"
+            )
     return DeleteSpec(target=target, where_sql=where_sql, alias=alias)
+
+
+def _read_optional_alias(
+    toks, i: int, target: str, stop_words: tuple
+) -> tuple[str, int]:
+    """[AS] alias after a DML target table: bare word or "quoted"
+    identifier; returns (alias, next index). Defaults to the table's
+    last name part. A dangling AS with no alias is a hard error."""
+    alias = target.split(".")[-1]
+    if i < len(toks) and toks[i].kind == WORD and toks[i].upper == "AS":
+        j = next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].kind not in (WORD, QIDENT):
+            raise TranspileError("expected alias after AS")
+        return toks[j].text, next_code(toks, j + 1)
+    if i < len(toks) and (
+        (toks[i].kind == WORD and toks[i].upper not in stop_words)
+        or toks[i].kind == QIDENT
+    ):
+        return toks[i].text, next_code(toks, i + 1)
+    return alias, i
 
 
 def parse_update(sql: str) -> Optional[UpdateSpec]:
@@ -397,11 +424,8 @@ def parse_update(sql: str) -> Optional[UpdateSpec]:
     if i >= len(toks) or toks[i].kind != WORD:
         raise TranspileError("UPDATE: missing table name")
     target, i = _read_qualified_name(toks, i)
-    alias = target.split(".")[-1]
-    if i < len(toks) and toks[i].kind == WORD and toks[i].upper != "SET":
-        alias = toks[i].text
-        i = next_code(toks, i + 1)
-    if i >= len(toks) or toks[i].upper != "SET":
+    alias, i = _read_optional_alias(toks, i, target, ("SET",))
+    if i >= len(toks) or toks[i].kind != WORD or toks[i].upper != "SET":
         raise TranspileError("UPDATE: missing SET clause")
     i = next_code(toks, i + 1)
     # SET items until top-level FROM/WHERE/end
@@ -560,10 +584,15 @@ def parse_alter_columns(sql: str) -> Optional[AlterColumnsSpec]:
         if_exists = False
         if j < len(toks) and toks[j].upper == "IF":
             k = next_code(toks, j + 1)
-            if k >= len(toks) or toks[k].upper != "EXISTS":
+            if k < len(toks) and toks[k].kind == WORD and toks[k].upper == "EXISTS":
+                if_exists = True
+                j = next_code(toks, k + 1)
+            elif k < len(toks) and not toks[k].is_op(",") and toks[k].kind == WORD:
+                # IF followed by a non-EXISTS word is a malformed
+                # IF EXISTS clause, not a column list
                 raise TranspileError("ALTER ... DROP COLUMN IF: expected EXISTS")
-            if_exists = True
-            j = next_code(toks, k + 1)
+            # else: a column literally named `if` (lone, or `if, x`) —
+            # falls through to the drops loop
         drops = []
         while j < len(toks) and toks[j].kind == WORD:
             drops.append(toks[j].text)

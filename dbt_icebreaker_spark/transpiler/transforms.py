@@ -270,7 +270,8 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TRY_BASE64_DECODE_STRING": "TRYB64DEC_X",  # → CAST(try_to_binary AS STRING)
         "TRY_HEX_DECODE_STRING": "TRYHEXDEC_X",
         "DIFFERENCE": "SOUNDEXDIFF_X",  # positional soundex-char match count 0-4
-        "OBJECT_INSERT": "OBJINS_X",  # variant-map splice, sorted keys
+        # OBJECT_INSERT is rewritten earlier (rewrite_object_insert —
+        # it must see un-lowered value arguments)
         "OBJECT_DELETE": "OBJDEL_X",
         "OBJECT_PICK": "OBJPICK_X",
         "JAROWINKLER_SIMILARITY": "JAROWINK_X",  # pure-JVM lambda chain
@@ -393,7 +394,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "ISTYPE_INTEGER", "ISTYPE_NUMBER", "ISTYPE_VARCHAR",
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
-    "OBJINS_X", "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X",
+    "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X",
 ))
 
 
@@ -453,12 +454,19 @@ def _jaro_winkler_sql(a: str, b: str) -> str:
         f"CASE WHEN {first_diff} IS NULL THEN least(4, {l1}, {l2}) "
         f"ELSE {first_diff} - 1 END"
     )
+    # bind the (expensive) aggregate result ONCE via a one-element
+    # transform lambda — inlining it into the boost CASE would run the
+    # whole match pass three times per row
+    boost = (
+        f"element_at(transform(array({jaro}), __jw -> "
+        f"CASE WHEN __jw > 0.7D "
+        f"THEN __jw + ({prefix}) * 0.1D * (1.0D - __jw) "
+        f"ELSE __jw END), 1)"
+    )
     return (
         f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS DOUBLE) "
         f"WHEN {l1} = 0 OR {l2} = 0 THEN 0.0D "
-        f"ELSE (CASE WHEN ({jaro}) > 0.7D "
-        f"THEN ({jaro}) + ({prefix}) * 0.1D * (1.0D - ({jaro})) "
-        f"ELSE ({jaro}) END) END"
+        f"ELSE {boost} END"
     )
 
 
@@ -478,6 +486,83 @@ def _sorted_obj_json(map_expr: str) -> str:
         "(__x, __y) -> CASE WHEN __x.key < __y.key THEN -1 "
         "WHEN __x.key > __y.key THEN 1 ELSE 0 END)))"
     )
+
+
+# Snowflake spellings whose result is semi-structured JSON TEXT in this
+# model — an OBJECT_INSERT value from one of these must splice as a
+# nested object (parse_json), not as a quoted string. GET/GET_PATH/
+# `col:path` results are EXCLUDED: their get_json_object lowering
+# unquotes scalar strings, so re-parsing would corrupt them — those
+# splice as strings (documented model limitation).
+_VARIANT_VALUE_PRODUCERS = frozenset((
+    "OBJECT_CONSTRUCT", "OBJECT_CONSTRUCT_KEEP_NULL", "PARSE_JSON",
+    "TRY_PARSE_JSON", "TO_OBJECT", "OBJECT_INSERT", "OBJECT_DELETE",
+    "OBJECT_PICK",
+))
+
+
+def rewrite_object_insert(tokens: Tokens) -> Tokens:
+    """OBJECT_INSERT(obj, k, v[, update]) → sorted variant-map splice.
+
+    Runs BEFORE rewrite_object_construct / rewrite_variant_funcs so the
+    VALUE argument's Snowflake spelling is still visible: a value from
+    a variant producer (OBJECT_CONSTRUCT / PARSE_JSON / TO_OBJECT /
+    nested OBJECT_* call) splices as ``map(k, parse_json(v))`` — the
+    nested object stays an OBJECT — while any other value boxes through
+    ``from_json(to_json(map(k, v)))`` so a string stays a quoted
+    string and numbers keep their JSON type. (Lowering first would
+    collapse both cases to STRING and double-encode nested objects.)
+
+    Without the update flag an existing key errors at runtime (Spark's
+    default mapKeyDedupPolicy=EXCEPTION mirrors Snowflake's
+    duplicate-key error); with update=TRUE the old key is filtered out
+    first (upsert). NULL object → NULL. Output keys sorted (Snowflake's
+    canonical object order). Nested OBJECT_INSERT calls are rewritten
+    by re-scan (each pass eliminates the leftmost call)."""
+    while True:
+        hit = None
+        for i, t in enumerate(tokens):
+            if t.kind == WORD and t.upper == "OBJECT_INSERT":
+                j = next_code(tokens, i + 1)
+                if j < len(tokens) and tokens[j].is_op("("):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return tokens
+        i, op_i = hit
+        close = find_matching_paren(tokens, op_i)
+        args = split_args(tokens, op_i + 1, close)
+        if len(args) not in (3, 4):
+            from .core import TranspileError
+
+            raise TranspileError("OBJECT_INSERT takes 3 or 4 arguments")
+        obj = render(tokens[args[0][0]:args[0][1]]).strip()
+        key = render(tokens[args[1][0]:args[1][1]]).strip()
+        val_toks = tokens[args[2][0]:args[2][1]]
+        val = render(val_toks).strip()
+        vcode = [c for c in val_toks if c.kind not in (WS, COMMENT)]
+        producer = (
+            len(vcode) >= 2
+            and vcode[0].kind == WORD
+            and vcode[0].upper in _VARIANT_VALUE_PRODUCERS
+            and vcode[1].is_op("(")
+        )
+        m = _VARIANT_MAP.format(obj=obj)
+        if producer:
+            # from_json(..., 'variant'), NOT parse_json: the T7
+            # PARSE_JSON→identity rewrite runs later in the pipeline
+            # and would strip a literal parse_json( spelling
+            ins = f"map(({key}), from_json(({val}), 'variant'))"
+        else:
+            ins = f"from_json(to_json(map(({key}), ({val}))), 'map<string,variant>')"
+        if len(args) == 4:
+            flag = render(tokens[args[3][0]:args[3][1]]).strip()
+            m = (
+                f"CASE WHEN ({flag}) THEN map_filter({m}, "
+                f"(__k, __v) -> __k != ({key})) ELSE {m} END"
+            )
+        repl = tokenize(_sorted_obj_json(f"map_concat({m}, {ins})"))
+        tokens = tokens[:i] + repl + tokens[close + 1:]
 
 
 # Snowflake PARSE_URL(url) → OBJECT with alphabetical keys; in the
@@ -1017,27 +1102,6 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"(CASE WHEN ({pos_s}) < 0 THEN size({arr_s}) + ({pos_s}) "
                     f"ELSE ({pos_s}) END)) END"
                 )
-            elif t.text == "OBJINS_X" and len(args) in (3, 4):
-                # OBJECT_INSERT(obj, k, v[, update]): splice k:v into a
-                # JSON object. The value is boxed through
-                # to_json(map(k, v)) so its JSON type is preserved for
-                # ANY scalar/array/struct input. Without the update
-                # flag an existing key errors at runtime — Spark's
-                # default mapKeyDedupPolicy=EXCEPTION mirrors
-                # Snowflake's duplicate-key error; with update=TRUE the
-                # old key is filtered out first (upsert).
-                obj = render(tokens[args[0][0]:args[0][1]]).strip()
-                key = render(tokens[args[1][0]:args[1][1]]).strip()
-                val = render(tokens[args[2][0]:args[2][1]]).strip()
-                m = _VARIANT_MAP.format(obj=obj)
-                ins = f"from_json(to_json(map(({key}), ({val}))), 'map<string,variant>')"
-                if len(args) == 4:
-                    flag = render(tokens[args[3][0]:args[3][1]]).strip()
-                    m = (
-                        f"CASE WHEN ({flag}) THEN map_filter({m}, "
-                        f"(__k, __v) -> __k != ({key})) ELSE {m} END"
-                    )
-                out += tokenize(_sorted_obj_json(f"map_concat({m}, {ins})"))
             elif t.text == "JAROWINK_X" and len(args) == 2:
                 # Snowflake JAROWINKLER_SIMILARITY: case-INsensitive,
                 # returns an integer 0–100. The similarity itself is
@@ -1065,17 +1129,24 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 )
             elif t.text in ("OBJDEL_X", "OBJPICK_X") and len(args) >= 2:
                 # OBJECT_DELETE / OBJECT_PICK (obj, k1[, k2...]): keep /
-                # drop keys via a JVM map_filter lambda. The Snowflake
-                # array-argument form of OBJECT_PICK isn't supported —
-                # pass keys as varargs (the common spelling).
+                # drop keys via a JVM map_filter lambda. The IN test is
+                # COALESCE-guarded: a NULL key argument makes `__k IN
+                # (NULL)` NULL, and a bare NULL lambda predicate would
+                # silently drop every entry (same failure class as the
+                # ARRAY_REMOVE_AT NULL-position fix) — Snowflake treats
+                # a NULL key as matching nothing (DELETE keeps all,
+                # PICK picks none). The Snowflake array-argument form
+                # of OBJECT_PICK isn't supported — pass keys as varargs
+                # (the common spelling).
                 obj = render(tokens[args[0][0]:args[0][1]]).strip()
                 keys = ", ".join(
                     render(tokens[a:b]).strip() for a, b in args[1:]
                 )
-                op = "NOT IN" if t.text == "OBJDEL_X" else "IN"
                 m = _VARIANT_MAP.format(obj=obj)
+                member = f"coalesce(__k IN ({keys}), false)"
+                pred = f"NOT {member}" if t.text == "OBJDEL_X" else member
                 out += tokenize(_sorted_obj_json(
-                    f"map_filter({m}, (__k, __v) -> __k {op} ({keys}))"
+                    f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
             elif t.text == "ARRINS_X" and len(args) == 3:
                 # Snowflake ARRAY_INSERT position is 0-BASED; Spark's
@@ -3009,13 +3080,24 @@ BLACKLISTED_PATTERNS = (
 _TOXIC_TYPE_WORDS = {"GEOGRAPHY", "GEOMETRY"}
 
 
-def _in_type_position(toks: Tokens, i: int) -> bool:
-    """True iff the word at i sits in a type slot: after `::`, after the
-    AS of a CAST/TRY_CAST call, or as a DDL column type (CREATE TABLE
-    column list: preceded by an identifier that follows `(` or `,`).
-    Keeps a plain string column *named* geometry/geography from being
-    flagged — the reference's gate is function-oriented, not
-    identifier-oriented."""
+def _ddl_column_list_span(toks: Tokens) -> tuple[int, int] | None:
+    """Token span (open, close) of the column-definition paren that
+    IMMEDIATELY follows a CREATE ... TABLE target name, else None.
+    A CTAS select body is NOT a span (the paren must precede any AS),
+    so aliases inside `CREATE TABLE t AS SELECT a, b geometry ...`
+    never look like type slots."""
+    i = _after_create_table_name(toks)
+    if i is None or i >= len(toks) or not toks[i].is_op("("):
+        return None
+    return (i, find_matching_paren(toks, i))
+
+
+def _in_type_position(toks: Tokens, i: int, ddl_span) -> bool:
+    """True iff the word at i sits in a type slot: after `::`, after
+    the AS of a CAST/TRY_CAST call, in the CREATE TABLE column list
+    (``ddl_span``), or after ALTER's ADD/MODIFY COLUMN <name>. Keeps a
+    plain column *named* geometry/geography from being flagged — the
+    reference's gate is function-oriented, not identifier-oriented."""
     p = prev_code(toks, i - 1)
     if p < 0:
         return False
@@ -3037,12 +3119,21 @@ def _in_type_position(toks: Tokens, i: int) -> bool:
                 depth -= 1
             k -= 1
         return False
-    # DDL column slot: `(` or `,` → identifier → TYPE inside CREATE TABLE
     if toks[p].kind in (WORD, QIDENT):
         pp = prev_code(toks, p - 1)
-        if pp >= 0 and toks[pp].is_op("(", ","):
-            heads = [t.upper for t in toks[:pp] if t.kind == WORD][:4]
-            return "CREATE" in heads and "TABLE" in heads
+        if pp < 0:
+            return False
+        # CREATE TABLE column list: `(` or `,` → identifier → TYPE,
+        # but only inside the span that directly follows the name
+        if (
+            toks[pp].is_op("(", ",")
+            and ddl_span is not None
+            and ddl_span[0] <= pp <= ddl_span[1]
+        ):
+            return True
+        # ALTER TABLE ... ADD/MODIFY/ALTER COLUMN <name> TYPE
+        if toks[pp].is_word("COLUMN", "COLUMNS"):
+            return True
     return False
 
 
@@ -3054,12 +3145,13 @@ def detect_toxic_types(sql: str) -> list[str]:
     (only `::GEOMETRY`, `CAST(x AS GEOMETRY)`, or a DDL type slot)."""
     found: set[str] = set()
     toks = tokenize(sql)
+    ddl_span = _ddl_column_list_span(toks)
     for i, t in enumerate(toks):
         if t.kind != WORD:
             continue
         u = t.upper
         if u in _TOXIC_TYPE_WORDS:
-            if _in_type_position(toks, i):
+            if _in_type_position(toks, i, ddl_span):
                 found.add(u)
         elif u in ("TO_GEOGRAPHY", "TO_GEOMETRY", "TRY_TO_GEOGRAPHY",
                    "TRY_TO_GEOMETRY"):
@@ -3218,12 +3310,12 @@ _CREATE_TABLE_MODIFIERS = (
 )
 
 
-def _clone_keyword_pos(tokens: Tokens) -> int | None:
-    """Index of CLONE iff it is the word immediately after the target
-    table name of a CREATE ... TABLE statement — anchored the way
-    `parse_alter_columns` anchors its verb, so a table/column/alias
-    literally named `clone` (e.g. `CREATE TABLE t AS SELECT clone, x
-    FROM src`) is never misread as a clone statement."""
+def _after_create_table_name(tokens: Tokens) -> int | None:
+    """Index of the first token AFTER the target table name of a
+    CREATE [OR REPLACE] [modifiers] TABLE [IF NOT EXISTS] name
+    statement, else None. Anchors both the CLONE rewrite and the
+    toxic-type DDL-slot detection, so a table/column/alias literally
+    named `clone`/`geometry` is never misread."""
     n = len(tokens)
     i = next_code(tokens, 0)
     if i >= n or not tokens[i].is_word("CREATE"):
@@ -3255,7 +3347,14 @@ def _clone_keyword_pos(tokens: Tokens) -> int | None:
         if i >= n or tokens[i].kind not in (WORD, QIDENT):
             return None
         i = next_code(tokens, i + 1)
-    if i < n and tokens[i].is_word("CLONE"):
+    return i
+
+
+def _clone_keyword_pos(tokens: Tokens) -> int | None:
+    """Index of CLONE iff it is the word immediately after the target
+    table name of a CREATE ... TABLE statement, else None."""
+    i = _after_create_table_name(tokens)
+    if i is not None and i < len(tokens) and tokens[i].is_word("CLONE"):
         return i
     return None
 
@@ -4214,6 +4313,7 @@ PIPELINE = (
     rewrite_listagg_distinct,
     rewrite_array_agg_within,
     rewrite_sample,
+    rewrite_object_insert,     # before object_construct: needs raw values
     rewrite_object_construct,
     rewrite_variant_funcs,
     rewrite_array_construct,

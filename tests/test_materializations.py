@@ -1505,6 +1505,35 @@ class TestDeleteUpdateStatements:
         engine.execute("DELETE FROM mat_test.dm8 WHERE dm8.k = 1")
         assert {r.k for r in spark.table("mat_test.dm8").collect()} == {2, 3, 4}
 
+    def test_delete_as_alias(self, spark, engine):
+        # review fix: `DELETE FROM t AS x WHERE ...` once captured
+        # alias='AS', silently swallowed the WHERE, and wiped the
+        # whole table — the worst possible failure mode
+        self._seed(spark, "dm9")
+        res = engine.execute(
+            "DELETE FROM mat_test.dm9 AS x WHERE x.v > 25"
+        ).collect()
+        assert res[0].rows_affected == 2
+        assert {r.k for r in spark.table("mat_test.dm9").collect()} == {1, 2}
+
+    def test_delete_unexpected_tokens_error_not_delete_all(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        self._seed(spark, "dm10")
+        # garbage between alias and WHERE must be a hard error, never
+        # a silent unconditional delete
+        with _pytest.raises(TranspileError, match="unexpected token"):
+            engine.execute("DELETE FROM mat_test.dm10 x y WHERE x.v > 25")
+        assert spark.table("mat_test.dm10").count() == 4  # untouched
+
+    def test_update_as_alias(self, spark, engine):
+        self._seed(spark, "dm11")
+        engine.execute("UPDATE mat_test.dm11 AS u SET v = 0 WHERE u.k = 1")
+        got = {r.k: r.v for r in spark.table("mat_test.dm11").collect()}
+        assert got[1] == 0.0 and got[2] == 20.0
+
 
 class TestAlterColumnsAndTransactions:
     def test_rename_column_staged(self, spark, engine):
@@ -1560,6 +1589,16 @@ class TestAlterColumnsAndTransactions:
         spark.createDataFrame([(1,)], "k int").write.saveAsTable("mat_test.ac6")
         with _pytest.raises(TranspileError, match="expected EXISTS"):
             engine.execute("ALTER TABLE mat_test.ac6 DROP COLUMN IF k")
+
+    def test_drop_column_literally_named_if(self, spark, engine):
+        # review fix: a lone column named `if` is a column list, not a
+        # malformed IF EXISTS clause
+        spark.sql("DROP TABLE IF EXISTS mat_test.ac7")
+        spark.createDataFrame(
+            [(1, "x")], "k int, if string"
+        ).write.saveAsTable("mat_test.ac7")
+        engine.execute("ALTER TABLE mat_test.ac7 DROP COLUMN if")
+        assert [f.name for f in spark.table("mat_test.ac7").schema.fields] == ["k"]
 
     def test_add_column_still_native(self, spark, engine):
         spark.sql("DROP TABLE IF EXISTS mat_test.ac4")

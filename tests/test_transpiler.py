@@ -281,9 +281,26 @@ class TestToxicTypes:
             "SELECT CAST(x AS GEOMETRY) FROM t",
             "SELECT TRY_CAST(wkt AS GEOGRAPHY) FROM t",
             "CREATE TABLE t (id INT, shape GEOMETRY)",
+            # review fixes: modifier-rich CREATE heads and ALTER ADD
+            # COLUMN type slots must also be caught
+            "CREATE OR REPLACE TRANSIENT TABLE t (id INT, shape GEOMETRY)",
+            "CREATE TABLE IF NOT EXISTS db.t (g GEOGRAPHY)",
+            "ALTER TABLE t ADD COLUMN shape GEOMETRY",
         ):
             with pytest.raises(UnsupportedTypeError):
                 t.to_spark(sql)
+
+    def test_ctas_alias_named_geometry_passes(self):
+        # review fix: inside a CTAS select body, an implicit alias
+        # named geometry is data, not a DDL type slot
+        ok, err = t.can_transpile(
+            "CREATE TABLE t AS SELECT a, b geometry FROM src"
+        )
+        assert ok, err
+        ok2, _ = t.can_transpile(
+            "CREATE OR REPLACE TABLE t AS SELECT x AS geography FROM src"
+        )
+        assert ok2
 
 
 class TestExecutesOnSpark:
@@ -929,6 +946,46 @@ class TestObjectManipulation:
     def test_no_python_udf(self):
         out = t.to_spark("SELECT OBJECT_PICK(o, 'a') FROM v")
         assert "map_filter(" in out and "from_json(" in out
+
+    def test_insert_object_valued_value_nests(self, spark):
+        # review fix: a value from a variant PRODUCER (OBJECT_CONSTRUCT
+        # / PARSE_JSON / nested OBJECT_*) must splice as a nested
+        # OBJECT, not a double-encoded string
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'n', "
+            "OBJECT_CONSTRUCT('x', 1)) AS r1, "
+            "OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'p', "
+            "PARSE_JSON('{\"deep\":[1,2]}')) AS r2, "
+            "OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'q', "
+            "OBJECT_DELETE(OBJECT_CONSTRUCT('x', 1, 'y', 2), 'y')) AS r3"
+        )).collect()[0]
+        assert r.r1 == '{"a":1,"n":{"x":1}}'
+        assert r.r2 == '{"a":1,"p":{"deep":[1,2]}}'
+        assert r.r3 == '{"a":1,"q":{"x":1}}'
+
+    def test_insert_plain_string_stays_string(self, spark):
+        # ...while a plain string value stays a quoted string, even
+        # one that happens to look like JSON
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 's', "
+            "'{\"not\":\"nested\"}') AS r"
+        )).collect()[0]
+        assert r.r == '{"a":1,"s":"{\\"not\\":\\"nested\\"}"}'
+
+    def test_delete_pick_null_key_matches_nothing(self, spark):
+        # review fix: NULL key — Snowflake deletes/picks NOTHING; a
+        # bare NULL lambda predicate would have dropped every entry
+        r = spark.sql(t.to_spark(
+            "SELECT OBJECT_DELETE(OBJECT_CONSTRUCT('a', 1, 'b', 2), "
+            "CAST(NULL AS VARCHAR)) AS d, "
+            "OBJECT_PICK(OBJECT_CONSTRUCT('a', 1, 'b', 2), "
+            "CAST(NULL AS VARCHAR)) AS p, "
+            "OBJECT_DELETE(OBJECT_CONSTRUCT('a', 1, 'b', 2), "
+            "'a', CAST(NULL AS VARCHAR)) AS mixed"
+        )).collect()[0]
+        assert r.d == '{"a":1,"b":2}'
+        assert r.p == "{}"
+        assert r.mixed == '{"b":2}'
 
 
 class TestJaroWinklerAndCiGet:
