@@ -540,3 +540,96 @@ def test_mp4_mux_demux_roundtrip_and_corruption(n, fps, seed, cut):
     # arbitrary truncation must never raise
     out = demux_mp4_samples(raw[: max(12, int(len(raw) * cut))])
     assert out is None or isinstance(out, dict)
+
+
+# ---------------------------------------------------------------
+# round-4 probes: H.264 SPS, mp3 frame walk, Jaro-Winkler vs DuckDB
+# ---------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 240).map(lambda x: x * 2),  # 4:2:0 crop units
+    h=st.integers(1, 136).map(lambda x: x * 2),
+    profile=st.sampled_from([66, 77, 100, 110]),
+    level=st.integers(10, 52),
+)
+def test_sps_build_parse_roundtrip(w, h, profile, level):
+    """Any even WxH survives build_sps → parse_sps exactly, including
+    the crop-rectangle arithmetic for non-MB-multiple sizes."""
+    from dbt_icebreaker_spark.xops import h264
+
+    sps = h264.parse_sps(h264.build_sps(w, h, profile_idc=profile, level_idc=level))
+    assert (sps["width"], sps["height"]) == (w, h)
+    assert sps["profile_idc"] == profile and sps["level_idc"] == level
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_h264_probe_never_raises_on_garbage(data):
+    from dbt_icebreaker_spark.xops import h264
+
+    out = h264.probe_h264(data)
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 30),
+    rate=st.sampled_from([32000, 44100, 48000]),
+    channels=st.sampled_from([1, 2]),
+    id3_len=st.integers(0, 64),
+    junk=st.binary(min_size=0, max_size=30),
+)
+def test_mp3_probe_frame_walk_exact(n, rate, channels, id3_len, junk):
+    """Frame count and duration are exact over any CBR schedule, with
+    or without an ID3v2 tag / junk prefix; garbage alone never probes
+    as mp3 (chained-sync requirement)."""
+    from dbt_icebreaker_spark.xops import audio
+
+    raw = audio.build_mp3_frames(
+        n, sample_rate=rate, channels=channels,
+        id3=b"\x00" * id3_len if id3_len else b"",
+    )
+    p = audio.probe_mp3(raw)
+    assert p is not None and p["n_frames"] == n
+    assert abs(p["duration_s"] - n * 1152 / rate) < 1e-9
+    assert p["channels"] == channels
+    # junk-only input must not probe
+    assert audio.probe_mp3(junk) is None
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdex -123", min_size=0, max_size=12),
+            st.text(alphabet="abcdex -123", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jaro_winkler_matches_duckdb(spark, duck, pairs):
+    """The pure-JVM Jaro-Winkler lambda chain stays pinned to DuckDB's
+    jaro_winkler_similarity (the oracle reference) on random pairs —
+    the CI version of the 5000-pair dev fuzz. Integer 0-100 contract:
+    compare the rounded values both engines produce."""
+    from dbt_icebreaker_spark.transpiler import Transpiler
+
+    t2 = Transpiler()
+    rows = ", ".join(
+        "(" + ("'" + a.replace("'", "''") + "'") + ", "
+        + ("'" + b.replace("'", "''") + "'") + ")"
+        for a, b in pairs
+    )
+    sql = t2.to_spark(
+        f"SELECT a, b, JAROWINKLER_SIMILARITY(a, b) AS jw "
+        f"FROM (VALUES {rows}) AS t(a, b)"
+    )
+    got = {(r.a, r.b): r.jw for r in spark.sql(sql).collect()}
+    for a, b in pairs:
+        d = duck.execute(
+            "SELECT CAST(ROUND(100 * jaro_winkler_similarity(lower(?), lower(?))) AS BIGINT)",
+            [a, b],
+        ).fetchone()[0]
+        assert got[(a, b)] == d, (a, b, got[(a, b)], d)
