@@ -1510,6 +1510,39 @@ _q(
     """,
 )
 
+# Snowflake ASOF JOIN (MATCH_CONDITION) → LEFT JOIN LATERAL top-1
+# (Catalyst decorrelates to a WindowGroupLimit plan). DuckDB has
+# native ASOF LEFT JOIN, so the semantics themselves are driver-gated
+# — every click joins its latest same-user purchase at-or-before.
+# The right side is (user_id, ts)-unique by construction so as-of
+# tie-breaking cannot differ between engines.
+_q(
+    "q68_asof_join",
+    """
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click' AND user_id < 80),
+         buys AS (SELECT user_id, ts AS buy_ts,
+                         CAST(MAX(value) AS DOUBLE) AS buy_value
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, b.buy_ts, b.buy_value
+    FROM clicks c ASOF JOIN buys b
+         MATCH_CONDITION(c.ts >= b.buy_ts)
+         ON c.user_id = b.user_id
+    """,
+    """
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click' AND user_id < 80),
+         buys AS (SELECT user_id, ts AS buy_ts,
+                         CAST(MAX(value) AS DOUBLE) AS buy_value
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, b.buy_ts, b.buy_value
+    FROM clicks c ASOF LEFT JOIN buys b
+         ON c.user_id = b.user_id AND c.ts >= b.buy_ts
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

@@ -3400,6 +3400,171 @@ def rewrite_clone(tokens: Tokens) -> Tokens:
     return tokenize(f"{head.rstrip()} AS SELECT * FROM {src}")
 
 
+_ASOF_OPS = (">=", "<=", ">", "<")
+_ASOF_STOP_WORDS = (
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "WHERE",
+    "GROUP", "ORDER", "QUALIFY", "LIMIT", "HAVING", "UNION", "INTERSECT",
+    "EXCEPT", "WINDOW",
+)
+
+
+def _asof_split_condition(cond: Tokens, ralias: str):
+    """Split `L op R` at the single top-level comparison; return
+    (right_side_expr_text, direction) where right_side_expr is the
+    operand qualified by the RIGHT alias. None when the shape isn't a
+    single comparison with exactly one side referencing the alias."""
+    depth = 0
+    for i, t in enumerate(cond):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == OP and t.text in _ASOF_OPS:
+            left, op, right = cond[:i], t.text, cond[i + 1:]
+
+            def compound(seg: Tokens) -> bool:
+                d2 = 0
+                for c in seg:
+                    if c.is_op("("):
+                        d2 += 1
+                    elif c.is_op(")"):
+                        d2 -= 1
+                    elif d2 == 0 and (
+                        (c.kind == OP and c.text in _ASOF_OPS)
+                        or c.is_word("AND", "OR", "NOT")
+                    ):
+                        return True
+                return False
+
+            if compound(left) or compound(right):
+                return None  # not a single bare comparison
+
+            def mentions(seg: Tokens) -> bool:
+                for k, c in enumerate(seg):
+                    if c.kind in (WORD, QIDENT) and c.text.strip('"').lower() == ralias.lower():
+                        j = next_code(seg, k + 1)
+                        if j < len(seg) and seg[j].is_op("."):
+                            return True
+                return False
+
+            lm, rm = mentions(left), mentions(right)
+            if lm == rm:
+                return None  # both or neither side references the alias
+            r_side = left if lm else right
+            # `l.ts >= r.ts` (alias on right) / `r.ts <= l.ts` (alias
+            # on left) both mean "latest right row at or before" → DESC
+            desc = (op in (">=", ">")) if rm else (op in ("<=", "<"))
+            return render(r_side).strip(), ("DESC" if desc else "ASC")
+    return None
+
+
+def rewrite_asof_join(tokens: Tokens) -> Tokens:
+    """Snowflake `ASOF JOIN r MATCH_CONDITION(l.ts >= r.ts) [ON eq]` →
+    `LEFT JOIN LATERAL (SELECT * FROM r WHERE match AND eq ORDER BY
+    r.ts DESC LIMIT 1) r ON TRUE`.
+
+    Catalyst decorrelates the correlated LIMIT-1 subquery into a
+    top-1-per-group WindowGroupLimit plan — correct for every SELECT
+    shape without needing a synthetic left row id. Unmatched left rows
+    survive with NULLs (Snowflake ASOF JOIN keeps them; oracle with
+    DuckDB's ASOF LEFT JOIN). SCALE NOTE: the decorrelated plan joins
+    the distinct correlated values against the right side by range —
+    fine for dimension-sized rights; for frontier-scale both-sides-big
+    as-of joins use xops.temporal.asof_join (bucketed merge path).
+    Operands of MATCH_CONDITION must be alias-qualified; unsupported
+    shapes refuse actionably. Multiple ASOF JOINs rewrite via re-scan."""
+    from .core import TranspileError
+
+    while True:
+        hit = None
+        for i, t in enumerate(tokens):
+            if t.kind == WORD and t.upper == "ASOF":
+                j = next_code(tokens, i + 1)
+                if j < len(tokens) and tokens[j].is_word("JOIN"):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return tokens
+        i, join_i = hit
+        n = len(tokens)
+        # right table ref: name(.name)* or (subquery), then [AS] alias
+        k = next_code(tokens, join_i + 1)
+        r_start = k
+        if k < n and tokens[k].is_op("("):
+            k = next_code(tokens, find_matching_paren(tokens, k) + 1)
+        elif k < n and tokens[k].kind in (WORD, QIDENT):
+            k = next_code(tokens, k + 1)
+            while k < n and tokens[k].is_op("."):
+                k = next_code(tokens, k + 1)
+                k = next_code(tokens, k + 1)
+        else:
+            raise TranspileError("ASOF JOIN: expected a table or subquery")
+        name_end = k
+        alias = None
+        if k < n and tokens[k].is_word("AS"):
+            k = next_code(tokens, k + 1)
+        if k < n and tokens[k].kind in (WORD, QIDENT) and not tokens[k].is_word(
+            "MATCH_CONDITION", "ON"
+        ):
+            alias = tokens[k].text.strip('"')
+            k = next_code(tokens, k + 1)
+        if alias is None:
+            # derive from the last name part
+            name_code = [c for c in tokens[r_start:name_end] if c.kind in (WORD, QIDENT)]
+            if not name_code:
+                raise TranspileError(
+                    "ASOF JOIN: a subquery right side needs an alias"
+                )
+            alias = name_code[-1].text.strip('"')
+        if k >= n or not tokens[k].is_word("MATCH_CONDITION"):
+            raise TranspileError(
+                "ASOF JOIN requires MATCH_CONDITION(<left.ts >= right.ts>)"
+            )
+        mc_open = next_code(tokens, k + 1)
+        if mc_open >= n or not tokens[mc_open].is_op("("):
+            raise TranspileError("MATCH_CONDITION: expected (")
+        mc_close = find_matching_paren(tokens, mc_open)
+        cond = tokens[mc_open + 1:mc_close]
+        split = _asof_split_condition(cond, alias)
+        if split is None:
+            raise TranspileError(
+                "MATCH_CONDITION must be a single comparison "
+                "(l.ts >= r.ts style) with alias-qualified operands; "
+                f"got {render(cond).strip()!r}"
+            )
+        r_expr, direction = split
+        # optional ON <cond> up to the next top-level clause keyword
+        k = next_code(tokens, mc_close + 1)
+        on_cond = None
+        seg_end = k
+        if k < n and tokens[k].is_word("ON"):
+            j2 = next_code(tokens, k + 1)
+            depth = 0
+            while j2 < n:
+                t2 = tokens[j2]
+                if t2.is_op("("):
+                    depth += 1
+                elif t2.is_op(")"):
+                    depth -= 1
+                elif depth == 0 and (
+                    t2.is_word(*_ASOF_STOP_WORDS) or t2.is_op(";")
+                ):
+                    break
+                j2 += 1
+            on_cond = render(tokens[next_code(tokens, k + 1):j2]).strip()
+            seg_end = j2
+        right_ref = render(tokens[r_start:name_end]).strip()
+        where = f"({render(cond).strip()})"
+        if on_cond:
+            where += f" AND ({on_cond})"
+        repl = (
+            f" LEFT JOIN LATERAL (SELECT * FROM {right_ref} {alias} "
+            f"WHERE {where} ORDER BY {r_expr} {direction} LIMIT 1) "
+            f"{alias} ON TRUE "
+        )
+        tokens = tokens[:i] + tokenize(repl) + tokens[seg_end:]
+
+
 def rewrite_connect_by(tokens: Tokens) -> Tokens:
     """Snowflake/Oracle hierarchical query → Spark recursive CTE.
 
@@ -4306,6 +4471,7 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
 PIPELINE = (
     rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)
     rewrite_connect_by,        # whole-statement restructure runs first
+    rewrite_asof_join,         # FROM-clause restructure (LATERAL top-1)
     rewrite_collate,           # quoted specs → Spark collation names
     rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone

@@ -66,6 +66,14 @@ class TestJoinStrategy:
         plan = _executed_plan(qs["q24_not_exists"](spark, SF_DIR))
         assert "LeftAnti" in plan
 
+    def test_q68_asof_join_decorrelates_to_group_limit(self, spark, qs):
+        # the LATERAL LIMIT-1 rewrite must decorrelate into a
+        # top-1-per-group WindowGroupLimit, not a per-row re-execution,
+        # and never a CartesianProduct
+        plan = _executed_plan(qs["q68_asof_join"](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestPushdownPruning:
     def test_q03_filter_pushed_to_scan(self, spark, qs):

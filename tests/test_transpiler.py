@@ -1031,6 +1031,75 @@ class TestJaroWinklerAndCiGet:
         assert r.a == "7" and r.b is None and r.c == '{"n":1}'
 
 
+class TestAsofJoin:
+    """Snowflake ASOF JOIN (MATCH_CONDITION) → LEFT JOIN LATERAL
+    top-1; Catalyst decorrelates to a WindowGroupLimit plan."""
+
+    def _run(self, spark, sql):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW asof_l AS SELECT * FROM VALUES "
+            "(1, 10), (1, 20), (2, 5) t(k, ts)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW asof_r AS SELECT * FROM VALUES "
+            "(1, 8, 'a'), (1, 15, 'b'), (2, 99, 'c') t(k, rts, v)"
+        )
+        return sorted(
+            tuple(r) for r in spark.sql(t.to_spark(sql)).collect()
+        )
+
+    def test_basic_left_semantics(self, spark):
+        got = self._run(
+            spark,
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts) ON l.k = r.k",
+        )
+        # (2,5) has no purchase at-or-before → NULL row survives
+        assert got == [(1, 10, "a"), (1, 20, "b"), (2, 5, None)]
+
+    def test_flipped_operand_direction(self, spark):
+        # r.rts <= l.ts is the same condition spelled from the right
+        got = self._run(
+            spark,
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(r.rts <= l.ts) ON l.k = r.k",
+        )
+        assert got == [(1, 10, "a"), (1, 20, "b"), (2, 5, None)]
+
+    def test_forward_direction(self, spark):
+        # l.ts <= r.rts: earliest right row at-or-after
+        got = self._run(
+            spark,
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts <= r.rts) ON l.k = r.k",
+        )
+        assert got == [(1, 10, "b"), (1, 20, None), (2, 5, "c")]
+
+    def test_no_on_clause(self, spark):
+        got = self._run(
+            spark,
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts)",
+        )
+        # no equality keys: latest over ALL right rows at-or-before
+        assert got == [(1, 10, "a"), (1, 20, "b"), (2, 5, None)]
+
+    def test_unsupported_shapes_refuse(self):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="MATCH_CONDITION"):
+            t.to_spark("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+        with pytest.raises(TranspileError, match="single comparison"):
+            t.to_spark(
+                "SELECT * FROM a ASOF JOIN b "
+                "MATCH_CONDITION(a.ts >= b.ts AND a.x > b.y)"
+            )
+
+    def test_asof_as_identifier_untouched(self):
+        out = t.to_spark("SELECT asof FROM t WHERE asof > 1")
+        assert "asof" in out and "LATERAL" not in out
+
+
 class TestEpochExtract:
     def test_date_part_epoch_spellings(self, spark):
         r = spark.sql(t.to_spark(
