@@ -126,7 +126,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "REGEXP_REPLACE": "RXREP_X",  # \1 backrefs → $1; 2-arg/position forms
         "REGEXP_SUBSTR": "RXSUB_X",   # position/occurrence/params/group args
         "PARSE_URL": "PARSEURL_X",  # → JSON object from part-based parse_url
-        "ARRAY_SIZE": "SIZE",
+        "ARRAY_SIZE": "ARRSIZE_X",  # JSON-text input parses to array first
         "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
         "LEN": "LENGTH",
@@ -394,8 +394,33 @@ _PLACEHOLDER_NAMES = frozenset((
     "ISTYPE_INTEGER", "ISTYPE_NUMBER", "ISTYPE_VARCHAR",
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
-    "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X",
+    "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
 ))
+
+
+def _is_json_text_expr(src: Tokens) -> bool:
+    """True when an expression is STATICALLY known to be JSON text in
+    the string-VARIANT model (a lowered PARSE_JSON literal, a ::STRING
+    / CAST(… AS STRING) residue of TO_VARIANT, or a get_json_object
+    call) — the cases where an array-consuming function must parse the
+    text first. Column refs stay untouched: a real array column is the
+    common case and runtime types are unknowable at transpile time."""
+    code = [x for x in src if x.kind not in (WS, COMMENT)]
+    while (
+        len(code) >= 2
+        and code[0].is_op("(")
+        and find_matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    if not code:
+        return False
+    if len(code) == 1 and code[0].kind == STRING:
+        return True
+    if code[0].kind == WORD and code[0].upper in (
+        "TO_JSON", "GET_JSON_OBJECT",
+    ) and len(code) >= 2 and code[1].is_op("("):
+        return True
+    return _unwrap_string_cast(list(code)) != list(code)
 
 
 def _jaro_winkler_sql(a: str, b: str) -> str:
@@ -1102,6 +1127,20 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"(CASE WHEN ({pos_s}) < 0 THEN size({arr_s}) + ({pos_s}) "
                     f"ELSE ({pos_s}) END)) END"
                 )
+            elif t.text == "ARRSIZE_X" and len(args) == 1:
+                # ARRAY_SIZE: JSON-text input (lowered PARSE_JSON /
+                # TO_VARIANT) parses to an array first; a real array
+                # expression passes straight to size(). Snowflake
+                # returns NULL for non-array input — from_json on a
+                # JSON object/scalar string yields NULL, matching.
+                a_toks = tokens[args[0][0]:args[0][1]]
+                a_s = render(a_toks).strip()
+                if _is_json_text_expr(a_toks):
+                    out += tokenize(
+                        f"size(from_json(({a_s}), 'array<string>'))"
+                    )
+                else:
+                    out += tokenize(f"size(({a_s}))")
             elif t.text == "JAROWINK_X" and len(args) == 2:
                 # Snowflake JAROWINKLER_SIMILARITY: case-INsensitive,
                 # returns an integer 0–100. The similarity itself is
@@ -2389,6 +2428,14 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     alias = tokens[k].text
                     consumed_to = k
                 src = input_expr
+                # statically-known JSON text (a lowered PARSE_JSON
+                # literal / TO_VARIANT string cast): parse to an array
+                # before exploding — posexplode on a bare STRING is an
+                # analysis error
+                if path_lit is None and _is_json_text_expr(src):
+                    src = [_word("from_json"), _op("(")] + src + [
+                        _op(","), _sp(), Token(STRING, "'array<string>'"),
+                        _op(")")]
                 # json-path input (`input => j:tags`): the later T16
                 # rewrite turns it into get_json_object → a STRING;
                 # wrap in from_json so the explode sees an array

@@ -1031,6 +1031,41 @@ class TestJaroWinklerAndCiGet:
         assert r.a == "7" and r.b is None and r.c == '{"n":1}'
 
 
+class TestJsonTextArrayInputs:
+    """Array-consuming functions over statically-known JSON text
+    (lowered PARSE_JSON literals / TO_VARIANT string casts) must parse
+    the text to an array first — posexplode/size on a bare STRING is
+    an analysis error (round-4 battery finding)."""
+
+    def test_flatten_parse_json_literal(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT f.index, f.value FROM (SELECT 1 AS k), "
+            "LATERAL FLATTEN(input => PARSE_JSON('[10,20]')) f"
+        )).collect()
+        assert [(r["index"], r["value"]) for r in rows] == [(0, "10"), (1, "20")]
+
+    def test_flatten_outer_empty_json(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT f.value FROM (SELECT 1 AS k), "
+            "LATERAL FLATTEN(input => PARSE_JSON('[]'), OUTER => TRUE) f"
+        )).collect()
+        assert len(rows) == 1 and rows[0].value is None
+
+    def test_array_size_json_text(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT ARRAY_SIZE(PARSE_JSON('[1,2,3]')) AS a, "
+            "ARRAY_SIZE(PARSE_JSON('{\"k\":1}')) AS b, "  # non-array → NULL
+            "ARRAY_SIZE(ARRAY_CONSTRUCT(1,2)) AS c"
+        )).collect()[0]
+        assert (r.a, r.b, r.c) == (3, None, 2)
+
+    def test_real_array_column_still_direct(self, spark):
+        # a plain column ref must NOT be wrapped (runtime type unknown,
+        # native arrays are the common case)
+        out = t.to_spark("SELECT ARRAY_SIZE(arr) FROM v")
+        assert "from_json" not in out and "size" in out.lower()
+
+
 class TestAsofJoin:
     """Snowflake ASOF JOIN (MATCH_CONDITION) → LEFT JOIN LATERAL
     top-1; Catalyst decorrelates to a WindowGroupLimit plan."""
@@ -1834,8 +1869,10 @@ class TestScalarRound6:
             assert fn in t.to_spark(sql)
 
     def test_refusals(self):
-        for fn in ("JAROWINKLER_SIMILARITY(a, b)", "RANDSTR(5, RANDOM())",
-                   "GET_IGNORE_CASE(o, 'K')"):
+        # JAROWINKLER_SIMILARITY and GET_IGNORE_CASE were implemented
+        # in round 4 — only the genuinely unportable tail refuses
+        for fn in ("RANDSTR(5, RANDOM())", "MINHASH(20, txt)",
+                   "HLL_EXPORT(s)"):
             with pytest.raises(TranspileError):
                 t.to_spark(f"SELECT {fn} FROM t")
 
