@@ -4303,6 +4303,16 @@ XOP_ORACLES["q65_delete_update"] = """
     FROM t1
 """
 
+XOP_ORACLES["q69_dynamic_pivot"] = """
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+"""
+
 XOP_ORACLES["s09_streaming_merge"] = """
     WITH b1 AS (
       SELECT event_id, user_id, event_type, value
@@ -4457,8 +4467,27 @@ def _q_create_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.nation_clone")
 
 
+def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
+    IcebreakerEngine.execute: the engine enumerates the pivot values
+    on the live session (transpiler/pivot_dynamic.py — the same
+    compile-time enumeration Snowflake performs) and plans an ordinary
+    Spark PIVOT. The oracle hardcodes the 5 known priorities as CASE
+    aggregates; every (status, priority) combo exists at all SFs so no
+    empty-cell NULL-vs-0 ambiguity can arise."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        "SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders) "
+        "PIVOT (COUNT(o_orderpriority) FOR o_orderpriority IN (ANY))"
+    )
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
+    "q69_dynamic_pivot": _q_dynamic_pivot,
     "q64_create_clone": _q_create_clone,
     "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,

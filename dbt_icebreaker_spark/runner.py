@@ -172,6 +172,14 @@ class IcebreakerEngine:
                     "table string, rows_loaded long, format string",
                 )
                 continue
+            # dynamic PIVOT (FOR col IN (ANY) / IN (SELECT …)): resolve
+            # the value list on the live session before transpiling —
+            # Spark PIVOT needs explicit literals (Snowflake's compiler
+            # runs the same enumeration)
+            if "PIVOT" in raw.upper():
+                from .transpiler.pivot_dynamic import resolve_dynamic_pivot
+
+                raw = resolve_dynamic_pivot(self.spark, raw, self.transpiler)
             for stmt in self.transpiler.to_spark_statements(raw):
                 try:
                     result = self.spark.sql(stmt)

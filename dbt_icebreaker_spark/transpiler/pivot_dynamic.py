@@ -1,0 +1,158 @@
+"""Snowflake dynamic PIVOT — ``PIVOT(agg FOR col IN (ANY [ORDER BY
+…]))`` and the subquery form ``IN (SELECT …)``.
+
+Spark's PIVOT clause needs an explicit literal list; Snowflake resolves
+ANY at compile time by enumerating the distinct values of the pivot
+column. This pre-pass does the same: it runs ``SELECT DISTINCT col``
+against the pivot SOURCE (the table/subquery immediately before the
+PIVOT keyword) on the live SparkSession and splices the sorted values
+back in as literals. It therefore lives at the ENGINE layer
+(``IcebreakerEngine.execute``), not in the pure string transpiler —
+``can_transpile`` passes dynamic pivots through unchanged.
+
+Scale note: the enumeration is one DISTINCT over the pivot column —
+the same aggregation Snowflake's compiler runs; the pivot itself then
+plans as an ordinary Spark PIVOT (map-side partial aggregation).
+NULL pivot values are skipped (a NULL cannot be a literal column
+label; Snowflake drops them too).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from .tokenizer import (
+    QIDENT,
+    WORD,
+    find_matching_paren,
+    next_code,
+    prev_code,
+    render,
+    tokenize,
+)
+
+
+def _literal(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _find_dynamic_in(toks):
+    """Locate one `PIVOT ( agg FOR col IN ( <dynamic> ) )`; returns
+    (src_lo, in_open, in_close, col_text, kind) where kind is 'any' or
+    'subquery', else None."""
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if not (t.kind == WORD and t.upper == "PIVOT"):
+            continue
+        j = next_code(toks, i + 1)
+        if j >= n or not toks[j].is_op("("):
+            continue
+        close = find_matching_paren(toks, j)
+        # inside: find FOR ... IN ( ... ) at depth 0 of the pivot body
+        depth = 0
+        k = j + 1
+        for_i = in_i = -1
+        while k < close:
+            tk = toks[k]
+            if tk.is_op("("):
+                depth += 1
+            elif tk.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tk.kind == WORD:
+                if tk.upper == "FOR" and for_i < 0:
+                    for_i = k
+                elif tk.upper == "IN" and for_i >= 0 and in_i < 0:
+                    in_i = k
+            k += 1
+        if for_i < 0 or in_i < 0:
+            continue
+        in_open = next_code(toks, in_i + 1)
+        if in_open >= n or not toks[in_open].is_op("("):
+            continue
+        in_close = find_matching_paren(toks, in_open)
+        body = toks[in_open + 1:in_close]
+        b0 = next_code(body, 0)
+        kind = None
+        if b0 < len(body) and body[b0].is_word("ANY"):
+            kind = "any"
+        elif b0 < len(body) and body[b0].is_word("SELECT"):
+            kind = "subquery"
+        if kind is None:
+            continue
+        col_text = render(toks[next_code(toks, for_i + 1):in_i]).strip()
+        # source: the table/subquery immediately before PIVOT
+        p = prev_code(toks, i - 1)
+        if p >= 0 and toks[p].is_op(")"):
+            lo = p
+            depth2 = 0
+            while lo >= 0:
+                if toks[lo].is_op(")"):
+                    depth2 += 1
+                elif toks[lo].is_op("("):
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                lo -= 1
+            src_lo = lo
+        else:
+            # dotted table name, walked backwards
+            lo = p
+            while lo >= 0 and (
+                toks[lo].kind in (WORD, QIDENT) or toks[lo].is_op(".")
+            ):
+                lo -= 1
+            src_lo = lo + 1
+        return (src_lo, i, in_open, in_close, col_text, kind)
+    return None
+
+
+def resolve_dynamic_pivot(spark, sql: str, transpiler) -> str:
+    """Rewrite every dynamic PIVOT in ``sql`` to an explicit IN list by
+    enumerating the values on ``spark``. Non-pivot SQL returns
+    unchanged (single cheap token scan)."""
+    if "PIVOT" not in sql.upper() or (
+        "ANY" not in sql.upper() and "SELECT" not in sql.upper()
+    ):
+        return sql
+    toks = tokenize(sql)
+    while True:
+        hit = _find_dynamic_in(toks)
+        if hit is None:
+            return render(toks)
+        src_lo, pivot_i, in_open, in_close, col, kind = hit
+        if kind == "any":
+            src = render(toks[src_lo:pivot_i]).strip()
+            probe = (
+                f"SELECT DISTINCT {col} AS __pv FROM {src} "
+                f"WHERE {col} IS NOT NULL ORDER BY 1"
+            )
+        else:
+            probe = render(toks[in_open + 1:in_close]).strip()
+        rows = spark.sql(transpiler.to_spark(probe)).collect()
+        seen: set[str] = set()
+        lits: list[str] = []
+        for r in rows:
+            lit = _literal(r[0])
+            if lit is not None and lit not in seen:
+                seen.add(lit)
+                lits.append(lit)  # dedup preserving the probe's order
+        if not lits:
+            raise ValueError(
+                f"dynamic PIVOT on {col}: no non-NULL values to pivot "
+                "(the IN (ANY) enumeration returned nothing)"
+            )
+        toks = (
+            toks[: in_open + 1]
+            + tokenize(", ".join(lits))
+            + toks[in_close:]
+        )

@@ -1535,6 +1535,65 @@ class TestDeleteUpdateStatements:
         assert got[1] == 0.0 and got[2] == 20.0
 
 
+class TestDynamicPivot:
+    """Snowflake dynamic PIVOT: the engine enumerates pivot values on
+    the live session (ANY / subquery forms) before Spark plans the
+    ordinary PIVOT."""
+
+    def _seed(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW piv_sales AS SELECT * FROM VALUES "
+            "('east', 'q1', 10), ('east', 'q2', 20), "
+            "('west', 'q1', 5), ('west', 'q3', 8) t(region, quarter, amt)"
+        )
+
+    def test_any_enumerates_sorted(self, spark, engine):
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales) "
+            "PIVOT (SUM(amt) FOR quarter IN (ANY)) ORDER BY region"
+        )
+        assert df.columns == ["region", "q1", "q2", "q3"]
+        rows = {r.region: (r.q1, r.q2, r.q3) for r in df.collect()}
+        assert rows == {"east": (10, 20, None), "west": (5, None, 8)}
+
+    def test_any_with_order_by(self, spark, engine):
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales) "
+            "PIVOT (SUM(amt) FOR quarter IN (ANY ORDER BY quarter))"
+        )
+        assert df.columns == ["region", "q1", "q2", "q3"]
+
+    def test_subquery_value_list(self, spark, engine):
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales) "
+            "PIVOT (SUM(amt) FOR quarter IN "
+            "(SELECT DISTINCT quarter FROM piv_sales WHERE quarter <> 'q3'))"
+        )
+        assert sorted(df.columns) == ["q1", "q2", "region"]
+
+    def test_static_pivot_untouched(self, spark, engine):
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales) "
+            "PIVOT (SUM(amt) FOR quarter IN ('q1', 'q2'))"
+        )
+        assert df.columns == ["region", "q1", "q2"]
+
+    def test_empty_enumeration_actionable(self, spark, engine):
+        import pytest as _pytest
+
+        self._seed(spark)
+        with _pytest.raises(ValueError, match="no non-NULL values"):
+            engine.execute(
+                "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales "
+                "WHERE quarter = 'nope') "
+                "PIVOT (SUM(amt) FOR quarter IN (ANY))"
+            )
+
+
 class TestAlterColumnsAndTransactions:
     def test_rename_column_staged(self, spark, engine):
         spark.sql("DROP TABLE IF EXISTS mat_test.ac1")
