@@ -4313,6 +4313,33 @@ XOP_ORACLES["q69_dynamic_pivot"] = """
     FROM orders GROUP BY o_orderstatus
 """
 
+XOP_ORACLES["x61_match_recognize"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40
+    ),
+    m AS (
+      SELECT *, CASE WHEN value > LAG(value)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     THEN 0 ELSE 1 END AS brk
+      FROM e
+    ),
+    g AS (
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS grp
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS start_ts,
+           MAX(ts) AS end_ts,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_up,
+           CAST(MAX(value) AS DOUBLE) AS peak
+    FROM g GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+"""
+
 XOP_ORACLES["s09_streaming_merge"] = """
     WITH b1 AS (
       SELECT event_id, user_id, event_type, value
@@ -4485,9 +4512,47 @@ def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE through IcebreakerEngine.execute: maximal
+    ascending-value runs per user (STRT UP+ with UP AS value >
+    PREV(value), greedy, SKIP PAST LAST ROW). The oracle restates the
+    same semantics as a gaps-and-islands window query — maximal runs
+    are exactly the islands of consecutive value-increasing rows with
+    their starter, length ≥ 2 — so a matcher bug (off-by-one span,
+    non-greedy quantifier, wrong skip) changes rows or measures and
+    breaks the hash. Measures avoid float arithmetic (MIN/MAX/COUNT
+    pick existing values) so no cross-engine noise exists."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT * FROM (SELECT user_id, ts, event_id, value FROM events
+                       WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(ts) AS start_ts,
+                   LAST(ts) AS end_ts,
+                   COUNT(*) AS n_rows,
+                   COUNT(UP.*) AS n_up,
+                   MAX(value) AS peak
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    ).select(
+        "user_id", "start_ts", "end_ts", "n_rows", "n_up",
+        F.col("peak").cast("double").alias("peak"),
+    )
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
     "q69_dynamic_pivot": _q_dynamic_pivot,
+    "x61_match_recognize": _x_match_recognize,
     "q64_create_clone": _q_create_clone,
     "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,

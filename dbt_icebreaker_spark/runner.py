@@ -172,6 +172,26 @@ class IcebreakerEngine:
                     "table string, rows_loaded long, format string",
                 )
                 continue
+            # MATCH_RECOGNIZE: no Spark SQL clause exists — parse the
+            # spec and run the applyInPandas pattern automaton (same
+            # engine-layer routing as COPY INTO / MERGE)
+            if "MATCH_RECOGNIZE" in raw.upper():
+                from .transpiler.match_recognize_sql import (
+                    parse_match_recognize,
+                    run_match_recognize_statement,
+                )
+
+                mr = parse_match_recognize(raw)
+                if mr is not None:
+                    try:
+                        result = run_match_recognize_statement(
+                            self.spark, mr, self.transpiler
+                        )
+                    except (ValueError, TranspileError):
+                        raise
+                    except Exception as e:
+                        raise_classified(e, raw)
+                    continue
             # dynamic PIVOT (FOR col IN (ANY) / IN (SELECT …)): resolve
             # the value list on the live session before transpiling —
             # Spark PIVOT needs explicit literals (Snowflake's compiler

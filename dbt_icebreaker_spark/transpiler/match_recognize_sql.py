@@ -1,0 +1,318 @@
+"""SQL surface for MATCH_RECOGNIZE — parse the Snowflake clause into
+``xops.match_recognize.MatchRecognizeSpec``.
+
+The operator itself cannot be expressed in a Spark SQL string (no
+row-pattern clause exists), so like COPY INTO / MERGE / dynamic PIVOT
+it is routed at the ENGINE layer: ``IcebreakerEngine.execute`` detects
+the clause, parses it here, runs the DataFrame operator, and evaluates
+the outer SELECT over the result. Statement shape accepted:
+
+    SELECT <list> FROM <table|(subquery)> MATCH_RECOGNIZE ( ... )
+    [AS] [alias] [WHERE ...] [ORDER BY ...] [LIMIT n]
+
+Anything outside the supported subset raises TranspileError with the
+specific unsupported piece named (never a silent wrong answer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from ..xops.match_recognize import (
+    MatchRecognizeSpec,
+    Measure,
+    parse_pattern,
+)
+from .core import TranspileError
+from .tokenizer import (
+    QIDENT,
+    WORD,
+    WS,
+    COMMENT,
+    find_matching_paren,
+    next_code,
+    prev_code,
+    render,
+    tokenize,
+)
+
+_AGGS = {"FIRST", "LAST", "MIN", "MAX", "SUM", "AVG", "COUNT"}
+_CLAUSES = (
+    "PARTITION", "ORDER", "MEASURES", "ONE", "ALL", "AFTER", "PATTERN",
+    "DEFINE",
+)
+
+
+@dataclass
+class MatchRecognizeStatement:
+    select_text: str          # outer select list (over the op output)
+    source_text: str          # table name or (subquery)
+    spec: MatchRecognizeSpec
+    alias: Optional[str]
+    tail_text: str            # WHERE/ORDER BY/LIMIT tail, may be ""
+
+
+def _split_top_commas(toks):
+    parts, depth, start = [], 0, 0
+    for i, t in enumerate(toks):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.is_op(","):
+            parts.append(toks[start:i])
+            start = i + 1
+    parts.append(toks[start:])
+    return [p for p in parts if any(c.kind not in (WS, COMMENT) for c in p)]
+
+
+def _parse_measure(toks) -> Measure:
+    code = [c for c in toks if c.kind not in (WS, COMMENT)]
+    if len(code) < 3 or not code[-2].is_word("AS") or code[-1].kind not in (WORD, QIDENT):
+        raise TranspileError(
+            "MEASURES entries must be `expr AS name`: "
+            f"{render(toks).strip()!r}"
+        )
+    name = code[-1].text.strip('"')
+    expr = code[:-2]
+    h = expr[0]
+    if h.kind == WORD and len(expr) >= 3 and expr[1].is_op("("):
+        fn = h.upper
+        inner = expr[2:-1] if expr[-1].is_op(")") else expr[2:]
+        if fn in ("MATCH_NUMBER", "CLASSIFIER"):
+            return Measure(name, fn.lower(), None, None)
+        if fn not in _AGGS:
+            raise TranspileError(
+                f"MEASURES: unsupported function {fn} (supported: "
+                "FIRST/LAST/MIN/MAX/SUM/AVG/COUNT/MATCH_NUMBER/"
+                "CLASSIFIER)"
+            )
+        ic = [c for c in inner if c.kind not in (WS, COMMENT)]
+        if fn == "COUNT" and len(ic) == 1 and ic[0].is_op("*"):
+            return Measure(name, "count", None, None)
+        if len(ic) == 3 and ic[1].is_op("."):
+            sym = ic[0].text.upper()
+            if ic[2].is_op("*"):
+                if fn != "COUNT":
+                    raise TranspileError(f"{fn}(Sym.*) is not valid")
+                return Measure(name, "count", sym, None)
+            return Measure(name, fn.lower(), sym, ic[2].text)
+        if len(ic) == 1 and ic[0].kind in (WORD, QIDENT):
+            return Measure(name, fn.lower(), None, ic[0].text.strip('"'))
+        raise TranspileError(
+            f"MEASURES: argument must be col / Sym.col / *: "
+            f"{render(inner).strip()!r}"
+        )
+    if len(expr) == 1 and h.kind in (WORD, QIDENT):
+        # bare column = LAST(col) under ONE ROW PER MATCH
+        return Measure(name, "last", None, h.text.strip('"'))
+    raise TranspileError(
+        f"MEASURES: unsupported expression {render(expr).strip()!r}"
+    )
+
+
+def _clause_spans(toks):
+    """Top-level clause keyword positions inside the MATCH_RECOGNIZE
+    body."""
+    spans = []
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper in _CLAUSES:
+            # ORDER only counts when followed by BY; ONE/ALL by ROW(S)
+            j = next_code(toks, i + 1)
+            nxt = toks[j].upper if j < len(toks) and toks[j].kind == WORD else ""
+            if t.upper in ("PARTITION", "ORDER") and nxt != "BY":
+                continue
+            if t.upper in ("ONE", "ALL") and nxt not in ("ROW", "ROWS"):
+                continue
+            if t.upper == "AFTER" and nxt != "MATCH":
+                continue
+            spans.append((i, t.upper))
+    spans.append((len(toks), "END"))
+    return spans
+
+
+def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
+    toks = tokenize(sql)
+    mr_i = None
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "MATCH_RECOGNIZE":
+            mr_i = i
+            break
+    if mr_i is None:
+        return None
+    n = len(toks)
+    sel_i = next_code(toks, 0)
+    if sel_i >= n or not toks[sel_i].is_word("SELECT"):
+        raise TranspileError(
+            "MATCH_RECOGNIZE: only a plain `SELECT ... FROM src "
+            "MATCH_RECOGNIZE (...)` statement is supported"
+        )
+    # FROM at depth 0 before MATCH_RECOGNIZE
+    from_i = None
+    depth = 0
+    for i in range(sel_i + 1, mr_i):
+        t = toks[i]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "FROM":
+            from_i = i
+    if from_i is None:
+        raise TranspileError("MATCH_RECOGNIZE: missing FROM")
+    select_text = render(toks[sel_i + 1:from_i]).strip()
+    source_text = render(toks[from_i + 1:mr_i]).strip()
+    op_i = next_code(toks, mr_i + 1)
+    if op_i >= n or not toks[op_i].is_op("("):
+        raise TranspileError("MATCH_RECOGNIZE: expected (")
+    close = find_matching_paren(toks, op_i)
+    body = toks[op_i + 1:close]
+
+    spans = _clause_spans(body)
+    got: dict[str, list] = {}
+    for (lo, kw), (hi, _) in zip(spans, spans[1:]):
+        got[kw] = body[lo:hi]
+
+    def after_by(seg):
+        # skip the leading KEYWORD BY
+        j = next_code(seg, 0)
+        j = next_code(seg, j + 1)  # BY
+        j = next_code(seg, j + 1)
+        return seg[j:]
+
+    if "PARTITION" not in got:
+        raise TranspileError(
+            "MATCH_RECOGNIZE requires PARTITION BY (unpartitioned "
+            "matching is a single sequential task — add a partition "
+            "key)"
+        )
+    if "ORDER" not in got:
+        raise TranspileError("MATCH_RECOGNIZE requires ORDER BY")
+    if "PATTERN" not in got or "MEASURES" not in got:
+        raise TranspileError(
+            "MATCH_RECOGNIZE requires MEASURES and PATTERN clauses"
+        )
+    if "ALL" in got:
+        raise TranspileError(
+            "ALL ROWS PER MATCH is not supported — use ONE ROW PER "
+            "MATCH with FIRST/LAST/COUNT measures"
+        )
+    partition_by = [
+        render(p).strip() for p in _split_top_commas(after_by(got["PARTITION"]))
+    ]
+    order_by = [
+        render(p).strip() for p in _split_top_commas(after_by(got["ORDER"]))
+    ]
+    meas_seg = got["MEASURES"]
+    j = next_code(meas_seg, 0)
+    measures = [
+        _parse_measure(p) for p in _split_top_commas(meas_seg[j + 1:])
+    ]
+    # PATTERN ( ... )
+    pat_seg = got["PATTERN"]
+    j = next_code(pat_seg, 0)
+    j = next_code(pat_seg, j + 1)
+    if j >= len(pat_seg) or not pat_seg[j].is_op("("):
+        raise TranspileError("PATTERN: expected (")
+    pclose = find_matching_paren(pat_seg, j)
+    try:
+        pattern = parse_pattern(render(pat_seg[j + 1:pclose]).strip())
+    except ValueError as e:
+        raise TranspileError(str(e)) from None
+    # DEFINE sym AS cond, ...
+    defines: dict[str, str] = {}
+    if "DEFINE" in got:
+        dseg = got["DEFINE"]
+        j = next_code(dseg, 0)
+        for part in _split_top_commas(dseg[j + 1:]):
+            code = [c for c in part if c.kind not in (WS, COMMENT)]
+            if len(code) < 3 or code[0].kind != WORD or not code[1].is_word("AS"):
+                raise TranspileError(
+                    "DEFINE entries must be `Sym AS <condition>`: "
+                    f"{render(part).strip()!r}"
+                )
+            # condition text = everything after the AS token
+            k = 0
+            seen_as = False
+            for k, c in enumerate(part):
+                if c.kind == WORD and c.upper == "AS" and not seen_as:
+                    seen_as = True
+                    break
+            defines[code[0].upper] = render(part[k + 1:]).strip()
+    skip_next = False
+    if "AFTER" in got:
+        words = [
+            c.upper for c in got["AFTER"] if c.kind == WORD
+        ]
+        if words[:3] != ["AFTER", "MATCH", "SKIP"]:
+            raise TranspileError("AFTER MATCH: expected SKIP ...")
+        rest = words[3:]
+        if rest == ["PAST", "LAST", "ROW"]:
+            skip_next = False
+        elif rest == ["TO", "NEXT", "ROW"]:
+            skip_next = True
+        else:
+            raise TranspileError(
+                "AFTER MATCH SKIP: only PAST LAST ROW / TO NEXT ROW "
+                f"are supported (got {' '.join(rest)!r})"
+            )
+    # defined symbols must appear in the pattern
+    pat_syms = {t.symbol for t in pattern}
+    for s in defines:
+        if s not in pat_syms:
+            raise TranspileError(
+                f"DEFINE references symbol {s} not present in PATTERN"
+            )
+    spec = MatchRecognizeSpec(
+        partition_by=partition_by,
+        order_by=order_by,
+        measures=measures,
+        pattern=pattern,
+        defines=defines,
+        skip_to_next_row=skip_next,
+    )
+    # optional alias + tail
+    k = next_code(toks, close + 1)
+    alias = None
+    if k < n and toks[k].is_word("AS"):
+        k = next_code(toks, k + 1)
+    if k < n and toks[k].kind in (WORD, QIDENT) and not toks[k].is_word(
+        "WHERE", "ORDER", "LIMIT", "GROUP", "HAVING", "QUALIFY", "UNION",
+    ):
+        alias = toks[k].text.strip('"')
+        k = next_code(toks, k + 1)
+    tail_text = render(toks[k:]).strip() if k < n else ""
+    return MatchRecognizeStatement(
+        select_text=select_text,
+        source_text=source_text,
+        spec=spec,
+        alias=alias,
+        tail_text=tail_text,
+    )
+
+
+def run_match_recognize_statement(spark, stmt: MatchRecognizeStatement, transpiler):
+    """Execute: source → DataFrame op → outer SELECT over a temp view."""
+    from ..xops.match_recognize import match_recognize
+
+    src_sql = transpiler.to_spark(f"SELECT * FROM {stmt.source_text}")
+    src = spark.sql(src_sql)
+    out = match_recognize(src, stmt.spec, transpiler=transpiler)
+    view = "__icebreaker_mr_out"
+    out.createOrReplaceTempView(view)
+    alias = stmt.alias or "mr"
+    outer = f"SELECT {stmt.select_text} FROM {view} {alias}"
+    if stmt.tail_text:
+        outer += " " + stmt.tail_text
+    return spark.sql(transpiler.to_spark(outer))

@@ -1,0 +1,188 @@
+"""MATCH_RECOGNIZE (xops/match_recognize.py + engine SQL routing) —
+the supported subset's semantics: greedy quantifiers, PREV/NEXT
+defines, symbol-scoped measures, skip modes, and actionable refusals.
+The corpus entry x61 additionally hash-verifies against a
+gaps-and-islands window oracle at the driver gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_icebreaker_spark.transpiler.core import TranspileError
+from dbt_icebreaker_spark.transpiler.match_recognize_sql import (
+    parse_match_recognize,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_test")
+    return IcebreakerEngine(spark, schema="mr_test")
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    spark.sql(
+        """CREATE OR REPLACE TEMP VIEW mr_ticks AS SELECT * FROM VALUES
+        ('A', 1, 10.0), ('A', 2, 8.0), ('A', 3, 6.0), ('A', 4, 7.0),
+        ('A', 5, 9.0), ('A', 6, 9.5), ('A', 7, 8.0), ('A', 8, 7.5),
+        ('A', 9, 9.9), ('B', 1, 5.0), ('B', 2, 6.0), ('B', 3, 7.0)
+        t(sym, t, price)"""
+    )
+    return "mr_ticks"
+
+
+class TestVShape:
+    def test_classic_v(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS start_t, LAST(t) AS end_t,
+                          MIN(DOWN.price) AS bottom,
+                          COUNT(DOWN.*) AS n_down, COUNT(UP.*) AS n_up,
+                          MATCH_NUMBER() AS mn, CLASSIFIER() AS last_sym
+                 ONE ROW PER MATCH
+                 AFTER MATCH SKIP PAST LAST ROW
+                 PATTERN (STRT DOWN+ UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) ORDER BY sym, start_t"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        assert rows == [
+            ("A", 1, 6, 6.0, 2, 3, 1, "UP"),
+            ("A", 7, 9, 7.5, 1, 1, 2, "UP"),
+        ]  # B only ascends — no V
+
+    def test_skip_to_next_row_overlaps(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS start_t, LAST(t) AS end_t
+                 AFTER MATCH SKIP TO NEXT ROW
+                 PATTERN (UP UP)
+                 DEFINE UP AS price > PREV(price)
+               ) WHERE sym = 'B' ORDER BY start_t"""
+        )
+        # B: t2,t3 both UP; skip-to-next finds the single (2,3) window
+        # starting at t2 — t3 alone cannot seed UP UP
+        assert [tuple(r) for r in df.collect()] == [("B", 2, 3)]
+
+    def test_bounded_quantifier_greedy(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, LAST(t) AS e, COUNT(*) AS n
+                 PATTERN (STRT DOWN{1,2})
+                 DEFINE DOWN AS price < PREV(price)
+               ) WHERE sym = 'A' ORDER BY s"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        # greedy takes 2 downs at t1(STRT),t2,t3; then t6(STRT),t7,t8
+        assert rows == [("A", 1, 3, 3), ("A", 6, 8, 3)]
+
+    def test_optional_and_star(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, COUNT(FLAT.*) AS n_flat
+                 PATTERN (UP FLAT* UP?)
+                 DEFINE UP AS price > PREV(price),
+                        FLAT AS price = PREV(price)
+               ) WHERE sym = 'B' ORDER BY s"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        # B: t2 UP, no flats, t3 UP — one greedy match spanning both
+        assert rows == [("B", 2, 0)]
+
+    def test_next_define(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s
+                 PATTERN (PREDROP)
+                 DEFINE PREDROP AS price > NEXT(price)
+               ) WHERE sym = 'A' ORDER BY s"""
+        )
+        # rows whose next price is lower: t1,t2,t6,t7
+        assert [r.s for r in df.collect()] == [1, 2, 6, 7]
+
+    def test_universal_symbol_matches_all(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES COUNT(*) AS n
+                 PATTERN (ROW_ANY+)
+               ) ORDER BY sym"""
+        )
+        # undefined symbol matches every row → one match per partition
+        assert [(r.sym, r.n) for r in df.collect()] == [("A", 9), ("B", 3)]
+
+
+class TestRefusals:
+    @pytest.mark.parametrize(
+        "body,msg",
+        [
+            ("PATTERN (A | B) DEFINE A AS x > 1", "alternation"),
+            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (A)",
+             "ALL ROWS"),
+            ("MEASURES COUNT(*) AS n PATTERN (A) "
+             "DEFINE Z AS x > 1", "not present in PATTERN"),
+            ("MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A "
+             "PATTERN (A)", "PAST LAST ROW"),
+        ],
+    )
+    def test_unsupported_pieces_named(self, body, msg):
+        sql = (
+            "SELECT * FROM t MATCH_RECOGNIZE ("
+            "PARTITION BY k ORDER BY ts "
+            + ("MEASURES COUNT(*) AS n " if "MEASURES" not in body else "")
+            + body + ")"
+        )
+        with pytest.raises(TranspileError, match=msg):
+            parse_match_recognize(sql)
+
+    def test_partition_by_required(self):
+        with pytest.raises(TranspileError, match="PARTITION BY"):
+            parse_match_recognize(
+                "SELECT * FROM t MATCH_RECOGNIZE (ORDER BY ts "
+                "MEASURES COUNT(*) AS n PATTERN (A))"
+            )
+
+    def test_non_match_recognize_sql_returns_none(self):
+        assert parse_match_recognize("SELECT 1") is None
+
+    def test_measure_shape_errors(self):
+        with pytest.raises(TranspileError, match="expr AS name"):
+            parse_match_recognize(
+                "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k "
+                "ORDER BY ts MEASURES COUNT(*) PATTERN (A))"
+            )
+
+
+class TestParseDetails:
+    def test_spec_fields(self):
+        stmt = parse_match_recognize(
+            """SELECT mn, s FROM (SELECT * FROM src) MATCH_RECOGNIZE (
+                 PARTITION BY k, k2 ORDER BY ts, id
+                 MEASURES MATCH_NUMBER() AS mn, FIRST(B.v) AS s
+                 AFTER MATCH SKIP TO NEXT ROW
+                 PATTERN (A B{2,} C?)
+                 DEFINE B AS v > PREV(v), C AS v = 0
+               ) m WHERE mn > 1 ORDER BY mn"""
+        )
+        assert stmt.spec.partition_by == ["k", "k2"]
+        assert stmt.spec.order_by == ["ts", "id"]
+        assert stmt.spec.skip_to_next_row is True
+        assert [(t.symbol, t.min_n, t.max_n) for t in stmt.spec.pattern] == [
+            ("A", 1, 1), ("B", 2, None), ("C", 0, 1),
+        ]
+        assert stmt.spec.defines == {"B": "v > PREV(v)", "C": "v = 0"}
+        assert stmt.alias == "m"
+        assert stmt.tail_text.startswith("WHERE")
+        m0, m1 = stmt.spec.measures
+        assert (m0.fn, m0.name) == ("match_number", "mn")
+        assert (m1.fn, m1.symbol, m1.col) == ("first", "B", "v")
