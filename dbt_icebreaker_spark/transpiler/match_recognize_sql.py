@@ -54,17 +54,33 @@ class MatchRecognizeStatement:
 
 
 def _split_top_commas(toks):
-    parts, depth, start = [], 0, 0
-    for i, t in enumerate(toks):
-        if t.is_op("("):
-            depth += 1
-        elif t.is_op(")"):
-            depth -= 1
-        elif depth == 0 and t.is_op(","):
-            parts.append(toks[start:i])
-            start = i + 1
-    parts.append(toks[start:])
-    return [p for p in parts if any(c.kind not in (WS, COMMENT) for c in p)]
+    """Top-level comma split, non-empty segments (tokenizer.split_args
+    does the depth tracking — one implementation to maintain)."""
+    from .tokenizer import split_args
+
+    return [
+        toks[s:e]
+        for s, e in split_args(toks, 0, len(toks))
+        if any(c.kind not in (WS, COMMENT) for c in toks[s:e])
+    ]
+
+
+def _bare_columns(segs, clause: str) -> list[str]:
+    """PARTITION BY / ORDER BY entries must be bare column identifiers
+    — DESC/ASC, expressions and qualified names would otherwise reach
+    the pandas matcher as literal column-name strings and die with a
+    cryptic executor KeyError instead of a parse-time refusal."""
+    out = []
+    for seg in segs:
+        code = [c for c in seg if c.kind not in (WS, COMMENT)]
+        if len(code) != 1 or code[0].kind not in (WORD, QIDENT):
+            raise TranspileError(
+                f"MATCH_RECOGNIZE {clause}: entries must be bare "
+                f"column names (no DESC/ASC, expressions or "
+                f"qualifiers): {render(seg).strip()!r}"
+            )
+        out.append(code[0].text.strip('"'))
+    return out
 
 
 def _parse_measure(toks) -> Measure:
@@ -123,15 +139,28 @@ def _clause_spans(toks):
         elif t.is_op(")"):
             depth -= 1
         elif depth == 0 and t.kind == WORD and t.upper in _CLAUSES:
-            # ORDER only counts when followed by BY; ONE/ALL by ROW(S)
+            # each keyword must be followed by its grammar's next token
+            # — a COLUMN merely named pattern/define/measures inside an
+            # expression must not start a phantom clause
             j = next_code(toks, i + 1)
-            nxt = toks[j].upper if j < len(toks) and toks[j].kind == WORD else ""
+            nxt_t = toks[j] if j < len(toks) else None
+            nxt = nxt_t.upper if nxt_t is not None and nxt_t.kind == WORD else ""
             if t.upper in ("PARTITION", "ORDER") and nxt != "BY":
                 continue
             if t.upper in ("ONE", "ALL") and nxt not in ("ROW", "ROWS"):
                 continue
             if t.upper == "AFTER" and nxt != "MATCH":
                 continue
+            if t.upper == "PATTERN" and (nxt_t is None or not nxt_t.is_op("(")):
+                continue
+            if t.upper == "DEFINE":
+                # next must be `word AS`
+                k2 = next_code(toks, j + 1) if nxt_t is not None else len(toks)
+                if not (
+                    nxt_t is not None and nxt_t.kind == WORD
+                    and k2 < len(toks) and toks[k2].is_word("AS")
+                ):
+                    continue
             spans.append((i, t.upper))
     spans.append((len(toks), "END"))
     return spans
@@ -182,6 +211,12 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
     spans = _clause_spans(body)
     got: dict[str, list] = {}
     for (lo, kw), (hi, _) in zip(spans, spans[1:]):
+        if kw in got:
+            raise TranspileError(
+                f"MATCH_RECOGNIZE: duplicate {kw} clause — if a column "
+                f"is literally named {kw.lower()}, quote or alias it "
+                "(keyword collision)"
+            )
         got[kw] = body[lo:hi]
 
     def after_by(seg):
@@ -208,12 +243,12 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
             "ALL ROWS PER MATCH is not supported — use ONE ROW PER "
             "MATCH with FIRST/LAST/COUNT measures"
         )
-    partition_by = [
-        render(p).strip() for p in _split_top_commas(after_by(got["PARTITION"]))
-    ]
-    order_by = [
-        render(p).strip() for p in _split_top_commas(after_by(got["ORDER"]))
-    ]
+    partition_by = _bare_columns(
+        _split_top_commas(after_by(got["PARTITION"])), "PARTITION BY"
+    )
+    order_by = _bare_columns(
+        _split_top_commas(after_by(got["ORDER"])), "ORDER BY"
+    )
     meas_seg = got["MEASURES"]
     j = next_code(meas_seg, 0)
     measures = [

@@ -83,8 +83,10 @@ def _find_dynamic_in(toks):
         body = toks[in_open + 1:in_close]
         b0 = next_code(body, 0)
         kind = None
+        any_tail = ""
         if b0 < len(body) and body[b0].is_word("ANY"):
             kind = "any"
+            any_tail = render(body[b0 + 1:]).strip()
         elif b0 < len(body) and body[b0].is_word("SELECT"):
             kind = "subquery"
         if kind is None:
@@ -112,8 +114,41 @@ def _find_dynamic_in(toks):
             ):
                 lo -= 1
             src_lo = lo + 1
-        return (src_lo, i, in_open, in_close, col_text, kind)
+        return (src_lo, i, in_open, in_close, col_text, kind, any_tail)
     return None
+
+
+def _with_prefix(toks) -> str:
+    """The statement's leading WITH clause text (up to the main
+    depth-0 SELECT), so enumeration probes can resolve CTE-defined
+    pivot sources. Empty string when the statement has no WITH."""
+    j = next_code(toks, 0)
+    if j >= len(toks) or not toks[j].is_word("WITH"):
+        return ""
+    depth = 0
+    for i in range(j, len(toks)):
+        t = toks[i]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "SELECT":
+            return render(toks[:i]).strip() + " "
+    return ""
+
+
+def _has_top_order_by(toks) -> bool:
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "ORDER":
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_word("BY"):
+                return True
+    return False
 
 
 def resolve_dynamic_pivot(spark, sql: str, transpiler) -> str:
@@ -129,15 +164,31 @@ def resolve_dynamic_pivot(spark, sql: str, transpiler) -> str:
         hit = _find_dynamic_in(toks)
         if hit is None:
             return render(toks)
-        src_lo, pivot_i, in_open, in_close, col, kind = hit
+        src_lo, pivot_i, in_open, in_close, col, kind, any_tail = hit
+        prefix = _with_prefix(toks)  # CTE-defined sources stay resolvable
         if kind == "any":
             src = render(toks[src_lo:pivot_i]).strip()
+            if any_tail:
+                up = any_tail.upper().split()
+                if up[:2] != ["ORDER", "BY"]:
+                    raise ValueError(
+                        "dynamic PIVOT: only ORDER BY may follow ANY "
+                        f"(got {any_tail!r})"
+                    )
+                order = any_tail  # honor the user's direction
+            else:
+                order = "ORDER BY 1"
             probe = (
-                f"SELECT DISTINCT {col} AS __pv FROM {src} "
-                f"WHERE {col} IS NOT NULL ORDER BY 1"
+                f"{prefix}SELECT DISTINCT {col} FROM {src} "
+                f"WHERE {col} IS NOT NULL {order}"
             )
+            sort_lits = False
         else:
-            probe = render(toks[in_open + 1:in_close]).strip()
+            body = toks[in_open + 1:in_close]
+            probe = prefix + render(body).strip()
+            # an unordered subquery returns rows in engine-undefined
+            # order — sort the literals so column order is stable
+            sort_lits = not _has_top_order_by(body)
         rows = spark.sql(transpiler.to_spark(probe)).collect()
         seen: set[str] = set()
         lits: list[str] = []
@@ -146,6 +197,8 @@ def resolve_dynamic_pivot(spark, sql: str, transpiler) -> str:
             if lit is not None and lit not in seen:
                 seen.add(lit)
                 lits.append(lit)  # dedup preserving the probe's order
+        if sort_lits:
+            lits.sort()
         if not lits:
             raise ValueError(
                 f"dynamic PIVOT on {col}: no non-NULL values to pivot "

@@ -3522,6 +3522,14 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
     shapes refuse actionably. Multiple ASOF JOINs rewrite via re-scan."""
     from .core import TranspileError
 
+    # Snowflake's ASOF JOIN always carries MATCH_CONDITION — without
+    # one anywhere in the statement, `FROM trades asof JOIN quotes`
+    # is a table aliased `asof` followed by a regular JOIN, not an
+    # as-of join; don't misfire on it
+    if not any(
+        t.kind == WORD and t.upper == "MATCH_CONDITION" for t in tokens
+    ):
+        return tokens
     while True:
         hit = None
         for i, t in enumerate(tokens):
@@ -3537,7 +3545,8 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
         # right table ref: name(.name)* or (subquery), then [AS] alias
         k = next_code(tokens, join_i + 1)
         r_start = k
-        if k < n and tokens[k].is_op("("):
+        right_is_subquery = k < n and tokens[k].is_op("(")
+        if right_is_subquery:
             k = next_code(tokens, find_matching_paren(tokens, k) + 1)
         elif k < n and tokens[k].kind in (WORD, QIDENT):
             k = next_code(tokens, k + 1)
@@ -3556,12 +3565,15 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
             alias = tokens[k].text.strip('"')
             k = next_code(tokens, k + 1)
         if alias is None:
-            # derive from the last name part
-            name_code = [c for c in tokens[r_start:name_end] if c.kind in (WORD, QIDENT)]
-            if not name_code:
+            if right_is_subquery:
+                # without an explicit alias the MATCH_CONDITION can't
+                # name the right side — deriving one from the subquery
+                # body would silently mis-resolve
                 raise TranspileError(
-                    "ASOF JOIN: a subquery right side needs an alias"
+                    "ASOF JOIN: a subquery right side needs an alias "
+                    "(MATCH_CONDITION must qualify it)"
                 )
+            name_code = [c for c in tokens[r_start:name_end] if c.kind in (WORD, QIDENT)]
             alias = name_code[-1].text.strip('"')
         if k >= n or not tokens[k].is_word("MATCH_CONDITION"):
             raise TranspileError(

@@ -183,14 +183,20 @@ def _eval_measure(
         return ser.iloc[0]
     if m.fn == "last":
         return ser.iloc[-1]
+    # SQL aggregates ignore NULLs but return NULL on empty input —
+    # pandas' skipna default instead yields 0 for an all-NaN sum and
+    # NaN (a real non-NULL double to Spark) for min/max/mean
+    nn = ser.dropna()
+    if nn.empty:
+        return None
     if m.fn == "min":
-        return ser.min()
+        return nn.min()
     if m.fn == "max":
-        return ser.max()
+        return nn.max()
     if m.fn == "sum":
-        return ser.sum()
+        return nn.sum()
     if m.fn == "avg":
-        return ser.mean()
+        return float(nn.mean())
     raise ValueError(f"unsupported measure fn {m.fn}")
 
 
@@ -263,6 +269,14 @@ def match_recognize(
             typ = "double"
         else:
             typ = in_fields[m.col].dataType.simpleString()
+            if m.fn == "sum":
+                # SUM widens like SQL: int family → long, float →
+                # double (pandas computes int64 anyway; a declared
+                # 32-bit field would fail the Arrow safe-cast)
+                if typ in ("tinyint", "smallint", "int", "bigint"):
+                    typ = "long"
+                elif typ in ("float", "double"):
+                    typ = "double"
         out_fields.append(
             StructField(m.name, _parse_type(typ), True)
         )
@@ -274,7 +288,12 @@ def match_recognize(
     skip_next = spec.skip_to_next_row
 
     def run(key, pdf):
-        pdf = pdf.sort_values(ob, kind="mergesort").reset_index(drop=True)
+        # na_position='first' matches Spark's ascending NULLS FIRST —
+        # the SAME order the DEFINE flags were computed under (a NULL
+        # order key sorted differently would silently shift adjacency)
+        pdf = pdf.sort_values(
+            ob, kind="mergesort", na_position="first"
+        ).reset_index(drop=True)
         n = len(pdf)
         flags = [pdf[c].tolist() for c in flag_cols]
         rows = []

@@ -163,6 +163,79 @@ class TestRefusals:
             )
 
 
+class TestReviewFixes:
+    """Round-4 review findings on the first MATCH_RECOGNIZE cut."""
+
+    def test_sum_all_null_is_null_and_widens(self, spark, engine):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_nulls AS SELECT * FROM VALUES "
+            "('k', 1, CAST(NULL AS INT)), ('k', 2, CAST(NULL AS INT)), "
+            "('j', 1, 2000000000), ('j', 2, 2000000000) t(k, t, qty)"
+        )
+        df = engine.execute(
+            """SELECT * FROM mr_nulls MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES SUM(qty) AS total, AVG(qty) AS mean_q,
+                          MIN(qty) AS lo
+                 PATTERN (A A)
+               ) ORDER BY k"""
+        )
+        rows = {r.k: (r.total, r.mean_q, r.lo) for r in df.collect()}
+        # all-NULL group: NULL (not 0 / NaN); int SUM widens past 2^31
+        assert rows["k"] == (None, None, None)
+        assert rows["j"] == (4000000000, 2000000000.0, 2000000000)
+
+    def test_null_order_key_sorts_first_like_spark(self, spark, engine):
+        # the matcher must walk rows in the SAME order the DEFINE flags
+        # were computed under (Spark ascending = NULLS FIRST)
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_nullts AS SELECT * FROM VALUES "
+            "('k', CAST(NULL AS INT), 5.0), ('k', 1, 6.0), ('k', 2, 7.0) "
+            "t(k, t, v)"
+        )
+        df = engine.execute(
+            """SELECT * FROM mr_nullts MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(UP.*) AS n_up, FIRST(v) AS v0
+                 PATTERN (STRT UP+)
+                 DEFINE UP AS v > PREV(v)
+               )"""
+        )
+        r = df.collect()[0]
+        # NULL-ts row first (v=5), then 6,7 both UP
+        assert (r.n_up, r.v0) == (2, 5.0)
+
+    def test_order_by_desc_refused_at_parse(self):
+        with pytest.raises(TranspileError, match="bare column"):
+            parse_match_recognize(
+                "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k "
+                "ORDER BY ts DESC MEASURES COUNT(*) AS n PATTERN (A))"
+            )
+        with pytest.raises(TranspileError, match="bare column"):
+            parse_match_recognize(
+                "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY t.k "
+                "ORDER BY ts MEASURES COUNT(*) AS n PATTERN (A))"
+            )
+
+    def test_duplicate_clause_refused(self):
+        with pytest.raises(TranspileError, match="duplicate"):
+            parse_match_recognize(
+                "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k "
+                "ORDER BY ts MEASURES COUNT(*) AS n "
+                "PATTERN (A) PATTERN (B))"
+            )
+
+    def test_column_named_define_in_condition(self):
+        # `define` as a plain column inside a DEFINE body must not
+        # start a phantom clause (next token is '>', not `word AS`)
+        stmt = parse_match_recognize(
+            "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k "
+            "ORDER BY ts MEASURES COUNT(*) AS n PATTERN (A) "
+            "DEFINE A AS define > 1)"
+        )
+        assert stmt.spec.defines == {"A": "define > 1"}
+
+
 class TestParseDetails:
     def test_spec_fields(self):
         stmt = parse_match_recognize(

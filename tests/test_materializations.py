@@ -1582,6 +1582,36 @@ class TestDynamicPivot:
         )
         assert df.columns == ["region", "q1", "q2"]
 
+    def test_cte_source(self, spark, engine):
+        # review fix: the enumeration probe must carry the statement's
+        # WITH clause so CTE-defined pivot sources resolve
+        self._seed(spark)
+        df = engine.execute(
+            "WITH c AS (SELECT region, quarter, amt FROM piv_sales) "
+            "SELECT * FROM c PIVOT (SUM(amt) FOR quarter IN (ANY)) "
+            "ORDER BY region"
+        )
+        assert df.columns == ["region", "q1", "q2", "q3"]
+
+    def test_any_order_by_desc_honored(self, spark, engine):
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales) "
+            "PIVOT (SUM(amt) FOR quarter IN (ANY ORDER BY quarter DESC))"
+        )
+        assert df.columns == ["region", "q3", "q2", "q1"]
+
+    def test_unordered_subquery_columns_stable(self, spark, engine):
+        # subquery without ORDER BY: literals sorted so column order
+        # cannot vary run to run
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM (SELECT region, quarter, amt FROM piv_sales) "
+            "PIVOT (SUM(amt) FOR quarter IN "
+            "(SELECT DISTINCT quarter FROM piv_sales))"
+        )
+        assert df.columns == ["region", "q1", "q2", "q3"]
+
     def test_empty_enumeration_actionable(self, spark, engine):
         import pytest as _pytest
 

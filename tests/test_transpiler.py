@@ -1122,8 +1122,10 @@ class TestAsofJoin:
     def test_unsupported_shapes_refuse(self):
         from dbt_icebreaker_spark.transpiler.core import TranspileError
 
-        with pytest.raises(TranspileError, match="MATCH_CONDITION"):
-            t.to_spark("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+        # no MATCH_CONDITION anywhere → `a asof` is read as an alias
+        # and the statement passes through as a regular join
+        out = t.to_spark("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+        assert "LATERAL" not in out
         with pytest.raises(TranspileError, match="single comparison"):
             t.to_spark(
                 "SELECT * FROM a ASOF JOIN b "
@@ -1133,6 +1135,23 @@ class TestAsofJoin:
     def test_asof_as_identifier_untouched(self):
         out = t.to_spark("SELECT asof FROM t WHERE asof > 1")
         assert "asof" in out and "LATERAL" not in out
+
+    def test_asof_as_table_alias_before_join(self):
+        # review fix: without MATCH_CONDITION anywhere, `trades asof
+        # JOIN quotes` is a table aliased asof + a regular join
+        out = t.to_spark(
+            "SELECT * FROM trades asof JOIN quotes q ON asof.id = q.id"
+        )
+        assert "LATERAL" not in out and "JOIN quotes" in out
+
+    def test_asof_subquery_needs_alias(self):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="needs an alias"):
+            t.to_spark(
+                "SELECT * FROM l ASOF JOIN (SELECT k, ts FROM r) "
+                "MATCH_CONDITION(l.ts >= r.ts)"
+            )
 
 
 class TestEpochExtract:
