@@ -1543,6 +1543,30 @@ _q(
     """,
 )
 
+# DAYOFWEEK (Snowflake default WEEK_START=0: Sunday=0..Saturday=6 —
+# Spark's builtin is Sunday=1, DuckDB agrees with Snowflake, so the
+# -1 shift itself is driver-gated) + deployment-context functions
+# rendered as NULL locally (Snowflake returns NULL for unset context).
+_q(
+    "q70_dow_and_context",
+    """
+    SELECT o_orderkey,
+           DAYOFWEEK(o_orderdate) AS dow,
+           DAYOFWEEKISO(o_orderdate) AS dow_iso,
+           CURRENT_WAREHOUSE() AS wh,
+           CURRENT_ROLE() AS role_name
+    FROM orders WHERE o_orderkey < 300
+    """,
+    """
+    SELECT o_orderkey,
+           dayofweek(o_orderdate) AS dow,
+           isodow(o_orderdate) AS dow_iso,
+           CAST(NULL AS VARCHAR) AS wh,
+           CAST(NULL AS VARCHAR) AS role_name
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

@@ -144,6 +144,17 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "UNICODE": "ASCII",        # Spark ascii() returns the code point
         "WEEKISO": "WEEKOFYEAR",   # Spark weekofyear is ISO-week
         "DAYOFWEEKISO": "DOWISO_X",    # → weekday()+1 (1=Mon..7=Sun)
+        "DAYOFWEEK": "DOW0_X",  # Snowflake default WEEK_START=0: Sun=0..Sat=6
+        # Snowflake deployment-context functions: no warehouse/role/
+        # account/region/session concept exists locally — Snowflake
+        # itself returns NULL for unset context (e.g. no warehouse
+        # selected), so NULL is the honest local rendering
+        "CURRENT_WAREHOUSE": "NULLCTX_X",
+        "CURRENT_ROLE": "NULLCTX_X",
+        "CURRENT_ACCOUNT": "NULLCTX_X",
+        "CURRENT_REGION": "NULLCTX_X",
+        "CURRENT_SESSION": "NULLCTX_X",
+        "CURRENT_VERSION": "VERSION",  # Spark's version() string
         "YEAROFWEEK": "YOW_X",         # → EXTRACT(YEAROFWEEK …)
         "YEAROFWEEKISO": "YOW_X",
         "TIME_FROM_PARTS": "TIMEFP_X",  # TIME model = timestamp on 1970-01-01
@@ -395,6 +406,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
     "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
+    "DOW0_X", "NULLCTX_X",
 ))
 
 
@@ -1127,6 +1139,13 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"(CASE WHEN ({pos_s}) < 0 THEN size({arr_s}) + ({pos_s}) "
                     f"ELSE ({pos_s}) END)) END"
                 )
+            elif t.text == "DOW0_X" and len(args) == 1:
+                # Snowflake DAYOFWEEK (default WEEK_START=0): Sunday=0
+                # .. Saturday=6; Spark's dayofweek is Sunday=1 — shift
+                a_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                out += tokenize(f"(dayofweek(({a_s})) - 1)")
+            elif t.text == "NULLCTX_X" and len(args) == 0:
+                out += tokenize("CAST(NULL AS STRING)")
             elif t.text == "ARRSIZE_X" and len(args) == 1:
                 # ARRAY_SIZE: JSON-text input (lowered PARSE_JSON /
                 # TO_VARIANT) parses to an array first; a real array
@@ -4509,6 +4528,10 @@ _UNSUPPORTED_SCALARS = {
                   "format (HLL_ACCUMULATE/COMBINE/ESTIMATE map 1:1)",
     "HLL_IMPORT": "re-accumulating from raw values (state formats "
                   "are engine-internal)",
+    "LAST_QUERY_ID": "the engine keeps no warehouse query-history ids; "
+                     "per-model runtime metrics live in "
+                     "observability/telemetry (self-harvested Spark "
+                     "listener data)",
     "RANDSTR": "UUID_STRING() for opaque ids, or MD5 of a seeded "
                "expression for deterministic pseudo-random strings "
                "(RANDSTR's generator state has no Spark equivalent)",

@@ -1031,6 +1031,30 @@ class TestJaroWinklerAndCiGet:
         assert r.a == "7" and r.b is None and r.c == '{"n":1}'
 
 
+class TestDayOfWeekAndContext:
+    def test_dayofweek_sunday_zero(self, spark):
+        # Snowflake default WEEK_START=0: Sunday=0..Saturday=6
+        r = spark.sql(t.to_spark(
+            "SELECT DAYOFWEEK('2024-01-07'::DATE) AS sun, "
+            "DAYOFWEEK('2024-01-08'::DATE) AS mon, "
+            "DAYOFWEEK('2024-01-13'::DATE) AS sat"
+        )).collect()[0]
+        assert (r.sun, r.mon, r.sat) == (0, 1, 6)
+
+    def test_context_functions_null_or_mapped(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT CURRENT_WAREHOUSE() AS wh, CURRENT_ROLE() AS rl, "
+            "CURRENT_ACCOUNT() AS acct, CURRENT_SESSION() AS sess, "
+            "CURRENT_VERSION() AS v"
+        )).collect()[0]
+        assert (r.wh, r.rl, r.acct, r.sess) == (None, None, None, None)
+        assert r.v  # Spark version string
+
+    def test_last_query_id_refused(self):
+        ok, msg = t.can_transpile("SELECT LAST_QUERY_ID() FROM t")
+        assert not ok and "telemetry" in msg
+
+
 class TestJsonTextArrayInputs:
     """Array-consuming functions over statically-known JSON text
     (lowered PARSE_JSON literals / TO_VARIANT string casts) must parse
