@@ -4364,6 +4364,43 @@ XOP_ORACLES["x61_match_recognize"] = """
     HAVING COUNT(*) >= 2
 """
 
+XOP_ORACLES["x62_match_recognize_all"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 30
+    ),
+    m AS (
+      SELECT *, CASE WHEN value > LAG(value)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     THEN 0 ELSE 1 END AS brk
+      FROM e
+    ),
+    g AS (
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS grp
+      FROM m
+    ),
+    s AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY user_id, grp) AS isl_n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, grp
+                  ORDER BY ts, event_id) AS BIGINT) AS run_n,
+             CAST(MAX(value) OVER (PARTITION BY user_id, grp
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS run_max
+      FROM g
+    ),
+    q AS (SELECT * FROM s WHERE isl_n >= 2)
+    SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+           CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY grp)
+                AS BIGINT) AS mn,
+           CASE WHEN run_n = 1 THEN 'STRT' ELSE 'UP' END AS cls,
+           run_n, run_max
+    FROM q
+"""
+
 XOP_ORACLES["s09_streaming_merge"] = """
     WITH b1 AS (
       SELECT event_id, user_id, event_type, value
@@ -4573,10 +4610,40 @@ def _x_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_match_recognize_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH over the same ascending-run pattern as x61:
+    every matched row survives with RUNNING measures (SQL:2016 default
+    for ALL ROWS — CLASSIFIER() is the row's own symbol, COUNT/MAX run
+    over the match so far). The oracle is the per-row window rendering:
+    islands ≥ 2 rows, ROW_NUMBER = running count, running MAX over the
+    island frame, DENSE_RANK over qualifying islands = MATCH_NUMBER.
+    A running-vs-final mix-up or an off-by-one span changes rows."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, ts, event_id, value, mn, cls, run_n, run_max
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 30)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+                   COUNT(*) AS run_n, MAX(value) AS run_max
+          ALL ROWS PER MATCH
+          PATTERN (STRT UP+)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    )
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
+    "x62_match_recognize_all": _x_match_recognize_all,
     "q64_create_clone": _q_create_clone,
     "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,

@@ -238,11 +238,18 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
         raise TranspileError(
             "MATCH_RECOGNIZE requires MEASURES and PATTERN clauses"
         )
+    all_rows = False
     if "ALL" in got:
-        raise TranspileError(
-            "ALL ROWS PER MATCH is not supported — use ONE ROW PER "
-            "MATCH with FIRST/LAST/COUNT measures"
-        )
+        words = [c.upper for c in got["ALL"] if c.kind == WORD]
+        if words[:4] != ["ALL", "ROWS", "PER", "MATCH"]:
+            raise TranspileError("expected ALL ROWS PER MATCH")
+        if len(words) > 4:
+            raise TranspileError(
+                "ALL ROWS PER MATCH modifiers (WITH UNMATCHED ROWS / "
+                "OMIT EMPTY MATCHES / SHOW EMPTY MATCHES) are not "
+                "supported"
+            )
+        all_rows = True
     partition_by = _bare_columns(
         _split_top_commas(after_by(got["PARTITION"])), "PARTITION BY"
     )
@@ -316,6 +323,7 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
         pattern=pattern,
         defines=defines,
         skip_to_next_row=skip_next,
+        all_rows=all_rows,
     )
     # optional alias + tail
     k = next_code(toks, close + 1)

@@ -68,6 +68,7 @@ class MatchRecognizeSpec:
     pattern: list[PatternTerm]
     defines: dict[str, str]  # symbol -> Snowflake-dialect boolean SQL
     skip_to_next_row: bool = False
+    all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING aggregates)
 
 
 _QUANT_RE = re.compile(
@@ -162,6 +163,11 @@ def _eval_measure(
     m: Measure, pdf: pd.DataFrame, lo: int, hi: int,
     assign: list[int], terms: list[PatternTerm], match_no: int,
 ):
+    """Evaluate one measure over match rows [lo, hi). Under ALL ROWS
+    PER MATCH the caller passes hi = current_row + 1 and the truncated
+    assignment — SQL:2016 RUNNING semantics fall out of the slice
+    (CLASSIFIER() becomes the current row's symbol, aggregates run
+    over rows so far)."""
     if m.fn == "match_number":
         return match_no
     if m.fn == "classifier":
@@ -259,7 +265,22 @@ def match_recognize(
         work = work.withColumn(name, F.expr(f"COALESCE({cond_sql}, FALSE)"))
 
     in_fields = {f.name: f for f in work.schema.fields}
-    out_fields = [in_fields[c] for c in spec.partition_by]
+    if spec.all_rows:
+        dup = [m.name for m in spec.measures if m.name in in_fields]
+        if dup:
+            raise ValueError(
+                f"ALL ROWS PER MATCH: measure name(s) {dup} collide "
+                "with input columns — alias the measures differently"
+            )
+        # ALL ROWS PER MATCH: every input column of each matched row,
+        # then the (running) measures
+        data_cols = [
+            f.name for f in df.schema.fields  # original columns only
+        ]
+        out_fields = [in_fields[c] for c in data_cols]
+    else:
+        data_cols = list(spec.partition_by)
+        out_fields = [in_fields[c] for c in data_cols]
     for m in spec.measures:
         if m.fn in ("count", "match_number"):
             typ = "long"
@@ -286,6 +307,7 @@ def match_recognize(
     pk = spec.partition_by
     ob = spec.order_by
     skip_next = spec.skip_to_next_row
+    all_rows = spec.all_rows
 
     def run(key, pdf):
         # na_position='first' matches Spark's ascending NULLS FIRST —
@@ -306,12 +328,23 @@ def match_recognize(
                 continue
             end, assign = hit
             match_no += 1
-            rec = {c: pdf[c].iloc[pos] for c in pk}
-            for m in measures:
-                rec[m.name] = _eval_measure(
-                    m, pdf, pos, end, assign, terms, match_no
-                )
-            rows.append(rec)
+            if all_rows:
+                for i2 in range(pos, end):
+                    rec = {c: pdf[c].iloc[i2] for c in data_cols}
+                    for m in measures:
+                        # RUNNING: evaluate over rows up to and incl. i2
+                        rec[m.name] = _eval_measure(
+                            m, pdf, pos, i2 + 1,
+                            assign[: i2 + 1 - pos], terms, match_no,
+                        )
+                    rows.append(rec)
+            else:
+                rec = {c: pdf[c].iloc[pos] for c in data_cols}
+                for m in measures:
+                    rec[m.name] = _eval_measure(
+                        m, pdf, pos, end, assign, terms, match_no
+                    )
+                rows.append(rec)
             pos = pos + 1 if skip_next else end
         if not rows:
             return pd.DataFrame({f.name: [] for f in out_schema.fields})

@@ -26,7 +26,8 @@ def engine(spark):
 @pytest.fixture(scope="module")
 def ticks(spark):
     spark.sql(
-        """CREATE OR REPLACE TEMP VIEW mr_ticks AS SELECT * FROM VALUES
+        """CREATE OR REPLACE TEMP VIEW mr_ticks AS
+        SELECT sym, t, CAST(price AS DOUBLE) AS price FROM VALUES
         ('A', 1, 10.0), ('A', 2, 8.0), ('A', 3, 6.0), ('A', 4, 7.0),
         ('A', 5, 9.0), ('A', 6, 9.5), ('A', 7, 8.0), ('A', 8, 7.5),
         ('A', 9, 9.9), ('B', 1, 5.0), ('B', 2, 6.0), ('B', 3, 7.0)
@@ -127,8 +128,8 @@ class TestRefusals:
         "body,msg",
         [
             ("PATTERN (A | B) DEFINE A AS x > 1", "alternation"),
-            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (A)",
-             "ALL ROWS"),
+            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH WITH "
+             "UNMATCHED ROWS PATTERN (A)", "UNMATCHED"),
             ("MEASURES COUNT(*) AS n PATTERN (A) "
              "DEFINE Z AS x > 1", "not present in PATTERN"),
             ("MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A "
@@ -161,6 +162,63 @@ class TestRefusals:
                 "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k "
                 "ORDER BY ts MEASURES COUNT(*) PATTERN (A))"
             )
+
+
+class TestAllRowsPerMatch:
+    """ALL ROWS PER MATCH: every matched input row + RUNNING measures
+    (SQL:2016 default for ALL ROWS; CLASSIFIER() is the row's own
+    symbol, aggregates run over the match so far)."""
+
+    def test_running_semantics(self, engine, ticks):
+        df = engine.execute(
+            """SELECT sym, t, price, mn, cls, run_n, run_max
+               FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+                          COUNT(*) AS run_n, MAX(price) AS run_max
+                 ALL ROWS PER MATCH
+                 PATTERN (STRT DOWN+ UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'A' ORDER BY mn, t"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        assert rows == [
+            ("A", 1, 10.0, 1, "STRT", 1, 10.0),
+            ("A", 2, 8.0, 1, "DOWN", 2, 10.0),
+            ("A", 3, 6.0, 1, "DOWN", 3, 10.0),
+            ("A", 4, 7.0, 1, "UP", 4, 10.0),
+            ("A", 5, 9.0, 1, "UP", 5, 10.0),
+            ("A", 6, 9.5, 1, "UP", 6, 10.0),
+            ("A", 7, 8.0, 2, "STRT", 1, 8.0),
+            ("A", 8, 7.5, 2, "DOWN", 2, 8.0),
+            ("A", 9, 9.9, 2, "UP", 3, 9.9),
+        ]
+
+    def test_unmatched_rows_excluded(self, engine, ticks):
+        df = engine.execute(
+            """SELECT COUNT(*) AS n FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES MATCH_NUMBER() AS mn
+                 ALL ROWS PER MATCH
+                 PATTERN (STRT DOWN+ UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               )"""
+        )
+        # only A's 9 rows match; B never matches → excluded
+        assert df.collect()[0].n == 9
+
+    def test_measure_name_collision_refused(self, engine, ticks):
+        with pytest.raises(Exception, match="collide"):
+            engine.execute(
+                """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                     PARTITION BY sym ORDER BY t
+                     MEASURES COUNT(*) AS price
+                     ALL ROWS PER MATCH
+                     PATTERN (A A)
+                   )"""
+            ).collect()
 
 
 class TestReviewFixes:
