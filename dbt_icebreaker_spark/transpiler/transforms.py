@@ -138,6 +138,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         # Snowflake SYSDATE() is UTC; the engine pins the session to
         # UTC (sources._SESSION_CONFS) so current_timestamp matches
         "SYSDATE": "CURRENT_TIMESTAMP",
+        "LOCALTIMESTAMP": "CURRENT_TIMESTAMP",  # bare keyword OR call
+        "LOCALTIME": "CURRENT_TIMESTAMP",  # no TIME type; ts rendering
+        "HASH_AGG": "HASHAGG_X",  # order-independent aggregate hash
         "SYSTIMESTAMP": "CURRENT_TIMESTAMP",
         "VARIANCE_POP": "VAR_POP",
         "VARIANCE_SAMP": "VAR_SAMP",
@@ -289,6 +292,13 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "GET_IGNORE_CASE": "GETIC_X",  # case-folded variant-map lookup
     }
     out = _rename_funcs(tokens, mapping)
+    # bare-keyword forms (no parens): Spark resolves CURRENT_TIMESTAMP
+    # but not LOCALTIMESTAMP/LOCALTIME as keywords
+    for i, t in enumerate(out):
+        if t.kind == WORD and t.upper in ("LOCALTIMESTAMP", "LOCALTIME"):
+            j = next_code(out, i + 1)
+            if j >= len(out) or not out[j].is_op("("):
+                out[i] = _word("CURRENT_TIMESTAMP")
     return out
 
 
@@ -406,7 +416,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
     "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
-    "DOW0_X", "NULLCTX_X",
+    "DOW0_X", "NULLCTX_X", "HASHAGG_X",
 ))
 
 
@@ -1146,6 +1156,16 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(f"(dayofweek(({a_s})) - 1)")
             elif t.text == "NULLCTX_X" and len(args) == 0:
                 out += tokenize("CAST(NULL AS STRING)")
+            elif t.text == "HASHAGG_X" and len(args) >= 1:
+                # Snowflake HASH_AGG: order-independent aggregate hash.
+                # XOR-fold of per-row xxhash64 — same contract (stable
+                # within the engine, order-insensitive); numeric values
+                # are engine-specific on BOTH sides (Snowflake's HASH
+                # is proprietary), documented deviation.
+                inner = ", ".join(
+                    render(tokens[a:b]).strip() for a, b in args
+                )
+                out += tokenize(f"bit_xor(xxhash64({inner}))")
             elif t.text == "ARRSIZE_X" and len(args) == 1:
                 # ARRAY_SIZE: JSON-text input (lowered PARSE_JSON /
                 # TO_VARIANT) parses to an array first; a real array
@@ -2112,6 +2132,68 @@ def rewrite_array_construct(tokens: Tokens) -> Tokens:
 _VARIANT_TYPES = ("VARIANT", "OBJECT")
 
 
+_TYPE_ALIASES = {
+    # Snowflake type spellings Spark's parser refuses
+    "NUMBER": "DECIMAL",   # bare NUMBER = NUMBER(38,0), handled below
+    "TEXT": "STRING",
+    "FLOAT4": "FLOAT",
+    "FLOAT8": "DOUBLE",
+    "BYTEINT": "TINYINT",
+}
+
+
+def _is_cast_as(toks: Tokens, p: int) -> bool:
+    """True iff toks[p] is the AS of a CAST/TRY_CAST call (walk back to
+    the unmatched open paren and check the call head)."""
+    depth = 0
+    k = p - 1
+    while k >= 0:
+        tk = toks[k]
+        if tk.is_op(")"):
+            depth += 1
+        elif tk.is_op("("):
+            if depth == 0:
+                q = prev_code(toks, k - 1)
+                return q >= 0 and toks[q].is_word("CAST", "TRY_CAST")
+            depth -= 1
+        k -= 1
+    return False
+
+
+def rewrite_type_aliases(tokens: Tokens) -> Tokens:
+    """Snowflake type-name aliases in cast positions (`::NUMBER(10,2)`,
+    `CAST(x AS TEXT)`, `::FLOAT8`) → Spark spellings. Only fires after
+    `::` or a CAST's AS, so a column merely *named* number/text is
+    untouched. Bare NUMBER (no precision) becomes DECIMAL(38,0) —
+    Snowflake's default — rather than Spark's DECIMAL(10,0)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in _TYPE_ALIASES:
+            p = prev_code(tokens, i - 1)
+            in_cast = p >= 0 and (
+                tokens[p].is_op("::")
+                or (tokens[p].is_word("AS") and _is_cast_as(tokens, p))
+            )
+            if in_cast:
+                repl = _TYPE_ALIASES[t.upper]
+                j = next_code(tokens, i + 1)
+                if (
+                    t.upper == "NUMBER"
+                    and (j >= n or not tokens[j].is_op("("))
+                ):
+                    out += tokenize("DECIMAL(38, 0)")
+                else:
+                    out.append(_word(repl))
+                i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_variant_casts(tokens: Tokens) -> Tokens:
     """CAST(x AS VARIANT) / x::VARIANT → STRING (ref transpiler.py:104-117).
     Also `AS OBJECT`, and bare VARCHAR/CHAR/TEXT → STRING (Spark
@@ -2123,9 +2205,16 @@ def rewrite_variant_casts(tokens: Tokens) -> Tokens:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # cast positions only: `::TYPE` or the AS of a CAST/TRY_CAST
+        # call — a select-list alias literally named text/variant/
+        # varchar must NOT be rewritten (`x AS text` is an alias, not
+        # a cast)
         if t.kind == WORD and t.upper in _VARIANT_TYPES:
             p = prev_code(tokens, i - 1)
-            if p >= 0 and (tokens[p].is_word("AS") or tokens[p].is_op("::")):
+            if p >= 0 and (
+                tokens[p].is_op("::")
+                or (tokens[p].is_word("AS") and _is_cast_as(tokens, p))
+            ):
                 out.append(_word("STRING"))
                 i += 1
                 continue
@@ -2133,7 +2222,10 @@ def rewrite_variant_casts(tokens: Tokens) -> Tokens:
             j = next_code(tokens, i + 1)
             if not (j < n and tokens[j].is_op("(")):
                 p = prev_code(tokens, i - 1)
-                if p >= 0 and (tokens[p].is_word("AS") or tokens[p].is_op("::")):
+                if p >= 0 and (
+                    tokens[p].is_op("::")
+                    or (tokens[p].is_word("AS") and _is_cast_as(tokens, p))
+                ):
                     out.append(_word("STRING"))
                     i += 1
                     continue
@@ -4556,6 +4648,7 @@ PIPELINE = (
     rewrite_asof_join,         # FROM-clause restructure (LATERAL top-1)
     rewrite_collate,           # quoted specs → Spark collation names
     rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n
+    rewrite_type_aliases,      # ::NUMBER/TEXT/FLOAT8 → Spark spellings
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,
     rewrite_listagg_distinct,

@@ -1031,6 +1031,48 @@ class TestJaroWinklerAndCiGet:
         assert r.a == "7" and r.b is None and r.c == '{"n":1}'
 
 
+class TestTypeAliasesAndMiscScalars:
+    def test_number_cast_forms(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT CAST(12.345::NUMBER(10,2) AS DOUBLE) AS a, "
+            "123::NUMBER AS b"
+        )).collect()[0]
+        assert (r.a, r.b) == (12.35, 123)  # NUMBER defaults to (38,0)
+
+    def test_text_float8_byteint(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT 'x'::TEXT AS a, CAST('y' AS TEXT) AS b, "
+            "1.5::FLOAT8 AS c, 2::BYTEINT AS d"
+        )).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == ("x", "y", 1.5, 2)
+
+    def test_columns_named_like_types_untouched(self, spark):
+        # alias/column positions are not cast positions
+        r = spark.sql(t.to_spark(
+            "SELECT number, x AS text FROM (SELECT 1 AS number, 2 AS x)"
+        )).collect()[0]
+        assert (r.number, r.text) == (1, 2)
+
+    def test_localtimestamp_bare_and_call(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT LOCALTIMESTAMP IS NOT NULL AS a, "
+            "LOCALTIMESTAMP() IS NOT NULL AS b"
+        )).collect()[0]
+        assert (r.a, r.b) == (True, True)
+
+    def test_hash_agg_order_independent(self, spark):
+        a = spark.sql(t.to_spark(
+            "SELECT HASH_AGG(x) AS r FROM (SELECT 1 AS x UNION ALL SELECT 2)"
+        )).collect()[0].r
+        b = spark.sql(t.to_spark(
+            "SELECT HASH_AGG(x) AS r FROM (SELECT 2 AS x UNION ALL SELECT 1)"
+        )).collect()[0].r
+        c = spark.sql(t.to_spark(
+            "SELECT HASH_AGG(x) AS r FROM (SELECT 3 AS x UNION ALL SELECT 1)"
+        )).collect()[0].r
+        assert a == b and a != c
+
+
 class TestDayOfWeekAndContext:
     def test_dayofweek_sunday_zero(self, spark):
         # Snowflake default WEEK_START=0: Sunday=0..Saturday=6
