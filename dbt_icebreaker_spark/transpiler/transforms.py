@@ -3394,9 +3394,15 @@ def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
 
 _UNSUPPORTED_CLAUSES = (
     # (first-word, second-word-or-None, clause name, suggestion)
+    # MATCH_RECOGNIZE is SUPPORTED — but only through the engine
+    # (IcebreakerEngine.execute routes it to the applyInPandas
+    # automaton before transpiling); a bare spark.sql() cannot run it,
+    # so the string transpiler still refuses with the right pointer.
     ("MATCH_RECOGNIZE", None, "MATCH_RECOGNIZE",
-     "window functions (LAG/LEAD + running flags) or "
-     "xops/temporal.asof_join for event-sequence patterns"),
+     "IcebreakerEngine.execute (or the CLI `sql` command), which runs "
+     "MATCH_RECOGNIZE natively via the row-pattern operator "
+     "(xops/match_recognize.py); plain spark.sql() has no row-pattern "
+     "clause"),
 )
 
 
