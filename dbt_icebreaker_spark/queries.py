@@ -1567,6 +1567,44 @@ _q(
     """,
 )
 
+# Snowflake DATEDIFF counts date-part BOUNDARIES crossed (month diff of
+# Jan 31 → Mar 1 is 2), not complete intervals like Spark's native
+# 3-arg datediff. DuckDB's date_diff uses the same boundary semantics,
+# so every unit's rewrite is driver-gated over real order dates —
+# month-end starts make the off-by-one class observable.
+_q(
+    "q71_datediff_boundaries",
+    """
+    SELECT o_orderkey,
+           DATEDIFF(year, o_orderdate, '1998-06-15'::DATE) AS y_diff,
+           DATEDIFF(quarter, o_orderdate, '1998-06-15'::DATE) AS q_diff,
+           DATEDIFF(month, o_orderdate, '1998-06-15'::DATE) AS m_diff,
+           DATEDIFF('week', o_orderdate, '1998-06-15'::DATE) AS w_diff,
+           DATEDIFF(day, o_orderdate, '1998-06-15'::DATE) AS d_diff,
+           DATEDIFF(hour, o_orderdate, '1998-06-15 07:30:00'::TIMESTAMP)
+             AS h_diff,
+           WEEK(o_orderdate) AS wk
+    FROM orders WHERE o_orderkey < 500
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('year', o_orderdate, TIMESTAMP '1998-06-15')
+                AS BIGINT) AS y_diff,
+           CAST(date_diff('quarter', o_orderdate, TIMESTAMP '1998-06-15')
+                AS BIGINT) AS q_diff,
+           CAST(date_diff('month', o_orderdate, TIMESTAMP '1998-06-15')
+                AS BIGINT) AS m_diff,
+           CAST(date_diff('week', o_orderdate, TIMESTAMP '1998-06-15')
+                AS BIGINT) AS w_diff,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-06-15')
+                AS BIGINT) AS d_diff,
+           CAST(date_diff('hour', o_orderdate,
+                TIMESTAMP '1998-06-15 07:30:00') AS BIGINT) AS h_diff,
+           CAST(week(o_orderdate) AS BIGINT) AS wk
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(

@@ -147,6 +147,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "UNICODE": "ASCII",        # Spark ascii() returns the code point
         "WEEKISO": "WEEKOFYEAR",   # Spark weekofyear is ISO-week
         "DAYOFWEEKISO": "DOWISO_X",    # → weekday()+1 (1=Mon..7=Sun)
+        "WEEK": "WEEKOFYEAR",   # Snowflake default policy 0 = ISO week
         "DAYOFWEEK": "DOW0_X",  # Snowflake default WEEK_START=0: Sun=0..Sat=6
         # Snowflake deployment-context functions: no warehouse/role/
         # account/region/session concept exists locally — Snowflake
@@ -1944,9 +1945,12 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                 i = close + 1
                 continue
             elif len(args) == 2 and typ in ("DATE", "TIMESTAMP", "TIMESTAMP_NTZ"):
-                # TRY_TO_DATE(x, fmt) → try_to_timestamp + cast
+                # TRY_TO_DATE(x, fmt) → try_to_timestamp + cast; the
+                # Snowflake format string converts to java.time
+                # elements (DD→dd, YYYY→yyyy …) like every other
+                # format-taking path
                 x = tokens[args[0][0]:args[0][1]]
-                fmt = tokens[args[1][0]:args[1][1]]
+                fmt = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
                 out += [_word("TRY_CAST"), _op("("), _word("try_to_timestamp"), _op("(")] + x + [_op(","), _sp()] + fmt + [_op(")"), _sp(), _word("AS"), _sp()] + tokenize(typ) + [_op(")")]
                 i = close + 1
                 continue
@@ -2885,6 +2889,72 @@ _UNIT_ALIASES = {
     "'MINUTE'": "MINUTE", "'MI'": "MINUTE", "'MIN'": "MINUTE",
     "'SECOND'": "SECOND", "'S'": "SECOND", "'SEC'": "SECOND",
 }
+
+
+_BARE_UNITS = {k.strip("'"): v for k, v in _UNIT_ALIASES.items()}
+
+# Snowflake DATEDIFF counts DATE-PART BOUNDARIES CROSSED, not complete
+# intervals: DATEDIFF(month, '2024-01-31', '2024-03-01') = 2 (Feb 1 and
+# Mar 1 boundaries), DATEDIFF(year, Dec 31, Jan 1) = 1. Spark's 3-arg
+# datediff is timestampdiff (complete intervals) — a silent off-by-one
+# whenever the end's day-of-part precedes the start's. DuckDB agrees
+# with Snowflake, so these templates are driver-gated. {s}=start {e}=end.
+_DATEDIFF_BOUNDARY = {
+    "YEAR": "(year(({e})) - year(({s})))",
+    "QUARTER": "((year(({e})) * 4 + quarter(({e}))) - "
+               "(year(({s})) * 4 + quarter(({s}))))",
+    "MONTH": "((year(({e})) * 12 + month(({e}))) - "
+             "(year(({s})) * 12 + month(({s}))))",
+    "WEEK": "(datediff(CAST(date_trunc('WEEK', ({e})) AS DATE), "
+            "CAST(date_trunc('WEEK', ({s})) AS DATE)) div 7)",
+    "DAY": "datediff(CAST(({e}) AS DATE), CAST(({s}) AS DATE))",
+    "HOUR": "((unix_timestamp(date_trunc('HOUR', CAST(({e}) AS TIMESTAMP)))"
+            " - unix_timestamp(date_trunc('HOUR', CAST(({s}) AS TIMESTAMP))))"
+            " div 3600)",
+    "MINUTE": "((unix_timestamp(date_trunc('MINUTE', CAST(({e}) AS TIMESTAMP)))"
+              " - unix_timestamp(date_trunc('MINUTE', CAST(({s}) AS TIMESTAMP))))"
+              " div 60)",
+    "SECOND": "(unix_timestamp(CAST(({e}) AS TIMESTAMP)) - "
+              "unix_timestamp(CAST(({s}) AS TIMESTAMP)))",
+}
+
+
+def rewrite_datediff_boundaries(tokens: Tokens) -> Tokens:
+    """DATEDIFF(unit, s, e) → explicit boundary-count expressions for
+    year/quarter/month/week/day/hour/minute/second (see
+    _DATEDIFF_BOUNDARY). Sub-second units pass through to Spark's
+    datediff. Runs after rewrite_date_units (quoted units already
+    canonical); bare-word unit spellings normalize here too."""
+    while True:
+        hit = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == WORD and t.upper == "DATEDIFF"
+                and _is_call(tokens, i, "DATEDIFF")
+            ):
+                op_i = next_code(tokens, i + 1)
+                close = find_matching_paren(tokens, op_i)
+                args = split_args(tokens, op_i + 1, close)
+                if len(args) != 3:
+                    continue
+                ucode = [
+                    c for c in tokens[args[0][0]:args[0][1]]
+                    if c.kind not in (WS, COMMENT)
+                ]
+                if len(ucode) != 1:
+                    continue
+                raw_u = ucode[0].upper.strip("'")
+                unit = _BARE_UNITS.get(raw_u, raw_u)
+                if unit in _DATEDIFF_BOUNDARY:
+                    hit = (i, close, unit, args)
+                    break
+        if hit is None:
+            return tokens
+        i, close, unit, args = hit
+        s_txt = render(tokens[args[1][0]:args[1][1]]).strip()
+        e_txt = render(tokens[args[2][0]:args[2][1]]).strip()
+        repl = _DATEDIFF_BOUNDARY[unit].format(s=s_txt, e=e_txt)
+        tokens = tokens[:i] + tokenize(repl) + tokens[close + 1:]
 
 
 def rewrite_date_units(tokens: Tokens) -> Tokens:
@@ -4669,6 +4739,7 @@ PIPELINE = (
     rewrite_simple_renames,
     _fixup_placeholders,
     rewrite_date_units,
+    rewrite_datediff_boundaries,  # Snowflake boundary-count semantics
     rewrite_epoch_extract,
     rewrite_generator,
     rewrite_flatten,

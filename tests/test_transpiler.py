@@ -187,8 +187,10 @@ class TestDates:
         assert "DATEADD(MONTH, -3, d)" in out
 
     def test_datediff_alias_unit(self):
+        # round 4: day-diff lowers to the boundary-count form (midnight
+        # boundaries), not Spark's complete-24h timestampdiff
         out = t.to_spark("SELECT DATEDIFF('dd', a, b) FROM t")
-        assert "DATEDIFF(DAY, a, b)" in out
+        assert "datediff(CAST((b) AS DATE), CAST((a) AS DATE))" in out
 
     def test_bare_unit_untouched(self):
         out = t.to_spark("SELECT DATEADD(day, 1, d) FROM t")
@@ -1071,6 +1073,48 @@ class TestTypeAliasesAndMiscScalars:
             "SELECT HASH_AGG(x) AS r FROM (SELECT 3 AS x UNION ALL SELECT 1)"
         )).collect()[0].r
         assert a == b and a != c
+
+
+class TestDatediffBoundaries:
+    """Snowflake DATEDIFF counts date-part boundaries crossed (DuckDB
+    agrees); Spark's 3-arg datediff counts complete intervals — the
+    round-4 rewrite closes the off-by-one class."""
+
+    def test_boundary_counting(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DATEDIFF(month, '2024-01-31'::DATE, '2024-03-01'::DATE) AS m, "
+            "DATEDIFF(year, '2023-12-31'::DATE, '2024-01-01'::DATE) AS y, "
+            "DATEDIFF(quarter, '2024-03-31'::DATE, '2024-04-01'::DATE) AS q, "
+            "DATEDIFF('week', '2024-01-06'::DATE, '2024-01-08'::DATE) AS w, "
+            "DATEDIFF(day, '2024-01-01 23:00:00'::TIMESTAMP, "
+            "'2024-01-02 01:00:00'::TIMESTAMP) AS d, "
+            "DATEDIFF(hour, '2024-01-01 10:59:00'::TIMESTAMP, "
+            "'2024-01-01 11:01:00'::TIMESTAMP) AS h"
+        )).collect()[0]
+        assert (r.m, r.y, r.q, r.w, r.d, r.h) == (2, 1, 1, 1, 1, 1)
+
+    def test_negative_and_plain(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT DATEDIFF(month, '2024-03-01'::DATE, '2024-01-31'::DATE) AS m, "
+            "DATEDIFF(day, '2024-01-01'::DATE, '2024-01-15'::DATE) AS d"
+        )).collect()[0]
+        assert (r.m, r.d) == (-2, 14)
+
+    def test_try_to_date_format_converted(self, spark):
+        import datetime
+
+        r = spark.sql(t.to_spark(
+            "SELECT TRY_TO_DATE('15-03-2024', 'DD-MM-YYYY') AS a, "
+            "TRY_TO_DATE('junk', 'DD-MM-YYYY') AS b"
+        )).collect()[0]
+        assert r.a == datetime.date(2024, 3, 15) and r.b is None
+
+    def test_week_function_and_column(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT WEEK('2024-01-04'::DATE) AS w, "
+            "(SELECT week FROM (SELECT 5 AS week)) AS col_ok"
+        )).collect()[0]
+        assert (r.w, r.col_ok) == (1, 5)
 
 
 class TestDayOfWeekAndContext:
