@@ -2961,7 +2961,13 @@ def rewrite_date_units(tokens: Tokens) -> Tokens:
     """DATEADD('month', …) → DATEADD(MONTH, …): Spark's 3-arg
     dateadd/datediff (native, verified) want a bare unit keyword while
     Snowflake also allows a quoted string (ref transpiler.py:372-376
-    delegates to sqlglot which does this normalization)."""
+    delegates to sqlglot which does this normalization).
+
+    DOCUMENTED DEVIATION: Snowflake's DATEADD preserves DATE for date
+    input with day-or-coarser units; Spark's 3-arg dateadd always
+    returns TIMESTAMP (midnight for dates — same instant). Argument
+    types are unknowable at transpile time, so the widening stands;
+    cast at the call site when a DATE column is required."""
     out: Tokens = []
     i = 0
     n = len(tokens)
