@@ -2136,6 +2136,84 @@ def rewrite_array_construct(tokens: Tokens) -> Tokens:
 _VARIANT_TYPES = ("VARIANT", "OBJECT")
 
 
+def rewrite_fetch_first(tokens: Tokens) -> Tokens:
+    """ANSI row-limiting: `[OFFSET m [ROW|ROWS]] FETCH {FIRST|NEXT} [n]
+    {ROW|ROWS} [ONLY]` → `LIMIT n [OFFSET m]` (Spark's parser only
+    takes LIMIT-then-OFFSET), and a standalone `OFFSET m ROWS` drops
+    the keyword Spark rejects. Count defaults to 1 per the standard."""
+    while True:
+        hit = None
+        for i, t in enumerate(tokens):
+            if t.kind == WORD and t.upper == "FETCH":
+                j = next_code(tokens, i + 1)
+                if j < len(tokens) and tokens[j].is_word("FIRST", "NEXT"):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            break
+        i, j = hit
+        n = len(tokens)
+        k = next_code(tokens, j + 1)
+        n_txt = "1"
+        if k < n and tokens[k].kind == NUMBER:
+            n_txt = tokens[k].text
+            k = next_code(tokens, k + 1)
+        if k < n and tokens[k].is_word("ROW", "ROWS"):
+            k = next_code(tokens, k + 1)
+        if k < n and tokens[k].is_word("ONLY"):
+            k = next_code(tokens, k + 1)
+        end = k
+        off_txt = None
+        start = i
+        p = prev_code(tokens, i - 1)
+        if p >= 0 and tokens[p].is_word("ROW", "ROWS"):
+            p = prev_code(tokens, p - 1)
+        if p >= 0 and tokens[p].kind == NUMBER:
+            p3 = prev_code(tokens, p - 1)
+            if p3 >= 0 and tokens[p3].is_word("OFFSET"):
+                off_txt = tokens[p].text
+                start = p3
+        repl = f" LIMIT {n_txt}" + (f" OFFSET {off_txt}" if off_txt else "") + " "
+        tokens = tokens[:start] + tokenize(repl) + tokens[end:]
+    out: Tokens = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "OFFSET":
+            j = next_code(tokens, i + 1)
+            if j < len(tokens) and tokens[j].kind == NUMBER:
+                k = next_code(tokens, j + 1)
+                if k < len(tokens) and tokens[k].is_word("ROW", "ROWS"):
+                    out += tokens[i:j + 1]
+                    i = k + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def rewrite_positional_cols(tokens: Tokens) -> Tokens:
+    """Snowflake positional column references `$1, $2` → `col1, col2`
+    — the names Spark gives VALUES/inline-table columns, which is
+    exactly where Snowflake SQL uses the idiom (staged-file `$1:field`
+    paths ride the same rename + the JSON-path rewrite). Against a
+    named table the reference is positional on the schema, which a
+    string rewrite cannot know — Spark then raises its normal
+    unresolved-column error naming `colN`."""
+    out: Tokens = []
+    for t in tokens:
+        if (
+            t.kind == WORD
+            and len(t.text) > 1
+            and t.text[0] == "$"
+            and t.text[1:].isdigit()
+        ):
+            out.append(_word("col" + t.text[1:]))
+        else:
+            out.append(t)
+    return out
+
+
 _TYPE_ALIASES = {
     # Snowflake type spellings Spark's parser refuses
     "NUMBER": "DECIMAL",   # bare NUMBER = NUMBER(38,0), handled below
@@ -4730,6 +4808,8 @@ PIPELINE = (
     rewrite_asof_join,         # FROM-clause restructure (LATERAL top-1)
     rewrite_collate,           # quoted specs → Spark collation names
     rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n
+    rewrite_fetch_first,       # ANSI FETCH FIRST/OFFSET ROWS → LIMIT
+    rewrite_positional_cols,   # $1/$2 → col1/col2 (VALUES idiom)
     rewrite_type_aliases,      # ::NUMBER/TEXT/FLOAT8 → Spark spellings
     rewrite_variant_casts,     # before json_path so ::VARIANT is gone
     rewrite_try_to,

@@ -1075,6 +1075,35 @@ class TestTypeAliasesAndMiscScalars:
         assert a == b and a != c
 
 
+class TestFetchFirstAndPositional:
+    def test_fetch_first_forms(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW ff AS "
+            "SELECT * FROM VALUES (1),(2),(3) v(k)"
+        )
+        for sql, want in (
+            ("SELECT k FROM ff ORDER BY k FETCH FIRST 2 ROWS ONLY", [1, 2]),
+            ("SELECT k FROM ff ORDER BY k FETCH NEXT 1 ROW ONLY", [1]),
+            ("SELECT k FROM ff ORDER BY k OFFSET 1 ROWS "
+             "FETCH FIRST 2 ROWS ONLY", [2, 3]),
+            ("SELECT k FROM ff ORDER BY k OFFSET 1 ROW", [2, 3]),
+            ("SELECT k FROM ff ORDER BY k FETCH FIRST ROW ONLY", [1]),
+        ):
+            got = [r.k for r in spark.sql(t.to_spark(sql)).collect()]
+            assert got == want, (sql, got)
+
+    def test_positional_cols(self, spark):
+        r = spark.sql(t.to_spark(
+            "SELECT $1 AS a, $2 AS b FROM VALUES (7, 'x')"
+        )).collect()[0]
+        assert (r.a, r.b) == (7, "x")
+        # the staged-file idiom: positional ref + JSON path
+        r2 = spark.sql(t.to_spark(
+            "SELECT $1:name AS n FROM VALUES ('{\"name\":\"z\"}')"
+        )).collect()[0]
+        assert r2.n == "z"
+
+
 class TestDatediffBoundaries:
     """Snowflake DATEDIFF counts date-part boundaries crossed (DuckDB
     agrees); Spark's 3-arg datediff counts complete intervals — the
