@@ -139,7 +139,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         # UTC (sources._SESSION_CONFS) so current_timestamp matches
         "SYSDATE": "CURRENT_TIMESTAMP",
         "LOCALTIMESTAMP": "CURRENT_TIMESTAMP",  # bare keyword OR call
-        "LOCALTIME": "CURRENT_TIMESTAMP",  # no TIME type; ts rendering
+        "LOCALTIME": "LOCALTIME_X",  # → epoch-day TIME model (1970-01-01)
         "HASH_AGG": "HASHAGG_X",  # order-independent aggregate hash
         "SYSTIMESTAMP": "CURRENT_TIMESTAMP",
         "VARIANCE_POP": "VAR_POP",
@@ -294,13 +294,23 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
     }
     out = _rename_funcs(tokens, mapping)
     # bare-keyword forms (no parens): Spark resolves CURRENT_TIMESTAMP
-    # but not LOCALTIMESTAMP/LOCALTIME as keywords
+    # but not LOCALTIMESTAMP/LOCALTIME as keywords. LOCALTIME is a
+    # TIME value — render on the engine's epoch-day TIME model
+    # (anchored at 1970-01-01, like TIME_FROM_PARTS) so time-of-day
+    # comparisons against TIME expressions stay meaningful.
+    res: Tokens = []
     for i, t in enumerate(out):
-        if t.kind == WORD and t.upper in ("LOCALTIMESTAMP", "LOCALTIME"):
+        if t.kind == WORD and t.upper in ("LOCALTIMESTAMP", "LOCALTIME_X", "LOCALTIME"):
             j = next_code(out, i + 1)
-            if j >= len(out) or not out[j].is_op("("):
-                out[i] = _word("CURRENT_TIMESTAMP")
-    return out
+            bare = j >= len(out) or not out[j].is_op("(")
+            if t.upper == "LOCALTIMESTAMP" and bare:
+                res.append(_word("CURRENT_TIMESTAMP"))
+                continue
+            if t.upper in ("LOCALTIME_X", "LOCALTIME") and bare:
+                res += tokenize(_LOCALTIME_SQL)
+                continue
+        res.append(t)
+    return res
 
 
 # Snowflake → java.time format elements, applied in order (SS before
@@ -417,8 +427,15 @@ _PLACEHOLDER_NAMES = frozenset((
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
     "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
-    "DOW0_X", "NULLCTX_X", "HASHAGG_X",
+    "DOW0_X", "NULLCTX_X", "HASHAGG_X", "LOCALTIME_X",
 ))
+
+# time-of-day "now" on the epoch-day TIME model (current_timestamp is
+# a per-statement constant, so the three extractions are consistent)
+_LOCALTIME_SQL = (
+    "make_timestamp(1970, 1, 1, hour(current_timestamp()), "
+    "minute(current_timestamp()), second(current_timestamp()))"
+)
 
 
 def _is_json_text_expr(src: Tokens) -> bool:
@@ -1157,16 +1174,27 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(f"(dayofweek(({a_s})) - 1)")
             elif t.text == "NULLCTX_X" and len(args) == 0:
                 out += tokenize("CAST(NULL AS STRING)")
+            elif t.text == "LOCALTIME_X" and len(args) == 0:
+                out += tokenize(_LOCALTIME_SQL)
             elif t.text == "HASHAGG_X" and len(args) >= 1:
-                # Snowflake HASH_AGG: order-independent aggregate hash.
-                # XOR-fold of per-row xxhash64 — same contract (stable
-                # within the engine, order-insensitive); numeric values
-                # are engine-specific on BOTH sides (Snowflake's HASH
-                # is proprietary), documented deviation.
+                # Snowflake HASH_AGG [DISTINCT]: order-independent
+                # aggregate hash. XOR-fold of per-row xxhash64 — same
+                # contract (stable within the engine,
+                # order-insensitive); numeric values are
+                # engine-specific on BOTH sides (Snowflake's HASH is
+                # proprietary), documented deviation. DISTINCT moves
+                # OUTSIDE the scalar hash (bit_xor(DISTINCT ...)).
+                first = tokens[args[0][0]:args[0][1]]
+                fc = next_code(first, 0)
+                distinct = ""
+                if fc < len(first) and first[fc].is_word("DISTINCT"):
+                    distinct = "DISTINCT "
+                    first = first[fc + 1:]
                 inner = ", ".join(
-                    render(tokens[a:b]).strip() for a, b in args
+                    [render(first).strip()]
+                    + [render(tokens[a:b]).strip() for a, b in args[1:]]
                 )
-                out += tokenize(f"bit_xor(xxhash64({inner}))")
+                out += tokenize(f"bit_xor({distinct}xxhash64({inner}))")
             elif t.text == "ARRSIZE_X" and len(args) == 1:
                 # ARRAY_SIZE: JSON-text input (lowered PARSE_JSON /
                 # TO_VARIANT) parses to an array first; a real array
@@ -2215,9 +2243,9 @@ def rewrite_positional_cols(tokens: Tokens) -> Tokens:
 
 
 _TYPE_ALIASES = {
-    # Snowflake type spellings Spark's parser refuses
+    # Snowflake type spellings Spark's parser refuses. TEXT is handled
+    # by rewrite_variant_casts (single ownership with VARCHAR/CHAR).
     "NUMBER": "DECIMAL",   # bare NUMBER = NUMBER(38,0), handled below
-    "TEXT": "STRING",
     "FLOAT4": "FLOAT",
     "FLOAT8": "DOUBLE",
     "BYTEINT": "TINYINT",
@@ -2872,6 +2900,11 @@ _ISO_UNITS = {
     "DAYOFWEEKISO": "dowiso", "WEEKDAY_ISO": "dowiso", "DOW_ISO": "dowiso",
     "WEEKISO": "weekiso", "WEEK_ISO": "weekiso", "WEEKOFYEARISO": "weekiso",
     "YEAROFWEEKISO": "yow",
+    # Snowflake's default dayofweek numbering is Sunday=0..Saturday=6
+    # (WEEK_START=0); Spark's date_part/dayofweek is Sunday=1 — every
+    # DATE_PART/EXTRACT spelling must get the same -1 shift the
+    # DAYOFWEEK() function form gets
+    "DAYOFWEEK": "dow0", "WEEKDAY": "dow0", "DOW": "dow0", "DW": "dow0",
 }
 
 
@@ -2881,6 +2914,8 @@ def _emit_iso_unit(kind: str, expr: Tokens) -> Tokens:
         return tokenize(f"(weekday({x}) + 1)")
     if kind == "weekiso":
         return tokenize(f"weekofyear({x})")
+    if kind == "dow0":
+        return tokenize(f"(dayofweek({x}) - 1)")
     return tokenize(f"EXTRACT(YEAROFWEEK FROM {x})")
 
 

@@ -16,7 +16,10 @@ refuses actionably at parse time):
 - ``MEASURES``: FIRST/LAST/MIN/MAX/SUM/AVG/COUNT over ``col`` or
   ``Sym.col``, COUNT(*) / COUNT(Sym.*), MATCH_NUMBER(), CLASSIFIER();
   bare ``col`` means LAST(col) (ONE ROW PER MATCH semantics).
-- ``ONE ROW PER MATCH`` (default) — ALL ROWS PER MATCH refuses.
+- ``ONE ROW PER MATCH`` (default) and ``ALL ROWS PER MATCH`` with
+  SQL:2016 RUNNING measure semantics (incremental accumulators, O(1)
+  per row; CLASSIFIER() = the row's own symbol). The WITH UNMATCHED
+  ROWS / empty-match modifiers refuse.
 - ``AFTER MATCH SKIP PAST LAST ROW`` (default) and ``SKIP TO NEXT
   ROW``.
 - ``PATTERN``: a SEQUENCE of symbols with greedy quantifiers
@@ -206,6 +209,67 @@ def _eval_measure(
     raise ValueError(f"unsupported measure fn {m.fn}")
 
 
+class _RunningMeasure:
+    """Incremental SQL:2016 RUNNING evaluation for one measure over one
+    match: O(1) per row. NULL handling matches _eval_measure (SQL
+    aggregates skip NULLs; empty qualifying set → NULL)."""
+
+    def __init__(self, m: Measure, terms: list[PatternTerm]) -> None:
+        self.m = m
+        self.want = (
+            None if m.symbol is None
+            else {k for k, t in enumerate(terms) if t.symbol == m.symbol.upper()}
+        )
+        self.terms = terms
+        self.count = 0
+        self.acc = None       # min/max/sum accumulator
+        self.first = None
+        self.last = None
+        self.n_nonnull = 0
+
+    def step(self, pdf, i: int, term_idx: int, match_no: int):
+        m = self.m
+        if m.fn == "match_number":
+            return match_no
+        if m.fn == "classifier":
+            return self.terms[term_idx].symbol
+        qualifies = self.want is None or term_idx in self.want
+        if qualifies:
+            if m.col is None:  # COUNT(*) / COUNT(Sym.*)
+                self.count += 1
+            else:
+                v = pdf[m.col].iloc[i]
+                if self.first is None and self.n_nonnull == 0 and self.count == 0:
+                    self.first = v  # first qualifying ROW's value (may be NULL)
+                self.count += 1
+                self.last = v
+                if v is not None and v == v:  # non-null, non-NaN
+                    self.n_nonnull += 1
+                    if m.fn == "count":
+                        pass
+                    elif self.acc is None:
+                        self.acc = v
+                    elif m.fn == "min":
+                        self.acc = min(self.acc, v)
+                    elif m.fn == "max":
+                        self.acc = max(self.acc, v)
+                    elif m.fn in ("sum", "avg"):
+                        self.acc = self.acc + v
+        if m.fn == "count":
+            return self.n_nonnull if m.col is not None else self.count
+        if self.count == 0:
+            return None  # no qualifying row yet
+        if m.fn == "first":
+            return self.first
+        if m.fn == "last":
+            return self.last
+        if self.n_nonnull == 0:
+            return None
+        if m.fn == "avg":
+            return float(self.acc) / self.n_nonnull
+        return self.acc
+
+
 def match_recognize(
     df: DataFrame,
     spec: MatchRecognizeSpec,
@@ -266,7 +330,11 @@ def match_recognize(
 
     in_fields = {f.name: f for f in work.schema.fields}
     if spec.all_rows:
-        dup = [m.name for m in spec.measures if m.name in in_fields]
+        # Spark column resolution is case-insensitive; compare folded,
+        # and only against the ORIGINAL input columns (not the
+        # internal __mr_f* flag columns)
+        data_lower = {f.name.lower() for f in df.schema.fields}
+        dup = [m.name for m in spec.measures if m.name.lower() in data_lower]
         if dup:
             raise ValueError(
                 f"ALL ROWS PER MATCH: measure name(s) {dup} collide "
@@ -329,14 +397,15 @@ def match_recognize(
             end, assign = hit
             match_no += 1
             if all_rows:
+                # RUNNING measures via incremental accumulators — one
+                # O(1) update per (row, measure), not a re-aggregation
+                # of the prefix per row (that made long matches O(k²))
+                states = [_RunningMeasure(m, terms) for m in measures]
                 for i2 in range(pos, end):
                     rec = {c: pdf[c].iloc[i2] for c in data_cols}
-                    for m in measures:
-                        # RUNNING: evaluate over rows up to and incl. i2
-                        rec[m.name] = _eval_measure(
-                            m, pdf, pos, i2 + 1,
-                            assign[: i2 + 1 - pos], terms, match_no,
-                        )
+                    ti = assign[i2 - pos]
+                    for st in states:
+                        rec[st.m.name] = st.step(pdf, i2, ti, match_no)
                     rows.append(rec)
             else:
                 rec = {c: pdf[c].iloc[pos] for c in data_cols}

@@ -1169,6 +1169,37 @@ class TestDayOfWeekAndContext:
         ok, msg = t.can_transpile("SELECT LAST_QUERY_ID() FROM t")
         assert not ok and "telemetry" in msg
 
+    def test_date_part_and_extract_dayofweek_shift(self, spark):
+        # review fix: every dayofweek spelling gets the Sunday=0 shift,
+        # not just the DAYOFWEEK() function form
+        r = spark.sql(t.to_spark(
+            "SELECT DATE_PART(dayofweek, '2024-01-07'::DATE) AS a, "
+            "DATE_PART('dow', '2024-01-07'::DATE) AS b, "
+            "EXTRACT(DAYOFWEEK FROM '2024-01-07'::DATE) AS c, "
+            "DAYOFWEEK('2024-01-07'::DATE) AS d"
+        )).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == (0, 0, 0, 0)  # Sunday
+
+    def test_localtime_on_time_model(self, spark):
+        # review fix: LOCALTIME is a TIME value — epoch-day anchored,
+        # so comparisons against TIME_FROM_PARTS are meaningful
+        r = spark.sql(t.to_spark(
+            "SELECT CAST(LOCALTIME AS DATE) AS d, "
+            "(LOCALTIME >= TIME_FROM_PARTS(0, 0, 0)) AS after_midnight"
+        )).collect()[0]
+        assert str(r.d) == "1970-01-01" and r.after_midnight is True
+
+    def test_hash_agg_distinct(self, spark):
+        a = spark.sql(t.to_spark(
+            "SELECT HASH_AGG(DISTINCT x) AS r FROM "
+            "(SELECT 1 AS x UNION ALL SELECT 1 UNION ALL SELECT 2)"
+        )).collect()[0].r
+        b = spark.sql(t.to_spark(
+            "SELECT HASH_AGG(DISTINCT x) AS r FROM "
+            "(SELECT 2 AS x UNION ALL SELECT 1)"
+        )).collect()[0].r
+        assert a == b  # duplicates collapse before the fold
+
 
 class TestJsonTextArrayInputs:
     """Array-consuming functions over statically-known JSON text
