@@ -3339,6 +3339,19 @@ def rewrite_sample(tokens: Tokens) -> Tokens:
                     out += [_word("TABLESAMPLE"), _sp(), _op("("),
                             _word(inner[0].text), _sp(), _word(unit), _op(")")]
                     i = close + 1
+                    # Snowflake SEED(n) / REPEATABLE(n) suffix → Spark
+                    # REPEATABLE (n)
+                    k2 = next_code(tokens, i)
+                    if (
+                        k2 < n and tokens[k2].kind == WORD
+                        and tokens[k2].upper in ("SEED", "REPEATABLE")
+                    ):
+                        k3 = next_code(tokens, k2 + 1)
+                        if k3 < n and tokens[k3].is_op("("):
+                            sclose = find_matching_paren(tokens, k3)
+                            seed = render(tokens[k3 + 1:sclose]).strip()
+                            out += tokenize(f" REPEATABLE ({seed})")
+                            i = sclose + 1
                     continue
             if method is not None:
                 pass  # fall through: not the sampling pattern

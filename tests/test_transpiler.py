@@ -1075,6 +1075,30 @@ class TestTypeAliasesAndMiscScalars:
         assert a == b and a != c
 
 
+class TestSampleSeed:
+    def test_seed_repeatable_reproducible(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, "/root/testdata/sf0.001")
+        for sql in (
+            "SELECT * FROM orders SAMPLE (2) SEED (42)",
+            "SELECT * FROM orders SAMPLE (2) REPEATABLE (42)",
+            "SELECT * FROM orders TABLESAMPLE BERNOULLI (2) SEED (1)",
+        ):
+            out = t.to_spark(sql)
+            assert "REPEATABLE" in out
+            a = {r.o_orderkey for r in spark.sql(out).collect()}
+            b = {r.o_orderkey for r in spark.sql(out).collect()}
+            assert a == b and a  # deterministic, non-empty
+
+    def test_rows_sample_with_seed(self, spark):
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, "/root/testdata/sf0.001")
+        out = t.to_spark("SELECT * FROM orders SAMPLE (5 ROWS) SEED (7)")
+        assert len(spark.sql(out).collect()) == 5
+
+
 class TestFetchFirstAndPositional:
     def test_fetch_first_forms(self, spark):
         spark.sql(
