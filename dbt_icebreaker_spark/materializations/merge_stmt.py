@@ -404,12 +404,14 @@ def _read_optional_alias(
         j = next_code(toks, i + 1)
         if j >= len(toks) or toks[j].kind not in (WORD, QIDENT):
             raise TranspileError("expected alias after AS")
-        return toks[j].text, next_code(toks, j + 1)
+        # strip "quotes" — Spark parses double quotes as a string
+        # literal, so splicing them into SELECT ... FROM v "x" breaks
+        return toks[j].text.strip('"'), next_code(toks, j + 1)
     if i < len(toks) and (
         (toks[i].kind == WORD and toks[i].upper not in stop_words)
         or toks[i].kind == QIDENT
     ):
-        return toks[i].text, next_code(toks, i + 1)
+        return toks[i].text.strip('"'), next_code(toks, i + 1)
     return alias, i
 
 

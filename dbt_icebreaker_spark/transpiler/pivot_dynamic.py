@@ -92,30 +92,59 @@ def _find_dynamic_in(toks):
         if kind is None:
             continue
         col_text = render(toks[next_code(toks, for_i + 1):in_i]).strip()
-        # source: the table/subquery immediately before PIVOT
-        p = prev_code(toks, i - 1)
-        if p >= 0 and toks[p].is_op(")"):
-            lo = p
-            depth2 = 0
-            while lo >= 0:
-                if toks[lo].is_op(")"):
-                    depth2 += 1
-                elif toks[lo].is_op("("):
-                    depth2 -= 1
-                    if depth2 == 0:
-                        break
-                lo -= 1
-            src_lo = lo
-        else:
-            # dotted table name, walked backwards
-            lo = p
-            while lo >= 0 and (
-                toks[lo].kind in (WORD, QIDENT) or toks[lo].is_op(".")
-            ):
-                lo -= 1
-            src_lo = lo + 1
+        src_lo = _source_start(toks, i)
         return (src_lo, i, in_open, in_close, col_text, kind, any_tail)
     return None
+
+
+def _paren_group_start(toks, close_i: int) -> int:
+    """Index of the '(' matching the ')' at ``close_i``."""
+    depth = 0
+    lo = close_i
+    while lo >= 0:
+        if toks[lo].is_op(")"):
+            depth += 1
+        elif toks[lo].is_op("("):
+            depth -= 1
+            if depth == 0:
+                break
+        lo -= 1
+    return lo
+
+
+def _name_run_start(toks, end_i: int) -> int:
+    """Start index of the contiguous word/qident/dot run ending at
+    ``end_i`` (a dotted table name or a bare alias)."""
+    lo = end_i
+    while lo >= 0 and (
+        toks[lo].kind in (WORD, QIDENT) or toks[lo].is_op(".")
+    ):
+        lo -= 1
+    return lo + 1
+
+
+def _source_start(toks, pivot_i: int) -> int:
+    """Start index of the pivot SOURCE — the table reference or
+    parenthesized subquery (with its optional [AS] alias) immediately
+    before the PIVOT keyword. The enumeration probe selects FROM this
+    whole segment, so an aliased subquery `(SELECT …) s PIVOT` probes
+    the subquery, not the bare alias name."""
+    p = prev_code(toks, pivot_i - 1)
+    if p >= 0 and toks[p].is_op(")"):
+        return _paren_group_start(toks, p)
+    # word run: a dotted table name, or an alias trailing the source
+    run_lo = _name_run_start(toks, p)
+    q = prev_code(toks, run_lo - 1)
+    if q >= 0 and toks[q].is_word("AS"):
+        q2 = prev_code(toks, q - 1)
+        if q2 >= 0 and toks[q2].is_op(")"):
+            return _paren_group_start(toks, q2)  # (SELECT …) AS s
+        if q2 >= 0 and toks[q2].kind in (WORD, QIDENT):
+            return _name_run_start(toks, q2)  # t AS s
+        return run_lo
+    if q >= 0 and toks[q].is_op(")"):
+        return _paren_group_start(toks, q)  # (SELECT …) s
+    return run_lo
 
 
 def _with_prefix(toks) -> str:

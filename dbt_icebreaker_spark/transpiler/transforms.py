@@ -3923,6 +3923,11 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
                 if t2.is_op("("):
                     depth += 1
                 elif t2.is_op(")"):
+                    if depth == 0:
+                        # ')' at depth 0 closes an ENCLOSING subquery
+                        # (ASOF JOIN inside a CTE/derived table) — the
+                        # ON condition ends here, don't swallow it
+                        break
                     depth -= 1
                 elif depth == 0 and (
                     t2.is_word(*_ASOF_STOP_WORDS) or t2.is_op(";")
@@ -4850,6 +4855,26 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
 
 
 # ------------------------------------------------------------- pipeline
+def rewrite_quoted_identifiers(tokens: Tokens) -> Tokens:
+    """Snowflake double-quoted identifiers → Spark backtick identifiers.
+
+    In Snowflake, ``"name"`` is ALWAYS an identifier (strings are
+    single-quoted only); Spark by default parses double quotes as
+    string literals. Runs last so earlier transforms still see QIDENT
+    tokens. Interior ``""`` escapes become a literal ``"`` and interior
+    backticks are doubled (Spark's escape)."""
+    out: Tokens = []
+    changed = False
+    for t in tokens:
+        if t.kind == QIDENT:
+            name = t.text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(Token(WORD, f"`{name}`"))
+            changed = True
+        else:
+            out.append(t)
+    return out if changed else tokens
+
+
 PIPELINE = (
     rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)
     rewrite_connect_by,        # whole-statement restructure runs first
@@ -4879,4 +4904,6 @@ PIPELINE = (
     rewrite_flatten,
     rewrite_json_path,
     rewrite_qualify,
+    rewrite_quoted_identifiers,  # last: "ident" → `ident` (Spark reads
+                                 # double quotes as string literals)
 )

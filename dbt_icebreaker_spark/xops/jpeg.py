@@ -294,6 +294,14 @@ def _decode_scan_into(
             s = _huff_decode(br, huff_dc[dc_t])
             diff = _extend(br.read(s), s) if s else 0
             preds[cid] += diff
+            # Corrupt streams can walk the predictor arbitrarily far;
+            # clamp so the int32 coefficient store never overflows
+            # (valid DC magnitude is <= 2^15 even at 12-bit precision,
+            # and al <= 13, so 2^28 leaves huge margin for real images).
+            if preds[cid] > 0x7FFF:
+                preds[cid] = 0x7FFF
+            elif preds[cid] < -0x8000:
+                preds[cid] = -0x8000
             blk[0] = preds[cid] << al
             if se > 0:
                 _ac_first(br, blk, huff_ac[ac_t], 1, se, 0, state)

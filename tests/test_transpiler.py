@@ -1347,6 +1347,26 @@ class TestAsofJoin:
                 "MATCH_CONDITION(l.ts >= r.ts)"
             )
 
+    def test_asof_inside_cte(self, spark):
+        # r4 advisor repro: the ON-clause scan swallowed the CTE's
+        # closing paren and everything after it into the lateral WHERE
+        got = self._run(
+            spark,
+            "WITH j AS (SELECT l.k, l.ts, r.v FROM asof_l l "
+            "ASOF JOIN asof_r r MATCH_CONDITION(l.ts >= r.rts) "
+            "ON l.k = r.k) SELECT k, ts, v FROM j",
+        )
+        assert got == [(1, 10, "a"), (1, 20, "b"), (2, 5, None)]
+
+    def test_asof_inside_derived_table(self, spark):
+        got = self._run(
+            spark,
+            "SELECT * FROM (SELECT l.k, l.ts, r.v FROM asof_l l "
+            "ASOF JOIN asof_r r MATCH_CONDITION(l.ts >= r.rts) "
+            "ON l.k = r.k) j WHERE j.k = 1",
+        )
+        assert got == [(1, 10, "a"), (1, 20, "b")]
+
 
 class TestEpochExtract:
     def test_date_part_epoch_spellings(self, spark):
