@@ -42,6 +42,20 @@ from ..transpiler.tokenizer import (
 
 
 @dataclass
+class WhenClause:
+    """One WHEN [NOT] MATCHED [AND <cond>] THEN <action> clause, in
+    statement order. Clauses are evaluated first-true-wins per row
+    (SQL:2003 / Snowflake semantics)."""
+
+    matched: bool
+    condition: Optional[str]  # Snowflake-dialect text; None = always
+    action: str  # "update" | "delete" | "insert"
+    sets: Optional[list[tuple[str, str]]] = None  # (col, expr); None = SET *
+    insert_cols: Optional[list[str]] = None  # None = INSERT *
+    insert_vals: Optional[list[str]] = None  # expr texts
+
+
+@dataclass
 class MergeSpec:
     target: str
     target_alias: str
@@ -53,6 +67,7 @@ class MergeSpec:
     update_columns: Optional[list[str]] = None  # None = SET *
     insert_all: bool = False
     extra_conditions: list[str] = field(default_factory=list)
+    clauses: list[WhenClause] = field(default_factory=list)
 
 
 def _word_positions(toks: list[Token]) -> list[tuple[int, str]]:
@@ -176,10 +191,62 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
     if not keys:
         raise fail("ON clause produced no join keys")
 
-    matched_action = "none"
-    update_columns: Optional[list[str]] = None
-    insert_all = False
-    # WHEN clauses
+    def scan_until_words(j: int, stops: tuple) -> int:
+        """Advance j to the first top-level (paren depth 0) stop word."""
+        depth = 0
+        while j < len(toks):
+            tk = toks[j]
+            if tk.is_op("("):
+                depth += 1
+            elif tk.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tk.kind == WORD and tk.upper in stops:
+                break
+            j += 1
+        return j
+
+    def parse_set_items(j: int) -> tuple[list[tuple[str, str]], int]:
+        """SET col = expr[, ...] until top-level WHEN/end; returns
+        (items, next index). Expressions are arbitrary Snowflake text
+        (commas inside parens tracked)."""
+        items: list[tuple[str, str]] = []
+        end = scan_until_words(j, ("WHEN",))
+        start = j
+        depth = 0
+        segs: list[tuple[int, int]] = []
+        while j < end:
+            tk = toks[j]
+            if tk.is_op("("):
+                depth += 1
+            elif tk.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tk.is_op(","):
+                segs.append((start, j))
+                start = j + 1
+            j += 1
+        segs.append((start, end))
+        for lo, hi in segs:
+            k = next_code(toks, lo)
+            if k >= hi or toks[k].kind not in (WORD, QIDENT):
+                raise fail("SET items must be [t.]col = <expr>")
+            parts = [toks[k].text.strip('"')]
+            k = next_code(toks, k + 1)
+            while k < hi and toks[k].is_op("."):
+                m = next_code(toks, k + 1)
+                if m >= hi:
+                    raise fail("dangling '.' in SET item")
+                parts.append(toks[m].text.strip('"'))
+                k = next_code(toks, m + 1)
+            if k >= hi or not toks[k].is_op("="):
+                raise fail("SET items must be [t.]col = <expr>")
+            expr = render(toks[next_code(toks, k + 1):hi]).strip()
+            if not expr:
+                raise fail("SET item has an empty right-hand side")
+            items.append((parts[-1], expr))
+        return items, end
+
+    clauses: list[WhenClause] = []
+    # WHEN clauses, in order (first-true-wins at execution)
     while i < len(toks):
         if toks[i].kind != WORD or toks[i].upper != "WHEN":
             raise fail(f"unexpected token {toks[i].text!r} after ON/WHEN")
@@ -191,11 +258,13 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         if j >= len(toks) or toks[j].upper != "MATCHED":
             raise fail("expected MATCHED after WHEN [NOT]")
         j = next_code(toks, j + 1)
+        condition: Optional[str] = None
         if j < len(toks) and toks[j].kind == WORD and toks[j].upper == "AND":
-            raise fail(
-                "conditional WHEN ... AND <cond> clauses are not "
-                "supported on parquet tables"
-            )
+            cond_lo = next_code(toks, j + 1)
+            j = scan_until_words(cond_lo, ("THEN",))
+            condition = render(toks[cond_lo:j]).strip()
+            if not condition:
+                raise fail("empty condition after WHEN ... AND")
         if j >= len(toks) or toks[j].upper != "THEN":
             raise fail("expected THEN")
         j = next_code(toks, j + 1)
@@ -204,45 +273,31 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         action = toks[j].upper
         if not negated:
             if action == "DELETE":
-                matched_action = "delete"
+                clauses.append(
+                    WhenClause(matched=True, condition=condition, action="delete")
+                )
                 i = next_code(toks, j + 1)
             elif action == "UPDATE":
-                matched_action = "update"
                 j = next_code(toks, j + 1)
                 if j >= len(toks) or toks[j].upper != "SET":
                     raise fail("expected SET after UPDATE")
                 j = next_code(toks, j + 1)
                 if j < len(toks) and toks[j].is_op("*"):
-                    update_columns = None
+                    clauses.append(
+                        WhenClause(
+                            matched=True, condition=condition,
+                            action="update", sets=None,
+                        )
+                    )
                     i = next_code(toks, j + 1)
                 else:
-                    update_columns = []
-                    while j < len(toks):
-                        if toks[j].kind == WORD and toks[j].upper == "WHEN":
-                            break
-                        if toks[j].is_op(","):
-                            j = next_code(toks, j + 1)
-                            continue
-                        # t.c = s.c  (same-name contract)
-                        def colref(k):
-                            a = toks[k].text
-                            m = next_code(toks, k + 1)
-                            if m < len(toks) and toks[m].is_op("."):
-                                p = next_code(toks, m + 1)
-                                return toks[p].text, next_code(toks, p + 1)
-                            return a, m
-
-                        lc, k = colref(j)
-                        if k >= len(toks) or not toks[k].is_op("="):
-                            raise fail("SET items must be t.c = s.c")
-                        rc, k = colref(next_code(toks, k + 1))
-                        if lc.lower() != rc.lower():
-                            raise fail(
-                                f"SET {lc} = {rc}: only same-name "
-                                "column assignment is supported"
-                            )
-                        update_columns.append(lc)
-                        j = k
+                    items, j = parse_set_items(j)
+                    clauses.append(
+                        WhenClause(
+                            matched=True, condition=condition,
+                            action="update", sets=items,
+                        )
+                    )
                     i = j
             else:
                 raise fail(f"unsupported WHEN MATCHED action {action}")
@@ -251,15 +306,65 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
                 raise fail(f"unsupported WHEN NOT MATCHED action {action}")
             j = next_code(toks, j + 1)
             if j < len(toks) and toks[j].is_op("*"):
-                insert_all = True
+                clauses.append(
+                    WhenClause(matched=False, condition=condition, action="insert")
+                )
                 i = next_code(toks, j + 1)
+            elif j < len(toks) and toks[j].is_op("("):
+                close = find_matching_paren(toks, j)
+                cols = [
+                    t.text.strip('"')
+                    for t in toks[j + 1:close]
+                    if t.kind in (WORD, QIDENT)
+                ]
+                j = next_code(toks, close + 1)
+                if j >= len(toks) or toks[j].upper != "VALUES":
+                    raise fail("expected VALUES after INSERT (col list)")
+                j = next_code(toks, j + 1)
+                if j >= len(toks) or not toks[j].is_op("("):
+                    raise fail("expected ( after VALUES")
+                vclose = find_matching_paren(toks, j)
+                vals: list[str] = []
+                depth = 0
+                lo = j + 1
+                for k in range(j + 1, vclose):
+                    tk = toks[k]
+                    if tk.is_op("("):
+                        depth += 1
+                    elif tk.is_op(")"):
+                        depth -= 1
+                    elif depth == 0 and tk.is_op(","):
+                        vals.append(render(toks[lo:k]).strip())
+                        lo = k + 1
+                vals.append(render(toks[lo:vclose]).strip())
+                if len(cols) != len(vals):
+                    raise fail(
+                        f"INSERT column list has {len(cols)} columns but "
+                        f"VALUES has {len(vals)} expressions"
+                    )
+                clauses.append(
+                    WhenClause(
+                        matched=False, condition=condition, action="insert",
+                        insert_cols=cols, insert_vals=vals,
+                    )
+                )
+                i = next_code(toks, vclose + 1)
             else:
                 raise fail(
-                    "only INSERT * is supported (column-list INSERT "
-                    "needs same-name mapping anyway)"
+                    "INSERT must be INSERT * or INSERT (cols) VALUES "
+                    "(exprs) — positional VALUES without a column list "
+                    "cannot be mapped safely"
                 )
-    if matched_action == "none" and not insert_all:
+    if not clauses:
         raise fail("no WHEN clause")
+    # legacy summary fields (drive the fast path + back-compat callers)
+    matched = [c for c in clauses if c.matched]
+    unmatched = [c for c in clauses if not c.matched]
+    matched_action = matched[0].action if matched else "none"
+    update_columns = None
+    if matched and matched[0].action == "update" and matched[0].sets is not None:
+        update_columns = [c for c, _ in matched[0].sets]
+    insert_all = bool(unmatched)
     return MergeSpec(
         target=target,
         target_alias=target_alias,
@@ -270,7 +375,38 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         matched_action=matched_action,
         update_columns=update_columns,
         insert_all=insert_all,
+        clauses=clauses,
     )
+
+
+def _is_simple_merge(spec: MergeSpec) -> bool:
+    """True when the statement fits the legacy fast path: one
+    unconditional matched clause (UPDATE SET * / same-name SET /
+    DELETE) plus at most one unconditional INSERT *. Everything else
+    (conditions, arbitrary SET expressions, column-list INSERT,
+    multiple WHEN branches) runs the generalized staged rewrite."""
+    import re
+
+    m = [c for c in spec.clauses if c.matched]
+    u = [c for c in spec.clauses if not c.matched]
+    if len(m) > 1 or len(u) > 1:
+        return False
+    if any(c.condition is not None for c in spec.clauses):
+        return False
+    if u and u[0].insert_cols is not None:
+        return False
+    if m and m[0].action == "update" and m[0].sets is not None:
+        s_names = {spec.source_alias.lower()}
+        if spec.source_table:
+            s_names.add(spec.source_table.lower())
+        for col, expr in m[0].sets:
+            flat = re.sub(r"\s+", "", expr)
+            mm = re.fullmatch(r"(?:([A-Za-z_][\w$#.]*)\.)?([A-Za-z_][\w$#]*)", flat)
+            if not mm or mm.group(2).lower() != col.lower():
+                return False  # not a plain same-name source column ref
+            if mm.group(1) and mm.group(1).lower() not in s_names:
+                return False
+    return True
 
 
 def run_merge_statement(
@@ -278,11 +414,16 @@ def run_merge_statement(
 ) -> dict:
     """Execute a parsed MERGE via the incremental rewrite machinery.
 
+    Simple shapes take the legacy fast path:
     - UPDATE [SET *|cols] + INSERT *  → run_incremental merge strategy
       (delete-matching + insert-all with optional partial-update),
       crash-safe staged swap included;
     - DELETE [+ INSERT *] → anti-join rewrite through the same
       _staged_overwrite.
+
+    Conditional WHEN clauses, arbitrary SET expressions, column-list
+    INSERT, and multiple WHEN branches run the generalized first-true-
+    wins CASE-cascade rewrite (_run_general_merge).
 
     Returns {"table", "rows_affected"} mirroring copy_into's stats.
     """
@@ -300,6 +441,9 @@ def run_merge_statement(
             f"MERGE INTO: key column(s) {missing} absent from the "
             f"USING source (columns: {src.columns})"
         )
+
+    if spec.clauses and not _is_simple_merge(spec):
+        return _run_general_merge(spark, spec, transpiler, src)
 
     if spec.matched_action == "update":
         # UPDATE-only MERGE must not create rows: restrict the batch
@@ -339,6 +483,175 @@ def run_merge_statement(
             new = remaining
         _staged_overwrite(spark, new, spec.target)
     return {"table": spec.target, "rows_affected": rows}
+
+
+def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) -> dict:
+    """Generalized MERGE: WHEN clauses with conditions, arbitrary SET
+    expressions, column-list INSERT, multiple branches.
+
+    Lowered as ONE declarative plan (ref incremental.sql:161-190
+    generalized): target LEFT JOIN source on the keys; per target
+    column a first-true-wins CASE cascade over the WHEN MATCHED
+    clauses picks the update expression (or keeps the old value); a
+    parallel cascade over delete clauses filters deleted rows; source
+    rows anti-joined on the keys flow through the WHEN NOT MATCHED
+    cascade into inserts. Everything is JVM-side CASE/joins — one
+    shuffle for the join, one for the anti-join, broadcast-eligible
+    under AQE — then the crash-safe staged swap.
+
+    Snowflake semantics preserved: clauses evaluate in statement
+    order; NULL conditions are not-true; a target row matched by more
+    than one source row raises (Snowflake's nondeterministic-merge
+    error) — required here anyway, since the join would duplicate the
+    row. Every output column is CAST back to the target's type,
+    matching INSERT/UPDATE implicit coercion."""
+    import uuid
+
+    from .incremental import _staged_overwrite
+
+    tgt = spark.table(spec.target)
+    ta, sa = spec.target_alias, spec.source_alias
+    m_clauses = [c for c in spec.clauses if c.matched]
+    u_clauses = [c for c in spec.clauses if not c.matched]
+    tcols = tgt.columns
+    tcols_lower = {c.lower() for c in tcols}
+    ttypes = {f.name: f.dataType.simpleString() for f in tgt.schema.fields}
+
+    for cl in m_clauses:
+        if cl.action == "update" and cl.sets is not None:
+            bad = [c for c, _ in cl.sets if c.lower() not in tcols_lower]
+            if bad:
+                raise TranspileError(
+                    f"MERGE INTO: SET column(s) {bad} not on {spec.target} "
+                    f"(columns: {tcols})"
+                )
+        if cl.action == "update" and cl.sets is None:
+            bad = [c for c in tcols if c not in src.columns]
+            if bad:
+                raise TranspileError(
+                    f"MERGE INTO: UPDATE SET * needs every target column "
+                    f"in the source; missing {bad}"
+                )
+    for cl in u_clauses:
+        if cl.insert_cols is not None:
+            bad = [c for c in cl.insert_cols if c.lower() not in tcols_lower]
+            if bad:
+                raise TranspileError(
+                    f"MERGE INTO: INSERT column(s) {bad} not on "
+                    f"{spec.target} (columns: {tcols})"
+                )
+        else:
+            bad = [c for c in tcols if c not in src.columns]
+            if bad:
+                raise TranspileError(
+                    f"MERGE INTO: INSERT * needs every target column in "
+                    f"the source; missing {bad}"
+                )
+
+    uid = uuid.uuid4().hex[:8]
+    tview, sview = f"__icebreaker_mrg_t_{uid}", f"__icebreaker_mrg_s_{uid}"
+    tgt.createOrReplaceTempView(tview)
+    src.createOrReplaceTempView(sview)
+    on = " AND ".join(f"{ta}.{k} = {sa}.{k}" for k in spec.keys)
+    matched = f"{sa}.{spec.keys[0]} IS NOT NULL"
+
+    if m_clauses:
+        # a target row matched by >1 source row would be duplicated by
+        # the join — refuse like Snowflake's nondeterministic-merge error
+        from pyspark.sql import functions as F
+
+        dup = (
+            src.groupBy(*spec.keys)
+            .agg(F.count(F.lit(1)).alias("__icebreaker_n"))
+            .filter("__icebreaker_n > 1")
+            .join(tgt.select(*spec.keys).distinct(), spec.keys, "left_semi")
+            .limit(1).count()
+        )
+        if dup:
+            raise TranspileError(
+                "MERGE INTO: nondeterministic merge — a target row "
+                "matches more than one source row. Deduplicate the "
+                "USING source on the join keys (e.g. QUALIFY "
+                "ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ...) = 1)."
+            )
+
+        def upd_value(cl: WhenClause, col: str) -> str:
+            if cl.action == "delete":
+                return f"{ta}.{col}"  # row is filtered; keep type stable
+            if cl.sets is None:  # SET *
+                return f"{sa}.{col}"
+            for c2, e in cl.sets:
+                if c2.lower() == col.lower():
+                    return f"({e})"
+            return f"{ta}.{col}"
+
+        sel = []
+        for col in tcols:
+            branches = "".join(
+                f" WHEN ({cl.condition or 'TRUE'}) THEN {upd_value(cl, col)}"
+                for cl in m_clauses
+            )
+            sel.append(
+                f"CAST(CASE WHEN NOT ({matched}) THEN {ta}.{col}"
+                f"{branches} ELSE {ta}.{col} END AS {ttypes[col]}) AS {col}"
+            )
+        del_cascade = "".join(
+            f" WHEN ({cl.condition or 'TRUE'}) "
+            f"THEN {'TRUE' if cl.action == 'delete' else 'FALSE'}"
+            for cl in m_clauses
+        )
+        keep = f"NOT (({matched}) AND CASE{del_cascade} ELSE FALSE END)"
+        surv_sql = (
+            f"SELECT {', '.join(sel)} FROM {tview} {ta} "
+            f"LEFT JOIN {sview} {sa} ON {on} WHERE {keep}"
+        )
+        survivors = spark.sql(transpiler.to_spark(surv_sql))
+        fire_m = "CASE" + "".join(
+            f" WHEN ({cl.condition or 'TRUE'}) THEN TRUE" for cl in m_clauses
+        ) + " ELSE FALSE END"
+        n_matched = spark.sql(transpiler.to_spark(
+            f"SELECT COUNT(*) AS n FROM {tview} {ta} "
+            f"LEFT JOIN {sview} {sa} ON {on} "
+            f"WHERE ({matched}) AND {fire_m}"
+        )).collect()[0].n
+    else:
+        survivors = tgt
+        n_matched = 0
+
+    if u_clauses:
+        def ins_value(cl: WhenClause, col: str) -> str:
+            if cl.insert_cols is None:  # INSERT *
+                return f"{sa}.{col}"
+            for c2, e in zip(cl.insert_cols, cl.insert_vals):
+                if c2.lower() == col.lower():
+                    return f"({e})"
+            return "NULL"
+
+        isel = []
+        for col in tcols:
+            branches = "".join(
+                f" WHEN ({cl.condition or 'TRUE'}) THEN {ins_value(cl, col)}"
+                for cl in u_clauses
+            )
+            isel.append(
+                f"CAST(CASE{branches} ELSE NULL END AS {ttypes[col]}) AS {col}"
+            )
+        fire_u = "CASE" + "".join(
+            f" WHEN ({cl.condition or 'TRUE'}) THEN TRUE" for cl in u_clauses
+        ) + " ELSE FALSE END"
+        ins_sql = (
+            f"SELECT {', '.join(isel)} FROM {sview} {sa} "
+            f"LEFT ANTI JOIN {tview} {ta} ON {on} WHERE {fire_u}"
+        )
+        inserts = spark.sql(transpiler.to_spark(ins_sql))
+        n_inserted = inserts.count()
+        new = survivors.unionByName(inserts)
+    else:
+        n_inserted = 0
+        new = survivors
+
+    _staged_overwrite(spark, new, spec.target)
+    return {"table": spec.target, "rows_affected": n_matched + n_inserted}
 
 
 # ---------------------------------------------------------------- DML

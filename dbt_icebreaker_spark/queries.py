@@ -4342,6 +4342,39 @@ XOP_ORACLES["q63_merge_statement"] = """
     WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
 """
 
+XOP_ORACLES["q72_merge_conditional"] = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 10000
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+    )
+    -- unmatched target rows: kept as-is
+    SELECT t.* FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    -- matched rows, first-true-wins cascade:
+    --   s.price > 150000        -> DELETE (absent here)
+    --   s.status = 'F'          -> status 'X', price doubled
+    --   otherwise               -> unchanged
+    SELECT t.o_orderkey,
+           CASE WHEN s.o_orderstatus = 'F' THEN 'X'
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderstatus = 'F' THEN s.o_totalprice * 2
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t JOIN src s ON s.o_orderkey = t.o_orderkey
+    WHERE NOT (s.o_totalprice > 150000)
+    UNION ALL
+    -- WHEN NOT MATCHED AND s.price <= 100000 -> INSERT ('N', price/2)
+    SELECT s.o_orderkey, 'N' AS o_orderstatus,
+           s.o_totalprice / 2 AS o_totalprice
+    FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+      AND s.o_totalprice <= 100000
+"""
+
 XOP_ORACLES["q64_create_clone"] = """
     SELECT * FROM nation
 """
@@ -4545,6 +4578,49 @@ def _q_merge_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.m_target")
 
 
+def _q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE: WHEN MATCHED AND <cond> THEN DELETE, a second
+    WHEN MATCHED AND <cond> THEN UPDATE with arbitrary SET expressions,
+    and WHEN NOT MATCHED AND <cond> THEN INSERT (cols) VALUES (exprs) —
+    all in one statement, lowered onto the generalized first-true-wins
+    CASE-cascade staged rewrite (merge_stmt._run_general_merge; ref
+    incremental.sql:161-190 generalized). The oracle reproduces the
+    cascade declaratively."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q72_")
+    db = f"q72_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.mc_target AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 10000"
+    )
+    eng.execute(
+        f"""
+        MERGE INTO {db}.mc_target t
+        USING (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+        ) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice > 150000 THEN DELETE
+        WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+            UPDATE SET t.o_totalprice = s.o_totalprice * 2,
+                       t.o_orderstatus = 'X'
+        WHEN NOT MATCHED AND s.o_totalprice <= 100000 THEN
+            INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.o_orderkey, 'N', s.o_totalprice / 2)
+        """
+    )
+    return spark.table(f"{db}.mc_target")
+
+
 def _q_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal DELETE FROM + UPDATE statements through
     IcebreakerEngine.execute, lowered onto the staged rewrite
@@ -4679,6 +4755,7 @@ def _x_match_recognize_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
+    "q72_merge_conditional": _q_merge_conditional,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

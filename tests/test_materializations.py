@@ -1401,11 +1401,105 @@ class TestMergeStatement:
                 "MERGE INTO mat_test.mg7 t USING mg7 s ON t.k < s.k "
                 "WHEN MATCHED THEN DELETE"
             )
-        with _pytest.raises(TranspileError, match="conditional WHEN"):
+        with _pytest.raises(TranspileError, match="positional VALUES"):
             engine.execute(
                 "MERGE INTO mat_test.mg7 t USING mg7 s ON t.k = s.k "
-                "WHEN MATCHED AND s.v > 1 THEN DELETE"
+                "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.s, s.v)"
             )
+
+    # ---- conditional WHEN clauses (generalized staged rewrite) ----
+
+    def test_conditional_matched_update_vs_delete(self, spark, engine):
+        # first-true-wins: high-v rows update, remaining matches delete
+        self._seed(spark, engine, "mg8")
+        spark.createDataFrame(
+            [(1, "A", 100.0), (2, "B", 1.0), (3, "C", 50.0)],
+            "k int, s string, v double",
+        ).createOrReplaceTempView("mg8_src")
+        res = engine.execute(
+            "MERGE INTO mat_test.mg8 t USING mg8_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.v >= 50 THEN UPDATE SET t.s = s.s, t.v = s.v "
+            "WHEN MATCHED THEN DELETE"
+        ).collect()
+        got = {r.k: (r.s, r.v) for r in spark.table("mat_test.mg8").collect()}
+        # k=1 updated (v=100>=50), k=2 deleted (1<50), k=3 updated
+        assert got == {1: ("A", 100.0), 3: ("C", 50.0)}
+        assert res[0].rows_affected == 3
+
+    def test_conditional_update_delete_insert_one_statement(self, spark, engine):
+        self._seed(spark, engine, "mg9")
+        spark.createDataFrame(
+            [(1, "upd", 99.0), (2, "del", -1.0), (5, "new", 55.0),
+             (6, "skip", -9.0)],
+            "k int, s string, v double",
+        ).createOrReplaceTempView("mg9_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg9 t USING mg9_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.v < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v + t.v "
+            "WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, s, v) "
+            "VALUES (s.k, UPPER(s.s), s.v)"
+        )
+        got = {r.k: (r.s, r.v) for r in spark.table("mat_test.mg9").collect()}
+        # k=1: update RHS sees pre-update t.v (10+99); k=2 deleted;
+        # k=5 inserted (v>0) with UPPER; k=6 skipped (v<0); k=3 kept
+        assert got == {1: ("a", 109.0), 3: ("c", 30.0), 5: ("NEW", 55.0)}
+
+    def test_conditional_update_unmatched_condition_keeps_row(self, spark, engine):
+        # matched row where NO clause condition holds stays unchanged
+        self._seed(spark, engine, "mg10")
+        spark.createDataFrame(
+            [(1, "x", 5.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg10_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg10 t USING mg10_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 100 THEN UPDATE SET t.s = s.s"
+        )
+        got = {r.k: r.s for r in spark.table("mat_test.mg10").collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+
+    def test_column_list_insert_missing_cols_null(self, spark, engine):
+        self._seed(spark, engine, "mg11")
+        spark.createDataFrame(
+            [(7, "g", 70.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg11_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg11 t USING mg11_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+        )
+        r7 = [r for r in spark.table("mat_test.mg11").collect() if r.k == 7][0]
+        assert r7.s is None and r7.v == 70.0
+
+    def test_nondeterministic_merge_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        self._seed(spark, engine, "mg12")
+        spark.createDataFrame(
+            [(1, "x", 1.0), (1, "y", 2.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg12_src")
+        with _pytest.raises(TranspileError, match="nondeterministic"):
+            engine.execute(
+                "MERGE INTO mat_test.mg12 t USING mg12_src s ON t.k = s.k "
+                "WHEN MATCHED AND s.v > 0 THEN UPDATE SET t.v = s.v"
+            )
+        # target untouched after the refused merge
+        assert spark.table("mat_test.mg12").count() == 3
+
+    def test_conditional_snowflake_dialect_condition(self, spark, engine):
+        # IFF in the condition proves WHEN conditions transpile too
+        self._seed(spark, engine, "mg13")
+        spark.createDataFrame(
+            [(1, "z", 0.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg13_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg13 t USING mg13_src s ON t.k = s.k "
+            "WHEN MATCHED AND IFF(s.v = 0, TRUE, FALSE) THEN "
+            "UPDATE SET t.s = 'zero'"
+        )
+        got = {r.k: r.s for r in spark.table("mat_test.mg13").collect()}
+        assert got[1] == "zero"
 
 
 class TestCreateClone:
