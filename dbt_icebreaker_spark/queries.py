@@ -4375,6 +4375,25 @@ XOP_ORACLES["q72_merge_conditional"] = """
       AND s.o_totalprice <= 100000
 """
 
+XOP_ORACLES["q73_time_travel"] = """
+    WITH state1 AS (  -- corpus state after snapshot 1 (2026-01-01)
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey <= 6000
+    ),
+    state2 AS (       -- state after snapshot 2 (2026-02-01): %3 keys doubled,
+                      -- keys 6001-8000 added
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey <= 8000
+    )
+    SELECT 'at_t1' AS asof, * FROM state1
+    UNION ALL
+    SELECT 'at_t2' AS asof, * FROM state2
+    UNION ALL
+    SELECT 'before_t2' AS asof, * FROM state1
+"""
+
 XOP_ORACLES["q64_create_clone"] = """
     SELECT * FROM nation
 """
@@ -4621,6 +4640,51 @@ def _q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.mc_target")
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an SCD2 snapshot table: two run_snapshot
+    passes (M4, check strategy) build real validity intervals, then
+    AT(TIMESTAMP => …) reads reconstruct the state at three instants —
+    rewritten at the engine layer onto dbt_valid_from/dbt_valid_to
+    predicates (transpiler/time_travel.py; ref snapshot.sql:89-111).
+    The oracle recomputes each batch state declaratively."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q73_")
+    db = f"q73_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    eng.run_snapshot(
+        "tt_hist",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 6000",
+        unique_key="o_orderkey", strategy="check",
+        check_cols=["o_totalprice"], now=datetime.datetime(2026, 1, 1),
+    )
+    eng.run_snapshot(
+        "tt_hist",
+        "SELECT o_orderkey, IFF(o_orderkey % 3 = 0, o_totalprice * 2, "
+        "o_totalprice) AS o_totalprice FROM orders WHERE o_orderkey <= 8000",
+        unique_key="o_orderkey", strategy="check",
+        check_cols=["o_totalprice"], now=datetime.datetime(2026, 2, 1),
+    )
+    return eng.execute(
+        f"""
+        SELECT 'at_t1' AS asof, o_orderkey, o_totalprice
+        FROM {db}.tt_hist AT(TIMESTAMP => '2026-01-15'::TIMESTAMP)
+        UNION ALL
+        SELECT 'at_t2' AS asof, o_orderkey, o_totalprice
+        FROM {db}.tt_hist AT(TIMESTAMP => '2026-02-15'::TIMESTAMP)
+        UNION ALL
+        SELECT 'before_t2' AS asof, o_orderkey, o_totalprice
+        FROM {db}.tt_hist BEFORE(TIMESTAMP => '2026-02-01'::TIMESTAMP)
+        """
+    )
+
+
 def _q_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal DELETE FROM + UPDATE statements through
     IcebreakerEngine.execute, lowered onto the staged rewrite
@@ -4756,6 +4820,7 @@ def _x_match_recognize_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
+    "q73_time_travel": _q_time_travel,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

@@ -200,6 +200,13 @@ class IcebreakerEngine:
                 from .transpiler.pivot_dynamic import resolve_dynamic_pivot
 
                 raw = resolve_dynamic_pivot(self.spark, raw, self.transpiler)
+            # time travel AT/BEFORE(TIMESTAMP => x): snapshot (SCD2)
+            # tables rewrite onto their validity-interval predicate —
+            # needs the live catalog, so it resolves here, not in the
+            # pure transpiler (which keeps the general refusal)
+            from .transpiler.time_travel import resolve_time_travel
+
+            raw = resolve_time_travel(self.spark, raw, self.transpiler)
             for stmt in self.transpiler.to_spark_statements(raw):
                 try:
                     result = self.spark.sql(stmt)

@@ -1,0 +1,145 @@
+"""Snowflake time travel — ``FROM t AT(TIMESTAMP => x)`` /
+``BEFORE(TIMESTAMP => x)`` over SCD2 snapshot tables.
+
+Plain parquet has no snapshot layer, so general time travel stays
+refused (``transforms.detect_time_travel``). But the engine's M4
+snapshot materialization (``materializations/snapshot.py``, ref
+snapshot.sql:89-111) maintains explicit validity intervals
+(``dbt_valid_from`` / ``dbt_valid_to``) — for those tables the
+time-travel read IS a predicate:
+
+    AT(TIMESTAMP => x)      dbt_valid_from <= x
+                            AND (dbt_valid_to IS NULL OR dbt_valid_to > x)
+    BEFORE(TIMESTAMP => x)  dbt_valid_from <  x
+                            AND (dbt_valid_to IS NULL OR dbt_valid_to >= x)
+
+(the state at instant x, respectively the state at the instant just
+before x — matching Snowflake's inclusive AT / exclusive BEFORE).
+
+This lives at the ENGINE layer (``IcebreakerEngine.execute``), same as
+dynamic PIVOT: the rewrite needs the live catalog to check the target
+is actually a snapshot table (has the SCD2 meta columns). Non-snapshot
+tables and OFFSET/STATEMENT/STREAM forms keep the actionable refusal.
+
+Scale note: the rewrite is a pure predicate — it pushes down to the
+parquet scan like any other filter (validity-interval columns are
+min/max indexed per row group), adding zero shuffles.
+"""
+
+from __future__ import annotations
+
+from .core import TranspileError
+from .tokenizer import (
+    WORD,
+    find_matching_paren,
+    next_code,
+    prev_code,
+    render,
+    tokenize,
+)
+
+_SCD2_COLS = {"dbt_valid_from", "dbt_valid_to"}
+
+
+def _find_time_travel(toks):
+    """Locate one ``<name> AT|BEFORE ( TIMESTAMP|OFFSET|... => expr )``;
+    returns (name_lo, name_hi, kw, kind, expr_text, close_i) else None.
+    name_lo..name_hi is the dotted table name token span."""
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if not (t.kind == WORD and t.upper in ("AT", "BEFORE")):
+            continue
+        j = next_code(toks, i + 1)
+        if j >= n or not toks[j].is_op("("):
+            continue
+        k = next_code(toks, j + 1)
+        if k >= n or toks[k].kind != WORD or toks[k].upper not in (
+            "TIMESTAMP", "OFFSET", "STATEMENT", "STREAM"
+        ):
+            continue
+        m = next_code(toks, k + 1)
+        if m >= n or not toks[m].is_op("=>"):
+            continue
+        close = find_matching_paren(toks, j)
+        expr = render(toks[next_code(toks, m + 1):close]).strip()
+        # table name: dotted word run immediately before AT/BEFORE
+        p = prev_code(toks, i - 1)
+        hi = p + 1
+        lo = p
+        while lo >= 0 and (toks[lo].kind == WORD or toks[lo].is_op(".")):
+            lo -= 1
+        lo += 1
+        return (lo, hi, toks[k].upper, t.upper, expr, close)
+    return None
+
+
+def resolve_time_travel(spark, sql: str, transpiler) -> str:
+    """Rewrite every snapshot-table ``AT/BEFORE(TIMESTAMP => x)`` in
+    ``sql`` onto the SCD2 validity predicate. Raises the actionable
+    refusal for non-snapshot tables and non-TIMESTAMP forms. SQL
+    without time travel returns unchanged (one cheap scan)."""
+    import re
+
+    if not re.search(r"\b(AT|BEFORE)\s*\(", sql, re.IGNORECASE):
+        return sql
+    if re.search(r"\bCLONE\b", sql, re.IGNORECASE):
+        # CLONE ... AT(...) is a point-in-time table copy, not a read —
+        # keep the transpiler's actionable refusal
+        return sql
+    toks = tokenize(sql)
+    while True:
+        hit = _find_time_travel(toks)
+        if hit is None:
+            return render(toks)
+        lo, hi, kw, kind, expr, close = hit
+        name = render(toks[lo:hi]).strip()
+        if kw != "TIMESTAMP":
+            raise TranspileError(
+                f"Time-travel clause {kind}({kw} => …) is not supported "
+                "— only TIMESTAMP-form time travel over snapshot tables "
+                "is rewritable (OFFSET/STATEMENT need a query-history "
+                "layer). On an Iceberg/Delta catalog table use Spark's "
+                "VERSION AS OF instead."
+            )
+        if not name:
+            raise TranspileError(
+                f"Time-travel {kind}(TIMESTAMP => …) must follow a "
+                "table name in the FROM clause"
+            )
+        try:
+            cols = {c.lower() for c in spark.table(name).columns}
+        except Exception:
+            cols = set()
+        if not _SCD2_COLS <= cols:
+            raise TranspileError(
+                f"Time-travel clause {kind}(TIMESTAMP => …) on {name}: "
+                "plain parquet tables keep no history. Supported only "
+                "on snapshot (SCD2) tables carrying dbt_valid_from/"
+                "dbt_valid_to (run_snapshot), or use Spark's TIMESTAMP "
+                "AS OF on an Iceberg/Delta catalog table "
+                "(iceberg.attach_catalog)."
+            )
+        if kind == "AT":
+            pred = (
+                f"dbt_valid_from <= ({expr}) AND (dbt_valid_to IS NULL "
+                f"OR dbt_valid_to > ({expr}))"
+            )
+        else:  # BEFORE: state at the instant just before x
+            pred = (
+                f"dbt_valid_from < ({expr}) AND (dbt_valid_to IS NULL "
+                f"OR dbt_valid_to >= ({expr}))"
+            )
+        # keep the user's alias if one follows; else alias back to the
+        # table's last name part so qualified references keep resolving
+        after = next_code(toks, close + 1)
+        has_alias = after < len(toks) and toks[after].kind == WORD and (
+            toks[after].upper == "AS"  # AS <alias> follows — keep it
+            or toks[after].upper not in (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "LEFT",
+                "RIGHT", "FULL", "INNER", "CROSS", "ON", "UNION",
+                "EXCEPT", "INTERSECT", "HAVING", "QUALIFY",
+            )
+        )
+        alias = "" if has_alias else f" {name.split('.')[-1]}"
+        repl = f"(SELECT * FROM {name} WHERE {pred}){alias} "
+        toks = toks[:lo] + tokenize(repl) + toks[close + 1:]

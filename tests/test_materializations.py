@@ -1502,6 +1502,105 @@ class TestMergeStatement:
         assert got[1] == "zero"
 
 
+class TestTimeTravel:
+    """AT/BEFORE(TIMESTAMP => x) over snapshot tables — rewritten at
+    the engine layer onto the SCD2 validity predicate
+    (transpiler/time_travel.py; ref snapshot.sql:89-111's interval
+    contract). Non-snapshot tables keep the actionable refusal."""
+
+    def _build_history(self, spark, engine, name):
+        t1 = datetime.datetime(2026, 1, 1)
+        t2 = datetime.datetime(2026, 2, 1)
+        spark.sql(f"DROP TABLE IF EXISTS mat_test.{name}")
+        engine.run_snapshot(
+            name, "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 20",
+            unique_key="c_custkey", strategy="check",
+            check_cols=["c_acctbal"], now=t1,
+        )
+        engine.run_snapshot(
+            name,
+            "SELECT c_custkey, IFF(c_custkey < 5, c_acctbal + 100, c_acctbal) "
+            "AS c_acctbal FROM customer WHERE c_custkey < 20",
+            unique_key="c_custkey", strategy="check",
+            check_cols=["c_acctbal"], now=t2,
+        )
+
+    def test_at_timestamp_sees_historic_state(self, spark, engine):
+        self._build_history(spark, engine, "tt1")
+        old = engine.execute(
+            "SELECT c_custkey, c_acctbal FROM mat_test.tt1 "
+            "AT(TIMESTAMP => '2026-01-15'::TIMESTAMP) ORDER BY c_custkey"
+        ).collect()
+        orig = {r.c_custkey: r.c_acctbal for r in spark.sql(
+            "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 20"
+        ).collect()}
+        assert len(old) == 20
+        for r in old:  # mid-January: every key shows its ORIGINAL value
+            assert abs(r.c_acctbal - orig[r.c_custkey]) < 1e-9
+
+    def test_at_timestamp_sees_current_state(self, spark, engine):
+        self._build_history(spark, engine, "tt2")
+        now = engine.execute(
+            "SELECT c_custkey, c_acctbal FROM mat_test.tt2 "
+            "AT(TIMESTAMP => '2026-02-15'::TIMESTAMP)"
+        ).collect()
+        orig = {r.c_custkey: r.c_acctbal for r in spark.sql(
+            "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 20"
+        ).collect()}
+        assert len(now) == 20
+        for r in now:  # post-change keys < 5 show the +100 version
+            expect = orig[r.c_custkey] + (100 if r.c_custkey < 5 else 0)
+            assert abs(r.c_acctbal - expect) < 1e-9
+
+    def test_before_excludes_boundary_instant(self, spark, engine):
+        self._build_history(spark, engine, "tt3")
+        # BEFORE(t2) = state just before the second snapshot ran
+        before = engine.execute(
+            "SELECT c_custkey, c_acctbal FROM mat_test.tt3 "
+            "BEFORE(TIMESTAMP => '2026-02-01'::TIMESTAMP)"
+        ).collect()
+        # AT(t2) = state including the second snapshot
+        at = engine.execute(
+            "SELECT c_custkey, c_acctbal FROM mat_test.tt3 "
+            "AT(TIMESTAMP => '2026-02-01'::TIMESTAMP)"
+        ).collect()
+        orig = {r.c_custkey: r.c_acctbal for r in spark.sql(
+            "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 20"
+        ).collect()}
+        got_b = {r.c_custkey: r.c_acctbal for r in before}
+        got_a = {r.c_custkey: r.c_acctbal for r in at}
+        assert abs(got_b[1] - orig[1]) < 1e-9          # before: original
+        assert abs(got_a[1] - (orig[1] + 100)) < 1e-9  # at: updated
+
+    def test_alias_and_join_survive(self, spark, engine):
+        self._build_history(spark, engine, "tt4")
+        df = engine.execute(
+            "SELECT h.c_custkey, h.c_acctbal, c.c_name "
+            "FROM mat_test.tt4 AT(TIMESTAMP => '2026-01-15'::TIMESTAMP) h "
+            "JOIN customer c ON c.c_custkey = h.c_custkey "
+            "WHERE h.c_custkey < 5"
+        )
+        assert df.count() == 5
+
+    def test_non_snapshot_table_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with _pytest.raises(TranspileError, match="snapshot"):
+            engine.execute(
+                "SELECT * FROM customer AT(TIMESTAMP => '2026-01-01'::TIMESTAMP)"
+            )
+
+    def test_offset_form_still_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with _pytest.raises(TranspileError, match="OFFSET"):
+            engine.execute("SELECT * FROM customer AT(OFFSET => -3600)")
+
+
 class TestCreateClone:
     def test_clone_via_engine(self, spark, engine):
         spark.sql("DROP TABLE IF EXISTS mat_test.cl_src")
