@@ -1605,6 +1605,81 @@ _q(
     """,
 )
 
+# MinHash sketch SQL aggregates (MINHASH / APPROXIMATE_SIMILARITY,
+# transforms.rewrite_minhash) — estimate vs EXACT Jaccard per group
+# pair in one statement (the x25 differential idiom). The rewrite uses
+# the same md5(i || ':' || v) family as xops/dedup.py:110, which
+# DuckDB reproduces bit-for-bit, so even the ESTIMATE is hash-gated,
+# not just the exact side.
+_MINHASH_K = 32
+_q(
+    "q74_minhash_sketch",
+    """
+    WITH sets AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v
+      FROM orders WHERE o_orderkey < 20000
+    ),
+    states AS (
+      SELECT grp, MINHASH(32, v) AS mh FROM sets GROUP BY grp
+    ),
+    est AS (
+      SELECT ga, gb, APPROXIMATE_SIMILARITY(mh) AS est_j FROM (
+        SELECT a.grp AS ga, b.grp AS gb, a.mh AS mh
+        FROM states a JOIN states b ON a.grp < b.grp
+        UNION ALL
+        SELECT a.grp, b.grp, b.mh
+        FROM states a JOIN states b ON a.grp < b.grp
+      ) GROUP BY ga, gb
+    ),
+    card AS (SELECT grp, COUNT(*) AS n FROM sets GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS ga, b.grp AS gb, COUNT(*) AS ni
+      FROM sets a JOIN sets b ON a.v = b.v AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT e.ga, e.gb, ROUND(e.est_j, 6) AS est_jaccard,
+           ROUND(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6)
+             AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+    JOIN card ca ON ca.grp = e.ga
+    JOIN card cb ON cb.grp = e.gb
+    """,
+    """
+    WITH sets AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v
+      FROM orders WHERE o_orderkey < 20000
+    ),
+    states AS (
+      SELECT grp, """ + ", ".join(
+        f"min(md5(concat_ws(':', {j}, v))) AS h{j}"
+        for j in range(_MINHASH_K)
+    ) + """
+      FROM sets GROUP BY grp
+    ),
+    est AS (
+      SELECT a.grp AS ga, b.grp AS gb,
+             CAST(""" + " + ".join(
+        f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(_MINHASH_K)
+    ) + f""" AS DOUBLE) / {_MINHASH_K} AS est_j
+      FROM states a JOIN states b ON a.grp < b.grp
+    ),
+    card AS (SELECT grp, COUNT(*) AS n FROM sets GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS ga, b.grp AS gb, COUNT(*) AS ni
+      FROM sets a JOIN sets b ON a.v = b.v AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT e.ga, e.gb, ROUND(e.est_j, 6) AS est_jaccard,
+           ROUND(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6)
+             AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+    JOIN card ca ON ca.grp = e.ga
+    JOIN card cb ON cb.grp = e.gb
+    """,
+)
+
 # Star modifiers + TOP (DuckDB supports EXCLUDE natively, making the
 # rewrite itself driver-gated).
 _q(
@@ -4491,6 +4566,54 @@ XOP_ORACLES["x62_match_recognize_all"] = """
     FROM q
 """
 
+XOP_ORACLES["x63_pattern_alternation"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40
+    ),
+    d AS (
+      SELECT *, CASE WHEN value > LAG(value)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     THEN 1
+                     WHEN value < LAG(value)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     THEN -1 ELSE 0 END AS dir
+      FROM e
+    ),
+    b AS (
+      SELECT *, CASE WHEN dir = LAG(dir)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    g AS (
+      SELECT *, SUM(brk)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM b
+    ),
+    runs AS (  -- maximal monotone runs = DOWN+ | UP+ matches
+      SELECT user_id, MIN(ts) AS s_ts, MAX(ts) AS e_ts,
+             COUNT(*) AS n,
+             CASE WHEN MAX(dir) = 1 THEN 'UP' ELSE 'DOWN' END AS cls,
+             MIN(grp) AS g0
+      FROM g WHERE dir <> 0
+      GROUP BY user_id, grp
+    )
+    SELECT 'runs' AS part, user_id, s_ts, e_ts, n, cls,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY g0)
+                AS BIGINT) AS mn
+    FROM runs
+    UNION ALL
+    -- preferment: UP | UP UP always picks the single-row alternative,
+    -- so every ascending row is its own match in sequence
+    SELECT 'pref' AS part, user_id, ts AS s_ts, ts AS e_ts,
+           CAST(1 AS BIGINT) AS n, 'UP' AS cls,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS BIGINT) AS mn
+    FROM g WHERE dir = 1
+"""
+
 XOP_ORACLES["s09_streaming_merge"] = """
     WITH b1 AS (
       SELECT event_id, user_id, event_type, value
@@ -4788,6 +4911,56 @@ def _x_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN alternation (SQL:2016 §7.9): two MATCH_RECOGNIZE runs
+    union'd with a tag. 'runs' segments each user's series into
+    maximal monotone runs via DOWN+ | UP+ (disjoint alternatives —
+    pins the alternation matcher's spans/measures). 'pref' uses
+    UP | UP UP, whose alternatives OVERLAP: preferment order says the
+    written-first single-UP wins at every start, so every ascending
+    row is its own match — an engine preferring the longer (or later)
+    alternative halves the match count and shifts MATCH_NUMBER, which
+    the oracle's per-row rendering would catch."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    runs = eng.execute(
+        """
+        SELECT * FROM (SELECT user_id, ts, event_id, value FROM events
+                       WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(ts) AS s_ts, LAST(ts) AS e_ts,
+                   COUNT(*) AS n, CLASSIFIER() AS cls,
+                   MATCH_NUMBER() AS mn
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ | UP+)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )
+        """
+    ).select(F.lit("runs").alias("part"), "user_id", "s_ts", "e_ts", "n", "cls", "mn")
+    pref = eng.execute(
+        """
+        SELECT * FROM (SELECT user_id, ts, event_id, value FROM events
+                       WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(ts) AS s_ts, LAST(ts) AS e_ts,
+                   COUNT(*) AS n, CLASSIFIER() AS cls,
+                   MATCH_NUMBER() AS mn
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP | UP UP)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    ).select(F.lit("pref").alias("part"), "user_id", "s_ts", "e_ts", "n", "cls", "mn")
+    return runs.unionByName(pref)
+
+
 def _x_match_recognize_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL ROWS PER MATCH over the same ascending-run pattern as x61:
     every matched row survives with RUNNING measures (SQL:2016 default
@@ -4824,6 +4997,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,
+    "x63_pattern_alternation": _x_pattern_alternation,
     "q64_create_clone": _q_create_clone,
     "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,

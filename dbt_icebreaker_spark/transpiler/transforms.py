@@ -4821,10 +4821,6 @@ def rewrite_window_ratio_funcs(tokens: Tokens) -> Tokens:
 # Scalar functions with no faithful Spark rendering — actionable error
 # (ref errors.py style) instead of UNRESOLVED_ROUTINE at runtime.
 _UNSUPPORTED_SCALARS = {
-    "MINHASH": "xops.dedup.minhash_signatures (distributed MinHash)",
-    "MINHASH_COMBINE": "xops.dedup.minhash_signatures",
-    "APPROXIMATE_SIMILARITY": "xops.dedup.minhash_lsh_pairs",
-    "APPROXIMATE_JACCARD_INDEX": "xops.dedup.ngram_jaccard_pairs",
     "ZIPF": "an explicit inverse-CDF over UNIFORM (Spark has no "
             "zipf generator; xops.sampling covers deterministic "
             "weighted draws)",
@@ -4852,6 +4848,83 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
         if t.kind == WORD and t.upper in _UNSUPPORTED_SCALARS and _is_call(toks, i, t.upper):
             found.append((t.upper, _UNSUPPORTED_SCALARS[t.upper]))
     return sorted(set(found))
+
+
+_MINHASH_FOLD = (
+    "reduce(collect_list({s}), CAST(NULL AS ARRAY<STRING>), "
+    "(acc{u}, x{u}) -> CASE WHEN acc{u} IS NULL THEN x{u} "
+    "ELSE zip_with(acc{u}, x{u}, (a{u}, b{u}) -> {cmp}(a{u}, b{u})) END)"
+)
+
+
+def rewrite_minhash(tokens: Tokens) -> Tokens:
+    """Snowflake MinHash sketch aggregates → pure-JVM Spark SQL, on the
+    SAME hash family as the Python kernel (xops/dedup.py:110:
+    ``min(md5(i || ':' || value))`` per component) so SQL-built states
+    and `minhash_signatures` outputs agree component-for-component.
+
+    - ``MINHASH(k, expr)``: array of k per-seed min-hash aggregates —
+      map-side partial like any MIN.
+    - ``MINHASH_COMBINE(state)``: element-wise min across states
+      (collect_list + zip_with/least fold — states per group are few
+      and k-bounded).
+    - ``APPROXIMATE_SIMILARITY(state)`` / ``APPROXIMATE_JACCARD_INDEX``:
+      the standard MinHash estimate — the fraction of components on
+      which ALL states agree, computed as positions where the
+      element-wise min equals the element-wise max.
+
+    k must be an integer literal 1..512 (Snowflake caps at 1024; the
+    rewrite expands k aggregate expressions)."""
+    from .core import TranspileError
+
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind != WORD or t.upper not in (
+            "MINHASH", "MINHASH_COMBINE",
+            "APPROXIMATE_SIMILARITY", "APPROXIMATE_JACCARD_INDEX",
+        ) or not _is_call(tokens, i, t.upper):
+            i += 1
+            continue
+        op_i = next_code(tokens, i + 1)
+        close = find_matching_paren(tokens, op_i)
+        args = split_args(tokens, op_i + 1, close)
+        if t.upper == "MINHASH":
+            if len(args) != 2:
+                raise TranspileError("MINHASH takes (k, expr)")
+            k_txt = render(tokens[args[0][0]:args[0][1]]).strip()
+            try:
+                k = int(k_txt)
+            except ValueError:
+                raise TranspileError(
+                    f"MINHASH: k must be an integer literal (got {k_txt!r})"
+                )
+            if not 1 <= k <= 512:
+                raise TranspileError(
+                    f"MINHASH: k must be in 1..512 (got {k}); larger "
+                    "sketches expand to too many aggregate expressions"
+                )
+            e = render(tokens[args[1][0]:args[1][1]]).strip()
+            mins = ", ".join(
+                f"min(md5(concat_ws(':', {j}, ({e}))))" for j in range(k)
+            )
+            repl = f"array({mins})"
+        else:
+            if len(args) != 1:
+                raise TranspileError(f"{t.upper} takes one state argument")
+            s = render(tokens[args[0][0]:args[0][1]]).strip()
+            lo_fold = _MINHASH_FOLD.format(s=s, u="l", cmp="least")
+            if t.upper == "MINHASH_COMBINE":
+                repl = lo_fold
+            else:
+                hi_fold = _MINHASH_FOLD.format(s=s, u="h", cmp="greatest")
+                repl = (
+                    f"(CAST(size(filter(zip_with({lo_fold}, {hi_fold}, "
+                    "(lo0, hi0) -> lo0 = hi0), p0 -> p0)) AS DOUBLE) "
+                    f"/ CAST(size({lo_fold}) AS DOUBLE))"
+                )
+        tokens = tokens[:i] + tokenize(repl) + tokens[close + 1:]
+    return tokens
 
 
 # ------------------------------------------------------------- pipeline
@@ -4889,6 +4962,7 @@ PIPELINE = (
     rewrite_listagg_distinct,
     rewrite_array_agg_within,
     rewrite_sample,
+    rewrite_minhash,           # sketch aggregates → JVM array/fold SQL
     rewrite_object_insert,     # before object_construct: needs raw values
     rewrite_object_construct,
     rewrite_variant_funcs,

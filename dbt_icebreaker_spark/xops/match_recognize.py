@@ -22,8 +22,11 @@ refuses actionably at parse time):
   ROWS / empty-match modifiers refuse.
 - ``AFTER MATCH SKIP PAST LAST ROW`` (default) and ``SKIP TO NEXT
   ROW``.
-- ``PATTERN``: a SEQUENCE of symbols with greedy quantifiers
-  (``A B+ C* D? E{2} F{1,3}``) — alternation/grouping/anchors refuse.
+- ``PATTERN``: sequences of symbols with greedy quantifiers
+  (``A B+ C* D? E{2} F{1,3}``), optionally joined by TOP-LEVEL
+  alternation (``A B+ | C D``) with SQL:2016 §7.9 preferment order
+  (alternatives try in written order; the first that matches wins) —
+  grouping/anchors/PERMUTE refuse.
 - ``DEFINE Sym AS <boolean over current row / PREV(col[,n]) /
   NEXT(col[,n])>``; symbols not defined always match (SQL:2016
   "universal row pattern variable").
@@ -53,6 +56,7 @@ class PatternTerm:
     symbol: str
     min_n: int
     max_n: Optional[int]  # None = unbounded
+    alt: int = 0  # top-level alternative this term belongs to (A B | C)
 
 
 @dataclass
@@ -81,82 +85,115 @@ _QUANT_RE = re.compile(
 
 
 def parse_pattern(text: str) -> list[PatternTerm]:
-    """`A B+ C* D? E{2} F{1,3}` → terms. Alternation (|), grouping,
-    anchors (^ $), reluctant (?) suffixes and PERMUTE refuse."""
+    """`A B+ C* D? E{2} F{1,3}` → terms; top-level alternation
+    `A B+ | C D` → terms tagged with their alternative id (SQL:2016
+    §7.9 preferment: alternatives try in written order, first match
+    wins). Grouping, anchors (^ $), reluctant (?) suffixes and PERMUTE
+    refuse."""
     text = text.strip()
     for bad, why in (
-        ("|", "alternation"), ("^", "anchors"), ("$", "anchors"),
+        ("^", "anchors"), ("$", "anchors"),
         ("(", "grouping"), ("PERMUTE", "PERMUTE"),
     ):
         if bad in text.upper():
             raise ValueError(
                 f"MATCH_RECOGNIZE PATTERN: {why} is not supported — "
-                "use a sequence of symbols with quantifiers "
-                "(A B+ C* D? E{n,m})"
+                "use sequences of symbols with quantifiers "
+                "(A B+ C* D? E{n,m}), optionally top-level "
+                "alternatives (A B | C)"
             )
+    if not text:
+        raise ValueError("MATCH_RECOGNIZE PATTERN: empty pattern")
     terms = []
-    for part in text.split():
-        m = _QUANT_RE.match(part)
-        if not m:
+    for alt_id, alt_text in enumerate(text.split("|")):
+        alt_terms = []
+        for part in alt_text.split():
+            m = _QUANT_RE.match(part)
+            if not m:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE PATTERN: cannot parse term {part!r}"
+                )
+            q = m.group("q")
+            if q is None:
+                lo, hi = 1, 1
+            elif q == "*":
+                lo, hi = 0, None
+            elif q == "+":
+                lo, hi = 1, None
+            elif q == "?":
+                lo, hi = 0, 1
+            else:
+                nums = q.strip("{}").split(",")
+                lo = int(nums[0])
+                hi = (
+                    lo if len(nums) == 1
+                    else (None if nums[1].strip() == "" else int(nums[1]))
+                )
+            alt_terms.append(PatternTerm(m.group("sym").upper(), lo, hi, alt_id))
+        if not alt_terms:
             raise ValueError(
-                f"MATCH_RECOGNIZE PATTERN: cannot parse term {part!r}"
+                "MATCH_RECOGNIZE PATTERN: empty alternative (a '|' with "
+                "nothing on one side)"
             )
-        q = m.group("q")
-        if q is None:
-            lo, hi = 1, 1
-        elif q == "*":
-            lo, hi = 0, None
-        elif q == "+":
-            lo, hi = 1, None
-        elif q == "?":
-            lo, hi = 0, 1
-        else:
-            nums = q.strip("{}").split(",")
-            lo = int(nums[0])
-            hi = (
-                lo if len(nums) == 1
-                else (None if nums[1].strip() == "" else int(nums[1]))
-            )
-        terms.append(PatternTerm(m.group("sym").upper(), lo, hi))
+        terms.extend(alt_terms)
     if not terms:
         raise ValueError("MATCH_RECOGNIZE PATTERN: empty pattern")
     return terms
 
 
+def _alt_spans(terms: list[PatternTerm]) -> list[tuple[int, int]]:
+    """Contiguous [lo, hi) spans of the flat term list, one per
+    top-level alternative, in written (preferment) order."""
+    spans: list[list[int]] = []
+    prev = None
+    for idx, t in enumerate(terms):
+        if t.alt != prev:
+            spans.append([idx, idx + 1])
+            prev = t.alt
+        else:
+            spans[-1][1] = idx + 1
+    return [(lo, hi) for lo, hi in spans]
+
+
 def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int):
-    """Greedy backtracking match of `terms` beginning at row `start`.
-    flags[k][i] = row i satisfies symbol k. Returns (end_exclusive,
-    assignment list of term indices per row) or None."""
+    """Greedy backtracking match beginning at row `start`. Top-level
+    alternatives try in written order (SQL:2016 preferment) — the
+    first alternative that matches wins, even when a later one would
+    match more rows. flags[k][i] = row i satisfies symbol k (flat term
+    index). Returns (end_exclusive, assignment list of flat term
+    indices per row) or None."""
 
-    def rec(ti: int, pos: int):
-        if ti == len(terms):
-            return pos, []
-        t = terms[ti]
-        fl = flags[ti]
-        # count how many rows CAN extend greedily
-        max_take = 0
-        while (
-            pos + max_take < n
-            and (t.max_n is None or max_take < t.max_n)
-            and fl[pos + max_take]
-        ):
-            max_take += 1
-        take = max_take
-        while take >= t.min_n:
-            rest = rec(ti + 1, pos + take)
-            if rest is not None:
-                end, assign = rest
-                return end, [ti] * take + assign
-            take -= 1
-        return None
+    for lo, hi in _alt_spans(terms):
 
-    out = rec(0, start)
-    if out is None:
-        return None
-    end, assign = out
-    if end == start:
-        return None  # zero-width match (all-optional pattern): skip
-    return end, assign
+        def rec(ti: int, pos: int):
+            if ti == hi:
+                return pos, []
+            t = terms[ti]
+            fl = flags[ti]
+            # count how many rows CAN extend greedily
+            max_take = 0
+            while (
+                pos + max_take < n
+                and (t.max_n is None or max_take < t.max_n)
+                and fl[pos + max_take]
+            ):
+                max_take += 1
+            take = max_take
+            while take >= t.min_n:
+                rest = rec(ti + 1, pos + take)
+                if rest is not None:
+                    end, assign = rest
+                    return end, [ti] * take + assign
+                take -= 1
+            return None
+
+        out = rec(lo, start)
+        if out is not None:
+            end, assign = out
+            if end == start:
+                continue  # zero-width alternative: try the next one
+            return end, assign
+    return None
 
 
 _AGG_FNS = {"first", "last", "min", "max", "sum", "avg", "count"}

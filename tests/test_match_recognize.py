@@ -123,11 +123,108 @@ class TestVShape:
         assert [(r.sym, r.n) for r in df.collect()] == [("A", 9), ("B", 3)]
 
 
+class TestAlternation:
+    """Top-level PATTERN alternation (A | B) — SQL:2016 §7.9
+    preferment: alternatives try in written order; the first that
+    matches wins even when a later one would match more rows."""
+
+    def test_first_alternative_preferred(self, engine, ticks):
+        # DOWN+ and UP+ both matchable at various points; written
+        # order decides which classifies each run
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, LAST(t) AS e,
+                          CLASSIFIER() AS cls, COUNT(*) AS n
+                 PATTERN (DOWN+ | UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'A' ORDER BY s"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        # A prices: 10,8,6,7,9,9.5,8,7.5,9.9 → downs t2-t3, ups t4-t6,
+        # downs t7-t8, up t9
+        assert rows == [
+            ("A", 2, 3, "DOWN", 2),
+            ("A", 4, 6, "UP", 3),
+            ("A", 7, 8, "DOWN", 2),
+            ("A", 9, 9, "UP", 1),
+        ]
+
+    def test_preferment_order_beats_length(self, engine, ticks):
+        # UP{1} first: even though UP+ would take both B rows, the
+        # written-first single-UP alternative wins at each start
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, COUNT(*) AS n
+                 PATTERN (UP | UP UP)
+                 DEFINE UP AS price > PREV(price)
+               ) WHERE sym = 'B' ORDER BY s"""
+        )
+        # B: t2,t3 are UP → two single-row matches, never the pair
+        assert [tuple(r) for r in df.collect()] == [("B", 2, 1), ("B", 3, 1)]
+
+    def test_multi_symbol_alternatives(self, engine, ticks):
+        # each alternative is itself a sequence
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, LAST(t) AS e, CLASSIFIER() AS cls
+                 PATTERN (DOWN DOWN UP | UP UP)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) ORDER BY sym, s"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        # A: t2,t3 down, t4 up → alt1; t5,t6 up → alt2; t7,t8 down,
+        # t9 up → alt1 again. B: t2,t3 up → alt2
+        assert rows == [
+            ("A", 2, 4, "UP"),
+            ("A", 5, 6, "UP"),
+            ("A", 7, 9, "UP"),
+            ("B", 2, 3, "UP"),
+        ]
+
+    def test_zero_width_alternative_falls_through(self, engine, ticks):
+        # an all-optional first alternative never produces an empty
+        # match — the consuming alternative is used instead
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, COUNT(*) AS n, CLASSIFIER() AS cls
+                 PATTERN (FLAT* | UP+)
+                 DEFINE FLAT AS price = PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'B' ORDER BY s"""
+        )
+        assert [tuple(r) for r in df.collect()] == [("B", 2, 2, "UP")]
+
+    def test_all_rows_per_match_with_alternation(self, engine, ticks):
+        df = engine.execute(
+            """SELECT sym, t, cls FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES CLASSIFIER() AS cls
+                 ALL ROWS PER MATCH
+                 PATTERN (DOWN+ | UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'A' ORDER BY t"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        assert rows == [
+            ("A", 2, "DOWN"), ("A", 3, "DOWN"),
+            ("A", 4, "UP"), ("A", 5, "UP"), ("A", 6, "UP"),
+            ("A", 7, "DOWN"), ("A", 8, "DOWN"),
+            ("A", 9, "UP"),
+        ]
+
+
 class TestRefusals:
     @pytest.mark.parametrize(
         "body,msg",
         [
-            ("PATTERN (A | B) DEFINE A AS x > 1", "alternation"),
+            ("PATTERN ((A B) C) DEFINE A AS x > 1", "grouping"),
             ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH WITH "
              "UNMATCHED ROWS PATTERN (A)", "UNMATCHED"),
             ("MEASURES COUNT(*) AS n PATTERN (A) "

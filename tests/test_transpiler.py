@@ -621,14 +621,78 @@ class TestWindowRatioFuncs:
 
 
 class TestUnsupportedScalars:
-    def test_minhash_points_at_xops(self):
-        ok, msg = t.can_transpile("SELECT MINHASH(20, txt) FROM x")
-        assert not ok and "minhash_signatures" in msg
+    def test_randstr_points_at_replacement(self):
+        ok, msg = t.can_transpile("SELECT RANDSTR(5, RANDOM()) FROM x")
+        assert not ok and "UUID_STRING" in msg
+
+    def test_column_named_zipf_untouched(self):
+        # bare word (not a call) must not trigger
+        ok, _ = t.can_transpile("SELECT zipf FROM x")
+        assert ok
+
+
+class TestMinhashSketch:
+    """MINHASH / MINHASH_COMBINE / APPROXIMATE_SIMILARITY → pure-JVM
+    array/fold SQL on the Python kernel's md5 hash family
+    (transforms.rewrite_minhash; corpus entry q74 gates the values)."""
+
+    def test_minhash_expands_to_min_aggregates(self):
+        out = t.to_spark("SELECT MINHASH(4, v) AS mh FROM x GROUP BY g")
+        assert "MINHASH" not in out.upper()
+        assert out.count("min(md5(concat_ws(':'") == 4
+        assert "array(" in out
+
+    def test_combine_is_least_fold(self):
+        out = t.to_spark("SELECT MINHASH_COMBINE(mh) FROM s")
+        assert "MINHASH_COMBINE" not in out.upper()
+        assert "zip_with" in out and "least" in out and "collect_list" in out
+
+    def test_similarity_is_agreement_fraction(self):
+        for fn in ("APPROXIMATE_SIMILARITY", "APPROXIMATE_JACCARD_INDEX"):
+            out = t.to_spark(f"SELECT {fn}(mh) FROM s")
+            assert fn not in out.upper()
+            assert "least" in out and "greatest" in out and "filter" in out
+
+    def test_nonliteral_k_refuses(self):
+        ok, msg = t.can_transpile("SELECT MINHASH(k, v) FROM x")
+        assert not ok and "integer literal" in msg
+
+    def test_oversize_k_refuses(self):
+        ok, msg = t.can_transpile("SELECT MINHASH(4096, v) FROM x")
+        assert not ok and "512" in msg
 
     def test_column_named_minhash_untouched(self):
-        # bare word (not a call) must not trigger
         ok, _ = t.can_transpile("SELECT minhash FROM x")
         assert ok
+
+    def test_executes_and_estimates(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mh_t AS SELECT g, v FROM VALUES "
+            "('a','p'),('a','q'),('a','r'),('a','s'),"
+            "('b','p'),('b','q'),('b','r'),('b','z') t(g, v)"
+        )
+        out = t.to_spark(
+            "SELECT APPROXIMATE_SIMILARITY(mh) AS sim FROM "
+            "(SELECT MINHASH(64, v) AS mh FROM mh_t GROUP BY g)"
+        )
+        sim = spark.sql(out).collect()[0].sim
+        # true Jaccard = 3/5 = 0.6; k=64 estimate lands near it
+        assert 0.3 <= sim <= 0.9
+
+    def test_combine_equals_whole(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mh_u AS SELECT v FROM VALUES "
+            "('a'),('b'),('c'),('d'),('e'),('f') t(v)"
+        )
+        combined = spark.sql(t.to_spark(
+            "SELECT MINHASH_COMBINE(mh) AS c FROM ("
+            "SELECT MINHASH(8, v) AS mh FROM mh_u WHERE v < 'd' "
+            "UNION ALL SELECT MINHASH(8, v) FROM mh_u WHERE v >= 'd')"
+        )).collect()[0].c
+        whole = spark.sql(t.to_spark(
+            "SELECT MINHASH(8, v) AS mh FROM mh_u"
+        )).collect()[0].mh
+        assert combined == whole
 
 
 
@@ -2102,10 +2166,10 @@ class TestScalarRound6:
             assert fn in t.to_spark(sql)
 
     def test_refusals(self):
-        # JAROWINKLER_SIMILARITY and GET_IGNORE_CASE were implemented
-        # in round 4 — only the genuinely unportable tail refuses
-        for fn in ("RANDSTR(5, RANDOM())", "MINHASH(20, txt)",
-                   "HLL_EXPORT(s)"):
+        # JAROWINKLER_SIMILARITY / GET_IGNORE_CASE (round 4) and the
+        # MINHASH family (round 5) are implemented — only the genuinely
+        # unportable tail refuses
+        for fn in ("RANDSTR(5, RANDOM())", "HLL_EXPORT(s)", "ZIPF(1, 10, RANDOM())"):
             with pytest.raises(TranspileError):
                 t.to_spark(f"SELECT {fn} FROM t")
 
