@@ -42,6 +42,14 @@ BENCH_QUERIES = [
     "x14_dedup_clusters",
     "x28_incremental_dedup",
     "s01_sessionize",
+    # round-5 additions: the round-2..4 heavyweights (judge round-4
+    # watch item) — semantic dedup, the composed corpus pipeline, the
+    # MERGE staged rewrite, MATCH_RECOGNIZE, and real JPEG decode
+    "x38_semantic_dedup",
+    "x57_corpus_pipeline",
+    "q63_merge_statement",
+    "x61_match_recognize",
+    "x59_jpeg_stats",
 ]
 
 

@@ -631,6 +631,37 @@ class TestUnsupportedScalars:
         assert ok
 
 
+class TestVariantSubscript:
+    """Round-5 battery finding: array subscripts directly on a
+    PARSE_JSON/TRY_PARSE_JSON result must read through the JSON path
+    (the string-VARIANT model cannot subscript a string)."""
+
+    def test_parse_json_subscript(self, spark):
+        out = t.to_spark("SELECT PARSE_JSON('[1,2,3]')[2]::INT AS v")
+        assert "get_json_object" in out and "$[2]" in out
+        assert spark.sql(out).collect()[0].v == 3
+
+    def test_chained_subscripts(self, spark):
+        sql = "SELECT PARSE_JSON('[[1,2],[3,4]]')[1][0]::INT AS v"
+        assert spark.sql(t.to_spark(sql)).collect()[0].v == 3
+
+    def test_try_parse_json_subscript_null_on_malformed(self, spark):
+        sql = "SELECT TRY_PARSE_JSON('nope')[0] AS v"
+        assert spark.sql(t.to_spark(sql)).collect()[0].v is None
+
+    def test_subscript_then_path(self, spark):
+        sql = 'SELECT PARSE_JSON(\'[{"a": 9}]\')[0]:a::INT AS v'
+        assert spark.sql(t.to_spark(sql)).collect()[0].v == 9
+
+    def test_plain_array_subscript_untouched(self):
+        out = t.to_spark("SELECT v[2] FROM t")
+        assert "get_json_object" not in out and "v[2]" in out.replace(" ", "")
+
+    def test_compress_refuses_actionably(self):
+        ok, msg = t.can_transpile("SELECT COMPRESS(x, 'zlib') FROM t")
+        assert not ok and "parquet" in msg
+
+
 class TestMinhashSketch:
     """MINHASH / MINHASH_COMBINE / APPROXIMATE_SIMILARITY → pure-JVM
     array/fold SQL on the Python kernel's md5 hash family
