@@ -192,16 +192,25 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         raise fail("ON clause produced no join keys")
 
     def scan_until_words(j: int, stops: tuple) -> int:
-        """Advance j to the first top-level (paren depth 0) stop word."""
+        """Advance j to the first top-level stop word — top-level
+        meaning paren depth 0 AND outside any CASE ... END block
+        (CASE carries its own WHEN/THEN/ELSE at paren depth 0, which
+        must not terminate a SET expression or a WHEN condition)."""
         depth = 0
+        case_depth = 0
         while j < len(toks):
             tk = toks[j]
             if tk.is_op("("):
                 depth += 1
             elif tk.is_op(")"):
                 depth -= 1
-            elif depth == 0 and tk.kind == WORD and tk.upper in stops:
-                break
+            elif depth == 0 and tk.kind == WORD:
+                if tk.upper == "CASE":
+                    case_depth += 1
+                elif tk.upper == "END" and case_depth > 0:
+                    case_depth -= 1
+                elif case_depth == 0 and tk.upper in stops:
+                    break
             j += 1
         return j
 
@@ -435,7 +444,8 @@ def run_merge_statement(
         src = spark.table(spec.source_table)
 
     tgt = spark.table(spec.target)
-    missing = [k for k in spec.keys if k not in src.columns]
+    src_lower = {c.lower() for c in src.columns}
+    missing = [k for k in spec.keys if k.lower() not in src_lower]
     if missing:
         raise TranspileError(
             f"MERGE INTO: key column(s) {missing} absent from the "
@@ -504,17 +514,27 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
     than one source row raises (Snowflake's nondeterministic-merge
     error) — required here anyway, since the join would duplicate the
     row. Every output column is CAST back to the target's type,
-    matching INSERT/UPDATE implicit coercion."""
+    matching INSERT/UPDATE implicit coercion.
+
+    Cost shape: the target-side join runs ONCE — the updated/deleted
+    count rides the write via DataFrame.observe instead of a second
+    join pass. The dup-check is a source-only map-side aggregation +
+    key semi-join (cheap relative to the join, and it must run BEFORE
+    the write: a duplicated target row would corrupt the output)."""
     import uuid
+
+    from pyspark.sql import Observation, functions as F
 
     from .incremental import _staged_overwrite
 
     tgt = spark.table(spec.target)
-    ta, sa = spec.target_alias, spec.source_alias
+    ta = f"`{spec.target_alias.replace('`', '``')}`"
+    sa = f"`{spec.source_alias.replace('`', '``')}`"
     m_clauses = [c for c in spec.clauses if c.matched]
     u_clauses = [c for c in spec.clauses if not c.matched]
     tcols = tgt.columns
     tcols_lower = {c.lower() for c in tcols}
+    scols_lower = {c.lower() for c in src.columns}
     ttypes = {f.name: f.dataType.simpleString() for f in tgt.schema.fields}
 
     for cl in m_clauses:
@@ -526,7 +546,7 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
                     f"(columns: {tcols})"
                 )
         if cl.action == "update" and cl.sets is None:
-            bad = [c for c in tcols if c not in src.columns]
+            bad = [c for c in tcols if c.lower() not in scols_lower]
             if bad:
                 raise TranspileError(
                     f"MERGE INTO: UPDATE SET * needs every target column "
@@ -541,7 +561,7 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
                     f"{spec.target} (columns: {tcols})"
                 )
         else:
-            bad = [c for c in tcols if c not in src.columns]
+            bad = [c for c in tcols if c.lower() not in scols_lower]
             if bad:
                 raise TranspileError(
                     f"MERGE INTO: INSERT * needs every target column in "
@@ -552,14 +572,29 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
     tview, sview = f"__icebreaker_mrg_t_{uid}", f"__icebreaker_mrg_s_{uid}"
     tgt.createOrReplaceTempView(tview)
     src.createOrReplaceTempView(sview)
+    try:
+        return _general_merge_plan(
+            spark, spec, transpiler, src, tgt, tview, sview, ta, sa,
+            m_clauses, u_clauses, tcols, ttypes, F, Observation,
+            _staged_overwrite,
+        )
+    finally:
+        spark.catalog.dropTempView(tview)
+        spark.catalog.dropTempView(sview)
+
+
+def _general_merge_plan(
+    spark, spec, transpiler, src, tgt, tview, sview, ta, sa,
+    m_clauses, u_clauses, tcols, ttypes, F, Observation,
+    _staged_overwrite,
+):
     on = " AND ".join(f"{ta}.{k} = {sa}.{k}" for k in spec.keys)
     matched = f"{sa}.{spec.keys[0]} IS NOT NULL"
 
+    obs = None
     if m_clauses:
         # a target row matched by >1 source row would be duplicated by
         # the join — refuse like Snowflake's nondeterministic-merge error
-        from pyspark.sql import functions as F
-
         dup = (
             src.groupBy(*spec.keys)
             .agg(F.count(F.lit(1)).alias("__icebreaker_n"))
@@ -600,23 +635,28 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
             f"THEN {'TRUE' if cl.action == 'delete' else 'FALSE'}"
             for cl in m_clauses
         )
-        keep = f"NOT (({matched}) AND CASE{del_cascade} ELSE FALSE END)"
-        surv_sql = (
-            f"SELECT {', '.join(sel)} FROM {tview} {ta} "
-            f"LEFT JOIN {sview} {sa} ON {on} WHERE {keep}"
-        )
-        survivors = spark.sql(transpiler.to_spark(surv_sql))
         fire_m = "CASE" + "".join(
             f" WHEN ({cl.condition or 'TRUE'}) THEN TRUE" for cl in m_clauses
         ) + " ELSE FALSE END"
-        n_matched = spark.sql(transpiler.to_spark(
-            f"SELECT COUNT(*) AS n FROM {tview} {ta} "
-            f"LEFT JOIN {sview} {sa} ON {on} "
-            f"WHERE ({matched}) AND {fire_m}"
-        )).collect()[0].n
+        # the fired/delete flags ride the join ONCE; observe() sums the
+        # fired flag during the write action (no second join pass), and
+        # the delete flag drives the survivor filter
+        surv_sql = (
+            f"SELECT {', '.join(sel)}, "
+            f"(({matched}) AND CASE{del_cascade} ELSE FALSE END) "
+            f"AS __icebreaker_del, "
+            f"(({matched}) AND {fire_m}) AS __icebreaker_fired "
+            f"FROM {tview} {ta} LEFT JOIN {sview} {sa} ON {on}"
+        )
+        obs = Observation()
+        survivors = (
+            spark.sql(transpiler.to_spark(surv_sql))
+            .observe(obs, F.sum(F.col("__icebreaker_fired").cast("long")).alias("n_fired"))
+            .filter(~F.col("__icebreaker_del"))
+            .drop("__icebreaker_del", "__icebreaker_fired")
+        )
     else:
         survivors = tgt
-        n_matched = 0
 
     if u_clauses:
         def ins_value(cl: WhenClause, col: str) -> str:
@@ -643,15 +683,22 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
             f"SELECT {', '.join(isel)} FROM {sview} {sa} "
             f"LEFT ANTI JOIN {tview} {ta} ON {on} WHERE {fire_u}"
         )
-        inserts = spark.sql(transpiler.to_spark(ins_sql))
-        n_inserted = inserts.count()
+        iobs = Observation()
+        inserts = spark.sql(transpiler.to_spark(ins_sql)).observe(
+            iobs, F.count(F.lit(1)).alias("n_ins")
+        )
         new = survivors.unionByName(inserts)
     else:
-        n_inserted = 0
+        iobs = None
         new = survivors
 
     _staged_overwrite(spark, new, spec.target)
-    return {"table": spec.target, "rows_affected": n_matched + n_inserted}
+    n_matched = obs.get["n_fired"] if obs is not None else 0
+    n_inserted = iobs.get["n_ins"] if iobs is not None else 0
+    return {
+        "table": spec.target,
+        "rows_affected": int(n_matched or 0) + int(n_inserted or 0),
+    }
 
 
 # ---------------------------------------------------------------- DML
@@ -807,8 +854,9 @@ def run_delete_statement(spark: SparkSession, spec: DeleteSpec, transpiler) -> d
     else:
         view = f"__icebreaker_del_{abs(hash(spec.target)) % 10**8}"
         tgt.createOrReplaceTempView(view)
+        alias = f"`{spec.alias.replace('`', '``')}`"
         pred = transpiler.to_spark(
-            f"SELECT * FROM {view} {spec.alias} "
+            f"SELECT * FROM {view} {alias} "
             f"WHERE NOT COALESCE(({spec.where_sql}), FALSE)"
         )
         kept = spark.sql(pred)
@@ -843,13 +891,14 @@ def run_update_statement(spark: SparkSession, spec: UpdateSpec, transpiler) -> d
             )
         else:
             sel.append(col)
-    sf_sql = f"SELECT {', '.join(sel)} FROM {view} {spec.alias}"
+    alias = f"`{spec.alias.replace('`', '``')}`"
+    sf_sql = f"SELECT {', '.join(sel)} FROM {view} {alias}"
     new = spark.sql(transpiler.to_spark(sf_sql))
     n_view = f"{view}_m"
     tgt.createOrReplaceTempView(n_view)
     rows = spark.sql(
         transpiler.to_spark(
-            f"SELECT COUNT(*) AS n FROM {n_view} {spec.alias} "
+            f"SELECT COUNT(*) AS n FROM {n_view} {alias} "
             f"WHERE COALESCE(({cond}), FALSE)"
         )
     ).collect()[0].n

@@ -4566,6 +4566,45 @@ XOP_ORACLES["x62_match_recognize_all"] = """
     FROM q
 """
 
+XOP_ORACLES["x65_unmatched_rows"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 30
+    ),
+    m AS (
+      SELECT *, CASE WHEN value > LAG(value)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     THEN 0 ELSE 1 END AS brk
+      FROM e
+    ),
+    g AS (
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS grp
+      FROM m
+    ),
+    s AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY user_id, grp) AS isl_n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, grp
+                  ORDER BY ts, event_id) AS BIGINT) AS run_n0
+      FROM g
+    ),
+    q AS (  -- qualifying islands (>= 2 rows) get their match number
+      SELECT user_id, ts, event_id, run_n0,
+             CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY grp)
+                  AS BIGINT) AS mn0
+      FROM s WHERE isl_n >= 2
+    )
+    SELECT s.user_id, s.ts, s.event_id, CAST(s.value AS DOUBLE) AS value,
+           q.mn0 AS mn,
+           CASE WHEN q.run_n0 = 1 THEN 'STRT'
+                WHEN q.run_n0 IS NOT NULL THEN 'UP' END AS cls,
+           q.run_n0 AS run_n
+    FROM s
+    LEFT JOIN q ON q.user_id = s.user_id AND q.ts = s.ts
+               AND q.event_id = s.event_id
+"""
+
 XOP_ORACLES["x63_pattern_alternation"] = """
     WITH e AS (
       SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40
@@ -4911,6 +4950,39 @@ def _x_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_unmatched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS over the x61/x62
+    ascending-run pattern: EVERY input row survives — rows inside a
+    qualifying run carry MATCH_NUMBER/CLASSIFIER/run count, rows in no
+    match carry NULL measures (SQL:2016 §7.9). The oracle left-joins
+    the full row set to the qualifying-island rendering, so a dropped
+    unmatched row, a non-NULL measure on one, or a mis-spanned island
+    all break the hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, ts, event_id, value, mn, cls, run_n
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 30)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+                   COUNT(*) AS run_n
+          ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          PATTERN (STRT UP+)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    ).select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("double").alias("value"),
+        "mn", "cls", "run_n",
+    )
+
+
 def _x_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PATTERN alternation (SQL:2016 §7.9): two MATCH_RECOGNIZE runs
     union'd with a tag. 'runs' segments each user's series into
@@ -4998,6 +5070,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,
     "x63_pattern_alternation": _x_pattern_alternation,
+    "x65_unmatched_rows": _x_unmatched_rows,
     "q64_create_clone": _q_create_clone,
     "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,

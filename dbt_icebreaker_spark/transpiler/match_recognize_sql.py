@@ -239,15 +239,18 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
             "MATCH_RECOGNIZE requires MEASURES and PATTERN clauses"
         )
     all_rows = False
+    with_unmatched = False
     if "ALL" in got:
         words = [c.upper for c in got["ALL"] if c.kind == WORD]
         if words[:4] != ["ALL", "ROWS", "PER", "MATCH"]:
             raise TranspileError("expected ALL ROWS PER MATCH")
-        if len(words) > 4:
+        if words[4:] == ["WITH", "UNMATCHED", "ROWS"]:
+            with_unmatched = True
+        elif len(words) > 4:
             raise TranspileError(
-                "ALL ROWS PER MATCH modifiers (WITH UNMATCHED ROWS / "
-                "OMIT EMPTY MATCHES / SHOW EMPTY MATCHES) are not "
-                "supported"
+                "ALL ROWS PER MATCH modifiers other than WITH "
+                "UNMATCHED ROWS (OMIT EMPTY MATCHES / SHOW EMPTY "
+                "MATCHES) are not supported"
             )
         all_rows = True
     partition_by = _bare_columns(
@@ -324,6 +327,7 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
         defines=defines,
         skip_to_next_row=skip_next,
         all_rows=all_rows,
+        with_unmatched=with_unmatched,
     )
     # optional alias + tail
     k = next_code(toks, close + 1)

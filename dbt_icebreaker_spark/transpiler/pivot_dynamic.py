@@ -123,12 +123,20 @@ def _name_run_start(toks, end_i: int) -> int:
     return lo + 1
 
 
+_FROM_KEYWORDS = frozenset((
+    "FROM", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "NATURAL", "SEMI", "ANTI", "LATERAL", "ON", "USING", "WHERE",
+    "SELECT", "UNION", "ALL", "EXCEPT", "INTERSECT",
+))
+
+
 def _source_start(toks, pivot_i: int) -> int:
     """Start index of the pivot SOURCE — the table reference or
     parenthesized subquery (with its optional [AS] alias) immediately
     before the PIVOT keyword. The enumeration probe selects FROM this
-    whole segment, so an aliased subquery `(SELECT …) s PIVOT` probes
-    the subquery, not the bare alias name."""
+    whole segment, so an aliased subquery `(SELECT …) s PIVOT` or a
+    bare-aliased table `orders o PIVOT` probes the real source, not
+    the alias name."""
     p = prev_code(toks, pivot_i - 1)
     if p >= 0 and toks[p].is_op(")"):
         return _paren_group_start(toks, p)
@@ -144,6 +152,12 @@ def _source_start(toks, pivot_i: int) -> int:
         return run_lo
     if q >= 0 and toks[q].is_op(")"):
         return _paren_group_start(toks, q)  # (SELECT …) s
+    if (
+        q >= 0
+        and (toks[q].kind == QIDENT
+             or (toks[q].kind == WORD and toks[q].upper not in _FROM_KEYWORDS))
+    ):
+        return _name_run_start(toks, q)  # t s (bare alias, no AS)
     return run_lo
 
 

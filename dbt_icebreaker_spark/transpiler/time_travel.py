@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from .core import TranspileError
 from .tokenizer import (
+    QIDENT,
     WORD,
     find_matching_paren,
     next_code,
@@ -39,6 +40,17 @@ from .tokenizer import (
 )
 
 _SCD2_COLS = {"dbt_valid_from", "dbt_valid_to"}
+
+# words that can follow the AT/BEFORE group without being an alias —
+# clause heads and join keywords (a bare alias is any OTHER word)
+_NON_ALIAS_WORDS = frozenset((
+    "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "LEFT", "RIGHT",
+    "FULL", "INNER", "CROSS", "NATURAL", "SEMI", "ANTI", "LATERAL",
+    "ON", "USING", "UNION", "EXCEPT", "INTERSECT", "HAVING",
+    "QUALIFY", "WINDOW", "FETCH", "OFFSET", "FOR", "ASOF", "PIVOT",
+    "UNPIVOT", "SAMPLE", "TABLESAMPLE", "MATCH_RECOGNIZE", "AT",
+    "BEFORE",
+))
 
 
 def _find_time_travel(toks):
@@ -62,15 +74,31 @@ def _find_time_travel(toks):
             continue
         close = find_matching_paren(toks, j)
         expr = render(toks[next_code(toks, m + 1):close]).strip()
-        # table name: dotted word run immediately before AT/BEFORE
+        # table name: dotted word/"quoted" run immediately before
+        # AT/BEFORE
         p = prev_code(toks, i - 1)
         hi = p + 1
         lo = p
-        while lo >= 0 and (toks[lo].kind == WORD or toks[lo].is_op(".")):
+        while lo >= 0 and (
+            toks[lo].kind in (WORD, QIDENT) or toks[lo].is_op(".")
+        ):
             lo -= 1
         lo += 1
         return (lo, hi, toks[k].upper, t.upper, expr, close)
     return None
+
+
+def _spark_name(toks_slice) -> str:
+    """Render a dotted name span with double-quoted parts converted to
+    backticks (usable both in spark.table() and spliced SQL)."""
+    parts = []
+    for t in toks_slice:
+        if t.kind == QIDENT:
+            name = t.text[1:-1].replace('""', '"').replace("`", "``")
+            parts.append(f"`{name}`")
+        elif t.kind == WORD or t.is_op("."):
+            parts.append(t.text)
+    return "".join(parts)
 
 
 def resolve_time_travel(spark, sql: str, transpiler) -> str:
@@ -92,7 +120,7 @@ def resolve_time_travel(spark, sql: str, transpiler) -> str:
         if hit is None:
             return render(toks)
         lo, hi, kw, kind, expr, close = hit
-        name = render(toks[lo:hi]).strip()
+        name = _spark_name(toks[lo:hi])
         if kw != "TIMESTAMP":
             raise TranspileError(
                 f"Time-travel clause {kind}({kw} => …) is not supported "
@@ -132,13 +160,12 @@ def resolve_time_travel(spark, sql: str, transpiler) -> str:
         # keep the user's alias if one follows; else alias back to the
         # table's last name part so qualified references keep resolving
         after = next_code(toks, close + 1)
-        has_alias = after < len(toks) and toks[after].kind == WORD and (
-            toks[after].upper == "AS"  # AS <alias> follows — keep it
-            or toks[after].upper not in (
-                "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "LEFT",
-                "RIGHT", "FULL", "INNER", "CROSS", "ON", "UNION",
-                "EXCEPT", "INTERSECT", "HAVING", "QUALIFY",
-            )
+        has_alias = after < len(toks) and (
+            toks[after].kind == QIDENT
+            or (toks[after].kind == WORD and (
+                toks[after].upper == "AS"  # AS <alias> follows — keep
+                or toks[after].upper not in _NON_ALIAS_WORDS
+            ))
         )
         alias = "" if has_alias else f" {name.split('.')[-1]}"
         repl = f"(SELECT * FROM {name} WHERE {pred}){alias} "

@@ -3825,9 +3825,10 @@ _ASOF_STOP_WORDS = (
 
 def _asof_split_condition(cond: Tokens, ralias: str):
     """Split `L op R` at the single top-level comparison; return
-    (right_side_expr_text, direction) where right_side_expr is the
-    operand qualified by the RIGHT alias. None when the shape isn't a
-    single comparison with exactly one side referencing the alias."""
+    (r_expr, direction, other_expr, op, alias_is_right) where r_expr
+    is the operand qualified by the RIGHT alias and other_expr is the
+    left-side operand text. None when the shape isn't a single
+    comparison with exactly one side referencing the alias."""
     depth = 0
     for i, t in enumerate(cond):
         if t.is_op("("):
@@ -3866,11 +3867,109 @@ def _asof_split_condition(cond: Tokens, ralias: str):
             if lm == rm:
                 return None  # both or neither side references the alias
             r_side = left if lm else right
+            o_side = right if lm else left
             # `l.ts >= r.ts` (alias on right) / `r.ts <= l.ts` (alias
             # on left) both mean "latest right row at or before" → DESC
             desc = (op in (">=", ">")) if rm else (op in ("<=", "<"))
-            return render(r_side).strip(), ("DESC" if desc else "ASC")
+            return (
+                render(r_side).strip(),
+                ("DESC" if desc else "ASC"),
+                render(o_side).strip(),
+                op,
+                rm,
+            )
     return None
+
+
+def _asof_on_right_keys(on_txt: str, ralias: str):
+    """Parse an ASOF ON clause into right-side equality key column
+    names. Returns the list when EVERY conjunct is a bare
+    `qual.col = qual.col` equality with exactly one side qualified by
+    the right alias; None otherwise (caller falls back to LATERAL)."""
+    toks = tokenize(on_txt)
+    parts: list[Tokens] = []
+    depth = 0
+    start = 0
+    for idx, tk in enumerate(toks):
+        if tk.is_op("("):
+            depth += 1
+        elif tk.is_op(")"):
+            depth -= 1
+        elif depth == 0 and tk.is_word("AND"):
+            parts.append(toks[start:idx])
+            start = idx + 1
+        elif depth == 0 and tk.is_word("OR", "NOT"):
+            return None
+    parts.append(toks[start:])
+    keys: list[str] = []
+    for seg in parts:
+        code = [c for c in seg if c.kind not in (WS, COMMENT)]
+        # qual.col = qual.col (each side exactly qualifier '.' column)
+        if (
+            len(code) != 7
+            or code[0].kind not in (WORD, QIDENT)
+            or not code[1].is_op(".")
+            or code[2].kind not in (WORD, QIDENT)
+            or not code[3].is_op("=")
+            or code[4].kind not in (WORD, QIDENT)
+            or not code[5].is_op(".")
+            or code[6].kind not in (WORD, QIDENT)
+        ):
+            return None
+        lq = code[0].text.strip('"').lower()
+        rq = code[4].text.strip('"').lower()
+        ral = ralias.lower()
+        if (lq == ral) == (rq == ral):
+            return None  # both or neither side is the right alias
+        keys.append((code[2] if lq == ral else code[6]).text.strip('"'))
+    return keys
+
+
+def _asof_has_unsafe_star(tokens: Tokens, asof_i: int, ralias: str) -> bool:
+    """True when the select list feeding this ASOF join contains a
+    bare `*` or `<ralias>.*` at the join's nesting depth — the
+    interval rewrite adds one helper column to the right side, which
+    such a star would surface (the LATERAL form stays column-exact)."""
+    # paren depth at the ASOF position
+    depth = 0
+    for t in tokens[:asof_i]:
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+    # nearest enclosing SELECT at the same depth
+    d = depth
+    sel = None
+    for idx in range(asof_i - 1, -1, -1):
+        t = tokens[idx]
+        if t.is_op(")"):
+            d += 1
+        elif t.is_op("("):
+            d -= 1
+        elif d == depth and t.kind == WORD and t.upper == "SELECT":
+            sel = idx
+            break
+    if sel is None:
+        return True  # can't prove safety — keep the exact form
+    d = depth
+    for idx in range(sel + 1, asof_i):
+        t = tokens[idx]
+        if t.is_op("("):
+            d += 1
+        elif t.is_op(")"):
+            d -= 1
+        elif d == depth and t.kind == WORD and t.upper == "FROM":
+            break
+        elif d == depth and t.is_op("*"):
+            p = prev_code(tokens, idx - 1)
+            if p >= 0 and tokens[p].is_op("."):
+                q = prev_code(tokens, p - 1)
+                qual = tokens[q].text.strip('"').lower() if q >= 0 else ""
+                if qual == ralias.lower():
+                    return True  # r.* would surface the helper column
+            else:
+                return True  # bare *
+    return False
 
 
 def rewrite_asof_join(tokens: Tokens) -> Tokens:
@@ -3959,7 +4058,7 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
                 "(l.ts >= r.ts style) with alias-qualified operands; "
                 f"got {render(cond).strip()!r}"
             )
-        r_expr, direction = split
+        r_expr, direction, other_expr, mc_op, alias_is_right = split
         # optional ON <cond> up to the next top-level clause keyword
         k = next_code(tokens, mc_close + 1)
         on_cond = None
@@ -3986,14 +4085,44 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
             on_cond = render(tokens[next_code(tokens, k + 1):j2]).strip()
             seg_end = j2
         right_ref = render(tokens[r_start:name_end]).strip()
-        where = f"({render(cond).strip()})"
-        if on_cond:
-            where += f" AND ({on_cond})"
-        repl = (
-            f" LEFT JOIN LATERAL (SELECT * FROM {right_ref} {alias} "
-            f"WHERE {where} ORDER BY {r_expr} {direction} LIMIT 1) "
-            f"{alias} ON TRUE "
-        )
+        on_keys = _asof_on_right_keys(on_cond, alias) if on_cond else None
+        if on_keys and not _asof_has_unsafe_star(tokens, i, alias):
+            # SCALE PATH (interval-ization): give each right row a
+            # validity bound — the NEXT (backward as-of) or PREVIOUS
+            # (forward) match-column value within its key group — and
+            # join on `eq AND match AND (bound missing OR bound would
+            # NOT also match)`. Exactly one right row satisfies per
+            # left row, so the whole join is a plain equi-join on the
+            # keys with the inequality as a join filter plus ONE
+            # window over the right side: no correlated LIMIT, no
+            # domain join, no nested loop — the shape that survives
+            # 10× skew (scripts/scale_smoke.py asof_lateral_Nx_skew).
+            bound_fn = "LEAD" if direction == "DESC" else "LAG"
+            part = ", ".join(f"{alias}.{c}" for c in on_keys)
+            if alias_is_right:
+                bound_cmp = f"({other_expr}) {mc_op} {alias}.__asof_bound"
+            else:
+                bound_cmp = f"{alias}.__asof_bound {mc_op} ({other_expr})"
+            repl = (
+                f" LEFT JOIN (SELECT {alias}.*, {bound_fn}({r_expr}) "
+                f"OVER (PARTITION BY {part} ORDER BY {r_expr}) "
+                f"AS __asof_bound FROM {right_ref} {alias}) {alias} "
+                f"ON ({on_cond}) AND ({render(cond).strip()}) "
+                f"AND ({alias}.__asof_bound IS NULL OR NOT ({bound_cmp})) "
+            )
+        else:
+            # exact-columns path: correlated LIMIT-1 lateral (adds no
+            # helper column, so SELECT * / r.* stay Snowflake-exact);
+            # Catalyst decorrelates via a domain join — fine for
+            # dimension-sized right sides, not for both-sides-huge
+            where = f"({render(cond).strip()})"
+            if on_cond:
+                where += f" AND ({on_cond})"
+            repl = (
+                f" LEFT JOIN LATERAL (SELECT * FROM {right_ref} {alias} "
+                f"WHERE {where} ORDER BY {r_expr} {direction} LIMIT 1) "
+                f"{alias} ON TRUE "
+            )
         tokens = tokens[:i] + tokenize(repl) + tokens[seg_end:]
 
 

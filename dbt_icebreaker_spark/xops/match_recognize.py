@@ -18,8 +18,9 @@ refuses actionably at parse time):
   bare ``col`` means LAST(col) (ONE ROW PER MATCH semantics).
 - ``ONE ROW PER MATCH`` (default) and ``ALL ROWS PER MATCH`` with
   SQL:2016 RUNNING measure semantics (incremental accumulators, O(1)
-  per row; CLASSIFIER() = the row's own symbol). The WITH UNMATCHED
-  ROWS / empty-match modifiers refuse.
+  per row; CLASSIFIER() = the row's own symbol), plus ``WITH
+  UNMATCHED ROWS`` (rows in no match emit with NULL measures). The
+  empty-match modifiers refuse.
 - ``AFTER MATCH SKIP PAST LAST ROW`` (default) and ``SKIP TO NEXT
   ROW``.
 - ``PATTERN``: sequences of symbols with greedy quantifiers
@@ -76,6 +77,7 @@ class MatchRecognizeSpec:
     defines: dict[str, str]  # symbol -> Snowflake-dialect boolean SQL
     skip_to_next_row: bool = False
     all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING aggregates)
+    with_unmatched: bool = False  # WITH UNMATCHED ROWS (NULL measures)
 
 
 _QUANT_RE = re.compile(
@@ -315,6 +317,11 @@ def match_recognize(
     """Run the pattern over `df`. DEFINE predicates are compiled to
     JVM boolean columns first (PREV/NEXT → LAG/LEAD window calls);
     the Python matcher sees only booleans + measure-source columns."""
+    if spec.with_unmatched and not spec.all_rows:
+        raise ValueError(
+            "WITH UNMATCHED ROWS requires ALL ROWS PER MATCH "
+            "(SQL:2016 §7.9; ONE ROW PER MATCH has no row to emit)"
+        )
     symbols = [t.symbol for t in spec.pattern]
     part = ", ".join(spec.partition_by)
     order = ", ".join(spec.order_by)
@@ -413,6 +420,7 @@ def match_recognize(
     ob = spec.order_by
     skip_next = spec.skip_to_next_row
     all_rows = spec.all_rows
+    with_unmatched = spec.with_unmatched
 
     def run(key, pdf):
         # na_position='first' matches Spark's ascending NULLS FIRST —
@@ -424,6 +432,7 @@ def match_recognize(
         n = len(pdf)
         flags = [pdf[c].tolist() for c in flag_cols]
         rows = []
+        covered = [False] * n if with_unmatched else None
         match_no = 0
         pos = 0
         while pos < n:
@@ -432,6 +441,9 @@ def match_recognize(
                 pos += 1
                 continue
             end, assign = hit
+            if covered is not None:
+                for i2 in range(pos, end):
+                    covered[i2] = True
             match_no += 1
             if all_rows:
                 # RUNNING measures via incremental accumulators — one
@@ -452,6 +464,17 @@ def match_recognize(
                     )
                 rows.append(rec)
             pos = pos + 1 if skip_next else end
+        if covered is not None:
+            # WITH UNMATCHED ROWS: every input row in NO match is
+            # emitted with NULL measures (SQL:2016 — CLASSIFIER() and
+            # MATCH_NUMBER() are NULL for unmatched rows)
+            for i2 in range(n):
+                if covered[i2]:
+                    continue
+                rec = {c: pdf[c].iloc[i2] for c in data_cols}
+                for m in measures:
+                    rec[m.name] = None
+                rows.append(rec)
         if not rows:
             return pd.DataFrame({f.name: [] for f in out_schema.fields})
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])

@@ -203,6 +203,98 @@ def main() -> None:
             ).filter("ok").count()
         },
     )
+    # round-5 ops (r4 judge task #7): the MATCH_RECOGNIZE automaton and
+    # the ASOF lateral under replication + skew.
+    from dbt_icebreaker_spark.transpiler.core import Transpiler
+    from dbt_icebreaker_spark.xops.match_recognize import (
+        MatchRecognizeSpec,
+        Measure,
+        match_recognize,
+        parse_pattern,
+    )
+
+    ev1 = read_parquet(spark, f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    # wide: N× rows spread over N× DISTINCT users — per-partition size
+    # constant, so the per-partition automaton should stay ~flat until
+    # the 32 cores saturate (wall tracks the LARGEST partition)
+    evN_wide = (
+        ev1.crossJoin(rep)
+        .select(
+            (F.col("user_id") * REPLICAS + F.col("r")).alias("user_id"),
+            "ts", "event_id", "event_type", "value",
+        )
+        .localCheckpoint()
+    )
+    # deep: N× rows folded into the ORIGINAL users — every partition
+    # grows N× deeper; automaton wall time must grow with that largest
+    # partition, not super-linearly
+    evN_deep = (
+        ev1.crossJoin(rep)
+        .select(
+            "user_id", "ts",
+            (F.col("event_id") * REPLICAS + F.col("r")).alias("event_id"),
+            "event_type", "value",
+        )
+        .localCheckpoint()
+    )
+
+    def mr_spec():
+        return MatchRecognizeSpec(
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            measures=[Measure("n", "count", None, None)],
+            pattern=parse_pattern("STRT UP+"),
+            defines={"UP": "value > PREV(value)"},
+        )
+
+    timed(
+        "match_recognize_1x",
+        lambda: {"matches": match_recognize(ev1, mr_spec()).count()},
+    )
+    timed(
+        "match_recognize_Nx_wide",
+        lambda: {"matches": match_recognize(evN_wide, mr_spec()).count()},
+    )
+    timed(
+        "match_recognize_Nx_deep",
+        lambda: {"matches": match_recognize(evN_deep, mr_spec()).count()},
+    )
+
+    # q68 ASOF at N× with a HOT key: half of all click rows forced
+    # onto user 0. The round-5 interval rewrite must plan as a plain
+    # equi-join + window (the r4 LATERAL form fell into a domain
+    # nested-loop join here: 2597 s; interval form: ~10 s).
+    t = Transpiler()
+    evS = evN_wide.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    evS.createOrReplaceTempView("smoke_events")
+    asof_sql = t.to_spark(
+        """
+        WITH clicks AS (SELECT user_id, ts, event_id FROM smoke_events
+                        WHERE event_type = 'click'),
+             buys AS (SELECT user_id, ts AS buy_ts, MAX(value) AS buy_value
+                      FROM smoke_events WHERE event_type = 'purchase'
+                      GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, b.buy_ts, b.buy_value
+        FROM clicks c ASOF JOIN buys b
+             MATCH_CONDITION(c.ts >= b.buy_ts)
+             ON c.user_id = b.user_id
+        """
+    )
+    asof_df = spark.sql(asof_sql)
+    plan = asof_df._jdf.queryExecution().executedPlan().toString()
+    timed(
+        "asof_lateral_Nx_skew",
+        lambda: {
+            "rows": asof_df.count(),
+            "equi_join": "BroadcastHashJoin" in plan or "SortMergeJoin" in plan,
+            "nested_loop": "NestedLoop" in plan or "CartesianProduct" in plan,
+        },
+    )
     spark.stop()
 
 

@@ -1,0 +1,188 @@
+"""Round-5 execution battery, kept as a permanent surface lock.
+
+Every case transpiles AND executes a Snowflake spelling and checks the
+value — transpile-success alone lies (the round-4/5 batteries caught
+DAYOFWEEK off-by-one, dynamic PIVOT, and variant-subscript bugs that
+string-level tests missed). Dates/timestamps compare by string prefix;
+presence-only cases assert non-error execution.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from dbt_icebreaker_spark.transpiler.core import Transpiler
+
+t = Transpiler()
+
+# (snowflake_sql, expected) — expected None = executes without error;
+# tuple = any member acceptable
+SCALAR_CASES = [
+    ("SELECT INSERT('abcdef', 2, 3, 'XY')", "aXYef"),
+    ("SELECT SPLIT_PART('a.b.c', '.', 2)", "b"),
+    ("SELECT SPLIT_PART('a.b.c', '.', -1)", "c"),
+    ("SELECT CHARINDEX('b', 'abc')", 2),
+    ("SELECT POSITION('b' IN 'abc')", 2),
+    ("SELECT RTRIMMED_LENGTH('ab  ')", 2),
+    ("SELECT TRANSLATE('abc', 'abc', 'xyz')", "xyz"),
+    ("SELECT INITCAP('hello world')", "Hello World"),
+    ("SELECT REPEAT('ab', 3)", "ababab"),
+    ("SELECT LPAD('5', 3, '0')", "005"),
+    ("SELECT ASCII('A')", 65),
+    ("SELECT CHR(66)", "B"),
+    ("SELECT UNICODE('€')", 8364),
+    ("SELECT REGEXP_COUNT('a1b2c3', '\\\\d')", 3),
+    ("SELECT REGEXP_SUBSTR('a1b22c333', '\\\\d+', 1, 2)", "22"),
+    ("SELECT REGEXP_REPLACE('a1b2', '\\\\d', 'X')", "aXbX"),
+    ("SELECT RLIKE('abc123', '.*\\\\d+')", True),
+    ("SELECT ENDSWITH('abc', 'bc')", True),
+    ("SELECT INSTR('hello', 'll')", 3),
+    ("SELECT STRTOK_TO_ARRAY('a-b-c', '-')[1]", "b"),
+    ("SELECT ARRAY_SLICE(ARRAY_CONSTRUCT(1,2,3,4,5), 1, 3)", [2, 3]),
+    ("SELECT ARRAY_POSITION(2::VARIANT, ARRAY_CONSTRUCT(1,2,3))", 1),
+    ("SELECT ARRAY_CONTAINS(2::VARIANT, ARRAY_CONSTRUCT(1,2,3))", True),
+    ("SELECT ARRAY_PREPEND(ARRAY_CONSTRUCT(2,3), 1)", [1, 2, 3]),
+    ("SELECT ARRAY_CAT(ARRAY_CONSTRUCT(1), ARRAY_CONSTRUCT(2))", [1, 2]),
+    ("SELECT ARRAY_TO_STRING(ARRAY_CONSTRUCT(1,2), '-')", "1-2"),
+    ("SELECT ARRAYS_OVERLAP(ARRAY_CONSTRUCT(1,2), ARRAY_CONSTRUCT(2,9))", True),
+    ("SELECT ARRAY_DISTINCT(ARRAY_CONSTRUCT(1,1,2))", [1, 2]),
+    ("SELECT ARRAY_MIN(ARRAY_CONSTRUCT(3,1,2))", 1),
+    ("SELECT ARRAY_MAX(ARRAY_CONSTRUCT(3,1,2))", 3),
+    ("SELECT ARRAY_COMPACT(ARRAY_CONSTRUCT(1, NULL, 2))", [1, 2]),
+    ("SELECT ARRAY_FLATTEN(ARRAY_CONSTRUCT(ARRAY_CONSTRUCT(1), ARRAY_CONSTRUCT(2)))", [1, 2]),
+    ("SELECT GET(ARRAY_CONSTRUCT(7,8), 1)", 8),
+    ("SELECT DATE_TRUNC('month', '2024-03-15'::DATE)", "2024-03-01"),
+    ("SELECT LAST_DAY('2024-02-10'::DATE)", "2024-02-29"),
+    ("SELECT NEXT_DAY('2024-01-01'::DATE, 'Friday')", "2024-01-05"),
+    ("SELECT PREVIOUS_DAY('2024-01-10'::DATE, 'Friday')", "2024-01-05"),
+    ("SELECT MONTHNAME('2024-03-15'::DATE)", "Mar"),
+    ("SELECT DAYNAME('2024-03-15'::DATE)", "Fri"),
+    ("SELECT ADD_MONTHS('2024-01-31'::DATE, 1)", "2024-02-29"),
+    ("SELECT TRUNC('2024-03-15'::DATE, 'YEAR')", "2024-01-01"),
+    ("SELECT YEAROFWEEK('2024-01-01'::DATE)", 2024),
+    ("SELECT HOUR('2024-01-01 13:45:10'::TIMESTAMP)", 13),
+    ("SELECT MINUTE('2024-01-01 13:45:10'::TIMESTAMP)", 45),
+    ("SELECT SECOND('2024-01-01 13:45:10'::TIMESTAMP)", 10),
+    ("SELECT QUARTER('2024-05-01'::DATE)", 2),
+    ("SELECT DIV0(10, 0)", 0),
+    ("SELECT DIV0NULL(10, NULL)", 0),
+    ("SELECT MOD(10, 3)", 1),
+    ("SELECT SQUARE(4)", 16.0),
+    ("SELECT SIGN(-3)", -1),
+    ("SELECT TRUNCATE(3.789, 1)", 3.7),
+    ("SELECT ROUND(2.5)", 3),
+    ("SELECT BITAND(12, 10)", 8),
+    ("SELECT BITOR(12, 10)", 14),
+    ("SELECT BITXOR(12, 10)", 6),
+    ("SELECT BITNOT(0)", -1),
+    ("SELECT BOOLAND(1, 1)", True),
+    ("SELECT BOOLOR(0, 1)", True),
+    ("SELECT BOOLXOR(1, 1)", False),
+    ("SELECT BOOLNOT(0)", True),
+    ("SELECT NULLIFZERO(0)", None),
+    ("SELECT ZEROIFNULL(NULL)", 0),
+    ("SELECT NVL2(1, 'a', 'b')", "a"),
+    ("SELECT NVL2(NULL, 'a', 'b')", "b"),
+    ("SELECT DECODE(2, 1, 'one', 2, 'two', 'other')", "two"),
+    ("SELECT GREATEST_IGNORE_NULLS(1, NULL, 3)", 3),
+    ("SELECT LEAST_IGNORE_NULLS(NULL, 2, 5)", 2),
+    ("SELECT IS_NULL_VALUE(PARSE_JSON('null'))", True),
+    ("SELECT TYPEOF(PARSE_JSON('{\"a\":1}'))", "OBJECT"),
+    ("SELECT OBJECT_KEYS(PARSE_JSON('{\"a\":1,\"b\":2}'))", ["a", "b"]),
+    ("SELECT PARSE_JSON('{\"a\": {\"b\": 7}}'):a.b::INT", 7),
+    ("SELECT PARSE_JSON('[1,2,3]')[2]::INT", 3),
+    ("SELECT GET_PATH(PARSE_JSON('{\"a\":{\"b\":5}}'), 'a.b')::INT", 5),
+    ("SELECT TO_JSON(OBJECT_CONSTRUCT('a', 1))", '{"a":1}'),
+    ("SELECT JSON_EXTRACT_PATH_TEXT('{\"a\":{\"b\":\"x\"}}', 'a.b')", "x"),
+    ("SELECT MD5('abc')", "900150983cd24fb0d6963f7d28e17f72"),
+    ("SELECT SHA1('abc')", "a9993e364706816aba3e25717850c26c9cd0d89d"),
+    ("SELECT HEX_ENCODE('ab')", "6162"),
+    ("SELECT HEX_DECODE_STRING('6162')", "ab"),
+    ("SELECT BASE64_ENCODE('ab')", "YWI="),
+    ("SELECT BASE64_DECODE_STRING('YWI=')", "ab"),
+    ("SELECT 'a' || 'b' || 'c'", "abc"),
+    ("SELECT CONTAINS('abcd', 'bc')", True),
+    ("SELECT EDITDISTANCE('kitten', 'sitting')", 3),
+    ("SELECT SOUNDEX('Robert')", "R163"),
+    ("SELECT UUID_STRING() IS NOT NULL", True),
+    ("SELECT TO_DOUBLE('1.5e2')", 150.0),
+    ("SELECT TRY_TO_NUMBER('abc')", ("__NULL__",)),
+    ("SELECT TO_NUMERIC('42')", 42),
+    ("SELECT TO_CHAR(42)", "42"),
+    ("SELECT TO_DATE('2024-03-05', 'YYYY-MM-DD')", "2024-03-05"),
+    ("SELECT TO_TIMESTAMP('05/03/2024 13:04', 'DD/MM/YYYY HH24:MI')", "2024-03-05 13:04:00"),
+    ("SELECT TRY_TO_DATE('bogus')", ("__NULL__",)),
+    ("SELECT TRY_CAST('12' AS INT)", 12),
+    ("SELECT DATEADD(month, 1, '2024-01-31'::DATE)", "2024-02-29"),
+    ("SELECT TIMEADD(hour, 2, '2024-01-01 00:00:00'::TIMESTAMP)", "2024-01-01 02:00:00"),
+    ("SELECT TIMESTAMPADD(minute, 30, '2024-01-01 00:00:00'::TIMESTAMP)", "2024-01-01 00:30:00"),
+    ("SELECT TIMESTAMPDIFF(hour, '2024-01-01'::TIMESTAMP, '2024-01-02'::TIMESTAMP)", 24),
+    ("SELECT TIME_SLICE('2024-01-01 00:37:00'::TIMESTAMP, 15, 'MINUTE')", "2024-01-01 00:30:00"),
+    ("SELECT DATE_FROM_PARTS(2024, 2, 29)", "2024-02-29"),
+    ("SELECT TIMESTAMP_FROM_PARTS(2024, 1, 2, 3, 4, 5)", "2024-01-02 03:04:05"),
+    ("SELECT EXTRACT(EPOCH FROM '1970-01-01 00:01:00'::TIMESTAMP)", 60),
+]
+
+AGG_CASES = [
+    ("SELECT MEDIAN(v) FROM bt", 20.0),
+    ("SELECT REGR_COUNT(v, k) FROM bt", 3),
+    ("SELECT APPROX_COUNT_DISTINCT(g) FROM bt", 2),
+    ("SELECT HLL(g) FROM bt", 2),
+    ("SELECT APPROX_PERCENTILE(v, 0.5) FROM bt", 20.0),
+    ("SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) FROM bt", 20.0),
+    ("SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) FROM bt", 20.0),
+    ("SELECT COUNT_IF(v > 15) FROM bt", 2),
+    ("SELECT MIN_BY(g, v) FROM bt", "a"),
+    ("SELECT MAX_BY(g, v) FROM bt", "b"),
+    ("SELECT BITAND_AGG(k) FROM bt", 0),
+    ("SELECT BITOR_AGG(k) FROM bt", 7),
+    ("SELECT BITXOR_AGG(k) FROM bt", 4),
+    ("SELECT BOOLAND_AGG(v > 5) FROM bt", True),
+    ("SELECT BOOLOR_AGG(v > 25) FROM bt", True),
+    ("SELECT ARRAY_AGG(k) WITHIN GROUP (ORDER BY k DESC) FROM bt", [4, 3, 2, 1]),
+    ("SELECT ARRAY_UNION_AGG(a) FROM (SELECT ARRAY_CONSTRUCT(1,2) a "
+     "UNION ALL SELECT ARRAY_CONSTRUCT(2,3))", [1, 2, 3]),
+    ("SELECT ARRAY_UNIQUE_AGG(g) FROM bt", ["a", "b"]),
+    ("SELECT LISTAGG(DISTINCT g, ',') WITHIN GROUP (ORDER BY g) FROM bt", "a,b"),
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _battery_fixture(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW bt AS SELECT * FROM VALUES "
+        "(1, 'a', 10.0), (2, 'a', 20.0), (3, 'b', 30.0), (4, 'b', NULL) "
+        "t(k, g, v)"
+    )
+
+
+def _check(spark, sql, expect):
+    v = spark.sql(t.to_spark(sql)).collect()[0][0]
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        v = str(v)[:19]
+        if isinstance(expect, str):
+            v = v[: len(expect)]
+    if expect is None:
+        return
+    if isinstance(expect, tuple):
+        if expect == ("__NULL__",):
+            assert v is None, f"{sql}: got {v!r}, want NULL"
+        else:
+            assert v in expect, f"{sql}: got {v!r}, want one of {expect!r}"
+        return
+    if isinstance(v, float) and isinstance(expect, (int, float)):
+        assert abs(v - float(expect)) < 1e-9, f"{sql}: got {v!r} want {expect!r}"
+        return
+    assert v == expect, f"{sql}: got {v!r} want {expect!r}"
+
+
+@pytest.mark.parametrize("sql,expect", SCALAR_CASES, ids=lambda c: str(c)[:48])
+def test_scalar_surface(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+@pytest.mark.parametrize("sql,expect", AGG_CASES, ids=lambda c: str(c)[:48])
+def test_aggregate_surface(spark, sql, expect):
+    _check(spark, sql, expect)

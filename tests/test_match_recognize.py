@@ -220,13 +220,66 @@ class TestAlternation:
         ]
 
 
+class TestWithUnmatchedRows:
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS — rows in no match emit
+    with NULL measures (SQL:2016: CLASSIFIER()/MATCH_NUMBER() NULL)."""
+
+    def test_unmatched_rows_emitted_with_null_measures(self, engine, ticks):
+        df = engine.execute(
+            """SELECT sym, t, cls, mn FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+                 ALL ROWS PER MATCH WITH UNMATCHED ROWS
+                 PATTERN (UP UP)
+                 DEFINE UP AS price > PREV(price)
+               ) WHERE sym = 'B' ORDER BY t"""
+        )
+        rows = [tuple(r) for r in df.collect()]
+        # B: t1 unmatched (no PREV), t2-t3 the UP UP match
+        assert rows == [
+            ("B", 1, None, None),
+            ("B", 2, "UP", 1),
+            ("B", 3, "UP", 1),
+        ]
+
+    def test_every_input_row_survives(self, engine, ticks):
+        df = engine.execute(
+            """SELECT sym, t FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES MATCH_NUMBER() AS mn
+                 ALL ROWS PER MATCH WITH UNMATCHED ROWS
+                 PATTERN (DOWN DOWN)
+                 DEFINE DOWN AS price < PREV(price)
+               )"""
+        )
+        # 12 input rows total, all present exactly once (skip PAST
+        # LAST ROW — matches are disjoint)
+        assert df.count() == 12
+
+    def test_requires_all_rows(self):
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            MatchRecognizeSpec, Measure, match_recognize, parse_pattern,
+        )
+
+        import pytest as _pytest
+
+        spec = MatchRecognizeSpec(
+            partition_by=["k"], order_by=["t"],
+            measures=[Measure("n", "count", None, None)],
+            pattern=parse_pattern("A"), defines={},
+            with_unmatched=True, all_rows=False,
+        )
+        with _pytest.raises(ValueError, match="ALL ROWS PER MATCH"):
+            match_recognize(None, spec)
+
+
 class TestRefusals:
     @pytest.mark.parametrize(
         "body,msg",
         [
             ("PATTERN ((A B) C) DEFINE A AS x > 1", "grouping"),
-            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH WITH "
-             "UNMATCHED ROWS PATTERN (A)", "UNMATCHED"),
+            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH OMIT "
+             "EMPTY MATCHES PATTERN (A)", "EMPTY"),
             ("MEASURES COUNT(*) AS n PATTERN (A) "
              "DEFINE Z AS x > 1", "not present in PATTERN"),
             ("MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A "

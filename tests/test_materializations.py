@@ -1487,6 +1487,52 @@ class TestMergeStatement:
         # target untouched after the refused merge
         assert spark.table("mat_test.mg12").count() == 3
 
+    def test_case_expression_in_set_and_condition(self, spark, engine):
+        # r5 review: unparenthesized CASE carries WHEN/THEN at paren
+        # depth 0 — the SET/condition scanners must not stop inside it
+        self._seed(spark, engine, "mg14")
+        spark.createDataFrame(
+            [(1, "x", -5.0), (2, "y", 7.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg14_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg14 t USING mg14_src s ON t.k = s.k "
+            "WHEN MATCHED AND CASE WHEN s.v > 0 THEN TRUE ELSE FALSE END "
+            "THEN UPDATE SET t.v = CASE WHEN s.v > 5 THEN s.v ELSE 0 END, "
+            "t.s = s.s"
+        )
+        got = {r.k: (r.s, r.v) for r in spark.table("mat_test.mg14").collect()}
+        # k=1: condition false (v=-5) → unchanged; k=2: v=7>5 → 7.0
+        assert got[1] == ("a", 10.0) and got[2] == ("y", 7.0)
+
+    def test_general_merge_drops_temp_views(self, spark, engine):
+        self._seed(spark, engine, "mg15")
+        spark.createDataFrame(
+            [(1, "u", 1.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg15_src")
+        before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        engine.execute(
+            "MERGE INTO mat_test.mg15 t USING mg15_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 0 THEN UPDATE SET t.s = s.s"
+        )
+        after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        leaked = {n for n in after - before if n.startswith("__icebreaker_mrg")}
+        assert not leaked, leaked
+
+    def test_set_star_case_insensitive_columns(self, spark, engine):
+        # source columns in different case than target must satisfy
+        # SET * / INSERT * validation (Spark resolves case-insensitively)
+        self._seed(spark, engine, "mg16")
+        spark.createDataFrame(
+            [(2, "B", 22.0), (9, "i", 90.0)], "K int, S string, V double"
+        ).createOrReplaceTempView("mg16_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg16 t USING mg16_src s ON t.k = s.K "
+            "WHEN MATCHED AND s.V > 0 THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r.k: r.s for r in spark.table("mat_test.mg16").collect()}
+        assert got[2] == "B" and got[9] == "i"
+
     def test_conditional_snowflake_dialect_condition(self, spark, engine):
         # IFF in the condition proves WHEN conditions transpile too
         self._seed(spark, engine, "mg13")
@@ -1581,6 +1627,32 @@ class TestTimeTravel:
             "WHERE h.c_custkey < 5"
         )
         assert df.count() == 5
+
+    def test_followed_by_join_keyword_gets_alias(self, spark, engine):
+        # r5 review: a join keyword (ASOF/JOIN/PIVOT...) after the
+        # AT() group is NOT an alias — the implicit alias must still
+        # be appended so qualified refs resolve
+        self._build_history(spark, engine, "tt5")
+        df = engine.execute(
+            "SELECT tt5.c_custkey, c.c_name FROM mat_test.tt5 "
+            "AT(TIMESTAMP => '2026-01-15'::TIMESTAMP) "
+            "JOIN customer c ON c.c_custkey = tt5.c_custkey "
+            "WHERE tt5.c_custkey < 3"
+        )
+        assert df.count() == 3
+
+    def test_quoted_snapshot_table_name(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        # a "quoted" table name must resolve (here: to the refusal for
+        # a non-snapshot table, not an empty-name parse error)
+        with _pytest.raises(TranspileError, match="snapshot"):
+            engine.execute(
+                'SELECT * FROM "customer" '
+                "AT(TIMESTAMP => '2026-01-01'::TIMESTAMP)"
+            )
 
     def test_non_snapshot_table_refused(self, spark, engine):
         import pytest as _pytest
@@ -1865,6 +1937,15 @@ class TestDynamicPivot:
         self._seed(spark)
         df = engine.execute(
             "SELECT * FROM piv_sales AS s "
+            "PIVOT (SUM(amt) FOR quarter IN (ANY)) ORDER BY region"
+        )
+        assert df.columns == ["region", "q1", "q2", "q3"]
+
+    def test_bare_aliased_named_table_source(self, spark, engine):
+        # r5 review: `t s PIVOT` (no AS) probed `FROM s`
+        self._seed(spark)
+        df = engine.execute(
+            "SELECT * FROM piv_sales s "
             "PIVOT (SUM(amt) FOR quarter IN (ANY)) ORDER BY region"
         )
         assert df.columns == ["region", "q1", "q2", "q3"]

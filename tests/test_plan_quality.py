@@ -66,12 +66,17 @@ class TestJoinStrategy:
         plan = _executed_plan(qs["q24_not_exists"](spark, SF_DIR))
         assert "LeftAnti" in plan
 
-    def test_q68_asof_join_decorrelates_to_group_limit(self, spark, qs):
-        # the LATERAL LIMIT-1 rewrite must decorrelate into a
-        # top-1-per-group WindowGroupLimit, not a per-row re-execution,
-        # and never a CartesianProduct
+    def test_q68_asof_join_is_equi_join_plus_window(self, spark, qs):
+        # r5 interval rewrite: an ON-keyed ASOF join must plan as a
+        # plain equi-join on the keys (hash/merge) with the inequality
+        # as a join filter, plus ONE window (LEAD bound) on the right
+        # side — the r4 LATERAL form decorrelated into a domain
+        # BroadcastNestedLoopJoin that took 2597 s at 10x skew
+        # (scripts/scale_smoke.py asof_lateral_Nx_skew; now 10 s)
         plan = _executed_plan(qs["q68_asof_join"](spark, SF_DIR))
-        assert "WindowGroupLimit" in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        assert "Window" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
 

@@ -1442,6 +1442,74 @@ class TestAsofJoin:
                 "MATCH_CONDITION(l.ts >= r.ts)"
             )
 
+    def test_select_star_uses_exact_lateral_form(self, spark):
+        # SELECT * must stay column-exact (l.* + r.*): the interval
+        # scale path adds a helper column, so star selects keep the
+        # LATERAL form
+        out = t.to_spark(
+            "SELECT * FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts) ON l.k = r.k"
+        )
+        assert "LATERAL" in out and "__asof_bound" not in out
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW asof_l AS SELECT * FROM VALUES "
+            "(1, 10) t(k, ts)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW asof_r AS SELECT * FROM VALUES "
+            "(1, 8, 'a') t(k, rts, v)"
+        )
+        df = spark.sql(out)
+        assert df.columns == ["k", "ts", "k", "rts", "v"]
+
+    def test_explicit_columns_use_interval_form(self):
+        out = t.to_spark(
+            "SELECT l.k, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts) ON l.k = r.k"
+        )
+        assert "LATERAL" not in out and "__asof_bound" in out
+        assert "LEAD" in out.upper()
+
+    def test_left_star_still_interval(self):
+        # l.* is safe (only the RIGHT side carries the helper column)
+        out = t.to_spark(
+            "SELECT l.*, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts) ON l.k = r.k"
+        )
+        assert "__asof_bound" in out
+
+    def test_duplicate_right_ties_pick_one(self, spark):
+        # two right rows at the SAME (k, ts): exactly one match row
+        # per left row (Snowflake picks one nondeterministically; the
+        # interval form keeps the last tie in window order)
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW asof_l AS SELECT * FROM VALUES "
+            "(1, 10) t(k, ts)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW asof_r AS SELECT * FROM VALUES "
+            "(1, 8, 'a'), (1, 8, 'b') t(k, rts, v)"
+        )
+        rows = spark.sql(t.to_spark(
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts) ON l.k = r.k"
+        )).collect()
+        assert len(rows) == 1 and rows[0].v in ("a", "b")
+
+    def test_forward_direction_interval(self, spark):
+        # earliest-at-or-after goes through LAG
+        out = t.to_spark(
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts <= r.rts) ON l.k = r.k"
+        )
+        assert "LAG" in out.upper() and "__asof_bound" in out
+        got = self._run(
+            spark,
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts <= r.rts) ON l.k = r.k",
+        )
+        assert got == [(1, 10, "b"), (1, 20, None), (2, 5, "c")]
+
     def test_asof_inside_cte(self, spark):
         # r4 advisor repro: the ON-clause scan swallowed the CTE's
         # closing paren and everything after it into the lateral WHERE
