@@ -220,10 +220,13 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_CAT": "CONCAT",
         "ARRAY_FLATTEN": "flatten",  # scalar flatten (LATERAL FLATTEN is T13)
         # Snowflake ARRAY_PREPEND(array, value) — array FIRST, same as
-        # ARRAY_APPEND and as Spark's array_prepend: straight rename
-        # (the Postgres-style (value, array) swap shipped in r02 was a
-        # bug caught by the round-3 function-surface audit)
-        "ARRAY_PREPEND": "ARRAY_PREPEND",
+        # ARRAY_APPEND and as Spark's array_prepend (the Postgres-style
+        # swap shipped in r02 was a bug caught by the round-3 audit);
+        # element args strip a ::VARIANT string-cast residue (Spark
+        # arrays are typed — r5 battery finding)
+        "ARRAY_PREPEND": "ARRPREP_X",
+        "ARRAY_APPEND": "ARRAPP_X",
+        "ARRAY_REMOVE": "ARRREM_X",
         "ARRAY_POSITION": "ARRPOS_SWAP",  # + 1-based→0-based/NULL semantics
         "DATE_FROM_PARTS": "MAKE_DATE",
         "TIMESTAMP_FROM_PARTS": "MAKE_TIMESTAMP",
@@ -413,6 +416,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
     "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
     "SKEW_X", "KURT_X", "ARRINS_X", "ARRREMAT_X", "ARRGEN_X", "GET_X",
+    "ARRAPP_X", "ARRPREP_X", "ARRREM_X",
     "SPLIT_X", "STRTOKARR_X",
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
     "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
@@ -1255,6 +1259,18 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(_sorted_obj_json(
                     f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
+            elif t.text in ("ARRAPP_X", "ARRPREP_X", "ARRREM_X") and len(args) == 2:
+                # (array, element) with the element's ::VARIANT
+                # string-cast residue stripped — Spark arrays are typed
+                fn = {
+                    "ARRAPP_X": "array_append",
+                    "ARRPREP_X": "array_prepend",
+                    "ARRREM_X": "array_remove",
+                }[t.text]
+                arr = tokens[args[0][0]:args[0][1]]
+                e_ = _unwrap_string_cast(tokens[args[1][0]:args[1][1]])
+                out += ([_word(fn), _op("(")] + arr
+                        + [_op(","), _sp()] + e_ + [_op(")")])
             elif t.text == "ARRINS_X" and len(args) == 3:
                 # Snowflake ARRAY_INSERT position is 0-BASED; Spark's
                 # array_insert is 1-based. Literal non-negative → +1 at
@@ -1264,7 +1280,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # silent off-by-one in DML is worse than an error.
                 arr = tokens[args[0][0]:args[0][1]]
                 p_ = tokens[args[1][0]:args[1][1]]
-                e_ = tokens[args[2][0]:args[2][1]]
+                e_ = _unwrap_string_cast(tokens[args[2][0]:args[2][1]])
                 p_code = [c for c in p_ if c.kind != WS]
                 if len(p_code) == 1 and p_code[0].text.isdigit():
                     pos: Tokens = [_word(str(int(p_code[0].text) + 1))]
@@ -1815,6 +1831,9 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "RXALL_X": "regexp_extract_all", "OBJAGG_X": "to_json",
                     "SKEW_X": "skewness", "KURT_X": "kurtosis",
                     "ARRINS_X": "array_insert", "ARRGEN_X": "sequence",
+                    "ARRAPP_X": "array_append",
+                    "ARRPREP_X": "array_prepend",
+                    "ARRREM_X": "array_remove",
                     "GET_X": "get", "SPLIT_X": "split",
                     "STRTOKARR_X": "split",
                     "TRIM_X": "trim", "LTRIM_X": "ltrim",
@@ -2633,16 +2652,25 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                               _op("->"), _sp(), _word("_x"), _sp(),
                               _op("!="), _sp(), Token(STRING, "''"),
                               _op(")")])
+                # SEQ: Snowflake promises a unique number per input
+                # row (explicitly NOT gap-free/ordered) — rendered as
+                # xxhash64 of the input string: deterministic, groups
+                # one row's tokens together; duplicate input strings
+                # share a seq (documented deviation)
                 out += ([_sp(), _word("LATERAL"), _sp(), _word("VIEW"),
                          _sp(), _word("inline"), _op("("),
                          _word("transform"), _op("(")] + arr
                         + [_op(","), _sp(), _op("("), _word("_x"),
                            _op(","), _sp(), _word("_i"), _op(")"), _sp(),
                            _op("->"), _sp(), _word("struct"), _op("("),
+                           _word("xxhash64"), _op("("), _op("(")]
+                        + list(s_expr)
+                        + [_op(")"), _op(")"), _op(","), _sp(),
                            _word("_i"), _sp(), _op("+"), _sp(),
                            _word("1"), _op(","), _sp(), _word("_x"),
                            _op(")"), _op(")"), _op(")"), _sp(),
                            _word(alias), _sp(), _word("AS"), _sp(),
+                           _word("seq"), _op(","), _sp(),
                            _word("index"), _op(","), _sp(),
                            _word("value")])
                 i = consumed_to + 1
@@ -5111,6 +5139,57 @@ def rewrite_minhash(tokens: Tokens) -> Tokens:
 
 
 # ------------------------------------------------------------- pipeline
+def rewrite_temp_table(tokens: Tokens) -> Tokens:
+    """Snowflake `CREATE [OR REPLACE] TEMPORARY|TEMP|VOLATILE TABLE x
+    AS SELECT …` → Spark `CREATE OR REPLACE TEMPORARY VIEW x AS …`.
+
+    Spark has no session-scoped TABLE; the temp VIEW carries the same
+    session lifetime and name scoping. Documented deviation: a view
+    re-evaluates its query (visible only with non-deterministic
+    sources mid-session). The DDL-only form (no AS SELECT) refuses —
+    a columns-only temp table has no view rendering."""
+    from .core import TranspileError
+
+    code = [k for k, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+    words = [tokens[k].upper if tokens[k].kind == WORD else tokens[k].text
+             for k in code[:7]]
+    if not words or words[0] != "CREATE":
+        return tokens
+    j = 1
+    replace = False
+    if words[1:3] == ["OR", "REPLACE"]:
+        replace = True
+        j = 3
+    if j >= len(words) or words[j] not in ("TEMPORARY", "TEMP", "VOLATILE"):
+        return tokens
+    if j + 1 >= len(words) or words[j + 1] != "TABLE":
+        return tokens
+    # find top-level AS
+    depth = 0
+    as_i = -1
+    for k in range(code[j + 1] + 1, len(tokens)):
+        t = tokens[k]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "AS":
+            as_i = k
+            break
+    if as_i < 0:
+        raise TranspileError(
+            "CREATE TEMPORARY TABLE without AS SELECT has no Spark "
+            "rendering (no session-scoped tables) — use CREATE "
+            "TEMPORARY TABLE ... AS SELECT, or a real table."
+        )
+    name = render(tokens[code[j + 1] + 1:as_i]).strip()
+    body = render(tokens[as_i + 1:]).strip()
+    head = "CREATE OR REPLACE TEMPORARY VIEW" if replace else (
+        "CREATE TEMPORARY VIEW"
+    )
+    return tokenize(f"{head} {name} AS {body}")
+
+
 def rewrite_quoted_identifiers(tokens: Tokens) -> Tokens:
     """Snowflake double-quoted identifiers → Spark backtick identifiers.
 
@@ -5132,6 +5211,7 @@ def rewrite_quoted_identifiers(tokens: Tokens) -> Tokens:
 
 
 PIPELINE = (
+    rewrite_temp_table,        # CREATE TEMP TABLE AS → TEMP VIEW (stmt-level)
     rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)
     rewrite_connect_by,        # whole-statement restructure runs first
     rewrite_asof_join,         # FROM-clause restructure (LATERAL top-1)

@@ -662,6 +662,45 @@ class TestVariantSubscript:
         assert not ok and "parquet" in msg
 
 
+class TestRound5BatteryFixes:
+    """Round-5 battery findings: variant-cast element args to array
+    functions, SPLIT_TO_TABLE's SEQ column, temp tables."""
+
+    def test_array_element_variant_casts_stripped(self, spark):
+        for sql, expect in (
+            ("SELECT ARRAY_INSERT(ARRAY_CONSTRUCT(1,3), 1, 2::VARIANT) AS v", [1, 2, 3]),
+            ("SELECT ARRAY_APPEND(ARRAY_CONSTRUCT(1), 2::VARIANT) AS v", [1, 2]),
+            ("SELECT ARRAY_PREPEND(ARRAY_CONSTRUCT(2), 1::VARIANT) AS v", [1, 2]),
+            ("SELECT ARRAY_REMOVE(ARRAY_CONSTRUCT(1,2,1), 1::VARIANT) AS v", [2]),
+        ):
+            assert spark.sql(t.to_spark(sql)).collect()[0].v == expect, sql
+
+    def test_split_to_table_seq_column(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT s.seq, s.index, s.value "
+            "FROM TABLE(SPLIT_TO_TABLE('x-y', '-')) s"
+        )).collect()
+        assert [(r["index"], r.value) for r in rows] == [(1, "x"), (2, "y")]
+        # one input row → one seq value across its tokens
+        assert len({r.seq for r in rows}) == 1
+
+    def test_temp_table_becomes_temp_view(self, spark):
+        out = t.to_spark("CREATE OR REPLACE TEMPORARY TABLE tt5 AS SELECT 1 AS a")
+        assert "TEMPORARY VIEW" in out and "TABLE" not in out.upper().replace(
+            "TEMPORARY VIEW", ""
+        )
+        spark.sql(out)
+        assert spark.sql("SELECT a FROM tt5").collect()[0].a == 1
+
+    def test_temp_table_ddl_only_refuses(self):
+        ok, msg = t.can_transpile("CREATE TEMP TABLE x (a INT)")
+        assert not ok and "AS SELECT" in msg
+
+    def test_plain_create_table_untouched(self):
+        out = t.to_spark("CREATE TABLE x AS SELECT 1 AS a")
+        assert "VIEW" not in out.upper()
+
+
 class TestMinhashSketch:
     """MINHASH / MINHASH_COMBINE / APPROXIMATE_SIMILARITY → pure-JVM
     array/fold SQL on the Python kernel's md5 hash family
