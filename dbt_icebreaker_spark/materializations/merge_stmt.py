@@ -523,10 +523,6 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
     the write: a duplicated target row would corrupt the output)."""
     import uuid
 
-    from pyspark.sql import Observation, functions as F
-
-    from .incremental import _staged_overwrite
-
     tgt = spark.table(spec.target)
     ta = f"`{spec.target_alias.replace('`', '``')}`"
     sa = f"`{spec.source_alias.replace('`', '``')}`"
@@ -575,8 +571,7 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
     try:
         return _general_merge_plan(
             spark, spec, transpiler, src, tgt, tview, sview, ta, sa,
-            m_clauses, u_clauses, tcols, ttypes, F, Observation,
-            _staged_overwrite,
+            m_clauses, u_clauses, tcols, ttypes,
         )
     finally:
         spark.catalog.dropTempView(tview)
@@ -585,9 +580,11 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
 
 def _general_merge_plan(
     spark, spec, transpiler, src, tgt, tview, sview, ta, sa,
-    m_clauses, u_clauses, tcols, ttypes, F, Observation,
-    _staged_overwrite,
+    m_clauses, u_clauses, tcols, ttypes,
 ):
+    from pyspark.sql import Observation, functions as F
+
+    from .incremental import _staged_overwrite
     on = " AND ".join(f"{ta}.{k} = {sa}.{k}" for k in spec.keys)
     matched = f"{sa}.{spec.keys[0]} IS NOT NULL"
 

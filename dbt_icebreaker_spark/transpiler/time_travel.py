@@ -167,6 +167,16 @@ def resolve_time_travel(spark, sql: str, transpiler) -> str:
                 or toks[after].upper not in _NON_ALIAS_WORDS
             ))
         )
-        alias = "" if has_alias else f" {name.split('.')[-1]}"
+        if has_alias:
+            alias = ""
+        else:
+            # last name-part token (NOT a '.'-split of the rendered
+            # text — a quoted name may itself contain dots)
+            last = [t for t in toks[lo:hi] if t.kind in (WORD, QIDENT)][-1]
+            if last.kind == QIDENT:
+                nm = last.text[1:-1].replace('""', '"').replace("`", "``")
+                alias = f" `{nm}`"
+            else:
+                alias = f" {last.text}"
         repl = f"(SELECT * FROM {name} WHERE {pred}){alias} "
         toks = toks[:lo] + tokenize(repl) + toks[close + 1:]

@@ -3949,8 +3949,46 @@ def _asof_on_right_keys(on_txt: str, ralias: str):
         ral = ralias.lower()
         if (lq == ral) == (rq == ral):
             return None  # both or neither side is the right alias
-        keys.append((code[2] if lq == ral else code[6]).text.strip('"'))
+        ktok = code[2] if lq == ral else code[6]
+        if ktok.kind == QIDENT:
+            nm = ktok.text[1:-1].replace('""', '"').replace("`", "``")
+            keys.append(f"`{nm}`")  # keep quoting through PARTITION BY
+        else:
+            keys.append(ktok.text)
     return keys
+
+
+def _asof_simple_right_col(r_expr: str, ralias: str) -> bool:
+    """True when the MATCH_CONDITION's right-side operand is exactly
+    `ralias.col` — the only shape the interval rewrite can hoist into
+    the uncorrelated right subquery (anything else may reference the
+    LEFT side, which is out of scope there)."""
+    code = [c for c in tokenize(r_expr) if c.kind not in (WS, COMMENT)]
+    return (
+        len(code) == 3
+        and code[0].kind in (WORD, QIDENT)
+        and code[0].text.strip('"').lower() == ralias.lower()
+        and code[1].is_op(".")
+        and code[2].kind in (WORD, QIDENT)
+    )
+
+
+def _asof_right_only(r_expr: str, ralias: str) -> bool:
+    """True when every dotted qualifier in the right-side operand is
+    the right alias. A LEFT-alias reference makes BOTH rewrites
+    invalid: the interval subquery can't see the left side, and Spark
+    rejects outer references in a correlated subquery's ORDER BY."""
+    toks2 = tokenize(r_expr)
+    for k, c in enumerate(toks2):
+        if c.kind in (WORD, QIDENT):
+            j = next_code(toks2, k + 1)
+            if (
+                j < len(toks2)
+                and toks2[j].is_op(".")
+                and c.text.strip('"').lower() != ralias.lower()
+            ):
+                return False
+    return True
 
 
 def _asof_has_unsafe_star(tokens: Tokens, asof_i: int, ralias: str) -> bool:
@@ -3995,8 +4033,11 @@ def _asof_has_unsafe_star(tokens: Tokens, asof_i: int, ralias: str) -> bool:
                 qual = tokens[q].text.strip('"').lower() if q >= 0 else ""
                 if qual == ralias.lower():
                     return True  # r.* would surface the helper column
-            else:
-                return True  # bare *
+            elif p < 0 or tokens[p].kind == WORD and tokens[p].upper in (
+                "SELECT", "DISTINCT", "ALL",
+            ) or tokens[p].is_op(","):
+                return True  # bare projection *
+            # else: multiplication (operand before the *) — safe
     return False
 
 
@@ -4087,6 +4128,15 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
                 f"got {render(cond).strip()!r}"
             )
         r_expr, direction, other_expr, mc_op, alias_is_right = split
+        if not _asof_right_only(r_expr, alias):
+            raise TranspileError(
+                "ASOF JOIN: the MATCH_CONDITION operand on the right-"
+                f"side alias ({r_expr!r}) also references another "
+                "alias — neither rewrite can evaluate it (Spark "
+                "rejects outer references in a correlated ORDER BY). "
+                "Precompute the derived match column in a subquery "
+                "right side."
+            )
         # optional ON <cond> up to the next top-level clause keyword
         k = next_code(tokens, mc_close + 1)
         on_cond = None
@@ -4114,7 +4164,11 @@ def rewrite_asof_join(tokens: Tokens) -> Tokens:
             seg_end = j2
         right_ref = render(tokens[r_start:name_end]).strip()
         on_keys = _asof_on_right_keys(on_cond, alias) if on_cond else None
-        if on_keys and not _asof_has_unsafe_star(tokens, i, alias):
+        if (
+            on_keys
+            and _asof_simple_right_col(r_expr, alias)
+            and not _asof_has_unsafe_star(tokens, i, alias)
+        ):
             # SCALE PATH (interval-ization): give each right row a
             # validity bound — the NEXT (backward as-of) or PREVIOUS
             # (forward) match-column value within its key group — and
@@ -5164,6 +5218,12 @@ def rewrite_temp_table(tokens: Tokens) -> Tokens:
         return tokens
     if j + 1 >= len(words) or words[j + 1] != "TABLE":
         return tokens
+    if words[j + 2:j + 5] == ["IF", "NOT", "EXISTS"]:
+        raise TranspileError(
+            "CREATE TEMPORARY TABLE IF NOT EXISTS: Spark temporary "
+            "views reject IF NOT EXISTS — drop the clause (OR REPLACE "
+            "is supported) or probe existence first."
+        )
     # find top-level AS
     depth = 0
     as_i = -1

@@ -696,6 +696,12 @@ class TestRound5BatteryFixes:
         ok, msg = t.can_transpile("CREATE TEMP TABLE x (a INT)")
         assert not ok and "AS SELECT" in msg
 
+    def test_temp_table_if_not_exists_refuses(self):
+        ok, msg = t.can_transpile(
+            "CREATE TEMP TABLE IF NOT EXISTS x AS SELECT 1 AS a"
+        )
+        assert not ok and "IF NOT EXISTS" in msg
+
     def test_plain_create_table_untouched(self):
         out = t.to_spark("CREATE TABLE x AS SELECT 1 AS a")
         assert "VIEW" not in out.upper()
@@ -1548,6 +1554,46 @@ class TestAsofJoin:
             "MATCH_CONDITION(l.ts <= r.rts) ON l.k = r.k",
         )
         assert got == [(1, 10, "b"), (1, 20, None), (2, 5, "c")]
+
+    def test_multiplication_star_keeps_interval_form(self):
+        # r5 review: `l.v * 2` in the projection is NOT a SELECT star —
+        # the scale path must stay active
+        out = t.to_spark(
+            "SELECT l.k, l.ts * 2 AS t2, r.v FROM asof_l l "
+            "ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts) ON l.k = r.k"
+        )
+        assert "__asof_bound" in out and "LATERAL" not in out
+
+    def test_mixed_alias_right_expr_refuses(self):
+        # r5 review: a right-side operand referencing the LEFT alias
+        # can't hoist into the right subquery, and Spark rejects outer
+        # references in a correlated ORDER BY — refuse actionably
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="another\\s+alias"):
+            t.to_spark(
+                "SELECT l.k, r.v FROM asof_l l ASOF JOIN asof_r r "
+                "MATCH_CONDITION(l.ts >= r.rts + l.k) ON l.k = r.k"
+            )
+
+    def test_right_only_expression_still_works(self, spark):
+        # derived right-side exprs over ONLY the right alias stay
+        # supported via the LATERAL form (not a simple column → no
+        # interval hoist)
+        got = self._run(
+            spark,
+            "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r "
+            "MATCH_CONDITION(l.ts >= r.rts + 0) ON l.k = r.k",
+        )
+        assert got == [(1, 10, "a"), (1, 20, "b"), (2, 5, None)]
+
+    def test_quoted_on_keys_keep_quoting(self, spark):
+        out = t.to_spark(
+            'SELECT l.k, r.v FROM asof_l l ASOF JOIN asof_r r '
+            'MATCH_CONDITION(l.ts >= r.rts) ON l."k" = r."k"'
+        )
+        assert "PARTITION BY r.`k`" in out
 
     def test_asof_inside_cte(self, spark):
         # r4 advisor repro: the ON-clause scan swallowed the CTE's
