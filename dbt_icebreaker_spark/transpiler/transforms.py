@@ -233,6 +233,8 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TIMESTAMP_NTZ_FROM_PARTS": "MAKE_TIMESTAMP_NTZ",
         "BOOLOR_AGG": "BOOL_OR",
         "BOOLAND_AGG": "BOOL_AND",
+        "REGR_VALX": "REGRVALX_X",  # NULL-preserving pair helpers
+        "REGR_VALY": "REGRVALY_X",
         "DIV0": "DIV0_X",           # a/b with 0 (not error) on b=0
         "DIV0NULL": "DIV0NULL_X",   # …also 0 when b IS NULL
         "TO_BOOLEAN": "TO_BOOL_X",  # CAST(x AS BOOLEAN)
@@ -413,6 +415,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
     "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPOS_SWAP",
     "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
+    "REGRVALX_X", "REGRVALY_X",
     "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
     "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
     "SKEW_X", "KURT_X", "ARRINS_X", "ARRREMAT_X", "ARRGEN_X", "GET_X",
@@ -888,6 +891,17 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         + [_op(","), _sp()] + val
                         + [_op(")"), _op(","), _sp(), _word("0"), _op(")"),
                            _sp(), _op("-"), _sp(), _word("1"), _op(")")])
+            elif t.text in ("REGRVALX_X", "REGRVALY_X") and len(args) == 2:
+                # REGR_VALX(y, x): x when y IS NOT NULL else NULL;
+                # REGR_VALY(y, x): y when x IS NOT NULL else NULL
+                y_ = tokens[args[0][0]:args[0][1]]
+                x_ = tokens[args[1][0]:args[1][1]]
+                guard, val = (y_, x_) if t.text == "REGRVALX_X" else (x_, y_)
+                out += ([_word("IF"), _op("("), _op("(")] + guard
+                        + [_op(")"), _sp(), _word("IS"), _sp(),
+                           _word("NULL"), _op(","), _sp(), _word("NULL"),
+                           _op(","), _sp(), _op("(")] + val
+                        + [_op(")"), _op(")")])
             elif t.text in ("DIV0_X", "DIV0NULL_X") and len(args) == 2:
                 # DIV0: 0 instead of error when b=0 (NULL inputs stay
                 # NULL); DIV0NULL additionally treats NULL b as 0-result
@@ -2052,7 +2066,14 @@ def rewrite_object_construct(tokens: Tokens, top: bool = True) -> Tokens:
             else:
                 builder = [_word("MAP"), _op("(")] + inner + [_op(")")]
             if top:
-                out += [_word("TO_JSON"), _op("(")] + builder + [_op(")")]
+                if t.upper == "OBJECT_CONSTRUCT_KEEP_NULL":
+                    # Spark's to_json drops null fields by default —
+                    # Snowflake's KEEP_NULL variant must keep them
+                    out += ([_word("TO_JSON"), _op("(")] + builder
+                            + tokenize(", map('ignoreNullFields', 'false')")
+                            + [_op(")")])
+                else:
+                    out += [_word("TO_JSON"), _op("(")] + builder + [_op(")")]
             else:
                 out += builder
             i = close + 1

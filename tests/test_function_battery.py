@@ -123,6 +123,24 @@ SCALAR_CASES = [
     ("SELECT DATE_FROM_PARTS(2024, 2, 29)", "2024-02-29"),
     ("SELECT TIMESTAMP_FROM_PARTS(2024, 1, 2, 3, 4, 5)", "2024-01-02 03:04:05"),
     ("SELECT EXTRACT(EPOCH FROM '1970-01-01 00:01:00'::TIMESTAMP)", 60),
+    # round-5 second sweep
+    ("SELECT 'abc' ILIKE 'AB%'", True),
+    ("SELECT 'abc' LIKE ANY ('x%', 'a%')", True),
+    ("SELECT 'abc' LIKE ALL ('a%', '%c')", True),
+    ("SELECT 1 IS DISTINCT FROM NULL", True),
+    ("SELECT WIDTH_BUCKET(5, 0, 10, 5)", 3),
+    ("SELECT HAVERSINE(0, 0, 0, 1) BETWEEN 111 AND 112", True),
+    ("SELECT OBJECT_CONSTRUCT('a', NULL, 'b', 2)", '{"b":2}'),
+    ("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', NULL, 'b', 2)", '{"a":null,"b":2}'),
+    ("SELECT PARSE_JSON('{\"a\":[{\"b\":2}]}'):a[0].b::INT", 2),
+    ("SELECT ARRAY_CONSTRUCT_COMPACT(1, NULL, 2)", [1, 2]),
+    ("SELECT REGR_VALX(1.0, 2.0)::DOUBLE", 2.0),
+    ("SELECT REGR_VALX(NULL, 2.0)", ("__NULL__",)),
+    ("SELECT REGR_VALY(1.0, 2.0)::DOUBLE", 1.0),
+    ("SELECT SUBSTR('hello', -3)", "llo"),
+    ("SELECT LTRIM('xxay', 'x')", "ay"),
+    ("SELECT TRIM('xax', 'x')", "a"),
+    ("SELECT CONCAT_WS('-', 'a', NULL, 'b')", "a-b"),
 ]
 
 AGG_CASES = [
