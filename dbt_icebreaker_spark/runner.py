@@ -29,6 +29,48 @@ from .transpiler import Transpiler
 from .transpiler.core import TranspileError
 
 
+def _wrap_string_explode(stmt: str, exc: Exception):
+    """Retry SQL for the exact analyzer error produced by FLATTEN over
+    a JSON-text column ([DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE] on
+    posexplode/explode with STRING input): every explode-family
+    argument gains the `from_json(…, 'array<string>')` wrap the T37
+    static detector applies. Returns None when the error is anything
+    else (the caller raises the original)."""
+    msg = str(exc)
+    if (
+        "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE" not in msg
+        or '"STRING"' not in msg
+        or "explode" not in msg.lower()
+    ):
+        return None
+    from .transpiler.tokenizer import (
+        WORD, find_matching_paren, next_code, render, tokenize,
+    )
+
+    toks = tokenize(stmt)
+    out = []
+    i = 0
+    changed = False
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == WORD and t.upper in (
+            "EXPLODE", "POSEXPLODE", "EXPLODE_OUTER", "POSEXPLODE_OUTER"
+        ):
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_op("("):
+                close = find_matching_paren(toks, j)
+                inner = render(toks[j + 1:close]).strip()
+                out += tokenize(
+                    f"{t.text}(from_json(({inner}), 'array<string>'))"
+                )
+                i = close + 1
+                changed = True
+                continue
+        out.append(t)
+        i += 1
+    return render(out) if changed else None
+
+
 @dataclass
 class RunResult:
     model: str
@@ -210,7 +252,19 @@ class IcebreakerEngine:
             for stmt in self.transpiler.to_spark_statements(raw):
                 try:
                     result = self.spark.sql(stmt)
-                except Exception as e:  # classified or re-raised unchanged
+                except Exception as e:
+                    # FLATTEN over a JSON-TEXT column: the transpiler
+                    # wraps statically-known JSON text (T37) but a
+                    # plain column ref is assumed a native array — when
+                    # the analyzer proves it a STRING, retry once with
+                    # the from_json wrap (the same contract T37 uses)
+                    retry_sql = _wrap_string_explode(stmt, e)
+                    if retry_sql is not None:
+                        try:
+                            result = self.spark.sql(retry_sql)
+                            continue
+                        except Exception:
+                            pass  # fall through to the ORIGINAL error
                     raise_classified(e, stmt)
         if result is None:
             raise ValueError("empty SQL")

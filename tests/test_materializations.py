@@ -1951,6 +1951,33 @@ class TestDynamicPivot:
         assert df.columns == ["region", "q1", "q2", "q3"]
 
 
+class TestFlattenJsonColumnRetry:
+    """FLATTEN over a JSON-text COLUMN (not a static literal): the
+    engine retries the exact posexplode-STRING analysis error with the
+    T37 from_json wrap — plain-array columns never retry."""
+
+    def test_json_string_column_flattens(self, spark, engine):
+        rows = engine.execute(
+            "SELECT t.x, f.value::INT AS v FROM "
+            "(SELECT 1 AS x, PARSE_JSON('[5,6]') AS arr) t, "
+            "LATERAL FLATTEN(input => t.arr) f"
+        ).collect()
+        assert sorted((r.x, r.v) for r in rows) == [(1, 5), (1, 6)]
+
+    def test_native_array_column_unaffected(self, spark, engine):
+        rows = engine.execute(
+            "SELECT f.value FROM (SELECT ARRAY_CONSTRUCT(1,2) AS a) t, "
+            "LATERAL FLATTEN(input => t.a) f"
+        ).collect()
+        assert sorted(r.value for r in rows) == [1, 2]
+
+    def test_unrelated_errors_still_raise(self, spark, engine):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="nope_col|UNRESOLVED"):
+            engine.execute("SELECT nope_col FROM (SELECT 1 AS x)")
+
+
 class TestAlterColumnsAndTransactions:
     def test_rename_column_staged(self, spark, engine):
         spark.sql("DROP TABLE IF EXISTS mat_test.ac1")
