@@ -7,19 +7,21 @@ engine parses the statement and lowers it onto the incremental
 machinery's crash-safe staged-swap rewrite
 (ref incremental.sql:161-190 DELETE-matching + INSERT-all).
 
-Supported shape (the dbt/ELT workhorse):
+Supported shape:
 
     MERGE INTO <target> [AS] t
     USING (<subquery>) | <table> [AS] s
-    ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
-    WHEN MATCHED THEN UPDATE SET * | SET t.c = s.c, ...
-                     | DELETE
-    [WHEN NOT MATCHED THEN INSERT *]
+    ON t.k1 = s.k1 [AND t.k2 = s.k2 ...] [AND <non-equi conjunct> ...]
+    WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, ...
+                                  | DELETE            (any number, in order)
+    WHEN NOT MATCHED [AND <cond>] THEN INSERT * | (cols) VALUES (exprs)
 
-Anything else (non-equi ON, multi-WHEN with conditions, renamed
-columns in SET/INSERT) raises an actionable TranspileError naming the
-unsupported piece — matching the reference's refuse-up-front style
-rather than producing wrong rows.
+Simple unconditional shapes take the incremental fast path; anything
+with conditions, arbitrary SET expressions, column-list INSERT, or
+extra ON conjuncts runs the generalized first-true-wins CASE-cascade
+rewrite. Pure non-equi ON (no equality key) and positional INSERT
+VALUES raise an actionable TranspileError — matching the reference's
+refuse-up-front style rather than producing wrong rows.
 """
 
 from __future__ import annotations
@@ -143,53 +145,84 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         raise fail("missing ON clause")
     i = next_code(toks, i + 1)
 
-    # ON: conjunction of t.k = s.k equalities, until WHEN
-    keys: list[str] = []
-    while i < len(toks):
-        if toks[i].kind == WORD and toks[i].upper == "WHEN":
+    # ON: top-level AND conjuncts until WHEN. Same-name `t.k = s.k`
+    # equalities become the join KEYS; any other conjunct (non-equi
+    # comparison, expression equality, functions) is carried verbatim
+    # as an extra condition — the generalized rewrite folds it into
+    # the join. At least one equality key is required (a pure non-equi
+    # merge has no shuffle key; use an Iceberg/Delta catalog table).
+    on_lo = i
+    depth0 = 0
+    on_hi = i
+    while on_hi < len(toks):
+        tk = toks[on_hi]
+        if tk.is_op("("):
+            depth0 += 1
+        elif tk.is_op(")"):
+            depth0 -= 1
+        elif depth0 == 0 and tk.kind == WORD and tk.upper == "WHEN":
             break
-        if toks[i].kind == WORD and toks[i].upper == "AND":
-            i = next_code(toks, i + 1)
-            continue
-        # expect  [qualifier.]col = [qualifier.]col  (qualifier may be
-        # an alias or a fully-qualified table name like db.tgt)
-        def read_colref(j: int) -> tuple[str, str, int]:
-            if j >= len(toks) or toks[j].kind != WORD:
-                raise fail("ON clause must be equality conjuncts")
-            parts = [toks[j].text]
-            k = next_code(toks, j + 1)
-            while k < len(toks) and toks[k].is_op("."):
-                m = next_code(toks, k + 1)
-                if m >= len(toks) or toks[m].kind != WORD:
-                    raise fail("dangling '.' in ON clause")
-                parts.append(toks[m].text)
-                k = next_code(toks, m + 1)
-            return ".".join(parts[:-1]), parts[-1], k
+        on_hi += 1
+    conjuncts: list[list[Token]] = []
+    seg_lo = on_lo
+    depth0 = 0
+    for k2 in range(on_lo, on_hi):
+        tk = toks[k2]
+        if tk.is_op("("):
+            depth0 += 1
+        elif tk.is_op(")"):
+            depth0 -= 1
+        elif depth0 == 0 and tk.kind == WORD and tk.upper == "AND":
+            conjuncts.append(toks[seg_lo:k2])
+            seg_lo = k2 + 1
+    conjuncts.append(toks[seg_lo:on_hi])
+    i = on_hi
 
-        la, lc, j = read_colref(i)
-        if j >= len(toks) or not toks[j].is_op("="):
-            raise fail("only equality predicates are supported in ON")
-        ra, rc, j = read_colref(next_code(toks, j + 1))
-        t_names = {target_alias.lower(), target.lower()}
-        s_names = {source_alias.lower()}
-        if source_table:
-            s_names.add(source_table.lower())
-        tcol = lc if la.lower() in t_names else rc if ra.lower() in t_names else None
-        scol = lc if la.lower() in s_names else rc if ra.lower() in s_names else None
-        if tcol is None or scol is None:
-            raise fail(
-                f"ON predicate must compare {target_alias}.<col> with "
-                f"{source_alias}.<col>"
-            )
-        if tcol.lower() != scol.lower():
-            raise fail(
-                f"key columns must have the same name on both sides "
-                f"(got {tcol} vs {scol}) — alias them upstream"
-            )
-        keys.append(tcol)
-        i = j
+    keys: list[str] = []
+    extra_conditions: list[str] = []
+    t_names = {target_alias.lower(), target.lower()}
+    s_names = {source_alias.lower()}
+    if source_table:
+        s_names.add(source_table.lower())
+    for seg in conjuncts:
+        code = [c for c in seg if c.kind not in ("ws", "comment")]
+        # strictly  qual.col = qual.col  with one side per table and
+        # the same column name → a join key
+        def colref(codes, p):
+            parts = [codes[p].text]
+            q = p + 1
+            while q + 1 < len(codes) and codes[q].is_op("."):
+                parts.append(codes[q + 1].text)
+                q += 2
+            return ".".join(parts[:-1]), parts[-1], q
+
+        is_key = False
+        if code and code[0].kind == WORD:
+            la, lc, q = colref(code, 0)
+            if la and q < len(code) and code[q].is_op("=") and q + 1 < len(code) and code[q + 1].kind == WORD:
+                ra, rc, q2 = colref(code, q + 1)
+                if ra and q2 == len(code):
+                    tcol = lc if la.lower() in t_names else rc if ra.lower() in t_names else None
+                    scol = lc if la.lower() in s_names else rc if ra.lower() in s_names else None
+                    if tcol is not None and scol is not None:
+                        if tcol.lower() != scol.lower():
+                            raise fail(
+                                f"key columns must have the same name on "
+                                f"both sides (got {tcol} vs {scol}) — "
+                                "alias them upstream"
+                            )
+                        keys.append(tcol)
+                        is_key = True
+        if not is_key:
+            txt = render(seg).strip()
+            if not txt:
+                raise fail("empty conjunct in ON clause")
+            extra_conditions.append(txt)
     if not keys:
-        raise fail("ON clause produced no join keys")
+        raise fail(
+            "ON clause produced no equality join keys (pure non-equi "
+            "merges have no distribution key)"
+        )
 
     def scan_until_words(j: int, stops: tuple) -> int:
         """Advance j to the first top-level stop word — top-level
@@ -384,6 +417,7 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         matched_action=matched_action,
         update_columns=update_columns,
         insert_all=insert_all,
+        extra_conditions=extra_conditions,
         clauses=clauses,
     )
 
@@ -400,6 +434,8 @@ def _is_simple_merge(spec: MergeSpec) -> bool:
     u = [c for c in spec.clauses if not c.matched]
     if len(m) > 1 or len(u) > 1:
         return False
+    if spec.extra_conditions:
+        return False  # non-equi ON conjuncts need the general join
     if any(c.condition is not None for c in spec.clauses):
         return False
     if u and u[0].insert_cols is not None:
@@ -586,12 +622,20 @@ def _general_merge_plan(
 
     from .incremental import _staged_overwrite
     on = " AND ".join(f"{ta}.{k} = {sa}.{k}" for k in spec.keys)
+    if spec.extra_conditions:
+        # non-equi / expression conjuncts ride the join condition —
+        # the equality keys remain the shuffle keys, the extras are
+        # join filters (same shape as the ASOF interval join)
+        on += "".join(f" AND ({c})" for c in spec.extra_conditions)
     matched = f"{sa}.{spec.keys[0]} IS NOT NULL"
 
     obs = None
     if m_clauses:
         # a target row matched by >1 source row would be duplicated by
-        # the join — refuse like Snowflake's nondeterministic-merge error
+        # the join — refuse like Snowflake's nondeterministic-merge
+        # error. The guard groups by the equality KEYS only: with
+        # extra ON conjuncts this can over-refuse (several source rows
+        # per key of which one survives the extras), never under-refuse.
         dup = (
             src.groupBy(*spec.keys)
             .agg(F.count(F.lit(1)).alias("__icebreaker_n"))
@@ -601,10 +645,11 @@ def _general_merge_plan(
         )
         if dup:
             raise TranspileError(
-                "MERGE INTO: nondeterministic merge — a target row "
-                "matches more than one source row. Deduplicate the "
-                "USING source on the join keys (e.g. QUALIFY "
-                "ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ...) = 1)."
+                "MERGE INTO: nondeterministic merge — a target row's "
+                "join key matches more than one source row. "
+                "Deduplicate the USING source on the join keys (e.g. "
+                "QUALIFY ROW_NUMBER() OVER (PARTITION BY keys "
+                "ORDER BY ...) = 1)."
             )
 
         def upd_value(cl: WhenClause, col: str) -> str:

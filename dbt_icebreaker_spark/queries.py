@@ -4450,6 +4450,30 @@ XOP_ORACLES["q72_merge_conditional"] = """
       AND s.o_totalprice <= 100000
 """
 
+XOP_ORACLES["q75_merge_non_equi"] = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey <= 10000
+    ),
+    src AS (
+      SELECT o_orderkey,
+             o_totalprice * CASE WHEN o_orderkey % 2 = 0 THEN 3
+                                 ELSE 0.5 END AS p
+      FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+    )
+    -- target rows: updated when the FULL ON (key + s.p > t.price)
+    -- matched, else kept (source is key-unique so no fanout)
+    SELECT t.o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t LEFT JOIN src s
+      ON s.o_orderkey = t.o_orderkey AND s.p > t.o_totalprice
+    UNION ALL
+    -- WHEN NOT MATCHED AND s.o_orderkey > 10000 THEN INSERT
+    SELECT s.o_orderkey, s.p AS o_totalprice
+    FROM src s WHERE s.o_orderkey > 10000
+"""
+
 XOP_ORACLES["q73_time_travel"] = """
     WITH state1 AS (  -- corpus state after snapshot 1 (2026-01-01)
       SELECT o_orderkey, o_totalprice
@@ -4802,6 +4826,45 @@ def _q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.mc_target")
 
 
+def _q_merge_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with a non-equi ON conjunct (`AND s.p > t.o_totalprice` —
+    the only-update-if-better idiom) plus a conditional INSERT: the
+    equality key stays the shuffle key and the extra conjunct rides
+    the join as a filter (merge_stmt parse_merge extra_conditions →
+    _run_general_merge). Oracle reproduces the full-ON matched set
+    declaratively."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q75_")
+    db = f"q75_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.ne_target AS "
+        "SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 10000"
+    )
+    eng.execute(
+        f"""
+        MERGE INTO {db}.ne_target t
+        USING (
+            SELECT o_orderkey,
+                   o_totalprice * IFF(o_orderkey % 2 = 0, 3, 0.5) AS p
+            FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+        ) s
+        ON t.o_orderkey = s.o_orderkey AND s.p > t.o_totalprice
+        WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.p
+        WHEN NOT MATCHED AND s.o_orderkey > 10000 THEN
+            INSERT (o_orderkey, o_totalprice) VALUES (s.o_orderkey, s.p)
+        """
+    )
+    return spark.table(f"{db}.ne_target")
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over an SCD2 snapshot table: two run_snapshot
     passes (M4, check strategy) build real validity intervals, then
@@ -5066,6 +5129,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,
+    "q75_merge_non_equi": _q_merge_non_equi,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

@@ -1533,6 +1533,52 @@ class TestMergeStatement:
         got = {r.k: r.s for r in spark.table("mat_test.mg16").collect()}
         assert got[2] == "B" and got[9] == "i"
 
+    def test_non_equi_on_conjunct(self, spark, engine):
+        # r5: extra non-equi ON conjuncts ride the general join — the
+        # classic only-update-if-newer merge
+        self._seed(spark, engine, "mg17")
+        spark.createDataFrame(
+            [(1, "new", 100.0), (2, "old", 1.0)],
+            "k int, s string, v double",
+        ).createOrReplaceTempView("mg17_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg17 t USING mg17_src s "
+            "ON t.k = s.k AND s.v > t.v "
+            "WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v"
+        )
+        got = {r.k: (r.s, r.v) for r in spark.table("mat_test.mg17").collect()}
+        # k=1: s.v=100 > t.v=10 → updated; k=2: s.v=1 < 20 → untouched
+        assert got[1] == ("new", 100.0) and got[2] == ("b", 20.0)
+
+    def test_non_equi_on_gates_insert_too(self, spark, engine):
+        self._seed(spark, engine, "mg18")
+        spark.createDataFrame(
+            [(2, "x", 0.5), (9, "n", 90.0)], "k int, s string, v double"
+        ).createOrReplaceTempView("mg18_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg18 t USING mg18_src s "
+            "ON t.k = s.k AND s.v > t.v "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r.k for r in spark.table("mat_test.mg18").collect()}
+        # k=2 matched only if s.v > t.v (0.5 < 20 → NOT matched by the
+        # full ON) → source row 2 inserts? no: its key exists but the
+        # ON fails, so per Snowflake it is NOT MATCHED → INSERT fires
+        assert 9 in got and 1 in got and 3 in got
+
+    def test_pure_non_equi_on_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        self._seed(spark, engine, "mg19")
+        with _pytest.raises(TranspileError, match="no equality join keys"):
+            engine.execute(
+                "MERGE INTO mat_test.mg19 t USING mg19 s ON t.v < s.v "
+                "WHEN MATCHED THEN DELETE"
+            )
+
     def test_conditional_snowflake_dialect_condition(self, spark, engine):
         # IFF in the condition proves WHEN conditions transpile too
         self._seed(spark, engine, "mg13")
