@@ -4629,6 +4629,56 @@ XOP_ORACLES["x65_unmatched_rows"] = """
                AND q.event_id = s.event_id
 """
 
+XOP_ORACLES["x66_skip_to_symbol"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40
+    ),
+    d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn,
+             CASE WHEN value > LAG(value)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1
+                  WHEN value < LAG(value)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN -1 ELSE 0 END AS dir
+      FROM e
+    ),
+    b AS (
+      SELECT *, CASE WHEN dir = LAG(dir)
+                      OVER (PARTITION BY user_id ORDER BY rn)
+                     THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM b
+    ),
+    isl AS (
+      SELECT user_id, grp, MAX(dir) AS dir,
+             MIN(rn) AS lo, MAX(rn) AS hi, MAX(ts) AS hi_ts
+      FROM g GROUP BY user_id, grp
+    ),
+    -- SKIP TO LAST UP over STRT DOWN+ UP+ yields one match per
+    -- ADJACENT (down-run, up-run) island pair, spanning from the row
+    -- just before the down-run (the STRT / previous peak) to the
+    -- up-run's end — chained Vs sharing their peaks
+    pairs AS (
+      SELECT dn.user_id, dn.lo - 1 AS s_rn, up.hi AS e_rn,
+             up.hi_ts AS e_ts, dn.grp AS g0
+      FROM isl dn JOIN isl up
+        ON up.user_id = dn.user_id AND up.grp = dn.grp + 1
+      WHERE dn.dir = -1 AND up.dir = 1 AND dn.lo > 1
+    )
+    SELECT p.user_id, s.ts AS s_ts, p.e_ts,
+           CAST(p.e_rn - p.s_rn + 1 AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.g0)
+                AS BIGINT) AS mn
+    FROM pairs p
+    JOIN g s ON s.user_id = p.user_id AND s.rn = p.s_rn
+"""
+
 XOP_ORACLES["x63_pattern_alternation"] = """
     WITH e AS (
       SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40
@@ -5046,6 +5096,36 @@ def _x_unmatched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_skip_to_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST UP over the V pattern — overlapping
+    matches chained at their peaks (each V's STRT is the previous V's
+    last UP row). The oracle derives the same set declaratively: one
+    match per ADJACENT (down-run, up-run) island pair, spanning from
+    the row before the down-run; a skip-mode bug (resuming past the
+    peak, or at the wrong symbol row) drops or shifts matches."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, s_ts, e_ts, n, mn
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(ts) AS s_ts, LAST(ts) AS e_ts,
+                   COUNT(*) AS n, MATCH_NUMBER() AS mn
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST UP
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )
+        """
+    )
+
+
 def _x_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PATTERN alternation (SQL:2016 §7.9): two MATCH_RECOGNIZE runs
     union'd with a tag. 'runs' segments each user's series into
@@ -5135,6 +5215,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x62_match_recognize_all": _x_match_recognize_all,
     "x63_pattern_alternation": _x_pattern_alternation,
     "x65_unmatched_rows": _x_unmatched_rows,
+    "x66_skip_to_symbol": _x_skip_to_symbol,
     "q64_create_clone": _q_create_clone,
     "q65_delete_update": _q_delete_update,
     "x01_dedup_exact": _x_dedup_exact,

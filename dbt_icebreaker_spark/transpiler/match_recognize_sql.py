@@ -296,6 +296,8 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
                     break
             defines[code[0].upper] = render(part[k + 1:]).strip()
     skip_next = False
+    skip_sym = None
+    skip_first = False
     if "AFTER" in got:
         words = [
             c.upper for c in got["AFTER"] if c.kind == WORD
@@ -307,10 +309,20 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
             skip_next = False
         elif rest == ["TO", "NEXT", "ROW"]:
             skip_next = True
+        elif (
+            len(rest) == 3 and rest[0] == "TO"
+            and rest[1] in ("FIRST", "LAST")
+        ):
+            skip_first = rest[1] == "FIRST"
+            skip_sym = rest[2]
+        elif len(rest) == 2 and rest[0] == "TO":
+            # SQL:2016: bare SKIP TO <sym> means SKIP TO LAST <sym>
+            skip_sym = rest[1]
         else:
             raise TranspileError(
-                "AFTER MATCH SKIP: only PAST LAST ROW / TO NEXT ROW "
-                f"are supported (got {' '.join(rest)!r})"
+                "AFTER MATCH SKIP: only PAST LAST ROW / TO NEXT ROW / "
+                "TO [FIRST|LAST] <symbol> are supported "
+                f"(got {' '.join(rest)!r})"
             )
     # defined symbols must appear in the pattern
     pat_syms = {t.symbol for t in pattern}
@@ -319,6 +331,11 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
             raise TranspileError(
                 f"DEFINE references symbol {s} not present in PATTERN"
             )
+    if skip_sym is not None and skip_sym not in pat_syms:
+        raise TranspileError(
+            f"AFTER MATCH SKIP TO references symbol {skip_sym} not "
+            "present in PATTERN"
+        )
     spec = MatchRecognizeSpec(
         partition_by=partition_by,
         order_by=order_by,
@@ -328,6 +345,8 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
         skip_to_next_row=skip_next,
         all_rows=all_rows,
         with_unmatched=with_unmatched,
+        skip_to_symbol=skip_sym,
+        skip_to_first=skip_first,
     )
     # optional alias + tail
     k = next_code(toks, close + 1)

@@ -21,8 +21,10 @@ refuses actionably at parse time):
   per row; CLASSIFIER() = the row's own symbol), plus ``WITH
   UNMATCHED ROWS`` (rows in no match emit with NULL measures). The
   empty-match modifiers refuse.
-- ``AFTER MATCH SKIP PAST LAST ROW`` (default) and ``SKIP TO NEXT
-  ROW``.
+- ``AFTER MATCH SKIP PAST LAST ROW`` (default), ``SKIP TO NEXT ROW``,
+  and ``SKIP TO [FIRST|LAST] <symbol>`` (resume AT the symbol's
+  first/last row — overlapping matches; SQL:2016 runtime errors when
+  the symbol matched no row or the target would loop).
 - ``PATTERN``: sequences of symbols with greedy quantifiers
   (``A B+ C* D? E{2} F{1,3}``), optionally joined by TOP-LEVEL
   alternation (``A B+ | C D``) with SQL:2016 §7.9 preferment order
@@ -78,6 +80,8 @@ class MatchRecognizeSpec:
     skip_to_next_row: bool = False
     all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING aggregates)
     with_unmatched: bool = False  # WITH UNMATCHED ROWS (NULL measures)
+    skip_to_symbol: Optional[str] = None  # AFTER MATCH SKIP TO [F|L] sym
+    skip_to_first: bool = False  # FIRST vs LAST occurrence of the symbol
 
 
 _QUANT_RE = re.compile(
@@ -421,6 +425,8 @@ def match_recognize(
     skip_next = spec.skip_to_next_row
     all_rows = spec.all_rows
     with_unmatched = spec.with_unmatched
+    skip_sym = spec.skip_to_symbol.upper() if spec.skip_to_symbol else None
+    skip_first = spec.skip_to_first
 
     def run(key, pdf):
         # na_position='first' matches Spark's ascending NULLS FIRST —
@@ -463,7 +469,30 @@ def match_recognize(
                         m, pdf, pos, end, assign, terms, match_no
                     )
                 rows.append(rec)
-            pos = pos + 1 if skip_next else end
+            if skip_sym is not None:
+                # SQL:2016 SKIP TO [FIRST|LAST] <sym>: resume AT the
+                # first/last row mapped to the symbol (overlap allowed)
+                sym_rows = [
+                    pos + off for off, a in enumerate(assign)
+                    if terms[a].symbol == skip_sym
+                ]
+                if not sym_rows:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {skip_sym}: the symbol "
+                        "matched no row in a match (SQL:2016 runtime "
+                        "error) — guard with a quantifier minimum or "
+                        "use SKIP PAST LAST ROW"
+                    )
+                target = sym_rows[0] if skip_first else sym_rows[-1]
+                if target == pos:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {skip_sym}: the skip "
+                        "target is the first row of the match — "
+                        "matching would loop (SQL:2016 runtime error)"
+                    )
+                pos = target
+            else:
+                pos = pos + 1 if skip_next else end
         if covered is not None:
             # WITH UNMATCHED ROWS: every input row in NO match is
             # emitted with NULL measures (SQL:2016 — CLASSIFIER() and

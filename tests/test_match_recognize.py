@@ -220,6 +220,77 @@ class TestAlternation:
         ]
 
 
+class TestSkipToSymbol:
+    """AFTER MATCH SKIP TO [FIRST|LAST] <symbol> — resume matching AT
+    the symbol's row (overlapping matches; SQL:2016 §7.9)."""
+
+    def test_skip_to_last_up_overlaps_at_peak(self, engine, ticks):
+        # V-shapes where the peak of one V seeds the next: vs PAST
+        # LAST ROW (matches (1,6) and (7,9)) the peak t6 re-anchors
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, LAST(t) AS e
+                 AFTER MATCH SKIP TO LAST UP
+                 PATTERN (STRT DOWN+ UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'A' ORDER BY s"""
+        )
+        assert [tuple(r) for r in df.collect()] == [
+            ("A", 1, 6), ("A", 6, 9),
+        ]
+
+    def test_bare_skip_to_means_last(self, engine, ticks):
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, LAST(t) AS e
+                 AFTER MATCH SKIP TO UP
+                 PATTERN (STRT DOWN+ UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'A' ORDER BY s"""
+        )
+        assert [tuple(r) for r in df.collect()] == [
+            ("A", 1, 6), ("A", 6, 9),
+        ]
+
+    def test_skip_to_first_symbol(self, engine, ticks):
+        # FIRST DOWN: each match resumes at its first DOWN row, which
+        # seeds the next overlapping V until DOWN+ can't start:
+        # (1,6)→resume t2; (2,6)→resume t3 (no match, scan on);
+        # (6,9)→resume t7; (7,9)→resume t8 (no match) — done
+        df = engine.execute(
+            """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                 PARTITION BY sym ORDER BY t
+                 MEASURES FIRST(t) AS s, LAST(t) AS e
+                 AFTER MATCH SKIP TO FIRST DOWN
+                 PATTERN (STRT DOWN+ UP+)
+                 DEFINE DOWN AS price < PREV(price),
+                        UP AS price > PREV(price)
+               ) WHERE sym = 'A' ORDER BY s"""
+        )
+        assert [tuple(r) for r in df.collect()] == [
+            ("A", 1, 6), ("A", 2, 6), ("A", 6, 9), ("A", 7, 9),
+        ]
+
+    def test_skip_to_start_row_errors(self, engine, ticks):
+        import pytest as _pytest
+
+        # SKIP TO FIRST STRT = the match's first row → would loop
+        with _pytest.raises(Exception, match="would loop|first row"):
+            engine.execute(
+                """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+                     PARTITION BY sym ORDER BY t
+                     MEASURES FIRST(t) AS s
+                     AFTER MATCH SKIP TO FIRST STRT
+                     PATTERN (STRT UP+)
+                     DEFINE UP AS price > PREV(price)
+                   )"""
+            ).collect()
+
+
 class TestWithUnmatchedRows:
     """ALL ROWS PER MATCH WITH UNMATCHED ROWS — rows in no match emit
     with NULL measures (SQL:2016: CLASSIFIER()/MATCH_NUMBER() NULL)."""
@@ -282,8 +353,10 @@ class TestRefusals:
              "EMPTY MATCHES PATTERN (A)", "EMPTY"),
             ("MEASURES COUNT(*) AS n PATTERN (A) "
              "DEFINE Z AS x > 1", "not present in PATTERN"),
-            ("MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A "
+            ("MEASURES COUNT(*) AS n AFTER MATCH SKIP HALF WAY "
              "PATTERN (A)", "PAST LAST ROW"),
+            ("MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Z "
+             "PATTERN (A)", "not\\s+present in PATTERN"),
         ],
     )
     def test_unsupported_pieces_named(self, body, msg):
