@@ -66,6 +66,53 @@ class TestJoinStrategy:
         plan = _executed_plan(qs["q24_not_exists"](spark, SF_DIR))
         assert "LeftAnti" in plan
 
+    def test_general_merge_is_one_equi_join_per_side(self, spark):
+        # r5 conditional MERGE: the CASE-cascade plan must be ONE
+        # equi-join for the target side and one anti-join for inserts —
+        # never a nested loop, even with non-equi ON conjuncts (they
+        # ride as join filters)
+        from dbt_icebreaker_spark.materializations.merge_stmt import (
+            parse_merge,
+        )
+        from dbt_icebreaker_spark.transpiler.core import Transpiler
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS plan_mrg")
+        spark.sql("DROP TABLE IF EXISTS plan_mrg.t")
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k int, v double"
+        ).write.saveAsTable("plan_mrg.t")
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW plan_mrg_src AS "
+            "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(50, 150)"
+        )
+        from dbt_icebreaker_spark.materializations import incremental
+        from dbt_icebreaker_spark.materializations.merge_stmt import (
+            run_merge_statement,
+        )
+
+        spec = parse_merge(
+            "MERGE INTO plan_mrg.t t USING plan_mrg_src s "
+            "ON t.k = s.k AND s.v > t.v "
+            "WHEN MATCHED AND s.v < 1000 THEN UPDATE SET t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        captured = {}
+        real = incremental._staged_overwrite
+
+        def capture(spark_, df, target):
+            captured["plan"] = _executed_plan(df)
+            return real(spark_, df, target)
+
+        incremental._staged_overwrite = capture
+        try:
+            run_merge_statement(spark, spec, Transpiler())
+        finally:
+            incremental._staged_overwrite = real
+        plan = captured["plan"]
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "LeftAnti" in plan  # the insert side is an anti-join
+
     def test_q68_asof_join_is_equi_join_plus_window(self, spark, qs):
         # r5 interval rewrite: an ON-keyed ASOF join must plan as a
         # plain equi-join on the keys (hash/merge) with the inequality
