@@ -174,6 +174,28 @@ def _battery_fixture(spark):
         "(1, 'a', 10.0), (2, 'a', 20.0), (3, 'b', 30.0), (4, 'b', NULL) "
         "t(k, g, v)"
     )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW bt_wide AS SELECT * FROM VALUES "
+        "(1, 10, 20), (2, 30, NULL) t(id, jan, feb)"
+    )
+
+
+def test_unpivot_excludes_nulls(spark):
+    rows = spark.sql(t.to_spark(
+        "SELECT * FROM bt_wide UNPIVOT (amt FOR month IN (jan, feb)) "
+        "ORDER BY id, month"
+    )).collect()
+    assert [(r.id, r.month, r.amt) for r in rows] == [
+        (1, "feb", 20), (1, "jan", 10), (2, "jan", 30),
+    ]
+
+
+def test_unpivot_include_nulls(spark):
+    n = spark.sql(t.to_spark(
+        "SELECT * FROM bt_wide UNPIVOT INCLUDE NULLS "
+        "(amt FOR month IN (jan, feb))"
+    )).count()
+    assert n == 4
 
 
 def _check(spark, sql, expect):
