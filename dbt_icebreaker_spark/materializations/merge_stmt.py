@@ -90,6 +90,57 @@ def _read_qualified_name(toks: list[Token], i: int) -> tuple[str, int]:
     return ".".join(parts), j
 
 
+def _rewrite_on_qualifiers(
+    seg: list[Token],
+    t_names: set,
+    s_names: set,
+    target_alias: str,
+    source_alias: str,
+) -> str:
+    """Render an ON conjunct with table-name qualifiers (``db.tgt.col``
+    or the bare table name when no alias was given) rewritten to the
+    join aliases. The generated join FROM clause binds the temp views
+    to the ALIASES only, so a verbatim multi-part reference would not
+    resolve at execution even though it is valid Snowflake."""
+    out: list[Token] = []
+    k = 0
+    while k < len(seg):
+        t = seg[k]
+        if t.kind in (WORD, QIDENT):
+            parts = [t.text]
+            ends = [k]
+            q = next_code(seg, k + 1)
+            while (
+                q < len(seg)
+                and seg[q].is_op(".")
+                and next_code(seg, q + 1) < len(seg)
+                and seg[next_code(seg, q + 1)].kind in (WORD, QIDENT)
+            ):
+                q2 = next_code(seg, q + 1)
+                parts.append(seg[q2].text)
+                ends.append(q2)
+                q = next_code(seg, q2 + 1)
+            if len(parts) >= 2:
+                prefix = ".".join(p.strip('"') for p in parts[:-1]).lower()
+                alias = (
+                    target_alias if prefix in t_names
+                    else source_alias if prefix in s_names
+                    else None
+                )
+                if alias is not None:
+                    out += tokenize(f"{alias}.{parts[-1]}")
+                    k = ends[-1] + 1
+                    continue
+            # unrewritable chain: emit whole so its dots aren't
+            # re-scanned as fresh chain starts mid-way
+            out += seg[k:ends[-1] + 1]
+            k = ends[-1] + 1
+            continue
+        out.append(t)
+        k += 1
+    return render(out).strip()
+
+
 def parse_merge(sql: str) -> Optional[MergeSpec]:
     """MergeSpec for a MERGE INTO statement; None when the statement
     is not MERGE; TranspileError for unsupported MERGE shapes."""
@@ -153,6 +204,7 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
     # merge has no shuffle key; use an Iceberg/Delta catalog table).
     on_lo = i
     depth0 = 0
+    case0 = 0
     on_hi = i
     while on_hi < len(toks):
         tk = toks[on_hi]
@@ -160,21 +212,43 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
             depth0 += 1
         elif tk.is_op(")"):
             depth0 -= 1
-        elif depth0 == 0 and tk.kind == WORD and tk.upper == "WHEN":
-            break
+        elif depth0 == 0 and tk.kind == WORD:
+            # a CASE expression inside an ON conjunct carries its own
+            # WHEN at paren depth 0 — only a WHEN outside CASE…END
+            # terminates the ON clause
+            if tk.upper == "CASE":
+                case0 += 1
+            elif tk.upper == "END" and case0 > 0:
+                case0 -= 1
+            elif tk.upper == "WHEN" and case0 == 0:
+                break
         on_hi += 1
     conjuncts: list[list[Token]] = []
     seg_lo = on_lo
     depth0 = 0
+    case0 = 0
+    between0 = 0
     for k2 in range(on_lo, on_hi):
         tk = toks[k2]
         if tk.is_op("("):
             depth0 += 1
         elif tk.is_op(")"):
             depth0 -= 1
-        elif depth0 == 0 and tk.kind == WORD and tk.upper == "AND":
-            conjuncts.append(toks[seg_lo:k2])
-            seg_lo = k2 + 1
+        elif depth0 == 0 and tk.kind == WORD:
+            # the AND of `x BETWEEN lo AND hi` and any AND inside a
+            # CASE…END condition are part of ONE conjunct, not splits
+            if tk.upper == "CASE":
+                case0 += 1
+            elif tk.upper == "END" and case0 > 0:
+                case0 -= 1
+            elif tk.upper == "BETWEEN" and case0 == 0:
+                between0 += 1
+            elif tk.upper == "AND" and case0 == 0:
+                if between0 > 0:
+                    between0 -= 1
+                else:
+                    conjuncts.append(toks[seg_lo:k2])
+                    seg_lo = k2 + 1
     conjuncts.append(toks[seg_lo:on_hi])
     i = on_hi
 
@@ -204,17 +278,16 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
                 if ra and q2 == len(code):
                     tcol = lc if la.lower() in t_names else rc if ra.lower() in t_names else None
                     scol = lc if la.lower() in s_names else rc if ra.lower() in s_names else None
-                    if tcol is not None and scol is not None:
-                        if tcol.lower() != scol.lower():
-                            raise fail(
-                                f"key columns must have the same name on "
-                                f"both sides (got {tcol} vs {scol}) — "
-                                "alias them upstream"
-                            )
+                    if tcol is not None and scol is not None and tcol.lower() == scol.lower():
+                        # differently-named equalities (t.version =
+                        # s.expected_version — the optimistic-concurrency
+                        # idiom) ride as extra join filters below
                         keys.append(tcol)
                         is_key = True
         if not is_key:
-            txt = render(seg).strip()
+            txt = _rewrite_on_qualifiers(
+                seg, t_names, s_names, target_alias, source_alias
+            )
             if not txt:
                 raise fail("empty conjunct in ON clause")
             extra_conditions.append(txt)
@@ -399,6 +472,23 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
                 )
     if not clauses:
         raise fail("no WHEN clause")
+    # Full-table-name qualifiers (db.tgt.col) in conditions / SET
+    # expressions / INSERT values would not resolve after the plan
+    # re-aliases the temp views — normalize them to the join aliases
+    # here, the same rewrite the ON extras got above.
+    def _rw_text(txt):
+        if not txt:
+            return txt
+        return _rewrite_on_qualifiers(
+            tokenize(txt), t_names, s_names, target_alias, source_alias
+        )
+
+    for cl in clauses:
+        cl.condition = _rw_text(cl.condition)
+        if cl.sets is not None:
+            cl.sets = [(c2, _rw_text(e)) for c2, e in cl.sets]
+        if cl.insert_vals is not None:
+            cl.insert_vals = [_rw_text(e) for e in cl.insert_vals]
     # legacy summary fields (drive the fast path + back-compat callers)
     matched = [c for c in clauses if c.matched]
     unmatched = [c for c in clauses if not c.matched]
@@ -633,16 +723,20 @@ def _general_merge_plan(
     if m_clauses:
         # a target row matched by >1 source row would be duplicated by
         # the join — refuse like Snowflake's nondeterministic-merge
-        # error. The guard groups by the equality KEYS only: with
-        # extra ON conjuncts this can over-refuse (several source rows
-        # per key of which one survives the extras), never under-refuse.
-        dup = (
-            src.groupBy(*spec.keys)
-            .agg(F.count(F.lit(1)).alias("__icebreaker_n"))
-            .filter("__icebreaker_n > 1")
-            .join(tgt.select(*spec.keys).distinct(), spec.keys, "left_semi")
-            .limit(1).count()
+        # error. The guard counts matches per TARGET ROW under the
+        # FULL ON condition (extras included), so several source rows
+        # per key of which at most one survives a non-equi conjunct —
+        # the only-update-if-newer idiom over late-arriving duplicates
+        # — merge fine instead of over-refusing on key counts alone.
+        guard_sql = (
+            f"SELECT 1 FROM ("
+            f"SELECT {ta}.__icebreaker_rid FROM "
+            f"(SELECT *, monotonically_increasing_id() AS __icebreaker_rid "
+            f"FROM {tview}) {ta} JOIN {sview} {sa} ON {on} "
+            f"GROUP BY {ta}.__icebreaker_rid HAVING COUNT(1) > 1 LIMIT 1"
+            f") __icebreaker_dup"
         )
+        dup = spark.sql(transpiler.to_spark(guard_sql)).count()
         if dup:
             raise TranspileError(
                 "MERGE INTO: nondeterministic merge — a target row's "

@@ -32,10 +32,16 @@ from .transpiler.core import TranspileError
 def _wrap_string_explode(stmt: str, exc: Exception):
     """Retry SQL for the exact analyzer error produced by FLATTEN over
     a JSON-text column ([DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE] on
-    posexplode/explode with STRING input): every explode-family
-    argument gains the `from_json(…, 'array<string>')` wrap the T37
-    static detector applies. Returns None when the error is anything
-    else (the caller raises the original)."""
+    posexplode/explode with STRING input): ONE explode-family argument
+    — the one the analyzer names as the STRING expression, else the
+    first not-yet-wrapped site — gains the `from_json(…,
+    'array<string>')` wrap the T37 static detector applies. Wrapping
+    one site per retry (the caller loops) keeps a statement that mixes
+    JSON-text and native-array FLATTENs fixable: wrapping a native
+    array<…> column would itself fail analysis. Returns None when the
+    error is anything else or no wrappable site remains."""
+    import re as _re
+
     msg = str(exc)
     if (
         "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE" not in msg
@@ -43,14 +49,16 @@ def _wrap_string_explode(stmt: str, exc: Exception):
         or "explode" not in msg.lower()
     ):
         return None
+    m = _re.search(r'"([^"]+)" has the type "STRING"', msg)
+    offending = _re.sub(r"\s+", "", m.group(1)).lower() if m else None
     from .transpiler.tokenizer import (
         WORD, find_matching_paren, next_code, render, tokenize,
     )
 
     toks = tokenize(stmt)
-    out = []
+    # collect every explode-family call site: (fn_idx, open, close, inner)
+    sites = []
     i = 0
-    changed = False
     while i < len(toks):
         t = toks[i]
         if t.kind == WORD and t.upper in (
@@ -60,15 +68,33 @@ def _wrap_string_explode(stmt: str, exc: Exception):
             if j < len(toks) and toks[j].is_op("("):
                 close = find_matching_paren(toks, j)
                 inner = render(toks[j + 1:close]).strip()
-                out += tokenize(
-                    f"{t.text}(from_json(({inner}), 'array<string>'))"
-                )
+                sites.append((i, j, close, inner))
                 i = close + 1
-                changed = True
                 continue
-        out.append(t)
         i += 1
-    return render(out) if changed else None
+    if not sites:
+        return None
+    unwrapped = [
+        s for s in sites
+        if not _re.sub(r"\s+", "", s[3]).lower().startswith("from_json(")
+    ]
+    target = None
+    if offending:
+        for s in unwrapped:
+            if _re.sub(r"\s+", "", s[3]).lower() == offending:
+                target = s
+                break
+    if target is None and unwrapped:
+        target = unwrapped[0]
+    if target is None:
+        return None
+    fi, j, close, inner = target
+    out = (
+        toks[:fi]
+        + tokenize(f"{toks[fi].text}(from_json(({inner}), 'array<string>'))")
+        + toks[close + 1:]
+    )
+    return render(out)
 
 
 @dataclass
@@ -256,16 +282,24 @@ class IcebreakerEngine:
                     # FLATTEN over a JSON-TEXT column: the transpiler
                     # wraps statically-known JSON text (T37) but a
                     # plain column ref is assumed a native array — when
-                    # the analyzer proves it a STRING, retry once with
-                    # the from_json wrap (the same contract T37 uses)
-                    retry_sql = _wrap_string_explode(stmt, e)
-                    if retry_sql is not None:
+                    # the analyzer proves it a STRING, retry with the
+                    # from_json wrap (the same contract T37 uses), one
+                    # offending site per pass so native-array FLATTENs
+                    # in the same statement stay unwrapped
+                    attempt, err, retried = stmt, e, None
+                    for _ in range(8):
+                        retry_sql = _wrap_string_explode(attempt, err)
+                        if retry_sql is None:
+                            break
                         try:
-                            result = self.spark.sql(retry_sql)
-                            continue
-                        except Exception:
-                            pass  # fall through to the ORIGINAL error
-                    raise_classified(e, stmt)
+                            retried = self.spark.sql(retry_sql)
+                            break
+                        except Exception as e2:
+                            attempt, err = retry_sql, e2
+                    if retried is None:
+                        raise_classified(e, stmt)  # the ORIGINAL error
+                    result = retried
+                    continue
         if result is None:
             raise ValueError("empty SQL")
         return result

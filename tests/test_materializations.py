@@ -1561,11 +1561,16 @@ class TestMergeStatement:
             "WHEN MATCHED THEN DELETE "
             "WHEN NOT MATCHED THEN INSERT *"
         )
-        got = {r.k for r in spark.table("mat_test.mg18").collect()}
-        # k=2 matched only if s.v > t.v (0.5 < 20 → NOT matched by the
-        # full ON) → source row 2 inserts? no: its key exists but the
-        # ON fails, so per Snowflake it is NOT MATCHED → INSERT fires
-        assert 9 in got and 1 in got and 3 in got
+        rows = spark.table("mat_test.mg18").collect()
+        got = {(r.k, r.s, r.v) for r in rows}
+        # source k=2 fails the full ON (0.5 < 20) → per Snowflake it is
+        # NOT MATCHED: the DELETE must NOT fire on the target row AND
+        # the INSERT must fire on the source row — both gated by the
+        # full ON, not the equality keys alone
+        assert (2, "b", 20.0) in got  # target row survived the DELETE
+        assert (2, "x", 0.5) in got   # failed-conjunct source row inserted
+        assert (9, "n", 90.0) in got  # plain NOT MATCHED insert
+        assert {r.k for r in rows} == {1, 2, 3, 9} and len(rows) == 5
 
     def test_pure_non_equi_on_refused(self, spark, engine):
         import pytest as _pytest
@@ -1577,6 +1582,125 @@ class TestMergeStatement:
             engine.execute(
                 "MERGE INTO mat_test.mg19 t USING mg19 s ON t.v < s.v "
                 "WHEN MATCHED THEN DELETE"
+            )
+
+    def test_between_in_on_conjunct(self, spark, engine):
+        # r5 review: the AND inside BETWEEN…AND must not split the
+        # conjunct (the splitter is BETWEEN-aware)
+        spark.sql("DROP TABLE IF EXISTS mat_test.mg20")
+        spark.createDataFrame(
+            [(1, 5.0, 0.0, 10.0), (2, 50.0, 0.0, 10.0)],
+            "k int, v double, lo double, hi double",
+        ).write.saveAsTable("mat_test.mg20")
+        spark.createDataFrame(
+            [(1, 7.0), (2, 7.0)], "k int, nv double"
+        ).createOrReplaceTempView("mg20_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg20 t USING mg20_src s "
+            "ON t.k = s.k AND t.v BETWEEN t.lo AND t.hi "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.nv"
+        )
+        got = {r.k: r.v for r in spark.table("mat_test.mg20").collect()}
+        # k=1: 5 in [0,10] → matched → 7; k=2: 50 outside → untouched
+        assert got == {1: 7.0, 2: 50.0}
+
+    def test_case_in_on_conjunct(self, spark, engine):
+        # r5 review: a CASE…END in an ON conjunct carries WHEN/AND at
+        # depth 0 — neither may terminate the ON scan or split it
+        self._seed(spark, engine, "mg21")
+        spark.createDataFrame(
+            [(1, "hit", 100.0), (2, "miss", 1.0)],
+            "k int, s string, v double",
+        ).createOrReplaceTempView("mg21_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg21 t USING mg21_src s ON t.k = s.k "
+            "AND CASE WHEN s.v > 50.0 AND t.v < 50.0 THEN TRUE "
+            "ELSE FALSE END "
+            "WHEN MATCHED THEN UPDATE SET t.s = s.s"
+        )
+        got = {r.k: r.s for r in spark.table("mat_test.mg21").collect()}
+        assert got == {1: "hit", 2: "b", 3: "c"}
+
+    def test_differently_named_equality_rides_as_filter(self, spark, engine):
+        # r5 review: t.version = s.expected_version (the
+        # optimistic-concurrency idiom) is an extra join filter, not a
+        # refused "key columns must have the same name"
+        spark.sql("DROP TABLE IF EXISTS mat_test.mg22")
+        spark.createDataFrame(
+            [(1, 10, "old"), (2, 20, "old")], "id int, version int, s string"
+        ).write.saveAsTable("mat_test.mg22")
+        spark.createDataFrame(
+            [(1, 10, "new"), (2, 99, "new")],
+            "id int, expected_version int, s string",
+        ).createOrReplaceTempView("mg22_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg22 t USING mg22_src s "
+            "ON t.id = s.id AND t.version = s.expected_version "
+            "WHEN MATCHED THEN UPDATE SET t.s = s.s, "
+            "t.version = t.version + 1"
+        )
+        got = {r.id: (r.version, r.s) for r in spark.table("mat_test.mg22").collect()}
+        # id=1: version matched → updated+bumped; id=2: stale → untouched
+        assert got == {1: (11, "new"), 2: (20, "old")}
+
+    def test_full_table_name_qualifiers_resolve(self, spark, engine):
+        # r5 review: db.tbl.col qualifiers in ON extras AND in SET
+        # expressions are rewritten to the join aliases (the generated
+        # join binds the temp views to aliases only)
+        spark.sql("DROP TABLE IF EXISTS mat_test.mg23")
+        spark.createDataFrame(
+            [(1, 1.0), (2, 5.0)], "k int, v double"
+        ).write.saveAsTable("mat_test.mg23")
+        spark.sql("DROP TABLE IF EXISTS mat_test.mg23s")
+        spark.createDataFrame(
+            [(1, 3.0), (2, 3.0)], "k int, v double"
+        ).write.saveAsTable("mat_test.mg23s")
+        engine.execute(
+            "MERGE INTO mat_test.mg23 USING mat_test.mg23s "
+            "ON mat_test.mg23.k = mat_test.mg23s.k "
+            "AND mat_test.mg23s.v > mat_test.mg23.v "
+            "WHEN MATCHED THEN UPDATE SET v = mat_test.mg23s.v"
+        )
+        got = {r.k: r.v for r in spark.table("mat_test.mg23").collect()}
+        assert got == {1: 3.0, 2: 5.0}
+
+    def test_dup_guard_honors_non_equi_conjuncts(self, spark, engine):
+        # r5 review: several source rows per key of which at most ONE
+        # survives the extra ON conjunct (late-arriving duplicates)
+        # must MERGE, not refuse — the guard counts matches per target
+        # row under the full ON
+        spark.sql("DROP TABLE IF EXISTS mat_test.mg24")
+        spark.createDataFrame(
+            [(1, "a", 3.0)], "k int, s string, ts double"
+        ).write.saveAsTable("mat_test.mg24")
+        spark.createDataFrame(
+            [(1, "x", 1.0), (1, "y", 9.0)], "k int, s string, ts double"
+        ).createOrReplaceTempView("mg24_src")
+        engine.execute(
+            "MERGE INTO mat_test.mg24 t USING mg24_src s "
+            "ON t.k = s.k AND s.ts > t.ts "
+            "WHEN MATCHED THEN UPDATE SET t.s = s.s, t.ts = s.ts"
+        )
+        got = [(r.k, r.s, r.ts) for r in spark.table("mat_test.mg24").collect()]
+        assert got == [(1, "y", 9.0)]
+
+    def test_dup_guard_still_refuses_true_duplicates(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        spark.sql("DROP TABLE IF EXISTS mat_test.mg25")
+        spark.createDataFrame(
+            [(1, "a", 3.0)], "k int, s string, ts double"
+        ).write.saveAsTable("mat_test.mg25")
+        spark.createDataFrame(
+            [(1, "x", 5.0), (1, "y", 6.0)], "k int, s string, ts double"
+        ).createOrReplaceTempView("mg25_src")
+        with _pytest.raises(TranspileError, match="nondeterministic"):
+            engine.execute(
+                "MERGE INTO mat_test.mg25 t USING mg25_src s "
+                "ON t.k = s.k AND s.ts > t.ts "
+                "WHEN MATCHED THEN UPDATE SET t.s = s.s"
             )
 
     def test_conditional_snowflake_dialect_condition(self, spark, engine):
@@ -2016,6 +2140,26 @@ class TestFlattenJsonColumnRetry:
             "LATERAL FLATTEN(input => t.a) f"
         ).collect()
         assert sorted(r.value for r in rows) == [1, 2]
+
+    def test_mixed_json_text_and_native_array(self, spark, engine):
+        # r5 review: wrapping must hit ONLY the STRING site — a
+        # statement mixing a JSON-text FLATTEN with a native-array
+        # FLATTEN retries per-site (wrapping the native array would
+        # itself fail analysis and previously re-raised the original)
+        import json as _json
+
+        spark.createDataFrame(
+            [(_json.dumps(["a", "b"]), ["x", "y"])],
+            "jt string, na array<string>",
+        ).createOrReplaceTempView("mixed_flat_src")
+        rows = engine.execute(
+            "SELECT f1.value AS v1, f2.value AS v2 FROM mixed_flat_src, "
+            "LATERAL FLATTEN(input => jt) f1, "
+            "LATERAL FLATTEN(input => na) f2"
+        ).collect()
+        assert sorted((r.v1, r.v2) for r in rows) == [
+            ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+        ]
 
     def test_unrelated_errors_still_raise(self, spark, engine):
         import pytest as _pytest
