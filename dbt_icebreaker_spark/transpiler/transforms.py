@@ -296,6 +296,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "OBJECT_PICK": "OBJPICK_X",
         "JAROWINKLER_SIMILARITY": "JAROWINK_X",  # pure-JVM lambda chain
         "GET_IGNORE_CASE": "GETIC_X",  # case-folded variant-map lookup
+        "ARRAY_SORT": "ARRSORT_X",  # 2/3-arg asc/nulls_first forms
+        "ROUND": "ROUND_X",         # 3-arg rounding-mode form → bround
+        "RANDSTR": "RANDSTR_X",     # deterministic hash-chain rendering
     }
     out = _rename_funcs(tokens, mapping)
     # bare-keyword forms (no parens): Spark resolves CURRENT_TIMESTAMP
@@ -435,6 +438,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
     "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
     "DOW0_X", "NULLCTX_X", "HASHAGG_X", "LOCALTIME_X",
+    "ARRSORT_X", "ROUND_X", "RANDSTR_X",
 ))
 
 # time-of-day "now" on the epoch-day TIME model (current_timestamp is
@@ -771,11 +775,19 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
             close = find_matching_paren(tokens, op_i)
             args = split_args(tokens, op_i + 1, close)
             if t.text == "SLICE_0" and len(args) == 3:
-                # ARRAY_SLICE(arr, from0, to0) → SLICE(arr, from0+1, to0-from0)
-                arr = tokens[args[0][0]:args[0][1]]
-                lo = tokens[args[1][0]:args[1][1]]
-                hi = tokens[args[2][0]:args[2][1]]
-                out += [_word("slice"), _op("(")] + arr + [_op(","), _sp(), _op("(")] + lo + [_op(")"), _sp(), _op("+"), _sp(), Token(WORD, "1"), _op(","), _sp(), _op("(")] + hi + [_op(")"), _sp(), _op("-"), _sp(), _op("(")] + lo + [_op(")"), _op(")")]
+                # ARRAY_SLICE(arr, from0, to0): 0-based half-open;
+                # NEGATIVE positions count from the end (len+pos) —
+                # Spark's slice() negative start means something else
+                # ("last n"), so resolve both bounds against size()
+                # first, clamp at 0, then hand slice() a 1-based start
+                # and a non-negative length.
+                a = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                lo = "(" + render(tokens[args[1][0]:args[1][1]]).strip() + ")"
+                hi = "(" + render(tokens[args[2][0]:args[2][1]]).strip() + ")"
+                ef = f"IF({lo} < 0, greatest(size({a}) + {lo}, 0), {lo})"
+                et = f"IF({hi} < 0, size({a}) + {hi}, {hi})"
+                out += tokenize(
+                    f"slice({a}, ({ef}) + 1, greatest(({et}) - ({ef}), 0))")
             elif t.text == "INSTR_SWAP" and len(args) in (2, 3):
                 # CHARINDEX(needle, haystack[, start]) → Spark locate,
                 # which shares CHARINDEX's argument order AND start-
@@ -1691,11 +1703,22 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 out += tokenize(f"TRY_CAST({x} AS DOUBLE)")
             elif t.text == "ASCHAR_X" and len(args) == 1:
-                # only a JSON *string* unquotes; other variants → NULL
+                # a JSON *string* unquotes; other JSON values → NULL.
+                # Plain unquoted text (the TO_VARIANT(str) rendering in
+                # the JSON-string VARIANT model) passes through as-is —
+                # without this branch every TO_VARIANT'd string read
+                # back NULL. (TO_VARIANT('123') still classifies as a
+                # number — the string model can't tell it from
+                # TO_VARIANT(123); documented deviation.)
                 x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                v = f"trim(CAST({x} AS STRING))"
                 out += tokenize(
                     f"CASE WHEN {x} LIKE '\"%' THEN"
-                    f" get_json_object({x}, '$') END")
+                    f" get_json_object({x}, '$')"
+                    f" WHEN {v} = 'null' OR {v} LIKE '{{%'"
+                    f" OR {v} LIKE '[%' OR {v} IN ('true', 'false')"
+                    f" OR TRY_CAST({v} AS DOUBLE) IS NOT NULL THEN NULL"
+                    f" ELSE CAST({x} AS STRING) END")
             elif t.text == "ASBOOL_X" and len(args) == 1:
                 x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 out += tokenize(
@@ -1760,6 +1783,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f" THEN 'INTEGER'"
                     f" WHEN TRY_CAST({v} AS DOUBLE) IS NOT NULL"
                     f" THEN 'DOUBLE'"
+                    f" ELSE 'VARCHAR'"  # plain TO_VARIANT(str) text
                     f" END")
             elif t.text.startswith("ISTYPE_") and len(args) == 1:
                 x = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
@@ -1769,7 +1793,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "OBJECT": f"{v} LIKE '{{%'",
                     "ARRAY": f"{v} LIKE '[%'",
                     "BOOLEAN": f"{v} IN ('true', 'false')",
-                    "VARCHAR": f"{v} LIKE '\"%'",
+                    # quoted JSON string OR plain TO_VARIANT(str) text
+                    # (not any other JSON value)
+                    "VARCHAR": (
+                        f"({v} LIKE '\"%' OR NOT ({v} = 'null'"
+                        f" OR {v} LIKE '{{%' OR {v} LIKE '[%'"
+                        f" OR {v} IN ('true', 'false')"
+                        f" OR TRY_CAST({v} AS DOUBLE) IS NOT NULL))"
+                    ),
                     "INTEGER": (
                         f"{v} NOT LIKE '\"%' AND"
                         f" TRY_CAST({v} AS BIGINT) IS NOT NULL"
@@ -1781,6 +1812,61 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 }[kind]
                 out += tokenize(
                     f"CASE WHEN {x} IS NULL THEN NULL ELSE ({cond}) END")
+            elif t.text == "ARRSORT_X" and len(args) in (1, 2, 3):
+                # ARRAY_SORT(arr[, sort_ascending[, nulls_first]]) —
+                # Snowflake defaults TRUE, FALSE. Spark's coverage of
+                # the four combos: array_sort = asc nulls-last,
+                # sort_array(a, true) = asc nulls-first, and reverse()
+                # of each gives the descending twins.
+                a = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                if len(args) == 1:
+                    out += tokenize(f"array_sort({a})")
+                elif len(args) == 2 and any(
+                    c.is_op("->") for c in tokens[args[1][0]:args[1][1]]
+                ):
+                    # Spark-native comparator-lambda form (emitted by
+                    # earlier rewrites, e.g. OBJECT_INSERT's sorted-key
+                    # serialization) — pass through untouched
+                    cmp_l = render(tokens[args[1][0]:args[1][1]]).strip()
+                    out += tokenize(f"array_sort({a}, {cmp_l})")
+                else:
+                    asc = "(" + render(tokens[args[1][0]:args[1][1]]).strip() + ")"
+                    nf = (
+                        "(" + render(tokens[args[2][0]:args[2][1]]).strip() + ")"
+                        if len(args) == 3 else "FALSE"
+                    )
+                    out += tokenize(
+                        f"CASE WHEN {asc} AND {nf} THEN sort_array({a}, true)"
+                        f" WHEN {asc} THEN array_sort({a})"
+                        f" WHEN {nf} THEN reverse(array_sort({a}))"
+                        f" ELSE reverse(sort_array({a}, true)) END")
+            elif t.text == "ROUND_X" and len(args) in (1, 2, 3):
+                parts = [render(tokens[a0:b0]).strip() for a0, b0 in args]
+                if len(args) < 3:
+                    out += tokenize(f"round({', '.join(parts)})")
+                else:
+                    # ROUND(x, s, 'HALF_TO_EVEN') → bround (banker's);
+                    # 'HALF_AWAY_FROM_ZERO' (the default) → round
+                    mode = parts[2].strip().strip("'\"").upper()
+                    fn = "bround" if mode == "HALF_TO_EVEN" else "round"
+                    out += tokenize(f"{fn}({parts[0]}, {parts[1]})")
+            elif t.text == "RANDSTR_X" and len(args) == 2:
+                # RANDSTR(len, gen): alphanumeric pseudo-random string,
+                # deterministic per (gen, position) via a hash chain —
+                # same contract (seeded gen → stable output), different
+                # byte sequence than Snowflake's generator (documented
+                # deviation; the exact stream is proprietary)
+                l_r = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                g_r = "(" + render(tokens[args[1][0]:args[1][1]]).strip() + ")"
+                alpha = (
+                    "abcdefghijklmnopqrstuvwxyz"
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+                )
+                out += tokenize(
+                    f"IF({l_r} < 1, '', array_join(transform("
+                    f"sequence(1, CAST({l_r} AS INT)), __rs -> "
+                    f"substr('{alpha}', 1 + pmod(hash({g_r}, __rs), 62), 1)"
+                    f"), ''))")
             elif t.text == "NORMAL_X" and len(args) == 3:
                 # NORMAL(mean, stddev, gen): the generator argument is
                 # dropped (same policy as UNIFORM's RANDOM() arg)
@@ -2214,6 +2300,115 @@ def rewrite_variant_funcs(tokens: Tokens) -> Tokens:
 
 
 # ------------------------------------------------------------------- T8
+# words after which a `[` opens an ARRAY LITERAL, not a subscript —
+# any other WORD / QIDENT / `)` / `]` before `[` means element access
+_BRACKET_LITERAL_PRECEDERS = frozenset((
+    "SELECT", "DISTINCT", "ALL", "WHERE", "AND", "OR", "NOT", "IN",
+    "ON", "WHEN", "THEN", "ELSE", "CASE", "BY", "HAVING", "LIKE",
+    "ILIKE", "RLIKE", "BETWEEN", "IS", "VALUES", "SET", "LIMIT",
+    "OFFSET", "UNION", "EXCEPT", "INTERSECT", "AS", "RETURN",
+))
+
+
+def _find_matching_bracket(
+    tokens: Tokens, open_idx: int, open_ch: str = "[", close_ch: str = "]"
+) -> int:
+    depth = 0
+    for m in range(open_idx, len(tokens)):
+        if tokens[m].is_op(open_ch):
+            depth += 1
+        elif tokens[m].is_op(close_ch):
+            depth -= 1
+            if depth == 0:
+                return m
+    return -1
+
+
+def _object_literal_pairs(tokens: Tokens):
+    """Parse `{'k': v, ...}` innards: list of (key STRING token, value
+    token slice) or None when the shape is not a constant-keyed object
+    literal (leave such braces untouched)."""
+    segs: list[Tokens] = []
+    depth = 0
+    lo = 0
+    for k in range(len(tokens)):
+        tk = tokens[k]
+        if tk.is_op("(", "[", "{"):
+            depth += 1
+        elif tk.is_op(")", "]", "}"):
+            depth -= 1
+        elif depth == 0 and tk.is_op(","):
+            segs.append(tokens[lo:k])
+            lo = k + 1
+    segs.append(tokens[lo:])
+    if len(segs) == 1 and not [c for c in segs[0] if c.kind not in (WS, COMMENT)]:
+        return []  # {} empty object
+    pairs = []
+    for seg in segs:
+        code = [c for c in seg if c.kind not in (WS, COMMENT)]
+        if len(code) < 3 or code[0].kind != STRING or not code[1].is_op(":"):
+            return None
+        colon_at = seg.index(code[1])
+        pairs.append((code[0], seg[colon_at + 1:]))
+    return pairs
+
+
+def rewrite_bracket_literals(tokens: Tokens) -> Tokens:
+    """Snowflake constant-literal syntax for semi-structured values:
+    ``[e1, e2, …]`` in expression position → ARRAY_CONSTRUCT(e1, e2, …)
+    and ``{'k': v, …}`` → OBJECT_CONSTRUCT('k', v, …) (ref Snowflake
+    docs: array/object constants). A ``[`` directly after an
+    identifier / ``)`` / ``]`` is ELEMENT ACCESS and is left alone
+    (Spark reads ``arr[0]`` natively, 0-based like Snowflake). Runs
+    before rewrite_object_construct / rewrite_array_construct so the
+    emitted constructors get their normal lowering."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    prev = None  # last code token seen (original stream or emitted close)
+    while i < n:
+        t = tokens[i]
+        if t.is_op("["):
+            is_subscript = prev is not None and (
+                prev.is_op(")") or prev.is_op("]") or prev.kind == QIDENT
+                or (
+                    prev.kind == WORD
+                    and prev.upper not in _BRACKET_LITERAL_PRECEDERS
+                )
+            )
+            if not is_subscript:
+                close = _find_matching_bracket(tokens, i)
+                if close != -1:
+                    inner = rewrite_bracket_literals(tokens[i + 1:close])
+                    out += ([_word("ARRAY_CONSTRUCT"), _op("(")] + inner
+                            + [_op(")")])
+                    prev = Token(OP, ")")
+                    i = close + 1
+                    continue
+        elif t.is_op("{"):
+            close = _find_matching_bracket(tokens, i, "{", "}")
+            if close != -1:
+                pairs = _object_literal_pairs(tokens[i + 1:close])
+                if pairs is not None:
+                    out.append(_word("OBJECT_CONSTRUCT"))
+                    out.append(_op("("))
+                    for pi, (key, val) in enumerate(pairs):
+                        if pi:
+                            out += [_op(","), _sp()]
+                        out.append(key)
+                        out += [_op(","), _sp()]
+                        out += rewrite_bracket_literals(val)
+                    out.append(_op(")"))
+                    prev = Token(OP, ")")
+                    i = close + 1
+                    continue
+        if t.kind not in (WS, COMMENT):
+            prev = t
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_array_construct(tokens: Tokens) -> Tokens:
     """ARRAY_CONSTRUCT(…) → ARRAY(…) (ref transpiler.py:294-302);
     ARRAY_CONSTRUCT_COMPACT(…) → filter(array(…), x -> x IS NOT NULL)
@@ -5119,9 +5314,6 @@ _UNSUPPORTED_SCALARS = {
                      "per-model runtime metrics live in "
                      "observability/telemetry (self-harvested Spark "
                      "listener data)",
-    "RANDSTR": "UUID_STRING() for opaque ids, or MD5 of a seeded "
-               "expression for deterministic pseudo-random strings "
-               "(RANDSTR's generator state has no Spark equivalent)",
 }
 
 
@@ -5307,6 +5499,7 @@ PIPELINE = (
     rewrite_array_agg_within,
     rewrite_sample,
     rewrite_minhash,           # sketch aggregates → JVM array/fold SQL
+    rewrite_bracket_literals,  # [..] / {'k': v} constants → constructors
     rewrite_object_insert,     # before object_construct: needs raw values
     rewrite_object_construct,
     rewrite_variant_funcs,

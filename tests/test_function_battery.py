@@ -141,6 +141,32 @@ SCALAR_CASES = [
     ("SELECT LTRIM('xxay', 'x')", "ay"),
     ("SELECT TRIM('xax', 'x')", "a"),
     ("SELECT CONCAT_WS('-', 'a', NULL, 'b')", "a-b"),
+    # round-5 third sweep: bracket/object literals + fn-surface fixes
+    ("SELECT [1,2,3]", [1, 2, 3]),
+    ("SELECT [[1,2],[3]][1]", [3]),
+    ("SELECT {'a': 1, 'b': [2,3]}", '{"a":1,"b":[2,3]}'),
+    ("SELECT ARRAY_SIZE([])", 0),
+    ("SELECT ARRAY_SORT([3,1,2])", [1, 2, 3]),
+    ("SELECT ARRAY_SORT([3,1,2], FALSE)", [3, 2, 1]),
+    ("SELECT ARRAY_SORT([3,NULL,1], TRUE, TRUE)", [None, 1, 3]),
+    ("SELECT ARRAY_SORT([3,NULL,1], FALSE, FALSE)", [3, 1, None]),
+    ("SELECT ARRAY_SLICE([0,1,2,3], -2, 4)", [2, 3]),
+    ("SELECT ARRAY_SLICE([0,1,2,3], 1, -1)", [1, 2]),
+    ("SELECT ARRAY_SLICE([0,1,2,3], 5, 7)", []),
+    ("SELECT ROUND(2.5, 0, 'HALF_TO_EVEN')", 2),
+    ("SELECT ROUND(3.5, 0, 'HALF_TO_EVEN')", 4),
+    ("SELECT ROUND(2.5, 0, 'HALF_AWAY_FROM_ZERO')", 3),
+    ("SELECT LENGTH(RANDSTR(8, 42))", 8),
+    ("SELECT RANDSTR(8, 42) = RANDSTR(8, 42)", True),
+    ("SELECT RANDSTR(5, 1) <> RANDSTR(5, 2)", True),
+    ("SELECT TYPEOF(TO_VARIANT('x'))", "VARCHAR"),
+    ("SELECT AS_VARCHAR(TO_VARIANT('xy'))", "xy"),
+    ("SELECT AS_VARCHAR(PARSE_JSON('\"q\"'))", "q"),
+    ("SELECT AS_VARCHAR(TO_VARIANT(3))", ("__NULL__",)),
+    ("SELECT IS_VARCHAR(TO_VARIANT('x'))", True),
+    ("SELECT IS_VARCHAR(TO_VARIANT(3))", False),
+    ("SELECT CEIL(3.14159, 2)::DOUBLE", 3.15),
+    ("SELECT FLOOR(3.14159, 3)::DOUBLE", 3.141),
 ]
 
 AGG_CASES = [
