@@ -1752,6 +1752,39 @@ _q(
 )
 
 
+# ---- bracket array literals + the round-5 array-fn surface (T-series
+# rewrite_bracket_literals / ARRSORT_X / SLICE_0 negatives) — DuckDB's
+# list syntax and list functions make an exact value oracle ----------
+_q(
+    "q78_array_surface",
+    """
+    SELECT o_orderkey,
+           ARRAY_TO_STRING(
+             ARRAY_SORT([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+                        FALSE), ',') AS sorted_desc,
+           ARRAY_TO_STRING(
+             ARRAY_SLICE([o_orderkey % 7, o_orderkey % 5,
+                          o_orderkey % 3, o_orderkey % 2], -2, 4),
+             ',') AS tail2,
+           CAST(ARRAY_SIZE(ARRAY_COMPACT(
+             [o_orderkey, NULL, o_custkey])) AS BIGINT) AS nn
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    """
+    SELECT o_orderkey,
+           array_to_string(
+             list_sort([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+                       'DESC'), ',') AS sorted_desc,
+           array_to_string(
+             ([o_orderkey % 7, o_orderkey % 5,
+               o_orderkey % 3, o_orderkey % 2])[3:4], ',') AS tail2,
+           CAST(len(list_filter([o_orderkey, NULL, o_custkey],
+                                x -> x IS NOT NULL)) AS BIGINT) AS nn
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+
+
 # --------------------------------------------------------------------
 # X-ops: DataFrame implementations + ANSI oracles
 # --------------------------------------------------------------------
@@ -5008,6 +5041,97 @@ def _q_create_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.nation_clone")
 
 
+def _q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake CREATE FUNCTION (SQL UDF) → Spark 4 SQL UDF
+    (transpiler rewrite_create_function): a scalar UDF with Snowflake
+    dialect in its body (IFF, '' escapes) defined and then used in an
+    aggregation. The oracle inlines the function bodies — the engine
+    result must equal the macro-expanded query exactly. Per-row ROUND
+    before SUM keeps the float aggregation order-independent
+    (oracle-dtype-seam contract)."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q76_{uuid.uuid4().hex[:8]}")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION q76_tax(amt DOUBLE, pri VARCHAR) "
+        "RETURNS DOUBLE AS "
+        "'ROUND(amt * IFF(pri LIKE ''1-%'', 1.10, 1.05), 4)'"
+    )
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION q76_band(v DOUBLE) RETURNS VARCHAR "
+        "AS 'CASE WHEN v > 200000 THEN ''hi'' "
+        "WHEN v > 100000 THEN ''mid'' ELSE ''lo'' END'"
+    )
+    return eng.execute(
+        """
+        SELECT q76_band(q76_tax(o_totalprice, o_orderpriority)) AS band,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(q76_tax(o_totalprice, o_orderpriority)), 2)
+                    AS DOUBLE) AS taxed_total
+        FROM orders
+        GROUP BY q76_band(q76_tax(o_totalprice, o_orderpriority))
+        """
+    )
+
+
+XOP_ORACLES["q76_sql_udf"] = """
+    WITH t AS (
+      SELECT ROUND(o_totalprice * CASE WHEN o_orderpriority LIKE '1-%'
+                                       THEN 1.10 ELSE 1.05 END, 4) AS taxed
+      FROM orders
+    )
+    SELECT CASE WHEN taxed > 200000 THEN 'hi'
+                WHEN taxed > 100000 THEN 'mid' ELSE 'lo' END AS band,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(taxed), 2) AS DOUBLE) AS taxed_total
+    FROM t GROUP BY band
+"""
+
+
+def _q_replace_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE … CLUSTER BY (…) AS SELECT through the
+    engine (create_table.py): replaced TWICE to prove replace
+    semantics (the final state must be the second select only — a
+    DROP-less append would leak the first). CLUSTER BY maps to the
+    linear range layout; its file-range effect is plan/layout-tested
+    in tests/test_materializations.py — here the value contract is
+    gated."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q77_")
+    db = f"q77_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    eng.execute(
+        f"CREATE OR REPLACE TABLE {db}.ord_c CLUSTER BY (o_custkey) AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 20000"
+    )
+    eng.execute(
+        f"CREATE OR REPLACE TABLE {db}.ord_c CLUSTER BY (o_custkey) AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 50000"
+    )
+    return spark.sql(
+        f"SELECT o_orderkey, o_custkey, "
+        f"CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM {db}.ord_c"
+    )
+
+
+XOP_ORACLES["q77_replace_clustered"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_totalprice > 50000
+"""
+
+
 def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
     IcebreakerEngine.execute: the engine enumerates the pivot values
@@ -5210,6 +5334,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,
     "q75_merge_non_equi": _q_merge_non_equi,
+    "q76_sql_udf": _q_sql_udf,
+    "q77_replace_clustered": _q_replace_clustered,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

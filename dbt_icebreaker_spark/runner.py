@@ -175,6 +175,29 @@ class IcebreakerEngine:
                     "statement string, status string",
                 )
                 continue
+            # CREATE OR REPLACE TABLE: Spark's REPLACE TABLE needs a
+            # DSv2 catalog — lower onto the overwrite-write staged swap
+            # the table materialization uses (create_table.py)
+            from .materializations.create_table import (
+                parse_create_or_replace_table,
+                run_create_or_replace_table,
+            )
+
+            cort_spec = parse_create_or_replace_table(raw)
+            if cort_spec is not None:
+                try:
+                    stats = run_create_or_replace_table(
+                        self.spark, cort_spec, self.transpiler, self.execute
+                    )
+                except (ValueError, TranspileError):
+                    raise
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_affected"])],
+                    "table string, rows_affected long",
+                )
+                continue
             alter_spec = parse_alter_columns(raw)
             if alter_spec is not None:
                 try:

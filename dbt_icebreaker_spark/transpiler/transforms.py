@@ -2746,6 +2746,43 @@ def _inject_dual_if_bare_from(out: Tokens) -> None:
                 _word("__dual")]
 
 
+def rewrite_table_wrapper(tokens: Tokens) -> Tokens:
+    """Snowflake wraps every table-function call in ``TABLE(…)``
+    (``FROM TABLE(my_udtf(x))``); Spark calls them bare (``FROM
+    my_udtf(x)``). Unwrap ``TABLE(<call>)`` when the inner is a
+    function call — runs AFTER rewrite_generator / rewrite_flatten so
+    their specialized TABLE( forms are already gone. ``TABLE('name')``
+    dynamic references and anything non-call stay untouched (Spark
+    errors with its own message)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "TABLE":
+            j = next_code(tokens, i + 1)
+            if j < n and tokens[j].is_op("("):
+                j2 = next_code(tokens, j + 1)
+                outer_close = find_matching_paren(tokens, j)
+                if (
+                    j2 < n and tokens[j2].kind == WORD
+                    and _is_call(tokens, j2, tokens[j2].upper)
+                ):
+                    inner_close = find_matching_paren(
+                        tokens, next_code(tokens, j2 + 1)
+                    )
+                    # the call must span the whole TABLE(...) body
+                    if next_code(tokens, inner_close + 1) == outer_close:
+                        out += rewrite_table_wrapper(
+                            tokens[j2:outer_close]
+                        )
+                        i = outer_close + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_flatten(tokens: Tokens) -> Tokens:
     """[LATERAL|TABLE()] FLATTEN(input => X) [AS] f →
     LATERAL VIEW POSEXPLODE(X) f AS index, value (ref
@@ -3865,6 +3902,11 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
                            "model on a schedule",
     ("ALTER", "SESSION"): "SparkSession confs (spark.conf.set) — session "
                           "parameters are engine-specific",
+    ("CREATE", "SEQUENCE"): "monotonically_increasing_id() for unique "
+                            "ids, ROW_NUMBER() OVER (ORDER BY …) for "
+                            "dense sequences, or TABLE(GENERATOR("
+                            "ROWCOUNT => n)) for row spines — Spark "
+                            "has no stateful sequence objects",
 }
 
 
@@ -3898,6 +3940,10 @@ _UNSUPPORTED_CLAUSES = (
      "MATCH_RECOGNIZE natively via the row-pattern operator "
      "(xops/match_recognize.py); plain spark.sql() has no row-pattern "
      "clause"),
+    ("NEXTVAL", None, "<seq>.NEXTVAL",
+     "monotonically_increasing_id() for unique ids or ROW_NUMBER() "
+     "OVER (ORDER BY …) for dense sequences — Spark has no stateful "
+     "sequence objects"),
 )
 
 
@@ -5483,7 +5529,204 @@ def rewrite_quoted_identifiers(tokens: Tokens) -> Tokens:
     return out if changed else tokens
 
 
+# ------------------------------------------------------------- SQL UDFs
+_SIG_TYPE_MAP = {
+    # Snowflake signature type → Spark SQL-UDF signature type. VARIANT/
+    # OBJECT follow the JSON-string model; TIME follows the epoch-day
+    # TIMESTAMP model (same as the cast/expression layers).
+    "NUMBER": "DECIMAL(38, 0)", "NUMERIC": "DECIMAL(38, 0)",
+    "DECIMAL": "DECIMAL(38, 0)",
+    "FLOAT": "DOUBLE", "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE",
+    "DOUBLE": "DOUBLE", "REAL": "DOUBLE",
+    "INT": "BIGINT", "INTEGER": "BIGINT", "BIGINT": "BIGINT",
+    "SMALLINT": "BIGINT", "TINYINT": "BIGINT", "BYTEINT": "BIGINT",
+    "VARCHAR": "STRING", "CHAR": "STRING", "CHARACTER": "STRING",
+    "TEXT": "STRING", "STRING": "STRING",
+    "BOOLEAN": "BOOLEAN", "BINARY": "BINARY", "VARBINARY": "BINARY",
+    "DATE": "DATE", "DATETIME": "TIMESTAMP",
+    "TIMESTAMP": "TIMESTAMP", "TIMESTAMP_NTZ": "TIMESTAMP",
+    "TIMESTAMP_LTZ": "TIMESTAMP", "TIMESTAMP_TZ": "TIMESTAMP",
+    "TIME": "TIMESTAMP",
+    "VARIANT": "STRING", "OBJECT": "STRING",
+}
+
+_CF_PAREN_KEEP = ("NUMBER", "NUMERIC", "DECIMAL")  # precision survives
+
+
+def _cf_error(detail: str):
+    from .core import TranspileError
+
+    raise TranspileError(f"CREATE FUNCTION: {detail}")
+
+
+def _cf_map_type(tokens: Tokens, i: int) -> tuple[str, int]:
+    """Map one signature type starting at code index i; returns
+    (Spark type text, index after)."""
+    t = tokens[i]
+    if t.kind != WORD:
+        _cf_error(f"expected a type name, got {t.text!r}")
+    u = t.upper
+    j = next_code(tokens, i + 1)
+    if u in ("DOUBLE",) and j < len(tokens) and tokens[j].is_word("PRECISION"):
+        return "DOUBLE", next_code(tokens, j + 1)
+    if u == "ARRAY":
+        _cf_error(
+            "ARRAY-typed parameters need a concrete Spark element type "
+            "— declare e.g. ARRAY<BIGINT> (Snowflake's generic VARIANT "
+            "arrays have no Spark equivalent), or register a Python "
+            "UDF via spark.udf.register"
+        )
+    if u in ("GEOGRAPHY", "GEOMETRY"):
+        _cf_error("geospatial parameter types are unsupported (TOXIC_TYPES)")
+    if u not in _SIG_TYPE_MAP:
+        # pass unknown spellings through — Spark rejects with its own
+        # message if they are genuinely invalid
+        mapped = t.text
+    else:
+        mapped = _SIG_TYPE_MAP[u]
+    if j < len(tokens) and tokens[j].is_op("("):
+        close = find_matching_paren(tokens, j)
+        inner = render(tokens[j + 1:close]).strip()
+        after = next_code(tokens, close + 1)
+        if u in _CF_PAREN_KEEP:
+            return f"DECIMAL({inner})", after
+        if u in ("VARCHAR", "CHAR", "CHARACTER", "TEXT", "STRING"):
+            return "STRING", after  # unbounded, like bare VARCHAR
+        return f"{mapped}({inner})", after
+    return mapped, j
+
+
+def rewrite_create_function(tokens: Tokens) -> Tokens:
+    """Snowflake ``CREATE [OR REPLACE] FUNCTION … RETURNS … AS
+    'body'|$$body$$`` → Spark SQL UDF ``CREATE [OR REPLACE] TEMPORARY
+    FUNCTION … RETURNS … RETURN body`` (Spark 4 SQL UDFs; scalar and
+    RETURNS TABLE forms). Always TEMPORARY: the engine is
+    session-scoped, like its temp-table handling. LANGUAGE
+    JAVASCRIPT/PYTHON/JAVA/SCALA bodies refuse actionably. The body is
+    re-tokenized so the rest of the pipeline transpiles Snowflake
+    dialect inside it."""
+    i = next_code(tokens, 0)
+    if i >= len(tokens) or not tokens[i].is_word("CREATE"):
+        return tokens
+    i = next_code(tokens, i + 1)
+    or_replace = False
+    while i < len(tokens) and tokens[i].is_word(
+        "OR", "REPLACE", "TEMP", "TEMPORARY", "SECURE"
+    ):
+        if tokens[i].is_word("REPLACE"):
+            or_replace = True
+        i = next_code(tokens, i + 1)
+    if i >= len(tokens) or not tokens[i].is_word("FUNCTION"):
+        return tokens
+    i = next_code(tokens, i + 1)
+    if_not_exists = False
+    if i < len(tokens) and tokens[i].is_word("IF"):
+        if_not_exists = True
+        i = next_code(tokens, i + 1)  # NOT
+        i = next_code(tokens, i + 1)  # EXISTS
+        i = next_code(tokens, i + 1)
+    # qualified name — keep only the last part (temp functions have no
+    # schema in Spark)
+    name_parts = []
+    while i < len(tokens) and tokens[i].kind in (WORD, QIDENT):
+        name_parts.append(tokens[i].text.strip('"'))
+        j = next_code(tokens, i + 1)
+        if j < len(tokens) and tokens[j].is_op("."):
+            i = next_code(tokens, j + 1)
+        else:
+            i = j
+            break
+    if not name_parts or i >= len(tokens) or not tokens[i].is_op("("):
+        _cf_error("expected function name followed by (parameters)")
+    fname = name_parts[-1]
+    close = find_matching_paren(tokens, i)
+    params = []
+    for lo, hi in split_args(tokens, i + 1, close):
+        code = [k for k in range(lo, hi) if tokens[k].kind not in (WS, COMMENT)]
+        if not code:
+            continue
+        pname = tokens[code[0]].text
+        ptype, after = _cf_map_type(tokens, next_code(tokens, code[0] + 1))
+        tail = render(tokens[after:hi]).strip()  # DEFAULT <expr> etc.
+        params.append(f"{pname} {ptype}" + (f" {tail}" if tail else ""))
+    i = next_code(tokens, close + 1)
+    if i >= len(tokens) or not tokens[i].is_word("RETURNS"):
+        _cf_error("expected RETURNS <type> after the parameter list")
+    i = next_code(tokens, i + 1)
+    if i < len(tokens) and tokens[i].is_word("TABLE"):
+        j = next_code(tokens, i + 1)
+        if j >= len(tokens) or not tokens[j].is_op("("):
+            _cf_error("RETURNS TABLE needs a (col type, …) list")
+        tclose = find_matching_paren(tokens, j)
+        cols = []
+        for lo, hi in split_args(tokens, j + 1, tclose):
+            code = [k for k in range(lo, hi)
+                    if tokens[k].kind not in (WS, COMMENT)]
+            if not code:
+                continue
+            cname = tokens[code[0]].text
+            ctype, _after = _cf_map_type(tokens, next_code(tokens, code[0] + 1))
+            cols.append(f"{cname} {ctype}")
+        returns = "TABLE (" + ", ".join(cols) + ")"
+        is_table = True
+        i = next_code(tokens, tclose + 1)
+    else:
+        rtype, i = _cf_map_type(tokens, i)
+        returns = rtype
+        is_table = False
+    # properties between RETURNS and AS: NOT NULL, CALLED/RETURNS NULL
+    # ON NULL INPUT, IMMUTABLE/VOLATILE, MEMOIZABLE, COMMENT='…',
+    # LANGUAGE <lang> — skip all, capture LANGUAGE
+    language = "SQL"
+    body = None
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_word("LANGUAGE"):
+            i = next_code(tokens, i + 1)
+            if i < len(tokens):
+                language = tokens[i].upper
+            i = next_code(tokens, i + 1)
+            continue
+        if t.is_word("AS"):
+            i = next_code(tokens, i + 1)
+            break
+        i = next_code(tokens, i + 1)
+    else:
+        _cf_error("missing AS '<body>'")
+    if language != "SQL":
+        _cf_error(
+            f"LANGUAGE {language} bodies cannot run on Spark SQL — "
+            "register the logic as a Spark UDF (spark.udf.register / "
+            "pandas_udf) and call it by name instead"
+        )
+    if i < len(tokens) and tokens[i].kind == STRING:
+        raw = tokens[i].text
+        body = raw[1:-1].replace("''", "'")
+    else:
+        # $$ … $$ dollar-quoted body: reconstruct from the raw text
+        rest = render(tokens[i:]) if i < len(tokens) else ""
+        m = re.search(r"\$\$(.*?)\$\$", rest, re.DOTALL)
+        if m:
+            body = m.group(1)
+    if body is None or not body.strip():
+        _cf_error("missing AS '<body>' (quoted or $$-quoted)")
+    body = body.strip().rstrip(";")
+    if not is_table and re.match(r"(?is)^\s*(SELECT|WITH)\b", body):
+        body = f"({body})"  # scalar subquery form
+    head = "CREATE "
+    if or_replace:
+        head += "OR REPLACE "
+    head += "TEMPORARY FUNCTION "
+    if if_not_exists:
+        head += "IF NOT EXISTS "
+    return tokenize(
+        f"{head}{fname}({', '.join(params)}) RETURNS {returns} "
+        f"RETURN {body}"
+    )
+
+
 PIPELINE = (
+    rewrite_create_function,   # Snowflake SQL UDF → Spark SQL UDF (stmt-level)
     rewrite_temp_table,        # CREATE TEMP TABLE AS → TEMP VIEW (stmt-level)
     rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)
     rewrite_connect_by,        # whole-statement restructure runs first
@@ -5513,6 +5756,7 @@ PIPELINE = (
     rewrite_epoch_extract,
     rewrite_generator,
     rewrite_flatten,
+    rewrite_table_wrapper,     # leftover TABLE(udtf(x)) → bare call
     rewrite_json_path,
     rewrite_qualify,
     rewrite_quoted_identifiers,  # last: "ident" → `ident` (Spark reads

@@ -2121,6 +2121,134 @@ class TestDynamicPivot:
         assert df.columns == ["region", "q1", "q2", "q3"]
 
 
+class TestCreateFunctionStatement:
+    """Snowflake CREATE FUNCTION → Spark SQL UDF (transpiler
+    statement rewrite; Spark 4 SQL-UDF RETURN syntax). Session-scoped
+    (TEMPORARY) like the engine's temp-table handling."""
+
+    def test_scalar_udf_roundtrip(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE FUNCTION cfs_dbl(x NUMBER) "
+            "RETURNS NUMBER AS 'x * 2'"
+        )
+        got = engine.execute("SELECT cfs_dbl(21) AS r").collect()[0].r
+        assert int(got) == 42
+
+    def test_body_transpiles_snowflake_dialect(self, spark, engine):
+        # IFF + '' escapes inside the quoted body
+        engine.execute(
+            "CREATE OR REPLACE FUNCTION cfs_gr(s VARCHAR) RETURNS VARCHAR "
+            "LANGUAGE SQL IMMUTABLE AS 'IFF(s IS NULL, ''anon'', s)'"
+        )
+        rows = engine.execute(
+            "SELECT cfs_gr(NULL) AS a, cfs_gr('bob') AS b"
+        ).collect()[0]
+        assert (rows.a, rows.b) == ("anon", "bob")
+
+    def test_dollar_quoted_body(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE FUNCTION cfs_area(r DOUBLE) RETURNS DOUBLE "
+            "AS $$ 3.141592653589793 * r * r $$"
+        )
+        got = engine.execute("SELECT cfs_area(2.0) AS r").collect()[0].r
+        assert abs(got - 12.566370614359172) < 1e-12
+
+    def test_table_udf_via_table_wrapper(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE FUNCTION cfs_seq(n INT) "
+            "RETURNS TABLE (v INT) AS "
+            "'SELECT EXPLODE(SEQUENCE(1, n))'"
+        )
+        got = engine.execute(
+            "SELECT v FROM TABLE(cfs_seq(3)) ORDER BY v"
+        ).collect()
+        assert [r.v for r in got] == [1, 2, 3]
+
+    def test_javascript_refused(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with _pytest.raises(TranspileError, match="LANGUAGE JAVASCRIPT"):
+            engine.execute(
+                "CREATE FUNCTION cfs_js() RETURNS VARCHAR "
+                "LANGUAGE JAVASCRIPT AS 'return 1'"
+            )
+
+    def test_sequence_refusals(self, spark, engine):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with _pytest.raises(TranspileError, match="sequence objects"):
+            engine.execute("CREATE SEQUENCE cfs_s1")
+        with _pytest.raises(TranspileError, match="NEXTVAL"):
+            engine.execute("SELECT cfs_s1.NEXTVAL")
+
+
+class TestCreateOrReplaceTableStatement:
+    """CREATE OR REPLACE TABLE lowered onto the overwrite staged swap
+    (create_table.py) — Spark's native REPLACE TABLE needs DSv2."""
+
+    def test_ctas_replaces(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.cort1")
+        engine.execute("CREATE OR REPLACE TABLE mat_test.cort1 AS SELECT 1 AS a")
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.cort1 AS SELECT 2 AS a, 3 AS b"
+        )
+        rows = spark.table("mat_test.cort1").collect()
+        assert [(r.a, r.b) for r in rows] == [(2, 3)]
+
+    def test_plain_create_table_still_native(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.cort2")
+        engine.execute("CREATE TABLE mat_test.cort2 AS SELECT 7 AS a")
+        assert spark.table("mat_test.cort2").collect()[0].a == 7
+
+    def test_column_defs_map_snowflake_types(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.cort3")
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.cort3 "
+            "(k NUMBER, s VARCHAR, v VARIANT)"
+        )
+        dt = {f.name: f.dataType.simpleString()
+              for f in spark.table("mat_test.cort3").schema.fields}
+        assert dt == {"k": "decimal(38,0)", "s": "string", "v": "string"}
+
+    def test_cluster_by_narrows_file_ranges(self, spark, engine):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        spark.sql("DROP TABLE IF EXISTS mat_test.cort4")
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.cort4 CLUSTER BY (o_custkey) "
+            "AS SELECT * FROM orders"
+        )
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            table_location,
+        )
+
+        loc = table_location(spark, "mat_test.cort4")
+        files = glob.glob(loc + "/*.parquet")
+        spans = []
+        for f in files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "o_custkey" and col.statistics:
+                        spans.append(
+                            (col.statistics.min, col.statistics.max)
+                        )
+        # range layout → files cover narrow, mostly disjoint key ranges
+        assert len(spans) >= 2
+        spans.sort()
+        overlaps = sum(
+            1 for a, b in zip(spans, spans[1:]) if b[0] < a[1]
+        )
+        assert overlaps <= len(spans) // 4, spans[:8]
+
+
 class TestFlattenJsonColumnRetry:
     """FLATTEN over a JSON-text COLUMN (not a static literal): the
     engine retries the exact posexplode-STRING analysis error with the
