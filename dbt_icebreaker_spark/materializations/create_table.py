@@ -142,6 +142,71 @@ def parse_create_or_replace_table(sql: str):
     return None  # unrecognized tail — let Spark produce its own error
 
 
+def parse_swap_with(sql: str):
+    """``ALTER TABLE a SWAP WITH b`` → (a, b) or None."""
+    toks = tokenize(sql)
+    i = next_code(toks, 0)
+    words = []
+    idx = i
+    while idx < len(toks) and len(words) < 2:
+        if toks[idx].kind == WORD:
+            words.append(toks[idx].upper)
+        idx = next_code(toks, idx + 1)
+    if words != ["ALTER", "TABLE"]:
+        return None
+
+    def read_name(j):
+        parts = []
+        while j < len(toks) and toks[j].kind in (WORD, QIDENT):
+            parts.append(toks[j].text.strip('"'))
+            k = next_code(toks, j + 1)
+            if k < len(toks) and toks[k].is_op("."):
+                j = next_code(toks, k + 1)
+            else:
+                return ".".join(parts), k
+        return None, j
+
+    a, i2 = read_name(idx)
+    if not a or i2 >= len(toks) or not toks[i2].is_word("SWAP"):
+        return None
+    i2 = next_code(toks, i2 + 1)
+    if i2 >= len(toks) or not toks[i2].is_word("WITH"):
+        return None
+    b, i3 = read_name(next_code(toks, i2 + 1))
+    if not b or next_code(toks, i3) < len(toks):
+        return None
+    return a, b
+
+
+def run_swap_with(spark, a: str, b: str) -> dict:
+    """Snowflake ALTER TABLE … SWAP WITH: exchange the two tables'
+    names+contents via a three-rename cycle (Spark has no atomic
+    exchange; the window between renames is the documented deviation —
+    Snowflake's swap is transactional). Cross-database swaps refuse:
+    Spark's RENAME cannot move a managed table between databases."""
+    import uuid as _uuid
+
+    def db_of(n):
+        return n.rsplit(".", 1)[0] if "." in n else None
+
+    if db_of(a) != db_of(b):
+        raise ValueError(
+            "ALTER TABLE ... SWAP WITH: both tables must live in the "
+            "same schema on Spark (RENAME cannot move a managed table "
+            "across databases) — copy with CREATE OR REPLACE TABLE ... "
+            "AS SELECT instead"
+        )
+    tmp = f"{a}__icebreaker_swap_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"ALTER TABLE {a} RENAME TO {tmp}")
+    try:
+        spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {a}")  # roll back
+        raise
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {b}")
+    return {"table": f"{a} <-> {b}", "rows_affected": 0}
+
+
 def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
     """Execute the spec. ``execute_fn`` is the engine's execute (the
     select re-enters it so FLATTEN retries / dialect handling apply)."""

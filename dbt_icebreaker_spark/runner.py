@@ -126,6 +126,80 @@ class IcebreakerEngine:
         self.ddl = Ddl(self.spark)
         self.effective_schema = generate_schema_name(self.schema, self.custom_schema)
         self.ddl.create_schema(self.effective_schema)
+        # Snowflake session variables (SET name = expr / $name refs) —
+        # engine-scoped, substituted as literals at statement level
+        self._session_vars: dict[str, str] = {}
+
+    # -------------------------------------------- session variables
+    @staticmethod
+    def _render_literal(val) -> str:
+        import datetime as _dt
+        import decimal as _dec
+
+        if val is None:
+            return "NULL"
+        if isinstance(val, bool):
+            return "TRUE" if val else "FALSE"
+        if isinstance(val, (int, float, _dec.Decimal)):
+            return str(val)
+        if isinstance(val, _dt.datetime):
+            return f"TIMESTAMP '{val}'"
+        if isinstance(val, _dt.date):
+            return f"DATE '{val}'"
+        return "'" + str(val).replace("'", "''") + "'"
+
+    def _substitute_session_vars(self, stmt_tokens) -> str:
+        from .transpiler.tokenizer import WORD, Token, render
+
+        out = []
+        for t in stmt_tokens:
+            if (
+                t.kind == WORD and t.text.startswith("$")
+                and not t.text.startswith("$$") and len(t.text) > 1
+            ):
+                name = t.text[1:].lower()
+                if name in self._session_vars:
+                    out.append(Token(WORD, self._session_vars[name]))
+                    continue
+            out.append(t)
+        return render(out).strip()
+
+    def _maybe_set_session_var(self, raw: str):
+        """Handle ``SET name = <expr>`` / ``UNSET name`` (Snowflake
+        session variables). Dotted names (spark.sql.*) fall through to
+        Spark's conf SET. Returns a status DataFrame or None."""
+        from .transpiler.tokenizer import WORD, next_code, render, tokenize
+
+        toks = tokenize(raw)
+        i = next_code(toks, 0)
+        if i >= len(toks) or not toks[i].is_word("SET", "UNSET"):
+            return None
+        unset = toks[i].is_word("UNSET")
+        i = next_code(toks, i + 1)
+        if i >= len(toks) or toks[i].kind != WORD or toks[i].text.startswith("$"):
+            return None
+        name = toks[i].text
+        j = next_code(toks, i + 1)
+        if unset:
+            if j < len(toks) and not toks[j].is_op(";"):
+                return None
+            self._session_vars.pop(name.lower(), None)
+            return self.spark.createDataFrame(
+                [(name, "unset")], "variable string, value string"
+            )
+        if j >= len(toks) or not toks[j].is_op("="):
+            return None  # Spark conf form (dotted) or SHOW-style SET
+        expr = render(toks[j + 1:]).strip().rstrip(";")
+        if not expr:
+            return None
+        val = self.spark.sql(
+            self.transpiler.to_spark(f"SELECT {expr}")
+        ).collect()[0][0]
+        lit = self._render_literal(val)
+        self._session_vars[name.lower()] = lit
+        return self.spark.createDataFrame(
+            [(name, lit)], "variable string, value string"
+        )
 
     def _record_run(self, name: str, start: float, rows: int, metrics: dict) -> None:
         if self.telemetry is not None:
@@ -161,6 +235,15 @@ class IcebreakerEngine:
             raw = render(stmt_tokens).strip()
             if not raw:
                 continue
+            # session variables: substitute $name references set via
+            # SET name = <expr> (Snowflake session variables; names
+            # are dot-free so Spark confs pass through untouched)
+            if self._session_vars and "$" in raw:
+                raw = self._substitute_session_vars(stmt_tokens)
+            sv = self._maybe_set_session_var(raw)
+            if sv is not None:
+                result = sv
+                continue
             # transaction statements: Spark has no multi-statement
             # transactions; dbt wraps runs in BEGIN/COMMIT, so accept
             # and no-op rather than fail the whole script
@@ -173,6 +256,56 @@ class IcebreakerEngine:
                     [(hw[0].lower(), "noop: Spark has no transactions; "
                       "writes are per-statement atomic via staged swap")],
                     "statement string, status string",
+                )
+                continue
+            # GRANT/REVOKE: dbt projects routinely run grant post-hooks;
+            # Spark's session catalog has no grant model (access control
+            # lives in the lakehouse catalog / storage layer) — accept
+            # and no-op like BEGIN/COMMIT rather than fail the script
+            if hw and hw[0] in ("GRANT", "REVOKE"):
+                result = self.spark.createDataFrame(
+                    [(hw[0].lower(), "noop: Spark's session catalog has "
+                      "no grant model; manage access in the lakehouse "
+                      "catalog or storage layer")],
+                    "statement string, status string",
+                )
+                continue
+            from .materializations.create_table import (
+                parse_swap_with,
+                run_swap_with,
+            )
+
+            swap = parse_swap_with(raw)
+            if swap is not None:
+                try:
+                    stats = run_swap_with(self.spark, *swap)
+                except (ValueError, TranspileError):
+                    raise
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_affected"])],
+                    "table string, rows_affected long",
+                )
+                continue
+            from .materializations.insert_all import (
+                parse_insert_all,
+                run_insert_all,
+            )
+
+            mti = parse_insert_all(raw)
+            if mti is not None:
+                try:
+                    stats = run_insert_all(
+                        self.spark, mti, self.transpiler, self.execute
+                    )
+                except (ValueError, TranspileError):
+                    raise
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_affected"])],
+                    "table string, rows_affected long",
                 )
                 continue
             # CREATE OR REPLACE TABLE: Spark's REPLACE TABLE needs a

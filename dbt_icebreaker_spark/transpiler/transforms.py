@@ -5725,7 +5725,29 @@ def rewrite_create_function(tokens: Tokens) -> Tokens:
     )
 
 
+def rewrite_statement_spellings(tokens: Tokens) -> Tokens:
+    """Small statement-head spelling differences:
+    ``INSERT OVERWRITE INTO t`` → ``INSERT OVERWRITE TABLE t`` (Spark
+    rejects the INTO form) and bare ``TRUNCATE t`` → ``TRUNCATE TABLE
+    t``."""
+    i = next_code(tokens, 0)
+    if i >= len(tokens):
+        return tokens
+    if tokens[i].is_word("INSERT"):
+        j = next_code(tokens, i + 1)
+        if j < len(tokens) and tokens[j].is_word("OVERWRITE"):
+            k = next_code(tokens, j + 1)
+            if k < len(tokens) and tokens[k].is_word("INTO"):
+                return tokens[:k] + [_word("TABLE")] + tokens[k + 1:]
+    if tokens[i].is_word("TRUNCATE"):
+        j = next_code(tokens, i + 1)
+        if j < len(tokens) and not tokens[j].is_word("TABLE"):
+            return (tokens[:j] + [_word("TABLE"), _sp()] + tokens[j:])
+    return tokens
+
+
 PIPELINE = (
+    rewrite_statement_spellings,  # INSERT OVERWRITE INTO / bare TRUNCATE
     rewrite_create_function,   # Snowflake SQL UDF → Spark SQL UDF (stmt-level)
     rewrite_temp_table,        # CREATE TEMP TABLE AS → TEMP VIEW (stmt-level)
     rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)

@@ -2249,6 +2249,111 @@ class TestCreateOrReplaceTableStatement:
         assert overlaps <= len(spans) // 4, spans[:8]
 
 
+class TestStatementSurface:
+    """Round-5 continuation statement battery: Snowflake spellings of
+    INSERT OVERWRITE / TRUNCATE / SWAP WITH / GRANT / session
+    variables / multi-table INSERT ALL|FIRST through the engine."""
+
+    def test_insert_overwrite_into(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.ss1")
+        engine.execute("CREATE OR REPLACE TABLE mat_test.ss1 AS SELECT 1 AS k")
+        engine.execute("INSERT OVERWRITE INTO mat_test.ss1 SELECT 99 AS k")
+        assert [r.k for r in spark.table("mat_test.ss1").collect()] == [99]
+
+    def test_bare_truncate(self, spark, engine):
+        engine.execute("CREATE OR REPLACE TABLE mat_test.ss2 AS SELECT 1 AS k")
+        engine.execute("TRUNCATE mat_test.ss2")
+        assert spark.table("mat_test.ss2").count() == 0
+
+    def test_swap_with(self, spark, engine):
+        engine.execute("CREATE OR REPLACE TABLE mat_test.ss3a AS SELECT 1 AS k")
+        engine.execute("CREATE OR REPLACE TABLE mat_test.ss3b AS SELECT 2 AS k")
+        engine.execute("ALTER TABLE mat_test.ss3a SWAP WITH mat_test.ss3b")
+        assert spark.table("mat_test.ss3a").collect()[0].k == 2
+        assert spark.table("mat_test.ss3b").collect()[0].k == 1
+
+    def test_grant_revoke_noop(self, spark, engine):
+        r = engine.execute(
+            "GRANT SELECT ON TABLE mat_test.ss3a TO ROLE analyst"
+        ).collect()[0]
+        assert r.statement == "grant" and "noop" in r.status
+        r = engine.execute(
+            "REVOKE SELECT ON TABLE mat_test.ss3a FROM ROLE analyst"
+        ).collect()[0]
+        assert r.statement == "revoke"
+
+    def test_session_variables(self, spark, engine):
+        engine.execute("SET ssv_n = 40 + 2")
+        engine.execute("SET ssv_s = 'bob'")
+        row = engine.execute(
+            "SELECT $ssv_n AS n, $ssv_s || '!' AS g, $SSV_N + 1 AS n1"
+        ).collect()[0]
+        assert (row.n, row.g, row.n1) == (42, "bob!", 43)
+        engine.execute("UNSET ssv_n")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            engine.execute("SELECT $ssv_n AS n")
+
+    def test_spark_conf_set_untouched(self, spark, engine):
+        # dotted names stay Spark conf statements
+        engine.execute("SET spark.sql.cbo.enabled = false")
+        assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+
+    def _mk_sinks(self, spark, engine, *names):
+        for n in names:
+            engine.execute(
+                f"CREATE OR REPLACE TABLE mat_test.{n} "
+                "AS SELECT CAST(0 AS INT) AS k WHERE 1 = 0"
+            )
+
+    def test_insert_all_conditional(self, spark, engine):
+        self._mk_sinks(spark, engine, "ss_hi", "ss_lo")
+        r = engine.execute(
+            "INSERT ALL "
+            "WHEN v > 20 THEN INTO mat_test.ss_hi (k) VALUES (i) "
+            "ELSE INTO mat_test.ss_lo (k) VALUES (i) "
+            "SELECT id AS i, id * 10 AS v FROM RANGE(5)"
+        ).collect()[0]
+        hi = sorted(x.k for x in spark.table("mat_test.ss_hi").collect())
+        lo = sorted(x.k for x in spark.table("mat_test.ss_lo").collect())
+        assert hi == [3, 4] and lo == [0, 1, 2]
+        assert r.rows_affected == 5
+
+    def test_insert_first_stops_at_first_match(self, spark, engine):
+        self._mk_sinks(spark, engine, "ss_f1", "ss_f2")
+        engine.execute(
+            "INSERT FIRST "
+            "WHEN i >= 2 THEN INTO mat_test.ss_f1 (k) VALUES (i) "
+            "WHEN i >= 0 THEN INTO mat_test.ss_f2 (k) VALUES (i) "
+            "SELECT id AS i FROM RANGE(4)"
+        )
+        f1 = sorted(x.k for x in spark.table("mat_test.ss_f1").collect())
+        f2 = sorted(x.k for x in spark.table("mat_test.ss_f2").collect())
+        # ALL would put 2,3 in BOTH; FIRST must route each row once
+        assert f1 == [2, 3] and f2 == [0, 1]
+
+    def test_insert_all_unconditional_multi_into(self, spark, engine):
+        self._mk_sinks(spark, engine, "ss_m")
+        engine.execute(
+            "INSERT ALL INTO mat_test.ss_m (k) VALUES (i) "
+            "INTO mat_test.ss_m (k) VALUES (i + 100) "
+            "SELECT id AS i FROM RANGE(3)"
+        )
+        got = sorted(x.k for x in spark.table("mat_test.ss_m").collect())
+        assert got == [0, 1, 2, 100, 101, 102]
+
+    def test_insert_overwrite_all_truncates_targets(self, spark, engine):
+        self._mk_sinks(spark, engine, "ss_o")
+        engine.execute("INSERT INTO mat_test.ss_o VALUES (777)")
+        engine.execute(
+            "INSERT OVERWRITE ALL INTO mat_test.ss_o (k) VALUES (i) "
+            "SELECT id AS i FROM RANGE(2)"
+        )
+        got = sorted(x.k for x in spark.table("mat_test.ss_o").collect())
+        assert got == [0, 1]  # 777 gone
+
+
 class TestFlattenJsonColumnRetry:
     """FLATTEN over a JSON-text COLUMN (not a static literal): the
     engine retries the exact posexplode-STRING analysis error with the
