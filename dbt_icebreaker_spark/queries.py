@@ -5132,6 +5132,62 @@ XOP_ORACLES["q77_replace_clustered"] = """
 """
 
 
+def _q_insert_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table INSERT FIRST (insert_all.py): one source scan fans
+    out to priority-routed sinks; rows route ONCE (FIRST carries
+    NOT-prior-conds). The result unions the sinks back with a
+    provenance tag so the oracle can restate the routing as plain
+    CASE logic."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q79_")
+    db = f"q79_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    for t in ("urgent", "big", "rest"):
+        eng.execute(
+            f"CREATE OR REPLACE TABLE {db}.{t} "
+            "(o_orderkey BIGINT, o_totalprice DOUBLE)"
+        )
+    eng.execute(
+        f"""
+        INSERT FIRST
+          WHEN o_orderpriority LIKE '1-%' THEN
+            INTO {db}.urgent (o_orderkey, o_totalprice)
+              VALUES (o_orderkey, o_totalprice)
+          WHEN o_totalprice > 200000 THEN
+            INTO {db}.big (o_orderkey, o_totalprice)
+              VALUES (o_orderkey, o_totalprice)
+          ELSE INTO {db}.rest (o_orderkey, o_totalprice)
+              VALUES (o_orderkey, o_totalprice)
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 8000
+        """
+    )
+    return spark.sql(
+        f"SELECT 'urgent' AS sink, o_orderkey, o_totalprice FROM {db}.urgent "
+        f"UNION ALL "
+        f"SELECT 'big', o_orderkey, o_totalprice FROM {db}.big "
+        f"UNION ALL "
+        f"SELECT 'rest', o_orderkey, o_totalprice FROM {db}.rest"
+    )
+
+
+XOP_ORACLES["q79_insert_all"] = """
+    SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent'
+                WHEN o_totalprice > 200000 THEN 'big'
+                ELSE 'rest' END AS sink,
+           o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 8000
+"""
+
+
 def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
     IcebreakerEngine.execute: the engine enumerates the pivot values
@@ -5336,6 +5392,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_merge_non_equi": _q_merge_non_equi,
     "q76_sql_udf": _q_sql_udf,
     "q77_replace_clustered": _q_replace_clustered,
+    "q79_insert_all": _q_insert_all,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

@@ -3727,22 +3727,59 @@ def rewrite_array_agg_within(tokens: Tokens) -> Tokens:
         o = next_code(wg, 0)
         b = next_code(wg, o + 1)
         order_toks = [x for x in wg[b + 1:] if x.kind != WS]
+        # trailing [ASC|DESC] [NULLS FIRST|LAST]
+        nulls_first = None
+        if (
+            len(order_toks) >= 2 and order_toks[-2].kind == WORD
+            and order_toks[-2].upper == "NULLS"
+            and order_toks[-1].upper in ("FIRST", "LAST")
+        ):
+            nulls_first = order_toks[-1].upper == "FIRST"
+            order_toks = order_toks[:-2]
         desc = bool(order_toks) and order_toks[-1].upper == "DESC"
         if order_toks and order_toks[-1].upper in ("ASC", "DESC"):
             order_toks = order_toks[:-1]
-        if norm(order_toks) != norm(expr):
+        if nulls_first is None:
+            nulls_first = desc  # Snowflake: NULLs highest
+        multi_key = any(
+            x.is_op(",") for x in order_toks
+        )  # paren-free single exprs only; commas → multi-key, bail
+        if norm(order_toks) == norm(expr):
+            collect = "COLLECT_SET" if distinct else "COLLECT_LIST"
+            body: Tokens = (
+                [_word("ARRAY_SORT"), _op("("), _word(collect), _op("(")]
+                + list(expr)
+                + [_op(")"), _op(")")]
+            )
+            if desc:
+                body = [_word("REVERSE"), _op("(")] + body + [_op(")")]
+            out += body
+            i = wg_close + 1
+            continue
+        if distinct or multi_key or not order_toks:
+            # DISTINCT with a different sort key is ambiguous (which
+            # key per distinct value?) — Snowflake refuses it too;
+            # multi-key stays on Spark's error
             out.append(t)
             i += 1
             continue
-        collect = "COLLECT_SET" if distinct else "COLLECT_LIST"
-        body: Tokens = (
-            [_word("ARRAY_SORT"), _op("("), _word(collect), _op("(")]
-            + list(expr)
-            + [_op(")"), _op(")")]
+        # different single sort key: struct sort with an explicit
+        # comparator (Snowflake NULLS-highest default honored)
+        key_sql = render(order_toks).strip()
+        val_sql = render(expr).strip()
+        lt, gt = ("-1", "1") if not desc else ("1", "-1")
+        nl, nr = ("1", "-1") if not nulls_first else ("-1", "1")
+        out += tokenize(
+            f"transform(array_sort("
+            f"collect_list(struct(({key_sql}) AS __k, ({val_sql}) AS __v)),"
+            f" (l, r) -> CASE"
+            f" WHEN l.__k IS NULL AND r.__k IS NULL THEN 0"
+            f" WHEN l.__k IS NULL THEN {nl}"
+            f" WHEN r.__k IS NULL THEN {nr}"
+            f" WHEN l.__k < r.__k THEN {lt}"
+            f" WHEN l.__k > r.__k THEN {gt}"
+            f" ELSE 0 END), s -> s.__v)"
         )
-        if desc:
-            body = [_word("REVERSE"), _op("(")] + body + [_op(")")]
-        out += body
         i = wg_close + 1
     return out
 
@@ -5725,6 +5762,89 @@ def rewrite_create_function(tokens: Tokens) -> Tokens:
     )
 
 
+_ORDERBY_CLAUSE_STOPS = frozenset((
+    "LIMIT", "FETCH", "OFFSET", "UNION", "EXCEPT", "INTERSECT", "MINUS",
+    "ROWS", "RANGE", "GROUPS", "WINDOW", "HAVING", "QUALIFY",
+))
+
+
+def rewrite_order_by_nulls(tokens: Tokens) -> Tokens:
+    """Snowflake sorts NULLs as the HIGHEST values (ASC → last, DESC →
+    first); Spark sorts them lowest (ASC → first) — a silent
+    wrong-answer class on every ORDER BY over a nullable key: top-level
+    sorts, window ORDER BYs (ROW_NUMBER ranks the NULL row 1 instead
+    of last), WITHIN GROUP. Normalize by appending the explicit
+    Snowflake placement to every sort key that doesn't already carry a
+    NULLS clause. Runs late in the pipeline so generated window specs
+    (QUALIFY, CONDITIONAL_CHANGE_EVENT, …) are covered too."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "ORDER":
+            j = next_code(tokens, i + 1)
+            if j < n and tokens[j].is_word("BY"):
+                k = next_code(tokens, j + 1)
+                depth = 0
+                seg_lo = k
+                keys: list[tuple[int, int]] = []
+                end = k
+                while end < n:
+                    tk = tokens[end]
+                    if tk.is_op("("):
+                        depth += 1
+                    elif tk.is_op(")"):
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and tk.is_op(","):
+                        keys.append((seg_lo, end))
+                        seg_lo = end + 1
+                    elif depth == 0 and (
+                        tk.is_op(";")
+                        or (tk.kind == WORD
+                            and tk.upper in _ORDERBY_CLAUSE_STOPS)
+                    ):
+                        break
+                    end += 1
+                keys.append((seg_lo, end))
+                out += tokens[i:k]
+                first = True
+                for lo, hi in keys:
+                    if not first:
+                        out += [_op(","), _sp()]
+                    first = False
+                    seg = tokens[lo:hi]
+                    code = [c for c in seg if c.kind not in (WS, COMMENT)]
+                    seg_rw = rewrite_order_by_nulls(seg)
+                    if not code:
+                        out += seg_rw
+                        continue
+                    lastu = code[-1].upper if code[-1].kind == WORD else ""
+                    if (
+                        lastu in ("FIRST", "LAST") and len(code) >= 2
+                        and code[-2].kind == WORD
+                        and code[-2].upper == "NULLS"
+                    ):
+                        out += seg_rw
+                    elif lastu == "DESC":
+                        out += seg_rw + [
+                            _sp(), _word("NULLS"), _sp(), _word("FIRST"),
+                            _sp(),
+                        ]
+                    else:
+                        out += seg_rw + [
+                            _sp(), _word("NULLS"), _sp(), _word("LAST"),
+                            _sp(),
+                        ]
+                i = end
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_statement_spellings(tokens: Tokens) -> Tokens:
     """Small statement-head spelling differences:
     ``INSERT OVERWRITE INTO t`` → ``INSERT OVERWRITE TABLE t`` (Spark
@@ -5781,6 +5901,7 @@ PIPELINE = (
     rewrite_table_wrapper,     # leftover TABLE(udtf(x)) → bare call
     rewrite_json_path,
     rewrite_qualify,
+    rewrite_order_by_nulls,    # Snowflake NULLS-high ordering, everywhere
     rewrite_quoted_identifiers,  # last: "ident" → `ident` (Spark reads
                                  # double quotes as string literals)
 )

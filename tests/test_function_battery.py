@@ -169,6 +169,18 @@ SCALAR_CASES = [
     ("SELECT FLOOR(3.14159, 3)::DOUBLE", 3.141),
 ]
 
+# Snowflake sorts NULLs HIGHEST (ASC → last, DESC → first); Spark's
+# native default is the opposite — rewrite_order_by_nulls pins parity
+NULL_ORDER_CASES = [
+    ("SELECT k FROM bt ORDER BY v", [1, 2, 3, 4]),          # NULL v last
+    ("SELECT k FROM bt ORDER BY v DESC", [4, 3, 2, 1]),     # NULL v first
+    ("SELECT k FROM bt ORDER BY v NULLS FIRST", [4, 1, 2, 3]),
+    ("SELECT MAX(k) FROM (SELECT k, ROW_NUMBER() OVER (ORDER BY v) rn "
+     "FROM bt) WHERE rn = 4", 4),                           # window rank
+    ("SELECT ARRAY_TO_STRING(ARRAY_AGG(k) WITHIN GROUP (ORDER BY v), ',') "
+     "FROM bt", ("1,2,3,4",)),                              # within group
+]
+
 AGG_CASES = [
     ("SELECT MEDIAN(v) FROM bt", 20.0),
     ("SELECT REGR_COUNT(v, k) FROM bt", 3),
@@ -252,3 +264,14 @@ def test_scalar_surface(spark, sql, expect):
 @pytest.mark.parametrize("sql,expect", AGG_CASES, ids=lambda c: str(c)[:48])
 def test_aggregate_surface(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+@pytest.mark.parametrize(
+    "sql,expect", NULL_ORDER_CASES, ids=lambda c: str(c)[:48]
+)
+def test_null_ordering_parity(spark, sql, expect):
+    if isinstance(expect, list):
+        got = [r[0] for r in spark.sql(t.to_spark(sql)).collect()]
+        assert got == expect, f"{sql}: got {got}"
+    else:
+        _check(spark, sql, expect)

@@ -5,6 +5,8 @@ that the generated SQL actually runs on Spark."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from dbt_icebreaker_spark.transpiler import (
@@ -167,7 +169,7 @@ class TestQualify:
             "SELECT a FROM t QUALIFY RANK() OVER (ORDER BY a) <= 2 ORDER BY a LIMIT 5"
         )
         assert out.rstrip().endswith("LIMIT 5")
-        assert "ORDER BY a LIMIT" in out
+        assert re.search(r"ORDER BY a\s+NULLS LAST\s+LIMIT", out)
 
     def test_inside_cte(self):
         out = t.to_spark(
@@ -2029,7 +2031,7 @@ class TestConnectBy:
         assert "1 AS __level" in out and "__cb.__level + 1" in out
         assert "JOIN __cb ON staff.mgr = __cb.emp" in out
         assert "__level AS level" in out          # bare LEVEL keeps its name
-        assert "ORDER BY __level, emp" in out
+        assert re.search(r"ORDER BY __level\s+NULLS LAST\s*,\s+emp\s+NULLS LAST", out)
 
     def test_prior_on_right(self):
         out = t.to_spark(
@@ -2377,8 +2379,8 @@ class TestConditionalChangeEvent:
             "SELECT id, CONDITIONAL_CHANGE_EVENT(s) OVER "
             "(PARTITION BY g ORDER BY ts) AS ev FROM t"
         )
-        assert "LAG(s) OVER (PARTITION BY g ORDER BY ts)" in out
-        assert "SUM(__ccev0) OVER (PARTITION BY g ORDER BY ts ROWS" in out
+        assert re.search(r"LAG\(s\) OVER \(PARTITION BY g ORDER BY ts\s+NULLS LAST\s*\)", out)
+        assert re.search(r"SUM\(__ccev0\) OVER \(PARTITION BY g ORDER BY ts\s+NULLS LAST\s+ROWS", out)
 
     def test_two_calls_one_subquery(self):
         out = t.to_spark(
@@ -2395,7 +2397,7 @@ class TestConditionalChangeEvent:
         )
         inner = out[out.index("FROM ("):]
         assert "WHERE x > 1" in inner
-        assert out.rstrip().endswith("ORDER BY id")
+        assert out.rstrip().endswith("ORDER BY id NULLS LAST")
 
     def test_star_excludes_helper(self):
         out = t.to_spark(
