@@ -429,11 +429,13 @@ def match_recognize(
     skip_first = spec.skip_to_first
 
     def run(key, pdf):
-        # na_position='first' matches Spark's ascending NULLS FIRST —
-        # the SAME order the DEFINE flags were computed under (a NULL
-        # order key sorted differently would silently shift adjacency)
+        # na_position='last' matches Snowflake's NULLS-highest ordering
+        # (the transpiler pins every generated flag window to NULLS
+        # LAST) — the SAME order the DEFINE flags were computed under
+        # (a NULL order key sorted differently would silently shift
+        # adjacency)
         pdf = pdf.sort_values(
-            ob, kind="mergesort", na_position="first"
+            ob, kind="mergesort", na_position="last"
         ).reset_index(drop=True)
         n = len(pdf)
         flags = [pdf[c].tolist() for c in flag_cols]

@@ -466,9 +466,10 @@ class TestReviewFixes:
         assert rows["k"] == (None, None, None)
         assert rows["j"] == (4000000000, 2000000000.0, 2000000000)
 
-    def test_null_order_key_sorts_first_like_spark(self, spark, engine):
+    def test_null_order_key_sorts_last_like_snowflake(self, spark, engine):
         # the matcher must walk rows in the SAME order the DEFINE flags
-        # were computed under (Spark ascending = NULLS FIRST)
+        # were computed under — Snowflake NULLS-highest (ASC → last),
+        # which rewrite_order_by_nulls pins on the generated windows
         spark.sql(
             "CREATE OR REPLACE TEMP VIEW mr_nullts AS SELECT * FROM VALUES "
             "('k', CAST(NULL AS INT), 5.0), ('k', 1, 6.0), ('k', 2, 7.0) "
@@ -483,8 +484,8 @@ class TestReviewFixes:
                )"""
         )
         r = df.collect()[0]
-        # NULL-ts row first (v=5), then 6,7 both UP
-        assert (r.n_up, r.v0) == (2, 5.0)
+        # t=1 (v=6) first, t=2 (v=7) UP, NULL-ts row (v=5) last, not UP
+        assert (r.n_up, r.v0) == (1, 6.0)
 
     def test_order_by_desc_refused_at_parse(self):
         with pytest.raises(TranspileError, match="bare column"):
