@@ -39,10 +39,10 @@ from ..transpiler.tokenizer import (
 )
 
 
-def _map_column_defs(defs_sql: str) -> str:
-    """Map Snowflake column types (NUMBER, VARIANT, TEXT, …) in a
-    ``(col type, …)`` list to Spark spellings via the transpiler's
-    signature-type table."""
+def _parse_column_defs(defs_sql: str) -> list[tuple[str, str, str]]:
+    """``(col type, …)`` list → [(name, spark_type, tail), …] with
+    Snowflake types (NUMBER, VARIANT, TEXT, …) mapped to Spark
+    spellings via the transpiler's signature-type table."""
     from ..transpiler.transforms import _cf_map_type
 
     toks = tokenize(defs_sql)
@@ -67,8 +67,15 @@ def _map_column_defs(defs_sql: str) -> str:
         cname = seg[code[0]].text
         ctype, after = _cf_map_type(seg, next_code(seg, code[0] + 1))
         tail = render(seg[after:]).strip()  # NOT NULL / DEFAULT / COMMENT
-        out.append(f"{cname} {ctype}" + (f" {tail}" if tail else ""))
-    return ", ".join(out)
+        out.append((cname, ctype, tail))
+    return out
+
+
+def _map_column_defs(defs_sql: str) -> str:
+    return ", ".join(
+        f"{name} {typ}" + (f" {tail}" if tail else "")
+        for name, typ, tail in _parse_column_defs(defs_sql)
+    )
 
 
 @dataclass
@@ -213,7 +220,28 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
     from .ddl import clear_orphaned_location
 
     if spec.select_sql is not None:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from .incremental import _staged_overwrite
+
         df = execute_fn(spec.select_sql)
+        if spec.column_defs:
+            # (col defs) AS SELECT — the dbt contract-enforcement
+            # spelling: the declared list renames AND casts the
+            # select's columns positionally (Snowflake binds by
+            # position and errors on arity mismatch)
+            defs = _parse_column_defs(spec.column_defs)
+            if len(defs) != len(df.columns):
+                raise ValueError(
+                    f"CREATE OR REPLACE TABLE {spec.target}: {len(defs)} "
+                    f"declared column(s) but the query produces "
+                    f"{len(df.columns)}"
+                )
+            df = df.select(*(
+                F.col(src).cast(typ).alias(name)
+                for src, (name, typ, _tail) in zip(df.columns, defs)
+            ))
         if spec.cluster_by:
             # linear clustering on the key order (Snowflake CLUSTER BY
             # contract): narrow per-file ranges on the leading keys →
@@ -223,10 +251,14 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
             n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
             df = df.repartitionByRange(n, *spec.cluster_by) \
                    .sortWithinPartitions(*spec.cluster_by)
-        clear_orphaned_location(spark, spec.target)
-        df.write.mode("overwrite").saveAsTable(spec.target)
-        rows = spark.table(spec.target).count()
-        return {"table": spec.target, "rows_affected": rows}
+        # staged write + rename swap: survives a crash mid-write and
+        # allows the Snowflake rebuild-in-place pattern (SELECT ... FROM
+        # the table being replaced); the row count rides the write via
+        # observe — no second scan of the output
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        _staged_overwrite(spark, df, spec.target)
+        return {"table": spec.target, "rows_affected": obs.get["n"]}
     # (col defs) redefinition: map the types, drop, recreate
     spark.sql(f"DROP TABLE IF EXISTS {spec.target}")
     clear_orphaned_location(spark, spec.target)

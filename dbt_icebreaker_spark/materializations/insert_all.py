@@ -48,6 +48,10 @@ class IntoClause:
     columns: Optional[list[str]] = None   # None = full row
     values: Optional[list[str]] = None    # None = full row
     when: Optional[str] = None            # branch condition text
+    when_idx: Optional[int] = None        # index of the owning WHEN
+                                          # clause (identity — two WHENs
+                                          # with identical text are
+                                          # still distinct clauses)
     is_else: bool = False
 
 
@@ -88,6 +92,8 @@ def parse_insert_all(sql: str):
         return None, j
 
     current_when: Optional[str] = None
+    current_when_idx: Optional[int] = None
+    n_whens = 0
     in_else = False
     while i < len(toks):
         t = toks[i]
@@ -113,12 +119,15 @@ def parse_insert_all(sql: str):
             if j >= len(toks):
                 return None
             current_when = render(toks[lo:j]).strip()
+            current_when_idx = n_whens
+            n_whens += 1
             in_else = False
             i = next_code(toks, j + 1)
             continue
         if t.is_word("ELSE"):
             in_else = True
             current_when = None
+            current_when_idx = None
             i = next_code(toks, i + 1)
             continue
         if t.is_word("INTO"):
@@ -126,7 +135,10 @@ def parse_insert_all(sql: str):
             name, i = read_name(i)
             if not name:
                 return None
-            into = IntoClause(table=name, when=current_when, is_else=in_else)
+            into = IntoClause(
+                table=name, when=current_when,
+                when_idx=current_when_idx, is_else=in_else,
+            )
             if i < len(toks) and toks[i].is_op("("):
                 close = find_matching_paren(toks, i)
                 into.columns = [
@@ -162,51 +174,69 @@ def run_insert_all(spark, spec: InsertAllSpec, transpiler, execute_fn) -> dict:
     import uuid as _uuid
 
     src = execute_fn(spec.select_sql)
-    src = src.cache()
+    if spec.overwrite:
+        # Materialize BEFORE truncating: the select may read from a
+        # target table, and Snowflake evaluates the subquery against
+        # pre-truncate data. cache()+count() is NOT enough — TRUNCATE
+        # TABLE invalidates dependent caches and the insert would
+        # recompute from the emptied table. localCheckpoint cuts the
+        # lineage so the pre-truncate rows are pinned.
+        src = src.localCheckpoint(eager=True)
+    else:
+        src = src.cache()
     view = f"__icebreaker_mti_{_uuid.uuid4().hex[:8]}"
     src.createOrReplaceTempView(view)
     try:
-        when_conds = []  # distinct WHEN conditions in statement order
+        # ALL WHEN-clause conditions in statement order. Clause IDENTITY
+        # (when_idx), not text: two WHENs spelled identically are still
+        # distinct clauses, and under FIRST only the earlier one fires.
+        when_conds: list[str] = []
         for into in spec.intos:
-            if into.when is not None and into.when not in when_conds:
+            if into.when_idx is not None and into.when_idx == len(when_conds):
                 when_conds.append(into.when)
 
+        # Snowflake routing is on "evaluates to TRUE": a NULL condition
+        # neither fires its WHEN nor blocks ELSE — so branch filters use
+        # IS [NOT] TRUE, never bare NOT(cond) (NULL-poisoned).
         def branch_filter(into: IntoClause) -> str:
             if into.is_else:
                 if not when_conds:
                     return "TRUE"
-                anyc = " OR ".join(f"({c})" for c in when_conds)
-                return f"NOT ({anyc})"
+                return " AND ".join(
+                    f"({c}) IS NOT TRUE" for c in when_conds
+                )
             if into.when is None:
                 return "TRUE"
-            cond = f"({into.when})"
+            cond = f"({into.when}) IS TRUE"
             if spec.first:
-                priors = when_conds[:when_conds.index(into.when)]
-                for p in priors:
-                    cond += f" AND NOT ({p})"
+                for p in when_conds[:into.when_idx]:
+                    cond += f" AND ({p}) IS NOT TRUE"
             return cond
 
         if spec.overwrite:
             for tbl in dict.fromkeys(i2.table for i2 in spec.intos):
                 spark.sql(f"TRUNCATE TABLE {tbl}")
 
-        total = 0
-        for into in spec.intos:
+        filters = [branch_filter(into) for into in spec.intos]
+        for into, filt in zip(spec.intos, filters):
             cols = f" ({', '.join(into.columns)})" if into.columns else ""
             vals = ", ".join(into.values) if into.values else "*"
-            filt = branch_filter(into)
             stmt = (
                 f"INSERT INTO {into.table}{cols} "
                 f"SELECT {vals} FROM {view} WHERE {filt}"
             )
             spark.sql(transpiler.to_spark(stmt))
-            total += spark.sql(
-                transpiler.to_spark(
-                    f"SELECT COUNT(1) FROM {view} WHERE {filt}"
-                )
-            ).collect()[0][0]
+        # all branch counts in ONE pass over the cached source, not one
+        # COUNT job per INTO
+        count_exprs = ", ".join(
+            f"COUNT(CASE WHEN {f} THEN 1 END)" for f in filters
+        )
+        counts = spark.sql(
+            transpiler.to_spark(f"SELECT {count_exprs} FROM {view}")
+        ).collect()[0]
         return {"table": ", ".join(dict.fromkeys(i2.table for i2 in spec.intos)),
-                "rows_affected": total}
+                "rows_affected": sum(counts)}
     finally:
         spark.catalog.dropTempView(view)
-        src.unpersist()
+        if not spec.overwrite:
+            src.unpersist()

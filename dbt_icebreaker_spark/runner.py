@@ -146,7 +146,11 @@ class IcebreakerEngine:
             return f"TIMESTAMP '{val}'"
         if isinstance(val, _dt.date):
             return f"DATE '{val}'"
-        return "'" + str(val).replace("'", "''") + "'"
+        # backslashes must double too: Spark's default string literals
+        # are escaped, so an un-doubled '\n' in a stored value would
+        # silently re-parse as a newline on every substitution
+        s = str(val).replace("\\", "\\\\").replace("'", "''")
+        return "'" + s + "'"
 
     def _substitute_session_vars(self, stmt_tokens) -> str:
         from .transpiler.tokenizer import WORD, Token, render

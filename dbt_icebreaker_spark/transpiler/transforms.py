@@ -3769,9 +3769,13 @@ def rewrite_array_agg_within(tokens: Tokens) -> Tokens:
         val_sql = render(expr).strip()
         lt, gt = ("-1", "1") if not desc else ("1", "-1")
         nl, nr = ("1", "-1") if not nulls_first else ("-1", "1")
+        # NULL values are omitted (Snowflake ARRAY_AGG skips NULLs, and
+        # the same-key COLLECT_LIST path drops them too): a CASE that
+        # yields a NULL struct is skipped by collect_list
         out += tokenize(
             f"transform(array_sort("
-            f"collect_list(struct(({key_sql}) AS __k, ({val_sql}) AS __v)),"
+            f"collect_list(CASE WHEN ({val_sql}) IS NOT NULL THEN "
+            f"struct(({key_sql}) AS __k, ({val_sql}) AS __v) END),"
             f" (l, r) -> CASE"
             f" WHEN l.__k IS NULL AND r.__k IS NULL THEN 0"
             f" WHEN l.__k IS NULL THEN {nl}"
@@ -5607,12 +5611,19 @@ def _cf_map_type(tokens: Tokens, i: int) -> tuple[str, int]:
     if u in ("DOUBLE",) and j < len(tokens) and tokens[j].is_word("PRECISION"):
         return "DOUBLE", next_code(tokens, j + 1)
     if u == "ARRAY":
-        _cf_error(
-            "ARRAY-typed parameters need a concrete Spark element type "
-            "— declare e.g. ARRAY<BIGINT> (Snowflake's generic VARIANT "
-            "arrays have no Spark equivalent), or register a Python "
-            "UDF via spark.udf.register"
-        )
+        # ARRAY<T> / structured ARRAY(T): map the element type
+        # recursively; bare ARRAY (Snowflake's generic variant array)
+        # follows the JSON-string model like VARIANT/OBJECT
+        if j < len(tokens) and tokens[j].is_op("<"):
+            inner, after = _cf_map_type(tokens, next_code(tokens, j + 1))
+            if after >= len(tokens) or not tokens[after].is_op(">"):
+                _cf_error("unclosed ARRAY<...> element type")
+            return f"ARRAY<{inner}>", next_code(tokens, after + 1)
+        if j < len(tokens) and tokens[j].is_op("("):
+            close = find_matching_paren(tokens, j)
+            inner, _ = _cf_map_type(tokens, next_code(tokens, j + 1))
+            return f"ARRAY<{inner}>", next_code(tokens, close + 1)
+        return "STRING", j
     if u in ("GEOGRAPHY", "GEOMETRY"):
         _cf_error("geospatial parameter types are unsupported (TOXIC_TYPES)")
     if u not in _SIG_TYPE_MAP:

@@ -328,7 +328,11 @@ def match_recognize(
         )
     symbols = [t.symbol for t in spec.pattern]
     part = ", ".join(spec.partition_by)
-    order = ", ".join(spec.order_by)
+    # NULLS LAST pinned explicitly (Snowflake NULLS-highest) so the
+    # flag-computation order matches the matcher's na_position='last'
+    # walk even on the direct API path where no transpiler rewrites
+    # the window spec
+    order = ", ".join(f"{c} NULLS LAST" for c in spec.order_by)
     over = f"OVER (PARTITION BY {part} ORDER BY {order})"
 
     work = df

@@ -198,6 +198,11 @@ AGG_CASES = [
     ("SELECT BOOLAND_AGG(v > 5) FROM bt", True),
     ("SELECT BOOLOR_AGG(v > 25) FROM bt", True),
     ("SELECT ARRAY_AGG(k) WITHIN GROUP (ORDER BY k DESC) FROM bt", [4, 3, 2, 1]),
+    # different sort key (struct-sort path): NULL sort keys go highest
+    # (ASC last / DESC first), NULL values are dropped like Snowflake
+    ("SELECT ARRAY_AGG(k) WITHIN GROUP (ORDER BY v) FROM bt", [1, 2, 3, 4]),
+    ("SELECT ARRAY_AGG(k) WITHIN GROUP (ORDER BY v DESC) FROM bt", [4, 3, 2, 1]),
+    ("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY k) FROM bt", [10.0, 20.0, 30.0]),
     ("SELECT ARRAY_UNION_AGG(a) FROM (SELECT ARRAY_CONSTRUCT(1,2) a "
      "UNION ALL SELECT ARRAY_CONSTRUCT(2,3))", [1, 2, 3]),
     ("SELECT ARRAY_UNIQUE_AGG(g) FROM bt", ["a", "b"]),

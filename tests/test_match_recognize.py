@@ -343,6 +343,28 @@ class TestWithUnmatchedRows:
         with _pytest.raises(ValueError, match="ALL ROWS PER MATCH"):
             match_recognize(None, spec)
 
+    def test_direct_api_null_order_key(self, spark):
+        # transpiler=None path: the generated flag windows must pin
+        # NULLS LAST themselves so they agree with the matcher's
+        # na_position='last' walk
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            MatchRecognizeSpec, Measure, match_recognize, parse_pattern,
+        )
+
+        df = spark.createDataFrame(
+            [("k", None, 5.0), ("k", 1, 6.0), ("k", 2, 7.0)],
+            "k string, t int, v double",
+        )
+        spec = MatchRecognizeSpec(
+            partition_by=["k"], order_by=["t"],
+            measures=[Measure("n_up", "count", "UP", None),
+                      Measure("v0", "first", None, "v")],
+            pattern=parse_pattern("STRT UP+"),
+            defines={"UP": "v > PREV(v)"},
+        )
+        r = match_recognize(df, spec).collect()[0]
+        assert (r.n_up, r.v0) == (1, 6.0)
+
 
 class TestRefusals:
     @pytest.mark.parametrize(

@@ -2164,6 +2164,18 @@ class TestCreateFunctionStatement:
         ).collect()
         assert [r.v for r in got] == [1, 2, 3]
 
+    def test_array_typed_parameter(self, spark, engine):
+        # ARRAY<BIGINT> — the spelling the old error message suggested —
+        # must itself be accepted
+        engine.execute(
+            "CREATE OR REPLACE FUNCTION cfs_arr(a ARRAY<BIGINT>) "
+            "RETURNS BIGINT AS 'a[0]'"
+        )
+        got = engine.execute(
+            "SELECT cfs_arr(ARRAY_CONSTRUCT(7, 8)) AS r"
+        ).collect()[0]
+        assert got.r == 7
+
     def test_javascript_refused(self, spark, engine):
         import pytest as _pytest
 
@@ -2213,6 +2225,43 @@ class TestCreateOrReplaceTableStatement:
         dt = {f.name: f.dataType.simpleString()
               for f in spark.table("mat_test.cort3").schema.fields}
         assert dt == {"k": "decimal(38,0)", "s": "string", "v": "string"}
+
+    def test_column_defs_with_ctas_apply_names_and_types(self, spark, engine):
+        # the dbt contract-enforcement spelling: declared list renames
+        # AND casts the select's columns positionally
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.cort5 (x BIGINT, y VARCHAR) "
+            "AS SELECT 1 AS a, 2 AS b"
+        )
+        dt = {f.name: f.dataType.simpleString()
+              for f in spark.table("mat_test.cort5").schema.fields}
+        assert dt == {"x": "bigint", "y": "string"}
+        r = spark.table("mat_test.cort5").collect()[0]
+        assert (r.x, r.y) == (1, "2")
+
+    def test_column_defs_arity_mismatch_raises(self, spark, engine):
+        with pytest.raises(ValueError, match="declared column"):
+            engine.execute(
+                "CREATE OR REPLACE TABLE mat_test.cort6 (x BIGINT) "
+                "AS SELECT 1 AS a, 2 AS b"
+            )
+
+    def test_replace_reads_from_itself(self, spark, engine):
+        # the Snowflake rebuild-in-place pattern must not hit Spark's
+        # cannot-overwrite-a-table-being-read-from error
+        engine.execute("CREATE OR REPLACE TABLE mat_test.cort7 AS SELECT 1 AS a")
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.cort7 "
+            "AS SELECT a + 1 AS a FROM mat_test.cort7"
+        )
+        assert spark.table("mat_test.cort7").collect()[0].a == 2
+
+    def test_bare_array_column_type(self, spark, engine):
+        # bare ARRAY column follows the JSON-string model like VARIANT
+        engine.execute("CREATE OR REPLACE TABLE mat_test.cort8 (v ARRAY)")
+        dt = {f.name: f.dataType.simpleString()
+              for f in spark.table("mat_test.cort8").schema.fields}
+        assert dt == {"v": "string"}
 
     def test_cluster_by_narrows_file_ranges(self, spark, engine):
         import glob
@@ -2295,6 +2344,14 @@ class TestStatementSurface:
         with _pytest.raises(Exception):
             engine.execute("SELECT $ssv_n AS n")
 
+    def test_session_variable_backslash_roundtrip(self, spark, engine):
+        # a stored backslash must survive re-substitution — Spark's
+        # escaped string literals would eat an un-doubled '\n'
+        engine.execute("SET ssv_bs = (SELECT 'C:' || CHAR(92) || 'new')")
+        got = engine.execute("SELECT $ssv_bs AS v").collect()[0].v
+        assert got == "C:\\new"
+        engine.execute("UNSET ssv_bs")
+
     def test_spark_conf_set_untouched(self, spark, engine):
         # dotted names stay Spark conf statements
         engine.execute("SET spark.sql.cbo.enabled = false")
@@ -2352,6 +2409,48 @@ class TestStatementSurface:
         )
         got = sorted(x.k for x in spark.table("mat_test.ss_o").collect())
         assert got == [0, 1]  # 777 gone
+
+    def test_insert_overwrite_source_reads_target(self, spark, engine):
+        # Snowflake evaluates the subquery against PRE-truncate data;
+        # a lazy source would scan after TRUNCATE and lose everything
+        self._mk_sinks(spark, engine, "ss_s")
+        engine.execute("INSERT INTO mat_test.ss_s VALUES (1), (2)")
+        engine.execute(
+            "INSERT OVERWRITE ALL INTO mat_test.ss_s (k) VALUES (k + 10) "
+            "SELECT k FROM mat_test.ss_s"
+        )
+        got = sorted(x.k for x in spark.table("mat_test.ss_s").collect())
+        assert got == [11, 12]
+
+    def test_insert_first_null_condition_routes_to_else(self, spark, engine):
+        # a NULL WHEN condition 'does not evaluate to true': it must
+        # neither fire its branch nor poison the ELSE filter
+        self._mk_sinks(spark, engine, "ss_n1", "ss_n2")
+        engine.execute(
+            "INSERT FIRST "
+            "WHEN v > 10 THEN INTO mat_test.ss_n1 (k) VALUES (i) "
+            "ELSE INTO mat_test.ss_n2 (k) VALUES (i) "
+            "SELECT id AS i, "
+            "CASE WHEN id = 1 THEN NULL ELSE id * 20 END AS v "
+            "FROM RANGE(3)"
+        )
+        n1 = sorted(x.k for x in spark.table("mat_test.ss_n1").collect())
+        n2 = sorted(x.k for x in spark.table("mat_test.ss_n2").collect())
+        assert n1 == [2] and n2 == [0, 1]  # id=1 (NULL cond) → ELSE
+
+    def test_insert_first_duplicate_condition_text(self, spark, engine):
+        # two WHENs with identical text are distinct clauses — under
+        # FIRST only the earlier fires (dedup-by-text fanned out both)
+        self._mk_sinks(spark, engine, "ss_d1", "ss_d2")
+        engine.execute(
+            "INSERT FIRST "
+            "WHEN i >= 0 THEN INTO mat_test.ss_d1 (k) VALUES (i) "
+            "WHEN i >= 0 THEN INTO mat_test.ss_d2 (k) VALUES (i) "
+            "SELECT id AS i FROM RANGE(3)"
+        )
+        d1 = sorted(x.k for x in spark.table("mat_test.ss_d1").collect())
+        d2 = [x.k for x in spark.table("mat_test.ss_d2").collect()]
+        assert d1 == [0, 1, 2] and d2 == []
 
 
 class TestFlattenJsonColumnRetry:
