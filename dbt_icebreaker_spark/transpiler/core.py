@@ -59,6 +59,9 @@ class Transpiler:
         Returns statements joined by ';' like the reference
         (`transpiler.py:56-74`).
         """
+        return ";".join(self._transpile_statements(sql))
+
+    def _transpile_statements(self, sql: str) -> list[str]:
         toxic = transforms.detect_toxic_types(sql)
         if toxic:
             raise UnsupportedTypeError(toxic)
@@ -100,13 +103,23 @@ class Transpiler:
             for fn in transforms.PIPELINE:
                 toks = fn(toks)
             out.append(render(toks))
-        return ";".join(out)
+        return out
 
     def to_spark_statements(self, sql: str) -> list[str]:
         """Like to_spark but returns one string per statement, for
-        callers that loop spark.sql() per statement (SURVEY T17)."""
-        text = self.to_spark(sql)
-        return [s for s in text.split(";") if s.strip()]
+        callers that loop spark.sql() per statement (SURVEY T17).
+        Statement boundaries come from the tokenizer, NOT a text split
+        on ';' — a semicolon inside a generated string literal (e.g. a
+        STRTOK char class) is not a boundary, while a transform that
+        legitimately expands to several statements (CLONE → DROP +
+        CTAS) still yields one entry per statement."""
+        out: list[str] = []
+        for s in self._transpile_statements(sql):
+            for sub in split_statements(tokenize(s)):
+                r = render(sub)
+                if r.strip():
+                    out.append(r)
+        return out
 
     def can_transpile(self, sql: str) -> tuple[bool, str | None]:
         """Probe used by routing Gate 3 (ref transpiler.py:385-396,

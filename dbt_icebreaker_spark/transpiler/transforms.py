@@ -248,6 +248,16 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "SEQ1": "SEQ_X", "SEQ2": "SEQ_X", "SEQ4": "SEQ_X", "SEQ8": "SEQ_X",
         "BASE64_ENCODE": "B64ENC_X",  # extra max-line/alphabet args
         "BASE64_DECODE_STRING": "B64DEC_X",  # → CAST(unbase64 AS STRING)
+        "BASE64_DECODE_BINARY": "B64DECB_X",  # → unbase64(x)
+        "HEX_DECODE_BINARY": "HEXDECB_X",    # → unhex(x)
+        "TRY_BASE64_DECODE_BINARY": "TRYB64DECB_X",
+        "TRY_HEX_DECODE_BINARY": "TRYHEXDECB_X",
+        "MAP_KEYS": "JSON_OBJECT_KEYS",  # objects are JSON text here
+        "DATE_TRUNC": "DATETRUNC_X",  # bare/alias units → Spark spellings
+        "PARSE_IP": "PARSEIP_X",      # IPv4 INET object (JSON-text model)
+        "TRY_PARSE_IP": "TRYPARSEIP_X",
+        "CURRENT_CLIENT": "CURCLIENT_X",      # engine name literal
+        "CURRENT_TRANSACTION": "CURTXN_X",    # no open txn → NULL
         "MD5_HEX": "MD5",
         "SHA1_HEX": "SHA1",
         "SHA2_HEX": "SHA2",
@@ -439,6 +449,8 @@ _PLACEHOLDER_NAMES = frozenset((
     "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
     "DOW0_X", "NULLCTX_X", "HASHAGG_X", "LOCALTIME_X",
     "ARRSORT_X", "ROUND_X", "RANDSTR_X",
+    "B64DECB_X", "HEXDECB_X", "TRYB64DECB_X", "TRYHEXDECB_X",
+    "DATETRUNC_X", "PARSEIP_X", "TRYPARSEIP_X", "CURCLIENT_X", "CURTXN_X",
 ))
 
 # time-of-day "now" on the epoch-day TIME model (current_timestamp is
@@ -765,6 +777,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
     out: Tokens = []
     i = 0
     n = len(tokens)
+    _gen_count = None  # lazily-counted GENERATOR calls (SEQ_X binding)
     while i < n:
         t = tokens[i]
         if (
@@ -988,9 +1001,23 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     out += ([_word("split_part"), _op("(")] + s + [_op(","), _sp()]
                             + d + [_op(","), _sp()] + p_ + [_op(")")])
             elif t.text == "SEQ_X" and len(args) <= 1:
-                # SEQ1/2/4/8([0|1]) → monotonically_increasing_id():
-                # both produce unique-but-gappy per-row sequence values
-                out += [_word("monotonically_increasing_id"), _op("("), _op(")")]
+                # SEQ1/2/4/8([0|1]): over a single GENERATOR spine the
+                # sequence binds to the spine's own gap-free range id
+                # (the idiom users actually write: SEQ4() FROM
+                # TABLE(GENERATOR(...)) expecting 0..n-1); elsewhere →
+                # monotonically_increasing_id() — Snowflake SEQ* is
+                # documented gap-tolerant, so both satisfy the contract
+                if _gen_count is None:
+                    _gen_count = sum(
+                        1 for k2, x2 in enumerate(tokens)
+                        if x2.kind == WORD and x2.upper == "GENERATOR"
+                        and _is_call(tokens, k2, "GENERATOR")
+                    )
+                if _gen_count == 1:
+                    out += [_word("seq_gen")]
+                else:
+                    out += [_word("monotonically_increasing_id"),
+                            _op("("), _op(")")]
             elif t.text in ("B64DEC_X", "HEXDEC_X"):
                 if len(args) != 1:
                     # Snowflake's optional alphabet argument has no
@@ -1008,6 +1035,82 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 x = tokens[args[0][0]:args[0][1]]
                 out += [_word("CAST"), _op("("), _word(fn), _op("(")] + x + [
                     _op(")"), _sp(), _word("AS"), _sp(), _word("STRING"), _op(")")]
+            elif t.text in ("B64DECB_X", "HEXDECB_X") and len(args) == 1:
+                fn = "unbase64" if t.text == "B64DECB_X" else "unhex"
+                out += ([_word(fn), _op("(")]
+                        + tokens[args[0][0]:args[0][1]] + [_op(")")])
+            elif t.text in ("TRYB64DECB_X", "TRYHEXDECB_X") and len(args) == 1:
+                enc = "'base64'" if t.text == "TRYB64DECB_X" else "'hex'"
+                out += ([_word("try_to_binary"), _op("(")]
+                        + tokens[args[0][0]:args[0][1]]
+                        + [_op(","), _sp(), Token(STRING, enc), _op(")")])
+            elif t.text == "DATETRUNC_X" and len(args) == 2:
+                # DATE_TRUNC(WEEK, x) / DATE_TRUNC('WK', x): normalize
+                # the unit (bare keyword or any Snowflake alias) to a
+                # Spark date_trunc format string
+                u_toks = [c for c in tokens[args[0][0]:args[0][1]]
+                          if c.kind not in (WS, COMMENT)]
+                unit = None
+                if len(u_toks) == 1:
+                    raw = (u_toks[0].text[1:-1] if u_toks[0].kind == STRING
+                           else u_toks[0].text)
+                    unit = _TRUNC_DATE_UNITS.get(raw.upper())
+                if unit is None:
+                    out.append(_word("DATE_TRUNC"))
+                    out += tokens[i + 1:close + 1]
+                else:
+                    out += ([_word("DATE_TRUNC"), _op("("),
+                             Token(STRING, f"'{unit}'"), _op(","), _sp()]
+                            + tokens[args[1][0]:args[1][1]] + [_op(")")])
+            elif t.text in ("PARSEIP_X", "TRYPARSEIP_X") and len(args) in (2, 3):
+                # Snowflake PARSE_IP(ip, 'INET') → the INET object on
+                # the JSON-text model, IPv4 only (to_json omits NULL
+                # fields, matching Snowflake's omission of the range
+                # fields when no prefix is present). Invalid input
+                # raises like Snowflake; TRY_PARSE_IP yields NULL.
+                s = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                host = f"split_part({s}, '/', 1)"
+                valid = (
+                    f"regexp_like({s}, "
+                    r"'^\\d{1,3}(\\.\\d{1,3}){3}(/\\d{1,2})?$') AND NOT "
+                    f"exists(split({host}, '\\\\.'), "
+                    "x -> CAST(x AS INT) > 255)"
+                )
+                ipv4 = (
+                    f"aggregate(transform(split({host}, '\\\\.'), "
+                    "x -> CAST(x AS BIGINT)), 0L, (a, x) -> a * 256 + x)"
+                )
+                pfx = (f"CASE WHEN contains({s}, '/') "
+                       f"THEN CAST(split_part({s}, '/', 2) AS INT) END")
+                obj = (
+                    "to_json(named_struct("
+                    "'family', 4, "
+                    f"'host', {host}, "
+                    f"'ip_fields', array({ipv4}, 0L, 0L, 0L), "
+                    f"'ipv4', {ipv4}, "
+                    f"'ipv4_range_begin', CASE WHEN {pfx} IS NOT NULL THEN "
+                    f"{ipv4} - ({ipv4} % CAST(pow(2, 32 - {pfx}) AS BIGINT)) END, "
+                    f"'ipv4_range_end', CASE WHEN {pfx} IS NOT NULL THEN "
+                    f"{ipv4} - ({ipv4} % CAST(pow(2, 32 - {pfx}) AS BIGINT)) "
+                    f"+ CAST(pow(2, 32 - {pfx}) AS BIGINT) - 1 END, "
+                    f"'netmask_prefix_length', {pfx}))"
+                )
+                # parenthesized so a trailing :field JSON path can
+                # attach (rewrite_json_path walks back paren groups,
+                # not CASE…END blocks)
+                if t.text == "PARSEIP_X":
+                    err = (f"raise_error(concat('PARSE_IP: not an IPv4 "
+                           f"address (IPv6 unsupported on this engine): ', "
+                           f"COALESCE({s}, 'NULL')))")
+                    out += tokenize(
+                        f"(CASE WHEN {valid} THEN {obj} ELSE {err} END)")
+                else:
+                    out += tokenize(
+                        f"(CASE WHEN {valid} THEN {obj} END)")
+            elif t.text == "CURCLIENT_X" and not args:
+                out.append(Token(STRING, "'dbt-icebreaker-spark'"))
+            elif t.text == "CURTXN_X" and not args:
+                out.append(_word("NULL"))
             elif t.text == "UNIFORM_X" and len(args) in (2, 3):
                 # UNIFORM(min, max, RANDOM([seed])). Snowflake: both
                 # bounds INCLUSIVE; integer bounds → integer result.
@@ -1960,6 +2063,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "BOOLSC_OR": "BOOLOR", "BOOLSC_AND": "BOOLAND",
                     "BOOLSC_XOR": "BOOLXOR", "BOOLSC_NOT": "BOOLNOT",
                     "BOOLXORAGG_X": "bool_or", "NORMAL_X": "randn",
+                    "B64DECB_X": "unbase64", "HEXDECB_X": "unhex",
+                    "TRYB64DECB_X": "try_to_binary",
+                    "TRYHEXDECB_X": "try_to_binary",
+                    "DATETRUNC_X": "DATE_TRUNC",
+                    "PARSEIP_X": "PARSE_IP",
+                    "TRYPARSEIP_X": "TRY_PARSE_IP",
+                    "CURCLIENT_X": "CURRENT_CLIENT",
+                    "CURTXN_X": "CURRENT_TRANSACTION",
                     "TYPEOF_X": "typeof", "ISTYPE_OBJECT": "isnotnull",
                     "ISTYPE_ARRAY": "isnotnull", "ISTYPE_BOOLEAN": "isnotnull",
                     "ISTYPE_INTEGER": "isnotnull", "ISTYPE_NUMBER": "isnotnull",
@@ -5856,6 +5967,34 @@ def rewrite_order_by_nulls(tokens: Tokens) -> Tokens:
     return out
 
 
+def rewrite_current_statement(tokens: Tokens) -> Tokens:
+    """CURRENT_STATEMENT() → a string literal of the original
+    statement text. Runs FIRST in the pipeline so the captured text is
+    the user's Snowflake spelling, like Snowflake's own behavior."""
+    if not any(
+        t.kind == WORD and t.upper == "CURRENT_STATEMENT" for t in tokens
+    ):
+        return tokens
+    text = render(tokens).strip().replace("'", "''")
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == WORD and t.upper == "CURRENT_STATEMENT"
+            and _is_call(tokens, i, t.upper)
+        ):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            out.append(Token(STRING, f"'{text}'"))
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_statement_spellings(tokens: Tokens) -> Tokens:
     """Small statement-head spelling differences:
     ``INSERT OVERWRITE INTO t`` → ``INSERT OVERWRITE TABLE t`` (Spark
@@ -5878,6 +6017,7 @@ def rewrite_statement_spellings(tokens: Tokens) -> Tokens:
 
 
 PIPELINE = (
+    rewrite_current_statement,  # literal capture of the original text
     rewrite_statement_spellings,  # INSERT OVERWRITE INTO / bare TRUNCATE
     rewrite_create_function,   # Snowflake SQL UDF → Spark SQL UDF (stmt-level)
     rewrite_temp_table,        # CREATE TEMP TABLE AS → TEMP VIEW (stmt-level)

@@ -167,6 +167,28 @@ SCALAR_CASES = [
     ("SELECT IS_VARCHAR(TO_VARIANT(3))", False),
     ("SELECT CEIL(3.14159, 2)::DOUBLE", 3.15),
     ("SELECT FLOOR(3.14159, 3)::DOUBLE", 3.141),
+    # round-5c sweep: bare/alias DATE_TRUNC units, binary codecs,
+    # PARSE_IP (IPv4 INET object), context functions, MAP_KEYS
+    ("SELECT DATE_TRUNC(WEEK, '2024-03-15'::DATE)", "2024-03-11"),
+    ("SELECT DATE_TRUNC('WK', '2024-03-15'::DATE)", "2024-03-11"),
+    ("SELECT BASE64_ENCODE(BASE64_DECODE_BINARY('SGVsbG8='))", "SGVsbG8="),
+    ("SELECT HEX_ENCODE(HEX_DECODE_BINARY('48AB'))", "48AB"),
+    ("SELECT TRY_HEX_DECODE_BINARY('zz')", ("__NULL__",)),
+    ("SELECT TRY_BASE64_DECODE_BINARY('SGVsbG8=')::STRING", "Hello"),
+    ("SELECT ARRAY_TO_STRING(MAP_KEYS(OBJECT_CONSTRUCT('a',1,'b',2)), ',')",
+     "a,b"),
+    ("SELECT PARSE_IP('10.0.0.1', 'INET'):ipv4::NUMBER", 167772161),
+    ("SELECT PARSE_IP('10.0.0.0/24', 'INET'):ipv4_range_end::NUMBER",
+     167772415),
+    ("SELECT PARSE_IP('10.0.0.0/24', 'INET'):netmask_prefix_length::NUMBER",
+     24),
+    ("SELECT TRY_PARSE_IP('not-an-ip', 'INET')", ("__NULL__",)),
+    ("SELECT CURRENT_TRANSACTION()", ("__NULL__",)),
+    ("SELECT CURRENT_CLIENT()", "dbt-icebreaker-spark"),
+    ("SELECT CONTAINS(CURRENT_STATEMENT(), 'CURRENT_STATEMENT')", True),
+    # SEQ* over a single GENERATOR spine binds to the gap-free range id
+    ("SELECT MAX(SEQ4()) FROM TABLE(GENERATOR(ROWCOUNT => 5))", 4),
+    ("SELECT MIN(SEQ8()) FROM TABLE(GENERATOR(ROWCOUNT => 5))", 0),
 ]
 
 # Snowflake sorts NULLs HIGHEST (ASC → last, DESC → first); Spark's

@@ -214,6 +214,20 @@ class TestMultiStatement:
         stmts = t.to_spark_statements("SELECT 1; SELECT 2; SELECT 3")
         assert len(stmts) == 3
 
+    def test_semicolon_inside_string_is_not_a_boundary(self):
+        # generated literals can contain ';' (e.g. STRTOK char classes) —
+        # statement boundaries come from the tokenizer, not a text split
+        stmts = t.to_spark_statements("SELECT '[ ;]' AS a; SELECT 2")
+        assert len(stmts) == 2
+        assert "'[ ;]'" in stmts[0]
+
+    def test_generated_semicolon_survives(self):
+        stmts = t.to_spark_statements(
+            "SELECT * FROM TABLE(STRTOK_SPLIT_TO_TABLE('a b;c', ' ;'))"
+        )
+        assert len(stmts) == 1
+        assert "[ ;]" in stmts[0]
+
 
 class TestBlacklist:
     # mirrors reference transpiler.py:398-433
