@@ -1605,6 +1605,37 @@ _q(
     """,
 )
 
+# Round-5c scalar surface: bare-keyword DATE_TRUNC units, PARSE_IP's
+# INET object (JSON-text model — ipv4/range fields restated as plain
+# arithmetic in the oracle), MAP_KEYS on constructed objects, and the
+# binary HEX codec round-trip. All driver-gated over real order rows.
+_q(
+    "q80_fn_surface_r5c",
+    """
+    SELECT o_orderkey,
+           DATE_TRUNC(WEEK, o_orderdate)::DATE AS wk_start,
+           PARSE_IP('10.' || (o_orderkey % 256) || '.0.1/24',
+                    'INET'):ipv4::BIGINT AS ip4,
+           PARSE_IP('10.' || (o_orderkey % 256) || '.0.1/24',
+                    'INET'):ipv4_range_end::BIGINT AS ip_end,
+           ARRAY_TO_STRING(MAP_KEYS(OBJECT_CONSTRUCT(
+               'k', o_orderkey, 'p', o_orderpriority)), ',') AS ks,
+           HEX_ENCODE(HEX_DECODE_BINARY('4142')) AS hx
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+           CAST(167772160 + (o_orderkey % 256) * 65536 + 1 AS BIGINT)
+             AS ip4,
+           CAST(167772160 + (o_orderkey % 256) * 65536 + 255 AS BIGINT)
+             AS ip_end,
+           'k,p' AS ks,
+           '4142' AS hx
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+
 # MinHash sketch SQL aggregates (MINHASH / APPROXIMATE_SIMILARITY,
 # transforms.rewrite_minhash) — estimate vs EXACT Jaccard per group
 # pair in one statement (the x25 differential idiom). The rewrite uses
