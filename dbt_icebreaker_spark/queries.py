@@ -5219,6 +5219,42 @@ XOP_ORACLES["q79_insert_all"] = """
 """
 
 
+def _q_result_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE + RESULT_SCAN(LAST_QUERY_ID()) through the
+    engine (runner.py result history): statement 1 runs via EXECUTE
+    IMMEDIATE with a ? bind, statement 2 re-reads the recorded result
+    and filters/derives from it. The oracle macro-expands both steps
+    into one query."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q81_{uuid.uuid4().hex[:8]}")
+    eng.execute(
+        "EXECUTE IMMEDIATE 'SELECT o_orderpriority AS pri, "
+        "COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS amt "
+        "FROM orders WHERE o_orderkey <= ? GROUP BY o_orderpriority' "
+        "USING (8000)"
+    )
+    return eng.execute(
+        "SELECT pri, n, ROUND(amt / n, 4) AS avg_amt "
+        "FROM TABLE(RESULT_SCAN(LAST_QUERY_ID())) WHERE n > 0"
+    )
+
+
+XOP_ORACLES["q81_result_scan"] = """
+    SELECT pri, n, ROUND(amt / n, 4) AS avg_amt
+    FROM (
+        SELECT o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS amt
+        FROM orders WHERE o_orderkey <= 8000
+        GROUP BY o_orderpriority
+    ) WHERE n > 0
+"""
+
+
 def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
     IcebreakerEngine.execute: the engine enumerates the pivot values
@@ -5424,6 +5460,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_sql_udf": _q_sql_udf,
     "q77_replace_clustered": _q_replace_clustered,
     "q79_insert_all": _q_insert_all,
+    "q81_result_scan": _q_result_scan,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

@@ -129,6 +129,12 @@ class IcebreakerEngine:
         # Snowflake session variables (SET name = expr / $name refs) —
         # engine-scoped, substituted as literals at statement level
         self._session_vars: dict[str, str] = {}
+        # (query_id, result DataFrame) per executed statement, in
+        # session order — the RESULT_SCAN / LAST_QUERY_ID surface.
+        # DataFrames are lazy plans: RESULT_SCAN re-derives the result
+        # (identical unless the underlying tables changed — documented
+        # deviation from Snowflake's materialized result cache)
+        self._result_history: list[tuple[str, DataFrame]] = []
 
     # -------------------------------------------- session variables
     @staticmethod
@@ -220,18 +226,12 @@ class IcebreakerEngine:
         append — the reference can only route these to the cloud).
         Analysis failures (typo'd column, unknown function/table, …)
         raise actionable ExecutionErrors instead of raw
-        AnalysisExceptions (ref connections.py:352-371)."""
-        from .materializations.copy_into import parse_copy_into, run_copy_into
-        from .materializations.merge_stmt import (
-            parse_alter_columns,
-            parse_delete,
-            parse_merge,
-            parse_update,
-            run_alter_columns,
-            run_delete_statement,
-            run_merge_statement,
-            run_update_statement,
-        )
+        AnalysisExceptions (ref connections.py:352-371).
+
+        Every statement's result is recorded with a query id, so
+        ``RESULT_SCAN(LAST_QUERY_ID([-n]))`` / ``RESULT_SCAN('<qid>')``
+        re-reads a prior result and ``EXECUTE IMMEDIATE '<sql>'``
+        re-enters the engine with the inner text."""
         from .transpiler.core import render, split_statements, tokenize
 
         result: DataFrame | None = None
@@ -244,6 +244,191 @@ class IcebreakerEngine:
             # are dot-free so Spark confs pass through untouched)
             if self._session_vars and "$" in raw:
                 raw = self._substitute_session_vars(stmt_tokens)
+            inner = self._parse_execute_immediate(raw)
+            if inner is not None:
+                # recursion records the inner statements' results itself
+                result = self.execute(inner)
+                continue
+            if "RESULT_SCAN" in raw.upper():
+                raw = self._resolve_result_scan(raw)
+            r = self._execute_one(raw)
+            if r is not None:
+                result = r
+                self._record_result(r)
+        if result is None:
+            raise ValueError("empty SQL")
+        return result
+
+    # ------------------------------------- EXECUTE IMMEDIATE / RESULT_SCAN
+    def _record_result(self, df: DataFrame) -> str:
+        import uuid as _uuid
+
+        qid = str(_uuid.uuid4())
+        self._result_history.append((qid, df))
+        return qid
+
+    def last_query_id(self, n: int = -1) -> str:
+        """Snowflake LAST_QUERY_ID semantics: negative n counts back
+        from the most recent statement (-1 = last), positive n is the
+        1-based session statement index."""
+        if not self._result_history:
+            raise ValueError(
+                "LAST_QUERY_ID: no statements have run in this engine "
+                "session yet"
+            )
+        idx = n if n < 0 else n - 1
+        try:
+            return self._result_history[idx][0]
+        except IndexError:
+            raise ValueError(
+                f"LAST_QUERY_ID({n}): only {len(self._result_history)} "
+                "statements have run in this engine session"
+            ) from None
+
+    def _parse_execute_immediate(self, raw: str):
+        """``EXECUTE IMMEDIATE '<sql>'|$$<sql>$$|$var [USING (lits)]``
+        → the inner SQL text with positional ``?`` binds substituted,
+        or None when the statement is anything else."""
+        from .transpiler.tokenizer import (
+            find_matching_paren, next_code, render, split_args, tokenize,
+        )
+
+        import re as _re
+
+        m = _re.match(r"\s*EXECUTE\s+IMMEDIATE\s+", raw, _re.IGNORECASE)
+        if m is None:
+            return None
+        rest = raw[m.end():]
+        if rest.startswith("$$"):
+            end = rest.find("$$", 2)
+            if end < 0:
+                raise ValueError("EXECUTE IMMEDIATE: unclosed $$ block")
+            inner, tail = rest[2:end], rest[end + 2:]
+        elif rest.startswith("'"):
+            # single-quoted with '' escapes
+            j = 1
+            while j < len(rest):
+                if rest[j] == "'":
+                    if j + 1 < len(rest) and rest[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= len(rest):
+                raise ValueError("EXECUTE IMMEDIATE: unclosed string")
+            inner, tail = rest[1:j].replace("''", "'"), rest[j + 1:]
+        else:
+            raise ValueError(
+                "EXECUTE IMMEDIATE: expected a string literal, $$...$$ "
+                "block, or $session_variable (set via SET name = ...) "
+                f"— got {rest.split(None, 1)[0] if rest.split() else ''!r}"
+            )
+        toks = tokenize(tail)
+        i = next_code(toks, 0)
+        if i < len(toks) and toks[i].is_word("USING"):
+            i = next_code(toks, i + 1)
+            if i >= len(toks) or not toks[i].is_op("("):
+                raise ValueError("EXECUTE IMMEDIATE: USING needs (args)")
+            close = find_matching_paren(toks, i)
+            binds = [
+                render(toks[lo:hi]).strip()
+                for lo, hi in split_args(toks, i + 1, close)
+            ]
+            for b in binds:
+                if "?" not in inner:
+                    raise ValueError(
+                        "EXECUTE IMMEDIATE: more USING arguments than "
+                        "? placeholders"
+                    )
+                inner = inner.replace("?", b, 1)
+        return inner
+
+    def _resolve_result_scan(self, raw: str) -> str:
+        """Replace ``[TABLE(]RESULT_SCAN(<qid>|LAST_QUERY_ID([n]))[)]``
+        with a temp view over the recorded result."""
+        from .transpiler.tokenizer import (
+            STRING, WORD, find_matching_paren, next_code, prev_code,
+            render, tokenize,
+        )
+        from .transpiler.transforms import _is_call
+
+        toks = tokenize(raw)
+        out = []
+        i = 0
+        n = len(toks)
+        changed = False
+        while i < n:
+            t = toks[i]
+            if not (t.kind == WORD and t.upper == "RESULT_SCAN"
+                    and _is_call(toks, i, "RESULT_SCAN")):
+                out.append(t)
+                i += 1
+                continue
+            op_i = next_code(toks, i + 1)
+            close = find_matching_paren(toks, op_i)
+            argc = [c for c in toks[op_i + 1:close] if c.text.strip()]
+            qid = None
+            if len(argc) == 1 and argc[0].kind == STRING:
+                qid = argc[0].text[1:-1]
+            else:
+                txt = render(toks[op_i + 1:close]).strip().upper()
+                if txt.startswith("LAST_QUERY_ID"):
+                    inner = txt[len("LAST_QUERY_ID"):].strip()[1:-1].strip()
+                    qid = self.last_query_id(int(inner) if inner else -1)
+            if qid is None:
+                raise ValueError(
+                    "RESULT_SCAN: expected a query-id string literal or "
+                    "LAST_QUERY_ID([n])"
+                )
+            match = [d for q, d in self._result_history if q == qid]
+            if not match:
+                raise ValueError(
+                    f"RESULT_SCAN: unknown query id {qid!r} (ids are "
+                    "engine-session scoped; use LAST_QUERY_ID([n]))"
+                )
+            view = "__icebreaker_rs_" + qid.replace("-", "")[:16]
+            match[0].createOrReplaceTempView(view)
+            # splice over an enclosing TABLE( ... ) wrapper too
+            end = close
+            if out:
+                p = len(out) - 1
+                while p >= 0 and not out[p].text.strip():
+                    p -= 1
+                if (p >= 0 and out[p].is_op("(")
+                        and p - 1 >= 0):
+                    p2 = p - 1
+                    while p2 >= 0 and not out[p2].text.strip():
+                        p2 -= 1
+                    nxt = next_code(toks, close + 1)
+                    if (p2 >= 0 and out[p2].kind == WORD
+                            and out[p2].upper == "TABLE"
+                            and nxt < n and toks[nxt].is_op(")")):
+                        out = out[:p2]
+                        end = nxt
+            from .transpiler.tokenizer import Token
+            out.append(Token(WORD, view))
+            changed = True
+            i = end + 1
+        return render(out) if changed else raw
+
+    def _execute_one(self, raw: str) -> DataFrame | None:
+        """Dispatch ONE statement (already session-var substituted)."""
+        from .materializations.copy_into import parse_copy_into, run_copy_into
+        from .materializations.merge_stmt import (
+            parse_alter_columns,
+            parse_delete,
+            parse_merge,
+            parse_update,
+            run_alter_columns,
+            run_delete_statement,
+            run_merge_statement,
+            run_update_statement,
+        )
+
+        result: DataFrame | None = None
+        # single-iteration loop: the dispatch arms `continue` out once
+        # they have produced this statement's result
+        for _ in (0,):
             sv = self._maybe_set_session_var(raw)
             if sv is not None:
                 result = sv
@@ -460,8 +645,6 @@ class IcebreakerEngine:
                         raise_classified(e, stmt)  # the ORIGINAL error
                     result = retried
                     continue
-        if result is None:
-            raise ValueError("empty SQL")
         return result
 
     def _maybe_sample(self, df: DataFrame, sql: str) -> DataFrame:

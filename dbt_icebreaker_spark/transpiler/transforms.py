@@ -5508,10 +5508,12 @@ _UNSUPPORTED_SCALARS = {
                   "format (HLL_ACCUMULATE/COMBINE/ESTIMATE map 1:1)",
     "HLL_IMPORT": "re-accumulating from raw values (state formats "
                   "are engine-internal)",
-    "LAST_QUERY_ID": "the engine keeps no warehouse query-history ids; "
-                     "per-model runtime metrics live in "
-                     "observability/telemetry (self-harvested Spark "
-                     "listener data)",
+    "LAST_QUERY_ID": "RESULT_SCAN(LAST_QUERY_ID([n])) through "
+                     "IcebreakerEngine.execute, which records every "
+                     "statement's result with a query id; a bare "
+                     "LAST_QUERY_ID outside RESULT_SCAN has no engine "
+                     "meaning (per-model runtime metrics live in "
+                     "observability/telemetry)",
 }
 
 

@@ -2344,6 +2344,62 @@ class TestStatementSurface:
         with _pytest.raises(Exception):
             engine.execute("SELECT $ssv_n AS n")
 
+    def test_result_scan_last_query_id(self, spark, engine):
+        engine.execute("SELECT 1 AS a UNION ALL SELECT 2")
+        got = sorted(
+            r.a for r in engine.execute(
+                "SELECT a FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))"
+            ).collect()
+        )
+        assert got == [1, 2]
+
+    def test_result_scan_negative_index_and_qid(self, spark, engine):
+        engine.execute("SELECT 10 AS v")
+        engine.execute("SELECT 20 AS v")
+        got = engine.execute(
+            "SELECT v FROM TABLE(RESULT_SCAN(LAST_QUERY_ID(-2)))"
+        ).collect()[0].v
+        assert got == 10
+        qid = engine.last_query_id()
+        got2 = engine.execute(
+            f"SELECT v * 3 AS t FROM RESULT_SCAN('{qid}')"
+        ).collect()[0].t
+        assert got2 == 30
+
+    def test_result_scan_in_multi_statement_script(self, spark, engine):
+        # intermediate statements of one script get query ids too
+        got = engine.execute(
+            "SELECT 42 AS k; "
+            "SELECT k + 1 AS k2 FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))"
+        ).collect()[0].k2
+        assert got == 43
+
+    def test_result_scan_unknown_qid_actionable(self, spark, engine):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown query id"):
+            engine.execute("SELECT * FROM TABLE(RESULT_SCAN('nope'))")
+
+    def test_execute_immediate_forms(self, spark, engine):
+        assert engine.execute(
+            "EXECUTE IMMEDIATE 'SELECT 5 AS z'"
+        ).collect()[0].z == 5
+        # $$ block with Snowflake dialect inside; '' escapes
+        assert engine.execute(
+            "EXECUTE IMMEDIATE $$SELECT IFF(TRUE, 'y', 'n') AS f$$"
+        ).collect()[0].f == "y"
+        assert engine.execute(
+            "EXECUTE IMMEDIATE 'SELECT ''a;b'' AS t'"
+        ).collect()[0].t == "a;b"
+        # positional ? binds
+        assert engine.execute(
+            "EXECUTE IMMEDIATE 'SELECT ? + ? AS s' USING (3, 4)"
+        ).collect()[0].s == 7
+        # via session variable
+        engine.execute("SET q_ei = 'SELECT 9 AS n'")
+        assert engine.execute("EXECUTE IMMEDIATE $q_ei").collect()[0].n == 9
+        engine.execute("UNSET q_ei")
+
     def test_session_variable_backslash_roundtrip(self, spark, engine):
         # a stored backslash must survive re-substitution — Spark's
         # escaped string literals would eat an un-doubled '\n'
