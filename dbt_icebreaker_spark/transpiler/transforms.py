@@ -3134,6 +3134,44 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
 _QUALIFY_STOP = ("ORDER", "LIMIT", "WINDOW", "UNION", "EXCEPT", "INTERSECT", "MINUS")
 
 
+def rewrite_nth_value_from(tokens: Tokens) -> Tokens:
+    """``NTH_VALUE(e, n) FROM FIRST`` → drop the modifier (Spark's
+    default); ``FROM LAST`` refuses actionably (Spark has no from-last
+    counting — reverse the window ORDER BY instead)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == WORD and t.upper == "NTH_VALUE"
+            and _is_call(tokens, i, "NTH_VALUE")
+        ):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            j = next_code(tokens, close + 1)
+            k = next_code(tokens, j + 1) if j < n else n
+            if (
+                j < n and tokens[j].is_word("FROM")
+                and k < n and tokens[k].is_word("FIRST", "LAST")
+            ):
+                if tokens[k].is_word("LAST"):
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "NTH_VALUE ... FROM LAST has no Spark "
+                        "equivalent; reverse the window ORDER BY "
+                        "(ORDER BY k DESC) and use FROM FIRST "
+                        "semantics instead"
+                    )
+                out += tokens[i:close + 1]
+                i = k + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_qualify(tokens: Tokens) -> Tokens:
     """QUALIFY <pred> → wrap the SELECT in a subquery filtering on a
     computed boolean (Spark 4.1 has no QUALIFY; sqlglot does the same
@@ -3216,6 +3254,109 @@ def _substitute_aliases(pred: Tokens, aliases: dict[str, Tokens]) -> Tokens:
     return out
 
 
+_AGG_HEADS = frozenset((
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "MEDIAN", "MODE",
+    "STDDEV", "STDDEV_POP", "STDDEV_SAMP", "STD",
+    "VARIANCE", "VAR_POP", "VAR_SAMP", "VARIANCE_POP", "VARIANCE_SAMP",
+    "CORR", "COVAR_POP", "COVAR_SAMP", "SKEW", "SKEWNESS", "KURTOSIS",
+    "COLLECT_LIST", "COLLECT_SET", "ARRAY_AGG", "LISTAGG", "STRING_AGG",
+    "COUNT_IF", "ANY_VALUE", "FIRST", "LAST", "MIN_BY", "MAX_BY",
+    "BOOL_AND", "BOOL_OR", "BIT_AND", "BIT_OR", "BIT_XOR",
+    "PERCENTILE_CONT", "PERCENTILE_DISC", "APPROX_PERCENTILE",
+    "APPROX_COUNT_DISTINCT", "HLL", "GROUPING", "GROUPING_ID",
+    "MINHASH", "APPROXIMATE_SIMILARITY", "APPROXIMATE_JACCARD_INDEX",
+))
+
+
+def _expand_group_by_all(inner: Tokens) -> Tokens:
+    """``GROUP BY ALL`` → an explicit grouping list (select items with
+    no aggregate call and no OVER clause), Spark's own ALL resolution
+    made static. Needed when the QUALIFY rewrite injects a window
+    helper column into the select list — Spark's ALL would then try to
+    group by a window expression and fail. All-aggregate selects drop
+    the GROUP BY entirely (global aggregate, same as Snowflake)."""
+    d = 0
+    gb = by_i = all_i = None
+    for k, t in enumerate(inner):
+        if t.is_op("("):
+            d += 1
+        elif t.is_op(")"):
+            d -= 1
+        elif d == 0 and t.is_word("GROUP"):
+            j = next_code(inner, k + 1)
+            if j < len(inner) and inner[j].is_word("BY"):
+                m = next_code(inner, j + 1)
+                if m < len(inner) and inner[m].is_word("ALL"):
+                    nxt = next_code(inner, m + 1)
+                    # ALL must BE the list (GROUP BY ALL, x is a
+                    # column named all — leave it to Spark)
+                    if nxt >= len(inner) or not inner[nxt].is_op(","):
+                        gb, by_i, all_i = k, j, m
+                    break
+    if gb is None:
+        return inner
+    # select-list span: after SELECT [DISTINCT|ALL] up to top-level FROM
+    code = [i for i, t in enumerate(inner) if t.kind not in (WS, COMMENT)]
+    k0 = code[0] + 1 if code and inner[code[0]].is_word("SELECT") else 0
+    j = next_code(inner, k0)
+    if j < len(inner) and inner[j].kind == WORD and inner[j].upper in (
+        "DISTINCT", "ALL"
+    ):
+        k0 = j + 1
+    d = 0
+    from_i = len(inner)
+    items: list[tuple[int, int]] = []
+    start = k0
+    for i in range(k0, len(inner)):
+        t = inner[i]
+        if t.is_op("("):
+            d += 1
+        elif t.is_op(")"):
+            d -= 1
+        elif d == 0 and t.is_op(","):
+            items.append((start, i))
+            start = i + 1
+        elif d == 0 and t.is_word("FROM"):
+            from_i = i
+            break
+    items.append((start, from_i))
+    keys: list[str] = []
+    for lo, hi in items:
+        seg = inner[lo:hi]
+        segc = [c for c in seg if c.kind not in (WS, COMMENT)]
+        if not segc or (len(segc) == 1 and segc[0].is_op("*")):
+            continue
+        has_agg = any(
+            c.kind == WORD
+            and (c.upper in _AGG_HEADS or c.upper.endswith("_AGG"))
+            and _is_call(seg, idx, c.upper)
+            for idx, c in enumerate(seg)
+        )
+        has_over = any(c.kind == WORD and c.upper == "OVER" for c in segc)
+        if has_agg or has_over:
+            continue
+        # strip a trailing top-level AS alias
+        d2 = 0
+        as_i = None
+        for idx, c in enumerate(seg):
+            if c.is_op("("):
+                d2 += 1
+            elif c.is_op(")"):
+                d2 -= 1
+            elif d2 == 0 and c.kind == WORD and c.upper == "AS":
+                as_i = idx
+        expr = seg[:as_i] if as_i is not None else seg
+        txt = render(expr).strip()
+        if txt:
+            keys.append(txt)
+    if keys:
+        repl = tokenize(", ".join(keys))
+        return inner[:all_i] + repl + inner[all_i + 1:]
+    # every item aggregates → drop the GROUP BY clause
+    after = next_code(inner, all_i + 1)
+    return inner[:gb] + inner[(after if after <= len(inner) else all_i + 1):]
+
+
 def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
     n = len(tokens)
     depth = 0
@@ -3252,6 +3393,10 @@ def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
                     break
             pred = tokens[i + 1:end]
             inner = tokens[sel_i:i]  # SELECT … up to QUALIFY
+            # GROUP BY ALL must become explicit before the window
+            # helper column joins the select list (Spark's ALL would
+            # group by the window expression and fail analysis)
+            inner = _expand_group_by_all(inner)
             # Snowflake lets QUALIFY reference select-list aliases
             # (incl. inside window ORDER BY); Spark rejects lateral
             # aliases in windows — inline them
@@ -6028,6 +6173,7 @@ PIPELINE = (
     rewrite_asof_join,         # FROM-clause restructure (LATERAL top-1)
     rewrite_collate,           # quoted specs → Spark collation names
     rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n
+    rewrite_nth_value_from,    # NTH_VALUE … FROM FIRST modifier
     rewrite_fetch_first,       # ANSI FETCH FIRST/OFFSET ROWS → LIMIT
     rewrite_positional_cols,   # $1/$2 → col1/col2 (VALUES idiom)
     rewrite_type_aliases,      # ::NUMBER/TEXT/FLOAT8 → Spark spellings

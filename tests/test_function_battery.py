@@ -203,6 +203,27 @@ NULL_ORDER_CASES = [
      "FROM bt", ("1,2,3,4",)),                              # within group
 ]
 
+# window seams over wv(k, g, v) with NULL v at k=2 ('a') and k=5 ('b');
+# expected = first-column values ordered by k
+WINDOW_CASES = [
+    ("SELECT LAG(v) IGNORE NULLS OVER (ORDER BY k) AS r FROM wv ORDER BY k",
+     [None, 10.0, 10.0, 30.0, 40.0]),
+    ("SELECT LAST_VALUE(v) IGNORE NULLS OVER (ORDER BY k ROWS BETWEEN "
+     "UNBOUNDED PRECEDING AND CURRENT ROW) AS r FROM wv ORDER BY k",
+     [10.0, 10.0, 30.0, 40.0, 40.0]),
+    ("SELECT NTH_VALUE(v, 2) FROM FIRST IGNORE NULLS OVER (ORDER BY k "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r "
+     "FROM wv ORDER BY k LIMIT 1", [30.0]),
+    ("SELECT MEDIAN(v) OVER (PARTITION BY g) AS r FROM wv ORDER BY k",
+     [20.0, 20.0, 20.0, 40.0, 40.0]),
+    ("SELECT RATIO_TO_REPORT(v) OVER (PARTITION BY g) AS r FROM wv "
+     "ORDER BY k", [0.25, None, 0.75, 1.0, None]),
+    ("SELECT g FROM (SELECT g, COUNT(*) AS n FROM wv GROUP BY ALL "
+     "QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1)", ["a"]),
+    ("SELECT LISTAGG(g, ',') WITHIN GROUP (ORDER BY k) OVER () AS r "
+     "FROM wv ORDER BY k LIMIT 1", ["a,a,a,b,b"]),
+]
+
 AGG_CASES = [
     ("SELECT MEDIAN(v) FROM bt", 20.0),
     ("SELECT REGR_COUNT(v, k) FROM bt", 3),
@@ -242,6 +263,11 @@ def _battery_fixture(spark):
     spark.sql(
         "CREATE OR REPLACE TEMP VIEW bt_wide AS SELECT * FROM VALUES "
         "(1, 10, 20), (2, 30, NULL) t(id, jan, feb)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wv AS SELECT * FROM VALUES "
+        "(1, 'a', 10.0), (2, 'a', CAST(NULL AS DOUBLE)), (3, 'a', 30.0), "
+        "(4, 'b', 40.0), (5, 'b', CAST(NULL AS DOUBLE)) t(k, g, v)"
     )
 
 
@@ -291,6 +317,15 @@ def test_scalar_surface(spark, sql, expect):
 @pytest.mark.parametrize("sql,expect", AGG_CASES, ids=lambda c: str(c)[:48])
 def test_aggregate_surface(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+@pytest.mark.parametrize(
+    "sql,expect", WINDOW_CASES, ids=lambda c: str(c)[:48]
+)
+def test_window_seams(spark, sql, expect):
+    got = [r[0] for r in spark.sql(t.to_spark(sql)).collect()]
+    norm = [round(x, 9) if isinstance(x, float) else x for x in got]
+    assert norm == expect, f"{sql}: got {norm}"
 
 
 @pytest.mark.parametrize(
