@@ -3090,34 +3090,49 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     alias = tokens[k].text
                     consumed_to = k
                 src = input_expr
-                # statically-known JSON text (a lowered PARSE_JSON
-                # literal / TO_VARIANT string cast): parse to an array
-                # before exploding — posexplode on a bare STRING is an
-                # analysis error
-                if path_lit is None and _is_json_text_expr(src):
-                    src = [_word("from_json"), _op("(")] + src + [
-                        _op(","), _sp(), Token(STRING, "'array<string>'"),
-                        _op(")")]
                 # json-path input (`input => j:tags`): the later T16
-                # rewrite turns it into get_json_object → a STRING;
-                # wrap in from_json so the explode sees an array
+                # rewrite turns it into get_json_object → a STRING
                 has_json_path = any(
                     x.is_op(":") for x in src
                 ) and path_lit is None
-                if has_json_path:
-                    src = [_word("from_json"), _op("(")] + src + [
-                        _op(","), _sp(), Token(STRING, "'array<string>'"),
-                        _op(")")]
+                json_text = (
+                    path_lit is not None or has_json_path
+                    or _is_json_text_expr(src)
+                )
                 if path_lit is not None:
-                    # get_json_object returns a STRING; FLATTEN needs an
-                    # array — parse the extracted JSON array
-                    src = [_word("from_json"), _op("("),
-                           _word("get_json_object"), _op("(")] + src + [
-                        _op(","), _sp(), Token(STRING, f"'$.{path_lit}'"),
-                        _op(")"), _op(","), _sp(),
-                        Token(STRING, "'array<string>'"), _op(")")]
-                # posexplode so both f.value AND f.index resolve
-                # (Snowflake FLATTEN exposes value/index/key/…)
+                    # extract the subtree first (still JSON text)
+                    src = ([_word("get_json_object"), _op("(")] + src
+                           + [_op(","), _sp(),
+                              Token(STRING, f"'$.{path_lit}'"), _op(")")])
+                if json_text:
+                    # JSON-text input may be an ARRAY or an OBJECT —
+                    # Snowflake FLATTEN handles both (object rows carry
+                    # key, NULL index; array rows the reverse; object
+                    # keys in Snowflake's canonical sorted order). One
+                    # dual-mode generator keeps it a single lateral
+                    # view with key, index, value all resolvable.
+                    s_txt = "(" + render(src).strip() + ")"
+                    gen = "inline_outer" if outer else "inline"
+                    expr = (
+                        f"CASE WHEN ltrim({s_txt}) LIKE '{{%' THEN "
+                        f"transform(array_sort(map_entries(from_json("
+                        f"{s_txt}, 'map<string,string>'))), "
+                        f"e -> struct(e.key AS key, "
+                        f"CAST(NULL AS INT) AS index, e.value AS value)) "
+                        f"ELSE transform(from_json({s_txt}, "
+                        f"'array<string>'), (v, i) -> "
+                        f"struct(CAST(NULL AS STRING) AS key, "
+                        f"CAST(i AS INT) AS index, v AS value)) END"
+                    )
+                    out += [_sp()] + tokenize(
+                        f"LATERAL VIEW {gen}({expr}) {alias} "
+                        "AS key, index, value"
+                    )
+                    i = consumed_to + 1
+                    continue
+                # native array column: posexplode so both f.value AND
+                # f.index resolve (Snowflake FLATTEN exposes
+                # value/index/key/…)
                 explode = "posexplode_outer" if outer else "posexplode"
                 out += [_sp(), _word("LATERAL"), _sp(), _word("VIEW"), _sp(),
                         _word(explode), _op("(")] + src + [_op(")"), _sp(),

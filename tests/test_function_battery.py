@@ -224,6 +224,23 @@ WINDOW_CASES = [
      "FROM wv ORDER BY k LIMIT 1", ["a,a,a,b,b"]),
 ]
 
+# FLATTEN over JSON text: dual-mode array/object generator (key, index,
+# value all resolvable; object keys canonical-sorted like Snowflake)
+FLATTEN_CASES = [
+    ("SELECT f.value FROM TABLE(FLATTEN(input => PARSE_JSON('[1,2]'))) f",
+     ["1", "2"]),
+    ("SELECT f.key FROM TABLE(FLATTEN(input => "
+     "PARSE_JSON('{\"b\":2,\"a\":1}'))) f ORDER BY f.key", ["a", "b"]),
+    ("SELECT f.value FROM TABLE(FLATTEN(input => "
+     "PARSE_JSON('{\"b\":2,\"a\":1}'))) f ORDER BY f.key", ["1", "2"]),
+    ("SELECT f.index FROM TABLE(FLATTEN(input => PARSE_JSON('{\"a\":1}'))) f",
+     [None]),
+    ("SELECT f.value FROM TABLE(FLATTEN(input => "
+     "PARSE_JSON('{\"a\":[5,6]}'), path => 'a')) f", ["5", "6"]),
+    ("SELECT f.key FROM TABLE(FLATTEN(input => PARSE_JSON('{}'), "
+     "outer => TRUE)) f", [None]),
+]
+
 AGG_CASES = [
     ("SELECT MEDIAN(v) FROM bt", 20.0),
     ("SELECT REGR_COUNT(v, k) FROM bt", 3),
@@ -317,6 +334,14 @@ def test_scalar_surface(spark, sql, expect):
 @pytest.mark.parametrize("sql,expect", AGG_CASES, ids=lambda c: str(c)[:48])
 def test_aggregate_surface(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+@pytest.mark.parametrize(
+    "sql,expect", FLATTEN_CASES, ids=lambda c: str(c)[:48]
+)
+def test_flatten_json_text(spark, sql, expect):
+    got = [r[0] for r in spark.sql(t.to_spark(sql)).collect()]
+    assert got == expect, f"{sql}: got {got}"
 
 
 @pytest.mark.parametrize(

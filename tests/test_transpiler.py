@@ -146,8 +146,11 @@ class TestFlatten:
         out = t.to_spark(
             "SELECT f.value FROM t, LATERAL FLATTEN(input => props, path => 'tags') AS f"
         )
-        # path extraction returns a JSON string — must parse to array
-        assert "from_json(get_json_object( props, '$.tags'), 'array<string>')" in out
+        # path extraction returns a JSON string — routed through the
+        # dual-mode (array OR object) JSON-text generator
+        assert "get_json_object( props, '$.tags')" in out
+        assert "'array<string>'" in out and "'map<string,string>'" in out
+        assert "AS key, index, value" in out
 
     def test_flatten_outer(self):
         out = t.to_spark(
