@@ -335,6 +335,8 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
 # FF3 so the emitted SSS fraction pattern isn't re-lowercased)
 _SNOWFLAKE_FMT = (
     ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("DY", "EEE"),
+    ("DDD", "\x01"),  # day-of-year → marker BEFORE DD splits it to ddD;
+                      # _convert_fmt_tokens restores the marker to DDD
     ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"), ("MI", "mm"),
     ("SS", "ss"), ("FF3", "SSS"), ("FF", "SSSSSS"), ("AM", "a"),
     ("PM", "a"),
@@ -348,6 +350,7 @@ def _convert_fmt_tokens(fmt: Tokens) -> Tokens:
             s = ft.text
             for sf, jf in _SNOWFLAKE_FMT:
                 s = s.replace(sf, jf)
+            s = s.replace("\x01", "DDD")
             conv[k] = Token(STRING, s)
     return conv
 
@@ -828,7 +831,19 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                                 for ch in f_code[0].text[1:-1])
                         and any(ch in "90" for ch in f_code[0].text[1:-1])
                     )
-                    if is_num_fmt:
+                    fmt_body = (
+                        f_code[0].text[1:-1]
+                        if len(f_code) == 1 and f_code[0].kind == STRING
+                        else None
+                    )
+                    if fmt_body and set(fmt_body) <= set("Xx0") and (
+                        "X" in fmt_body or "x" in fmt_body
+                    ):
+                        # hex format model: all-X upper, all-x lower
+                        fn = "upper" if "X" in fmt_body else "lower"
+                        out += ([_word(fn), _op("("), _word("hex"),
+                                 _op("(")] + x + [_op(")"), _op(")")])
+                    elif is_num_fmt:
                         out += ([_word("to_char"), _op("(")] + x
                                 + [_op(","), _sp(), f_code[0], _op(")")])
                     else:

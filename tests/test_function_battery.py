@@ -186,6 +186,11 @@ SCALAR_CASES = [
     ("SELECT CURRENT_TRANSACTION()", ("__NULL__",)),
     ("SELECT CURRENT_CLIENT()", "dbt-icebreaker-spark"),
     ("SELECT CONTAINS(CURRENT_STATEMENT(), 'CURRENT_STATEMENT')", True),
+    # format models: day-of-year DDD, hex X/x
+    ("SELECT TO_DATE('2024-068', 'YYYY-DDD')", "2024-03-08"),
+    ("SELECT TO_CHAR('2024-03-08'::DATE, 'YYYY-DDD')", "2024-068"),
+    ("SELECT TO_CHAR(255, 'XXXX')", "FF"),
+    ("SELECT TO_CHAR(255, 'xxxx')", "ff"),
     # SEQ* over a single GENERATOR spine binds to the gap-free range id
     ("SELECT MAX(SEQ4()) FROM TABLE(GENERATOR(ROWCOUNT => 5))", 4),
     ("SELECT MIN(SEQ8()) FROM TABLE(GENERATOR(ROWCOUNT => 5))", 0),
