@@ -5255,6 +5255,43 @@ XOP_ORACLES["q81_result_scan"] = """
 """
 
 
+def _q_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake Scripting anonymous block (scripting.py): DECLARE +
+    LET-from-subquery + RETURN TABLE with a :bind. The oracle
+    macro-expands the scalar into a subquery."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q82_{uuid.uuid4().hex[:8]}")
+    return eng.execute(
+        """
+        DECLARE cutoff DOUBLE DEFAULT 0;
+        BEGIN
+          LET cutoff := (SELECT ROUND(AVG(o_totalprice), 2)
+                         FROM orders WHERE o_orderkey <= 5000);
+          RETURN TABLE(
+            SELECT o_orderpriority AS pri, COUNT(*) AS n
+            FROM orders
+            WHERE o_orderkey <= 5000 AND o_totalprice > :cutoff
+            GROUP BY o_orderpriority
+          );
+        END
+        """
+    )
+
+
+XOP_ORACLES["q82_scripting_block"] = """
+    SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderkey <= 5000
+      AND o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2)
+                          FROM orders WHERE o_orderkey <= 5000)
+    GROUP BY o_orderpriority
+"""
+
+
 def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
     IcebreakerEngine.execute: the engine enumerates the pivot values
@@ -5461,6 +5498,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_replace_clustered": _q_replace_clustered,
     "q79_insert_all": _q_insert_all,
     "q81_result_scan": _q_result_scan,
+    "q82_scripting_block": _q_scripting_block,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

@@ -234,6 +234,16 @@ class IcebreakerEngine:
         re-enters the engine with the inner text."""
         from .transpiler.core import render, split_statements, tokenize
 
+        # Snowflake Scripting anonymous block (the whole input is one
+        # [DECLARE …] BEGIN … END) — interpreted BEFORE statement
+        # splitting: the block's internal ';'s are its own statements
+        from .scripting import is_scripting_block, run_block
+
+        if is_scripting_block(sql):
+            result = run_block(self, sql)
+            self._record_result(result)
+            return result
+
         result: DataFrame | None = None
         for stmt_tokens in split_statements(tokenize(sql)):
             raw = render(stmt_tokens).strip()

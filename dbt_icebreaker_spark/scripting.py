@@ -1,0 +1,614 @@
+"""Snowflake Scripting anonymous blocks — an interpreted subset.
+
+``[DECLARE …] BEGIN stmt; … END`` blocks (reference: Snowflake
+Scripting, the procedural layer users wrap in ``EXECUTE IMMEDIATE
+$$…$$``). The engine interprets the control flow on the driver and
+runs every SQL statement through ``IcebreakerEngine.execute`` — the
+data never leaves Spark; only scalar control values (loop bounds,
+IF conditions, LET scalars) are collected, which is exactly the shape
+a stored procedure has on Snowflake's own execution model.
+
+Supported statements:
+
+- ``LET name [type] := <expr> | (SELECT …)`` and re-assignment
+  ``name := <expr>``
+- ``IF (cond) THEN … [ELSEIF (cond) THEN …]* [ELSE …] END IF``
+- ``FOR i IN [REVERSE] a TO b DO … END FOR`` (integer range)
+- ``WHILE (cond) DO … END WHILE`` (iteration-capped)
+- ``BREAK`` / ``CONTINUE`` inside loops
+- ``RETURN <expr>`` / ``RETURN TABLE(<query>)``
+- any other SQL statement → the engine (with ``:name`` binds)
+
+Variable references: control-flow expressions use bare names
+(Snowflake Scripting expression scope); embedded SQL statements use
+``:name`` bind syntax — a bare column name that happens to match a
+variable is NOT substituted there, same as Snowflake.
+
+Refused actionably: CURSOR/RESULTSET declarations, EXCEPTION
+sections, nested BEGIN blocks, CALL.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .transpiler.tokenizer import (
+    COMMENT,
+    STRING,
+    WORD,
+    WS,
+    Token,
+    next_code,
+    render,
+    tokenize,
+)
+
+
+class ScriptingError(ValueError):
+    pass
+
+
+_LOOP_CAP = 100_000
+
+
+def is_scripting_block(sql: str) -> bool:
+    """True when the WHOLE input is one anonymous block:
+    ``[DECLARE …] BEGIN … END[;]`` — a bare ``BEGIN``/``BEGIN
+    TRANSACTION`` (transaction no-op) is not a block."""
+    toks = tokenize(sql)
+    code = [t for t in toks if t.kind not in (WS, COMMENT)]
+    if not code:
+        return False
+    if code[-1].is_op(";"):
+        code = code[:-1]
+    if not code:
+        return False
+    head = code[0]
+    if head.kind != WORD:
+        return False
+    if head.upper == "DECLARE":
+        return any(t.kind == WORD and t.upper == "BEGIN" for t in code)
+    if head.upper == "BEGIN":
+        if len(code) == 1:
+            return False
+        nxt = code[1]
+        if nxt.kind == WORD and nxt.upper in ("TRANSACTION", "WORK", "NAME"):
+            return False
+        return code[-1].kind == WORD and code[-1].upper == "END"
+    return False
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, df):
+        self.df = df
+
+
+class _Block:
+    def __init__(self, engine, sql: str):
+        self.engine = engine
+        self.toks = tokenize(sql)
+        self.vars: dict[str, Any] = {}
+
+    # ------------------------------------------------------ utilities
+    def _code(self, i: int) -> int:
+        return next_code(self.toks, i)
+
+    def _word(self, i: int, *names: str) -> bool:
+        t = self.toks[i] if i < len(self.toks) else None
+        return t is not None and t.kind == WORD and t.upper in names
+
+    def _stmt_end(self, i: int) -> int:
+        """Index of the ';' ending the statement starting at i (depth-0
+        of parens), or len(toks)."""
+        depth = 0
+        j = i
+        n = len(self.toks)
+        while j < n:
+            t = self.toks[j]
+            if t.is_op("("):
+                depth += 1
+            elif t.is_op(")"):
+                depth -= 1
+            elif depth == 0 and t.is_op(";"):
+                return j
+            j += 1
+        return n
+
+    def _sub_expr(self, toks) -> str:
+        """Expression scope: bare variable names AND :name binds become
+        literals."""
+        from .runner import IcebreakerEngine
+
+        def prev_code_tok(out_list):
+            for x in reversed(out_list):
+                if x.kind not in (WS, COMMENT):
+                    return x
+            return None
+
+        out = []
+        skip = -1
+        for k, t in enumerate(toks):
+            if k <= skip:
+                continue
+            if t.is_op(":"):
+                j = k + 1
+                while j < len(toks) and toks[j].kind in (WS, COMMENT):
+                    j += 1
+                if j < len(toks) and toks[j].kind == WORD \
+                        and toks[j].text.lower() in self.vars:
+                    out.append(Token(WORD, IcebreakerEngine._render_literal(
+                        self.vars[toks[j].text.lower()])))
+                    skip = j
+                    continue
+            if t.kind == WORD and t.text.lower() in self.vars:
+                prev = prev_code_tok(out)
+                j2 = k + 1
+                while j2 < len(toks) and toks[j2].kind in (WS, COMMENT):
+                    j2 += 1
+                nxt = toks[j2] if j2 < len(toks) else None
+                # not a qualified field (a.x) and not a call x(...)
+                if not (prev is not None and prev.is_op(".")) and not (
+                    nxt is not None and nxt.is_op("(")
+                ):
+                    out.append(Token(WORD, IcebreakerEngine._render_literal(
+                        self.vars[t.text.lower()])))
+                    continue
+            out.append(t)
+        return render(out).strip()
+
+    def _sub_binds(self, toks) -> str:
+        """SQL-statement scope: ONLY :name binds substitute (a bare
+        column name matching a variable stays a column, like
+        Snowflake)."""
+        from .runner import IcebreakerEngine
+
+        out = []
+        skip = -1
+        for k, t in enumerate(toks):
+            if k <= skip:
+                continue
+            if t.is_op(":"):
+                j = k + 1
+                while j < len(toks) and toks[j].kind in (WS, COMMENT):
+                    j += 1
+                if j < len(toks) and toks[j].kind == WORD \
+                        and toks[j].text.lower() in self.vars:
+                    prev = None
+                    for x in reversed(out):
+                        if x.kind not in (WS, COMMENT):
+                            prev = x
+                            break
+                    # not a '::' cast; not a 'col:field' json path (the
+                    # token DIRECTLY before ':' being a WORD/QIDENT/')' —
+                    # whitespace before ':' means a bind, Snowflake
+                    # json paths are written without spaces)
+                    tight = out and out[-1].kind not in (WS, COMMENT)
+                    is_cast = prev is not None and prev.is_op(":")
+                    is_path = tight and prev is not None and (
+                        prev.kind == WORD or prev.is_op(")")
+                    )
+                    if not is_cast and not is_path:
+                        out.append(Token(
+                            WORD, IcebreakerEngine._render_literal(
+                                self.vars[toks[j].text.lower()])))
+                        skip = j
+                        continue
+            out.append(t)
+        return render(out).strip()
+
+    def _eval_scalar(self, expr_sql: str):
+        rows = self.engine.execute(f"SELECT {expr_sql} AS __v").collect()
+        return rows[0][0] if rows else None
+
+    def _eval_bool(self, expr_sql: str) -> bool:
+        return bool(self._eval_scalar(f"({expr_sql}) IS TRUE"))
+
+    # ------------------------------------------------------ sections
+    def run(self):
+        # EXCEPTION sections refuse up front (a RETURN earlier in the
+        # body would otherwise silently skip the unsupported handler)
+        for k, t in enumerate(self.toks):
+            if t.kind == WORD and t.upper == "EXCEPTION" \
+                    and self._is_stmt_head(k):
+                raise ScriptingError(
+                    "EXCEPTION sections are not supported — handle "
+                    "errors on the caller side (engine errors are "
+                    "already classified and actionable)"
+                )
+        i = self._code(0)
+        if self._word(i, "DECLARE"):
+            i = self._parse_declares(self._code(i + 1))
+        if not self._word(i, "BEGIN"):
+            raise ScriptingError("scripting block: expected BEGIN")
+        i = self._code(i + 1)
+        try:
+            self._run_statements(i, ("END",))
+        except _Return as r:
+            return r.df
+        except (_Break, _Continue):
+            raise ScriptingError(
+                "scripting block: BREAK/CONTINUE outside a loop"
+            ) from None
+        from pyspark.sql import Row
+
+        return self.engine.spark.createDataFrame(
+            [("anonymous block", "completed")],
+            "statement string, status string",
+        )
+
+    def _parse_declares(self, i: int) -> int:
+        while i < len(self.toks) and not self._word(i, "BEGIN"):
+            name_t = self.toks[i]
+            if name_t.kind != WORD:
+                raise ScriptingError(
+                    f"DECLARE: expected a variable name, got {name_t.text!r}"
+                )
+            end = self._stmt_end(i)
+            seg = self.toks[i:end]
+            segc = [t for t in seg if t.kind not in (WS, COMMENT)]
+            kinds = {t.upper for t in segc if t.kind == WORD}
+            if kinds & {"CURSOR", "RESULTSET", "EXCEPTION"}:
+                bad = (kinds & {"CURSOR", "RESULTSET", "EXCEPTION"}).pop()
+                raise ScriptingError(
+                    f"DECLARE {bad} is not supported — the engine "
+                    "interprets scalar variables and control flow; "
+                    "use a plain query (or RESULT_SCAN) for row sets"
+                )
+            # name [type…] [DEFAULT expr | := expr]
+            val = None
+            dk = None
+            for k, t in enumerate(seg):
+                if t.kind == WORD and t.upper == "DEFAULT":
+                    dk = k
+                    break
+                if t.is_op(":="):
+                    dk = k
+                    break
+            if dk is not None:
+                val = self._eval_scalar(self._sub_expr(seg[dk + 1:]))
+            self.vars[name_t.text.lower()] = val
+            i = self._code(end + 1)
+        return i
+
+    # --------------------------------------------------- statements
+    def _run_statements(self, i: int, stops: tuple[str, ...]) -> int:
+        """Run statements until one of `stops` keywords at statement
+        head; returns index OF the stop token."""
+        n = len(self.toks)
+        while i < n:
+            t = self.toks[i]
+            if t.kind in (WS, COMMENT) or t.is_op(";"):
+                i += 1
+                continue
+            if t.kind == WORD and t.upper in stops:
+                return i
+            i = self._run_one(i)
+        if "END" in stops:
+            raise ScriptingError("scripting block: missing END")
+        return i
+
+    def _skip_statements(self, i: int, stops: tuple[str, ...]) -> int:
+        """Skip (without running) until a stop keyword at depth 0,
+        honoring nested IF/FOR/WHILE … END pairs."""
+        n = len(self.toks)
+        depth = 0
+        nest = 0        # nested IF/FOR/WHILE constructs
+        case_nest = 0   # CASE … END expressions carry ELSE/END too
+        while i < n:
+            t = self.toks[i]
+            if t.is_op("("):
+                depth += 1
+            elif t.is_op(")"):
+                depth -= 1
+            elif depth == 0 and t.kind == WORD:
+                u = t.upper
+                if u == "CASE":
+                    case_nest += 1
+                elif u in ("IF", "FOR", "WHILE") and self._is_stmt_head(i):
+                    nest += 1
+                elif u == "END":
+                    j = self._code(i + 1)
+                    if self._word(j, "IF", "FOR", "WHILE"):
+                        if nest > 0:
+                            nest -= 1
+                            i = j + 1
+                            continue
+                        # END of an unentered construct at our level —
+                        # it can itself be a stop ("END IF")
+                    elif case_nest > 0:
+                        case_nest -= 1
+                        i += 1
+                        continue
+                if nest == 0 and case_nest == 0 and u in stops and u != "CASE":
+                    if u == "ELSE" and case_nest > 0:
+                        i += 1
+                        continue
+                    return i
+            i += 1
+        raise ScriptingError("scripting block: unterminated control block")
+
+    def _is_stmt_head(self, i: int) -> bool:
+        p = i - 1
+        while p >= 0 and self.toks[p].kind in (WS, COMMENT):
+            p -= 1
+        if p < 0:
+            return True
+        t = self.toks[p]
+        return t.is_op(";") or (t.kind == WORD and t.upper in (
+            "BEGIN", "THEN", "ELSE", "DO", "LOOP"
+        ))
+
+    def _run_one(self, i: int) -> int:
+        t = self.toks[i]
+        u = t.upper if t.kind == WORD else ""
+        if u == "LET":
+            return self._stmt_let(self._code(i + 1))
+        if u == "IF" and self._is_stmt_head(i):
+            return self._stmt_if(i)
+        if u == "FOR" and self._is_stmt_head(i):
+            return self._stmt_for(i)
+        if u == "WHILE" and self._is_stmt_head(i):
+            return self._stmt_while(i)
+        if u == "RETURN":
+            self._stmt_return(i)
+        if u == "BREAK":
+            raise _Break()
+        if u == "CONTINUE":
+            raise _Continue()
+        if u == "BEGIN":
+            raise ScriptingError(
+                "nested BEGIN blocks are not supported — inline the "
+                "inner statements"
+            )
+        if u == "DECLARE":
+            raise ScriptingError(
+                "DECLARE belongs before BEGIN (the declaration "
+                "section); inside the body use LET"
+            )
+        if u == "EXCEPTION":
+            raise ScriptingError(
+                "EXCEPTION sections are not supported — handle errors "
+                "on the caller side (engine errors are already "
+                "classified and actionable)"
+            )
+        if u == "CALL":
+            raise ScriptingError(
+                "CALL is not supported (no stored-procedure registry); "
+                "inline the procedure body as an anonymous block"
+            )
+        if u == "NULL":
+            return self._stmt_end(i) + 1
+        # assignment without LET: name := expr
+        j = self._code(i + 1)
+        if t.kind == WORD and j < len(self.toks) and self.toks[j].is_op(":="):
+            end = self._stmt_end(i)
+            if t.text.lower() not in self.vars:
+                raise ScriptingError(
+                    f"assignment to undeclared variable {t.text!r} — "
+                    "use LET or DECLARE first"
+                )
+            self.vars[t.text.lower()] = self._eval_scalar(
+                self._sub_expr(self.toks[j + 1:end]))
+            return end + 1
+        # plain SQL statement → the engine (with :binds)
+        end = self._stmt_end(i)
+        self.engine.execute(self._sub_binds(self.toks[i:end]))
+        return end + 1
+
+    def _stmt_let(self, i: int) -> int:
+        name_t = self.toks[i]
+        if name_t.kind != WORD:
+            raise ScriptingError("LET: expected a variable name")
+        end = self._stmt_end(i)
+        seg = self.toks[i:end]
+        dk = None
+        for k, tt in enumerate(seg):
+            if tt.is_op(":="):
+                dk = k
+                break
+            if tt.kind == WORD and tt.upper == "DEFAULT":
+                dk = k
+                break
+        if dk is None:
+            raise ScriptingError("LET: expected := or DEFAULT")
+        self.vars[name_t.text.lower()] = self._eval_scalar(
+            self._sub_expr(seg[dk + 1:]))
+        return end + 1
+
+    def _read_cond(self, i: int, *stop_words: str) -> tuple[str, int]:
+        """Condition tokens from i until a stop word at paren depth 0;
+        returns (expr SQL with vars substituted, index of stop)."""
+        depth = 0
+        j = i
+        n = len(self.toks)
+        lo = i
+        while j < n:
+            t = self.toks[j]
+            if t.is_op("("):
+                depth += 1
+            elif t.is_op(")"):
+                depth -= 1
+            elif depth == 0 and t.kind == WORD and t.upper in stop_words:
+                return self._sub_expr(self.toks[lo:j]), j
+            j += 1
+        raise ScriptingError(
+            f"scripting block: expected {'/'.join(stop_words)}"
+        )
+
+    def _stmt_if(self, i: int) -> int:
+        """IF (c) THEN … [ELSEIF (c) THEN …]* [ELSE …] END IF;"""
+        j = self._code(i + 1)
+        cond, then_i = self._read_cond(j, "THEN")
+        taken = self._eval_bool(cond)
+        i = then_i + 1
+        done = taken
+        while True:
+            if taken:
+                stop = self._run_statements(
+                    i, ("ELSEIF", "ELSE", "END"))
+                taken = False  # ran the branch; skip the rest
+            else:
+                stop = self._skip_statements(i, ("ELSEIF", "ELSE", "END"))
+            su = self.toks[stop].upper
+            if su == "END":
+                j2 = self._code(stop + 1)
+                if not self._word(j2, "IF"):
+                    raise ScriptingError("IF: expected END IF")
+                return self._stmt_end(j2) + 1
+            if su == "ELSEIF":
+                j2 = self._code(stop + 1)
+                cond, then_i = self._read_cond(j2, "THEN")
+                if not done and self._eval_bool(cond):
+                    taken = True
+                    done = True
+                i = then_i + 1
+                continue
+            # ELSE
+            taken = not done
+            done = True
+            i = self._code(stop + 1)
+
+    def _stmt_for(self, i: int) -> int:
+        """FOR v IN [REVERSE] a TO b DO … END FOR;"""
+        j = self._code(i + 1)
+        var_t = self.toks[j]
+        if var_t.kind != WORD:
+            raise ScriptingError("FOR: expected a loop variable")
+        j = self._code(j + 1)
+        if not self._word(j, "IN"):
+            raise ScriptingError(
+                "FOR: only the integer-range form (FOR i IN a TO b DO) "
+                "is supported; iterate query results with a plain "
+                "set-based statement instead"
+            )
+        j = self._code(j + 1)
+        reverse = False
+        if self._word(j, "REVERSE"):
+            reverse = True
+            j = self._code(j + 1)
+        # cursor/resultset loops have no TO before DO
+        probe, depth = j, 0
+        has_to = False
+        while probe < len(self.toks):
+            tt = self.toks[probe]
+            if tt.is_op("("):
+                depth += 1
+            elif tt.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tt.kind == WORD:
+                if tt.upper == "TO":
+                    has_to = True
+                    break
+                if tt.upper == "DO":
+                    break
+            probe += 1
+        if not has_to:
+            raise ScriptingError(
+                "FOR: only the integer-range form (FOR i IN a TO b DO) "
+                "is supported; iterate query results with a plain "
+                "set-based statement instead"
+            )
+        lo_sql, to_i = self._read_cond(j, "TO")
+        hi_sql, do_i = self._read_cond(self._code(to_i + 1), "DO")
+        body = self._code(do_i + 1)
+        end_stop = self._skip_statements(body, ("END",))
+        j2 = self._code(end_stop + 1)
+        if not self._word(j2, "FOR"):
+            raise ScriptingError("FOR: expected END FOR")
+        after = self._stmt_end(j2) + 1
+        lo_v = int(self._eval_scalar(lo_sql))
+        hi_v = int(self._eval_scalar(hi_sql))
+        rng = range(hi_v, lo_v - 1, -1) if reverse else range(lo_v, hi_v + 1)
+        if len(rng) > _LOOP_CAP:
+            raise ScriptingError(
+                f"FOR: range of {len(rng)} exceeds the {_LOOP_CAP} "
+                "iteration cap (driver-side loop) — express bulk work "
+                "as one set-based statement"
+            )
+        name = var_t.text.lower()
+        shadow = self.vars.get(name)
+        for v in rng:
+            self.vars[name] = v
+            try:
+                self._run_statements(body, ("END",))
+            except _Break:
+                break
+            except _Continue:
+                continue
+        self.vars[name] = shadow
+        return after
+
+    def _stmt_while(self, i: int) -> int:
+        """WHILE (c) DO … END WHILE;"""
+        j = self._code(i + 1)
+        cond_toks_lo = j
+        # the condition is re-evaluated each pass: keep RAW tokens
+        depth = 0
+        k = j
+        while k < len(self.toks):
+            t = self.toks[k]
+            if t.is_op("("):
+                depth += 1
+            elif t.is_op(")"):
+                depth -= 1
+            elif depth == 0 and t.kind == WORD and t.upper == "DO":
+                break
+            k += 1
+        if k >= len(self.toks):
+            raise ScriptingError("WHILE: expected DO")
+        body = self._code(k + 1)
+        end_stop = self._skip_statements(body, ("END",))
+        j2 = self._code(end_stop + 1)
+        if not self._word(j2, "WHILE"):
+            raise ScriptingError("WHILE: expected END WHILE")
+        after = self._stmt_end(j2) + 1
+        it = 0
+        while True:
+            cond = self._sub_expr(self.toks[cond_toks_lo:k])
+            if not self._eval_bool(cond):
+                break
+            it += 1
+            if it > _LOOP_CAP:
+                raise ScriptingError(
+                    f"WHILE: exceeded the {_LOOP_CAP} iteration cap"
+                )
+            try:
+                self._run_statements(body, ("END",))
+            except _Break:
+                break
+            except _Continue:
+                continue
+        return after
+
+    def _stmt_return(self, i: int) -> None:
+        end = self._stmt_end(i)
+        j = self._code(i + 1)
+        if j >= end:
+            raise _Return(self.engine.spark.createDataFrame(
+                [("anonymous block", None)],
+                "statement string, value string",
+            ))
+        if self._word(j, "TABLE"):
+            k = self._code(j + 1)
+            if k < end and self.toks[k].is_op("("):
+                from .transpiler.tokenizer import find_matching_paren
+
+                close = find_matching_paren(self.toks, k)
+                inner = self._sub_binds(self.toks[k + 1:close])
+                raise _Return(self.engine.execute(inner))
+        expr = self._sub_expr(self.toks[j:end])
+        raise _Return(self.engine.execute(f"SELECT ({expr}) AS value"))
+
+
+def run_block(engine, sql: str):
+    """Interpret one anonymous block; returns the RETURN value as a
+    DataFrame (or a completed-status frame)."""
+    return _Block(engine, sql).run()

@@ -130,6 +130,14 @@ def tokenize(sql: str) -> list[Token]:
             toks.append(Token(NUMBER, sql[i:j]))
             i = j
             continue
+        # dollar-quoted string ($$ ... $$): one token, so statement
+        # splitting and transforms never look inside the body
+        if c == "$" and i + 1 < n and sql[i + 1] == "$":
+            j = sql.find("$$", i + 2)
+            if j != -1:
+                toks.append(Token(STRING, sql[i:j + 2]))
+                i = j + 2
+                continue
         # word / identifier
         if c in _WORD_START:
             j = i

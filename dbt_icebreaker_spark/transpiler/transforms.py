@@ -6037,7 +6037,10 @@ def rewrite_create_function(tokens: Tokens) -> Tokens:
         )
     if i < len(tokens) and tokens[i].kind == STRING:
         raw = tokens[i].text
-        body = raw[1:-1].replace("''", "'")
+        if raw.startswith("$$"):
+            body = raw[2:-2]
+        else:
+            body = raw[1:-1].replace("''", "'")
     else:
         # $$ … $$ dollar-quoted body: reconstruct from the raw text
         rest = render(tokens[i:]) if i < len(tokens) else ""

@@ -1,0 +1,153 @@
+"""Snowflake Scripting anonymous blocks (dbt_icebreaker_spark/
+scripting.py): control flow interpreted on the driver, every SQL
+statement through the engine."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_icebreaker_spark.runner import IcebreakerEngine
+from dbt_icebreaker_spark.scripting import ScriptingError, is_scripting_block
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return IcebreakerEngine(spark, schema="scripting_test")
+
+
+class TestDetection:
+    def test_block_detected(self):
+        assert is_scripting_block("BEGIN RETURN 1; END")
+        assert is_scripting_block("DECLARE x INT; BEGIN RETURN x; END;")
+
+    def test_transaction_noops_not_blocks(self):
+        assert not is_scripting_block("BEGIN")
+        assert not is_scripting_block("BEGIN TRANSACTION")
+        assert not is_scripting_block("BEGIN WORK")
+
+    def test_plain_sql_not_block(self):
+        assert not is_scripting_block("SELECT 1")
+        assert not is_scripting_block("SELECT 'BEGIN x END'")
+
+
+class TestBlocks:
+    def test_let_and_return(self, spark, engine):
+        r = engine.execute("BEGIN LET x := 2 + 3; RETURN x * 10; END")
+        assert r.collect()[0].value == 50
+
+    def test_declare_default_and_if_chain(self, spark, engine):
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 7; BEGIN "
+            "IF (v > 10) THEN RETURN 'big'; "
+            "ELSEIF (v > 5) THEN RETURN 'mid'; "
+            "ELSE RETURN 'small'; END IF; END"
+        )
+        assert r.collect()[0].value == "mid"
+
+    def test_for_loop_accumulates(self, spark, engine):
+        r = engine.execute(
+            "BEGIN LET total := 0; "
+            "FOR i IN 1 TO 5 DO total := total + i; END FOR; "
+            "RETURN total; END"
+        )
+        assert r.collect()[0].value == 15
+
+    def test_for_reverse(self, spark, engine):
+        r = engine.execute(
+            "BEGIN LET s := ''; "
+            "FOR i IN REVERSE 1 TO 3 DO s := s || i; END FOR; "
+            "RETURN s; END"
+        )
+        assert r.collect()[0].value == "321"
+
+    def test_while_with_break(self, spark, engine):
+        r = engine.execute(
+            "BEGIN LET n := 0; WHILE (TRUE) DO LET n := n + 1; "
+            "IF (n >= 3) THEN BREAK; END IF; END WHILE; RETURN n; END"
+        )
+        assert r.collect()[0].value == 3
+
+    def test_sql_statements_with_binds_and_return_table(self, spark, engine):
+        rows = engine.execute(
+            "BEGIN LET lim := 2; "
+            "CREATE OR REPLACE TABLE scripting_test.t1 AS "
+            "SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3; "
+            "RETURN TABLE(SELECT k FROM scripting_test.t1 "
+            "WHERE k <= :lim ORDER BY k); END"
+        ).collect()
+        assert [r.k for r in rows] == [1, 2]
+
+    def test_bind_does_not_clobber_matching_column(self, spark, engine):
+        # a bare column named like a variable stays a column; only
+        # :name substitutes in SQL-statement scope
+        rows = engine.execute(
+            "BEGIN LET k := 99; "
+            "RETURN TABLE(SELECT k FROM scripting_test.t1 "
+            "WHERE k < :k ORDER BY k); END"
+        ).collect()
+        assert [r.k for r in rows] == [1, 2, 3]
+
+    def test_let_from_subquery_snowflake_dialect(self, spark, engine):
+        r = engine.execute(
+            "BEGIN LET mx := (SELECT MAX(k) FROM scripting_test.t1); "
+            "RETURN IFF(mx = 3, 'three', 'other'); END"
+        )
+        assert r.collect()[0].value == "three"
+
+    def test_case_expression_in_skipped_branch(self, spark, engine):
+        r = engine.execute(
+            "BEGIN IF (FALSE) THEN "
+            "LET z := CASE WHEN 1 = 1 THEN 'a' ELSE 'b' END; RETURN z; "
+            "ELSE RETURN 'took-else'; END IF; END"
+        )
+        assert r.collect()[0].value == "took-else"
+
+    def test_via_execute_immediate(self, spark, engine):
+        r = engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN LET a := 4; RETURN a; END $$"
+        )
+        assert r.collect()[0].value == 4
+
+    def test_nested_for_in_if(self, spark, engine):
+        r = engine.execute(
+            "BEGIN LET s := 0; IF (TRUE) THEN "
+            "FOR i IN 1 TO 3 DO LET s := s + i; END FOR; END IF; "
+            "RETURN s; END"
+        )
+        assert r.collect()[0].value == 6
+
+    def test_completes_without_return(self, spark, engine):
+        r = engine.execute("BEGIN LET x := 1; END").collect()[0]
+        assert r.status == "completed"
+
+
+class TestRefusals:
+    def test_cursor_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="CURSOR"):
+            engine.execute(
+                "DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END"
+            )
+
+    def test_call_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="CALL"):
+            engine.execute("BEGIN CALL p(); END")
+
+    def test_declare_inside_body_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="LET"):
+            engine.execute("BEGIN DECLARE x INT; RETURN 1; END")
+
+    def test_exception_section_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="EXCEPTION"):
+            engine.execute(
+                "BEGIN RETURN 1; EXCEPTION WHEN OTHER THEN RETURN 2; END"
+            )
+
+    def test_nested_begin_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="nested BEGIN"):
+            engine.execute("BEGIN BEGIN RETURN 1; END; END")
+
+    def test_for_over_query_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="integer-range"):
+            engine.execute(
+                "BEGIN FOR r IN c DO RETURN 1; END FOR; END"
+            )
