@@ -133,8 +133,18 @@ class IcebreakerEngine:
         # session order — the RESULT_SCAN / LAST_QUERY_ID surface.
         # DataFrames are lazy plans: RESULT_SCAN re-derives the result
         # (identical unless the underlying tables changed — documented
-        # deviation from Snowflake's materialized result cache)
+        # deviation from Snowflake's materialized result cache).
+        # Bounded: only the most recent entries are kept (a long dbt
+        # session must not accumulate plans forever); _result_offset
+        # counts evictions so positive LAST_QUERY_ID(n) session
+        # indices stay correct.
         self._result_history: list[tuple[str, DataFrame]] = []
+        self._result_offset = 0
+        self._result_cap = 200
+        # scripting control-flow probes (IF conditions, LET scalars)
+        # suspend recording — they are interpreter internals, not user
+        # statements
+        self._record_suspended = False
 
     # -------------------------------------------- session variables
     @staticmethod
@@ -270,11 +280,17 @@ class IcebreakerEngine:
         return result
 
     # ------------------------------------- EXECUTE IMMEDIATE / RESULT_SCAN
-    def _record_result(self, df: DataFrame) -> str:
+    def _record_result(self, df: DataFrame) -> str | None:
+        if self._record_suspended:
+            return None
         import uuid as _uuid
 
         qid = str(_uuid.uuid4())
         self._result_history.append((qid, df))
+        over = len(self._result_history) - self._result_cap
+        if over > 0:
+            del self._result_history[:over]
+            self._result_offset += over
         return qid
 
     def last_query_id(self, n: int = -1) -> str:
@@ -286,12 +302,19 @@ class IcebreakerEngine:
                 "LAST_QUERY_ID: no statements have run in this engine "
                 "session yet"
             )
-        idx = n if n < 0 else n - 1
+        idx = n if n < 0 else n - 1 - self._result_offset
+        if n > 0 and idx < 0:
+            raise ValueError(
+                f"LAST_QUERY_ID({n}): that statement's result has been "
+                f"evicted (the engine keeps the most recent "
+                f"{self._result_cap} results)"
+            )
         try:
             return self._result_history[idx][0]
         except IndexError:
             raise ValueError(
-                f"LAST_QUERY_ID({n}): only {len(self._result_history)} "
+                f"LAST_QUERY_ID({n}): only "
+                f"{self._result_offset + len(self._result_history)} "
                 "statements have run in this engine session"
             ) from None
 
@@ -344,13 +367,29 @@ class IcebreakerEngine:
                 render(toks[lo:hi]).strip()
                 for lo, hi in split_args(toks, i + 1, close)
             ]
-            for b in binds:
-                if "?" not in inner:
-                    raise ValueError(
-                        "EXECUTE IMMEDIATE: more USING arguments than "
-                        "? placeholders"
-                    )
-                inner = inner.replace("?", b, 1)
+            # substitute ? placeholders token-wise: a '?' inside a
+            # string literal (or inside an already-substituted bind
+            # value) is NOT a placeholder
+            inner_toks = tokenize(inner)
+            out_toks = []
+            bi = 0
+            for tk in inner_toks:
+                if tk.is_op("?"):
+                    if bi >= len(binds):
+                        raise ValueError(
+                            "EXECUTE IMMEDIATE: more ? placeholders "
+                            "than USING arguments"
+                        )
+                    out_toks += tokenize(binds[bi])
+                    bi += 1
+                else:
+                    out_toks.append(tk)
+            if bi < len(binds):
+                raise ValueError(
+                    "EXECUTE IMMEDIATE: more USING arguments than "
+                    "? placeholders"
+                )
+            inner = render(out_toks)
         return inner
 
     def _resolve_result_scan(self, raw: str) -> str:

@@ -190,10 +190,13 @@ class _Block:
                     # token DIRECTLY before ':' being a WORD/QIDENT/')' —
                     # whitespace before ':' means a bind, Snowflake
                     # json paths are written without spaces)
+                    from .transpiler.tokenizer import QIDENT
+
                     tight = out and out[-1].kind not in (WS, COMMENT)
                     is_cast = prev is not None and prev.is_op(":")
                     is_path = tight and prev is not None and (
-                        prev.kind == WORD or prev.is_op(")")
+                        prev.kind in (WORD, QIDENT)
+                        or prev.is_op(")") or prev.is_op("]")
                     )
                     if not is_cast and not is_path:
                         out.append(Token(
@@ -205,7 +208,15 @@ class _Block:
         return render(out).strip()
 
     def _eval_scalar(self, expr_sql: str):
-        rows = self.engine.execute(f"SELECT {expr_sql} AS __v").collect()
+        # interpreter-internal probe: must not pollute the engine's
+        # RESULT_SCAN history (LAST_QUERY_ID inside a block refers to
+        # the user's last statement, not an IF-condition evaluation)
+        prev = self.engine._record_suspended
+        self.engine._record_suspended = True
+        try:
+            rows = self.engine.execute(f"SELECT {expr_sql} AS __v").collect()
+        finally:
+            self.engine._record_suspended = prev
         return rows[0][0] if rows else None
 
     def _eval_bool(self, expr_sql: str) -> bool:

@@ -1028,6 +1028,16 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         if x2.kind == WORD and x2.upper == "GENERATOR"
                         and _is_call(tokens, k2, "GENERATOR")
                     )
+                    # scope guard: with more than one SELECT the
+                    # generator may live in a different subquery than
+                    # this SEQ reference — binding seq_gen across
+                    # scopes is an unresolved column; keep the
+                    # gap-tolerant id there
+                    if sum(
+                        1 for x2 in tokens
+                        if x2.kind == WORD and x2.upper == "SELECT"
+                    ) != 1:
+                        _gen_count = 0
                 if _gen_count == 1:
                     out += [_word("seq_gen")]
                 else:
@@ -1114,11 +1124,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # attach (rewrite_json_path walks back paren groups,
                 # not CASE…END blocks)
                 if t.text == "PARSEIP_X":
+                    # NULL input → NULL (Snowflake), never the raise
                     err = (f"raise_error(concat('PARSE_IP: not an IPv4 "
-                           f"address (IPv6 unsupported on this engine): ', "
-                           f"COALESCE({s}, 'NULL')))")
+                           f"address (IPv6 unsupported on this "
+                           f"engine): ', {s}))")
                     out += tokenize(
-                        f"(CASE WHEN {valid} THEN {obj} ELSE {err} END)")
+                        f"(CASE WHEN {s} IS NULL THEN "
+                        f"CAST(NULL AS STRING) "
+                        f"WHEN {valid} THEN {obj} ELSE {err} END)")
                 else:
                     out += tokenize(
                         f"(CASE WHEN {valid} THEN {obj} END)")
@@ -3129,7 +3142,8 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     s_txt = "(" + render(src).strip() + ")"
                     gen = "inline_outer" if outer else "inline"
                     expr = (
-                        f"CASE WHEN ltrim({s_txt}) LIKE '{{%' THEN "
+                        f"CASE WHEN regexp_like({s_txt}, "
+                        f"'^\\\\s*\\\\{{') THEN "
                         f"transform(array_sort(map_entries(from_json("
                         f"{s_txt}, 'map<string,string>'))), "
                         f"e -> struct(e.key AS key, "
@@ -3356,13 +3370,28 @@ def _expand_group_by_all(inner: Tokens) -> Tokens:
         segc = [c for c in seg if c.kind not in (WS, COMMENT)]
         if not segc or (len(segc) == 1 and segc[0].is_op("*")):
             continue
-        has_agg = any(
-            c.kind == WORD
-            and (c.upper in _AGG_HEADS or c.upper.endswith("_AGG"))
-            and _is_call(seg, idx, c.upper)
-            for idx, c in enumerate(seg)
-        )
-        has_over = any(c.kind == WORD and c.upper == "OVER" for c in segc)
+        # aggregate scan skips SUBQUERY spans: an aggregate inside
+        # (SELECT …) belongs to the inner query, and Spark's own ALL
+        # resolution groups by such items
+        has_agg = False
+        has_over = False
+        idx = 0
+        while idx < len(seg):
+            c = seg[idx]
+            if c.is_op("("):
+                j2 = next_code(seg, idx + 1)
+                if j2 < len(seg) and seg[j2].is_word("SELECT"):
+                    idx = find_matching_paren(seg, idx) + 1
+                    continue
+            if c.kind == WORD:
+                if c.upper == "OVER":
+                    has_over = True
+                elif (
+                    (c.upper in _AGG_HEADS or c.upper.endswith("_AGG"))
+                    and _is_call(seg, idx, c.upper)
+                ):
+                    has_agg = True
+            idx += 1
         if has_agg or has_over:
             continue
         # strip a trailing top-level AS alias
@@ -6155,7 +6184,9 @@ def rewrite_current_statement(tokens: Tokens) -> Tokens:
         t.kind == WORD and t.upper == "CURRENT_STATEMENT" for t in tokens
     ):
         return tokens
-    text = render(tokens).strip().replace("'", "''")
+    # backslashes double BEFORE quotes (Spark escaped string literals —
+    # same contract as runner._render_literal)
+    text = render(tokens).strip().replace("\\", "\\\\").replace("'", "''")
     out: Tokens = []
     i = 0
     n = len(tokens)

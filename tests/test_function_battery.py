@@ -183,6 +183,7 @@ SCALAR_CASES = [
     ("SELECT PARSE_IP('10.0.0.0/24', 'INET'):netmask_prefix_length::NUMBER",
      24),
     ("SELECT TRY_PARSE_IP('not-an-ip', 'INET')", ("__NULL__",)),
+    ("SELECT PARSE_IP(CAST(NULL AS STRING), 'INET')", ("__NULL__",)),
     ("SELECT CURRENT_TRANSACTION()", ("__NULL__",)),
     ("SELECT CURRENT_CLIENT()", "dbt-icebreaker-spark"),
     ("SELECT CONTAINS(CURRENT_STATEMENT(), 'CURRENT_STATEMENT')", True),
@@ -194,6 +195,10 @@ SCALAR_CASES = [
     # SEQ* over a single GENERATOR spine binds to the gap-free range id
     ("SELECT MAX(SEQ4()) FROM TABLE(GENERATOR(ROWCOUNT => 5))", 4),
     ("SELECT MIN(SEQ8()) FROM TABLE(GENERATOR(ROWCOUNT => 5))", 0),
+    # ...but NOT across scopes: a generator in a subquery must not bind
+    # an outer SEQ reference (gap-tolerant id is the valid fallback)
+    ("SELECT SEQ4() >= 0 AND c = 3 FROM (SELECT (SELECT COUNT(*) "
+     "FROM TABLE(GENERATOR(ROWCOUNT => 3))) AS c)", True),
 ]
 
 # Snowflake sorts NULLs HIGHEST (ASC → last, DESC → first); Spark's
@@ -244,6 +249,9 @@ FLATTEN_CASES = [
      "PARSE_JSON('{\"a\":[5,6]}'), path => 'a')) f", ["5", "6"]),
     ("SELECT f.key FROM TABLE(FLATTEN(input => PARSE_JSON('{}'), "
      "outer => TRUE)) f", [None]),
+    # leading whitespace before '{' still classifies as an object
+    ("SELECT f.key FROM TABLE(FLATTEN(input => "
+     "PARSE_JSON('\\n {\"a\": 1}'))) f", ["a"]),
 ]
 
 AGG_CASES = [

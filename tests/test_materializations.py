@@ -2380,6 +2380,18 @@ class TestStatementSurface:
         with _pytest.raises(ValueError, match="unknown query id"):
             engine.execute("SELECT * FROM TABLE(RESULT_SCAN('nope'))")
 
+    def test_execute_immediate_bind_not_matched_in_literal(self, spark, engine):
+        # a '?' inside a string literal is not a placeholder, and a '?'
+        # inside a substituted bind value must not consume later binds
+        r = engine.execute(
+            "EXECUTE IMMEDIATE 'SELECT ''who?'' AS a, ? AS b' USING (5)"
+        ).collect()[0]
+        assert (r.a, r.b) == ("who?", 5)
+        r2 = engine.execute(
+            "EXECUTE IMMEDIATE 'SELECT ? AS a, ? AS b' USING ('a?', 'b')"
+        ).collect()[0]
+        assert (r2.a, r2.b) == ("a?", "b")
+
     def test_execute_immediate_forms(self, spark, engine):
         assert engine.execute(
             "EXECUTE IMMEDIATE 'SELECT 5 AS z'"

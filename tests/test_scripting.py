@@ -120,6 +120,28 @@ class TestBlocks:
         r = engine.execute("BEGIN LET x := 1; END").collect()[0]
         assert r.status == "completed"
 
+    def test_json_path_not_clobbered_by_bind(self, spark, engine):
+        # "payload":field and arr[0]:field are JSON paths, not binds
+        from dbt_icebreaker_spark.scripting import _Block
+        from dbt_icebreaker_spark.transpiler.tokenizer import tokenize
+
+        b = _Block(engine, "BEGIN END")
+        b.vars["lim"] = 2
+        assert ":lim" in b._sub_binds(
+            tokenize('SELECT "payload":lim FROM t'))
+        assert ":lim" in b._sub_binds(tokenize("SELECT arr[0]:lim FROM t"))
+
+    def test_control_probes_not_in_result_history(self, spark, engine):
+        # IF-condition/LET probes are interpreter internals — the
+        # RESULT_SCAN history must keep pointing at user statements
+        engine.execute("SELECT 123 AS probe_target")
+        engine.execute("BEGIN LET x := 1; IF (x > 0) THEN LET x := 2; "
+                       "END IF; END")
+        got = engine.execute(
+            "SELECT probe_target FROM TABLE(RESULT_SCAN(LAST_QUERY_ID(-2)))"
+        ).collect()
+        assert got[0][0] == 123
+
 
 class TestRefusals:
     def test_cursor_refused(self, spark, engine):
