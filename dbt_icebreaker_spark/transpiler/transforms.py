@@ -3178,6 +3178,93 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
 _QUALIFY_STOP = ("ORDER", "LIMIT", "WINDOW", "UNION", "EXCEPT", "INTERSECT", "MINUS")
 
 
+def rewrite_pivot_default(tokens: Tokens) -> Tokens:
+    """``PIVOT (aggs FOR c IN (…) DEFAULT ON NULL (expr))`` → wrap each
+    pivot aggregate in ``COALESCE(agg, (expr))`` and drop the clause
+    (Spark's PIVOT accepts expression-wrapped aggregates; empty cells
+    then yield the default exactly like Snowflake)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not (t.kind == WORD and t.upper == "PIVOT"
+                and _is_call(tokens, i, "PIVOT")):
+            out.append(t)
+            i += 1
+            continue
+        op_i = next_code(tokens, i + 1)
+        close = find_matching_paren(tokens, op_i)
+        body = tokens[op_i + 1:close]
+        # locate top-level FOR / IN (...) / DEFAULT ON NULL (expr)
+        depth = 0
+        for_i = None
+        dflt_i = None
+        for k, tk in enumerate(body):
+            if tk.is_op("("):
+                depth += 1
+            elif tk.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tk.kind == WORD:
+                if tk.upper == "FOR" and for_i is None:
+                    for_i = k
+                elif tk.upper == "DEFAULT" and for_i is not None:
+                    j = next_code(body, k + 1)
+                    j2 = next_code(body, j + 1) if j < len(body) else len(body)
+                    if (j < len(body) and body[j].is_word("ON")
+                            and j2 < len(body) and body[j2].is_word("NULL")):
+                        dflt_i = k
+                        break
+        if for_i is None or dflt_i is None:
+            out.append(t)
+            i += 1
+            continue
+        p = next_code(body, dflt_i + 1)       # ON
+        p = next_code(body, p + 1)            # NULL
+        p = next_code(body, p + 1)            # (
+        if p >= len(body) or not body[p].is_op("("):
+            out.append(t)
+            i += 1
+            continue
+        d_close = find_matching_paren(body, p)
+        default_sql = render(body[p + 1:d_close]).strip()
+        # wrap each top-level comma-separated aggregate before FOR
+        aggs = []
+        depth = 0
+        lo = 0
+        for k in range(for_i):
+            tk = body[k]
+            if tk.is_op("("):
+                depth += 1
+            elif tk.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tk.is_op(","):
+                aggs.append(body[lo:k])
+                lo = k + 1
+        aggs.append(body[lo:for_i])
+        parts = []
+        for seg in aggs:
+            d2 = 0
+            as_i = None
+            for k, c in enumerate(seg):
+                if c.is_op("("):
+                    d2 += 1
+                elif c.is_op(")"):
+                    d2 -= 1
+                elif d2 == 0 and c.kind == WORD and c.upper == "AS":
+                    as_i = k
+            expr = render(seg[:as_i] if as_i is not None else seg).strip()
+            alias = (" " + render(seg[as_i:]).strip()
+                     if as_i is not None else "")
+            parts.append(f"COALESCE({expr}, ({default_sql})){alias}")
+        mid = render(body[for_i:dflt_i]).strip()
+        tail = render(body[d_close + 1:]).strip()
+        new_body = ", ".join(parts) + " " + mid + (" " + tail if tail else "")
+        out += [_word("PIVOT"), _sp(), _op("(")] + tokenize(new_body) + [_op(")")]
+        i = close + 1
+    return out
+
+
 def rewrite_nth_value_from(tokens: Tokens) -> Tokens:
     """``NTH_VALUE(e, n) FROM FIRST`` → drop the modifier (Spark's
     default); ``FROM LAST`` refuses actionably (Spark has no from-last
@@ -6238,6 +6325,7 @@ PIPELINE = (
     rewrite_collate,           # quoted specs → Spark collation names
     rewrite_select_modifiers,  # * EXCLUDE/RENAME, SELECT TOP n
     rewrite_nth_value_from,    # NTH_VALUE … FROM FIRST modifier
+    rewrite_pivot_default,     # PIVOT … DEFAULT ON NULL (expr)
     rewrite_fetch_first,       # ANSI FETCH FIRST/OFFSET ROWS → LIMIT
     rewrite_positional_cols,   # $1/$2 → col1/col2 (VALUES idiom)
     rewrite_type_aliases,      # ::NUMBER/TEXT/FLOAT8 → Spark spellings

@@ -213,6 +213,18 @@ NULL_ORDER_CASES = [
      "FROM bt", ("1,2,3,4",)),                              # within group
 ]
 
+# PIVOT DEFAULT ON NULL: empty cells get the default (bt_wide has a
+# NULL feb for id=2 → pivoting v by k over bt yields no 'a' cell for
+# some ids); uses bt (k,g,v)
+PIVOT_DEFAULT_CASES = [
+    ("SELECT g, COALESCE(\"1\", -1) AS c1 FROM "
+     "(SELECT g, k, v FROM bt) PIVOT (SUM(v) FOR k IN (1, 4)) "
+     "ORDER BY g LIMIT 1", None),  # plain pivot still parses
+    ("SELECT \"4\" FROM (SELECT g, k, v FROM bt) "
+     "PIVOT (SUM(v) FOR k IN (1, 4) DEFAULT ON NULL (-1.0)) "
+     "ORDER BY g DESC LIMIT 1", -1.0),  # k=4 has NULL v → default
+]
+
 # window seams over wv(k, g, v) with NULL v at k=2 ('a') and k=5 ('b');
 # expected = first-column values ordered by k
 WINDOW_CASES = [
@@ -346,6 +358,13 @@ def test_scalar_surface(spark, sql, expect):
 
 @pytest.mark.parametrize("sql,expect", AGG_CASES, ids=lambda c: str(c)[:48])
 def test_aggregate_surface(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+@pytest.mark.parametrize(
+    "sql,expect", PIVOT_DEFAULT_CASES, ids=lambda c: str(c)[:48]
+)
+def test_pivot_default_on_null(spark, sql, expect):
     _check(spark, sql, expect)
 
 
