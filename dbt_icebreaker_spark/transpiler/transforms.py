@@ -253,6 +253,8 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TRY_BASE64_DECODE_BINARY": "TRYB64DECB_X",
         "TRY_HEX_DECODE_BINARY": "TRYHEXDECB_X",
         "MAP_KEYS": "JSON_OBJECT_KEYS",  # objects are JSON text here
+        "ARRAYS_TO_OBJECT": "ARRTOOBJ_X",  # → to_json(map_from_arrays)
+        "INITCAP": "INITCAP_X",  # 2-arg delimiter-set form
         "DATE_TRUNC": "DATETRUNC_X",  # bare/alias units → Spark spellings
         "PARSE_IP": "PARSEIP_X",      # IPv4 INET object (JSON-text model)
         "TRY_PARSE_IP": "TRYPARSEIP_X",
@@ -454,6 +456,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "ARRSORT_X", "ROUND_X", "RANDSTR_X",
     "B64DECB_X", "HEXDECB_X", "TRYB64DECB_X", "TRYHEXDECB_X",
     "DATETRUNC_X", "PARSEIP_X", "TRYPARSEIP_X", "CURCLIENT_X", "CURTXN_X",
+    "ARRTOOBJ_X", "INITCAP_X",
 ))
 
 # time-of-day "now" on the epoch-day TIME model (current_timestamp is
@@ -1135,6 +1138,28 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 else:
                     out += tokenize(
                         f"(CASE WHEN {valid} THEN {obj} END)")
+            elif t.text == "ARRTOOBJ_X" and len(args) == 2:
+                # ARRAYS_TO_OBJECT(keys, values) → JSON-text object
+                ks = render(tokens[args[0][0]:args[0][1]]).strip()
+                vs = render(tokens[args[1][0]:args[1][1]]).strip()
+                out += tokenize(
+                    f"to_json(map_from_arrays(({ks}), ({vs})))")
+            elif t.text == "INITCAP_X" and len(args) in (1, 2):
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                if len(args) == 1:
+                    out += tokenize(f"initcap(({x_s}))")
+                else:
+                    # 2-arg form: chars in the delimiter SET start new
+                    # words — per-char fold, pure JVM lambda (Spark's
+                    # initcap is space-only)
+                    d_s = render(tokens[args[1][0]:args[1][1]]).strip()
+                    arr = f"split(lower(({x_s})), '')"
+                    out += tokenize(
+                        f"concat_ws('', transform({arr}, (c, i) -> "
+                        f"CASE WHEN i = 0 OR instr(({d_s}), "
+                        f"element_at({arr}, i)) > 0 "
+                        f"THEN upper(c) ELSE c END))"
+                    )
             elif t.text == "CURCLIENT_X" and not args:
                 out.append(Token(STRING, "'dbt-icebreaker-spark'"))
             elif t.text == "CURTXN_X" and not args:
@@ -2099,6 +2124,8 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "TRYPARSEIP_X": "TRY_PARSE_IP",
                     "CURCLIENT_X": "CURRENT_CLIENT",
                     "CURTXN_X": "CURRENT_TRANSACTION",
+                    "ARRTOOBJ_X": "ARRAYS_TO_OBJECT",
+                    "INITCAP_X": "initcap",
                     "TYPEOF_X": "typeof", "ISTYPE_OBJECT": "isnotnull",
                     "ISTYPE_ARRAY": "isnotnull", "ISTYPE_BOOLEAN": "isnotnull",
                     "ISTYPE_INTEGER": "isnotnull", "ISTYPE_NUMBER": "isnotnull",

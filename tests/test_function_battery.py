@@ -187,6 +187,13 @@ SCALAR_CASES = [
     ("SELECT CURRENT_TRANSACTION()", ("__NULL__",)),
     ("SELECT CURRENT_CLIENT()", "dbt-icebreaker-spark"),
     ("SELECT CONTAINS(CURRENT_STATEMENT(), 'CURRENT_STATEMENT')", True),
+    # ARRAYS_TO_OBJECT + delimiter-set INITCAP
+    ("SELECT ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('x','y'), "
+     "ARRAY_CONSTRUCT(1,2))", '{"x":1,"y":2}'),
+    ("SELECT ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('x','y'), "
+     "ARRAY_CONSTRUCT(1,2)):x::INT", 1),
+    ("SELECT INITCAP('hello-world grand', '-')", "Hello-World grand"),
+    ("SELECT INITCAP('a.b.c', '.')", "A.B.C"),
     # format models: day-of-year DDD, hex X/x
     ("SELECT TO_DATE('2024-068', 'YYYY-DDD')", "2024-03-08"),
     ("SELECT TO_CHAR('2024-03-08'::DATE, 'YYYY-DDD')", "2024-068"),
