@@ -659,9 +659,16 @@ class IcebreakerEngine:
             # Spark PIVOT needs explicit literals (Snowflake's compiler
             # runs the same enumeration)
             if "PIVOT" in raw.upper():
-                from .transpiler.pivot_dynamic import resolve_dynamic_pivot
+                from .transpiler.pivot_dynamic import (
+                    resolve_dynamic_pivot,
+                    resolve_pivot_default,
+                )
 
                 raw = resolve_dynamic_pivot(self.spark, raw, self.transpiler)
+                # DEFAULT ON NULL → conditional aggregation (needs the
+                # source schema, so it also lives here; after dynamic
+                # resolution so IN lists are literal)
+                raw = resolve_pivot_default(self.spark, raw, self.transpiler)
             # time travel AT/BEFORE(TIMESTAMP => x): snapshot (SCD2)
             # tables rewrite onto their validity-interval predicate —
             # needs the live catalog, so it resolves here, not in the

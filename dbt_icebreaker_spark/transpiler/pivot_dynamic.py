@@ -252,3 +252,193 @@ def resolve_dynamic_pivot(spark, sql: str, transpiler) -> str:
             + tokenize(", ".join(lits))
             + toks[in_close:]
         )
+
+# ---------------------------------------------------------------------
+# PIVOT … DEFAULT ON NULL (expr): Spark's PIVOT fills ABSENT
+# (group, value) combos with NULL after the aggregation, so no
+# expression inside the pivot can supply the default. The faithful
+# rendering is conditional aggregation — one `agg FILTER (WHERE col =
+# value)` per pivot value wrapped in COALESCE — which needs the
+# source's column list (the implicit group-by), so it lives at the
+# engine layer like the dynamic-IN resolver above. Runs AFTER
+# resolve_dynamic_pivot, so IN lists are literal by now.
+
+
+def _find_pivot_default(toks):
+    """Locate `src PIVOT ( aggs FOR col IN ( literals ) DEFAULT ON
+    NULL ( expr ) )`; returns (src_lo, pivot_i, pivot_close, for_i,
+    in_open, in_close, dflt_lo, d_open, d_close, col_text) or None."""
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if not (t.kind == WORD and t.upper == "PIVOT"):
+            continue
+        j = next_code(toks, i + 1)
+        if j >= n or not toks[j].is_op("("):
+            continue
+        close = find_matching_paren(toks, j)
+        depth = 0
+        k = j + 1
+        for_i = in_i = dflt_i = -1
+        while k < close:
+            tk = toks[k]
+            if tk.is_op("("):
+                depth += 1
+            elif tk.is_op(")"):
+                depth -= 1
+            elif depth == 0 and tk.kind == WORD:
+                if tk.upper == "FOR" and for_i < 0:
+                    for_i = k
+                elif tk.upper == "IN" and for_i >= 0 and in_i < 0:
+                    in_i = k
+                elif tk.upper == "DEFAULT" and in_i >= 0 and dflt_i < 0:
+                    p1 = next_code(toks, k + 1)
+                    p2 = next_code(toks, p1 + 1) if p1 < close else close
+                    if (p1 < close and toks[p1].is_word("ON")
+                            and p2 < close and toks[p2].is_word("NULL")):
+                        dflt_i = k
+            k += 1
+        if for_i < 0 or in_i < 0 or dflt_i < 0:
+            continue
+        in_open = next_code(toks, in_i + 1)
+        if in_open >= n or not toks[in_open].is_op("("):
+            continue
+        in_close = find_matching_paren(toks, in_open)
+        p = next_code(toks, dflt_i + 1)   # ON
+        p = next_code(toks, p + 1)        # NULL
+        d_open = next_code(toks, p + 1)
+        if d_open >= n or not toks[d_open].is_op("("):
+            continue
+        d_close = find_matching_paren(toks, d_open)
+        col_text = render(toks[next_code(toks, for_i + 1):in_i]).strip()
+        src_lo = _source_start(toks, i)
+        return (src_lo, i, close, j, for_i, in_open, in_close,
+                d_open, d_close, col_text)
+    return None
+
+
+def _split_commas(toks, lo, hi):
+    depth = 0
+    out = []
+    start = lo
+    for k in range(lo, hi):
+        t = toks[k]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.is_op(","):
+            out.append((start, k))
+            start = k + 1
+    out.append((start, hi))
+    return out
+
+
+def _strip_alias(toks, lo, hi):
+    """(expr_hi, alias_text|None) — trailing top-level [AS] alias."""
+    depth = 0
+    as_i = None
+    last_word = None
+    for k in range(lo, hi):
+        t = toks[k]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD and t.upper == "AS":
+            as_i = k
+    if as_i is not None:
+        j = next_code(toks, as_i + 1)
+        if j < hi and toks[j].kind in (WORD, QIDENT):
+            return as_i, toks[j].text.strip('"')
+    return hi, None
+
+
+def resolve_pivot_default(spark, sql: str, transpiler) -> str:
+    """Rewrite every `PIVOT … DEFAULT ON NULL (d)` into conditional
+    aggregation with COALESCE — the only form whose ABSENT cells get
+    the default. One schema probe (WHERE 1=0) per pivot discovers the
+    implicit group-by columns, exactly like Snowflake's compiler."""
+    up = sql.upper()
+    if "PIVOT" not in up or "DEFAULT" not in up:
+        return sql
+    toks = tokenize(sql)
+    while True:
+        hit = _find_pivot_default(toks)
+        if hit is None:
+            return render(toks)
+        (src_lo, pivot_i, pivot_close, body_open, for_i,
+         in_open, in_close, d_open, d_close, col_text) = hit
+        default_sql = render(toks[d_open + 1:d_close]).strip()
+        src = render(toks[src_lo:pivot_i]).strip()
+        prefix = _with_prefix(toks)
+        # aggregates: each must be ONE aggregate call (Snowflake's own
+        # constraint), optionally aliased
+        aggs = []
+        for lo, hi in _split_commas(toks, body_open + 1, for_i):
+            e_hi, alias = _strip_alias(toks, lo, hi)
+            e_lo = next_code(toks, lo)
+            fn_i = e_lo
+            if (fn_i >= e_hi or toks[fn_i].kind != WORD):
+                raise ValueError(
+                    "PIVOT DEFAULT ON NULL: each pivot aggregate must "
+                    "be a single aggregate-function call"
+                )
+            op_i2 = next_code(toks, fn_i + 1)
+            if (op_i2 >= e_hi or not toks[op_i2].is_op("(")
+                    or next_code(toks, find_matching_paren(toks, op_i2) + 1)
+                    < e_hi):
+                raise ValueError(
+                    "PIVOT DEFAULT ON NULL: each pivot aggregate must "
+                    "be a single aggregate-function call"
+                )
+            aggs.append((render(toks[e_lo:e_hi]).strip(), alias))
+        if len(aggs) > 1 and any(a is None for _, a in aggs):
+            raise ValueError(
+                "PIVOT DEFAULT ON NULL with multiple aggregates: alias "
+                "every aggregate (agg AS name) so output columns are "
+                "nameable"
+            )
+        # IN values: literal [AS alias]
+        vals = []
+        for lo, hi in _split_commas(toks, in_open + 1, in_close):
+            e_hi, alias = _strip_alias(toks, lo, hi)
+            lit = render(toks[next_code(toks, lo):e_hi]).strip()
+            if not lit or lit.upper() == "ANY" or lit.upper().startswith(
+                "SELECT"
+            ):
+                raise ValueError(
+                    "PIVOT DEFAULT ON NULL: dynamic IN lists must "
+                    "resolve before the default rewrite (engine order "
+                    "bug)" if lit else "PIVOT: empty IN entry"
+                )
+            name = alias if alias is not None else lit.strip("'")
+            vals.append((lit, name))
+        # implicit group-by = source columns minus pivot col minus
+        # columns referenced by the aggregates (Spark/Snowflake rule)
+        probe = f"{prefix}SELECT * FROM {src} WHERE 1 = 0"
+        schema_cols = spark.sql(transpiler.to_spark(probe)).columns
+        col_lower = col_text.split(".")[-1].strip('"').lower()
+        agg_refs = set()
+        for expr, _ in aggs:
+            for tk in tokenize(expr):
+                if tk.kind in (WORD, QIDENT):
+                    agg_refs.add(tk.text.strip('"').lower())
+        group_cols = [
+            c for c in schema_cols
+            if c.lower() != col_lower and c.lower() not in agg_refs
+        ]
+        parts = [f'"{c}"' for c in group_cols]
+        single = len(aggs) == 1
+        for lit, vname in vals:
+            for expr, alias in aggs:
+                out_name = vname if single else f"{vname}_{alias}"
+                parts.append(
+                    f'COALESCE({expr} FILTER (WHERE ({col_text}) = '
+                    f'({lit})), ({default_sql})) AS "{out_name}"'
+                )
+        gb = (
+            " GROUP BY " + ", ".join(f'"{c}"' for c in group_cols)
+            if group_cols else ""
+        )
+        repl = f"(SELECT {', '.join(parts)} FROM {src}{gb})"
+        toks = toks[:src_lo] + tokenize(repl) + toks[pivot_close + 1:]

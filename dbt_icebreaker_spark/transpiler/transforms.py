@@ -428,6 +428,12 @@ def _epoch_literal(arg: Tokens) -> str | None:
     return f"timestamp_micros({n} div 1000)"
 
 
+# Snowflake INITCAP default delimiter set (docs: whitespace plus these
+# punctuation characters); rendered as an escaped Spark string literal
+_INITCAP_DEFAULT_DELIMS = (
+    r"""' \t\n!?@"^#$&~_,.:;+-*%/|\\[](){}<>'"""
+)
+
 _PLACEHOLDER_NAMES = frozenset((
     "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
     "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
@@ -1139,27 +1145,62 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     out += tokenize(
                         f"(CASE WHEN {valid} THEN {obj} END)")
             elif t.text == "ARRTOOBJ_X" and len(args) == 2:
-                # ARRAYS_TO_OBJECT(keys, values) → JSON-text object
+                # ARRAYS_TO_OBJECT(keys, values) → JSON-text object.
+                # Snowflake semantics map_from_arrays can't give: a
+                # NULL key drops its pair, duplicate keys keep the
+                # LAST, values that are variant JSON text (object/
+                # array-leading) embed raw instead of re-quoting.
                 ks = render(tokens[args[0][0]:args[0][1]]).strip()
                 vs = render(tokens[args[1][0]:args[1][1]]).strip()
+                zz = (f"zip_with(({ks}), ({vs}), "
+                      "(kk, vv) -> struct(kk AS k, vv AS v))")
+                scalar_json = ("substr(to_json(array(e.v)), 2, "
+                               "length(to_json(array(e.v))) - 2)")
+                key_json = (
+                    "substr(to_json(array(CAST(e.k AS STRING))), 2, "
+                    "length(to_json(array(CAST(e.k AS STRING)))) - 2)"
+                )
+                entry = (
+                    f"concat({key_json}, ':', "
+                    "CASE WHEN e.v IS NULL THEN 'null' "
+                    "WHEN CAST(e.v AS STRING) RLIKE '^\\\\s*[\\\\[{{]' "
+                    "THEN CAST(e.v AS STRING) "
+                    f"ELSE {scalar_json} END)"
+                )
                 out += tokenize(
-                    f"to_json(map_from_arrays(({ks}), ({vs})))")
+                    f"(CASE WHEN ({ks}) IS NULL OR ({vs}) IS NULL "
+                    "THEN CAST(NULL AS STRING) ELSE "
+                    "concat('{{', concat_ws(',', transform(filter("
+                    f"{zz}, (e, i) -> e.k IS NOT NULL AND NOT exists("
+                    f"slice({zz}, i + 2, "
+                    f"greatest(size({zz}) - i - 1, 0)), "
+                    "x -> x.k <=> e.k)), "
+                    f"e -> {entry})), '}}') END)"
+                    .replace("{{", "{").replace("}}", "}")
+                )
             elif t.text == "INITCAP_X" and len(args) in (1, 2):
+                # chars in the delimiter SET start new words — a
+                # zip-of-shifted-chars fold (arrays evaluated once per
+                # row; Spark's initcap is whitespace-only). The 1-arg
+                # form uses Snowflake's default delimiter set, which is
+                # far wider than whitespace.
                 x_s = render(tokens[args[0][0]:args[0][1]]).strip()
-                if len(args) == 1:
-                    out += tokenize(f"initcap(({x_s}))")
+                if len(args) == 2:
+                    d_s = "(" + render(
+                        tokens[args[1][0]:args[1][1]]).strip() + ")"
                 else:
-                    # 2-arg form: chars in the delimiter SET start new
-                    # words — per-char fold, pure JVM lambda (Spark's
-                    # initcap is space-only)
-                    d_s = render(tokens[args[1][0]:args[1][1]]).strip()
-                    arr = f"split(lower(({x_s})), '')"
-                    out += tokenize(
-                        f"concat_ws('', transform({arr}, (c, i) -> "
-                        f"CASE WHEN i = 0 OR instr(({d_s}), "
-                        f"element_at({arr}, i)) > 0 "
-                        f"THEN upper(c) ELSE c END))"
-                    )
+                    d_s = _INITCAP_DEFAULT_DELIMS
+                orig = f"split(({x_s}), '')"
+                low = f"split(lower(({x_s})), '')"
+                prevs = (f"concat(array(''), slice({orig}, 1, "
+                         f"greatest(size({orig}) - 1, 0)))")
+                out += tokenize(
+                    f"IF(({x_s}) IS NULL, CAST(NULL AS STRING), "
+                    f"concat_ws('', zip_with({low}, {prevs}, (c, p) -> "
+                    f"CASE WHEN p = '' THEN upper(c) "
+                    f"WHEN instr({d_s}, p) > 0 THEN upper(c) "
+                    f"ELSE c END)))"
+                )
             elif t.text == "CURCLIENT_X" and not args:
                 out.append(Token(STRING, "'dbt-icebreaker-spark'"))
             elif t.text == "CURTXN_X" and not args:
@@ -3206,90 +3247,44 @@ _QUALIFY_STOP = ("ORDER", "LIMIT", "WINDOW", "UNION", "EXCEPT", "INTERSECT", "MI
 
 
 def rewrite_pivot_default(tokens: Tokens) -> Tokens:
-    """``PIVOT (aggs FOR c IN (…) DEFAULT ON NULL (expr))`` → wrap each
-    pivot aggregate in ``COALESCE(agg, (expr))`` and drop the clause
-    (Spark's PIVOT accepts expression-wrapped aggregates; empty cells
-    then yield the default exactly like Snowflake)."""
-    out: Tokens = []
-    i = 0
-    n = len(tokens)
-    while i < n:
-        t = tokens[i]
-        if not (t.kind == WORD and t.upper == "PIVOT"
-                and _is_call(tokens, i, "PIVOT")):
-            out.append(t)
-            i += 1
-            continue
-        op_i = next_code(tokens, i + 1)
-        close = find_matching_paren(tokens, op_i)
-        body = tokens[op_i + 1:close]
-        # locate top-level FOR / IN (...) / DEFAULT ON NULL (expr)
-        depth = 0
-        for_i = None
-        dflt_i = None
-        for k, tk in enumerate(body):
-            if tk.is_op("("):
-                depth += 1
-            elif tk.is_op(")"):
-                depth -= 1
-            elif depth == 0 and tk.kind == WORD:
-                if tk.upper == "FOR" and for_i is None:
-                    for_i = k
-                elif tk.upper == "DEFAULT" and for_i is not None:
-                    j = next_code(body, k + 1)
-                    j2 = next_code(body, j + 1) if j < len(body) else len(body)
-                    if (j < len(body) and body[j].is_word("ON")
-                            and j2 < len(body) and body[j2].is_word("NULL")):
-                        dflt_i = k
-                        break
-        if for_i is None or dflt_i is None:
-            out.append(t)
-            i += 1
-            continue
-        p = next_code(body, dflt_i + 1)       # ON
-        p = next_code(body, p + 1)            # NULL
-        p = next_code(body, p + 1)            # (
-        if p >= len(body) or not body[p].is_op("("):
-            out.append(t)
-            i += 1
-            continue
-        d_close = find_matching_paren(body, p)
-        default_sql = render(body[p + 1:d_close]).strip()
-        # wrap each top-level comma-separated aggregate before FOR
-        aggs = []
-        depth = 0
-        lo = 0
-        for k in range(for_i):
-            tk = body[k]
-            if tk.is_op("("):
-                depth += 1
-            elif tk.is_op(")"):
-                depth -= 1
-            elif depth == 0 and tk.is_op(","):
-                aggs.append(body[lo:k])
-                lo = k + 1
-        aggs.append(body[lo:for_i])
-        parts = []
-        for seg in aggs:
-            d2 = 0
-            as_i = None
-            for k, c in enumerate(seg):
-                if c.is_op("("):
-                    d2 += 1
-                elif c.is_op(")"):
-                    d2 -= 1
-                elif d2 == 0 and c.kind == WORD and c.upper == "AS":
-                    as_i = k
-            expr = render(seg[:as_i] if as_i is not None else seg).strip()
-            alias = (" " + render(seg[as_i:]).strip()
-                     if as_i is not None else "")
-            parts.append(f"COALESCE({expr}, ({default_sql})){alias}")
-        mid = render(body[for_i:dflt_i]).strip()
-        tail = render(body[d_close + 1:]).strip()
-        new_body = ", ".join(parts) + " " + mid + (" " + tail if tail else "")
-        out += [_word("PIVOT"), _sp(), _op("(")] + tokenize(new_body) + [_op(")")]
-        i = close + 1
-    return out
+    """``PIVOT (… DEFAULT ON NULL (expr))`` needs the source schema to
+    rewrite correctly (Spark fills ABSENT pivot cells with NULL after
+    aggregation, so only a conditional-aggregation rewrite over the
+    implicit group-by columns matches Snowflake) — the engine layer
+    does that (`pivot_dynamic.resolve_pivot_default`); the pure string
+    transpiler refuses actionably rather than emit a half-right
+    COALESCE."""
+    depth = 0
+    seen_pivot_at: list[int] = []
+    for i, t in enumerate(tokens):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif t.kind == WORD and t.upper == "PIVOT" and _is_call(
+            tokens, i, "PIVOT"
+        ):
+            seen_pivot_at.append(i)
+        elif (
+            t.kind == WORD and t.upper == "DEFAULT" and seen_pivot_at
+        ):
+            j = next_code(tokens, i + 1)
+            j2 = next_code(tokens, j + 1) if j < len(tokens) else len(tokens)
+            if (
+                j < len(tokens) and tokens[j].is_word("ON")
+                and j2 < len(tokens) and tokens[j2].is_word("NULL")
+            ):
+                from .core import TranspileError
+
+                raise TranspileError(
+                    "PIVOT ... DEFAULT ON NULL needs the live source "
+                    "schema (absent pivot cells are NULL-filled after "
+                    "Spark's aggregation) — run it through "
+                    "IcebreakerEngine.execute (or the CLI `sql` "
+                    "command), which rewrites it to conditional "
+                    "aggregation"
+                )
+    return tokens
 
 
 def rewrite_nth_value_from(tokens: Tokens) -> Tokens:

@@ -187,6 +187,18 @@ SCALAR_CASES = [
     ("SELECT CURRENT_TRANSACTION()", ("__NULL__",)),
     ("SELECT CURRENT_CLIENT()", "dbt-icebreaker-spark"),
     ("SELECT CONTAINS(CURRENT_STATEMENT(), 'CURRENT_STATEMENT')", True),
+    # 1-arg INITCAP uses Snowflake's default delimiter set (wider than
+    # Spark's whitespace-only initcap)
+    ("SELECT INITCAP('foo-bar baz_q')", "Foo-Bar Baz_Q"),
+    ("SELECT INITCAP(CAST(NULL AS STRING), '-')", ("__NULL__",)),
+    ("SELECT INITCAP('aXb', 'X')", "AxB"),  # delimiter match is on the
+    ("SELECT INITCAP('aXb', 'x')", "Axb"),  # ORIGINAL char, case-exact
+    ("SELECT ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('x', NULL), "
+     "ARRAY_CONSTRUCT(1, 2))", '{"x":1}'),  # NULL key drops its pair
+    ("SELECT ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('x','x'), "
+     "ARRAY_CONSTRUCT(1,2))", '{"x":2}'),   # duplicate key: last wins
+    ("SELECT ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('a'), "
+     "ARRAY_CONSTRUCT(OBJECT_CONSTRUCT('b', 1))):a.b::INT", 1),
     # ARRAYS_TO_OBJECT + delimiter-set INITCAP
     ("SELECT ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('x','y'), "
      "ARRAY_CONSTRUCT(1,2))", '{"x":1,"y":2}'),
@@ -220,16 +232,22 @@ NULL_ORDER_CASES = [
      "FROM bt", ("1,2,3,4",)),                              # within group
 ]
 
-# PIVOT DEFAULT ON NULL: empty cells get the default (bt_wide has a
-# NULL feb for id=2 → pivoting v by k over bt yields no 'a' cell for
-# some ids); uses bt (k,g,v)
+# PIVOT DEFAULT ON NULL: needs the live schema (engine-layer
+# conditional-aggregation rewrite) — both the NULL-measure cell AND
+# the truly-ABSENT (group, value) combo must yield the default
 PIVOT_DEFAULT_CASES = [
-    ("SELECT g, COALESCE(\"1\", -1) AS c1 FROM "
-     "(SELECT g, k, v FROM bt) PIVOT (SUM(v) FOR k IN (1, 4)) "
-     "ORDER BY g LIMIT 1", None),  # plain pivot still parses
+    # bt has k=1..4: group g='a' covers k=1,2; g='b' covers k=3,4
+    # (k=4's v is NULL) — so IN (1, 4) gives g='a' an ABSENT k=4 cell
+    # and g='b' an absent k=1 AND a NULL-measure k=4
     ("SELECT \"4\" FROM (SELECT g, k, v FROM bt) "
      "PIVOT (SUM(v) FOR k IN (1, 4) DEFAULT ON NULL (-1.0)) "
-     "ORDER BY g DESC LIMIT 1", -1.0),  # k=4 has NULL v → default
+     "ORDER BY g LIMIT 1", -1.0),   # g='a': ABSENT combo → default
+    ("SELECT \"4\" FROM (SELECT g, k, v FROM bt) "
+     "PIVOT (SUM(v) FOR k IN (1, 4) DEFAULT ON NULL (-1.0)) "
+     "ORDER BY g DESC LIMIT 1", -1.0),  # g='b': NULL measure → default
+    ("SELECT \"1\" FROM (SELECT g, k, v FROM bt) "
+     "PIVOT (SUM(v) FOR k IN (1, 4) DEFAULT ON NULL (-1.0)) "
+     "ORDER BY g LIMIT 1", 10.0),   # present cell untouched
 ]
 
 # window seams over wv(k, g, v) with NULL v at k=2 ('a') and k=5 ('b');
@@ -372,7 +390,23 @@ def test_aggregate_surface(spark, sql, expect):
     "sql,expect", PIVOT_DEFAULT_CASES, ids=lambda c: str(c)[:48]
 )
 def test_pivot_default_on_null(spark, sql, expect):
-    _check(spark, sql, expect)
+    from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+    eng = IcebreakerEngine(spark, schema="battery_pivd")
+    v = eng.execute(sql).collect()[0][0]
+    assert abs(float(v) - expect) < 1e-9, f"{sql}: got {v!r}"
+
+
+def test_pivot_default_transpiler_refuses():
+    # the pure string transpiler cannot see absent cells — actionable
+    # refusal pointing at the engine
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="DEFAULT ON NULL"):
+        t.to_spark(
+            "SELECT * FROM t PIVOT (SUM(v) FOR k IN ('a') "
+            "DEFAULT ON NULL (0))"
+        )
 
 
 @pytest.mark.parametrize(
