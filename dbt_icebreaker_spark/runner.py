@@ -97,6 +97,33 @@ def _wrap_string_explode(stmt: str, exc: Exception):
     return render(out)
 
 
+def _coerce_day_intervals(df: DataFrame | None) -> DataFrame | None:
+    """Snowflake has NO interval output type: ``date1 - date2`` returns
+    an integer day count, while Spark's date subtraction yields
+    INTERVAL DAY. Coerce every pure-DAY interval result column to
+    BIGINT days (DAY-TO-SECOND intervals — timestamp arithmetic — are
+    left alone, so explicitly computed intervals survive)."""
+    if df is None:
+        return None
+    from pyspark.sql.types import DayTimeIntervalType
+
+    targets = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, DayTimeIntervalType)
+        and f.dataType.startField == DayTimeIntervalType.DAY
+        and f.dataType.endField == DayTimeIntervalType.DAY
+    ]
+    if not targets:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(*(
+        F.col(f"`{c}`").cast("long").alias(c) if c in targets
+        else F.col(f"`{c}`")
+        for c in df.columns
+    ))
+
+
 @dataclass
 class RunResult:
     model: str
@@ -701,7 +728,7 @@ class IcebreakerEngine:
                         raise_classified(e, stmt)  # the ORIGINAL error
                     result = retried
                     continue
-        return result
+        return _coerce_day_intervals(result)
 
     def _maybe_sample(self, df: DataFrame, sql: str) -> DataFrame:
         # ref impl.py:403-415: wrap in LIMIT n unless SQL already limits

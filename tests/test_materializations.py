@@ -2412,6 +2412,22 @@ class TestStatementSurface:
         assert engine.execute("EXECUTE IMMEDIATE $q_ei").collect()[0].n == 9
         engine.execute("UNSET q_ei")
 
+    def test_date_subtraction_returns_day_count(self, spark, engine):
+        # Snowflake has no interval output type: DATE - DATE is an
+        # integer day count; the engine coerces pure-DAY interval
+        # result columns. Timestamp arithmetic keeps its interval.
+        r = engine.execute(
+            "SELECT '2024-01-10'::DATE - '2024-01-03'::DATE AS d"
+        ).collect()[0]
+        assert r.d == 7 and isinstance(r.d, int)
+        import datetime as _dt
+
+        r2 = engine.execute(
+            "SELECT '2024-01-10 01:00'::TIMESTAMP - "
+            "'2024-01-10 00:00'::TIMESTAMP AS i"
+        ).collect()[0]
+        assert isinstance(r2.i, _dt.timedelta)
+
     def test_session_variable_backslash_roundtrip(self, spark, engine):
         # a stored backslash must survive re-substitution — Spark's
         # escaped string literals would eat an un-doubled '\n'
