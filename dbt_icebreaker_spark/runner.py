@@ -105,23 +105,51 @@ def _coerce_day_intervals(df: DataFrame | None) -> DataFrame | None:
     left alone, so explicitly computed intervals survive)."""
     if df is None:
         return None
-    from pyspark.sql.types import DayTimeIntervalType
+    from pyspark.sql.types import (
+        ArrayType,
+        DayTimeIntervalType,
+        LongType,
+        MapType,
+        StructField,
+        StructType,
+    )
 
-    targets = [
-        f.name for f in df.schema.fields
-        if isinstance(f.dataType, DayTimeIntervalType)
-        and f.dataType.startField == DayTimeIntervalType.DAY
-        and f.dataType.endField == DayTimeIntervalType.DAY
-    ]
-    if not targets:
+    def mapped(dt):
+        if (
+            isinstance(dt, DayTimeIntervalType)
+            and dt.startField == DayTimeIntervalType.DAY
+            and dt.endField == DayTimeIntervalType.DAY
+        ):
+            return LongType()
+        if isinstance(dt, ArrayType):
+            return ArrayType(mapped(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                mapped(dt.keyType), mapped(dt.valueType),
+                dt.valueContainsNull,
+            )
+        if isinstance(dt, StructType):
+            return StructType([
+                StructField(f.name, mapped(f.dataType), f.nullable)
+                for f in dt.fields
+            ])
+        return dt
+
+    new_types = [mapped(f.dataType) for f in df.schema.fields]
+    if all(n is f.dataType or n == f.dataType
+           for n, f in zip(new_types, df.schema.fields)):
         return df
     from pyspark.sql import functions as F
 
-    return df.select(*(
-        F.col(f"`{c}`").cast("long").alias(c) if c in targets
-        else F.col(f"`{c}`")
-        for c in df.columns
+    # positional rebuild via unique temp names: duplicate column names
+    # (routine join output) and names containing backticks must survive
+    orig = df.columns
+    tmp = [f"__icebreaker_dd{i}" for i in range(len(orig))]
+    out = df.toDF(*tmp).select(*(
+        (F.col(t).cast(nt) if nt != f.dataType else F.col(t))
+        for t, nt, f in zip(tmp, new_types, df.schema.fields)
     ))
+    return out.toDF(*orig)
 
 
 @dataclass

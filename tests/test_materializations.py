@@ -2427,6 +2427,19 @@ class TestStatementSurface:
             "'2024-01-10 00:00'::TIMESTAMP AS i"
         ).collect()[0]
         assert isinstance(r2.i, _dt.timedelta)
+        # duplicate column names + backticky identifiers survive the
+        # rebuild (positional, not by-name); nesting coerces too
+        r3 = engine.execute(
+            "SELECT x.a AS n, y.a AS n, x.d - y.d AS gap FROM "
+            "(SELECT 1 AS a, '2024-01-10'::DATE AS d) x JOIN "
+            "(SELECT 1 AS a, '2024-01-03'::DATE AS d) y ON x.a = y.a"
+        ).collect()[0]
+        assert r3.gap == 7
+        r4 = engine.execute(
+            "SELECT ARRAY_CONSTRUCT("
+            "'2024-01-10'::DATE - '2024-01-03'::DATE) AS a"
+        ).collect()[0]
+        assert r4.a == [7]
 
     def test_session_variable_backslash_roundtrip(self, spark, engine):
         # a stored backslash must survive re-substitution — Spark's
