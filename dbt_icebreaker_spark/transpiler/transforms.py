@@ -1290,8 +1290,24 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         _op(","), _sp()] + tokens[args[1][0]:args[1][1]] + [_op(")")]
             elif t.text in ("TO_DATE_X", "TO_TS_X"):
                 fn = "to_date" if t.text == "TO_DATE_X" else "to_timestamp"
+
+                def _unq(x_toks):
+                    # variant (JSON-text) input: a JSON string carries
+                    # quotes — get_json_object(x, '$') unquotes the
+                    # top-level scalar like Snowflake's variant→date
+                    # coercion; COALESCE falls back to the raw value
+                    # for plain (non-JSON) strings, which the static
+                    # detector cannot tell apart post-lowering
+                    if _is_json_text_expr(x_toks):
+                        x_sql = render(x_toks).strip()
+                        return tokenize(
+                            f"COALESCE(get_json_object(({x_sql}), '$'), "
+                            f"({x_sql}))"
+                        )
+                    return x_toks
+
                 if len(args) == 2:
-                    x = tokens[args[0][0]:args[0][1]]
+                    x = _unq(tokens[args[0][0]:args[0][1]])
                     conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
                     out += [_word(fn), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
                 else:
@@ -1300,7 +1316,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     if epoch is not None:
                         out += tokenize(epoch)
                     else:
-                        out += [_word(fn), _op("(")] + x + [_op(")")]
+                        out += [_word(fn), _op("(")] + _unq(x) + [_op(")")]
             elif t.text in ("DAYNAME_X", "MONTHNAME_X") and len(args) == 1:
                 # Snowflake DAYNAME/MONTHNAME return 3-letter English
                 # abbreviations ('Mon'/'Jan') — java.time EEE/MMM.
@@ -3597,14 +3613,20 @@ def _rewrite_one_qualify(tokens: Tokens) -> tuple[Tokens, bool]:
                     from_i = k
                     break
             if from_i is None:
-                # SELECT without FROM + QUALIFY — malformed; leave as-is
-                return tokens, False
-            new_inner = (
-                inner[:from_i]
-                + [_op(","), _sp(), _op("(")] + pred + [_op(")"), _sp(),
-                   _word("AS"), _sp(), _word("__qualify__"), _sp()]
-                + inner[from_i:]
-            )
+                # FROM-less SELECT + QUALIFY (legal Snowflake): the
+                # helper column appends at the end of the select list
+                new_inner = (
+                    inner
+                    + [_op(","), _sp(), _op("(")] + pred + [_op(")"),
+                       _sp(), _word("AS"), _sp(), _word("__qualify__")]
+                )
+            else:
+                new_inner = (
+                    inner[:from_i]
+                    + [_op(","), _sp(), _op("(")] + pred + [_op(")"), _sp(),
+                       _word("AS"), _sp(), _word("__qualify__"), _sp()]
+                    + inner[from_i:]
+                )
             replacement = (
                 [_word("SELECT"), _sp(), _op("*"), _sp(), _word("EXCEPT"),
                  _sp(), _op("("), _word("__qualify__"), _op(")"), _sp(),

@@ -206,6 +206,13 @@ SCALAR_CASES = [
      "ARRAY_CONSTRUCT(1,2)):x::INT", 1),
     ("SELECT INITCAP('hello-world grand', '-')", "Hello-World grand"),
     ("SELECT INITCAP('a.b.c', '.')", "A.B.C"),
+    # variant-string → date/timestamp coercion unquotes the JSON scalar
+    ("SELECT TO_DATE(PARSE_JSON('\"2024-01-02\"'))", "2024-01-02"),
+    ("SELECT TO_TIMESTAMP(PARSE_JSON('\"2024-01-02 03:04:05\"'))",
+     "2024-01-02 03:04:05"),
+    ("SELECT TO_DATE('2024-01-02')", "2024-01-02"),  # plain string intact
+    # FROM-less SELECT + QUALIFY is legal Snowflake
+    ("SELECT 'y' AS k QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1", "y"),
     # format models: day-of-year DDD, hex X/x
     ("SELECT TO_DATE('2024-068', 'YYYY-DDD')", "2024-03-08"),
     ("SELECT TO_CHAR('2024-03-08'::DATE, 'YYYY-DDD')", "2024-068"),
