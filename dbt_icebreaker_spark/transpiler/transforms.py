@@ -17,6 +17,7 @@ JSON **strings**; path access `col:a.b::t` becomes
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from .tokenizer import (
@@ -204,6 +205,14 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "HLL_ESTIMATE": "hll_sketch_estimate",
         "GREATEST_IGNORE_NULLS": "GREATEST",  # Spark greatest skips NULLs
         "LEAST_IGNORE_NULLS": "LEAST",
+        # Snowflake GREATEST/LEAST return NULL when ANY argument is
+        # NULL; Spark's skip NULLs (that's Snowflake's *_IGNORE_NULLS)
+        # — silent wrong answers without the CASE guard
+        "GREATEST": "GREATESTN_X",
+        "LEAST": "LEASTN_X",
+        # Snowflake array set-ops are MULTISET (duplicates removed /
+        # kept by count); Spark's array_except/array_intersect dedup
+        "ARRAY_EXCEPT": "ARREXC_X",
         "OBJECT_KEYS": "JSON_OBJECT_KEYS",
         "SQUARE": "SQUARE_X",       # placeholder → POWER(x, 2)
         "ARRAY_CONTAINS": "ARRCONT_SWAP",  # snowflake (val, arr) → spark (arr, val)
@@ -216,7 +225,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TO_TIMESTAMP_NTZ": "TO_TS_X",
         "TO_TIMESTAMP_LTZ": "TO_TS_X",
         "GET_PATH": "GETPATH_X",    # GET_PATH(j,'a.b[0]') → get_json_object
-        "ARRAY_INTERSECTION": "ARRAY_INTERSECT",
+        "ARRAY_INTERSECTION": "ARRINT_X",  # multiset (min-count) semantics
         "ARRAY_CAT": "CONCAT",
         "ARRAY_FLATTEN": "flatten",  # scalar flatten (LATERAL FLATTEN is T13)
         # Snowflake ARRAY_PREPEND(array, value) — array FIRST, same as
@@ -463,6 +472,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "B64DECB_X", "HEXDECB_X", "TRYB64DECB_X", "TRYHEXDECB_X",
     "DATETRUNC_X", "PARSEIP_X", "TRYPARSEIP_X", "CURCLIENT_X", "CURTXN_X",
     "ARRTOOBJ_X", "INITCAP_X",
+    "GREATESTN_X", "LEASTN_X", "ARREXC_X", "ARRINT_X",
 ))
 
 # time-of-day "now" on the epoch-day TIME model (current_timestamp is
@@ -783,6 +793,9 @@ def _unit_name(arg_tokens: Tokens) -> str:
     if code[0].kind == STRING:
         txt = txt[1:-1]
     return txt.strip().upper()
+
+
+_MULTISET_IDS = itertools.count()  # unique lambda-var suffix per fold
 
 
 def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
@@ -1498,6 +1511,59 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(_sorted_obj_json(
                     f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
+            elif t.text in ("GREATESTN_X", "LEASTN_X") and len(args) >= 1:
+                # Snowflake GREATEST/LEAST: NULL if ANY argument is
+                # NULL (Spark's skip NULLs). One CASE guard over the
+                # rendered args; single-arg form is the arg itself.
+                parts = ["(" + render(tokens[a:b2]).strip() + ")"
+                         for a, b2 in args]
+                if len(parts) == 1:
+                    out += tokenize(parts[0])
+                else:
+                    fn = "greatest" if t.text == "GREATESTN_X" else "least"
+                    null_any = " OR ".join(f"{p} IS NULL" for p in parts)
+                    out += tokenize(
+                        f"CASE WHEN {null_any} THEN NULL "
+                        f"ELSE {fn}({', '.join(parts)}) END")
+            elif t.text in ("ARREXC_X", "ARRINT_X") and len(args) == 2:
+                # Snowflake ARRAY_EXCEPT / ARRAY_INTERSECTION are
+                # MULTISET ops: each b-element cancels (EXCEPT) or
+                # claims (INTERSECTION) ONE matching a-element; Spark's
+                # array_except/array_intersect dedup. One JVM aggregate
+                # fold over a carrying (result, remaining-b); the
+                # null-safe find is array_position over a <=> b boolean
+                # projection, removal splices around the 1-based hit.
+                a_s = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                b_s = "(" + render(tokens[args[1][0]:args[1][1]]).strip() + ")"
+                # a literal NULL argument is VOID-typed and fails the
+                # lambda's analysis even though the outer CASE guard
+                # returns NULL at runtime — coalesce each side with an
+                # empty slice of the other purely for TYPING
+                a_t = f"coalesce({a_s}, slice(coalesce({b_s}, {a_s}), 1, 0))"
+                b_t = f"coalesce({b_s}, slice(coalesce({a_s}, {b_s}), 1, 0))"
+                u = f"m{next(_MULTISET_IDS)}"
+                # array_position returns 0 (not NULL) on no-hit
+                pos = (f"nullif(array_position(transform(a{u}.rem, "
+                       f"e{u} -> (e{u} <=> x{u})), true), 0)")
+                drop_hit = (
+                    f"concat(slice(a{u}.rem, 1, CAST({pos} AS INT) - 1), "
+                    f"slice(a{u}.rem, CAST({pos} AS INT) + 1, "
+                    f"size(a{u}.rem)))")
+                if t.text == "ARREXC_X":
+                    hit = f"named_struct('res', a{u}.res, 'rem', {drop_hit})"
+                    miss = (f"named_struct('res', concat(a{u}.res, "
+                            f"array(x{u})), 'rem', a{u}.rem)")
+                else:
+                    hit = (f"named_struct('res', concat(a{u}.res, "
+                           f"array(x{u})), 'rem', {drop_hit})")
+                    miss = f"a{u}"
+                out += tokenize(
+                    f"CASE WHEN {a_s} IS NULL OR {b_s} IS NULL THEN NULL "
+                    f"ELSE aggregate({a_t}, "
+                    f"named_struct('res', slice({a_t}, 1, 0), 'rem', {b_t}), "
+                    f"(a{u}, x{u}) -> CASE WHEN {pos} IS NULL THEN {miss} "
+                    f"ELSE {hit} END, "
+                    f"a{u} -> a{u}.res) END")
             elif t.text in ("ARRAPP_X", "ARRPREP_X", "ARRREM_X") and len(args) == 2:
                 # (array, element) with the element's ::VARIANT
                 # string-cast residue stripped — Spark arrays are typed

@@ -327,6 +327,71 @@ AGG_CASES = [
 ]
 
 
+# round-6a sweep lock: semantic traps where Spark's same-named builtin
+# silently differs from Snowflake (probe_sweep_r6a found the first 5)
+R6_CASES = [
+    # Snowflake GREATEST/LEAST propagate NULL; Spark's skip it
+    ("SELECT GREATEST(1, 5, NULL)", ("__NULL__",)),
+    ("SELECT LEAST(1, 5, NULL)", ("__NULL__",)),
+    ("SELECT GREATEST(1, 5, 3)", 5),
+    ("SELECT LEAST('b', 'a', 'c')", "a"),
+    ("SELECT GREATEST_IGNORE_NULLS(1, 5, NULL)", 5),
+    ("SELECT LEAST_IGNORE_NULLS(4, NULL, 2)", 2),
+    ("SELECT GREATEST(k)", None),  # 1-arg form
+    # multiset array set-ops (Snowflake cancels per-count; Spark dedups)
+    ("SELECT ARRAY_EXCEPT([1,1,2,3], [1])", [1, 2, 3]),
+    ("SELECT ARRAY_EXCEPT([1,1,2], [1,1])", [2]),
+    ("SELECT ARRAY_EXCEPT([1,2], NULL)", ("__NULL__",)),
+    ("SELECT ARRAY_EXCEPT(['a', NULL, 'a'], ['a', NULL])", ["a"]),
+    ("SELECT ARRAY_INTERSECTION([1,1,2], [1,1,3])", [1, 1]),
+    ("SELECT ARRAY_INTERSECTION([1,2], [2,3])", [2]),
+    ("SELECT ARRAY_INTERSECTION([1,2], NULL)", ("__NULL__",)),
+    # DECODE — NULL matches NULL (Oracle semantics, both engines)
+    ("SELECT DECODE(NULL, 1, 'a', NULL, 'n', 'z')", "n"),
+    ("SELECT DECODE(2, 1, 'a', 2, 'b', 'z')", "b"),
+    ("SELECT DECODE(9, 1, 'a', 2, 'b')", ("__NULL__",)),
+    # higher-order lambdas pass through
+    ("SELECT FILTER([1,2,3], a -> a > 1)", [2, 3]),
+    ("SELECT TRANSFORM([1,2,3], a -> a * 2)", [2, 4, 6]),
+    ("SELECT REDUCE([1,2,3], 0, (acc, a) -> acc + a)", 6),
+    # string predicate / LIKE quantifier surface
+    ("SELECT STARTSWITH('spark', 'sp')", True),
+    ("SELECT CONTAINS('sparkly', 'ark')", True),
+    ("SELECT 'spark' LIKE ANY ('sp%', 'x%')", True),
+    ("SELECT 'spark' LIKE ALL ('sp%', '%rk')", True),
+    ("SELECT 'SPARK' ILIKE ANY ('sp%', 'x%')", True),
+    # bitmap distinct-count family (Snowflake bucket layout)
+    ("SELECT BITMAP_BUCKET_NUMBER(32768)", 1),
+    ("SELECT BITMAP_BUCKET_NUMBER(32769)", 2),
+    ("SELECT BITMAP_BIT_POSITION(32768)", 32767),
+    ("SELECT BITMAP_COUNT(BITMAP_CONSTRUCT_AGG(BITMAP_BIT_POSITION(k))) "
+     "FROM bt", 4),
+    # binary conversion family
+    ("SELECT HEX_ENCODE(TO_BINARY('48ab'))", "48AB"),
+    ("SELECT HEX_ENCODE(TO_BINARY('SGk=', 'BASE64'))", "4869"),
+    ("SELECT HEX_ENCODE(TO_BINARY('Hi', 'UTF-8'))", "4869"),
+    ("SELECT TRY_TO_BINARY('zz')", ("__NULL__",)),
+    # timezone conversion (session pinned UTC)
+    ("SELECT CONVERT_TIMEZONE('UTC', 'America/Los_Angeles', "
+     "'2024-01-01 12:00:00'::TIMESTAMP_NTZ)", "2024-01-01 04:00:00"),
+    ("SELECT CONVERT_TIMEZONE('America/New_York', '2024-06-01 12:00:00')",
+     "2024-06-01 08:00:00"),
+    # misc numeric/date tail confirmed Spark-native-compatible
+    ("SELECT WIDTH_BUCKET(5.35, 0, 10, 5)", 3),
+    ("SELECT GETBIT(11, 1)", 1),
+    ("SELECT MONTHS_BETWEEN('2024-03-31'::DATE, '2024-02-29'::DATE)", 1.0),
+    ("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', 1, 'b', NULL)",
+     '{"a":1,"b":null}'),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R6_CASES, ids=lambda c: str(c)[:48])
+def test_r6_semantic_traps(spark, sql, expect):
+    if "FROM" not in sql:
+        sql = sql + " FROM bt LIMIT 1"
+    _check(spark, sql, expect)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _battery_fixture(spark):
     spark.sql(
