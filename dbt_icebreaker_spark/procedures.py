@@ -1,0 +1,468 @@
+"""Stored procedures (``CREATE PROCEDURE … LANGUAGE SQL``) + ``CALL``.
+
+Snowflake SQL-language procedures wrap a Snowflake Scripting body; the
+engine stores them in a session-scoped registry (Spark's catalog has no
+procedure object — same locality as temp views, which is also where the
+reference's dbt-session state lives: ref connections.py session model)
+and ``CALL`` seeds the body's scripting block with the evaluated,
+type-cast arguments. Overloads resolve by arity (Snowflake resolves by
+signature; arity is the deterministic subset expressible without a
+type-inference pass over call arguments). JAVASCRIPT / PYTHON / JAVA /
+SCALA bodies refuse actionably, same as CREATE FUNCTION.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .transpiler.tokenizer import (
+    COMMENT,
+    STRING,
+    WORD,
+    WS,
+    find_matching_paren,
+    next_code,
+    render,
+    split_args,
+    tokenize,
+)
+
+
+class ProcedureError(ValueError):
+    pass
+
+
+_CALL_DEPTH_CAP = 32
+
+
+@dataclass
+class ProcArg:
+    name: str
+    sf_type: str                      # Snowflake spelling (for messages)
+    spark_type: str                   # mapped cast target
+    default_sql: Optional[str] = None
+
+
+@dataclass
+class Procedure:
+    name: str                         # upper-cased
+    args: list[ProcArg] = field(default_factory=list)
+    returns_table: bool = False
+    returns_type: Optional[str] = None  # Spark type for scalar returns
+    body: str = ""
+
+    @property
+    def min_args(self) -> int:
+        return sum(1 for a in self.args if a.default_sql is None)
+
+
+def _unquote_body(tok) -> str:
+    txt = tok.text
+    if txt.startswith("$$"):
+        return txt[2:-2]
+    return txt[1:-1].replace("''", "'")
+
+
+def _is_create_procedure_head(code) -> int | None:
+    """Index (into the code-token list) of the PROCEDURE keyword when
+    the statement head is CREATE [OR REPLACE] PROCEDURE, else None."""
+    if not code or not code[0].is_word("CREATE"):
+        return None
+    k = 1
+    if k + 1 < len(code) and code[k].is_word("OR") and code[k + 1].is_word(
+        "REPLACE"
+    ):
+        k += 2
+    if k < len(code) and code[k].is_word("PROCEDURE"):
+        return k
+    return None
+
+
+def whole_input_is_unquoted_procedure(sql: str) -> bool:
+    """True when the input starts with CREATE [OR REPLACE] PROCEDURE
+    whose AS body is NOT a string/$$ literal — then the WHOLE input is
+    one statement (its body ';'s must not be split). Quoted / $$
+    bodies are single tokens and ride the normal per-statement path."""
+    toks = tokenize(sql)
+    code = [t for t in toks if t.kind not in (WS, COMMENT)]
+    if _is_create_procedure_head(code) is None:
+        return False
+    depth = 0
+    for k, t in enumerate(code):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.is_word("AS"):
+            j = k + 1
+            if j < len(code):
+                return code[j].kind != STRING
+    return False
+
+
+def parse_create_procedure(raw: str) -> Optional[Procedure]:
+    """Parse ``CREATE [OR REPLACE] PROCEDURE name(arg TYPE [DEFAULT e],
+    …) RETURNS <type>|TABLE(…) [LANGUAGE SQL] [properties…] AS <body>``.
+    Returns None when the statement is anything else."""
+    from .transpiler.transforms import _cf_map_type
+
+    toks = tokenize(raw)
+    code = []
+    code_idx = []  # code position → index into toks (for body slicing)
+    for ti, t in enumerate(toks):
+        if t.kind not in (WS, COMMENT):
+            code.append(t)
+            code_idx.append(ti)
+    k = _is_create_procedure_head(code)
+    if k is None:
+        return None
+    k += 1
+    if k >= len(code) or code[k].kind == STRING:
+        raise ProcedureError("CREATE PROCEDURE: expected a procedure name")
+    name = code[k].text.strip('"').upper()
+    k += 1
+    # dotted name: keep the last segment (session registry is flat)
+    while k + 1 < len(code) and code[k].is_op("."):
+        name = code[k + 1].text.strip('"').upper()
+        k += 2
+    if k >= len(code) or not code[k].is_op("("):
+        raise ProcedureError(
+            f"CREATE PROCEDURE {name}: expected an argument list (use "
+            "() for none)"
+        )
+    close = find_matching_paren(code, k)
+    args: list[ProcArg] = []
+    for lo, hi in split_args(code, k + 1, close):
+        seg = code[lo:hi]
+        if not seg:
+            continue
+        if seg[0].kind != WORD:
+            raise ProcedureError(
+                f"CREATE PROCEDURE {name}: expected an argument name, "
+                f"got {seg[0].text!r}"
+            )
+        a_name = seg[0].text.lower()
+        j = 1
+        if j >= len(seg):
+            raise ProcedureError(
+                f"CREATE PROCEDURE {name}: argument {a_name!r} needs a "
+                "type"
+            )
+        spark_type, after = _cf_map_type(seg, j)
+        sf_type = render(seg[j:after]).strip() if after <= len(seg) else ""
+        default_sql = None
+        if after < len(seg):
+            if seg[after].is_word("DEFAULT"):
+                default_sql = render(seg[after + 1:]).strip()
+            else:
+                raise ProcedureError(
+                    f"CREATE PROCEDURE {name}: unexpected "
+                    f"{render(seg[after:]).strip()!r} after argument "
+                    f"{a_name!r}"
+                )
+        args.append(ProcArg(a_name, sf_type, spark_type, default_sql))
+    k = close + 1
+    proc = Procedure(name=name, args=args)
+    # properties between the signature and AS
+    seen_returns = False
+    while k < len(code) and not code[k].is_word("AS"):
+        t = code[k]
+        if t.is_word("RETURNS"):
+            k += 1
+            # RETURNS NULL ON NULL INPUT is a null-handling property,
+            # not a second type clause
+            if (
+                seen_returns and k + 1 < len(code)
+                and code[k].is_word("NULL") and code[k + 1].is_word("ON")
+            ):
+                k += 4  # NULL ON NULL INPUT
+                continue
+            seen_returns = True
+            if k < len(code) and code[k].is_word("TABLE"):
+                proc.returns_table = True
+                k += 1
+                if k < len(code) and code[k].is_op("("):
+                    k = find_matching_paren(code, k) + 1
+            else:
+                spark_type, k = _cf_map_type(code, k)
+                proc.returns_type = spark_type
+            # NOT NULL suffix
+            if k + 1 < len(code) and code[k].is_word("NOT") \
+                    and code[k + 1].is_word("NULL"):
+                k += 2
+            continue
+        if t.is_word("LANGUAGE"):
+            k += 1
+            lang = code[k].upper if k < len(code) else ""
+            if lang != "SQL":
+                raise ProcedureError(
+                    f"CREATE PROCEDURE {name}: LANGUAGE {lang} is not "
+                    "supported — the engine interprets SQL (Snowflake "
+                    "Scripting) bodies; port handler code to a "
+                    "scripting block or a Spark-side pandas UDF "
+                    "(xops.llm shows the pattern for external calls)"
+                )
+            k += 1
+            continue
+        if t.is_word("COMMENT"):
+            k += 1
+            if k < len(code) and code[k].is_op("="):
+                k += 1
+            k += 1
+            continue
+        if t.is_word("EXECUTE"):  # EXECUTE AS CALLER|OWNER — no-op here
+            k += 3 if k + 2 < len(code) else len(code)
+            continue
+        if t.is_word("CALLED"):  # CALLED ON NULL INPUT
+            k += 1
+            continue
+        if t.is_word("ON", "NULL", "INPUT", "STRICT", "IMMUTABLE",
+                     "VOLATILE", "COPY", "GRANTS"):
+            k += 1
+            continue
+        raise ProcedureError(
+            f"CREATE PROCEDURE {name}: unsupported property "
+            f"{t.text!r} before AS"
+        )
+    if not seen_returns:
+        raise ProcedureError(
+            f"CREATE PROCEDURE {name}: a RETURNS clause is required "
+            "(Snowflake requires one; use RETURNS VARCHAR for a "
+            "status-string procedure)"
+        )
+    if k >= len(code):
+        raise ProcedureError(f"CREATE PROCEDURE {name}: missing AS <body>")
+    k += 1  # past AS
+    if k >= len(code):
+        raise ProcedureError(f"CREATE PROCEDURE {name}: empty body")
+    if code[k].kind == STRING:
+        proc.body = _unquote_body(code[k])
+    else:
+        # unquoted body: everything from this token to the end of the
+        # input (whole-input form — execute() routed us here)
+        body = render(toks[code_idx[k]:])
+        proc.body = body.strip().rstrip(";").strip()
+    return proc
+
+
+def parse_drop_procedure(raw: str):
+    """``DROP PROCEDURE [IF EXISTS] name[(types…)]`` →
+    (name, arity|None, if_exists), else None."""
+    toks = tokenize(raw)
+    code = [t for t in toks if t.kind not in (WS, COMMENT)]
+    if len(code) < 2 or not code[0].is_word("DROP") \
+            or not code[1].is_word("PROCEDURE"):
+        return None
+    k = 2
+    if_exists = False
+    if k + 1 < len(code) and code[k].is_word("IF") \
+            and code[k + 1].is_word("EXISTS"):
+        if_exists = True
+        k += 2
+    if k >= len(code):
+        raise ProcedureError("DROP PROCEDURE: expected a name")
+    name = code[k].text.strip('"').upper()
+    k += 1
+    while k + 1 < len(code) and code[k].is_op("."):
+        name = code[k + 1].text.strip('"').upper()
+        k += 2
+    arity = None
+    if k < len(code) and code[k].is_op("("):
+        close = find_matching_paren(code, k)
+        arity = len(split_args(code, k + 1, close))
+    return (name, arity, if_exists)
+
+
+def parse_call(raw: str):
+    """``CALL name(arg, …)`` with positional and/or ``name => expr``
+    named arguments → (name, [pos_sql], {name: sql}), else None."""
+    toks = tokenize(raw)
+    code = [t for t in toks if t.kind not in (WS, COMMENT)]
+    if not code or not code[0].is_word("CALL"):
+        return None
+    k = 1
+    if k >= len(code) or code[k].kind != WORD:
+        raise ProcedureError("CALL: expected a procedure name")
+    name = code[k].text.strip('"').upper()
+    k += 1
+    while k + 1 < len(code) and code[k].is_op("."):
+        name = code[k + 1].text.strip('"').upper()
+        k += 2
+    pos_args: list[str] = []
+    named: dict[str, str] = {}
+    if k < len(code) and code[k].is_op("("):
+        close = find_matching_paren(code, k)
+        for lo, hi in split_args(code, k + 1, close):
+            seg = code[lo:hi]
+            if not seg:
+                continue
+            if (
+                len(seg) >= 2 and seg[0].kind == WORD
+                and seg[1].is_op("=>")
+            ):
+                named[seg[0].text.lower()] = render(seg[2:]).strip()
+            else:
+                if named:
+                    raise ProcedureError(
+                        f"CALL {name}: positional argument after a "
+                        "named one"
+                    )
+                pos_args.append(render(seg).strip())
+    return (name, pos_args, named)
+
+
+# ------------------------------------------------------------- runtime
+def register_procedure(engine, proc: Procedure, replace: bool) -> None:
+    bucket = engine._procedures.setdefault(proc.name, [])
+    for i, existing in enumerate(bucket):
+        if len(existing.args) == len(proc.args):
+            if not replace:
+                raise ProcedureError(
+                    f"procedure {proc.name}({len(proc.args)} args) "
+                    "already exists — use CREATE OR REPLACE PROCEDURE"
+                )
+            bucket[i] = proc
+            return
+    bucket.append(proc)
+
+
+def drop_procedure(engine, name: str, arity, if_exists: bool) -> bool:
+    bucket = engine._procedures.get(name, [])
+    if arity is None:
+        if len(bucket) > 1:
+            raise ProcedureError(
+                f"DROP PROCEDURE {name}: multiple overloads exist — "
+                "name the signature, e.g. DROP PROCEDURE "
+                f"{name}(VARCHAR)"
+            )
+        if bucket:
+            del engine._procedures[name]
+            return True
+    else:
+        for i, p in enumerate(bucket):
+            if len(p.args) == arity:
+                del bucket[i]
+                if not bucket:
+                    del engine._procedures[name]
+                return True
+    if if_exists:
+        return False
+    raise ProcedureError(
+        f"DROP PROCEDURE: {name} is not a registered procedure in "
+        "this engine session"
+    )
+
+
+def _resolve_overload(engine, name: str, n_supplied: int,
+                      named: dict) -> Procedure:
+    bucket = engine._procedures.get(name)
+    if not bucket:
+        known = sorted(engine._procedures)
+        hint = f" (registered: {', '.join(known)})" if known else ""
+        raise ProcedureError(
+            f"CALL {name}: no such procedure in this engine session"
+            f"{hint} — CREATE PROCEDURE first (the registry is "
+            "session-scoped, like temp views)"
+        )
+    fits = [
+        p for p in bucket
+        if p.min_args <= n_supplied <= len(p.args)
+        and all(any(a.name == nm for a in p.args) for nm in named)
+    ]
+    if not fits:
+        sigs = ", ".join(f"{len(p.args)} args" for p in bucket)
+        raise ProcedureError(
+            f"CALL {name}: no overload takes {n_supplied} argument(s) "
+            f"(have: {sigs})"
+        )
+    if len(fits) > 1:
+        raise ProcedureError(
+            f"CALL {name}: ambiguous between {len(fits)} overloads for "
+            f"{n_supplied} argument(s) — drop one or call with the "
+            "exact arity"
+        )
+    return fits[0]
+
+
+def run_call(engine, name: str, pos_args: list[str],
+             named: dict[str, str]):
+    """Evaluate arguments, seed the body block's variables, run it,
+    and shape the result (scalar returns surface as one column named
+    after the procedure, Snowflake-style)."""
+    from .scripting import is_scripting_block, run_block
+
+    depth = getattr(engine, "_call_depth", 0)
+    if depth >= _CALL_DEPTH_CAP:
+        raise ProcedureError(
+            f"CALL {name}: procedure call depth exceeded "
+            f"{_CALL_DEPTH_CAP} — recursive procedures must bound "
+            "their recursion"
+        )
+    proc = _resolve_overload(engine, name, len(pos_args) + len(named),
+                             named)
+    # map supplied args onto the signature
+    supplied: dict[str, str] = {}
+    for i, sql in enumerate(pos_args):
+        supplied[proc.args[i].name] = sql
+    for nm, sql in named.items():
+        if nm in supplied:
+            raise ProcedureError(
+                f"CALL {name}: argument {nm!r} given positionally and "
+                "by name"
+            )
+        supplied[nm] = sql
+    init_vars = {}
+    prev = engine._record_suspended
+    engine._record_suspended = True
+    try:
+        for a in proc.args:
+            sql = supplied.get(a.name, a.default_sql)
+            if sql is None:
+                raise ProcedureError(
+                    f"CALL {name}: missing argument {a.name!r} "
+                    f"({a.sf_type})"
+                )
+            rows = engine.execute(
+                f"SELECT CAST(({sql}) AS {a.spark_type}) AS __v"
+            ).collect()
+            init_vars[a.name] = rows[0][0] if rows else None
+    finally:
+        engine._record_suspended = prev
+    body = proc.body
+    if not is_scripting_block(body):
+        body = f"BEGIN\n{body.strip()}\n;\nEND"
+    engine._call_depth = depth + 1
+    try:
+        df = run_block(engine, body, init_vars=init_vars)
+    finally:
+        engine._call_depth = depth
+    if proc.returns_table:
+        return df
+    cols = df.columns
+    if len(cols) == 1:
+        out = df.toDF(proc.name)
+    elif cols == ["statement", "value"] or cols == ["statement", "status"]:
+        # RETURN with no value / completed block
+        out = df.selectExpr(f"{cols[1]} AS {proc.name}")
+    else:
+        out = df
+    if proc.returns_type and len(out.columns) == 1:
+        out = out.selectExpr(
+            f"CAST({out.columns[0]} AS {proc.returns_type}) "
+            f"AS {proc.name}"
+        )
+    return out
+
+
+def show_procedures(engine):
+    rows = [
+        (p.name, len(p.args),
+         ", ".join(f"{a.name} {a.sf_type}" for a in p.args),
+         "TABLE" if p.returns_table else (p.returns_type or ""))
+        for bucket in engine._procedures.values() for p in bucket
+    ]
+    return engine.spark.createDataFrame(
+        rows,
+        "name string, arity int, arguments string, returns string",
+    )

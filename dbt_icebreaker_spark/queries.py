@@ -5292,6 +5292,57 @@ XOP_ORACLES["q82_scripting_block"] = """
 """
 
 
+def _q_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake CREATE PROCEDURE … LANGUAGE SQL + CALL
+    (procedures.py): a Snowflake Scripting body with a DEFAULT-valued
+    DECLARE, an IF over an argument, :bind substitution into the
+    RETURN TABLE query, and arity-resolved CALL with a positional +
+    named-argument mix. The oracle macro-expands the taken branch
+    (cut=150000 > 100000 → scale 2.0) — the engine result must equal
+    the expanded query exactly."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q83_{uuid.uuid4().hex[:8]}")
+    eng.execute(
+        """
+        CREATE OR REPLACE PROCEDURE q83_prio_report(
+            cut DOUBLE, lim NUMBER DEFAULT 10)
+        RETURNS TABLE(pri VARCHAR, n BIGINT, avg_price DOUBLE)
+        LANGUAGE SQL
+        AS
+        $$
+        DECLARE scale DOUBLE DEFAULT 1.0;
+        BEGIN
+          IF (cut > 100000) THEN
+            scale := 2.0;
+          END IF;
+          RETURN TABLE(
+            SELECT o_orderpriority AS pri, COUNT(*) AS n,
+                   CAST(ROUND(AVG(o_totalprice) * :scale, 2) AS DOUBLE)
+                     AS avg_price
+            FROM orders
+            WHERE o_totalprice > :cut AND o_orderkey <= :lim * 1000
+            GROUP BY o_orderpriority
+          );
+        END
+        $$
+        """
+    )
+    return eng.execute("CALL q83_prio_report(150000, lim => 10)")
+
+
+XOP_ORACLES["q83_stored_procedure"] = """
+    SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(o_totalprice) * 2.0, 2) AS DOUBLE) AS avg_price
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderkey <= 10000
+    GROUP BY o_orderpriority
+"""
+
+
 def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
     IcebreakerEngine.execute: the engine enumerates the pivot values
@@ -5499,6 +5550,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_insert_all": _q_insert_all,
     "q81_result_scan": _q_result_scan,
     "q82_scripting_block": _q_scripting_block,
+    "q83_stored_procedure": _q_stored_procedure,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

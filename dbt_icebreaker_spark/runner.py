@@ -196,6 +196,10 @@ class IcebreakerEngine:
         self._result_history: list[tuple[str, DataFrame]] = []
         self._result_offset = 0
         self._result_cap = 200
+        # stored-procedure registry (procedures.py): name → overloads,
+        # session-scoped like temp views; _call_depth bounds recursion
+        self._procedures: dict[str, list] = {}
+        self._call_depth = 0
         # scripting control-flow probes (IF conditions, LET scalars)
         # suspend recording — they are interpreter internals, not user
         # statements
@@ -306,6 +310,18 @@ class IcebreakerEngine:
 
         if is_scripting_block(sql):
             result = run_block(self, sql)
+            self._record_result(result)
+            return result
+
+        # CREATE PROCEDURE with an UNQUOTED scripting body: the body's
+        # ';'s are its own statements — the whole input is one
+        # statement (quoted/$$ bodies are single tokens and split fine)
+        from .procedures import whole_input_is_unquoted_procedure
+
+        if whole_input_is_unquoted_procedure(sql):
+            result = self._execute_one(sql.strip())
+            if result is None:
+                raise ValueError("empty SQL")
             self._record_result(result)
             return result
 
@@ -536,6 +552,43 @@ class IcebreakerEngine:
             sv = self._maybe_set_session_var(raw)
             if sv is not None:
                 result = sv
+                continue
+            # stored procedures: CREATE/DROP/SHOW PROCEDURE + CALL
+            from .procedures import (
+                parse_call,
+                parse_create_procedure,
+                parse_drop_procedure,
+                drop_procedure,
+                register_procedure,
+                run_call,
+                show_procedures,
+            )
+
+            proc = parse_create_procedure(raw)
+            if proc is not None:
+                replace = raw.lstrip().upper().startswith("CREATE OR REPLACE")
+                register_procedure(self, proc, replace)
+                result = self.spark.createDataFrame(
+                    [(proc.name,
+                      f"Procedure {proc.name} successfully created.")],
+                    "name string, status string",
+                )
+                continue
+            dp = parse_drop_procedure(raw)
+            if dp is not None:
+                dropped = drop_procedure(self, *dp)
+                result = self.spark.createDataFrame(
+                    [(dp[0], "dropped" if dropped else "skipped (not found)")],
+                    "name string, status string",
+                )
+                continue
+            call = parse_call(raw)
+            if call is not None:
+                result = run_call(self, *call)
+                continue
+            hw0 = raw.split(None, 2)[:2]
+            if [w.upper().rstrip(";") for w in hw0] == ["SHOW", "PROCEDURES"]:
+                result = show_procedures(self)
                 continue
             # transaction statements: Spark has no multi-statement
             # transactions; dbt wraps runs in BEGIN/COMMIT, so accept

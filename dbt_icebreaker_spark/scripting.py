@@ -24,8 +24,11 @@ Variable references: control-flow expressions use bare names
 ``:name`` bind syntax — a bare column name that happens to match a
 variable is NOT substituted there, same as Snowflake.
 
+``CALL`` statements route to the engine's stored-procedure registry
+(procedures.py) like any other SQL statement.
+
 Refused actionably: CURSOR/RESULTSET declarations, EXCEPTION
-sections, nested BEGIN blocks, CALL.
+sections, nested BEGIN blocks.
 """
 
 from __future__ import annotations
@@ -92,10 +95,12 @@ class _Return(Exception):
 
 
 class _Block:
-    def __init__(self, engine, sql: str):
+    def __init__(self, engine, sql: str,
+                 init_vars: Optional[dict] = None):
         self.engine = engine
         self.toks = tokenize(sql)
-        self.vars: dict[str, Any] = {}
+        # pre-seeded variables (CALL procedure arguments)
+        self.vars: dict[str, Any] = dict(init_vars or {})
 
     # ------------------------------------------------------ utilities
     def _code(self, i: int) -> int:
@@ -390,11 +395,8 @@ class _Block:
                 "on the caller side (engine errors are already "
                 "classified and actionable)"
             )
-        if u == "CALL":
-            raise ScriptingError(
-                "CALL is not supported (no stored-procedure registry); "
-                "inline the procedure body as an anonymous block"
-            )
+        # CALL falls through to the plain-SQL arm below — the engine's
+        # statement dispatch owns the procedure registry
         if u == "NULL":
             return self._stmt_end(i) + 1
         # assignment without LET: name := expr
@@ -619,7 +621,8 @@ class _Block:
         raise _Return(self.engine.execute(f"SELECT ({expr}) AS value"))
 
 
-def run_block(engine, sql: str):
+def run_block(engine, sql: str, init_vars: Optional[dict] = None):
     """Interpret one anonymous block; returns the RETURN value as a
-    DataFrame (or a completed-status frame)."""
-    return _Block(engine, sql).run()
+    DataFrame (or a completed-status frame). ``init_vars`` pre-seeds
+    the variable scope (CALL procedure arguments)."""
+    return _Block(engine, sql, init_vars=init_vars).run()

@@ -150,9 +150,13 @@ class TestRefusals:
                 "DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END"
             )
 
-    def test_call_refused(self, spark, engine):
-        with pytest.raises(ScriptingError, match="CALL"):
-            engine.execute("BEGIN CALL p(); END")
+    def test_call_unknown_procedure_actionable(self, spark, engine):
+        # CALL now routes to the procedure registry; an unknown name
+        # gets the registry's actionable error, not a parse failure
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        with pytest.raises(ProcedureError, match="no such procedure"):
+            engine.execute("BEGIN CALL tp_never_defined(); END")
 
     def test_declare_inside_body_refused(self, spark, engine):
         with pytest.raises(ScriptingError, match="LET"):
@@ -173,3 +177,138 @@ class TestRefusals:
             engine.execute(
                 "BEGIN FOR r IN c DO RETURN 1; END FOR; END"
             )
+
+
+class TestProcedures:
+    """CREATE PROCEDURE … LANGUAGE SQL + CALL (procedures.py)."""
+
+    def test_create_call_scalar(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_add(x NUMBER, y NUMBER) "
+            "RETURNS BIGINT LANGUAGE SQL AS "
+            "$$ BEGIN RETURN x + y; END $$"
+        )
+        df = engine.execute("CALL tp_add(2, 40)")
+        assert df.columns == ["TP_ADD"]
+        assert df.collect()[0][0] == 42
+
+    def test_named_and_default_args(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_fmt(n NUMBER, "
+            "pre VARCHAR DEFAULT '#') RETURNS VARCHAR LANGUAGE SQL AS "
+            "$$ BEGIN RETURN pre || n; END $$"
+        )
+        assert engine.execute("CALL tp_fmt(5)").collect()[0][0] == "#5"
+        assert engine.execute(
+            "CALL tp_fmt(5, pre => '@')").collect()[0][0] == "@5"
+        assert engine.execute(
+            "CALL tp_fmt(n => 7, pre => '!')").collect()[0][0] == "!7"
+
+    def test_control_flow_and_binds(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_cls(n NUMBER) "
+            "RETURNS VARCHAR LANGUAGE SQL AS $$ "
+            "DECLARE msg VARCHAR; BEGIN "
+            "IF (n > 10) THEN msg := 'big'; "
+            "ELSE msg := 'small'; END IF; "
+            "RETURN msg; END $$"
+        )
+        assert engine.execute("CALL tp_cls(15)").collect()[0][0] == "big"
+        assert engine.execute("CALL tp_cls(3)").collect()[0][0] == "small"
+
+    def test_returns_table(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_top(lim NUMBER) "
+            "RETURNS TABLE(k BIGINT) LANGUAGE SQL AS $$ BEGIN "
+            "RETURN TABLE(SELECT id AS k FROM RANGE(10) "
+            "ORDER BY id DESC LIMIT :lim); END $$"
+        )
+        rows = engine.execute("CALL tp_top(3)").collect()
+        assert [r.k for r in rows] == [9, 8, 7]
+
+    def test_unquoted_body_whole_input(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_unq(a NUMBER)\n"
+            "RETURNS BIGINT\nLANGUAGE SQL\nAS\n"
+            "DECLARE t NUMBER DEFAULT 0;\nBEGIN\n"
+            "  FOR i IN 1 TO 3 DO\n    t := t + a;\n  END FOR;\n"
+            "  RETURN t;\nEND"
+        )
+        assert engine.execute("CALL tp_unq(5)").collect()[0][0] == 15
+
+    def test_call_inside_block_and_nested_proc(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_inner(v NUMBER) "
+            "RETURNS BIGINT LANGUAGE SQL AS "
+            "$$ BEGIN RETURN v * 2; END $$"
+        )
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_outer(v NUMBER) "
+            "RETURNS BIGINT LANGUAGE SQL AS $$ BEGIN "
+            "CALL tp_inner(:v); "
+            "LET w := (SELECT TP_INNER FROM "
+            "TABLE(RESULT_SCAN(LAST_QUERY_ID()))); "
+            "RETURN w + 1; END $$"
+        )
+        assert engine.execute("CALL tp_outer(10)").collect()[0][0] == 21
+
+    def test_overload_by_arity(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_ov(a NUMBER) "
+            "RETURNS VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'one'; END $$"
+        )
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_ov(a NUMBER, b NUMBER) "
+            "RETURNS VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'two'; END $$"
+        )
+        assert engine.execute("CALL tp_ov(1)").collect()[0][0] == "one"
+        assert engine.execute("CALL tp_ov(1, 2)").collect()[0][0] == "two"
+
+    def test_drop_and_missing_errors(self, engine):
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_gone() RETURNS VARCHAR "
+            "LANGUAGE SQL AS $$ BEGIN RETURN 'x'; END $$"
+        )
+        engine.execute("DROP PROCEDURE tp_gone()")
+        with pytest.raises(ProcedureError, match="no such procedure"):
+            engine.execute("CALL tp_gone()")
+        # IF EXISTS tolerates absence
+        engine.execute("DROP PROCEDURE IF EXISTS tp_gone()")
+        with pytest.raises(ProcedureError, match="not a registered"):
+            engine.execute("DROP PROCEDURE tp_gone()")
+
+    def test_wrong_arity_and_language_refusal(self, engine):
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_one(a NUMBER) "
+            "RETURNS VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'x'; END $$"
+        )
+        with pytest.raises(ProcedureError, match="no overload"):
+            engine.execute("CALL tp_one(1, 2, 3)")
+        with pytest.raises(ProcedureError, match="LANGUAGE JAVASCRIPT"):
+            engine.execute(
+                "CREATE PROCEDURE tp_js() RETURNS VARCHAR "
+                "LANGUAGE JAVASCRIPT AS $$ return 1; $$"
+            )
+
+    def test_recursion_cap(self, engine):
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_rec(n NUMBER) "
+            "RETURNS BIGINT LANGUAGE SQL AS $$ BEGIN "
+            "CALL tp_rec(:n); RETURN 0; END $$"
+        )
+        with pytest.raises(ProcedureError, match="depth"):
+            engine.execute("CALL tp_rec(1)")
+
+    def test_show_procedures(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE tp_shown(a VARCHAR) "
+            "RETURNS VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN a; END $$"
+        )
+        names = [r.name for r in engine.execute("SHOW PROCEDURES").collect()]
+        assert "TP_SHOWN" in names
