@@ -5343,6 +5343,54 @@ XOP_ORACLES["q83_stored_procedure"] = """
 """
 
 
+def _q_scripting_for_exception(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR-over-resultset + EXCEPTION handler (scripting.py): iterate
+    nation keys accumulating a prefix sum, RAISE a DECLAREd exception
+    when it crosses 100, and return the handler's view of :sqlcode and
+    the accumulator. The oracle computes the same first-crossing
+    prefix sum with a window — the interpreted loop must agree with
+    the set-based rendering exactly."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q84_{uuid.uuid4().hex[:8]}")
+    return eng.execute(
+        """
+        DECLARE
+          overflow EXCEPTION (-20044, 'accumulator crossed 100');
+          acc NUMBER DEFAULT 0;
+        BEGIN
+          FOR r IN (SELECT n_nationkey AS k FROM nation
+                    ORDER BY n_nationkey) DO
+            acc := acc + r.k;
+            IF (acc > 100) THEN
+              RAISE overflow;
+            END IF;
+          END FOR;
+          RETURN TABLE(SELECT CAST(-1 AS BIGINT) AS code,
+                              CAST(:acc AS BIGINT) AS acc);
+        EXCEPTION
+          WHEN overflow THEN
+            RETURN TABLE(SELECT CAST(:sqlcode AS BIGINT) AS code,
+                                CAST(:acc AS BIGINT) AS acc);
+        END
+        """
+    )
+
+
+XOP_ORACLES["q84_scripting_for_exception"] = """
+    WITH c AS (
+      SELECT n_nationkey,
+             SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS s
+      FROM nation
+    )
+    SELECT CAST(-20044 AS BIGINT) AS code,
+           CAST((SELECT MIN(s) FROM c WHERE s > 100) AS BIGINT) AS acc
+"""
+
+
 def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dynamic PIVOT (FOR col IN (ANY)) through
     IcebreakerEngine.execute: the engine enumerates the pivot values
@@ -5551,6 +5599,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_result_scan": _q_result_scan,
     "q82_scripting_block": _q_scripting_block,
     "q83_stored_procedure": _q_stored_procedure,
+    "q84_scripting_for_exception": _q_scripting_for_exception,
     "q69_dynamic_pivot": _q_dynamic_pivot,
     "x61_match_recognize": _x_match_recognize,
     "x62_match_recognize_all": _x_match_recognize_all,

@@ -41,6 +41,7 @@ from .transpiler.tokenizer import (
     WORD,
     WS,
     Token,
+    find_matching_paren,
     next_code,
     render,
     tokenize,
@@ -94,6 +95,16 @@ class _Return(Exception):
         self.df = df
 
 
+class _UserRaise(Exception):
+    """RAISE <exception_name> — a DECLAREd user exception in flight."""
+
+    def __init__(self, name: str, code: int, msg: str):
+        super().__init__(msg)
+        self.name = name
+        self.code = code
+        self.msg = msg
+
+
 class _Block:
     def __init__(self, engine, sql: str,
                  init_vars: Optional[dict] = None):
@@ -101,6 +112,10 @@ class _Block:
         self.toks = tokenize(sql)
         # pre-seeded variables (CALL procedure arguments)
         self.vars: dict[str, Any] = dict(init_vars or {})
+        # DECLAREd exceptions: name → (code, message)
+        self.exceptions: dict[str, tuple[int, str]] = {}
+        # exception being handled (bare RAISE re-raises it)
+        self._current_exc: Optional[BaseException] = None
 
     # ------------------------------------------------------ utilities
     def _code(self, i: int) -> int:
@@ -149,8 +164,15 @@ class _Block:
                     j += 1
                 if j < len(toks) and toks[j].kind == WORD \
                         and toks[j].text.lower() in self.vars:
+                    val = self.vars[toks[j].text.lower()]
+                    if isinstance(val, dict):
+                        fld = self._row_field(toks, j + 1, toks[j].text, val)
+                        out.append(Token(WORD, IcebreakerEngine
+                                         ._render_literal(fld[0])))
+                        skip = fld[1]
+                        continue
                     out.append(Token(WORD, IcebreakerEngine._render_literal(
-                        self.vars[toks[j].text.lower()])))
+                        val)))
                     skip = j
                     continue
             if t.kind == WORD and t.text.lower() in self.vars:
@@ -159,15 +181,55 @@ class _Block:
                 while j2 < len(toks) and toks[j2].kind in (WS, COMMENT):
                     j2 += 1
                 nxt = toks[j2] if j2 < len(toks) else None
-                # not a qualified field (a.x) and not a call x(...)
-                if not (prev is not None and prev.is_op(".")) and not (
-                    nxt is not None and nxt.is_op("(")
+                val = self.vars[t.text.lower()]
+                # row variable (FOR rec IN (SELECT …)): rec.col reads
+                # the current row's field
+                if isinstance(val, dict) and not (
+                    prev is not None and prev.is_op(".")
                 ):
+                    fld = self._row_field(toks, j2, t.text, val)
+                    if fld is not None:
+                        out.append(Token(WORD, IcebreakerEngine
+                                         ._render_literal(fld[0])))
+                        skip = fld[1]
+                        continue
+                # not a qualified field (a.x) and not a call x(...)
+                if not isinstance(val, dict) and not (
+                    prev is not None and prev.is_op(".")
+                ) and not (nxt is not None and nxt.is_op("(")):
                     out.append(Token(WORD, IcebreakerEngine._render_literal(
-                        self.vars[t.text.lower()])))
+                        val)))
                     continue
             out.append(t)
         return render(out).strip()
+
+    def _row_field(self, toks, dot_i: int, var_name: str, row: dict):
+        """Resolve ``rec.col`` starting at the '.' token index —
+        returns ((value, last-consumed-index)) or None when the next
+        tokens are not a field access. A row variable used WITHOUT a
+        field is an error (there is no scalar rendering for a row)."""
+        while dot_i < len(toks) and toks[dot_i].kind in (WS, COMMENT):
+            dot_i += 1
+        if dot_i >= len(toks) or not toks[dot_i].is_op("."):
+            raise ScriptingError(
+                f"row variable {var_name!r} needs a field access "
+                f"({var_name}.<column>) — it holds a whole row"
+            )
+        f = dot_i + 1
+        while f < len(toks) and toks[f].kind in (WS, COMMENT):
+            f += 1
+        if f >= len(toks) or toks[f].kind != WORD:
+            raise ScriptingError(
+                f"row variable {var_name!r}: expected a column name "
+                "after '.'"
+            )
+        key = toks[f].text.lower()
+        if key not in row:
+            raise ScriptingError(
+                f"row variable {var_name!r} has no column {key!r} "
+                f"(columns: {', '.join(row)})"
+            )
+        return (row[key], f)
 
     def _sub_binds(self, toks) -> str:
         """SQL-statement scope: ONLY :name binds substitute (a bare
@@ -204,9 +266,18 @@ class _Block:
                         or prev.is_op(")") or prev.is_op("]")
                     )
                     if not is_cast and not is_path:
+                        val = self.vars[toks[j].text.lower()]
+                        if isinstance(val, dict):
+                            # :rec.col — row-variable field access
+                            fld = self._row_field(
+                                toks, j + 1, toks[j].text, val)
+                            out.append(Token(
+                                WORD,
+                                IcebreakerEngine._render_literal(fld[0])))
+                            skip = fld[1]
+                            continue
                         out.append(Token(
-                            WORD, IcebreakerEngine._render_literal(
-                                self.vars[toks[j].text.lower()])))
+                            WORD, IcebreakerEngine._render_literal(val)))
                         skip = j
                         continue
             out.append(t)
@@ -229,16 +300,6 @@ class _Block:
 
     # ------------------------------------------------------ sections
     def run(self):
-        # EXCEPTION sections refuse up front (a RETURN earlier in the
-        # body would otherwise silently skip the unsupported handler)
-        for k, t in enumerate(self.toks):
-            if t.kind == WORD and t.upper == "EXCEPTION" \
-                    and self._is_stmt_head(k):
-                raise ScriptingError(
-                    "EXCEPTION sections are not supported — handle "
-                    "errors on the caller side (engine errors are "
-                    "already classified and actionable)"
-                )
         i = self._code(0)
         if self._word(i, "DECLARE"):
             i = self._parse_declares(self._code(i + 1))
@@ -246,19 +307,82 @@ class _Block:
             raise ScriptingError("scripting block: expected BEGIN")
         i = self._code(i + 1)
         try:
-            self._run_statements(i, ("END",))
+            try:
+                # stopping at EXCEPTION = body completed, skip handlers
+                self._run_statements(i, ("END", "EXCEPTION"))
+            except (_Return, _Break, _Continue, ScriptingError):
+                raise
+            except Exception as exc:  # noqa: BLE001 — handler dispatch
+                self._dispatch_handler(i, exc)
         except _Return as r:
             return r.df
         except (_Break, _Continue):
             raise ScriptingError(
                 "scripting block: BREAK/CONTINUE outside a loop"
             ) from None
-        from pyspark.sql import Row
-
+        except _UserRaise as ur:
+            raise ScriptingError(
+                f"uncaught exception {ur.name.upper()} (code "
+                f"{ur.code}): {ur.msg} — add an EXCEPTION WHEN "
+                f"{ur.name.upper()} THEN … handler"
+            ) from None
         return self.engine.spark.createDataFrame(
             [("anonymous block", "completed")],
             "statement string, status string",
         )
+
+    def _dispatch_handler(self, body_i: int, exc: BaseException) -> None:
+        """Run the EXCEPTION section's first matching WHEN handler
+        (SQL:2016 / Snowflake order). No section or no match →
+        re-raise. Built-in condition names STATEMENT_ERROR and
+        EXPRESSION_ERROR both match any engine error (the engine
+        classifies errors by statement, not sub-expression); OTHER
+        matches everything; a DECLAREd exception name matches its own
+        RAISE."""
+        exc_i = self._skip_statements(body_i, ("EXCEPTION", "END"))
+        if not self._word(exc_i, "EXCEPTION"):
+            raise exc
+        is_user = isinstance(exc, _UserRaise)
+        # handler-scope builtins (Snowflake SQLERRM/SQLCODE/SQLSTATE)
+        self.vars["sqlerrm"] = (
+            exc.msg if is_user else str(exc).splitlines()[0][:500]
+        )
+        self.vars["sqlcode"] = exc.code if is_user else -1
+        self.vars["sqlstate"] = "P0000" if is_user else "42000"
+        j = self._code(exc_i + 1)
+        ran = False
+        while self._word(j, "WHEN"):
+            names: list[str] = []
+            k = self._code(j + 1)
+            while k < len(self.toks) and not self._word(k, "THEN"):
+                t = self.toks[k]
+                if t.kind == WORD and t.upper != "OR":
+                    names.append(t.upper)
+                k = self._code(k + 1)
+            if k >= len(self.toks):
+                raise ScriptingError("EXCEPTION: WHEN without THEN")
+            body_start = self._code(k + 1)
+            boundary = self._skip_statements(
+                body_start, ("WHEN", "END"), head_only=("WHEN",))
+            if not ran and self._handler_matches(names, exc, is_user):
+                prev = self._current_exc
+                self._current_exc = exc
+                try:
+                    self._run_statements(body_start, ("WHEN", "END"))
+                finally:
+                    self._current_exc = prev
+                ran = True
+            j = boundary
+        if not ran:
+            raise exc
+
+    @staticmethod
+    def _handler_matches(names: list[str], exc, is_user: bool) -> bool:
+        if "OTHER" in names:
+            return True
+        if is_user:
+            return exc.name.upper() in names
+        return bool({"STATEMENT_ERROR", "EXPRESSION_ERROR"} & set(names))
 
     def _parse_declares(self, i: int) -> int:
         while i < len(self.toks) and not self._word(i, "BEGIN"):
@@ -271,13 +395,42 @@ class _Block:
             seg = self.toks[i:end]
             segc = [t for t in seg if t.kind not in (WS, COMMENT)]
             kinds = {t.upper for t in segc if t.kind == WORD}
-            if kinds & {"CURSOR", "RESULTSET", "EXCEPTION"}:
-                bad = (kinds & {"CURSOR", "RESULTSET", "EXCEPTION"}).pop()
+            if kinds & {"CURSOR", "RESULTSET"}:
+                bad = (kinds & {"CURSOR", "RESULTSET"}).pop()
                 raise ScriptingError(
-                    f"DECLARE {bad} is not supported — the engine "
-                    "interprets scalar variables and control flow; "
-                    "use a plain query (or RESULT_SCAN) for row sets"
+                    f"DECLARE {bad} is not supported — iterate rows "
+                    "with FOR rec IN (SELECT …) DO, or use a plain "
+                    "query (or RESULT_SCAN) for row sets"
                 )
+            if "EXCEPTION" in kinds:
+                # name EXCEPTION [(code, 'message')]
+                code_v, msg_v = -20000, name_t.text
+                for k2, t2 in enumerate(segc):
+                    if not t2.is_op("("):
+                        continue
+                    close2 = find_matching_paren(segc, k2)
+                    groups: list[list] = [[]]
+                    for x in segc[k2 + 1:close2]:
+                        if x.is_op(","):
+                            groups.append([])
+                        else:
+                            groups[-1].append(x)
+                    if groups[0]:
+                        txt = render(groups[0]).replace(" ", "")
+                        try:
+                            code_v = int(txt)
+                        except ValueError:
+                            raise ScriptingError(
+                                f"DECLARE {name_t.text}: exception "
+                                "code must be an integer literal"
+                            ) from None
+                    if len(groups) >= 2 and groups[1] \
+                            and groups[1][0].kind == STRING:
+                        msg_v = groups[1][0].text[1:-1].replace("''", "'")
+                    break
+                self.exceptions[name_t.text.lower()] = (code_v, msg_v)
+                i = self._code(end + 1)
+                continue
             # name [type…] [DEFAULT expr | := expr]
             val = None
             dk = None
@@ -311,9 +464,12 @@ class _Block:
             raise ScriptingError("scripting block: missing END")
         return i
 
-    def _skip_statements(self, i: int, stops: tuple[str, ...]) -> int:
+    def _skip_statements(self, i: int, stops: tuple[str, ...],
+                         head_only: tuple[str, ...] = ()) -> int:
         """Skip (without running) until a stop keyword at depth 0,
-        honoring nested IF/FOR/WHILE … END pairs."""
+        honoring nested IF/FOR/WHILE … END pairs. Names in
+        ``head_only`` stop only at a statement head (a WHEN inside a
+        MERGE statement is not a handler boundary)."""
         n = len(self.toks)
         depth = 0
         nest = 0        # nested IF/FOR/WHILE constructs
@@ -345,6 +501,9 @@ class _Block:
                         continue
                 if nest == 0 and case_nest == 0 and u in stops and u != "CASE":
                     if u == "ELSE" and case_nest > 0:
+                        i += 1
+                        continue
+                    if u in head_only and not self._is_stmt_head(i):
                         i += 1
                         continue
                     return i
@@ -391,10 +550,29 @@ class _Block:
             )
         if u == "EXCEPTION":
             raise ScriptingError(
-                "EXCEPTION sections are not supported — handle errors "
-                "on the caller side (engine errors are already "
-                "classified and actionable)"
+                "EXCEPTION must be a section at the TOP level of the "
+                "block (between the body's last statement and END), "
+                "not inside IF/FOR/WHILE"
             )
+        if u == "RAISE":
+            end = self._stmt_end(i)
+            j0 = self._code(i + 1)
+            if j0 >= end:
+                if self._current_exc is None:
+                    raise ScriptingError(
+                        "bare RAISE is only valid inside an EXCEPTION "
+                        "handler (it re-raises the caught exception)"
+                    )
+                raise self._current_exc
+            nm = self.toks[j0].text.lower()
+            if nm not in self.exceptions:
+                raise ScriptingError(
+                    f"RAISE {self.toks[j0].text}: not a DECLAREd "
+                    "exception (DECLARE name EXCEPTION (code, "
+                    "'message') first)"
+                )
+            code_v, msg_v = self.exceptions[nm]
+            raise _UserRaise(nm, code_v, msg_v)
         # CALL falls through to the plain-SQL arm below — the engine's
         # statement dispatch owns the procedure registry
         if u == "NULL":
@@ -524,11 +702,7 @@ class _Block:
                     break
             probe += 1
         if not has_to:
-            raise ScriptingError(
-                "FOR: only the integer-range form (FOR i IN a TO b DO) "
-                "is supported; iterate query results with a plain "
-                "set-based statement instead"
-            )
+            return self._stmt_for_resultset(var_t, j, reverse)
         lo_sql, to_i = self._read_cond(j, "TO")
         hi_sql, do_i = self._read_cond(self._code(to_i + 1), "DO")
         body = self._code(do_i + 1)
@@ -550,6 +724,56 @@ class _Block:
         shadow = self.vars.get(name)
         for v in rng:
             self.vars[name] = v
+            try:
+                self._run_statements(body, ("END",))
+            except _Break:
+                break
+            except _Continue:
+                continue
+        self.vars[name] = shadow
+        return after
+
+    def _stmt_for_resultset(self, var_t, j: int, reverse: bool) -> int:
+        """``FOR rec IN (SELECT …) DO … END FOR``: iterate the query's
+        rows driver-side (bounded — the same shape Snowflake runs a
+        cursor FOR loop in: the procedure driver fetches, the work per
+        row is ordinary SQL). Inside the body, ``rec.col`` reads the
+        current row's column in expression scope and ``:rec.col`` in
+        embedded-SQL scope."""
+        if reverse:
+            raise ScriptingError(
+                "FOR: REVERSE applies to integer ranges only — ORDER "
+                "BY … DESC in the query instead"
+            )
+        if not self.toks[j].is_op("("):
+            raise ScriptingError(
+                "FOR: expected an integer range (FOR i IN a TO b DO) "
+                "or a resultset (FOR rec IN (SELECT …) DO)"
+            )
+        close = find_matching_paren(self.toks, j)
+        inner = self._sub_binds(self.toks[j + 1:close])
+        do_i = self._code(close + 1)
+        if not self._word(do_i, "DO"):
+            raise ScriptingError("FOR: expected DO after the resultset")
+        body = self._code(do_i + 1)
+        end_stop = self._skip_statements(body, ("END",))
+        j2 = self._code(end_stop + 1)
+        if not self._word(j2, "FOR"):
+            raise ScriptingError("FOR: expected END FOR")
+        after = self._stmt_end(j2) + 1
+        df = self.engine.execute(inner)
+        rows = df.limit(_LOOP_CAP + 1).collect()
+        if len(rows) > _LOOP_CAP:
+            raise ScriptingError(
+                f"FOR: resultset exceeds the {_LOOP_CAP} row cap "
+                "(driver-side loop) — express bulk work as one "
+                "set-based statement"
+            )
+        cols = [c.lower() for c in df.columns]
+        name = var_t.text.lower()
+        shadow = self.vars.get(name)
+        for row in rows:
+            self.vars[name] = dict(zip(cols, tuple(row)))
             try:
                 self._run_statements(body, ("END",))
             except _Break:

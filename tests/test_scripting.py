@@ -162,21 +162,118 @@ class TestRefusals:
         with pytest.raises(ScriptingError, match="LET"):
             engine.execute("BEGIN DECLARE x INT; RETURN 1; END")
 
-    def test_exception_section_refused(self, spark, engine):
-        with pytest.raises(ScriptingError, match="EXCEPTION"):
-            engine.execute(
-                "BEGIN RETURN 1; EXCEPTION WHEN OTHER THEN RETURN 2; END"
-            )
-
     def test_nested_begin_refused(self, spark, engine):
         with pytest.raises(ScriptingError, match="nested BEGIN"):
             engine.execute("BEGIN BEGIN RETURN 1; END; END")
 
-    def test_for_over_query_refused(self, spark, engine):
-        with pytest.raises(ScriptingError, match="integer-range"):
+    def test_for_over_cursor_name_refused(self, spark, engine):
+        # a bare cursor name (no range, no subquery) stays refused
+        with pytest.raises(ScriptingError, match="resultset"):
             engine.execute(
                 "BEGIN FOR r IN c DO RETURN 1; END FOR; END"
             )
+
+
+class TestForResultset:
+    def test_row_fields_in_both_scopes(self, spark, engine):
+        r = engine.execute(
+            "DECLARE total DOUBLE DEFAULT 0; BEGIN "
+            "FOR rec IN (SELECT id AS k, id * 1.5 AS v "
+            "FROM RANGE(4) ORDER BY id) DO "
+            "total := total + rec.v + :rec.k; END FOR; "
+            "RETURN total; END"
+        )
+        assert r.collect()[0][0] == 15.0
+
+    def test_break_and_shadow_restore(self, spark, engine):
+        r = engine.execute(
+            "DECLARE rec INT DEFAULT 9; n INT DEFAULT 0; BEGIN "
+            "FOR rec IN (SELECT id FROM RANGE(100) ORDER BY id) DO "
+            "n := n + 1; IF (n >= 3) THEN BREAK; END IF; END FOR; "
+            "RETURN n * 100 + rec; END"  # rec restored to 9 after loop
+        )
+        assert r.collect()[0][0] == 309
+
+    def test_unknown_field_actionable(self, spark, engine):
+        with pytest.raises(ScriptingError, match="no column"):
+            engine.execute(
+                "BEGIN FOR r IN (SELECT 1 AS a) DO "
+                "LET x := r.nope; END FOR; RETURN 1; END"
+            )
+
+    def test_row_var_without_field_actionable(self, spark, engine):
+        with pytest.raises(ScriptingError, match="field access"):
+            engine.execute(
+                "BEGIN FOR r IN (SELECT 1 AS a) DO "
+                "LET x := r + 1; END FOR; RETURN 1; END"
+            )
+
+
+class TestExceptions:
+    def test_statement_error_caught(self, spark, engine):
+        r = engine.execute(
+            "BEGIN SELECT * FROM no_such_table_xyz; RETURN 'no'; "
+            "EXCEPTION WHEN STATEMENT_ERROR THEN "
+            "RETURN 'caught:' || :sqlerrm; END"
+        )
+        assert r.collect()[0][0].startswith("caught:")
+
+    def test_user_exception_and_sqlcode(self, spark, engine):
+        r = engine.execute(
+            "DECLARE my_ex EXCEPTION (-20101, 'boom'); BEGIN "
+            "IF (1 = 1) THEN RAISE my_ex; END IF; RETURN 'no'; "
+            "EXCEPTION WHEN my_ex THEN RETURN :sqlcode || '/' || :sqlerrm; "
+            "WHEN OTHER THEN RETURN 'other'; END"
+        )
+        assert r.collect()[0][0] == "-20101/boom"
+
+    def test_other_catches_everything(self, spark, engine):
+        r = engine.execute(
+            "BEGIN LET x := 1 / 0; RETURN 'no'; "
+            "EXCEPTION WHEN OTHER THEN RETURN 'div'; END"
+        )
+        assert r.collect()[0][0] == "div"
+
+    def test_no_match_reraises_as_uncaught(self, spark, engine):
+        with pytest.raises(ScriptingError, match="uncaught exception A"):
+            engine.execute(
+                "DECLARE a EXCEPTION; b EXCEPTION; BEGIN RAISE a; "
+                "EXCEPTION WHEN b THEN RETURN 'wrong'; END"
+            )
+
+    def test_clean_body_skips_handlers(self, spark, engine):
+        r = engine.execute(
+            "BEGIN RETURN 'ok'; "
+            "EXCEPTION WHEN OTHER THEN RETURN 'handler'; END"
+        )
+        assert r.collect()[0][0] == "ok"
+
+    def test_bare_raise_reraises(self, spark, engine):
+        with pytest.raises(Exception, match="nope_xyz|not found|NOT_FOUND"):
+            engine.execute(
+                "BEGIN SELECT * FROM nope_xyz; "
+                "EXCEPTION WHEN OTHER THEN RAISE; END"
+            )
+
+    def test_bare_raise_outside_handler_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="bare RAISE"):
+            engine.execute("BEGIN RAISE; END")
+
+    def test_raise_undeclared_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="not a DECLAREd"):
+            engine.execute("BEGIN RAISE ghost; END")
+
+    def test_merge_when_inside_handler_not_a_boundary(self, spark, engine):
+        # a MERGE statement's WHEN clauses must not be mistaken for
+        # handler boundaries while scanning an unentered handler
+        engine.execute("CREATE OR REPLACE TEMP VIEW ts AS SELECT 1 AS k")
+        r = engine.execute(
+            "BEGIN RETURN 'ok'; "
+            "EXCEPTION WHEN OTHER THEN "
+            "MERGE INTO ts t USING ts s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = 2; RETURN 'm'; END"
+        )
+        assert r.collect()[0][0] == "ok"
 
 
 class TestProcedures:
