@@ -64,8 +64,12 @@ class MergeSpec:
     source_sql: Optional[str]  # subquery text (Snowflake dialect) …
     source_table: Optional[str]  # … or a plain table name
     source_alias: str
-    keys: list[str]
+    keys: list[str]  # same-named equality keys (simple fast path)
     matched_action: str  # "update" | "delete" | "none"
+    # ALL equality keys as (target_col, source_col) — a merge keyed
+    # on differently-named columns (ON t.id = s.source_id) has no
+    # same-named key but is still a plain equi-join
+    key_pairs: list[tuple[str, str]] = field(default_factory=list)
     update_columns: Optional[list[str]] = None  # None = SET *
     insert_all: bool = False
     extra_conditions: list[str] = field(default_factory=list)
@@ -253,6 +257,7 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
     i = on_hi
 
     keys: list[str] = []
+    key_pairs: list[tuple[str, str]] = []
     extra_conditions: list[str] = []
     t_names = {target_alias.lower(), target.lower()}
     s_names = {source_alias.lower()}
@@ -278,11 +283,14 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
                 if ra and q2 == len(code):
                     tcol = lc if la.lower() in t_names else rc if ra.lower() in t_names else None
                     scol = lc if la.lower() in s_names else rc if ra.lower() in s_names else None
-                    if tcol is not None and scol is not None and tcol.lower() == scol.lower():
-                        # differently-named equalities (t.version =
-                        # s.expected_version — the optimistic-concurrency
-                        # idiom) ride as extra join filters below
-                        keys.append(tcol)
+                    if tcol is not None and scol is not None:
+                        # any target-col = source-col equality is a
+                        # join key (ON t.id = s.source_id included);
+                        # same-named keys additionally qualify for the
+                        # DataFrame-join fast path
+                        key_pairs.append((tcol, scol))
+                        if tcol.lower() == scol.lower():
+                            keys.append(tcol)
                         is_key = True
         if not is_key:
             txt = _rewrite_on_qualifiers(
@@ -291,7 +299,7 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
             if not txt:
                 raise fail("empty conjunct in ON clause")
             extra_conditions.append(txt)
-    if not keys:
+    if not key_pairs:
         raise fail(
             "ON clause produced no equality join keys (pure non-equi "
             "merges have no distribution key)"
@@ -504,6 +512,7 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
         source_table=source_table,
         source_alias=source_alias,
         keys=keys,
+        key_pairs=key_pairs,
         matched_action=matched_action,
         update_columns=update_columns,
         insert_all=insert_all,
@@ -526,6 +535,8 @@ def _is_simple_merge(spec: MergeSpec) -> bool:
         return False
     if spec.extra_conditions:
         return False  # non-equi ON conjuncts need the general join
+    if len(spec.key_pairs) != len(spec.keys):
+        return False  # differently-named keys need the general join
     if any(c.condition is not None for c in spec.clauses):
         return False
     if u and u[0].insert_cols is not None:
@@ -711,13 +722,15 @@ def _general_merge_plan(
     from pyspark.sql import Observation, functions as F
 
     from .incremental import _staged_overwrite
-    on = " AND ".join(f"{ta}.{k} = {sa}.{k}" for k in spec.keys)
+    pairs = spec.key_pairs or [(k, k) for k in spec.keys]
+    on = " AND ".join(f"{ta}.{tk} = {sa}.{sk}" for tk, sk in pairs)
     if spec.extra_conditions:
         # non-equi / expression conjuncts ride the join condition —
         # the equality keys remain the shuffle keys, the extras are
         # join filters (same shape as the ASOF interval join)
         on += "".join(f" AND ({c})" for c in spec.extra_conditions)
-    matched = f"{sa}.{spec.keys[0]} IS NOT NULL"
+    # any equality's source column is non-NULL exactly on matched rows
+    matched = f"{sa}.{pairs[0][1]} IS NOT NULL"
 
     obs = None
     if m_clauses:

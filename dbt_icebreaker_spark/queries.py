@@ -4979,6 +4979,76 @@ def _q_merge_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.ne_target")
 
 
+def _q_merge_renamed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE keyed on DIFFERENTLY-NAMED columns (``ON t.o_orderkey =
+    s.src_key`` — the routine staging-table shape): round-6 relaxation
+    of parse_merge's same-name key rule. The equality still drives the
+    shuffle (key_pairs → one equi LEFT JOIN in _run_general_merge);
+    conditional UPDATE/DELETE/INSERT all fire. Oracle reproduces the
+    three-way split declaratively."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q85_")
+    db = f"q85_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.rk_target AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 10000"
+    )
+    eng.execute(
+        f"""
+        MERGE INTO {db}.rk_target t
+        USING (
+            SELECT o_orderkey AS src_key, o_totalprice AS src_price
+            FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+        ) s
+        ON t.o_orderkey = s.src_key
+        WHEN MATCHED AND s.src_price > 150000 THEN
+            UPDATE SET o_totalprice = s.src_price * 2
+        WHEN MATCHED AND s.src_price < 50000 THEN DELETE
+        WHEN NOT MATCHED AND s.src_key <= 12000 THEN
+            INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.src_key, 'X', s.src_price)
+        """
+    )
+    return spark.table(f"{db}.rk_target")
+
+
+XOP_ORACLES["q85_merge_renamed_keys"] = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 10000
+    ),
+    src AS (
+      SELECT o_orderkey AS src_key, o_totalprice AS src_price
+      FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+    )
+    -- unmatched target rows, kept as-is
+    SELECT t.* FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.src_key = t.o_orderkey)
+    UNION ALL
+    -- matched, first-true-wins: update / delete(drop) / carry
+    SELECT t.o_orderkey, t.o_orderstatus,
+           CASE WHEN s.src_price > 150000 THEN s.src_price * 2
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t JOIN src s ON s.src_key = t.o_orderkey
+    WHERE NOT (s.src_price <= 150000 AND s.src_price < 50000)
+    UNION ALL
+    -- unmatched source rows through the conditional INSERT
+    SELECT s.src_key AS o_orderkey, 'X' AS o_orderstatus,
+           s.src_price AS o_totalprice
+    FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.src_key)
+      AND s.src_key <= 12000
+"""
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over an SCD2 snapshot table: two run_snapshot
     passes (M4, check strategy) build real validity intervals, then
@@ -5593,6 +5663,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,
     "q75_merge_non_equi": _q_merge_non_equi,
+    "q85_merge_renamed_keys": _q_merge_renamed_keys,
     "q76_sql_udf": _q_sql_udf,
     "q77_replace_clustered": _q_replace_clustered,
     "q79_insert_all": _q_insert_all,

@@ -295,6 +295,56 @@ def main() -> None:
             "nested_loop": "NestedLoop" in plan or "CartesianProduct" in plan,
         },
     )
+    # round-6: the general (conditional) MERGE path at 1× and N×. The
+    # staged rewrite is ONE target LEFT JOIN source with per-column
+    # CASE cascades plus the required duplicate-source pre-check
+    # (map-agg + semi-join) — wall-time must track input size and the
+    # join must stay an equi-join; the pre-check must not dominate.
+    import tempfile
+    import uuid
+
+    from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+    orders1 = read_parquet(spark, f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ordersN = (
+        orders1.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") * REPLICAS + F.col("r")).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice",
+        )
+        .localCheckpoint()
+    )
+
+    def merge_run(df):
+        base = tempfile.mkdtemp(prefix="smoke_mrg_")
+        db = f"smoke_mrg_{uuid.uuid4().hex[:8]}"
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+        eng = IcebreakerEngine(spark, schema=db)
+        df.createOrReplaceTempView("smoke_mrg_src")
+        df.write.saveAsTable(f"{db}.mrg_target")
+        # doubled keys: even target keys match (update or delete by
+        # price), keys past the range insert — all three clause kinds
+        # fire at every scale
+        eng.execute(f"""
+            MERGE INTO {db}.mrg_target t
+            USING (SELECT o_orderkey * 2 AS k, o_totalprice * 2 AS p
+                   FROM smoke_mrg_src) s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND s.p > 200000 THEN
+              UPDATE SET o_totalprice = s.p
+            WHEN MATCHED AND s.p <= 50000 THEN DELETE
+            WHEN NOT MATCHED AND s.p > 300000 THEN
+              INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+              VALUES (s.k, 0, 'N', s.p)
+        """)
+        rows = spark.table(f"{db}.mrg_target").count()
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+        return {"rows": rows}
+
+    timed("general_merge_1x", lambda: merge_run(orders1))
+    timed("general_merge_Nx", lambda: merge_run(ordersN))
     spark.stop()
 
 

@@ -2680,3 +2680,57 @@ class TestAlterColumnsAndTransactions:
             'SELECT PARSE_JSON(\'{"a":[{"b":2}]}\'):a[0].b::INT AS x'
         ).collect()
         assert r[0].x == 2
+
+
+class TestMergeRenamedKeys:
+    """ON t.id = s.source_id — differently-named equality keys route
+    through the general staged rewrite as plain equi-join keys."""
+
+    def test_renamed_key_merge(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.rk_t")
+        spark.sql(
+            f"CREATE TABLE {sch}.rk_t AS "
+            "SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES "
+            "(1, 10.0), (2, 20.0), (3, 30.0) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW rk_src AS "
+            "SELECT sk, CAST(sv AS DOUBLE) AS sv FROM VALUES "
+            "(2, 200.0), (3, 1.0), (4, 40.0) t(sk, sv)"
+        )
+        engine.execute(
+            f"MERGE INTO {sch}.rk_t t USING rk_src s ON t.k = s.sk "
+            "WHEN MATCHED AND s.sv > 100 THEN UPDATE SET v = s.sv "
+            "WHEN MATCHED AND s.sv < 5 THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)"
+        )
+        rows = {r.k: r.v for r in spark.table(f"{sch}.rk_t").collect()}
+        assert rows == {1: 10.0, 2: 200.0, 4: 40.0}
+
+    def test_pure_non_equi_still_refused(self, spark, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="no equality join keys"):
+            engine.execute(
+                "MERGE INTO t USING s ON t.ts > s.ts "
+                "WHEN MATCHED THEN DELETE"
+            )
+
+    def test_renamed_key_duplicate_source_refused(self, spark, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.rk_d")
+        spark.sql(
+            f"CREATE TABLE {sch}.rk_d AS SELECT * FROM VALUES (1, 1.0) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW rk_dup AS "
+            "SELECT * FROM VALUES (1, 2.0), (1, 3.0) t(sk, sv)"
+        )
+        with pytest.raises(TranspileError, match="nondeterministic"):
+            engine.execute(
+                f"MERGE INTO {sch}.rk_d t USING rk_dup s ON t.k = s.sk "
+                "WHEN MATCHED AND s.sv > 0 THEN UPDATE SET v = s.sv"
+            )
