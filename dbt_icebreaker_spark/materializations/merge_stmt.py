@@ -582,7 +582,10 @@ def run_merge_statement(
 
     tgt = spark.table(spec.target)
     src_lower = {c.lower() for c in src.columns}
-    missing = [k for k in spec.keys if k.lower() not in src_lower]
+    # validate SOURCE-side names from the pairs (covers renamed keys —
+    # ON t.id = s.src_id — not just same-named spec.keys)
+    src_keys = [sk for _, sk in spec.key_pairs] or spec.keys
+    missing = [k for k in src_keys if k.lower() not in src_lower]
     if missing:
         raise TranspileError(
             f"MERGE INTO: key column(s) {missing} absent from the "

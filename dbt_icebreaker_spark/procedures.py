@@ -51,6 +51,7 @@ class Procedure:
     returns_table: bool = False
     returns_type: Optional[str] = None  # Spark type for scalar returns
     body: str = ""
+    replace: bool = False  # CREATE OR REPLACE (token-parsed)
 
     @property
     def min_args(self) -> int:
@@ -64,18 +65,20 @@ def _unquote_body(tok) -> str:
     return txt[1:-1].replace("''", "'")
 
 
-def _is_create_procedure_head(code) -> int | None:
-    """Index (into the code-token list) of the PROCEDURE keyword when
-    the statement head is CREATE [OR REPLACE] PROCEDURE, else None."""
+def _is_create_procedure_head(code) -> tuple[int, bool] | None:
+    """(index of the PROCEDURE keyword, replace?) when the statement
+    head is CREATE [OR REPLACE] PROCEDURE, else None."""
     if not code or not code[0].is_word("CREATE"):
         return None
     k = 1
+    replace = False
     if k + 1 < len(code) and code[k].is_word("OR") and code[k + 1].is_word(
         "REPLACE"
     ):
+        replace = True
         k += 2
     if k < len(code) and code[k].is_word("PROCEDURE"):
-        return k
+        return (k, replace)
     return None
 
 
@@ -84,6 +87,12 @@ def whole_input_is_unquoted_procedure(sql: str) -> bool:
     whose AS body is NOT a string/$$ literal — then the WHOLE input is
     one statement (its body ';'s must not be split). Quoted / $$
     bodies are single tokens and ride the normal per-statement path."""
+    # cheap pre-check: execute() calls this on EVERY input — don't pay
+    # a tokenize pass unless the head can be CREATE (or a comment)
+    head = sql.lstrip()[:7].upper()
+    if not (head.startswith("CREATE") or head.startswith("--")
+            or head.startswith("/*")):
+        return False
     toks = tokenize(sql)
     code = [t for t in toks if t.kind not in (WS, COMMENT)]
     if _is_create_procedure_head(code) is None:
@@ -95,6 +104,9 @@ def whole_input_is_unquoted_procedure(sql: str) -> bool:
         elif t.is_op(")"):
             depth -= 1
         elif depth == 0 and t.is_word("AS"):
+            # EXECUTE AS CALLER|OWNER is a property, not the body
+            if k > 0 and code[k - 1].is_word("EXECUTE"):
+                continue
             j = k + 1
             if j < len(code):
                 return code[j].kind != STRING
@@ -114,9 +126,10 @@ def parse_create_procedure(raw: str) -> Optional[Procedure]:
         if t.kind not in (WS, COMMENT):
             code.append(t)
             code_idx.append(ti)
-    k = _is_create_procedure_head(code)
-    if k is None:
+    head = _is_create_procedure_head(code)
+    if head is None:
         return None
+    k, replace = head
     k += 1
     if k >= len(code) or code[k].kind == STRING:
         raise ProcedureError("CREATE PROCEDURE: expected a procedure name")
@@ -163,7 +176,7 @@ def parse_create_procedure(raw: str) -> Optional[Procedure]:
                 )
         args.append(ProcArg(a_name, sf_type, spark_type, default_sql))
     k = close + 1
-    proc = Procedure(name=name, args=args)
+    proc = Procedure(name=name, args=args, replace=replace)
     # properties between the signature and AS
     seen_returns = False
     while k < len(code) and not code[k].is_word("AS"):

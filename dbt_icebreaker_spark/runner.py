@@ -566,8 +566,7 @@ class IcebreakerEngine:
 
             proc = parse_create_procedure(raw)
             if proc is not None:
-                replace = raw.lstrip().upper().startswith("CREATE OR REPLACE")
-                register_procedure(self, proc, replace)
+                register_procedure(self, proc, proc.replace)
                 result = self.spark.createDataFrame(
                     [(proc.name,
                       f"Procedure {proc.name} successfully created.")],

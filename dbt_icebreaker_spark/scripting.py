@@ -52,6 +52,22 @@ class ScriptingError(ValueError):
     pass
 
 
+class UncaughtUserException(ScriptingError):
+    """A RAISEd user exception that escaped its block. Carries the
+    declaration so a CALLER block's EXCEPTION section can still catch
+    it by name (Snowflake propagates callee exceptions to caller
+    handlers)."""
+
+    def __init__(self, name: str, code: int, msg: str):
+        super().__init__(
+            f"uncaught exception {name.upper()} (code {code}): {msg} — "
+            f"add an EXCEPTION WHEN {name.upper()} THEN … handler"
+        )
+        self.name = name
+        self.code = code
+        self.msg = msg
+
+
 _LOOP_CAP = 100_000
 
 
@@ -59,6 +75,12 @@ def is_scripting_block(sql: str) -> bool:
     """True when the WHOLE input is one anonymous block:
     ``[DECLARE …] BEGIN … END[;]`` — a bare ``BEGIN``/``BEGIN
     TRANSACTION`` (transaction no-op) is not a block."""
+    # cheap pre-check: execute() calls this on EVERY input — only pay
+    # a tokenize pass when the head can be DECLARE/BEGIN (or a comment)
+    head = sql.lstrip()[:7].upper()
+    if not (head.startswith("DECLARE") or head.startswith("BEGIN")
+            or head.startswith("--") or head.startswith("/*")):
+        return False
     toks = tokenize(sql)
     code = [t for t in toks if t.kind not in (WS, COMMENT)]
     if not code:
@@ -310,7 +332,14 @@ class _Block:
             try:
                 # stopping at EXCEPTION = body completed, skip handlers
                 self._run_statements(i, ("END", "EXCEPTION"))
-            except (_Return, _Break, _Continue, ScriptingError):
+            except (_Return, _Break, _Continue):
+                raise
+            except UncaughtUserException as ue:
+                # a CALLed procedure's escaped exception: catchable
+                # here by its declared name (or OTHER)
+                self._dispatch_handler(
+                    i, _UserRaise(ue.name, ue.code, ue.msg))
+            except ScriptingError:
                 raise
             except Exception as exc:  # noqa: BLE001 — handler dispatch
                 self._dispatch_handler(i, exc)
@@ -321,11 +350,7 @@ class _Block:
                 "scripting block: BREAK/CONTINUE outside a loop"
             ) from None
         except _UserRaise as ur:
-            raise ScriptingError(
-                f"uncaught exception {ur.name.upper()} (code "
-                f"{ur.code}): {ur.msg} — add an EXCEPTION WHEN "
-                f"{ur.name.upper()} THEN … handler"
-            ) from None
+            raise UncaughtUserException(ur.name, ur.code, ur.msg) from None
         return self.engine.spark.createDataFrame(
             [("anonymous block", "completed")],
             "statement string, status string",
@@ -339,13 +364,15 @@ class _Block:
         classifies errors by statement, not sub-expression); OTHER
         matches everything; a DECLAREd exception name matches its own
         RAISE."""
-        exc_i = self._skip_statements(body_i, ("EXCEPTION", "END"))
+        exc_i = self._skip_statements(
+            body_i, ("EXCEPTION", "END"), head_only=("EXCEPTION",))
         if not self._word(exc_i, "EXCEPTION"):
             raise exc
         is_user = isinstance(exc, _UserRaise)
         # handler-scope builtins (Snowflake SQLERRM/SQLCODE/SQLSTATE)
         self.vars["sqlerrm"] = (
-            exc.msg if is_user else str(exc).splitlines()[0][:500]
+            exc.msg if is_user
+            else (str(exc).splitlines() or [""])[0][:500]
         )
         self.vars["sqlcode"] = exc.code if is_user else -1
         self.vars["sqlstate"] = "P0000" if is_user else "42000"
@@ -404,18 +431,16 @@ class _Block:
                 )
             if "EXCEPTION" in kinds:
                 # name EXCEPTION [(code, 'message')]
+                from .transpiler.tokenizer import split_args
+
                 code_v, msg_v = -20000, name_t.text
                 for k2, t2 in enumerate(segc):
                     if not t2.is_op("("):
                         continue
                     close2 = find_matching_paren(segc, k2)
-                    groups: list[list] = [[]]
-                    for x in segc[k2 + 1:close2]:
-                        if x.is_op(","):
-                            groups.append([])
-                        else:
-                            groups[-1].append(x)
-                    if groups[0]:
+                    groups = [segc[lo:hi] for lo, hi in
+                              split_args(segc, k2 + 1, close2)]
+                    if groups and groups[0]:
                         txt = render(groups[0]).replace(" ", "")
                         try:
                             code_v = int(txt)
@@ -722,15 +747,19 @@ class _Block:
             )
         name = var_t.text.lower()
         shadow = self.vars.get(name)
-        for v in rng:
-            self.vars[name] = v
-            try:
-                self._run_statements(body, ("END",))
-            except _Break:
-                break
-            except _Continue:
-                continue
-        self.vars[name] = shadow
+        try:
+            for v in rng:
+                self.vars[name] = v
+                try:
+                    self._run_statements(body, ("END",))
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        finally:
+            # restore on exceptions too — the EXCEPTION handler must
+            # see the pre-loop value, not a stale iteration value
+            self.vars[name] = shadow
         return after
 
     def _stmt_for_resultset(self, var_t, j: int, reverse: bool) -> int:
@@ -772,15 +801,19 @@ class _Block:
         cols = [c.lower() for c in df.columns]
         name = var_t.text.lower()
         shadow = self.vars.get(name)
-        for row in rows:
-            self.vars[name] = dict(zip(cols, tuple(row)))
-            try:
-                self._run_statements(body, ("END",))
-            except _Break:
-                break
-            except _Continue:
-                continue
-        self.vars[name] = shadow
+        try:
+            for row in rows:
+                self.vars[name] = dict(zip(cols, tuple(row)))
+                try:
+                    self._run_statements(body, ("END",))
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        finally:
+            # restore on exceptions too (row dicts must never leak
+            # into the EXCEPTION handler's scope)
+            self.vars[name] = shadow
         return after
 
     def _stmt_while(self, i: int) -> int:

@@ -1513,18 +1513,42 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 ))
             elif t.text in ("GREATESTN_X", "LEASTN_X") and len(args) >= 1:
                 # Snowflake GREATEST/LEAST: NULL if ANY argument is
-                # NULL (Spark's skip NULLs). One CASE guard over the
-                # rendered args; single-arg form is the arg itself.
+                # NULL (Spark's skip NULLs — those are the
+                # *_IGNORE_NULLS spellings). Each argument must be
+                # evaluated ONCE (subqueries, volatile fns), so bind
+                # the args through a lambda variable: build one array,
+                # transform its single-element wrapper, and read the
+                # bound value inside the lambda. array_max/min skip
+                # NULLs; the exists() guard restores propagation.
                 parts = ["(" + render(tokens[a:b2]).strip() + ")"
                          for a, b2 in args]
+                has_subq = any(
+                    c.kind == WORD and c.upper == "SELECT"
+                    for a, b2 in args for c in tokens[a:b2]
+                )
                 if len(parts) == 1:
                     out += tokenize(parts[0])
-                else:
-                    fn = "greatest" if t.text == "GREATESTN_X" else "least"
+                elif has_subq:
+                    # Spark rejects subquery expressions anywhere in a
+                    # higher-order function tree — fall back to the
+                    # CASE guard (subqueries are deterministic, so the
+                    # double evaluation is a perf cost, not wrong)
+                    fn = ("greatest" if t.text == "GREATESTN_X"
+                          else "least")
                     null_any = " OR ".join(f"{p} IS NULL" for p in parts)
                     out += tokenize(
                         f"CASE WHEN {null_any} THEN NULL "
                         f"ELSE {fn}({', '.join(parts)}) END")
+                else:
+                    fn = ("array_max" if t.text == "GREATESTN_X"
+                          else "array_min")
+                    u = f"g{next(_MULTISET_IDS)}"
+                    arr = f"array({', '.join(parts)})"
+                    out += tokenize(
+                        f"element_at(transform(array({arr}), "
+                        f"a{u} -> CASE WHEN exists(a{u}, "
+                        f"e{u} -> e{u} IS NULL) THEN NULL "
+                        f"ELSE {fn}(a{u}) END), 1)")
             elif t.text in ("ARREXC_X", "ARRINT_X") and len(args) == 2:
                 # Snowflake ARRAY_EXCEPT / ARRAY_INTERSECTION are
                 # MULTISET ops: each b-element cancels (EXCEPT) or
@@ -5929,10 +5953,16 @@ def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
     return sorted(set(found))
 
 
+# the element comparator is an IF, not least()/greatest(): this
+# rewrite runs BEFORE rewrite_simple_renames, which now maps those
+# names onto the NULL-propagating Snowflake forms — the fold's lambda
+# args are never NULL, so the plain comparison is identical and
+# rename-proof
 _MINHASH_FOLD = (
     "reduce(collect_list({s}), CAST(NULL AS ARRAY<STRING>), "
     "(acc{u}, x{u}) -> CASE WHEN acc{u} IS NULL THEN x{u} "
-    "ELSE zip_with(acc{u}, x{u}, (a{u}, b{u}) -> {cmp}(a{u}, b{u})) END)"
+    "ELSE zip_with(acc{u}, x{u}, (a{u}, b{u}) -> "
+    "IF(a{u} {op} b{u}, a{u}, b{u})) END)"
 )
 
 
@@ -5992,11 +6022,11 @@ def rewrite_minhash(tokens: Tokens) -> Tokens:
             if len(args) != 1:
                 raise TranspileError(f"{t.upper} takes one state argument")
             s = render(tokens[args[0][0]:args[0][1]]).strip()
-            lo_fold = _MINHASH_FOLD.format(s=s, u="l", cmp="least")
+            lo_fold = _MINHASH_FOLD.format(s=s, u="l", op="<=")
             if t.upper == "MINHASH_COMBINE":
                 repl = lo_fold
             else:
-                hi_fold = _MINHASH_FOLD.format(s=s, u="h", cmp="greatest")
+                hi_fold = _MINHASH_FOLD.format(s=s, u="h", op=">=")
                 repl = (
                     f"(CAST(size(filter(zip_with({lo_fold}, {hi_fold}, "
                     "(lo0, hi0) -> lo0 = hi0), p0 -> p0)) AS DOUBLE) "

@@ -409,3 +409,75 @@ class TestProcedures:
         )
         names = [r.name for r in engine.execute("SHOW PROCEDURES").collect()]
         assert "TP_SHOWN" in names
+
+
+class TestReviewRegressionsR6:
+    """Round-6 code-review findings, pinned."""
+
+    def test_execute_as_with_dollar_body_multi_statement(self, spark, engine):
+        # EXECUTE AS CALLER must not trip the unquoted-body whole-input
+        # path: the trailing statement after the $$ body must still run
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.rr_t")
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE rr_p() RETURNS VARCHAR "
+            "EXECUTE AS CALLER AS $$ BEGIN RETURN 'x'; END $$; "
+            f"CREATE TABLE {sch}.rr_t AS SELECT 1 AS k;"
+        )
+        assert spark.table(f"{sch}.rr_t").count() == 1
+        assert engine.execute("CALL rr_p()").collect()[0][0] == "x"
+
+    def test_caller_catches_callee_exception(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE rr_raises() RETURNS VARCHAR "
+            "LANGUAGE SQL AS $$ DECLARE boom EXCEPTION (-20007, 'pow'); "
+            "BEGIN RAISE boom; END $$"
+        )
+        r = engine.execute(
+            "BEGIN CALL rr_raises(); RETURN 'no'; "
+            "EXCEPTION WHEN boom THEN RETURN 'by-name:' || :sqlcode; END"
+        )
+        assert r.collect()[0][0] == "by-name:-20007"
+        r = engine.execute(
+            "BEGIN CALL rr_raises(); RETURN 'no'; "
+            "EXCEPTION WHEN OTHER THEN RETURN 'other'; END"
+        )
+        assert r.collect()[0][0] == "other"
+
+    def test_exception_column_name_not_a_section(self, spark, engine):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW rr_errlog AS "
+            "SELECT 'e1' AS exception"
+        )
+        r = engine.execute(
+            "BEGIN SELECT exception FROM rr_errlog; LET x := 1/0; "
+            "RETURN 'no'; "
+            "EXCEPTION WHEN OTHER THEN RETURN 'caught'; END"
+        )
+        assert r.collect()[0][0] == "caught"
+
+    def test_or_replace_with_leading_comment(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE rr_cmt() RETURNS VARCHAR "
+            "LANGUAGE SQL AS $$ BEGIN RETURN 'a'; END $$"
+        )
+        engine.execute(
+            "/* redeploy */ CREATE OR REPLACE PROCEDURE rr_cmt() "
+            "RETURNS VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'b'; END $$"
+        )
+        assert engine.execute("CALL rr_cmt()").collect()[0][0] == "b"
+
+    def test_loop_var_restored_into_handler(self, spark, engine):
+        r = engine.execute(
+            "DECLARE rec INT DEFAULT 9; BEGIN "
+            "FOR rec IN (SELECT 1 AS a) DO LET z := 1/0; END FOR; "
+            "RETURN 'no'; "
+            "EXCEPTION WHEN OTHER THEN RETURN rec; END"
+        )
+        assert r.collect()[0][0] == 9
+
+    def test_greatest_with_subquery_arg(self, spark, engine):
+        v = engine.execute(
+            "SELECT GREATEST((SELECT MAX(id) FROM RANGE(5)), 2) AS r"
+        ).collect()[0][0]
+        assert v == 4

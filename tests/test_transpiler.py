@@ -752,13 +752,13 @@ class TestMinhashSketch:
     def test_combine_is_least_fold(self):
         out = t.to_spark("SELECT MINHASH_COMBINE(mh) FROM s")
         assert "MINHASH_COMBINE" not in out.upper()
-        assert "zip_with" in out and "least" in out and "collect_list" in out
+        assert "zip_with" in out and "<=" in out and "collect_list" in out
 
     def test_similarity_is_agreement_fraction(self):
         for fn in ("APPROXIMATE_SIMILARITY", "APPROXIMATE_JACCARD_INDEX"):
             out = t.to_spark(f"SELECT {fn}(mh) FROM s")
             assert fn not in out.upper()
-            assert "least" in out and "greatest" in out and "filter" in out
+            assert "zip_with" in out and "filter" in out and ">=" in out
 
     def test_nonliteral_k_refuses(self):
         ok, msg = t.can_transpile("SELECT MINHASH(k, v) FROM x")
