@@ -84,6 +84,7 @@ class CreateTableSpec:
     select_sql: Optional[str] = None      # AS <select> form
     column_defs: Optional[str] = None     # (col type, …) form
     cluster_by: list[str] = field(default_factory=list)
+    like_source: Optional[str] = None     # LIKE <table> form
 
 
 def parse_create_or_replace_table(sql: str):
@@ -143,6 +144,24 @@ def parse_create_or_replace_table(sql: str):
         spec.select_sql = render(toks[i:]).strip().rstrip(";")
         if not spec.select_sql:
             return None
+        return spec
+    if i < len(toks) and toks[i].is_word("LIKE"):
+        # CREATE OR REPLACE TABLE t LIKE s — Spark's CREATE TABLE LIKE
+        # has no OR REPLACE form; drop-then-create below
+        i = next_code(toks, i + 1)
+        parts2 = []
+        while i < len(toks) and toks[i].kind in (WORD, QIDENT):
+            parts2.append(toks[i].text.strip('"'))
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_op("."):
+                i = next_code(toks, j + 1)
+            else:
+                i = j
+                break
+        nxt = next_code(toks, i)
+        if not parts2 or (nxt < len(toks) and not toks[nxt].is_op(";")):
+            return None
+        spec.like_source = ".".join(parts2)
         return spec
     if spec.column_defs is not None and i >= len(toks):
         return spec  # pure redefinition
@@ -259,6 +278,14 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         _staged_overwrite(spark, df, spec.target)
         return {"table": spec.target, "rows_affected": obs.get["n"]}
+    if spec.like_source is not None:
+        # LIKE: empty copy of the source's schema (Snowflake copies
+        # structure, not data); Spark's CREATE TABLE LIKE lacks an OR
+        # REPLACE form, so drop-then-create
+        spark.sql(f"DROP TABLE IF EXISTS {spec.target}")
+        clear_orphaned_location(spark, spec.target)
+        spark.sql(f"CREATE TABLE {spec.target} LIKE {spec.like_source}")
+        return {"table": spec.target, "rows_affected": 0}
     # (col defs) redefinition: map the types, drop, recreate
     spark.sql(f"DROP TABLE IF EXISTS {spec.target}")
     clear_orphaned_location(spark, spec.target)

@@ -981,11 +981,41 @@ def parse_update(sql: str) -> Optional[UpdateSpec]:
         j += 1
     flush(start, j)
     if j < len(toks) and toks[j].kind == WORD and toks[j].upper == "FROM":
-        raise TranspileError(
-            "UPDATE ... FROM is a join-shaped update: express it as "
-            "MERGE INTO t USING src ON ... WHEN MATCHED THEN UPDATE "
-            "SET ... (supported)."
+        # UPDATE t SET ... FROM src WHERE cond ≡ MERGE INTO t USING
+        # src ON cond WHEN MATCHED THEN UPDATE SET ... — synthesize
+        # the MERGE and reuse its key extraction, duplicate-match
+        # guard (stricter than Snowflake's default arbitrary pick;
+        # same as ERROR_ON_NONDETERMINISTIC_MERGE) and staged rewrite.
+        if not sets:
+            raise TranspileError("UPDATE: empty SET clause")
+        k2 = next_code(toks, j + 1)
+        depth2 = 0
+        m = k2
+        while m < len(toks):
+            tk2 = toks[m]
+            if tk2.is_op("("):
+                depth2 += 1
+            elif tk2.is_op(")"):
+                depth2 -= 1
+            elif depth2 == 0 and tk2.kind == WORD and tk2.upper == "WHERE":
+                break
+            m += 1
+        src_text = render(toks[k2:m]).strip()
+        if m >= len(toks):
+            raise TranspileError(
+                "UPDATE ... FROM needs a WHERE join condition (a "
+                "cross-table update without one has no join keys)"
+            )
+        cond = render(toks[next_code(toks, m + 1):]).strip().rstrip(";")
+        set_text = ", ".join(f"{c} = {e}" for c, e in sets)
+        merge_sql = (
+            f"MERGE INTO {target} {alias} USING {src_text} "
+            f"ON {cond} WHEN MATCHED THEN UPDATE SET {set_text}"
         )
+        spec = parse_merge(merge_sql)
+        if spec is None:  # pragma: no cover — head is always MERGE
+            raise TranspileError("UPDATE ... FROM: internal merge parse")
+        return spec
     if j < len(toks) and toks[j].kind == WORD and toks[j].upper == "WHERE":
         where_sql = render(toks[next_code(toks, j + 1):]).strip()
     if not sets:

@@ -5049,6 +5049,53 @@ XOP_ORACLES["q85_merge_renamed_keys"] = """
 """
 
 
+def _q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake multi-table ``UPDATE … FROM src WHERE join-cond``
+    (round-6b probe finding): lowered onto the general MERGE rewrite —
+    one equi LEFT JOIN, the non-key WHERE conjunct riding as a join
+    filter, the duplicate-match guard enforcing Snowflake's
+    ERROR_ON_NONDETERMINISTIC_UPDATE semantics. Oracle applies the
+    same join-update declaratively."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q86_")
+    db = f"q86_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.uf_target AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 10000"
+    )
+    eng.execute(
+        f"""
+        UPDATE {db}.uf_target t
+        SET o_totalprice = s.c_acctbal * 100, o_orderstatus = 'U'
+        FROM customer s
+        WHERE t.o_orderkey = s.c_custkey AND s.c_acctbal > 5000
+        """
+    )
+    return spark.table(f"{db}.uf_target")
+
+
+XOP_ORACLES["q86_update_from"] = """
+    SELECT t.o_orderkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN 'U'
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal * 100
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM (SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey <= 10000) t
+    LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_acctbal > 5000) s
+      ON t.o_orderkey = s.c_custkey
+"""
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over an SCD2 snapshot table: two run_snapshot
     passes (M4, check strategy) build real validity intervals, then
@@ -5664,6 +5711,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_time_travel": _q_time_travel,
     "q75_merge_non_equi": _q_merge_non_equi,
     "q85_merge_renamed_keys": _q_merge_renamed_keys,
+    "q86_update_from": _q_update_from,
     "q76_sql_udf": _q_sql_udf,
     "q77_replace_clustered": _q_replace_clustered,
     "q79_insert_all": _q_insert_all,

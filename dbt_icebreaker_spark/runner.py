@@ -699,6 +699,11 @@ class IcebreakerEngine:
                 dml_spec = parse_fn(raw)
                 if dml_spec is None:
                     continue
+                from .materializations.merge_stmt import MergeSpec
+
+                if isinstance(dml_spec, MergeSpec):
+                    # UPDATE ... FROM lowered onto the merge machinery
+                    run_fn = run_merge_statement
                 try:
                     stats = run_fn(self.spark, dml_spec, self.transpiler)
                 except (ValueError, TranspileError):

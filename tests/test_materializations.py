@@ -2734,3 +2734,61 @@ class TestMergeRenamedKeys:
                 f"MERGE INTO {sch}.rk_d t USING rk_dup s ON t.k = s.sk "
                 "WHEN MATCHED AND s.sv > 0 THEN UPDATE SET v = s.sv"
             )
+
+
+class TestUpdateFromAndCreateLike:
+    """Round-6b probe findings: UPDATE ... FROM lowers onto the merge
+    machinery; CREATE OR REPLACE TABLE ... LIKE drops-then-creates."""
+
+    def test_update_from(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.uf_t")
+        spark.sql(
+            f"CREATE TABLE {sch}.uf_t AS SELECT * FROM VALUES "
+            "(1, 10), (2, 20), (3, 30) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW uf_src AS SELECT * FROM VALUES "
+            "(2, 99), (3, 77) t(k, nv)"
+        )
+        engine.execute(
+            f"UPDATE {sch}.uf_t t SET v = s.nv + 1 FROM uf_src s "
+            "WHERE t.k = s.k AND s.nv > 80"
+        )
+        rows = {r.k: r.v for r in spark.table(f"{sch}.uf_t").collect()}
+        assert rows == {1: 10, 2: 100, 3: 30}
+
+    def test_update_from_without_where_refused(self, spark, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="WHERE"):
+            engine.execute("UPDATE t SET v = s.v FROM s")
+
+    def test_update_from_duplicate_source_refused(self, spark, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.uf_d")
+        spark.sql(f"CREATE TABLE {sch}.uf_d AS SELECT 1 AS k, 1 AS v")
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW uf_dup AS SELECT * FROM VALUES "
+            "(1, 2), (1, 3) t(k, nv)"
+        )
+        with pytest.raises(TranspileError, match="nondeterministic"):
+            engine.execute(
+                f"UPDATE {sch}.uf_d t SET v = s.nv FROM uf_dup s "
+                "WHERE t.k = s.k"
+            )
+
+    def test_create_or_replace_table_like(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.cl_a")
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.cl_b")
+        spark.sql(f"CREATE TABLE {sch}.cl_a AS SELECT 1 AS x, 'p' AS y")
+        engine.execute(f"CREATE OR REPLACE TABLE {sch}.cl_b LIKE {sch}.cl_a")
+        assert spark.table(f"{sch}.cl_b").columns == ["x", "y"]
+        assert spark.table(f"{sch}.cl_b").count() == 0  # structure only
+        # replace an EXISTING like-table (the OR REPLACE contract)
+        engine.execute(f"CREATE OR REPLACE TABLE {sch}.cl_b LIKE {sch}.cl_a")
+        spark.sql(f"INSERT INTO {sch}.cl_b VALUES (2, 'q'), (3, 'r')")
+        assert spark.table(f"{sch}.cl_b").count() == 2
