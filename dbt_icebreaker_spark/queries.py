@@ -5096,6 +5096,49 @@ XOP_ORACLES["q86_update_from"] = """
 """
 
 
+def _q_cursor_resultset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripting cursors + resultsets (round 6): a DECLAREd cursor with
+    a :bind resolved at loop entry drives an OPEN-style row walk whose
+    accumulator parameterizes a RESULTSET assignment returned via
+    RETURN TABLE(rs). The oracle reproduces the accumulated threshold
+    declaratively (sum of the 5 region keys = 10)."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q87_{uuid.uuid4().hex[:8]}")
+    return eng.execute(
+        """
+        DECLARE
+          cap INT DEFAULT 5;
+          c CURSOR FOR SELECT r_regionkey AS k FROM region
+                       WHERE r_regionkey < :cap ORDER BY r_regionkey;
+          acc INT DEFAULT 0;
+          rs RESULTSET;
+        BEGIN
+          FOR r IN c DO
+            acc := acc + r.k;
+          END FOR;
+          rs := (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM nation JOIN customer ON c_nationkey = n_nationkey
+                 WHERE n_nationkey < :acc
+                 GROUP BY n_name);
+          RETURN TABLE(rs);
+        END
+        """
+    )
+
+
+XOP_ORACLES["q87_cursor_resultset"] = """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE n_nationkey < (SELECT SUM(r_regionkey) FROM region
+                         WHERE r_regionkey < 5)
+    GROUP BY n_name
+"""
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over an SCD2 snapshot table: two run_snapshot
     passes (M4, check strategy) build real validity intervals, then
@@ -5712,6 +5755,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_merge_non_equi": _q_merge_non_equi,
     "q85_merge_renamed_keys": _q_merge_renamed_keys,
     "q86_update_from": _q_update_from,
+    "q87_cursor_resultset": _q_cursor_resultset,
     "q76_sql_udf": _q_sql_udf,
     "q77_replace_clustered": _q_replace_clustered,
     "q79_insert_all": _q_insert_all,

@@ -25,10 +25,16 @@ Variable references: control-flow expressions use bare names
 variable is NOT substituted there, same as Snowflake.
 
 ``CALL`` statements route to the engine's stored-procedure registry
-(procedures.py) like any other SQL statement.
+(procedures.py) like any other SQL statement. Round-6 additions:
+``FOR rec IN (SELECT …)|cursor|resultset DO`` row loops (rec.col /
+:rec.col field access), ``DECLARE name CURSOR FOR <query>`` with
+OPEN/FETCH INTO/CLOSE (binds resolved at OPEN), ``RESULTSET``
+variables (evaluated at assignment, ``RETURN TABLE(rs)``), EXCEPTION
+sections (STATEMENT_ERROR/EXPRESSION_ERROR/OTHER/declared names,
+SQLERRM/SQLCODE/SQLSTATE), ``DECLARE name EXCEPTION (code, 'msg')``
+and ``RAISE``.
 
-Refused actionably: CURSOR/RESULTSET declarations, EXCEPTION
-sections, nested BEGIN blocks.
+Refused actionably: nested BEGIN blocks.
 """
 
 from __future__ import annotations
@@ -136,6 +142,13 @@ class _Block:
         self.vars: dict[str, Any] = dict(init_vars or {})
         # DECLAREd exceptions: name → (code, message)
         self.exceptions: dict[str, tuple[int, str]] = {}
+        # cursors: name → {"query": str, "rows": list|None, "pos": int,
+        # "cols": [str]} — rows None until OPEN / loop entry
+        self.cursors: dict[str, dict] = {}
+        # resultsets: name → DataFrame (evaluated at assignment,
+        # Snowflake's own RESULTSET := (query) timing; kept as a lazy
+        # plan — identical output unless tables change in-block)
+        self.resultsets: dict[str, Any] = {}
         # exception being handled (bare RAISE re-raises it)
         self._current_exc: Optional[BaseException] = None
 
@@ -422,13 +435,49 @@ class _Block:
             seg = self.toks[i:end]
             segc = [t for t in seg if t.kind not in (WS, COMMENT)]
             kinds = {t.upper for t in segc if t.kind == WORD}
-            if kinds & {"CURSOR", "RESULTSET"}:
-                bad = (kinds & {"CURSOR", "RESULTSET"}).pop()
-                raise ScriptingError(
-                    f"DECLARE {bad} is not supported — iterate rows "
-                    "with FOR rec IN (SELECT …) DO, or use a plain "
-                    "query (or RESULT_SCAN) for row sets"
-                )
+            if "CURSOR" in kinds:
+                # name CURSOR FOR <query> — the query text is stored
+                # and evaluated at OPEN / FOR-loop entry (with :binds
+                # resolved then, Snowflake's cursor timing)
+                for k2, t2 in enumerate(seg):
+                    if t2.kind == WORD and t2.upper == "FOR":
+                        q = render(seg[k2 + 1:]).strip()
+                        if not q:
+                            raise ScriptingError(
+                                f"DECLARE {name_t.text} CURSOR: "
+                                "missing FOR <query>"
+                            )
+                        self.cursors[name_t.text.lower()] = {
+                            "query": q, "rows": None, "pos": 0,
+                            "cols": [],
+                        }
+                        break
+                else:
+                    raise ScriptingError(
+                        f"DECLARE {name_t.text} CURSOR: expected "
+                        "CURSOR FOR <query>"
+                    )
+                i = self._code(end + 1)
+                continue
+            if "RESULTSET" in kinds:
+                # name RESULTSET [DEFAULT|:= (query)] — evaluated at
+                # assignment (Snowflake's RESULTSET timing)
+                dk2 = None
+                for k2, t2 in enumerate(seg):
+                    if t2.is_op(":=") or (t2.kind == WORD
+                                          and t2.upper == "DEFAULT"):
+                        dk2 = k2
+                        break
+                if dk2 is not None:
+                    q = self._sub_binds(seg[dk2 + 1:]).strip()
+                    if q.startswith("(") and q.endswith(")"):
+                        q = q[1:-1]
+                    self.resultsets[name_t.text.lower()] = \
+                        self.engine.execute(q)
+                else:
+                    self.resultsets[name_t.text.lower()] = None
+                i = self._code(end + 1)
+                continue
             if "EXCEPTION" in kinds:
                 # name EXCEPTION [(code, 'message')]
                 from .transpiler.tokenizer import split_args
@@ -602,10 +651,18 @@ class _Block:
         # statement dispatch owns the procedure registry
         if u == "NULL":
             return self._stmt_end(i) + 1
+        if u in ("OPEN", "FETCH", "CLOSE") and self._is_stmt_head(i):
+            return self._stmt_cursor(i, u)
         # assignment without LET: name := expr
         j = self._code(i + 1)
         if t.kind == WORD and j < len(self.toks) and self.toks[j].is_op(":="):
             end = self._stmt_end(i)
+            if t.text.lower() in self.resultsets:
+                q = self._sub_binds(self.toks[j + 1:end]).strip()
+                if q.startswith("(") and q.endswith(")"):
+                    q = q[1:-1]
+                self.resultsets[t.text.lower()] = self.engine.execute(q)
+                return end + 1
             if t.text.lower() not in self.vars:
                 raise ScriptingError(
                     f"assignment to undeclared variable {t.text!r} — "
@@ -635,6 +692,19 @@ class _Block:
                 break
         if dk is None:
             raise ScriptingError("LET: expected := or DEFAULT")
+        segc = [t for t in seg[:dk] if t.kind not in (WS, COMMENT)]
+        if any(t.kind == WORD and t.upper == "RESULTSET" for t in segc):
+            # LET name RESULTSET := (query) — evaluated now
+            q = self._sub_binds(seg[dk + 1:]).strip()
+            if q.startswith("(") and q.endswith(")"):
+                q = q[1:-1]
+            self.resultsets[name_t.text.lower()] = self.engine.execute(q)
+            return end + 1
+        if any(t.kind == WORD and t.upper == "CURSOR" for t in segc):
+            raise ScriptingError(
+                "LET … CURSOR belongs in the DECLARE section "
+                "(DECLARE name CURSOR FOR <query>)"
+            )
         self.vars[name_t.text.lower()] = self._eval_scalar(
             self._sub_expr(seg[dk + 1:]))
         return end + 1
@@ -774,13 +844,38 @@ class _Block:
                 "FOR: REVERSE applies to integer ranges only — ORDER "
                 "BY … DESC in the query instead"
             )
-        if not self.toks[j].is_op("("):
+        inner = None
+        df_named = None
+        if self.toks[j].is_op("("):
+            close = find_matching_paren(self.toks, j)
+            inner = self._sub_binds(self.toks[j + 1:close])
+        elif self.toks[j].kind == WORD:
+            nm = self.toks[j].text.lower()
+            if nm in self.cursors:
+                inner = self._sub_binds(
+                    tokenize(self.cursors[nm]["query"]))
+                close = j
+            elif nm in self.resultsets:
+                df_named = self.resultsets[nm]
+                if df_named is None:
+                    raise ScriptingError(
+                        f"FOR: resultset {self.toks[j].text!r} has no "
+                        "value yet — assign it first (name := (query))"
+                    )
+                close = j
+            else:
+                raise ScriptingError(
+                    f"FOR: {self.toks[j].text!r} is not a DECLAREd "
+                    "cursor or resultset — expected an integer range "
+                    "(FOR i IN a TO b DO), a resultset (FOR rec IN "
+                    "(SELECT …) DO), or a declared cursor/resultset "
+                    "name"
+                )
+        else:
             raise ScriptingError(
                 "FOR: expected an integer range (FOR i IN a TO b DO) "
                 "or a resultset (FOR rec IN (SELECT …) DO)"
             )
-        close = find_matching_paren(self.toks, j)
-        inner = self._sub_binds(self.toks[j + 1:close])
         do_i = self._code(close + 1)
         if not self._word(do_i, "DO"):
             raise ScriptingError("FOR: expected DO after the resultset")
@@ -790,7 +885,7 @@ class _Block:
         if not self._word(j2, "FOR"):
             raise ScriptingError("FOR: expected END FOR")
         after = self._stmt_end(j2) + 1
-        df = self.engine.execute(inner)
+        df = df_named if df_named is not None else self.engine.execute(inner)
         rows = df.limit(_LOOP_CAP + 1).collect()
         if len(rows) > _LOOP_CAP:
             raise ScriptingError(
@@ -815,6 +910,68 @@ class _Block:
             # into the EXCEPTION handler's scope)
             self.vars[name] = shadow
         return after
+
+    def _stmt_cursor(self, i: int, verb: str) -> int:
+        """OPEN c — evaluate the cursor's query (row-capped);
+        FETCH c INTO v1[, v2…] — next row into variables (NULLs when
+        exhausted, Snowflake semantics); CLOSE c — free the rows."""
+        end = self._stmt_end(i)
+        j = self._code(i + 1)
+        if j >= end or self.toks[j].kind != WORD:
+            raise ScriptingError(f"{verb}: expected a cursor name")
+        nm = self.toks[j].text.lower()
+        cur = self.cursors.get(nm)
+        if cur is None:
+            raise ScriptingError(
+                f"{verb} {self.toks[j].text}: not a DECLAREd cursor "
+                "(DECLARE name CURSOR FOR <query>)"
+            )
+        if verb == "OPEN":
+            df = self.engine.execute(
+                self._sub_binds(tokenize(cur["query"])))
+            rows = df.limit(_LOOP_CAP + 1).collect()
+            if len(rows) > _LOOP_CAP:
+                raise ScriptingError(
+                    f"OPEN {nm}: cursor exceeds the {_LOOP_CAP} row "
+                    "cap (driver-side) — express bulk work as one "
+                    "set-based statement"
+                )
+            cur["rows"] = rows
+            cur["pos"] = 0
+            cur["cols"] = [c.lower() for c in df.columns]
+            return end + 1
+        if verb == "CLOSE":
+            cur["rows"] = None
+            cur["pos"] = 0
+            return end + 1
+        # FETCH c INTO v1, v2, …
+        if cur["rows"] is None:
+            raise ScriptingError(f"FETCH {nm}: cursor is not OPEN")
+        k = self._code(j + 1)
+        if k >= end or not self._word(k, "INTO"):
+            raise ScriptingError("FETCH: expected INTO <variables>")
+        names: list[str] = []
+        k = self._code(k + 1)
+        while k < end:
+            tk = self.toks[k]
+            if tk.kind == WORD:
+                names.append(tk.text.lower())
+            elif not tk.is_op(","):
+                raise ScriptingError(
+                    f"FETCH INTO: expected variable names, got "
+                    f"{tk.text!r}"
+                )
+            k = self._code(k + 1)
+        if not names:
+            raise ScriptingError("FETCH INTO: no variables")
+        row = (tuple(cur["rows"][cur["pos"]])
+               if cur["pos"] < len(cur["rows"]) else None)
+        if row is not None:
+            cur["pos"] += 1
+        for idx, v in enumerate(names):
+            self.vars[v] = row[idx] if row is not None and idx < len(row) \
+                else None
+        return end + 1
 
     def _stmt_while(self, i: int) -> int:
         """WHILE (c) DO … END WHILE;"""
@@ -869,9 +1026,21 @@ class _Block:
         if self._word(j, "TABLE"):
             k = self._code(j + 1)
             if k < end and self.toks[k].is_op("("):
-                from .transpiler.tokenizer import find_matching_paren
-
                 close = find_matching_paren(self.toks, k)
+                # RETURN TABLE(rs) — a resultset variable's value
+                inner_code = [t for t in self.toks[k + 1:close]
+                              if t.kind not in (WS, COMMENT)]
+                if (
+                    len(inner_code) == 1 and inner_code[0].kind == WORD
+                    and inner_code[0].text.lower() in self.resultsets
+                ):
+                    df = self.resultsets[inner_code[0].text.lower()]
+                    if df is None:
+                        raise ScriptingError(
+                            f"RETURN TABLE({inner_code[0].text}): the "
+                            "resultset has no value yet"
+                        )
+                    raise _Return(df)
                 inner = self._sub_binds(self.toks[k + 1:close])
                 raise _Return(self.engine.execute(inner))
         expr = self._sub_expr(self.toks[j:end])

@@ -392,6 +392,34 @@ def test_r6_semantic_traps(spark, sql, expect):
     _check(spark, sql, expect)
 
 
+# round-6b sweep lock: semi-structured deep seams (multi-row results
+# compare the whole first column)
+R6B_CASES = [
+    ("SELECT f.value FROM TABLE(FLATTEN(input => "
+     "PARSE_JSON('{\"a\": [1, 2]}'), path => 'a')) f", ["1", "2"]),
+    ("SELECT f.key FROM TABLE(FLATTEN(input => "
+     "PARSE_JSON('{\"b\": 1, \"a\": 2}'))) f", ["a", "b"]),
+    ("SELECT OBJECT_CONSTRUCT('a', OBJECT_CONSTRUCT('b', 1)) AS r",
+     ['{"a":{"b":1}}']),
+    ("SELECT TYPEOF(PARSE_JSON('1')) AS r", ["INTEGER"]),
+    ("SELECT TYPEOF(PARSE_JSON('[1]')) AS r", ["ARRAY"]),
+    ("SELECT TYPEOF(PARSE_JSON('{}')) AS r", ["OBJECT"]),
+    ("SELECT IS_NULL_VALUE(PARSE_JSON('null')) AS r", [True]),
+    ("SELECT TRY_PARSE_JSON('{bad') AS r", [None]),
+    ("SELECT GET_PATH(PARSE_JSON('{\"a\": [{\"b\": 7}]}'), 'a[0].b') AS r",
+     ["7"]),
+    ("SELECT COUNT(DISTINCT k % 2, k % 3) AS r FROM bt", [4]),
+    ("SELECT 5 / 2 AS r", [2.5]),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R6B_CASES, ids=lambda c: str(c)[:48])
+def test_r6b_semistructured(spark, sql, expect):
+    got = [r[0] for r in spark.sql(t.to_spark(sql)).collect()]
+    norm = [round(x, 9) if isinstance(x, float) else x for x in got]
+    assert norm == expect, f"{sql}: got {norm}"
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _battery_fixture(spark):
     spark.sql(

@@ -1922,8 +1922,8 @@ class TestDeleteUpdateStatements:
         self._seed(spark, "dm6")
         with _pytest.raises(TranspileError, match="MERGE INTO"):
             engine.execute("DELETE FROM mat_test.dm6 USING src WHERE dm6.k = src.k")
-        with _pytest.raises(TranspileError, match="MERGE INTO"):
-            engine.execute("UPDATE mat_test.dm6 SET v = s.v FROM src s WHERE dm6.k = s.k")
+        # UPDATE ... FROM is SUPPORTED since round 6 (lowered onto the
+        # general merge) — see TestUpdateFromAndCreateLike
         with _pytest.raises(TranspileError, match="unknown column"):
             engine.execute("UPDATE mat_test.dm6 SET nope = 1")
 

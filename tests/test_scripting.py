@@ -144,11 +144,11 @@ class TestBlocks:
 
 
 class TestRefusals:
-    def test_cursor_refused(self, spark, engine):
-        with pytest.raises(ScriptingError, match="CURSOR"):
-            engine.execute(
-                "DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END"
-            )
+    def test_cursor_without_for_refused(self, spark, engine):
+        # cursors are SUPPORTED since round 6; a malformed declaration
+        # (no FOR <query>) still gets an actionable error
+        with pytest.raises(ScriptingError, match="CURSOR FOR"):
+            engine.execute("DECLARE c CURSOR; BEGIN RETURN 1; END")
 
     def test_call_unknown_procedure_actionable(self, spark, engine):
         # CALL now routes to the procedure registry; an unknown name
@@ -481,3 +481,71 @@ class TestReviewRegressionsR6:
             "SELECT GREATEST((SELECT MAX(id) FROM RANGE(5)), 2) AS r"
         ).collect()[0][0]
         assert v == 4
+
+
+class TestCursorsResultsets:
+    """DECLARE CURSOR FOR / OPEN-FETCH-CLOSE / RESULTSET variables."""
+
+    def test_cursor_for_loop(self, engine):
+        r = engine.execute(
+            "DECLARE c CURSOR FOR SELECT id AS k FROM RANGE(4) "
+            "ORDER BY id; total INT DEFAULT 0; BEGIN "
+            "FOR rec IN c DO total := total + rec.k; END FOR; "
+            "RETURN total; END"
+        )
+        assert r.collect()[0][0] == 6
+
+    def test_open_fetch_close_and_exhaustion_nulls(self, engine):
+        r = engine.execute(
+            "DECLARE c CURSOR FOR SELECT id, id * 10 FROM RANGE(2) "
+            "ORDER BY id; a INT; b INT; s INT DEFAULT 0; BEGIN "
+            "OPEN c; FETCH c INTO a, b; s := s + a + b; "
+            "FETCH c INTO a, b; s := s + a + b; "
+            "FETCH c INTO a, b; CLOSE c; "
+            "RETURN s || '/' || COALESCE(a, -1); END"
+        )
+        assert r.collect()[0][0] == "11/-1"
+
+    def test_cursor_binds_resolved_at_open(self, engine):
+        r = engine.execute(
+            "DECLARE cap INT DEFAULT 3; c CURSOR FOR SELECT id FROM "
+            "RANGE(10) WHERE id < :cap; n INT DEFAULT 0; BEGIN "
+            "FOR x IN c DO n := n + 1; END FOR; RETURN n; END"
+        )
+        assert r.collect()[0][0] == 3
+
+    def test_resultset_default_and_return_table(self, engine):
+        r = engine.execute(
+            "DECLARE rs RESULTSET DEFAULT (SELECT id AS k FROM RANGE(3) "
+            "ORDER BY id DESC); BEGIN RETURN TABLE(rs); END"
+        )
+        assert [x.k for x in r.collect()] == [2, 1, 0]
+
+    def test_resultset_assign_and_loop(self, engine):
+        r = engine.execute(
+            "DECLARE rs RESULTSET; n INT DEFAULT 0; BEGIN "
+            "LET lim := 2; rs := (SELECT id FROM RANGE(10) "
+            "WHERE id < :lim); FOR x IN rs DO n := n + 1; END FOR; "
+            "RETURN n; END"
+        )
+        assert r.collect()[0][0] == 2
+
+    def test_let_resultset(self, engine):
+        r = engine.execute(
+            "BEGIN LET rs RESULTSET := (SELECT 42 AS v); "
+            "RETURN TABLE(rs); END"
+        )
+        assert r.collect()[0][0] == 42
+
+    def test_fetch_unopened_and_unknown_errors(self, engine):
+        with pytest.raises(ScriptingError, match="not OPEN"):
+            engine.execute(
+                "DECLARE c CURSOR FOR SELECT 1; x INT; BEGIN "
+                "FETCH c INTO x; RETURN 1; END"
+            )
+        with pytest.raises(ScriptingError, match="not a DECLAREd cursor"):
+            engine.execute("BEGIN OPEN ghost; RETURN 1; END")
+
+    def test_for_unknown_name_actionable(self, engine):
+        with pytest.raises(ScriptingError, match="cursor or resultset"):
+            engine.execute("BEGIN FOR r IN nothere DO RETURN 1; END FOR; END")
