@@ -2254,6 +2254,30 @@ def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric(spark.table("documents"), "lang", "n_chars")
 
 
+def _x_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (xops/text.normalize_text): NFC + accent
+    strip + lowercase + whitespace collapse over documents with a
+    deterministic accented suffix injected (the fixture corpus is
+    ASCII). The only Python is the Arrow-batched normalizer; DuckDB's
+    nfc_normalize/strip_accents reproduce the transform exactly, so
+    the full normalized text is hash-gated."""
+    from .xops.text import normalize_text
+
+    register_dir(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 800").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  Café NAÏVE señor Zürich  doc\t"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return normalize_text(
+        docs, "doc_id", "text",
+        form="NFC", strip_accents=True, lowercase=True, collapse_ws=True,
+    )
+
+
 def _x_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL scrubbing (xops/text.scrub_pii) over documents with
     synthetic contamination injected deterministically (the fixture
@@ -4124,6 +4148,15 @@ XOP_ORACLES: dict[str, str | None] = {
 # the session under BOTH window-merge-on-touch and the lag > gap rule)
 XOP_ORACLES["s04_native_sessionize"] = XOP_ORACLES["s01_sessionize"]
 
+XOP_ORACLES["x67_normalize_text"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           TRIM(regexp_replace(lower(strip_accents(nfc_normalize(
+               text || '  Café NAÏVE señor Zürich  doc' || chr(9)
+                    || CAST(doc_id AS VARCHAR)))),
+               '\\s+', ' ', 'g')) AS norm_text
+    FROM documents WHERE doc_id < 800
+"""
+
 # z-order oracle: identical scale-then-interleave arithmetic (IEEE
 # double division both engines → identical floors); 8 bits × 2 cols
 _ZO_TERMS = " + ".join(
@@ -5811,6 +5844,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_jaccard_estimate": _x_jaccard_est,
     "x26_profile": _x_profile,
     "x27_scrub_pii": _x_scrub,
+    "x67_normalize_text": _x_normalize_text,
     "x30_chunk_documents": _x_chunk_documents,
     "x31_epoch_shuffle": _x_epoch_shuffle,
     "x32_top_ngrams": _x_top_ngrams,

@@ -395,6 +395,72 @@ def scrub_pii(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+    strip_accents: bool = False,
+    lowercase: bool = False,
+    collapse_ws: bool = False,
+) -> DataFrame:
+    """Unicode normalization for corpus hygiene: canonical form
+    (NFC/NFKC/NFD/NFKD), optional accent stripping (NFD → drop
+    combining marks → re-compose), lowercase, and whitespace collapse.
+
+    Spark has no Unicode-normalizer builtin, so the normalize step is
+    an Arrow-batched pandas UDF (the only Python in the op — a pure
+    per-row codepoint map, linear in bytes, no shuffle); lowercase and
+    whitespace collapse stay JVM-side so codegen fuses them with
+    downstream projections. Parity: NFD-strip-combining matches
+    DuckDB's strip_accents on Latin text (é→e, ü→u, ñ→n), which is the
+    SQL oracle for x67.
+
+    Output: (doc_id, norm_text).
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = "".join(
+                    c for c in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(c)
+                )
+                y = unicodedata.normalize(form, y)
+            return y
+
+        return s.map(one)
+
+    # annotations set explicitly: this module uses postponed
+    # annotations and pandas is not a module-level import here, so an
+    # inline `s: pd.Series` hint would not resolve for pandas_udf
+    import pandas as pd
+
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _norm(F.col(text_col)).alias("norm_text"),
+    )
+    col = F.col("norm_text")
+    if lowercase:
+        col = F.lower(col)
+    if collapse_ws:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    if lowercase or collapse_ws:
+        out = out.select("doc_id", col.alias("norm_text"))
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

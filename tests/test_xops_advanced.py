@@ -2155,3 +2155,36 @@ class TestProbeSubformatOrientation:
         p = probe_bytes(encode_jpeg(np.full((16, 24), 7, dtype=np.uint8)))
         assert p["format"] == "jpeg" and p["subformat"] == "baseline"
         assert (p["width"], p["height"]) == (24, 16) and p["valid"]
+
+
+class TestNormalizeText:
+    def test_nfc_strip_lower_collapse(self, spark):
+        from dbt_icebreaker_spark.xops.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "Café  NAÏVE\tseñor"), (2, None)],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.norm_text for r in normalize_text(
+            df, "doc_id", "text",
+            form="NFC", strip_accents=True, lowercase=True,
+            collapse_ws=True,
+        ).collect()}
+        assert out[1] == "cafe naive senor"
+        assert out[2] is None
+
+    def test_nfc_only_composes(self, spark):
+        from dbt_icebreaker_spark.xops.text import normalize_text
+
+        df = spark.createDataFrame([(1, "é")], ["doc_id", "text"])
+        v = normalize_text(df, "doc_id", "text").collect()[0].norm_text
+        assert v == "é"  # combining acute composed to é
+
+    def test_bad_form_refused(self, spark):
+        import pytest as _pytest
+
+        from dbt_icebreaker_spark.xops.text import normalize_text
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="unknown form"):
+            normalize_text(df, "doc_id", "text", form="NFX")
