@@ -32,9 +32,10 @@ OPEN/FETCH INTO/CLOSE (binds resolved at OPEN), ``RESULTSET``
 variables (evaluated at assignment, ``RETURN TABLE(rs)``), EXCEPTION
 sections (STATEMENT_ERROR/EXPRESSION_ERROR/OTHER/declared names,
 SQLERRM/SQLCODE/SQLSTATE), ``DECLARE name EXCEPTION (code, 'msg')``
-and ``RAISE``.
-
-Refused actionably: nested BEGIN blocks.
+and ``RAISE``; nested ``[DECLARE …;] BEGIN … END`` blocks run as
+child scopes sharing variables (inner EXCEPTION sections make the
+try/catch idiom; RETURN/BREAK/CONTINUE and unhandled exceptions
+propagate outward).
 """
 
 from __future__ import annotations
@@ -335,27 +336,8 @@ class _Block:
 
     # ------------------------------------------------------ sections
     def run(self):
-        i = self._code(0)
-        if self._word(i, "DECLARE"):
-            i = self._parse_declares(self._code(i + 1))
-        if not self._word(i, "BEGIN"):
-            raise ScriptingError("scripting block: expected BEGIN")
-        i = self._code(i + 1)
         try:
-            try:
-                # stopping at EXCEPTION = body completed, skip handlers
-                self._run_statements(i, ("END", "EXCEPTION"))
-            except (_Return, _Break, _Continue):
-                raise
-            except UncaughtUserException as ue:
-                # a CALLed procedure's escaped exception: catchable
-                # here by its declared name (or OTHER)
-                self._dispatch_handler(
-                    i, _UserRaise(ue.name, ue.code, ue.msg))
-            except ScriptingError:
-                raise
-            except Exception as exc:  # noqa: BLE001 — handler dispatch
-                self._dispatch_handler(i, exc)
+            self._exec_block()
         except _Return as r:
             return r.df
         except (_Break, _Continue):
@@ -368,6 +350,35 @@ class _Block:
             [("anonymous block", "completed")],
             "statement string, status string",
         )
+
+    def run_nested(self) -> None:
+        """Run as a NESTED block: control-flow signals (_Return /
+        _Break / _Continue) and unhandled exceptions (incl. user
+        RAISEs this block's handlers did not catch) propagate to the
+        enclosing block instead of terminating here."""
+        self._exec_block()
+
+    def _exec_block(self) -> None:
+        i = self._code(0)
+        if self._word(i, "DECLARE"):
+            i = self._parse_declares(self._code(i + 1))
+        if not self._word(i, "BEGIN"):
+            raise ScriptingError("scripting block: expected BEGIN")
+        i = self._code(i + 1)
+        try:
+            # stopping at EXCEPTION = body completed, skip handlers
+            self._run_statements(i, ("END", "EXCEPTION"))
+        except (_Return, _Break, _Continue):
+            raise
+        except UncaughtUserException as ue:
+            # a CALLed procedure's escaped exception: catchable
+            # here by its declared name (or OTHER)
+            self._dispatch_handler(
+                i, _UserRaise(ue.name, ue.code, ue.msg))
+        except ScriptingError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — handler dispatch
+            self._dispatch_handler(i, exc)
 
     def _dispatch_handler(self, body_i: int, exc: BaseException) -> None:
         """Run the EXCEPTION section's first matching WHEN handler
@@ -548,6 +559,7 @@ class _Block:
         depth = 0
         nest = 0        # nested IF/FOR/WHILE constructs
         case_nest = 0   # CASE … END expressions carry ELSE/END too
+        begin_nest = 0  # nested BEGIN … END blocks (bare END closes)
         while i < n:
             t = self.toks[i]
             if t.is_op("("):
@@ -560,6 +572,10 @@ class _Block:
                     case_nest += 1
                 elif u in ("IF", "FOR", "WHILE") and self._is_stmt_head(i):
                     nest += 1
+                elif u == "BEGIN" and self._is_stmt_head(i):
+                    j = self._code(i + 1)
+                    if not self._word(j, "TRANSACTION", "WORK", "NAME"):
+                        begin_nest += 1
                 elif u == "END":
                     j = self._code(i + 1)
                     if self._word(j, "IF", "FOR", "WHILE"):
@@ -573,7 +589,12 @@ class _Block:
                         case_nest -= 1
                         i += 1
                         continue
-                if nest == 0 and case_nest == 0 and u in stops and u != "CASE":
+                    elif begin_nest > 0:
+                        begin_nest -= 1
+                        i += 1
+                        continue
+                if nest == 0 and case_nest == 0 and begin_nest == 0 \
+                        and u in stops and u != "CASE":
                     if u == "ELSE" and case_nest > 0:
                         i += 1
                         continue
@@ -612,16 +633,31 @@ class _Block:
             raise _Break()
         if u == "CONTINUE":
             raise _Continue()
-        if u == "BEGIN":
-            raise ScriptingError(
-                "nested BEGIN blocks are not supported — inline the "
-                "inner statements"
-            )
+        if u == "BEGIN" and self._is_stmt_head(i):
+            return self._stmt_nested_block(i, i)
         if u == "DECLARE":
-            raise ScriptingError(
-                "DECLARE belongs before BEGIN (the declaration "
-                "section); inside the body use LET"
-            )
+            # nested block with its own declaration section:
+            # DECLARE …; BEGIN … END — find the BEGIN at depth 0
+            j = i
+            depth = 0
+            begin_i = None
+            while j < len(self.toks):
+                tj = self.toks[j]
+                if tj.is_op("("):
+                    depth += 1
+                elif tj.is_op(")"):
+                    depth -= 1
+                elif depth == 0 and tj.kind == WORD and tj.upper == "BEGIN":
+                    begin_i = j
+                    break
+                j += 1
+            if begin_i is None:
+                raise ScriptingError(
+                    "DECLARE belongs before BEGIN (the declaration "
+                    "section); inside the body use LET, or open a "
+                    "nested block (DECLARE …; BEGIN … END)"
+                )
+            return self._stmt_nested_block(i, begin_i)
         if u == "EXCEPTION":
             raise ScriptingError(
                 "EXCEPTION must be a section at the TOP level of the "
@@ -909,6 +945,26 @@ class _Block:
             # restore on exceptions too (row dicts must never leak
             # into the EXCEPTION handler's scope)
             self.vars[name] = shadow
+        return after
+
+    def _stmt_nested_block(self, start: int, begin_i: int) -> int:
+        """[DECLARE …;] BEGIN … END as a statement: run the slice as a
+        child block SHARING this block's scopes (Snowflake: outer
+        variables are visible and assignments persist; an inner
+        DECLARE that reuses an outer name overwrites it — documented
+        shadowing deviation). The child runs its own EXCEPTION
+        section, making `BEGIN … EXCEPTION WHEN … END` the try/catch
+        idiom; RETURN/BREAK/CONTINUE and unhandled exceptions
+        propagate to this block."""
+        end_i = self._skip_statements(self._code(begin_i + 1), ("END",))
+        after = self._stmt_end(end_i) + 1
+        sub_sql = render(self.toks[start:end_i + 1]).strip()
+        child = _Block(self.engine, sub_sql)
+        child.vars = self.vars
+        child.exceptions = self.exceptions
+        child.cursors = self.cursors
+        child.resultsets = self.resultsets
+        child.run_nested()
         return after
 
     def _stmt_cursor(self, i: int, verb: str) -> int:

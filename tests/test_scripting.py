@@ -162,9 +162,9 @@ class TestRefusals:
         with pytest.raises(ScriptingError, match="LET"):
             engine.execute("BEGIN DECLARE x INT; RETURN 1; END")
 
-    def test_nested_begin_refused(self, spark, engine):
-        with pytest.raises(ScriptingError, match="nested BEGIN"):
-            engine.execute("BEGIN BEGIN RETURN 1; END; END")
+    def test_declare_without_begin_refused(self, spark, engine):
+        with pytest.raises(ScriptingError, match="nested block"):
+            engine.execute("BEGIN DECLARE x INT; LET y := 1; END")
 
     def test_for_over_cursor_name_refused(self, spark, engine):
         # a bare cursor name (no range, no subquery) stays refused
@@ -549,3 +549,57 @@ class TestCursorsResultsets:
     def test_for_unknown_name_actionable(self, engine):
         with pytest.raises(ScriptingError, match="cursor or resultset"):
             engine.execute("BEGIN FOR r IN nothere DO RETURN 1; END FOR; END")
+
+
+class TestNestedBlocks:
+    def test_try_catch_idiom(self, engine):
+        r = engine.execute(
+            "DECLARE total INT DEFAULT 0; BEGIN "
+            "BEGIN LET x := 1/0; "
+            "EXCEPTION WHEN OTHER THEN total := total + 100; END; "
+            "total := total + 1; RETURN total; END"
+        )
+        assert r.collect()[0][0] == 101
+
+    def test_nested_declare_shares_outer_scope(self, engine):
+        r = engine.execute(
+            "DECLARE a INT DEFAULT 5; BEGIN "
+            "DECLARE b INT DEFAULT 10; BEGIN a := a + b; END; "
+            "RETURN a; END"
+        )
+        assert r.collect()[0][0] == 15
+
+    def test_inner_return_exits_whole_block(self, engine):
+        r = engine.execute(
+            "BEGIN BEGIN RETURN 'inner'; END; RETURN 'outer'; END"
+        )
+        assert r.collect()[0][0] == "inner"
+
+    def test_break_propagates_through_nested(self, engine):
+        r = engine.execute(
+            "BEGIN LET n := 0; FOR i IN 1 TO 10 DO BEGIN "
+            "n := n + 1; IF (n >= 4) THEN BREAK; END IF; END; "
+            "END FOR; RETURN n; END"
+        )
+        assert r.collect()[0][0] == 4
+
+    def test_outer_handler_catches_inner_raise(self, engine):
+        r = engine.execute(
+            "DECLARE e EXCEPTION (-20021, 'inner boom'); BEGIN "
+            "BEGIN RAISE e; END; RETURN 'no'; "
+            "EXCEPTION WHEN e THEN RETURN 'outer ' || :sqlcode; END"
+        )
+        assert r.collect()[0][0] == "outer -20021"
+
+    def test_three_deep(self, engine):
+        r = engine.execute("BEGIN BEGIN BEGIN RETURN 3; END; END; END")
+        assert r.collect()[0][0] == 3
+
+    def test_skip_over_unentered_nested_block(self, engine):
+        # a nested block inside a NOT-taken IF branch must be skipped
+        # whole (its bare END is not the outer block's END)
+        r = engine.execute(
+            "BEGIN IF (FALSE) THEN BEGIN LET z := 1/0; END; "
+            "RETURN 'no'; END IF; RETURN 'skipped'; END"
+        )
+        assert r.collect()[0][0] == "skipped"
