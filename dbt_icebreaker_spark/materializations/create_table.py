@@ -280,11 +280,14 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
         return {"table": spec.target, "rows_affected": obs.get["n"]}
     if spec.like_source is not None:
         # LIKE: empty copy of the source's schema (Snowflake copies
-        # structure, not data); Spark's CREATE TABLE LIKE lacks an OR
-        # REPLACE form, so drop-then-create
+        # structure, not data). Capture the source schema BEFORE the
+        # drop — a missing source fails cleanly with the target
+        # intact, and self-LIKE (CREATE OR REPLACE TABLE t LIKE t —
+        # Snowflake's empty-keeping-schema idiom) works
+        ddl = spark.table(spec.like_source)._jdf.schema().toDDL()
         spark.sql(f"DROP TABLE IF EXISTS {spec.target}")
         clear_orphaned_location(spark, spec.target)
-        spark.sql(f"CREATE TABLE {spec.target} LIKE {spec.like_source}")
+        spark.sql(f"CREATE TABLE {spec.target} ({ddl})")
         return {"table": spec.target, "rows_affected": 0}
     # (col defs) redefinition: map the types, drop, recreate
     spark.sql(f"DROP TABLE IF EXISTS {spec.target}")

@@ -33,6 +33,7 @@ from pyspark.sql import SparkSession
 
 from ..transpiler.core import TranspileError
 from ..transpiler.tokenizer import (
+    COMMENT,
     QIDENT,
     WORD,
     Token,
@@ -927,9 +928,11 @@ def _read_optional_alias(
     return alias, i
 
 
-def parse_update(sql: str) -> Optional[UpdateSpec]:
-    """UPDATE <t> [alias] SET c = expr[, ...] [WHERE cond]; the FROM
-    multi-table form refuses actionably."""
+def parse_update(sql: str) -> Optional["UpdateSpec | MergeSpec"]:
+    """UPDATE <t> [alias] SET c = expr[, ...] [WHERE cond] →
+    UpdateSpec; the multi-table ``UPDATE … FROM src WHERE join-cond``
+    form returns a MergeSpec (it is lowered onto the general MERGE
+    rewrite — callers must branch on the type)."""
     toks = tokenize(sql)
     words = _word_positions(toks)
     if not words or words[0][1] != "UPDATE":
@@ -991,26 +994,41 @@ def parse_update(sql: str) -> Optional[UpdateSpec]:
         k2 = next_code(toks, j + 1)
         depth2 = 0
         m = k2
+        multi_src = False
         while m < len(toks):
             tk2 = toks[m]
             if tk2.is_op("("):
                 depth2 += 1
             elif tk2.is_op(")"):
                 depth2 -= 1
+            elif depth2 == 0 and tk2.is_op(","):
+                multi_src = True
             elif depth2 == 0 and tk2.kind == WORD and tk2.upper == "WHERE":
                 break
             m += 1
+        if multi_src:
+            raise TranspileError(
+                "UPDATE ... FROM with multiple sources is not "
+                "supported — pre-join them into one USING subquery "
+                "(UPDATE t SET ... FROM (SELECT ... FROM a JOIN b ON "
+                "...) s WHERE ...)"
+            )
         src_text = render(toks[k2:m]).strip()
         if m >= len(toks):
             raise TranspileError(
                 "UPDATE ... FROM needs a WHERE join condition (a "
                 "cross-table update without one has no join keys)"
             )
-        cond = render(toks[next_code(toks, m + 1):]).strip().rstrip(";")
+        # strip comments from the tail — a trailing line comment would
+        # otherwise swallow the synthesized WHEN clause
+        cond = render([
+            t for t in toks[next_code(toks, m + 1):]
+            if t.kind != COMMENT
+        ]).strip().rstrip(";")
         set_text = ", ".join(f"{c} = {e}" for c, e in sets)
         merge_sql = (
             f"MERGE INTO {target} {alias} USING {src_text} "
-            f"ON {cond} WHEN MATCHED THEN UPDATE SET {set_text}"
+            f"\nON {cond} \nWHEN MATCHED THEN UPDATE SET {set_text}"
         )
         spec = parse_merge(merge_sql)
         if spec is None:  # pragma: no cover — head is always MERGE

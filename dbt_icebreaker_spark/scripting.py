@@ -78,6 +78,23 @@ class UncaughtUserException(ScriptingError):
 _LOOP_CAP = 100_000
 
 
+def _strip_outer_parens(q: str) -> str:
+    """Remove ONE pair of outer parens only when they actually match
+    — `(SELECT 1) UNION ALL (SELECT 2)` starts with '(' and ends with
+    ')' but those are different pairs and must stay."""
+    q = q.strip()
+    if not (q.startswith("(") and q.endswith(")")):
+        return q
+    toks = tokenize(q)
+    first = next_code(toks, 0)
+    if first >= len(toks) or not toks[first].is_op("("):
+        return q
+    close = find_matching_paren(toks, first)
+    if next_code(toks, close + 1) < len(toks):
+        return q  # the opening paren closes before the end
+    return q[1:-1].strip()
+
+
 def is_scripting_block(sql: str) -> bool:
     """True when the WHOLE input is one anonymous block:
     ``[DECLARE …] BEGIN … END[;]`` — a bare ``BEGIN``/``BEGIN
@@ -481,8 +498,7 @@ class _Block:
                         break
                 if dk2 is not None:
                     q = self._sub_binds(seg[dk2 + 1:]).strip()
-                    if q.startswith("(") and q.endswith(")"):
-                        q = q[1:-1]
+                    q = _strip_outer_parens(q)
                     self.resultsets[name_t.text.lower()] = \
                         self.engine.execute(q)
                 else:
@@ -634,23 +650,36 @@ class _Block:
         if u == "CONTINUE":
             raise _Continue()
         if u == "BEGIN" and self._is_stmt_head(i):
-            return self._stmt_nested_block(i, i)
+            # BEGIN TRANSACTION/WORK/NAME is a transaction no-op that
+            # falls through to the engine (dbt wraps runs in
+            # BEGIN/COMMIT), not a nested block — same exclusion the
+            # skip-scanner applies
+            nx = self._code(i + 1)
+            if not self._word(nx, "TRANSACTION", "WORK", "NAME"):
+                return self._stmt_nested_block(i, i)
         if u == "DECLARE":
             # nested block with its own declaration section:
-            # DECLARE …; BEGIN … END — find the BEGIN at depth 0
-            j = i
-            depth = 0
+            # DECLARE …; BEGIN … END — the BEGIN must be reached
+            # through DECLARATION-shaped segments only (a SQL verb in
+            # between means a stray DECLARE, not a block head; those
+            # statements must NOT be swallowed as declarations)
+            sql_verbs = {
+                "SELECT", "INSERT", "UPDATE", "DELETE", "MERGE",
+                "CREATE", "DROP", "ALTER", "TRUNCATE", "COPY", "CALL",
+                "LET", "IF", "FOR", "WHILE", "RETURN", "RAISE", "OPEN",
+                "FETCH", "CLOSE", "SET", "GRANT", "SHOW", "DESCRIBE",
+            }
             begin_i = None
+            j = self._code(i + 1)
             while j < len(self.toks):
-                tj = self.toks[j]
-                if tj.is_op("("):
-                    depth += 1
-                elif tj.is_op(")"):
-                    depth -= 1
-                elif depth == 0 and tj.kind == WORD and tj.upper == "BEGIN":
+                if self._word(j, "BEGIN"):
                     begin_i = j
                     break
-                j += 1
+                # first word of this declaration segment
+                t0 = self.toks[j]
+                if t0.kind == WORD and t0.upper in sql_verbs:
+                    break
+                j = self._code(self._stmt_end(j) + 1)
             if begin_i is None:
                 raise ScriptingError(
                     "DECLARE belongs before BEGIN (the declaration "
@@ -694,9 +723,8 @@ class _Block:
         if t.kind == WORD and j < len(self.toks) and self.toks[j].is_op(":="):
             end = self._stmt_end(i)
             if t.text.lower() in self.resultsets:
-                q = self._sub_binds(self.toks[j + 1:end]).strip()
-                if q.startswith("(") and q.endswith(")"):
-                    q = q[1:-1]
+                q = _strip_outer_parens(
+                    self._sub_binds(self.toks[j + 1:end]))
                 self.resultsets[t.text.lower()] = self.engine.execute(q)
                 return end + 1
             if t.text.lower() not in self.vars:
@@ -732,8 +760,7 @@ class _Block:
         if any(t.kind == WORD and t.upper == "RESULTSET" for t in segc):
             # LET name RESULTSET := (query) — evaluated now
             q = self._sub_binds(seg[dk + 1:]).strip()
-            if q.startswith("(") and q.endswith(")"):
-                q = q[1:-1]
+            q = _strip_outer_parens(q)
             self.resultsets[name_t.text.lower()] = self.engine.execute(q)
             return end + 1
         if any(t.kind == WORD and t.upper == "CURSOR" for t in segc):
@@ -956,10 +983,20 @@ class _Block:
         section, making `BEGIN … EXCEPTION WHEN … END` the try/catch
         idiom; RETURN/BREAK/CONTINUE and unhandled exceptions
         propagate to this block."""
-        end_i = self._skip_statements(self._code(begin_i + 1), ("END",))
-        after = self._stmt_end(end_i) + 1
-        sub_sql = render(self.toks[start:end_i + 1]).strip()
-        child = _Block(self.engine, sub_sql)
+        # boundary + child are loop-invariant: a nested block inside a
+        # FOR/WHILE body re-runs every iteration — parse once
+        cached = getattr(self, "_nested_cache", None)
+        if cached is None:
+            cached = self._nested_cache = {}
+        hit = cached.get(start)
+        if hit is None:
+            end_i = self._skip_statements(
+                self._code(begin_i + 1), ("END",))
+            after = self._stmt_end(end_i) + 1
+            sub_sql = render(self.toks[start:end_i + 1]).strip()
+            child = _Block(self.engine, sub_sql)
+            cached[start] = hit = (after, child)
+        after, child = hit
         child.vars = self.vars
         child.exceptions = self.exceptions
         child.cursors = self.cursors
@@ -1020,13 +1057,25 @@ class _Block:
             k = self._code(k + 1)
         if not names:
             raise ScriptingError("FETCH INTO: no variables")
+        undeclared = [v for v in names if v not in self.vars]
+        if undeclared:
+            raise ScriptingError(
+                f"FETCH {nm} INTO: variable(s) "
+                f"{', '.join(undeclared)} not DECLAREd — declare them "
+                "before fetching (a typo here would silently NULL)"
+            )
+        if len(names) != len(cur["cols"]):
+            raise ScriptingError(
+                f"FETCH {nm} INTO: {len(names)} variable(s) but the "
+                f"cursor has {len(cur['cols'])} column(s) "
+                f"({', '.join(cur['cols'])})"
+            )
         row = (tuple(cur["rows"][cur["pos"]])
                if cur["pos"] < len(cur["rows"]) else None)
         if row is not None:
             cur["pos"] += 1
         for idx, v in enumerate(names):
-            self.vars[v] = row[idx] if row is not None and idx < len(row) \
-                else None
+            self.vars[v] = row[idx] if row is not None else None
         return end + 1
 
     def _stmt_while(self, i: int) -> int:

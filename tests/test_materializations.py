@@ -2792,3 +2792,43 @@ class TestUpdateFromAndCreateLike:
         engine.execute(f"CREATE OR REPLACE TABLE {sch}.cl_b LIKE {sch}.cl_a")
         spark.sql(f"INSERT INTO {sch}.cl_b VALUES (2, 'q'), (3, 'r')")
         assert spark.table(f"{sch}.cl_b").count() == 2
+
+
+class TestReviewRegressionsR6c:
+    def test_self_like_empties_keeping_schema(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.sl_t")
+        spark.sql(f"CREATE TABLE {sch}.sl_t AS SELECT 1 AS a, 'x' AS b")
+        engine.execute(f"CREATE OR REPLACE TABLE {sch}.sl_t LIKE {sch}.sl_t")
+        assert spark.table(f"{sch}.sl_t").columns == ["a", "b"]
+        assert spark.table(f"{sch}.sl_t").count() == 0
+
+    def test_like_missing_source_keeps_target(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.lk_keep")
+        spark.sql(f"CREATE TABLE {sch}.lk_keep AS SELECT 7 AS a")
+        with pytest.raises(Exception):
+            engine.execute(
+                f"CREATE OR REPLACE TABLE {sch}.lk_keep LIKE {sch}.no_such"
+            )
+        # the target survived the failed replace
+        assert spark.table(f"{sch}.lk_keep").collect()[0].a == 7
+
+    def test_update_from_with_trailing_comment(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.ufc_t")
+        spark.sql(f"CREATE TABLE {sch}.ufc_t AS SELECT 1 AS k, 1 AS v")
+        spark.sql("CREATE OR REPLACE TEMP VIEW ufc_s AS SELECT 1 AS k, 9 AS nv")
+        engine.execute(
+            f"UPDATE {sch}.ufc_t t SET v = s.nv FROM ufc_s s "
+            "WHERE t.k = s.k -- join on key"
+        )
+        assert spark.table(f"{sch}.ufc_t").collect()[0].v == 9
+
+    def test_update_from_multi_source_actionable(self, spark, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="multiple sources"):
+            engine.execute(
+                "UPDATE t SET v = 1 FROM a, b WHERE t.k = a.k"
+            )

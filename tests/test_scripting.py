@@ -603,3 +603,53 @@ class TestNestedBlocks:
             "RETURN 'no'; END IF; RETURN 'skipped'; END"
         )
         assert r.collect()[0][0] == "skipped"
+
+
+class TestReviewRegressionsR6b:
+    """Second code-review batch findings, pinned."""
+
+    def test_begin_transaction_in_block_is_noop(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.txn_t")
+        r = engine.execute(
+            "BEGIN BEGIN TRANSACTION; "
+            f"CREATE TABLE {sch}.txn_t AS SELECT 1 AS k; "
+            "COMMIT; RETURN 'done'; END"
+        )
+        assert r.collect()[0][0] == "done"
+        assert spark.table(f"{sch}.txn_t").count() == 1
+
+    def test_stray_declare_does_not_swallow_statements(self, engine):
+        # a DECLARE followed by a SQL verb (not a nested-block BEGIN)
+        # must raise, never silently treat the SQL as declarations
+        with pytest.raises(ScriptingError, match="DECLARE belongs"):
+            engine.execute(
+                "BEGIN DECLARE x INT; SELECT 1; RETURN 1; END"
+            )
+
+    def test_fetch_undeclared_and_arity_refused(self, engine):
+        with pytest.raises(ScriptingError, match="not DECLAREd"):
+            engine.execute(
+                "DECLARE c CURSOR FOR SELECT 1 AS a; BEGIN OPEN c; "
+                "FETCH c INTO typo_var; RETURN 1; END"
+            )
+        with pytest.raises(ScriptingError, match="column"):
+            engine.execute(
+                "DECLARE c CURSOR FOR SELECT 1 AS a; x INT; y INT; "
+                "BEGIN OPEN c; FETCH c INTO x, y; RETURN 1; END"
+            )
+
+    def test_resultset_union_parens_not_stripped(self, engine):
+        r = engine.execute(
+            "BEGIN LET rs RESULTSET := "
+            "((SELECT 1 AS a) UNION ALL (SELECT 2 AS a)); "
+            "RETURN TABLE(rs); END"
+        )
+        assert sorted(x.a for x in r.collect()) == [1, 2]
+
+    def test_nested_block_in_loop_reparses_once(self, engine):
+        r = engine.execute(
+            "BEGIN LET n := 0; FOR i IN 1 TO 5 DO "
+            "BEGIN n := n + i; END; END FOR; RETURN n; END"
+        )
+        assert r.collect()[0][0] == 15
