@@ -5602,6 +5602,73 @@ def _q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_pattern_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified pattern GROUPS (round 6): ``(U D)+`` matches whole
+    up-down pairs — not expressible with flat quantifiers (``U+ D+``
+    would accept unbalanced runs). The oracle exploits that adjacent
+    pair-starts are impossible (U and D are mutually exclusive on a
+    row), so greedy matches are EXACTLY the step-2 islands of
+    pair-start positions — a pure window rendering whose rows and
+    measures break if the group matcher takes partial pairs, stops
+    non-greedily, or mis-advances after a match."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT * FROM (
+          SELECT user_id, value,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS BIGINT) AS rn
+          FROM events WHERE user_id < 40
+        )
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY rn
+          MEASURES COUNT(*) AS n, FIRST(rn) AS lo_rn, LAST(rn) AS hi_rn
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ((U D)+)
+          DEFINE U AS value > PREV(value),
+                 D AS value < PREV(value)
+        )
+        """
+    )
+
+
+XOP_ORACLES["x68_pattern_groups"] = """
+    WITH ord AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 40
+    ),
+    fl AS (
+      SELECT user_id, rn,
+             value > LAG(value) OVER w AS up,
+             value < LAG(value) OVER w AS dn
+      FROM ord WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    pr AS (
+      SELECT user_id, rn,
+             (up AND LEAD(dn) OVER (PARTITION BY user_id ORDER BY rn))
+               AS p
+      FROM fl
+    ),
+    pairs AS (SELECT user_id, rn FROM pr WHERE p),
+    isl AS (
+      SELECT user_id, rn,
+             rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY rn) AS grp
+      FROM pairs
+    )
+    SELECT user_id, CAST(2 * COUNT(*) AS BIGINT) AS n,
+           MIN(rn) AS lo_rn, MAX(rn) + 1 AS hi_rn
+    FROM isl GROUP BY user_id, grp
+"""
+
+
 def _x_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE through IcebreakerEngine.execute: maximal
     ascending-value runs per user (STRT UP+ with UP AS value >
@@ -5845,6 +5912,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x26_profile": _x_profile,
     "x27_scrub_pii": _x_scrub,
     "x67_normalize_text": _x_normalize_text,
+    "x68_pattern_groups": _x_pattern_groups,
     "x30_chunk_documents": _x_chunk_documents,
     "x31_epoch_shuffle": _x_epoch_shuffle,
     "x32_top_ngrams": _x_top_ngrams,

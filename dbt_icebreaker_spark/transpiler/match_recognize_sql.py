@@ -22,7 +22,7 @@ from typing import Optional
 from ..xops.match_recognize import (
     MatchRecognizeSpec,
     Measure,
-    parse_pattern,
+    parse_pattern_full,
 )
 from .core import TranspileError
 from .tokenizer import (
@@ -272,7 +272,8 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
         raise TranspileError("PATTERN: expected (")
     pclose = find_matching_paren(pat_seg, j)
     try:
-        pattern = parse_pattern(render(pat_seg[j + 1:pclose]).strip())
+        pattern, ptree = parse_pattern_full(
+            render(pat_seg[j + 1:pclose]).strip())
     except ValueError as e:
         raise TranspileError(str(e)) from None
     # DEFINE sym AS cond, ...
@@ -341,6 +342,7 @@ def parse_match_recognize(sql: str) -> Optional[MatchRecognizeStatement]:
         order_by=order_by,
         measures=measures,
         pattern=pattern,
+        tree=ptree,
         defines=defines,
         skip_to_next_row=skip_next,
         all_rows=all_rows,

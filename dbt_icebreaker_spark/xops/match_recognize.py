@@ -26,10 +26,12 @@ refuses actionably at parse time):
   first/last row — overlapping matches; SQL:2016 runtime errors when
   the symbol matched no row or the target would loop).
 - ``PATTERN``: sequences of symbols with greedy quantifiers
-  (``A B+ C* D? E{2} F{1,3}``), optionally joined by TOP-LEVEL
-  alternation (``A B+ | C D``) with SQL:2016 §7.9 preferment order
-  (alternatives try in written order; the first that matches wins) —
-  grouping/anchors/PERMUTE refuse.
+  (``A B+ C* D? E{2} F{1,3}``), top-level alternation (``A B+ | C D``)
+  with SQL:2016 §7.9 preferment order, and — round 6 — quantified
+  GROUPS ``(A B)+`` / ``(A B){n,m}`` with in-group alternation
+  ``(A|B)``, matched by a lazy-generator backtracking tree (a group
+  repetition must consume ≥1 row, bounding recursion by the row
+  count) — anchors (^ $) and PERMUTE refuse.
 - ``DEFINE Sym AS <boolean over current row / PREV(col[,n]) /
   NEXT(col[,n])>``; symbols not defined always match (SQL:2016
   "universal row pattern variable").
@@ -82,6 +84,9 @@ class MatchRecognizeSpec:
     with_unmatched: bool = False  # WITH UNMATCHED ROWS (NULL measures)
     skip_to_symbol: Optional[str] = None  # AFTER MATCH SKIP TO [F|L] sym
     skip_to_first: bool = False  # FIRST vs LAST occurrence of the symbol
+    # parse_pattern_full alternative trees (grouped patterns); None →
+    # derived from the flat terms (paren-free patterns)
+    tree: Optional[list] = None
 
 
 _QUANT_RE = re.compile(
@@ -89,62 +94,130 @@ _QUANT_RE = re.compile(
     r"(?P<q>[*+?]|\{\s*\d+\s*(,\s*\d*\s*)?\})?$"
 )
 
+# pattern-tree nodes (round-6 grouping support):
+#   ("sym", term_index, lo, hi)   — a symbol occurrence; term_index
+#                                    points into the FLAT terms list
+#                                    (whose flags the matcher reads)
+#   ("grp", [nodes], lo, hi)      — a quantified group (A B){n,m}
+#   ("alt", [[nodes], …])         — alternation inside a group (A|B)
+_PTOK_RE = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*|\{\s*\d+\s*(?:,\s*\d*\s*)?\}|[()|*+?]"
+)
 
-def parse_pattern(text: str) -> list[PatternTerm]:
-    """`A B+ C* D? E{2} F{1,3}` → terms; top-level alternation
-    `A B+ | C D` → terms tagged with their alternative id (SQL:2016
-    §7.9 preferment: alternatives try in written order, first match
-    wins). Grouping, anchors (^ $), reluctant (?) suffixes and PERMUTE
-    refuse."""
+
+def _read_quant(toks: list[str], i: int) -> tuple[int, Optional[int], int]:
+    """Quantifier at toks[i] (if any) → (lo, hi, next_index)."""
+    if i < len(toks) and toks[i] in ("*", "+", "?"):
+        q = toks[i]
+        return ({"*": 0, "+": 1, "?": 0}[q],
+                {"*": None, "+": None, "?": 1}[q], i + 1)
+    if i < len(toks) and toks[i].startswith("{"):
+        nums = toks[i].strip("{}").split(",")
+        lo = int(nums[0])
+        hi = (lo if len(nums) == 1
+              else (None if nums[1].strip() == "" else int(nums[1])))
+        if hi is not None and hi < lo:
+            raise ValueError(
+                f"MATCH_RECOGNIZE PATTERN: bad quantifier {toks[i]!r}"
+            )
+        return lo, hi, i + 1
+    return 1, 1, i
+
+
+def parse_pattern_full(text: str):
+    """Parse a PATTERN into (flat terms, top-level alternative trees).
+
+    Grammar (SQL:2016 §7.9 subset): ``alt := seq ('|' seq)*``,
+    ``seq := item+``, ``item := (symbol | '(' alt ')') quant?`` —
+    quantified GROUPS ``(A B)+`` and in-group alternation ``(A|B)``
+    included (round 6). Anchors (^ $), reluctant suffixes, and
+    PERMUTE refuse. The flat terms list holds one entry per SYMBOL
+    OCCURRENCE in written order — the flag table and measure/skip
+    consumers key on it; tree sym nodes index into it."""
     text = text.strip()
-    for bad, why in (
-        ("^", "anchors"), ("$", "anchors"),
-        ("(", "grouping"), ("PERMUTE", "PERMUTE"),
-    ):
+    for bad, why in (("^", "anchors"), ("$", "anchors"),
+                     ("PERMUTE", "PERMUTE")):
         if bad in text.upper():
             raise ValueError(
                 f"MATCH_RECOGNIZE PATTERN: {why} is not supported — "
-                "use sequences of symbols with quantifiers "
-                "(A B+ C* D? E{n,m}), optionally top-level "
-                "alternatives (A B | C)"
+                "use sequences/groups of symbols with quantifiers "
+                "(A (B C)+ D? E{n,m}), with alternation (A B | C)"
             )
     if not text:
         raise ValueError("MATCH_RECOGNIZE PATTERN: empty pattern")
-    terms = []
-    for alt_id, alt_text in enumerate(text.split("|")):
-        alt_terms = []
-        for part in alt_text.split():
-            m = _QUANT_RE.match(part)
-            if not m:
-                raise ValueError(
-                    f"MATCH_RECOGNIZE PATTERN: cannot parse term {part!r}"
-                )
-            q = m.group("q")
-            if q is None:
-                lo, hi = 1, 1
-            elif q == "*":
-                lo, hi = 0, None
-            elif q == "+":
-                lo, hi = 1, None
-            elif q == "?":
-                lo, hi = 0, 1
+    toks = _PTOK_RE.findall(text)
+    if "".join(toks).replace(" ", "") != re.sub(r"\s+", "", text):
+        bad = re.sub(r"\s+", "", text)
+        for tk in toks:
+            bad = bad.replace(tk.replace(" ", ""), "", 1)
+        raise ValueError(
+            f"MATCH_RECOGNIZE PATTERN: cannot parse near {bad[:20]!r}"
+        )
+    terms: list[PatternTerm] = []
+    pos = 0
+    cur_alt = 0
+
+    def parse_alt(i: int):
+        branches = []
+        seq, i = parse_seq(i)
+        branches.append(seq)
+        while i < len(toks) and toks[i] == "|":
+            seq, i = parse_seq(i + 1)
+            branches.append(seq)
+        return branches, i
+
+    def parse_seq(i: int):
+        nodes = []
+        while i < len(toks) and toks[i] not in ("|", ")"):
+            tk = toks[i]
+            if tk == "(":
+                branches, i = parse_alt(i + 1)
+                if i >= len(toks) or toks[i] != ")":
+                    raise ValueError(
+                        "MATCH_RECOGNIZE PATTERN: unclosed group"
+                    )
+                lo, hi, i = _read_quant(toks, i + 1)
+                inner = (branches[0] if len(branches) == 1
+                         else [("alt", branches)])
+                nodes.append(("grp", inner, lo, hi))
+            elif _QUANT_RE.match(tk) and tk not in ("*", "+", "?"):
+                lo, hi, i2 = _read_quant(toks, i + 1)
+                terms.append(PatternTerm(tk.upper(), lo, hi, alt=cur_alt))
+                nodes.append(("sym", len(terms) - 1, lo, hi))
+                i = i2
             else:
-                nums = q.strip("{}").split(",")
-                lo = int(nums[0])
-                hi = (
-                    lo if len(nums) == 1
-                    else (None if nums[1].strip() == "" else int(nums[1]))
+                raise ValueError(
+                    f"MATCH_RECOGNIZE PATTERN: cannot parse term {tk!r}"
                 )
-            alt_terms.append(PatternTerm(m.group("sym").upper(), lo, hi, alt_id))
-        if not alt_terms:
+        if not nodes:
             raise ValueError(
-                "MATCH_RECOGNIZE PATTERN: empty alternative (a '|' with "
-                "nothing on one side)"
+                "MATCH_RECOGNIZE PATTERN: empty sequence/branch"
             )
-        terms.extend(alt_terms)
-    if not terms:
-        raise ValueError("MATCH_RECOGNIZE PATTERN: empty pattern")
-    return terms
+        return nodes, i
+
+    # top-level alternatives keep their written-order ids (preferment
+    # + the zero-width fallthrough the flat matcher always had)
+    alts: list[list] = []
+    i = pos
+    while True:
+        cur_alt = len(alts)
+        seq, i = parse_seq(i)
+        alts.append(seq)
+        if i < len(toks) and toks[i] == "|":
+            i += 1
+            continue
+        break
+    if i < len(toks):
+        raise ValueError(
+            f"MATCH_RECOGNIZE PATTERN: unexpected {toks[i]!r}"
+        )
+    return terms, alts
+
+
+def parse_pattern(text: str) -> list[PatternTerm]:
+    """Back-compat wrapper: flat terms only (the tree is derivable for
+    paren-free patterns; grouped patterns need parse_pattern_full)."""
+    return parse_pattern_full(text)[0]
 
 
 def _alt_spans(terms: list[PatternTerm]) -> list[tuple[int, int]]:
@@ -161,43 +234,80 @@ def _alt_spans(terms: list[PatternTerm]) -> list[tuple[int, int]]:
     return [(lo, hi) for lo, hi in spans]
 
 
-def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int):
+def _tree_from_terms(terms: list[PatternTerm]) -> list[list]:
+    """Paren-free tree: one sequence of sym nodes per top-level
+    alternative span (the flat matcher's historical shape)."""
+    return [
+        [("sym", k, terms[k].min_n, terms[k].max_n)
+         for k in range(lo, hi)]
+        for lo, hi in _alt_spans(terms)
+    ]
+
+
+def _gen_seq(flags, nodes, k, pos, n):
+    """Lazily yield every (end, assignment) for nodes[k:] starting at
+    pos, in greedy/preferment order — the generator IS the
+    backtracking stack."""
+    if k == len(nodes):
+        yield pos, []
+        return
+    for e1, a1 in _gen_node(flags, nodes[k], pos, n):
+        for e2, a2 in _gen_seq(flags, nodes, k + 1, e1, n):
+            yield e2, a1 + a2
+
+
+def _gen_node(flags, node, pos, n):
+    kind = node[0]
+    if kind == "sym":
+        _, ti, lo, hi = node
+        fl = flags[ti]
+        max_take = 0
+        while (
+            pos + max_take < n
+            and (hi is None or max_take < hi)
+            and fl[pos + max_take]
+        ):
+            max_take += 1
+        for take in range(max_take, lo - 1, -1):
+            yield pos + take, [ti] * take
+        return
+    if kind == "grp":
+        _, children, lo, hi = node
+        yield from _gen_group(flags, children, pos, n, 0, lo, hi)
+        return
+    # ("alt", branches): SQL:2016 preferment — branches in written order
+    for branch in node[1]:
+        yield from _gen_seq(flags, branch, 0, pos, n)
+
+
+def _gen_group(flags, children, pos, n, count, lo, hi):
+    """Quantified group: greedily try one more repetition first. A
+    repetition must consume ≥1 row (a zero-width repetition would
+    loop), which also bounds the recursion depth by the row count."""
+    if hi is None or count < hi:
+        for e1, a1 in _gen_seq(flags, children, 0, pos, n):
+            if e1 > pos:
+                for e2, a2 in _gen_group(
+                    flags, children, e1, n, count + 1, lo, hi
+                ):
+                    yield e2, a1 + a2
+    if count >= lo:
+        yield pos, []
+
+
+def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
+              tree: Optional[list] = None):
     """Greedy backtracking match beginning at row `start`. Top-level
     alternatives try in written order (SQL:2016 preferment) — the
     first alternative that matches wins, even when a later one would
-    match more rows. flags[k][i] = row i satisfies symbol k (flat term
-    index). Returns (end_exclusive, assignment list of flat term
-    indices per row) or None."""
-
-    for lo, hi in _alt_spans(terms):
-
-        def rec(ti: int, pos: int):
-            if ti == hi:
-                return pos, []
-            t = terms[ti]
-            fl = flags[ti]
-            # count how many rows CAN extend greedily
-            max_take = 0
-            while (
-                pos + max_take < n
-                and (t.max_n is None or max_take < t.max_n)
-                and fl[pos + max_take]
-            ):
-                max_take += 1
-            take = max_take
-            while take >= t.min_n:
-                rest = rec(ti + 1, pos + take)
-                if rest is not None:
-                    end, assign = rest
-                    return end, [ti] * take + assign
-                take -= 1
-            return None
-
-        out = rec(lo, start)
-        if out is not None:
-            end, assign = out
+    match more rows. flags[k][i] = row i satisfies flat term k.
+    Returns (end_exclusive, assignment list of flat term indices per
+    row) or None."""
+    alts = tree if tree is not None else _tree_from_terms(terms)
+    for nodes in alts:
+        for end, assign in _gen_seq(flags, nodes, 0, start, n):
             if end == start:
-                continue  # zero-width alternative: try the next one
+                break  # zero-width alternative: try the next one
             return end, assign
     return None
 
@@ -423,6 +533,7 @@ def match_recognize(
         )
     out_schema = StructType(out_fields)
     terms = spec.pattern
+    tree = spec.tree
     measures = spec.measures
     pk = spec.partition_by
     ob = spec.order_by
@@ -448,7 +559,7 @@ def match_recognize(
         match_no = 0
         pos = 0
         while pos < n:
-            hit = _match_at(flags, terms, pos, n)
+            hit = _match_at(flags, terms, pos, n, tree)
             if hit is None:
                 pos += 1
                 continue

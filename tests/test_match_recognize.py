@@ -370,7 +370,8 @@ class TestRefusals:
     @pytest.mark.parametrize(
         "body,msg",
         [
-            ("PATTERN ((A B) C) DEFINE A AS x > 1", "grouping"),
+            ("PATTERN (PERMUTE(A, B)) DEFINE A AS x > 1", "PERMUTE"),
+            ("PATTERN (^ A $) DEFINE A AS x > 1", "anchors"),
             ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH OMIT "
              "EMPTY MATCHES PATTERN (A)", "EMPTY"),
             ("MEASURES COUNT(*) AS n PATTERN (A) "
@@ -563,3 +564,97 @@ class TestParseDetails:
         m0, m1 = stmt.spec.measures
         assert (m0.fn, m0.name) == ("match_number", "mn")
         assert (m1.fn, m1.symbol, m1.col) == ("first", "B", "v")
+
+
+class TestPatternGroups:
+    """Round-6 quantified groups (A B)+ and in-group alternation."""
+
+    def _df(self, spark, vals):
+        return spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)], ["g", "ts", "x"]
+        )
+
+    def _spec(self, pattern, defines, measures=None):
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            MatchRecognizeSpec, Measure, parse_pattern_full,
+        )
+
+        terms, tree = parse_pattern_full(pattern)
+        return MatchRecognizeSpec(
+            partition_by=["g"],
+            order_by=["ts"],
+            measures=measures or [
+                Measure("n", "count", None, None),
+                Measure("lo", "first", None, "ts"),
+                Measure("hi", "last", None, "ts"),
+            ],
+            pattern=terms,
+            defines=defines,
+            tree=tree,
+        )
+
+    def test_group_plus_pairs(self, spark):
+        from dbt_icebreaker_spark.xops.match_recognize import match_recognize
+
+        # (A B)+ must match whole PAIRS: A=even value, B=odd value
+        df = self._df(spark, [2, 3, 4, 5, 6, 8])  # A B A B A A
+        spec = self._spec(
+            "(A B)+", {"A": "x % 2 = 0", "B": "x % 2 = 1"}
+        )
+        rows = match_recognize(df, spec).collect()
+        # greedy: rows 0-3 (two pairs); row 4 (6) starts no pair (8 even)
+        assert [(r.n, r.lo, r.hi) for r in rows] == [(4, 0, 3)]
+
+    def test_group_quantifier_bounds(self, spark):
+        from dbt_icebreaker_spark.xops.match_recognize import match_recognize
+
+        df = self._df(spark, [2, 3, 4, 5, 6, 7, 8, 9])  # 4 pairs
+        spec = self._spec(
+            "(A B){1,2}", {"A": "x % 2 = 0", "B": "x % 2 = 1"}
+        )
+        rows = match_recognize(df, spec).collect()
+        # greedy max 2 pairs per match -> two matches of 4 rows each
+        assert [(r.n, r.lo, r.hi) for r in rows] == [(4, 0, 3), (4, 4, 7)]
+
+    def test_group_alternation_inside(self, spark):
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            Measure, match_recognize,
+        )
+
+        # S (U|D)+ : a start row then any run of ups or downs
+        df = self._df(spark, [10, 12, 9, 15, 15])
+        spec = self._spec(
+            "S (U | D)+",
+            {"U": "x > PREV(x)", "D": "x < PREV(x)"},
+            measures=[Measure("n", "count", None, None),
+                      Measure("ups", "count", "U", None)],
+        )
+        rows = match_recognize(df, spec).collect()
+        assert [(r.n, r.ups) for r in rows] == [(4, 2)]  # 12↑ 9↓ 15↑, 15 stops
+
+    def test_nested_groups(self, spark):
+        from dbt_icebreaker_spark.xops.match_recognize import match_recognize
+
+        df = self._df(spark, [2, 3, 3, 2, 3, 3, 7])
+        spec = self._spec(
+            "(A (B){2})+", {"A": "x = 2", "B": "x = 3"}
+        )
+        rows = match_recognize(df, spec).collect()
+        assert [(r.n, r.lo, r.hi) for r in rows] == [(6, 0, 5)]
+
+    def test_grouped_sql_path(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark, schema="mr_grp")
+        spark.createDataFrame(
+            [(1, 1, 2), (1, 2, 3), (1, 3, 4), (1, 4, 5), (1, 5, 9)],
+            ["g", "ts", "x"],
+        ).createOrReplaceTempView("mr_grp_t")
+        rows = eng.execute(
+            "SELECT * FROM mr_grp_t MATCH_RECOGNIZE ("
+            "PARTITION BY g ORDER BY ts "
+            "MEASURES COUNT(*) AS n, FIRST(ts) AS lo "
+            "PATTERN ((E O)+) "
+            "DEFINE E AS x % 2 = 0, O AS x % 2 = 1)"
+        ).collect()
+        assert [(r.n, r.lo) for r in rows] == [(4, 1)]
