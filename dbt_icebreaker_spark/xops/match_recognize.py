@@ -29,17 +29,22 @@ refuses actionably at parse time):
   (``A B+ C* D? E{2} F{1,3}``), top-level alternation (``A B+ | C D``)
   with SQL:2016 §7.9 preferment order, and — round 6 — quantified
   GROUPS ``(A B)+`` / ``(A B){n,m}`` with in-group alternation
-  ``(A|B)``, matched by a lazy-generator backtracking tree (a group
-  repetition must consume ≥1 row, bounding recursion by the row
-  count) — anchors (^ $) and PERMUTE refuse.
+  ``(A|B)``. Patterns compile to a small backtracking-VM program
+  (char/split/jmp/mark/loopchk — regex-engine style) run ITERATIVELY
+  with an explicit choice stack (no recursion — a 50k-row group match
+  is fine), a visited-state set (overlapping alternation stays
+  polynomial), and the standard empty-loop check (a required
+  repetition may legitimately match empty; only the LOOP is cut) —
+  anchors (^ $) and PERMUTE refuse.
 - ``DEFINE Sym AS <boolean over current row / PREV(col[,n]) /
   NEXT(col[,n])>``; symbols not defined always match (SQL:2016
   "universal row pattern variable").
 
 Scale notes: per-partition rows must fit one Arrow batch (the same
 contract as every sessionization operator — Flink CEP distributes the
-same way); the matcher is O(rows × pattern backtracking), with
-backtracking bounded by quantifier spans, and emits one row per match
+same way); the matcher is the compiled backtracking VM above —
+O(program × rows) states per start position via the visited set —
+and emits one row per match
 — output ≪ input. The boolean evaluation stays whole-stage-codegen
 JVM work; Python sees only (order keys, K boolean flags, measure
 source columns).
@@ -146,7 +151,7 @@ def parse_pattern_full(text: str):
     if not text:
         raise ValueError("MATCH_RECOGNIZE PATTERN: empty pattern")
     toks = _PTOK_RE.findall(text)
-    if "".join(toks).replace(" ", "") != re.sub(r"\s+", "", text):
+    if re.sub(r"\s+", "", "".join(toks)) != re.sub(r"\s+", "", text):
         bad = re.sub(r"\s+", "", text)
         for tk in toks:
             bad = bad.replace(tk.replace(" ", ""), "", 1)
@@ -215,9 +220,22 @@ def parse_pattern_full(text: str):
 
 
 def parse_pattern(text: str) -> list[PatternTerm]:
-    """Back-compat wrapper: flat terms only (the tree is derivable for
-    paren-free patterns; grouped patterns need parse_pattern_full)."""
-    return parse_pattern_full(text)[0]
+    """Back-compat wrapper: flat terms only. A grouped pattern would
+    silently lose its group quantifiers here, so it raises — use
+    parse_pattern_full and pass the tree on the spec."""
+    terms, tree = parse_pattern_full(text)
+
+    def has_struct(nodes):
+        return any(nd[0] in ("grp", "alt") or
+                   (nd[0] == "grp" and has_struct(nd[1])) for nd in nodes)
+
+    if any(has_struct(nodes) for nodes in tree):
+        raise ValueError(
+            "MATCH_RECOGNIZE PATTERN: grouped patterns need "
+            "parse_pattern_full (set MatchRecognizeSpec.tree) — the "
+            "flat term list alone cannot carry group quantifiers"
+        )
+    return terms
 
 
 def _alt_spans(terms: list[PatternTerm]) -> list[tuple[int, int]]:
@@ -244,71 +262,163 @@ def _tree_from_terms(terms: list[PatternTerm]) -> list[list]:
     ]
 
 
-def _gen_seq(flags, nodes, k, pos, n):
-    """Lazily yield every (end, assignment) for nodes[k:] starting at
-    pos, in greedy/preferment order — the generator IS the
-    backtracking stack."""
-    if k == len(nodes):
-        yield pos, []
-        return
-    for e1, a1 in _gen_node(flags, nodes[k], pos, n):
-        for e2, a2 in _gen_seq(flags, nodes, k + 1, e1, n):
-            yield e2, a1 + a2
+def _compile_program(nodes) -> tuple[list, int]:
+    """Compile one alternative's node sequence to a backtracking-VM
+    program (regex-engine style). Instructions:
+
+    - ``("char", ti)``       consume one row where flags[ti] holds
+    - ``("split", a, b)``    try pc=a first (greedy/preferment), b on
+                             backtrack
+    - ``("jmp", t)``
+    - ``("mark", s)``        regs[s] = current pos (loop-entry marker)
+    - ``("loopchk", s, L, E)`` pos advanced since mark → loop to L,
+                             else exit to E (regex empty-loop check —
+                             a legitimately-empty required repetition
+                             still matches, only the LOOP is cut)
+    - ``("match",)``
+
+    Returns (program, number of marker slots)."""
+    prog: list = []
+    slots = [0]
+
+    def emit(op):
+        prog.append(op)
+        return len(prog) - 1
+
+    def compile_nodes(seq):
+        for node in seq:
+            kind = node[0]
+            if kind == "sym":
+                _, ti, lo, hi = node
+                for _ in range(lo):
+                    emit(("char", ti))
+                if hi is None:
+                    lpc = emit(("split", None, None))
+                    emit(("char", ti))
+                    emit(("jmp", lpc))
+                    prog[lpc] = ("split", lpc + 1, len(prog))
+                else:
+                    fixes = []
+                    for _ in range(hi - lo):
+                        fixes.append(emit(("split", None, None)))
+                        emit(("char", ti))
+                    for spc in fixes:
+                        prog[spc] = ("split", spc + 1, len(prog))
+            elif kind == "grp":
+                _, children, lo, hi = node
+                for _ in range(lo):
+                    compile_nodes(children)
+                if hi is None:
+                    s = slots[0]
+                    slots[0] += 1
+                    lpc = emit(("split", None, None))
+                    emit(("mark", s))
+                    compile_nodes(children)
+                    cpc = emit(("loopchk", s, None, None))
+                    prog[lpc] = ("split", lpc + 1, len(prog))
+                    # loop back to the SPLIT so each iteration pushes
+                    # its own exit choice (greedy with per-iteration
+                    # backtrack points)
+                    prog[cpc] = ("loopchk", s, lpc, len(prog))
+                else:
+                    fixes = []
+                    for _ in range(hi - lo):
+                        fixes.append(emit(("split", None, None)))
+                        compile_nodes(children)
+                    for spc in fixes:
+                        prog[spc] = ("split", spc + 1, len(prog))
+            else:  # ("alt", branches) — written-order preferment
+                branches = node[1]
+                jmps = []
+                for bi, br in enumerate(branches):
+                    if bi < len(branches) - 1:
+                        spc = emit(("split", None, None))
+                        compile_nodes(br)
+                        jmps.append(emit(("jmp", None)))
+                        prog[spc] = ("split", spc + 1, len(prog))
+                    else:
+                        compile_nodes(br)
+                end = len(prog)
+                for jpc in jmps:
+                    prog[jpc] = ("jmp", end)
+
+    compile_nodes(nodes)
+    emit(("match",))
+    return prog, slots[0]
 
 
-def _gen_node(flags, node, pos, n):
-    kind = node[0]
-    if kind == "sym":
-        _, ti, lo, hi = node
-        fl = flags[ti]
-        max_take = 0
-        while (
-            pos + max_take < n
-            and (hi is None or max_take < hi)
-            and fl[pos + max_take]
-        ):
-            max_take += 1
-        for take in range(max_take, lo - 1, -1):
-            yield pos + take, [ti] * take
-        return
-    if kind == "grp":
-        _, children, lo, hi = node
-        yield from _gen_group(flags, children, pos, n, 0, lo, hi)
-        return
-    # ("alt", branches): SQL:2016 preferment — branches in written order
-    for branch in node[1]:
-        yield from _gen_seq(flags, branch, 0, pos, n)
-
-
-def _gen_group(flags, children, pos, n, count, lo, hi):
-    """Quantified group: greedily try one more repetition first. A
-    repetition must consume ≥1 row (a zero-width repetition would
-    loop), which also bounds the recursion depth by the row count."""
-    if hi is None or count < hi:
-        for e1, a1 in _gen_seq(flags, children, 0, pos, n):
-            if e1 > pos:
-                for e2, a2 in _gen_group(
-                    flags, children, e1, n, count + 1, lo, hi
-                ):
-                    yield e2, a1 + a2
-    if count >= lo:
-        yield pos, []
+def _vm_match(flags, prog, nslots, start, n):
+    """Iterative backtracking over a compiled program: an explicit
+    choice stack (no Python recursion — depth 0 regardless of match
+    length), a consumed-row trail materialized only on success, and a
+    visited-state set. A revisited (pc, pos, regs) state on a search
+    that has not yet succeeded can only repeat a failing subtree, so
+    it fails fast — overlapping in-group alternation stays polynomial
+    instead of exponential."""
+    stack: list = []   # (pc, pos, trail_len, regs)
+    trail: list = []   # flat term index per consumed row
+    regs = (-1,) * nslots
+    seen: set = set()
+    pc, pos = 0, start
+    while True:
+        state = (pc, pos, regs)
+        if state in seen:
+            op = None  # force backtrack
+        else:
+            seen.add(state)
+            op = prog[pc]
+        if op is not None:
+            kind = op[0]
+            if kind == "char":
+                ti = op[1]
+                if pos < n and flags[ti][pos]:
+                    trail.append(ti)
+                    pos += 1
+                    pc += 1
+                    continue
+            elif kind == "split":
+                stack.append((op[2], pos, len(trail), regs))
+                pc = op[1]
+                continue
+            elif kind == "jmp":
+                pc = op[1]
+                continue
+            elif kind == "mark":
+                r = list(regs)
+                r[op[1]] = pos
+                regs = tuple(r)
+                pc += 1
+                continue
+            elif kind == "loopchk":
+                pc = op[2] if pos > regs[op[1]] else op[3]
+                continue
+            else:  # match
+                return pos, trail[:]
+        # backtrack
+        if not stack:
+            return None
+        pc, pos, tl, regs = stack.pop()
+        del trail[tl:]
 
 
 def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
-              tree: Optional[list] = None):
+              progs: Optional[list] = None):
     """Greedy backtracking match beginning at row `start`. Top-level
     alternatives try in written order (SQL:2016 preferment) — the
     first alternative that matches wins, even when a later one would
     match more rows. flags[k][i] = row i satisfies flat term k.
     Returns (end_exclusive, assignment list of flat term indices per
-    row) or None."""
-    alts = tree if tree is not None else _tree_from_terms(terms)
-    for nodes in alts:
-        for end, assign in _gen_seq(flags, nodes, 0, start, n):
-            if end == start:
-                break  # zero-width alternative: try the next one
-            return end, assign
+    row) or None. ``progs`` are precompiled per-alternative programs
+    (derived from the flat terms when absent)."""
+    if progs is None:
+        progs = [
+            _compile_program(nodes) for nodes in _tree_from_terms(terms)
+        ]
+    for prog, nslots in progs:
+        hit = _vm_match(flags, prog, nslots, start, n)
+        if hit is not None and hit[0] > start:
+            return hit
+        # zero-width (or no) match: try the next alternative
     return None
 
 
@@ -533,7 +643,9 @@ def match_recognize(
         )
     out_schema = StructType(out_fields)
     terms = spec.pattern
-    tree = spec.tree
+    alts_tree = spec.tree if spec.tree is not None else _tree_from_terms(
+        spec.pattern)
+    progs = [_compile_program(nodes) for nodes in alts_tree]
     measures = spec.measures
     pk = spec.partition_by
     ob = spec.order_by
@@ -559,7 +671,7 @@ def match_recognize(
         match_no = 0
         pos = 0
         while pos < n:
-            hit = _match_at(flags, terms, pos, n, tree)
+            hit = _match_at(flags, terms, pos, n, progs)
             if hit is None:
                 pos += 1
                 continue
