@@ -262,6 +262,49 @@ def main() -> None:
         lambda: {"matches": match_recognize(evN_deep, mr_spec()).count()},
     )
 
+    # round-6: grouped pattern ((U D)+) through the compiled
+    # backtracking VM — wall time must track the deep partition like
+    # the flat pattern does (the VM is iterative; no recursion limit)
+    def mr_group_spec():
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            parse_pattern_full,
+        )
+
+        terms, tree = parse_pattern_full("(U D)+")
+        return MatchRecognizeSpec(
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            measures=[Measure("n", "count", None, None)],
+            pattern=terms,
+            defines={"U": "value > PREV(value)",
+                     "D": "value < PREV(value)"},
+            tree=tree,
+        )
+
+    # alternate values across replicas so the deep fixture carries
+    # genuine LONG up-down pair runs (equal replicated values would
+    # produce zero pairs and a meaningless timing)
+    evN_alt = (
+        ev1.crossJoin(rep)
+        .select(
+            "user_id", "ts",
+            (F.col("event_id") * REPLICAS + F.col("r")).alias("event_id"),
+            "event_type",
+            (F.col("value") + (F.col("r") % 2) * F.lit(10000.0))
+            .alias("value"),
+        )
+        .localCheckpoint()
+    )
+    timed(
+        "mr_groups_1x",
+        lambda: {"matches": match_recognize(ev1, mr_group_spec()).count()},
+    )
+    timed(
+        "mr_groups_Nx_alt_deep",
+        lambda: {"matches": match_recognize(
+            evN_alt, mr_group_spec()).count()},
+    )
+
     # q68 ASOF at N× with a HOT key: half of all click rows forced
     # onto user 0. The round-5 interval rewrite must plan as a plain
     # equi-join + window (the r4 LATERAL form fell into a domain
