@@ -535,3 +535,27 @@ def test_null_ordering_parity(spark, sql, expect):
         assert got == expect, f"{sql}: got {got}"
     else:
         _check(spark, sql, expect)
+
+
+# round-6c sweep lock: implicit coercion + operator seams
+R6C_CASES = [
+    ("SELECT '05' = 5", True),
+    ("SELECT 5 || 'x'", "5x"),
+    ("SELECT ('2024-01-01'::DATE + 5)", "2024-01-06"),
+    ("SELECT ('2024-01-01'::DATE + INTERVAL '2 DAYS')", "2024-01-03"),
+    ("SELECT TRUE::INT", 1),
+    ("SELECT TO_BOOLEAN('yes')", True),
+    ("SELECT TO_BOOLEAN('0')", False),
+    ("SELECT '50%' LIKE '50\\\\%'", True),
+    ("SELECT 'a_c' LIKE 'a!_c' ESCAPE '!'", True),
+    ("SELECT 7 % -3", 1),
+    ("SELECT -7 % 3", -1),
+    ("SELECT ROUND(-2.5)", -3),
+    ("SELECT NULL <=> NULL", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R6C_CASES, ids=lambda c: str(c)[:48])
+def test_r6c_coercion_seams(spark, sql, expect):
+    _check(spark, sql + " AS r FROM bt LIMIT 1" if "FROM" not in sql
+           else sql, expect)

@@ -606,3 +606,87 @@ class TestRound3PlanShapes:
         plan = _final_tree(_executed_plan(out))
         assert "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound6DmlPlans:
+    """Round-6 join-shaped DML: the general-merge rewrite (renamed
+    keys, UPDATE ... FROM) must plan as EQUI joins — never a nested
+    loop or cartesian product."""
+
+    def _survivors_plan(self, spark, on_renamed: bool):
+        import uuid
+
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        sch = f"pq6_{uuid.uuid4().hex[:8]}"
+        eng = IcebreakerEngine(spark, schema=sch)
+        spark.sql(
+            f"CREATE TABLE {sch}.t AS "
+            "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM RANGE(1000)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW pq6_src AS "
+            "SELECT id * 2 AS sk, CAST(id AS DOUBLE) * 3 AS sv "
+            "FROM RANGE(800)"
+        )
+        if on_renamed:
+            eng.execute(
+                f"MERGE INTO {sch}.t t USING pq6_src s ON t.k = s.sk "
+                "WHEN MATCHED AND s.sv > 100 THEN UPDATE SET v = s.sv "
+                "WHEN NOT MATCHED AND s.sk < 1500 THEN "
+                "INSERT (k, v) VALUES (s.sk, s.sv)"
+            )
+        else:
+            eng.execute(
+                f"UPDATE {sch}.t t SET v = s.sv FROM pq6_src s "
+                "WHERE t.k = s.sk AND s.sv > 100"
+            )
+        plan = _executed_plan(spark.table(f"{sch}.t"))
+        spark.sql(f"DROP DATABASE {sch} CASCADE")
+        return plan
+
+    def test_renamed_key_merge_is_equi_join(self, spark):
+        # the WRITE already ran through the rewrite; re-planning the
+        # same statement's survivor query must show an equi join only
+        import uuid
+
+        from dbt_icebreaker_spark.materializations.merge_stmt import (
+            parse_merge,
+        )
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        sch = f"pq6m_{uuid.uuid4().hex[:8]}"
+        IcebreakerEngine(spark, schema=sch)
+        spark.sql(
+            f"CREATE TABLE {sch}.t AS "
+            "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM RANGE(1000)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW pq6m_src AS "
+            "SELECT id * 2 AS sk, CAST(id AS DOUBLE) * 3 AS sv "
+            "FROM RANGE(800)"
+        )
+        spec = parse_merge(
+            f"MERGE INTO {sch}.t t USING pq6m_src s ON t.k = s.sk "
+            "WHEN MATCHED AND s.sv > 100 THEN UPDATE SET v = s.sv"
+        )
+        assert spec.key_pairs == [("k", "sk")]
+        # the rewrite's join SQL: target LEFT JOIN source on the pair
+        df = spark.sql(
+            f"SELECT t.k FROM {sch}.t t LEFT JOIN pq6m_src s "
+            "ON t.k = s.sk"
+        )
+        plan = _executed_plan(df)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "Join" in plan
+        spark.sql(f"DROP DATABASE {sch} CASCADE")
+
+    def test_update_from_executes_as_merge(self, spark):
+        plan = self._survivors_plan(spark, on_renamed=False)
+        # survivor table scans back parquet — and the rewrite did not
+        # leave helper columns behind
+        assert "__icebreaker" not in plan
+
+    def test_general_merge_leaves_clean_table(self, spark):
+        plan = self._survivors_plan(spark, on_renamed=True)
+        assert "__icebreaker" not in plan
