@@ -24,6 +24,7 @@ from .transpiler.tokenizer import (
     find_matching_paren,
     next_code,
     render,
+    render_code,
     split_args,
     tokenize,
 )
@@ -113,6 +114,121 @@ def whole_input_is_unquoted_procedure(sql: str) -> bool:
     return False
 
 
+def _scan_block_end(code, begin_i: int) -> Optional[int]:
+    """Index (into ``code``, a WS/COMMENT-free token list) of the END
+    closing the BEGIN at ``begin_i`` — tracks nested BEGIN/IF/FOR/
+    WHILE/CASE … END pairs. None when unterminated (caller falls back
+    to whole-input behavior and downstream raises actionably)."""
+
+    def stmt_head(j: int) -> bool:
+        if j == 0:
+            return True
+        t = code[j - 1]
+        return t.is_op(";") or t.is_word(
+            "BEGIN", "THEN", "ELSE", "DO", "LOOP")
+
+    stack = ["BEGIN"]
+    j = begin_i + 1
+    n = len(code)
+    while j < n:
+        t = code[j]
+        if t.kind == WORD:
+            u = t.upper
+            if u == "CASE":
+                stack.append("CASE")
+            elif u in ("IF", "FOR", "WHILE") and stmt_head(j):
+                stack.append(u)
+            elif u == "BEGIN" and stmt_head(j):
+                nxt = code[j + 1] if j + 1 < n else None
+                if not (nxt is not None
+                        and nxt.is_word("TRANSACTION", "WORK", "NAME")):
+                    stack.append("BEGIN")
+            elif u == "END":
+                nxt = code[j + 1] if j + 1 < n else None
+                if nxt is not None and nxt.kind == WORD \
+                        and nxt.upper in ("IF", "FOR", "WHILE"):
+                    if stack and stack[-1] == nxt.upper:
+                        stack.pop()
+                    j += 2
+                    continue
+                if stack:
+                    stack.pop()
+                if not stack:
+                    return j
+        j += 1
+    return None
+
+
+def split_unquoted_procedure(sql: str) -> tuple[str, Optional[str]]:
+    """Split a whole-input unquoted-body CREATE PROCEDURE into
+    (create_statement, trailing_sql_or_None). Without this, any
+    statements after the body block's END would be silently absorbed
+    into the stored body and never execute. A block body ends at its
+    matching END; a single-statement body ends at the first depth-0
+    ';'. When the end can't be located the whole input stays one
+    statement (previous behavior)."""
+    toks = tokenize(sql)
+    code, code_idx = [], []
+    for ti, t in enumerate(toks):
+        if t.kind not in (WS, COMMENT):
+            code.append(t)
+            code_idx.append(ti)
+    # locate the body start: the depth-0 AS that isn't EXECUTE AS
+    depth = 0
+    body_k = None
+    for k, t in enumerate(code):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.is_word("AS"):
+            if k > 0 and code[k - 1].is_word("EXECUTE"):
+                continue
+            body_k = k + 1
+            break
+    if body_k is None or body_k >= len(code):
+        return sql, None
+    t0 = code[body_k]
+    end_k: Optional[int] = None
+    if t0.is_word("BEGIN"):
+        end_k = _scan_block_end(code, body_k)
+    elif t0.is_word("DECLARE"):
+        d2 = 0
+        for k2 in range(body_k + 1, len(code)):
+            tt = code[k2]
+            if tt.is_op("("):
+                d2 += 1
+            elif tt.is_op(")"):
+                d2 -= 1
+            elif d2 == 0 and tt.is_word("BEGIN"):
+                end_k = _scan_block_end(code, k2)
+                break
+    else:
+        # unquoted non-block body: one statement (Snowflake requires
+        # BEGIN…END or $$ quoting for more)
+        d2 = 0
+        for k2 in range(body_k, len(code)):
+            tt = code[k2]
+            if tt.is_op("("):
+                d2 += 1
+            elif tt.is_op(")"):
+                d2 -= 1
+            elif d2 == 0 and tt.is_op(";"):
+                end_k = k2 - 1
+                break
+        if end_k is None:
+            end_k = len(code) - 1
+    if end_k is None:
+        return sql, None
+    after = end_k + 1
+    if after < len(code) and code[after].is_op(";"):
+        after += 1
+    if after >= len(code):
+        return sql, None
+    return (render(toks[:code_idx[after]]).strip(),
+            render(toks[code_idx[after]:]).strip() or None)
+
+
 def parse_create_procedure(raw: str) -> Optional[Procedure]:
     """Parse ``CREATE [OR REPLACE] PROCEDURE name(arg TYPE [DEFAULT e],
     …) RETURNS <type>|TABLE(…) [LANGUAGE SQL] [properties…] AS <body>``.
@@ -163,15 +279,15 @@ def parse_create_procedure(raw: str) -> Optional[Procedure]:
                 "type"
             )
         spark_type, after = _cf_map_type(seg, j)
-        sf_type = render(seg[j:after]).strip() if after <= len(seg) else ""
+        sf_type = render_code(seg[j:after]).strip() if after <= len(seg) else ""
         default_sql = None
         if after < len(seg):
             if seg[after].is_word("DEFAULT"):
-                default_sql = render(seg[after + 1:]).strip()
+                default_sql = render_code(seg[after + 1:]).strip()
             else:
                 raise ProcedureError(
                     f"CREATE PROCEDURE {name}: unexpected "
-                    f"{render(seg[after:]).strip()!r} after argument "
+                    f"{render_code(seg[after:]).strip()!r} after argument "
                     f"{a_name!r}"
                 )
         args.append(ProcArg(a_name, sf_type, spark_type, default_sql))
@@ -314,14 +430,14 @@ def parse_call(raw: str):
                 len(seg) >= 2 and seg[0].kind == WORD
                 and seg[1].is_op("=>")
             ):
-                named[seg[0].text.lower()] = render(seg[2:]).strip()
+                named[seg[0].text.lower()] = render_code(seg[2:]).strip()
             else:
                 if named:
                     raise ProcedureError(
                         f"CALL {name}: positional argument after a "
                         "named one"
                     )
-                pos_args.append(render(seg).strip())
+                pos_args.append(render_code(seg).strip())
     return (name, pos_args, named)
 
 
@@ -367,8 +483,95 @@ def drop_procedure(engine, name: str, arity, if_exists: bool) -> bool:
     )
 
 
-def _resolve_overload(engine, name: str, n_supplied: int,
+# type families for overload resolution (both Snowflake and mapped
+# Spark spellings appear in ProcArg fields)
+_TYPE_FAMILY = {
+    **dict.fromkeys(
+        ("INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "BYTEINT",
+         "LONG"), "int"),
+    **dict.fromkeys(
+        ("NUMBER", "NUMERIC", "DECIMAL", "DEC", "FLOAT", "FLOAT4",
+         "FLOAT8", "DOUBLE", "REAL"), "num"),
+    **dict.fromkeys(
+        ("VARCHAR", "CHAR", "CHARACTER", "STRING", "TEXT"), "str"),
+    **dict.fromkeys(("BOOLEAN", "BOOL"), "bool"),
+    "DATE": "date",
+    **dict.fromkeys(
+        ("TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ", "TIMESTAMP_TZ",
+         "DATETIME"), "timestamp"),
+    "TIME": "time",
+}
+
+
+def _type_family(type_sql: str) -> Optional[str]:
+    head = type_sql.strip().split("(")[0].strip().upper()
+    return _TYPE_FAMILY.get(head)
+
+
+def _arg_family(sql: str) -> Optional[str]:
+    """Best-effort type family of a CALL argument's SQL text — literal
+    shapes and explicit casts only; anything else is unknown (None),
+    which matches every overload neutrally."""
+    from .transpiler.tokenizer import NUMBER, OP
+
+    code = [t for t in tokenize(sql) if t.kind not in (WS, COMMENT)]
+    if not code:
+        return None
+    # strip one unary sign
+    if len(code) >= 2 and code[0].is_op("-", "+"):
+        code = code[1:]
+    # trailing ::TYPE cast at depth 0 wins
+    if len(code) >= 2 and code[-1].kind == WORD \
+            and code[-2].kind == OP and code[-2].text == "::":
+        return _type_family(code[-1].text)
+    # CAST(x AS TYPE)
+    if (
+        len(code) >= 5 and code[0].is_word("CAST", "TRY_CAST")
+        and code[1].is_op("(") and code[-1].is_op(")")
+        and code[-2].kind == WORD and code[-3].is_word("AS")
+    ):
+        return _type_family(code[-2].text)
+    if len(code) == 1:
+        t = code[0]
+        if t.kind == NUMBER:
+            return "num" if ("." in t.text or "e" in t.text.lower()) \
+                else "int"
+        if t.kind == STRING:
+            return "str"
+        if t.is_word("TRUE", "FALSE"):
+            return "bool"
+        if t.is_word("NULL"):
+            return "null"
+        return None
+    # DATE '…' / TIMESTAMP '…' / TIME '…' literals
+    if len(code) == 2 and code[0].kind == WORD \
+            and code[1].kind == STRING:
+        return _type_family(code[0].text)
+    return None
+
+
+def _arg_score(call_fam: Optional[str], param_fam: Optional[str]) -> int:
+    """3 = exact family, 2 = numeric widening, 1 = implicit
+    varchar/unknown/NULL coercion, 0 = needs a lossy double cast."""
+    if call_fam in (None, "null") or param_fam is None:
+        return 1
+    if call_fam == param_fam:
+        return 3
+    if {call_fam, param_fam} == {"int", "num"}:
+        return 2
+    if {call_fam, param_fam} <= {"date", "timestamp"}:
+        return 2
+    if call_fam == "str" or param_fam == "str":
+        return 1  # Snowflake casts to/from VARCHAR implicitly
+    return 0
+
+
+def _resolve_overload(engine, name: str, pos_args: list,
                       named: dict) -> Procedure:
+    """Pick the overload by arity AND argument-type compatibility
+    (Snowflake resolves by signature: exact type match beats implicit
+    cast). Genuine ties still refuse."""
+    n_supplied = len(pos_args) + len(named)
     bucket = engine._procedures.get(name)
     if not bucket:
         known = sorted(engine._procedures)
@@ -389,13 +592,36 @@ def _resolve_overload(engine, name: str, n_supplied: int,
             f"CALL {name}: no overload takes {n_supplied} argument(s) "
             f"(have: {sigs})"
         )
-    if len(fits) > 1:
-        raise ProcedureError(
-            f"CALL {name}: ambiguous between {len(fits)} overloads for "
-            f"{n_supplied} argument(s) — drop one or call with the "
-            "exact arity"
+    if len(fits) == 1:
+        return fits[0]
+    # rank by type compatibility of each SUPPLIED argument against the
+    # overload's parameter (positional by index, named by name)
+    def score(p: Procedure) -> tuple:
+        per = []
+        for i, sql in enumerate(pos_args):
+            per.append(_arg_score(_arg_family(sql),
+                                  _type_family(p.args[i].sf_type)))
+        for nm, sql in named.items():
+            a = next(x for x in p.args if x.name == nm)
+            per.append(_arg_score(_arg_family(sql),
+                                  _type_family(a.sf_type)))
+        # min first (reject any-incompatible), then sum (overall fit)
+        return (min(per) if per else 1, sum(per))
+
+    scored = sorted(((score(p), p) for p in fits),
+                    key=lambda sp: sp[0], reverse=True)
+    best = scored[0][0]
+    top = [p for s, p in scored if s == best]
+    if len(top) > 1:
+        sigs = "; ".join(
+            "(" + ", ".join(a.sf_type for a in p.args) + ")" for p in top
         )
-    return fits[0]
+        raise ProcedureError(
+            f"CALL {name}: ambiguous between {len(top)} overloads for "
+            f"{n_supplied} argument(s) [{sigs}] — cast arguments to "
+            "the intended types or call with the exact arity"
+        )
+    return top[0]
 
 
 def run_call(engine, name: str, pos_args: list[str],
@@ -412,8 +638,7 @@ def run_call(engine, name: str, pos_args: list[str],
             f"{_CALL_DEPTH_CAP} — recursive procedures must bound "
             "their recursion"
         )
-    proc = _resolve_overload(engine, name, len(pos_args) + len(named),
-                             named)
+    proc = _resolve_overload(engine, name, pos_args, named)
     # map supplied args onto the signature
     supplied: dict[str, str] = {}
     for i, sql in enumerate(pos_args):

@@ -5848,7 +5848,53 @@ def _x_match_recognize_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scripting_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripting variable/column name collision (round 7): the block
+    DECLAREs ``o_totalprice`` — the name of an orders column — and
+    LETs it from a subquery over that very column. Inside the
+    ``(SELECT …)`` extent the bare name is QUERY scope (the column);
+    only ``:o_totalprice`` reads the variable (Snowflake scoping —
+    the r6 judge-reproduced silent-wrong-answer seam, scripting.py
+    _sub_expr). The oracle restates the whole computation
+    declaratively."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q88_{uuid.uuid4().hex[:8]}")
+    return eng.execute(
+        """
+        DECLARE
+          o_totalprice DOUBLE DEFAULT -1;
+          rs RESULTSET;
+        BEGIN
+          LET o_totalprice := (SELECT ROUND(AVG(o_totalprice), 2)
+                               FROM orders WHERE o_orderkey <= 5000);
+          rs := (SELECT o_orderpriority,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM orders
+                 WHERE o_orderkey <= 5000
+                   AND o_totalprice > :o_totalprice
+                 GROUP BY o_orderpriority);
+          RETURN TABLE(rs);
+        END
+        """
+    )
+
+
+XOP_ORACLES["q88_scripting_shadow"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderkey <= 5000
+      AND o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2)
+                          FROM orders WHERE o_orderkey <= 5000)
+    GROUP BY o_orderpriority
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q88_scripting_shadow": _q_scripting_shadow,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,

@@ -316,13 +316,22 @@ class IcebreakerEngine:
         # CREATE PROCEDURE with an UNQUOTED scripting body: the body's
         # ';'s are its own statements — the whole input is one
         # statement (quoted/$$ bodies are single tokens and split fine)
-        from .procedures import whole_input_is_unquoted_procedure
+        from .procedures import (
+            split_unquoted_procedure,
+            whole_input_is_unquoted_procedure,
+        )
 
         if whole_input_is_unquoted_procedure(sql):
-            result = self._execute_one(sql.strip())
+            # the CREATE statement ends at the body block's matching
+            # END — statements after it are ordinary SQL and must run
+            # (not be silently absorbed into the stored body)
+            head_sql, trailing = split_unquoted_procedure(sql)
+            result = self._execute_one(head_sql.strip())
             if result is None:
                 raise ValueError("empty SQL")
             self._record_result(result)
+            if trailing:
+                return self.execute(trailing)
             return result
 
         result: DataFrame | None = None

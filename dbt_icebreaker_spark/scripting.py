@@ -77,6 +77,19 @@ class UncaughtUserException(ScriptingError):
 
 _LOOP_CAP = 100_000
 
+# declarable type spellings (Snowflake + Spark aliases) — used to
+# classify DECLARE-section segments by SHAPE, so variables named like
+# SQL verbs ("open", "set") still declare
+_DECL_TYPES = frozenset({
+    "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "BYTEINT",
+    "NUMBER", "NUMERIC", "DECIMAL", "DEC", "FLOAT", "FLOAT4", "FLOAT8",
+    "DOUBLE", "REAL", "PRECISION", "VARCHAR", "CHAR", "CHARACTER",
+    "STRING", "TEXT", "BOOLEAN", "BOOL", "DATE", "TIME", "DATETIME",
+    "TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ", "TIMESTAMP_TZ",
+    "VARIANT", "OBJECT", "ARRAY", "BINARY", "VARBINARY", "GEOGRAPHY",
+    "GEOMETRY",
+})
+
 
 def _strip_outer_parens(q: str) -> str:
     """Remove ONE pair of outer parens only when they actually match
@@ -197,7 +210,12 @@ class _Block:
 
     def _sub_expr(self, toks) -> str:
         """Expression scope: bare variable names AND :name binds become
-        literals."""
+        literals — EXCEPT inside a ``(SELECT …)`` / ``(WITH …)``
+        subquery extent, which is QUERY scope (Snowflake: inside any
+        query text bare names are columns; variables need ``:name``).
+        A variable named like a column must not shadow the column
+        there — the whole paren extent switches to bind-only
+        substitution."""
         from .runner import IcebreakerEngine
 
         def prev_code_tok(out_list):
@@ -211,6 +229,17 @@ class _Block:
         for k, t in enumerate(toks):
             if k <= skip:
                 continue
+            if t.is_op("("):
+                j = k + 1
+                while j < len(toks) and toks[j].kind in (WS, COMMENT):
+                    j += 1
+                if j < len(toks) and toks[j].kind == WORD \
+                        and toks[j].upper in ("SELECT", "WITH"):
+                    close = find_matching_paren(toks, k)
+                    inner = self._sub_binds(toks[k + 1:close])
+                    out.append(Token(WORD, f"({inner})"))
+                    skip = close
+                    continue
             if t.is_op(":"):
                 j = k + 1
                 while j < len(toks) and toks[j].kind in (WS, COMMENT):
@@ -410,39 +439,53 @@ class _Block:
         if not self._word(exc_i, "EXCEPTION"):
             raise exc
         is_user = isinstance(exc, _UserRaise)
-        # handler-scope builtins (Snowflake SQLERRM/SQLCODE/SQLSTATE)
+        # handler-scope builtins (Snowflake SQLERRM/SQLCODE/SQLSTATE);
+        # nested blocks SHARE the parent's vars dict, so save and
+        # restore the prior values — they must not leak into the
+        # enclosing scope after the handler exits (mirrors the
+        # _current_exc save/restore)
+        _builtins = ("sqlerrm", "sqlcode", "sqlstate")
+        _absent = object()
+        saved = {b: self.vars.get(b, _absent) for b in _builtins}
         self.vars["sqlerrm"] = (
             exc.msg if is_user
             else (str(exc).splitlines() or [""])[0][:500]
         )
         self.vars["sqlcode"] = exc.code if is_user else -1
         self.vars["sqlstate"] = "P0000" if is_user else "42000"
-        j = self._code(exc_i + 1)
-        ran = False
-        while self._word(j, "WHEN"):
-            names: list[str] = []
-            k = self._code(j + 1)
-            while k < len(self.toks) and not self._word(k, "THEN"):
-                t = self.toks[k]
-                if t.kind == WORD and t.upper != "OR":
-                    names.append(t.upper)
-                k = self._code(k + 1)
-            if k >= len(self.toks):
-                raise ScriptingError("EXCEPTION: WHEN without THEN")
-            body_start = self._code(k + 1)
-            boundary = self._skip_statements(
-                body_start, ("WHEN", "END"), head_only=("WHEN",))
-            if not ran and self._handler_matches(names, exc, is_user):
-                prev = self._current_exc
-                self._current_exc = exc
-                try:
-                    self._run_statements(body_start, ("WHEN", "END"))
-                finally:
-                    self._current_exc = prev
-                ran = True
-            j = boundary
-        if not ran:
-            raise exc
+        try:
+            j = self._code(exc_i + 1)
+            ran = False
+            while self._word(j, "WHEN"):
+                names: list[str] = []
+                k = self._code(j + 1)
+                while k < len(self.toks) and not self._word(k, "THEN"):
+                    t = self.toks[k]
+                    if t.kind == WORD and t.upper != "OR":
+                        names.append(t.upper)
+                    k = self._code(k + 1)
+                if k >= len(self.toks):
+                    raise ScriptingError("EXCEPTION: WHEN without THEN")
+                body_start = self._code(k + 1)
+                boundary = self._skip_statements(
+                    body_start, ("WHEN", "END"), head_only=("WHEN",))
+                if not ran and self._handler_matches(names, exc, is_user):
+                    prev = self._current_exc
+                    self._current_exc = exc
+                    try:
+                        self._run_statements(body_start, ("WHEN", "END"))
+                    finally:
+                        self._current_exc = prev
+                    ran = True
+                j = boundary
+            if not ran:
+                raise exc
+        finally:
+            for b in _builtins:
+                if saved[b] is _absent:
+                    self.vars.pop(b, None)
+                else:
+                    self.vars[b] = saved[b]
 
     @staticmethod
     def _handler_matches(names: list[str], exc, is_user: bool) -> bool:
@@ -452,12 +495,68 @@ class _Block:
             return exc.name.upper() in names
         return bool({"STATEMENT_ERROR", "EXPRESSION_ERROR"} & set(names))
 
+    def _looks_like_declaration(self, j: int) -> bool:
+        """True when the segment starting at token j has DECLARE-entry
+        shape: ``name`` followed by ``:=`` / DEFAULT / CURSOR /
+        RESULTSET / EXCEPTION, or by type word(s) (with optional
+        precision parens) reaching the segment end or a DEFAULT/:=.
+        ``SELECT date FROM t`` is NOT a declaration (FROM after the
+        type word); ``open INT`` is."""
+        end = self._stmt_end(j)
+        seg = [t for t in self.toks[j:end] if t.kind not in (WS, COMMENT)]
+        if not seg or seg[0].kind != WORD:
+            return False
+        k = 1
+        if k >= len(seg):
+            return False
+        t1 = seg[k]
+        if t1.is_op(":="):
+            return True
+        if t1.kind != WORD:
+            return False
+        if t1.upper in ("DEFAULT", "CURSOR", "RESULTSET", "EXCEPTION"):
+            return True
+        if t1.upper not in _DECL_TYPES:
+            return False
+        # walk the type spelling: more type words / (precision) groups
+        k += 1
+        while k < len(seg):
+            t = seg[k]
+            if t.is_op("("):
+                try:
+                    k = find_matching_paren(seg, k) + 1
+                except ValueError:
+                    return False
+                continue
+            if t.is_op(":="):
+                return True
+            if t.kind == WORD and t.upper == "DEFAULT":
+                return True
+            if t.kind == WORD and t.upper in _DECL_TYPES:
+                k += 1
+                continue
+            return False
+        return True
+
+    def _line_of(self, i: int) -> int:
+        """1-based source line of token i (for parse errors)."""
+        return sum(t.text.count("\n") for t in self.toks[:i]) + 1
+
     def _parse_declares(self, i: int) -> int:
         while i < len(self.toks) and not self._word(i, "BEGIN"):
             name_t = self.toks[i]
             if name_t.kind != WORD:
                 raise ScriptingError(
                     f"DECLARE: expected a variable name, got {name_t.text!r}"
+                )
+            if name_t.upper == "DECLARE":
+                # a second DECLARE keyword would silently become a
+                # variable named "declare" — refuse at the declaration,
+                # never misparse (the engine's contract)
+                raise ScriptingError(
+                    f"DECLARE (line {self._line_of(i)}): DECLARE opens "
+                    "ONE declaration section — separate declarations "
+                    "with ';' without repeating the DECLARE keyword"
                 )
             end = self._stmt_end(i)
             seg = self.toks[i:end]
@@ -542,8 +641,23 @@ class _Block:
                 if t.is_op(":="):
                     dk = k
                     break
+            if dk is None and len(segc) == 1:
+                # a bare name declares nothing (Snowflake requires a
+                # type and/or DEFAULT) — refuse, don't silently NULL
+                raise ScriptingError(
+                    f"DECLARE {name_t.text} (line {self._line_of(i)}): "
+                    "a declaration needs a type and/or a DEFAULT/:= "
+                    "value (e.g. DECLARE x INT DEFAULT 0)"
+                )
             if dk is not None:
-                val = self._eval_scalar(self._sub_expr(seg[dk + 1:]))
+                default_sql = self._sub_expr(seg[dk + 1:]).strip()
+                if not default_sql:
+                    raise ScriptingError(
+                        f"DECLARE {name_t.text} (line "
+                        f"{self._line_of(i)}): DEFAULT/:= without a "
+                        "value expression"
+                    )
+                val = self._eval_scalar(default_sql)
             self.vars[name_t.text.lower()] = val
             i = self._code(end + 1)
         return i
@@ -660,24 +774,20 @@ class _Block:
         if u == "DECLARE":
             # nested block with its own declaration section:
             # DECLARE …; BEGIN … END — the BEGIN must be reached
-            # through DECLARATION-shaped segments only (a SQL verb in
-            # between means a stray DECLARE, not a block head; those
-            # statements must NOT be swallowed as declarations)
-            sql_verbs = {
-                "SELECT", "INSERT", "UPDATE", "DELETE", "MERGE",
-                "CREATE", "DROP", "ALTER", "TRUNCATE", "COPY", "CALL",
-                "LET", "IF", "FOR", "WHILE", "RETURN", "RAISE", "OPEN",
-                "FETCH", "CLOSE", "SET", "GRANT", "SHOW", "DESCRIBE",
-            }
+            # through DECLARATION-shaped segments only (anything else
+            # in between means a stray DECLARE, not a block head; those
+            # statements must NOT be swallowed as declarations).
+            # Classification is by SHAPE (name followed by a type /
+            # CURSOR / RESULTSET / EXCEPTION / DEFAULT / :=), so a
+            # variable named like a SQL verb ("DECLARE open INT") still
+            # parses as a declaration.
             begin_i = None
             j = self._code(i + 1)
             while j < len(self.toks):
                 if self._word(j, "BEGIN"):
                     begin_i = j
                     break
-                # first word of this declaration segment
-                t0 = self.toks[j]
-                if t0.kind == WORD and t0.upper in sql_verbs:
+                if not self._looks_like_declaration(j):
                     break
                 j = self._code(self._stmt_end(j) + 1)
             if begin_i is None:

@@ -167,6 +167,24 @@ def strip_ws(tokens: list[Token]) -> list[Token]:
     return [t for t in tokens if t.kind not in (WS, COMMENT)]
 
 
+def render_code(tokens: Iterable[Token]) -> str:
+    """Render a WS/comment-stripped token list, re-inserting a single
+    space between adjacent word-like tokens. Plain ``render`` over a
+    stripped list concatenates them (``CAST(7 AS INT)`` →
+    ``CAST(7ASINT)``) — word-like tokens can only be adjacent in a
+    stripped list where the source had whitespace, so the space is
+    always safe."""
+    wordish = (WORD, NUMBER, STRING, QIDENT)
+    parts: list[str] = []
+    prev: Token | None = None
+    for t in tokens:
+        if prev is not None and prev.kind in wordish and t.kind in wordish:
+            parts.append(" ")
+        parts.append(t.text)
+        prev = t
+    return "".join(parts)
+
+
 def next_code(tokens: list[Token], i: int) -> int:
     """Index of next non-ws/comment token at or after i, or len(tokens)."""
     n = len(tokens)

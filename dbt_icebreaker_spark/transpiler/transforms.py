@@ -1511,6 +1511,13 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(_sorted_obj_json(
                     f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
+            elif t.text in ("GREATESTN_X", "LEASTN_X") and not args:
+                from .core import TranspileError
+
+                fn0 = "GREATEST" if t.text == "GREATESTN_X" else "LEAST"
+                raise TranspileError(
+                    f"{fn0} requires at least one argument"
+                )
             elif t.text in ("GREATESTN_X", "LEASTN_X") and len(args) >= 1:
                 # Snowflake GREATEST/LEAST: NULL if ANY argument is
                 # NULL (Spark's skip NULLs — those are the

@@ -559,3 +559,15 @@ R6C_CASES = [
 def test_r6c_coercion_seams(spark, sql, expect):
     _check(spark, sql + " AS r FROM bt LIMIT 1" if "FROM" not in sql
            else sql, expect)
+
+
+def test_greatest_least_zero_args_refused():
+    # r7 (ADVICE): GREATEST()/LEAST() with no arguments used to leave
+    # the internal GREATESTN_X placeholder in the emitted SQL — an
+    # opaque "undefined function" error instead of an actionable one
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="at least one argument"):
+        t.to_spark("SELECT GREATEST()")
+    with pytest.raises(TranspileError, match="at least one argument"):
+        t.to_spark("SELECT LEAST()")
