@@ -5893,8 +5893,110 @@ XOP_ORACLES["q88_scripting_shadow"] = """
 """
 
 
+def _x_pattern_anchors_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 MATCH_RECOGNIZE anchors + PERMUTE (x69). Three
+    discriminating sub-patterns over events, tagged and unioned:
+
+    - ``(^ HI)`` — matches ONLY partitions whose FIRST row has
+      value >= 300 (unanchored HI would match every qualifying row);
+    - ``(LO $)`` — the partition's LAST row under 100 (the measure is
+      its row number = the partition size, which an unanchored match
+      would get wrong);
+    - ``PERMUTE(U, D)`` — an adjacent up-down pair in either order;
+      per-user match counts under greedy SKIP PAST LAST ROW equal
+      ceil(L/2) summed over maximal runs of L consecutive eligible
+      start positions (eligibility is static, and a scan can only
+      enter a run at its head) — a pure window rendering in the
+      oracle."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    base = (
+        "SELECT user_id, value, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS BIGINT) AS rn FROM events"
+    )
+    hi = eng.execute(
+        f"""SELECT * FROM ({base}) MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY rn
+              MEASURES FIRST(rn) AS n
+              PATTERN (^ HI)
+              DEFINE HI AS value >= 300
+            )"""
+    ).selectExpr("'first_hi' AS kind", "user_id",
+                 "CAST(n AS BIGINT) AS n")
+    lo = eng.execute(
+        f"""SELECT * FROM ({base}) MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY rn
+              MEASURES LAST(rn) AS n
+              PATTERN (LO $)
+              DEFINE LO AS value < 100
+            )"""
+    ).selectExpr("'last_lo' AS kind", "user_id",
+                 "CAST(n AS BIGINT) AS n")
+    ud = eng.execute(
+        f"""SELECT * FROM ({base}) MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY rn
+              MEASURES FIRST(rn) AS s
+              PATTERN (PERMUTE(U, D))
+              DEFINE U AS value > PREV(value),
+                     D AS value < PREV(value)
+            )"""
+    ).groupBy("user_id").agg(F.count("*").cast("long").alias("n")) \
+     .selectExpr("'updown' AS kind", "user_id", "n")
+    return hi.unionByName(lo).unionByName(ud)
+
+
+XOP_ORACLES["x69_pattern_anchors_permute"] = """
+    WITH o AS (
+      SELECT user_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS sz
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, rn,
+             COALESCE(value > LAG(value) OVER w, FALSE) AS u,
+             COALESCE(value < LAG(value) OVER w, FALSE) AS d,
+             value, sz
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    e AS (
+      SELECT user_id, rn FROM (
+        SELECT user_id, rn,
+               (u AND LEAD(d) OVER w2) OR (d AND LEAD(u) OVER w2)
+                 AS elig
+        FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+      ) WHERE elig
+    ),
+    isl AS (
+      SELECT user_id,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS g
+      FROM e
+    ),
+    per_isl AS (
+      SELECT user_id, g,
+             CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) AS m
+      FROM isl GROUP BY user_id, g
+    )
+    SELECT 'first_hi' AS kind, user_id, CAST(1 AS BIGINT) AS n
+    FROM o WHERE rn = 1 AND value >= 300
+    UNION ALL
+    SELECT 'last_lo' AS kind, user_id, CAST(sz AS BIGINT) AS n
+    FROM o WHERE rn = sz AND value < 100
+    UNION ALL
+    SELECT 'updown' AS kind, user_id, CAST(SUM(m) AS BIGINT) AS n
+    FROM per_isl GROUP BY user_id
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_scripting_shadow": _q_scripting_shadow,
+    "x69_pattern_anchors_permute": _x_pattern_anchors_permute,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,

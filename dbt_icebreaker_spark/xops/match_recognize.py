@@ -34,8 +34,12 @@ refuses actionably at parse time):
   with an explicit choice stack (no recursion — a 50k-row group match
   is fine), a visited-state set (overlapping alternation stays
   polynomial), and the standard empty-loop check (a required
-  repetition may legitimately match empty; only the LOOP is cut) —
-  anchors (^ $) and PERMUTE refuse.
+  repetition may legitimately match empty; only the LOOP is cut).
+  Round 7: partition anchors ``^ $`` (zero-width position guards in
+  the VM) and ``PERMUTE(a, b, …)`` (compiled to the alternation of
+  the k! orderings in lexicographic preferment order, k ≤ 6 — the
+  parsed argument nodes are SHARED across orderings so flag columns
+  don't multiply).
 - ``DEFINE Sym AS <boolean over current row / PREV(col[,n]) /
   NEXT(col[,n])>``; symbols not defined always match (SQL:2016
   "universal row pattern variable").
@@ -106,7 +110,7 @@ _QUANT_RE = re.compile(
 #   ("grp", [nodes], lo, hi)      — a quantified group (A B){n,m}
 #   ("alt", [[nodes], …])         — alternation inside a group (A|B)
 _PTOK_RE = re.compile(
-    r"[A-Za-z_][A-Za-z0-9_]*|\{\s*\d+\s*(?:,\s*\d*\s*)?\}|[()|*+?]"
+    r"[A-Za-z_][A-Za-z0-9_]*|\{\s*\d+\s*(?:,\s*\d*\s*)?\}|[()|*+?,^$]"
 )
 
 
@@ -135,19 +139,12 @@ def parse_pattern_full(text: str):
     Grammar (SQL:2016 §7.9 subset): ``alt := seq ('|' seq)*``,
     ``seq := item+``, ``item := (symbol | '(' alt ')') quant?`` —
     quantified GROUPS ``(A B)+`` and in-group alternation ``(A|B)``
-    included (round 6). Anchors (^ $), reluctant suffixes, and
-    PERMUTE refuse. The flat terms list holds one entry per SYMBOL
+    (round 6), partition anchors ``^ $`` and ``PERMUTE(a, b, …)``
+    (round 7; k ≤ 6). Reluctant suffixes refuse. The flat terms list
+    holds one entry per SYMBOL
     OCCURRENCE in written order — the flag table and measure/skip
     consumers key on it; tree sym nodes index into it."""
     text = text.strip()
-    for bad, why in (("^", "anchors"), ("$", "anchors"),
-                     ("PERMUTE", "PERMUTE")):
-        if bad in text.upper():
-            raise ValueError(
-                f"MATCH_RECOGNIZE PATTERN: {why} is not supported — "
-                "use sequences/groups of symbols with quantifiers "
-                "(A (B C)+ D? E{n,m}), with alternation (A B | C)"
-            )
     if not text:
         raise ValueError("MATCH_RECOGNIZE PATTERN: empty pattern")
     toks = _PTOK_RE.findall(text)
@@ -173,15 +170,64 @@ def parse_pattern_full(text: str):
 
     def parse_seq(i: int):
         nodes = []
-        while i < len(toks) and toks[i] not in ("|", ")"):
+        while i < len(toks) and toks[i] not in ("|", ")", ","):
             tk = toks[i]
-            if tk == "(":
+            if tk == "^":
+                # partition-start anchor: a zero-width position guard
+                nodes.append(("anch", "bol"))
+                i += 1
+            elif tk == "$":
+                # partition-end anchor
+                nodes.append(("anch", "eol"))
+                i += 1
+            elif tk == "(":
                 branches, i = parse_alt(i + 1)
                 if i >= len(toks) or toks[i] != ")":
                     raise ValueError(
                         "MATCH_RECOGNIZE PATTERN: unclosed group"
                     )
                 lo, hi, i = _read_quant(toks, i + 1)
+                inner = (branches[0] if len(branches) == 1
+                         else [("alt", branches)])
+                nodes.append(("grp", inner, lo, hi))
+            elif tk.upper() == "PERMUTE":
+                # PERMUTE(a, b, …) ≡ alternation of the k! orderings
+                # in lexicographic (written) order — SQL:2016 §7.9
+                # preferment. Each argument's nodes are parsed ONCE and
+                # shared across orderings (same flat term indices →
+                # same flag columns; measures key on symbols).
+                import itertools
+
+                if i + 1 >= len(toks) or toks[i + 1] != "(":
+                    raise ValueError(
+                        "MATCH_RECOGNIZE PATTERN: PERMUTE needs an "
+                        "argument list — PERMUTE(A, B[, …])"
+                    )
+                i += 2
+                p_args = []
+                while True:
+                    seq, i = parse_seq(i)
+                    p_args.append(seq)
+                    if i < len(toks) and toks[i] == ",":
+                        i += 1
+                        continue
+                    break
+                if i >= len(toks) or toks[i] != ")":
+                    raise ValueError(
+                        "MATCH_RECOGNIZE PATTERN: unclosed PERMUTE"
+                    )
+                if len(p_args) > 6:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE PATTERN: PERMUTE of "
+                        f"{len(p_args)} elements expands to "
+                        f"{len(p_args)}! orderings — the cap is 6 "
+                        "(720); split the pattern"
+                    )
+                lo, hi, i = _read_quant(toks, i + 1)
+                branches = [
+                    [nd for part in perm for nd in part]
+                    for perm in itertools.permutations(p_args)
+                ]
                 inner = (branches[0] if len(branches) == 1
                          else [("alt", branches)])
                 nodes.append(("grp", inner, lo, hi))
@@ -226,7 +272,7 @@ def parse_pattern(text: str) -> list[PatternTerm]:
     terms, tree = parse_pattern_full(text)
 
     def has_struct(nodes):
-        return any(nd[0] in ("grp", "alt") or
+        return any(nd[0] in ("grp", "alt", "anch") or
                    (nd[0] == "grp" and has_struct(nd[1])) for nd in nodes)
 
     if any(has_struct(nodes) for nodes in tree):
@@ -327,6 +373,8 @@ def _compile_program(nodes) -> tuple[list, int]:
                         compile_nodes(children)
                     for spc in fixes:
                         prog[spc] = ("split", spc + 1, len(prog))
+            elif kind == "anch":
+                emit((node[1],))  # ("bol",) / ("eol",) position guard
             else:  # ("alt", branches) — written-order preferment
                 branches = node[1]
                 jmps = []
@@ -374,6 +422,16 @@ def _vm_match(flags, prog, nslots, start, n):
                 if pos < n and flags[ti][pos]:
                     trail.append(ti)
                     pos += 1
+                    pc += 1
+                    continue
+            elif kind == "bol":
+                # ^ — zero-width partition-start guard
+                if pos == 0:
+                    pc += 1
+                    continue
+            elif kind == "eol":
+                # $ — zero-width partition-end guard
+                if pos == n:
                     pc += 1
                     continue
             elif kind == "split":

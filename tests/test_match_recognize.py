@@ -370,8 +370,9 @@ class TestRefusals:
     @pytest.mark.parametrize(
         "body,msg",
         [
-            ("PATTERN (PERMUTE(A, B)) DEFINE A AS x > 1", "PERMUTE"),
-            ("PATTERN (^ A $) DEFINE A AS x > 1", "anchors"),
+            ("PATTERN (PERMUTE(A, B, C, D, E, F, G)) "
+             "DEFINE A AS x > 1", "cap is 6"),
+            ("PATTERN (PERMUTE) DEFINE A AS x > 1", "argument list"),
             ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH OMIT "
              "EMPTY MATCHES PATTERN (A)", "EMPTY"),
             ("MEASURES COUNT(*) AS n PATTERN (A) "
@@ -658,3 +659,129 @@ class TestPatternGroups:
             "DEFINE E AS x % 2 = 0, O AS x % 2 = 1)"
         ).collect()
         assert [(r.n, r.lo) for r in rows] == [(4, 1)]
+
+
+class TestAnchorsPermuteR7:
+    """Round-7: partition anchors (^ $) as zero-width VM position
+    guards, and PERMUTE(a, b, …) compiled to the alternation of the
+    k! orderings in lexicographic preferment order (SQL:2016 §7.9;
+    VERDICT r6 Missing #3)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def evts(self, spark):
+        # per-key event sequences: 'x' partitions start with different
+        # actions so ^/$ discriminate
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW mr_evts AS
+            SELECT * FROM VALUES
+            ('u1', 1, 'login'), ('u1', 2, 'view'), ('u1', 3, 'buy'),
+            ('u2', 1, 'view'),  ('u2', 2, 'login'), ('u2', 3, 'buy'),
+            ('u3', 1, 'login'), ('u3', 2, 'buy'),  ('u3', 3, 'view')
+            t(uid, t, act)"""
+        )
+
+    def test_start_anchor_only_matches_partition_head(self, engine, evts):
+        # ^ LOGIN: only partitions whose FIRST row is a login match
+        df = engine.execute(
+            """SELECT * FROM mr_evts MATCH_RECOGNIZE (
+                 PARTITION BY uid ORDER BY t
+                 MEASURES FIRST(t) AS s
+                 PATTERN (^ L)
+                 DEFINE L AS act = 'login'
+               ) ORDER BY uid"""
+        )
+        assert [r.uid for r in df.collect()] == ["u1", "u3"]
+
+    def test_unanchored_matches_mid_partition(self, engine, evts):
+        df = engine.execute(
+            """SELECT * FROM mr_evts MATCH_RECOGNIZE (
+                 PARTITION BY uid ORDER BY t
+                 MEASURES FIRST(t) AS s
+                 PATTERN (L)
+                 DEFINE L AS act = 'login'
+               ) ORDER BY uid"""
+        )
+        assert [r.uid for r in df.collect()] == ["u1", "u2", "u3"]
+
+    def test_end_anchor_only_matches_partition_tail(self, engine, evts):
+        # B $: a buy as the LAST row of the partition
+        df = engine.execute(
+            """SELECT * FROM mr_evts MATCH_RECOGNIZE (
+                 PARTITION BY uid ORDER BY t
+                 MEASURES LAST(t) AS e
+                 PATTERN (B $)
+                 DEFINE B AS act = 'buy'
+               ) ORDER BY uid"""
+        )
+        assert [(r.uid, r.e) for r in df.collect()] == [("u1", 3), ("u2", 3)]
+
+    def test_full_span_anchor(self, engine, evts):
+        # ^ A{3} $ — exactly-3-row partitions, any acts
+        df = engine.execute(
+            """SELECT * FROM mr_evts MATCH_RECOGNIZE (
+                 PARTITION BY uid ORDER BY t
+                 MEASURES COUNT(*) AS n
+                 PATTERN (^ A{3} $)
+                 DEFINE A AS TRUE
+               ) ORDER BY uid"""
+        )
+        assert [(r.uid, r.n) for r in df.collect()] == [
+            ("u1", 3), ("u2", 3), ("u3", 3)]
+
+    def test_permute_matches_any_order(self, engine, evts):
+        # login+view+buy in ANY order over the 3-row partitions
+        df = engine.execute(
+            """SELECT * FROM mr_evts MATCH_RECOGNIZE (
+                 PARTITION BY uid ORDER BY t
+                 MEASURES COUNT(*) AS n, CLASSIFIER() AS last_sym
+                 PATTERN (PERMUTE(L, V, B))
+                 DEFINE L AS act = 'login',
+                        V AS act = 'view',
+                        B AS act = 'buy'
+               ) ORDER BY uid"""
+        )
+        rows = [(r.uid, r.n, r.last_sym) for r in df.collect()]
+        assert rows == [("u1", 3, "B"), ("u2", 3, "B"), ("u3", 3, "V")]
+
+    def test_permute_preferment_is_lexicographic(self, engine, spark):
+        # both orderings match a TRUE-flagged pair; the FIRST written
+        # permutation (A B) must win → CLASSIFIER of row 2 is B
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_amb AS SELECT * FROM "
+            "VALUES ('k', 1), ('k', 2) t(k, t)")
+        df = engine.execute(
+            """SELECT * FROM mr_amb MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES CLASSIFIER() AS last_sym
+                 PATTERN (PERMUTE(A, B))
+                 DEFINE A AS TRUE, B AS TRUE
+               )"""
+        )
+        assert df.collect()[0].last_sym == "B"
+
+    def test_permute_with_sequence_args(self, engine, spark):
+        # PERMUTE((D U), S) — multi-symbol argument sequences
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_seq AS SELECT * FROM "
+            "VALUES ('k', 1, 5), ('k', 2, 3), ('k', 3, 9) t(k, t, v)")
+        df = engine.execute(
+            """SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n
+                 PATTERN (PERMUTE(S, D U))
+                 DEFINE S AS TRUE,
+                        D AS v < PREV(v), U AS v > PREV(v)
+               )"""
+        )
+        assert df.collect()[0].n == 3
+
+    def test_permute_cap_refuses(self, engine):
+        with pytest.raises(TranspileError, match="cap is 6"):
+            engine.execute(
+                """SELECT * FROM mr_evts MATCH_RECOGNIZE (
+                     PARTITION BY uid ORDER BY t
+                     MEASURES COUNT(*) AS n
+                     PATTERN (PERMUTE(A, B, C, D, E, F, G))
+                     DEFINE A AS TRUE
+                   )"""
+            )
