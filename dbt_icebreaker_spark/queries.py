@@ -5994,8 +5994,90 @@ XOP_ORACLES["x69_pattern_anchors_permute"] = """
 """
 
 
+def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
+    equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
+    true) — NULL-key target rows are never updated/deleted and
+    NULL-key source rows fall through to WHEN NOT MATCHED INSERT. A
+    regression to a null-safe (<=>) join would pair them and flip
+    both. Oracle restates the split with plain SQL equality."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q89_")
+    db = f"q89_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    spark.sql(
+        f"CREATE TABLE {db}.nk_target AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 5000 "
+        "UNION ALL "
+        "SELECT CAST(NULL AS BIGINT), 'T', "
+        "CAST(100.0 + n_nationkey AS DOUBLE) "
+        "FROM nation WHERE n_nationkey < 3"
+    )
+    eng.execute(
+        f"""
+        MERGE INTO {db}.nk_target t
+        USING (
+            SELECT o_orderkey AS k, o_totalprice AS p
+            FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 7500
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), CAST(500.0 + n_nationkey AS DOUBLE)
+            FROM nation WHERE n_nationkey < 2
+        ) s
+        ON t.o_orderkey = s.k
+        WHEN MATCHED AND s.p < 50000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 1
+        WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.k, 'I', s.p)
+        """
+    )
+    return spark.table(f"{db}.nk_target")
+
+
+XOP_ORACLES["q89_merge_null_keys"] = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 5000
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), 'T',
+             CAST(100.0 + n_nationkey AS DOUBLE)
+      FROM nation WHERE n_nationkey < 3
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 7500
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), CAST(500.0 + n_nationkey AS DOUBLE)
+      FROM nation WHERE n_nationkey < 2
+    )
+    -- unmatched targets (every NULL-key target row lands here)
+    SELECT t.* FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.o_orderkey)
+    UNION ALL
+    -- matched: first-true-wins DELETE then UPDATE
+    SELECT t.o_orderkey, t.o_orderstatus,
+           s.p + 1 AS o_totalprice
+    FROM tgt t JOIN src s ON s.k = t.o_orderkey
+    WHERE NOT (s.p < 50000)
+    UNION ALL
+    -- unmatched sources (every NULL-key source row lands here)
+    SELECT s.k AS o_orderkey, 'I' AS o_orderstatus,
+           s.p AS o_totalprice
+    FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.k)
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_scripting_shadow": _q_scripting_shadow,
+    "q89_merge_null_keys": _q_merge_null_keys,
     "x69_pattern_anchors_permute": _x_pattern_anchors_permute,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,

@@ -316,7 +316,10 @@ class _Block:
     def _sub_binds(self, toks) -> str:
         """SQL-statement scope: ONLY :name binds substitute (a bare
         column name matching a variable stays a column, like
-        Snowflake)."""
+        Snowflake). ``TABLE(rs_name)`` over a RESULTSET variable
+        becomes a temp view of its DataFrame (Snowflake: a RESULTSET
+        is usable in a FROM clause only through TABLE(...); r7a sweep
+        finding)."""
         from .runner import IcebreakerEngine
 
         out = []
@@ -324,6 +327,31 @@ class _Block:
         for k, t in enumerate(toks):
             if k <= skip:
                 continue
+            if t.kind == WORD and t.upper == "TABLE" and self.resultsets:
+                j = k + 1
+                while j < len(toks) and toks[j].kind in (WS, COMMENT):
+                    j += 1
+                if j < len(toks) and toks[j].is_op("("):
+                    close = find_matching_paren(toks, j)
+                    inner = [x for x in toks[j + 1:close]
+                             if x.kind not in (WS, COMMENT)]
+                    if (
+                        len(inner) == 1 and inner[0].kind == WORD
+                        and inner[0].text.lower() in self.resultsets
+                    ):
+                        nm = inner[0].text.lower()
+                        df = self.resultsets[nm]
+                        if df is None:
+                            raise ScriptingError(
+                                f"TABLE({inner[0].text}): the resultset "
+                                "has no value yet — assign it first "
+                                "(name := (query))"
+                            )
+                        view = f"__rs_{nm}_{abs(id(df)) % 0xFFFFFF:06x}"
+                        df.createOrReplaceTempView(view)
+                        out.append(Token(WORD, view))
+                        skip = close
+                        continue
             if t.is_op(":"):
                 j = k + 1
                 while j < len(toks) and toks[j].kind in (WS, COMMENT):

@@ -4012,6 +4012,17 @@ def rewrite_json_path(tokens: Tokens) -> Tokens:
                     base_lo -= 2
             elif (
                 p >= 0
+                and out[p].kind == STRING
+                and j < n
+                and tokens[j].kind in (WORD, STRING, QIDENT)
+            ):
+                # base: a STRING literal — the shape a scripting
+                # VARIANT variable takes after literal substitution
+                # (`LET j := PARSE_JSON(…); … j:a` renders the value
+                # as a quoted JSON string; r7a sweep finding)
+                base_lo = p
+            elif (
+                p >= 0
                 and out[p].is_op(")")
                 and j < n
                 and tokens[j].kind in (WORD, STRING, QIDENT)

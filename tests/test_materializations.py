@@ -2832,3 +2832,104 @@ class TestReviewRegressionsR6c:
             engine.execute(
                 "UPDATE t SET v = 1 FROM a, b WHERE t.k = a.k"
             )
+
+
+class TestNullKeyDmlR7:
+    """Round-7 (VERDICT r6 task 6): MERGE/UPDATE…FROM ON-equality is
+    NULL-REJECTING — NULL join keys never match (SQL: NULL = NULL is
+    not true). A regression to a null-safe (<=>) join would update/
+    delete NULL-key target rows and suppress their inserts."""
+
+    def test_merge_null_keys_never_match(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.nk_t")
+        spark.sql(
+            f"CREATE TABLE {sch}.nk_t AS "
+            "SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES "
+            "(1, 10.0), (2, 20.0), (CAST(NULL AS INT), 99.0) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW nk_src AS "
+            "SELECT sk, CAST(sv AS DOUBLE) AS sv FROM VALUES "
+            "(2, 200.0), (CAST(NULL AS INT), 500.0) t(sk, sv)"
+        )
+        engine.execute(
+            f"MERGE INTO {sch}.nk_t t USING nk_src s ON t.k = s.sk "
+            "WHEN MATCHED THEN UPDATE SET v = s.sv "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)"
+        )
+        rows = sorted(
+            ((r.k, r.v) for r in spark.table(f"{sch}.nk_t").collect()),
+            key=lambda x: (x[0] is None, x[0], x[1]),
+        )
+        # NULL target row untouched (99.0), NULL source row INSERTED
+        # (500.0) — they must NOT pair up
+        assert rows == [
+            (1, 10.0), (2, 200.0), (None, 99.0), (None, 500.0)]
+
+    def test_merge_null_keys_delete_does_not_fire(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.nk_d")
+        spark.sql(
+            f"CREATE TABLE {sch}.nk_d AS "
+            "SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES "
+            "(1, 1.0), (CAST(NULL AS INT), 2.0) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW nk_dsrc AS "
+            "SELECT CAST(NULL AS INT) AS sk"
+        )
+        engine.execute(
+            f"MERGE INTO {sch}.nk_d t USING nk_dsrc s ON t.k = s.sk "
+            "WHEN MATCHED THEN DELETE"
+        )
+        assert spark.table(f"{sch}.nk_d").count() == 2
+
+    def test_same_name_key_merge_null_keys(self, spark, engine):
+        # the same-name fast path (spec.keys) must also null-reject
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.nk_s")
+        spark.sql(
+            f"CREATE TABLE {sch}.nk_s AS "
+            "SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES "
+            "(1, 1.0), (CAST(NULL AS INT), 9.0) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW nk_ssrc AS "
+            "SELECT k, CAST(sv AS DOUBLE) AS sv FROM VALUES "
+            "(1, 11.0), (CAST(NULL AS INT), 77.0) t(k, sv)"
+        )
+        engine.execute(
+            f"MERGE INTO {sch}.nk_s t USING nk_ssrc s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.sv "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.sv)"
+        )
+        rows = sorted(
+            ((r.k, r.v) for r in spark.table(f"{sch}.nk_s").collect()),
+            key=lambda x: (x[0] is None, x[0], x[1]),
+        )
+        assert rows == [(1, 11.0), (None, 9.0), (None, 77.0)]
+
+    def test_update_from_null_keys_never_match(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.nk_u")
+        spark.sql(
+            f"CREATE TABLE {sch}.nk_u AS "
+            "SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES "
+            "(1, 1.0), (CAST(NULL AS INT), 5.0) t(k, v)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW nk_usrc AS "
+            "SELECT sk, CAST(nv AS DOUBLE) AS nv FROM VALUES "
+            "(1, 100.0), (CAST(NULL AS INT), 700.0) t(sk, nv)"
+        )
+        engine.execute(
+            f"UPDATE {sch}.nk_u t SET v = s.nv FROM nk_usrc s "
+            "WHERE t.k = s.sk"
+        )
+        rows = sorted(
+            ((r.k, r.v) for r in spark.table(f"{sch}.nk_u").collect()),
+            key=lambda x: (x[0] is None, x[0], x[1]),
+        )
+        # NULL-key target keeps 5.0 — NOT updated to 700.0
+        assert rows == [(1, 100.0), (None, 5.0)]

@@ -950,3 +950,212 @@ class TestUnquotedProcTrailingR7:
         assert r.collect()[0][0] == 11
         assert engine.execute("CALL r7t5()").collect()[0][0] == 4
         engine.execute("DROP PROCEDURE IF EXISTS r7t5()")
+
+
+class TestR7aSweep:
+    """Round-7 probe-sweep lock-ins (scripts/probe_sweep_r7a.py, 69
+    executed shapes): variable/column collisions in every expression
+    position, variable-parameterized cursors, CALL in loops, RESULTSET
+    reassignment + TABLE(rs) in embedded SQL (sweep finding), VARIANT
+    variables through json paths (sweep finding), handler scoping."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def tbl(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.sw_t")
+        spark.sql(
+            f"CREATE TABLE {sch}.sw_t AS SELECT k, CAST(v AS DOUBLE) "
+            "AS v FROM VALUES (1, 10.0), (2, 20.0), (3, 30.0) t(k, v)"
+        )
+        yield sch
+
+    def _v(self, engine, sql):
+        return engine.execute(sql).collect()[0][0]
+
+    # --- sweep findings (fixed round 7)
+    def test_table_rs_in_subquery(self, engine):
+        assert self._v(
+            engine,
+            "DECLARE rs RESULTSET; BEGIN rs := (SELECT 1 AS a UNION "
+            "ALL SELECT 2); RETURN (SELECT COUNT(*) FROM TABLE(rs)); "
+            "END") == 2
+
+    def test_table_rs_in_ctas(self, engine, tbl):
+        assert self._v(
+            engine,
+            "DECLARE rs RESULTSET; BEGIN "
+            f"rs := (SELECT k + 100 AS k, v FROM {tbl}.sw_t); "
+            f"CREATE OR REPLACE TABLE {tbl}.sw_rst AS "
+            "SELECT * FROM TABLE(rs) WHERE k > 101; "
+            f"RETURN (SELECT COUNT(*) FROM {tbl}.sw_rst); END") == 2
+
+    def test_table_rs_unassigned_refused(self, engine):
+        with pytest.raises(ScriptingError, match="no value yet"):
+            engine.execute(
+                "DECLARE rs RESULTSET; BEGIN LET n := "
+                "(SELECT COUNT(*) FROM TABLE(rs)); RETURN n; END")
+
+    def test_variant_variable_json_path(self, engine):
+        assert self._v(
+            engine,
+            'BEGIN LET j := PARSE_JSON(\'{"a": 5}\'); '
+            "RETURN j:a::INT; END") == 5
+
+    def test_string_literal_json_path(self, engine):
+        # the underlying transform: STRING-literal base for col:path
+        assert self._v(
+            engine, """SELECT '{"x": {"y": 7}}':x.y::INT AS r""") == 7
+
+    # --- collisions / cursors / loops (behavior pins)
+    def test_cursor_bind_resolved_at_open(self, engine, tbl):
+        assert self._v(
+            engine,
+            "DECLARE lim INT DEFAULT 15; c CURSOR FOR SELECT "
+            f"COUNT(*) AS n FROM {tbl}.sw_t WHERE v > :lim; "
+            "n1 INT; n2 INT; BEGIN OPEN c; FETCH c INTO n1; CLOSE c; "
+            "LET lim := 25; OPEN c; FETCH c INTO n2; "
+            "RETURN n1 * 10 + n2; END") == 21
+
+    def test_cursor_bare_column_not_substituted(self, engine, tbl):
+        assert self._v(
+            engine,
+            "DECLARE v INT DEFAULT 999; c CURSOR FOR SELECT MAX(v) "
+            f"AS m FROM {tbl}.sw_t; m INT; BEGIN OPEN c; "
+            "FETCH c INTO m; RETURN m; END") == 30.0
+
+    def test_reopen_resets_position(self, engine, tbl):
+        assert self._v(
+            engine,
+            f"DECLARE c CURSOR FOR SELECT k FROM {tbl}.sw_t ORDER BY "
+            "k; a INT; b INT; BEGIN OPEN c; FETCH c INTO a; OPEN c; "
+            "FETCH c INTO b; RETURN a * 10 + b; END") == 11
+
+    def test_fetch_after_close_refused(self, engine):
+        with pytest.raises(ScriptingError, match="not OPEN"):
+            engine.execute(
+                "DECLARE c CURSOR FOR SELECT 1 AS a; x INT; BEGIN "
+                "OPEN c; CLOSE c; FETCH c INTO x; RETURN x; END")
+
+    def test_cursor_shared_with_nested_block(self, engine):
+        assert self._v(
+            engine,
+            "DECLARE c CURSOR FOR SELECT 7 AS a; x INT; BEGIN "
+            "BEGIN OPEN c; FETCH c INTO x; END; RETURN x; END") == 7
+
+    def test_call_inside_for_loop(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE sw_double(x INT) RETURNS INT "
+            "LANGUAGE SQL AS $$ BEGIN RETURN x * 2; END $$")
+        assert self._v(
+            engine,
+            "DECLARE s INT DEFAULT 0; BEGIN FOR i IN 1 TO 3 DO "
+            "CALL sw_double(:i); LET s := s + i; END FOR; "
+            "RETURN s; END") == 6
+
+    def test_call_exception_caught_per_iteration(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE sw_boom() RETURNS INT "
+            "LANGUAGE SQL AS $$ DECLARE e EXCEPTION (-20001, 'boom'); "
+            "BEGIN RAISE e; END $$")
+        assert self._v(
+            engine,
+            "DECLARE n INT DEFAULT 0; BEGIN FOR i IN 1 TO 3 DO "
+            "BEGIN CALL sw_boom(); EXCEPTION WHEN OTHER THEN "
+            "LET n := n + 1; END; END FOR; RETURN n; END") == 3
+
+    def test_callee_exception_caught_by_name(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE sw_boom() RETURNS INT "
+            "LANGUAGE SQL AS $$ DECLARE e EXCEPTION (-20001, 'boom'); "
+            "BEGIN RAISE e; END $$")
+        assert self._v(
+            engine,
+            "DECLARE e EXCEPTION (-20001, 'boom'); BEGIN "
+            "CALL sw_boom(); EXCEPTION WHEN e THEN RETURN 'caught'; "
+            "END") == "caught"
+
+    def test_resultset_reassignment_latest_wins(self, engine):
+        assert self._v(
+            engine,
+            "DECLARE rs RESULTSET; BEGIN rs := (SELECT 1 AS a); "
+            "rs := (SELECT 2 AS a); RETURN TABLE(rs); END") == 2
+
+    def test_for_over_reassigned_resultset(self, engine, tbl):
+        assert self._v(
+            engine,
+            "DECLARE rs RESULTSET; s INT DEFAULT 0; BEGIN "
+            f"rs := (SELECT k FROM {tbl}.sw_t); "
+            f"rs := (SELECT k FROM {tbl}.sw_t WHERE k > 1); "
+            "FOR r IN rs DO LET s := s + r.k; END FOR; "
+            "RETURN s; END") == 5
+
+    def test_bare_raise_rethrows_to_outer(self, engine):
+        assert self._v(
+            engine,
+            "BEGIN BEGIN LET x := 1/0; EXCEPTION WHEN "
+            "EXPRESSION_ERROR THEN RAISE; END; RETURN 'no'; "
+            "EXCEPTION WHEN EXPRESSION_ERROR THEN RETURN 'outer'; "
+            "END") == "outer"
+
+    def test_named_exception_skips_wrong_handler(self, engine):
+        assert self._v(
+            engine,
+            "DECLARE e1 EXCEPTION (-20001, 'a'); e2 EXCEPTION "
+            "(-20002, 'b'); BEGIN BEGIN RAISE e1; EXCEPTION WHEN e2 "
+            "THEN RETURN 'wrong'; END; EXCEPTION WHEN e1 THEN "
+            "RETURN 'right'; END") == "right"
+
+    def test_handler_when_or_names(self, engine):
+        assert self._v(
+            engine,
+            "DECLARE e1 EXCEPTION (-1, 'a'); e2 EXCEPTION (-2, 'b'); "
+            "BEGIN RAISE e2; EXCEPTION WHEN e1 OR e2 THEN "
+            "RETURN 'either'; END") == "either"
+
+    def test_loop_var_restored_before_handler(self, engine):
+        assert self._v(
+            engine,
+            "DECLARE e EXCEPTION (-3, 'x'); n INT DEFAULT 5; BEGIN "
+            "FOR n IN 1 TO 3 DO IF (n = 2) THEN RAISE e; END IF; "
+            "END FOR; RETURN 0; EXCEPTION WHEN e THEN RETURN n; "
+            "END") == 5
+
+    def test_nested_declare_shadow_persists(self, engine):
+        # documented deviation: inner DECLARE of an outer name
+        # overwrites (shared scope)
+        assert self._v(
+            engine,
+            "DECLARE x INT DEFAULT 1; BEGIN BEGIN DECLARE x INT "
+            "DEFAULT 2; BEGIN LET x := x + 1; END; END; "
+            "RETURN x; END") == 3
+
+    def test_limit_bind(self, engine, tbl):
+        df = engine.execute(
+            "DECLARE lim INT DEFAULT 2; BEGIN RETURN TABLE("
+            f"SELECT k FROM {tbl}.sw_t ORDER BY k LIMIT :lim); END")
+        assert [r.k for r in df.collect()] == [1, 2]
+
+    def test_empty_subquery_assigns_null(self, engine, tbl):
+        assert self._v(
+            engine,
+            f"BEGIN LET a := (SELECT k FROM {tbl}.sw_t WHERE k > 99); "
+            "RETURN COALESCE(a, -1); END") == -1
+
+    def test_scripting_error_not_masked_by_handler(self, engine):
+        # interpreter errors (not SQL errors) must not be swallowed
+        # by STATEMENT_ERROR handlers
+        with pytest.raises(ScriptingError, match="not a DECLAREd"):
+            engine.execute(
+                "BEGIN FETCH nosuch INTO x; EXCEPTION WHEN "
+                "STATEMENT_ERROR THEN RETURN 'caught'; END")
+
+    def test_dml_with_binds(self, engine, tbl):
+        assert self._v(
+            engine,
+            "DECLARE thr DOUBLE DEFAULT 15.0; BEGIN "
+            f"CREATE OR REPLACE TABLE {tbl}.sw_m1 AS SELECT * FROM "
+            f"{tbl}.sw_t; MERGE INTO {tbl}.sw_m1 t USING "
+            "(SELECT 2 AS k) s ON t.k = s.k WHEN MATCHED AND "
+            "t.v > :thr THEN UPDATE SET v = v + :thr; "
+            f"RETURN (SELECT v FROM {tbl}.sw_m1 WHERE k = 2); "
+            "END") == 35.0
