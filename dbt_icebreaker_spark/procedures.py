@@ -146,7 +146,11 @@ def _scan_block_end(code, begin_i: int) -> Optional[int]:
             elif u == "END":
                 nxt = code[j + 1] if j + 1 < n else None
                 if nxt is not None and nxt.kind == WORD \
-                        and nxt.upper in ("IF", "FOR", "WHILE"):
+                        and nxt.upper in ("IF", "FOR", "WHILE",
+                                          "CASE", "LOOP"):
+                    # END CASE pops its CASE; END LOOP never had a
+                    # push (LOOP is unsupported downstream) — neither
+                    # may pop the BEGIN (r7 review finding)
                     if stack and stack[-1] == nxt.upper:
                         stack.pop()
                     j += 2
@@ -493,7 +497,8 @@ _TYPE_FAMILY = {
         ("NUMBER", "NUMERIC", "DECIMAL", "DEC", "FLOAT", "FLOAT4",
          "FLOAT8", "DOUBLE", "REAL"), "num"),
     **dict.fromkeys(
-        ("VARCHAR", "CHAR", "CHARACTER", "STRING", "TEXT"), "str"),
+        ("VARCHAR", "CHAR", "CHARACTER", "STRING", "TEXT", "NVARCHAR",
+         "NVARCHAR2", "NCHAR"), "str"),
     **dict.fromkeys(("BOOLEAN", "BOOL"), "bool"),
     "DATE": "date",
     **dict.fromkeys(
@@ -508,6 +513,32 @@ def _type_family(type_sql: str) -> Optional[str]:
     return _TYPE_FAMILY.get(head)
 
 
+def _strip_precision_group(seq: list) -> list:
+    """Drop a trailing ``(n[, n])`` precision group (NUMBER/commas
+    only) so cast checks see the type WORD last — makes
+    ``x::DECIMAL(10,2)`` and ``CAST(x AS VARCHAR(20))`` classifiable
+    (r7 review finding)."""
+    from .transpiler.tokenizer import NUMBER
+
+    if not seq or not seq[-1].is_op(")"):
+        return seq
+    depth = 0
+    for q in range(len(seq) - 1, -1, -1):
+        t = seq[q]
+        if t.is_op(")"):
+            depth += 1
+        elif t.is_op("("):
+            depth -= 1
+            if depth == 0:
+                inner = seq[q + 1:len(seq) - 1]
+                if inner and all(
+                    x.kind == NUMBER or x.is_op(",") for x in inner
+                ) and q >= 1 and seq[q - 1].kind == WORD:
+                    return seq[:q]
+                return seq
+    return seq
+
+
 def _arg_family(sql: str) -> Optional[str]:
     """Best-effort type family of a CALL argument's SQL text — literal
     shapes and explicit casts only; anything else is unknown (None),
@@ -520,17 +551,20 @@ def _arg_family(sql: str) -> Optional[str]:
     # strip one unary sign
     if len(code) >= 2 and code[0].is_op("-", "+"):
         code = code[1:]
-    # trailing ::TYPE cast at depth 0 wins
-    if len(code) >= 2 and code[-1].kind == WORD \
-            and code[-2].kind == OP and code[-2].text == "::":
-        return _type_family(code[-1].text)
-    # CAST(x AS TYPE)
+    # trailing ::TYPE[(p,s)] cast at depth 0 wins
+    cand = _strip_precision_group(code)
+    if len(cand) >= 2 and cand[-1].kind == WORD \
+            and cand[-2].kind == OP and cand[-2].text == "::":
+        return _type_family(cand[-1].text)
+    # CAST(x AS TYPE[(p,s)])
     if (
         len(code) >= 5 and code[0].is_word("CAST", "TRY_CAST")
         and code[1].is_op("(") and code[-1].is_op(")")
-        and code[-2].kind == WORD and code[-3].is_word("AS")
     ):
-        return _type_family(code[-2].text)
+        inner = _strip_precision_group(code[2:-1])
+        if len(inner) >= 2 and inner[-1].kind == WORD \
+                and inner[-2].is_word("AS"):
+            return _type_family(inner[-1].text)
     if len(code) == 1:
         t = code[0]
         if t.kind == NUMBER:

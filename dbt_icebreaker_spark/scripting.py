@@ -51,6 +51,7 @@ from .transpiler.tokenizer import (
     find_matching_paren,
     next_code,
     render,
+    render_code,
     tokenize,
 )
 
@@ -77,18 +78,21 @@ class UncaughtUserException(ScriptingError):
 
 _LOOP_CAP = 100_000
 
-# declarable type spellings (Snowflake + Spark aliases) — used to
-# classify DECLARE-section segments by SHAPE, so variables named like
-# SQL verbs ("open", "set") still declare
-_DECL_TYPES = frozenset({
-    "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "BYTEINT",
-    "NUMBER", "NUMERIC", "DECIMAL", "DEC", "FLOAT", "FLOAT4", "FLOAT8",
-    "DOUBLE", "REAL", "PRECISION", "VARCHAR", "CHAR", "CHARACTER",
-    "STRING", "TEXT", "BOOLEAN", "BOOL", "DATE", "TIME", "DATETIME",
-    "TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ", "TIMESTAMP_TZ",
-    "VARIANT", "OBJECT", "ARRAY", "BINARY", "VARBINARY", "GEOGRAPHY",
-    "GEOMETRY",
-})
+def _decl_types() -> frozenset:
+    """Declarable type spellings — derived from the transpiler's
+    signature-type table (ONE source of truth; r7 review) plus the
+    spellings that table doesn't carry. Used to classify DECLARE
+    segments by SHAPE, so variables named like SQL verbs ("open",
+    "set") still declare."""
+    from .transpiler.transforms import _SIG_TYPE_MAP
+
+    return frozenset(_SIG_TYPE_MAP) | {
+        "DEC", "BOOL", "PRECISION", "ARRAY", "GEOGRAPHY", "GEOMETRY",
+        "NVARCHAR", "NVARCHAR2", "NCHAR", "VARYING", "LONG",
+    }
+
+
+_DECL_TYPES = _decl_types()
 
 
 def _strip_outer_parens(q: str) -> str:
@@ -246,6 +250,22 @@ class _Block:
                     j += 1
                 if j < len(toks) and toks[j].kind == WORD \
                         and toks[j].text.lower() in self.vars:
+                    # a ':' DIRECTLY after a value-like token is a
+                    # json path (v:field), not a bind — a substituted
+                    # VARIANT variable leaves a literal before the ':'
+                    # and the field name may collide with a variable
+                    # (r7 review finding; same guard as _sub_binds)
+                    from .transpiler.tokenizer import QIDENT
+
+                    prev = prev_code_tok(out)
+                    tight = out and out[-1].kind not in (WS, COMMENT)
+                    is_path = tight and prev is not None and (
+                        prev.kind in (WORD, QIDENT, STRING)
+                        or prev.is_op(")") or prev.is_op("]")
+                    )
+                    if is_path:
+                        out.append(t)
+                        continue
                     val = self.vars[toks[j].text.lower()]
                     if isinstance(val, dict):
                         fld = self._row_field(toks, j + 1, toks[j].text, val)
@@ -264,10 +284,11 @@ class _Block:
                     j2 += 1
                 nxt = toks[j2] if j2 < len(toks) else None
                 val = self.vars[t.text.lower()]
-                # row variable (FOR rec IN (SELECT …)): rec.col reads
-                # the current row's field
+                # a WORD directly after a PATH colon is a json-path
+                # segment, not a variable (the ':' branch above already
+                # declined to treat it as a bind; r7 review finding)
                 if isinstance(val, dict) and not (
-                    prev is not None and prev.is_op(".")
+                    prev is not None and prev.is_op(".", ":")
                 ):
                     fld = self._row_field(toks, j2, t.text, val)
                     if fld is not None:
@@ -275,9 +296,10 @@ class _Block:
                                          ._render_literal(fld[0])))
                         skip = fld[1]
                         continue
-                # not a qualified field (a.x) and not a call x(...)
+                # not a qualified field (a.x), path segment (v:x), or
+                # call x(...)
                 if not isinstance(val, dict) and not (
-                    prev is not None and prev.is_op(".")
+                    prev is not None and prev.is_op(".", ":")
                 ) and not (nxt is not None and nxt.is_op("(")):
                     out.append(Token(WORD, IcebreakerEngine._render_literal(
                         val)))
@@ -347,7 +369,12 @@ class _Block:
                                 "has no value yet — assign it first "
                                 "(name := (query))"
                             )
-                        view = f"__rs_{nm}_{abs(id(df)) % 0xFFFFFF:06x}"
+                        # one view per resultset NAME, replaced on
+                        # reassignment — spark.sql analyzes eagerly,
+                        # so DataFrames already built from a prior
+                        # value keep their resolved plan (no
+                        # per-substitution view leak; r7 review)
+                        view = f"__rs_{nm}"
                         df.createOrReplaceTempView(view)
                         out.append(Token(WORD, view))
                         skip = close
@@ -372,7 +399,7 @@ class _Block:
                     tight = out and out[-1].kind not in (WS, COMMENT)
                     is_cast = prev is not None and prev.is_op(":")
                     is_path = tight and prev is not None and (
-                        prev.kind in (WORD, QIDENT)
+                        prev.kind in (WORD, QIDENT, STRING)
                         or prev.is_op(")") or prev.is_op("]")
                     )
                     if not is_cast and not is_path:
@@ -523,15 +550,14 @@ class _Block:
             return exc.name.upper() in names
         return bool({"STATEMENT_ERROR", "EXPRESSION_ERROR"} & set(names))
 
-    def _looks_like_declaration(self, j: int) -> bool:
-        """True when the segment starting at token j has DECLARE-entry
+    @staticmethod
+    def _decl_shape_ok(seg: list) -> bool:
+        """True when a WS-stripped DECLARE segment has declaration
         shape: ``name`` followed by ``:=`` / DEFAULT / CURSOR /
         RESULTSET / EXCEPTION, or by type word(s) (with optional
         precision parens) reaching the segment end or a DEFAULT/:=.
         ``SELECT date FROM t`` is NOT a declaration (FROM after the
         type word); ``open INT`` is."""
-        end = self._stmt_end(j)
-        seg = [t for t in self.toks[j:end] if t.kind not in (WS, COMMENT)]
         if not seg or seg[0].kind != WORD:
             return False
         k = 1
@@ -565,6 +591,11 @@ class _Block:
                 continue
             return False
         return True
+
+    def _looks_like_declaration(self, j: int) -> bool:
+        end = self._stmt_end(j)
+        seg = [t for t in self.toks[j:end] if t.kind not in (WS, COMMENT)]
+        return self._decl_shape_ok(seg)
 
     def _line_of(self, i: int) -> int:
         """1-based source line of token i (for parse errors)."""
@@ -676,6 +707,17 @@ class _Block:
                     f"DECLARE {name_t.text} (line {self._line_of(i)}): "
                     "a declaration needs a type and/or a DEFAULT/:= "
                     "value (e.g. DECLARE x INT DEFAULT 0)"
+                )
+            if not self._decl_shape_ok(segc):
+                # a SQL statement between declarations would otherwise
+                # be silently bound as a NULL variable and NEVER run
+                # (r7 review finding — the nested-block scan already
+                # shape-checked; the top-level section must too)
+                raise ScriptingError(
+                    f"DECLARE (line {self._line_of(i)}): "
+                    f"{render_code(segc[:3]).strip()!r}… is not a "
+                    "declaration (name [type] [DEFAULT value]) — "
+                    "statements belong in the BEGIN body"
                 )
             if dk is not None:
                 default_sql = self._sub_expr(seg[dk + 1:]).strip()

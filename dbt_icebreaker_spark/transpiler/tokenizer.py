@@ -167,19 +167,32 @@ def strip_ws(tokens: list[Token]) -> list[Token]:
     return [t for t in tokens if t.kind not in (WS, COMMENT)]
 
 
+# OP-pair concatenations that would re-tokenize as one token (a
+# comment marker or a multi-char operator) — e.g. `3 - -1` stripped
+# renders as `3--1`, a line comment
+_OP_MERGE_HAZARDS = frozenset(
+    {"--", "/*", "*/"} | set(_MULTI_OPS)
+)
+
+
 def render_code(tokens: Iterable[Token]) -> str:
     """Render a WS/comment-stripped token list, re-inserting a single
-    space between adjacent word-like tokens. Plain ``render`` over a
-    stripped list concatenates them (``CAST(7 AS INT)`` →
-    ``CAST(7ASINT)``) — word-like tokens can only be adjacent in a
-    stripped list where the source had whitespace, so the space is
-    always safe."""
+    space between adjacent word-like tokens (``CAST(7 AS INT)`` would
+    otherwise concatenate to ``CAST(7ASINT)``) and between OP pairs
+    whose concatenation would re-tokenize as one token (``- -`` →
+    ``--`` comment). Tokens can only be adjacent in a stripped list
+    where the source had whitespace or a naturally-adjacent pair, so
+    the inserted space never changes meaning."""
     wordish = (WORD, NUMBER, STRING, QIDENT)
     parts: list[str] = []
     prev: Token | None = None
     for t in tokens:
-        if prev is not None and prev.kind in wordish and t.kind in wordish:
-            parts.append(" ")
+        if prev is not None:
+            if prev.kind in wordish and t.kind in wordish:
+                parts.append(" ")
+            elif prev.kind == OP and t.kind == OP \
+                    and (prev.text[-1] + t.text[0]) in _OP_MERGE_HAZARDS:
+                parts.append(" ")
         parts.append(t.text)
         prev = t
     return "".join(parts)

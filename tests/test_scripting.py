@@ -1159,3 +1159,70 @@ class TestR7aSweep:
             "t.v > :thr THEN UPDATE SET v = v + :thr; "
             f"RETURN (SELECT v FROM {tbl}.sw_m1 WHERE k = 2); "
             "END") == 35.0
+
+
+class TestReviewRegressionsR7:
+    """Round-7 code-review findings, pinned."""
+
+    def test_sql_statement_in_declare_section_refused(self, engine):
+        # would previously bind vars['insert']=None and silently DROP
+        # the statement (same misparse class as the r6 judge finding)
+        with pytest.raises(ScriptingError, match="not a declaration"):
+            engine.execute(
+                "DECLARE x INT DEFAULT 1; INSERT INTO nowhere VALUES "
+                "(1); BEGIN RETURN x; END")
+
+    def test_nvarchar_nested_declaration(self, engine):
+        r = engine.execute(
+            "BEGIN DECLARE x NVARCHAR DEFAULT 'a'; "
+            "BEGIN RETURN x || 'b'; END; END")
+        assert r.collect()[0][0] == "ab"
+
+    def test_precision_cast_overload_resolution(self, engine):
+        from dbt_icebreaker_spark.procedures import _arg_family
+
+        assert _arg_family("x::DECIMAL(10,2)") == "num"
+        assert _arg_family("CAST(x AS VARCHAR(20))") == "str"
+        assert _arg_family("TRY_CAST(x AS NUMBER(38,0))") == "num"
+        assert _arg_family("f(x)") is None
+
+    def test_negative_literal_call_arg_no_comment(self, engine):
+        # `3 - -1` stripped-rendered as `3--1` is a line comment
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7rv_id(x INT) RETURNS INT "
+            "LANGUAGE SQL AS $$ BEGIN RETURN x; END $$")
+        assert engine.execute(
+            "CALL r7rv_id(3 - -1)").collect()[0][0] == 4
+        engine.execute("DROP PROCEDURE IF EXISTS r7rv_id(INT)")
+
+    def test_json_path_segment_colliding_with_variable(self, engine):
+        r = engine.execute(
+            'BEGIN LET a := 7; LET j := PARSE_JSON(\'{"a": 5}\'); '
+            "RETURN j:a::INT; END")
+        assert r.collect()[0][0] == 5
+
+    def test_bind_still_substitutes_in_expression(self, engine):
+        r = engine.execute("BEGIN LET a := 7; RETURN :a + 1; END")
+        assert r.collect()[0][0] == 8
+
+    def test_case_expr_in_unquoted_proc_body_splits(self, engine):
+        from dbt_icebreaker_spark.procedures import (
+            split_unquoted_procedure,
+        )
+
+        head, trailing = split_unquoted_procedure(
+            "CREATE PROCEDURE p() RETURNS INT AS BEGIN LET x := CASE "
+            "WHEN 1=1 THEN 2 ELSE 3 END; RETURN x; END; SELECT 9")
+        assert trailing == "SELECT 9"
+        assert head.rstrip().endswith("END;")
+
+    def test_resultset_views_bounded_per_name(self, engine, spark):
+        engine.execute(
+            "DECLARE rs RESULTSET; BEGIN rs := (SELECT 1 AS a); "
+            "LET n := (SELECT COUNT(*) FROM TABLE(rs)); "
+            "rs := (SELECT 2 AS a UNION ALL SELECT 3); "
+            "LET m := (SELECT COUNT(*) FROM TABLE(rs)); "
+            "RETURN m * 10 + n; END")
+        views = [v.name for v in spark.catalog.listTables()
+                 if v.name.startswith("__rs_")]
+        assert views == ["__rs_rs"]
