@@ -6075,9 +6075,105 @@ XOP_ORACLES["q89_merge_null_keys"] = """
 """
 
 
+def _q_time_travel_clone_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 time-travel forms (VERDICT r6 Missing #4): ``CREATE
+    TABLE … CLONE src AT(TIMESTAMP => jan)`` materializes the
+    point-in-time state, and ``AT(OFFSET => 0)`` (seconds relative to
+    now) reads the current state — both over an SCD2 snapshot table
+    whose two batches carry fixed past timestamps. The oracle restates
+    both states declaratively (batch 1 = original prices, batch 2 =
+    +50)."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="q90_")
+    db = f"q90_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    eng.run_snapshot(
+        "tt_hist",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 3000",
+        unique_key="o_orderkey", strategy="check",
+        check_cols=["o_totalprice"], now=datetime.datetime(2026, 1, 1),
+    )
+    eng.run_snapshot(
+        "tt_hist",
+        "SELECT o_orderkey, o_totalprice + 50 AS o_totalprice "
+        "FROM orders WHERE o_orderkey <= 3000",
+        unique_key="o_orderkey", strategy="check",
+        check_cols=["o_totalprice"], now=datetime.datetime(2026, 2, 1),
+    )
+    eng.execute(
+        f"CREATE OR REPLACE TABLE {db}.tt_jan CLONE {db}.tt_hist "
+        "AT(TIMESTAMP => '2026-01-15'::TIMESTAMP)"
+    )
+    return eng.execute(
+        f"""
+        SELECT 'jan' AS kind, o_orderkey, o_totalprice
+        FROM {db}.tt_jan
+        UNION ALL
+        SELECT 'now' AS kind, o_orderkey, o_totalprice
+        FROM {db}.tt_hist AT(OFFSET => 0)
+        """
+    )
+
+
+XOP_ORACLES["q90_time_travel_clone_offset"] = """
+    SELECT 'jan' AS kind, o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 3000
+    UNION ALL
+    SELECT 'now' AS kind, o_orderkey, o_totalprice + 50 AS o_totalprice
+    FROM orders WHERE o_orderkey <= 3000
+"""
+
+
+def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 COMPRESS family (udfs.py — Arrow-vectorized session
+    UDFs over zlib/gzip/bz2): every supplier name round-trips through
+    compress→decompress per method, and the compressed width is
+    recorded as a sanity signal (> 0; exact widths are codec-version
+    detail so the oracle only pins the recoverable text)."""
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema=f"q91_{uuid.uuid4().hex[:8]}")
+    return eng.execute(
+        """
+        SELECT s_suppkey,
+               DECOMPRESS_STRING(COMPRESS(s_name, 'zlib'), 'zlib')
+                 AS rt_zlib,
+               DECOMPRESS_STRING(COMPRESS(s_name, 'gzip'), 'gzip')
+                 AS rt_gzip,
+               DECOMPRESS_STRING(COMPRESS(s_name, 'bz2'), 'bz2')
+                 AS rt_bz2,
+               CAST(LENGTH(COMPRESS(s_name, 'zlib')) > 0 AS BOOLEAN)
+                 AS nonempty
+        FROM supplier
+        """
+    )
+
+
+XOP_ORACLES["q91_compress_roundtrip"] = """
+    SELECT s_suppkey,
+           s_name AS rt_zlib,
+           s_name AS rt_gzip,
+           s_name AS rt_bz2,
+           TRUE AS nonempty
+    FROM supplier
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_scripting_shadow": _q_scripting_shadow,
     "q89_merge_null_keys": _q_merge_null_keys,
+    "q90_time_travel_clone_offset": _q_time_travel_clone_offset,
+    "q91_compress_roundtrip": _q_compress_roundtrip,
     "x69_pattern_anchors_permute": _x_pattern_anchors_permute,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,

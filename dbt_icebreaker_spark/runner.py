@@ -193,9 +193,16 @@ class IcebreakerEngine:
         # session must not accumulate plans forever); _result_offset
         # counts evictions so positive LAST_QUERY_ID(n) session
         # indices stay correct.
-        self._result_history: list[tuple[str, DataFrame]] = []
+        # (query id, result, wall-clock time) — the timestamp
+        # backs AT(STATEMENT => qid) time travel
+        self._result_history: list[tuple[str, DataFrame, float]] = []
         self._result_offset = 0
         self._result_cap = 200
+        # session UDFs for Snowflake scalars Spark lacks (COMPRESS
+        # family — Arrow-vectorized, registered once per session)
+        from .udfs import register_scalar_udfs
+
+        register_scalar_udfs(self.spark)
         # stored-procedure registry (procedures.py): name → overloads,
         # session-scoped like temp views; _call_depth bounds recursion
         self._procedures: dict[str, list] = {}
@@ -366,12 +373,25 @@ class IcebreakerEngine:
         import uuid as _uuid
 
         qid = str(_uuid.uuid4())
-        self._result_history.append((qid, df))
+        self._result_history.append((qid, df, time.time()))
         over = len(self._result_history) - self._result_cap
         if over > 0:
             del self._result_history[:over]
             self._result_offset += over
         return qid
+
+    def statement_timestamp(self, qid: str) -> float:
+        """Wall-clock time a recorded statement completed — backs
+        AT(STATEMENT => '<qid>') time travel over snapshot tables."""
+        for q, _, ts in self._result_history:
+            if q == qid:
+                return ts
+        raise ValueError(
+            f"STATEMENT => {qid!r}: not a recorded query id in this "
+            f"engine session (the engine keeps the most recent "
+            f"{self._result_cap} results; use LAST_QUERY_ID([-n]) "
+            "or the qid returned by a prior statement)"
+        )
 
     def last_query_id(self, n: int = -1) -> str:
         """Snowflake LAST_QUERY_ID semantics: negative n counts back
@@ -509,7 +529,7 @@ class IcebreakerEngine:
                     "RESULT_SCAN: expected a query-id string literal or "
                     "LAST_QUERY_ID([n])"
                 )
-            match = [d for q, d in self._result_history if q == qid]
+            match = [d for q, d, _ in self._result_history if q == qid]
             if not match:
                 raise ValueError(
                     f"RESULT_SCAN: unknown query id {qid!r} (ids are "
@@ -796,7 +816,8 @@ class IcebreakerEngine:
             # pure transpiler (which keeps the general refusal)
             from .transpiler.time_travel import resolve_time_travel
 
-            raw = resolve_time_travel(self.spark, raw, self.transpiler)
+            raw = resolve_time_travel(self.spark, raw, self.transpiler,
+                                      engine=self)
             for stmt in self.transpiler.to_spark_statements(raw):
                 try:
                     result = self.spark.sql(stmt)

@@ -101,33 +101,107 @@ def _spark_name(toks_slice) -> str:
     return "".join(parts)
 
 
-def resolve_time_travel(spark, sql: str, transpiler) -> str:
-    """Rewrite every snapshot-table ``AT/BEFORE(TIMESTAMP => x)`` in
-    ``sql`` onto the SCD2 validity predicate. Raises the actionable
-    refusal for non-snapshot tables and non-TIMESTAMP forms. SQL
-    without time travel returns unchanged (one cheap scan)."""
+def _statement_timestamp_expr(engine, expr: str) -> str:
+    """``STATEMENT => '<qid>'`` → a TIMESTAMP literal from the
+    engine's result history (every executed statement records a
+    query id + wall-clock time; round 7)."""
+    import datetime
+
+    if engine is None:
+        raise TranspileError(
+            "Time-travel STATEMENT => … needs the engine's query "
+            "history — run the statement through IcebreakerEngine."
+            "execute, not the bare transpiler"
+        )
+    e = expr.strip()
+    if len(e) >= 2 and e[0] == "'" and e[-1] == "'":
+        qid = e[1:-1].replace("''", "'")
+    else:
+        raise TranspileError(
+            f"Time-travel STATEMENT => {expr!r}: expected a quoted "
+            "query id literal (LAST_QUERY_ID() resolves at statement "
+            "level — capture it into a session variable first: "
+            "SET qid = LAST_QUERY_ID())"
+        )
+    try:
+        ts = engine.statement_timestamp(qid)
+    except ValueError as ve:
+        raise TranspileError(str(ve)) from None
+    iso = datetime.datetime.fromtimestamp(ts).strftime(
+        "%Y-%m-%d %H:%M:%S.%f")
+    return f"TIMESTAMP '{iso}'"
+
+
+def _rewrite_clone_at(toks, engine):
+    """``CREATE [OR REPLACE] TABLE t CLONE src AT|BEFORE(…)`` →
+    ``CREATE [OR REPLACE] TABLE t AS SELECT * FROM src AT|BEFORE(…)``
+    — the AT-read then rewrites onto the snapshot predicate like any
+    other time-travel scan (round 7; non-snapshot sources keep the
+    actionable refusal). DOCUMENTED DEVIATION: like plain CLONE, this
+    materializes a copy (parquet has no zero-copy snapshot layer)."""
+    ci = None
+    for i, t in enumerate(toks):
+        if t.kind == WORD and t.upper == "CLONE":
+            ci = i
+            break
+    if ci is None:
+        return None
+    head_words = [t.upper for t in toks[:ci] if t.kind == WORD]
+    if not head_words or head_words[0] != "CREATE" \
+            or "TABLE" not in head_words:
+        return None
+    head = render(toks[:ci]).rstrip()
+    tail = render(toks[ci + 1:]).strip()
+    import re as _re
+
+    # Spark's V1 catalog has no REPLACE TABLE AS SELECT — lower OR
+    # REPLACE to DROP IF EXISTS + CTAS (same as plain CLONE's rewrite)
+    m = _re.match(r"(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(.*)$", head)
+    if m:
+        tbl = m.group(1).strip()
+        return tokenize(
+            f"DROP TABLE IF EXISTS {tbl}; "
+            f"CREATE TABLE {tbl} AS SELECT * FROM {tail}"
+        )
+    return tokenize(f"{head} AS SELECT * FROM {tail}")
+
+
+def resolve_time_travel(spark, sql: str, transpiler, engine=None) -> str:
+    """Rewrite every snapshot-table ``AT/BEFORE(TIMESTAMP|OFFSET|
+    STATEMENT => x)`` in ``sql`` onto the SCD2 validity predicate
+    (OFFSET is seconds relative to now; STATEMENT resolves through the
+    engine's query history), and ``CREATE TABLE … CLONE src AT(…)``
+    onto a point-in-time CTAS. Raises the actionable refusal for
+    non-snapshot tables and the STREAM form. SQL without time travel
+    returns unchanged (one cheap scan)."""
     import re
 
     if not re.search(r"\b(AT|BEFORE)\s*\(", sql, re.IGNORECASE):
         return sql
-    if re.search(r"\bCLONE\b", sql, re.IGNORECASE):
-        # CLONE ... AT(...) is a point-in-time table copy, not a read —
-        # keep the transpiler's actionable refusal
-        return sql
     toks = tokenize(sql)
+    if re.search(r"\bCLONE\b", sql, re.IGNORECASE):
+        rewritten = _rewrite_clone_at(toks, engine)
+        if rewritten is None:
+            return sql
+        toks = rewritten
     while True:
         hit = _find_time_travel(toks)
         if hit is None:
             return render(toks)
         lo, hi, kw, kind, expr, close = hit
         name = _spark_name(toks[lo:hi])
-        if kw != "TIMESTAMP":
+        if kw == "OFFSET":
+            # seconds relative to now (Snowflake: negative = past)
+            expr = (f"TIMESTAMPADD(SECOND, CAST(({expr}) AS BIGINT), "
+                    "CURRENT_TIMESTAMP())")
+        elif kw == "STATEMENT":
+            expr = _statement_timestamp_expr(engine, expr)
+        elif kw != "TIMESTAMP":
             raise TranspileError(
                 f"Time-travel clause {kind}({kw} => …) is not supported "
-                "— only TIMESTAMP-form time travel over snapshot tables "
-                "is rewritable (OFFSET/STATEMENT need a query-history "
-                "layer). On an Iceberg/Delta catalog table use Spark's "
-                "VERSION AS OF instead."
+                "— TIMESTAMP/OFFSET/STATEMENT forms work over snapshot "
+                "tables (STREAM needs CDC state). On an Iceberg/Delta "
+                "catalog table use Spark's VERSION AS OF instead."
             )
         if not name:
             raise TranspileError(

@@ -5938,11 +5938,6 @@ def rewrite_window_ratio_funcs(tokens: Tokens) -> Tokens:
 # Scalar functions with no faithful Spark rendering — actionable error
 # (ref errors.py style) instead of UNRESOLVED_ROUTINE at runtime.
 _UNSUPPORTED_SCALARS = {
-    "COMPRESS": "storing raw and letting parquet's codec compress "
-                "(Spark SQL has no zlib/zstd scalar; column encodings "
-                "compress transparently)",
-    "DECOMPRESS_STRING": "reading the uncompressed column (see COMPRESS)",
-    "DECOMPRESS_BINARY": "reading the uncompressed column (see COMPRESS)",
     "ZIPF": "an explicit inverse-CDF over UNIFORM (Spark has no "
             "zipf generator; xops.sampling covers deterministic "
             "weighted draws)",

@@ -26,7 +26,9 @@ refuses actionably at parse time):
   first/last row — overlapping matches; SQL:2016 runtime errors when
   the symbol matched no row or the target would loop).
 - ``PATTERN``: sequences of symbols with greedy quantifiers
-  (``A B+ C* D? E{2} F{1,3}``), top-level alternation (``A B+ | C D``)
+  (``A B+ C* D? E{2} F{1,3}``) and reluctant suffixes (``B+?`` /
+  ``B{1,3}?`` — fewest repetitions, round 7: the VM split prefers
+  the exit branch), top-level alternation (``A B+ | C D``)
   with SQL:2016 §7.9 preferment order, and — round 6 — quantified
   GROUPS ``(A B)+`` / ``(A B){n,m}`` with in-group alternation
   ``(A|B)``. Patterns compile to a small backtracking-VM program
@@ -114,12 +116,22 @@ _PTOK_RE = re.compile(
 )
 
 
-def _read_quant(toks: list[str], i: int) -> tuple[int, Optional[int], int]:
-    """Quantifier at toks[i] (if any) → (lo, hi, next_index)."""
+def _read_quant(toks: list[str], i: int):
+    """Quantifier at toks[i] (if any) → (lo, hi, lazy, next_index).
+    A trailing '?' after any quantifier marks it RELUCTANT (SQL:2016
+    §7.9 / regex lazy: match as FEW repetitions as possible; round
+    7)."""
+
+    def lazy_suffix(j: int) -> tuple[bool, int]:
+        if j < len(toks) and toks[j] == "?":
+            return True, j + 1
+        return False, j
+
     if i < len(toks) and toks[i] in ("*", "+", "?"):
         q = toks[i]
+        lazy, nxt = lazy_suffix(i + 1)
         return ({"*": 0, "+": 1, "?": 0}[q],
-                {"*": None, "+": None, "?": 1}[q], i + 1)
+                {"*": None, "+": None, "?": 1}[q], lazy, nxt)
     if i < len(toks) and toks[i].startswith("{"):
         nums = toks[i].strip("{}").split(",")
         lo = int(nums[0])
@@ -129,8 +141,9 @@ def _read_quant(toks: list[str], i: int) -> tuple[int, Optional[int], int]:
             raise ValueError(
                 f"MATCH_RECOGNIZE PATTERN: bad quantifier {toks[i]!r}"
             )
-        return lo, hi, i + 1
-    return 1, 1, i
+        lazy, nxt = lazy_suffix(i + 1)
+        return lo, hi, lazy, nxt
+    return 1, 1, False, i
 
 
 def parse_pattern_full(text: str):
@@ -139,8 +152,9 @@ def parse_pattern_full(text: str):
     Grammar (SQL:2016 §7.9 subset): ``alt := seq ('|' seq)*``,
     ``seq := item+``, ``item := (symbol | '(' alt ')') quant?`` —
     quantified GROUPS ``(A B)+`` and in-group alternation ``(A|B)``
-    (round 6), partition anchors ``^ $`` and ``PERMUTE(a, b, …)``
-    (round 7; k ≤ 6). Reluctant suffixes refuse. The flat terms list
+    (round 6), partition anchors ``^ $``, ``PERMUTE(a, b, …)``
+    (k ≤ 6), and reluctant quantifier suffixes (``B+?`` — match as
+    few repetitions as possible; round 7). The flat terms list
     holds one entry per SYMBOL
     OCCURRENCE in written order — the flag table and measure/skip
     consumers key on it; tree sym nodes index into it."""
@@ -186,10 +200,10 @@ def parse_pattern_full(text: str):
                     raise ValueError(
                         "MATCH_RECOGNIZE PATTERN: unclosed group"
                     )
-                lo, hi, i = _read_quant(toks, i + 1)
+                lo, hi, lazy, i = _read_quant(toks, i + 1)
                 inner = (branches[0] if len(branches) == 1
                          else [("alt", branches)])
-                nodes.append(("grp", inner, lo, hi))
+                nodes.append(("grp", inner, lo, hi, lazy))
             elif tk.upper() == "PERMUTE":
                 # PERMUTE(a, b, …) ≡ alternation of the k! orderings
                 # in lexicographic (written) order — SQL:2016 §7.9
@@ -223,18 +237,18 @@ def parse_pattern_full(text: str):
                         f"{len(p_args)}! orderings — the cap is 6 "
                         "(720); split the pattern"
                     )
-                lo, hi, i = _read_quant(toks, i + 1)
+                lo, hi, lazy, i = _read_quant(toks, i + 1)
                 branches = [
                     [nd for part in perm for nd in part]
                     for perm in itertools.permutations(p_args)
                 ]
                 inner = (branches[0] if len(branches) == 1
                          else [("alt", branches)])
-                nodes.append(("grp", inner, lo, hi))
+                nodes.append(("grp", inner, lo, hi, lazy))
             elif _QUANT_RE.match(tk) and tk not in ("*", "+", "?"):
-                lo, hi, i2 = _read_quant(toks, i + 1)
+                lo, hi, lazy, i2 = _read_quant(toks, i + 1)
                 terms.append(PatternTerm(tk.upper(), lo, hi, alt=cur_alt))
-                nodes.append(("sym", len(terms) - 1, lo, hi))
+                nodes.append(("sym", len(terms) - 1, lo, hi, lazy))
                 i = i2
             else:
                 raise ValueError(
@@ -335,23 +349,28 @@ def _compile_program(nodes) -> tuple[list, int]:
         for node in seq:
             kind = node[0]
             if kind == "sym":
-                _, ti, lo, hi = node
+                ti, lo, hi = node[1], node[2], node[3]
+                lazy = node[4] if len(node) > 4 else False
                 for _ in range(lo):
                     emit(("char", ti))
                 if hi is None:
                     lpc = emit(("split", None, None))
                     emit(("char", ti))
                     emit(("jmp", lpc))
-                    prog[lpc] = ("split", lpc + 1, len(prog))
+                    # lazy: prefer the EXIT branch (fewest repetitions)
+                    prog[lpc] = (("split", len(prog), lpc + 1) if lazy
+                                 else ("split", lpc + 1, len(prog)))
                 else:
                     fixes = []
                     for _ in range(hi - lo):
                         fixes.append(emit(("split", None, None)))
                         emit(("char", ti))
                     for spc in fixes:
-                        prog[spc] = ("split", spc + 1, len(prog))
+                        prog[spc] = (("split", len(prog), spc + 1) if lazy
+                                     else ("split", spc + 1, len(prog)))
             elif kind == "grp":
-                _, children, lo, hi = node
+                children, lo, hi = node[1], node[2], node[3]
+                lazy = node[4] if len(node) > 4 else False
                 for _ in range(lo):
                     compile_nodes(children)
                 if hi is None:
@@ -361,10 +380,11 @@ def _compile_program(nodes) -> tuple[list, int]:
                     emit(("mark", s))
                     compile_nodes(children)
                     cpc = emit(("loopchk", s, None, None))
-                    prog[lpc] = ("split", lpc + 1, len(prog))
                     # loop back to the SPLIT so each iteration pushes
-                    # its own exit choice (greedy with per-iteration
-                    # backtrack points)
+                    # its own exit choice (per-iteration backtrack
+                    # points); lazy prefers the exit branch
+                    prog[lpc] = (("split", len(prog), lpc + 1) if lazy
+                                 else ("split", lpc + 1, len(prog)))
                     prog[cpc] = ("loopchk", s, lpc, len(prog))
                 else:
                     fixes = []
@@ -372,7 +392,8 @@ def _compile_program(nodes) -> tuple[list, int]:
                         fixes.append(emit(("split", None, None)))
                         compile_nodes(children)
                     for spc in fixes:
-                        prog[spc] = ("split", spc + 1, len(prog))
+                        prog[spc] = (("split", len(prog), spc + 1) if lazy
+                                     else ("split", spc + 1, len(prog)))
             elif kind == "anch":
                 emit((node[1],))  # ("bol",) / ("eol",) position guard
             else:  # ("alt", branches) — written-order preferment

@@ -785,3 +785,92 @@ class TestAnchorsPermuteR7:
                      DEFINE A AS TRUE
                    )"""
             )
+
+
+class TestReluctantQuantifiersR7:
+    """Round-7: reluctant suffixes (B+? B*? B{n,m}? B??) — SQL:2016
+    lazy quantifiers match as FEW repetitions as possible (the VM
+    split prefers the exit branch)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def seq(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_lazy AS SELECT * FROM "
+            "VALUES ('k',1),('k',2),('k',3),('k',4),('k',5) t(k, t)")
+
+    def test_lazy_plus_takes_one(self, engine, seq):
+        # every row satisfies B; A B+? C must take ONE B (rows 1-3),
+        # where greedy B+ would run to the end
+        df = engine.execute(
+            """SELECT * FROM mr_lazy MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n, LAST(t) AS e
+                 PATTERN (A B+? C)
+                 DEFINE A AS TRUE, B AS TRUE, C AS TRUE
+               )"""
+        )
+        r = df.collect()[0]
+        assert (r.n, r.e) == (3, 3)
+
+    def test_greedy_plus_takes_all(self, engine, seq):
+        df = engine.execute(
+            """SELECT * FROM mr_lazy MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n, LAST(t) AS e
+                 PATTERN (A B+ C)
+                 DEFINE A AS TRUE, B AS TRUE, C AS TRUE
+               )"""
+        )
+        r = df.collect()[0]
+        assert (r.n, r.e) == (5, 5)
+
+    def test_lazy_star_takes_zero(self, engine, seq):
+        df = engine.execute(
+            """SELECT * FROM mr_lazy MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n
+                 PATTERN (A B*? C)
+                 DEFINE A AS TRUE, B AS TRUE, C AS TRUE
+               )"""
+        )
+        assert df.collect()[0].n == 2
+
+    def test_lazy_range_takes_minimum(self, engine, seq):
+        df = engine.execute(
+            """SELECT * FROM mr_lazy MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n
+                 PATTERN (A B{1,3}? C)
+                 DEFINE A AS TRUE, B AS TRUE, C AS TRUE
+               )"""
+        )
+        assert df.collect()[0].n == 3
+
+    def test_lazy_still_backtracks_to_satisfy(self, engine, spark):
+        # lazy must still GROW when needed: C only true on the last
+        # row, so B+? has to expand to rows 2-4
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_lazy2 AS SELECT * FROM "
+            "VALUES ('k',1,0),('k',2,0),('k',3,0),('k',4,0),('k',5,1) "
+            "t(k, t, fin)")
+        df = engine.execute(
+            """SELECT * FROM mr_lazy2 MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n, LAST(t) AS e
+                 PATTERN (A B+? C)
+                 DEFINE A AS TRUE, B AS fin = 0, C AS fin = 1
+               )"""
+        )
+        r = df.collect()[0]
+        assert (r.n, r.e) == (5, 5)
+
+    def test_lazy_group(self, engine, seq):
+        df = engine.execute(
+            """SELECT * FROM mr_lazy MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY t
+                 MEASURES COUNT(*) AS n
+                 PATTERN ((A B)+? C)
+                 DEFINE A AS TRUE, B AS TRUE, C AS TRUE
+               )"""
+        )
+        assert df.collect()[0].n == 3

@@ -1834,12 +1834,14 @@ class TestTimeTravel:
                 "SELECT * FROM customer AT(TIMESTAMP => '2026-01-01'::TIMESTAMP)"
             )
 
-    def test_offset_form_still_refused(self, spark, engine):
+    def test_offset_on_non_snapshot_refused(self, spark, engine):
+        # r7: OFFSET is now a supported FORM (seconds relative to
+        # now), but non-snapshot tables still keep no history
         import pytest as _pytest
 
         from dbt_icebreaker_spark.transpiler.core import TranspileError
 
-        with _pytest.raises(TranspileError, match="OFFSET"):
+        with _pytest.raises(TranspileError, match="no history"):
             engine.execute("SELECT * FROM customer AT(OFFSET => -3600)")
 
 
@@ -2933,3 +2935,107 @@ class TestNullKeyDmlR7:
         )
         # NULL-key target keeps 5.0 — NOT updated to 700.0
         assert rows == [(1, 100.0), (None, 5.0)]
+
+
+class TestTimeTravelR7:
+    """Round-7: OFFSET/STATEMENT time-travel forms + CLONE … AT over
+    snapshot tables (VERDICT r6 Missing #4). OFFSET is seconds
+    relative to now; STATEMENT resolves a recorded query id through
+    the engine's result history; CLONE AT materializes the
+    point-in-time state (documented copy deviation, like plain
+    CLONE)."""
+
+    def _history(self, spark, engine, name):
+        t1 = datetime.datetime(2026, 1, 1)
+        t2 = datetime.datetime(2026, 2, 1)
+        spark.sql(f"DROP TABLE IF EXISTS mat_test.{name}")
+        engine.run_snapshot(
+            name, "SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey < 10",
+            unique_key="c_custkey", strategy="check",
+            check_cols=["c_acctbal"], now=t1,
+        )
+        engine.run_snapshot(
+            name, "SELECT c_custkey, c_acctbal + 100 AS c_acctbal "
+            "FROM customer WHERE c_custkey < 10",
+            unique_key="c_custkey", strategy="check",
+            check_cols=["c_acctbal"], now=t2,
+        )
+
+    def test_offset_now_sees_current_state(self, spark, engine):
+        # OFFSET => 0 ≈ now: both snapshot batches are in the past, so
+        # the read returns the CURRENT state (9 rows, updated values)
+        self._history(spark, engine, "tt_off")
+        rows = engine.execute(
+            "SELECT c_custkey, c_acctbal FROM mat_test.tt_off "
+            "AT(OFFSET => 0) ORDER BY c_custkey"
+        ).collect()
+        orig = {r.c_custkey: r.c_acctbal for r in spark.sql(
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey < 10").collect()}
+        assert len(rows) == 10
+        for r in rows:
+            assert abs(r.c_acctbal - (orig[r.c_custkey] + 100)) < 1e-9
+
+    def test_offset_far_past_sees_nothing(self, spark, engine):
+        self._history(spark, engine, "tt_off2")
+        rows = engine.execute(
+            "SELECT * FROM mat_test.tt_off2 "
+            "AT(OFFSET => -63072000)"  # two years back — before t1
+        ).collect()
+        assert rows == []
+
+    def test_statement_form_resolves_history(self, spark, engine):
+        self._history(spark, engine, "tt_st")
+        qid = engine._record_result(
+            engine.execute("SELECT 1 AS probe"))
+        # a statement run NOW sees the current state
+        rows = engine.execute(
+            f"SELECT COUNT(*) AS n FROM mat_test.tt_st "
+            f"AT(STATEMENT => '{qid}')"
+        ).collect()
+        assert rows[0].n == 10
+
+    def test_statement_unknown_qid_actionable(self, spark, engine):
+        self._history(spark, engine, "tt_st2")
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="not a recorded"):
+            engine.execute(
+                "SELECT * FROM mat_test.tt_st2 "
+                "AT(STATEMENT => 'no-such-qid')")
+
+    def test_clone_at_timestamp(self, spark, engine):
+        self._history(spark, engine, "tt_cl")
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.tt_cl_jan CLONE "
+            "mat_test.tt_cl AT(TIMESTAMP => '2026-01-15'::TIMESTAMP)")
+        cloned = {r.c_custkey: r.c_acctbal for r in spark.sql(
+            "SELECT c_custkey, c_acctbal FROM mat_test.tt_cl_jan"
+        ).collect()}
+        orig = {r.c_custkey: r.c_acctbal for r in spark.sql(
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey < 10").collect()}
+        assert len(cloned) == 10
+        for k, v in cloned.items():  # January = ORIGINAL values
+            assert abs(v - orig[k]) < 1e-9
+
+    def test_clone_at_non_snapshot_refused(self, spark, engine):
+        spark.sql("DROP TABLE IF EXISTS mat_test.plain_src")
+        spark.sql(
+            "CREATE TABLE mat_test.plain_src AS SELECT 1 AS k")
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="no history"):
+            engine.execute(
+                "CREATE TABLE mat_test.plain_dst CLONE "
+                "mat_test.plain_src "
+                "AT(TIMESTAMP => '2024-01-01'::TIMESTAMP)")
+
+    def test_stream_form_still_refused(self, spark, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="STREAM"):
+            engine.execute(
+                "SELECT * FROM mat_test.anything "
+                "AT(STREAM => 's1')")

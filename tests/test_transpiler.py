@@ -688,9 +688,12 @@ class TestVariantSubscript:
         out = t.to_spark("SELECT v[2] FROM t")
         assert "get_json_object" not in out and "v[2]" in out.replace(" ", "")
 
-    def test_compress_refuses_actionably(self):
-        ok, msg = t.can_transpile("SELECT COMPRESS(x, 'zlib') FROM t")
-        assert not ok and "parquet" in msg
+    def test_compress_transpiles_since_r7(self):
+        # r7: COMPRESS/DECOMPRESS_* are session UDFs now — the
+        # transpiler passes them through (engine registers the
+        # Arrow-vectorized implementations)
+        ok, _ = t.can_transpile("SELECT COMPRESS(x, 'zlib') FROM t")
+        assert ok
 
 
 class TestRound5BatteryFixes:
@@ -2610,3 +2613,49 @@ class TestQualifyAliasSubstitution:
             "ORDER BY o_orderkey) = 1"
         )
         assert spark.sql(t.to_spark(sql)).count() == 150
+
+
+class TestCompressUdfsR7:
+    """Round-7: COMPRESS / DECOMPRESS_STRING / DECOMPRESS_BINARY as
+    Arrow-vectorized session UDFs (zlib/gzip/bz2/deflate via stdlib;
+    unavailable codecs refuse inside the kernel)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="udf_r7")
+
+    def test_roundtrip_all_methods(self, engine):
+        r = engine.execute(
+            "SELECT "
+            "DECOMPRESS_STRING(COMPRESS('abc', 'zlib'), 'zlib') AS z, "
+            "DECOMPRESS_STRING(COMPRESS('abc', 'gzip'), 'gzip') AS g, "
+            "DECOMPRESS_STRING(COMPRESS('abc', 'bz2'), 'bz2') AS b, "
+            "DECOMPRESS_STRING(COMPRESS('abc', 'deflate'), 'deflate') "
+            "AS d").collect()[0]
+        assert (r.z, r.g, r.b, r.d) == ("abc",) * 4
+
+    def test_binary_roundtrip_and_null(self, engine):
+        r = engine.execute(
+            "SELECT DECOMPRESS_BINARY(COMPRESS(CAST('xy' AS BINARY), "
+            "'zlib'), 'zlib') AS b, COMPRESS(NULL, 'zlib') AS n"
+        ).collect()[0]
+        assert bytes(r.b) == b"xy" and r.n is None
+
+    def test_level_spelling(self, engine):
+        r = engine.execute(
+            "SELECT DECOMPRESS_STRING(COMPRESS('lvl', 'zlib(9)'), "
+            "'zlib') AS v").collect()[0]
+        assert r.v == "lvl"
+
+    def test_unavailable_codec_refuses(self, engine):
+        with pytest.raises(Exception, match="not available"):
+            engine.execute("SELECT COMPRESS('x', 'snappy') AS c") \
+                .collect()
+
+    def test_compressed_is_smaller_on_repetitive_input(self, engine):
+        r = engine.execute(
+            "SELECT LENGTH(COMPRESS(REPEAT('ab', 500), 'zlib')) AS c, "
+            "LENGTH(REPEAT('ab', 500)) AS raw").collect()[0]
+        assert r.c < r.raw
