@@ -381,7 +381,9 @@ def parse_create_procedure(raw: str) -> Optional[Procedure]:
 
 def parse_drop_procedure(raw: str):
     """``DROP PROCEDURE [IF EXISTS] name[(types…)]`` →
-    (name, arity|None, if_exists), else None."""
+    (name, signature|None, if_exists), else None. The signature is
+    the list of type spellings; round 7 — matching is by TYPE FAMILY
+    per position, so same-arity overloads drop individually."""
     toks = tokenize(raw)
     code = [t for t in toks if t.kind not in (WS, COMMENT)]
     if len(code) < 2 or not code[0].is_word("DROP") \
@@ -400,11 +402,14 @@ def parse_drop_procedure(raw: str):
     while k + 1 < len(code) and code[k].is_op("."):
         name = code[k + 1].text.strip('"').upper()
         k += 2
-    arity = None
+    signature = None
     if k < len(code) and code[k].is_op("("):
         close = find_matching_paren(code, k)
-        arity = len(split_args(code, k + 1, close))
-    return (name, arity, if_exists)
+        signature = [
+            render_code(code[lo:hi]).strip()
+            for lo, hi in split_args(code, k + 1, close)
+        ]
+    return (name, signature, if_exists)
 
 
 def parse_call(raw: str):
@@ -447,22 +452,30 @@ def parse_call(raw: str):
 
 # ------------------------------------------------------------- runtime
 def register_procedure(engine, proc: Procedure, replace: bool) -> None:
+    """Overload identity is the per-position TYPE-FAMILY signature
+    (round 7; matches _resolve_overload's granularity) — same-arity
+    overloads with different argument types coexist, Snowflake-style;
+    only an identical signature conflicts/replaces."""
     bucket = engine._procedures.setdefault(proc.name, [])
+    fams = [_type_family(a.sf_type) for a in proc.args]
     for i, existing in enumerate(bucket):
-        if len(existing.args) == len(proc.args):
+        if len(existing.args) == len(proc.args) and [
+            _type_family(a.sf_type) for a in existing.args
+        ] == fams:
             if not replace:
+                sig = ", ".join(a.sf_type for a in proc.args)
                 raise ProcedureError(
-                    f"procedure {proc.name}({len(proc.args)} args) "
-                    "already exists — use CREATE OR REPLACE PROCEDURE"
+                    f"procedure {proc.name}({sig}) already exists — "
+                    "use CREATE OR REPLACE PROCEDURE"
                 )
             bucket[i] = proc
             return
     bucket.append(proc)
 
 
-def drop_procedure(engine, name: str, arity, if_exists: bool) -> bool:
+def drop_procedure(engine, name: str, signature, if_exists: bool) -> bool:
     bucket = engine._procedures.get(name, [])
-    if arity is None:
+    if signature is None:
         if len(bucket) > 1:
             raise ProcedureError(
                 f"DROP PROCEDURE {name}: multiple overloads exist — "
@@ -473,12 +486,40 @@ def drop_procedure(engine, name: str, arity, if_exists: bool) -> bool:
             del engine._procedures[name]
             return True
     else:
-        for i, p in enumerate(bucket):
-            if len(p.args) == arity:
-                del bucket[i]
-                if not bucket:
-                    del engine._procedures[name]
-                return True
+        arity = len(signature)
+        sig_fams = [_type_family(t) for t in signature]
+        fits = [
+            (i, p) for i, p in enumerate(bucket)
+            if len(p.args) == arity
+        ]
+        if len(fits) > 1:
+            # same arity: disambiguate by per-position type family
+            typed = [
+                (i, p) for i, p in fits
+                if all(
+                    sf is None or sf == _type_family(a.sf_type)
+                    for sf, a in zip(sig_fams, p.args)
+                )
+            ]
+            if len(typed) == 1:
+                fits = typed
+            elif len(typed) > 1:
+                sigs = "; ".join(
+                    "(" + ", ".join(a.sf_type for a in p.args) + ")"
+                    for _, p in typed)
+                raise ProcedureError(
+                    f"DROP PROCEDURE {name}: signature "
+                    f"({', '.join(signature)}) is ambiguous between "
+                    f"[{sigs}] — spell the exact declared types"
+                )
+            else:
+                fits = []
+        if fits:
+            i = fits[0][0]
+            del bucket[i]
+            if not bucket:
+                del engine._procedures[name]
+            return True
     if if_exists:
         return False
     raise ProcedureError(

@@ -1226,3 +1226,45 @@ class TestReviewRegressionsR7:
         views = [v.name for v in spark.catalog.listTables()
                  if v.name.startswith("__rs_")]
         assert views == ["__rs_rs"]
+
+
+class TestOverloadSignatureIdentityR7:
+    """Round-7: overload identity is the per-position type-family
+    signature — same-arity different-type overloads coexist, register
+    conflicts/replaces only on an identical signature, and DROP
+    PROCEDURE disambiguates same-arity overloads by type."""
+
+    def test_same_arity_overloads_coexist_and_drop_by_type(self, engine):
+        engine.execute(
+            "CREATE PROCEDURE r7sg(a INT) RETURNS INT LANGUAGE SQL "
+            "AS $$ BEGIN RETURN 1; END $$")
+        engine.execute(
+            "CREATE PROCEDURE r7sg(a VARCHAR) RETURNS INT LANGUAGE "
+            "SQL AS $$ BEGIN RETURN 2; END $$")
+        try:
+            assert engine.execute("CALL r7sg(5)").collect()[0][0] == 1
+            assert engine.execute("CALL r7sg('x')").collect()[0][0] == 2
+            engine.execute("DROP PROCEDURE r7sg(VARCHAR)")
+            assert engine.execute("CALL r7sg(5)").collect()[0][0] == 1
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7sg(INT)")
+            engine.execute("DROP PROCEDURE IF EXISTS r7sg(VARCHAR)")
+
+    def test_same_family_signature_conflicts(self, engine):
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        engine.execute(
+            "CREATE PROCEDURE r7sg2(a INT) RETURNS INT LANGUAGE SQL "
+            "AS $$ BEGIN RETURN 1; END $$")
+        try:
+            with pytest.raises(ProcedureError, match="already exists"):
+                engine.execute(
+                    "CREATE PROCEDURE r7sg2(b BIGINT) RETURNS INT "
+                    "LANGUAGE SQL AS $$ BEGIN RETURN 3; END $$")
+            # identical signature + OR REPLACE replaces
+            engine.execute(
+                "CREATE OR REPLACE PROCEDURE r7sg2(a INT) RETURNS INT "
+                "LANGUAGE SQL AS $$ BEGIN RETURN 9; END $$")
+            assert engine.execute("CALL r7sg2(0)").collect()[0][0] == 9
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7sg2(INT)")
