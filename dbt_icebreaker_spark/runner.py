@@ -247,6 +247,16 @@ class IcebreakerEngine:
                 if name in self._session_vars:
                     out.append(Token(WORD, self._session_vars[name]))
                     continue
+                if not name.isdigit():
+                    # an unknown $name would reach Spark as an opaque
+                    # parse error (r7b sweep finding); $1/$2 positional
+                    # stage references pass through untouched
+                    known = ", ".join(sorted(self._session_vars)) or "none"
+                    raise ValueError(
+                        f"Session variable ${t.text[1:]} is not set "
+                        f"(set variables: {known}) — SET "
+                        f"{t.text[1:]} = <expr> first"
+                    )
             out.append(t)
         return render(out).strip()
 
@@ -349,7 +359,9 @@ class IcebreakerEngine:
             # session variables: substitute $name references set via
             # SET name = <expr> (Snowflake session variables; names
             # are dot-free so Spark confs pass through untouched)
-            if self._session_vars and "$" in raw:
+            if "$" in raw:
+                # runs even with NO vars set, so an unknown $name gets
+                # the actionable error rather than a Spark parse error
                 raw = self._substitute_session_vars(stmt_tokens)
             inner = self._parse_execute_immediate(raw)
             if inner is not None:

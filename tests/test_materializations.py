@@ -3039,3 +3039,86 @@ class TestTimeTravelR7:
             engine.execute(
                 "SELECT * FROM mat_test.anything "
                 "AT(STREAM => 's1')")
+
+
+class TestR7bSweep:
+    """Round-7b probe-sweep lock-ins (scripts/probe_sweep_r7b.py, 16
+    executed materialization/session shapes) — snapshot hard-delete/
+    re-add/NULL transitions, incremental NULL-key merge and schema
+    evolution, session-variable actionability (sweep finding)."""
+
+    def test_snapshot_hard_delete_then_readd(self, spark, engine):
+        import datetime as dt
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.r7b_sn")
+        engine.run_snapshot(
+            "r7b_sn", "SELECT k, v FROM VALUES (1,'a'),(2,'b') t(k,v)",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=dt.datetime(2026, 1, 1))
+        engine.run_snapshot(
+            "r7b_sn", "SELECT k, v FROM VALUES (1,'a') t(k,v)",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=dt.datetime(2026, 2, 1), invalidate_hard_deletes=True)
+        cur = spark.sql(
+            f"SELECT k FROM {sch}.r7b_sn WHERE dbt_valid_to IS NULL"
+        ).collect()
+        assert sorted(r.k for r in cur) == [1]
+        engine.run_snapshot(
+            "r7b_sn", "SELECT k, v FROM VALUES (1,'a'),(2,'B2') t(k,v)",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=dt.datetime(2026, 3, 1), invalidate_hard_deletes=True)
+        cur = spark.sql(
+            f"SELECT k, v FROM {sch}.r7b_sn WHERE dbt_valid_to IS NULL"
+        ).collect()
+        assert sorted((r.k, r.v) for r in cur) == [(1, "a"), (2, "B2")]
+
+    def test_snapshot_null_value_transitions(self, spark, engine):
+        import datetime as dt
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.r7b_sn3")
+        engine.run_snapshot(
+            "r7b_sn3", "SELECT k, v FROM VALUES "
+            "(1, CAST(NULL AS STRING)),(2,'b') t(k,v)",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=dt.datetime(2026, 1, 1))
+        engine.run_snapshot(
+            "r7b_sn3", "SELECT k, v FROM VALUES "
+            "(1, 'now-set'),(2, CAST(NULL AS STRING)) t(k,v)",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=dt.datetime(2026, 2, 1))
+        assert spark.table(f"{sch}.r7b_sn3").count() == 4
+        cur = spark.sql(
+            f"SELECT k, v FROM {sch}.r7b_sn3 WHERE dbt_valid_to IS NULL"
+        ).collect()
+        assert sorted((r.k, r.v) for r in cur) == [
+            (1, "now-set"), (2, None)]
+
+    def test_incremental_merge_null_unique_keys(self, spark, engine):
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.r7b_inc")
+        engine.run_model(
+            "r7b_inc", "SELECT k, v FROM VALUES (1,'a'),"
+            "(CAST(NULL AS INT),'n1') t(k,v)",
+            "incremental", unique_key="k", incremental_strategy="merge")
+        engine.run_model(
+            "r7b_inc", "SELECT k, v FROM VALUES "
+            "(CAST(NULL AS INT),'n2') t(k,v)",
+            "incremental", unique_key="k", incremental_strategy="merge")
+        got = sorted(
+            ((r.k, r.v) for r in spark.table(f"{sch}.r7b_inc").collect()),
+            key=lambda x: (x[0] is None, x[0] or 0, x[1]))
+        assert got == [(1, "a"), (None, "n1"), (None, "n2")]
+
+    def test_unset_session_variable_actionable(self, engine):
+        with pytest.raises(Exception, match="is not set"):
+            engine.execute("SELECT $never_set_r7b")
+
+    def test_positional_dollar_refs_pass_through(self, engine):
+        # $1-style positional refs must NOT trip the unknown-variable
+        # error (COPY transforms use them)
+        try:
+            engine.execute("SELECT $1 FROM VALUES (1)").collect()
+        except Exception as e:
+            assert "is not set" not in str(e)
