@@ -34,6 +34,9 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    from dbt_icebreaker_spark.udfs import register_scalar_udfs
+
+    register_scalar_udfs(spark)
 
     docs1 = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
@@ -303,6 +306,60 @@ def main() -> None:
         "mr_groups_Nx_alt_deep",
         lambda: {"matches": match_recognize(
             evN_alt, mr_group_spec()).count()},
+    )
+
+    # round-7: PERMUTE expands to k! alternation branches sharing the
+    # same flag columns — per-partition cost must stay near the flat
+    # pattern's (the visited-state set bounds the branch explosion),
+    # and reluctant quantifiers only reorder split preferences (lazy
+    # B+? over the deep fixture must track greedy B+'s wall time)
+    def mr_r7_spec(pattern_text):
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            parse_pattern_full,
+        )
+
+        terms, tree = parse_pattern_full(pattern_text)
+        return MatchRecognizeSpec(
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            measures=[Measure("n", "count", None, None)],
+            pattern=terms,
+            defines={"U": "value > PREV(value)",
+                     "D": "value < PREV(value)",
+                     "S": "TRUE"},
+            tree=tree,
+        )
+
+    timed(
+        "mr_permute_Nx_alt_deep",
+        lambda: {"matches": match_recognize(
+            evN_alt, mr_r7_spec("PERMUTE(U, D, S)")).count()},
+    )
+    timed(
+        "mr_lazy_Nx_alt_deep",
+        lambda: {"matches": match_recognize(
+            evN_alt, mr_r7_spec("S U+? D")).count()},
+    )
+    timed(
+        "mr_greedy_Nx_alt_deep",
+        lambda: {"matches": match_recognize(
+            evN_alt, mr_r7_spec("S U+ D")).count()},
+    )
+
+    # round-7: COMPRESS family throughput — Arrow-batched codec map
+    # work over every document text (embarrassingly parallel; the
+    # number to watch is MB/s staying flat from 1x to Nx)
+    timed(
+        "compress_roundtrip_1x",
+        lambda: {"rows": docs1.selectExpr(
+            "decompress_string(compress(text, 'zlib'), 'zlib') AS t"
+        ).where("t IS NOT NULL").count()},
+    )
+    timed(
+        "compress_roundtrip_Nx",
+        lambda: {"rows": docsN.selectExpr(
+            "decompress_string(compress(text, 'zlib'), 'zlib') AS t"
+        ).where("t IS NOT NULL").count()},
     )
 
     # q68 ASOF at N× with a HOT key: half of all click rows forced
