@@ -457,10 +457,10 @@ def register_procedure(engine, proc: Procedure, replace: bool) -> None:
     overloads with different argument types coexist, Snowflake-style;
     only an identical signature conflicts/replaces."""
     bucket = engine._procedures.setdefault(proc.name, [])
-    fams = [_type_family(a.sf_type) for a in proc.args]
+    fams = [_family_or_head(a.sf_type) for a in proc.args]
     for i, existing in enumerate(bucket):
         if len(existing.args) == len(proc.args) and [
-            _type_family(a.sf_type) for a in existing.args
+            _family_or_head(a.sf_type) for a in existing.args
         ] == fams:
             if not replace:
                 sig = ", ".join(a.sf_type for a in proc.args)
@@ -487,33 +487,38 @@ def drop_procedure(engine, name: str, signature, if_exists: bool) -> bool:
             return True
     else:
         arity = len(signature)
-        sig_fams = [_type_family(t) for t in signature]
+        # the signature must MATCH the dropped overload's types even
+        # when only one same-arity candidate exists — DROP P(NUMBER)
+        # must not silently delete P(VARCHAR) (r7 review finding)
         fits = [
             (i, p) for i, p in enumerate(bucket)
-            if len(p.args) == arity
+            if len(p.args) == arity and all(
+                _sig_position_matches(st, a.sf_type)
+                for st, a in zip(signature, p.args)
+            )
         ]
         if len(fits) > 1:
-            # same arity: disambiguate by per-position type family
-            typed = [
+            # family tie (e.g. INT vs BIGINT declared): prefer an
+            # exact head match, else refuse
+            exact = [
                 (i, p) for i, p in fits
                 if all(
-                    sf is None or sf == _type_family(a.sf_type)
-                    for sf, a in zip(sig_fams, p.args)
+                    st.strip().split("(")[0].strip().upper()
+                    == a.sf_type.strip().split("(")[0].strip().upper()
+                    for st, a in zip(signature, p.args)
                 )
             ]
-            if len(typed) == 1:
-                fits = typed
-            elif len(typed) > 1:
+            if len(exact) == 1:
+                fits = exact
+            else:
                 sigs = "; ".join(
                     "(" + ", ".join(a.sf_type for a in p.args) + ")"
-                    for _, p in typed)
+                    for _, p in fits)
                 raise ProcedureError(
                     f"DROP PROCEDURE {name}: signature "
                     f"({', '.join(signature)}) is ambiguous between "
                     f"[{sigs}] — spell the exact declared types"
                 )
-            else:
-                fits = []
         if fits:
             i = fits[0][0]
             del bucket[i]
@@ -552,6 +557,24 @@ _TYPE_FAMILY = {
 def _type_family(type_sql: str) -> Optional[str]:
     head = type_sql.strip().split("(")[0].strip().upper()
     return _TYPE_FAMILY.get(head)
+
+
+def _family_or_head(type_sql: str) -> str:
+    """Type family, falling back to the bare type-name head for
+    spellings outside the family table (VARIANT/OBJECT/ARRAY/…) so
+    distinct unknown types never compare as identical (r7 review)."""
+    head = type_sql.strip().split("(")[0].strip().upper()
+    return _TYPE_FAMILY.get(head) or head
+
+
+def _sig_position_matches(sig_t: str, declared_t: str) -> bool:
+    """One DROP-signature position vs a declared argument type:
+    family equality when both are known, else exact head equality."""
+    sf, df_ = _type_family(sig_t), _type_family(declared_t)
+    if sf is not None and df_ is not None:
+        return sf == df_
+    return (sig_t.strip().split("(")[0].strip().upper()
+            == declared_t.strip().split("(")[0].strip().upper())
 
 
 def _strip_precision_group(seq: list) -> list:

@@ -74,6 +74,18 @@ class Transpiler:
             raise TranspileError(
                 f"Function(s) with no faithful Spark rendering: {details}."
             )
+        if not getattr(self, "session_udfs", False):
+            # engine-session UDFs (COMPRESS family): the engine's own
+            # transpiler sets session_udfs=True and passes them
+            # through; the bare transpiler refuses with the pointer
+            su = transforms.detect_session_udf_scalars(sql)
+            if su:
+                details = "; ".join(
+                    f"{fn} — use {sugg}" for fn, sugg in su)
+                raise TranspileError(
+                    f"Function(s) available only through the engine "
+                    f"session: {details}."
+                )
         sf_only = transforms.detect_snowflake_only_statement(sql)
         if sf_only:
             stmt, suggestion = sf_only

@@ -104,7 +104,15 @@ def _spark_name(toks_slice) -> str:
 def _statement_timestamp_expr(engine, expr: str) -> str:
     """``STATEMENT => '<qid>'`` → a TIMESTAMP literal from the
     engine's result history (every executed statement records a
-    query id + wall-clock time; round 7)."""
+    query id + wall-clock time; round 7).
+
+    DOCUMENTED DEVIATION: the resolved instant is WALL-CLOCK time, as
+    is OFFSET's anchor — snapshot batches written with a future/
+    back-dated logical ``now`` (a test convenience; production
+    run_snapshot uses real time) won't line up with these forms (use
+    the explicit TIMESTAMP form there). A statement's own snapshot
+    writes are included by AT and excluded by BEFORE only to
+    completion-time granularity."""
     import datetime
 
     if engine is None:
@@ -139,21 +147,23 @@ def _rewrite_clone_at(toks, engine):
     other time-travel scan (round 7; non-snapshot sources keep the
     actionable refusal). DOCUMENTED DEVIATION: like plain CLONE, this
     materializes a copy (parquet has no zero-copy snapshot layer)."""
-    ci = None
-    for i, t in enumerate(toks):
-        if t.kind == WORD and t.upper == "CLONE":
-            ci = i
-            break
+    # anchored position: CLONE must be the word immediately after the
+    # CREATE TABLE target name — a column/alias literally named
+    # `clone` elsewhere in a CTAS must not trigger (r7 review; same
+    # anchor transforms.rewrite_clone uses)
+    from .transforms import _clone_keyword_pos
+
+    ci = _clone_keyword_pos(toks)
     if ci is None:
-        return None
-    head_words = [t.upper for t in toks[:ci] if t.kind == WORD]
-    if not head_words or head_words[0] != "CREATE" \
-            or "TABLE" not in head_words:
         return None
     head = render(toks[:ci]).rstrip()
     tail = render(toks[ci + 1:]).strip()
     import re as _re
 
+    # TRANSIENT is a Snowflake storage class with no Spark meaning
+    # (every Spark table is "transient" in that sense) — same strip
+    # rewrite_clone applies
+    head = _re.sub(r"(?i)\bTRANSIENT\s+", "", head)
     # Spark's V1 catalog has no REPLACE TABLE AS SELECT — lower OR
     # REPLACE to DROP IF EXISTS + CTAS (same as plain CLONE's rewrite)
     m = _re.match(r"(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(.*)$", head)
@@ -181,9 +191,11 @@ def resolve_time_travel(spark, sql: str, transpiler, engine=None) -> str:
     toks = tokenize(sql)
     if re.search(r"\bCLONE\b", sql, re.IGNORECASE):
         rewritten = _rewrite_clone_at(toks, engine)
-        if rewritten is None:
-            return sql
-        toks = rewritten
+        if rewritten is not None:
+            toks = rewritten
+        # else: CLONE here is not a CREATE…CLONE statement head (e.g.
+        # a column named `clone`) — fall through to the normal
+        # AT-read rewrite (r7 review)
     while True:
         hit = _find_time_travel(toks)
         if hit is None:

@@ -5955,6 +5955,33 @@ _UNSUPPORTED_SCALARS = {
 }
 
 
+# Scalars implemented as ENGINE-SESSION UDFs (udfs.py): the engine
+# registers Arrow-vectorized implementations on its SparkSession, so
+# IcebreakerEngine.execute runs them — but a bare spark.sql() has no
+# such functions, and the string transpiler refuses with the pointer
+# (same convention as MATCH_RECOGNIZE; r7 review).
+_SESSION_UDF_SCALARS = {
+    "COMPRESS": "IcebreakerEngine.execute — the engine registers the "
+                "vectorized compress/decompress UDFs "
+                "(dbt_icebreaker_spark.udfs); plain spark.sql() has "
+                "no such functions",
+    "DECOMPRESS_STRING": "IcebreakerEngine.execute (see COMPRESS)",
+    "DECOMPRESS_BINARY": "IcebreakerEngine.execute (see COMPRESS)",
+}
+
+
+def detect_session_udf_scalars(sql: str) -> list[tuple[str, str]]:
+    """(function, suggestion) pairs for scalars that exist only as
+    engine-session UDFs referenced by the SQL."""
+    toks = tokenize(sql)
+    found: list[tuple[str, str]] = []
+    for i, t in enumerate(toks):
+        if t.kind == WORD and t.upper in _SESSION_UDF_SCALARS \
+                and _is_call(toks, i, t.upper):
+            found.append((t.upper, _SESSION_UDF_SCALARS[t.upper]))
+    return sorted(set(found))
+
+
 def detect_unsupported_scalars(sql: str) -> list[tuple[str, str]]:
     """(function, suggestion) pairs for Snowflake scalars with no
     faithful Spark rendering referenced by the SQL."""

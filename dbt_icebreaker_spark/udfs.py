@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, StringType
 
-_REGISTERED: "set[int]" = set()
+
 
 _METHOD_RE = re.compile(r"^\s*([A-Za-z0-9_]+)\s*(?:\((\d+)\))?\s*$")
 
@@ -57,7 +57,10 @@ def _codec(method: str):
         )
     if name == "GZIP":
         lv = 9 if level is None else level
-        return (lambda b: gzip.compress(b, compresslevel=lv),
+        # mtime=0: the gzip header must not embed wall-clock time —
+        # COMPRESS must be deterministic across evaluations (joins /
+        # GROUP BY on the result, task retries; r7 review)
+        return (lambda b: gzip.compress(b, compresslevel=lv, mtime=0),
                 gzip.decompress)
     if name == "BZ2":
         lv = 9 if level is None else level
@@ -78,36 +81,40 @@ def _to_bytes(v):
     return bytes(v)
 
 
-def _compress_series(data: pd.Series, method: pd.Series) -> pd.Series:
+def _apply_codec(data: pd.Series, method: pd.Series, idx: int) -> pd.Series:
+    """Run one codec direction over a batch; the codec lookup is
+    hoisted per UNIQUE method value (a Spark literal in practice —
+    constant per batch), not re-parsed per cell (r7 review)."""
+    codecs: dict = {}
     out = []
     for v, m in zip(data, method):
         b = _to_bytes(v)
         if b is None:
             out.append(None)
             continue
-        enc, _ = _codec(m)
-        out.append(enc(b))
+        fns = codecs.get(m)
+        if fns is None:
+            fns = codecs[m] = _codec(m)
+        out.append(fns[idx](b))
     return pd.Series(out, dtype=object)
+
+
+def _compress_series(data: pd.Series, method: pd.Series) -> pd.Series:
+    return _apply_codec(data, method, 0)
 
 
 def _decompress_series(data: pd.Series, method: pd.Series) -> pd.Series:
-    out = []
-    for v, m in zip(data, method):
-        b = _to_bytes(v)
-        if b is None:
-            out.append(None)
-            continue
-        _, dec = _codec(m)
-        out.append(dec(b))
-    return pd.Series(out, dtype=object)
+    return _apply_codec(data, method, 1)
 
 
 def register_scalar_udfs(spark) -> None:
-    """Idempotently register the COMPRESS-family UDFs on ``spark``."""
-    key = id(spark)
-    if key in _REGISTERED:
+    """Idempotently register the COMPRESS-family UDFs on ``spark``.
+    The marker is a session-attached attribute — an id()-keyed cache
+    would wrongly skip a NEW session allocated at a recycled address
+    (r7 review)."""
+    if getattr(spark, "_icebreaker_udfs_registered", False):
         return
-    _REGISTERED.add(key)
+    spark._icebreaker_udfs_registered = True
 
     @pandas_udf(BinaryType())
     def compress(data: pd.Series, method: pd.Series) -> pd.Series:

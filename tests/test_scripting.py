@@ -1268,3 +1268,74 @@ class TestOverloadSignatureIdentityR7:
             assert engine.execute("CALL r7sg2(0)").collect()[0][0] == 9
         finally:
             engine.execute("DROP PROCEDURE IF EXISTS r7sg2(INT)")
+
+
+class TestReviewRegressionsR7b:
+    """Second round-7 review batch, pinned."""
+
+    def test_drop_mismatched_signature_refuses(self, engine):
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7dp(a VARCHAR) RETURNS INT "
+            "LANGUAGE SQL AS $$ BEGIN RETURN 1; END $$")
+        try:
+            with pytest.raises(ProcedureError, match="not a registered"):
+                engine.execute("DROP PROCEDURE r7dp(NUMBER)")
+            assert engine.execute("CALL r7dp('x')").collect()[0][0] == 1
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7dp(VARCHAR)")
+
+    def test_unknown_type_overloads_coexist(self, engine):
+        # OBJECT vs ARRAY have no family — identity falls back to the
+        # type-name head, so they are DIFFERENT signatures
+        engine.execute(
+            "CREATE PROCEDURE r7uo(a OBJECT) RETURNS VARCHAR LANGUAGE "
+            "SQL AS $$ BEGIN RETURN 'obj'; END $$")
+        engine.execute(
+            "CREATE PROCEDURE r7uo(a ARRAY) RETURNS VARCHAR LANGUAGE "
+            "SQL AS $$ BEGIN RETURN 'arr'; END $$")
+        try:
+            engine.execute("DROP PROCEDURE r7uo(ARRAY)")
+            engine.execute("DROP PROCEDURE r7uo(OBJECT)")
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7uo(OBJECT)")
+            engine.execute("DROP PROCEDURE IF EXISTS r7uo(ARRAY)")
+
+    def test_gzip_compress_deterministic(self, engine):
+        r = engine.execute(
+            "SELECT COMPRESS('abc', 'gzip') AS a, "
+            "COMPRESS('abc', 'gzip') AS b").collect()[0]
+        assert bytes(r.a) == bytes(r.b)
+
+    def test_clone_named_column_not_mangled(self, engine, spark):
+        # a column literally named `clone` in a CTAS with an AT-read
+        # must not trip the CLONE-AT rewrite
+        import datetime as dt
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.r7cl_hist")
+        engine.run_snapshot(
+            "r7cl_hist", "SELECT 1 AS k, 'x' AS clone",
+            unique_key="k", strategy="check", check_cols=["clone"],
+            now=dt.datetime(2026, 1, 1))
+        engine.execute(
+            f"CREATE OR REPLACE TABLE {sch}.r7cl_out AS SELECT clone "
+            f"FROM {sch}.r7cl_hist "
+            "AT(TIMESTAMP => '2026-06-01'::TIMESTAMP)")
+        assert spark.table(f"{sch}.r7cl_out").collect()[0].clone == "x"
+
+    def test_transient_clone_at(self, engine, spark):
+        import datetime as dt
+
+        sch = engine.effective_schema
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.r7tr_hist")
+        engine.run_snapshot(
+            "r7tr_hist", "SELECT 1 AS k, 5.0 AS v",
+            unique_key="k", strategy="check", check_cols=["v"],
+            now=dt.datetime(2026, 1, 1))
+        engine.execute(
+            f"CREATE TRANSIENT TABLE {sch}.r7tr_out CLONE "
+            f"{sch}.r7tr_hist AT(TIMESTAMP => '2026-06-01'::TIMESTAMP)")
+        assert spark.table(f"{sch}.r7tr_out").count() == 1
+        spark.sql(f"DROP TABLE IF EXISTS {sch}.r7tr_out")

@@ -688,12 +688,19 @@ class TestVariantSubscript:
         out = t.to_spark("SELECT v[2] FROM t")
         assert "get_json_object" not in out and "v[2]" in out.replace(" ", "")
 
-    def test_compress_transpiles_since_r7(self):
-        # r7: COMPRESS/DECOMPRESS_* are session UDFs now — the
-        # transpiler passes them through (engine registers the
-        # Arrow-vectorized implementations)
-        ok, _ = t.can_transpile("SELECT COMPRESS(x, 'zlib') FROM t")
-        assert ok
+    def test_compress_bare_transpiler_refuses_to_engine(self):
+        # r7: COMPRESS/DECOMPRESS_* are ENGINE-session UDFs — the bare
+        # transpiler refuses pointing at IcebreakerEngine.execute (a
+        # plain spark.sql() has no such functions); the engine's own
+        # transpiler sets session_udfs=True and passes them through
+        ok, msg = t.can_transpile("SELECT COMPRESS(x, 'zlib') FROM t")
+        assert not ok and "IcebreakerEngine" in msg
+        from dbt_icebreaker_spark.transpiler.core import Transpiler
+
+        te = Transpiler()
+        te.session_udfs = True
+        assert "compress" in te.to_spark(
+            "SELECT COMPRESS(x, 'zlib') FROM t").lower()
 
 
 class TestRound5BatteryFixes:
