@@ -3122,3 +3122,60 @@ class TestR7bSweep:
             engine.execute("SELECT $1 FROM VALUES (1)").collect()
         except Exception as e:
             assert "is not set" not in str(e)
+
+
+class TestTimeTravelEdgesR7:
+    """Round-7 time-travel edge pins (11-case probe, all green):
+    multiple AT reads in one query, CTE/view/subquery positions,
+    boundary exactness at a version switch."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def hist(self, spark, engine):
+        import datetime as dt
+
+        for name, vals in (("r7e_h1", [("a", 1), ("A", 2)]),
+                           ("r7e_h2", [("x", 1), ("X", 2)])):
+            spark.sql(f"DROP TABLE IF EXISTS mat_test.{name}")
+            for v, month in vals:
+                engine.run_snapshot(
+                    name, f"SELECT 1 AS k, '{v}' AS v",
+                    unique_key="k", strategy="check", check_cols=["v"],
+                    now=dt.datetime(2026, month, 1))
+
+    def test_two_at_reads_joined(self, engine):
+        r = engine.execute(
+            "SELECT a.v AS av, b.v AS bv FROM mat_test.r7e_h1 "
+            "AT(TIMESTAMP => '2026-01-15'::TIMESTAMP) a JOIN "
+            "mat_test.r7e_h2 AT(TIMESTAMP => '2026-03-15'::TIMESTAMP) "
+            "b ON a.k = b.k").collect()[0]
+        assert (r.av, r.bv) == ("a", "X")
+
+    def test_same_table_two_instants(self, engine):
+        r = engine.execute(
+            "SELECT a.v AS av, b.v AS bv FROM mat_test.r7e_h1 "
+            "AT(TIMESTAMP => '2026-01-15'::TIMESTAMP) a JOIN "
+            "mat_test.r7e_h1 AT(TIMESTAMP => '2026-03-15'::TIMESTAMP) "
+            "b ON a.k = b.k").collect()[0]
+        assert (r.av, r.bv) == ("a", "A")
+
+    def test_boundary_at_vs_before(self, engine):
+        at = engine.execute(
+            "SELECT v FROM mat_test.r7e_h1 AT(TIMESTAMP => "
+            "'2026-02-01 00:00:00'::TIMESTAMP)").collect()[0].v
+        before = engine.execute(
+            "SELECT v FROM mat_test.r7e_h1 BEFORE(TIMESTAMP => "
+            "'2026-02-01 00:00:00'::TIMESTAMP)").collect()[0].v
+        assert (at, before) == ("A", "a")  # AT inclusive, BEFORE prior
+
+    def test_at_in_cte_and_view(self, engine, spark):
+        r = engine.execute(
+            "WITH c AS (SELECT v FROM mat_test.r7e_h1 "
+            "AT(TIMESTAMP => '2026-01-15'::TIMESTAMP)) "
+            "SELECT v FROM c").collect()[0].v
+        assert r == "a"
+        spark.sql("CREATE OR REPLACE TEMP VIEW r7e_h1v AS "
+                  "SELECT * FROM mat_test.r7e_h1")
+        r2 = engine.execute(
+            "SELECT v FROM r7e_h1v AT(TIMESTAMP => "
+            "'2026-01-15'::TIMESTAMP)").collect()[0].v
+        assert r2 == "a"
