@@ -127,7 +127,9 @@ class Advisor:
         self.spark = spark
         self.wal = wal
         self.telemetry = telemetry
-        self.transpiler = Transpiler()
+        # the advisor gates capability FOR THE ENGINE — engine-session
+        # UDFs (COMPRESS family) are runnable there (r7 review)
+        self.transpiler = Transpiler(session_udfs=True)
 
     # ---- volume estimation (R4: ref catalog_scanner.py:51-234) ----
     def table_bytes(self, sql: str, search_dirs: tuple[str, ...] = ()) -> dict[str, int]:

@@ -497,34 +497,23 @@ def drop_procedure(engine, name: str, signature, if_exists: bool) -> bool:
                 for st, a in zip(signature, p.args)
             )
         ]
-        if len(fits) > 1:
-            # family tie (e.g. INT vs BIGINT declared): prefer an
-            # exact head match, else refuse
-            exact = [
-                (i, p) for i, p in fits
-                if all(
-                    st.strip().split("(")[0].strip().upper()
-                    == a.sf_type.strip().split("(")[0].strip().upper()
-                    for st, a in zip(signature, p.args)
-                )
-            ]
-            if len(exact) == 1:
-                fits = exact
-            else:
-                sigs = "; ".join(
-                    "(" + ", ".join(a.sf_type for a in p.args) + ")"
-                    for _, p in fits)
-                raise ProcedureError(
-                    f"DROP PROCEDURE {name}: signature "
-                    f"({', '.join(signature)}) is ambiguous between "
-                    f"[{sigs}] — spell the exact declared types"
-                )
+        # register identity (_family_or_head per position) guarantees
+        # at most one coexisting overload can match per position — no
+        # tie-break needed
         if fits:
             i = fits[0][0]
             del bucket[i]
             if not bucket:
                 del engine._procedures[name]
             return True
+        if not if_exists and bucket:
+            sigs = "; ".join(
+                "(" + ", ".join(a.sf_type for a in p.args) + ")"
+                for p in bucket)
+            raise ProcedureError(
+                f"DROP PROCEDURE {name}: no overload with signature "
+                f"({', '.join(signature)}) — registered: [{sigs}]"
+            )
     if if_exists:
         return False
     raise ProcedureError(
@@ -536,12 +525,13 @@ def drop_procedure(engine, name: str, signature, if_exists: bool) -> bool:
 # type families for overload resolution (both Snowflake and mapped
 # Spark spellings appear in ProcArg fields)
 _TYPE_FAMILY = {
+    # Snowflake: every integer spelling is an ALIAS of NUMBER(38,0) —
+    # one family; FLOAT/DOUBLE are a distinct (approximate) family
     **dict.fromkeys(
         ("INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "BYTEINT",
-         "LONG"), "int"),
+         "LONG", "NUMBER", "NUMERIC", "DECIMAL", "DEC"), "num"),
     **dict.fromkeys(
-        ("NUMBER", "NUMERIC", "DECIMAL", "DEC", "FLOAT", "FLOAT4",
-         "FLOAT8", "DOUBLE", "REAL"), "num"),
+        ("FLOAT", "FLOAT4", "FLOAT8", "DOUBLE", "REAL"), "float"),
     **dict.fromkeys(
         ("VARCHAR", "CHAR", "CHARACTER", "STRING", "TEXT", "NVARCHAR",
          "NVARCHAR2", "NCHAR"), "str"),
@@ -615,11 +605,12 @@ def _arg_family(sql: str) -> Optional[str]:
     # strip one unary sign
     if len(code) >= 2 and code[0].is_op("-", "+"):
         code = code[1:]
-    # trailing ::TYPE[(p,s)] cast at depth 0 wins
+    # trailing ::TYPE[(p,s)] cast at depth 0 wins — family-or-head so
+    # casts to OBJECT/ARRAY/… resolve unknown-family overloads
     cand = _strip_precision_group(code)
     if len(cand) >= 2 and cand[-1].kind == WORD \
             and cand[-2].kind == OP and cand[-2].text == "::":
-        return _type_family(cand[-1].text)
+        return _family_or_head(cand[-1].text)
     # CAST(x AS TYPE[(p,s)])
     if (
         len(code) >= 5 and code[0].is_word("CAST", "TRY_CAST")
@@ -628,12 +619,13 @@ def _arg_family(sql: str) -> Optional[str]:
         inner = _strip_precision_group(code[2:-1])
         if len(inner) >= 2 and inner[-1].kind == WORD \
                 and inner[-2].is_word("AS"):
-            return _type_family(inner[-1].text)
+            return _family_or_head(inner[-1].text)
     if len(code) == 1:
         t = code[0]
         if t.kind == NUMBER:
-            return "num" if ("." in t.text or "e" in t.text.lower()) \
-                else "int"
+            # Snowflake numeric literals are NUMBER (decimal) — only
+            # an exponent spelling is a FLOAT literal
+            return "float" if "e" in t.text.lower() else "num"
         if t.kind == STRING:
             return "str"
         if t.is_word("TRUE", "FALSE"):
@@ -648,14 +640,21 @@ def _arg_family(sql: str) -> Optional[str]:
     return None
 
 
+_KNOWN_FAMS = frozenset(
+    {"num", "float", "str", "bool", "date", "timestamp", "time"})
+
+
 def _arg_score(call_fam: Optional[str], param_fam: Optional[str]) -> int:
-    """3 = exact family, 2 = numeric widening, 1 = implicit
-    varchar/unknown/NULL coercion, 0 = needs a lossy double cast."""
+    """3 = exact family (or equal opaque type head), 2 = numeric
+    widening, 1 = implicit varchar/unknown/NULL coercion, 0 = needs a
+    lossy double cast."""
     if call_fam in (None, "null") or param_fam is None:
         return 1
     if call_fam == param_fam:
         return 3
-    if {call_fam, param_fam} == {"int", "num"}:
+    if call_fam not in _KNOWN_FAMS or param_fam not in _KNOWN_FAMS:
+        return 1  # an opaque head (OBJECT/ARRAY/…) — can't judge
+    if {call_fam, param_fam} == {"num", "float"}:
         return 2
     if {call_fam, param_fam} <= {"date", "timestamp"}:
         return 2
@@ -698,11 +697,11 @@ def _resolve_overload(engine, name: str, pos_args: list,
         per = []
         for i, sql in enumerate(pos_args):
             per.append(_arg_score(_arg_family(sql),
-                                  _type_family(p.args[i].sf_type)))
+                                  _family_or_head(p.args[i].sf_type)))
         for nm, sql in named.items():
             a = next(x for x in p.args if x.name == nm)
             per.append(_arg_score(_arg_family(sql),
-                                  _type_family(a.sf_type)))
+                                  _family_or_head(a.sf_type)))
         # min first (reject any-incompatible), then sum (overall fit)
         return (min(per) if per else 1, sum(per))
 

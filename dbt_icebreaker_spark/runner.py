@@ -177,10 +177,9 @@ class IcebreakerEngine:
     telemetry: Optional["TelemetryStore"] = None
 
     def __post_init__(self) -> None:
-        self.transpiler = Transpiler()
         # the engine session registers the COMPRESS-family UDFs, so
-        # ITS transpiler passes them through (bare ones refuse)
-        self.transpiler.session_udfs = True
+        # its transpiler passes them through (bare ones refuse)
+        self.transpiler = Transpiler(session_udfs=True)
         self.ddl = Ddl(self.spark)
         self.effective_schema = generate_schema_name(self.schema, self.custom_schema)
         self.ddl.create_schema(self.effective_schema)

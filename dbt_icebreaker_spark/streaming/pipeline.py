@@ -97,7 +97,11 @@ def stream_incremental_append(
         from ..transpiler import Transpiler
 
         stream.createOrReplaceTempView("stream_source")
-        stream = spark.sql(Transpiler().to_spark(transform_sql))
+        from ..udfs import register_scalar_udfs
+
+        register_scalar_udfs(spark)  # COMPRESS family available in streams
+        stream = spark.sql(
+            Transpiler(session_udfs=True).to_spark(transform_sql))
 
     writer = stream.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_dir
@@ -441,7 +445,11 @@ def stream_incremental_merge(
         from ..transpiler import Transpiler
 
         stream.createOrReplaceTempView("stream_source")
-        stream = spark.sql(Transpiler().to_spark(transform_sql))
+        from ..udfs import register_scalar_udfs
+
+        register_scalar_udfs(spark)  # COMPRESS family available in streams
+        stream = spark.sql(
+            Transpiler(session_udfs=True).to_spark(transform_sql))
 
     def _merge_batch(batch_df, _batch_id: int) -> None:
         run_incremental(

@@ -51,7 +51,15 @@ class UnsupportedTypeError(TranspileError):
 
 
 class Transpiler:
-    """Snowflake SQL → Spark SQL."""
+    """Snowflake SQL → Spark SQL.
+
+    ``session_udfs=True`` declares the target SparkSession carries the
+    engine-registered UDFs (COMPRESS family) — those calls pass
+    through instead of refusing. Each consumer declares which
+    capability set it targets at construction (r7 review)."""
+
+    def __init__(self, session_udfs: bool = False) -> None:
+        self.session_udfs = session_udfs
 
     def to_spark(self, sql: str) -> str:
         """Transpile one script (possibly multi-statement) to Spark SQL.
@@ -74,7 +82,7 @@ class Transpiler:
             raise TranspileError(
                 f"Function(s) with no faithful Spark rendering: {details}."
             )
-        if not getattr(self, "session_udfs", False):
+        if not self.session_udfs:
             # engine-session UDFs (COMPRESS family): the engine's own
             # transpiler sets session_udfs=True and passes them
             # through; the bare transpiler refuses with the pointer

@@ -114,7 +114,6 @@ def register_scalar_udfs(spark) -> None:
     (r7 review)."""
     if getattr(spark, "_icebreaker_udfs_registered", False):
         return
-    spark._icebreaker_udfs_registered = True
 
     @pandas_udf(BinaryType())
     def compress(data: pd.Series, method: pd.Series) -> pd.Series:
@@ -132,3 +131,6 @@ def register_scalar_udfs(spark) -> None:
     spark.udf.register("compress", compress)
     spark.udf.register("decompress_binary", decompress_binary)
     spark.udf.register("decompress_string", decompress_string)
+    # only mark AFTER all three registered — a failed first attempt
+    # must not poison later engines on this session (r7 review)
+    spark._icebreaker_udfs_registered = True

@@ -1280,7 +1280,8 @@ class TestReviewRegressionsR7b:
             "CREATE OR REPLACE PROCEDURE r7dp(a VARCHAR) RETURNS INT "
             "LANGUAGE SQL AS $$ BEGIN RETURN 1; END $$")
         try:
-            with pytest.raises(ProcedureError, match="not a registered"):
+            with pytest.raises(ProcedureError,
+                               match="no overload with signature"):
                 engine.execute("DROP PROCEDURE r7dp(NUMBER)")
             assert engine.execute("CALL r7dp('x')").collect()[0][0] == 1
         finally:
@@ -1339,3 +1340,78 @@ class TestReviewRegressionsR7b:
             f"{sch}.r7tr_hist AT(TIMESTAMP => '2026-06-01'::TIMESTAMP)")
         assert spark.table(f"{sch}.r7tr_out").count() == 1
         spark.sql(f"DROP TABLE IF EXISTS {sch}.r7tr_out")
+
+
+class TestReviewRegressionsR7c:
+    """Third round-7 review batch, pinned: Snowflake numeric aliasing
+    (INT ≡ NUMBER(38,0)), callable unknown-head overloads, advisor/
+    streaming capability parity."""
+
+    def test_drop_number_matches_int(self, engine):
+        # Snowflake: INT is an alias of NUMBER(38,0) — DROP p(NUMBER)
+        # drops p(INT)
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7al(a INT) RETURNS INT "
+            "LANGUAGE SQL AS $$ BEGIN RETURN 1; END $$")
+        engine.execute("DROP PROCEDURE r7al(NUMBER)")
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        with pytest.raises(ProcedureError, match="no such procedure"):
+            engine.execute("CALL r7al(1)")
+
+    def test_int_and_number_signatures_conflict(self, engine):
+        from dbt_icebreaker_spark.procedures import ProcedureError
+
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7al2(a INT) RETURNS INT "
+            "LANGUAGE SQL AS $$ BEGIN RETURN 1; END $$")
+        try:
+            with pytest.raises(ProcedureError, match="already exists"):
+                engine.execute(
+                    "CREATE PROCEDURE r7al2(a NUMBER) RETURNS INT "
+                    "LANGUAGE SQL AS $$ BEGIN RETURN 2; END $$")
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7al2(INT)")
+
+    def test_float_is_distinct_from_number(self, engine):
+        # FLOAT is NOT a NUMBER alias — both register, calls resolve
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7fl(a INT) RETURNS VARCHAR "
+            "LANGUAGE SQL AS $$ BEGIN RETURN 'num'; END $$")
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7fl(a FLOAT) RETURNS "
+            "VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'float'; END $$")
+        try:
+            assert engine.execute(
+                "CALL r7fl(5)").collect()[0][0] == "num"
+            assert engine.execute(
+                "CALL r7fl(CAST(2.5 AS FLOAT))").collect()[0][0] == "float"
+            assert engine.execute(
+                "CALL r7fl(1e3)").collect()[0][0] == "float"
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7fl(INT)")
+            engine.execute("DROP PROCEDURE IF EXISTS r7fl(FLOAT)")
+
+    def test_unknown_head_overloads_callable_via_cast(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7oh(a OBJECT) RETURNS "
+            "VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'obj'; END $$")
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r7oh(a VARCHAR) RETURNS "
+            "VARCHAR LANGUAGE SQL AS $$ BEGIN RETURN 'str'; END $$")
+        try:
+            assert engine.execute(
+                "CALL r7oh('{}'::OBJECT)").collect()[0][0] == "obj"
+            assert engine.execute(
+                "CALL r7oh('plain')").collect()[0][0] == "str"
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r7oh(OBJECT)")
+            engine.execute("DROP PROCEDURE IF EXISTS r7oh(VARCHAR)")
+
+    def test_advisor_accepts_compress(self, spark):
+        from dbt_icebreaker_spark.observability.advisor import Advisor
+
+        adv = Advisor(spark)
+        ok, _ = adv.transpiler.can_transpile(
+            "SELECT COMPRESS(c, 'zlib') FROM t")
+        assert ok
