@@ -602,3 +602,72 @@ class TestLoadProjectReviewFixes:
         )
         with _pytest.raises(ValueError, match="mymodel"):
             load_project(str(d))
+
+
+class TestR7cStreamingEdges:
+    """Round-7c streaming sweep lock-ins (scripts/probe_sweep_r7c.py,
+    9 executed edges, all green — semantics pinned so they can't
+    drift): NULL-key dedup parity, exact session-gap boundaries,
+    inclusive attribution horizon, append-mode subset contract."""
+
+    def test_null_keys_dedup_batch_twin(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import (
+            dedup_keep_first,
+        )
+
+        df = spark.createDataFrame(
+            [(None, "2026-01-01 10:00:00"), (None, "2026-01-01 10:00:01"),
+             (7, "2026-01-01 10:00:02")], "k long, ts string"
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts")
+        # NULL keys group TOGETHER (one survivor) — matches
+        # dropDuplicatesWithinWatermark's NULL handling
+        assert dedup_keep_first(df, ["k"], ts_col="ts").count() == 2
+
+    def test_session_gap_boundary_exact(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import (
+            sessionize_batch,
+            sessionize_native,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2026-01-01 10:00:00", 1.0),
+             (1, "2026-01-01 10:30:00", 1.0),    # exactly gap later
+             (1, "2026-01-01 11:00:01", 1.0)],   # gap+1s -> new session
+            "user_id long, ts string, value double",
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+        b = sessionize_batch(df, gap_seconds=1800)
+        n = sessionize_native(df, gap_seconds=1800)
+        # an event exactly gap seconds after the last one CONTINUES
+        # the session; one second past it opens a new one — and the
+        # batch and native renderings agree
+        assert b.count() == 2 and n.count() == 2
+
+    def test_attribution_horizon_inclusive(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import (
+            attribute_clicks,
+        )
+
+        imp = spark.createDataFrame(
+            [(10, 1, "2026-01-01 10:00:00")],
+            "event_id long, user_id long, ts string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts")
+        clk = spark.createDataFrame(
+            [(11, 1, "2026-01-01 10:30:00"),    # exactly +horizon
+             (12, 1, "2026-01-01 10:30:01")],   # one second past
+            "event_id long, user_id long, ts string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts")
+        out = attribute_clicks(imp, clk, user_col="user_id",
+                               ts_col="ts", id_col="event_id",
+                               horizon_minutes=30).collect()
+        assert [r.click_id for r in out] == [11]
+
+    def test_empty_inputs(self, spark):
+        from dbt_icebreaker_spark.streaming.pipeline import (
+            dedup_keep_first,
+            sessionize_batch,
+        )
+
+        df = spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double")
+        assert sessionize_batch(df, 1800).count() == 0
+        assert dedup_keep_first(df, ["user_id"], "ts").count() == 0
