@@ -128,8 +128,14 @@ class Advisor:
         self.wal = wal
         self.telemetry = telemetry
         # the advisor gates capability FOR THE ENGINE — engine-session
-        # UDFs (COMPRESS family) are runnable there (r7 review)
+        # UDFs (COMPRESS family) are runnable there, and explain()
+        # must be able to PLAN them, so register on this session too
+        # (r7 review; spark is None in some unit-test paths)
         self.transpiler = Transpiler(session_udfs=True)
+        if spark is not None:
+            from ..udfs import register_scalar_udfs
+
+            register_scalar_udfs(spark)
 
     # ---- volume estimation (R4: ref catalog_scanner.py:51-234) ----
     def table_bytes(self, sql: str, search_dirs: tuple[str, ...] = ()) -> dict[str, int]:

@@ -42,6 +42,20 @@ from pyspark.sql.types import (
 )
 
 
+def _apply_transform_sql(spark, stream: DataFrame,
+                         transform_sql: str) -> DataFrame:
+    """Register the stream as ``stream_source`` and run the Snowflake-
+    dialect transform through an engine-capability transpiler (the
+    COMPRESS-family UDFs are registered on the session first) — one
+    helper so append/merge paths can't diverge (r7 review)."""
+    from ..transpiler import Transpiler
+    from ..udfs import register_scalar_udfs
+
+    register_scalar_udfs(spark)
+    stream.createOrReplaceTempView("stream_source")
+    return spark.sql(Transpiler(session_udfs=True).to_spark(transform_sql))
+
+
 def _has_watermark(df: DataFrame) -> bool:
     """True when an EventTimeWatermark is already declared upstream —
     composed pipelines (dedup → enrich → windowed agg) must not
@@ -94,14 +108,7 @@ def stream_incremental_append(
     stream = reader.load(source_dir)
 
     if transform_sql:
-        from ..transpiler import Transpiler
-
-        stream.createOrReplaceTempView("stream_source")
-        from ..udfs import register_scalar_udfs
-
-        register_scalar_udfs(spark)  # COMPRESS family available in streams
-        stream = spark.sql(
-            Transpiler(session_udfs=True).to_spark(transform_sql))
+        stream = _apply_transform_sql(spark, stream, transform_sql)
 
     writer = stream.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_dir
@@ -442,14 +449,7 @@ def stream_incremental_merge(
     stream = reader.load(source_dir)
 
     if transform_sql:
-        from ..transpiler import Transpiler
-
-        stream.createOrReplaceTempView("stream_source")
-        from ..udfs import register_scalar_udfs
-
-        register_scalar_udfs(spark)  # COMPRESS family available in streams
-        stream = spark.sql(
-            Transpiler(session_udfs=True).to_spark(transform_sql))
+        stream = _apply_transform_sql(spark, stream, transform_sql)
 
     def _merge_batch(batch_df, _batch_id: int) -> None:
         run_incremental(
