@@ -271,7 +271,11 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "CURRENT_TRANSACTION": "CURTXN_X",    # no open txn → NULL
         "MD5_HEX": "MD5",
         "SHA1_HEX": "SHA1",
-        "SHA2_HEX": "SHA2",
+        "SHA2_HEX": "SHA2DEF_X",     # digest size defaults to 256
+        "SHA2": "SHA2DEF_X",
+        "MD5_NUMBER_LOWER64": "MD5LO_X",  # lower 8 md5 bytes as NUMBER
+        "MD5_NUMBER_UPPER64": "MD5HI_X",
+        "CHR": "CHRU_X",             # Unicode code point (chr is mod-256)
         "MD5_BINARY": "MD5B_X",      # → unhex(md5(x))
         "SHA1_BINARY": "SHA1B_X",
         "SHA2_BINARY": "SHA2B_X",
@@ -457,6 +461,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "TRIM_X", "LTRIM_X", "RTRIM_X", "RXREP_X", "RXSUB_X",
     "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
     "B64ENC_X", "MD5B_X", "SHA1B_X", "SHA2B_X",
+    "SHA2DEF_X", "MD5LO_X", "MD5HI_X", "CHRU_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -2183,11 +2188,41 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 m_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 sd = "(" + render(tokens[args[1][0]:args[1][1]]) + ")"
                 out += tokenize(f"({m_r} + {sd} * randn())")
+            elif t.text == "SHA2DEF_X" and len(args) in (1, 2):
+                # Snowflake SHA2/SHA2_HEX default digest size is 256;
+                # Spark's sha2 REQUIRES the size argument
+                parts = [render(tokens[a:b2]).strip() for a, b2 in args]
+                if len(parts) == 1:
+                    parts.append("256")
+                out += tokenize(f"sha2({parts[0]}, {parts[1]})")
+            elif t.text in ("MD5LO_X", "MD5HI_X") and len(args) == 1:
+                # MD5_NUMBER_LOWER64/UPPER64: the lower/upper 8 bytes
+                # of the MD5 digest as an UNSIGNED 64-bit NUMBER —
+                # hex-slice + base conversion, DECIMAL(20,0) holds the
+                # full unsigned range (BIGINT would overflow)
+                x_r = render(tokens[args[0][0]:args[0][1]]).strip()
+                off = 17 if t.text == "MD5LO_X" else 1
+                out += tokenize(
+                    f"CAST(CONV(SUBSTR(md5({x_r}), {off}, 16), 16, 10) "
+                    "AS DECIMAL(20,0))"
+                )
+            elif t.text == "CHRU_X" and len(args) == 1:
+                # Snowflake CHR is a UNICODE code point; Spark's chr
+                # truncates mod 256. format_string('%c', n) formats a
+                # code point — NULL-guarded because format_string
+                # renders NULL args as the string 'null'
+                n_r = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                out += tokenize(
+                    f"CASE WHEN {n_r} IS NULL THEN NULL "
+                    f"ELSE format_string('%c', CAST({n_r} AS INT)) END"
+                )
             elif t.text in ("MD5B_X", "SHA1B_X", "SHA2B_X"):
                 # *_BINARY hash variants → unhex over the hex digest
                 inner_fn = {"MD5B_X": "md5", "SHA1B_X": "sha1",
                             "SHA2B_X": "sha2"}[t.text]
                 parts = [render(tokens[a:b2]).strip() for a, b2 in args]
+                if t.text == "SHA2B_X" and len(parts) == 1:
+                    parts.append("256")  # Snowflake default digest size
                 out += tokenize(f"unhex({inner_fn}({', '.join(parts)}))")
             elif t.text == "B64ENC_X" and len(args) in (1, 2, 3):
                 # BASE64_ENCODE(x[, max_line_length[, alphabet]]):

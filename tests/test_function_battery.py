@@ -571,3 +571,28 @@ def test_greatest_least_zero_args_refused():
         t.to_spark("SELECT GREATEST()")
     with pytest.raises(TranspileError, match="at least one argument"):
         t.to_spark("SELECT LEAST()")
+
+
+R7D_CASES = [
+    # r7d function-surface audit: hash-number forms, SHA2 default
+    # digest size, Unicode CHR (Spark's chr is mod-256)
+    ("SELECT SPACE(3) || 'x'", "   x"),
+    ("SELECT MD5_NUMBER_LOWER64('abc') = 15462616177412505458", True),
+    ("SELECT MD5_NUMBER_UPPER64('abc') = 10376663631224000432", True),
+    ("SELECT SHA2_HEX('abc')",
+     "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+    ("SELECT SHA2('abc')",
+     "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+    ("SELECT LENGTH(SHA2('abc', 512))", 128),
+    ("SELECT LENGTH(HEX_ENCODE(SHA2_BINARY('abc')))", 64),
+    ("SELECT CHR(8364)", "€"),
+    ("SELECT CHR(128021)", "🐕"),
+    ("SELECT CHR(NULL) IS NULL", True),
+    ("SELECT CBRT(27)", 3.0),
+    ("SELECT FACTORIAL(5)", 120),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7D_CASES, ids=lambda c: str(c)[:48])
+def test_r7d_function_audit(spark, sql, expect):
+    _check(spark, sql, expect)
