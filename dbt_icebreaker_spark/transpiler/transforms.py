@@ -319,6 +319,11 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         # it must see un-lowered value arguments)
         "OBJECT_DELETE": "OBJDEL_X",
         "OBJECT_PICK": "OBJPICK_X",
+        "MAP_DELETE": "OBJDEL_X",    # MAP_* = structured-MAP spellings
+        "MAP_PICK": "OBJPICK_X",     # of the OBJECT_* ops (r7e audit)
+        "MAP_SIZE": "MAPSIZE_X",
+        "MAP_CAT": "MAPCAT_X",
+        "MAP_CONTAINS_KEY": "MAPHASK_X",
         "JAROWINKLER_SIMILARITY": "JAROWINK_X",  # pure-JVM lambda chain
         "GET_IGNORE_CASE": "GETIC_X",  # case-folded variant-map lookup
         "ARRAY_SORT": "ARRSORT_X",  # 2/3-arg asc/nulls_first forms
@@ -462,6 +467,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "PARSEURL_X", "ARRUNAGG_X", "LASTDAY_X", "PREVDAY_X", "TIMESLICE_X",
     "B64ENC_X", "MD5B_X", "SHA1B_X", "SHA2B_X",
     "SHA2DEF_X", "MD5LO_X", "MD5HI_X", "CHRU_X",
+    "MAPSIZE_X", "MAPCAT_X", "MAPHASK_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -637,7 +643,10 @@ def rewrite_object_insert(tokens: Tokens) -> Tokens:
     while True:
         hit = None
         for i, t in enumerate(tokens):
-            if t.kind == WORD and t.upper == "OBJECT_INSERT":
+            if t.kind == WORD and t.upper in ("OBJECT_INSERT",
+                                              "MAP_INSERT"):
+                # MAP_INSERT is the structured-MAP spelling of the
+                # same operation on the JSON-text model (r7e audit)
                 j = next_code(tokens, i + 1)
                 if j < len(tokens) and tokens[j].is_op("("):
                     hit = (i, j)
@@ -1516,6 +1525,36 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(_sorted_obj_json(
                     f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
+            elif t.text == "MAPSIZE_X" and len(args) == 1:
+                # MAP_SIZE over the JSON-text map model; NULL → NULL
+                # (Spark's size(NULL) is NULL with the default conf)
+                m = _VARIANT_MAP.format(
+                    obj=render(tokens[args[0][0]:args[0][1]]).strip())
+                out += tokenize(f"size(map_keys({m}))")
+            elif t.text == "MAPCAT_X" and len(args) == 2:
+                # MAP_CAT(m1, m2): merged map, m2 wins duplicate keys
+                # (Snowflake); NULL either side → NULL
+                a_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                b_s = render(tokens[args[1][0]:args[1][1]]).strip()
+                m1 = _VARIANT_MAP.format(obj=a_s)
+                m2 = _VARIANT_MAP.format(obj=b_s)
+                merged = (
+                    f"map_concat(map_filter({m1}, (__k, __v) -> "
+                    f"NOT array_contains(map_keys({m2}), __k)), {m2})"
+                )
+                out += tokenize(
+                    f"CASE WHEN ({a_s}) IS NULL OR ({b_s}) IS NULL "
+                    f"THEN NULL ELSE {_sorted_obj_json(merged)} END")
+            elif t.text == "MAPHASK_X" and len(args) == 2:
+                # MAP_CONTAINS_KEY(key, map) — note the Snowflake
+                # argument ORDER (key first; Spark's builtin is
+                # (map, key))
+                k_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                m = _VARIANT_MAP.format(
+                    obj=render(tokens[args[1][0]:args[1][1]]).strip())
+                out += tokenize(
+                    f"array_contains(map_keys({m}), "
+                    f"CAST(({k_s}) AS STRING))")
             elif t.text in ("GREATESTN_X", "LEASTN_X") and not args:
                 from .core import TranspileError
 

@@ -596,3 +596,33 @@ R7D_CASES = [
 @pytest.mark.parametrize("sql,expect", R7D_CASES, ids=lambda c: str(c)[:48])
 def test_r7d_function_audit(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+R7E_CASES = [
+    # r7e audit: MAP_* structured-map spellings over the JSON-text
+    # model (MAP_CONTAINS_KEY takes key FIRST — Snowflake order)
+    ("SELECT MAP_SIZE(OBJECT_CONSTRUCT('a', 1, 'b', 2))", 2),
+    ("SELECT MAP_SIZE(CAST(NULL AS STRING)) IS NULL", True),
+    ("SELECT MAP_CONTAINS_KEY('a', OBJECT_CONSTRUCT('a', 1))", True),
+    ("SELECT MAP_CONTAINS_KEY('z', OBJECT_CONSTRUCT('a', 1))", False),
+    ("SELECT MAP_CAT(OBJECT_CONSTRUCT('a',1), OBJECT_CONSTRUCT('b',2))",
+     '{"a":1,"b":2}'),
+    # duplicate key: map2 wins (Snowflake MAP_CAT)
+    ("SELECT MAP_CAT(OBJECT_CONSTRUCT('a',1), OBJECT_CONSTRUCT('a',9))",
+     '{"a":9}'),
+    ("SELECT MAP_CAT(OBJECT_CONSTRUCT('a',1), CAST(NULL AS STRING)) "
+     "IS NULL", True),
+    ("SELECT MAP_DELETE(OBJECT_CONSTRUCT('a',1,'b',2), 'a')",
+     '{"b":2}'),
+    ("SELECT MAP_INSERT(OBJECT_CONSTRUCT('a',1), 'b', 2)",
+     '{"a":1,"b":2}'),
+    ("SELECT MAP_PICK(OBJECT_CONSTRUCT('a',1,'b',2), 'b')",
+     '{"b":2}'),
+    ("SELECT AS_DOUBLE(TO_VARIANT(2.5))", 2.5),
+    ("SELECT IS_DECIMAL(TO_VARIANT(5))", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7E_CASES, ids=lambda c: str(c)[:48])
+def test_r7e_map_family(spark, sql, expect):
+    _check(spark, sql, expect)
