@@ -626,3 +626,34 @@ R7E_CASES = [
 @pytest.mark.parametrize("sql,expect", R7E_CASES, ids=lambda c: str(c)[:48])
 def test_r7e_map_family(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+R7F_CASES = [
+    # r7f audit: window-rank, hyperbolic, and conversion spellings —
+    # confirmed-native parity locks
+    ("SELECT SINH(0) + COSH(0) + TANH(0)", 1.0),
+    ("SELECT ASINH(0) + ACOSH(1) + ATANH(0)", 0.0),
+    ("SELECT DEGREES(PI())", 180.0),
+    ("SELECT RADIANS(180) = PI()", True),
+    ("SELECT TRY_TO_DOUBLE('2.5')", 2.5),
+    ("SELECT TRY_TO_DOUBLE('zap') IS NULL", True),
+    ("SELECT DAYOFYEAR('2026-02-01'::DATE)", 32),
+    ("SELECT RPAD('a', 3, '*')", "a**"),
+    ("SELECT PERCENT_RANK() OVER (ORDER BY 1)", 0.0),
+    ("SELECT CUME_DIST() OVER (ORDER BY 1)", 1.0),
+    ("SELECT FIRST_VALUE(5) OVER (ORDER BY 1)", 5),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7F_CASES, ids=lambda c: str(c)[:48])
+def test_r7f_native_parity(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_system_dollar_functions_blacklisted():
+    from dbt_icebreaker_spark.transpiler.core import (
+        UnsupportedFunctionError,
+    )
+
+    with pytest.raises(UnsupportedFunctionError):
+        t.to_spark("SELECT SYSTEM$TYPEOF(1)")
