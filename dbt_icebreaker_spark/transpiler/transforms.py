@@ -163,6 +163,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "YEAROFWEEK": "YOW_X",         # → EXTRACT(YEAROFWEEK …)
         "YEAROFWEEKISO": "YOW_X",
         "TIME_FROM_PARTS": "TIMEFP_X",  # TIME model = timestamp on 1970-01-01
+        "TIMEFROMPARTS": "TIMEFP_X",    # no-underscore Snowflake alias
         "CHECK_JSON": "CHECKJSON_X",
         "IS_NULL_VALUE": "ISNULLVAL_X",
         "AS_INTEGER": "ASINT_X", "AS_BIGINT": "ASINT_X",
@@ -224,6 +225,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TO_TIMESTAMP": "TO_TS_X",
         "TO_TIMESTAMP_NTZ": "TO_TS_X",
         "TO_TIMESTAMP_LTZ": "TO_TS_X",
+        "TO_TIMESTAMP_TZ": "TO_TS_X",   # TZ model = session-local TIMESTAMP
         "GET_PATH": "GETPATH_X",    # GET_PATH(j,'a.b[0]') → get_json_object
         "ARRAY_INTERSECTION": "ARRINT_X",  # multiset (min-count) semantics
         "ARRAY_CAT": "CONCAT",
@@ -238,7 +240,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_REMOVE": "ARRREM_X",
         "ARRAY_POSITION": "ARRPOS_SWAP",  # + 1-based→0-based/NULL semantics
         "DATE_FROM_PARTS": "MAKE_DATE",
+        "DATEFROMPARTS": "MAKE_DATE",
         "TIMESTAMP_FROM_PARTS": "MAKE_TIMESTAMP",
+        "TIMESTAMPFROMPARTS": "MAKE_TIMESTAMP",
         "TIMESTAMP_NTZ_FROM_PARTS": "MAKE_TIMESTAMP_NTZ",
         "BOOLOR_AGG": "BOOL_OR",
         "BOOLAND_AGG": "BOOL_AND",
@@ -2380,6 +2384,7 @@ _TRY_TO_TYPES = {
     "TRY_TO_TIMESTAMP": "TIMESTAMP",
     "TRY_TO_TIMESTAMP_NTZ": "TIMESTAMP_NTZ",
     "TRY_TO_TIMESTAMP_LTZ": "TIMESTAMP",
+    "TRY_TO_TIMESTAMP_TZ": "TIMESTAMP",
     "TRY_TO_TIMESTAMP_TZ": "TIMESTAMP",
     "TRY_TO_BOOLEAN": "BOOLEAN",
     "TRY_TO_VARCHAR": "STRING",

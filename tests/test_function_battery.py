@@ -657,3 +657,25 @@ def test_system_dollar_functions_blacklisted():
 
     with pytest.raises(UnsupportedFunctionError):
         t.to_spark("SELECT SYSTEM$TYPEOF(1)")
+
+
+R7G_CASES = [
+    # r7g audit: no-underscore *FROMPARTS aliases, the TZ timestamp
+    # family, and confirmed-native aggregate locks
+    ("SELECT TIMEFROMPARTS(1, 2, 3)::VARCHAR LIKE '%01:02:03%'", True),
+    ("SELECT DATEFROMPARTS(2026, 2, 1)::VARCHAR", "2026-02-01"),
+    ("SELECT TIMESTAMPFROMPARTS(2026, 1, 2, 3, 4, 5)::VARCHAR",
+     "2026-01-02 03:04:05"),
+    ("SELECT TO_TIMESTAMP_TZ('2026-01-02 03:04:05') IS NOT NULL", True),
+    ("SELECT TRY_TO_TIMESTAMP_TZ('garbage') IS NULL", True),
+    ("SELECT ANY_VALUE(7)", 7),
+    ("SELECT CORR(x, y) FROM (SELECT 1 x, 2 y UNION ALL "
+     "SELECT 2, 4 UNION ALL SELECT 3, 6)", 1.0),
+    ("SELECT TIMEDIFF('hour', '2026-01-01 00:00:00'::TIMESTAMP, "
+     "'2026-01-01 05:00:00'::TIMESTAMP)", 5),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7G_CASES, ids=lambda c: str(c)[:48])
+def test_r7g_parts_aliases(spark, sql, expect):
+    _check(spark, sql, expect)
