@@ -622,7 +622,7 @@ def _sorted_obj_json(map_expr: str) -> str:
 _VARIANT_VALUE_PRODUCERS = frozenset((
     "OBJECT_CONSTRUCT", "OBJECT_CONSTRUCT_KEEP_NULL", "PARSE_JSON",
     "TRY_PARSE_JSON", "TO_OBJECT", "OBJECT_INSERT", "OBJECT_DELETE",
-    "OBJECT_PICK",
+    "OBJECT_PICK", "MAP_INSERT", "MAP_DELETE", "MAP_PICK", "MAP_CAT",
 ))
 
 
@@ -663,7 +663,9 @@ def rewrite_object_insert(tokens: Tokens) -> Tokens:
         if len(args) not in (3, 4):
             from .core import TranspileError
 
-            raise TranspileError("OBJECT_INSERT takes 3 or 4 arguments")
+            raise TranspileError(
+                f"{tokens[i].upper} takes 3 or 4 arguments"
+            )
         obj = render(tokens[args[0][0]:args[0][1]]).strip()
         key = render(tokens[args[1][0]:args[1][1]]).strip()
         val_toks = tokens[args[2][0]:args[2][1]]
@@ -1531,24 +1533,32 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 ))
             elif t.text == "MAPSIZE_X" and len(args) == 1:
                 # MAP_SIZE over the JSON-text map model; NULL → NULL
-                # (Spark's size(NULL) is NULL with the default conf)
+                # (size(map) counts entries directly — no throwaway
+                # keys array; r7 review)
                 m = _VARIANT_MAP.format(
                     obj=render(tokens[args[0][0]:args[0][1]]).strip())
-                out += tokenize(f"size(map_keys({m}))")
+                out += tokenize(f"size({m})")
             elif t.text == "MAPCAT_X" and len(args) == 2:
                 # MAP_CAT(m1, m2): merged map, m2 wins duplicate keys
-                # (Snowflake); NULL either side → NULL
+                # (Snowflake); NULL either side → NULL. Operands bind
+                # ONCE through a struct (no re-parse of m2 inside the
+                # filter lambda, non-deterministic args evaluate once;
+                # r7 review — same binding trick as GREATESTN_X)
                 a_s = render(tokens[args[0][0]:args[0][1]]).strip()
                 b_s = render(tokens[args[1][0]:args[1][1]]).strip()
                 m1 = _VARIANT_MAP.format(obj=a_s)
                 m2 = _VARIANT_MAP.format(obj=b_s)
+                u = f"mc{next(_MULTISET_IDS)}"
                 merged = (
-                    f"map_concat(map_filter({m1}, (__k, __v) -> "
-                    f"NOT array_contains(map_keys({m2}), __k)), {m2})"
+                    f"map_concat(map_filter(__s{u}.a, (__k{u}, __v{u}) "
+                    f"-> NOT array_contains(__s{u}.bk, __k{u})), "
+                    f"__s{u}.b)"
                 )
                 out += tokenize(
-                    f"CASE WHEN ({a_s}) IS NULL OR ({b_s}) IS NULL "
-                    f"THEN NULL ELSE {_sorted_obj_json(merged)} END")
+                    f"element_at(transform(array(struct({m1} AS a, "
+                    f"{m2} AS b, map_keys({m2}) AS bk)), __s{u} -> "
+                    f"CASE WHEN __s{u}.a IS NULL OR __s{u}.b IS NULL "
+                    f"THEN NULL ELSE {_sorted_obj_json(merged)} END), 1)")
             elif t.text == "MAPHASK_X" and len(args) == 2:
                 # MAP_CONTAINS_KEY(key, map) — note the Snowflake
                 # argument ORDER (key first; Spark's builtin is
@@ -2362,7 +2372,22 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "ISTYPE_ARRAY": "isnotnull", "ISTYPE_BOOLEAN": "isnotnull",
                     "ISTYPE_INTEGER": "isnotnull", "ISTYPE_NUMBER": "isnotnull",
                     "ISTYPE_VARCHAR": "isnotnull",
-                }[t.text]
+                    "SHA2DEF_X": "sha2", "MD5LO_X": "md5",
+                    "MD5HI_X": "md5", "CHRU_X": "char",
+                    "MAPSIZE_X": "MAP_SIZE", "MAPCAT_X": "MAP_CAT",
+                    "MAPHASK_X": "map_contains_key",
+                    "OBJDEL_X": "OBJECT_DELETE",
+                    "OBJPICK_X": "OBJECT_PICK",
+                }.get(t.text)
+                if fallback is None:
+                    # never a raw KeyError: an unmapped placeholder
+                    # with a wrong arity is an arity error (r7 review)
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        f"{t.text.rstrip('_X')}: unsupported argument "
+                        f"count ({len(args)})"
+                    )
                 out.append(_word(fallback))
                 i += 1
                 continue
@@ -2384,7 +2409,6 @@ _TRY_TO_TYPES = {
     "TRY_TO_TIMESTAMP": "TIMESTAMP",
     "TRY_TO_TIMESTAMP_NTZ": "TIMESTAMP_NTZ",
     "TRY_TO_TIMESTAMP_LTZ": "TIMESTAMP",
-    "TRY_TO_TIMESTAMP_TZ": "TIMESTAMP",
     "TRY_TO_TIMESTAMP_TZ": "TIMESTAMP",
     "TRY_TO_BOOLEAN": "BOOLEAN",
     "TRY_TO_VARCHAR": "STRING",
@@ -4055,6 +4079,40 @@ def rewrite_date_units(tokens: Tokens) -> Tokens:
 
 
 # ------------------------------------------------------------------- T16
+def rewrite_char_codepoint(tokens: Tokens) -> Tokens:
+    """Snowflake CHAR(n) — the CHR synonym — is a Unicode code point;
+    Spark's char() truncates mod 256 (r7 review). Only CALL positions
+    rewrite: a CHAR directly after a WORD/QIDENT (column definition
+    `name CHAR(10)`), after AS, or after '::' is the TYPE and stays."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "CHAR":
+            j = next_code(tokens, i + 1)
+            p = prev_code(out, len(out) - 1)
+            prev = out[p] if p >= 0 else None
+            if prev is None:
+                is_type = False
+            elif prev.is_op("::") or (prev.kind == WORD
+                                      and prev.upper == "AS"):
+                is_type = True  # cast / AS-typed slot
+            elif prev.kind == WORD and _is_keyword(prev.upper):
+                is_type = False  # SELECT CHAR(65), WHEN CHAR(...) …
+            elif prev.kind in (WORD, QIDENT):
+                is_type = True  # column definition `name CHAR(10)`
+            else:
+                is_type = False
+            if j < n and tokens[j].is_op("(") and not is_type:
+                out.append(_word("CHRU_X"))
+                i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_json_path(tokens: Tokens) -> Tokens:
     """`col:field.sub` / `col:field::type` → get_json_object (+ CAST).
 
@@ -6601,6 +6659,8 @@ PIPELINE = (
     rewrite_array_construct,
     rewrite_conditional_change,  # before ratio: both parse OVER specs
     rewrite_window_ratio_funcs,
+    rewrite_char_codepoint,    # CHAR(n) call → Unicode CHR (before
+                               # renames so the placeholder dispatches)
     rewrite_simple_renames,
     _fixup_placeholders,
     rewrite_date_units,

@@ -679,3 +679,48 @@ R7G_CASES = [
 @pytest.mark.parametrize("sql,expect", R7G_CASES, ids=lambda c: str(c)[:48])
 def test_r7g_parts_aliases(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+R7H_CASES = [
+    # r7h review fixes: MAP_* values splice as nested objects, the
+    # CHAR call synonym is a Unicode code point while CHAR the TYPE
+    # stays untouched, MAP_CAT binds operands once
+    ("SELECT MAP_INSERT(OBJECT_CONSTRUCT('a',1), 'k', "
+     "MAP_DELETE(OBJECT_CONSTRUCT('x',1,'y',2),'y'))",
+     '{"a":1,"k":{"x":1}}'),
+    ("SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a',1), 'k', "
+     "MAP_CAT(OBJECT_CONSTRUCT('p',1), OBJECT_CONSTRUCT('q',2)))",
+     '{"a":1,"k":{"p":1,"q":2}}'),
+    ("SELECT CHAR(8364)", "€"),
+    ("SELECT UPPER(CHAR(97))", "A"),
+    ("SELECT '65'::CHAR(5)", "65"),
+    ("SELECT CAST(65 AS CHAR(5)) IS NOT NULL", True),
+    ("SELECT MAP_CAT(CAST(NULL AS STRING), OBJECT_CONSTRUCT('a',1)) "
+     "IS NULL", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7H_CASES, ids=lambda c: str(c)[:48])
+def test_r7h_review_fixes(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_placeholder_arity_never_keyerror():
+    # wrong arg counts surface as SQL-level errors, never raw
+    # KeyErrors from the placeholder dispatcher
+    for sql in ("SELECT SHA2('x', 256, 1)", "SELECT CHR(1,2)",
+                "SELECT MAP_CAT(OBJECT_CONSTRUCT('a',1))",
+                "SELECT MAP_SIZE()"):
+        try:
+            t.to_spark(sql)
+        except KeyError as e:  # pragma: no cover - the bug this pins
+            raise AssertionError(f"KeyError leaked for {sql}: {e}")
+        except Exception:
+            pass
+
+
+def test_map_insert_arity_error_names_map_insert():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="MAP_INSERT takes"):
+        t.to_spark("SELECT MAP_INSERT(OBJECT_CONSTRUCT('a',1), 'b')")
