@@ -6169,11 +6169,62 @@ XOP_ORACLES["q91_compress_roundtrip"] = """
 """
 
 
+def _q_vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake VECTOR_* functions (round 7): cosine similarity,
+    inner product, and L2 distance between consecutive embeddings —
+    pure JVM zip_with/aggregate folds with single-bound operands
+    (transforms VECIP_X/VECL2_X/VECCOS_X). The oracle uses DuckDB's
+    native list_* kernels; both sides ROUND to 6 dp (float32 inputs
+    accumulate in different orders)."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        WITH pairs AS (
+          SELECT a.vec_id,
+                 a.embedding AS ea,
+                 b.embedding AS eb
+          FROM embeddings a JOIN embeddings b
+            ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id < 200
+        )
+        SELECT vec_id,
+               ROUND(VECTOR_COSINE_SIMILARITY(ea, eb), 6) AS cos_sim,
+               ROUND(VECTOR_INNER_PRODUCT(ea, eb), 4) AS ip,
+               ROUND(VECTOR_L2_DISTANCE(ea, eb), 4) AS l2
+        FROM pairs
+        """
+    )
+
+
+XOP_ORACLES["q92_vector_functions"] = """
+    WITH pairs AS (
+      SELECT a.vec_id,
+             a.embedding AS ea,
+             b.embedding AS eb
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 200
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+             CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 6) AS cos_sim,
+           ROUND(list_inner_product(
+             CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS ip,
+           ROUND(list_distance(
+             CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS l2
+    FROM pairs
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_scripting_shadow": _q_scripting_shadow,
     "q89_merge_null_keys": _q_merge_null_keys,
     "q90_time_travel_clone_offset": _q_time_travel_clone_offset,
     "q91_compress_roundtrip": _q_compress_roundtrip,
+    "q92_vector_functions": _q_vector_functions,
     "x69_pattern_anchors_permute": _x_pattern_anchors_permute,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,

@@ -192,6 +192,10 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "IS_VARCHAR": "ISTYPE_VARCHAR", "IS_CHAR": "ISTYPE_VARCHAR",
         "TO_CHAR": "TO_CHAR_X",     # placeholder, fixed below
         "TO_VARCHAR": "TO_CHAR_X",
+        "TO_TEXT": "TO_CHAR_X",      # Snowflake alias
+        "VECTOR_INNER_PRODUCT": "VECIP_X",
+        "VECTOR_L2_DISTANCE": "VECL2_X",
+        "VECTOR_COSINE_SIMILARITY": "VECCOS_X",
         "ARRAY_TO_STRING": "ARRAY_JOIN",
         "UUID_STRING": "UUID",
         "HLL": "APPROX_COUNT_DISTINCT",   # HLL estimate ≈ approx distinct
@@ -472,6 +476,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "B64ENC_X", "MD5B_X", "SHA1B_X", "SHA2B_X",
     "SHA2DEF_X", "MD5LO_X", "MD5HI_X", "CHRU_X",
     "MAPSIZE_X", "MAPCAT_X", "MAPHASK_X",
+    "VECIP_X", "VECL2_X", "VECCOS_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -1531,6 +1536,37 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(_sorted_obj_json(
                     f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
+            elif t.text in ("VECIP_X", "VECL2_X", "VECCOS_X") \
+                    and len(args) == 2:
+                # Snowflake VECTOR_* over array<numeric> columns —
+                # pure JVM zip_with/aggregate folds (the brief's
+                # brute-force similarity kernel); operands bind ONCE
+                # through a struct so cosine's three reads of each
+                # vector don't re-evaluate complex expressions
+                a_s = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
+                b_s = "(" + render(tokens[args[1][0]:args[1][1]]).strip() + ")"
+                u = f"vx{next(_MULTISET_IDS)}"
+                ip = (f"aggregate(zip_with(__s{u}.a, __s{u}.b, "
+                      f"(__x{u}, __y{u}) -> __x{u} * __y{u}), 0D, "
+                      f"(__ac{u}, __v{u}) -> __ac{u} + __v{u})")
+                if t.text == "VECIP_X":
+                    body = ip
+                elif t.text == "VECL2_X":
+                    body = (f"sqrt(aggregate(zip_with(__s{u}.a, "
+                            f"__s{u}.b, (__x{u}, __y{u}) -> "
+                            f"(__x{u} - __y{u}) * (__x{u} - __y{u})), "
+                            f"0D, (__ac{u}, __v{u}) -> __ac{u} + __v{u}))")
+                else:  # cosine
+                    na = (f"sqrt(aggregate(__s{u}.a, 0D, (__ac{u}, "
+                          f"__v{u}) -> __ac{u} + __v{u} * __v{u}))")
+                    nb = (f"sqrt(aggregate(__s{u}.b, 0D, (__ac{u}, "
+                          f"__v{u}) -> __ac{u} + __v{u} * __v{u}))")
+                    body = f"({ip}) / nullif(({na}) * ({nb}), 0D)"
+                out += tokenize(
+                    f"element_at(transform(array(struct("
+                    f"CAST({a_s} AS ARRAY<DOUBLE>) AS a, "
+                    f"CAST({b_s} AS ARRAY<DOUBLE>) AS b)), "
+                    f"__s{u} -> {body}), 1)")
             elif t.text == "MAPSIZE_X" and len(args) == 1:
                 # MAP_SIZE over the JSON-text map model; NULL → NULL
                 # (size(map) counts entries directly — no throwaway
@@ -2375,6 +2411,9 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "SHA2DEF_X": "sha2", "MD5LO_X": "md5",
                     "MD5HI_X": "md5", "CHRU_X": "char",
                     "MAPSIZE_X": "MAP_SIZE", "MAPCAT_X": "MAP_CAT",
+                    "VECIP_X": "VECTOR_INNER_PRODUCT",
+                    "VECL2_X": "VECTOR_L2_DISTANCE",
+                    "VECCOS_X": "VECTOR_COSINE_SIMILARITY",
                     "MAPHASK_X": "map_contains_key",
                     "OBJDEL_X": "OBJECT_DELETE",
                     "OBJPICK_X": "OBJECT_PICK",
@@ -6075,6 +6114,12 @@ def rewrite_window_ratio_funcs(tokens: Tokens) -> Tokens:
 # Scalar functions with no faithful Spark rendering — actionable error
 # (ref errors.py style) instead of UNRESOLVED_ROUTINE at runtime.
 _UNSUPPORTED_SCALARS = {
+    "IS_DATE": "TRY_TO_DATE(v::STRING) IS NOT NULL — the JSON-text "
+               "variant model stringifies dates, so the stored TYPE "
+               "is gone (documented model limitation)",
+    "IS_TIME": "TRY_TO_TIME(v::STRING) IS NOT NULL (see IS_DATE)",
+    "IS_TIMESTAMP": "TRY_TO_TIMESTAMP(v::STRING) IS NOT NULL "
+                    "(see IS_DATE)",
     "ZIPF": "an explicit inverse-CDF over UNIFORM (Spark has no "
             "zipf generator; xops.sampling covers deterministic "
             "weighted draws)",

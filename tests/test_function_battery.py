@@ -724,3 +724,35 @@ def test_map_insert_arity_error_names_map_insert():
 
     with pytest.raises(TranspileError, match="MAP_INSERT takes"):
         t.to_spark("SELECT MAP_INSERT(OBJECT_CONSTRUCT('a',1), 'b')")
+
+
+R7I_CASES = [
+    # r7i: Snowflake VECTOR_* kernels (JVM zip_with/aggregate folds,
+    # operands bound once) + TO_TEXT alias
+    ("SELECT VECTOR_INNER_PRODUCT(ARRAY_CONSTRUCT(1,2,3), "
+     "ARRAY_CONSTRUCT(4,5,6))", 32.0),
+    ("SELECT VECTOR_L2_DISTANCE(ARRAY_CONSTRUCT(0,0), "
+     "ARRAY_CONSTRUCT(3,4))", 5.0),
+    ("SELECT ROUND(VECTOR_COSINE_SIMILARITY(ARRAY_CONSTRUCT(1,0), "
+     "ARRAY_CONSTRUCT(1,0)), 9)", 1.0),
+    ("SELECT ROUND(VECTOR_COSINE_SIMILARITY(ARRAY_CONSTRUCT(1,0), "
+     "ARRAY_CONSTRUCT(0,1)), 9)", 0.0),
+    # zero vector: NULL (division guard), not an error
+    ("SELECT VECTOR_COSINE_SIMILARITY(ARRAY_CONSTRUCT(0,0), "
+     "ARRAY_CONSTRUCT(1,1)) IS NULL", True),
+    ("SELECT VECTOR_INNER_PRODUCT(CAST(NULL AS ARRAY<DOUBLE>), "
+     "ARRAY_CONSTRUCT(1)) IS NULL", True),
+    ("SELECT TO_TEXT(42)", "42"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7I_CASES, ids=lambda c: str(c)[:48])
+def test_r7i_vector_functions(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_is_date_refuses_with_model_note():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="model limitation"):
+        t.to_spark("SELECT IS_DATE(v) FROM t")
