@@ -131,7 +131,7 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
         "LEN": "LENGTH",
-        "EDITDISTANCE": "LEVENSHTEIN",
+        "EDITDISTANCE": "EDITDIST_X",  # 3-arg caps at max (Spark: -1)
         "REGEXP_LIKE": "RXLIKE_X",  # 3-arg params → inline (?ism) flags
         "REGEXP_COUNT": "RXCOUNT_X",  # position / params args
         "REGEXP_INSTR": "RXINSTR_X",  # position arg (occurrence unsupported)
@@ -476,7 +476,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "B64ENC_X", "MD5B_X", "SHA1B_X", "SHA2B_X",
     "SHA2DEF_X", "MD5LO_X", "MD5HI_X", "CHRU_X",
     "MAPSIZE_X", "MAPCAT_X", "MAPHASK_X",
-    "VECIP_X", "VECL2_X", "VECCOS_X",
+    "VECIP_X", "VECL2_X", "VECCOS_X", "EDITDIST_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -1536,6 +1536,19 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(_sorted_obj_json(
                     f"map_filter({m}, (__k, __v) -> {pred})"
                 ))
+            elif t.text == "EDITDIST_X" and len(args) in (2, 3):
+                # Snowflake EDITDISTANCE(a, b[, max]) CAPS the result
+                # at max; Spark's thresholded levenshtein returns -1
+                # past the threshold (r7j audit — silent value
+                # mismatch). nullif/coalesce keeps one evaluation.
+                parts = [render(tokens[a:b2]).strip() for a, b2 in args]
+                if len(parts) == 2:
+                    out += tokenize(
+                        f"levenshtein({parts[0]}, {parts[1]})")
+                else:
+                    out += tokenize(
+                        f"coalesce(nullif(levenshtein({parts[0]}, "
+                        f"{parts[1]}, {parts[2]}), -1), {parts[2]})")
             elif t.text in ("VECIP_X", "VECL2_X", "VECCOS_X") \
                     and len(args) == 2:
                 # Snowflake VECTOR_* over array<numeric> columns —
@@ -2412,6 +2425,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     "MD5HI_X": "md5", "CHRU_X": "char",
                     "MAPSIZE_X": "MAP_SIZE", "MAPCAT_X": "MAP_CAT",
                     "VECIP_X": "VECTOR_INNER_PRODUCT",
+                    "EDITDIST_X": "levenshtein",
                     "VECL2_X": "VECTOR_L2_DISTANCE",
                     "VECCOS_X": "VECTOR_COSINE_SIMILARITY",
                     "MAPHASK_X": "map_contains_key",

@@ -756,3 +756,23 @@ def test_is_date_refuses_with_model_note():
 
     with pytest.raises(TranspileError, match="model limitation"):
         t.to_spark("SELECT IS_DATE(v) FROM t")
+
+
+R7J_CASES = [
+    # r7j audit: EDITDISTANCE 3-arg CAPS at max (Spark's thresholded
+    # levenshtein returns -1 past it — silent value mismatch, fixed);
+    # native-parity locks for the rest of the batch
+    ("SELECT EDITDISTANCE('kitten', 'sitting')", 3),
+    ("SELECT EDITDISTANCE('kitten', 'sitting', 2)", 2),
+    ("SELECT EDITDISTANCE('kitten', 'sitting', 5)", 3),
+    ("SELECT EDITDISTANCE('same', 'same', 1)", 0),
+    ("SELECT EDITDISTANCE(NULL, 'x') IS NULL", True),
+    ("SELECT STARTSWITH('hello', 'he')", True),
+    ("SELECT ENDSWITH('hello', 'lo')", True),
+    ("SELECT SUBSTRING_INDEX('a.b.c', '.', 2)", "a.b"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R7J_CASES, ids=lambda c: str(c)[:48])
+def test_r7j_editdistance_cap(spark, sql, expect):
+    _check(spark, sql, expect)
