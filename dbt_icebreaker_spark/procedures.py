@@ -136,7 +136,10 @@ def _scan_block_end(code, begin_i: int) -> Optional[int]:
             u = t.upper
             if u == "CASE":
                 stack.append("CASE")
-            elif u in ("IF", "FOR", "WHILE") and stmt_head(j):
+            elif u in ("IF", "FOR", "WHILE", "REPEAT") and stmt_head(j):
+                # REPEAT … UNTIL … END REPEAT is valid Snowflake
+                # scripting: without the push its END REPEAT would pop
+                # the enclosing BEGIN and mis-split the body (r7 ADVICE)
                 stack.append(u)
             elif u == "BEGIN" and stmt_head(j):
                 nxt = code[j + 1] if j + 1 < n else None
@@ -147,7 +150,7 @@ def _scan_block_end(code, begin_i: int) -> Optional[int]:
                 nxt = code[j + 1] if j + 1 < n else None
                 if nxt is not None and nxt.kind == WORD \
                         and nxt.upper in ("IF", "FOR", "WHILE",
-                                          "CASE", "LOOP"):
+                                          "CASE", "LOOP", "REPEAT"):
                     # END CASE pops its CASE; END LOOP never had a
                     # push (LOOP is unsupported downstream) — neither
                     # may pop the BEGIN (r7 review finding)

@@ -252,7 +252,24 @@ class IcebreakerEngine:
                 if not name.isdigit():
                     # an unknown $name would reach Spark as an opaque
                     # parse error (r7b sweep finding); $1/$2 positional
-                    # stage references pass through untouched
+                    # stage references pass through untouched.
+                    # json-path segments are NOT session variables:
+                    # payload:$schema / payload.$id ($-keys are standard
+                    # JSON-Schema vocabulary) — when the token tight
+                    # before is the ':' / '.' path operator, pass
+                    # through to rewrite_json_path (r7 ADVICE).
+                    from .transpiler.tokenizer import COMMENT, WS
+                    prev = None
+                    for x in reversed(out):
+                        if x.kind not in (WS, COMMENT):
+                            prev = x
+                            break
+                    tight = bool(out) and out[-1].kind not in (WS, COMMENT)
+                    if tight and prev is not None and (
+                        prev.is_op(":") or prev.is_op(".")
+                    ):
+                        out.append(t)
+                        continue
                     known = ", ".join(sorted(self._session_vars)) or "none"
                     raise ValueError(
                         f"Session variable ${t.text[1:]} is not set "

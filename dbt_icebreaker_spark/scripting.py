@@ -770,7 +770,8 @@ class _Block:
                 u = t.upper
                 if u == "CASE":
                     case_nest += 1
-                elif u in ("IF", "FOR", "WHILE") and self._is_stmt_head(i):
+                elif u in ("IF", "FOR", "WHILE", "REPEAT") \
+                        and self._is_stmt_head(i):
                     nest += 1
                 elif u == "BEGIN" and self._is_stmt_head(i):
                     j = self._code(i + 1)
@@ -778,7 +779,7 @@ class _Block:
                         begin_nest += 1
                 elif u == "END":
                     j = self._code(i + 1)
-                    if self._word(j, "IF", "FOR", "WHILE"):
+                    if self._word(j, "IF", "FOR", "WHILE", "REPEAT"):
                         if nest > 0:
                             nest -= 1
                             i = j + 1
@@ -827,6 +828,8 @@ class _Block:
             return self._stmt_for(i)
         if u == "WHILE" and self._is_stmt_head(i):
             return self._stmt_while(i)
+        if u == "REPEAT" and self._is_stmt_head(i):
+            return self._stmt_repeat(i)
         if u == "RETURN":
             self._stmt_return(i)
         if u == "BREAK":
@@ -1298,6 +1301,37 @@ class _Block:
                 break
             except _Continue:
                 continue
+        return after
+
+    def _stmt_repeat(self, i: int) -> int:
+        """``REPEAT …; UNTIL (cond) END REPEAT;`` — Snowflake's
+        post-test loop: the body runs at least once, exits when the
+        condition evaluates TRUE (r8: the r7 ADVICE END-REPEAT
+        mis-split fix made these bodies parse; this makes them run)."""
+        body = self._code(i + 1)
+        until_i = self._skip_statements(body, ("UNTIL",))
+        cond_lo = self._code(until_i + 1)
+        end_i = self._skip_statements(cond_lo, ("END",))
+        j2 = self._code(end_i + 1)
+        if not self._word(j2, "REPEAT"):
+            raise ScriptingError("REPEAT: expected END REPEAT")
+        after = self._stmt_end(j2) + 1
+        it = 0
+        while True:
+            it += 1
+            if it > _LOOP_CAP:
+                raise ScriptingError(
+                    f"REPEAT: exceeded the {_LOOP_CAP} iteration cap"
+                )
+            try:
+                self._run_statements(body, ("UNTIL",))
+            except _Break:
+                break
+            except _Continue:
+                pass
+            cond = self._sub_expr(self.toks[cond_lo:end_i])
+            if self._eval_bool(cond):
+                break
         return after
 
     def _stmt_return(self, i: int) -> None:

@@ -203,9 +203,27 @@ def resolve_time_travel(spark, sql: str, transpiler, engine=None) -> str:
         lo, hi, kw, kind, expr, close = hit
         name = _spark_name(toks[lo:hi])
         if kw == "OFFSET":
-            # seconds relative to now (Snowflake: negative = past)
-            expr = (f"TIMESTAMPADD(SECOND, CAST(({expr}) AS BIGINT), "
-                    "CURRENT_TIMESTAMP())")
+            # seconds relative to now (Snowflake: negative = past).
+            # Snowflake REJECTS a positive offset (a future instant);
+            # silently resolving it to the current state would mask a
+            # dropped minus sign (r7 ADVICE). Static literals refuse at
+            # transpile time; non-literal exprs get a runtime assert.
+            import re as _re
+
+            lit = _re.fullmatch(r"\s*[+-]?\d+(\.\d+)?\s*", expr)
+            if lit and float(expr) > 0:
+                raise TranspileError(
+                    f"Time-travel {kind}(OFFSET => {expr.strip()}) is a "
+                    "future instant — Snowflake requires a non-positive "
+                    "offset (seconds before now). Did you mean "
+                    f"OFFSET => -{expr.strip()}?"
+                )
+            guard = ("coalesce(cast(assert_true(({e}) <= 0, "
+                     "'AT(OFFSET => n): n must be <= 0 — seconds before "
+                     "now; positive offsets are future instants') "
+                     "as bigint), 0)").format(e=expr)
+            expr = (f"TIMESTAMPADD(SECOND, CAST(({expr}) AS BIGINT) "
+                    f"+ {guard}, CURRENT_TIMESTAMP())")
         elif kw == "STATEMENT":
             expr = _statement_timestamp_expr(engine, expr)
         elif kw != "TIMESTAMP":

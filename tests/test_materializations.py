@@ -3040,6 +3040,35 @@ class TestTimeTravelR7:
                 "SELECT * FROM mat_test.anything "
                 "AT(STREAM => 's1')")
 
+    def test_positive_offset_literal_refused(self, spark, engine):
+        # r8 (r7 ADVICE): Snowflake rejects positive offsets (future
+        # instants); silently resolving one to the current state would
+        # mask a dropped minus sign
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        self._history(spark, engine, "tt_pos")
+        with pytest.raises(TranspileError, match="future instant"):
+            engine.execute(
+                "SELECT * FROM mat_test.tt_pos AT(OFFSET => 300)")
+
+    def test_positive_offset_expr_errors_at_runtime(self, spark, engine):
+        # a non-literal positive offset can't refuse at transpile time
+        # — the runtime assert catches it
+        self._history(spark, engine, "tt_pos2")
+        with pytest.raises(Exception, match="must be <= 0"):
+            engine.execute(
+                "SELECT * FROM mat_test.tt_pos2 "
+                "AT(OFFSET => 100 + 200)").collect()
+
+    def test_zero_and_negative_offsets_still_work(self, spark, engine):
+        self._history(spark, engine, "tt_pos3")
+        assert len(engine.execute(
+            "SELECT * FROM mat_test.tt_pos3 AT(OFFSET => 0)"
+        ).collect()) == 10
+        assert engine.execute(
+            "SELECT * FROM mat_test.tt_pos3 AT(OFFSET => -63072000)"
+        ).collect() == []
+
 
 class TestR7bSweep:
     """Round-7b probe-sweep lock-ins (scripts/probe_sweep_r7b.py, 16
@@ -3122,6 +3151,25 @@ class TestR7bSweep:
             engine.execute("SELECT $1 FROM VALUES (1)").collect()
         except Exception as e:
             assert "is not set" not in str(e)
+
+    def test_json_path_dollar_keys_not_session_vars(self, engine):
+        # r8 (r7 ADVICE): $-prefixed keys are standard JSON-Schema
+        # vocabulary — payload:$schema must reach rewrite_json_path,
+        # not the unknown-session-variable error
+        r = engine.execute(
+            'SELECT PARSE_JSON(\'{"$schema":"s1","a":2}\')'
+            ":$schema::string AS s").collect()
+        assert r[0].s == "s1"
+        r = engine.execute(
+            'SELECT PARSE_JSON(\'{"a":{"$id":"x"}}\')'
+            ":a.$id::string AS s").collect()
+        assert r[0].s == "x"
+
+    def test_expression_position_dollar_still_raises(self, engine):
+        # the path pass-through must not weaken the expression-position
+        # error: a bare $name with whitespace before it still raises
+        with pytest.raises(Exception, match="is not set"):
+            engine.execute("SELECT $still_unset_r8 AS v")
 
 
 class TestTimeTravelEdgesR7:

@@ -1415,3 +1415,99 @@ class TestReviewRegressionsR7c:
         ok, _ = adv.transpiler.can_transpile(
             "SELECT COMPRESS(c, 'zlib') FROM t")
         assert ok
+
+
+class TestRepeatR8:
+    """Round-8: REPEAT … UNTIL (cond) END REPEAT — Snowflake's
+    post-test loop. The r7 ADVICE found END REPEAT mis-split unquoted
+    procedure bodies (_scan_block_end popped the enclosing BEGIN);
+    r8 adds the interpreter construct itself (scripting.py
+    _stmt_repeat)."""
+
+    def test_repeat_basic(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; "
+            "REPEAT LET i := i + 1; UNTIL (i >= 3) END REPEAT; "
+            "RETURN i; END"
+        )
+        assert r.collect()[0].value == 3
+
+    def test_repeat_body_runs_at_least_once(self, engine):
+        # post-test semantics: condition already true → body still
+        # runs exactly once
+        r = engine.execute(
+            "BEGIN LET i := 99; "
+            "REPEAT LET i := i + 1; UNTIL (i >= 0) END REPEAT; "
+            "RETURN i; END"
+        )
+        assert r.collect()[0].value == 100
+
+    def test_repeat_break(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; LET s := 0; "
+            "REPEAT LET i := i + 1; LET s := s + i; "
+            "IF (s > 5) THEN BREAK; END IF; "
+            "UNTIL (i >= 100) END REPEAT; "
+            "RETURN s; END"
+        )
+        assert r.collect()[0].value == 6  # 1+2+3
+
+    def test_repeat_continue_recycles_to_condition(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; LET odd_sum := 0; "
+            "REPEAT LET i := i + 1; "
+            "IF (i % 2 = 0) THEN CONTINUE; END IF; "
+            "LET odd_sum := odd_sum + i; "
+            "UNTIL (i >= 6) END REPEAT; "
+            "RETURN odd_sum; END"
+        )
+        assert r.collect()[0].value == 9  # 1+3+5
+
+    def test_repeat_nested(self, engine):
+        r = engine.execute(
+            "BEGIN LET total := 0; LET a := 0; "
+            "REPEAT LET a := a + 1; LET b := 0; "
+            "REPEAT LET b := b + 1; LET total := total + 1; "
+            "UNTIL (b >= 2) END REPEAT; "
+            "UNTIL (a >= 3) END REPEAT; "
+            "RETURN total; END"
+        )
+        assert r.collect()[0].value == 6
+
+    def test_repeat_unparenthesized_condition(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; "
+            "REPEAT LET i := i + 1; UNTIL i >= 4 END REPEAT; "
+            "RETURN i; END"
+        )
+        assert r.collect()[0].value == 4
+
+    def test_repeat_in_unquoted_procedure_body(self, engine):
+        # the r7 ADVICE scenario: END REPEAT inside an UNQUOTED
+        # procedure body must not pop the enclosing BEGIN (mis-split
+        # executed the UNTIL tail as top-level SQL)
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r8_rpt() RETURNS NUMBER "
+            "LANGUAGE SQL AS BEGIN LET i := 0; "
+            "REPEAT LET i := i + 1; UNTIL (i >= 3) END REPEAT; "
+            "RETURN i; END;")
+        try:
+            assert engine.execute("CALL r8_rpt()").collect()[0][0] == 3
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r8_rpt()")
+
+    def test_repeat_string_function_untouched(self, engine):
+        r = engine.execute("SELECT REPEAT('ab', 3) AS r")
+        assert r.collect()[0].r == "ababab"
+
+    def test_return_char_is_unicode_codepoint(self, engine):
+        # r8 (r7 ADVICE): RETURN CHAR(959) — RETURN is a statement
+        # head, so CHAR( is the Unicode call, not a type
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r8_chr() RETURNS VARCHAR "
+            "LANGUAGE SQL AS $$ BEGIN RETURN CHAR(959); END $$")
+        try:
+            assert engine.execute(
+                "CALL r8_chr()").collect()[0][0] == "ο"
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r8_chr()")
