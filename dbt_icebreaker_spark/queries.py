@@ -5994,6 +5994,67 @@ XOP_ORACLES["x69_pattern_anchors_permute"] = """
 """
 
 
+def _x_pattern_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 MATCH_RECOGNIZE ``{- -}`` exclusion (x70, VERDICT r7
+    task 4 — the last refused SQL:2016 pattern feature). Pattern
+    ``A {- B -} C`` with A pinned to rn % 5 = 1 (matches are 3 rows on
+    a 5-row grid, so greedy SKIP PAST LAST ROW cannot overlap and the
+    scan is purely declarative for the oracle). The oracle
+    distinguishes all three row classes the feature creates:
+
+    - A / C rows emit with their CLASSIFIER,
+    - the excluded B row is CONSUMED — absent from output entirely
+      (a broken emit flag would leak it with classifier 'B'),
+    - genuinely unmatched rows emit with NULL classifier under WITH
+      UNMATCHED ROWS (a broken covered[] would resurrect B here)."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    base = (
+        "SELECT user_id, value, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS BIGINT) AS rn FROM events"
+    )
+    return eng.execute(
+        f"""SELECT user_id, rn, cls FROM ({base}) MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY rn
+              MEASURES CLASSIFIER() AS cls
+              ALL ROWS PER MATCH WITH UNMATCHED ROWS
+              PATTERN (A {{- B -}} C)
+              DEFINE A AS rn % 5 = 1, C AS value < 100
+            )"""
+    ).selectExpr("user_id", "CAST(rn AS BIGINT) AS rn", "cls")
+
+
+XOP_ORACLES["x70_pattern_exclusion"] = """
+    WITH o AS (
+      SELECT user_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, rn, value,
+             (rn % 5 = 1 AND
+              LEAD(value, 2) OVER (PARTITION BY user_id
+                                   ORDER BY rn) < 100) AS elig
+      FROM o
+    ),
+    m AS (SELECT user_id, rn FROM f WHERE elig)
+    SELECT f.user_id, f.rn,
+           CASE WHEN m1.rn IS NOT NULL THEN 'A'
+                WHEN m3.rn IS NOT NULL THEN 'C'
+                ELSE NULL END AS cls
+    FROM f
+    LEFT JOIN m m1 ON f.user_id = m1.user_id AND f.rn = m1.rn
+    LEFT JOIN m m2 ON f.user_id = m2.user_id AND f.rn = m2.rn + 1
+    LEFT JOIN m m3 ON f.user_id = m3.user_id AND f.rn = m3.rn + 2
+    WHERE m2.rn IS NULL
+"""
+
+
 def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
     equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
@@ -6226,6 +6287,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_compress_roundtrip": _q_compress_roundtrip,
     "q92_vector_functions": _q_vector_functions,
     "x69_pattern_anchors_permute": _x_pattern_anchors_permute,
+    "x70_pattern_exclusion": _x_pattern_exclusion,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,

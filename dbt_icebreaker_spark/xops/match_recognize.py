@@ -20,7 +20,12 @@ refuses actionably at parse time):
   SQL:2016 RUNNING measure semantics (incremental accumulators, O(1)
   per row; CLASSIFIER() = the row's own symbol), plus ``WITH
   UNMATCHED ROWS`` (rows in no match emit with NULL measures). The
-  empty-match modifiers refuse.
+  empty-match modifiers (OMIT/SHOW EMPTY MATCHES) refuse. Round 8:
+  ``{- … -}`` exclusions — rows inside the exclusion MATCH (consumed;
+  running measures and navigation see them; they count as covered for
+  WITH UNMATCHED ROWS) but are suppressed from ALL ROWS PER MATCH
+  output. In the VM this is an emit-flag on the contained flat terms,
+  not a matcher change; exclusions cannot be quantified.
 - ``AFTER MATCH SKIP PAST LAST ROW`` (default), ``SKIP TO NEXT ROW``,
   and ``SKIP TO [FIRST|LAST] <symbol>`` (resume AT the symbol's
   first/last row — overlapping matches; SQL:2016 runtime errors when
@@ -73,6 +78,10 @@ class PatternTerm:
     min_n: int
     max_n: Optional[int]  # None = unbounded
     alt: int = 0  # top-level alternative this term belongs to (A B | C)
+    # {- … -} exclusion (SQL:2016 §7.9): the row is consumed by the
+    # match (navigation/measures see it) but suppressed from ALL ROWS
+    # PER MATCH output — an emit flag, not a matcher change (round 8)
+    excluded: bool = False
 
 
 @dataclass
@@ -112,7 +121,8 @@ _QUANT_RE = re.compile(
 #   ("grp", [nodes], lo, hi)      — a quantified group (A B){n,m}
 #   ("alt", [[nodes], …])         — alternation inside a group (A|B)
 _PTOK_RE = re.compile(
-    r"[A-Za-z_][A-Za-z0-9_]*|\{\s*\d+\s*(?:,\s*\d*\s*)?\}|[()|*+?,^$]"
+    r"\{-|-\}|[A-Za-z_][A-Za-z0-9_]*|\{\s*\d+\s*(?:,\s*\d*\s*)?\}"
+    r"|[()|*+?,^$]"
 )
 
 
@@ -132,7 +142,7 @@ def _read_quant(toks: list[str], i: int):
         lazy, nxt = lazy_suffix(i + 1)
         return ({"*": 0, "+": 1, "?": 0}[q],
                 {"*": None, "+": None, "?": 1}[q], lazy, nxt)
-    if i < len(toks) and toks[i].startswith("{"):
+    if i < len(toks) and toks[i].startswith("{") and toks[i] != "{-":
         nums = toks[i].strip("{}").split(",")
         lo = int(nums[0])
         hi = (lo if len(nums) == 1
@@ -184,9 +194,35 @@ def parse_pattern_full(text: str):
 
     def parse_seq(i: int):
         nodes = []
-        while i < len(toks) and toks[i] not in ("|", ")", ","):
+        while i < len(toks) and toks[i] not in ("|", ")", ",", "-}"):
             tk = toks[i]
-            if tk == "^":
+            if tk == "{-":
+                # {- pattern -} exclusion (SQL:2016 §7.9): rows match
+                # (consumed; measures/navigation see them) but are
+                # suppressed from ALL ROWS PER MATCH output. Compiles
+                # as an unquantified group; the contained flat terms
+                # carry an emit flag the output loop reads (round 8).
+                t0 = len(terms)
+                branches, i = parse_alt(i + 1)
+                if i >= len(toks) or toks[i] != "-}":
+                    raise ValueError(
+                        "MATCH_RECOGNIZE PATTERN: unclosed {- exclusion"
+                    )
+                i += 1
+                if i < len(toks) and (
+                    toks[i] in ("*", "+", "?") or toks[i].startswith("{")
+                ) and toks[i] not in ("{-",):
+                    raise ValueError(
+                        "MATCH_RECOGNIZE PATTERN: a {- -} exclusion "
+                        "cannot be quantified (SQL:2016 §7.9) — "
+                        "quantify the symbols inside it"
+                    )
+                for t2 in terms[t0:]:
+                    t2.excluded = True
+                inner = (branches[0] if len(branches) == 1
+                         else [("alt", branches)])
+                nodes.append(("grp", inner, 1, 1, False))
+            elif tk == "^":
                 # partition-start anchor: a zero-width position guard
                 nodes.append(("anch", "bol"))
                 i += 1
@@ -769,7 +805,12 @@ def match_recognize(
                     ti = assign[i2 - pos]
                     for st in states:
                         rec[st.m.name] = st.step(pdf, i2, ti, match_no)
-                    rows.append(rec)
+                    # {- -} exclusion: the row was consumed (running
+                    # measures above already stepped over it; covered[]
+                    # marks it matched, so WITH UNMATCHED ROWS does NOT
+                    # resurrect it) but is suppressed from output
+                    if not terms[ti].excluded:
+                        rows.append(rec)
             else:
                 rec = {c: pdf[c].iloc[pos] for c in data_cols}
                 for m in measures:

@@ -375,8 +375,6 @@ class TestRefusals:
             ("PATTERN (PERMUTE) DEFINE A AS x > 1", "argument list"),
             ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH OMIT "
              "EMPTY MATCHES PATTERN (A)", "EMPTY"),
-            ("MEASURES COUNT(*) AS n PATTERN (A) "
-             "DEFINE Z AS x > 1", "not present in PATTERN"),
             ("MEASURES COUNT(*) AS n AFTER MATCH SKIP HALF WAY "
              "PATTERN (A)", "PAST LAST ROW"),
             ("MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Z "
@@ -874,3 +872,128 @@ class TestReluctantQuantifiersR7:
                )"""
         )
         assert df.collect()[0].n == 3
+
+
+class TestExclusionsR8:
+    """Round-8: {- -} exclusion syntax (SQL:2016 §7.9; VERDICT r7
+    task 4). Excluded rows MATCH (consumed; measures see them; covered
+    for WITH UNMATCHED ROWS) but are suppressed from ALL ROWS PER
+    MATCH output. Plus the unused-DEFINE tolerance (task 3)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def vdata(self, spark):
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW mr_excl AS
+            SELECT g, seq, CAST(price AS DOUBLE) AS price FROM VALUES
+            (1, 1, 10.0), (1, 2, 5.0), (1, 3, 4.0), (1, 4, 8.0),
+            (1, 5, 12.0), (1, 6, 3.0), (1, 7, 99.0),
+            (2, 1, 7.0), (2, 2, 6.0), (2, 3, 9.0)
+            t(g, seq, price)"""
+        )
+
+    V_SQL = """SELECT g, seq, cls FROM mr_excl MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES CLASSIFIER() AS cls
+        {rows_clause}
+        PATTERN (STRT {{- DOWN+ -}} UP+)
+        DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)
+    ) ORDER BY g, seq"""
+
+    def test_excluded_rows_suppressed_from_all_rows(self, engine):
+        rows = engine.execute(
+            self.V_SQL.format(rows_clause="ALL ROWS PER MATCH")
+        ).collect()
+        got = [(r.g, r.seq, r.cls) for r in rows]
+        # DOWN rows (g1: seq 2,3; g2: seq 2) consumed but not emitted
+        assert got == [
+            (1, 1, "STRT"), (1, 4, "UP"), (1, 5, "UP"),
+            (2, 1, "STRT"), (2, 3, "UP"),
+        ]
+
+    def test_excluded_rows_not_resurrected_as_unmatched(self, engine):
+        rows = engine.execute(
+            self.V_SQL.format(
+                rows_clause="ALL ROWS PER MATCH WITH UNMATCHED ROWS")
+        ).collect()
+        got = [(r.g, r.seq, r.cls) for r in rows]
+        # seq 2,3 of g1 are in the match (suppressed) — only 6,7 are
+        # genuinely unmatched and emit with NULL classifier
+        assert got == [
+            (1, 1, "STRT"), (1, 4, "UP"), (1, 5, "UP"),
+            (1, 6, None), (1, 7, None),
+            (2, 1, "STRT"), (2, 3, "UP"),
+        ]
+
+    def test_one_row_measures_include_excluded(self, engine):
+        rows = engine.execute(
+            """SELECT g, n_rows, total FROM mr_excl MATCH_RECOGNIZE (
+                PARTITION BY g ORDER BY seq
+                MEASURES COUNT(*) AS n_rows, SUM(price) AS total
+                PATTERN (STRT {- DOWN+ -} UP+)
+                DEFINE DOWN AS price < PREV(price),
+                       UP AS price > PREV(price)
+            ) ORDER BY g"""
+        ).collect()
+        got = [(r.g, r.n_rows, float(r.total)) for r in rows]
+        assert got == [(1, 5, 39.0), (2, 3, 22.0)]
+
+    def test_running_measures_step_over_excluded(self, engine):
+        # the UP rows' RUNNING COUNT(*) includes the suppressed DOWN
+        # rows (they are part of the match)
+        rows = engine.execute(
+            """SELECT g, seq, rc FROM mr_excl MATCH_RECOGNIZE (
+                PARTITION BY g ORDER BY seq
+                MEASURES COUNT(*) AS rc
+                ALL ROWS PER MATCH
+                PATTERN (STRT {- DOWN+ -} UP+)
+                DEFINE DOWN AS price < PREV(price),
+                       UP AS price > PREV(price)
+            ) ORDER BY g, seq"""
+        ).collect()
+        got = [(r.g, r.seq, r.rc) for r in rows]
+        assert got == [
+            (1, 1, 1), (1, 4, 4), (1, 5, 5),
+            (2, 1, 1), (2, 3, 3),
+        ]
+
+    def test_quantified_exclusion_refuses(self, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="cannot be quantified"):
+            engine.execute(
+                """SELECT g FROM mr_excl MATCH_RECOGNIZE (
+                    PARTITION BY g ORDER BY seq
+                    MEASURES COUNT(*) AS n
+                    PATTERN (STRT {- DOWN -}+)
+                    DEFINE DOWN AS price < PREV(price)
+                )""")
+
+    def test_unclosed_exclusion_refuses(self, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="unclosed"):
+            engine.execute(
+                """SELECT g FROM mr_excl MATCH_RECOGNIZE (
+                    PARTITION BY g ORDER BY seq
+                    MEASURES COUNT(*) AS n
+                    PATTERN (STRT {- DOWN)
+                    DEFINE DOWN AS price < PREV(price)
+                )""")
+
+    def test_unused_define_symbols_tolerated(self, engine):
+        # r8 (r7 judge finding): Snowflake accepts DEFINE entries whose
+        # symbol is not in the PATTERN — result must equal minimal
+        # DEFINE
+        sql = """SELECT g, seq FROM mr_excl MATCH_RECOGNIZE (
+            PARTITION BY g ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ALL ROWS PER MATCH
+            PATTERN (DOWN+)
+            DEFINE DOWN AS price < PREV(price){extra}
+        ) ORDER BY g, seq"""
+        minimal = [(r.g, r.seq) for r in engine.execute(
+            sql.format(extra="")).collect()]
+        extra = [(r.g, r.seq) for r in engine.execute(sql.format(
+            extra=", HI AS price > 100, UP AS price > PREV(price)"
+        )).collect()]
+        assert minimal == extra and len(minimal) > 0
