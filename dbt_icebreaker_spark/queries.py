@@ -6055,6 +6055,125 @@ XOP_ORACLES["x70_pattern_exclusion"] = """
 """
 
 
+def _q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 APPROX_PERCENTILE_ACCUMULATE/COMBINE/ESTIMATE pipeline
+    (q93, VERDICT r7 task 2 — the quantile twin of the landed HLL
+    sketch family). Partial states accumulate per (group, half),
+    COMBINE merges the halves, ESTIMATE reads p00/p50/p100. The test
+    shape pins EXACTNESS, not just plausibility: each group is capped
+    at 101 values (≤ the digest's 512-centroid budget, so no
+    compression — the merge is lossless) and 101 is odd, so the
+    p50 midpoint interpolation lands exactly on the middle element,
+    which is what the oracle's MEDIAN returns for odd counts; p0/p1
+    are the exact tracked extremes."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        WITH src AS (
+          SELECT CAST(l_linenumber AS BIGINT) AS g,
+                 l_extendedprice AS v, l_orderkey % 2 AS h
+          FROM lineitem WHERE l_orderkey <= 4000
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY l_linenumber
+            ORDER BY l_orderkey, l_partkey, l_suppkey) <= 101
+        ),
+        st AS (
+          SELECT g, h, APPROX_PERCENTILE_ACCUMULATE(v) AS s
+          FROM src GROUP BY g, h
+        ),
+        comb AS (
+          SELECT g, APPROX_PERCENTILE_COMBINE(s) AS s FROM st GROUP BY g
+        )
+        SELECT g,
+               ROUND(APPROX_PERCENTILE_ESTIMATE(s, 0.5), 2) AS p50,
+               ROUND(APPROX_PERCENTILE_ESTIMATE(s, 0.0), 2) AS p00,
+               ROUND(APPROX_PERCENTILE_ESTIMATE(s, 1.0), 2) AS p100
+        FROM comb ORDER BY g
+        """
+    )
+
+
+XOP_ORACLES["q93_sketch_percentile"] = """
+    WITH src AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS g, l_extendedprice AS v
+      FROM lineitem WHERE l_orderkey <= 4000
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY l_linenumber
+        ORDER BY l_orderkey, l_partkey, l_suppkey) <= 101
+    )
+    SELECT g, ROUND(MEDIAN(v), 2) AS p50, ROUND(MIN(v), 2) AS p00,
+           ROUND(MAX(v), 2) AS p100
+    FROM src GROUP BY g ORDER BY g
+"""
+
+
+def _q_audit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 name-audit batch (q94): ARRAYS_ZIP (JSON-text objects
+    keyed $1/$2, short-array null padding), SEARCH (tokenized
+    full-text membership over documents.text), and TO_QUERY with
+    :binds wrapping GENERATOR(ROWCOUNT + TIMELIMIT) and a lineitem
+    template. Three kind-tagged sub-results, one union."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    zip_part = eng.execute(
+        """SELECT 'zip' AS kind, CAST(l_orderkey AS BIGINT) AS k,
+                  ARRAYS_ZIP(
+                    ARRAY_CONSTRUCT(l_linenumber,
+                                    CAST(l_quantity AS INT)),
+                    ARRAY_CONSTRUCT(CAST(l_suppkey AS INT))) AS s
+           FROM lineitem
+           WHERE l_orderkey <= 100 AND l_linenumber = 1"""
+    )
+    search_part = eng.execute(
+        """SELECT 'search' AS kind,
+                  CAST(COUNT_IF(SEARCH(text, 'merge window')) AS BIGINT)
+                    AS k,
+                  lang AS s
+           FROM documents GROUP BY lang"""
+    )
+    tq_part = eng.execute(
+        """SELECT 'gen' AS kind, CAST(COUNT(*) AS BIGINT) AS k,
+                  NULL AS s
+           FROM TABLE(TO_QUERY(
+             'SELECT seq_gen FROM TABLE(GENERATOR(ROWCOUNT => :n,
+              TIMELIMIT => 60)) WHERE seq_gen >= :lo',
+             n => 500, lo => 100))
+           UNION ALL
+           SELECT 'tq' AS kind, CAST(COUNT(*) AS BIGINT) AS k, NULL AS s
+           FROM TABLE(TO_QUERY(
+             'SELECT l_orderkey FROM lineitem WHERE l_quantity > :q',
+             q => 45))"""
+    )
+    return zip_part.unionByName(search_part).unionByName(tq_part)
+
+
+XOP_ORACLES["q94_audit_functions"] = """
+    SELECT 'zip' AS kind, CAST(l_orderkey AS BIGINT) AS k,
+           '[{"$1":' || l_linenumber || ',"$2":' ||
+           CAST(CAST(l_suppkey AS INT) AS VARCHAR) ||
+           '},{"$1":' || CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+           ',"$2":null}]' AS s
+    FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber = 1
+    UNION ALL
+    SELECT 'search' AS kind,
+           CAST(COUNT(*) FILTER (
+             list_has_any(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          ['merge', 'window'])) AS BIGINT) AS k,
+           lang AS s
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'gen' AS kind, CAST(400 AS BIGINT) AS k, NULL AS s
+    UNION ALL
+    SELECT 'tq' AS kind, CAST(COUNT(*) AS BIGINT) AS k, NULL AS s
+    FROM lineitem WHERE l_quantity > 45
+"""
+
+
 def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
     equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
@@ -6288,6 +6407,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_vector_functions": _q_vector_functions,
     "x69_pattern_anchors_permute": _x_pattern_anchors_permute,
     "x70_pattern_exclusion": _x_pattern_exclusion,
+    "q93_sketch_percentile": _q_sketch_percentile,
+    "q94_audit_functions": _q_audit_functions,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,

@@ -196,6 +196,10 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "VECTOR_INNER_PRODUCT": "VECIP_X",
         "VECTOR_L2_DISTANCE": "VECL2_X",
         "VECTOR_COSINE_SIMILARITY": "VECCOS_X",
+        # r8 name-audit batch: ARRAYS_ZIP → array of {"$1":…} objects
+        # (JSON text); SEARCH → tokenized full-text membership test
+        "ARRAYS_ZIP": "ARRZIP_X",
+        "SEARCH": "SEARCH_X",
         "ARRAY_TO_STRING": "ARRAY_JOIN",
         "UUID_STRING": "UUID",
         "HLL": "APPROX_COUNT_DISTINCT",   # HLL estimate ≈ approx distinct
@@ -477,6 +481,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "SHA2DEF_X", "MD5LO_X", "MD5HI_X", "CHRU_X",
     "MAPSIZE_X", "MAPCAT_X", "MAPHASK_X",
     "VECIP_X", "VECL2_X", "VECCOS_X", "EDITDIST_X",
+    "ARRZIP_X", "SEARCH_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -1584,6 +1589,105 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"CAST({a_s} AS ARRAY<DOUBLE>) AS a, "
                     f"CAST({b_s} AS ARRAY<DOUBLE>) AS b)), "
                     f"__s{u} -> {body}), 1)")
+            elif t.text == "ARRZIP_X" and args:
+                # Snowflake ARRAYS_ZIP(a1, …, an) → JSON-text array of
+                # objects keyed "$1"…"$n" (argument order — Snowflake's
+                # key order, so no canonical sort here). Shorter arrays
+                # pad with null (try_element_at past the end); ANY NULL
+                # input → NULL; all-empty → '[]' (the sequence() guard:
+                # sequence(0,-1) would count DOWN). JSON-text array
+                # args parse first; operands bind ONCE through a
+                # struct. DOCUMENTED DEVIATION: Snowflake renders
+                # missing elements as `undefined` in VARIANT display —
+                # JSON text has only null.
+                u = f"az{next(_MULTISET_IDS)}"
+                srcs = []
+                for a_lo2, a_hi2 in args:
+                    a_toks = tokens[a_lo2:a_hi2]
+                    a_code = [x for x in a_toks
+                              if x.kind not in (WS, COMMENT)]
+                    if len(a_code) == 1 and a_code[0].is_word("NULL"):
+                        # a literal NULL is VOID-typed and fails the
+                        # try_element_at lambda analysis (r6 trap) —
+                        # type it explicitly
+                        srcs.append("CAST(NULL AS ARRAY<VARIANT>)")
+                        continue
+                    a_s = "(" + render(a_toks).strip() + ")"
+                    if _is_json_text_expr(a_toks):
+                        a_s = f"from_json({a_s}, 'array<variant>')"
+                    srcs.append(a_s)
+                ks = range(len(srcs))
+                fields = ", ".join(
+                    f"{s} AS c{k}" for k, s in zip(ks, srcs))
+                sizes = ", ".join(f"size(__s{u}.c{k})" for k in ks)
+                maxsz = (f"greatest({sizes})" if len(srcs) > 1
+                         else sizes)
+                nulls = " OR ".join(
+                    f"__s{u}.c{k} IS NULL" for k in ks)
+                entries = ", ".join(
+                    f"'${k + 1}', try_element_at(__s{u}.c{k}, "
+                    f"__i{u} + 1)" for k in ks)
+                body = (
+                    f"CASE WHEN {nulls} THEN NULL "
+                    f"WHEN {maxsz} <= 0 THEN '[]' "
+                    f"ELSE to_json(transform(sequence(0, {maxsz} - 1), "
+                    f"__i{u} -> named_struct({entries})), "
+                    f"map('ignoreNullFields', 'false')) END")
+                out += tokenize(
+                    f"element_at(transform(array(struct({fields})), "
+                    f"__s{u} -> {body}), 1)")
+            elif t.text == "SEARCH_X" and len(args) in (2, 3):
+                # Snowflake SEARCH(target, query [, ANALYZER => …]):
+                # case-insensitive token-membership full-text predicate
+                # — TRUE when ANY query token appears among the
+                # target's tokens. The default analyzer splits on
+                # non-alphanumeric runs (JVM regex split + filter —
+                # no UDF). target may be a parenthesized column list
+                # (OR across columns). Query tokens bind ONCE through
+                # a struct.
+                if len(args) == 3:
+                    a3 = [x for x in tokens[args[2][0]:args[2][1]]
+                          if x.kind not in (WS, COMMENT)]
+                    named = (len(a3) >= 3 and a3[0].kind == WORD
+                             and a3[0].upper == "ANALYZER"
+                             and a3[1].is_op("=>"))
+                    val = (a3[2].text.strip("'").upper()
+                           if named and a3[2].kind == STRING else None)
+                    if not named or val not in (
+                        "DEFAULT_ANALYZER", "UNICODE_ANALYZER",
+                    ):
+                        from .core import TranspileError
+
+                        raise TranspileError(
+                            "SEARCH: only ANALYZER => "
+                            "'DEFAULT_ANALYZER'/'UNICODE_ANALYZER' is "
+                            "supported (both lower to the "
+                            "non-alphanumeric-split tokenizer); "
+                            "NO_OP_ANALYZER/PATTERN_ANALYZER need an "
+                            "explicit LIKE/RLIKE rewrite"
+                        )
+                tgt = tokens[args[0][0]:args[0][1]]
+                code_t = [x for x in tgt if x.kind not in (WS, COMMENT)]
+                cols: list[str] = []
+                if (code_t and code_t[0].is_op("(")
+                        and find_matching_paren(code_t, 0)
+                        == len(code_t) - 1):
+                    for s_lo, s_hi in split_args(
+                            code_t, 1, len(code_t) - 1):
+                        cols.append(render(code_t[s_lo:s_hi]).strip())
+                else:
+                    cols.append(render(tgt).strip())
+                q_s = render(tokens[args[1][0]:args[1][1]]).strip()
+                u = f"se{next(_MULTISET_IDS)}"
+                tok = (lambda e:
+                       f"filter(split(lower(CAST(({e}) AS STRING)), "
+                       f"'[^\\\\p{{L}}\\\\p{{N}}]+'), "
+                       f"__t{u} -> __t{u} != '')")
+                ors = " OR ".join(
+                    f"arrays_overlap({tok(c)}, __s{u}.q)" for c in cols)
+                out += tokenize(
+                    f"element_at(transform(array(struct("
+                    f"{tok(q_s)} AS q)), __s{u} -> ({ors})), 1)")
             elif t.text == "MAPSIZE_X" and len(args) == 1:
                 # MAP_SIZE over the JSON-text map model; NULL → NULL
                 # (size(map) counts entries directly — no throwaway
@@ -3183,6 +3287,7 @@ def rewrite_generator(tokens: Tokens) -> Tokens:
                     op_i = next_code(tokens, j2 + 1)
                     close = find_matching_paren(tokens, op_i)
                     rowcount: Tokens | None = None
+                    saw_timelimit = False
                     for a_lo, a_hi in split_args(tokens, op_i + 1, close):
                         code = [x for x in tokens[a_lo:a_hi] if x.kind != WS]
                         if len(code) >= 3 and code[0].kind == WORD and code[1].is_op("=>"):
@@ -3192,14 +3297,24 @@ def rewrite_generator(tokens: Tokens) -> Tokens:
                                     k += 1
                                 rowcount = tokens[k + 1:a_hi]
                             elif code[0].upper == "TIMELIMIT":
-                                from .core import TranspileError
+                                saw_timelimit = True
+                    if saw_timelimit and rowcount is None:
+                        from .core import TranspileError
 
-                                raise TranspileError(
-                                    "GENERATOR(TIMELIMIT => …) is "
-                                    "wall-clock-bounded row production "
-                                    "with no Spark equivalent; use "
-                                    "ROWCOUNT."
-                                )
+                        raise TranspileError(
+                            "GENERATOR(TIMELIMIT => …) alone is "
+                            "wall-clock-bounded row production with no "
+                            "bounded-plan Spark equivalent; use "
+                            "ROWCOUNT (with BOTH, ROWCOUNT is honored "
+                            "— Snowflake emits UP TO ROWCOUNT rows "
+                            "within the limit, and a full batch plan "
+                            "is a valid realization)."
+                        )
+                    # TIMELIMIT alongside ROWCOUNT: honor ROWCOUNT and
+                    # drop the wall-clock bound — Snowflake produces at
+                    # most ROWCOUNT rows, so the full count is a valid
+                    # (deterministic) outcome of the nondeterministic
+                    # spec (r8 audit batch)
                     if rowcount is not None:
                         out += ([_op("("), _word("SELECT"), _sp(),
                                  _word("id"), _sp(), _word("AS"), _sp(),
@@ -3208,6 +3323,83 @@ def rewrite_generator(tokens: Tokens) -> Tokens:
                                 + rowcount + [_op(")"), _op(")"), _op(")")])
                         i = outer_close + 1
                         continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def rewrite_to_query(tokens: Tokens) -> Tokens:
+    """``TABLE(TO_QUERY('sql' [, name => value, …]))`` → ``(sql)``
+    derived-table splice (r8 name-audit batch). Snowflake's TO_QUERY
+    builds a query from a template string with ``:name`` bind
+    parameters. A LITERAL template splices at transpile time — the
+    inner Snowflake text then flows through the remaining pipeline
+    passes like any other subquery; bind values substitute textually
+    (rendered argument expressions, so strings keep their quotes). A
+    non-literal template refuses actionably (runtime-dynamic SQL is
+    EXECUTE IMMEDIATE's job), as does TO_QUERY outside TABLE()."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "TABLE":
+            j = next_code(tokens, i + 1)
+            if j < n and tokens[j].is_op("("):
+                j2 = next_code(tokens, j + 1)
+                if j2 < n and _is_call(tokens, j2, "TO_QUERY"):
+                    from .core import TranspileError
+
+                    outer_close = find_matching_paren(tokens, j)
+                    op_i = next_code(tokens, j2 + 1)
+                    close = find_matching_paren(tokens, op_i)
+                    args = split_args(tokens, op_i + 1, close)
+                    first = [x for x in tokens[args[0][0]:args[0][1]]
+                             if x.kind not in (WS, COMMENT)]
+                    if len(first) != 1 or first[0].kind != STRING:
+                        raise TranspileError(
+                            "TO_QUERY: the sql_text argument must be a "
+                            "string LITERAL so the query can be planned "
+                            "— for runtime-dynamic SQL use EXECUTE "
+                            "IMMEDIATE through the engine"
+                        )
+                    inner_sql = first[0].text[1:-1].replace("''", "'")
+                    for a_lo, a_hi in args[1:]:
+                        code = [x for x in tokens[a_lo:a_hi]
+                                if x.kind not in (WS, COMMENT)]
+                        if (len(code) < 3 or code[0].kind != WORD
+                                or not code[1].is_op("=>")):
+                            raise TranspileError(
+                                "TO_QUERY: bind arguments must be "
+                                "`name => value` pairs (referenced as "
+                                ":name in the template)"
+                            )
+                        k = a_lo
+                        while k < a_hi and not tokens[k].is_op("=>"):
+                            k += 1
+                        val = render(tokens[k + 1:a_hi]).strip()
+                        nm = code[0].text
+                        inner_sql, cnt = re.subn(
+                            rf"(?<![:A-Za-z0-9_$]):{re.escape(nm)}\b",
+                            val.replace("\\", "\\\\"), inner_sql,
+                            flags=re.IGNORECASE)
+                        if cnt == 0:
+                            raise TranspileError(
+                                f"TO_QUERY: bind parameter {nm} has no "
+                                f":{nm} reference in the template"
+                            )
+                    out += ([_op("(")] + tokenize(inner_sql)
+                            + [_op(")")])
+                    i = outer_close + 1
+                    continue
+        if t.kind == WORD and t.upper == "TO_QUERY" \
+                and _is_call(tokens, i, "TO_QUERY"):
+            from .core import TranspileError
+
+            raise TranspileError(
+                "TO_QUERY is a table function — call it as FROM "
+                "TABLE(TO_QUERY('select …'))"
+            )
         out.append(t)
         i += 1
     return out
@@ -6174,6 +6366,15 @@ _SESSION_UDF_SCALARS = {
                 "no such functions",
     "DECOMPRESS_STRING": "IcebreakerEngine.execute (see COMPRESS)",
     "DECOMPRESS_BINARY": "IcebreakerEngine.execute (see COMPRESS)",
+    "APPROX_PERCENTILE_ACCUMULATE":
+        "IcebreakerEngine.execute — the engine registers the quantile "
+        "sketch pipeline (dbt_icebreaker_spark.udfs; the state is an "
+        "engine-internal centroid digest, like the HLL sketch note); "
+        "for a direct percentile use APPROX_PERCENTILE(col, p)",
+    "APPROX_PERCENTILE_COMBINE":
+        "IcebreakerEngine.execute (see APPROX_PERCENTILE_ACCUMULATE)",
+    "APPROX_PERCENTILE_ESTIMATE":
+        "IcebreakerEngine.execute (see APPROX_PERCENTILE_ACCUMULATE)",
 }
 
 
@@ -6704,6 +6905,8 @@ def rewrite_statement_spellings(tokens: Tokens) -> Tokens:
 PIPELINE = (
     rewrite_current_statement,  # literal capture of the original text
     rewrite_statement_spellings,  # INSERT OVERWRITE INTO / bare TRUNCATE
+    rewrite_to_query,          # TABLE(TO_QUERY('…')) splice runs first
+                               # so the inner template transpiles too
     rewrite_create_function,   # Snowflake SQL UDF → Spark SQL UDF (stmt-level)
     rewrite_temp_table,        # CREATE TEMP TABLE AS → TEMP VIEW (stmt-level)
     rewrite_clone,             # CREATE TABLE CLONE → CTAS (stmt-level)

@@ -1,6 +1,11 @@
 """Session-registered scalar UDFs for Snowflake functions with no
-Spark rendering — currently the COMPRESS family (round 7, clearing the
-r6 refused-scalar tail; ref: Snowflake COMPRESS/DECOMPRESS_*).
+Spark rendering — the COMPRESS family (round 7, clearing the
+r6 refused-scalar tail; ref: Snowflake COMPRESS/DECOMPRESS_*) and the
+APPROX_PERCENTILE_ACCUMULATE/COMBINE/ESTIMATE sketch pipeline (round
+8 name-audit batch — the quantile twin of the HLL_ACCUMULATE family,
+but Spark's Datasketches surface has no quantile-sketch aggregates, so
+the state is engine-built: a deterministic equal-weight centroid
+digest serialized as JSON text; engine-internal, like the HLL note).
 
 Arrow-vectorized ``pandas_udf``s (never row-at-a-time Python UDFs):
 the codec work is per-batch over ``bytes`` cells, the only shape the
@@ -23,7 +28,7 @@ import zlib
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, StringType
+from pyspark.sql.types import BinaryType, DoubleType, StringType
 
 
 
@@ -107,6 +112,115 @@ def _decompress_series(data: pd.Series, method: pd.Series) -> pd.Series:
     return _apply_codec(data, method, 1)
 
 
+# ---------------------------------------------------------------- r8:
+# APPROX_PERCENTILE sketch pipeline. State = up to _PCTL_K equal-weight
+# centroids [(mean, weight), …] + exact min/max/count, JSON-serialized.
+# Rank error is bounded by ~1/_PCTL_K (each centroid holds ≤ n/K of the
+# mass), comfortably inside "approximate percentile" expectations.
+# ACCUMULATE/COMBINE are series-to-scalar (grouped-agg) pandas UDFs —
+# each GROUP's values materialize in one task, the same per-group
+# contract Snowflake's state functions have; COMBINE's inputs are tiny
+# (K centroids per partial, the 100 TB partial-aggregation pattern).
+_PCTL_K = 512
+
+
+def _pctl_compress(pairs: "list[tuple[float, float]]"):
+    """Deterministic recompression of (mean, weight) pairs sorted by
+    mean into ≤ _PCTL_K equal-weight chunks (weighted means)."""
+    if len(pairs) <= _PCTL_K:
+        return pairs
+    total = sum(w for _, w in pairs)
+    per = total / _PCTL_K
+    out = []
+    acc_w = 0.0
+    acc_mw = 0.0
+    budget = per
+    for m, w in pairs:
+        acc_w += w
+        acc_mw += m * w
+        if acc_w >= budget and len(out) < _PCTL_K - 1:
+            out.append((acc_mw / acc_w, acc_w))
+            budget = per  # next chunk target (relative)
+            acc_w = 0.0
+            acc_mw = 0.0
+    if acc_w > 0:
+        out.append((acc_mw / acc_w, acc_w))
+    return out
+
+
+def _pctl_state_from_values(values) -> str:
+    import json
+
+    vals = sorted(float(v) for v in values if v is not None
+                  and v == v)  # drop NULL/NaN like every aggregate
+    if not vals:
+        return json.dumps({"n": 0})
+    pairs = _pctl_compress([(v, 1.0) for v in vals])
+    return json.dumps({
+        "n": len(vals), "mn": vals[0], "mx": vals[-1],
+        "c": [[round(m, 12), w] for m, w in pairs],
+    })
+
+
+def _pctl_merge_states(states) -> str:
+    import json
+
+    pairs: list = []
+    n = 0
+    mn = mx = None
+    for s in states:
+        if s is None:
+            continue
+        st = json.loads(s)
+        if not st.get("n"):
+            continue
+        n += st["n"]
+        mn = st["mn"] if mn is None else min(mn, st["mn"])
+        mx = st["mx"] if mx is None else max(mx, st["mx"])
+        pairs.extend((m, w) for m, w in st["c"])
+    if n == 0:
+        return json.dumps({"n": 0})
+    pairs.sort()
+    pairs = _pctl_compress(pairs)
+    return json.dumps({
+        "n": n, "mn": mn, "mx": mx,
+        "c": [[round(m, 12), w] for m, w in pairs],
+    })
+
+
+def _pctl_estimate_one(state, p):
+    import json
+
+    if state is None or p is None:
+        return None
+    st = json.loads(state)
+    if not st.get("n"):
+        return None
+    p = float(p)
+    if p <= 0:
+        return float(st["mn"])
+    if p >= 1:
+        return float(st["mx"])
+    cents = st["c"]
+    total = sum(w for _, w in cents)
+    target = p * total
+    # interpolate between centroid cumulative-weight MIDPOINTS, the
+    # standard digest estimator; clamp with the exact extremes
+    cum = 0.0
+    prev_mid = 0.0
+    prev_mean = float(st["mn"])
+    for m, w in cents:
+        mid = cum + w / 2.0
+        if target <= mid:
+            span = mid - prev_mid
+            fr = 0.0 if span <= 0 else (target - prev_mid) / span
+            return prev_mean + fr * (m - prev_mean)
+        cum += w
+        prev_mid = mid
+        prev_mean = m
+    return float(st["mx"])
+
+
 def register_scalar_udfs(spark) -> None:
     """Idempotently register the COMPRESS-family UDFs on ``spark``.
     The marker is a session-attached attribute — an id()-keyed cache
@@ -128,9 +242,32 @@ def register_scalar_udfs(spark) -> None:
         return _decompress_series(data, method).map(
             lambda b: None if b is None else b.decode("utf-8"))
 
+    @pandas_udf(StringType())
+    def approx_percentile_accumulate(v: pd.Series) -> str:
+        return _pctl_state_from_values(v)
+
+    @pandas_udf(StringType())
+    def approx_percentile_combine(s: pd.Series) -> str:
+        return _pctl_merge_states(s)
+
+    @pandas_udf(DoubleType())
+    def approx_percentile_estimate(
+        state: pd.Series, p: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [_pctl_estimate_one(s, pp) for s, pp in zip(state, p)],
+            dtype="float64",
+        )
+
     spark.udf.register("compress", compress)
     spark.udf.register("decompress_binary", decompress_binary)
     spark.udf.register("decompress_string", decompress_string)
-    # only mark AFTER all three registered — a failed first attempt
+    spark.udf.register("approx_percentile_accumulate",
+                       approx_percentile_accumulate)
+    spark.udf.register("approx_percentile_combine",
+                       approx_percentile_combine)
+    spark.udf.register("approx_percentile_estimate",
+                       approx_percentile_estimate)
+    # only mark AFTER everything registered — a failed first attempt
     # must not poison later engines on this session (r7 review)
     spark._icebreaker_udfs_registered = True

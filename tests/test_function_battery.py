@@ -808,3 +808,99 @@ def test_r8a_char_type_slot_untouched():
         "CREATE TABLE x (name CHAR(10))")
     assert "format_string" not in t.to_spark("SELECT a::CHAR FROM t")
     assert "format_string" in t.to_spark("SELECT CHAR(955)")
+
+
+R8B_CASES = [
+    # r8 name-audit batch (VERDICT r7 task 2): ARRAYS_ZIP — JSON-text
+    # array of objects keyed "$1"…"$n" in ARGUMENT order, short arrays
+    # pad with null, ANY NULL input → NULL, all-empty → '[]'
+    ("SELECT ARRAYS_ZIP(ARRAY_CONSTRUCT(1,2,3), ARRAY_CONSTRUCT('a','b'))",
+     '[{"$1":1,"$2":"a"},{"$1":2,"$2":"b"},{"$1":3,"$2":null}]'),
+    ("SELECT ARRAYS_ZIP(ARRAY_CONSTRUCT(10,20))",
+     '[{"$1":10},{"$1":20}]'),
+    ("SELECT ARRAYS_ZIP(ARRAY_CONSTRUCT(1), NULL) IS NULL", True),
+    ("SELECT ARRAYS_ZIP(ARRAY_CONSTRUCT(), ARRAY_CONSTRUCT())", "[]"),
+    ("SELECT ARRAYS_ZIP(PARSE_JSON('[1,2]'), PARSE_JSON('[\"x\"]'))",
+     '[{"$1":1,"$2":"x"},{"$1":2,"$2":null}]'),
+    # SEARCH — case-insensitive token membership, ANY query token hits
+    ("SELECT SEARCH('The Quick Brown Fox', 'fox')", True),
+    ("SELECT SEARCH('The Quick Brown Fox', 'dog')", False),
+    ("SELECT SEARCH('hello world', 'dog world cat')", True),
+    ("SELECT SEARCH('a-b,c.d', 'c')", True),
+    ("SELECT SEARCH('abc def', 'abc', ANALYZER => 'DEFAULT_ANALYZER')",
+     True),
+    # GENERATOR: TIMELIMIT alongside ROWCOUNT honors ROWCOUNT
+    ("SELECT COUNT(*) FROM TABLE(GENERATOR(ROWCOUNT => 10, "
+     "TIMELIMIT => 60))", 10),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R8B_CASES, ids=lambda c: str(c)[:48])
+def test_r8b_audit_batch(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r8b_search_multicolumn(spark):
+    rows = spark.sql(t.to_spark(
+        "SELECT SEARCH((c1, c2), 'beta') AS s FROM VALUES "
+        "('alpha','beta gamma'), ('x','y') t(c1, c2)")).collect()
+    assert [r.s for r in rows] == [True, False]
+
+
+def test_r8b_search_unsupported_analyzer_refuses():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="ANALYZER"):
+        t.to_spark("SELECT SEARCH('a', 'b', ANALYZER => 'NO_OP_ANALYZER')")
+
+
+def test_r8b_generator_timelimit_alone_refuses():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="TIMELIMIT"):
+        t.to_spark("SELECT * FROM TABLE(GENERATOR(TIMELIMIT => 60))")
+
+
+class TestToQueryR8:
+    def test_basic_splice(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT * FROM TABLE(TO_QUERY('SELECT 1 AS a, 2 AS b'))"
+        )).collect()
+        assert (rows[0].a, rows[0].b) == (1, 2)
+
+    def test_binds_substitute(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT * FROM TABLE(TO_QUERY('SELECT :x AS a, :nm AS b', "
+            "x => 42, nm => 'hi'))")).collect()
+        assert (rows[0].a, rows[0].b) == (42, "hi")
+
+    def test_inner_template_is_snowflake_dialect(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT * FROM TABLE(TO_QUERY("
+            "'SELECT IFF(1 > 0, ''yes'', ''no'') AS v'))")).collect()
+        assert rows[0].v == "yes"
+
+    def test_alias_and_outer_where(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT tq.a FROM TABLE(TO_QUERY("
+            "'SELECT 1 AS a UNION ALL SELECT 2')) tq "
+            "WHERE tq.a > 1")).collect()
+        assert [r.a for r in rows] == [2]
+
+    def test_non_literal_refuses(self):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="LITERAL"):
+            t.to_spark("SELECT * FROM TABLE(TO_QUERY(col1))")
+
+    def test_unreferenced_bind_refuses(self):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="no :p reference"):
+            t.to_spark("SELECT * FROM TABLE(TO_QUERY('SELECT 1', p => 2))")
+
+    def test_outside_table_refuses(self):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="table function"):
+            t.to_spark("SELECT TO_QUERY('SELECT 1')")

@@ -2666,3 +2666,70 @@ class TestCompressUdfsR7:
             "SELECT LENGTH(COMPRESS(REPEAT('ab', 500), 'zlib')) AS c, "
             "LENGTH(REPEAT('ab', 500)) AS raw").collect()[0]
         assert r.c < r.raw
+
+
+class TestApproxPercentileSketchR8:
+    """Round-8: APPROX_PERCENTILE_ACCUMULATE/COMBINE/ESTIMATE as
+    engine-session UDFs (the quantile twin of the HLL sketch family;
+    state = deterministic ≤512-centroid digest, JSON text). Groups of
+    ≤512 values keep raw unit-weight centroids, so odd-sized groups
+    pin p50 EXACTLY to the middle element."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="udf_r8")
+
+    def test_accumulate_estimate_exact_small(self, engine):
+        r = engine.execute(
+            "WITH s AS (SELECT APPROX_PERCENTILE_ACCUMULATE(v) AS st "
+            "FROM (SELECT CAST(id + 1 AS DOUBLE) AS v FROM RANGE(101))) "
+            "SELECT APPROX_PERCENTILE_ESTIMATE(st, 0.5) AS p50, "
+            "APPROX_PERCENTILE_ESTIMATE(st, 0.0) AS p0, "
+            "APPROX_PERCENTILE_ESTIMATE(st, 1.0) AS p1 FROM s"
+        ).collect()[0]
+        assert (r.p50, r.p0, r.p1) == (51.0, 1.0, 101.0)
+
+    def test_combine_of_partials_is_lossless_under_budget(self, engine):
+        # two partial halves merge back to exactly the whole-group
+        # digest when total centroids ≤ 512
+        r = engine.execute(
+            "WITH src AS (SELECT CAST(id + 1 AS DOUBLE) AS v, id % 2 "
+            "AS h FROM RANGE(101)), "
+            "st AS (SELECT h, APPROX_PERCENTILE_ACCUMULATE(v) AS s "
+            "FROM src GROUP BY h), "
+            "c AS (SELECT APPROX_PERCENTILE_COMBINE(s) AS s FROM st) "
+            "SELECT APPROX_PERCENTILE_ESTIMATE(s, 0.5) AS p50 FROM c"
+        ).collect()[0]
+        assert r.p50 == 51.0
+
+    def test_large_group_bounded_error(self, engine):
+        # 100k values 0..99999: digest error bound ~ n/512 ranks →
+        # p50 within ~400 of 49999.5
+        r = engine.execute(
+            "WITH s AS (SELECT APPROX_PERCENTILE_ACCUMULATE(v) AS st "
+            "FROM (SELECT CAST(id AS DOUBLE) AS v FROM RANGE(100000))) "
+            "SELECT APPROX_PERCENTILE_ESTIMATE(st, 0.5) AS p50, "
+            "APPROX_PERCENTILE_ESTIMATE(st, 0.99) AS p99 FROM s"
+        ).collect()[0]
+        assert abs(r.p50 - 49999.5) < 500
+        assert abs(r.p99 - 99000) < 800
+
+    def test_nulls_ignored_and_empty_null(self, engine):
+        r = engine.execute(
+            "WITH s AS (SELECT APPROX_PERCENTILE_ACCUMULATE(v) AS st "
+            "FROM (SELECT CAST(NULL AS DOUBLE) AS v FROM RANGE(5))) "
+            "SELECT APPROX_PERCENTILE_ESTIMATE(st, 0.5) AS p FROM s"
+        ).collect()[0]
+        assert r.p is None
+
+    def test_bare_transpiler_refuses_to_engine(self):
+        from dbt_icebreaker_spark.transpiler.core import (
+            Transpiler,
+            TranspileError,
+        )
+
+        with pytest.raises(TranspileError, match="engine"):
+            Transpiler().to_spark(
+                "SELECT APPROX_PERCENTILE_COMBINE(s) FROM t")
