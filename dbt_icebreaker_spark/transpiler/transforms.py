@@ -1554,10 +1554,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     out += tokenize(
                         f"levenshtein({parts[0]}, {parts[1]})")
                 else:
+                    # nvl2 guard: a NULL cap must propagate NULL —
+                    # greatest() SKIPS nulls (r6 trap), so without it
+                    # greatest(0, NULL) returns 0 (r8 sweep finding)
                     out += tokenize(
+                        f"nvl2(({parts[2]}), "
                         f"greatest(0, coalesce(nullif(levenshtein("
                         f"{parts[0]}, {parts[1]}, {parts[2]}), -1), "
-                        f"{parts[2]}))")
+                        f"{parts[2]})), NULL)")
             elif t.text in ("VECIP_X", "VECL2_X", "VECCOS_X") \
                     and len(args) == 2:
                 # Snowflake VECTOR_* over array<numeric> columns —
@@ -3328,6 +3332,39 @@ def rewrite_generator(tokens: Tokens) -> Tokens:
     return out
 
 
+def _sub_outside_strings(text: str, pattern: str, repl: str):
+    """Regex-substitute only OUTSIDE single-quoted string literals
+    (''-escape aware): Snowflake parses :binds, it does not do text
+    substitution, so a ':name' inside a template's string literal must
+    survive verbatim (r8 sweep finding). Returns (new_text, count)."""
+    segs = []
+    total = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            segs.append(text[i:j + 1])
+            i = j + 1
+        else:
+            j = text.find("'", i)
+            if j == -1:
+                j = n
+            new, cnt = re.subn(pattern, repl, text[i:j],
+                               flags=re.IGNORECASE)
+            total += cnt
+            segs.append(new)
+            i = j
+    return "".join(segs), total
+
+
 def rewrite_to_query(tokens: Tokens) -> Tokens:
     """``TABLE(TO_QUERY('sql' [, name => value, …]))`` → ``(sql)``
     derived-table splice (r8 name-audit batch). Snowflake's TO_QUERY
@@ -3335,9 +3372,25 @@ def rewrite_to_query(tokens: Tokens) -> Tokens:
     parameters. A LITERAL template splices at transpile time — the
     inner Snowflake text then flows through the remaining pipeline
     passes like any other subquery; bind values substitute textually
-    (rendered argument expressions, so strings keep their quotes). A
-    non-literal template refuses actionably (runtime-dynamic SQL is
-    EXECUTE IMMEDIATE's job), as does TO_QUERY outside TABLE()."""
+    OUTSIDE string literals (rendered argument expressions, so strings
+    keep their quotes). Templates containing TO_QUERY themselves
+    re-splice (fixpoint loop, depth-capped). A non-literal template
+    refuses actionably (runtime-dynamic SQL is EXECUTE IMMEDIATE's
+    job), as does TO_QUERY outside TABLE()."""
+    for _ in range(8):  # nested-template fixpoint; 8 levels is plenty
+        tokens, changed = _rewrite_to_query_once(tokens)
+        if not changed:
+            return tokens
+    from .core import TranspileError
+
+    raise TranspileError(
+        "TO_QUERY: templates nest more than 8 levels deep — flatten "
+        "the query"
+    )
+
+
+def _rewrite_to_query_once(tokens: Tokens) -> "tuple[Tokens, bool]":
+    changed = False
     out: Tokens = []
     i = 0
     n = len(tokens)
@@ -3379,10 +3432,10 @@ def rewrite_to_query(tokens: Tokens) -> Tokens:
                             k += 1
                         val = render(tokens[k + 1:a_hi]).strip()
                         nm = code[0].text
-                        inner_sql, cnt = re.subn(
+                        inner_sql, cnt = _sub_outside_strings(
+                            inner_sql,
                             rf"(?<![:A-Za-z0-9_$]):{re.escape(nm)}\b",
-                            val.replace("\\", "\\\\"), inner_sql,
-                            flags=re.IGNORECASE)
+                            val.replace("\\", "\\\\"))
                         if cnt == 0:
                             raise TranspileError(
                                 f"TO_QUERY: bind parameter {nm} has no "
@@ -3391,6 +3444,7 @@ def rewrite_to_query(tokens: Tokens) -> Tokens:
                     out += ([_op("(")] + tokenize(inner_sql)
                             + [_op(")")])
                     i = outer_close + 1
+                    changed = True
                     continue
         if t.kind == WORD and t.upper == "TO_QUERY" \
                 and _is_call(tokens, i, "TO_QUERY"):
@@ -3402,7 +3456,7 @@ def rewrite_to_query(tokens: Tokens) -> Tokens:
             )
         out.append(t)
         i += 1
-    return out
+    return out, changed
 
 
 def _inject_dual_if_bare_from(out: Tokens) -> None:

@@ -904,3 +904,52 @@ class TestToQueryR8:
 
         with pytest.raises(TranspileError, match="table function"):
             t.to_spark("SELECT TO_QUERY('SELECT 1')")
+
+
+R8C_CASES = [
+    # r8 sweep lock-ins (scripts/probe_sweep_r8a.py + adversarial
+    # probes): EDITDISTANCE NULL cap must propagate NULL (greatest()
+    # skips NULLs — the nvl2 guard), runtime-negative caps clamp to 0
+    ("SELECT EDITDISTANCE('ab', 'cd', NULL) IS NULL", True),
+    ("SELECT EDITDISTANCE('abc', 'xyz', 1 - 4)", 0),
+    # ARRAYS_ZIP keeps $10 AFTER $9 (argument order, never sorted)
+    ("SELECT ARRAYS_ZIP(" + ", ".join(
+        f"ARRAY_CONSTRUCT({i})" for i in range(1, 11)) + ")",
+     '[{"$1":1,"$2":2,"$3":3,"$4":4,"$5":5,"$6":6,"$7":7,"$8":8,'
+     '"$9":9,"$10":10}]'),
+    # SEARCH NULL/empty propagation; whole-token match only
+    ("SELECT SEARCH('abc', NULL) IS NULL", True),
+    ("SELECT SEARCH(NULL, 'abc') IS NULL", True),
+    ("SELECT SEARCH('abc', '')", False),
+    ("SELECT SEARCH(12345, '345')", False),
+    ("SELECT SEARCH('a 12345 b', '12345')", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R8C_CASES, ids=lambda c: str(c)[:48])
+def test_r8c_sweep_lockins(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r8c_to_query_bind_not_substituted_in_strings(spark):
+    # Snowflake parses :binds — a ':x' inside a template STRING LITERAL
+    # survives verbatim (r8 sweep finding: text substitution corrupted
+    # it to '9 literal')
+    rows = spark.sql(t.to_spark(
+        "SELECT * FROM TABLE(TO_QUERY("
+        "'SELECT '':x literal'' AS a, :x AS b', x => 9))")).collect()
+    assert (rows[0].a, rows[0].b) == (":x literal", 9)
+
+
+def test_r8c_to_query_nested_templates(spark):
+    rows = spark.sql(t.to_spark(
+        "SELECT * FROM TABLE(TO_QUERY('SELECT * FROM TABLE(TO_QUERY("
+        "''SELECT 5 AS v''))'))")).collect()
+    assert rows[0].v == 5
+
+
+def test_r8c_to_query_bind_prefix_no_collision(spark):
+    rows = spark.sql(t.to_spark(
+        "SELECT * FROM TABLE(TO_QUERY('SELECT :xy AS a, :x AS b', "
+        "xy => 1, x => 2))")).collect()
+    assert (rows[0].a, rows[0].b) == (1, 2)
