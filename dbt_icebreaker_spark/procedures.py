@@ -125,7 +125,7 @@ def _scan_block_end(code, begin_i: int) -> Optional[int]:
             return True
         t = code[j - 1]
         return t.is_op(";") or t.is_word(
-            "BEGIN", "THEN", "ELSE", "DO", "LOOP")
+            "BEGIN", "THEN", "ELSE", "DO", "LOOP", "REPEAT")
 
     stack = ["BEGIN"]
     j = begin_i + 1

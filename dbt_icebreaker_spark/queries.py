@@ -6162,7 +6162,8 @@ XOP_ORACLES["q94_audit_functions"] = """
     UNION ALL
     SELECT 'search' AS kind,
            CAST(COUNT(*) FILTER (
-             list_has_any(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_has_any(string_split_regex(lower(text),
+                                             '[^\p{L}\p{N}]+'),
                           ['merge', 'window'])) AS BIGINT) AS k,
            lang AS s
     FROM documents GROUP BY lang

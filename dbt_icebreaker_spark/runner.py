@@ -239,6 +239,8 @@ class IcebreakerEngine:
     def _substitute_session_vars(self, stmt_tokens) -> str:
         from .transpiler.tokenizer import WORD, Token, render
 
+        from .transpiler.tokenizer import COMMENT, WS
+
         out = []
         for t in stmt_tokens:
             if (
@@ -246,30 +248,32 @@ class IcebreakerEngine:
                 and not t.text.startswith("$$") and len(t.text) > 1
             ):
                 name = t.text[1:].lower()
+                # json-path segments are NOT session variables:
+                # payload:$schema / payload.$id ($-keys are standard
+                # JSON-Schema vocabulary) — when the previous CODE
+                # token is the ':' / '.' path operator, pass through
+                # to rewrite_json_path (r7 ADVICE). Checked BEFORE the
+                # substitution so a session variable sharing the name
+                # cannot hijack the path (r8 review), and whitespace-
+                # tolerant because rewrite_json_path accepts spaces
+                # around the path colon.
+                prev = None
+                for x in reversed(out):
+                    if x.kind not in (WS, COMMENT):
+                        prev = x
+                        break
+                if prev is not None and (
+                    prev.is_op(":") or prev.is_op(".")
+                ):
+                    out.append(t)
+                    continue
                 if name in self._session_vars:
                     out.append(Token(WORD, self._session_vars[name]))
                     continue
                 if not name.isdigit():
                     # an unknown $name would reach Spark as an opaque
                     # parse error (r7b sweep finding); $1/$2 positional
-                    # stage references pass through untouched.
-                    # json-path segments are NOT session variables:
-                    # payload:$schema / payload.$id ($-keys are standard
-                    # JSON-Schema vocabulary) — when the token tight
-                    # before is the ':' / '.' path operator, pass
-                    # through to rewrite_json_path (r7 ADVICE).
-                    from .transpiler.tokenizer import COMMENT, WS
-                    prev = None
-                    for x in reversed(out):
-                        if x.kind not in (WS, COMMENT):
-                            prev = x
-                            break
-                    tight = bool(out) and out[-1].kind not in (WS, COMMENT)
-                    if tight and prev is not None and (
-                        prev.is_op(":") or prev.is_op(".")
-                    ):
-                        out.append(t)
-                        continue
+                    # stage references pass through untouched
                     known = ", ".join(sorted(self._session_vars)) or "none"
                     raise ValueError(
                         f"Session variable ${t.text[1:]} is not set "

@@ -814,7 +814,7 @@ class _Block:
             return True
         t = self.toks[p]
         return t.is_op(";") or (t.kind == WORD and t.upper in (
-            "BEGIN", "THEN", "ELSE", "DO", "LOOP"
+            "BEGIN", "THEN", "ELSE", "DO", "LOOP", "REPEAT"
         ))
 
     def _run_one(self, i: int) -> int:

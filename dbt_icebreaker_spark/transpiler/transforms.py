@@ -1554,14 +1554,18 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     out += tokenize(
                         f"levenshtein({parts[0]}, {parts[1]})")
                 else:
-                    # nvl2 guard: a NULL cap must propagate NULL —
-                    # greatest() SKIPS nulls (r6 trap), so without it
-                    # greatest(0, NULL) returns 0 (r8 sweep finding)
+                    # NULL guard on ALL THREE args: levenshtein returns
+                    # NULL for a NULL string, which coalesce would turn
+                    # into the cap (r8 review — silent wrong answer);
+                    # greatest() skips a NULL cap (r6 trap). The CASE
+                    # must check every argument before the clamp.
                     out += tokenize(
-                        f"nvl2(({parts[2]}), "
-                        f"greatest(0, coalesce(nullif(levenshtein("
+                        f"CASE WHEN ({parts[0]}) IS NULL "
+                        f"OR ({parts[1]}) IS NULL "
+                        f"OR ({parts[2]}) IS NULL THEN NULL "
+                        f"ELSE greatest(0, coalesce(nullif(levenshtein("
                         f"{parts[0]}, {parts[1]}, {parts[2]}), -1), "
-                        f"{parts[2]})), NULL)")
+                        f"{parts[2]})) END")
             elif t.text in ("VECIP_X", "VECL2_X", "VECCOS_X") \
                     and len(args) == 2:
                 # Snowflake VECTOR_* over array<numeric> columns —
@@ -3332,37 +3336,43 @@ def rewrite_generator(tokens: Tokens) -> Tokens:
     return out
 
 
-def _sub_outside_strings(text: str, pattern: str, repl: str):
-    """Regex-substitute only OUTSIDE single-quoted string literals
-    (''-escape aware): Snowflake parses :binds, it does not do text
-    substitution, so a ':name' inside a template's string literal must
-    survive verbatim (r8 sweep finding). Returns (new_text, count)."""
-    segs = []
-    total = 0
+def _sub_template_binds(inner_sql: str, nm: str, val: str):
+    """Substitute a TO_QUERY ``:name`` bind through the TOKENIZER, the
+    way Snowflake parses binds (never raw-text substitution — r8 sweep
+    + review: a ':name' inside a template's string literal or comment
+    must survive verbatim, and a comment apostrophe must not derail
+    the scan). ``'::'`` casts and ``col:name`` json paths are excluded
+    with the same tight-prev discrimination scripting's binds use.
+    The value splices PARENTHESIZED so compound expressions keep their
+    precedence. Returns (new_sql, count)."""
+    toks = tokenize(inner_sql)
+    out: Tokens = []
+    cnt = 0
     i = 0
-    n = len(text)
+    n = len(toks)
     while i < n:
-        if text[i] == "'":
-            j = i + 1
-            while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
-                        j += 2
-                        continue
+        t = toks[i]
+        if t.is_op(":") and i + 1 < n and toks[i + 1].kind == WORD \
+                and toks[i + 1].text.lower() == nm.lower():
+            prev = None
+            for x in reversed(out):
+                if x.kind not in (WS, COMMENT):
+                    prev = x
                     break
-                j += 1
-            segs.append(text[i:j + 1])
-            i = j + 1
-        else:
-            j = text.find("'", i)
-            if j == -1:
-                j = n
-            new, cnt = re.subn(pattern, repl, text[i:j],
-                               flags=re.IGNORECASE)
-            total += cnt
-            segs.append(new)
-            i = j
-    return "".join(segs), total
+            tight = bool(out) and out[-1].kind not in (WS, COMMENT)
+            is_cast = prev is not None and prev.is_op(":")
+            is_path = tight and prev is not None and (
+                prev.kind in (WORD, QIDENT, STRING)
+                or prev.is_op(")") or prev.is_op("]")
+            )
+            if not is_cast and not is_path:
+                out += tokenize(f"({val})")
+                cnt += 1
+                i += 2
+                continue
+        out.append(t)
+        i += 1
+    return render(out), cnt
 
 
 def rewrite_to_query(tokens: Tokens) -> Tokens:
@@ -3407,8 +3417,9 @@ def _rewrite_to_query_once(tokens: Tokens) -> "tuple[Tokens, bool]":
                     op_i = next_code(tokens, j2 + 1)
                     close = find_matching_paren(tokens, op_i)
                     args = split_args(tokens, op_i + 1, close)
-                    first = [x for x in tokens[args[0][0]:args[0][1]]
-                             if x.kind not in (WS, COMMENT)]
+                    first = ([x for x in tokens[args[0][0]:args[0][1]]
+                              if x.kind not in (WS, COMMENT)]
+                             if args else [])
                     if len(first) != 1 or first[0].kind != STRING:
                         raise TranspileError(
                             "TO_QUERY: the sql_text argument must be a "
@@ -3432,10 +3443,8 @@ def _rewrite_to_query_once(tokens: Tokens) -> "tuple[Tokens, bool]":
                             k += 1
                         val = render(tokens[k + 1:a_hi]).strip()
                         nm = code[0].text
-                        inner_sql, cnt = _sub_outside_strings(
-                            inner_sql,
-                            rf"(?<![:A-Za-z0-9_$]):{re.escape(nm)}\b",
-                            val.replace("\\", "\\\\"))
+                        inner_sql, cnt = _sub_template_binds(
+                            inner_sql, nm, val)
                         if cnt == 0:
                             raise TranspileError(
                                 f"TO_QUERY: bind parameter {nm} has no "
@@ -4401,15 +4410,25 @@ def rewrite_char_codepoint(tokens: Tokens) -> Tokens:
             elif prev.is_op("::") or (prev.kind == WORD
                                       and prev.upper == "AS"):
                 is_type = True  # cast / AS-typed slot
-            elif prev.kind == WORD and (
-                _is_keyword(prev.upper)
-                or prev.upper in ("RETURN", "UNTIL", "ELSEIF")
+            elif prev.kind == WORD and _is_keyword(prev.upper):
+                is_type = False  # SELECT CHAR(65), WHEN CHAR(...) …
+            elif prev.kind == WORD and prev.upper in (
+                "RETURN", "UNTIL", "ELSEIF",
             ):
-                # SELECT CHAR(65), WHEN CHAR(...), scripting statement
-                # heads (RETURN CHAR(959) — r7 ADVICE: RETURN is not in
-                # _KEYWORDS so it fell to the column-definition branch).
-                # RETURNS stays a type slot (procedure signatures).
-                is_type = False
+                # scripting statement heads (RETURN CHAR(959) — r7
+                # ADVICE: RETURN is not in _KEYWORDS so it fell to the
+                # column-definition branch) — but ONLY when the word is
+                # actually at a statement-head position: these are not
+                # reserved, so `CREATE TABLE t (until CHAR(10))` must
+                # keep the TYPE (r8 review). RETURNS stays a type slot.
+                p2 = prev_code(out, p - 1)
+                prev2 = out[p2] if p2 >= 0 else None
+                at_head = prev2 is None or prev2.is_op(";") or (
+                    prev2.kind == WORD and prev2.upper in (
+                        "BEGIN", "THEN", "ELSE", "DO", "LOOP", "REPEAT",
+                    )
+                ) or prev2.is_op("$$")
+                is_type = not at_head
             elif prev.kind in (WORD, QIDENT):
                 is_type = True  # column definition `name CHAR(10)`
             else:

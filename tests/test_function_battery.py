@@ -953,3 +953,50 @@ def test_r8c_to_query_bind_prefix_no_collision(spark):
         "SELECT * FROM TABLE(TO_QUERY('SELECT :xy AS a, :x AS b', "
         "xy => 1, x => 2))")).collect()
     assert (rows[0].a, rows[0].b) == (1, 2)
+
+
+R8D_CASES = [
+    # r8 code-review lock-ins: EDITDISTANCE NULL STRING args must
+    # propagate NULL in the 3-arg form too (levenshtein's NULL was
+    # being coalesced into the cap — silent wrong answer)
+    ("SELECT EDITDISTANCE(NULL, 'abc', 5) IS NULL", True),
+    ("SELECT EDITDISTANCE('abc', NULL, 5) IS NULL", True),
+    # compound-expression binds keep their precedence (parenthesized
+    # splice): 9, not 1 + 2*3 = 7
+    ("SELECT a FROM TABLE(TO_QUERY('SELECT :q * 3 AS a', q => 1 + 2))",
+     9),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R8D_CASES, ids=lambda c: str(c)[:48])
+def test_r8d_review_lockins(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r8d_char_type_after_unreserved_word():
+    out = t.to_spark("CREATE TABLE t3 (until CHAR(10), elseif CHAR(2))")
+    assert "format_string" not in out
+
+
+def test_r8d_to_query_empty_args_refuses():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="LITERAL"):
+        t.to_spark("SELECT * FROM TABLE(TO_QUERY())")
+
+
+def test_r8d_to_query_bind_after_comment_apostrophe(spark):
+    # "-- don't" must not open a pseudo-string that swallows the bind
+    rows = spark.sql(t.to_spark(
+        "SELECT * FROM TABLE(TO_QUERY('SELECT 1 AS a -- don''t touch\n"
+        " , :x AS b', x => 5))")).collect()
+    assert (rows[0].a, rows[0].b) == (1, 5)
+
+
+def test_r8d_to_query_json_path_colon_not_a_bind(spark):
+    # col:field json paths inside a template are paths, not binds
+    rows = spark.sql(t.to_spark(
+        "SELECT * FROM TABLE(TO_QUERY("
+        "'SELECT PARSE_JSON(''{\"f\":7}''):f::INT AS a, :f AS b', "
+        "f => 1))")).collect()
+    assert (rows[0].a, rows[0].b) == (7, 1)
