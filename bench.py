@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "q63_merge_statement",
     "x61_match_recognize",
     "x59_jpeg_stats",
+    # round-8 additions (VERDICT r7 task 5): the round-7 execution
+    # heavyweights join the same-session ratio discipline — COMPRESS
+    # codec UDFs and the anchors/PERMUTE pattern VM
+    "q91_compress_roundtrip",
+    "x69_pattern_anchors_permute",
 ]
 
 
