@@ -200,6 +200,14 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         # (JSON text); SEARCH → tokenized full-text membership test
         "ARRAYS_ZIP": "ARRZIP_X",
         "SEARCH": "SEARCH_X",
+        # Snowflake RANDOM() is a full-range 64-bit INTEGER — Spark's
+        # rand() is a double in [0,1): a silent type/range mismatch
+        # (r8 second audit batch)
+        "RANDOM": "RANDOM_X",
+        # 3-arg MIN_BY/MAX_BY return the top-n ARRAY (Spark's builtins
+        # are 2-arg only)
+        "MIN_BY": "MINBY_X",
+        "MAX_BY": "MAXBY_X",
         "ARRAY_TO_STRING": "ARRAY_JOIN",
         "UUID_STRING": "UUID",
         "HLL": "APPROX_COUNT_DISTINCT",   # HLL estimate ≈ approx distinct
@@ -481,7 +489,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "SHA2DEF_X", "MD5LO_X", "MD5HI_X", "CHRU_X",
     "MAPSIZE_X", "MAPCAT_X", "MAPHASK_X",
     "VECIP_X", "VECL2_X", "VECCOS_X", "EDITDIST_X",
-    "ARRZIP_X", "SEARCH_X",
+    "ARRZIP_X", "SEARCH_X", "RANDOM_X", "MINBY_X", "MAXBY_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -1291,8 +1299,11 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 seed: Tokens = []
                 if len(args) == 3:
                     g = [c for c in tokens[args[2][0]:args[2][1]] if c.kind != WS]
-                    if (len(g) > 3 and g[0].kind == WORD and g[0].upper == "RANDOM"
+                    if (len(g) > 3 and g[0].kind == WORD
+                            and g[0].upper in ("RANDOM", "RANDOM_X")
                             and g[1].is_op("(") and not g[2].is_op(")")):
+                        # RANDOM renames to RANDOM_X in the same pass
+                        # (r8), so the seed extraction must accept both
                         seed = g[2:-1]
                 if lo is not None and hi is not None:
                     span = hi - lo + 1
@@ -1696,6 +1707,42 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(
                     f"element_at(transform(array(struct("
                     f"{tok(q_s)} AS q)), __s{u} -> ({ors})), 1)")
+            elif t.text == "RANDOM_X" and len(args) in (0, 1):
+                # Snowflake RANDOM([seed]): uniform over the FULL
+                # signed-64-bit range. rand() ∈ [0,1) shifted by −0.5
+                # spans [−0.5, 0.5), ×2⁶⁴ spans [−2⁶³, 2⁶³) — the
+                # bounds stay inside BIGINT (max value < 2⁶³ because
+                # rand() < 1), so the ANSI cast never overflows.
+                seed_r = (render(tokens[args[0][0]:args[0][1]]).strip()
+                          if args else "")
+                out += tokenize(
+                    f"CAST(FLOOR((rand({seed_r}) - 0.5D) * "
+                    f"1.8446744073709552E19) AS BIGINT)")
+            elif t.text in ("MINBY_X", "MAXBY_X") and len(args) in (2, 3):
+                # 2-arg → Spark's native min_by/max_by; 3-arg returns
+                # the ARRAY of the n best values ordered best-first
+                # (Snowflake). Rows whose ORDER argument is NULL are
+                # ignored (collect_list drops the NULL-cased struct);
+                # JVM collect/sort/slice — no UDF.
+                fn2 = "min_by" if t.text == "MINBY_X" else "max_by"
+                a_r = render(tokens[args[0][0]:args[0][1]]).strip()
+                b_r = render(tokens[args[1][0]:args[1][1]]).strip()
+                if len(args) == 2:
+                    out += tokenize(f"{fn2}({a_r}, {b_r})")
+                else:
+                    n_r = render(tokens[args[2][0]:args[2][1]]).strip()
+                    u = f"mb{next(_MULTISET_IDS)}"
+                    lt, gt = (("-1", "1") if t.text == "MINBY_X"
+                              else ("1", "-1"))
+                    out += tokenize(
+                        f"transform(slice(array_sort(collect_list("
+                        f"CASE WHEN ({b_r}) IS NOT NULL THEN "
+                        f"named_struct('o', {b_r}, 'v', {a_r}) END), "
+                        f"(__x{u}, __y{u}) -> CASE "
+                        f"WHEN __x{u}.o < __y{u}.o THEN {lt} "
+                        f"WHEN __x{u}.o > __y{u}.o THEN {gt} "
+                        f"ELSE 0 END), 1, {n_r}), "
+                        f"__s{u} -> __s{u}.v)")
             elif t.text == "MAPSIZE_X" and len(args) == 1:
                 # MAP_SIZE over the JSON-text map model; NULL → NULL
                 # (size(map) counts entries directly — no throwaway

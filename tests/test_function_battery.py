@@ -1000,3 +1000,55 @@ def test_r8d_to_query_json_path_colon_not_a_bind(spark):
         "'SELECT PARSE_JSON(''{\"f\":7}''):f::INT AS a, :f AS b', "
         "f => 1))")).collect()
     assert (rows[0].a, rows[0].b) == (7, 1)
+
+
+R8E_CASES = [
+    # r8 second name-audit batch: RANDOM is a full-range 64-bit
+    # INTEGER in Snowflake (Spark rand() is a [0,1) double — silent
+    # type/range mismatch); seeded form is deterministic
+    ("SELECT RANDOM() BETWEEN -9223372036854775808 AND "
+     "9223372036854775807", True),
+    ("SELECT RANDOM(42) = RANDOM(42)", True),
+    ("SELECT ABS(RANDOM(7)) > 4294967296", True),  # far beyond [0,1)
+    # UNIFORM still extracts the seed from the renamed RANDOM arg
+    ("SELECT UNIFORM(1, 10, RANDOM(7)) BETWEEN 1 AND 10", True),
+    ("SELECT UNIFORM(0.0, 1.0, RANDOM(7)) BETWEEN 0.0 AND 1.0", True),
+    # MIN_BY/MAX_BY 3-arg top-n ARRAY form, best-first, NULL order
+    # values ignored; 2-arg stays native
+    ("SELECT MAX_BY(a, b, 2) FROM VALUES ('x',2),('y',1),('z',3) "
+     "t(a,b)", ["z", "x"]),
+    ("SELECT MIN_BY(a, b, 2) FROM VALUES ('x',2),('y',1),('z',3) "
+     "t(a,b)", ["y", "x"]),
+    ("SELECT MAX_BY(a, b, 5) FROM VALUES ('x',2),('y',NULL),('z',3) "
+     "t(a,b)", ["z", "x"]),
+    ("SELECT MIN_BY(a, b) FROM VALUES ('x',2),('y',1) t(a,b)", "y"),
+    # natives confirmed by this batch's probe (regr_*, octet/bit
+    # length, cot, months_between, getbit, factorial, to_binary)
+    ("SELECT REGR_SLOPE(y, x) FROM VALUES (1.0,2.0),(2.0,4.0),"
+     "(3.0,6.0) t(x,y)", 2.0),
+    ("SELECT REGR_INTERCEPT(y, x) FROM VALUES (1.0,3.0),(2.0,5.0),"
+     "(3.0,7.0) t(x,y)", 1.0),
+    ("SELECT REGR_R2(y, x) FROM VALUES (1.0,2.0),(2.0,4.0),(3.0,6.0) "
+     "t(x,y)", 1.0),
+    ("SELECT REGR_COUNT(y, x) FROM VALUES (1.0,2.0),(NULL,4.0) t(x,y)",
+     1),
+    ("SELECT OCTET_LENGTH('λab')", 4),
+    ("SELECT BIT_LENGTH('ab')", 16),
+    ("SELECT ROUND(COT(1.0), 6)", 0.642093),
+    ("SELECT MONTHS_BETWEEN('2024-03-15'::DATE, '2024-01-15'::DATE)",
+     2.0),
+    ("SELECT GETBIT(11, 1)", 1),
+    ("SELECT FACTORIAL(5)", 120),
+    ("SELECT CAST(TO_BINARY('6162') AS STRING)", "ab"),
+    ("SELECT CAST(TO_BINARY('ab', 'UTF-8') AS STRING)", "ab"),
+    ("SELECT TRY_TO_BINARY('zz') IS NULL", True),
+    ("SELECT LEN('abc')", 3),
+    ("SELECT SYSDATE() IS NOT NULL", True),
+    ("SELECT BITMAP_COUNT(BITMAP_CONSTRUCT_AGG("
+     "BITMAP_BIT_POSITION(n))) FROM VALUES (1),(2),(1) t(n)", 2),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R8E_CASES, ids=lambda c: str(c)[:48])
+def test_r8e_second_audit_batch(spark, sql, expect):
+    _check(spark, sql, expect)
