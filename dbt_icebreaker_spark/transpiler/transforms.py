@@ -142,6 +142,15 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "LOCALTIMESTAMP": "CURRENT_TIMESTAMP",  # bare keyword OR call
         "LOCALTIME": "LOCALTIME_X",  # → epoch-day TIME model (1970-01-01)
         "HASH_AGG": "HASHAGG_X",  # order-independent aggregate hash
+        # Snowflake HASH is a 64-bit integer hash (stable, not
+        # cryptographic); Spark's hash() is 32-bit murmur — xxhash64
+        # keeps the BIGINT contract (values differ across engines on
+        # both mappings; Snowflake documents HASH values as
+        # engine-internal) (r8 third audit batch)
+        "HASH": "XXHASH64",
+        # APPROX_TOP_K: Spark's native sketch, rendered to Snowflake's
+        # [[item, count], …] JSON via variant casts
+        "APPROX_TOP_K": "APPROXTOPK_X",
         "SYSTIMESTAMP": "CURRENT_TIMESTAMP",
         "VARIANCE_POP": "VAR_POP",
         "VARIANCE_SAMP": "VAR_SAMP",
@@ -490,6 +499,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "MAPSIZE_X", "MAPCAT_X", "MAPHASK_X",
     "VECIP_X", "VECL2_X", "VECCOS_X", "EDITDIST_X",
     "ARRZIP_X", "SEARCH_X", "RANDOM_X", "MINBY_X", "MAXBY_X",
+    "APPROXTOPK_X",
     "RXLIKE_X", "RXCOUNT_X", "RXINSTR_X", "DOWISO_X", "YOW_X",
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
@@ -1707,6 +1717,18 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 out += tokenize(
                     f"element_at(transform(array(struct("
                     f"{tok(q_s)} AS q)), __s{u} -> ({ors})), 1)")
+            elif t.text == "APPROXTOPK_X" and len(args) in (1, 2, 3):
+                # APPROX_TOP_K(expr[, k[, counters]]) → Snowflake's
+                # JSON shape [[item, count], …]: Spark's approx_top_k
+                # returns array<struct>, re-rendered through VARIANT
+                # casts so string items stay quoted and counts stay
+                # numeric in the same inner array
+                ps = [render(tokens[a:b2]).strip() for a, b2 in args]
+                u = f"tk{next(_MULTISET_IDS)}"
+                out += tokenize(
+                    f"to_json(transform(approx_top_k({', '.join(ps)}), "
+                    f"__s{u} -> array(cast(__s{u}.item as variant), "
+                    f"cast(__s{u}.count as variant))))")
             elif t.text == "RANDOM_X" and len(args) in (0, 1):
                 # Snowflake RANDOM([seed]): uniform over the FULL
                 # signed-64-bit range. rand() ∈ [0,1) shifted by −0.5
@@ -6471,6 +6493,14 @@ _UNSUPPORTED_SCALARS = {
                      "LAST_QUERY_ID outside RESULT_SCAN has no engine "
                      "meaning (per-model runtime metrics live in "
                      "observability/telemetry)",
+    "ENCRYPT": "application-side encryption before ingest — no "
+               "AES-GCM primitive ships in this runtime (Python "
+               "stdlib has none; COMPRESS-style session UDFs need a "
+               "codec); for at-rest protection use parquet "
+               "modular encryption on the writer",
+    "ENCRYPT_RAW": "application-side encryption (see ENCRYPT)",
+    "DECRYPT": "application-side decryption (see ENCRYPT)",
+    "DECRYPT_RAW": "application-side decryption (see ENCRYPT)",
 }
 
 
@@ -6495,6 +6525,15 @@ _SESSION_UDF_SCALARS = {
         "IcebreakerEngine.execute (see APPROX_PERCENTILE_ACCUMULATE)",
     "APPROX_PERCENTILE_ESTIMATE":
         "IcebreakerEngine.execute (see APPROX_PERCENTILE_ACCUMULATE)",
+    "APPROX_TOP_K_ACCUMULATE":
+        "IcebreakerEngine.execute — the engine registers the "
+        "frequent-items sketch pipeline (dbt_icebreaker_spark.udfs; "
+        "counter-map state, engine-internal); for a direct result use "
+        "APPROX_TOP_K(col, k)",
+    "APPROX_TOP_K_COMBINE":
+        "IcebreakerEngine.execute (see APPROX_TOP_K_ACCUMULATE)",
+    "APPROX_TOP_K_ESTIMATE":
+        "IcebreakerEngine.execute (see APPROX_TOP_K_ACCUMULATE)",
 }
 
 

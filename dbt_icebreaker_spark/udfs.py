@@ -221,6 +221,65 @@ def _pctl_estimate_one(state, p):
     return float(st["mx"])
 
 
+# ---------------------------------------------------------------- r8:
+# APPROX_TOP_K sketch pipeline (the frequent-items twin of the
+# percentile digest above). State = a Misra-Gries-style counter map
+# capped at _TOPK_CAP entries, JSON-serialized {"c": {item: count},
+# "cap": n}. Deterministic: eviction decrements all counters by the
+# minimum (classic space-saving), ties broken by item string order.
+_TOPK_CAP = 1024
+
+
+def _topk_trim(counts: dict, cap: int) -> dict:
+    if len(counts) <= cap:
+        return counts
+    # space-saving decrement: drop the smallest counters, subtract the
+    # threshold from the rest (deterministic tie-break on the key)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    thresh = ordered[cap][1]
+    return {k: v - thresh for k, v in ordered[:cap] if v > thresh}
+
+
+def _topk_state_from_values(values, cap) -> str:
+    import json
+
+    counts: dict = {}
+    for v in values:
+        if v is None:
+            continue
+        k = str(v)
+        counts[k] = counts.get(k, 0) + 1
+    return json.dumps({"c": _topk_trim(counts, cap), "cap": cap},
+                      sort_keys=True)
+
+
+def _topk_merge_states(states) -> str:
+    import json
+
+    counts: dict = {}
+    cap = _TOPK_CAP
+    for s in states:
+        if s is None:
+            continue
+        st = json.loads(s)
+        cap = min(cap, st.get("cap", _TOPK_CAP))
+        for k, v in st["c"].items():
+            counts[k] = counts.get(k, 0) + v
+    return json.dumps({"c": _topk_trim(counts, cap), "cap": cap},
+                      sort_keys=True)
+
+
+def _topk_estimate_one(state, k):
+    import json
+
+    if state is None or k is None:
+        return None
+    st = json.loads(state)
+    ordered = sorted(st["c"].items(), key=lambda kv: (-kv[1], kv[0]))
+    return json.dumps([[item, cnt] for item, cnt in ordered[:int(k)]],
+                      separators=(",", ":"))
+
+
 def register_scalar_udfs(spark) -> None:
     """Idempotently register the COMPRESS-family UDFs on ``spark``.
     The marker is a session-attached attribute — an id()-keyed cache
@@ -259,6 +318,29 @@ def register_scalar_udfs(spark) -> None:
             dtype="float64",
         )
 
+    @pandas_udf(StringType())
+    def approx_top_k_accumulate(v: pd.Series, cap: pd.Series) -> str:
+        c = int(cap.iloc[0]) if len(cap) and cap.iloc[0] is not None \
+            else _TOPK_CAP
+        return _topk_state_from_values(v, min(c, _TOPK_CAP))
+
+    @pandas_udf(StringType())
+    def approx_top_k_combine(s: pd.Series) -> str:
+        return _topk_merge_states(s)
+
+    @pandas_udf(StringType())
+    def approx_top_k_estimate(
+        state: pd.Series, k: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [_topk_estimate_one(s, kk) for s, kk in zip(state, k)],
+            dtype=object,
+        )
+
+    spark.udf.register("approx_top_k_accumulate",
+                       approx_top_k_accumulate)
+    spark.udf.register("approx_top_k_combine", approx_top_k_combine)
+    spark.udf.register("approx_top_k_estimate", approx_top_k_estimate)
     spark.udf.register("compress", compress)
     spark.udf.register("decompress_binary", decompress_binary)
     spark.udf.register("decompress_string", decompress_string)

@@ -1052,3 +1052,45 @@ R8E_CASES = [
 @pytest.mark.parametrize("sql,expect", R8E_CASES, ids=lambda c: str(c)[:48])
 def test_r8e_second_audit_batch(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+R8F_CASES = [
+    # r8 third name-audit batch: HASH is a 64-bit BIGINT hash
+    # (xxhash64 — Spark's hash() is 32-bit murmur); stable per session
+    ("SELECT HASH(42) = HASH(42)", True),
+    ("SELECT ABS(HASH(42)) > 4294967296", True),  # beyond 32-bit range
+    ("SELECT HASH(1, 'a') IS NOT NULL", True),
+    # APPROX_TOP_K renders Snowflake's [[item, count], …] JSON shape
+    # with numeric items bare and string items quoted
+    ("SELECT APPROX_TOP_K(v, 2) FROM VALUES (1),(1),(2),(3) t(v)",
+     "[[1,2],[2,1]]"),
+    ("SELECT APPROX_TOP_K(v, 1) FROM VALUES ('a'),('a'),('b') t(v)",
+     '[["a",2]]'),
+    # natives confirmed by this batch's probe
+    ("SELECT MODE(v) FROM VALUES (1),(2),(2) t(v)", 2),
+    ("SELECT VARIANCE_SAMP(v) FROM VALUES (1.0),(2.0),(3.0) t(v)", 1.0),
+    ("SELECT VARIANCE_POP(v) FROM VALUES (1.0),(2.0),(4.0) t(v)",
+     1.5555555555555556),
+    ("SELECT BITAND_AGG(v) FROM VALUES (12),(10) t(v)", 8),
+    ("SELECT BITOR_AGG(v) FROM VALUES (12),(10) t(v)", 14),
+    ("SELECT BITXOR_AGG(v) FROM VALUES (12),(10) t(v)", 6),
+    ("SELECT STRIP_NULL_VALUE(PARSE_JSON('null')) IS NULL", True),
+    ("SELECT CEIL(3.14159, 2)::DOUBLE", 3.15),
+    ("SELECT FLOOR(3.14159, 3)::DOUBLE", 3.141),
+    ("SELECT TRY_TO_TIMESTAMP_NTZ('not a ts') IS NULL", True),
+    ("SELECT 'abc' ILIKE ANY ('AB%', 'x')", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R8F_CASES, ids=lambda c: str(c)[:48])
+def test_r8f_third_audit_batch(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r8f_encrypt_refuses_actionably():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    for fn in ("ENCRYPT('d', 'p')", "DECRYPT(c, 'p')",
+               "ENCRYPT_RAW(a, b, c)"):
+        with pytest.raises(TranspileError, match="encryption|ENCRYPT"):
+            t.to_spark(f"SELECT {fn} FROM t")

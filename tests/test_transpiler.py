@@ -2733,3 +2733,42 @@ class TestApproxPercentileSketchR8:
         with pytest.raises(TranspileError, match="engine"):
             Transpiler().to_spark(
                 "SELECT APPROX_PERCENTILE_COMBINE(s) FROM t")
+
+
+class TestApproxTopKSketchR8:
+    """Round-8: APPROX_TOP_K_ACCUMULATE/COMBINE/ESTIMATE session UDFs
+    (space-saving counter map, JSON state; estimate renders the same
+    [[item, count], …] shape as the direct APPROX_TOP_K)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="udf_r8k")
+
+    def test_accumulate_estimate(self, engine):
+        r = engine.execute(
+            "WITH st AS (SELECT APPROX_TOP_K_ACCUMULATE(v, 100) AS s "
+            "FROM (SELECT id % 3 AS v FROM RANGE(31))) "
+            "SELECT APPROX_TOP_K_ESTIMATE(s, 1) AS t FROM st"
+        ).collect()[0]
+        assert r.t == '[["0",11]]'  # 0 appears 11 times in 0..30
+
+    def test_combine_partials(self, engine):
+        r = engine.execute(
+            "WITH st AS (SELECT id % 2 AS h, "
+            "APPROX_TOP_K_ACCUMULATE(v, 100) AS s FROM "
+            "(SELECT id, id % 3 AS v FROM RANGE(30)) GROUP BY id % 2), "
+            "c AS (SELECT APPROX_TOP_K_COMBINE(s) AS s FROM st) "
+            "SELECT APPROX_TOP_K_ESTIMATE(s, 3) AS t FROM c"
+        ).collect()[0]
+        assert r.t == '[["0",10],["1",10],["2",10]]'
+
+    def test_bare_transpiler_refuses(self):
+        from dbt_icebreaker_spark.transpiler.core import (
+            Transpiler,
+            TranspileError,
+        )
+
+        with pytest.raises(TranspileError, match="engine"):
+            Transpiler().to_spark("SELECT APPROX_TOP_K_ESTIMATE(s, 3)")
