@@ -1315,20 +1315,29 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         # RANDOM renames to RANDOM_X in the same pass
                         # (r8), so the seed extraction must accept both
                         seed = g[2:-1]
+                # SEEDED generator: Snowflake's seeded RANDOM is the
+                # SAME value for every row of the statement, so seeded
+                # UNIFORM is a per-statement constant too (r8 review);
+                # the [0,1) draw derives deterministically from the
+                # 64-bit seed digest
+                u01 = ("(CAST(xxhash64(CAST((" + render(seed).strip()
+                       + ") AS STRING)) AS DOUBLE) / "
+                       "1.8446744073709552E19 + 0.5D)") if seed else None
                 if lo is not None and hi is not None:
                     span = hi - lo + 1
-                    out += [_op("("), _word(str(lo)), _sp(), _op("+"), _sp(),
-                            _word("CAST"), _op("("), _word("FLOOR"), _op("("),
-                            _word("rand"), _op("(")]
-                    out += seed
-                    out += [_op(")"), _sp(), _op("*"), _sp(), _word(str(span)),
-                            _op(")"), _sp(), _word("AS"), _sp(), _word("BIGINT"),
-                            _op(")"), _op(")")]
+                    draw = u01 if u01 else "rand()"
+                    out += tokenize(
+                        f"({lo} + CAST(FLOOR({draw} * {span}) "
+                        f"AS BIGINT))")
                 elif _float_lit(a1) and _float_lit(a2):
-                    out += [_word("uniform"), _op("(")] + a1 + [_op(","), _sp()] + a2
-                    if seed:
-                        out += [_op(","), _sp()] + seed
-                    out += [_op(")")]
+                    a1_r = render(a1).strip()
+                    a2_r = render(a2).strip()
+                    if u01:
+                        out += tokenize(
+                            f"(({a1_r}) + {u01} * (({a2_r}) - "
+                            f"({a1_r})))")
+                    else:
+                        out += tokenize(f"uniform({a1_r}, {a2_r})")
                 else:
                     from .core import TranspileError
 
@@ -1722,8 +1731,12 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # JSON shape [[item, count], …]: Spark's approx_top_k
                 # returns array<struct>, re-rendered through VARIANT
                 # casts so string items stay quoted and counts stay
-                # numeric in the same inner array
+                # numeric in the same inner array. Snowflake's default
+                # k is 1 — Spark's is 5, a silent shape mismatch for
+                # the 1-arg call (r8 review)
                 ps = [render(tokens[a:b2]).strip() for a, b2 in args]
+                if len(ps) == 1:
+                    ps.append("1")
                 u = f"tk{next(_MULTISET_IDS)}"
                 out += tokenize(
                     f"to_json(transform(approx_top_k({', '.join(ps)}), "
@@ -1731,15 +1744,23 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     f"cast(__s{u}.count as variant))))")
             elif t.text == "RANDOM_X" and len(args) in (0, 1):
                 # Snowflake RANDOM([seed]): uniform over the FULL
-                # signed-64-bit range. rand() ∈ [0,1) shifted by −0.5
-                # spans [−0.5, 0.5), ×2⁶⁴ spans [−2⁶³, 2⁶³) — the
-                # bounds stay inside BIGINT (max value < 2⁶³ because
-                # rand() < 1), so the ANSI cast never overflows.
-                seed_r = (render(tokens[args[0][0]:args[0][1]]).strip()
-                          if args else "")
-                out += tokenize(
-                    f"CAST(FLOOR((rand({seed_r}) - 0.5D) * "
-                    f"1.8446744073709552E19) AS BIGINT)")
+                # signed-64-bit range. Unseeded: rand() ∈ [0,1)
+                # shifted by −0.5 spans [−0.5, 0.5), ×2⁶⁴ spans
+                # [−2⁶³, 2⁶³) — bounds stay inside BIGINT (max < 2⁶³
+                # because rand() < 1), so the ANSI cast never
+                # overflows. SEEDED: Snowflake documents the SAME
+                # value for every row of the statement — a
+                # deterministic 64-bit digest of the seed, not a
+                # per-row rand(seed) stream (r8 review).
+                if args:
+                    seed_r = render(
+                        tokens[args[0][0]:args[0][1]]).strip()
+                    out += tokenize(
+                        f"xxhash64(CAST(({seed_r}) AS STRING))")
+                else:
+                    out += tokenize(
+                        "CAST(FLOOR((rand() - 0.5D) * "
+                        "1.8446744073709552E19) AS BIGINT)")
             elif t.text in ("MINBY_X", "MAXBY_X") and len(args) in (2, 3):
                 # 2-arg → Spark's native min_by/max_by; 3-arg returns
                 # the ARRAY of the n best values ordered best-first

@@ -224,10 +224,22 @@ def _pctl_estimate_one(state, p):
 # ---------------------------------------------------------------- r8:
 # APPROX_TOP_K sketch pipeline (the frequent-items twin of the
 # percentile digest above). State = a Misra-Gries-style counter map
-# capped at _TOPK_CAP entries, JSON-serialized {"c": {item: count},
-# "cap": n}. Deterministic: eviction decrements all counters by the
-# minimum (classic space-saving), ties broken by item string order.
-_TOPK_CAP = 1024
+# JSON-serialized {"c": {item: count}, "cap": n}. Deterministic:
+# eviction decrements all counters by the threshold (classic
+# space-saving), ties broken by item string order. The user's
+# counters argument is honored up to Snowflake's own 100000 maximum
+# (r8 review: a silent 1024 clamp degraded accuracy); NULL counters
+# falls back to Snowflake's 10000 default. Counter keys canonicalize
+# integral floats to int text ("1.0" → "1") so a NULL-induced float64
+# partial and an int64 partial COMBINE onto the same key.
+_TOPK_CAP = 100_000
+_TOPK_DEFAULT = 10_000
+
+
+def _topk_key(v) -> str:
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
 
 
 def _topk_trim(counts: dict, cap: int) -> dict:
@@ -245,9 +257,9 @@ def _topk_state_from_values(values, cap) -> str:
 
     counts: dict = {}
     for v in values:
-        if v is None:
+        if v is None or v != v:  # drop NULL/NaN like every aggregate
             continue
-        k = str(v)
+        k = _topk_key(v)
         counts[k] = counts.get(k, 0) + 1
     return json.dumps({"c": _topk_trim(counts, cap), "cap": cap},
                       sort_keys=True)
@@ -269,15 +281,29 @@ def _topk_merge_states(states) -> str:
                       sort_keys=True)
 
 
+def _topk_item_out(item: str):
+    """Numeric-looking counter keys render as JSON numbers so the
+    sketch pipeline's output shape matches the direct APPROX_TOP_K
+    path ([[1,2]] not [["1",2]] — r8 review)."""
+    try:
+        return int(item)
+    except ValueError:
+        try:
+            return float(item)
+        except ValueError:
+            return item
+
+
 def _topk_estimate_one(state, k):
     import json
 
-    if state is None or k is None:
+    if state is None or k is None or k != k:
         return None
     st = json.loads(state)
     ordered = sorted(st["c"].items(), key=lambda kv: (-kv[1], kv[0]))
-    return json.dumps([[item, cnt] for item, cnt in ordered[:int(k)]],
-                      separators=(",", ":"))
+    return json.dumps(
+        [[_topk_item_out(item), cnt] for item, cnt in ordered[:int(k)]],
+        separators=(",", ":"))
 
 
 def register_scalar_udfs(spark) -> None:
@@ -320,8 +346,8 @@ def register_scalar_udfs(spark) -> None:
 
     @pandas_udf(StringType())
     def approx_top_k_accumulate(v: pd.Series, cap: pd.Series) -> str:
-        c = int(cap.iloc[0]) if len(cap) and cap.iloc[0] is not None \
-            else _TOPK_CAP
+        c0 = cap.iloc[0] if len(cap) else None
+        c = _TOPK_DEFAULT if c0 is None or pd.isna(c0) else int(c0)
         return _topk_state_from_values(v, min(c, _TOPK_CAP))
 
     @pandas_udf(StringType())

@@ -852,8 +852,10 @@ class TestTokenAndEncodingFuncs:
         # literals, seed passed through
         out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM()) FROM x"))
         assert "(1 + CAST(FLOOR(rand() * 10) AS BIGINT))" in out
+        # seeded: Snowflake's seeded RANDOM is constant per statement
+        # (r8) -> deterministic xxhash64-derived draw, NOT rand(42)
         out = _norm(t.to_spark("SELECT UNIFORM(1, 10, RANDOM(42)) FROM x"))
-        assert "(1 + CAST(FLOOR(rand(42) * 10) AS BIGINT))" in out
+        assert "xxhash64" in out and "rand(42)" not in out
         # negative bounds (the case no max-bump could fix)
         out = _norm(t.to_spark("SELECT UNIFORM(-5, -1, RANDOM()) FROM x"))
         assert "(-5 + CAST(FLOOR(rand() * 5) AS BIGINT))" in out
@@ -2752,7 +2754,7 @@ class TestApproxTopKSketchR8:
             "FROM (SELECT id % 3 AS v FROM RANGE(31))) "
             "SELECT APPROX_TOP_K_ESTIMATE(s, 1) AS t FROM st"
         ).collect()[0]
-        assert r.t == '[["0",11]]'  # 0 appears 11 times in 0..30
+        assert r.t == '[[0,11]]'  # 0 appears 11 times in 0..30
 
     def test_combine_partials(self, engine):
         r = engine.execute(
@@ -2762,7 +2764,7 @@ class TestApproxTopKSketchR8:
             "c AS (SELECT APPROX_TOP_K_COMBINE(s) AS s FROM st) "
             "SELECT APPROX_TOP_K_ESTIMATE(s, 3) AS t FROM c"
         ).collect()[0]
-        assert r.t == '[["0",10],["1",10],["2",10]]'
+        assert r.t == '[[0,10],[1,10],[2,10]]'
 
     def test_bare_transpiler_refuses(self):
         from dbt_icebreaker_spark.transpiler.core import (
