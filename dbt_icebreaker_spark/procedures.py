@@ -136,10 +136,12 @@ def _scan_block_end(code, begin_i: int) -> Optional[int]:
             u = t.upper
             if u == "CASE":
                 stack.append("CASE")
-            elif u in ("IF", "FOR", "WHILE", "REPEAT") and stmt_head(j):
+            elif u in ("IF", "FOR", "WHILE", "REPEAT", "LOOP") \
+                    and stmt_head(j):
                 # REPEAT … UNTIL … END REPEAT is valid Snowflake
                 # scripting: without the push its END REPEAT would pop
-                # the enclosing BEGIN and mis-split the body (r7 ADVICE)
+                # the enclosing BEGIN and mis-split the body (r7
+                # ADVICE); bare LOOP … END LOOP likewise (r8)
                 stack.append(u)
             elif u == "BEGIN" and stmt_head(j):
                 nxt = code[j + 1] if j + 1 < n else None
@@ -151,10 +153,15 @@ def _scan_block_end(code, begin_i: int) -> Optional[int]:
                 if nxt is not None and nxt.kind == WORD \
                         and nxt.upper in ("IF", "FOR", "WHILE",
                                           "CASE", "LOOP", "REPEAT"):
-                    # END CASE pops its CASE; END LOOP never had a
-                    # push (LOOP is unsupported downstream) — neither
-                    # may pop the BEGIN (r7 review finding)
-                    if stack and stack[-1] == nxt.upper:
+                    # END CASE pops its CASE; END LOOP closes
+                    # whichever loop construct opened (bare LOOP, or
+                    # the FOR/WHILE … LOOP body form — r8); an
+                    # END-<kw> never pops the BEGIN (r7 review)
+                    top = stack[-1] if stack else None
+                    if top == nxt.upper or (
+                        nxt.upper == "LOOP"
+                        and top in ("FOR", "WHILE", "LOOP")
+                    ):
                         stack.pop()
                     j += 2
                     continue

@@ -770,7 +770,7 @@ class _Block:
                 u = t.upper
                 if u == "CASE":
                     case_nest += 1
-                elif u in ("IF", "FOR", "WHILE", "REPEAT") \
+                elif u in ("IF", "FOR", "WHILE", "REPEAT", "LOOP") \
                         and self._is_stmt_head(i):
                     nest += 1
                 elif u == "BEGIN" and self._is_stmt_head(i):
@@ -779,13 +779,24 @@ class _Block:
                         begin_nest += 1
                 elif u == "END":
                     j = self._code(i + 1)
-                    if self._word(j, "IF", "FOR", "WHILE", "REPEAT"):
+                    if self._word(j, "IF", "FOR", "WHILE", "REPEAT",
+                                  "LOOP"):
+                        # END LOOP closes whichever loop construct
+                        # opened (bare LOOP, or the FOR/WHILE … LOOP
+                        # body form) — the counter doesn't care which
                         if nest > 0:
                             nest -= 1
                             i = j + 1
                             continue
                         # END of an unentered construct at our level —
                         # it can itself be a stop ("END IF")
+                    elif self._word(j, "CASE") and case_nest > 0:
+                        # END CASE (the CASE STATEMENT terminator, r8):
+                        # consume BOTH tokens — leaving the CASE word
+                        # would re-increment case_nest next iteration
+                        case_nest -= 1
+                        i = j + 1
+                        continue
                     elif case_nest > 0:
                         case_nest -= 1
                         i += 1
@@ -830,6 +841,10 @@ class _Block:
             return self._stmt_while(i)
         if u == "REPEAT" and self._is_stmt_head(i):
             return self._stmt_repeat(i)
+        if u == "LOOP" and self._is_stmt_head(i):
+            return self._stmt_loop(i)
+        if u == "CASE" and self._is_stmt_head(i):
+            return self._stmt_case(i)
         if u == "RETURN":
             self._stmt_return(i)
         if u == "BREAK":
@@ -1039,18 +1054,19 @@ class _Block:
                 if tt.upper == "TO":
                     has_to = True
                     break
-                if tt.upper == "DO":
+                if tt.upper in ("DO", "LOOP"):
                     break
             probe += 1
         if not has_to:
             return self._stmt_for_resultset(var_t, j, reverse)
         lo_sql, to_i = self._read_cond(j, "TO")
-        hi_sql, do_i = self._read_cond(self._code(to_i + 1), "DO")
+        hi_sql, do_i = self._read_cond(self._code(to_i + 1), "DO", "LOOP")
+        closer = "FOR" if self.toks[do_i].upper == "DO" else "LOOP"
         body = self._code(do_i + 1)
         end_stop = self._skip_statements(body, ("END",))
         j2 = self._code(end_stop + 1)
-        if not self._word(j2, "FOR"):
-            raise ScriptingError("FOR: expected END FOR")
+        if not self._word(j2, closer):
+            raise ScriptingError(f"FOR: expected END {closer}")
         after = self._stmt_end(j2) + 1
         lo_v = int(self._eval_scalar(lo_sql))
         hi_v = int(self._eval_scalar(hi_sql))
@@ -1123,13 +1139,15 @@ class _Block:
                 "or a resultset (FOR rec IN (SELECT …) DO)"
             )
         do_i = self._code(close + 1)
-        if not self._word(do_i, "DO"):
-            raise ScriptingError("FOR: expected DO after the resultset")
+        if not self._word(do_i, "DO", "LOOP"):
+            raise ScriptingError(
+                "FOR: expected DO or LOOP after the resultset")
+        closer = "FOR" if self.toks[do_i].upper == "DO" else "LOOP"
         body = self._code(do_i + 1)
         end_stop = self._skip_statements(body, ("END",))
         j2 = self._code(end_stop + 1)
-        if not self._word(j2, "FOR"):
-            raise ScriptingError("FOR: expected END FOR")
+        if not self._word(j2, closer):
+            raise ScriptingError(f"FOR: expected END {closer}")
         after = self._stmt_end(j2) + 1
         df = df_named if df_named is not None else self.engine.execute(inner)
         rows = df.limit(_LOOP_CAP + 1).collect()
@@ -1262,7 +1280,9 @@ class _Block:
         return end + 1
 
     def _stmt_while(self, i: int) -> int:
-        """WHILE (c) DO … END WHILE;"""
+        """``WHILE (c) DO … END WHILE;`` or the LOOP body form
+        ``WHILE (c) LOOP … END LOOP;`` (both Snowflake spellings —
+        LOOP form r8)."""
         j = self._code(i + 1)
         cond_toks_lo = j
         # the condition is re-evaluated each pass: keep RAW tokens
@@ -1274,16 +1294,18 @@ class _Block:
                 depth += 1
             elif t.is_op(")"):
                 depth -= 1
-            elif depth == 0 and t.kind == WORD and t.upper == "DO":
+            elif depth == 0 and t.kind == WORD \
+                    and t.upper in ("DO", "LOOP"):
                 break
             k += 1
         if k >= len(self.toks):
-            raise ScriptingError("WHILE: expected DO")
+            raise ScriptingError("WHILE: expected DO or LOOP")
+        closer = "WHILE" if self.toks[k].upper == "DO" else "LOOP"
         body = self._code(k + 1)
         end_stop = self._skip_statements(body, ("END",))
         j2 = self._code(end_stop + 1)
-        if not self._word(j2, "WHILE"):
-            raise ScriptingError("WHILE: expected END WHILE")
+        if not self._word(j2, closer):
+            raise ScriptingError(f"WHILE: expected END {closer}")
         after = self._stmt_end(j2) + 1
         it = 0
         while True:
@@ -1333,6 +1355,85 @@ class _Block:
             if self._eval_bool(cond):
                 break
         return after
+
+    def _stmt_loop(self, i: int) -> int:
+        """``LOOP … END LOOP;`` — Snowflake's unconditional loop;
+        exits via BREAK (or RETURN/RAISE); iteration-capped like every
+        driver-side loop (r8 — previously unsupported: 'LOOP is
+        unsupported downstream')."""
+        body = self._code(i + 1)
+        end_i = self._skip_statements(body, ("END",))
+        j2 = self._code(end_i + 1)
+        if not self._word(j2, "LOOP"):
+            raise ScriptingError("LOOP: expected END LOOP")
+        after = self._stmt_end(j2) + 1
+        it = 0
+        while True:
+            it += 1
+            if it > _LOOP_CAP:
+                raise ScriptingError(
+                    f"LOOP: exceeded the {_LOOP_CAP} iteration cap — "
+                    "add a BREAK condition"
+                )
+            try:
+                self._run_statements(body, ("END",))
+            except _Break:
+                break
+            except _Continue:
+                continue
+        return after
+
+    def _stmt_case(self, i: int) -> int:
+        """CASE STATEMENT (r8): ``CASE [(operand)] WHEN v THEN stmts;
+        … [ELSE stmts;] END CASE;``. The simple form compares the
+        operand to each WHEN value by EQUALITY (a NULL operand matches
+        nothing, like the CASE expression); the searched form
+        evaluates each WHEN as a boolean. The first matching branch
+        runs; no match and no ELSE is a no-op."""
+        j = self._code(i + 1)
+        operand = None
+        if self.toks[j].is_op("("):
+            close = find_matching_paren(self.toks, j)
+            k = self._code(close + 1)
+            # a paren group directly followed by WHEN is the simple
+            # form's operand; otherwise it is a searched-form
+            # condition's leading paren and stays in place
+            if self._word(k, "WHEN"):
+                operand = self._sub_expr(self.toks[j + 1:close])
+                j = k
+        if not self._word(j, "WHEN"):
+            raise ScriptingError(
+                "CASE statement: expected WHEN after CASE"
+            )
+        taken = done = False
+        while True:
+            if self._word(j, "WHEN"):
+                cond, then_i = self._read_cond(self._code(j + 1), "THEN")
+                if not done:
+                    if operand is not None:
+                        taken = self._eval_bool(
+                            f"({operand}) = ({cond})")
+                    else:
+                        taken = self._eval_bool(cond)
+                i2 = then_i + 1
+            elif self._word(j, "ELSE"):
+                taken = not done
+                i2 = self._code(j + 1)
+            else:  # END
+                j2 = self._code(j + 1)
+                if not self._word(j2, "CASE"):
+                    raise ScriptingError(
+                        "CASE statement: expected END CASE"
+                    )
+                return self._stmt_end(j2) + 1
+            if taken:
+                stop = self._run_statements(i2, ("WHEN", "ELSE", "END"))
+                done = True
+                taken = False
+            else:
+                stop = self._skip_statements(
+                    i2, ("WHEN", "ELSE", "END"), head_only=("WHEN",))
+            j = stop
 
     def _stmt_return(self, i: int) -> None:
         end = self._stmt_end(i)

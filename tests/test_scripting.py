@@ -1511,3 +1511,118 @@ class TestRepeatR8:
                 "CALL r8_chr()").collect()[0][0] == "ο"
         finally:
             engine.execute("DROP PROCEDURE IF EXISTS r8_chr()")
+
+
+class TestLoopAndCaseR8:
+    """Round-8: bare LOOP … END LOOP (previously 'unsupported
+    downstream'), the FOR/WHILE … LOOP body forms, and the CASE
+    STATEMENT (simple + searched) — all executed through the engine."""
+
+    def test_loop_with_break(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; LOOP LET i := i + 1; "
+            "IF (i >= 4) THEN BREAK; END IF; END LOOP; RETURN i; END")
+        assert r.collect()[0].value == 4
+
+    def test_loop_continue_reenters(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; LET s := 0; LOOP LET i := i + 1; "
+            "IF (i > 6) THEN BREAK; END IF; "
+            "IF (i % 2 = 0) THEN CONTINUE; END IF; "
+            "LET s := s + i; END LOOP; RETURN s; END")
+        assert r.collect()[0].value == 9  # 1+3+5
+
+    def test_while_loop_body_form(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; WHILE (i < 3) LOOP LET i := i + 1; "
+            "END LOOP; RETURN i; END")
+        assert r.collect()[0].value == 3
+
+    def test_for_loop_body_form(self, engine):
+        r = engine.execute(
+            "BEGIN LET s := 0; FOR i IN 1 TO 4 LOOP s := s + i; "
+            "END LOOP; RETURN s; END")
+        assert r.collect()[0].value == 10
+
+    def test_for_resultset_loop_body_form(self, engine):
+        r = engine.execute(
+            "BEGIN LET n := 0; FOR r IN (SELECT 1 AS x UNION ALL "
+            "SELECT 2) LOOP LET n := n + r.x; END LOOP; RETURN n; END")
+        assert r.collect()[0].value == 3
+
+    def test_case_statement_simple_form(self, engine):
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 2; BEGIN CASE (v) "
+            "WHEN 1 THEN RETURN 'one'; WHEN 2 THEN RETURN 'two'; "
+            "ELSE RETURN 'other'; END CASE; END")
+        assert r.collect()[0].value == "two"
+
+    def test_case_statement_searched_form(self, engine):
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 7; BEGIN CASE "
+            "WHEN v > 5 THEN RETURN 'big'; "
+            "WHEN v > 2 THEN RETURN 'mid'; "
+            "ELSE RETURN 'small'; END CASE; END")
+        assert r.collect()[0].value == "big"
+
+    def test_case_statement_no_match_is_noop(self, engine):
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 99; BEGIN CASE (v) "
+            "WHEN 1 THEN RETURN 'one'; END CASE; "
+            "RETURN 'fell through'; END")
+        assert r.collect()[0].value == "fell through"
+
+    def test_case_statement_null_operand_takes_else(self, engine):
+        r = engine.execute(
+            "DECLARE v INT; BEGIN CASE (v) WHEN 1 THEN RETURN 'one'; "
+            "ELSE RETURN 'else'; END CASE; END")
+        assert r.collect()[0].value == "else"
+
+    def test_case_statement_multi_statement_branch(self, engine):
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 1; BEGIN LET s := 0; CASE (v) "
+            "WHEN 1 THEN LET s := s + 10; LET s := s + 5; "
+            "WHEN 2 THEN LET s := 99; END CASE; RETURN s; END")
+        assert r.collect()[0].value == 15
+
+    def test_case_statement_inside_for(self, engine):
+        r = engine.execute(
+            "BEGIN LET s := 0; FOR i IN 1 TO 3 DO CASE (i) "
+            "WHEN 1 THEN s := s + 100; WHEN 2 THEN s := s + 20; "
+            "ELSE s := s + 3; END CASE; END FOR; RETURN s; END")
+        assert r.collect()[0].value == 123
+
+    def test_case_statement_skipped_in_untaken_branch(self, engine):
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 1; BEGIN IF (v = 2) THEN "
+            "CASE (v) WHEN 1 THEN RETURN 'x'; END CASE; END IF; "
+            "RETURN 'skipped'; END")
+        assert r.collect()[0].value == "skipped"
+
+    def test_case_expression_untouched(self, engine):
+        r = engine.execute(
+            "SELECT CASE WHEN 1 > 0 THEN 'y' ELSE 'n' END AS c")
+        assert r.collect()[0].c == "y"
+
+    def test_loop_in_unquoted_procedure(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r8_lp() RETURNS NUMBER "
+            "LANGUAGE SQL AS BEGIN LET i := 0; LOOP LET i := i + 1; "
+            "IF (i >= 5) THEN BREAK; END IF; END LOOP; RETURN i; END;")
+        try:
+            assert engine.execute("CALL r8_lp()").collect()[0][0] == 5
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r8_lp()")
+
+    def test_case_in_unquoted_procedure(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE r8_cs(v INT) RETURNS VARCHAR "
+            "LANGUAGE SQL AS BEGIN CASE (v) WHEN 1 THEN RETURN 'one'; "
+            "ELSE RETURN 'many'; END CASE; END;")
+        try:
+            assert engine.execute(
+                "CALL r8_cs(1)").collect()[0][0] == "one"
+            assert engine.execute(
+                "CALL r8_cs(7)").collect()[0][0] == "many"
+        finally:
+            engine.execute("DROP PROCEDURE IF EXISTS r8_cs(INT)")
