@@ -935,7 +935,20 @@ class _Block:
             return end + 1
         # plain SQL statement → the engine (with :binds)
         end = self._stmt_end(i)
-        self.engine.execute(self._sub_binds(self.toks[i:end]))
+        df = self.engine.execute(self._sub_binds(self.toks[i:end]))
+        if t.kind == WORD and t.upper in ("SELECT", "WITH", "VALUES",
+                                          "TABLE"):
+            # a bare query returns a LAZY DataFrame — without an
+            # action its errors never surface, so a failing SELECT
+            # inside a block silently skipped the EXCEPTION handler
+            # (r8 probe: BREAK-on-error loops forever). Snowflake
+            # materializes every procedural statement; the noop sink
+            # evaluates every row/column distributed-side with no
+            # driver collect. DML/DDL/CALL already execute eagerly.
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except AttributeError:
+                pass  # engine returned a non-DataFrame status
         return end + 1
 
     def _stmt_let(self, i: int) -> int:

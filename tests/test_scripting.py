@@ -1626,3 +1626,36 @@ class TestLoopAndCaseR8:
                 "CALL r8_cs(7)").collect()[0][0] == "many"
         finally:
             engine.execute("DROP PROCEDURE IF EXISTS r8_cs(INT)")
+
+
+class TestLazySelectErrorsR8:
+    """Round-8 probe finding: a bare SELECT inside a block returned a
+    LAZY DataFrame, so its errors never surfaced and the EXCEPTION
+    handler silently never fired (a BREAK-on-error loop spun forever).
+    Plain queries now materialize through the noop sink — Snowflake
+    materializes every procedural statement."""
+
+    def test_failing_select_triggers_handler(self, engine):
+        r = engine.execute(
+            "BEGIN SELECT 1/0; RETURN 'no error'; "
+            "EXCEPTION WHEN OTHER THEN RETURN 'caught'; END")
+        assert r.collect()[0].value == "caught"
+
+    def test_handler_break_exits_loop(self, engine):
+        r = engine.execute(
+            "BEGIN LET i := 0; LOOP LET i := i + 1; "
+            "BEGIN SELECT 1/0; EXCEPTION WHEN OTHER THEN BREAK; END; "
+            "END LOOP; RETURN i; END")
+        assert r.collect()[0].value == 1
+
+    def test_sqlerrm_from_failing_select(self, engine):
+        r = engine.execute(
+            "BEGIN SELECT 1/0; "
+            "EXCEPTION WHEN OTHER THEN RETURN sqlerrm; END")
+        assert "DIVIDE" in r.collect()[0].value.upper() or \
+            "zero" in r.collect()[0].value.lower()
+
+    def test_successful_select_still_passes(self, engine):
+        r = engine.execute(
+            "BEGIN SELECT 1 AS ok; RETURN 'done'; END")
+        assert r.collect()[0].value == "done"
