@@ -757,9 +757,12 @@ class _Block:
         MERGE statement is not a handler boundary)."""
         n = len(self.toks)
         depth = 0
-        nest = 0        # nested IF/FOR/WHILE constructs
-        case_nest = 0   # CASE … END expressions carry ELSE/END too
-        begin_nest = 0  # nested BEGIN … END blocks (bare END closes)
+        # one STACK of open constructs, not independent counters — a
+        # BEGIN nested inside a CASE-statement branch must close ITS
+        # OWN bare END, which counters couldn't order (r8 review: the
+        # case-before-begin decrement corrupted both); this mirrors
+        # procedures._scan_block_end's stack discipline
+        stack: list[str] = []
         while i < n:
             t = self.toks[i]
             if t.is_op("("):
@@ -769,47 +772,40 @@ class _Block:
             elif depth == 0 and t.kind == WORD:
                 u = t.upper
                 if u == "CASE":
-                    case_nest += 1
+                    stack.append("CASE")
                 elif u in ("IF", "FOR", "WHILE", "REPEAT", "LOOP") \
                         and self._is_stmt_head(i):
-                    nest += 1
+                    stack.append(u)
                 elif u == "BEGIN" and self._is_stmt_head(i):
                     j = self._code(i + 1)
                     if not self._word(j, "TRANSACTION", "WORK", "NAME"):
-                        begin_nest += 1
+                        stack.append("BEGIN")
                 elif u == "END":
                     j = self._code(i + 1)
+                    top = stack[-1] if stack else None
                     if self._word(j, "IF", "FOR", "WHILE", "REPEAT",
-                                  "LOOP"):
+                                  "LOOP", "CASE"):
+                        kw = self.toks[j].upper
                         # END LOOP closes whichever loop construct
                         # opened (bare LOOP, or the FOR/WHILE … LOOP
-                        # body form) — the counter doesn't care which
-                        if nest > 0:
-                            nest -= 1
+                        # body form); END CASE consumes BOTH tokens
+                        if top == kw or (
+                            kw == "LOOP"
+                            and top in ("FOR", "WHILE", "LOOP")
+                        ):
+                            stack.pop()
                             i = j + 1
                             continue
                         # END of an unentered construct at our level —
                         # it can itself be a stop ("END IF")
-                    elif self._word(j, "CASE") and case_nest > 0:
-                        # END CASE (the CASE STATEMENT terminator, r8):
-                        # consume BOTH tokens — leaving the CASE word
-                        # would re-increment case_nest next iteration
-                        case_nest -= 1
-                        i = j + 1
-                        continue
-                    elif case_nest > 0:
-                        case_nest -= 1
+                    elif top in ("CASE", "BEGIN"):
+                        # bare END closes the INNERMOST closable
+                        # construct — a CASE expression/statement
+                        # (Snowflake: END [CASE]) or a nested block
+                        stack.pop()
                         i += 1
                         continue
-                    elif begin_nest > 0:
-                        begin_nest -= 1
-                        i += 1
-                        continue
-                if nest == 0 and case_nest == 0 and begin_nest == 0 \
-                        and u in stops and u != "CASE":
-                    if u == "ELSE" and case_nest > 0:
-                        i += 1
-                        continue
+                if not stack and u in stops and u != "CASE":
                     if u in head_only and not self._is_stmt_head(i):
                         i += 1
                         continue
@@ -933,22 +929,20 @@ class _Block:
             self.vars[t.text.lower()] = self._eval_scalar(
                 self._sub_expr(self.toks[j + 1:end]))
             return end + 1
-        # plain SQL statement → the engine (with :binds)
+        # plain SQL statement → the engine (with :binds). The result
+        # MATERIALIZES through the noop sink: a lazy query result's
+        # errors otherwise never surface and the EXCEPTION handler
+        # silently never fires (r8 probe: BREAK-on-error loops
+        # forever). This must gate on the RETURNED OBJECT, not the
+        # head keyword — EXECUTE IMMEDIATE '<select>' and
+        # parenthesized queries return lazy frames too (r8 review);
+        # eager statements return tiny local status frames where the
+        # extra no-op scan is negligible. Snowflake materializes
+        # every procedural statement.
         end = self._stmt_end(i)
         df = self.engine.execute(self._sub_binds(self.toks[i:end]))
-        if t.kind == WORD and t.upper in ("SELECT", "WITH", "VALUES",
-                                          "TABLE"):
-            # a bare query returns a LAZY DataFrame — without an
-            # action its errors never surface, so a failing SELECT
-            # inside a block silently skipped the EXCEPTION handler
-            # (r8 probe: BREAK-on-error loops forever). Snowflake
-            # materializes every procedural statement; the noop sink
-            # evaluates every row/column distributed-side with no
-            # driver collect. DML/DDL/CALL already execute eagerly.
-            try:
-                df.write.format("noop").mode("overwrite").save()
-            except AttributeError:
-                pass  # engine returned a non-DataFrame status
+        if df is not None and hasattr(df, "write"):
+            df.write.format("noop").mode("overwrite").save()
         return end + 1
 
     def _stmt_let(self, i: int) -> int:
@@ -1404,7 +1398,8 @@ class _Block:
         evaluates each WHEN as a boolean. The first matching branch
         runs; no match and no ELSE is a no-op."""
         j = self._code(i + 1)
-        operand = None
+        operand_lit = None
+        have_operand = False
         if self.toks[j].is_op("("):
             close = find_matching_paren(self.toks, j)
             k = self._code(close + 1)
@@ -1412,7 +1407,18 @@ class _Block:
             # form's operand; otherwise it is a searched-form
             # condition's leading paren and stays in place
             if self._word(k, "WHEN"):
-                operand = self._sub_expr(self.toks[j + 1:close])
+                # evaluate the operand ONCE (Snowflake evaluates
+                # expression_to_match once — per-arm re-evaluation
+                # multiplied engine round-trips and mis-branched on
+                # volatile operands; r8 review) and compare the
+                # rendered literal per WHEN
+                from .runner import IcebreakerEngine
+
+                val = self._eval_scalar(
+                    self._sub_expr(self.toks[j + 1:close]))
+                operand_lit = IcebreakerEngine._render_literal(val) \
+                    if val is not None else "NULL"
+                have_operand = True
                 j = k
         if not self._word(j, "WHEN"):
             raise ScriptingError(
@@ -1423,22 +1429,21 @@ class _Block:
             if self._word(j, "WHEN"):
                 cond, then_i = self._read_cond(self._code(j + 1), "THEN")
                 if not done:
-                    if operand is not None:
+                    if have_operand:
                         taken = self._eval_bool(
-                            f"({operand}) = ({cond})")
+                            f"({operand_lit}) = ({cond})")
                     else:
                         taken = self._eval_bool(cond)
                 i2 = then_i + 1
             elif self._word(j, "ELSE"):
                 taken = not done
                 i2 = self._code(j + 1)
-            else:  # END
+            else:  # END [CASE] — Snowflake's terminator keyword is
+                # optional (r8 review: bare END; is valid)
                 j2 = self._code(j + 1)
-                if not self._word(j2, "CASE"):
-                    raise ScriptingError(
-                        "CASE statement: expected END CASE"
-                    )
-                return self._stmt_end(j2) + 1
+                if self._word(j2, "CASE"):
+                    return self._stmt_end(j2) + 1
+                return self._stmt_end(j) + 1
             if taken:
                 stop = self._run_statements(i2, ("WHEN", "ELSE", "END"))
                 done = True

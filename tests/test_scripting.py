@@ -1659,3 +1659,60 @@ class TestLazySelectErrorsR8:
         r = engine.execute(
             "BEGIN SELECT 1 AS ok; RETURN 'done'; END")
         assert r.collect()[0].value == "done"
+
+
+class TestCaseLoopReviewR8:
+    """Round-8 review lock-ins on the LOOP/CASE additions."""
+
+    def test_begin_block_inside_skipped_case_branch(self, engine):
+        # the skip-scanner must close the nested block's bare END
+        # against the BLOCK, not the still-open CASE (stack, not
+        # counters)
+        r = engine.execute(
+            "BEGIN IF (false) THEN CASE (1) WHEN 1 THEN "
+            "BEGIN LET x := 1; END; END CASE; END IF; RETURN 1; END")
+        assert r.collect()[0].value == 1
+
+    def test_execute_immediate_error_reaches_handler(self, engine):
+        # materialization gates on the RETURNED object — EXECUTE
+        # IMMEDIATE '<select>' returns a lazy frame too
+        r = engine.execute(
+            "BEGIN EXECUTE IMMEDIATE 'SELECT 1/0'; RETURN 'no error'; "
+            "EXCEPTION WHEN OTHER THEN RETURN 'caught'; END")
+        assert r.collect()[0].value == "caught"
+
+    def test_case_statement_bare_end_terminator(self, engine):
+        # Snowflake's CASE statement terminator is END [CASE]
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 1; BEGIN LET x := 0; CASE (v) "
+            "WHEN 1 THEN LET x := 7; END; RETURN x; END")
+        assert r.collect()[0].value == 7
+
+    def test_case_operand_evaluated_once(self, engine):
+        # a volatile operand must pick EXACTLY one branch per
+        # execution (per-arm re-evaluation could match zero or many)
+        r = engine.execute(
+            "BEGIN LET hits := 0; FOR i IN 1 TO 10 DO "
+            "CASE (UNIFORM(1, 3, RANDOM())) "
+            "WHEN 1 THEN hits := hits + 1; "
+            "WHEN 2 THEN hits := hits + 1; "
+            "WHEN 3 THEN hits := hits + 1; END CASE; END FOR; "
+            "RETURN hits; END")
+        assert r.collect()[0].value == 10
+
+    def test_begin_block_inside_run_case_branch(self, engine):
+        r = engine.execute(
+            "BEGIN CASE (1) WHEN 1 THEN BEGIN LET x := 5; END; "
+            "END CASE; RETURN 'ok'; END")
+        assert r.collect()[0].value == "ok"
+
+    def test_case_string_and_computed_operands(self, engine):
+        r = engine.execute(
+            "DECLARE s STRING DEFAULT 'b'; BEGIN CASE (s) "
+            "WHEN 'a' THEN RETURN 1; WHEN 'b' THEN RETURN 2; "
+            "END CASE; END")
+        assert r.collect()[0].value == 2
+        r = engine.execute(
+            "DECLARE v INT DEFAULT 3; BEGIN CASE (v * 2) "
+            "WHEN 6 THEN RETURN 'six'; ELSE RETURN 'no'; END CASE; END")
+        assert r.collect()[0].value == "six"
