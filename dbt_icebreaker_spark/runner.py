@@ -239,10 +239,40 @@ class IcebreakerEngine:
     def _substitute_session_vars(self, stmt_tokens) -> str:
         from .transpiler.tokenizer import WORD, Token, render
 
-        from .transpiler.tokenizer import COMMENT, WS
+        from .transpiler.tokenizer import COMMENT, STRING, WS, next_code
 
         out = []
-        for t in stmt_tokens:
+        idx = 0
+        n_toks = len(stmt_tokens)
+        while idx < n_toks:
+            t = stmt_tokens[idx]
+            # GETVARIABLE('NAME') — runtime session-variable lookup by
+            # name (r8 audit batch): resolves through the same store
+            # as $name; unset → NULL (Snowflake). Only a literal name
+            # resolves; anything else would need per-row evaluation.
+            if t.kind == WORD and t.upper == "GETVARIABLE":
+                op_i = next_code(stmt_tokens, idx + 1)
+                if op_i < n_toks and stmt_tokens[op_i].is_op("("):
+                    arg_i = next_code(stmt_tokens, op_i + 1)
+                    close_i = next_code(stmt_tokens, arg_i + 1)
+                    if (arg_i < n_toks
+                            and stmt_tokens[arg_i].kind == STRING
+                            and close_i < n_toks
+                            and stmt_tokens[close_i].is_op(")")):
+                        nm = (stmt_tokens[arg_i].text[1:-1]
+                              .replace("''", "'").lower())
+                        val = self._session_vars.get(nm)
+                        out.append(Token(
+                            WORD,
+                            val if val is not None
+                            else "CAST(NULL AS STRING)"))
+                        idx = close_i + 1
+                        continue
+                    raise ValueError(
+                        "GETVARIABLE: the variable name must be a "
+                        "string literal — session variables resolve "
+                        "at statement-prepare time, not per row"
+                    )
             if (
                 t.kind == WORD and t.text.startswith("$")
                 and not t.text.startswith("$$") and len(t.text) > 1
@@ -266,9 +296,11 @@ class IcebreakerEngine:
                     prev.is_op(":") or prev.is_op(".")
                 ):
                     out.append(t)
+                    idx += 1
                     continue
                 if name in self._session_vars:
                     out.append(Token(WORD, self._session_vars[name]))
+                    idx += 1
                     continue
                 if not name.isdigit():
                     # an unknown $name would reach Spark as an opaque
@@ -281,6 +313,7 @@ class IcebreakerEngine:
                         f"{t.text[1:]} = <expr> first"
                     )
             out.append(t)
+            idx += 1
         return render(out).strip()
 
     def _maybe_set_session_var(self, raw: str):
@@ -382,9 +415,10 @@ class IcebreakerEngine:
             # session variables: substitute $name references set via
             # SET name = <expr> (Snowflake session variables; names
             # are dot-free so Spark confs pass through untouched)
-            if "$" in raw:
+            if "$" in raw or "GETVARIABLE" in raw.upper():
                 # runs even with NO vars set, so an unknown $name gets
-                # the actionable error rather than a Spark parse error
+                # the actionable error rather than a Spark parse error;
+                # GETVARIABLE('name') resolves through the same store
                 raw = self._substitute_session_vars(stmt_tokens)
             inner = self._parse_execute_immediate(raw)
             if inner is not None:

@@ -168,6 +168,23 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "CURRENT_ACCOUNT": "NULLCTX_X",
         "CURRENT_REGION": "NULLCTX_X",
         "CURRENT_SESSION": "NULLCTX_X",
+        # r8 fourth audit batch: more deployment-context functions
+        # that would otherwise reach Spark as UNRESOLVED_ROUTINE —
+        # no organization/role/policy concept exists locally, NULL is
+        # the honest rendering (same rationale as CURRENT_WAREHOUSE)
+        "CURRENT_ORGANIZATION_NAME": "NULLCTX_X",
+        "CURRENT_ACCOUNT_NAME": "NULLCTX_X",
+        "CURRENT_IP_ADDRESS": "NULLCTX_X",
+        "CURRENT_AVAILABLE_ROLES": "NULLCTX_X",
+        "CURRENT_SECONDARY_ROLES": "NULLCTX_X",
+        "ALL_USER_NAMES": "NULLCTX_X",
+        "INVOKER_ROLE": "NULLCTX_X",
+        "INVOKER_SHARE": "NULLCTX_X",
+        "IS_ROLE_IN_SESSION": "NULLCTX_X",
+        "IS_DATABASE_ROLE_IN_SESSION": "NULLCTX_X",
+        "IS_GRANTED_TO_INVOKER_ROLE": "NULLCTX_X",
+        "POLICY_CONTEXT": "NULLCTX_X",
+        "LAST_TRANSACTION": "CURTXN_X",  # no txn history → NULL
         "CURRENT_VERSION": "VERSION",  # Spark's version() string
         "YEAROFWEEK": "YOW_X",         # → EXTRACT(YEAROFWEEK …)
         "YEAROFWEEKISO": "YOW_X",
@@ -1488,7 +1505,9 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # .. Saturday=6; Spark's dayofweek is Sunday=1 — shift
                 a_s = render(tokens[args[0][0]:args[0][1]]).strip()
                 out += tokenize(f"(dayofweek(({a_s})) - 1)")
-            elif t.text == "NULLCTX_X" and len(args) == 0:
+            elif t.text == "NULLCTX_X" and len(args) <= 1:
+                # 1-arg covers IS_ROLE_IN_SESSION('X') etc. — the
+                # argument is discarded (no role catalog to consult)
                 out += tokenize("CAST(NULL AS STRING)")
             elif t.text == "LOCALTIME_X" and len(args) == 0:
                 out += tokenize(_LOCALTIME_SQL)

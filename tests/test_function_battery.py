@@ -1094,3 +1094,21 @@ def test_r8f_encrypt_refuses_actionably():
                "ENCRYPT_RAW(a, b, c)"):
         with pytest.raises(TranspileError, match="encryption|ENCRYPT"):
             t.to_spark(f"SELECT {fn} FROM t")
+
+
+R8G_CASES = [
+    # r8 fourth audit batch: deployment-context functions render NULL
+    # (no org/role/policy concept locally — same rationale as
+    # CURRENT_WAREHOUSE); LAST_TRANSACTION → NULL like
+    # CURRENT_TRANSACTION
+    ("SELECT CURRENT_ORGANIZATION_NAME() IS NULL", True),
+    ("SELECT INVOKER_ROLE() IS NULL", True),
+    ("SELECT IS_ROLE_IN_SESSION('SYSADMIN') IS NULL", True),
+    ("SELECT POLICY_CONTEXT() IS NULL", True),
+    ("SELECT LAST_TRANSACTION() IS NULL", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R8G_CASES, ids=lambda c: str(c)[:48])
+def test_r8g_context_functions(spark, sql, expect):
+    _check(spark, sql, expect)

@@ -3227,3 +3227,27 @@ class TestTimeTravelEdgesR7:
             "SELECT v FROM r7e_h1v AT(TIMESTAMP => "
             "'2026-01-15'::TIMESTAMP)").collect()[0].v
         assert r2 == "a"
+
+
+class TestGetVariableR8:
+    """Round-8: GETVARIABLE('name') — runtime session-variable lookup
+    through the same store as $name; unset → NULL (Snowflake)."""
+
+    def test_set_and_get(self, engine):
+        engine.execute("SET r8gv = 41 + 1")
+        try:
+            r = engine.execute("SELECT GETVARIABLE('R8GV') AS v")
+            assert r.collect()[0].v == 42
+            r = engine.execute("SELECT GETVARIABLE('r8gv') AS v")
+            assert r.collect()[0].v == 42
+        finally:
+            engine.execute("UNSET r8gv")
+
+    def test_unset_returns_null(self, engine):
+        r = engine.execute("SELECT GETVARIABLE('NEVER_SET_R8') AS v")
+        assert r.collect()[0].v is None
+
+    def test_non_literal_name_actionable(self, engine):
+        with pytest.raises(Exception, match="string literal"):
+            engine.execute(
+                "SELECT GETVARIABLE(c) FROM (SELECT 'x' AS c)")
