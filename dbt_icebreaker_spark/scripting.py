@@ -929,19 +929,23 @@ class _Block:
             self.vars[t.text.lower()] = self._eval_scalar(
                 self._sub_expr(self.toks[j + 1:end]))
             return end + 1
-        # plain SQL statement → the engine (with :binds). The result
-        # MATERIALIZES through the noop sink: a lazy query result's
+        # plain SQL statement → the engine (with :binds). QUERY-class
+        # results MATERIALIZE through the noop sink: a lazy query's
         # errors otherwise never surface and the EXCEPTION handler
         # silently never fires (r8 probe: BREAK-on-error loops
-        # forever). This must gate on the RETURNED OBJECT, not the
-        # head keyword — EXECUTE IMMEDIATE '<select>' and
-        # parenthesized queries return lazy frames too (r8 review);
-        # eager statements return tiny local status frames where the
-        # extra no-op scan is negligible. Snowflake materializes
-        # every procedural statement.
+        # forever; Snowflake materializes every procedural statement).
+        # The gate covers every lazy-returning head — bare queries,
+        # parenthesized queries, and EXECUTE IMMEDIATE '<query>' —
+        # while eager DML/DDL skip the extra no-op job (r8 review:
+        # one job per INSERT in a tight loop adds up).
         end = self._stmt_end(i)
         df = self.engine.execute(self._sub_binds(self.toks[i:end]))
-        if df is not None and hasattr(df, "write"):
+        lazy_head = (
+            t.is_op("(")
+            or (t.kind == WORD and t.upper in (
+                "SELECT", "WITH", "VALUES", "TABLE", "EXECUTE"))
+        )
+        if lazy_head and df is not None and hasattr(df, "write"):
             df.write.format("noop").mode("overwrite").save()
         return end + 1
 
@@ -1411,13 +1415,20 @@ class _Block:
                 # expression_to_match once — per-arm re-evaluation
                 # multiplied engine round-trips and mis-branched on
                 # volatile operands; r8 review) and compare the
-                # rendered literal per WHEN
+                # rendered literal per WHEN. Only SCALAR values
+                # round-trip through a literal faithfully — arrays/
+                # objects/binary fall back to inlining the operand SQL
+                # per arm (re-evaluated, but type-correct; r8 review)
                 from .runner import IcebreakerEngine
 
-                val = self._eval_scalar(
-                    self._sub_expr(self.toks[j + 1:close]))
-                operand_lit = IcebreakerEngine._render_literal(val) \
-                    if val is not None else "NULL"
+                op_sql = self._sub_expr(self.toks[j + 1:close])
+                val = self._eval_scalar(op_sql)
+                if val is None or isinstance(
+                    val, (bool, int, float, str)
+                ) or type(val).__name__ == "Decimal":
+                    operand_lit = IcebreakerEngine._render_literal(val)
+                else:
+                    operand_lit = f"({op_sql})"
                 have_operand = True
                 j = k
         if not self._word(j, "WHEN"):

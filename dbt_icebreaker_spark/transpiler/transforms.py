@@ -180,10 +180,11 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ALL_USER_NAMES": "NULLCTX_X",
         "INVOKER_ROLE": "NULLCTX_X",
         "INVOKER_SHARE": "NULLCTX_X",
-        "IS_ROLE_IN_SESSION": "NULLCTX_X",
-        "IS_DATABASE_ROLE_IN_SESSION": "NULLCTX_X",
-        "IS_GRANTED_TO_INVOKER_ROLE": "NULLCTX_X",
-        "POLICY_CONTEXT": "NULLCTX_X",
+        # boolean-returning role predicates get a BOOLEAN NULL — a
+        # string NULL fails FILTER_NOT_BOOLEAN in WHERE (r8 review)
+        "IS_ROLE_IN_SESSION": "NULLCTXB_X",
+        "IS_DATABASE_ROLE_IN_SESSION": "NULLCTXB_X",
+        "IS_GRANTED_TO_INVOKER_ROLE": "NULLCTXB_X",
         "LAST_TRANSACTION": "CURTXN_X",  # no txn history → NULL
         "CURRENT_VERSION": "VERSION",  # Spark's version() string
         "YEAROFWEEK": "YOW_X",         # → EXTRACT(YEAROFWEEK …)
@@ -527,7 +528,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
     "HAVERSINE_X", "TRYB64DEC_X", "TRYHEXDEC_X", "SOUNDEXDIFF_X",
     "OBJDEL_X", "OBJPICK_X", "JAROWINK_X", "GETIC_X", "ARRSIZE_X",
-    "DOW0_X", "NULLCTX_X", "HASHAGG_X", "LOCALTIME_X",
+    "DOW0_X", "NULLCTX_X", "NULLCTXB_X", "HASHAGG_X", "LOCALTIME_X",
     "ARRSORT_X", "ROUND_X", "RANDSTR_X",
     "B64DECB_X", "HEXDECB_X", "TRYB64DECB_X", "TRYHEXDECB_X",
     "DATETRUNC_X", "PARSEIP_X", "TRYPARSEIP_X", "CURCLIENT_X", "CURTXN_X",
@@ -1505,10 +1506,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # .. Saturday=6; Spark's dayofweek is Sunday=1 — shift
                 a_s = render(tokens[args[0][0]:args[0][1]]).strip()
                 out += tokenize(f"(dayofweek(({a_s})) - 1)")
-            elif t.text == "NULLCTX_X" and len(args) <= 1:
-                # 1-arg covers IS_ROLE_IN_SESSION('X') etc. — the
-                # argument is discarded (no role catalog to consult)
+            elif t.text == "NULLCTX_X" and len(args) == 0:
+                # zero-arg only: a bogus argument on CURRENT_ROLE()
+                # etc. must still surface an arity error (r8 review)
                 out += tokenize("CAST(NULL AS STRING)")
+            elif t.text == "NULLCTXB_X" and len(args) == 1:
+                # boolean role predicates (IS_ROLE_IN_SESSION('X')):
+                # the argument is discarded — no role catalog exists
+                out += tokenize("CAST(NULL AS BOOLEAN)")
             elif t.text == "LOCALTIME_X" and len(args) == 0:
                 out += tokenize(_LOCALTIME_SQL)
             elif t.text == "HASHAGG_X" and len(args) >= 1:
@@ -2662,8 +2667,12 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     # with a wrong arity is an arity error (r7 review)
                     from .core import TranspileError
 
+                    # removesuffix, not rstrip: rstrip('_X') eats every
+                    # trailing X ('NULLCTX_X' → 'NULLCT'; r8 review)
+                    nice = t.text[:-2] if t.text.endswith("_X") \
+                        else t.text
                     raise TranspileError(
-                        f"{t.text.rstrip('_X')}: unsupported argument "
+                        f"{nice}: unsupported argument "
                         f"count ({len(args)})"
                     )
                 out.append(_word(fallback))
@@ -6533,6 +6542,10 @@ _UNSUPPORTED_SCALARS = {
                      "LAST_QUERY_ID outside RESULT_SCAN has no engine "
                      "meaning (per-model runtime metrics live in "
                      "observability/telemetry)",
+    "POLICY_CONTEXT": "removing the call — POLICY_CONTEXT simulates "
+                      "masking/row-access policy evaluation and no "
+                      "policies exist locally; test the policy "
+                      "expression directly as a WHERE/CASE predicate",
     "ENCRYPT": "application-side encryption before ingest — no "
                "AES-GCM primitive ships in this runtime (Python "
                "stdlib has none; COMPRESS-style session UDFs need a "

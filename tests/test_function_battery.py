@@ -1104,11 +1104,28 @@ R8G_CASES = [
     ("SELECT CURRENT_ORGANIZATION_NAME() IS NULL", True),
     ("SELECT INVOKER_ROLE() IS NULL", True),
     ("SELECT IS_ROLE_IN_SESSION('SYSADMIN') IS NULL", True),
-    ("SELECT POLICY_CONTEXT() IS NULL", True),
     ("SELECT LAST_TRANSACTION() IS NULL", True),
+    # boolean NULL, usable as a predicate (a string NULL fails
+    # FILTER_NOT_BOOLEAN — r8 review)
+    ("SELECT COUNT(*) FROM (SELECT 1 AS x) "
+     "WHERE IS_ROLE_IN_SESSION('ANALYST')", 0),
 ]
 
 
 @pytest.mark.parametrize("sql,expect", R8G_CASES, ids=lambda c: str(c)[:48])
 def test_r8g_context_functions(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+def test_r8g_policy_context_refuses_actionably():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="POLICY_CONTEXT"):
+        t.to_spark("SELECT POLICY_CONTEXT()")
+
+
+def test_r8g_zero_arg_context_fn_arity_still_errors():
+    # CURRENT_ROLE('x') is invalid Snowflake — the bogus argument must
+    # surface an error, not silently render NULL (r8 review)
+    with pytest.raises(Exception):
+        t.to_spark("SELECT CURRENT_ROLE('x')")
