@@ -6175,6 +6175,60 @@ XOP_ORACLES["q94_audit_functions"] = """
 """
 
 
+def _q_connect_by_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 CONNECT BY extensions (q95): CONNECT_BY_ISLEAF (LEFT
+    JOIN on distinct child keys), NOCYCLE (visited-ancestor guard —
+    a no-op on this acyclic tree, proving it doesn't disturb plain
+    traversal), LEVEL. The hierarchy is a deterministic binary tree
+    over row-numbered orders (node k's parent is floor(k/2)), so the
+    oracle is a plain recursive CTE. Sibling ORDER is covered by unit
+    tests (the gate sorts rows, so output order can't be graded
+    here)."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    eng.execute(
+        """CREATE OR REPLACE TEMP VIEW cb_h AS
+           SELECT rn AS id,
+                  CASE WHEN rn = 1 THEN NULL
+                       ELSE CAST(FLOOR(rn / 2) AS BIGINT) END AS parent
+           FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                             AS BIGINT) AS rn
+                 FROM orders WHERE o_orderkey <= 1000)"""
+    )
+    return eng.execute(
+        """SELECT id, CAST(LEVEL AS INT) AS lvl,
+                  CAST(CONNECT_BY_ISLEAF AS INT) AS lf
+           FROM cb_h START WITH parent IS NULL
+           CONNECT BY NOCYCLE PRIOR id = parent"""
+    )
+
+
+XOP_ORACLES["q95_connect_by_extensions"] = """
+    WITH RECURSIVE base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+               AS id
+      FROM orders WHERE o_orderkey <= 1000
+    ),
+    h AS (
+      SELECT id, CASE WHEN id = 1 THEN NULL
+                      ELSE CAST(FLOOR(id / 2) AS BIGINT) END AS parent
+      FROM base
+    ),
+    tree AS (
+      SELECT id, 1 AS lvl FROM h WHERE parent IS NULL
+      UNION ALL
+      SELECT h.id, t.lvl + 1 FROM h JOIN tree t ON h.parent = t.id
+    )
+    SELECT tree.id, CAST(tree.lvl AS INT) AS lvl,
+           CAST(CASE WHEN tree.id IN (
+             SELECT parent FROM h WHERE parent IS NOT NULL
+           ) THEN 0 ELSE 1 END AS INT) AS lf
+    FROM tree
+"""
+
+
 def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
     equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
@@ -6410,6 +6464,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x70_pattern_exclusion": _x_pattern_exclusion,
     "q93_sketch_percentile": _q_sketch_percentile,
     "q94_audit_functions": _q_audit_functions,
+    "q95_connect_by_extensions": _q_connect_by_extensions,
     "q63_merge_statement": _q_merge_statement,
     "q72_merge_conditional": _q_merge_conditional,
     "q73_time_travel": _q_time_travel,

@@ -5720,11 +5720,26 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 )
     if i_connect < 0:
         return tokens
-    for bad in ("CONNECT_BY_ISLEAF", "CONNECT_BY_ISCYCLE"):
-        if any(t.kind == WORD and t.upper == bad for t in tokens):
-            _cb_error(f"{bad} has no mechanical rendering")
-    if any(t.kind == WORD and t.upper in ("SIBLINGS", "NOCYCLE") for t in tokens):
-        _cb_error("ORDER SIBLINGS BY / NOCYCLE are unsupported")
+    if any(t.kind == WORD and t.upper == "CONNECT_BY_ISCYCLE"
+           for t in tokens):
+        _cb_error(
+            "CONNECT_BY_ISCYCLE has no mechanical rendering (NOCYCLE "
+            "itself is supported — cyclic branches stop expanding)"
+        )
+    # CONNECT BY NOCYCLE: stop expanding a branch when the child is
+    # already among its ancestors (r8 — Oracle/Snowflake cycle guard;
+    # implemented as a visited-key array carried through the
+    # recursion). Detected here, consumed after the condition parses.
+    nocycle = False
+    j_nc = next_code(tokens, next_code(tokens, i_connect + 1) + 1)
+    if j_nc < len(tokens) and tokens[j_nc].is_word("NOCYCLE"):
+        nocycle = True
+        tokens = tokens[:j_nc] + tokens[j_nc + 1:]
+        # clause indexes after the removed token shift left by one
+        if i_start > j_nc:
+            i_start -= 1
+    if any(t.kind == WORD and t.upper == "NOCYCLE" for t in tokens):
+        _cb_error("NOCYCLE belongs directly after CONNECT BY")
     if i_start < 0:
         _cb_error("no START WITH clause (the recursive CTE needs an "
                   "anchor; CONNECT BY LEVEL row generators have none)")
@@ -5779,6 +5794,42 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     start_cond = _clean(tokens[next_code(tokens, next_code(tokens, i_start + 1) + 1):seg_end(i_start)])
     connect_cond = _clean(tokens[next_code(tokens, next_code(tokens, i_connect + 1) + 1):seg_end(i_connect)])
     tail = _clean(tokens[i_order:]) if i_order >= 0 else []
+
+    # ORDER SIBLINGS BY col[, col…] (r8): depth-first output with
+    # siblings sorted by the key — rendered as a generated ARRAY sort
+    # key carried through the recursion (a parent's key array is a
+    # strict PREFIX of its descendants', so lexicographic array
+    # ordering IS the sibling-sorted depth-first walk). ASC only: a
+    # global DESC over the array would reverse parents below children.
+    siblings_cols: list[str] = []
+    if tail:
+        t1 = next_code(tail, 0)
+        t2 = next_code(tail, t1 + 1)
+        if t2 < len(tail) and tail[t2].is_word("SIBLINGS"):
+            t3 = next_code(tail, t2 + 1)
+            if t3 >= len(tail) or not tail[t3].is_word("BY"):
+                _cb_error("ORDER SIBLINGS: expected BY")
+            if any(c.kind == WORD and c.upper in ("DESC", "NULLS")
+                   for c in tail):
+                _cb_error(
+                    "ORDER SIBLINGS BY … DESC/NULLS has no faithful "
+                    "rendering (the generated array sort key orders "
+                    "the whole walk; inverting one key inverts "
+                    "parent-before-child too) — sort ascending or "
+                    "post-process"
+                )
+            for s_lo, s_hi in split_args(tail, t3 + 1, len(tail)):
+                seg2 = [c for c in tail[s_lo:s_hi]
+                        if c.kind not in (WS, COMMENT)]
+                seg2 = [c for c in seg2 if not c.is_word("ASC")]
+                if not seg2:
+                    _cb_error("ORDER SIBLINGS BY: empty sort key")
+                # plain (optionally qualified) columns only — the key
+                # must re-qualify against the SOURCE alias inside the
+                # recursion (a bare name is ambiguous there: both the
+                # source and __cb carry it)
+                siblings_cols.append(seg2)  # resolved after src parse
+            tail = []
 
     # source: dotted name + optional alias, nothing else
     if any(c.is_op("(") or c.is_op(",") for c in src) or any(
@@ -5859,6 +5910,14 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 name = specials.setdefault(key, f"__cbp{len(specials)}")
                 out2.append(_word(name))
                 i2 = close2 + 1
+                continue
+            if tk.kind == WORD and tk.upper == "CONNECT_BY_ISLEAF":
+                # leaf = no row of the SOURCE references this row as
+                # parent (Oracle contract); rendered via a broadcast
+                # LEFT JOIN on distinct child keys — an IN-subquery in
+                # a projection is rejected by Spark (r8)
+                out2.append(_word("__cbisleaf"))
+                i2 += 1
                 continue
             if tk.kind == WORD and tk.upper == "CONNECT_BY_ROOT":
                 j2 = next_code(seg, i2 + 1)
@@ -5941,14 +6000,46 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         else:  # root: anchor value rides down unchanged
             anchor_extra += f", {a}.{col} AS {name}"
             rec_extra += f", __cb.{name} AS {name}"
+    join_guard = ""
+    if nocycle:
+        # visited-ancestor keys: a child already among its ancestors
+        # stops expanding (coalesce keeps NULL-id rows joinable)
+        anchor_extra += f", array({a}.{parent_col}) AS __cbk"
+        rec_extra += (f", array_append(__cb.__cbk, {a}.{parent_col}) "
+                      f"AS __cbk")
+        # SNOWFLAKE argument order (value, array): this generated text
+        # still flows through rewrite_simple_renames, whose
+        # ARRAY_CONTAINS swap normalizes it to Spark's (array, value)
+        join_guard = (f" AND NOT coalesce(array_contains("
+                      f"{a}.{parent_col}, __cb.__cbk), false)")
+    if siblings_cols:
+        qcols = [f"{a}.{_cb_column_of(seg2, src_names)}"
+                 for seg2 in siblings_cols]
+        skey = (f"struct({', '.join(qcols)})"
+                if len(qcols) > 1 else qcols[0])
+        anchor_extra += f", array({skey}) AS __cbsort"
+        rec_extra += f", array_append(__cb.__cbsort, {skey}) AS __cbsort"
+        tail_txt = "ORDER BY __cbsort"
+    need_isleaf = any("__cbisleaf" in s
+                      for s in (sel_txt, where_txt, tail_txt))
+    if need_isleaf:
+        leaf_case = ("CASE WHEN __cbleaf.__cbleafkey IS NULL "
+                     "THEN 1 ELSE 0 END")
+        sel_txt = sel_txt.replace("__cbisleaf", leaf_case)
+        where_txt = where_txt.replace("__cbisleaf", leaf_case)
+        tail_txt = tail_txt.replace("__cbisleaf", leaf_case)
     gen = (
         f"WITH RECURSIVE __cb AS ("
         f"SELECT {a}.*, 1 AS __level{anchor_extra} "
         f"FROM {table} {a} WHERE {start_txt} "
         f"UNION ALL "
         f"SELECT {a}.*, __cb.__level + 1{rec_extra} FROM {table} {a} "
-        f"JOIN __cb ON {a}.{child_col} = __cb.{parent_col}"
+        f"JOIN __cb ON {a}.{child_col} = __cb.{parent_col}{join_guard}"
         f") SELECT {sel_txt} FROM __cb AS {a}"
+        + (f" LEFT JOIN (SELECT DISTINCT {child_col} AS __cbleafkey "
+           f"FROM {table}) __cbleaf "
+           f"ON {a}.{parent_col} = __cbleaf.__cbleafkey"
+           if need_isleaf else "")
         + (f" WHERE {where_txt}" if where_txt else "")
         + (f" {tail_txt}" if tail_txt else "")
     )

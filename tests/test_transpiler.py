@@ -2091,8 +2091,8 @@ class TestConnectBy:
              "CONNECT BY PRIOR emp = mgr AND x = 1", "single equality"),
             ("SELECT emp FROM a JOIN b ON a.x = b.x START WITH mgr IS NULL "
              "CONNECT BY PRIOR emp = mgr", "single table"),
-            ("SELECT CONNECT_BY_ISLEAF FROM staff START WITH mgr IS NULL "
-             "CONNECT BY PRIOR emp = mgr", "CONNECT_BY_ISLEAF"),
+            ("SELECT CONNECT_BY_ISCYCLE FROM staff START WITH mgr IS NULL "
+             "CONNECT BY PRIOR emp = mgr", "CONNECT_BY_ISCYCLE"),
         ]
         for sql, pat in cases:
             with pytest.raises(TranspileError, match=pat):
@@ -2309,12 +2309,14 @@ class TestConnectByPathRoot:
                 "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
             )
 
-    def test_isleaf_still_refused(self):
-        with pytest.raises(TranspileError, match="CONNECT_BY_ISLEAF"):
-            t.to_spark(
-                "SELECT CONNECT_BY_ISLEAF FROM staff "
-                "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
-            )
+    def test_isleaf_now_rewrites(self):
+        # r8: CONNECT_BY_ISLEAF landed — a broadcast-friendly LEFT
+        # JOIN on distinct child keys (was a refusal through r7)
+        out = t.to_spark(
+            "SELECT CONNECT_BY_ISLEAF FROM staff "
+            "START WITH mgr IS NULL CONNECT BY PRIOR emp = mgr"
+        )
+        assert "__cbleaf" in out and "LEFT JOIN" in out
 
 
 class TestToCharNumericFormats:
@@ -2774,3 +2776,78 @@ class TestApproxTopKSketchR8:
 
         with pytest.raises(TranspileError, match="engine"):
             Transpiler().to_spark("SELECT APPROX_TOP_K_ESTIMATE(s, 3)")
+
+
+class TestConnectByExtensionsR8:
+    """Round-8: CONNECT_BY_ISLEAF (broadcast LEFT JOIN on distinct
+    child keys — IN-subqueries are rejected in projections), ORDER
+    SIBLINGS BY (array sort key carried through the recursion: a
+    parent's key is a strict prefix of its descendants', so
+    lexicographic array order IS the sibling-sorted depth-first walk),
+    and CONNECT BY NOCYCLE (visited-ancestor key array stops cyclic
+    branches)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def hier(self, spark):
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW cb_emp AS SELECT * FROM
+            VALUES (1, NULL, 'ceo', 'b'), (2, 1, 'vp2', 'c'),
+            (3, 1, 'vp1', 'a'), (4, 2, 'eng1', 'a'),
+            (5, 2, 'eng2', 'b'), (6, 3, 'ops', 'z')
+            t(id, mgr, name, sortk)"""
+        )
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW cb_cyc AS SELECT * FROM
+            VALUES (1, 3), (2, 1), (3, 2) t(id, mgr)"""
+        )
+
+    def test_isleaf(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id, CONNECT_BY_ISLEAF AS lf FROM cb_emp "
+            "START WITH mgr IS NULL CONNECT BY PRIOR id = mgr "
+            "ORDER BY id")).collect()
+        assert [(r.id, r.lf) for r in rows] == [
+            (1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)]
+
+    def test_order_siblings_by(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id, name FROM cb_emp START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk"
+        )).collect()
+        # depth-first, siblings by sortk: ceo → vp1(a) → ops,
+        # then vp2(c) → eng1(a), eng2(b)
+        assert [r.id for r in rows] == [1, 3, 6, 2, 4, 5]
+
+    def test_order_siblings_multi_key(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cb_emp START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk, id"
+        )).collect()
+        assert [r.id for r in rows] == [1, 3, 6, 2, 4, 5]
+
+    def test_order_siblings_desc_refuses(self):
+        with pytest.raises(TranspileError, match="DESC"):
+            t.to_spark(
+                "SELECT id FROM cb_emp START WITH mgr IS NULL "
+                "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk DESC")
+
+    def test_nocycle_terminates_cycle(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id, LEVEL FROM cb_cyc START WITH id = 1 "
+            "CONNECT BY NOCYCLE PRIOR id = mgr ORDER BY LEVEL"
+        )).collect()
+        assert [(r.id, r.level) for r in rows] == [(1, 1), (2, 2), (3, 3)]
+
+    def test_nocycle_on_acyclic_data_is_plain(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id, LEVEL FROM cb_emp START WITH mgr IS NULL "
+            "CONNECT BY NOCYCLE PRIOR id = mgr ORDER BY id"
+        )).collect()
+        assert [(r.id, r.level) for r in rows] == [
+            (1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (6, 3)]
+
+    def test_iscycle_still_refuses(self):
+        with pytest.raises(TranspileError, match="ISCYCLE"):
+            t.to_spark(
+                "SELECT CONNECT_BY_ISCYCLE FROM cb_emp START WITH "
+                "mgr IS NULL CONNECT BY PRIOR id = mgr")
