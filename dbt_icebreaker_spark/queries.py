@@ -6177,12 +6177,12 @@ XOP_ORACLES["q94_audit_functions"] = """
 
 def _q_connect_by_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-8 CONNECT BY extensions (q95): CONNECT_BY_ISLEAF (LEFT
-    JOIN on distinct child keys), NOCYCLE (visited-ancestor guard —
-    a no-op on this acyclic tree, proving it doesn't disturb plain
-    traversal), LEVEL. The hierarchy is a deterministic binary tree
-    over row-numbered orders (node k's parent is floor(k/2)), so the
-    oracle is a plain recursive CTE. Sibling ORDER is covered by unit
-    tests (the gate sorts rows, so output order can't be graded
+    JOIN on distinct child keys) + LEVEL over a deterministic binary
+    tree built from row-numbered orders (node k's parent is
+    floor(k/2)), so the oracle is a plain recursive CTE.
+    NOCYCLE+ISLEAF together REFUSES (leaf-ness is path-dependent under
+    pruning), so NOCYCLE and sibling ORDER are covered by unit tests
+    (the gate also sorts rows, so output order can't be graded
     here)."""
     from .runner import IcebreakerEngine
 
@@ -6201,7 +6201,7 @@ def _q_connect_by_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT id, CAST(LEVEL AS INT) AS lvl,
                   CAST(CONNECT_BY_ISLEAF AS INT) AS lf
            FROM cb_h START WITH parent IS NULL
-           CONNECT BY NOCYCLE PRIOR id = parent"""
+           CONNECT BY PRIOR id = parent"""
     )
 
 

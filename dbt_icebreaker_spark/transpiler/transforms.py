@@ -5801,7 +5801,7 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     # strict PREFIX of its descendants', so lexicographic array
     # ordering IS the sibling-sorted depth-first walk). ASC only: a
     # global DESC over the array would reverse parents below children.
-    siblings_cols: list[str] = []
+    siblings_cols: list[Tokens] = []  # plain-column token segments
     if tail:
         t1 = next_code(tail, 0)
         t2 = next_code(tail, t1 + 1)
@@ -5952,6 +5952,15 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
             i2 += 1
         return out2
 
+    # ISLEAF is only meaningful over the RESULT (select list / WHERE /
+    # ORDER BY) — inside the traversal conditions it would reach Spark
+    # as an unresolved column (r8 review)
+    if any(c.kind == WORD and c.upper == "CONNECT_BY_ISLEAF"
+           for c in list(start_cond) + list(connect_cond)):
+        _cb_error(
+            "CONNECT_BY_ISLEAF cannot appear in START WITH / "
+            "CONNECT BY conditions — filter on it in WHERE instead"
+        )
     sel = _sub_special(sel)
     if where_seg:
         where_seg = _sub_special(where_seg)
@@ -5977,6 +5986,12 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                     "column; list the columns (LEVEL is available)")
             if len(code) == 1 and code[0].kind == WORD and code[0].upper == "LEVEL":
                 items.append("__level AS level")
+            elif (len(code) == 1 and code[0].kind == WORD
+                  and code[0].text == "__cbisleaf"):
+                # a bare CONNECT_BY_ISLEAF select item keeps its
+                # Snowflake/Oracle output name (r8 review: the raw
+                # CASE rendering leaked as the column name)
+                items.append("__cbisleaf AS connect_by_isleaf")
             else:
                 items.append(render(_cb_sub_level(item)).strip())
             item = []
@@ -6013,15 +6028,45 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         join_guard = (f" AND NOT coalesce(array_contains("
                       f"{a}.{parent_col}, __cb.__cbk), false)")
     if siblings_cols:
-        qcols = [f"{a}.{_cb_column_of(seg2, src_names)}"
-                 for seg2 in siblings_cols]
-        skey = (f"struct({', '.join(qcols)})"
-                if len(qcols) > 1 else qcols[0])
+        from .core import TranspileError as _TE
+
+        try:
+            qcols = [f"{a}.{_cb_column_of(seg2, src_names)}"
+                     for seg2 in siblings_cols]
+        except _TE:
+            _cb_error(
+                "ORDER SIBLINGS BY keys must be plain (optionally "
+                "qualified) columns of the hierarchy source — wrap "
+                "expressions in the source view instead"
+            )
+        # per key: (IS NULL, key) so NULL keys sort LAST like
+        # Oracle's ASC default (bare Spark array order puts them
+        # first); the node's own link key is appended as a UNIQUE
+        # tiebreaker — tied sibling keys would otherwise interleave
+        # subtrees, breaking depth-first contiguity (both r8 review,
+        # execution-confirmed)
+        parts = []
+        for qc in qcols:
+            parts += [f"{qc} IS NULL", qc]
+        parts.append(f"{a}.{parent_col}")
+        skey = f"struct({', '.join(parts)})"
         anchor_extra += f", array({skey}) AS __cbsort"
         rec_extra += f", array_append(__cb.__cbsort, {skey}) AS __cbsort"
         tail_txt = "ORDER BY __cbsort"
     need_isleaf = any("__cbisleaf" in s
                       for s in (sel_txt, where_txt, tail_txt))
+    if need_isleaf and nocycle:
+        # leaf-ness under NOCYCLE is PER PATH (a node whose only
+        # children are cycle-pruned IS a leaf there) — the distinct
+        # child-key join cannot see the pruning, so the combination
+        # would silently answer 0 where Oracle answers 1 (r8 review,
+        # execution-confirmed)
+        _cb_error(
+            "CONNECT_BY_ISLEAF combined with NOCYCLE is not rewritten "
+            "(leaf-ness becomes path-dependent once cyclic branches "
+            "are pruned) — drop NOCYCLE or compute leaf-ness "
+            "downstream against the result"
+        )
     if need_isleaf:
         leaf_case = ("CASE WHEN __cbleaf.__cbleafkey IS NULL "
                      "THEN 1 ELSE 0 END")

@@ -2851,3 +2851,61 @@ class TestConnectByExtensionsR8:
             t.to_spark(
                 "SELECT CONNECT_BY_ISCYCLE FROM cb_emp START WITH "
                 "mgr IS NULL CONNECT BY PRIOR id = mgr")
+
+
+class TestConnectByReviewR8:
+    """Round-8 review lock-ins on the CONNECT BY extensions (tied
+    sibling keys, NULL sort keys, ISLEAF naming/refusals)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def hier(self, spark):
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW cbr_tied AS SELECT * FROM
+            VALUES (1, NULL, 'a'), (2, 1, 'a'), (3, 1, 'a'),
+            (4, 2, 'x'), (5, 3, 'y') t(id, mgr, sortk)"""
+        )
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW cbr_null AS SELECT * FROM
+            VALUES (1, NULL, 'm'), (2, 1, CAST(NULL AS STRING)),
+            (3, 1, 'a') t(id, mgr, sortk)"""
+        )
+
+    def test_tied_sibling_keys_keep_subtrees_contiguous(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cbr_tied START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk"
+        )).collect()
+        # each parent's subtree stays contiguous even with equal keys
+        assert [r.id for r in rows] == [1, 2, 4, 3, 5]
+
+    def test_null_sort_keys_sort_last(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cbr_null START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk"
+        )).collect()
+        assert [r.id for r in rows] == [1, 3, 2]  # NULL key last
+
+    def test_bare_isleaf_keeps_output_name(self, spark):
+        df = spark.sql(t.to_spark(
+            "SELECT id, CONNECT_BY_ISLEAF FROM cbr_tied "
+            "START WITH mgr IS NULL CONNECT BY PRIOR id = mgr"))
+        assert df.columns == ["id", "connect_by_isleaf"]
+
+    def test_isleaf_with_nocycle_refuses(self):
+        with pytest.raises(TranspileError, match="path-dependent"):
+            t.to_spark(
+                "SELECT CONNECT_BY_ISLEAF FROM cbr_tied START WITH "
+                "mgr IS NULL CONNECT BY NOCYCLE PRIOR id = mgr")
+
+    def test_isleaf_in_condition_refuses(self):
+        with pytest.raises(TranspileError, match="WHERE instead"):
+            t.to_spark(
+                "SELECT id FROM cbr_tied START WITH "
+                "CONNECT_BY_ISLEAF = 1 CONNECT BY PRIOR id = mgr")
+
+    def test_expression_sort_key_refuses_with_sort_wording(self):
+        with pytest.raises(TranspileError, match="SIBLINGS BY keys"):
+            t.to_spark(
+                "SELECT id FROM cbr_tied START WITH mgr IS NULL "
+                "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY "
+                "UPPER(sortk)")
