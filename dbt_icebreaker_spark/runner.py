@@ -205,6 +205,15 @@ class IcebreakerEngine:
         from .udfs import register_scalar_udfs
 
         register_scalar_udfs(self.spark)
+        # DROP TABLE retention ledger (UNDROP TABLE, Snowflake
+        # data-retention semantics): the engine renames dropped tables
+        # to a hidden name instead of deleting — a catalog metadata
+        # operation (directory rename), zero-copy at any scale — and
+        # UNDROP renames the most recent one back. Session-scoped,
+        # capped: evictions beyond _drop_retention really drop.
+        self._drop_ledger: dict[str, list[tuple[str, str]]] = {}
+        self._drop_order: list[str] = []  # ledger keys, oldest first
+        self._drop_retention = 20
         # stored-procedure registry (procedures.py): name → overloads,
         # session-scoped like temp views; _call_depth bounds recursion
         self._procedures: dict[str, list] = {}
@@ -629,6 +638,174 @@ class IcebreakerEngine:
             i = end + 1
         return render(out) if changed else raw
 
+    # ----------------------------------------- DROP retention / UNDROP
+    def _parse_drop_undrop_name(self, toks, start):
+        """Dotted 1- or 2-part table name starting at token ``start``:
+        returns (db, table, next_index) with parts lowercased (Spark's
+        session catalog is case-insensitive and stores lowercase), or
+        None for shapes this path doesn't own (3-part catalog names,
+        internal __icebreaker temps)."""
+        from .transpiler.tokenizer import QIDENT, WORD, next_code
+
+        parts = []
+        k = start
+        n = len(toks)
+        while k < n and toks[k].kind in (WORD, QIDENT):
+            t = toks[k]
+            parts.append(
+                t.text[1:-1].replace('""', '"') if t.kind == QIDENT
+                else t.text
+            )
+            k = next_code(toks, k + 1)
+            if k < n and toks[k].is_op("."):
+                k = next_code(toks, k + 1)
+                continue
+            break
+        if not parts or len(parts) > 2:
+            return None
+        if len(parts) == 1:
+            db = self.spark.catalog.currentDatabase()
+            tbl = parts[0]
+        else:
+            db, tbl = parts
+        if tbl.lower().startswith("__icebreaker"):
+            return None  # engine internals never enter retention
+        return db.lower(), tbl.lower(), k
+
+    def _maybe_drop_table(self, raw: str):
+        """``DROP TABLE [IF EXISTS] name [CASCADE|RESTRICT]`` on an
+        existing managed/external table → rename into the hidden
+        retention namespace (metadata-only) + ledger entry, so UNDROP
+        can restore it. Anything else (views, missing tables, 3-part
+        names) returns None and falls through to Spark's native DROP,
+        keeping its exact error surface."""
+        from .transpiler.tokenizer import next_code, tokenize
+
+        toks = tokenize(raw)
+        i = next_code(toks, 0)
+        if i >= len(toks) or not toks[i].is_word("DROP"):
+            return None
+        j = next_code(toks, i + 1)
+        if j >= len(toks) or not toks[j].is_word("TABLE"):
+            return None
+        k = next_code(toks, j + 1)
+        if k < len(toks) and toks[k].is_word("IF"):
+            m = next_code(toks, k + 1)
+            if m >= len(toks) or not toks[m].is_word("EXISTS"):
+                return None
+            k = next_code(toks, m + 1)
+        parsed = self._parse_drop_undrop_name(toks, k)
+        if parsed is None:
+            return None
+        db, tbl, k = parsed
+        # tail: Snowflake's optional CASCADE/RESTRICT (no local FK /
+        # policy objects — nothing to cascade to), then end
+        if k < len(toks) and toks[k].is_word("CASCADE", "RESTRICT"):
+            k = next_code(toks, k + 1)
+        if k < len(toks) and toks[k].is_op(";"):
+            k = next_code(toks, k + 1)
+        if k < len(toks):
+            return None  # unknown tail — not this path's statement
+        qualified = f"`{db}`.`{tbl}`"
+        try:
+            if not self.spark.catalog.tableExists(qualified):
+                return None  # native DROP handles IF EXISTS / errors
+            ttype = self.spark.catalog.getTable(qualified).tableType
+        except Exception:
+            return None
+        if ttype not in ("MANAGED", "EXTERNAL"):
+            return None  # DROP TABLE on a view: Spark's native error
+        import uuid as _uuid
+
+        trash = "__icebreaker_dropped_" + _uuid.uuid4().hex[:12]
+        self.spark.sql(
+            f"ALTER TABLE {qualified} RENAME TO `{db}`.`{trash}`"
+        )
+        key = f"{db}.{tbl}"
+        self._drop_ledger.setdefault(key, []).append((db, trash))
+        self._drop_order.append(key)
+        while len(self._drop_order) > self._drop_retention:
+            old_key = self._drop_order.pop(0)
+            stack = self._drop_ledger.get(old_key) or []
+            if stack:
+                odb, otrash = stack.pop(0)  # oldest version first
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS `{odb}`.`{otrash}`")
+            if not stack:
+                self._drop_ledger.pop(old_key, None)
+        return self.spark.createDataFrame(
+            [(key, "dropped (retained for UNDROP TABLE; retention is "
+              f"engine-session scoped, last {self._drop_retention} "
+              "drops)")],
+            "table string, status string",
+        )
+
+    def _maybe_undrop(self, raw: str):
+        """``UNDROP TABLE name`` → restore the most recently dropped
+        version from the retention ledger (Snowflake semantics: fails
+        if a live table of that name exists; LIFO across repeated
+        drop/recreate cycles). Ref has no local equivalent — Snowflake
+        answers this from its metadata layer; here the ledger +
+        rename-based retention is that layer."""
+        from .transpiler.tokenizer import next_code, tokenize
+
+        toks = tokenize(raw)
+        i = next_code(toks, 0)
+        if i >= len(toks) or not toks[i].is_word("UNDROP"):
+            return None
+        j = next_code(toks, i + 1)
+        if j >= len(toks) or not toks[j].is_word(
+            "TABLE", "SCHEMA", "DATABASE"
+        ):
+            raise ValueError(
+                "UNDROP: expected UNDROP TABLE <name>"
+            )
+        if not toks[j].is_word("TABLE"):
+            raise ValueError(
+                "UNDROP is supported for TABLE only — the engine "
+                "retains renamed table data per drop; schema/database "
+                "drops delete immediately"
+            )
+        k = next_code(toks, j + 1)
+        parsed = self._parse_drop_undrop_name(toks, k)
+        if parsed is None:
+            raise ValueError(
+                "UNDROP TABLE: expected a 1- or 2-part table name"
+            )
+        db, tbl, _ = parsed
+        key = f"{db}.{tbl}"
+        stack = self._drop_ledger.get(key)
+        if not stack:
+            raise ValueError(
+                f"UNDROP TABLE {key}: no dropped version is retained "
+                "in this engine session (retention keeps the last "
+                f"{self._drop_retention} DROP TABLE statements run "
+                "through the engine, and is session-scoped). For a "
+                "point-in-time copy of a snapshot (SCD2) table use "
+                "CREATE TABLE … CLONE <src> AT(TIMESTAMP => …)."
+            )
+        if self.spark.catalog.tableExists(f"`{db}`.`{tbl}`"):
+            raise ValueError(
+                f"UNDROP TABLE {key}: a table with this name already "
+                "exists — Snowflake requires renaming or dropping the "
+                "current table first (ALTER TABLE … RENAME TO … / "
+                "DROP TABLE …)"
+            )
+        tdb, trash = stack.pop()
+        if not stack:
+            self._drop_ledger.pop(key, None)
+        # remove ONE matching ledger-order entry (the newest)
+        for idx in range(len(self._drop_order) - 1, -1, -1):
+            if self._drop_order[idx] == key:
+                del self._drop_order[idx]
+                break
+        self.spark.sql(
+            f"ALTER TABLE `{tdb}`.`{trash}` RENAME TO `{db}`.`{tbl}`"
+        )
+        return self.spark.createDataFrame(
+            [(key, "restored")], "table string, status string"
+        )
+
     def _execute_one(self, raw: str) -> DataFrame | None:
         """Dispatch ONE statement (already session-var substituted)."""
         from .materializations.copy_into import parse_copy_into, run_copy_into
@@ -643,6 +820,21 @@ class IcebreakerEngine:
             run_update_statement,
         )
 
+        if "MATERIALIZED" in raw.upper():
+            # CREATE [OR REPLACE] MATERIALIZED VIEW → TABLE before the
+            # CORT/table dispatch below, so the REPLACE form rides the
+            # staged swap (the transpiler PIPELINE also carries this
+            # transform for bare-transpiler users; here it must run
+            # BEFORE parse_create_or_replace_table sees the text)
+            from .transpiler.tokenizer import render as _rd
+            from .transpiler.tokenizer import tokenize as _tk
+            from .transpiler.transforms import (
+                rewrite_create_view_modifiers,
+                rewrite_materialized_view,
+            )
+
+            raw = _rd(rewrite_materialized_view(
+                rewrite_create_view_modifiers(_tk(raw))))
         result: DataFrame | None = None
         # single-iteration loop: the dispatch arms `continue` out once
         # they have produced this statement's result
@@ -705,6 +897,17 @@ class IcebreakerEngine:
             # Spark's session catalog has no grant model (access control
             # lives in the lakehouse catalog / storage layer) — accept
             # and no-op like BEGIN/COMMIT rather than fail the script
+            # DROP TABLE → rename-based retention; UNDROP restores
+            if hw and hw[0] == "UNDROP":
+                r = self._maybe_undrop(raw)
+                if r is not None:
+                    result = r
+                    continue
+            if hw and hw[0] == "DROP":
+                r = self._maybe_drop_table(raw)
+                if r is not None:
+                    result = r
+                    continue
             if hw and hw[0] in ("GRANT", "REVOKE"):
                 result = self.spark.createDataFrame(
                     [(hw[0].lower(), "noop: Spark's session catalog has "

@@ -3251,3 +3251,125 @@ class TestGetVariableR8:
         with pytest.raises(Exception, match="string literal"):
             engine.execute(
                 "SELECT GETVARIABLE(c) FROM (SELECT 'x' AS c)")
+
+
+class TestStatementHeads:
+    """Round-9 statement-head batch (r8 VERDICT 'What's missing' #1-3):
+    SECURE VIEW / COPY GRANTS / MATERIALIZED VIEW / Snowflake SHOW
+    dialect / UNDROP TABLE retention / CHECK_XML — each either executes
+    on Spark or refuses actionably, never the generic unparsed error."""
+
+    def test_secure_view_copy_grants(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE SECURE VIEW mat_test.sh_sv COPY GRANTS "
+            "AS SELECT 7 AS a"
+        )
+        assert engine.execute(
+            "SELECT * FROM mat_test.sh_sv").collect()[0].a == 7
+        spark.sql("DROP VIEW mat_test.sh_sv")
+
+    def test_materialized_view_maps_to_table(self, spark, engine):
+        engine.execute(
+            "CREATE MATERIALIZED VIEW mat_test.sh_mv AS SELECT 1 AS b")
+        assert spark.catalog.getTable(
+            "mat_test.sh_mv").tableType in ("MANAGED", "EXTERNAL")
+        # REPLACE form rides the staged swap (CORT machinery)
+        engine.execute(
+            "CREATE OR REPLACE MATERIALIZED VIEW mat_test.sh_mv "
+            "AS SELECT 2 AS b")
+        assert engine.execute(
+            "SELECT * FROM mat_test.sh_mv").collect()[0].b == 2
+        engine.execute("DROP MATERIALIZED VIEW mat_test.sh_mv")
+        assert not spark.catalog.tableExists("mat_test.sh_mv")
+
+    def test_show_tables_in_schema_and_like(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sh_t1 AS SELECT 1 AS x")
+        names = [
+            r.tableName for r in engine.execute(
+                "SHOW TABLES IN SCHEMA mat_test").collect()
+        ]
+        assert "sh_t1" in names
+        names = [
+            r.tableName for r in engine.execute(
+                "SHOW TERSE OBJECTS LIKE 'sh_t%' IN SCHEMA mat_test"
+            ).collect()
+        ]
+        assert names and all(n.startswith("sh_t") for n in names)
+
+    def test_show_columns_in_table(self, spark, engine):
+        cols = [
+            r.col_name for r in engine.execute(
+                "SHOW COLUMNS IN TABLE mat_test.sh_t1").collect()
+        ]
+        assert cols == ["x"]
+
+    def test_show_views_and_schemas(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE VIEW mat_test.sh_v1 AS SELECT 1 AS x")
+        vs = [
+            r.viewName for r in engine.execute(
+                "SHOW VIEWS LIKE 'sh_v%' IN mat_test").collect()
+        ]
+        assert vs == ["sh_v1"]
+        ns = [
+            r.namespace for r in engine.execute(
+                "SHOW SCHEMAS IN DATABASE anything").collect()
+        ]
+        assert "mat_test" in ns
+        spark.sql("DROP VIEW mat_test.sh_v1")
+
+    def test_show_unsupported_tail_refuses(self, engine):
+        with pytest.raises(Exception, match="STARTS WITH"):
+            engine.execute("SHOW TABLES STARTS WITH 'sh'")
+        with pytest.raises(Exception, match="DESC TABLE"):
+            engine.execute(
+                "SHOW COLUMNS LIKE 'x%' IN TABLE mat_test.sh_t1")
+
+    def test_undrop_restores_data(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sh_u1 AS SELECT 42 AS x")
+        r = engine.execute("DROP TABLE mat_test.sh_u1").collect()[0]
+        assert "retained" in r.status
+        assert not spark.catalog.tableExists("mat_test.sh_u1")
+        engine.execute("UNDROP TABLE mat_test.sh_u1")
+        assert engine.execute(
+            "SELECT * FROM mat_test.sh_u1").collect()[0].x == 42
+
+    def test_undrop_refuses_when_name_taken(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sh_u2 AS SELECT 1 AS x")
+        engine.execute("DROP TABLE mat_test.sh_u2")
+        engine.execute("CREATE TABLE mat_test.sh_u2 AS SELECT 2 AS x")
+        with pytest.raises(Exception, match="already exists"):
+            engine.execute("UNDROP TABLE mat_test.sh_u2")
+        # drop the new one; UNDROP is LIFO — restores x=2 first
+        engine.execute("DROP TABLE mat_test.sh_u2")
+        engine.execute("UNDROP TABLE mat_test.sh_u2")
+        assert engine.execute(
+            "SELECT * FROM mat_test.sh_u2").collect()[0].x == 2
+        # the x=1 version is still retained underneath
+        engine.execute("DROP TABLE mat_test.sh_u2")
+        engine.execute("UNDROP TABLE mat_test.sh_u2")  # x=2 again
+        engine.execute("DROP TABLE mat_test.sh_u2")
+        engine.execute("UNDROP TABLE mat_test.sh_u2")  # x=2 (LIFO)
+        assert engine.execute(
+            "SELECT * FROM mat_test.sh_u2").collect()[0].x == 2
+
+    def test_undrop_nothing_retained_actionable(self, engine):
+        with pytest.raises(Exception, match="no dropped version"):
+            engine.execute("UNDROP TABLE mat_test.sh_never_existed")
+
+    def test_drop_view_keeps_native_error(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE VIEW mat_test.sh_v2 AS SELECT 1 AS x")
+        with pytest.raises(Exception, match="VIEW"):
+            engine.execute("DROP TABLE mat_test.sh_v2")
+        spark.sql("DROP VIEW mat_test.sh_v2")
+
+    def test_drop_if_exists_missing_is_noop(self, engine):
+        engine.execute("DROP TABLE IF EXISTS mat_test.sh_not_there")
+
+    def test_check_xml_refuses_by_name(self, engine):
+        with pytest.raises(Exception, match="CHECK_XML"):
+            engine.execute("SELECT CHECK_XML('<a>') AS c")
