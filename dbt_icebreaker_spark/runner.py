@@ -97,6 +97,143 @@ def _wrap_string_explode(stmt: str, exc: Exception):
     return render(out)
 
 
+def _wrap_string_subscript(stmt: str, exc: Exception):
+    """Retry SQL for subscript access on a JSON-TEXT value (the
+    VARIANT model stores arrays/objects as JSON strings — e.g.
+    ``APPROX_TOP_K_ESTIMATE(...)[0][0]``, where Snowflake's VARIANT
+    subscript has no Spark meaning on a STRING column and the analyzer
+    raises INVALID_EXTRACT_BASE_FIELD_TYPE). The offending site's
+    whole consecutive ``[lit]...`` chain becomes ONE
+    ``get_json_object(base, '$[i][j]…')`` — the same textual-VARIANT
+    contract the ``col:path`` rewrite uses (r9 sweep finding: sketch
+    results read back from tables die on subscript). Returns None when
+    the error is anything else, no site matches, or a subscript isn't
+    a literal (dynamic indexes would need per-row evaluation)."""
+    import re as _re
+
+    msg = str(exc)
+    if (
+        "INVALID_EXTRACT_BASE_FIELD_TYPE" not in msg
+        or '"STRING"' not in msg
+    ):
+        return None
+    m = _re.search(r'from "([^"]+)"', msg)
+    offending = _re.sub(r"\s+", "", m.group(1)).lower() if m else None
+    from .transpiler.tokenizer import (
+        NUMBER, QIDENT, STRING, WORD, prev_code, render, tokenize,
+    )
+
+    toks = tokenize(stmt)
+    n = len(toks)
+    # candidate sites: '[' directly after a call ')' or identifier,
+    # with a literal inside — collect (base_lo, base_hi, chain) spans
+    sites = []
+    i = 0
+    while i < n:
+        if not toks[i].is_op("["):
+            i += 1
+            continue
+        p = prev_code(toks, i - 1)
+        if p < 0:
+            i += 1
+            continue
+        if toks[p].is_op(")"):
+            depth = 0
+            lo = p
+            while lo >= 0:
+                if toks[lo].is_op(")"):
+                    depth += 1
+                elif toks[lo].is_op("("):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                lo -= 1
+            if depth != 0:
+                i += 1
+                continue
+            # include the dotted call name before the '(' — RAW
+            # adjacency only (whitespace ends the name run, so a
+            # preceding SELECT/FROM keyword is never swallowed)
+            q = lo - 1
+            while q >= 0 and (toks[q].kind in (WORD, QIDENT)
+                              or toks[q].is_op(".")):
+                lo = q
+                q -= 1
+            base_lo, base_hi = lo, p + 1
+        elif toks[p].kind in (WORD, QIDENT):
+            lo = p
+            while lo >= 0 and (toks[lo].kind in (WORD, QIDENT)
+                               or toks[lo].is_op(".")):
+                lo -= 1
+            base_lo, base_hi = lo + 1, p + 1
+        else:
+            i += 1
+            continue
+        # consume the consecutive bracket chain of single literals
+        path = ""
+        k = i
+        chain_end = None
+        while k < n and toks[k].is_op("["):
+            close = None
+            d = 0
+            for z in range(k, n):
+                if toks[z].is_op("["):
+                    d += 1
+                elif toks[z].is_op("]"):
+                    d -= 1
+                    if d == 0:
+                        close = z
+                        break
+            if close is None:
+                break
+            inner = [c for c in toks[k + 1:close] if c.text.strip()]
+            if len(inner) != 1:
+                break
+            c0 = inner[0]
+            if c0.kind == NUMBER and "." not in c0.text:
+                path += f"[{c0.text}]"
+            elif c0.kind == STRING:
+                key = c0.text[1:-1].replace("''", "'")
+                if not _re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", key):
+                    break
+                path += f".{key}"
+            else:
+                break
+            chain_end = close
+            nk = close + 1
+            while nk < n and not toks[nk].text.strip():
+                nk += 1
+            k = nk
+        if chain_end is None:
+            i += 1
+            continue
+        base_txt = render(toks[base_lo:base_hi])
+        if _re.sub(r"\s+", "", base_txt).lower().startswith(
+            "get_json_object("
+        ):
+            i = chain_end + 1
+            continue
+        sites.append((base_lo, base_hi, chain_end, base_txt, path))
+        i = chain_end + 1
+    if not sites:
+        return None
+    target = None
+    if offending:
+        for s in sites:
+            if _re.sub(r"\s+", "", s[3]).lower() == offending:
+                target = s
+                break
+    if target is None:
+        target = sites[0]
+    base_lo, base_hi, chain_end, base_txt, path = target
+    out = (
+        toks[:base_lo]
+        + tokenize(f"get_json_object(({base_txt}), '${path}')")
+        + toks[chain_end + 1:]
+    )
+    return render(out)
+
+
 def _coerce_day_intervals(df: DataFrame | None) -> DataFrame | None:
     """Snowflake has NO interval output type: ``date1 - date2`` returns
     an integer day count, while Spark's date subtraction yields
@@ -391,6 +528,14 @@ class IcebreakerEngine:
         from .scripting import is_scripting_block, run_block
 
         if is_scripting_block(sql):
+            # the whole-input heuristic (starts DECLARE/BEGIN, ends
+            # END) also matches a SCRIPT of several blocks — the unit
+            # splitter distinguishes them (r9 sweep)
+            from .scripting import split_script_units
+
+            units = split_script_units(sql)
+            if units is not None and len(units) > 1:
+                return self._run_script_units(units)
             result = run_block(self, sql)
             self._record_result(result)
             return result
@@ -416,6 +561,19 @@ class IcebreakerEngine:
                 return self.execute(trailing)
             return result
 
+        # anonymous blocks among other statements (r9): a block's
+        # internal ';'s are its own statements — keep each [DECLARE …]
+        # BEGIN … END span together and interpret it, instead of
+        # splitting it into fragments (Snowflake script files mix
+        # blocks and plain statements freely)
+        up = sql.upper()
+        if "BEGIN" in up or "DECLARE" in up:
+            from .scripting import split_script_units
+
+            units = split_script_units(sql)
+            if units is not None:
+                return self._run_script_units(units)
+
         result: DataFrame | None = None
         for stmt_tokens in split_statements(tokenize(sql)):
             raw = render(stmt_tokens).strip()
@@ -440,6 +598,27 @@ class IcebreakerEngine:
             if r is not None:
                 result = r
                 self._record_result(r)
+        if result is None:
+            raise ValueError("empty SQL")
+        return result
+
+    def _run_script_units(self, units) -> DataFrame:
+        """Run ("sql"|"block", text) units from scripting.
+        split_script_units in order; the last result returns (r9:
+        anonymous blocks mixed with plain statements in one script)."""
+        from .scripting import run_block
+
+        result: DataFrame | None = None
+        for kind, text in units:
+            if not text:
+                continue
+            if kind == "block":
+                result = run_block(self, text)
+                self._record_result(result)
+            else:
+                # recursion handles session vars / EXECUTE IMMEDIATE /
+                # RESULT_SCAN and records results itself
+                result = self.execute(text)
         if result is None:
             raise ValueError("empty SQL")
         return result
@@ -1123,7 +1302,9 @@ class IcebreakerEngine:
                     # in the same statement stay unwrapped
                     attempt, err, retried = stmt, e, None
                     for _ in range(8):
-                        retry_sql = _wrap_string_explode(attempt, err)
+                        retry_sql = (_wrap_string_explode(attempt, err)
+                                     or _wrap_string_subscript(
+                                         attempt, err))
                         if retry_sql is None:
                             break
                         try:

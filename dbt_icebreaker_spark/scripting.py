@@ -145,6 +145,89 @@ def is_scripting_block(sql: str) -> bool:
     return False
 
 
+def split_script_units(sql: str):
+    """Split a multi-statement script into ("sql", text) / ("block",
+    text) units, keeping each anonymous block — ``[DECLARE …] BEGIN …
+    END`` at a statement head — TOGETHER instead of cutting it at its
+    internal semicolons (r9 sweep finding: a block after other
+    statements in one execute() call split into fragments, so its
+    RETURN hit the parser as a bare statement). Returns None when the
+    script contains no block unit (callers keep the plain path).
+
+    The scan only recognizes DECLARE/BEGIN at a TOP-LEVEL statement
+    head; a BEGIN reached mid-statement (e.g. inside an unquoted
+    CREATE PROCEDURE body) stays part of its statement."""
+    from .procedures import _scan_block_end
+
+    toks = tokenize(sql)
+    code = []
+    pos = []
+    for raw_i, t in enumerate(toks):
+        if t.kind not in (WS, COMMENT):
+            code.append(t)
+            pos.append(raw_i)
+    n = len(code)
+    units = []
+    any_block = False
+    i = 0
+    while i < n:
+        if code[i].is_op(";"):
+            i += 1
+            continue
+        t = code[i]
+        end_j = None
+        is_block = False
+        if t.kind == WORD and t.upper == "BEGIN":
+            nxt = code[i + 1] if i + 1 < n else None
+            if not (nxt is not None
+                    and nxt.is_word("TRANSACTION", "WORK", "NAME")):
+                end_j = _scan_block_end(code, i)
+                is_block = end_j is not None
+        elif t.kind == WORD and t.upper == "DECLARE":
+            # find the block's BEGIN: skip forward over the
+            # declaration section (statements separated by ';')
+            j = i
+            while j < n:
+                if code[j].kind == WORD and code[j].upper == "BEGIN":
+                    end_j = _scan_block_end(code, j)
+                    is_block = end_j is not None
+                    break
+                # advance past one declaration statement
+                depth = 0
+                while j < n:
+                    if code[j].is_op("("):
+                        depth += 1
+                    elif code[j].is_op(")"):
+                        depth -= 1
+                    elif depth == 0 and code[j].is_op(";"):
+                        break
+                    j += 1
+                j += 1
+        if is_block:
+            any_block = True
+            lo = pos[i]
+            hi = pos[end_j]
+            units.append(("block", render(toks[lo:hi + 1]).strip()))
+            i = end_j + 1
+            continue
+        # plain statement: consume to the next top-level ';'
+        start = i
+        depth = 0
+        while i < n:
+            if code[i].is_op("("):
+                depth += 1
+            elif code[i].is_op(")"):
+                depth -= 1
+            elif depth == 0 and code[i].is_op(";"):
+                break
+            i += 1
+        hi = pos[i - 1] if i > start else pos[start]
+        units.append(("sql", render(toks[pos[start]:hi + 1]).strip()))
+    if not any_block:
+        return None
+    return units
+
+
 class _Break(Exception):
     pass
 

@@ -249,7 +249,17 @@ def _topk_trim(counts: dict, cap: int) -> dict:
     # threshold from the rest (deterministic tie-break on the key)
     ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     thresh = ordered[cap][1]
-    return {k: v - thresh for k, v in ordered[:cap] if v > thresh}
+    trimmed = {k: v - thresh for k, v in ordered[:cap] if v > thresh}
+    if not trimmed:
+        # full tie at the cap boundary (e.g. 4 equally-frequent items,
+        # cap 3): the plain decrement empties the sketch — a valid
+        # Misra-Gries summary but useless, and Snowflake's
+        # APPROX_TOP_K never returns empty for non-empty input (r9
+        # sweep finding). Keep the top-cap keys at count 1 (the
+        # deterministic tie-break picks which), i.e. decrement by
+        # thresh-1 instead.
+        trimmed = {k: 1 for k, _ in ordered[:cap]}
+    return trimmed
 
 
 def _topk_state_from_values(values, cap) -> str:

@@ -1763,3 +1763,71 @@ class TestBareOperandCaseR9:
             "DECLARE v INT DEFAULT 7; BEGIN CASE WHEN v > 5 THEN "
             "RETURN 'gt'; ELSE RETURN 'le'; END CASE; END")
         assert r.collect()[0].value == "gt"
+
+
+class TestMidScriptBlocksR9:
+    """Round-9 sweep finding: an anonymous block AFTER other
+    statements in one execute() call used to split at its internal
+    semicolons (its RETURN then hit the parser bare). The unit
+    splitter keeps each [DECLARE ...] BEGIN ... END span together."""
+
+    def test_block_after_statement(self, spark, engine):
+        r = engine.execute("""
+            CREATE OR REPLACE TABLE scripting_test.msb1 AS SELECT 17 AS x;
+            BEGIN
+              UPDATE scripting_test.msb1 SET x = x + 1;
+              RETURN (SELECT x FROM scripting_test.msb1);
+            END
+        """)
+        assert r.collect()[0][0] == 18
+        spark.sql("DROP TABLE scripting_test.msb1")
+
+    def test_statements_after_block_run(self, spark, engine):
+        r = engine.execute("""
+            BEGIN
+              CREATE OR REPLACE TABLE scripting_test.msb2 AS SELECT 1 AS x;
+            END;
+            SELECT x + 41 AS v FROM scripting_test.msb2
+        """)
+        assert r.collect()[0].v == 42
+        spark.sql("DROP TABLE scripting_test.msb2")
+
+    def test_two_blocks_one_call(self, engine):
+        r = engine.execute("""
+            BEGIN
+              LET a INT := 1;
+              RETURN a;
+            END;
+            DECLARE b INT DEFAULT 5;
+            BEGIN
+              RETURN b * 2;
+            END
+        """)
+        assert r.collect()[0][0] == 10
+
+    def test_declare_block_after_statement(self, engine):
+        r = engine.execute("""
+            SELECT 1;
+            DECLARE v INT DEFAULT 7;
+            BEGIN
+              RETURN v;
+            END
+        """)
+        assert r.collect()[0][0] == 7
+
+    def test_begin_transaction_still_noop(self, engine):
+        r = engine.execute("BEGIN TRANSACTION; SELECT 3 AS v; COMMIT")
+        # last statement result is the COMMIT noop status
+        assert r.collect()[0][0] == "commit"
+
+    def test_drop_undrop_inside_block(self, spark, engine):
+        r = engine.execute("""
+            CREATE OR REPLACE TABLE scripting_test.msb3 AS SELECT 9 AS x;
+            BEGIN
+              DROP TABLE scripting_test.msb3;
+              UNDROP TABLE scripting_test.msb3;
+              RETURN (SELECT x FROM scripting_test.msb3);
+            END
+        """)
+        assert r.collect()[0][0] == 9
+        spark.sql("DROP TABLE scripting_test.msb3")

@@ -2909,3 +2909,60 @@ class TestConnectByReviewR8:
                 "SELECT id FROM cbr_tied START WITH mgr IS NULL "
                 "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY "
                 "UPPER(sortk)")
+
+
+class TestSketchPipelineR9:
+    """Round-9 sweep findings locked: (1) sketch states survive a
+    parquet round-trip (write ACCUMULATE output to a table, COMBINE +
+    ESTIMATE after re-read); (2) VARIANT-model subscripting on the
+    JSON-text estimate (``est[0][0]``) retries onto get_json_object;
+    (3) a full tie at the TOP_K cap boundary keeps the top-cap keys
+    instead of emptying the sketch."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="udf_r9s")
+
+    def test_percentile_states_through_table(self, engine):
+        r = engine.execute(
+            "CREATE OR REPLACE TABLE udf_r9s.pst AS "
+            "SELECT id % 2 AS grp, APPROX_PERCENTILE_ACCUMULATE(CAST(id"
+            " AS DOUBLE)) AS s FROM RANGE(101) GROUP BY id % 2; "
+            "SELECT CAST(APPROX_PERCENTILE_ESTIMATE("
+            "APPROX_PERCENTILE_COMBINE(s), 0.5) AS BIGINT) AS m "
+            "FROM udf_r9s.pst"
+        ).collect()[0]
+        assert r.m == 50
+
+    def test_topk_states_through_table_and_subscript(self, engine):
+        r = engine.execute(
+            "CREATE OR REPLACE TABLE udf_r9s.tst AS "
+            "SELECT id % 3 AS grp, APPROX_TOP_K_ACCUMULATE(x, 2) AS s "
+            "FROM (SELECT id, CASE WHEN id % 10 = 0 THEN 'hot' ELSE "
+            "CONCAT('c', id) END AS x FROM RANGE(60)) GROUP BY id % 3; "
+            "SELECT APPROX_TOP_K_ESTIMATE("
+            "APPROX_TOP_K_COMBINE(s), 1)[0][0] AS top FROM udf_r9s.tst"
+        ).collect()[0]
+        assert r.top == "hot"
+
+    def test_subscript_on_json_text_value(self, engine):
+        # the general VARIANT-model retry, not sketch-specific
+        r = engine.execute(
+            "SELECT ('[[7,2],[8,1]]')[0][0] AS a, "
+            "('{\"k\": [5]}')['k'][0] AS b"
+        ).collect()[0]
+        assert (r.a, r.b) == ("7", "5")
+
+    def test_topk_full_tie_not_empty(self, engine):
+        r = engine.execute(
+            "WITH st AS (SELECT APPROX_TOP_K_ACCUMULATE(v, 3) AS s "
+            "FROM (SELECT CAST(id % 4 AS INT) AS v FROM RANGE(40))) "
+            "SELECT APPROX_TOP_K_ESTIMATE(s, 3) AS t FROM st"
+        ).collect()[0]
+        import json
+
+        items = json.loads(r.t)
+        assert len(items) == 3  # never empty for non-empty input
+        assert [i[0] for i in items] == [0, 1, 2]  # stable tie-break
