@@ -146,6 +146,22 @@ def classify_execution_error(exc: Exception, sql: str = "") -> Optional[Executio
             "for parquet test data, register_dir(spark, sf_dir) lists "
             "what exists.",
         )
+    if condition.startswith("RECURSION_LEVEL_LIMIT_EXCEEDED") or (
+        "RECURSION_LEVEL_LIMIT_EXCEEDED" in msg
+    ):
+        return ExecutionError(
+            "RECURSION_LEVEL_LIMIT_EXCEEDED",
+            "A recursive query (WITH RECURSIVE / CONNECT BY) exceeded "
+            "the recursion level limit — the hierarchy is deeper than "
+            "spark.sql.cteRecursionLevelLimit (default 100, matching "
+            "Snowflake's MAX_RECURSIONS default).",
+            "Raise the limit for deep chains: spark.conf.set('spark."
+            "sql.cteRecursionLevelLimit', <max depth>). If the data "
+            "may contain cycles, add NOCYCLE (CONNECT BY NOCYCLE "
+            "PRIOR a = b) so cyclic branches terminate instead of "
+            "recursing forever. Very wide deep hierarchies also honor "
+            "spark.sql.cteRecursionRowLimit (default 1e6 rows).",
+        )
     if condition.startswith("DIVIDE_BY_ZERO"):
         return ExecutionError(
             condition,

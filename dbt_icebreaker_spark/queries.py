@@ -6454,6 +6454,51 @@ XOP_ORACLES["q92_vector_functions"] = """
 """
 
 
+def _q_statement_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 statement-head surface (r8 verdict Missing #1–3) as one
+    executed roundtrip: a SECURE VIEW with COPY GRANTS over lineitem,
+    materialized through CREATE OR REPLACE MATERIALIZED VIEW (the
+    table mapping), then DROP TABLE + UNDROP TABLE (rename-based
+    retention) — the final SELECT only returns the right aggregate if
+    every statement in the chain executed faithfully (a lost UNDROP or
+    a mis-mapped MV breaks it). Oracle restates the aggregate
+    directly."""
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    # per-run schema: the warehouse dir outlives each process's
+    # in-memory catalog (the corpus convention, see q77)
+    base = tempfile.mkdtemp(prefix="q96_")
+    db = f"q96_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    return eng.execute(
+        f"""
+        CREATE OR REPLACE SECURE TEMPORARY VIEW q96_sv COPY GRANTS AS
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(l_quantity) AS DOUBLE) AS qty
+          FROM lineitem GROUP BY l_returnflag;
+        CREATE OR REPLACE MATERIALIZED VIEW {db}.q96_mv AS
+          SELECT * FROM q96_sv;
+        DROP TABLE {db}.q96_mv;
+        UNDROP TABLE {db}.q96_mv;
+        SELECT l_returnflag, n, qty FROM {db}.q96_mv
+        """
+    )
+
+
+XOP_ORACLES["q96_statement_surface"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _x_mr_composability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-9 (r8 VERDICT Missing #4): MATCH_RECOGNIZE composed INSIDE
     a CTE with downstream aggregation — the nested resolver extracts
@@ -6527,6 +6572,7 @@ XOP_ORACLES["x71_mr_composability"] = """
 
 
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q96_statement_surface": _q_statement_surface,
     "x71_mr_composability": _x_mr_composability,
     "q88_scripting_shadow": _q_scripting_shadow,
     "q89_merge_null_keys": _q_merge_null_keys,

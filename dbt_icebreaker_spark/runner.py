@@ -1095,6 +1095,36 @@ class IcebreakerEngine:
                     "statement string, status string",
                 )
                 continue
+            # USE WAREHOUSE/ROLE: no local warehouses or roles — accept
+            # and no-op like GRANT so session-setup scripts run
+            # (USE [SCHEMA|DATABASE] x falls through: Spark owns it)
+            if hw and hw[0] == "USE" and len(hw) > 1 and hw[1] in (
+                "WAREHOUSE", "ROLE", "SECONDARY"
+            ):
+                result = self.spark.createDataFrame(
+                    [("use " + hw[1].lower(), "noop: Spark has no "
+                      "warehouse/role objects; compute comes from the "
+                      "cluster, access from the lakehouse catalog")],
+                    "statement string, status string",
+                )
+                continue
+            # SHOW GRANTS: the grant surface is a documented no-op, so
+            # the listing is shaped-but-empty (not an error — scripts
+            # inspect it after their GRANT post-hooks)
+            if hw[:2] == ["SHOW", "GRANTS"]:
+                from pyspark.sql.types import (
+                    StringType, StructField, StructType,
+                )
+
+                result = self.spark.createDataFrame(
+                    [],
+                    StructType([
+                        StructField(c, StringType())
+                        for c in ("privilege", "granted_on", "name",
+                                  "granted_to", "grantee_name")
+                    ]),
+                )
+                continue
             from .materializations.create_table import (
                 parse_swap_with,
                 run_swap_with,

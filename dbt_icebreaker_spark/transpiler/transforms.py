@@ -5096,9 +5096,23 @@ def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
     statement HEAD is inspected (a column alias `stage` mid-query
     never triggers)."""
     for stmt in split_statements(tokenize(sql)):
+        code = [t for t in stmt if t.kind not in (WS, COMMENT)]
         words = [t.upper for t in stmt if t.kind == WORD][:4]
         if not words:
             continue
+        # stage FILE operations: LIST/PUT/GET/REMOVE @stage — the head
+        # word plus an '@' among the first few tokens (r9 batch 2;
+        # GET(v, i) the function never starts a statement)
+        if words[0] in ("LIST", "PUT", "GET", "REMOVE") and any(
+            t.is_op("@") for t in code[:16]
+        ):
+            return (
+                words[0] + " @<stage>",
+                "direct filesystem/object-store paths — Spark has no "
+                "stage objects or client file transfer: read with "
+                "spark.read / COPY INTO t FROM '/path', write with "
+                "df.write, manage files with your storage tooling",
+            )
         # normalize CREATE OR REPLACE X → CREATE X
         if words[:3] == ["CREATE", "OR", "REPLACE"]:
             words = ["CREATE"] + words[3:]
@@ -7352,6 +7366,27 @@ def _show_error(detail: str):
     raise TranspileError(detail)
 
 
+def rewrite_describe_view(tokens: Tokens) -> Tokens:
+    """``DESC|DESCRIBE VIEW|MATERIALIZED VIEW name`` → ``DESCRIBE
+    TABLE name`` — Spark's DESCRIBE TABLE covers views but has no
+    VIEW keyword form, so Snowflake's common spelling died with a
+    misleading not-registered error (r9 batch 2)."""
+    i = next_code(tokens, 0)
+    if i >= len(tokens) or not tokens[i].is_word("DESC", "DESCRIBE"):
+        return tokens
+    j = next_code(tokens, i + 1)
+    if j < len(tokens) and tokens[j].is_word("MATERIALIZED"):
+        k = next_code(tokens, j + 1)
+        if k < len(tokens) and tokens[k].is_word("VIEW"):
+            return (tokens[:i] + [_word("DESCRIBE"), _sp(),
+                                  _word("TABLE")] + tokens[k + 1:])
+        return tokens
+    if j < len(tokens) and tokens[j].is_word("VIEW"):
+        return (tokens[:i] + [_word("DESCRIBE"), _sp(), _word("TABLE")]
+                + tokens[j + 1:])
+    return tokens
+
+
 def rewrite_show_statements(tokens: Tokens) -> Tokens:
     """Snowflake SHOW dialect → Spark's SHOW grammar (r8 judge probes:
     ``SHOW TABLES IN SCHEMA x`` / ``SHOW COLUMNS IN TABLE t`` died with
@@ -7454,6 +7489,7 @@ PIPELINE = (
     rewrite_create_view_modifiers,  # strip SECURE / COPY GRANTS
     rewrite_materialized_view,  # MATERIALIZED VIEW → TABLE mapping
     rewrite_show_statements,   # Snowflake SHOW dialect → Spark grammar
+    rewrite_describe_view,     # DESC VIEW → DESCRIBE TABLE
     rewrite_to_query,          # TABLE(TO_QUERY('…')) splice runs first
                                # so the inner template transpiles too
     rewrite_create_function,   # Snowflake SQL UDF → Spark SQL UDF (stmt-level)

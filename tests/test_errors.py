@@ -103,3 +103,19 @@ class TestParquetNanosClassified:
         assert err is not None
         assert "read_parquet" in err.suggestion
         assert "nanosAsLong" in err.suggestion
+
+
+class TestRecursionLimitClassified:
+    def test_level_limit_names_the_conf(self):
+        from dbt_icebreaker_spark.errors import classify_execution_error
+
+        exc = Exception(
+            "org.apache.spark.SparkException: "
+            "[RECURSION_LEVEL_LIMIT_EXCEEDED] Recursion level limit "
+            "100 reached but query has not exhausted"
+        )
+        err = classify_execution_error(exc)
+        assert err is not None
+        assert "cteRecursionLevelLimit" in err.suggestion
+        assert "NOCYCLE" in err.suggestion
+        assert "MAX_RECURSIONS" in err.message

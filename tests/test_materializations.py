@@ -3373,3 +3373,46 @@ class TestStatementHeads:
     def test_check_xml_refuses_by_name(self, engine):
         with pytest.raises(Exception, match="CHECK_XML"):
             engine.execute("SELECT CHECK_XML('<a>') AS c")
+
+
+class TestStatementHeadsBatch2:
+    """Round-9 batch 2: USE WAREHOUSE/ROLE no-ops, SHOW GRANTS
+    shaped-empty, DESC VIEW → DESCRIBE TABLE, stage file ops refuse
+    by name — found by probing what still died generically."""
+
+    def test_use_warehouse_role_noop(self, engine):
+        r = engine.execute("USE WAREHOUSE compute_wh").collect()[0]
+        assert r.statement == "use warehouse" and "noop" in r.status
+        r = engine.execute("USE ROLE sysadmin").collect()[0]
+        assert r.statement == "use role"
+        engine.execute("USE SECONDARY ROLES ALL")
+
+    def test_use_schema_still_sparks(self, spark, engine):
+        prev = spark.catalog.currentDatabase()
+        try:
+            engine.execute("USE SCHEMA mat_test")
+            assert spark.catalog.currentDatabase() == "mat_test"
+        finally:
+            spark.catalog.setCurrentDatabase(prev)
+
+    def test_show_grants_shaped_empty(self, engine):
+        df = engine.execute("SHOW GRANTS ON TABLE whatever")
+        assert df.count() == 0
+        assert df.columns == [
+            "privilege", "granted_on", "name", "granted_to",
+            "grantee_name",
+        ]
+
+    def test_desc_view_spelling(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE VIEW mat_test.sh_dv AS SELECT 1 AS a")
+        cols = [r.col_name for r in engine.execute(
+            "DESC VIEW mat_test.sh_dv").collect() if r.col_name]
+        assert "a" in cols
+        spark.sql("DROP VIEW mat_test.sh_dv")
+
+    def test_stage_file_ops_refuse_by_name(self, engine):
+        for stmt in ("LIST @mystage", "PUT file:///tmp/x.csv @mystage",
+                     "GET @mystage file:///tmp/", "REMOVE @mystage/x"):
+            with pytest.raises(Exception, match="stage"):
+                engine.execute(stmt)
