@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     # codec UDFs and the anchors/PERMUTE pattern VM
     "q91_compress_roundtrip",
     "x69_pattern_anchors_permute",
+    # round-9 addition: MATCH_RECOGNIZE composed under a CTE with
+    # post-aggregation (the nested-resolver path — same operator as
+    # x61 plus the view splice and downstream groupBy)
+    "x71_mr_composability",
 ]
 
 

@@ -985,6 +985,38 @@ class IcebreakerEngine:
             [(key, "restored")], "table string, status string"
         )
 
+    def _describe_result(self, raw: str) -> DataFrame:
+        """``DESC[RIBE] RESULT '<qid>' | LAST_QUERY_ID([n])`` → the
+        recorded result's column schema (name, type, nullable) — the
+        metadata face of the RESULT_SCAN surface."""
+        import re as _re
+
+        m = _re.search(
+            r"(?is)\bRESULT\s+(?:'([^']*)'|LAST_QUERY_ID\s*\(\s*"
+            r"(-?\d*)\s*\))", raw)
+        if m is None:
+            raise ValueError(
+                "DESCRIBE RESULT: expected a quoted query id or "
+                "LAST_QUERY_ID([n])"
+            )
+        if m.group(1) is not None:
+            qid = m.group(1)
+        else:
+            n = m.group(2)
+            qid = self.last_query_id(int(n) if n else -1)
+        match = [d for q, d, _ in self._result_history if q == qid]
+        if not match:
+            raise ValueError(
+                f"DESCRIBE RESULT: unknown query id {qid!r} (ids are "
+                "engine-session scoped; use LAST_QUERY_ID([n]))"
+            )
+        return self.spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(),
+              "Y" if f.nullable else "N")
+             for f in match[0].schema.fields],
+            "name string, type string, `null?` string",
+        )
+
     def _execute_one(self, raw: str) -> DataFrame | None:
         """Dispatch ONE statement (already session-var substituted)."""
         from .materializations.copy_into import parse_copy_into, run_copy_into
@@ -1107,6 +1139,58 @@ class IcebreakerEngine:
                       "cluster, access from the lakehouse catalog")],
                     "statement string, status string",
                 )
+                continue
+            # CREATE/ALTER/DROP WAREHOUSE: compute objects with no
+            # local counterpart — setup scripts create then USE them,
+            # so the whole family no-ops consistently (governance
+            # objects — tags, policies, shares — REFUSE instead: a
+            # no-op there would change data visibility)
+            if (hw and len(hw) > 1 and hw[1] == "WAREHOUSE"
+                    and hw[0] in ("CREATE", "ALTER", "DROP")):
+                result = self.spark.createDataFrame(
+                    [(f"{hw[0].lower()} warehouse", "noop: Spark has "
+                      "no warehouse objects; compute is the cluster "
+                      "itself")],
+                    "statement string, status string",
+                )
+                continue
+            # ALTER TABLE … SUSPEND|RESUME RECLUSTER: Snowflake's
+            # background reclustering toggle — locally reclustering is
+            # the explicit maintenance op, so the toggle no-ops
+            if hw[:2] == ["ALTER", "TABLE"]:
+                tail_words = raw.upper().replace(";", " ").split()
+                if (len(tail_words) >= 2
+                        and tail_words[-1] == "RECLUSTER"
+                        and tail_words[-2] in ("SUSPEND", "RESUME")):
+                    result = self.spark.createDataFrame(
+                        [(tail_words[-2].lower() + " recluster",
+                          "noop: no background reclustering service — "
+                          "recluster explicitly via materializations."
+                          "maintenance (Z-order / CLUSTER BY layout)")],
+                        "statement string, status string",
+                    )
+                    continue
+            # SHOW PARAMETERS [LIKE 'p'] [IN …] → Spark's conf listing
+            # (SET -v shape: key, value, meaning); the IN scope is
+            # dropped — one engine, one scope
+            if hw[:2] == ["SHOW", "PARAMETERS"]:
+                import re as _re
+
+                df = self.spark.sql("SET -v")
+                m = _re.search(r"(?i)\bLIKE\s+'([^']*)'", raw)
+                if m:
+                    from pyspark.sql import functions as F
+
+                    df = df.filter(
+                        F.lower(F.col("key")).like(m.group(1).lower())
+                    )
+                result = df
+                continue
+            # DESCRIBE RESULT '<qid>' | LAST_QUERY_ID([n]) — schema of
+            # a recorded statement result (the RESULT_SCAN family)
+            if (hw and hw[0] in ("DESC", "DESCRIBE")
+                    and len(hw) > 1 and hw[1] == "RESULT"):
+                result = self._describe_result(raw)
                 continue
             # SHOW GRANTS: the grant surface is a documented no-op, so
             # the listing is shaped-but-empty (not an error — scripts

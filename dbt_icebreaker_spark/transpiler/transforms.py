@@ -5086,6 +5086,30 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
                             "dense sequences, or TABLE(GENERATOR("
                             "ROWCOUNT => n)) for row spines — Spark "
                             "has no stateful sequence objects",
+    # governance objects change data VISIBILITY — silently no-oping
+    # them (like GRANT) would alter what a query exposes, so they
+    # refuse by name instead (r9 batch 3)
+    ("CREATE", "FILE"): "inline format options — COPY INTO t FROM "
+                        "'/path' FILE_FORMAT = (TYPE = CSV …) or "
+                        "spark.read.option(...); Spark has no named "
+                        "file-format objects",
+    ("CREATE", "TAG"): "your lakehouse catalog's tagging/labels — "
+                       "Spark's session catalog has no tag objects",
+    ("CREATE", "MASKING"): "masking at the model layer (a view that "
+                           "applies CASE/SHA2 over the sensitive "
+                           "column) — Spark has no policy objects, so "
+                           "a no-op here would silently EXPOSE data",
+    ("ALTER", "MASKING"): "masking at the model layer (see CREATE "
+                          "MASKING POLICY)",
+    ("CREATE", "ROW"): "row filtering at the model layer (a view with "
+                       "the predicate) — Spark has no row-access-"
+                       "policy objects, so a no-op would silently "
+                       "EXPOSE rows",
+    ("CREATE", "SHARE"): "publishing the table through your lakehouse "
+                         "catalog — Spark has no share objects",
+    ("CREATE", "RESOURCE"): "cluster-level resource management (YARN/"
+                            "K8s quotas) — Spark has no resource "
+                            "monitor objects",
 }
 
 
@@ -7366,6 +7390,27 @@ def _show_error(detail: str):
     raise TranspileError(detail)
 
 
+def rewrite_explain_using(tokens: Tokens) -> Tokens:
+    """``EXPLAIN USING TEXT|TABULAR|JSON <q>`` → ``EXPLAIN [FORMATTED]
+    <q>`` — Snowflake's USING modifier has no Spark spelling; JSON
+    maps to Spark's FORMATTED rendering (closest structured form,
+    documented deviation: the output is Spark's plan, not Snowflake's
+    operator JSON)."""
+    i = next_code(tokens, 0)
+    if i >= len(tokens) or not tokens[i].is_word("EXPLAIN"):
+        return tokens
+    j = next_code(tokens, i + 1)
+    if j >= len(tokens) or not tokens[j].is_word("USING"):
+        return tokens
+    k = next_code(tokens, j + 1)
+    if k >= len(tokens) or tokens[k].kind != WORD or tokens[k].upper not in (
+        "TEXT", "TABULAR", "JSON"
+    ):
+        return tokens
+    repl = [_word("FORMATTED"), _sp()] if tokens[k].upper == "JSON" else []
+    return tokens[:j] + repl + tokens[k + 1:]
+
+
 def rewrite_describe_view(tokens: Tokens) -> Tokens:
     """``DESC|DESCRIBE VIEW|MATERIALIZED VIEW name`` → ``DESCRIBE
     TABLE name`` — Spark's DESCRIBE TABLE covers views but has no
@@ -7490,6 +7535,7 @@ PIPELINE = (
     rewrite_materialized_view,  # MATERIALIZED VIEW → TABLE mapping
     rewrite_show_statements,   # Snowflake SHOW dialect → Spark grammar
     rewrite_describe_view,     # DESC VIEW → DESCRIBE TABLE
+    rewrite_explain_using,     # EXPLAIN USING TEXT/JSON → EXPLAIN
     rewrite_to_query,          # TABLE(TO_QUERY('…')) splice runs first
                                # so the inner template transpiles too
     rewrite_create_function,   # Snowflake SQL UDF → Spark SQL UDF (stmt-level)

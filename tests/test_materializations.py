@@ -3416,3 +3416,59 @@ class TestStatementHeadsBatch2:
                      "GET @mystage file:///tmp/", "REMOVE @mystage/x"):
             with pytest.raises(Exception, match="stage"):
                 engine.execute(stmt)
+
+
+class TestStatementHeadsBatch3:
+    """Round-9 batch 3: EXPLAIN USING, SHOW PARAMETERS, warehouse DDL
+    no-ops, RECLUSTER toggles, DESCRIBE RESULT, and governance-object
+    refusals (tags/policies/shares refuse because a no-op would change
+    data visibility; warehouses no-op because they have none)."""
+
+    def test_explain_using(self, engine):
+        assert engine.execute(
+            "EXPLAIN USING TEXT SELECT 1").count() == 1
+        assert engine.execute(
+            "EXPLAIN USING JSON SELECT 1").count() == 1
+
+    def test_show_parameters_like(self, engine):
+        rows = engine.execute(
+            "SHOW PARAMETERS LIKE '%timezone%'").collect()
+        assert any("timeZone" in r.key for r in rows)
+
+    def test_warehouse_ddl_noops(self, engine):
+        for stmt, head in (
+            ("CREATE WAREHOUSE w1 WITH WAREHOUSE_SIZE='XSMALL'",
+             "create warehouse"),
+            ("ALTER WAREHOUSE w1 SET WAREHOUSE_SIZE='LARGE'",
+             "alter warehouse"),
+            ("DROP WAREHOUSE w1", "drop warehouse"),
+        ):
+            r = engine.execute(stmt).collect()[0]
+            assert r.statement == head and "noop" in r.status
+
+    def test_recluster_toggle_noop(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sh_rc (x INT)")
+        r = engine.execute(
+            "ALTER TABLE mat_test.sh_rc SUSPEND RECLUSTER").collect()[0]
+        assert "recluster" in r.statement
+        spark.sql("DROP TABLE mat_test.sh_rc")
+
+    def test_describe_result(self, engine):
+        engine.execute("SELECT 1 AS a, 'x' AS b")
+        rows = engine.execute(
+            "DESCRIBE RESULT LAST_QUERY_ID()").collect()
+        assert [(r.name, r.type) for r in rows] == [
+            ("a", "int"), ("b", "string")]
+
+    def test_governance_objects_refuse(self, engine):
+        for stmt in (
+            "CREATE FILE FORMAT f TYPE='CSV'",
+            "CREATE TAG cost_center",
+            "CREATE MASKING POLICY m AS (v STRING) RETURNS STRING -> v",
+            "CREATE ROW ACCESS POLICY p AS (v STRING) "
+            "RETURNS BOOLEAN -> TRUE",
+            "CREATE SHARE s",
+        ):
+            with pytest.raises(Exception, match="Snowflake-only"):
+                engine.execute(stmt)
