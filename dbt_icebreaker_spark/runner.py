@@ -1140,6 +1140,53 @@ class IcebreakerEngine:
                     "statement string, status string",
                 )
                 continue
+            # ALTER SESSION SET/UNSET for the parameters with a
+            # faithful Spark mapping: TIMEZONE → the session timezone
+            # conf (affects CURRENT_TIMESTAMP, TO_TIMESTAMP renders…),
+            # QUERY_TAG → recorded (observability tag, no semantics).
+            # Every OTHER parameter keeps the transpiler's actionable
+            # refusal — silently accepting e.g. WEEK_START would
+            # CHANGE answers (r9 batch 3)
+            if hw[:2] == ["ALTER", "SESSION"]:
+                import re as _re
+
+                m = _re.match(
+                    r"(?is)\s*ALTER\s+SESSION\s+SET\s+(\w+)\s*=\s*"
+                    r"(?:'([^']*)'|(\S+))\s*;?\s*$", raw)
+                mu = _re.match(
+                    r"(?is)\s*ALTER\s+SESSION\s+UNSET\s+(\w+)\s*;?\s*$",
+                    raw)
+                pname = (m.group(1) if m else
+                         mu.group(1) if mu else "").upper()
+                if pname == "TIMEZONE":
+                    if m:
+                        tz = m.group(2) or m.group(3)
+                        self.spark.conf.set(
+                            "spark.sql.session.timeZone", tz)
+                    else:
+                        self.spark.conf.unset(
+                            "spark.sql.session.timeZone")
+                    result = self.spark.createDataFrame(
+                        [("timezone", self.spark.conf.get(
+                            "spark.sql.session.timeZone"))],
+                        "parameter string, value string",
+                    )
+                    continue
+                if pname == "QUERY_TAG":
+                    tag = (m.group(2) if m and m.group(2) is not None
+                           else m.group(3) if m else None)
+                    if tag is None:
+                        self._session_vars.pop("query_tag", None)
+                    else:
+                        self._session_vars["query_tag"] = \
+                            self._render_literal(tag)
+                    result = self.spark.createDataFrame(
+                        [("query_tag", tag or "")],
+                        "parameter string, value string",
+                    )
+                    continue
+                # fall through → the transpiler's named refusal, now
+                # mentioning the two parameters that DO work
             # CREATE/ALTER/DROP WAREHOUSE: compute objects with no
             # local counterpart — setup scripts create then USE them,
             # so the whole family no-ops consistently (governance

@@ -5080,7 +5080,11 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
                            "Structured Streaming query) or an incremental "
                            "model on a schedule",
     ("ALTER", "SESSION"): "SparkSession confs (spark.conf.set) — session "
-                          "parameters are engine-specific",
+                          "parameters are engine-specific. Through the "
+                          "engine, ALTER SESSION SET TIMEZONE = '<tz>' "
+                          "and SET QUERY_TAG = '<tag>' ARE supported "
+                          "(mapped to the Spark session timezone conf "
+                          "and a recorded tag)",
     ("CREATE", "SEQUENCE"): "monotonically_increasing_id() for unique "
                             "ids, ROW_NUMBER() OVER (ORDER BY …) for "
                             "dense sequences, or TABLE(GENERATOR("
@@ -5839,6 +5843,11 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     # strict PREFIX of its descendants', so lexicographic array
     # ordering IS the sibling-sorted depth-first walk). ASC only: a
     # global DESC over the array would reverse parents below children.
+    # SCALE BOUND (r9, measured): the key is O(depth) per row and the
+    # recursion materializes every level, so a chain carries O(depth²)
+    # array cells — fine to depth ~10³, OOMs an 8 GB heap near depth
+    # 5·10³ (SCALE.md "Round-9: CONNECT BY at depth"); NOCYCLE's
+    # visited array shares the shape at ~⅓ width.
     siblings_cols: list[Tokens] = []  # plain-column token segments
     if tail:
         t1 = next_code(tail, 0)

@@ -3472,3 +3472,32 @@ class TestStatementHeadsBatch3:
         ):
             with pytest.raises(Exception, match="Snowflake-only"):
                 engine.execute(stmt)
+
+
+class TestAlterSessionSubsetR9:
+    """ALTER SESSION SET/UNSET for the parameters with a faithful
+    Spark mapping (TIMEZONE, QUERY_TAG); everything else keeps the
+    named refusal — now mentioning the supported pair."""
+
+    def test_timezone_set_and_unset(self, spark, engine):
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            engine.execute(
+                "ALTER SESSION SET TIMEZONE = 'America/New_York'")
+            assert spark.conf.get(
+                "spark.sql.session.timeZone") == "America/New_York"
+            engine.execute("ALTER SESSION UNSET TIMEZONE")
+            assert spark.conf.get(
+                "spark.sql.session.timeZone") != "America/New_York"
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    def test_query_tag_recorded(self, engine):
+        engine.execute("ALTER SESSION SET QUERY_TAG = 'etl-nightly'")
+        assert engine._session_vars.get("query_tag") == "'etl-nightly'"
+        engine.execute("ALTER SESSION UNSET QUERY_TAG")
+        assert "query_tag" not in engine._session_vars
+
+    def test_other_params_keep_refusal(self, engine):
+        with pytest.raises(Exception, match="TIMEZONE"):
+            engine.execute("ALTER SESSION SET WEEK_START = 1")
