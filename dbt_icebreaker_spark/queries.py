@@ -6571,9 +6571,79 @@ XOP_ORACLES["x71_mr_composability"] = """
 """
 
 
+def _x_mr_expression_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 expression measures: an expression OF aggregates
+    (LAST−FIRST via CAST), an aggregate OF an expression with
+    navigation (SUM(value − PREV(value)) — PREV computed over the
+    PARTITION, so the match's first row contributes its boundary diff),
+    and a derived MATCH_NUMBER formula. The oracle restates each over
+    the gaps-and-islands rendering: ascending runs make FIRST=MIN and
+    LAST=MAX, the boundary diff is the island head's LAG diff, and
+    match numbering is the island ROW_NUMBER by start position — so a
+    mis-decomposed hidden measure, a diff computed inside the match
+    instead of the partition, or a wrong match number breaks the
+    hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, gain, updist, n_rows, coded
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES CAST(LAST(value) - FIRST(value) AS DOUBLE) AS gain,
+                   CAST(SUM(value - PREV(value)) AS DOUBLE) AS updist,
+                   COUNT(*) AS n_rows,
+                   MATCH_NUMBER() * 1000 + COUNT(*) AS coded
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    )
+
+
+XOP_ORACLES["x72_mr_expression_measures"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             value - LAG(value) OVER w AS diff,
+             CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END
+               AS brk
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, grp,
+             CAST(MAX(value) - MIN(value) AS DOUBLE) AS gain,
+             CAST(SUM(diff) AS DOUBLE) AS updist,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(ts) AS start_ts, MIN(event_id) AS start_ev
+      FROM g GROUP BY user_id, grp
+      HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, gain, updist, n_rows,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY start_ts, start_ev) * 1000 + n_rows
+             AS BIGINT) AS coded
+    FROM isl
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x71_mr_composability": _x_mr_composability,
+    "x72_mr_expression_measures": _x_mr_expression_measures,
     "q88_scripting_shadow": _q_scripting_shadow,
     "q89_merge_null_keys": _q_merge_null_keys,
     "q90_time_travel_clone_offset": _q_time_travel_clone_offset,

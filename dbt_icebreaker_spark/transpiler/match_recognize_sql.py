@@ -97,7 +97,16 @@ def _parse_measure(toks) -> Measure:
         fn = h.upper
         inner = expr[2:-1] if expr[-1].is_op(")") else expr[2:]
         if fn in ("MATCH_NUMBER", "CLASSIFIER"):
-            return Measure(name, fn.lower(), None, None)
+            # the call must BE the whole entry — `MATCH_NUMBER() * 2`
+            # previously parsed as bare match_number, silently
+            # dropping the arithmetic (r9 expression-measure work);
+            # richer entries fall to the expression decomposition
+            if len(expr) == 3 and expr[1].is_op("(") and expr[2].is_op(")"):
+                return Measure(name, fn.lower(), None, None)
+            raise TranspileError(
+                f"MEASURES: {fn}() takes no arguments; expressions "
+                "over it decompose via the expression-measure path"
+            )
         if fn not in _AGGS:
             raise TranspileError(
                 f"MEASURES: unsupported function {fn} (supported: "
@@ -126,6 +135,144 @@ def _parse_measure(toks) -> Measure:
     raise TranspileError(
         f"MEASURES: unsupported expression {render(expr).strip()!r}"
     )
+
+
+def _expand_measures(parts, pat_syms):
+    """Round-9 EXPRESSION measures. Each MEASURES entry is tried
+    against the simple grammar first (`agg(col) AS name` — zero new
+    behavior); anything richer decomposes into:
+
+    - aggregate calls whose argument is an EXPRESSION →  a hidden
+      input column (computed per input row before matching, PREV/NEXT
+      allowed) + a hidden simple measure over it;
+    - the surrounding expression OF aggregates → a derived output
+      formula over the hidden measure names (a plain projection after
+      the operator);
+    - an entry with NO aggregate at all → Snowflake's final-row
+      semantics: LAST(<expr>) via a hidden input column.
+
+    Returns (measures, input_exprs, derived, order) where order is
+    the user-declared output column sequence."""
+    from .tokenizer import Token, WS as _WS
+
+    agg_names = _AGGS | {"MATCH_NUMBER", "CLASSIFIER"}
+    measures: list[Measure] = []
+    input_exprs: list[tuple[str, str]] = []
+    derived: list[tuple[str, str]] = []
+    order: list[str] = []
+    e_n = 0
+    i_n = 0
+    general = False
+    for p in parts:
+        try:
+            m = _parse_measure(p)
+            measures.append(m)
+            order.append(m.name)
+            continue
+        except TranspileError:
+            pass
+        general = True
+        idxs = [k for k, c in enumerate(p) if c.kind not in (WS, COMMENT)]
+        code = [p[k] for k in idxs]
+        if (len(code) < 3 or not code[-2].is_word("AS")
+                or code[-1].kind not in (WORD, QIDENT)):
+            raise TranspileError(
+                "MEASURES entries must be `expr AS name`: "
+                f"{render(p).strip()!r}"
+            )
+        name = code[-1].text.strip('"')
+        expr_toks = p[:idxs[-2]]
+        out_toks = []
+        k = 0
+        agg_hits = 0
+        n_e = len(expr_toks)
+        while k < n_e:
+            t = expr_toks[k]
+            if t.kind == WORD and t.upper in agg_names:
+                op = next_code(expr_toks, k + 1)
+                if op < n_e and expr_toks[op].is_op("("):
+                    close = find_matching_paren(expr_toks, op)
+                    hidden = f"__mr_e{e_n}"
+                    e_n += 1
+                    call = (list(expr_toks[k:close + 1])
+                            + [Token(_WS, " "), Token(WORD, "AS"),
+                               Token(_WS, " "), Token(WORD, hidden)])
+                    try:
+                        hm = _parse_measure(call)
+                    except TranspileError:
+                        if t.upper in ("MATCH_NUMBER", "CLASSIFIER"):
+                            raise
+                        inner = expr_toks[op + 1:close]
+                        ic = [c for c in inner
+                              if c.kind not in (WS, COMMENT)]
+                        if ic and ic[0].is_word("DISTINCT"):
+                            raise TranspileError(
+                                "MEASURES: DISTINCT aggregates are "
+                                "not supported in MATCH_RECOGNIZE "
+                                "measures"
+                            )
+                        depth = 0
+                        for q, c in enumerate(ic):
+                            if c.is_op("("):
+                                depth += 1
+                            elif c.is_op(")"):
+                                depth -= 1
+                            elif depth == 0 and c.is_op(","):
+                                raise TranspileError(
+                                    f"MEASURES: {t.upper}(expr, n) "
+                                    "navigation offsets are not "
+                                    "supported"
+                                )
+                            elif (c.kind == WORD
+                                    and c.upper in pat_syms
+                                    and q + 1 < len(ic)
+                                    and ic[q + 1].is_op(".")):
+                                raise TranspileError(
+                                    "MEASURES: symbol-qualified "
+                                    "EXPRESSIONS inside aggregate "
+                                    "arguments are not supported — "
+                                    "qualify a plain column "
+                                    f"({t.upper}({c.text}.col)) or "
+                                    "drop the qualifier"
+                                )
+                        in_name = f"__mr_i{i_n}"
+                        i_n += 1
+                        input_exprs.append(
+                            (in_name, render(inner).strip()))
+                        hm = Measure(hidden, t.upper.lower(),
+                                     None, in_name)
+                    measures.append(hm)
+                    agg_hits += 1
+                    out_toks.append(Token(WORD, hidden))
+                    k = close + 1
+                    continue
+            out_toks.append(t)
+            k += 1
+        rem = [c for c in out_toks if c.kind not in (WS, COMMENT)]
+        if agg_hits == 0:
+            # no aggregate anywhere: Snowflake evaluates the
+            # expression on the final (ONE ROW) / current (ALL ROWS)
+            # row — LAST over a computed input column
+            in_name = f"__mr_i{i_n}"
+            i_n += 1
+            input_exprs.append((in_name, render(expr_toks).strip()))
+            measures.append(Measure(name, "last", None, in_name))
+            order.append(name)
+            continue
+        if (agg_hits == 1 and len(rem) == 1 and rem[0].kind == WORD
+                and rem[0].text.startswith("__mr_e")):
+            # the entry IS one aggregate (it only failed the simple
+            # grammar because its argument is an expression) — surface
+            # the hidden measure under the user's name directly
+            hm = measures[-1]
+            measures[-1] = Measure(name, hm.fn, hm.symbol, hm.col)
+            order.append(name)
+            continue
+        derived.append((name, render(out_toks).strip()))
+        order.append(name)
+    if not general:
+        return measures, None, None, None
+    return measures, input_exprs, derived, order
 
 
 def _clause_spans(toks):
@@ -282,12 +429,8 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
     order_by = _bare_columns(
         _split_top_commas(after_by(got["ORDER"])), "ORDER BY"
     )
-    meas_seg = got["MEASURES"]
-    j = next_code(meas_seg, 0)
-    measures = [
-        _parse_measure(p) for p in _split_top_commas(meas_seg[j + 1:])
-    ]
-    # PATTERN ( ... )
+    # PATTERN ( ... )  — parsed before MEASURES: expression measures
+    # need the symbol set to refuse symbol-qualified expressions
     pat_seg = got["PATTERN"]
     j = next_code(pat_seg, 0)
     j = next_code(pat_seg, j + 1)
@@ -353,6 +496,11 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
     # finding); drop them so the matcher never allocates a flag column
     # for a symbol it cannot reference
     pat_syms = {t.symbol for t in pattern}
+    meas_seg = got["MEASURES"]
+    j = next_code(meas_seg, 0)
+    measures, input_exprs, derived, measure_order = _expand_measures(
+        _split_top_commas(meas_seg[j + 1:]), pat_syms
+    )
     defines = {s: c for s, c in defines.items() if s in pat_syms}
     if skip_sym is not None and skip_sym not in pat_syms:
         raise TranspileError(
@@ -371,6 +519,9 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
         with_unmatched=with_unmatched,
         skip_to_symbol=skip_sym,
         skip_to_first=skip_first,
+        input_exprs=input_exprs,
+        derived=derived,
+        measure_order=measure_order,
     )
 
 

@@ -107,6 +107,17 @@ class MatchRecognizeSpec:
     # parse_pattern_full alternative trees (grouped patterns); None →
     # derived from the flat terms (paren-free patterns)
     tree: Optional[list] = None
+    # round-9 EXPRESSION measures (``LAST(x) - FIRST(x) AS delta``,
+    # ``SUM(hi - lo) AS range_sum``): aggregate ARGUMENTS that are
+    # expressions become hidden input columns computed BEFORE matching
+    # (name, Snowflake expr SQL — PREV/NEXT allowed, same window
+    # rewrite as DEFINE), and expressions OF aggregates become derived
+    # output formulas computed AFTER (name, formula over hidden
+    # measure names). measure_order preserves the user's declared
+    # output column order across the mix.
+    input_exprs: Optional[list] = None
+    derived: Optional[list] = None
+    measure_order: Optional[list] = None
 
 
 _QUANT_RE = re.compile(
@@ -670,7 +681,49 @@ def match_recognize(
     order = ", ".join(f"{c} NULLS LAST" for c in spec.order_by)
     over = f"OVER (PARTITION BY {part} ORDER BY {order})"
 
+    def _compile_sf_expr(sql_text: str) -> str:
+        """Snowflake expr → Spark SQL: PREV/NEXT → LAG/LEAD with the
+        partition window appended, then the dialect transpile — shared
+        by DEFINE conditions and expression-measure input columns."""
+        e2 = re.sub(r"(?i)\bPREV\s*\(", "LAG__MR(", sql_text)
+        e2 = re.sub(r"(?i)\bNEXT\s*\(", "LEAD__MR(", e2)
+        # LAG__MR(expr[, n]) → LAG(expr[, n]) OVER (...): append the
+        # window spec to each marked call
+        out = []
+        i = 0
+        while i < len(e2):
+            mm = re.match(r"(LAG|LEAD)__MR\(", e2[i:])
+            if mm:
+                fn = mm.group(1)
+                j = i + len(mm.group(0))
+                depth = 1
+                while j < len(e2) and depth:
+                    if e2[j] == "(":
+                        depth += 1
+                    elif e2[j] == ")":
+                        depth -= 1
+                    j += 1
+                inner = e2[i + len(mm.group(0)):j - 1]
+                out.append(f"{fn}({inner}) {over}")
+                i = j
+            else:
+                out.append(e2[i])
+                i += 1
+        sql2 = "".join(out)
+        if transpiler is not None:
+            wrapped = transpiler.to_spark(f"SELECT {sql2} AS __mr_c0x")
+            sql2 = (
+                wrapped.split("SELECT", 1)[1]
+                .rsplit("AS __mr_c0x", 1)[0]
+                .strip()
+            )
+        return sql2
+
     work = df
+    # expression-measure input columns first: computed per input row,
+    # BEFORE matching, so aggregates see them like any data column
+    for in_name, in_expr in (spec.input_exprs or []):
+        work = work.withColumn(in_name, F.expr(_compile_sf_expr(in_expr)))
     flag_cols = []
     for k, t in enumerate(spec.pattern):
         cond = spec.defines.get(t.symbol)
@@ -679,40 +732,7 @@ def match_recognize(
         if cond is None:
             work = work.withColumn(name, F.lit(True))
             continue
-        cond2 = re.sub(
-            r"(?i)\bPREV\s*\(", f"LAG__MR(", cond
-        )
-        cond2 = re.sub(r"(?i)\bNEXT\s*\(", f"LEAD__MR(", cond2)
-        # LAG__MR(expr[, n]) → LAG(expr[, n]) OVER (...): append the
-        # window spec to each marked call
-        out = []
-        i = 0
-        while i < len(cond2):
-            mm = re.match(r"(LAG|LEAD)__MR\(", cond2[i:])
-            if mm:
-                fn = mm.group(1)
-                j = i + len(mm.group(0))
-                depth = 1
-                while j < len(cond2) and depth:
-                    if cond2[j] == "(":
-                        depth += 1
-                    elif cond2[j] == ")":
-                        depth -= 1
-                    j += 1
-                inner = cond2[i + len(mm.group(0)):j - 1]
-                out.append(f"{fn}({inner}) {over}")
-                i = j
-            else:
-                out.append(cond2[i])
-                i += 1
-        cond_sql = "".join(out)
-        if transpiler is not None:
-            wrapped = transpiler.to_spark(f"SELECT {cond_sql} AS __mr_c0x")
-            cond_sql = (
-                wrapped.split("SELECT", 1)[1]
-                .rsplit("AS __mr_c0x", 1)[0]
-                .strip()
-            )
+        cond_sql = _compile_sf_expr(cond)
         work = work.withColumn(name, F.expr(f"COALESCE({cond_sql}, FALSE)"))
 
     in_fields = {f.name: f for f in work.schema.fields}
@@ -722,6 +742,8 @@ def match_recognize(
         # internal __mr_f* flag columns)
         data_lower = {f.name.lower() for f in df.schema.fields}
         dup = [m.name for m in spec.measures if m.name.lower() in data_lower]
+        dup += [n for n, _ in (spec.derived or [])
+                if n.lower() in data_lower]
         if dup:
             raise ValueError(
                 f"ALL ROWS PER MATCH: measure name(s) {dup} collide "
@@ -857,7 +879,27 @@ def match_recognize(
             return pd.DataFrame({f.name: [] for f in out_schema.fields})
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return work.groupBy(*pk).applyInPandas(run, schema=out_schema)
+    res = work.groupBy(*pk).applyInPandas(run, schema=out_schema)
+    if spec.derived:
+        # derived output formulas over the hidden measures (plain
+        # JVM projections — F.expr over the operator's output; the
+        # formulas were validated Snowflake-dialect at parse time)
+        for d_name, d_formula in spec.derived:
+            d_sql = d_formula
+            if transpiler is not None:
+                wrapped = transpiler.to_spark(
+                    f"SELECT {d_sql} AS __mr_c0x")
+                d_sql = (wrapped.split("SELECT", 1)[1]
+                         .rsplit("AS __mr_c0x", 1)[0].strip())
+            res = res.select("*", F.expr(d_sql).alias(d_name))
+    hidden = [m.name for m in spec.measures
+              if m.name.startswith("__mr_e")]
+    if hidden:
+        res = res.drop(*hidden)
+    if spec.measure_order is not None:
+        keep = data_cols + list(spec.measure_order)
+        res = res.select(*keep)
+    return res
 
 
 def _parse_type(s: str):

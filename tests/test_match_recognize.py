@@ -1083,3 +1083,76 @@ class TestNestedComposability:
                     PATTERN (A+) DEFINE A AS price > 0))
                 SELECT * FROM m
             """)
+
+
+class TestExpressionMeasuresR9:
+    """Round-9: MEASURES accepts expressions — of aggregates
+    (LAST(x) - FIRST(x)), aggregates of expressions (SUM(x - PREV(x))),
+    and bare expressions (final-row semantics). Decomposition: hidden
+    input columns before matching + derived projections after."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def em(self, spark):
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW mr_em AS SELECT * FROM
+            VALUES (1, 1, 10.0), (1, 2, 12.0), (1, 3, 15.0),
+                   (1, 4, 9.0), (2, 1, 5.0), (2, 2, 7.0), (2, 3, 8.0)
+            t(g, seq, v)"""
+        )
+
+    BODY = """PARTITION BY g ORDER BY seq
+        MEASURES {m}
+        ONE ROW PER MATCH PATTERN (A B+) DEFINE B AS v > PREV(v)"""
+
+    def _run(self, engine, m, all_rows=False):
+        body = self.BODY.format(m=m)
+        if all_rows:
+            body = body.replace("ONE ROW PER MATCH",
+                                "ALL ROWS PER MATCH")
+        return engine.execute(
+            f"SELECT * FROM mr_em MATCH_RECOGNIZE ({body}) "
+            "ORDER BY g").collect()
+
+    def test_expression_of_aggregates(self, engine):
+        r = self._run(engine, "LAST(v) - FIRST(v) AS delta")
+        assert [float(x.delta) for x in r] == [5.0, 3.0]
+
+    def test_aggregate_of_expression_with_prev(self, engine):
+        r = self._run(engine,
+                      "SUM(v - PREV(v)) AS updist, MAX(v * 2) AS mx2")
+        assert [float(x.updist) for x in r] == [5.0, 3.0]
+        assert [float(x.mx2) for x in r] == [30.0, 16.0]
+
+    def test_bare_expression_is_final_row(self, engine):
+        r = self._run(engine, "v * 10 AS last_v10")
+        assert [float(x.last_v10) for x in r] == [150.0, 80.0]
+
+    def test_mixed_order_and_match_number_expr(self, engine):
+        r = self._run(engine,
+                      "COUNT(*) AS n, MATCH_NUMBER() * 100 + COUNT(*) "
+                      "AS coded, FIRST(seq) AS lo")
+        assert [(x.n, x.coded, x.lo) for x in r] == [
+            (3, 103, 1), (3, 103, 1)]
+
+    def test_running_expression_all_rows(self, engine):
+        r = engine.execute(
+            "SELECT g, seq, rng FROM mr_em MATCH_RECOGNIZE ("
+            + self.BODY.format(m="MAX(v) - MIN(v) AS rng").replace(
+                "ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+            + ") ORDER BY g, seq").collect()
+        assert [float(x.rng) for x in r if x.g == 1] == [0.0, 2.0, 5.0]
+
+    def test_match_number_expr_not_silently_bare(self, engine):
+        # previously MATCH_NUMBER() * 2 parsed as bare match_number
+        r = self._run(engine, "MATCH_NUMBER() * 2 AS mn2")
+        assert [x.mn2 for x in r] == [2, 2]
+
+    def test_distinct_and_qualified_expr_refuse(self, engine):
+        with pytest.raises(TranspileError, match="DISTINCT"):
+            self._run(engine, "SUM(DISTINCT v) AS s")
+        with pytest.raises(TranspileError, match="symbol-qualified"):
+            self._run(engine, "SUM(B.v * 2) AS s")
+
+    def test_nav_offset_refuses(self, engine):
+        with pytest.raises(TranspileError, match="offsets"):
+            self._run(engine, "LAST(v + 0, 1) AS s")
