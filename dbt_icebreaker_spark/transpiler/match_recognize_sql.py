@@ -461,7 +461,27 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
                 if c.kind == WORD and c.upper == "AS" and not seen_as:
                     seen_as = True
                     break
-            defines[code[0].upper] = render(part[k + 1:]).strip()
+            # match-state aggregates/navigation inside DEFINE
+            # (COUNT(*) < 3, v > FIRST(v)) would reach Spark as
+            # ungrouped aggregates — MISSING_GROUP_BY, opaque. DEFINE
+            # here sees per-row values + PREV/NEXT only; refuse with
+            # the idiomatic rewrites (r9 probe)
+            cond_toks = part[k + 1:]
+            for ci, ct in enumerate(cond_toks):
+                if ct.kind == WORD and ct.upper in _AGGS:
+                    nx = next_code(cond_toks, ci + 1)
+                    if nx < len(cond_toks) and cond_toks[nx].is_op("("):
+                        raise TranspileError(
+                            f"DEFINE {code[0].text}: {ct.upper}(…) — "
+                            "aggregates over the match-so-far are not "
+                            "supported inside DEFINE (conditions see "
+                            "the current row plus PREV/NEXT). Bound "
+                            "match length with a pattern quantifier "
+                            "(e.g. B{1,3}) instead of COUNT(*), or "
+                            "compare against PREV(col, n) for a fixed "
+                            "lookback instead of FIRST/LAST."
+                        )
+            defines[code[0].upper] = render(cond_toks).strip()
     skip_next = False
     skip_sym = None
     skip_first = False

@@ -1156,3 +1156,19 @@ class TestExpressionMeasuresR9:
     def test_nav_offset_refuses(self, engine):
         with pytest.raises(TranspileError, match="offsets"):
             self._run(engine, "LAST(v + 0, 1) AS s")
+
+
+class TestDefineAggregateRefusalR9:
+    def test_count_in_define_refuses_actionably(self, engine, ticks):
+        with pytest.raises(TranspileError, match="quantifier"):
+            engine.execute(f"""SELECT * FROM {ticks} MATCH_RECOGNIZE (
+                PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
+                ONE ROW PER MATCH PATTERN (B+)
+                DEFINE B AS COUNT(*) < 3)""")
+
+    def test_first_in_define_refuses_actionably(self, engine, ticks):
+        with pytest.raises(TranspileError, match="PREV"):
+            engine.execute(f"""SELECT * FROM {ticks} MATCH_RECOGNIZE (
+                PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
+                ONE ROW PER MATCH PATTERN (A B+)
+                DEFINE B AS price > FIRST(price))""")
