@@ -690,3 +690,34 @@ class TestRound6DmlPlans:
     def test_general_merge_leaves_clean_table(self, spark):
         plan = self._survivors_plan(spark, on_renamed=True)
         assert "__icebreaker" not in plan
+
+
+class TestRound9NestedMrPlan:
+    """Round-9 nested MATCH_RECOGNIZE (the CTE/subquery resolver):
+    nothing materializes at resolve time — the temp view holds the
+    lazy operator plan, so the extracted source's filter still reaches
+    the parquet scan UNDER the applyInPandas boundary, and the
+    expression-measure decomposition adds only JVM projections."""
+
+    def test_nested_mr_filter_pushed_to_scan(self, spark, qs):
+        df = qs["x71_mr_composability"](spark, SF_DIR)
+        plan = _executed_plan(df)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("user_id" in f for f in pushed), plan
+        assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+    def test_expression_measures_stay_jvm_side(self, spark, qs):
+        df = qs["x72_mr_expression_measures"](spark, SF_DIR)
+        plan = _executed_plan(df)
+        # one Python boundary KIND (the matcher) — the hidden input
+        # column and derived formula are Project nodes, not extra UDF
+        # kinds (the formatted plan repeats nodes across AQE sections,
+        # so count distinct node ids, not string occurrences)
+        import re as _re
+
+        ids = set(_re.findall(
+            r"FlatMapGroupsInPandas \((\d+)\)", _final_tree(plan)))
+        assert len(ids) == 1, plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("user_id" in f for f in pushed), plan
