@@ -970,14 +970,31 @@ class IcebreakerEngine:
                 "current table first (ALTER TABLE … RENAME TO … / "
                 "DROP TABLE …)"
             )
-        tdb, trash = stack.pop()
+        # the retained rename can vanish underneath the ledger (DROP
+        # SCHEMA … CASCADE sweeps the hidden tables too — r9 probe);
+        # skip ghosts, newest first, and refuse actionably if none
+        # survive
+        tdb = trash = None
+        while stack:
+            cdb, ctrash = stack.pop()
+            for idx in range(len(self._drop_order) - 1, -1, -1):
+                if self._drop_order[idx] == key:
+                    del self._drop_order[idx]
+                    break
+            try:
+                if self.spark.catalog.tableExists(f"`{cdb}`.`{ctrash}`"):
+                    tdb, trash = cdb, ctrash
+                    break
+            except Exception:
+                continue
         if not stack:
             self._drop_ledger.pop(key, None)
-        # remove ONE matching ledger-order entry (the newest)
-        for idx in range(len(self._drop_order) - 1, -1, -1):
-            if self._drop_order[idx] == key:
-                del self._drop_order[idx]
-                break
+        if trash is None:
+            raise ValueError(
+                f"UNDROP TABLE {key}: the retained version(s) are no "
+                "longer in the catalog — DROP SCHEMA … CASCADE (or an "
+                "external cleanup) removed them; nothing to restore"
+            )
         self.spark.sql(
             f"ALTER TABLE `{tdb}`.`{trash}` RENAME TO `{db}`.`{tbl}`"
         )

@@ -624,6 +624,25 @@ def resolve_nested_match_recognize(spark, sql: str, transpiler) -> str:
     from ..xops.match_recognize import match_recognize
 
     toks = tokenize(sql)
+    # a PERSISTENT view cannot reference the session-scoped operator
+    # view the resolver splices in — Spark would fail with
+    # INVALID_TEMP_OBJ_REFERENCE after the work ran; refuse up front
+    # with the rewrite (r9 probe)
+    h = next_code(toks, 0)
+    if h < len(toks) and toks[h].is_word("CREATE"):
+        j = next_code(toks, h + 1)
+        if j < len(toks) and toks[j].is_word("OR"):
+            j = next_code(toks, j + 1)
+            j = next_code(toks, j + 1)  # REPLACE
+        if j < len(toks) and toks[j].is_word("VIEW"):
+            raise TranspileError(
+                "MATCH_RECOGNIZE inside CREATE VIEW: the row-pattern "
+                "operator evaluates through a session-scoped view, "
+                "which a persistent view cannot reference. Use CREATE "
+                "TEMPORARY VIEW (session-scoped, works), or "
+                "materialize: CREATE TABLE … AS SELECT … "
+                "MATCH_RECOGNIZE (…)"
+            )
     counter = 0
     while True:
         mr_i = None

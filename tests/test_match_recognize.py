@@ -1172,3 +1172,22 @@ class TestDefineAggregateRefusalR9:
                 PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
                 ONE ROW PER MATCH PATTERN (A B+)
                 DEFINE B AS price > FIRST(price))""")
+
+
+class TestMrPersistentViewRefusalR9:
+    def test_create_view_with_mr_refuses_actionably(self, engine, ticks):
+        with pytest.raises(TranspileError, match="TEMPORARY VIEW"):
+            engine.execute(f"""
+                CREATE VIEW mr_test.bad_v AS SELECT * FROM {ticks}
+                MATCH_RECOGNIZE (PARTITION BY sym ORDER BY t
+                  MEASURES COUNT(*) AS n ONE ROW PER MATCH
+                  PATTERN (A B+) DEFINE B AS price > PREV(price))""")
+
+    def test_temp_view_with_mr_works(self, spark, engine, ticks):
+        engine.execute(f"""
+            CREATE OR REPLACE TEMP VIEW mr_tv9 AS SELECT * FROM {ticks}
+            MATCH_RECOGNIZE (PARTITION BY sym ORDER BY t
+              MEASURES COUNT(*) AS n ONE ROW PER MATCH
+              PATTERN (A B+) DEFINE B AS price > PREV(price))""")
+        assert engine.execute(
+            "SELECT COUNT(*) AS c FROM mr_tv9").collect()[0].c > 0

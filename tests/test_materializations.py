@@ -3501,3 +3501,17 @@ class TestAlterSessionSubsetR9:
     def test_other_params_keep_refusal(self, engine):
         with pytest.raises(Exception, match="TIMEZONE"):
             engine.execute("ALTER SESSION SET WEEK_START = 1")
+
+
+class TestUndropGhostR9:
+    def test_undrop_after_schema_cascade_actionable(self, spark, engine):
+        spark.sql("CREATE SCHEMA IF NOT EXISTS mt_gh9")
+        engine.execute("CREATE OR REPLACE TABLE mt_gh9.t1 AS SELECT 1 AS x")
+        engine.execute("DROP TABLE mt_gh9.t1")
+        spark.sql("DROP SCHEMA mt_gh9 CASCADE")
+        with pytest.raises(Exception, match="no longer in the catalog"):
+            engine.execute("UNDROP TABLE mt_gh9.t1")
+        # the ledger entry is consumed — a second attempt reports
+        # nothing retained, not the ghost message again
+        with pytest.raises(Exception, match="no dropped version"):
+            engine.execute("UNDROP TABLE mt_gh9.t1")
