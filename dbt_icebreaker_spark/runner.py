@@ -1234,6 +1234,60 @@ class IcebreakerEngine:
                         "statement string, status string",
                     )
                     continue
+                # ALTER TABLE t SET <snowflake parameter> = <value>
+                # (r9 batch 4): COMMENT maps to Spark's table property,
+                # DATA_RETENTION_TIME_IN_DAYS no-ops naming the
+                # engine's own retention, CHANGE_TRACKING refuses
+                # naming streaming (it backs STREAM objects), anything
+                # else refuses naming the supported set — the Spark
+                # grammar forms (SET TBLPROPERTIES/SERDE…) never match
+                # this name-=-value shape and fall through untouched
+                import re as _re
+
+                m = _re.match(
+                    r"(?is)\s*ALTER\s+TABLE\s+([\w.`\"]+)\s+SET\s+"
+                    r"([A-Z_]+)\s*=\s*(?:'((?:[^']|'')*)'|(\S+))"
+                    r"\s*;?\s*$",
+                    raw)
+                if m and m.group(2).upper() not in (
+                    "TBLPROPERTIES", "SERDEPROPERTIES", "LOCATION",
+                ):
+                    tname, pname = m.group(1), m.group(2).upper()
+                    val = (m.group(3).replace("''", "'")
+                           if m.group(3) is not None else m.group(4))
+                    if pname == "COMMENT":
+                        esc = val.replace("'", "''")
+                        self.spark.sql(
+                            f"ALTER TABLE {tname} SET TBLPROPERTIES "
+                            f"('comment' = '{esc}')")
+                        result = self.spark.createDataFrame(
+                            [("comment", val)],
+                            "parameter string, value string")
+                        continue
+                    if pname == "DATA_RETENTION_TIME_IN_DAYS":
+                        result = self.spark.createDataFrame(
+                            [(pname.lower(), "noop: retention here is "
+                              "the engine's session-scoped UNDROP "
+                              f"ledger (last {self._drop_retention} "
+                              "drops), not a per-table time window")],
+                            "statement string, status string")
+                        continue
+                    if pname == "CHANGE_TRACKING":
+                        raise ValueError(
+                            "ALTER TABLE … SET CHANGE_TRACKING: "
+                            "change tracking backs STREAM objects, "
+                            "which have no Spark equivalent — use "
+                            "Structured Streaming (streaming.stream_"
+                            "incremental_append) for change capture"
+                        )
+                    raise ValueError(
+                        f"ALTER TABLE … SET {pname}: unsupported "
+                        "table parameter — COMMENT (mapped to the "
+                        "table property) and DATA_RETENTION_TIME_IN_"
+                        "DAYS (no-op; see UNDROP retention) are "
+                        "handled; Spark-native forms (SET "
+                        "TBLPROPERTIES …) pass through"
+                    )
             # SHOW PARAMETERS [LIKE 'p'] [IN …] → Spark's conf listing
             # (SET -v shape: key, value, meaning); the IN scope is
             # dropped — one engine, one scope

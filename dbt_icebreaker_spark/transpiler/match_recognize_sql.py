@@ -137,7 +137,7 @@ def _parse_measure(toks) -> Measure:
     )
 
 
-def _expand_measures(parts, pat_syms):
+def _expand_measures(parts, pat_syms, all_rows=False):
     """Round-9 EXPRESSION measures. Each MEASURES entry is tried
     against the simple grammar first (`agg(col) AS name` — zero new
     behavior); anything richer decomposes into:
@@ -150,6 +150,12 @@ def _expand_measures(parts, pat_syms):
       the operator);
     - an entry with NO aggregate at all → Snowflake's final-row
       semantics: LAST(<expr>) via a hidden input column.
+
+    RUNNING/FINAL prefixes: under ONE ROW PER MATCH both denote the
+    final value (stripped); under ALL ROWS PER MATCH the default IS
+    running, so RUNNING strips and FINAL refuses actionably (the
+    matcher emits per-row running values; broadcasting each match's
+    final value back over its rows is a different operator shape).
 
     Returns (measures, input_exprs, derived, order) where order is
     the user-declared output column sequence."""
@@ -188,6 +194,24 @@ def _expand_measures(parts, pat_syms):
         n_e = len(expr_toks)
         while k < n_e:
             t = expr_toks[k]
+            if t.kind == WORD and t.upper in ("RUNNING", "FINAL"):
+                nx = next_code(expr_toks, k + 1)
+                nx2 = next_code(expr_toks, nx + 1) if nx < n_e else n_e
+                if (nx < n_e and expr_toks[nx].kind == WORD
+                        and expr_toks[nx].upper in agg_names
+                        and nx2 < n_e and expr_toks[nx2].is_op("(")):
+                    if t.upper == "FINAL" and all_rows:
+                        raise TranspileError(
+                            "MEASURES: FINAL semantics under ALL ROWS "
+                            "PER MATCH (the per-match final value on "
+                            "every row) is not supported — measures "
+                            "emit RUNNING values; aggregate the "
+                            "output per match instead (e.g. MAX(...) "
+                            "OVER (PARTITION BY <keys>, mn))"
+                        )
+                    general = True
+                    k = nx  # strip the keyword
+                    continue
             if t.kind == WORD and t.upper in agg_names:
                 op = next_code(expr_toks, k + 1)
                 if op < n_e and expr_toks[op].is_op("("):
@@ -519,7 +543,7 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
     meas_seg = got["MEASURES"]
     j = next_code(meas_seg, 0)
     measures, input_exprs, derived, measure_order = _expand_measures(
-        _split_top_commas(meas_seg[j + 1:]), pat_syms
+        _split_top_commas(meas_seg[j + 1:]), pat_syms, all_rows
     )
     defines = {s: c for s, c in defines.items() if s in pat_syms}
     if skip_sym is not None and skip_sym not in pat_syms:

@@ -1191,3 +1191,31 @@ class TestMrPersistentViewRefusalR9:
               PATTERN (A B+) DEFINE B AS price > PREV(price))""")
         assert engine.execute(
             "SELECT COUNT(*) AS c FROM mr_tv9").collect()[0].c > 0
+
+
+class TestRunningFinalPrefixesR9:
+    def test_prefixes_one_row(self, engine, ticks):
+        body = """PARTITION BY sym ORDER BY t
+            MEASURES {m} ONE ROW PER MATCH
+            PATTERN (A B+) DEFINE B AS price > PREV(price)"""
+        r1 = engine.execute(
+            f"SELECT n FROM {ticks} MATCH_RECOGNIZE ("
+            + body.format(m="RUNNING COUNT(*) AS n") + ") ORDER BY n"
+        ).collect()
+        r2 = engine.execute(
+            f"SELECT n FROM {ticks} MATCH_RECOGNIZE ("
+            + body.format(m="FINAL COUNT(*) AS n") + ") ORDER BY n"
+        ).collect()
+        r3 = engine.execute(
+            f"SELECT n FROM {ticks} MATCH_RECOGNIZE ("
+            + body.format(m="COUNT(*) AS n") + ") ORDER BY n"
+        ).collect()
+        assert [x.n for x in r1] == [x.n for x in r2] == [x.n for x in r3]
+
+    def test_final_under_all_rows_refuses(self, engine, ticks):
+        with pytest.raises(TranspileError, match="FINAL"):
+            engine.execute(f"""SELECT * FROM {ticks} MATCH_RECOGNIZE (
+                PARTITION BY sym ORDER BY t
+                MEASURES FINAL COUNT(*) AS n
+                ALL ROWS PER MATCH PATTERN (A B+)
+                DEFINE B AS price > PREV(price))""")

@@ -3515,3 +3515,42 @@ class TestUndropGhostR9:
         # nothing retained, not the ghost message again
         with pytest.raises(Exception, match="no dropped version"):
             engine.execute("UNDROP TABLE mt_gh9.t1")
+
+
+class TestAlterTableSetParamsR9:
+    def test_set_comment_maps_to_property(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sp9 (x INT)")
+        engine.execute(
+            "ALTER TABLE mat_test.sp9 SET COMMENT = 'it''s nice'")
+        rows = spark.sql("DESC EXTENDED mat_test.sp9").collect()
+        assert any(r.col_name == "Comment"
+                   and r.data_type == "it's nice" for r in rows)
+        spark.sql("DROP TABLE mat_test.sp9")
+
+    def test_retention_param_noops(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sp9b (x INT)")
+        r = engine.execute(
+            "ALTER TABLE mat_test.sp9b SET "
+            "DATA_RETENTION_TIME_IN_DAYS = 3").collect()[0]
+        assert "UNDROP" in r.status
+        spark.sql("DROP TABLE mat_test.sp9b")
+
+    def test_change_tracking_and_unknown_refuse(self, engine):
+        with pytest.raises(Exception, match="STREAM"):
+            engine.execute(
+                "ALTER TABLE mat_test.sh_t1 SET CHANGE_TRACKING = TRUE")
+        with pytest.raises(Exception, match="unsupported table param"):
+            engine.execute(
+                "ALTER TABLE mat_test.sh_t1 SET "
+                "MAX_DATA_EXTENSION_TIME_IN_DAYS = 7")
+
+    def test_spark_native_forms_untouched(self, spark, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.sp9c (x INT)")
+        engine.execute(
+            "ALTER TABLE mat_test.sp9c SET TBLPROPERTIES ('k' = 'v')")
+        engine.execute("ALTER TABLE mat_test.sp9c ADD COLUMN z INT")
+        assert "z" in spark.table("mat_test.sp9c").columns
+        spark.sql("DROP TABLE mat_test.sp9c")
