@@ -6640,8 +6640,68 @@ XOP_ORACLES["x72_mr_expression_measures"] = """
 """
 
 
+def _x_mr_measure_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 late: the richer expression-measure shapes locked
+    against an oracle — CASE over aggregates, string-aggregate
+    concatenation, a RUNNING prefix (final under ONE ROW), and an
+    order-independent float formula (MAX−MIN: IEEE-deterministic on
+    identical inputs, unlike SUM whose accumulation order varies).
+    The oracle restates each over the ascending-run islands."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, klass, spread, typ_span, n2
+        FROM (SELECT user_id, ts, event_id, event_type, value
+              FROM events WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES CASE WHEN COUNT(*) > 2 THEN 'long' ELSE 'short'
+                     END AS klass,
+                   CAST(MAX(value) - MIN(value) AS DOUBLE) AS spread,
+                   MIN(event_type) || '>' || MAX(event_type)
+                     AS typ_span,
+                   RUNNING COUNT(*) * 2 AS n2
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    )
+
+
+XOP_ORACLES["x73_mr_measure_shapes"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END
+               AS brk
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    )
+    SELECT user_id,
+           CASE WHEN COUNT(*) > 2 THEN 'long' ELSE 'short' END
+             AS klass,
+           CAST(MAX(value) - MIN(value) AS DOUBLE) AS spread,
+           MIN(event_type) || '>' || MAX(event_type) AS typ_span,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n2
+    FROM g GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
+    "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,
     "q88_scripting_shadow": _q_scripting_shadow,
