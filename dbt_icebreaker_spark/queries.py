@@ -6812,26 +6812,14 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ----------------------------------------------------------------
-# Round-9 gate promotion (r8 VERDICT task 8): the driver's hard gate
-# grades the q01–q50 names; until now those were all relational
-# SQL_QUERIES entries, so the X-tier (the 100 TB operators) was only
-# judge-verified. Promote the two strongest X-tier pipelines INTO the
-# graded namespace by shadowing two basic entries whose semantics are
-# broadly covered elsewhere (dict.update keeps the original iteration
-# position, so every plausible gate name-filter still sees them):
-#   q33_fn_surface      → x14 dedup clusters (MinHash → LSH →
-#                         connected components; Spark beats DuckDB
-#                         3.6× on this, the heavyweight)
-#   q27_count_distinct  → q93 sketch-percentile partial-aggregation
-#                         pipeline (ACCUMULATE → COMBINE → ESTIMATE)
-# The displaced originals stay in the corpus under q97/q98 (graded by
-# the full replica run, outside the 50-row gate).
-SQL_QUERIES["q97_count_distinct"] = SQL_QUERIES["q27_count_distinct"]
-SQL_QUERIES["q98_fn_surface"] = SQL_QUERIES["q33_fn_surface"]
-XOP_FUNCS["q33_fn_surface"] = _x_dedup_clusters
-XOP_ORACLES["q33_fn_surface"] = XOP_ORACLES["x14_dedup_clusters"]
-XOP_FUNCS["q27_count_distinct"] = _q_sketch_percentile
-XOP_ORACLES["q27_count_distinct"] = XOP_ORACLES["q93_sketch_percentile"]
+# NOTE (round 10): round 9 shadowed the graded names q27/q33 with the
+# x14 and q93 pipelines so the driver's fixed 50-name gate would
+# hash-grade two X-tier workloads. The round-9 advisor flagged that as
+# making graded names lie about their semantics, so the shadowing is
+# removed: q27_count_distinct and q33_fn_surface are bound to their
+# original implementations again, and x14_dedup_clusters /
+# q93_sketch_percentile remain SQL-oracled under their own honest names
+# in the full corpus (graded by the driver's replica run).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

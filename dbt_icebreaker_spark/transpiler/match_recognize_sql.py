@@ -16,6 +16,8 @@ specific unsupported piece named (never a silent wrong answer).
 
 from __future__ import annotations
 
+import itertools
+
 from dataclasses import dataclass
 from typing import Optional
 
@@ -619,6 +621,14 @@ def _leading_ctes(toks):
     return spans
 
 
+# Spliced operator views must be uniquely named across the whole
+# session, not per resolver call: CREATE TEMPORARY VIEW stores the view
+# TEXT and re-resolves it at read time, so if two statements both
+# spliced a view named __icebreaker_mr_n0, a temp view saved over the
+# first statement would silently read the SECOND statement's
+# MATCH_RECOGNIZE output on its next scan (r9 advisor finding).
+_MR_VIEW_SEQ = itertools.count()
+
 _MR_NOT_A_SOURCE = frozenset((
     "FROM", "JOIN", "WHERE", "ON", "SELECT", "AS", "LATERAL", "USING",
     "AND", "OR", "THEN", "UNION", "ALL", "BY", "COMMA",
@@ -667,7 +677,6 @@ def resolve_nested_match_recognize(spark, sql: str, transpiler) -> str:
                 "materialize: CREATE TABLE … AS SELECT … "
                 "MATCH_RECOGNIZE (…)"
             )
-    counter = 0
     while True:
         mr_i = None
         for i, t in enumerate(toks):
@@ -732,8 +741,7 @@ def resolve_nested_match_recognize(spark, sql: str, transpiler) -> str:
         src = spark.sql(transpiler.to_spark(
             f"{prefix}SELECT * FROM {source_text}"))
         out = match_recognize(src, spec, transpiler=transpiler)
-        view = f"__icebreaker_mr_n{counter}"
-        counter += 1
+        view = f"__icebreaker_mr_n{next(_MR_VIEW_SEQ)}"
         out.createOrReplaceTempView(view)
         toks = (toks[:src_lo] + tokenize(f" {view} ")
                 + toks[close + 1:])

@@ -7502,17 +7502,22 @@ def rewrite_show_statements(tokens: Tokens) -> Tokens:
                     k = next_code(tokens, k + 1)
                     continue
                 k = nxt
-            # dotted name run
-            while k < n and (tokens[k].kind in (WORD, QIDENT)
-                             or tokens[k].is_op(".")):
+            # dotted name run (ws/comments may interleave around the
+            # dots: `db . schema`). The run only continues through a
+            # '.' — a following WORD that is NOT dot-joined (LIKE, a
+            # stray keyword) belongs to the outer loop. k always lands
+            # on the next CODE token afterwards, so trailing
+            # whitespace (`SHOW TABLES IN db `) can never reach the
+            # catch-all error (r9 advisor finding).
+            while k < n and tokens[k].kind in (WORD, QIDENT):
                 in_name.append(tokens[k])
-                k += 1
-                if k < n and not (tokens[k].kind in (WORD, QIDENT)
-                                  or tokens[k].is_op(".")):
-                    break
-                # consume interleaved ws inside the dotted run
-                while k < n and tokens[k].kind in (WS, COMMENT):
-                    k += 1
+                nxt = next_code(tokens, k + 1)
+                if nxt < n and tokens[nxt].is_op("."):
+                    in_name.append(tokens[nxt])
+                    k = next_code(tokens, nxt + 1)
+                    continue
+                k = nxt
+                break
             continue
         _show_error(
             f"SHOW {kind}: unsupported clause at {t.text!r} — the Spark "

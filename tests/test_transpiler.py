@@ -2966,3 +2966,87 @@ class TestSketchPipelineR9:
         items = json.loads(r.t)
         assert len(items) == 3  # never empty for non-empty input
         assert [i[0] for i in items] == [0, 1, 2]  # stable tie-break
+
+
+class TestRound10AdvisorFixes:
+    """Round-10: the r9 advisor findings — SHOW whitespace/ordering
+    regressions, dynamic VARIANT subscripts, no-guess retry targeting,
+    and nested-MR spliced-view uniqueness."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r10_fixes")
+
+    def test_show_tables_trailing_whitespace(self, engine):
+        engine.execute("CREATE OR REPLACE TABLE r10_fixes.sh1 AS SELECT 1 AS x")
+        assert engine.execute("SHOW TABLES IN r10_fixes ").count() >= 1
+        assert engine.execute("SHOW TABLES IN SCHEMA r10_fixes\n").count() >= 1
+
+    def test_show_tables_in_before_like(self, engine):
+        # Snowflake accepts IN before LIKE; the dotted-run scan must
+        # not swallow the LIKE keyword or die on the separating space
+        rows = engine.execute(
+            "SHOW TABLES IN r10_fixes LIKE 'sh%'").collect()
+        assert any("sh1" in str(r).lower() for r in rows)
+
+    def test_show_tables_dotted_schema_spaces(self, engine):
+        assert engine.execute(
+            "SHOW TABLES IN spark_catalog . r10_fixes").count() >= 1
+
+    def test_dynamic_array_subscript(self, engine):
+        r = engine.execute(
+            "SELECT PARSE_JSON('[10,20,30]')[x] AS v "
+            "FROM (SELECT 1 AS x)").collect()
+        assert [row.v for row in r] == ["20"]
+
+    def test_dynamic_object_subscript(self, engine):
+        r = engine.execute(
+            "SELECT PARSE_JSON('{\"a\": 5, \"b\": 7}')[k] AS v "
+            "FROM (SELECT 'b' AS k)").collect()
+        assert [row.v for row in r] == ["7"]
+
+    def test_dynamic_subscript_expression_index(self, engine):
+        r = engine.execute(
+            "SELECT PARSE_JSON('[10,20,30]')[x + 1] AS v "
+            "FROM (SELECT 1 AS x)").collect()
+        assert [row.v for row in r] == ["30"]
+
+    def test_dynamic_then_literal_subscript(self, engine):
+        r = engine.execute(
+            "SELECT PARSE_JSON('[[1,2],[3,4]]')[x][1] AS v "
+            "FROM (SELECT 1 AS x)").collect()
+        assert [row.v for row in r] == ["4"]
+
+    def test_dynamic_subscript_out_of_range_is_null(self, engine):
+        r = engine.execute(
+            "SELECT PARSE_JSON('[10]')[x] AS v "
+            "FROM (SELECT 5 AS x)").collect()
+        assert [row.v for row in r] == [None]
+
+    def test_mixed_native_and_json_subscript_untouched(self, engine):
+        # the retry must rewrite ONLY the STRING-typed site the
+        # analyzer names; the native array subscript keeps its type
+        r = engine.execute(
+            "SELECT ARRAY(1, 2)[1] AS a, c[0] AS b "
+            "FROM (SELECT '[7]' AS c)").collect()[0]
+        assert r.a == 2 and r.b == "7"
+
+    def test_mr_temp_view_stable_across_statements(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE TEMPORARY VIEW r10_src1 AS "
+            "SELECT * FROM VALUES (1,1,10),(1,2,5),(1,3,8) AS t(p, seq, v)")
+        engine.execute(
+            "CREATE TEMPORARY VIEW r10_mrv AS SELECT * FROM r10_src1 "
+            "MATCH_RECOGNIZE (PARTITION BY p ORDER BY seq "
+            "MEASURES COUNT(*) AS cnt ONE ROW PER MATCH "
+            "PATTERN (A+) DEFINE A AS v > 0)")
+        first = engine.execute("SELECT * FROM r10_mrv").collect()
+        # a LATER nested-MR statement must not clobber the spliced
+        # operator view that r10_mrv's stored text re-resolves against
+        engine.execute(
+            "SELECT * FROM r10_src1 MATCH_RECOGNIZE ("
+            "PARTITION BY p ORDER BY seq MEASURES COUNT(*) AS cnt "
+            "ONE ROW PER MATCH PATTERN (B+) DEFINE B AS v > 7)").collect()
+        assert engine.execute("SELECT * FROM r10_mrv").collect() == first
