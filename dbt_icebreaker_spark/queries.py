@@ -6699,8 +6699,78 @@ XOP_ORACLES["x73_mr_measure_shapes"] = """
 """
 
 
+def _x_mr_final_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: FINAL measure semantics under ALL ROWS PER MATCH (the
+    last valid-Snowflake rejection in the MR surface — r9 verdict #1).
+    Every row of a match carries the match's FINAL aggregate next to
+    its RUNNING one: FINAL COUNT(*) is the match size on every row,
+    FINAL LAST(value) the last row's value, and a mixed
+    RUNNING/FINAL arithmetic entry proves the prefix binds per
+    aggregate. The oracle restates the ascending-run islands with
+    per-island windows (COUNT/LAST_VALUE OVER the island), so a FINAL
+    value leaking from a neighboring match, an off-by-one match tag,
+    or running-where-final-expected all break the hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, ts, event_id, value, rn, fcnt, flast, togo
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES RUNNING COUNT(*) AS rn,
+                   FINAL COUNT(*) AS fcnt,
+                   CAST(FINAL LAST(value) AS DOUBLE) AS flast,
+                   FINAL COUNT(*) - RUNNING COUNT(*) AS togo
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    )
+
+
+XOP_ORACLES["x74_mr_final_all_rows"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END
+               AS brk
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, ts, event_id, value,
+             COUNT(*) OVER (PARTITION BY user_id, grp) AS sz,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp
+               ORDER BY ts, event_id) AS rn,
+             LAST_VALUE(value) OVER (PARTITION BY user_id, grp
+               ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS lastv
+      FROM g
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(rn AS BIGINT) AS rn,
+           CAST(sz AS BIGINT) AS fcnt,
+           CAST(lastv AS DOUBLE) AS flast,
+           CAST(sz - rn AS BIGINT) AS togo
+    FROM isl WHERE sz >= 2
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
+    "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

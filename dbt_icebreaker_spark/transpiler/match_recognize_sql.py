@@ -139,7 +139,8 @@ def _parse_measure(toks) -> Measure:
     )
 
 
-def _expand_measures(parts, pat_syms, all_rows=False):
+def _expand_measures(parts, pat_syms, all_rows=False,
+                     partition_by=None, order_by=None):
     """Round-9 EXPRESSION measures. Each MEASURES entry is tried
     against the simple grammar first (`agg(col) AS name` — zero new
     behavior); anything richer decomposes into:
@@ -155,9 +156,17 @@ def _expand_measures(parts, pat_syms, all_rows=False):
 
     RUNNING/FINAL prefixes: under ONE ROW PER MATCH both denote the
     final value (stripped); under ALL ROWS PER MATCH the default IS
-    running, so RUNNING strips and FINAL refuses actionably (the
-    matcher emits per-row running values; broadcasting each match's
-    final value back over its rows is a different operator shape).
+    running, so RUNNING strips and FINAL (r10 — valid Snowflake that
+    r9 still refused) broadcasts each match's final value over its
+    rows: the aggregate becomes a hidden RUNNING measure as usual, a
+    hidden MATCH_NUMBER() measure tags each output row's match, and
+    the FINAL reference compiles to ``LAST_VALUE(hidden) OVER
+    (PARTITION BY <keys>, match ORDER BY <order> ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` — the running
+    value on a match's LAST row IS the final value, so one window
+    projection after the operator finishes the job (no second
+    automaton pass). Mixed RUNNING/FINAL in one entry works: the
+    prefix binds to the next aggregate only.
 
     Returns (measures, input_exprs, derived, order) where order is
     the user-declared output column sequence."""
@@ -171,6 +180,17 @@ def _expand_measures(parts, pat_syms, all_rows=False):
     e_n = 0
     i_n = 0
     general = False
+    needs_match_no = False
+
+    def _final_window(hidden: str) -> str:
+        pk = ", ".join(list(partition_by or []) + ["__mr_emn"])
+        ob = ", ".join(f"{c} NULLS LAST" for c in (order_by or []))
+        return (
+            f"LAST_VALUE({hidden}) OVER (PARTITION BY {pk} "
+            f"ORDER BY {ob} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"UNBOUNDED FOLLOWING)"
+        )
+
     for p in parts:
         try:
             m = _parse_measure(p)
@@ -193,6 +213,7 @@ def _expand_measures(parts, pat_syms, all_rows=False):
         out_toks = []
         k = 0
         agg_hits = 0
+        pending_final = False
         n_e = len(expr_toks)
         while k < n_e:
             t = expr_toks[k]
@@ -203,14 +224,8 @@ def _expand_measures(parts, pat_syms, all_rows=False):
                         and expr_toks[nx].upper in agg_names
                         and nx2 < n_e and expr_toks[nx2].is_op("(")):
                     if t.upper == "FINAL" and all_rows:
-                        raise TranspileError(
-                            "MEASURES: FINAL semantics under ALL ROWS "
-                            "PER MATCH (the per-match final value on "
-                            "every row) is not supported — measures "
-                            "emit RUNNING values; aggregate the "
-                            "output per match instead (e.g. MAX(...) "
-                            "OVER (PARTITION BY <keys>, mn))"
-                        )
+                        # the prefix binds to the NEXT aggregate call
+                        pending_final = True
                     general = True
                     k = nx  # strip the keyword
                     continue
@@ -269,7 +284,12 @@ def _expand_measures(parts, pat_syms, all_rows=False):
                                      None, in_name)
                     measures.append(hm)
                     agg_hits += 1
-                    out_toks.append(Token(WORD, hidden))
+                    if pending_final:
+                        pending_final = False
+                        needs_match_no = True
+                        out_toks.extend(tokenize(_final_window(hidden)))
+                    else:
+                        out_toks.append(Token(WORD, hidden))
                     k = close + 1
                     continue
             out_toks.append(t)
@@ -296,6 +316,11 @@ def _expand_measures(parts, pat_syms, all_rows=False):
             continue
         derived.append((name, render(out_toks).strip()))
         order.append(name)
+    if needs_match_no:
+        # hidden per-row match tag the FINAL windows partition on;
+        # __mr_e-prefixed so the operator drops it after the derived
+        # projections run
+        measures.append(Measure("__mr_emn", "match_number", None, None))
     if not general:
         return measures, None, None, None
     return measures, input_exprs, derived, order
@@ -545,7 +570,8 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
     meas_seg = got["MEASURES"]
     j = next_code(meas_seg, 0)
     measures, input_exprs, derived, measure_order = _expand_measures(
-        _split_top_commas(meas_seg[j + 1:]), pat_syms, all_rows
+        _split_top_commas(meas_seg[j + 1:]), pat_syms, all_rows,
+        partition_by=partition_by, order_by=order_by,
     )
     defines = {s: c for s, c in defines.items() if s in pat_syms}
     if skip_sym is not None and skip_sym not in pat_syms:

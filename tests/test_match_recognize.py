@@ -1212,10 +1212,50 @@ class TestRunningFinalPrefixesR9:
         ).collect()
         assert [x.n for x in r1] == [x.n for x in r2] == [x.n for x in r3]
 
-    def test_final_under_all_rows_refuses(self, engine, ticks):
-        with pytest.raises(TranspileError, match="FINAL"):
-            engine.execute(f"""SELECT * FROM {ticks} MATCH_RECOGNIZE (
-                PARTITION BY sym ORDER BY t
-                MEASURES FINAL COUNT(*) AS n
-                ALL ROWS PER MATCH PATTERN (A B+)
-                DEFINE B AS price > PREV(price))""")
+class TestFinalAllRowsR10:
+    """Round-10: FINAL semantics under ALL ROWS PER MATCH — every row
+    of a match carries the match's final aggregate (r9 verdict #1; the
+    r9 refusal rejected valid Snowflake). Sym A matches under
+    (A B+)/price>PREV: rows t3–t6 (4 rows) and t8–t9 (2 rows)."""
+
+    def test_final_count_broadcasts(self, engine, ticks):
+        rows = engine.execute(
+            f"""SELECT sym, t, rn, fn FROM {ticks} MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY t
+            MEASURES RUNNING COUNT(*) AS rn, FINAL COUNT(*) AS fn
+            ALL ROWS PER MATCH PATTERN (A B+)
+            DEFINE B AS price > PREV(price)) ORDER BY sym, t"""
+        ).collect()
+        a = [(r.t, r.rn, r.fn) for r in rows if r.sym == "A"]
+        assert a == [(3, 1, 4), (4, 2, 4), (5, 3, 4), (6, 4, 4),
+                     (8, 1, 2), (9, 2, 2)]
+        b = [(r.rn, r.fn) for r in rows if r.sym == "B"]
+        assert b == [(1, 3), (2, 3), (3, 3)]
+
+    def test_final_last_and_mixed_prefixes(self, engine, ticks):
+        # FINAL LAST(price) is the match-final price on EVERY row;
+        # the mixed entry proves the prefix binds per aggregate
+        rows = engine.execute(
+            f"""SELECT sym, t, fl, togo FROM {ticks} MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY t
+            MEASURES FINAL LAST(price) AS fl,
+                     FINAL COUNT(*) - RUNNING COUNT(*) AS togo
+            ALL ROWS PER MATCH PATTERN (A B+)
+            DEFINE B AS price > PREV(price)) ORDER BY sym, t"""
+        ).collect()
+        a = [(r.t, r.fl, r.togo) for r in rows if r.sym == "A"]
+        assert a == [(3, 9.5, 3), (4, 9.5, 2), (5, 9.5, 1),
+                     (6, 9.5, 0), (8, 9.9, 1), (9, 9.9, 0)]
+
+    def test_final_classifier_and_match_number(self, engine, ticks):
+        rows = engine.execute(
+            f"""SELECT t, cls, mn FROM {ticks} MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY t
+            MEASURES FINAL CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH PATTERN (A B+)
+            DEFINE B AS price > PREV(price))
+            WHERE sym = 'A' ORDER BY t"""
+        ).collect()
+        assert [(r.t, r.cls, r.mn) for r in rows] == [
+            (3, "B", 1), (4, "B", 1), (5, "B", 1), (6, "B", 1),
+            (8, "B", 2), (9, "B", 2)]
