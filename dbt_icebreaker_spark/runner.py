@@ -125,7 +125,9 @@ def _wrap_string_subscript(stmt: str, exc: Exception):
         or '"STRING"' not in msg
     ):
         return None
-    m = _re.search(r'from "([^"]+)"', msg)
+    # greedy up to the '". Need a complex type' anchor — the quoted
+    # expression may itself contain double quotes (folded JSON text)
+    m = _re.search(r'from "(.*)"\. Need', msg, _re.DOTALL)
     offending = _re.sub(r"\s+", "", m.group(1)).lower() if m else None
     from .transpiler.tokenizer import (
         NUMBER, QIDENT, STRING, WORD, prev_code, render, tokenize,

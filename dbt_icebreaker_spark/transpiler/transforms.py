@@ -6120,12 +6120,38 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         sel_txt = sel_txt.replace("__cbisleaf", leaf_case)
         where_txt = where_txt.replace("__cbisleaf", leaf_case)
         tail_txt = tail_txt.replace("__cbisleaf", leaf_case)
+    level_rec = "__cb.__level + 1"
+    if nocycle or siblings_cols:
+        # depth guard (r9 verdict #4): the sibling sort-key / visited
+        # arrays are O(depth) per row and the recursion materializes
+        # every level — O(depth²) bytes per chain, measured to OOM an
+        # 8 GB heap near depth ~4 900 (SCALE.md "CONNECT BY at
+        # depth"). The user raising cteRecursionLevelLimit past the
+        # guard would hit a raw JVM heap death; fail actionably at the
+        # guard level instead. Plain CONNECT BY is O(1)/row — no guard.
+        import os as _os
+
+        bound = int(_os.environ.get(
+            "SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD", "2000"))
+        level_rec = (
+            f"CASE WHEN __cb.__level < {bound} THEN __cb.__level + 1 "
+            f"ELSE CAST(raise_error("
+            f"'CONNECT BY depth guard: ORDER SIBLINGS BY / NOCYCLE "
+            f"exceeded {bound} levels. Their per-row ancestor arrays "
+            f"grow O(depth^2) bytes across the recursion and exhaust "
+            f"the executor heap near depth 5000 (see SCALE.md). "
+            f"Options: drop ORDER SIBLINGS BY / NOCYCLE (plain "
+            f"CONNECT BY carries O(1) per row), restructure very "
+            f"deep chains as iterative pointer-jumping, or raise "
+            f"SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD after sizing the "
+            f"heap to width x depth^2 x 24 bytes.') AS INT) END"
+        )
     gen = (
         f"WITH RECURSIVE __cb AS ("
         f"SELECT {a}.*, 1 AS __level{anchor_extra} "
         f"FROM {table} {a} WHERE {start_txt} "
         f"UNION ALL "
-        f"SELECT {a}.*, __cb.__level + 1{rec_extra} FROM {table} {a} "
+        f"SELECT {a}.*, {level_rec}{rec_extra} FROM {table} {a} "
         f"JOIN __cb ON {a}.{child_col} = __cb.{parent_col}{join_guard}"
         f") SELECT {sel_txt} FROM __cb AS {a}"
         + (f" LEFT JOIN (SELECT DISTINCT {child_col} AS __cbleafkey "

@@ -11,6 +11,12 @@ Usage: python scripts/connect_by_depth_smoke.py [depths] [width]
   depths: comma list (default 100,1000,5000)
   width:  chains per depth (default 10)
 Prints one JSON line per (depth, variant).
+
+Round-10: the quadratic variants now carry a DEPTH GUARD (env
+SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD, default 2000) — at depth 5000 the
+siblings/nocycle runs report {"guarded": true} with the actionable
+USER_RAISED_EXCEPTION instead of dying in a raw JVM heap OOM; plain
+CONNECT BY still completes (linear, no guard).
 """
 
 from __future__ import annotations
@@ -101,6 +107,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 - smoke reporting
                 print(json.dumps({
                     "depth": depth, "width": WIDTH, "variant": name,
+                    "guarded": "CONNECT BY depth guard" in str(e),
                     "error": str(e)[:200],
                     "sec": round(time.time() - t0, 2),
                 }), flush=True)

@@ -3050,3 +3050,58 @@ class TestRound10AdvisorFixes:
             "PARTITION BY p ORDER BY seq MEASURES COUNT(*) AS cnt "
             "ONE ROW PER MATCH PATTERN (B+) DEFINE B AS v > 7)").collect()
         assert engine.execute("SELECT * FROM r10_mrv").collect() == first
+
+
+class TestConnectByDepthGuardR10:
+    """Round-10 (r9 verdict #4): ORDER SIBLINGS BY / NOCYCLE carry
+    O(depth²)-byte ancestor arrays and OOM deep recursions — past the
+    configurable guard they must fail actionably, not with a raw JVM
+    heap death. Plain CONNECT BY is linear and unguarded."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW cb_guard_chain AS "
+            "SELECT id AS node, id - 1 AS parent, CAST(id AS INT) AS o "
+            "FROM RANGE(12)")
+        return IcebreakerEngine(spark, schema="r10_cb")
+
+    def test_plain_connect_by_unguarded(self, engine, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD", "5")
+        engine.spark.conf.set("spark.sql.cteRecursionLevelLimit", "50")
+        n = engine.execute(
+            "SELECT node, LEVEL FROM cb_guard_chain "
+            "START WITH parent = -1 "
+            "CONNECT BY PRIOR node = parent").count()
+        assert n == 12
+
+    def test_siblings_guard_fires_actionably(self, engine, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD", "5")
+        engine.spark.conf.set("spark.sql.cteRecursionLevelLimit", "50")
+        with pytest.raises(Exception, match="CONNECT BY depth guard"):
+            engine.execute(
+                "SELECT node, LEVEL FROM cb_guard_chain "
+                "START WITH parent = -1 "
+                "CONNECT BY PRIOR node = parent "
+                "ORDER SIBLINGS BY o").collect()
+
+    def test_nocycle_guard_fires_actionably(self, engine, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD", "5")
+        engine.spark.conf.set("spark.sql.cteRecursionLevelLimit", "50")
+        with pytest.raises(Exception, match="CONNECT BY depth guard"):
+            engine.execute(
+                "SELECT node, LEVEL FROM cb_guard_chain "
+                "START WITH parent = -1 "
+                "CONNECT BY NOCYCLE PRIOR node = parent").collect()
+
+    def test_guard_under_bound_unaffected(self, engine, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD", "2000")
+        engine.spark.conf.set("spark.sql.cteRecursionLevelLimit", "50")
+        n = engine.execute(
+            "SELECT node, LEVEL FROM cb_guard_chain "
+            "START WITH parent = -1 "
+            "CONNECT BY PRIOR node = parent "
+            "ORDER SIBLINGS BY o").count()
+        assert n == 12
