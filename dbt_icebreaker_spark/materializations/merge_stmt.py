@@ -300,11 +300,12 @@ def parse_merge(sql: str) -> Optional[MergeSpec]:
             if not txt:
                 raise fail("empty conjunct in ON clause")
             extra_conditions.append(txt)
-    if not key_pairs:
-        raise fail(
-            "ON clause produced no equality join keys (pure non-equi "
-            "merges have no distribution key)"
-        )
+    if not key_pairs and not extra_conditions:
+        raise fail("ON clause produced no join condition")
+    # pure non-equi ON (no equality key — e.g. BETWEEN band updates)
+    # is allowed through to the general rewrite, which broadcasts a
+    # BOUNDED source and refuses actionably on an unbounded one (r9
+    # verdict #5; there is no shuffle key to distribute on otherwise)
 
     def scan_until_words(j: int, stops: tuple) -> int:
         """Advance j to the first top-level stop word — top-level
@@ -705,6 +706,33 @@ def _run_general_merge(spark: SparkSession, spec: MergeSpec, transpiler, src) ->
                     f"the source; missing {bad}"
                 )
 
+    if not (spec.key_pairs or spec.keys):
+        # pure non-equi MERGE (BETWEEN band updates): no shuffle key
+        # exists, so the join must be a broadcast nested-loop — only
+        # sane when the source is bounded. Refuse actionably on a big
+        # source instead of melting the cluster with |T|x|S| work.
+        import os
+
+        from pyspark.sql import functions as F
+
+        cap = int(os.environ.get(
+            "SPARK_GRAFT_MERGE_NONEQUI_MAX_SOURCE_ROWS", "100000"))
+        n_src = src.count()
+        if n_src > cap:
+            raise TranspileError(
+                f"MERGE INTO: the ON clause has no equality conjunct "
+                f"and the USING source has {n_src} rows (bound: "
+                f"{cap}). A non-equi merge broadcasts the source "
+                f"against every target row — add an equality key to "
+                f"the ON clause (the distribution key), shrink the "
+                f"source (e.g. pre-aggregate the bands), or raise "
+                f"SPARK_GRAFT_MERGE_NONEQUI_MAX_SOURCE_ROWS if the "
+                f"source genuinely fits in executor memory."
+            )
+        # the marker column is the matched-indicator (no key column's
+        # IS NOT NULL can serve — every source column may be nullable)
+        src = F.broadcast(src.withColumn("__icebreaker_mrk", F.lit(1)))
+
     uid = uuid.uuid4().hex[:8]
     tview, sview = f"__icebreaker_mrg_t_{uid}", f"__icebreaker_mrg_s_{uid}"
     tgt.createOrReplaceTempView(tview)
@@ -727,14 +755,20 @@ def _general_merge_plan(
 
     from .incremental import _staged_overwrite
     pairs = spec.key_pairs or [(k, k) for k in spec.keys]
-    on = " AND ".join(f"{ta}.{tk} = {sa}.{sk}" for tk, sk in pairs)
-    if spec.extra_conditions:
-        # non-equi / expression conjuncts ride the join condition —
-        # the equality keys remain the shuffle keys, the extras are
-        # join filters (same shape as the ASOF interval join)
-        on += "".join(f" AND ({c})" for c in spec.extra_conditions)
-    # any equality's source column is non-NULL exactly on matched rows
-    matched = f"{sa}.{pairs[0][1]} IS NOT NULL"
+    if pairs:
+        on = " AND ".join(f"{ta}.{tk} = {sa}.{sk}" for tk, sk in pairs)
+        if spec.extra_conditions:
+            # non-equi / expression conjuncts ride the join condition
+            # — the equality keys remain the shuffle keys, the extras
+            # are join filters (same shape as the ASOF interval join)
+            on += "".join(f" AND ({c})" for c in spec.extra_conditions)
+        # an equality's source column is non-NULL exactly on matches
+        matched = f"{sa}.{pairs[0][1]} IS NOT NULL"
+    else:
+        # pure non-equi: the ON is the range condition alone; the
+        # broadcast marker column flags matched rows
+        on = " AND ".join(f"({c})" for c in spec.extra_conditions)
+        matched = f"{sa}.__icebreaker_mrk IS NOT NULL"
 
     obs = None
     if m_clauses:

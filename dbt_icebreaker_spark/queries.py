@@ -6805,10 +6805,62 @@ XOP_ORACLES["x75_dynamic_subscript"] = """
 """
 
 
+def _x_nonequi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: pure non-equi (BETWEEN-shaped) MERGE (r9 verdict #5
+    — previously refused outright). A three-band price table updates
+    order priorities via ``ON t.o_totalprice >= s.lo AND
+    t.o_totalprice < s.hi`` with NO equality key: the general rewrite
+    broadcasts the bounded source (nested-loop join — there is no
+    shuffle key), keeps the nondeterministic-merge refusal for
+    overlapping bands, and unmatched rows keep their old value. The
+    oracle restates the band update as a CASE projection."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    eng.execute(
+        "CREATE OR REPLACE TABLE default.x76_tgt AS "
+        "SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM orders WHERE o_orderkey < 4000"
+    )
+    eng.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW x76_bands AS "
+        "SELECT * FROM VALUES "
+        "(0.0, 50000.0, 'T1-LOW'), "
+        "(50000.0, 150000.0, 'T2-MID'), "
+        "(150000.0, 1000000000.0, 'T3-HIGH') AS b(lo, hi, label)"
+    )
+    eng.execute(
+        """
+        MERGE INTO default.x76_tgt t USING x76_bands s
+        ON t.o_totalprice >= s.lo AND t.o_totalprice < s.hi
+        WHEN MATCHED THEN UPDATE SET o_orderpriority = s.label
+        """
+    )
+    return eng.execute(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM default.x76_tgt"
+    )
+
+
+XOP_ORACLES["x76_nonequi_merge"] = """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice >= 0.0 AND o_totalprice < 50000.0
+                  THEN 'T1-LOW'
+                WHEN o_totalprice >= 50000.0
+                     AND o_totalprice < 150000.0 THEN 'T2-MID'
+                WHEN o_totalprice >= 150000.0
+                     AND o_totalprice < 1000000000.0 THEN 'T3-HIGH'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey < 4000
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
+    "x76_nonequi_merge": _x_nonequi_merge,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

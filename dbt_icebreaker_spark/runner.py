@@ -1161,7 +1161,10 @@ class IcebreakerEngine:
             # transaction statements: Spark has no multi-statement
             # transactions; dbt wraps runs in BEGIN/COMMIT, so accept
             # and no-op rather than fail the whole script
-            head = raw.split(None, 2)[:2]
+            # four head words: three-word heads (SHOW FUTURE GRANTS,
+            # CREATE OR REPLACE ROLE) must be dispatchable too; every
+            # check below slices what it needs
+            head = raw.split(None, 4)[:4]
             hw = [w.upper().rstrip(";") for w in head]
             if hw and hw[0] in ("BEGIN", "COMMIT", "ROLLBACK") and (
                 len(hw) == 1 or hw[1] in ("TRANSACTION", "WORK", "NAME")
@@ -1192,6 +1195,23 @@ class IcebreakerEngine:
                     [(hw[0].lower(), "noop: Spark's session catalog has "
                       "no grant model; manage access in the lakehouse "
                       "catalog or storage layer")],
+                    "statement string, status string",
+                )
+                continue
+            # role/user lifecycle (r9 verdict #7 sweep): the grant
+            # model is a documented no-op, so the principals it would
+            # attach to are too — CREATE/DROP/ALTER ROLE|USER no-op
+            # with the same status rather than dying in Spark's parser
+            # (setup scripts run these before their GRANT post-hooks)
+            hw_n = (["CREATE"] + hw[3:]
+                    if hw[:3] == ["CREATE", "OR", "REPLACE"] else hw)
+            if (len(hw_n) > 1 and hw_n[0] in ("CREATE", "DROP", "ALTER")
+                    and hw_n[1] in ("ROLE", "USER")):
+                result = self.spark.createDataFrame(
+                    [(f"{hw_n[0].lower()} {hw_n[1].lower()}",
+                      "noop: Spark's session catalog has no "
+                      "role/user principals; manage identities in "
+                      "the lakehouse catalog or storage layer")],
                     "statement string, status string",
                 )
                 continue
@@ -1364,7 +1384,8 @@ class IcebreakerEngine:
             # SHOW GRANTS: the grant surface is a documented no-op, so
             # the listing is shaped-but-empty (not an error — scripts
             # inspect it after their GRANT post-hooks)
-            if hw[:2] == ["SHOW", "GRANTS"]:
+            if (hw[:2] == ["SHOW", "GRANTS"]
+                    or hw[:3] == ["SHOW", "FUTURE", "GRANTS"]):
                 from pyspark.sql.types import (
                     StringType, StructField, StructType,
                 )
@@ -1376,6 +1397,24 @@ class IcebreakerEngine:
                         for c in ("privilege", "granted_on", "name",
                                   "granted_to", "grantee_name")
                     ]),
+                )
+                continue
+            # SHOW ROLES / SHOW USERS: principals are a documented
+            # no-op (see CREATE ROLE) — shaped-but-empty listings so
+            # inspection scripts keep running
+            if hw[:2] in (["SHOW", "ROLES"], ["SHOW", "USERS"]):
+                from pyspark.sql.types import (
+                    StringType, StructField, StructType,
+                )
+
+                cols = (("name", "comment", "owner")
+                        if hw[1] == "ROLES"
+                        else ("name", "login_name", "display_name",
+                              "disabled"))
+                result = self.spark.createDataFrame(
+                    [],
+                    StructType([StructField(c, StringType())
+                                for c in cols]),
                 )
                 continue
             from .materializations.create_table import (

@@ -5114,6 +5114,32 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
     ("CREATE", "RESOURCE"): "cluster-level resource management (YARN/"
                             "K8s quotas) — Spark has no resource "
                             "monitor objects",
+    # account-level security configuration changes data/network
+    # REACHABILITY — refusing by name (not no-oping) keeps the
+    # work-or-refuse-actionably contract (r9 verdict #7 sweep)
+    ("CREATE", "NETWORK"): "network controls at the storage/catalog "
+                           "layer (VPC endpoints, bucket policies) — "
+                           "Spark has no network policy objects",
+    ("ALTER", "NETWORK"): "network controls at the storage/catalog "
+                          "layer (see CREATE NETWORK POLICY)",
+    ("CREATE", "INTEGRATION"): "Spark connector/auth configuration "
+                               "(spark.conf, hadoop credentials "
+                               "providers) — Spark has no integration "
+                               "objects",
+    ("CREATE", "STORAGE"): "Spark's storage credentials configuration "
+                           "(hadoop/S3A confs) — Spark has no storage "
+                           "integration objects",
+    ("CREATE", "SECURITY"): "your identity provider + cluster auth "
+                            "configuration — Spark has no security "
+                            "integration objects",
+    ("CREATE", "NOTIFICATION"): "your cloud's eventing (SNS/PubSub) "
+                                "wired to a Structured Streaming "
+                                "source — Spark has no notification "
+                                "integration objects",
+    ("CREATE", "API"): "your gateway/endpoint configuration — Spark "
+                       "has no API integration objects",
+    ("ALTER", "ACCOUNT"): "cluster/catalog administration tooling — "
+                          "Spark has no account object",
 }
 
 

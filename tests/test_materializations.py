@@ -1396,9 +1396,12 @@ class TestMergeStatement:
         from dbt_icebreaker_spark.transpiler.core import TranspileError
 
         self._seed(spark, engine, "mg7")
-        with _pytest.raises(TranspileError, match="equality"):
+        # r10: pure non-equi ON now EVALUATES (bounded broadcast);
+        # this self-merge matches target k=1 to source k=2 and k=3 —
+        # the nondeterministic-merge guard refuses
+        with _pytest.raises(TranspileError, match="nondeterministic"):
             engine.execute(
-                "MERGE INTO mat_test.mg7 t USING mg7 s ON t.k < s.k "
+                "MERGE INTO mat_test.mg7 t USING mat_test.mg7 s ON t.k < s.k "
                 "WHEN MATCHED THEN DELETE"
             )
         with _pytest.raises(TranspileError, match="positional VALUES"):
@@ -1578,9 +1581,12 @@ class TestMergeStatement:
         from dbt_icebreaker_spark.transpiler.core import TranspileError
 
         self._seed(spark, engine, "mg19")
-        with _pytest.raises(TranspileError, match="no equality join keys"):
+        # r10: evaluated via the broadcast non-equi path; multi-match
+        # (v=10 matches both v=20 and v=30) hits Snowflake's
+        # nondeterministic-merge refusal
+        with _pytest.raises(TranspileError, match="nondeterministic"):
             engine.execute(
-                "MERGE INTO mat_test.mg19 t USING mg19 s ON t.v < s.v "
+                "MERGE INTO mat_test.mg19 t USING mat_test.mg19 s ON t.v < s.v "
                 "WHEN MATCHED THEN DELETE"
             )
 
@@ -2710,14 +2716,20 @@ class TestMergeRenamedKeys:
         rows = {r.k: r.v for r in spark.table(f"{sch}.rk_t").collect()}
         assert rows == {1: 10.0, 2: 200.0, 4: 40.0}
 
-    def test_pure_non_equi_still_refused(self, spark, engine):
-        from dbt_icebreaker_spark.transpiler.core import TranspileError
+    def test_pure_non_equi_now_parses_keyless(self, spark, engine):
+        # r10: a keyless non-equi ON parses into a spec with extra
+        # conditions only (the runtime bounds + broadcasts it)
+        from dbt_icebreaker_spark.materializations.merge_stmt import (
+            parse_merge,
+        )
 
-        with pytest.raises(TranspileError, match="no equality join keys"):
-            engine.execute(
-                "MERGE INTO t USING s ON t.ts > s.ts "
-                "WHEN MATCHED THEN DELETE"
-            )
+        spec = parse_merge(
+            "MERGE INTO t USING s ON t.ts > s.ts "
+            "WHEN MATCHED THEN DELETE"
+        )
+        assert spec is not None
+        assert not spec.key_pairs and not spec.keys
+        assert spec.extra_conditions
 
     def test_renamed_key_duplicate_source_refused(self, spark, engine):
         from dbt_icebreaker_spark.transpiler.core import TranspileError
@@ -2731,7 +2743,7 @@ class TestMergeRenamedKeys:
             "CREATE OR REPLACE TEMP VIEW rk_dup AS "
             "SELECT * FROM VALUES (1, 2.0), (1, 3.0) t(sk, sv)"
         )
-        with pytest.raises(TranspileError, match="nondeterministic"):
+        with pytest.raises(_TErr, match="nondeterministic"):
             engine.execute(
                 f"MERGE INTO {sch}.rk_d t USING rk_dup s ON t.k = s.sk "
                 "WHEN MATCHED AND s.sv > 0 THEN UPDATE SET v = s.sv"
@@ -2776,7 +2788,7 @@ class TestUpdateFromAndCreateLike:
             "CREATE OR REPLACE TEMP VIEW uf_dup AS SELECT * FROM VALUES "
             "(1, 2), (1, 3) t(k, nv)"
         )
-        with pytest.raises(TranspileError, match="nondeterministic"):
+        with pytest.raises(_TErr, match="nondeterministic"):
             engine.execute(
                 f"UPDATE {sch}.uf_d t SET v = s.nv FROM uf_dup s "
                 "WHERE t.k = s.k"
@@ -3554,3 +3566,88 @@ class TestAlterTableSetParamsR9:
         engine.execute("ALTER TABLE mat_test.sp9c ADD COLUMN z INT")
         assert "z" in spark.table("mat_test.sp9c").columns
         spark.sql("DROP TABLE mat_test.sp9c")
+
+
+from dbt_icebreaker_spark.transpiler.core import TranspileError as _TErr
+
+
+class TestNonEquiMergeR10:
+    """Round-10 (r9 verdict #5): pure non-equi (BETWEEN-shaped) MERGE
+    — no equality key in ON. The general rewrite broadcasts a bounded
+    source as a nested-loop join; unbounded sources and overlapping
+    (nondeterministic) bands refuse actionably."""
+
+    @pytest.fixture()
+    def banded(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE TABLE mat_test.ne_tgt AS "
+            "SELECT id, CAST(amt AS DOUBLE) AS amt, band "
+            "FROM VALUES (1, 10.0, 'X'), (2, 60.0, 'X'), "
+            "(3, 120.0, 'X'), (4, -5.0, 'X') AS t(id, amt, band)")
+        engine.execute(
+            "CREATE OR REPLACE TEMPORARY VIEW ne_bands AS "
+            "SELECT * FROM VALUES (0.0, 50.0, 'LOW'), "
+            "(50.0, 100.0, 'MID'), (100.0, 1000.0, 'HIGH') "
+            "AS b(lo, hi, label)")
+        return "mat_test.ne_tgt"
+
+    def test_range_update(self, engine, banded):
+        engine.execute(
+            f"MERGE INTO {banded} t USING ne_bands s "
+            "ON t.amt >= s.lo AND t.amt < s.hi "
+            "WHEN MATCHED THEN UPDATE SET band = s.label")
+        got = sorted((r.id, r.band) for r in engine.execute(
+            f"SELECT id, band FROM {banded}").collect())
+        # id 4 (amt -5) matches no band and keeps its old value
+        assert got == [(1, "LOW"), (2, "MID"), (3, "HIGH"), (4, "X")]
+
+    def test_between_spelling(self, engine, banded):
+        engine.execute(
+            f"MERGE INTO {banded} t USING ne_bands s "
+            "ON t.amt BETWEEN s.lo AND s.hi - 0.001 "
+            "WHEN MATCHED THEN UPDATE SET band = s.label")
+        got = dict((r.id, r.band) for r in engine.execute(
+            f"SELECT id, band FROM {banded}").collect())
+        assert got[2] == "MID"
+
+    def test_not_matched_insert(self, engine, banded):
+        # a source band matching NO target row flows through WHEN NOT
+        # MATCHED via the anti-join (broadcast, same range condition)
+        engine.execute(
+            "CREATE OR REPLACE TEMPORARY VIEW ne_far AS SELECT * FROM "
+            "VALUES (5000.0, 6000.0, 'FAR') AS b(lo, hi, label)")
+        engine.execute(
+            f"MERGE INTO {banded} t USING ne_far s "
+            "ON t.amt >= s.lo AND t.amt < s.hi "
+            "WHEN MATCHED THEN UPDATE SET band = s.label "
+            "WHEN NOT MATCHED THEN INSERT (id, amt, band) "
+            "VALUES (-1, s.lo, s.label)")
+        got = sorted((r.id, r.band) for r in engine.execute(
+            f"SELECT id, band FROM {banded}").collect())
+        assert (-1, "FAR") in got and len(got) == 5
+
+    def test_overlapping_bands_refuse(self, engine, banded):
+        engine.execute(
+            "CREATE OR REPLACE TEMPORARY VIEW ne_overlap AS "
+            "SELECT * FROM VALUES (0.0, 70.0, 'A'), (50.0, 100.0, 'B') "
+            "AS b(lo, hi, label)")
+        with pytest.raises(_TErr, match="nondeterministic"):
+            engine.execute(
+                f"MERGE INTO {banded} t USING ne_overlap s "
+                "ON t.amt >= s.lo AND t.amt < s.hi "
+                "WHEN MATCHED THEN UPDATE SET band = s.label")
+
+    def test_unbounded_source_refuses(self, engine, banded, monkeypatch):
+        monkeypatch.setenv(
+            "SPARK_GRAFT_MERGE_NONEQUI_MAX_SOURCE_ROWS", "2")
+        with pytest.raises(_TErr, match="no equality conjunct"):
+            engine.execute(
+                f"MERGE INTO {banded} t USING ne_bands s "
+                "ON t.amt >= s.lo AND t.amt < s.hi "
+                "WHEN MATCHED THEN UPDATE SET band = s.label")
+
+    def test_empty_on_still_refuses(self, engine, banded):
+        with pytest.raises(_TErr):
+            engine.execute(
+                f"MERGE INTO {banded} t USING ne_bands s ON "
+                "WHEN MATCHED THEN UPDATE SET band = s.label")

@@ -3105,3 +3105,54 @@ class TestConnectByDepthGuardR10:
             "CONNECT BY PRIOR node = parent "
             "ORDER SIBLINGS BY o").count()
         assert n == 12
+
+
+class TestGrantFamilySweepR10:
+    """Round-10 (r9 verdict #7): the GRANT-family tail — role/user
+    lifecycle no-ops with the documented-no-grant-model status, SHOW
+    ROLES/USERS/FUTURE GRANTS shaped listings, and account-level
+    security objects refusing by name instead of dying in the parser."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r10_grants")
+
+    @pytest.mark.parametrize("stmt,label", [
+        ("CREATE ROLE analyst", "create role"),
+        ("CREATE OR REPLACE ROLE analyst", "create role"),
+        ("DROP ROLE analyst", "drop role"),
+        ("ALTER ROLE analyst SET COMMENT = 'c'", "alter role"),
+        ("CREATE USER bob PASSWORD = 'x'", "create user"),
+        ("DROP USER bob", "drop user"),
+        ("ALTER USER bob SET DEFAULT_ROLE = 'r'", "alter user"),
+    ])
+    def test_principal_lifecycle_noops(self, engine, stmt, label):
+        r = engine.execute(stmt).collect()
+        assert r[0].statement == label and "noop" in r[0].status
+
+    def test_show_roles_users_shaped_empty(self, engine):
+        roles = engine.execute("SHOW ROLES")
+        assert roles.columns == ["name", "comment", "owner"]
+        assert roles.count() == 0
+        users = engine.execute("SHOW USERS")
+        assert "login_name" in users.columns and users.count() == 0
+
+    def test_show_future_grants(self, engine):
+        df = engine.execute("SHOW FUTURE GRANTS IN SCHEMA r10_grants")
+        assert "privilege" in df.columns and df.count() == 0
+
+    @pytest.mark.parametrize("stmt", [
+        "CREATE NETWORK POLICY np ALLOWED_IP_LIST = ('10.0.0.0/8')",
+        "CREATE SECURITY INTEGRATION si TYPE = SAML2",
+        "CREATE STORAGE INTEGRATION sti TYPE = EXTERNAL_STAGE",
+        "CREATE API INTEGRATION ai API_PROVIDER = aws_api_gateway",
+        "CREATE NOTIFICATION INTEGRATION ni TYPE = QUEUE",
+        "ALTER ACCOUNT SET TIMEZONE = 'UTC'",
+    ])
+    def test_security_objects_refuse_by_name(self, engine, stmt):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="Snowflake-only"):
+            engine.execute(stmt)
