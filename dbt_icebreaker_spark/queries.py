@@ -6814,12 +6814,21 @@ def _x_nonequi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key), keeps the nondeterministic-merge refusal for
     overlapping bands, and unmatched rows keep their old value. The
     oracle restates the band update as a CASE projection."""
+    import tempfile
+    import uuid
+
     from .runner import IcebreakerEngine
 
     register_dir(spark, sf_dir)
-    eng = IcebreakerEngine(spark, schema="default")
+    # uuid-suffixed database in a tempdir (q63's pattern): repeated
+    # gate runs in fresh sessions must not trip over a leftover
+    # managed-table location in the shared warehouse dir
+    base = tempfile.mkdtemp(prefix="x76_")
+    db = f"x76_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
     eng.execute(
-        "CREATE OR REPLACE TABLE default.x76_tgt AS "
+        f"CREATE OR REPLACE TABLE {db}.x76_tgt AS "
         "SELECT o_orderkey, o_totalprice, o_orderpriority "
         "FROM orders WHERE o_orderkey < 4000"
     )
@@ -6831,15 +6840,15 @@ def _x_nonequi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(150000.0, 1000000000.0, 'T3-HIGH') AS b(lo, hi, label)"
     )
     eng.execute(
-        """
-        MERGE INTO default.x76_tgt t USING x76_bands s
+        f"""
+        MERGE INTO {db}.x76_tgt t USING x76_bands s
         ON t.o_totalprice >= s.lo AND t.o_totalprice < s.hi
         WHEN MATCHED THEN UPDATE SET o_orderpriority = s.label
         """
     )
     return eng.execute(
         "SELECT o_orderkey, o_totalprice, o_orderpriority "
-        "FROM default.x76_tgt"
+        f"FROM {db}.x76_tgt"
     )
 
 

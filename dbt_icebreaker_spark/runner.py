@@ -1401,20 +1401,91 @@ class IcebreakerEngine:
                 continue
             # SHOW ROLES / SHOW USERS: principals are a documented
             # no-op (see CREATE ROLE) — shaped-but-empty listings so
-            # inspection scripts keep running
-            if hw[:2] in (["SHOW", "ROLES"], ["SHOW", "USERS"]):
+            # inspection scripts keep running. Same rule for the other
+            # NOOP families (warehouses, transactions/locks): CREATE
+            # no-ops, so the listing is honestly empty. VARIABLES is
+            # the exception — session variables genuinely EXIST (SET
+            # var = …), so the listing shows them.
+            _SHOW_EMPTY = {
+                "ROLES": ("name", "comment", "owner"),
+                "USERS": ("name", "login_name", "display_name",
+                          "disabled"),
+                "WAREHOUSES": ("name", "state", "size", "comment"),
+                "TRANSACTIONS": ("id", "session", "name", "state"),
+                "LOCKS": ("resource", "type", "transaction", "status"),
+            }
+            if hw[0] == "SHOW" and len(hw) > 1 and hw[1] in _SHOW_EMPTY:
                 from pyspark.sql.types import (
                     StringType, StructField, StructType,
                 )
 
-                cols = (("name", "comment", "owner")
-                        if hw[1] == "ROLES"
-                        else ("name", "login_name", "display_name",
-                              "disabled"))
                 result = self.spark.createDataFrame(
                     [],
                     StructType([StructField(c, StringType())
-                                for c in cols]),
+                                for c in _SHOW_EMPTY[hw[1]]]),
+                )
+                continue
+            if hw[:2] == ["SHOW", "VARIABLES"]:
+                from pyspark.sql.types import (
+                    StringType, StructField, StructType,
+                )
+
+                schema = StructType([
+                    StructField("name", StringType()),
+                    StructField("value", StringType()),
+                ])
+                result = self.spark.createDataFrame(
+                    sorted(self._session_vars.items()), schema,
+                )
+                continue
+            # SHOW over object families whose CREATE refuses (streams,
+            # tasks, pipes, stages, alerts, sequences): refuse with
+            # the same pointer — an empty listing would imply the
+            # object family exists here
+            _SHOW_REFUSE = {
+                "STREAMS": "Structured Streaming "
+                           "(streaming.stream_incremental_append) for "
+                           "change capture — Spark has no stream "
+                           "objects",
+                "TASKS": "an external scheduler (cron/Airflow) driving "
+                         "the CLI — Spark has no task objects",
+                "PIPES": "a Structured Streaming file source for "
+                         "continuous loading — Spark has no pipe "
+                         "objects",
+                "STAGES": "direct filesystem/object-store paths — "
+                          "Spark has no stage objects",
+                "ALERTS": "external monitoring over the telemetry "
+                          "store — Spark has no alert objects",
+                "SEQUENCES": "monotonically_increasing_id() / "
+                             "ROW_NUMBER() — Spark has no sequence "
+                             "objects",
+            }
+            if hw[0] == "SHOW" and len(hw) > 1 and hw[1] in _SHOW_REFUSE:
+                raise TranspileError(
+                    f"SHOW {hw[1]}: Spark has no "
+                    f"{hw[1].lower().rstrip('s')} objects. Use "
+                    f"{_SHOW_REFUSE[hw[1]]}."
+                )
+            # DESCRIBE over the same families: the bare fallthrough
+            # parsed `DESC STAGE s` as DESCRIBE TABLE and blamed a
+            # missing table named 'STAGE' — misleading
+            if (hw and hw[0] in ("DESC", "DESCRIBE") and len(hw) > 1
+                    and hw[1] in ("STAGE", "STREAM", "TASK", "PIPE",
+                                  "ALERT", "SEQUENCE", "INTEGRATION",
+                                  "SHARE")):
+                raise TranspileError(
+                    f"DESCRIBE {hw[1]}: Spark has no "
+                    f"{hw[1].lower()} objects (their CREATE refuses "
+                    "with the idiomatic replacement); there is "
+                    "nothing to describe."
+                )
+            if (hw and hw[0] in ("DESC", "DESCRIBE") and len(hw) > 1
+                    and hw[1] in ("WAREHOUSE", "USER", "ROLE")):
+                result = self.spark.createDataFrame(
+                    [(hw[1].lower(),
+                      "noop: no local compute/principal objects — "
+                      "the CREATE/USE family no-ops by design")],
+                    "object string, status string",
                 )
                 continue
             from .materializations.create_table import (

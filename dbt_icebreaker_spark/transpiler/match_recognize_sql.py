@@ -157,16 +157,15 @@ def _expand_measures(parts, pat_syms, all_rows=False,
     RUNNING/FINAL prefixes: under ONE ROW PER MATCH both denote the
     final value (stripped); under ALL ROWS PER MATCH the default IS
     running, so RUNNING strips and FINAL (r10 — valid Snowflake that
-    r9 still refused) broadcasts each match's final value over its
-    rows: the aggregate becomes a hidden RUNNING measure as usual, a
-    hidden MATCH_NUMBER() measure tags each output row's match, and
-    the FINAL reference compiles to ``LAST_VALUE(hidden) OVER
-    (PARTITION BY <keys>, match ORDER BY <order> ROWS BETWEEN
-    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` — the running
-    value on a match's LAST row IS the final value, so one window
-    projection after the operator finishes the job (no second
-    automaton pass). Mixed RUNNING/FINAL in one entry works: the
-    prefix binds to the next aggregate only.
+    r9 still refused) marks the hidden measure ``final=True``: the
+    matcher back-fills each match's last running value onto every row
+    of the match as it completes — the running value on a match's
+    LAST row IS the final value, so the flag costs O(match) dict
+    writes inside the existing automaton loop and adds NO
+    post-operator window, sort, or Exchange (a LAST_VALUE-over-match
+    window was measured to force a full re-shuffle after the
+    applyInPandas boundary). Mixed RUNNING/FINAL in one entry works:
+    the prefix binds to the next aggregate only.
 
     Returns (measures, input_exprs, derived, order) where order is
     the user-declared output column sequence."""
@@ -180,17 +179,6 @@ def _expand_measures(parts, pat_syms, all_rows=False,
     e_n = 0
     i_n = 0
     general = False
-    needs_match_no = False
-
-    def _final_window(hidden: str) -> str:
-        pk = ", ".join(list(partition_by or []) + ["__mr_emn"])
-        ob = ", ".join(f"{c} NULLS LAST" for c in (order_by or []))
-        return (
-            f"LAST_VALUE({hidden}) OVER (PARTITION BY {pk} "
-            f"ORDER BY {ob} ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            f"UNBOUNDED FOLLOWING)"
-        )
-
     for p in parts:
         try:
             m = _parse_measure(p)
@@ -282,14 +270,13 @@ def _expand_measures(parts, pat_syms, all_rows=False,
                             (in_name, render(inner).strip()))
                         hm = Measure(hidden, t.upper.lower(),
                                      None, in_name)
-                    measures.append(hm)
-                    agg_hits += 1
                     if pending_final:
                         pending_final = False
-                        needs_match_no = True
-                        out_toks.extend(tokenize(_final_window(hidden)))
-                    else:
-                        out_toks.append(Token(WORD, hidden))
+                        hm = Measure(hm.name, hm.fn, hm.symbol,
+                                     hm.col, final=True)
+                    measures.append(hm)
+                    agg_hits += 1
+                    out_toks.append(Token(WORD, hidden))
                     k = close + 1
                     continue
             out_toks.append(t)
@@ -311,16 +298,12 @@ def _expand_measures(parts, pat_syms, all_rows=False,
             # grammar because its argument is an expression) — surface
             # the hidden measure under the user's name directly
             hm = measures[-1]
-            measures[-1] = Measure(name, hm.fn, hm.symbol, hm.col)
+            measures[-1] = Measure(name, hm.fn, hm.symbol, hm.col,
+                                   final=hm.final)
             order.append(name)
             continue
         derived.append((name, render(out_toks).strip()))
         order.append(name)
-    if needs_match_no:
-        # hidden per-row match tag the FINAL windows partition on;
-        # __mr_e-prefixed so the operator drops it after the derived
-        # projections run
-        measures.append(Measure("__mr_emn", "match_number", None, None))
     if not general:
         return measures, None, None, None
     return measures, input_exprs, derived, order

@@ -5140,6 +5140,34 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
                        "has no API integration objects",
     ("ALTER", "ACCOUNT"): "cluster/catalog administration tooling — "
                           "Spark has no account object",
+    # r10 tail sweep: lifecycle verbs of already-refused object
+    # families + the policy/external stragglers that still died with
+    # the generic could-not-parse suggestion
+    ("ALTER", "TASK"): "an external scheduler (cron/Airflow) — Spark "
+                       "has no task objects (see CREATE TASK)",
+    ("ALTER", "STREAM"): "Structured Streaming — Spark has no stream "
+                         "objects (see CREATE STREAM)",
+    ("ALTER", "PIPE"): "a Structured Streaming file source — Spark "
+                       "has no pipe objects (see CREATE PIPE)",
+    ("ALTER", "ALERT"): "external monitoring over the telemetry "
+                        "store — Spark has no alert objects",
+    ("ALTER", "STAGE"): "direct filesystem/object-store paths — "
+                        "Spark has no stage objects",
+    ("CREATE", "EXTERNAL"): "CREATE TABLE … USING parquet LOCATION "
+                            "'/path' (or spark.read over the files) "
+                            "for external tables; Spark has no "
+                            "external function/volume objects",
+    ("CREATE", "EVENT"): "the engine's telemetry store "
+                         "(observability) — Spark has no event table "
+                         "objects",
+    ("CREATE", "ALERT"): "external monitoring/alerting over the "
+                         "telemetry store — Spark has no alert "
+                         "objects",
+    ("CREATE", "PASSWORD"): "your identity provider's password "
+                            "policies — Spark has no local auth "
+                            "objects",
+    ("CREATE", "SESSION"): "cluster-level session management — Spark "
+                           "has no session policy objects",
 }
 
 

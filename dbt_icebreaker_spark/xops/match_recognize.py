@@ -90,6 +90,12 @@ class Measure:
     fn: str        # first/last/min/max/sum/avg/count/match_number/classifier
     symbol: Optional[str]  # restrict to rows matched as this symbol
     col: Optional[str]     # None for COUNT(*) / MATCH_NUMBER / CLASSIFIER
+    # FINAL semantics under ALL ROWS PER MATCH (r10): the measure's
+    # value on EVERY row of a match is the match's final value. The
+    # matcher back-fills it when the match completes — the running
+    # value on the last row IS the final value, so no second pass, no
+    # post-operator window, no extra shuffle.
+    final: bool = False
 
 
 @dataclass
@@ -822,17 +828,30 @@ def match_recognize(
                 # O(1) update per (row, measure), not a re-aggregation
                 # of the prefix per row (that made long matches O(k²))
                 states = [_RunningMeasure(m, terms) for m in measures]
+                match_lo = len(rows)
+                finals: dict[str, object] = {}
                 for i2 in range(pos, end):
                     rec = {c: pdf[c].iloc[i2] for c in data_cols}
                     ti = assign[i2 - pos]
                     for st in states:
-                        rec[st.m.name] = st.step(pdf, i2, ti, match_no)
+                        v = st.step(pdf, i2, ti, match_no)
+                        rec[st.m.name] = v
+                        if st.m.final:
+                            finals[st.m.name] = v
                     # {- -} exclusion: the row was consumed (running
                     # measures above already stepped over it; covered[]
                     # marks it matched, so WITH UNMATCHED ROWS does NOT
                     # resurrect it) but is suppressed from output
                     if not terms[ti].excluded:
                         rows.append(rec)
+                if finals:
+                    # FINAL measures: the running value after the LAST
+                    # step (excluded rows included) is the match's
+                    # final value — back-fill it onto every emitted
+                    # row of this match (O(match) dict writes; no
+                    # second automaton pass, no post-operator window)
+                    for rec in rows[match_lo:]:
+                        rec.update(finals)
             else:
                 rec = {c: pdf[c].iloc[pos] for c in data_cols}
                 for m in measures:

@@ -16,12 +16,20 @@ cases = ["CREATE ROLE analyst", "CREATE ROLE IF NOT EXISTS analyst",
          "REVOKE SELECT ON TABLE t FROM ROLE analyst",
          "SHOW GRANTS TO ROLE analyst",
          "SHOW FUTURE GRANTS IN SCHEMA s"]
+cases += ["SHOW WAREHOUSES", "SHOW TRANSACTIONS", "SHOW LOCKS",
+          "SHOW VARIABLES", "DESCRIBE WAREHOUSE w"]
 refusals = ["CREATE NETWORK POLICY np ALLOWED_IP_LIST = ('1.2.3.4')",
             "CREATE SECURITY INTEGRATION si TYPE = SAML2",
             "CREATE STORAGE INTEGRATION sti TYPE = EXTERNAL_STAGE",
             "CREATE API INTEGRATION ai API_PROVIDER = aws_api_gateway",
             "CREATE NOTIFICATION INTEGRATION ni TYPE = QUEUE",
-            "ALTER ACCOUNT SET TIMEZONE = 'UTC'"]
+            "ALTER ACCOUNT SET TIMEZONE = 'UTC'",
+            "SHOW STREAMS", "SHOW TASKS", "SHOW PIPES", "SHOW STAGES",
+            "SHOW ALERTS", "SHOW SEQUENCES", "DESCRIBE STAGE s1",
+            "ALTER TASK tk RESUME", "CREATE EXTERNAL TABLE e (c INT)",
+            "CREATE EVENT TABLE ev", "CREATE ALERT al WAREHOUSE = w",
+            "CREATE PASSWORD POLICY pp PASSWORD_MIN_LENGTH = 12",
+            "CREATE SESSION POLICY sp SESSION_IDLE_TIMEOUT_MINS = 30"]
 ok = True
 for q in cases:
     try:
@@ -38,7 +46,8 @@ for q in refusals:
         print("NOREFUSE", q)
     except Exception as e:
         s = str(e)
-        actionable = "Spark has no" in s or "no Spark" in s
+        actionable = ("Spark has no" in s or "no Spark" in s
+                      or "nothing to describe" in s)
         print("REF" if actionable else "GENERIC!", q, "->", s[:90].replace("\n", " "))
         if not actionable: ok = False
 print("SWEEP", "PASS" if ok else "FAIL")

@@ -721,3 +721,24 @@ class TestRound9NestedMrPlan:
         assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert any("user_id" in f for f in pushed), plan
+
+
+class TestRound10FinalMeasurePlan:
+    """Round-10 FINAL-under-ALL-ROWS: the back-fill happens INSIDE the
+    matcher (the running value on a match's last row is the final
+    value), so the plan must show exactly the automaton's one Exchange
+    — a LAST_VALUE-over-match window here was measured to force a
+    second full shuffle after the applyInPandas boundary."""
+
+    def test_final_measures_add_no_shuffle(self, spark, qs):
+        df = qs["x74_mr_final_all_rows"](spark, SF_DIR)
+        plan = _executed_plan(df)
+        tree = _final_tree(plan)
+        assert len(set(re.findall(
+            r"\bExchange[^(]*\((\d+)\)", tree))) == 1, tree
+        assert "last_value" not in plan.lower(), plan
+        ids = set(re.findall(
+            r"FlatMapGroupsInPandas \((\d+)\)", tree))
+        assert len(ids) == 1, plan
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("user_id" in f for f in pushed), plan

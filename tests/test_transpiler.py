@@ -3156,3 +3156,62 @@ class TestGrantFamilySweepR10:
 
         with pytest.raises(TranspileError, match="Snowflake-only"):
             engine.execute(stmt)
+
+
+class TestStatementTailSweepR10:
+    """Round-10 tail sweep continuation: SHOW/DESCRIBE over object
+    families — refuse-family kinds refuse with the CREATE pointer,
+    noop-family kinds list shaped-but-empty, SHOW VARIABLES lists the
+    session variables that genuinely exist."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r10_tail")
+
+    @pytest.mark.parametrize("stmt", [
+        "SHOW STREAMS", "SHOW TASKS", "SHOW PIPES", "SHOW STAGES",
+        "SHOW ALERTS", "SHOW SEQUENCES",
+    ])
+    def test_show_refuse_families(self, engine, stmt):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="Spark has no"):
+            engine.execute(stmt)
+
+    @pytest.mark.parametrize("stmt", [
+        "SHOW WAREHOUSES", "SHOW TRANSACTIONS", "SHOW LOCKS",
+    ])
+    def test_show_noop_families_empty(self, engine, stmt):
+        assert engine.execute(stmt).count() == 0
+
+    def test_show_variables_lists_session_vars(self, engine):
+        engine.execute("SET r10var = 7")
+        rows = {r.name: r.value
+                for r in engine.execute("SHOW VARIABLES").collect()}
+        assert rows.get("r10var") == "7"
+
+    def test_describe_stage_refuses(self, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="no stage objects"):
+            engine.execute("DESCRIBE STAGE s1")
+
+    def test_describe_warehouse_noops(self, engine):
+        r = engine.execute("DESCRIBE WAREHOUSE w").collect()
+        assert r[0].object == "warehouse" and "noop" in r[0].status
+
+    @pytest.mark.parametrize("stmt", [
+        "ALTER TASK tk RESUME",
+        "CREATE EXTERNAL TABLE e (c INT) LOCATION = '@s'",
+        "CREATE EVENT TABLE ev",
+        "CREATE ALERT al WAREHOUSE = w SCHEDULE = '1 MINUTE'",
+        "CREATE PASSWORD POLICY pp PASSWORD_MIN_LENGTH = 12",
+        "CREATE SESSION POLICY sp SESSION_IDLE_TIMEOUT_MINS = 30",
+    ])
+    def test_lifecycle_and_policy_refusals(self, engine, stmt):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="Snowflake-only"):
+            engine.execute(stmt)
