@@ -6865,11 +6865,82 @@ XOP_ORACLES["x76_nonequi_merge"] = """
 """
 
 
+def _x_mr_empty_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: SQL:2016 EMPTY matches — ``PATTERN (UP*)`` produces a
+    real, numbered match at every row where nothing consumes (COUNT 0,
+    NULL aggregates), previously dropped silently. The oracle restates
+    the walk: every non-ascending row heads a group and IS an empty
+    match; the ascending rows of the group form one run match whose
+    FIRST(event_id) is the run head — match numbers are the position
+    order across both kinds, so a dropped empty match, an unnumbered
+    one, or a run attributed to the wrong position all break the
+    hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, mn, n, fe
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 30)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n,
+                   FIRST(event_id) AS fe
+          ONE ROW PER MATCH
+          PATTERN (UP*)
+          DEFINE UP AS value > PREV(value)
+        )
+        """
+    )
+
+
+XOP_ORACLES["x77_mr_empty_matches"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END
+               AS up
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(1 - up) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    ),
+    up_first AS (
+      SELECT user_id, grp, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp
+               ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, grp) AS cnt
+      FROM g WHERE up = 1
+    ),
+    matches AS (
+      SELECT user_id, ts, event_id, CAST(0 AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS fe
+      FROM g WHERE up = 0
+      UNION ALL
+      SELECT user_id, ts, event_id, CAST(cnt AS BIGINT) AS n,
+             CAST(event_id AS BIGINT) AS fe
+      FROM up_first WHERE rn = 1
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS BIGINT) AS mn,
+           n, fe
+    FROM matches
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,
+    "x77_mr_empty_matches": _x_mr_empty_matches,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

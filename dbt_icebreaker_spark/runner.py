@@ -1434,8 +1434,17 @@ class IcebreakerEngine:
                     StructField("name", StringType()),
                     StructField("value", StringType()),
                 ])
+                def _display(v: str) -> str:
+                    # stored as literal TEXT for substitution; display
+                    # string literals unquoted like Snowflake does
+                    if len(v) >= 2 and v[0] == v[-1] == "'":
+                        return v[1:-1].replace("''", "'")
+                    return v
+
                 result = self.spark.createDataFrame(
-                    sorted(self._session_vars.items()), schema,
+                    [(k, _display(v))
+                     for k, v in sorted(self._session_vars.items())],
+                    schema,
                 )
                 continue
             # SHOW over object families whose CREATE refuses (streams,

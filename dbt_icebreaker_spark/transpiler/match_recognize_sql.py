@@ -444,17 +444,22 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
         )
     all_rows = False
     with_unmatched = False
+    omit_empty = False
     if "ALL" in got:
         words = [c.upper for c in got["ALL"] if c.kind == WORD]
         if words[:4] != ["ALL", "ROWS", "PER", "MATCH"]:
             raise TranspileError("expected ALL ROWS PER MATCH")
         if words[4:] == ["WITH", "UNMATCHED", "ROWS"]:
             with_unmatched = True
+        elif words[4:] == ["OMIT", "EMPTY", "MATCHES"]:
+            omit_empty = True
+        elif words[4:] == ["SHOW", "EMPTY", "MATCHES"]:
+            pass  # the SQL:2016 default, spelled explicitly
         elif len(words) > 4:
             raise TranspileError(
-                "ALL ROWS PER MATCH modifiers other than WITH "
-                "UNMATCHED ROWS (OMIT EMPTY MATCHES / SHOW EMPTY "
-                "MATCHES) are not supported"
+                "ALL ROWS PER MATCH modifiers: WITH UNMATCHED ROWS, "
+                "OMIT EMPTY MATCHES, and SHOW EMPTY MATCHES (the "
+                f"default) are supported — got {' '.join(words[4:])!r}"
             )
         all_rows = True
     partition_by = _bare_columns(
@@ -572,6 +577,7 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
         skip_to_next_row=skip_next,
         all_rows=all_rows,
         with_unmatched=with_unmatched,
+        omit_empty=omit_empty,
         skip_to_symbol=skip_sym,
         skip_to_first=skip_first,
         input_exprs=input_exprs,

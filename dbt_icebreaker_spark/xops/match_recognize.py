@@ -108,6 +108,11 @@ class MatchRecognizeSpec:
     skip_to_next_row: bool = False
     all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING aggregates)
     with_unmatched: bool = False  # WITH UNMATCHED ROWS (NULL measures)
+    # ALL ROWS PER MATCH OMIT EMPTY MATCHES (r10): zero-width matches
+    # are numbered but emit no row; default (SHOW EMPTY MATCHES) emits
+    # the starting row with COUNT()=0 / NULL aggregates / NULL
+    # CLASSIFIER(), per SQL:2016 §7.9 and Snowflake
+    omit_empty: bool = False
     skip_to_symbol: Optional[str] = None  # AFTER MATCH SKIP TO [F|L] sym
     skip_to_first: bool = False  # FIRST vs LAST occurrence of the symbol
     # parse_pattern_full alternative trees (grouped patterns); None →
@@ -546,12 +551,20 @@ def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
         progs = [
             _compile_program(nodes) for nodes in _tree_from_terms(terms)
         ]
+    empty_hit = None
     for prog, nslots in progs:
         hit = _vm_match(flags, prog, nslots, start, n)
-        if hit is not None and hit[0] > start:
-            return hit
-        # zero-width (or no) match: try the next alternative
-    return None
+        if hit is not None:
+            if hit[0] > start:
+                return hit
+            if empty_hit is None:
+                # zero-width match: remember it, but let a later
+                # alternative try to consume rows first (a bare
+                # leftmost-preferment would make `(A* | B)`'s B
+                # unreachable); returned only if nothing consumes —
+                # the EMPTY match the caller shows/omits per SQL:2016
+                empty_hit = hit
+    return empty_hit
 
 
 _AGG_FNS = {"first", "last", "min", "max", "sum", "avg", "count"}
@@ -795,6 +808,7 @@ def match_recognize(
     skip_next = spec.skip_to_next_row
     all_rows = spec.all_rows
     with_unmatched = spec.with_unmatched
+    omit_empty = spec.omit_empty
     skip_sym = spec.skip_to_symbol.upper() if spec.skip_to_symbol else None
     skip_first = spec.skip_to_first
 
@@ -819,6 +833,28 @@ def match_recognize(
                 pos += 1
                 continue
             end, assign = hit
+            if end == pos:
+                # EMPTY match (SQL:2016 §7.9: a zero-width match is a
+                # real match — it consumes a match number even under
+                # OMIT EMPTY MATCHES, and matching resumes at the NEXT
+                # row regardless of the AFTER MATCH SKIP clause). The
+                # shown row is the starting row with COUNT()-family
+                # measures 0, other aggregates and CLASSIFIER() NULL.
+                match_no += 1
+                if not (all_rows and omit_empty):
+                    if covered is not None:
+                        covered[pos] = True  # empty-match, not unmatched
+                    rec = {c: pdf[c].iloc[pos] for c in data_cols}
+                    for m in measures:
+                        if m.fn == "match_number":
+                            rec[m.name] = match_no
+                        elif m.fn == "count":
+                            rec[m.name] = 0
+                        else:
+                            rec[m.name] = None
+                    rows.append(rec)
+                pos += 1
+                continue
             if covered is not None:
                 for i2 in range(pos, end):
                     covered[i2] = True

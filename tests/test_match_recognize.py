@@ -187,8 +187,11 @@ class TestAlternation:
         ]
 
     def test_zero_width_alternative_falls_through(self, engine, ticks):
-        # an all-optional first alternative never produces an empty
-        # match — the consuming alternative is used instead
+        # an all-optional first alternative yields to a CONSUMING
+        # alternative (documented preferment deviation: a strict
+        # SQL:2016 reading would make UP+ unreachable behind FLAT*);
+        # where NOTHING consumes, the zero-width match surfaces as a
+        # real EMPTY match (r10): numbered, COUNT 0, NULL classifier
         df = engine.execute(
             """SELECT * FROM mr_ticks MATCH_RECOGNIZE (
                  PARTITION BY sym ORDER BY t
@@ -196,9 +199,10 @@ class TestAlternation:
                  PATTERN (FLAT* | UP+)
                  DEFINE FLAT AS price = PREV(price),
                         UP AS price > PREV(price)
-               ) WHERE sym = 'B' ORDER BY s"""
+               ) WHERE sym = 'B' ORDER BY n"""
         )
-        assert [tuple(r) for r in df.collect()] == [("B", 2, 2, "UP")]
+        assert [tuple(r) for r in df.collect()] == [
+            ("B", None, 0, None), ("B", 2, 2, "UP")]
 
     def test_all_rows_per_match_with_alternation(self, engine, ticks):
         df = engine.execute(
@@ -373,7 +377,7 @@ class TestRefusals:
             ("PATTERN (PERMUTE(A, B, C, D, E, F, G)) "
              "DEFINE A AS x > 1", "cap is 6"),
             ("PATTERN (PERMUTE) DEFINE A AS x > 1", "argument list"),
-            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH OMIT "
+            ("MEASURES COUNT(*) AS n ALL ROWS PER MATCH SKIP "
              "EMPTY MATCHES PATTERN (A)", "EMPTY"),
             ("MEASURES COUNT(*) AS n AFTER MATCH SKIP HALF WAY "
              "PATTERN (A)", "PAST LAST ROW"),
@@ -1247,6 +1251,25 @@ class TestFinalAllRowsR10:
         assert a == [(3, 9.5, 3), (4, 9.5, 2), (5, 9.5, 1),
                      (6, 9.5, 0), (8, 9.9, 1), (9, 9.9, 0)]
 
+    def test_final_counts_excluded_rows(self, engine, spark):
+        # {- -} exclusion suppresses OUTPUT rows only — FINAL
+        # aggregates still cover them (SQL:2016). The matcher
+        # back-fill gets this for free: the running state steps over
+        # excluded rows before the match completes (a post-operator
+        # LAST_VALUE window over EMITTED rows would miss them).
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_fexcl AS SELECT * FROM "
+            "VALUES (1,1,10),(1,2,20),(1,3,99) AS t(p, seq, v)")
+        r = engine.execute(
+            """SELECT p, seq, rc, fc FROM mr_fexcl MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES RUNNING COUNT(*) AS rc, FINAL COUNT(*) AS fc
+            ALL ROWS PER MATCH
+            PATTERN (A A {- B -})
+            DEFINE A AS v < 50, B AS v > 50) ORDER BY seq"""
+        ).collect()
+        assert [(x.seq, x.rc, x.fc) for x in r] == [(1, 1, 3), (2, 2, 3)]
+
     def test_final_classifier_and_match_number(self, engine, ticks):
         rows = engine.execute(
             f"""SELECT t, cls, mn FROM {ticks} MATCH_RECOGNIZE (
@@ -1259,3 +1282,68 @@ class TestFinalAllRowsR10:
         assert [(r.t, r.cls, r.mn) for r in rows] == [
             (3, "B", 1), (4, "B", 1), (5, "B", 1), (6, "B", 1),
             (8, "B", 2), (9, "B", 2)]
+
+
+class TestEmptyMatchesR10:
+    """Round-10: SQL:2016 empty-match semantics — a zero-width match
+    is a REAL match (numbered, resumes at the next row) that the
+    engine previously dropped silently. Default SHOW EMPTY MATCHES
+    emits the starting row with COUNT 0 / NULL aggregates / NULL
+    CLASSIFIER; OMIT suppresses the row but keeps the number."""
+
+    @pytest.fixture(scope="class")
+    def star_src(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_star AS SELECT * FROM "
+            "VALUES (1,1,10),(1,2,-5),(1,3,30) AS t(p, seq, v)")
+        return "mr_star"
+
+    BODY = """PARTITION BY p ORDER BY seq
+        MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn,
+                 CLASSIFIER() AS cls
+        {mode}
+        PATTERN (A*) DEFINE A AS v > 0"""
+
+    def test_one_row_shows_empty(self, engine, star_src):
+        r = engine.execute(
+            f"SELECT * FROM {star_src} MATCH_RECOGNIZE ("
+            + self.BODY.format(mode="ONE ROW PER MATCH")
+            + ") ORDER BY mn").collect()
+        assert [(x.n, x.mn, x.cls) for x in r] == [
+            (1, 1, "A"), (0, 2, None), (1, 3, "A")]
+
+    def test_all_rows_default_shows_empty(self, engine, star_src):
+        r = engine.execute(
+            f"SELECT seq, n, mn, cls FROM {star_src} MATCH_RECOGNIZE ("
+            + self.BODY.format(mode="ALL ROWS PER MATCH")
+            + ") ORDER BY mn").collect()
+        assert [(x.seq, x.n, x.mn, x.cls) for x in r] == [
+            (1, 1, 1, "A"), (2, 0, 2, None), (3, 1, 3, "A")]
+
+    def test_omit_empty_matches(self, engine, star_src):
+        # the empty match emits no row but still consumes number 2
+        r = engine.execute(
+            f"SELECT seq, mn FROM {star_src} MATCH_RECOGNIZE ("
+            + self.BODY.format(
+                mode="ALL ROWS PER MATCH OMIT EMPTY MATCHES")
+            + ") ORDER BY mn").collect()
+        assert [(x.seq, x.mn) for x in r] == [(1, 1), (3, 3)]
+
+    def test_show_empty_spelled_explicitly(self, engine, star_src):
+        r = engine.execute(
+            f"SELECT seq, mn FROM {star_src} MATCH_RECOGNIZE ("
+            + self.BODY.format(
+                mode="ALL ROWS PER MATCH SHOW EMPTY MATCHES")
+            + ") ORDER BY mn").collect()
+        assert len(r) == 3
+
+    def test_unmatched_vs_empty_distinguishable(self, engine, star_src):
+        # an empty-match row carries a MATCH_NUMBER; a truly unmatched
+        # row (impossible with A* — shown here with A+) has NULL mn
+        r = engine.execute(
+            f"""SELECT seq, mn FROM {star_src} MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            PATTERN (B+) DEFINE B AS v > 0) ORDER BY seq""").collect()
+        assert [(x.seq, x.mn) for x in r] == [(1, 1), (2, None), (3, 2)]
