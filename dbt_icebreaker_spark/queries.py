@@ -6935,12 +6935,74 @@ XOP_ORACLES["x77_mr_empty_matches"] = """
 """
 
 
+def _x_mr_dynamic_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: match-state aggregates in DEFINE (previously a
+    blanket refusal of valid Snowflake). ``UP AS value > PREV(value)
+    AND COUNT(*) <= 4`` caps each ascending run at four rows — the
+    COUNT conjunct is evaluated DURING matching (running-inclusive,
+    a pure function of (row, match_start)), so a maximal ascending
+    island of length L greedily re-segments into chunks of
+    4, 4, …, remainder. The oracle restates the chunking directly
+    (rank within island // 4), so an off-by-one in the running count,
+    a match not resuming at the cut, or the cap silently ignored all
+    break the hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, n, fe
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE user_id < 30)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES COUNT(*) AS n, FIRST(event_id) AS fe
+          ONE ROW PER MATCH
+          PATTERN (UP+)
+          DEFINE UP AS value > PREV(value) AND COUNT(*) <= 4
+        )
+        """
+    )
+
+
+XOP_ORACLES["x78_mr_dynamic_define"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END
+               AS up
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(1 - up) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    ),
+    u AS (
+      SELECT user_id, grp, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp
+               ORDER BY ts, event_id) - 1 AS rn0
+      FROM g WHERE up = 1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn0 % 4 = 0 THEN event_id END)
+             AS BIGINT) AS fe
+    FROM u
+    GROUP BY user_id, grp, CAST(FLOOR(rn0 / 4.0) AS INT)
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,
     "x77_mr_empty_matches": _x_mr_empty_matches,
+    "x78_mr_dynamic_define": _x_mr_dynamic_define,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

@@ -28,6 +28,7 @@ from ..xops.match_recognize import (
 )
 from .core import TranspileError
 from .tokenizer import (
+    NUMBER,
     QIDENT,
     WORD,
     WS,
@@ -309,6 +310,185 @@ def _expand_measures(parts, pat_syms, all_rows=False,
     return measures, input_exprs, derived, order
 
 
+_DYN_CMPS = ("<=", ">=", "<>", "!=", "<", ">", "=")
+_DYN_ARITH = ("*", "/", "+", "-")
+
+
+def _dyn_refuse(sym: str, why: str):
+    raise TranspileError(
+        f"DEFINE {sym}: {why}. Match-state aggregates inside DEFINE "
+        "are supported for the shapes `COUNT(*) <cmp> <number>` and "
+        "`<col> <cmp> FIRST(<col>) [*|/|+|- <number>]` (AND-combined "
+        "with ordinary row conditions); richer shapes — bound match "
+        "length with a pattern quantifier (e.g. B{1,3}), or compare "
+        "against PREV(col, n) for a fixed lookback."
+    )
+
+
+def _parse_dyn_conjunct(sym: str, code):
+    """One AND-conjunct containing a match-state aggregate → a
+    descriptor the matcher evaluates per (row, match_start):
+
+      ("count", cmp, number)              COUNT(*) cmp n (either order)
+      ("first", col, cmp, fcol, op, lit)  col cmp FIRST(fcol) [op lit]
+
+    Both aggregates are RUNNING-inclusive per SQL:2016: COUNT(*)
+    counts the candidate row, FIRST on the candidate first row is the
+    row's own value."""
+    def read_num(i):
+        neg = False
+        if i < len(code) and code[i].is_op("-"):
+            neg, i = True, i + 1
+        if i < len(code) and code[i].kind == NUMBER:
+            v = float(code[i].text)
+            return (-v if neg else v), i + 1
+        return None, i
+
+    def read_cmp(i):
+        if i < len(code) and code[i].text in _DYN_CMPS:
+            return code[i].text, i + 1
+        # tokenizer may split `<=` into two op tokens
+        if (i + 1 < len(code) and code[i].text in ("<", ">", "!")
+                and code[i + 1].text in ("=", ">")):
+            return code[i].text + code[i + 1].text, i + 2
+        return None, i
+
+    def flip(cmp):
+        return {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(cmp, cmp)
+
+    def read_first(i):
+        # FIRST ( col ) [arith number] -> (fcol, op, lit, next_i)
+        if not (i + 1 < len(code) and code[i].kind == WORD
+                and code[i].upper == "FIRST" and code[i + 1].is_op("(")):
+            return None
+        j = i + 2
+        if not (j < len(code) and code[j].kind in (WORD, QIDENT)):
+            _dyn_refuse(sym, "FIRST(…) needs a bare column argument")
+        fcol = code[j].text.strip('"')
+        j += 1
+        if not (j < len(code) and code[j].is_op(")")):
+            _dyn_refuse(sym, "FIRST(…) needs a single bare column")
+        j += 1
+        op = lit = None
+        if j < len(code) and code[j].text in _DYN_ARITH:
+            op = code[j].text
+            lit, j = read_num(j + 1)
+            if lit is None:
+                _dyn_refuse(sym, "FIRST(col) arithmetic needs a "
+                                 "numeric literal")
+        return fcol, op, lit, j
+
+    # COUNT ( * ) cmp n   |   n cmp COUNT ( * )
+    if (len(code) >= 4 and code[0].kind == WORD
+            and code[0].upper == "COUNT"):
+        if not (code[1].is_op("(") and code[2].is_op("*")
+                and code[3].is_op(")")):
+            _dyn_refuse(sym, "only COUNT(*) is supported (per-symbol "
+                             "or per-column counts are not)")
+        cmp, i = read_cmp(4)
+        if cmp is None:
+            _dyn_refuse(sym, "COUNT(*) must be compared to a number")
+        lit, i = read_num(i)
+        if lit is None or i != len(code):
+            _dyn_refuse(sym, "COUNT(*) must be compared to a numeric "
+                             "literal")
+        return ("count", cmp, lit)
+    num0, i0 = read_num(0)
+    if num0 is not None:
+        cmp, i = read_cmp(i0)
+        if (cmp is not None and i + 3 < len(code)
+                and code[i].kind == WORD and code[i].upper == "COUNT"):
+            tail = code[i:]
+            if (len(tail) == 4 and tail[1].is_op("(")
+                    and tail[2].is_op("*") and tail[3].is_op(")")):
+                return ("count", flip(cmp), num0)
+        _dyn_refuse(sym, "unsupported aggregate comparison")
+    # col cmp FIRST(f)[op lit]   |   FIRST(f)[op lit] cmp col
+    if code and code[0].kind == WORD and code[0].upper == "FIRST":
+        got = read_first(0)
+        if got is None:
+            _dyn_refuse(sym, "unsupported FIRST(…) shape")
+        fcol, op, lit, j = got
+        cmp, j = read_cmp(j)
+        if (cmp is None or j >= len(code)
+                or code[j].kind not in (WORD, QIDENT)
+                or j + 1 != len(code)):
+            _dyn_refuse(sym, "FIRST(…) must be compared to a bare "
+                             "column")
+        return ("first", code[j].text.strip('"'), flip(cmp), fcol,
+                op, lit)
+    if code and code[0].kind in (WORD, QIDENT):
+        col = code[0].text.strip('"')
+        cmp, j = read_cmp(1)
+        if cmp is not None:
+            got = read_first(j)
+            if got is not None:
+                fcol, op, lit, j2 = got
+                if j2 == len(code):
+                    return ("first", col, cmp, fcol, op, lit)
+    _dyn_refuse(sym, "unsupported match-state aggregate shape")
+
+
+def _split_dynamic_define(sym: str, cond_toks):
+    """Split a DEFINE condition into (static_sql_or_None,
+    dynamic_descriptors). Fast path: no aggregate call → the whole
+    condition is the static flag SQL. With aggregates, top-level AND
+    conjuncts are classified one by one; OR around an aggregate has no
+    (pos, start)-pure decomposition and refuses."""
+    has_agg = False
+    for ci, ct in enumerate(cond_toks):
+        if ct.kind == WORD and ct.upper in _AGGS:
+            nx = next_code(cond_toks, ci + 1)
+            if nx < len(cond_toks) and cond_toks[nx].is_op("("):
+                has_agg = True
+                break
+    if not has_agg:
+        return render(cond_toks).strip(), []
+    # split top-level ANDs (BETWEEN's AND and parenthesized/CASE
+    # content stay intact)
+    conjuncts = []
+    depth = case0 = between0 = 0
+    lo = 0
+    for i2, t in enumerate(cond_toks):
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        elif depth == 0 and t.kind == WORD:
+            u = t.upper
+            if u == "CASE":
+                case0 += 1
+            elif u == "END" and case0 > 0:
+                case0 -= 1
+            elif u == "BETWEEN" and case0 == 0:
+                between0 += 1
+            elif u == "OR" and case0 == 0:
+                _dyn_refuse(sym, "OR around a match-state aggregate")
+            elif u == "AND" and case0 == 0:
+                if between0 > 0:
+                    between0 -= 1
+                else:
+                    conjuncts.append(cond_toks[lo:i2])
+                    lo = i2 + 1
+    conjuncts.append(cond_toks[lo:])
+    static_parts: list[str] = []
+    descs: list[tuple] = []
+    for seg in conjuncts:
+        code = [c for c in seg if c.kind not in (WS, COMMENT)]
+        seg_has_agg = any(
+            c.kind == WORD and c.upper in _AGGS
+            and q + 1 < len(code) and code[q + 1].is_op("(")
+            for q, c in enumerate(code)
+        )
+        if not seg_has_agg:
+            static_parts.append(render(seg).strip())
+        else:
+            descs.append(_parse_dyn_conjunct(sym, code))
+    static_sql = " AND ".join(
+        f"({p})" for p in static_parts) if static_parts else None
+    return static_sql, descs
+
+
 def _clause_spans(toks):
     """Top-level clause keyword positions inside the MATCH_RECOGNIZE
     body."""
@@ -483,6 +663,7 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
         raise TranspileError(str(e)) from None
     # DEFINE sym AS cond, ...
     defines: dict[str, str] = {}
+    dyn_defines: dict[str, list] = {}
     if "DEFINE" in got:
         dseg = got["DEFINE"]
         j = next_code(dseg, 0)
@@ -500,27 +681,19 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
                 if c.kind == WORD and c.upper == "AS" and not seen_as:
                     seen_as = True
                     break
-            # match-state aggregates/navigation inside DEFINE
-            # (COUNT(*) < 3, v > FIRST(v)) would reach Spark as
-            # ungrouped aggregates — MISSING_GROUP_BY, opaque. DEFINE
-            # here sees per-row values + PREV/NEXT only; refuse with
-            # the idiomatic rewrites (r9 probe)
+            # match-state aggregates inside DEFINE (r10 — previously a
+            # blanket refusal rejecting valid Snowflake): the common
+            # shapes (COUNT(*) bounds, FIRST-relative comparisons) are
+            # pure functions of (row, match_start), so they evaluate
+            # DURING matching without breaking the VM's memoization;
+            # static conjuncts keep the precomputed-flag fast path
             cond_toks = part[k + 1:]
-            for ci, ct in enumerate(cond_toks):
-                if ct.kind == WORD and ct.upper in _AGGS:
-                    nx = next_code(cond_toks, ci + 1)
-                    if nx < len(cond_toks) and cond_toks[nx].is_op("("):
-                        raise TranspileError(
-                            f"DEFINE {code[0].text}: {ct.upper}(…) — "
-                            "aggregates over the match-so-far are not "
-                            "supported inside DEFINE (conditions see "
-                            "the current row plus PREV/NEXT). Bound "
-                            "match length with a pattern quantifier "
-                            "(e.g. B{1,3}) instead of COUNT(*), or "
-                            "compare against PREV(col, n) for a fixed "
-                            "lookback instead of FIRST/LAST."
-                        )
-            defines[code[0].upper] = render(cond_toks).strip()
+            static_sql, descs = _split_dynamic_define(
+                code[0].text, cond_toks)
+            if static_sql is not None:
+                defines[code[0].upper] = static_sql
+            if descs:
+                dyn_defines[code[0].upper] = descs
     skip_next = False
     skip_sym = None
     skip_first = False
@@ -562,6 +735,7 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
         partition_by=partition_by, order_by=order_by,
     )
     defines = {s: c for s, c in defines.items() if s in pat_syms}
+    dyn_defines = {s: d for s, d in dyn_defines.items() if s in pat_syms}
     if skip_sym is not None and skip_sym not in pat_syms:
         raise TranspileError(
             f"AFTER MATCH SKIP TO references symbol {skip_sym} not "
@@ -578,6 +752,7 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
         all_rows=all_rows,
         with_unmatched=with_unmatched,
         omit_empty=omit_empty,
+        dyn_defines=dyn_defines or None,
         skip_to_symbol=skip_sym,
         skip_to_first=skip_first,
         input_exprs=input_exprs,

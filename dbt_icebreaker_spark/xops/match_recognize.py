@@ -113,6 +113,13 @@ class MatchRecognizeSpec:
     # the starting row with COUNT()=0 / NULL aggregates / NULL
     # CLASSIFIER(), per SQL:2016 §7.9 and Snowflake
     omit_empty: bool = False
+    # match-state aggregate conjuncts in DEFINE (r10): per symbol, a
+    # list of descriptors evaluated DURING matching — ("count", cmp,
+    # n) for COUNT(*) bounds, ("first", col, cmp, fcol, arith, lit)
+    # for FIRST-relative comparisons. Both are pure functions of
+    # (row, match_start), so the VM's memoization stays valid; static
+    # conjuncts stay on the precomputed-flag fast path.
+    dyn_defines: Optional[dict] = None
     skip_to_symbol: Optional[str] = None  # AFTER MATCH SKIP TO [F|L] sym
     skip_to_first: bool = False  # FIRST vs LAST occurrence of the symbol
     # parse_pattern_full alternative trees (grouped patterns); None →
@@ -474,7 +481,7 @@ def _compile_program(nodes) -> tuple[list, int]:
     return prog, slots[0]
 
 
-def _vm_match(flags, prog, nslots, start, n):
+def _vm_match(flags, prog, nslots, start, n, dyn=None):
     """Iterative backtracking over a compiled program: an explicit
     choice stack (no Python recursion — depth 0 regardless of match
     length), a consumed-row trail materialized only on success, and a
@@ -498,7 +505,9 @@ def _vm_match(flags, prog, nslots, start, n):
             kind = op[0]
             if kind == "char":
                 ti = op[1]
-                if pos < n and flags[ti][pos]:
+                if pos < n and flags[ti][pos] and (
+                    dyn is None or dyn[ti] is None or dyn[ti](pos, start)
+                ):
                     trail.append(ti)
                     pos += 1
                     pc += 1
@@ -539,7 +548,7 @@ def _vm_match(flags, prog, nslots, start, n):
 
 
 def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
-              progs: Optional[list] = None):
+              progs: Optional[list] = None, dyn=None):
     """Greedy backtracking match beginning at row `start`. Top-level
     alternatives try in written order (SQL:2016 preferment) — the
     first alternative that matches wins, even when a later one would
@@ -553,7 +562,7 @@ def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
         ]
     empty_hit = None
     for prog, nslots in progs:
-        hit = _vm_match(flags, prog, nslots, start, n)
+        hit = _vm_match(flags, prog, nslots, start, n, dyn)
         if hit is not None:
             if hit[0] > start:
                 return hit
@@ -568,6 +577,61 @@ def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
 
 
 _AGG_FNS = {"first", "last", "min", "max", "sum", "avg", "count"}
+
+import operator as _op
+
+_DYN_CMP = {
+    "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    "=": _op.eq, "==": _op.eq, "!=": _op.ne, "<>": _op.ne,
+}
+_DYN_ARITH = {"*": _op.mul, "/": _op.truediv, "+": _op.add,
+              "-": _op.sub}
+
+
+def _build_dyn_checks(descs_per_term, pdf):
+    """Per flat term: a combined (pos, start) -> bool closure over the
+    SORTED partition frame, or None for static-only terms. NULL/NaN
+    on either side of a comparison is SQL three-valued not-true."""
+    out = []
+    for descs in descs_per_term:
+        if not descs:
+            out.append(None)
+            continue
+        checks = []
+        for d in descs:
+            if d[0] == "count":
+                cmp_fn, lit = _DYN_CMP[d[1]], d[2]
+                checks.append(
+                    lambda pos, start, cmp_fn=cmp_fn, lit=lit:
+                        cmp_fn(pos - start + 1, lit))
+            else:  # ("first", col, cmp, fcol, arith, lit)
+                _, col, cmp, fcol, arith, lit = d
+                la = pdf[col].to_numpy()
+                fa = pdf[fcol].to_numpy()
+                cmp_fn = _DYN_CMP[cmp]
+                ar = _DYN_ARITH[arith] if arith else None
+
+                def chk(pos, start, la=la, fa=fa, cmp_fn=cmp_fn,
+                        ar=ar, lit=lit):
+                    lhs, rhs = la[pos], fa[start]
+                    if lhs is None or rhs is None:
+                        return False
+                    if lhs != lhs or rhs != rhs:  # NaN/NaT
+                        return False
+                    if ar is not None:
+                        # the literal is a Python float; Decimal
+                        # columns refuse mixed arithmetic (but not
+                        # mixed comparison) — normalize through float
+                        rhs = ar(float(rhs), lit)
+                    return bool(cmp_fn(lhs, rhs))
+
+                checks.append(chk)
+        if len(checks) == 1:
+            out.append(checks[0])
+        else:
+            out.append(lambda pos, start, cs=tuple(checks):
+                       all(c(pos, start) for c in cs))
+    return out
 
 
 def _eval_measure(
@@ -799,6 +863,32 @@ def match_recognize(
         )
     out_schema = StructType(out_fields)
     terms = spec.pattern
+    dyn_map = {}
+    if spec.dyn_defines:
+        # resolve descriptor column names against the input schema
+        # (Spark resolution is case-insensitive; pandas is not)
+        by_lower = {f.name.lower(): f.name for f in df.schema.fields}
+
+        def _resolve(sym, c):
+            actual = by_lower.get(c.lower())
+            if actual is None:
+                raise ValueError(
+                    f"DEFINE {sym}: column {c!r} (in a match-state "
+                    f"aggregate comparison) is not an input column"
+                )
+            return actual
+
+        for symq, descs in spec.dyn_defines.items():
+            rd = []
+            for d in descs:
+                if d[0] == "first":
+                    rd.append(("first", _resolve(symq, d[1]), d[2],
+                               _resolve(symq, d[3]), d[4], d[5]))
+                else:
+                    rd.append(d)
+            dyn_map[symq] = rd
+    dyn_descs_per_term = [dyn_map.get(t.symbol) for t in terms]
+    has_dyn = any(dyn_descs_per_term)
     alts_tree = spec.tree if spec.tree is not None else _tree_from_terms(
         spec.pattern)
     progs = [_compile_program(nodes) for nodes in alts_tree]
@@ -823,12 +913,14 @@ def match_recognize(
         ).reset_index(drop=True)
         n = len(pdf)
         flags = [pdf[c].tolist() for c in flag_cols]
+        dyn_checks = (_build_dyn_checks(dyn_descs_per_term, pdf)
+                      if has_dyn else None)
         rows = []
         covered = [False] * n if with_unmatched else None
         match_no = 0
         pos = 0
         while pos < n:
-            hit = _match_at(flags, terms, pos, n, progs)
+            hit = _match_at(flags, terms, pos, n, progs, dyn_checks)
             if hit is None:
                 pos += 1
                 continue

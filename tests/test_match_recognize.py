@@ -1163,19 +1163,25 @@ class TestExpressionMeasuresR9:
 
 
 class TestDefineAggregateRefusalR9:
-    def test_count_in_define_refuses_actionably(self, engine, ticks):
-        with pytest.raises(TranspileError, match="quantifier"):
-            engine.execute(f"""SELECT * FROM {ticks} MATCH_RECOGNIZE (
-                PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
-                ONE ROW PER MATCH PATTERN (B+)
-                DEFINE B AS COUNT(*) < 3)""")
+    # r10: the r9 blanket refusal is gone — the common match-state
+    # shapes now EVALUATE (TestDynamicDefineR10); these lock the
+    # upgraded behavior on the same statements that used to refuse
+    def test_count_in_define_now_evaluates(self, engine, ticks):
+        r = engine.execute(f"""SELECT n FROM {ticks} MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH PATTERN (B+)
+            DEFINE B AS COUNT(*) < 3) ORDER BY n""").collect()
+        assert r and all(x.n <= 2 for x in r)
 
-    def test_first_in_define_refuses_actionably(self, engine, ticks):
-        with pytest.raises(TranspileError, match="PREV"):
-            engine.execute(f"""SELECT * FROM {ticks} MATCH_RECOGNIZE (
-                PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
-                ONE ROW PER MATCH PATTERN (A B+)
-                DEFINE B AS price > FIRST(price))""")
+    def test_first_in_define_now_evaluates(self, engine, ticks):
+        # B rows must stay above the match head A's price... FIRST is
+        # the match head (the A row), so runs extend while price keeps
+        # exceeding the starting price
+        r = engine.execute(f"""SELECT n FROM {ticks} MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY t MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH PATTERN (A B+)
+            DEFINE B AS price > FIRST(price)) ORDER BY n""").collect()
+        assert r and all(x.n >= 2 for x in r)
 
 
 class TestMrPersistentViewRefusalR9:
@@ -1347,3 +1353,88 @@ class TestEmptyMatchesR10:
             ALL ROWS PER MATCH WITH UNMATCHED ROWS
             PATTERN (B+) DEFINE B AS v > 0) ORDER BY seq""").collect()
         assert [(x.seq, x.mn) for x in r] == [(1, 1), (2, None), (3, 2)]
+
+
+class TestDynamicDefineR10:
+    """Round-10: match-state aggregates in DEFINE — COUNT(*) bounds
+    and FIRST-relative comparisons evaluate DURING matching (pure
+    functions of (row, match_start), so the VM's memoization holds);
+    static conjuncts stay on the precomputed-flag fast path; richer
+    shapes refuse naming the supported subset."""
+
+    @pytest.fixture(scope="class")
+    def dsrc(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mr_dyn AS SELECT * FROM "
+            "VALUES (1,1,10.0),(1,2,11.0),(1,3,12.0),(1,4,13.0),"
+            "(1,5,14.0),(1,6,9.0) AS t(p, seq, v)")
+        return "mr_dyn"
+
+    def test_count_bound_resegments_runs(self, engine, dsrc):
+        r = engine.execute(
+            f"""SELECT n, fs FROM {dsrc} MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES COUNT(*) AS n, FIRST(seq) AS fs
+            ONE ROW PER MATCH PATTERN (A+)
+            DEFINE A AS v > PREV(v) AND COUNT(*) <= 3)
+            ORDER BY fs""").collect()
+        # the 4-row ascending run (seq 2-5) caps at 3 and RESUMES
+        assert [(x.n, x.fs) for x in r] == [(3, 2), (1, 5)]
+
+    def test_first_relative_band(self, engine, dsrc):
+        r = engine.execute(
+            f"""SELECT n, fs FROM {dsrc} MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES COUNT(*) AS n, FIRST(seq) AS fs
+            ONE ROW PER MATCH PATTERN (B+)
+            DEFINE B AS v < FIRST(v) * 1.25)
+            ORDER BY fs""").collect()
+        # band from 10: rows 10,11,12 (<12.5); band from 13: 13,14,9
+        assert [(x.n, x.fs) for x in r] == [(3, 1), (3, 4)]
+
+    def test_reversed_operands_and_mixed(self, engine, dsrc):
+        r = engine.execute(
+            f"""SELECT n FROM {dsrc} MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH PATTERN (C+)
+            DEFINE C AS FIRST(v) <= v AND 4 >= COUNT(*))
+            ORDER BY n""").collect()
+        assert [x.n for x in r] == [1, 1, 4]
+
+    def test_first_on_match_head_is_own_row(self, engine, dsrc):
+        # RUNNING-inclusive FIRST: testing the candidate first row,
+        # FIRST(v) is the row's own value — strict `<` can never
+        # start a match
+        r = engine.execute(
+            f"""SELECT COUNT(*) AS c FROM (
+            SELECT * FROM {dsrc} MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH PATTERN (D+)
+            DEFINE D AS v < FIRST(v)))""").collect()
+        assert r[0].c == 0
+
+    @pytest.mark.parametrize("cond,msg", [
+        ("SUM(v) < 100", "unsupported match-state aggregate"),
+        ("COUNT(A.*) < 3", "only COUNT"),
+        ("COUNT(*) < 3 OR v > 0", "OR around a match-state"),
+        ("FIRST(v) + LAST(v) > 5", "FIRST"),
+    ])
+    def test_unsupported_shapes_refuse(self, engine, dsrc, cond, msg):
+        with pytest.raises(TranspileError, match=msg):
+            engine.execute(
+                f"""SELECT * FROM {dsrc} MATCH_RECOGNIZE (
+                PARTITION BY p ORDER BY seq
+                MEASURES COUNT(*) AS n
+                ONE ROW PER MATCH PATTERN (Z+)
+                DEFINE Z AS {cond})""")
+
+    def test_unknown_column_named(self, engine, dsrc):
+        with pytest.raises(Exception, match="not an input column"):
+            engine.execute(
+                f"""SELECT * FROM {dsrc} MATCH_RECOGNIZE (
+                PARTITION BY p ORDER BY seq
+                MEASURES COUNT(*) AS n
+                ONE ROW PER MATCH PATTERN (Z+)
+                DEFINE Z AS nosuch > FIRST(nosuch))""")
