@@ -6935,6 +6935,43 @@ XOP_ORACLES["x77_mr_empty_matches"] = """
 """
 
 
+def _x_flatten_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: iterative-doubling hierarchy flattening — the
+    O(log depth) scale path the CONNECT BY depth guard points at.
+    Each user's events form a chain (parent = previous event by
+    (ts, event_id)); pointer jumping must recover every node's root
+    (the user's first event) and depth (its 0-based position), which
+    the oracle states in closed form with windows — a wrong doubling
+    step, a lost distance, or an orphan/root mix-up all break the
+    hash."""
+    from .xops.hierarchy import flatten_hierarchy
+
+    register_dir(spark, sf_dir)
+    edges = spark.sql(
+        """
+        SELECT event_id AS node,
+               LAG(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS parent
+        FROM events WHERE user_id < 50
+        """
+    )
+    out = flatten_hierarchy(edges, "node", "parent")
+    return out.selectExpr(
+        "CAST(node AS BIGINT) AS node",
+        "CAST(root AS BIGINT) AS root",
+        "CAST(depth AS BIGINT) AS depth",
+    )
+
+
+XOP_ORACLES["x79_flatten_hierarchy"] = """
+    SELECT CAST(event_id AS BIGINT) AS node,
+           CAST(FIRST_VALUE(event_id) OVER w AS BIGINT) AS root,
+           CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS depth
+    FROM events WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _x_mr_dynamic_define(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10: match-state aggregates in DEFINE (previously a
     blanket refusal of valid Snowflake). ``UP AS value > PREV(value)
@@ -7003,6 +7040,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x76_nonequi_merge": _x_nonequi_merge,
     "x77_mr_empty_matches": _x_mr_empty_matches,
     "x78_mr_dynamic_define": _x_mr_dynamic_define,
+    "x79_flatten_hierarchy": _x_flatten_hierarchy,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

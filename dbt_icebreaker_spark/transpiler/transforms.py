@@ -6195,8 +6195,9 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
             f"grow O(depth^2) bytes across the recursion and exhaust "
             f"the executor heap near depth 5000 (see SCALE.md). "
             f"Options: drop ORDER SIBLINGS BY / NOCYCLE (plain "
-            f"CONNECT BY carries O(1) per row), restructure very "
-            f"deep chains as iterative pointer-jumping, or raise "
+            f"CONNECT BY carries O(1) per row), flatten very deep "
+            f"chains with xops.hierarchy.flatten_hierarchy "
+            f"(O(log depth) pointer jumping), or raise "
             f"SPARK_GRAFT_CONNECT_BY_DEPTH_GUARD after sizing the "
             f"heap to width x depth^2 x 24 bytes.') AS INT) END"
         )

@@ -2188,3 +2188,53 @@ class TestNormalizeText:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with _pytest.raises(ValueError, match="unknown form"):
             normalize_text(df, "doc_id", "text", form="NFX")
+
+
+class TestFlattenHierarchyR10:
+    """Round-10: iterative-doubling hierarchy flattening — the
+    O(log depth) path the CONNECT BY depth guard recommends."""
+
+    def test_deep_chain_fast(self, spark):
+        # depth 5000: CONNECT BY takes O(depth) jobs (~10 min) and the
+        # siblings/nocycle variants hit the heap guard; doubling does
+        # it in ~13 joins
+        from dbt_icebreaker_spark.xops.hierarchy import (
+            flatten_hierarchy,
+        )
+
+        edges = spark.sql(
+            "SELECT id AS node, CASE WHEN id % 5000 = 0 THEN NULL "
+            "ELSE id - 1 END AS parent FROM RANGE(10000)")
+        out = flatten_hierarchy(edges, "node", "parent")
+        rows = out.collect()
+        assert len(rows) == 10000
+        got = {r.node: (r.root, r.depth) for r in rows}
+        assert got[0] == (0, 0)
+        assert got[4999] == (0, 4999)
+        assert got[5000] == (5000, 0)
+        assert got[9999] == (5000, 4999)
+
+    def test_orphan_parent_is_terminal(self, spark):
+        from dbt_icebreaker_spark.xops.hierarchy import (
+            flatten_hierarchy,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 99), (2, 1)], "node long, parent long")
+        got = {r.node: (r.root, r.depth)
+               for r in flatten_hierarchy(
+                   edges, "node", "parent").collect()}
+        # 99 is not a node: the dangling id is the chain's root
+        assert got[1] == (99, 1) and got[2] == (99, 2)
+
+    def test_cycle_raises_actionably(self, spark):
+        import pytest
+
+        from dbt_icebreaker_spark.xops.hierarchy import (
+            flatten_hierarchy,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, None)], "node long, parent long")
+        with pytest.raises(ValueError, match="cycle"):
+            flatten_hierarchy(edges, "node", "parent", max_rounds=8)
