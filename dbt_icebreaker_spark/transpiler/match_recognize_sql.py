@@ -434,7 +434,33 @@ def _split_dynamic_define(sym: str, cond_toks):
     dynamic_descriptors). Fast path: no aggregate call → the whole
     condition is the static flag SQL. With aggregates, top-level AND
     conjuncts are classified one by one; OR around an aggregate has no
-    (pos, start)-pure decomposition and refuses."""
+    (pos, start)-pure decomposition and refuses.
+
+    ``LAST(col)`` needs no descriptor at all: DEFINE evaluation is
+    RUNNING-inclusive, so while testing a candidate row LAST(col) IS
+    the candidate's own value — it rewrites textually to the bare
+    column (SQL:2016 §7.9; `FIRST(v) < LAST(v)` becomes the supported
+    FIRST-relative shape)."""
+    rewritten = []
+    i3 = 0
+    while i3 < len(cond_toks):
+        t3 = cond_toks[i3]
+        if t3.kind == WORD and t3.upper == "LAST":
+            j3 = next_code(cond_toks, i3 + 1)
+            if j3 < len(cond_toks) and cond_toks[j3].is_op("("):
+                j4 = next_code(cond_toks, j3 + 1)
+                j5 = next_code(cond_toks, j4 + 1) if j4 < len(
+                    cond_toks) else len(cond_toks)
+                if (j4 < len(cond_toks)
+                        and cond_toks[j4].kind in (WORD, QIDENT)
+                        and j5 < len(cond_toks)
+                        and cond_toks[j5].is_op(")")):
+                    rewritten.append(cond_toks[j4])
+                    i3 = j5 + 1
+                    continue
+        rewritten.append(t3)
+        i3 += 1
+    cond_toks = rewritten
     has_agg = False
     for ci, ct in enumerate(cond_toks):
         if ct.kind == WORD and ct.upper in _AGGS:

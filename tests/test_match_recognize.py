@@ -1438,3 +1438,17 @@ class TestDynamicDefineR10:
                 MEASURES COUNT(*) AS n
                 ONE ROW PER MATCH PATTERN (Z+)
                 DEFINE Z AS nosuch > FIRST(nosuch))""")
+
+    def test_last_in_define_is_current_row(self, engine, dsrc):
+        # RUNNING-inclusive LAST(col) in DEFINE is the candidate row's
+        # own value — FIRST(v) < LAST(v) keeps runs strictly above
+        # their head
+        r = engine.execute(
+            f"""SELECT n, fs FROM {dsrc} MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES COUNT(*) AS n, FIRST(seq) AS fs
+            ONE ROW PER MATCH PATTERN (E E2+)
+            DEFINE E2 AS FIRST(v) < LAST(v))
+            ORDER BY fs""").collect()
+        # head seq1 (v10): E2 rows 11..14 all exceed 10 -> n=5
+        assert [(x.n, x.fs) for x in r] == [(5, 1)]
