@@ -6935,6 +6935,49 @@ XOP_ORACLES["x77_mr_empty_matches"] = """
 """
 
 
+def _x_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: FLATTEN(recursive => true) — previously the argument
+    was silently DROPPED (nested elements never appeared: a silent
+    wrong answer). Each event builds a two-level document
+    `{"a": n, "b": [u, e]}`; the deep walk must emit the scalar, the
+    nested array as its compact JSON text, AND the two nested
+    elements with Snowflake `b[i]` paths — the oracle states all four
+    row shapes directly, so a missing recursion level, a wrong path
+    spelling, or non-canonical container text breaks the hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT event_id, f.path AS p, f.value AS v
+        FROM (SELECT event_id,
+                     '{"a": ' || CAST(CAST(FLOOR(value) AS INT) AS STRING)
+                     || ', "b": [' || CAST(user_id AS STRING) || ','
+                     || CAST(event_id AS STRING) || ']}' AS j
+              FROM events WHERE event_id < 300),
+             LATERAL FLATTEN(input => j, recursive => true) f
+        """
+    )
+
+
+XOP_ORACLES["x80_flatten_recursive"] = """
+    WITH e AS (
+      SELECT event_id, CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) AS a,
+             CAST(user_id AS VARCHAR) AS u,
+             CAST(event_id AS VARCHAR) AS ev
+      FROM events WHERE event_id < 300
+    )
+    SELECT event_id, 'a' AS p, a AS v FROM e
+    UNION ALL
+    SELECT event_id, 'b', '[' || u || ',' || ev || ']' FROM e
+    UNION ALL
+    SELECT event_id, 'b[0]', u FROM e
+    UNION ALL
+    SELECT event_id, 'b[1]', ev FROM e
+"""
+
+
 def _x_flatten_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10: iterative-doubling hierarchy flattening — the
     O(log depth) scale path the CONNECT BY depth guard points at.
@@ -7041,6 +7084,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x77_mr_empty_matches": _x_mr_empty_matches,
     "x78_mr_dynamic_define": _x_mr_dynamic_define,
     "x79_flatten_hierarchy": _x_flatten_hierarchy,
+    "x80_flatten_recursive": _x_flatten_recursive,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

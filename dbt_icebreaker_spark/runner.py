@@ -98,6 +98,53 @@ def _wrap_string_explode(stmt: str, exc: Exception):
     return render(out)
 
 
+def _unwrap_string_tojson(stmt: str, exc: Exception):
+    """Retry SQL for ``to_json`` applied to a value the analyzer
+    proves is ALREADY a string (the deep-FLATTEN rewrite wraps
+    statically-unknown inputs in to_json for native containers; a
+    JSON-text column needs no wrap — drop it). Positive identification
+    only: the named inner expression must match a to_json site, with
+    the single-site fallback for ambiguous messages."""
+    import re as _re
+
+    msg = str(exc)
+    if ("DATATYPE_MISMATCH.INVALID_JSON_SCHEMA" not in msg
+            or '"STRING"' not in msg):
+        return None
+    m = _re.search(r'Cannot resolve "to_json\((.*)\)" due', msg)
+    offending = (_re.sub(r"\s+", "", m.group(1)).lower()
+                 if m else None)
+    from .transpiler.tokenizer import (
+        WORD, find_matching_paren, next_code, render, tokenize,
+    )
+
+    toks = tokenize(stmt)
+    sites = []
+    for i, t in enumerate(toks):
+        if t.kind == WORD and t.upper == "TO_JSON":
+            op = next_code(toks, i + 1)
+            if op < len(toks) and toks[op].is_op("("):
+                close = find_matching_paren(toks, op)
+                inner = render(toks[op + 1:close]).strip()
+                sites.append((i, op, close, inner))
+    if not sites:
+        return None
+    target = None
+    if offending:
+        for s in sites:
+            norm = _re.sub(r"\s+", "", s[3]).lower().strip("()")
+            if norm == offending.strip("()"):
+                target = s
+                break
+    if target is None and len(sites) == 1:
+        target = sites[0]
+    if target is None:
+        return None
+    i, op, close, _inner = target
+    out = toks[:i] + toks[op:close + 1] + toks[close + 1:]
+    return render(out)
+
+
 def _wrap_string_subscript(stmt: str, exc: Exception):
     """Retry SQL for subscript access on a JSON-TEXT value (the
     VARIANT model stores arrays/objects as JSON strings — e.g.
@@ -1706,6 +1753,8 @@ class IcebreakerEngine:
                     for _ in range(8):
                         retry_sql = (_wrap_string_explode(attempt, err)
                                      or _wrap_string_subscript(
+                                         attempt, err)
+                                     or _unwrap_string_tojson(
                                          attempt, err))
                         if retry_sql is None:
                             break

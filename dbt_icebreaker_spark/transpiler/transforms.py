@@ -3788,6 +3788,8 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                 input_expr: Tokens = []
                 path_lit: str | None = None
                 outer = False
+                recursive = False
+                mode = "BOTH"
                 for a_lo, a_hi in args:
                     arg = tokens[a_lo:a_hi]
                     code = [x for x in arg if x.kind not in (WS,)]
@@ -3804,6 +3806,19 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                             path_lit = val[0].text[1:-1]
                         elif key == "OUTER" and val and val[0].is_word("TRUE"):
                             outer = True
+                        elif key == "RECURSIVE" and val and val[0].is_word("TRUE"):
+                            # r10: previously IGNORED silently — the
+                            # nested elements simply never appeared
+                            recursive = True
+                        elif key == "MODE" and val and val[0].kind == STRING:
+                            mode = val[0].text[1:-1].upper()
+                            if mode not in ("OBJECT", "ARRAY", "BOTH"):
+                                from .core import TranspileError as _TE
+
+                                raise _TE(
+                                    "FLATTEN MODE must be 'OBJECT', "
+                                    f"'ARRAY' or 'BOTH' (got {mode!r})"
+                                )
                     elif not input_expr:
                         input_expr = arg
                 # strip preceding comma (snowflake `, LATERAL FLATTEN`)
@@ -3846,6 +3861,23 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     src = ([_word("get_json_object"), _op("(")] + src
                            + [_op(","), _sp(),
                               Token(STRING, f"'$.{path_lit}'"), _op(")")])
+                if recursive or mode != "BOTH":
+                    # RECURSIVE / MODE need the deep-walk session UDF
+                    # (previously these args were silently dropped —
+                    # nested elements never appeared). The UDF also
+                    # yields `path`, which only exists meaningfully on
+                    # this form.
+                    s_txt = "(" + render(src).strip() + ")"
+                    if not json_text:
+                        s_txt = f"to_json{s_txt}"
+                    gen = "inline_outer" if outer else "inline"
+                    out += [_sp()] + tokenize(
+                        f"LATERAL VIEW {gen}(flatten_deep_x({s_txt}, "
+                        f"{str(recursive).lower()}, '{mode}')) "
+                        f"{alias} AS key, index, path, value"
+                    )
+                    i = consumed_to + 1
+                    continue
                 if json_text:
                     # JSON-text input may be an ARRAY or an OBJECT —
                     # Snowflake FLATTEN handles both (object rows carry
@@ -6863,6 +6895,18 @@ def detect_session_udf_scalars(sql: str) -> list[tuple[str, str]]:
         if t.kind == WORD and t.upper in _SESSION_UDF_SCALARS \
                 and _is_call(toks, i, t.upper):
             found.append((t.upper, _SESSION_UDF_SCALARS[t.upper]))
+        if t.kind == WORD and t.upper == "FLATTEN" \
+                and _is_call(toks, i, "FLATTEN"):
+            op = next_code(toks, i + 1)
+            close = find_matching_paren(toks, op)
+            inner = [x.upper for x in toks[op:close] if x.kind == WORD]
+            if "RECURSIVE" in inner or "MODE" in inner:
+                found.append((
+                    "FLATTEN(RECURSIVE/MODE =>)",
+                    "the engine session (IcebreakerEngine.execute) — "
+                    "its FLATTEN deep-walk session UDF expands nested "
+                    "containers",
+                ))
     return sorted(set(found))
 
 

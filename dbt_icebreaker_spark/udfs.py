@@ -316,6 +316,57 @@ def _topk_estimate_one(state, k):
         separators=(",", ":"))
 
 
+def _flatten_deep_one(text, recursive: bool, mode: str):
+    """FLATTEN with RECURSIVE/MODE semantics over one JSON-text value
+    (Snowflake FLATTEN args the plain lateral-view rendering cannot
+    express). Pre-order walk: each element row precedes its children;
+    object keys in the engine's canonical sorted order; paths use
+    Snowflake's `a.b[0]` spelling. MODE gates which CONTAINER kinds
+    expand — an object met under mode ARRAY is a leaf. Values keep the
+    textual-VARIANT contract (scalars bare, containers compact
+    canonical JSON). NULL/invalid input → NULL (OUTER decides whether
+    a row survives)."""
+    import json as _json
+
+    if text is None or (isinstance(text, float) and text != text):
+        return None
+    try:
+        v = _json.loads(text)
+    except Exception:
+        return None
+
+    def jtext(x):
+        if x is None:
+            return None
+        if isinstance(x, str):
+            return x
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, (dict, list)):
+            return _json.dumps(x, separators=(",", ":"),
+                               sort_keys=True)
+        return _json.dumps(x)
+
+    out: list = []
+
+    def walk(c, prefix):
+        if isinstance(c, dict) and mode in ("OBJECT", "BOTH"):
+            for k in sorted(c):
+                p = f"{prefix}.{k}" if prefix else k
+                out.append((k, None, p, jtext(c[k])))
+                if recursive and isinstance(c[k], (dict, list)):
+                    walk(c[k], p)
+        elif isinstance(c, list) and mode in ("ARRAY", "BOTH"):
+            for i, el in enumerate(c):
+                p = f"{prefix}[{i}]"
+                out.append((None, i, p, jtext(el)))
+                if recursive and isinstance(el, (dict, list)):
+                    walk(el, p)
+
+    walk(v, "")
+    return out
+
+
 def register_scalar_udfs(spark) -> None:
     """Idempotently register the COMPRESS-family UDFs on ``spark``.
     The marker is a session-attached attribute — an id()-keyed cache
@@ -373,6 +424,29 @@ def register_scalar_udfs(spark) -> None:
             dtype=object,
         )
 
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField as _SF,
+        StructType as _ST,
+    )
+
+    _FLAT_ROW = _ST([
+        _SF("key", StringType()),
+        _SF("index", IntegerType()),
+        _SF("path", StringType()),
+        _SF("value", StringType()),
+    ])
+
+    @pandas_udf(ArrayType(_FLAT_ROW))
+    def flatten_deep_x(
+        text: pd.Series, recursive: pd.Series, mode: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [_flatten_deep_one(t, bool(r), m)
+             for t, r, m in zip(text, recursive, mode)],
+            dtype=object,
+        )
+
+    spark.udf.register("flatten_deep_x", flatten_deep_x)
     spark.udf.register("approx_top_k_accumulate",
                        approx_top_k_accumulate)
     spark.udf.register("approx_top_k_combine", approx_top_k_combine)

@@ -3215,3 +3215,84 @@ class TestStatementTailSweepR10:
 
         with pytest.raises(TranspileError, match="Snowflake-only"):
             engine.execute(stmt)
+
+
+class TestFlattenRecursiveModeR10:
+    """Round-10: FLATTEN's RECURSIVE and MODE arguments — previously
+    silently DROPPED (nested elements never appeared). The deep-walk
+    session UDF emits pre-order rows with Snowflake `a.b[0]` paths;
+    MODE gates which container kinds expand."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r10_flat")
+
+    def test_recursive_array(self, engine):
+        r = engine.execute(
+            "SELECT f.path, f.index, f.value FROM TABLE(FLATTEN("
+            "input => PARSE_JSON('[1,[2,3]]'), recursive => true)) f"
+        ).collect()
+        assert [(x.path, x["index"], x.value) for x in r] == [
+            ("[0]", 0, "1"), ("[1]", 1, "[2,3]"),
+            ("[1][0]", 0, "2"), ("[1][1]", 1, "3")]
+
+    def test_recursive_object_sorted_keys(self, engine):
+        r = engine.execute(
+            "SELECT f.path, f.key, f.value FROM TABLE(FLATTEN(input "
+            "=> PARSE_JSON('{\"b\": {\"c\": 5}, \"a\": 1}'), "
+            "recursive => true)) f").collect()
+        assert [(x.path, x.key, x.value) for x in r] == [
+            ("a", "a", "1"), ("b", "b", '{"c":5}'),
+            ("b.c", "c", "5")]
+
+    def test_mode_array_objects_are_leaves(self, engine):
+        r = engine.execute(
+            "SELECT f.path, f.value FROM TABLE(FLATTEN(input => "
+            "PARSE_JSON('[1, {\"x\": 2}]'), recursive => true, "
+            "mode => 'ARRAY')) f").collect()
+        assert [(x.path, x.value) for x in r] == [
+            ("[0]", "1"), ("[1]", '{"x":2}')]
+
+    def test_mode_object_on_array_is_empty(self, engine):
+        assert engine.execute(
+            "SELECT * FROM TABLE(FLATTEN(input => "
+            "PARSE_JSON('[1,2]'), mode => 'OBJECT')) f").count() == 0
+
+    def test_outer_null_input(self, engine):
+        r = engine.execute(
+            "SELECT f.value FROM TABLE(FLATTEN(input => "
+            "CAST(NULL AS STRING), recursive => true, "
+            "outer => true)) f").collect()
+        assert [x.value for x in r] == [None]
+
+    def test_string_column_input_unwraps_tojson(self, engine):
+        # a STRING column is statically unknown: the rewrite guesses
+        # to_json (native containers) and the analyzer retry unwraps
+        # it when the input is proven already-JSON text
+        engine.execute(
+            "CREATE OR REPLACE TEMP VIEW fr_src AS "
+            "SELECT '[1,[2]]' AS j")
+        r = engine.execute(
+            "SELECT f.path, f.value FROM fr_src, "
+            "LATERAL FLATTEN(input => j, recursive => true) f"
+        ).collect()
+        assert ("[1][0]", "2") in [(x.path, x.value) for x in r]
+
+    def test_bad_mode_refuses(self, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="MODE"):
+            engine.execute(
+                "SELECT * FROM TABLE(FLATTEN(input => "
+                "PARSE_JSON('[1]'), mode => 'WEIRD')) f")
+
+    def test_bare_transpiler_refuses_with_pointer(self):
+        from dbt_icebreaker_spark.transpiler import Transpiler
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="engine session"):
+            Transpiler().to_spark(
+                "SELECT * FROM TABLE(FLATTEN(input => x, "
+                "recursive => true)) f")
