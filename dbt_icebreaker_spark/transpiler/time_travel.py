@@ -188,6 +188,18 @@ def resolve_time_travel(spark, sql: str, transpiler, engine=None) -> str:
 
     if not re.search(r"\b(AT|BEFORE)\s*\(", sql, re.IGNORECASE):
         return sql
+    if re.search(r"\bCHANGES\s*\(\s*INFORMATION\b", sql,
+                 re.IGNORECASE):
+        # `FROM t CHANGES (INFORMATION => …) AT (…)` is stream change
+        # tracking, not time travel — without this check the AT()
+        # reached the resolver and blamed a missing table name (r10)
+        raise TranspileError(
+            "CHANGES (INFORMATION => …) reads a table's change-"
+            "tracking delta, which plain parquet tables do not "
+            "record. Use Structured Streaming "
+            "(streaming.stream_incremental_append) for change "
+            "capture."
+        )
     toks = tokenize(sql)
     if re.search(r"\bCLONE\b", sql, re.IGNORECASE):
         rewritten = _rewrite_clone_at(toks, engine)

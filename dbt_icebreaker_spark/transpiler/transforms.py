@@ -5869,8 +5869,19 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     if any(t.kind == WORD and t.upper == "NOCYCLE" for t in tokens):
         _cb_error("NOCYCLE belongs directly after CONNECT BY")
     if i_start < 0:
-        _cb_error("no START WITH clause (the recursive CTE needs an "
-                  "anchor; CONNECT BY LEVEL row generators have none)")
+        # Snowflake makes START WITH optional: EVERY row is a root
+        # (anchor condition TRUE). Only the PRIOR-less `CONNECT BY
+        # LEVEL <= n` row-generator idiom keeps the refusal — it has
+        # no hierarchy to walk (r10 probe: the old blanket refusal
+        # rejected valid all-roots hierarchies).
+        if not any(t.kind == WORD and t.upper == "PRIOR"
+                   for t in tokens[i_connect:]):
+            _cb_error(
+                "no START WITH clause and no PRIOR in the condition "
+                "— the CONNECT BY LEVEL row-generator idiom has no "
+                "hierarchy to walk; generate rows with "
+                "TABLE(GENERATOR(ROWCOUNT => n)) instead"
+            )
 
     # clause boundaries
     n = len(tokens)
@@ -5899,7 +5910,8 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                           f"apply {u} downstream")
     if i_select != next_code(tokens, 0) or i_from < 0:
         _cb_error("only a plain SELECT … FROM … statement is rewritten")
-    if i_where >= 0 and i_where > min(i_start, i_connect):
+    first_cb = min(x for x in (i_start, i_connect) if x >= 0)
+    if i_where >= 0 and i_where > first_cb:
         _cb_error("WHERE must precede START WITH / CONNECT BY")
 
     bounds = sorted(x for x in (i_start, i_connect, i_order) if x >= 0) + [n]
@@ -5913,13 +5925,17 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         return [c for c in seg if c.kind != COMMENT]
 
     sel = _clean(tokens[i_select + 1:i_from])
-    src_end = i_where if i_where >= 0 else min(i_start, i_connect)
+    src_end = i_where if i_where >= 0 else first_cb
     src = [c for c in tokens[i_from + 1:src_end] if c.kind not in (WS, COMMENT)]
     where_seg = (
-        _clean(tokens[i_where + 1:min(i_start, i_connect)])
+        _clean(tokens[i_where + 1:first_cb])
         if i_where >= 0 else None
     )
-    start_cond = _clean(tokens[next_code(tokens, next_code(tokens, i_start + 1) + 1):seg_end(i_start)])
+    start_cond = (
+        _clean(tokens[next_code(tokens, next_code(
+            tokens, i_start + 1) + 1):seg_end(i_start)])
+        if i_start >= 0 else tokenize("TRUE")
+    )
     connect_cond = _clean(tokens[next_code(tokens, next_code(tokens, i_connect + 1) + 1):seg_end(i_connect)])
     tail = _clean(tokens[i_order:]) if i_order >= 0 else []
 
@@ -6474,6 +6490,25 @@ def detect_unsupported_clause(sql: str) -> tuple[str, str] | None:
                 continue
             if second is None or (i + 1 < len(uppers) and uppers[i + 1] == second):
                 return (name, sugg)
+    # `FROM t CHANGES (INFORMATION => …)` — exact token shape so a
+    # column list `changes, information` never false-positives (r10
+    # probe: this died with the time-travel resolver's misleading
+    # follow-a-table-name error)
+    for i, t in enumerate(toks):
+        if t.kind == WORD and t.upper == "CHANGES":
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_op("("):
+                k = next_code(toks, j + 1)
+                if k < len(toks) and toks[k].kind == WORD \
+                        and toks[k].upper == "INFORMATION":
+                    return (
+                        "CHANGES (INFORMATION => …)",
+                        "Structured Streaming (streaming."
+                        "stream_incremental_append) for change "
+                        "capture — Spark parquet tables record no "
+                        "change tracking, so there is no delta to "
+                        "read",
+                    )
     return None
 
 

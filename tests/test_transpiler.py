@@ -3296,3 +3296,40 @@ class TestFlattenRecursiveModeR10:
             Transpiler().to_spark(
                 "SELECT * FROM TABLE(FLATTEN(input => x, "
                 "recursive => true)) f")
+
+
+class TestConnectByOptionalStartWithR10:
+    """Round-10: Snowflake makes START WITH optional — every row is a
+    root; the PRIOR-less LEVEL row-generator idiom keeps its refusal."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "50")
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW cb_opt AS SELECT * FROM "
+            "VALUES (1, NULL), (2, 1), (3, 2) AS t(node, parent)")
+        return IcebreakerEngine(spark, schema="r10_cbopt")
+
+    def test_all_rows_are_roots(self, engine):
+        r = engine.execute(
+            "SELECT node, LEVEL FROM cb_opt "
+            "CONNECT BY PRIOR node = parent "
+            "ORDER BY LEVEL, node").collect()
+        assert [tuple(x) for x in r] == [
+            (1, 1), (2, 1), (3, 1), (2, 2), (3, 2), (3, 3)]
+
+    def test_level_generator_still_refuses(self, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="GENERATOR"):
+            engine.execute("SELECT LEVEL FROM cb_opt CONNECT BY LEVEL <= 3")
+
+    def test_changes_clause_refuses_actionably(self, engine):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match="change"):
+            engine.execute(
+                "SELECT * FROM cb_opt CHANGES (INFORMATION => "
+                "DEFAULT) AT (OFFSET => -60)")
