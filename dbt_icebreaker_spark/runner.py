@@ -1431,8 +1431,11 @@ class IcebreakerEngine:
             # SHOW GRANTS: the grant surface is a documented no-op, so
             # the listing is shaped-but-empty (not an error — scripts
             # inspect it after their GRANT post-hooks)
-            if (hw[:2] == ["SHOW", "GRANTS"]
-                    or hw[:3] == ["SHOW", "FUTURE", "GRANTS"]):
+            # TERSE is a column-subset hint — same listings here
+            shw = (["SHOW"] + hw[2:]
+                   if hw[:2] == ["SHOW", "TERSE"] else hw)
+            if (shw[:2] == ["SHOW", "GRANTS"]
+                    or shw[:3] == ["SHOW", "FUTURE", "GRANTS"]):
                 from pyspark.sql.types import (
                     StringType, StructField, StructType,
                 )
@@ -1461,7 +1464,7 @@ class IcebreakerEngine:
                 "TRANSACTIONS": ("id", "session", "name", "state"),
                 "LOCKS": ("resource", "type", "transaction", "status"),
             }
-            if hw[0] == "SHOW" and len(hw) > 1 and hw[1] in _SHOW_EMPTY:
+            if shw[0] == "SHOW" and len(shw) > 1 and shw[1] in _SHOW_EMPTY:
                 from pyspark.sql.types import (
                     StringType, StructField, StructType,
                 )
@@ -1469,10 +1472,10 @@ class IcebreakerEngine:
                 result = self.spark.createDataFrame(
                     [],
                     StructType([StructField(c, StringType())
-                                for c in _SHOW_EMPTY[hw[1]]]),
+                                for c in _SHOW_EMPTY[shw[1]]]),
                 )
                 continue
-            if hw[:2] == ["SHOW", "VARIABLES"]:
+            if shw[:2] == ["SHOW", "VARIABLES"]:
                 from pyspark.sql.types import (
                     StringType, StructField, StructType,
                 )
@@ -1516,11 +1519,11 @@ class IcebreakerEngine:
                              "ROW_NUMBER() — Spark has no sequence "
                              "objects",
             }
-            if hw[0] == "SHOW" and len(hw) > 1 and hw[1] in _SHOW_REFUSE:
+            if shw[0] == "SHOW" and len(shw) > 1 and shw[1] in _SHOW_REFUSE:
                 raise TranspileError(
-                    f"SHOW {hw[1]}: Spark has no "
-                    f"{hw[1].lower().rstrip('s')} objects. Use "
-                    f"{_SHOW_REFUSE[hw[1]]}."
+                    f"SHOW {shw[1]}: Spark has no "
+                    f"{shw[1].lower().rstrip('s')} objects. Use "
+                    f"{_SHOW_REFUSE[shw[1]]}."
                 )
             # DESCRIBE over the same families: the bare fallthrough
             # parsed `DESC STAGE s` as DESCRIBE TABLE and blamed a

@@ -3333,3 +3333,23 @@ class TestConnectByOptionalStartWithR10:
             engine.execute(
                 "SELECT * FROM cb_opt CHANGES (INFORMATION => "
                 "DEFAULT) AT (OFFSET => -60)")
+
+    def test_show_terse_variants(self, engine):
+        # TERSE is a column-subset hint — same listings
+        assert engine.execute("SHOW TERSE ROLES").count() == 0
+        assert engine.execute("SHOW TERSE WAREHOUSES").count() == 0
+
+    def test_dynamic_define_composes_with_final(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE TEMP VIEW cb_mix AS SELECT * FROM "
+            "VALUES (1,1,10.0),(1,2,11.0),(1,3,9.0),(1,4,12.0) "
+            "AS t(p, seq, v)")
+        r = engine.execute(
+            """SELECT seq, rc, fc FROM cb_mix MATCH_RECOGNIZE (
+            PARTITION BY p ORDER BY seq
+            MEASURES RUNNING COUNT(*) AS rc, FINAL COUNT(*) AS fc
+            ALL ROWS PER MATCH PATTERN (A+)
+            DEFINE A AS v >= FIRST(v) AND COUNT(*) <= 2)
+            ORDER BY seq""").collect()
+        assert [(x.seq, x.rc, x.fc) for x in r] == [
+            (1, 1, 2), (2, 2, 2), (3, 1, 2), (4, 2, 2)]
