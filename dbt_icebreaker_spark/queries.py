@@ -6935,6 +6935,65 @@ XOP_ORACLES["x77_mr_empty_matches"] = """
 """
 
 
+def _s_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: streaming CEP's batch twin (`streaming/cep.py` —
+    the MATCH_RECOGNIZE automaton inside applyInPandasWithState with
+    event-time maturity; stream-vs-batch equivalence is CI-tested, so
+    hash-locking the twin locks the shared matcher). Pattern
+    ``A UP+`` with UP = ascending vs previous: each match is a
+    maximal ascending island plus its head row, so the oracle is a
+    pure islands restatement — start/end timestamps, row count, and
+    first/last values all derived per group."""
+    from .streaming.cep import pattern_detect_batch
+
+    register_dir(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, ts, value FROM events WHERE user_id < 50"
+    )
+    out = pattern_detect_batch(
+        ev, "A UP+",
+        {"UP": lambda v, p: p is not None and v is not None
+         and v > p},
+    )
+    return out.selectExpr(
+        "user_id", "start_ts", "end_ts",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "first_value", "last_value",
+    )
+
+
+XOP_ORACLES["s10_pattern_detect"] = """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END
+               AS up
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, SUM(1 - up) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    ),
+    w2 AS (
+      SELECT user_id, grp, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp
+               ORDER BY ts) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, grp) AS cnt
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = 1 THEN value END) AS first_value,
+           MAX(CASE WHEN rn = cnt THEN value END) AS last_value
+    FROM w2
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+"""
+
+
 def _x_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10: FLATTEN(recursive => true) — previously the argument
     was silently DROPPED (nested elements never appeared: a silent
@@ -7085,6 +7144,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x78_mr_dynamic_define": _x_mr_dynamic_define,
     "x79_flatten_hierarchy": _x_flatten_hierarchy,
     "x80_flatten_recursive": _x_flatten_recursive,
+    "s10_pattern_detect": _s_pattern_detect,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

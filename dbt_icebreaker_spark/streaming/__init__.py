@@ -4,4 +4,12 @@ from .pipeline import (
     windowed_counts,
 )
 
-__all__ = ["stream_incremental_append", "windowed_counts", "sessionize"]
+from .cep import pattern_detect_batch, stream_pattern_detect
+
+__all__ = [
+    "stream_incremental_append",
+    "windowed_counts",
+    "sessionize",
+    "stream_pattern_detect",
+    "pattern_detect_batch",
+]

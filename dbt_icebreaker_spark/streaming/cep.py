@@ -1,0 +1,331 @@
+"""Streaming row-pattern detection (CEP) — the MATCH_RECOGNIZE
+automaton over unbounded streams, the Flink-CEP shape Spark lacks.
+
+Reuses the batch operator's compiled pattern VM
+(``xops.match_recognize``: parse_pattern_full → per-alternative
+programs → ``_match_at``) inside ``applyInPandasWithState``: per key
+the state buffers pending rows in event-time order, and on every
+micro-batch the automaton runs over the MATURE prefix (rows older than
+the query watermark — no row can still arrive before them, so match
+decisions there are final). Matches ending strictly before the mature
+boundary emit immediately; a match that would consume the entire
+mature prefix stays buffered (a future row might extend a greedy
+quantifier). Rows that cannot START any match (no first-position
+symbol's predicate holds) drop; everything else waits for more data or
+the event-time timeout, which flushes the remaining buffer through one
+final automaton pass.
+
+DEFINE conditions are Python predicates ``(value, prev_value) ->
+bool`` — prev is the key's previous row in event-time order (None at
+the head). The buffer keeps the last dropped/consumed value so the
+head of a trimmed buffer still sees its true predecessor. Late rows
+older than the watermark are dropped (the watermark delay IS the
+lateness bound, like every watermarked operator here); a bounded
+buffer cap fails actionably instead of growing state without limit.
+
+Scale shape: state per key = the undecided tail only (consumed and
+can't-start rows drop every batch); one automaton pass per key per
+micro-batch over that tail. The same contract as Flink CEP with
+event-time semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..xops.match_recognize import (
+    _compile_program,
+    _match_at,
+    _tree_from_terms,
+    parse_pattern_full,
+)
+
+MATCH_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("start_ts", TimestampType()),
+    StructField("end_ts", TimestampType()),
+    StructField("n_rows", IntegerType()),
+    StructField("first_value", DoubleType()),
+    StructField("last_value", DoubleType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("ts_us", ArrayType(LongType())),
+    StructField("vals", ArrayType(DoubleType())),
+    StructField("prev_val", DoubleType()),
+    StructField("have_prev", BooleanType()),
+])
+
+
+def _compile_pattern(pattern: str):
+    terms, tree = parse_pattern_full(pattern)
+    nodes = tree if tree is not None else _tree_from_terms(terms)
+    progs = [_compile_program(n) for n in nodes]
+    return terms, progs, _first_term_idxs(nodes, terms)
+
+
+def _first_term_idxs(alts_tree, terms) -> set:
+    """Term indices that can consume a match's FIRST row — used to
+    drop rows that can never start a match. Walk each alternative's
+    node sequence: every node contributes its first-consumable terms;
+    walking continues past nodes whose minimum is zero."""
+    out: set = set()
+
+    def node_first(node, acc) -> bool:
+        # returns True when the node can match EMPTY (keep walking)
+        kind = node[0]
+        if kind == "sym":
+            _, ti, lo, _hi = node[:4]
+            acc.add(ti)
+            return lo == 0
+        if kind == "grp":
+            _, inner, lo = node[0], node[1], node[2]
+            empty_inner = seq_first(inner, acc)
+            return lo == 0 or empty_inner
+        if kind == "alt":
+            anyempty = False
+            for branch in node[1]:
+                if seq_first(branch, acc):
+                    anyempty = True
+            return anyempty
+        return True  # anchors etc: zero-width
+
+    def seq_first(nodes, acc) -> bool:
+        for nd in nodes:
+            if not node_first(nd, acc):
+                return False
+        return True
+
+    for alt_nodes in alts_tree:
+        seq_first(alt_nodes, out)
+    return out
+
+
+def _run_matches(flags, terms, progs, n, upto, flush=False):
+    """Greedy SKIP PAST LAST ROW scan over positions [0, upto).
+    Returns (matches, consumed_until, undecided) where ``matches`` are
+    (start, end) pairs final w.r.t. the mature boundary ``upto`` — a
+    match ending AT the boundary is undecided (a future row might
+    still extend a greedy quantifier, even when every buffered row is
+    mature) and stops the scan, except under ``flush`` (timeout/stream
+    end: nothing more is coming, the boundary is final)."""
+    matches = []
+    pos = 0
+    while pos < upto:
+        hit = _match_at(flags, terms, pos, upto, progs)
+        if hit is None or hit[0] == pos:  # no/empty match at pos
+            if flush:
+                pos += 1
+                continue
+            # a failure may be CURED by rows that haven't matured
+            # (some search path may have run out of rows at the
+            # boundary) — hold from here; the caller's can't-start
+            # head-drop removes rows no future data can help
+            return matches, pos, True
+        end, _assign = hit
+        if end >= upto and not flush:
+            # consumed the whole decided region — undecided
+            return matches, pos, True
+        matches.append((pos, end))
+        pos = end
+    return matches, pos, False
+
+
+def _cep_fn(pattern: str, defines: dict, max_buffer: int):
+    terms_spec, progs, first_idxs = _compile_pattern(pattern)
+    symbols = [t.symbol for t in terms_spec]
+
+    def _flags(vals, prev0, have_prev0):
+        cols = []
+        for k, sym in enumerate(symbols):
+            pred = defines.get(sym)
+            if pred is None:
+                cols.append([True] * len(vals))
+                continue
+            col = []
+            for i, v in enumerate(vals):
+                prev = (vals[i - 1] if i > 0
+                        else (prev0 if have_prev0 else None))
+                try:
+                    col.append(bool(pred(v, prev)))
+                except Exception:
+                    col.append(False)
+            cols.append(col)
+        return cols
+
+    def _emit(key, ts_us, vals, pairs):
+        rows = []
+        for s, e in pairs:
+            rows.append([
+                key,
+                pd.Timestamp(ts_us[s], unit="us"),
+                pd.Timestamp(ts_us[e - 1], unit="us"),
+                e - s,
+                float(vals[s]),
+                float(vals[e - 1]),
+            ])
+        return pd.DataFrame(
+            rows, columns=[f.name for f in MATCH_SCHEMA.fields])
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                ts_us, vals, prev0, have_prev0 = state.get
+                ts_us, vals = list(ts_us), list(vals)
+                state.remove()
+                flags = _flags(vals, prev0, have_prev0)
+                n = len(vals)
+                pairs, _, _ = _run_matches(
+                    flags, terms_spec, progs, n, n, flush=True)
+                if pairs:
+                    yield _emit(user_id, ts_us, vals, pairs)
+            return
+
+        new = pd.concat(list(batches))
+        if state.exists:
+            ts_us, vals, prev0, have_prev0 = state.get
+            ts_us, vals = list(ts_us), list(vals)
+        else:
+            ts_us, vals, prev0, have_prev0 = [], [], None, False
+        wm_ms = state.getCurrentWatermarkMs()
+        for ts, v in zip(new["ts"], new["value"]):
+            us = int(pd.Timestamp(ts).value // 1_000)
+            if wm_ms and us < wm_ms * 1000 and (
+                    not ts_us or us < ts_us[0]):
+                continue  # late beyond the watermark: dropped
+            ts_us.append(us)
+            vals.append(None if pd.isna(v) else float(v))
+        order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+        ts_us = [ts_us[i] for i in order]
+        vals = [vals[i] for i in order]
+        if len(ts_us) > max_buffer:
+            raise ValueError(
+                f"stream_pattern_detect: key {user_id} buffered "
+                f"{len(ts_us)} undecided rows (cap {max_buffer}) — "
+                "the pattern never completes on this key. Tighten "
+                "the DEFINE predicates, shorten the watermark delay "
+                "so the timeout flushes sooner, or raise max_buffer."
+            )
+        n = len(ts_us)
+        mature = sum(1 for u in ts_us if u < wm_ms * 1000) \
+            if wm_ms else 0
+        flags = _flags(vals, prev0, have_prev0)
+        pairs, consumed, undecided = _run_matches(
+            flags, terms_spec, progs, n, mature)
+        out = _emit(user_id, ts_us, vals, pairs) if pairs else None
+        if consumed > 0:
+            prev0 = vals[consumed - 1]
+            have_prev0 = True
+            ts_us, vals = ts_us[consumed:], vals[consumed:]
+        if ts_us and mature > consumed:
+            # drop mature can't-start rows at the head: no
+            # first-position predicate holds, so they can never open
+            # a match (keeps state bounded for non-matching keys)
+            flags2 = _flags(vals, prev0, have_prev0)
+            drop = 0
+            limit = mature - consumed
+            while drop < limit and not any(
+                    flags2[k][drop] for k in first_idxs):
+                drop += 1
+            if drop:
+                prev0 = vals[drop - 1]
+                have_prev0 = True
+                ts_us, vals = ts_us[drop:], vals[drop:]
+        if ts_us:
+            state.update((ts_us, vals, prev0, have_prev0))
+            # flush once the watermark passes the buffer tail (no row
+            # can join the tail match any more); the timestamp must
+            # exceed the CURRENT watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+                max(ts_us[-1] // 1000, wm_ms or 0) + 1)
+        else:
+            if state.exists:
+                state.remove()
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def stream_pattern_detect(
+    events: DataFrame,
+    pattern: str,
+    defines: dict[str, Callable],
+    max_buffer: int = 100_000,
+) -> DataFrame:
+    """CEP over a watermarked stream of (user_id, ts, value): emit one
+    row per completed pattern match (start/end ts, row count, first/
+    last value). ``events`` must carry ``withWatermark("ts", …)`` —
+    the watermark delay doubles as the lateness bound and drives the
+    event-time timeout that flushes tail matches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cep_fn(pattern, defines, max_buffer),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def pattern_detect_batch(
+    events: DataFrame,
+    pattern: str,
+    defines: dict[str, Callable],
+) -> DataFrame:
+    """Batch rendering with identical semantics (the stream-vs-batch
+    equivalence twin): per key, sort by ts, evaluate the predicates,
+    run the same automaton with SKIP PAST LAST ROW over the full
+    history."""
+    terms_spec, progs, _ = _compile_pattern(pattern)
+    symbols = [t.symbol for t in terms_spec]
+
+    def run(key, pdf):
+        (user_id,) = key
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        vals = [None if pd.isna(v) else float(v)
+                for v in pdf["value"]]
+        flags = []
+        for sym in symbols:
+            pred = defines.get(sym)
+            if pred is None:
+                flags.append([True] * len(vals))
+                continue
+            col = []
+            for i, v in enumerate(vals):
+                prev = vals[i - 1] if i > 0 else None
+                try:
+                    col.append(bool(pred(v, prev)))
+                except Exception:
+                    col.append(False)
+            flags.append(col)
+        n = len(vals)
+        pairs, _, _ = _run_matches(
+            flags, terms_spec, progs, n, n, flush=True)
+        rows = []
+        for s, e in pairs:
+            rows.append([
+                user_id, pdf["ts"].iloc[s], pdf["ts"].iloc[e - 1],
+                e - s, float(vals[s]), float(vals[e - 1]),
+            ])
+        return pd.DataFrame(
+            rows, columns=[f.name for f in MATCH_SCHEMA.fields])
+
+    return events.groupBy("user_id").applyInPandas(
+        run, schema=MATCH_SCHEMA)

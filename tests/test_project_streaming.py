@@ -671,3 +671,129 @@ class TestR7cStreamingEdges:
             [], "user_id long, ts timestamp, value double")
         assert sessionize_batch(df, 1800).count() == 0
         assert dedup_keep_first(df, ["user_id"], "ts").count() == 0
+
+
+class TestStreamPatternDetectR10:
+    """Round-10: streaming CEP — the batch MATCH_RECOGNIZE automaton
+    inside applyInPandasWithState with event-time maturity semantics.
+    Predicates: UP = strictly ascending vs the previous row."""
+
+    DEFINES = {"UP": lambda v, prev: prev is not None and v is not None
+               and v > prev}
+
+    def test_batch_twin_runs(self, spark):
+        import pandas as pd
+
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+        )
+
+        base = pd.Timestamp("2026-01-01")
+        rows = [(1, (base + pd.Timedelta(minutes=i)).to_pydatetime(), v)
+                for i, v in enumerate([10.0, 11.0, 12.0, 5.0, 6.0])]
+        rows += [(2, (base + pd.Timedelta(minutes=i)).to_pydatetime(), v)
+                 for i, v in enumerate([3.0, 2.0, 1.0])]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double")
+        out = pattern_detect_batch(df, "A UP+", self.DEFINES).collect()
+        got = sorted((r.user_id, r.n_rows, r.first_value, r.last_value)
+                     for r in out)
+        # user 1: run 10->12 (3 rows) then 5->6 (2 rows); user 2: none
+        assert got == [(1, 2, 5.0, 6.0), (1, 3, 10.0, 12.0)]
+
+    def test_first_term_idxs(self):
+        from dbt_icebreaker_spark.streaming.cep import _compile_pattern
+
+        terms, _, first = _compile_pattern("A? B+ | C D")
+        # A (optional) and B can both start alt 1; C starts alt 2
+        syms = {terms[i].symbol for i in first}
+        assert syms == {"A", "B", "C"}
+
+    def test_streaming_subset_of_batch(self, spark, tmp_path):
+        import pandas as pd
+
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+            stream_pattern_detect,
+        )
+
+        base = pd.Timestamp("2026-01-01")
+        rows = []
+        for u in range(4):
+            vals = [10.0, 11.0, 12.0, 5.0, 6.0, 7.0, 1.0, 2.0]
+            rows += [(u, (base + pd.Timedelta(minutes=i)
+                          ).to_pydatetime(), v)
+                     for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double")
+        src = str(tmp_path / "cep_src")
+        # three files -> three micro-batches, so the watermark
+        # advances past the first run's decision point mid-stream
+        df.filter("ts < '2026-01-01 00:03:00'").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        df.filter("ts >= '2026-01-01 00:03:00' AND "
+                  "ts < '2026-01-01 00:06:00'").coalesce(1) \
+            .write.mode("append").parquet(src)
+        df.filter("ts >= '2026-01-01 00:06:00'").coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema).option(
+                "maxFilesPerTrigger", 1).parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+        out_stream = stream_pattern_detect(
+            stream, "A UP+", self.DEFINES)
+        q = (out_stream.writeStream.outputMode("append")
+             .format("memory").queryName("cep_out")
+             .option("checkpointLocation", str(tmp_path / "cep_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r.user_id, r.n_rows, r.first_value, r.last_value)
+               for r in spark.sql("SELECT * FROM cep_out").collect()}
+        batch = {(r.user_id, r.n_rows, r.first_value, r.last_value)
+                 for r in pattern_detect_batch(
+                     df, "A UP+", self.DEFINES).collect()}
+        # every streamed match is a batch match; the first run (10-12,
+        # fully mature once the second file's watermark passes) emits
+        assert got <= batch
+        assert any(n == 3 for (_u, n, _f, _l) in got), got
+
+    def test_timeout_flushes_tail_matches(self, spark, tmp_path):
+        import pandas as pd
+
+        from dbt_icebreaker_spark.streaming.cep import (
+            stream_pattern_detect,
+        )
+
+        base = pd.Timestamp("2026-01-01")
+        rows = [(9, (base + pd.Timedelta(minutes=i)).to_pydatetime(), v)
+                for i, v in enumerate([1.0, 2.0, 3.0])]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double")
+        src = str(tmp_path / "cep_flush_src")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        ck = str(tmp_path / "cep_flush_ck")
+        sink = str(tmp_path / "cep_flush_out")
+
+        def run_once():
+            # file sink (memory cannot recover from a checkpoint)
+            stream = (spark.readStream.schema(df.schema)
+                      .parquet(src).withWatermark("ts", "1 minute"))
+            q = (stream_pattern_detect(stream, "A UP+", self.DEFINES)
+                 .writeStream.outputMode("append").format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        run_once()
+        assert spark.read.parquet(sink).count() == 0
+        # a much later row on another key advances the watermark past
+        # the buffered tail -> the event-time timeout flushes it
+        spark.createDataFrame(
+            [(99, (base + pd.Timedelta(hours=2)).to_pydatetime(), 0.0)],
+            df.schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        out = [(r.user_id, r.n_rows) for r in
+               spark.read.parquet(sink).collect()]
+        assert (9, 3) in out
