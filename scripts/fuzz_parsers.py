@@ -58,6 +58,22 @@ SEEDS = [
     "COPY INTO t FROM '/tmp/x' FILE_FORMAT = (TYPE = CSV)",
     "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts "
     "MEASURES COUNT(*) AS n PATTERN (A B+) DEFINE B AS v > PREV(v))",
+    # round-10 surface: dynamic DEFINE, FINAL/empty-match modifiers,
+    # FLATTEN recursive/mode, SHOW dialect, non-equi MERGE, dynamic
+    # VARIANT subscripts
+    "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts "
+    "MEASURES FINAL COUNT(*) AS n, RUNNING LAST(v) AS l "
+    "ALL ROWS PER MATCH OMIT EMPTY MATCHES PATTERN (A*) "
+    "DEFINE A AS v > FIRST(v) * 1.5 AND COUNT(*) <= 4)",
+    "SELECT f.path FROM TABLE(FLATTEN(input => j, recursive => true, "
+    "mode => 'ARRAY', outer => true)) f",
+    "SHOW TERSE TABLES IN SCHEMA db . sch LIKE 'x%'",
+    "SHOW FUTURE GRANTS IN SCHEMA s",
+    "MERGE INTO t USING s ON t.v BETWEEN s.lo AND s.hi "
+    "WHEN MATCHED THEN UPDATE SET b = s.label",
+    "SELECT PARSE_JSON(j)[k], arr[i + 1] FROM t",
+    "SELECT node, LEVEL FROM h CONNECT BY NOCYCLE PRIOR node = parent "
+    "ORDER SIBLINGS BY ord",
 ]
 TOKENS = [
     "SELECT", "FROM", "(", ")", ",", "'a'", "1", "OVER", "QUALIFY",
@@ -68,6 +84,9 @@ TOKENS = [
     "MERGE", "USING", "MATCHED", "NOT", "UPDATE", "SET", "DELETE",
     "WHERE", "CREATE", "OR", "REPLACE", "CLUSTER", "SWAP", "WITH",
     "ALTER", "DROP", "COLUMN", "IF", "EXISTS", "BEGIN", "LET", ":=",
+    "RECURSIVE", "MODE", "FINAL", "RUNNING", "OMIT", "EMPTY",
+    "MATCHES", "SHOW", "TERSE", "GRANTS", "ROLES", "COUNT", "FIRST",
+    "LAST", "BETWEEN", "CHANGES", "INFORMATION", "SIBLINGS", "PRIOR",
     "DECLARE", "RETURN",
 ]
 
