@@ -481,14 +481,20 @@ def _compile_program(nodes) -> tuple[list, int]:
     return prog, slots[0]
 
 
-def _vm_match(flags, prog, nslots, start, n, dyn=None):
+def _vm_match(flags, prog, nslots, start, n, dyn=None, touched=None):
     """Iterative backtracking over a compiled program: an explicit
     choice stack (no Python recursion — depth 0 regardless of match
     length), a consumed-row trail materialized only on success, and a
     visited-state set. A revisited (pc, pos, regs) state on a search
     that has not yet succeeded can only repeat a failing subtree, so
     it fails fast — overlapping in-group alternation stays polynomial
-    instead of exponential."""
+    instead of exponential.
+
+    ``touched`` (optional one-element list) is set True when any
+    search path fails a ``char`` only because it ran out of rows at
+    ``n`` — streaming callers use it to tell a final failure (every
+    path died on a mature row whose flag can never change) from an
+    undecided one (some path could be cured by rows past ``n``)."""
     stack: list = []   # (pc, pos, trail_len, regs)
     trail: list = []   # flat term index per consumed row
     regs = (-1,) * nslots
@@ -512,6 +518,8 @@ def _vm_match(flags, prog, nslots, start, n, dyn=None):
                     pos += 1
                     pc += 1
                     continue
+                if pos >= n and touched is not None:
+                    touched[0] = True
             elif kind == "bol":
                 # ^ — zero-width partition-start guard
                 if pos == 0:
@@ -548,21 +556,22 @@ def _vm_match(flags, prog, nslots, start, n, dyn=None):
 
 
 def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
-              progs: Optional[list] = None, dyn=None):
+              progs: Optional[list] = None, dyn=None, touched=None):
     """Greedy backtracking match beginning at row `start`. Top-level
     alternatives try in written order (SQL:2016 preferment) — the
     first alternative that matches wins, even when a later one would
     match more rows. flags[k][i] = row i satisfies flat term k.
     Returns (end_exclusive, assignment list of flat term indices per
     row) or None. ``progs`` are precompiled per-alternative programs
-    (derived from the flat terms when absent)."""
+    (derived from the flat terms when absent). ``touched`` propagates
+    the boundary flag from ``_vm_match`` across every alternative."""
     if progs is None:
         progs = [
             _compile_program(nodes) for nodes in _tree_from_terms(terms)
         ]
     empty_hit = None
     for prog, nslots in progs:
-        hit = _vm_match(flags, prog, nslots, start, n, dyn)
+        hit = _vm_match(flags, prog, nslots, start, n, dyn, touched)
         if hit is not None:
             if hit[0] > start:
                 return hit
