@@ -1212,7 +1212,9 @@ _q(
            CHECK_JSON('{"k":' || o_custkey || '}') AS js_ok,
            NULLIFZERO(o_orderkey % 3) AS nz,
            UNICODE(o_orderpriority) AS uni,
-           CAST(TO_DECIMAL(o_totalprice, 12, 1) AS DOUBLE) AS dec1
+           CAST(TO_DECIMAL(o_totalprice, 12, 1) AS DOUBLE) AS dec1,
+           CAST(TO_NUMBER(TO_VARCHAR(o_custkey), '999999', 10, 2)
+                AS DOUBLE) AS num4fmt
     FROM orders WHERE o_orderkey < 400
     """,
     """
@@ -1232,7 +1234,8 @@ _q(
            CAST(NULL AS VARCHAR) AS js_ok,
            NULLIF(o_orderkey % 3, 0) AS nz,
            unicode(o_orderpriority) AS uni,
-           CAST(CAST(o_totalprice AS DECIMAL(12, 1)) AS DOUBLE) AS dec1
+           CAST(CAST(o_totalprice AS DECIMAL(12, 1)) AS DOUBLE) AS dec1,
+           CAST(CAST(o_custkey AS DECIMAL(10, 2)) AS DOUBLE) AS num4fmt
     FROM orders WHERE o_orderkey < 400
     """,
 )

