@@ -79,11 +79,17 @@ def main() -> None:
     from dbt_icebreaker_spark.sources import register_dir
 
     # size shuffle partitions to the data: ~32 MB of input per
-    # partition, floor 8 — at sf0.1 (~80 MB) that's 8 partitions
-    # (measured 2× faster than 32 from task-scheduling overhead
-    # alone); on a TB-scale dir the same rule scales partitions up
+    # partition, floor 4 — at sf0.1 (~80 MB) that's 4 partitions
+    # (r5 measured 8 → 2× faster than 32; r11 re-measured 4 → another
+    # ~8% off the headline total once the matcher's per-match pandas
+    # .iloc hot loop was replaced with plain lists — task-scheduling
+    # overhead dominates sub-second queries); on a TB-scale dir the
+    # same rule scales partitions up
     input_bytes = _dir_bytes(SF_DIR)
-    shuffle = max(8, min(2048, input_bytes // (32 * 1024 * 1024)))
+    shuffle = max(
+        int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_FLOOR", "4")),
+        min(2048, input_bytes // (32 * 1024 * 1024)),
+    )
     # AQE is sized the same way: its per-query stage re-optimization
     # (materialize shuffle stats -> replan -> reschedule) costs a
     # fixed fraction of a second per stage, which dominates sub-second

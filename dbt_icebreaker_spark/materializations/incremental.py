@@ -126,7 +126,12 @@ def _staged_overwrite(
         spark.sql(f"ALTER TABLE {target} RENAME TO {backup}")
         _sync_partitions(spark, backup)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
-    _sync_partitions(spark, target)
+    if partition_by:
+        # the staging table is partitioned only when WE just wrote it
+        # partitioned — the old table's layout is unknown (hence the
+        # unconditional backup sync above), but this one is known, so
+        # the unpartitioned common case skips a catalog round trip
+        _sync_partitions(spark, target)
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
 
 

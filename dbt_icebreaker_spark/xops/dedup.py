@@ -707,7 +707,11 @@ def dedup_clusters(
         )
 
     edges = e
-    prev = _checksum(edges)
+    # no baseline checksum of the input: it bought only early exit on
+    # an ALREADY-converged edge set (one extra round there, a rare
+    # shape) while costing one full aggregation job on every call —
+    # convergence compares consecutive ROUND checksums instead
+    prev = None
     rounds = 0
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
