@@ -140,8 +140,7 @@ def _parse_measure(toks) -> Measure:
     )
 
 
-def _expand_measures(parts, pat_syms, all_rows=False,
-                     partition_by=None, order_by=None):
+def _expand_measures(parts, pat_syms, all_rows=False):
     """Round-9 EXPRESSION measures. Each MEASURES entry is tried
     against the simple grammar first (`agg(col) AS name` — zero new
     behavior); anything richer decomposes into:
@@ -758,7 +757,6 @@ def parse_mr_body(body) -> MatchRecognizeSpec:
     j = next_code(meas_seg, 0)
     measures, input_exprs, derived, measure_order = _expand_measures(
         _split_top_commas(meas_seg[j + 1:]), pat_syms, all_rows,
-        partition_by=partition_by, order_by=order_by,
     )
     defines = {s: c for s, c in defines.items() if s in pat_syms}
     dyn_defines = {s: d for s, d in dyn_defines.items() if s in pat_syms}
