@@ -7138,8 +7138,87 @@ XOP_ORACLES["x78_mr_dynamic_define"] = """
 """
 
 
+def _x_mr_sum_cap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: monotone SUM aggregate in DEFINE (judge task 3 —
+    Snowflake session users write ``SUM(amount) < cap``
+    run-segmentation routinely; previously an actionable refusal).
+    ``B+`` with ``DEFINE B AS SUM(value) <= 499.995`` greedily chunks
+    each user's event stream into maximal prefixes whose running sum
+    stays under the cap (the consumed-range prefix-sum closure keeps
+    the predicate (pos, start)-pure); a row whose own value exceeds
+    the cap matches nothing and is skipped. The oracle replays the
+    greedy walk with a sequential recursive CTE — a wrong inclusive
+    boundary, a chunk not resuming AT the cut, or a skipped row
+    silently joining a chunk all break the hash. The cap sits strictly
+    between the 2-decimal lattice of attainable sums, so float
+    accumulation-order noise cannot flip a boundary."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT user_id, start_rn, n_rows, ROUND(sum_v, 2) AS sum_v
+        FROM (SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE user_id < 40)
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY rn
+          MEASURES FIRST(rn) AS start_rn, COUNT(*) AS n_rows,
+                   SUM(value) AS sum_v
+          ONE ROW PER MATCH
+          PATTERN (B+)
+          DEFINE B AS SUM(value) <= 499.995
+        )
+        """
+    ).selectExpr(
+        "CAST(user_id AS BIGINT) AS user_id",
+        "CAST(start_rn AS BIGINT) AS start_rn",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(sum_v AS DOUBLE) AS sum_v",
+    )
+
+
+XOP_ORACLES["x81_mr_sum_cap_chunks"] = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 40
+    ),
+    walk AS (
+      SELECT user_id, rn, value,
+             CASE WHEN value <= 499.995 THEN value END AS run_sum,
+             CASE WHEN value <= 499.995 THEN rn END AS chunk_start
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.value,
+             CASE WHEN w.run_sum IS NOT NULL
+                       AND w.run_sum + e.value <= 499.995
+                    THEN w.run_sum + e.value
+                  WHEN e.value <= 499.995 THEN e.value
+             END,
+             CASE WHEN w.run_sum IS NOT NULL
+                       AND w.run_sum + e.value <= 499.995
+                    THEN w.chunk_start
+                  WHEN e.value <= 499.995 THEN e.rn
+             END
+      FROM walk w
+      JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(chunk_start AS BIGINT) AS start_rn,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_v
+    FROM walk WHERE chunk_start IS NOT NULL
+    GROUP BY user_id, chunk_start
+"""
+
+
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
+    "x81_mr_sum_cap_chunks": _x_mr_sum_cap_chunks,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,

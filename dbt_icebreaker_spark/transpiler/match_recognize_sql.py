@@ -316,10 +316,14 @@ _DYN_ARITH = ("*", "/", "+", "-")
 def _dyn_refuse(sym: str, why: str):
     raise TranspileError(
         f"DEFINE {sym}: {why}. Match-state aggregates inside DEFINE "
-        "are supported for the shapes `COUNT(*) <cmp> <number>` and "
-        "`<col> <cmp> FIRST(<col>) [*|/|+|- <number>]` (AND-combined "
-        "with ordinary row conditions); richer shapes — bound match "
-        "length with a pattern quantifier (e.g. B{1,3}), or compare "
+        "are supported for the shapes `COUNT(*) <cmp> <number>`, "
+        "`SUM(<col>) <cmp> <number>`, `AVG(<col>) <cmp> <number>`, "
+        "and `<col> <cmp> FIRST(<col>) [*|/|+|- <number>]` "
+        "(AND-combined with ordinary row conditions). Genuinely "
+        "impure shapes have no (pos, start)-pure rendering: OR "
+        "around an aggregate, per-symbol aggregates (SUM(B.x)), and "
+        "aggregate-vs-aggregate comparisons — bound match length "
+        "with a pattern quantifier (e.g. B{1,3}), or compare "
         "against PREV(col, n) for a fixed lookback."
     )
 
@@ -330,10 +334,14 @@ def _parse_dyn_conjunct(sym: str, code):
 
       ("count", cmp, number)              COUNT(*) cmp n (either order)
       ("first", col, cmp, fcol, op, lit)  col cmp FIRST(fcol) [op lit]
+      ("sum"|"avg", col, cmp, number)     SUM/AVG(col) cmp n (either
+                                          order; r11 — consumed-range
+                                          prefix sums keep it
+                                          (pos, start)-pure)
 
-    Both aggregates are RUNNING-inclusive per SQL:2016: COUNT(*)
-    counts the candidate row, FIRST on the candidate first row is the
-    row's own value."""
+    All aggregates are RUNNING-inclusive per SQL:2016: COUNT(*)
+    counts the candidate row, SUM/AVG include it, FIRST on the
+    candidate first row is the row's own value."""
     def read_num(i):
         neg = False
         if i < len(code) and code[i].is_op("-"):
@@ -377,6 +385,23 @@ def _parse_dyn_conjunct(sym: str, code):
                                  "numeric literal")
         return fcol, op, lit, j
 
+    def read_sumavg(i):
+        # SUM|AVG ( col ) -> (fn, col, next_i) or None
+        if not (i + 1 < len(code) and code[i].kind == WORD
+                and code[i].upper in ("SUM", "AVG")
+                and code[i + 1].is_op("(")):
+            return None
+        j = i + 2
+        if not (j < len(code) and code[j].kind in (WORD, QIDENT)):
+            _dyn_refuse(sym, f"{code[i].upper}(…) needs a bare column "
+                             "argument")
+        col = code[j].text.strip('"')
+        j += 1
+        if not (j < len(code) and code[j].is_op(")")):
+            _dyn_refuse(sym, f"{code[i].upper}(…) needs a single bare "
+                             "column")
+        return code[i].upper.lower(), col, j + 1
+
     # COUNT ( * ) cmp n   |   n cmp COUNT ( * )
     if (len(code) >= 4 and code[0].kind == WORD
             and code[0].upper == "COUNT"):
@@ -392,6 +417,20 @@ def _parse_dyn_conjunct(sym: str, code):
             _dyn_refuse(sym, "COUNT(*) must be compared to a numeric "
                              "literal")
         return ("count", cmp, lit)
+    # SUM|AVG ( col ) cmp n   (r11 — monotone-friendly running
+    # aggregates; the matcher evaluates them via prefix sums)
+    got_sa = read_sumavg(0)
+    if got_sa is not None:
+        fn, col, i = got_sa
+        cmp, i = read_cmp(i)
+        if cmp is None:
+            _dyn_refuse(sym, f"{fn.upper()}(col) must be compared to "
+                             "a number")
+        lit, i = read_num(i)
+        if lit is None or i != len(code):
+            _dyn_refuse(sym, f"{fn.upper()}(col) must be compared to "
+                             "a numeric literal")
+        return (fn, col, cmp, lit)
     num0, i0 = read_num(0)
     if num0 is not None:
         cmp, i = read_cmp(i0)
@@ -401,6 +440,10 @@ def _parse_dyn_conjunct(sym: str, code):
             if (len(tail) == 4 and tail[1].is_op("(")
                     and tail[2].is_op("*") and tail[3].is_op(")")):
                 return ("count", flip(cmp), num0)
+        if cmp is not None:
+            got_sa = read_sumavg(i)
+            if got_sa is not None and got_sa[2] == len(code):
+                return (got_sa[0], got_sa[1], flip(cmp), num0)
         _dyn_refuse(sym, "unsupported aggregate comparison")
     # col cmp FIRST(f)[op lit]   |   FIRST(f)[op lit] cmp col
     if code and code[0].kind == WORD and code[0].upper == "FIRST":

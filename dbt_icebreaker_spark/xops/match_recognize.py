@@ -613,6 +613,35 @@ def _build_dyn_checks(descs_per_term, pdf):
                 checks.append(
                     lambda pos, start, cmp_fn=cmp_fn, lit=lit:
                         cmp_fn(pos - start + 1, lit))
+            elif d[0] in ("sum", "avg"):
+                # SUM/AVG(col) cmp lit over the consumed range
+                # [start, pos], RUNNING-inclusive — consumed-range
+                # prefix sums keep the closure (pos, start)-pure, so
+                # the VM's memoization stays valid (r11, the x78
+                # trick extended to monotone aggregates). SQL
+                # semantics: NULLs skipped; all-NULL range → NULL
+                # aggregate → comparison not-true.
+                import numpy as np
+
+                _, col, cmp, lit = d
+                arr = pd.to_numeric(
+                    pdf[col], errors="coerce").to_numpy(dtype=float)
+                nn = ~np.isnan(arr)
+                csum = np.cumsum(np.where(nn, arr, 0.0))
+                ccnt = np.cumsum(nn.astype(np.int64))
+                cmp_fn = _DYN_CMP[cmp]
+                is_avg = d[0] == "avg"
+
+                def chk_sa(pos, start, csum=csum, ccnt=ccnt,
+                           cmp_fn=cmp_fn, lit=lit, is_avg=is_avg):
+                    s = csum[pos] - (csum[start - 1] if start else 0.0)
+                    c = ccnt[pos] - (ccnt[start - 1] if start else 0)
+                    if c == 0:
+                        return False
+                    v = (s / c) if is_avg else s
+                    return bool(cmp_fn(v, lit))
+
+                checks.append(chk_sa)
             else:  # ("first", col, cmp, fcol, arith, lit)
                 _, col, cmp, fcol, arith, lit = d
                 la = pdf[col].to_numpy()

@@ -1416,7 +1416,9 @@ class TestDynamicDefineR10:
         assert r[0].c == 0
 
     @pytest.mark.parametrize("cond,msg", [
-        ("SUM(v) < 100", "unsupported match-state aggregate"),
+        # SUM(v) < 100 graduated to a supported shape in r11
+        # (prefix-sum closure) — MIN stays genuinely unsupported
+        ("MIN(v) < 100", "unsupported match-state aggregate"),
         ("COUNT(A.*) < 3", "only COUNT"),
         ("COUNT(*) < 3 OR v > 0", "OR around a match-state"),
         ("FIRST(v) + LAST(v) > 5", "FIRST"),
@@ -1452,3 +1454,112 @@ class TestDynamicDefineR10:
             ORDER BY fs""").collect()
         # head seq1 (v10): E2 rows 11..14 all exceed 10 -> n=5
         assert [(x.n, x.fs) for x in r] == [(5, 1)]
+
+
+class TestR11SumAvgDynamicDefine:
+    """Round-11 (judge task 3): SUM/AVG(col) <cmp> k in DEFINE via
+    consumed-range prefix sums — (pos, start)-pure, memoization-safe."""
+
+    @pytest.fixture
+    def engine(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r11mr")
+
+    @pytest.fixture
+    def ev(self, spark):
+        vals = [100.0, 200.0, 150.0, 300.0, 50.0, 600.0, 10.0, 20.0]
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)],
+            "user_id long, rn long, value double")
+        df.createOrReplaceTempView("r11_ev")
+        return df
+
+    def _mr(self, engine, define, measures="FIRST(rn) AS s, "
+            "COUNT(*) AS n, SUM(value) AS sv"):
+        return engine.execute(f"""
+          SELECT * FROM r11_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY rn
+            MEASURES {measures}
+            PATTERN (B+)
+            DEFINE B AS {define})""").collect()
+
+    def test_sum_cap_greedy_chunks(self, engine, ev):
+        got = sorted((r.s, r.n, r.sv) for r in self._mr(
+            engine, "SUM(value) <= 500"))
+        # [100,200,150]=450; [300,50]=350; 600 skipped; [10,20]=30
+        assert got == [(0, 3, 450.0), (3, 2, 350.0), (6, 2, 30.0)]
+
+    def test_avg_cap(self, engine, ev):
+        got = sorted((r.s, r.n) for r in self._mr(
+            engine, "AVG(value) < 200",
+            measures="FIRST(rn) AS s, COUNT(*) AS n"))
+        assert got == [(0, 5), (6, 2)]
+
+    def test_reversed_literal_side(self, engine, ev):
+        got = sorted((r.s, r.n, r.sv) for r in self._mr(
+            engine, "500 >= SUM(value)"))
+        assert got == [(0, 3, 450.0), (3, 2, 350.0), (6, 2, 30.0)]
+
+    def test_and_combined_with_static_conjunct(self, engine, ev):
+        # static part precomputes as the flag; sum rides the closure
+        got = sorted((r.s, r.n) for r in self._mr(
+            engine, "value < 550 AND SUM(value) <= 500",
+            measures="FIRST(rn) AS s, COUNT(*) AS n"))
+        assert got == [(0, 3), (3, 2), (6, 2)]
+
+    def test_sum_with_nulls_skipped(self, spark, engine):
+        df = spark.createDataFrame(
+            [(1, 0, 100.0), (1, 1, None), (1, 2, 300.0), (1, 3, 200.0)],
+            "user_id long, rn long, value double")
+        df.createOrReplaceTempView("r11_evn")
+        out = engine.execute("""
+          SELECT * FROM r11_evn MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY rn
+            MEASURES FIRST(rn) AS s, COUNT(*) AS n, SUM(value) AS sv
+            PATTERN (B+)
+            DEFINE B AS SUM(value) <= 400)""").collect()
+        got = sorted((r.s, r.n, r.sv) for r in out)
+        # NULL row consumed (sum unchanged), 100+300=400 <= 400;
+        # 200 starts the next chunk
+        assert got == [(0, 3, 400.0), (3, 1, 200.0)]
+
+    def test_all_null_start_fails(self, spark, engine):
+        df = spark.createDataFrame(
+            [(1, 0, None), (1, 1, 50.0)],
+            "user_id long, rn long, value double")
+        df.createOrReplaceTempView("r11_evan")
+        out = engine.execute("""
+          SELECT * FROM r11_evan MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY rn
+            MEASURES FIRST(rn) AS s, COUNT(*) AS n
+            PATTERN (B+)
+            DEFINE B AS SUM(value) <= 400)""").collect()
+        # SUM over the all-NULL prefix is NULL -> not-true -> row 0
+        # cannot start a match
+        assert sorted((r.s, r.n) for r in out) == [(1, 1)]
+
+    @pytest.mark.parametrize("bad,msg", [
+        ("SUM(B.value) <= 5", "bare column"),
+        ("SUM(value) <= 5 OR value > 3", "OR around"),
+        ("SUM(value) > AVG(value)", "numeric literal"),
+        ("SUM(value + 1) <= 5", "bare column"),
+    ])
+    def test_impure_shapes_refuse_actionably(self, engine, ev, bad, msg):
+        from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+        with pytest.raises(TranspileError, match=msg):
+            self._mr(engine, bad)
+
+    def test_memoization_safe_with_alternation(self, engine, ev):
+        # quantified group + alternation exercise the VM's visited-set
+        # with the dyn closure live; results must match the plain B+
+        # chunking on this data (A matches nothing here)
+        got = sorted((r.s, r.n) for r in engine.execute("""
+          SELECT * FROM r11_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY rn
+            MEASURES FIRST(rn) AS s, COUNT(*) AS n
+            PATTERN (A | B+)
+            DEFINE A AS value > 1000,
+                   B AS SUM(value) <= 500)""").collect())
+        assert got == [(0, 3), (3, 2), (6, 2)]
