@@ -6997,6 +6997,71 @@ XOP_ORACLES["s10_pattern_detect"] = """
 """
 
 
+def _s_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (judge task 4): streaming CEP with ARBITRARY MEASURES
+    — `stream_pattern_detect`/`pattern_detect_batch` now accept a
+    MEASURES-clause SQL string compiled by the batch MATCH_RECOGNIZE
+    grammar and evaluated by the batch measure evaluator
+    (streaming/cep.py parse_measures_sql → _eval_measure), so the SQL
+    surface routes to streams. Hash-locks the batch twin of the same
+    shared path (stream/batch equivalence incl. a checkpoint restart
+    is CI-tested in test_project_streaming.py): MAX/AVG/COUNT/FIRST/
+    CLASSIFIER over ascending islands vs the s10 islands oracle
+    extended with the same aggregates."""
+    from .streaming.cep import pattern_detect_batch
+
+    register_dir(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, ts, value FROM events WHERE user_id < 50"
+    )
+    out = pattern_detect_batch(
+        ev, "A UP+",
+        {"UP": lambda v, p: p is not None and v is not None
+         and v > p},
+        measures="MAX(value) AS vmax, AVG(value) AS vavg, "
+                 "COUNT(*) AS n_rows, FIRST(value) AS v_first, "
+                 "CLASSIFIER() AS cls",
+    )
+    return out.selectExpr(
+        "user_id", "start_ts", "end_ts", "vmax",
+        "CAST(ROUND(vavg, 6) AS DOUBLE) AS vavg",
+        "CAST(n_rows AS BIGINT) AS n_rows", "v_first", "cls",
+    )
+
+
+XOP_ORACLES["s11_pattern_measures"] = """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END
+               AS up
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, SUM(1 - up) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS grp
+      FROM e
+    ),
+    w2 AS (
+      SELECT user_id, grp, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp
+               ORDER BY ts) AS rn
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           MAX(value) AS vmax,
+           CAST(ROUND(AVG(value), 6) AS DOUBLE) AS vavg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = 1 THEN value END) AS v_first,
+           'UP' AS cls
+    FROM w2
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+"""
+
+
 def _x_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10: FLATTEN(recursive => true) — previously the argument
     was silently DROPPED (nested elements never appeared: a silent
@@ -7227,6 +7292,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x79_flatten_hierarchy": _x_flatten_hierarchy,
     "x80_flatten_recursive": _x_flatten_recursive,
     "s10_pattern_detect": _s_pattern_detect,
+    "s11_pattern_measures": _s_pattern_measures,
     "x73_mr_measure_shapes": _x_mr_measure_shapes,
     "x71_mr_composability": _x_mr_composability,
     "x72_mr_expression_measures": _x_mr_expression_measures,

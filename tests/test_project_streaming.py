@@ -843,7 +843,7 @@ class TestCepStuckHeadR11:
         # all five rows mature: the (1,4) match is now final
         matches, consumed, undecided = _run_matches(
             flags, terms, progs, len(vals), 5)
-        assert matches == [(1, 4)]
+        assert [(a, b) for a, b, _ in matches] == [(1, 4)]
 
     def test_boundary_touch_still_holds(self):
         """An attempt whose greedy path runs out of mature rows is
@@ -858,7 +858,8 @@ class TestCepStuckHeadR11:
         # flush: boundary is final
         matches, _, undecided = _run_matches(
             flags, terms, progs, 3, 3, flush=True)
-        assert matches == [(0, 3)] and undecided is False
+        assert [(a, b) for a, b, _ in matches] == [(0, 3)]
+        assert undecided is False
 
     def test_preferred_path_at_boundary_holds_match(self):
         """'A UP UP | A UP' over a mature [1,2] with boundary at 2:
@@ -998,3 +999,118 @@ class TestCepOverflowDegradeR11:
         with pytest.raises(ValueError, match="on_overflow"):
             stream_pattern_detect(
                 df, "A UP+", self.DEFINES, on_overflow="nope")
+
+
+class TestCepMeasuresR11:
+    """Round-11 (judge task 4): arbitrary MEASURES in streaming CEP —
+    compiled by the batch MATCH_RECOGNIZE SQL grammar, evaluated by
+    the batch measure evaluator, so stream output equals the batch
+    twin measure-for-measure."""
+
+    DEFINES = {"UP": lambda v, prev: prev is not None and v is not None
+               and v > prev}
+    MEASURES = ("MAX(value) AS vmax, AVG(value) AS vavg, "
+                "COUNT(*) AS n_rows, FIRST(value) AS v_first, "
+                "CLASSIFIER() AS cls")
+
+    def _df(self, spark):
+        import pandas as pd
+
+        base = pd.Timestamp("2026-01-01")
+        rows = []
+        for u in range(4):
+            vals = [10.0, 11.0, 12.0, 5.0, 6.0, 7.0, 1.0, 2.0]
+            rows += [(u, (base + pd.Timedelta(minutes=i)
+                          ).to_pydatetime(), v)
+                     for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double")
+
+    def test_batch_twin_measures(self, spark):
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+        )
+
+        out = pattern_detect_batch(
+            self._df(spark), "A UP+", self.DEFINES,
+            measures=self.MEASURES).collect()
+        got = sorted((r.user_id, r.n_rows, r.vmax, r.v_first, r.cls,
+                      round(r.vavg, 6)) for r in out if r.user_id == 0)
+        assert got == [(0, 2, 2.0, 1.0, "UP", 1.5),
+                       (0, 3, 7.0, 5.0, "UP", 6.0),
+                       (0, 3, 12.0, 10.0, "UP", 11.0)]
+
+    def test_stream_measures_subset_of_batch_across_restart(
+            self, spark, tmp_path):
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+            stream_pattern_detect,
+        )
+
+        df = self._df(spark)
+        src = str(tmp_path / "cepm_src")
+        ck = str(tmp_path / "cepm_ck")
+        sink = str(tmp_path / "cepm_out")
+        df.filter("ts < '2026-01-01 00:04:00'").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+
+        def run_once():
+            stream = (spark.readStream.schema(df.schema).parquet(src)
+                      .withWatermark("ts", "1 minute"))
+            q = (stream_pattern_detect(
+                    stream, "A UP+", self.DEFINES,
+                    measures=self.MEASURES)
+                 .writeStream.outputMode("append").format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        run_once()   # first half of the data
+        # checkpoint RESTART with the rest of the data + a late tick
+        # that pushes the watermark past everything
+        df.filter("ts >= '2026-01-01 00:04:00'").coalesce(1) \
+            .write.mode("append").parquet(src)
+        run_once()
+        import pandas as pd
+
+        spark.createDataFrame(
+            [(9, (pd.Timestamp("2026-01-01") + pd.Timedelta(hours=2)
+                  ).to_pydatetime(), 0.0)],
+            df.schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got = {(r.user_id, r.n_rows, r.vmax, r.v_first, r.cls,
+                round(r.vavg, 6))
+               for r in spark.read.parquet(sink).collect()}
+        batch = {(r.user_id, r.n_rows, r.vmax, r.v_first, r.cls,
+                  round(r.vavg, 6))
+                 for r in pattern_detect_batch(
+                     df, "A UP+", self.DEFINES,
+                     measures=self.MEASURES).collect()}
+        assert got <= batch
+        # all three runs per user flushed by the final watermark push
+        assert len(got) == len(batch), (got, batch)
+
+    def test_match_number_refuses(self, spark):
+        from dbt_icebreaker_spark.streaming.cep import (
+            stream_pattern_detect,
+        )
+
+        with pytest.raises(ValueError, match="MATCH_NUMBER"):
+            stream_pattern_detect(
+                self._df(spark), "A UP+", self.DEFINES,
+                measures="MATCH_NUMBER() AS mn")
+
+    def test_symbol_scoped_measure(self, spark):
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+        )
+
+        out = pattern_detect_batch(
+            self._df(spark), "A UP+", self.DEFINES,
+            measures="COUNT(UP.*) AS n_up, FIRST(UP.value) AS up0"
+        ).collect()
+        got = sorted((r.user_id, r.n_up, r.up0)
+                     for r in out if r.user_id == 1)
+        # per match: UP rows exclude the head A row
+        assert got == [(1, 1, 2.0), (1, 2, 6.0), (1, 2, 11.0)]
