@@ -421,6 +421,10 @@ class IcebreakerEngine:
         # Snowflake session variables (SET name = expr / $name refs) —
         # engine-scoped, substituted as literals at statement level
         self._session_vars: dict[str, str] = {}
+        # CREATE SEQUENCE registry (r11): name → Sequence; NEXTVAL
+        # substitutes at statement-prepare time (sequences.py —
+        # gap-tolerant per Snowflake's own contract)
+        self._sequences: dict[str, object] = {}
         # (query_id, result DataFrame) per executed statement, in
         # session order — the RESULT_SCAN / LAST_QUERY_ID surface.
         # DataFrames are lazy plans: RESULT_SCAN re-derives the result
@@ -690,6 +694,13 @@ class IcebreakerEngine:
                 # recursion records the inner statements' results itself
                 result = self.execute(inner)
                 continue
+            if "NEXTVAL" in raw.upper():
+                # <seq>.NEXTVAL → distributed id expression over the
+                # session sequence registry (r11; statement-prepare
+                # substitution like session variables)
+                from .sequences import substitute_nextval
+
+                raw = substitute_nextval(self, raw)
             if "RESULT_SCAN" in raw.upper():
                 raw = self._resolve_result_scan(raw)
             r = self._execute_one(raw)
@@ -1169,6 +1180,63 @@ class IcebreakerEngine:
             if sv is not None:
                 result = sv
                 continue
+            # CREATE/DROP SEQUENCE + SHOW SEQUENCES (r11): session
+            # registry; NEXTVAL substitution happened in execute()
+            up_head = raw.upper().split(None, 4)
+            if "SEQUENCE" in raw.upper() or "SEQUENCES" in raw.upper():
+                from .sequences import (
+                    create_sequence,
+                    parse_create_sequence,
+                    parse_drop_sequence,
+                    show_sequences,
+                )
+
+                cs = parse_create_sequence(raw)
+                if cs is not None:
+                    name, start, inc, replace, ine = cs
+                    created = create_sequence(
+                        self, name, start, inc, replace, ine)
+                    status = (f"Sequence {name.upper()} successfully "
+                              "created." if created
+                              else f"Sequence {name.upper()} already "
+                              "exists, statement skipped.")
+                    result = self.spark.createDataFrame(
+                        [(status,)], "status string")
+                    continue
+                ds = parse_drop_sequence(raw)
+                if ds is not None:
+                    name, if_exists = ds
+                    if name in self._sequences:
+                        del self._sequences[name]
+                        msg = f"{name.upper()} successfully dropped."
+                    elif if_exists:
+                        msg = (f"Drop statement executed successfully "
+                               f"({name.upper()} already dropped).")
+                    else:
+                        raise ValueError(
+                            f"DROP SEQUENCE: unknown sequence "
+                            f"{name!r} — use IF EXISTS")
+                    result = self.spark.createDataFrame(
+                        [(msg,)], "status string")
+                    continue
+                if up_head[:2] == ["SHOW", "SEQUENCES"]:
+                    result = show_sequences(self)
+                    continue
+                if (up_head and up_head[0] in ("DESC", "DESCRIBE")
+                        and len(up_head) > 2
+                        and up_head[1] == "SEQUENCE"):
+                    nm = up_head[2].strip('"').lower().rstrip(";")
+                    sq = self._sequences.get(nm)
+                    if sq is None:
+                        raise ValueError(
+                            f"DESCRIBE SEQUENCE: unknown sequence "
+                            f"{nm!r} (session sequences: "
+                            f"{', '.join(sorted(self._sequences)) or 'none'})")
+                    result = self.spark.createDataFrame(
+                        [(sq.name, sq.start, sq.increment, sq.next)],
+                        "name string, start bigint, increment bigint,"
+                        " next_value bigint")
+                    continue
             # stored procedures: CREATE/DROP/SHOW PROCEDURE + CALL
             from .procedures import (
                 parse_call,
@@ -1515,9 +1583,6 @@ class IcebreakerEngine:
                           "Spark has no stage objects",
                 "ALERTS": "external monitoring over the telemetry "
                           "store — Spark has no alert objects",
-                "SEQUENCES": "monotonically_increasing_id() / "
-                             "ROW_NUMBER() — Spark has no sequence "
-                             "objects",
             }
             if shw[0] == "SHOW" and len(shw) > 1 and shw[1] in _SHOW_REFUSE:
                 raise TranspileError(
@@ -1530,7 +1595,7 @@ class IcebreakerEngine:
             # missing table named 'STAGE' — misleading
             if (hw and hw[0] in ("DESC", "DESCRIBE") and len(hw) > 1
                     and hw[1] in ("STAGE", "STREAM", "TASK", "PIPE",
-                                  "ALERT", "SEQUENCE", "INTEGRATION",
+                                  "ALERT", "INTEGRATION",
                                   "SHARE")):
                 raise TranspileError(
                     f"DESCRIBE {hw[1]}: Spark has no "

@@ -5131,11 +5131,12 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
                           "and SET QUERY_TAG = '<tag>' ARE supported "
                           "(mapped to the Spark session timezone conf "
                           "and a recorded tag)",
-    ("CREATE", "SEQUENCE"): "monotonically_increasing_id() for unique "
-                            "ids, ROW_NUMBER() OVER (ORDER BY …) for "
-                            "dense sequences, or TABLE(GENERATOR("
-                            "ROWCOUNT => n)) for row spines — Spark "
-                            "has no stateful sequence objects",
+    ("CREATE", "SEQUENCE"): "IcebreakerEngine.execute — the engine "
+                            "keeps a session sequence registry "
+                            "(CREATE SEQUENCE / seq.NEXTVAL / SHOW "
+                            "SEQUENCES; gap-tolerant per Snowflake's "
+                            "contract); plain spark.sql() has no "
+                            "stateful sequence objects",
     # governance objects change data VISIBILITY — silently no-oping
     # them (like GRANT) would alter what a query exposes, so they
     # refuse by name instead (r9 batch 3)
@@ -5293,9 +5294,10 @@ _UNSUPPORTED_CLAUSES = (
      "(xops/match_recognize.py); plain spark.sql() has no row-pattern "
      "clause"),
     ("NEXTVAL", None, "<seq>.NEXTVAL",
-     "monotonically_increasing_id() for unique ids or ROW_NUMBER() "
-     "OVER (ORDER BY …) for dense sequences — Spark has no stateful "
-     "sequence objects"),
+     "IcebreakerEngine.execute with a session sequence (CREATE "
+     "SEQUENCE s; SELECT s.NEXTVAL — gap-tolerant per Snowflake's "
+     "contract), or monotonically_increasing_id() / ROW_NUMBER() "
+     "OVER (ORDER BY …) in plain spark.sql()"),
 )
 
 

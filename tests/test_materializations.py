@@ -2195,15 +2195,26 @@ class TestCreateFunctionStatement:
                 "LANGUAGE JAVASCRIPT AS 'return 1'"
             )
 
-    def test_sequence_refusals(self, spark, engine):
+    def test_sequences_supported_via_engine(self, spark, engine):
+        # r11: CREATE SEQUENCE graduated from refusal to a session
+        # registry — the engine path works end to end; the BARE
+        # transpiler still refuses with a pointer at the engine
         import pytest as _pytest
 
-        from dbt_icebreaker_spark.transpiler.core import TranspileError
+        from dbt_icebreaker_spark.transpiler.core import (
+            TranspileError,
+            Transpiler,
+        )
 
-        with _pytest.raises(TranspileError, match="sequence objects"):
-            engine.execute("CREATE SEQUENCE cfs_s1")
+        engine.execute("CREATE SEQUENCE cfs_s1")
+        vals = [engine.execute("SELECT cfs_s1.NEXTVAL AS v")
+                .collect()[0][0] for _ in range(3)]
+        assert vals == [1, 2, 3]
+        engine.execute("DROP SEQUENCE cfs_s1")
+        with _pytest.raises(TranspileError, match="IcebreakerEngine"):
+            Transpiler().to_spark("CREATE SEQUENCE bare_s")
         with _pytest.raises(TranspileError, match="NEXTVAL"):
-            engine.execute("SELECT cfs_s1.NEXTVAL")
+            Transpiler().to_spark("SELECT bare_s.NEXTVAL")
 
 
 class TestCreateOrReplaceTableStatement:

@@ -3171,8 +3171,9 @@ class TestStatementTailSweepR10:
         return IcebreakerEngine(spark, schema="r10_tail")
 
     @pytest.mark.parametrize("stmt", [
+        # SHOW SEQUENCES graduated to a real listing in r11
         "SHOW STREAMS", "SHOW TASKS", "SHOW PIPES", "SHOW STAGES",
-        "SHOW ALERTS", "SHOW SEQUENCES",
+        "SHOW ALERTS",
     ])
     def test_show_refuse_families(self, engine, stmt):
         from dbt_icebreaker_spark.transpiler.core import TranspileError
@@ -3419,3 +3420,89 @@ class TestR11AdviceFixes:
         params = list(inspect.signature(_expand_measures).parameters)
         assert "partition_by" not in params
         assert "order_by" not in params
+
+
+class TestR11Sequences:
+    """Round-11 (judge task 5): CREATE SEQUENCE / NEXTVAL emulation —
+    session registry + gap-tolerant distributed allocation (Snowflake's
+    own contract is gaps-allowed)."""
+
+    @pytest.fixture
+    def engine(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r11seq")
+
+    def test_probe_shape_increasing_ids(self, engine):
+        engine.execute("CREATE SEQUENCE sp")
+        got = [engine.execute("SELECT sp.NEXTVAL AS v").collect()[0][0]
+               for _ in range(3)]
+        assert got == [1, 2, 3]
+
+    def test_start_and_increment(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE SEQUENCE si START WITH 100 INCREMENT BY 5")
+        r = engine.execute(
+            "SELECT si.NEXTVAL AS a, si.NEXTVAL AS b").collect()[0]
+        assert (r.a, r.b) == (100, 105)
+        assert engine.execute(
+            "SELECT si.NEXTVAL AS v").collect()[0][0] == 110
+
+    def test_negative_increment(self, engine):
+        engine.execute(
+            "CREATE OR REPLACE SEQUENCE sn START 0 INCREMENT -2")
+        got = [engine.execute("SELECT sn.NEXTVAL AS v").collect()[0][0]
+               for _ in range(3)]
+        assert got == [0, -2, -4]
+
+    def test_distributed_rows_unique_and_increasing_across_statements(
+            self, engine):
+        engine.execute("CREATE OR REPLACE SEQUENCE sd")
+        df = engine.execute(
+            "SELECT sd.NEXTVAL AS id FROM (SELECT 1 AS x UNION ALL "
+            "SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4)")
+        ids = [r.id for r in df.collect()]
+        assert len(set(ids)) == 4
+        # the next statement's values exceed everything allocated
+        nxt = engine.execute("SELECT sd.NEXTVAL AS v").collect()[0][0]
+        assert nxt > max(ids)
+
+    def test_surrogate_key_ctas(self, engine, spark):
+        # the dbt use case: sequence-driven surrogate keys in a CTAS
+        engine.execute("CREATE OR REPLACE SEQUENCE sk START 1000")
+        engine.execute(
+            "CREATE OR REPLACE TABLE r11seq.sk_t AS "
+            "SELECT sk.NEXTVAL AS sk_id, x FROM (SELECT 1 AS x "
+            "UNION ALL SELECT 2)")
+        rows = spark.table("r11seq.sk_t").collect()
+        assert len({r.sk_id for r in rows}) == 2
+        assert all(r.sk_id >= 1000 for r in rows)
+        spark.sql("DROP TABLE r11seq.sk_t")
+
+    def test_show_and_describe(self, engine):
+        engine.execute("CREATE OR REPLACE SEQUENCE sv START 7")
+        shown = {r.name: (r.start, r.increment)
+                 for r in engine.execute("SHOW SEQUENCES").collect()}
+        assert shown["sv"] == (7, 1)
+        d = engine.execute("DESCRIBE SEQUENCE sv").collect()[0]
+        assert (d.name, d.start, d.next_value) == ("sv", 7, 7)
+
+    def test_drop_and_errors(self, engine):
+        engine.execute("CREATE OR REPLACE SEQUENCE sx")
+        engine.execute("DROP SEQUENCE sx")
+        with pytest.raises(Exception, match="unknown sequence"):
+            engine.execute("SELECT sx.NEXTVAL")
+        with pytest.raises(Exception, match="IF EXISTS"):
+            engine.execute("DROP SEQUENCE sx")
+        engine.execute("DROP SEQUENCE IF EXISTS sx")  # no raise
+        with pytest.raises(Exception, match="already exists"):
+            engine.execute("CREATE SEQUENCE sy")
+            engine.execute("CREATE SEQUENCE sy")
+        engine.execute("CREATE SEQUENCE IF NOT EXISTS sy")  # no raise
+
+    def test_if_not_exists_keeps_cursor(self, engine):
+        engine.execute("CREATE OR REPLACE SEQUENCE sq2")
+        engine.execute("SELECT sq2.NEXTVAL")
+        engine.execute("CREATE SEQUENCE IF NOT EXISTS sq2")
+        assert engine.execute(
+            "SELECT sq2.NEXTVAL AS v").collect()[0][0] == 2
