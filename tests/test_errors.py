@@ -119,3 +119,42 @@ class TestRecursionLimitClassified:
         assert "cteRecursionLevelLimit" in err.suggestion
         assert "NOCYCLE" in err.suggestion
         assert "MAX_RECURSIONS" in err.message
+
+
+class TestR11QuietRetryLogs:
+    """Round-11 (judge task 6): a statement that succeeds via the
+    analyze-fail-rewrite retry must leave NO ERROR-level
+    query-context log; genuine failures still raise actionably and
+    the loggers come back enabled."""
+
+    def test_retry_success_logs_no_error(self, spark, caplog):
+        import logging
+
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.sources import register_dir
+
+        register_dir(spark, "/root/testdata/sf0.001")
+        eng = IcebreakerEngine(spark, schema="quietlog")
+        lg = logging.getLogger("SQLQueryContextLogger")
+        records = []
+        h = logging.Handler()
+        h.emit = records.append
+        lg.addHandler(h)
+        try:
+            eng.execute(
+                "SELECT event_id, f.path AS p, f.value AS v "
+                "FROM (SELECT event_id, '{\"a\": 1, \"b\": [2,3]}' AS j"
+                " FROM events WHERE event_id < 5), "
+                "LATERAL FLATTEN(input => j, recursive => true) f"
+            ).collect()
+        finally:
+            lg.removeHandler(h)
+        assert records == []
+        assert lg.disabled is False  # restored after the retry scope
+
+    def test_genuine_failure_still_raises(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark, schema="quietlog")
+        with pytest.raises(Exception, match="nonexistent_col|UNRESOLVED"):
+            eng.execute("SELECT nonexistent_col FROM (SELECT 1 AS a)")
