@@ -6232,6 +6232,70 @@ XOP_ORACLES["q95_connect_by_extensions"] = """
 """
 
 
+def _x_connect_by_desc_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (judge task 7): ORDER SIBLINGS BY … DESC — previously
+    an actionable refusal; now rendered via a per-sibling-group RANK
+    carried through the recursion (ascending rank arrays walk
+    depth-first with siblings inverted; inverting the raw key would
+    put parents below children). The walk ORDER itself is the tested
+    artifact: each row gets its global walk position via
+    row_number over monotonically_increasing_id on the sorted result
+    (partition-major id assignment preserves a global sort — harness
+    extraction, not a scale path), and the oracle recomputes the same
+    position from a recursive CTE carrying a [-id] list sort key
+    (ascending list order == DESC sibling walk). A wrong sibling
+    direction, a parent sorted below a child, or a root mis-ranked
+    all break the hash."""
+    from pyspark.sql import Window
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    eng.execute(
+        """CREATE OR REPLACE TEMP VIEW cb_hd AS
+           SELECT rn AS id,
+                  CASE WHEN rn = 1 THEN NULL
+                       ELSE CAST(FLOOR(rn / 2) AS BIGINT) END AS parent
+           FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                             AS BIGINT) AS rn
+                 FROM orders WHERE o_orderkey <= 500)"""
+    )
+    out = eng.execute(
+        """SELECT id FROM cb_hd START WITH parent IS NULL
+           CONNECT BY PRIOR id = parent
+           ORDER SIBLINGS BY id DESC"""
+    )
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+XOP_ORACLES["x82_connect_by_desc_walk"] = """
+    WITH RECURSIVE base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+               AS id
+      FROM orders WHERE o_orderkey <= 500
+    ),
+    h AS (
+      SELECT id, CASE WHEN id = 1 THEN NULL
+                      ELSE CAST(FLOOR(id / 2) AS BIGINT) END AS parent
+      FROM base
+    ),
+    tree AS (
+      SELECT id, [-id] AS key FROM h WHERE parent IS NULL
+      UNION ALL
+      SELECT h.id, list_append(t.key, -h.id)
+      FROM h JOIN tree t ON h.parent = t.id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(ROW_NUMBER() OVER (ORDER BY key) AS BIGINT) AS pos
+    FROM tree
+"""
+
+
 def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
     equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
@@ -7284,6 +7348,7 @@ XOP_ORACLES["x81_mr_sum_cap_chunks"] = """
 XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x81_mr_sum_cap_chunks": _x_mr_sum_cap_chunks,
+    "x82_connect_by_desc_walk": _x_connect_by_desc_walk,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,

@@ -5997,7 +5997,8 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
     # array cells — fine to depth ~10³, OOMs an 8 GB heap near depth
     # 5·10³ (SCALE.md "Round-9: CONNECT BY at depth"); NOCYCLE's
     # visited array shares the shape at ~⅓ width.
-    siblings_cols: list[Tokens] = []  # plain-column token segments
+    # each entry: (column token segment, "ASC"|"DESC", "FIRST"|"LAST")
+    siblings_cols: list[tuple] = []
     if tail:
         t1 = next_code(tail, 0)
         t2 = next_code(tail, t1 + 1)
@@ -6005,26 +6006,36 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
             t3 = next_code(tail, t2 + 1)
             if t3 >= len(tail) or not tail[t3].is_word("BY"):
                 _cb_error("ORDER SIBLINGS: expected BY")
-            if any(c.kind == WORD and c.upper in ("DESC", "NULLS")
-                   for c in tail):
-                _cb_error(
-                    "ORDER SIBLINGS BY … DESC/NULLS has no faithful "
-                    "rendering (the generated array sort key orders "
-                    "the whole walk; inverting one key inverts "
-                    "parent-before-child too) — sort ascending or "
-                    "post-process"
-                )
             for s_lo, s_hi in split_args(tail, t3 + 1, len(tail)):
                 seg2 = [c for c in tail[s_lo:s_hi]
                         if c.kind not in (WS, COMMENT)]
-                seg2 = [c for c in seg2 if not c.is_word("ASC")]
+                # per-key direction + NULLS placement (r11: DESC is
+                # rendered via a per-sibling-group rank, so it no
+                # longer refuses). Snowflake NULLs-highest default:
+                # ASC → NULLS LAST, DESC → NULLS FIRST (T47 parity).
+                direction, nulls = "ASC", None
+                while seg2:
+                    u = (seg2[-1].upper
+                         if seg2[-1].kind == WORD else "")
+                    if u in ("ASC", "DESC"):
+                        direction = u
+                        seg2 = seg2[:-1]
+                    elif u in ("FIRST", "LAST") and len(seg2) >= 2 \
+                            and seg2[-2].kind == WORD \
+                            and seg2[-2].upper == "NULLS":
+                        nulls = u
+                        seg2 = seg2[:-2]
+                    else:
+                        break
+                if nulls is None:
+                    nulls = "LAST" if direction == "ASC" else "FIRST"
                 if not seg2:
                     _cb_error("ORDER SIBLINGS BY: empty sort key")
                 # plain (optionally qualified) columns only — the key
                 # must re-qualify against the SOURCE alias inside the
                 # recursion (a bare name is ambiguous there: both the
                 # source and __cb carry it)
-                siblings_cols.append(seg2)  # resolved after src parse
+                siblings_cols.append((seg2, direction, nulls))
             tail = []
 
     # source: dotted name + optional alias, nothing else
@@ -6223,31 +6234,62 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         # ARRAY_CONTAINS swap normalizes it to Spark's (array, value)
         join_guard = (f" AND NOT coalesce(array_contains("
                       f"{a}.{parent_col}, __cb.__cbk), false)")
+    sib_src_cte = ""
     if siblings_cols:
         from .core import TranspileError as _TE
 
         try:
-            qcols = [f"{a}.{_cb_column_of(seg2, src_names)}"
-                     for seg2 in siblings_cols]
+            bcols = [_cb_column_of(seg2, src_names)
+                     for seg2, _d, _n in siblings_cols]
         except _TE:
             _cb_error(
                 "ORDER SIBLINGS BY keys must be plain (optionally "
                 "qualified) columns of the hierarchy source — wrap "
                 "expressions in the source view instead"
             )
-        # per key: (IS NULL, key) so NULL keys sort LAST like
-        # Oracle's ASC default (bare Spark array order puts them
-        # first); the node's own link key is appended as a UNIQUE
-        # tiebreaker — tied sibling keys would otherwise interleave
-        # subtrees, breaking depth-first contiguity (both r8 review,
-        # execution-confirmed)
-        parts = []
-        for qc in qcols:
-            parts += [f"{qc} IS NULL", qc]
-        parts.append(f"{a}.{parent_col}")
-        skey = f"struct({', '.join(parts)})"
-        anchor_extra += f", array({skey}) AS __cbsort"
-        rec_extra += f", array_append(__cb.__cbsort, {skey}) AS __cbsort"
+        dirs = [(d, n) for _s, d, n in siblings_cols]
+        if all(d == "ASC" and n == "LAST" for d, n in dirs):
+            # ASC-only fast path: the raw key rides in the array —
+            # per key (IS NULL, key) puts NULLs LAST (Snowflake
+            # NULLs-highest); the node's own link key is a UNIQUE
+            # tiebreaker (tied sibling keys would interleave
+            # subtrees — r8, execution-confirmed)
+            parts = []
+            for bc in bcols:
+                parts += [f"{a}.{bc} IS NULL", f"{a}.{bc}"]
+            parts.append(f"{a}.{parent_col}")
+            skey = f"struct({', '.join(parts)})"
+            anchor_extra += f", array({skey}) AS __cbsort"
+            rec_extra += (f", array_append(__cb.__cbsort, {skey}) "
+                          f"AS __cbsort")
+        else:
+            # DESC / NULLS FIRST (r11, judge task 7): inverting a raw
+            # key inside the array would put parents BELOW children —
+            # instead each node carries its RANK within its sibling
+            # group, computed with the requested direction; ascending
+            # rank arrays then walk depth-first with siblings in the
+            # requested order. Sibling group = equal join-key value
+            # ({child_col}); root rows rank among the START WITH set
+            # (a window over the filtered anchor — sized by the root
+            # count, not the table).
+            ord_list = ", ".join(
+                f"{bc} {d} NULLS {n}"
+                for bc, (d, n) in zip(bcols, dirs))
+            sib_src_cte = (
+                f"__cbsrc AS (SELECT *, CAST(ROW_NUMBER() OVER ("
+                f"PARTITION BY {child_col} ORDER BY {ord_list}, "
+                f"{parent_col}) AS BIGINT) AS __cbrank FROM {table}), "
+            )
+            table = "__cbsrc"
+            root_ord = ", ".join(
+                f"{a}.{bc} {d} NULLS {n}"
+                for bc, (d, n) in zip(bcols, dirs))
+            anchor_extra += (
+                f", array(CAST(ROW_NUMBER() OVER (ORDER BY "
+                f"{root_ord}, {a}.{parent_col}) AS BIGINT)) AS __cbsort"
+            )
+            rec_extra += (f", array_append(__cb.__cbsort, "
+                          f"{a}.__cbrank) AS __cbsort")
         tail_txt = "ORDER BY __cbsort"
     need_isleaf = any("__cbisleaf" in s
                       for s in (sel_txt, where_txt, tail_txt))
@@ -6297,7 +6339,7 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
             f"heap to width x depth^2 x 24 bytes.') AS INT) END"
         )
     gen = (
-        f"WITH RECURSIVE __cb AS ("
+        f"WITH RECURSIVE {sib_src_cte}__cb AS ("
         f"SELECT {a}.*, 1 AS __level{anchor_extra} "
         f"FROM {table} {a} WHERE {start_txt} "
         f"UNION ALL "

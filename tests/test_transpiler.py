@@ -2825,11 +2825,41 @@ class TestConnectByExtensionsR8:
         )).collect()
         assert [r.id for r in rows] == [1, 3, 6, 2, 4, 5]
 
-    def test_order_siblings_desc_refuses(self):
-        with pytest.raises(TranspileError, match="DESC"):
-            t.to_spark(
-                "SELECT id FROM cb_emp START WITH mgr IS NULL "
-                "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk DESC")
+    def test_order_siblings_desc(self, spark):
+        # r11 (judge task 7): DESC renders via a per-sibling-group
+        # rank — parents still come before children while sibling
+        # order inverts: ceo → vp2(c) → eng2(b), eng1(a) → vp1(a) → ops
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cb_emp START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk DESC"
+        )).collect()
+        assert [r.id for r in rows] == [1, 2, 5, 4, 3, 6]
+
+    def test_order_siblings_desc_nulls(self, spark):
+        spark.sql(
+            """CREATE OR REPLACE TEMP VIEW cb_emp_n AS SELECT * FROM
+            VALUES (1, NULL, 'b'), (2, 1, 'c'), (3, 1, CAST(NULL AS
+            STRING)), (4, 1, 'a') t(id, mgr, sortk)""")
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cb_emp_n START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr ORDER SIBLINGS BY sortk DESC"
+        )).collect()
+        # Snowflake NULLs-highest: DESC → NULLs FIRST
+        assert [r.id for r in rows] == [1, 3, 2, 4]
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cb_emp_n START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr "
+            "ORDER SIBLINGS BY sortk DESC NULLS LAST")).collect()
+        assert [r.id for r in rows] == [1, 2, 4, 3]
+
+    def test_order_siblings_mixed_directions(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cb_emp START WITH mgr IS NULL "
+            "CONNECT BY PRIOR id = mgr "
+            "ORDER SIBLINGS BY sortk ASC, id DESC")).collect()
+        # mixed keys take the rank path; single ASC key result shape
+        # is preserved (sortk values are unique per sibling group)
+        assert [r.id for r in rows] == [1, 3, 6, 2, 4, 5]
 
     def test_nocycle_terminates_cycle(self, spark):
         rows = spark.sql(t.to_spark(
