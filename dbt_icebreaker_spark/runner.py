@@ -46,10 +46,18 @@ def _quiet_query_context_logs():
     spark.sql attempts only — genuine failures still raise through
     raise_classified with the full message, and user code outside the
     engine logs normally."""
-    import logging
+    # IMPORTANT: fetch through PySparkLogger.getLogger, not
+    # logging.getLogger — the first getLogger call for a name decides
+    # the logger CLASS, and pyspark's _log_exception passes kwargs
+    # (errorClass=…) that only PySparkLogger.exception accepts. A
+    # plain logging.Logger created here first would make exception
+    # CONVERSION itself raise TypeError and leak raw Py4JJavaErrors
+    # past the engine's classifier (caught by
+    # test_bad_cast_at_runtime).
+    from pyspark.logger import PySparkLogger
 
     names = ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
-    loggers = [logging.getLogger(n) for n in names]
+    loggers = [PySparkLogger.getLogger(n) for n in names]
     prior = [lg.disabled for lg in loggers]
     for lg in loggers:
         lg.disabled = True

@@ -135,7 +135,9 @@ class TestR11QuietRetryLogs:
 
         register_dir(spark, "/root/testdata/sf0.001")
         eng = IcebreakerEngine(spark, schema="quietlog")
-        lg = logging.getLogger("SQLQueryContextLogger")
+        from pyspark.logger import PySparkLogger
+
+        lg = PySparkLogger.getLogger("SQLQueryContextLogger")
         records = []
         h = logging.Handler()
         h.emit = records.append
