@@ -5895,12 +5895,6 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 )
     if i_connect < 0:
         return tokens
-    if any(t.kind == WORD and t.upper == "CONNECT_BY_ISCYCLE"
-           for t in tokens):
-        _cb_error(
-            "CONNECT_BY_ISCYCLE has no mechanical rendering (NOCYCLE "
-            "itself is supported — cyclic branches stop expanding)"
-        )
     # CONNECT BY NOCYCLE: stop expanding a branch when the child is
     # already among its ancestors (r8 — Oracle/Snowflake cycle guard;
     # implemented as a visited-key array carried through the
@@ -6126,6 +6120,14 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 out2.append(_word("__cbisleaf"))
                 i2 += 1
                 continue
+            if tk.kind == WORD and tk.upper == "CONNECT_BY_ISCYCLE":
+                # 1 when the row has a child that is also its ancestor
+                # (the edge NOCYCLE pruned) — requires NOCYCLE like
+                # Oracle; rendered via a per-key child-id set joined
+                # against the row's visited-ancestor array (r11)
+                out2.append(_word("__cbiscycle"))
+                i2 += 1
+                continue
             if tk.kind == WORD and tk.upper == "CONNECT_BY_ROOT":
                 j2 = next_code(seg, i2 + 1)
                 if j2 < n2 and seg[j2].is_op("("):
@@ -6199,6 +6201,9 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
                 # Snowflake/Oracle output name (r8 review: the raw
                 # CASE rendering leaked as the column name)
                 items.append("__cbisleaf AS connect_by_isleaf")
+            elif (len(code) == 1 and code[0].kind == WORD
+                  and code[0].text == "__cbiscycle"):
+                items.append("__cbiscycle AS connect_by_iscycle")
             else:
                 items.append(render(_cb_sub_level(item)).strip())
             item = []
@@ -6311,6 +6316,28 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
         sel_txt = sel_txt.replace("__cbisleaf", leaf_case)
         where_txt = where_txt.replace("__cbisleaf", leaf_case)
         tail_txt = tail_txt.replace("__cbisleaf", leaf_case)
+    need_iscycle = any("__cbiscycle" in s
+                       for s in (sel_txt, where_txt, tail_txt))
+    if need_iscycle and not nocycle:
+        _cb_error(
+            "CONNECT_BY_ISCYCLE requires CONNECT BY NOCYCLE (the "
+            "Oracle contract — without pruning there is no cycle "
+            "flag to report)"
+        )
+    if need_iscycle:
+        # 1 iff some CHILD of the row is already among its ancestors
+        # (the edge NOCYCLE pruned): per-key child-id sets
+        # (pre-aggregated — one row per key, so the join cannot
+        # duplicate) overlap-tested against the row's __cbk visited
+        # array (r11; closes the last noted CONNECT BY refusal)
+        cyc_case = (
+            "CASE WHEN __cyc.__cyckids IS NOT NULL AND "
+            f"arrays_overlap(__cyc.__cyckids, {a}.__cbk) "
+            "THEN 1 ELSE 0 END"
+        )
+        sel_txt = sel_txt.replace("__cbiscycle", cyc_case)
+        where_txt = where_txt.replace("__cbiscycle", cyc_case)
+        tail_txt = tail_txt.replace("__cbiscycle", cyc_case)
     level_rec = "__cb.__level + 1"
     if nocycle or siblings_cols:
         # depth guard (r9 verdict #4): the sibling sort-key / visited
@@ -6350,6 +6377,11 @@ def rewrite_connect_by(tokens: Tokens) -> Tokens:
            f"FROM {table}) __cbleaf "
            f"ON {a}.{parent_col} = __cbleaf.__cbleafkey"
            if need_isleaf else "")
+        + (f" LEFT JOIN (SELECT {child_col} AS __cyck, "
+           f"collect_set({parent_col}) AS __cyckids FROM {table} "
+           f"GROUP BY {child_col}) __cyc "
+           f"ON {a}.{parent_col} = __cyc.__cyck"
+           if need_iscycle else "")
         + (f" WHERE {where_txt}" if where_txt else "")
         + (f" {tail_txt}" if tail_txt else "")
     )

@@ -3536,3 +3536,47 @@ class TestR11Sequences:
         engine.execute("CREATE SEQUENCE IF NOT EXISTS sq2")
         assert engine.execute(
             "SELECT sq2.NEXTVAL AS v").collect()[0][0] == 2
+
+
+class TestR11ConnectByIscycle:
+    """Round-11: CONNECT_BY_ISCYCLE — 1 when the row has a child that
+    is also its ancestor (the edge NOCYCLE pruned). Requires NOCYCLE
+    like Oracle; rendered via per-key child-id sets overlap-tested
+    against the visited-ancestor array."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def views(self, spark):
+        spark.sql("""CREATE OR REPLACE TEMP VIEW cyc2 AS SELECT * FROM
+          VALUES (1, 3), (2, 1), (3, 2), (4, 1) t(id, mgr)""")
+
+    def test_iscycle_values(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id, LEVEL, CONNECT_BY_ISCYCLE FROM cyc2 "
+            "START WITH id = 1 CONNECT BY NOCYCLE PRIOR id = mgr "
+            "ORDER BY LEVEL, id")).collect()
+        assert [tuple(r) for r in rows] == [
+            (1, 1, 0), (2, 2, 0), (4, 2, 0), (3, 3, 1)]
+        # bare select item keeps the Oracle output name
+        assert rows[0].__fields__[2] == "connect_by_iscycle"
+
+    def test_iscycle_in_where(self, spark):
+        # WHERE precedes START WITH in the Oracle clause order; the
+        # rewrite applies it over the RESULT, so ISCYCLE is available
+        rows = spark.sql(t.to_spark(
+            "SELECT id FROM cyc2 WHERE CONNECT_BY_ISCYCLE = 1 "
+            "START WITH id = 1 "
+            "CONNECT BY NOCYCLE PRIOR id = mgr")).collect()
+        assert [r.id for r in rows] == [3]
+
+    def test_iscycle_without_nocycle_refuses(self):
+        with pytest.raises(TranspileError, match="NOCYCLE"):
+            t.to_spark(
+                "SELECT CONNECT_BY_ISCYCLE FROM cyc2 START WITH id = 1 "
+                "CONNECT BY PRIOR id = mgr")
+
+    def test_acyclic_tree_all_zero(self, spark):
+        rows = spark.sql(t.to_spark(
+            "SELECT id, CONNECT_BY_ISCYCLE AS c FROM cb_emp "
+            "START WITH mgr IS NULL CONNECT BY NOCYCLE PRIOR id = mgr "
+            "ORDER BY id")).collect()
+        assert all(r.c == 0 for r in rows) and len(rows) == 6
