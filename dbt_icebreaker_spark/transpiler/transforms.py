@@ -5275,6 +5275,16 @@ def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
                         "Spark external tables take a LOCATION, not "
                         "a stage/file format",
                     )
+                if "LOCATION" not in up:
+                    # Spark's own error here is a bare one-liner;
+                    # refuse with the full recipe instead
+                    return (
+                        "CREATE EXTERNAL TABLE without LOCATION",
+                        "CREATE EXTERNAL TABLE … USING parquet "
+                        "LOCATION '/path' — Spark external tables "
+                        "need an explicit LOCATION (drop EXTERNAL "
+                        "for a managed table)",
+                    )
             continue
         head = tuple(words[:2])
         if head in _SNOWFLAKE_ONLY_STATEMENTS:

@@ -74,6 +74,21 @@ SEEDS = [
     "SELECT PARSE_JSON(j)[k], arr[i + 1] FROM t",
     "SELECT node, LEVEL FROM h CONNECT BY NOCYCLE PRIOR node = parent "
     "ORDER SIBLINGS BY ord",
+    # round-11 surface: 4-arg TO_NUMBER, sequences, SIBLINGS DESC,
+    # ISCYCLE, SUM/AVG DEFINE caps, external-table passthrough
+    "SELECT TO_NUMBER(s, '$9,999.99', 10, 2), "
+    "TRY_TO_DECIMAL(s, '99.9', 5, 1) FROM t",
+    "CREATE OR REPLACE SEQUENCE IF NOT EXISTS sq START WITH 100 "
+    "INCREMENT BY -5 NOORDER COMMENT = 'x'",
+    "SELECT sq.NEXTVAL, t.k FROM t",
+    "SELECT id FROM h START WITH p IS NULL CONNECT BY PRIOR id = p "
+    "ORDER SIBLINGS BY k DESC NULLS LAST, id ASC",
+    "SELECT id, CONNECT_BY_ISCYCLE FROM h START WITH id = 1 "
+    "CONNECT BY NOCYCLE PRIOR id = p",
+    "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts "
+    "MEASURES SUM(v) AS sv PATTERN (B+) "
+    "DEFINE B AS SUM(v) <= 499.995 AND v > 0)",
+    "CREATE EXTERNAL TABLE e (c INT) USING parquet LOCATION '/tmp/x'",
 ]
 TOKENS = [
     "SELECT", "FROM", "(", ")", ",", "'a'", "1", "OVER", "QUALIFY",

@@ -17,7 +17,9 @@ cases = ["CREATE ROLE analyst", "CREATE ROLE IF NOT EXISTS analyst",
          "SHOW GRANTS TO ROLE analyst",
          "SHOW FUTURE GRANTS IN SCHEMA s"]
 cases += ["SHOW WAREHOUSES", "SHOW TRANSACTIONS", "SHOW LOCKS",
-          "SHOW VARIABLES", "DESCRIBE WAREHOUSE w"]
+          "SHOW VARIABLES", "DESCRIBE WAREHOUSE w",
+          # r11: sequences graduated to a real session registry
+          "SHOW SEQUENCES"]
 refusals = ["CREATE NETWORK POLICY np ALLOWED_IP_LIST = ('1.2.3.4')",
             "CREATE SECURITY INTEGRATION si TYPE = SAML2",
             "CREATE STORAGE INTEGRATION sti TYPE = EXTERNAL_STAGE",
@@ -25,7 +27,7 @@ refusals = ["CREATE NETWORK POLICY np ALLOWED_IP_LIST = ('1.2.3.4')",
             "CREATE NOTIFICATION INTEGRATION ni TYPE = QUEUE",
             "ALTER ACCOUNT SET TIMEZONE = 'UTC'",
             "SHOW STREAMS", "SHOW TASKS", "SHOW PIPES", "SHOW STAGES",
-            "SHOW ALERTS", "SHOW SEQUENCES", "DESCRIBE STAGE s1",
+            "SHOW ALERTS", "DESCRIBE STAGE s1",
             "ALTER TASK tk RESUME", "CREATE EXTERNAL TABLE e (c INT)",
             "CREATE EVENT TABLE ev", "CREATE ALERT al WAREHOUSE = w",
             "CREATE PASSWORD POLICY pp PASSWORD_MIN_LENGTH = 12",
