@@ -182,6 +182,18 @@ def substitute_nextval(engine, raw: str) -> str:
             raise ValueError(
                 f"NEXTVAL: unknown sequence {nm!r} (session sequences:"
                 f" {known}) — CREATE SEQUENCE {nm} first")
+    words = [t.upper for t in toks if t.kind == "word"]
+    if words[:1] in (["CREATE"], ["ALTER"]) and "DEFAULT" in words \
+            and "TABLE" in words[:4]:
+        # a sequence column DEFAULT needs per-INSERT evaluation Spark
+        # lacks (DEFAULTs must be constant) — substituting here would
+        # freeze ONE value into the table definition: silent wrong
+        # answer on every later INSERT. Refuse with the working shape.
+        raise ValueError(
+            "NEXTVAL in a column DEFAULT: Spark column DEFAULTs must "
+            "be constant, so the sequence cannot be drawn per INSERT "
+            "— draw it in the insert instead: INSERT INTO t "
+            "SELECT <seq>.NEXTVAL, … (or add the column in a CTAS)")
     # single-row shape: a SELECT with no FROM/VALUES anywhere
     ups = {t.upper for t in toks if t.kind == "word"}
     first_word = next(

@@ -3580,3 +3580,20 @@ class TestR11ConnectByIscycle:
             "START WITH mgr IS NULL CONNECT BY NOCYCLE PRIOR id = mgr "
             "ORDER BY id")).collect()
         assert all(r.c == 0 for r in rows) and len(rows) == 6
+
+
+def test_r11_nextval_in_column_default_refuses(spark):
+    from dbt_icebreaker_spark import IcebreakerEngine
+
+    eng = IcebreakerEngine(spark, schema="r11seqd")
+    eng.execute("CREATE OR REPLACE SEQUENCE sdft")
+    with pytest.raises(Exception, match="DEFAULT.*constant|constant.*DEFAULT"):
+        eng.execute(
+            "CREATE TABLE r11seqd.td (id BIGINT DEFAULT sdft.NEXTVAL, "
+            "x STRING)")
+    # the working shape still draws values
+    eng.execute(
+        "CREATE OR REPLACE TABLE r11seqd.td AS "
+        "SELECT sdft.NEXTVAL AS id, 'a' AS x")
+    assert spark.table("r11seqd.td").count() == 1
+    spark.sql("DROP TABLE r11seqd.td")
