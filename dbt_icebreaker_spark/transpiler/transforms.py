@@ -131,6 +131,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_SLICE": "SLICE_0",   # placeholder, fixed below (1-based)
         "CHARINDEX": "INSTR_SWAP",  # placeholder, fixed below (arg swap)
         "LEN": "LENGTH",
+        # Snowflake treats part_number 0 as 1; Spark raises
+        # INVALID_INDEX_OF_ZERO (r11 probe)
+        "SPLIT_PART": "SPLITPART_X",
         "EDITDISTANCE": "EDITDIST_X",  # 3-arg caps at max (Spark: -1)
         "REGEXP_LIKE": "RXLIKE_X",  # 3-arg params → inline (?ism) flags
         "REGEXP_COUNT": "RXCOUNT_X",  # position / params args
@@ -398,27 +401,51 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
     return res
 
 
-# Snowflake → java.time format elements, applied in order (SS before
-# FF3 so the emitted SSS fraction pattern isn't re-lowercased)
-_SNOWFLAKE_FMT = (
-    ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("DY", "EEE"),
-    ("DDD", "\x01"),  # day-of-year → marker BEFORE DD splits it to ddD;
-                      # _convert_fmt_tokens restores the marker to DDD
-    ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"), ("MI", "mm"),
-    ("SS", "ss"), ("FF3", "SSS"), ("FF", "SSSSSS"), ("AM", "a"),
-    ("PM", "a"),
+# Snowflake → java.time datetime format elements. Snowflake elements
+# are case-INSENSITIVE ('Mon'/'mon'/'MON' all mean the month
+# abbreviation; 'mm' means MONTH, not minutes) while java.time letters
+# are case-exact — so conversion is a single left-to-right
+# longest-match pass, not sequential replaces (whose outputs collide:
+# MI→mm would be re-read by the MM rule). r11 probe fixes: mixed-case
+# elements died with Spark's ILLEGAL_CHARACTER; lowercase 'mm' passed
+# through as java MINUTES (silent wrong month).
+_FMT_ELEM_RE = re.compile(
+    r"(?i)(YYYY|HH24|HH12|MMMM|MON|DDD|FF[0-9]?|YY|MM|DD|DY|MI|SS"
+    r"|AM|PM|HH)"
 )
+_FMT_JAVA = {
+    "YYYY": "yyyy", "YY": "yy", "MMMM": "MMMM", "MON": "MMM",
+    "MM": "MM", "DDD": "DDD", "DD": "dd", "DY": "EEE",
+    "HH24": "HH", "HH12": "hh", "HH": "HH", "MI": "mm", "SS": "ss",
+    "AM": "a", "PM": "a",
+}
+
+
+def _convert_fmt_text(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        m = _FMT_ELEM_RE.match(s, i)
+        if m:
+            el = m.group(0).upper()
+            if el.startswith("FF"):
+                # FF[n] → n fraction digits (FF alone: microseconds)
+                n_dig = int(el[2:]) if len(el) > 2 else 6
+                out.append("S" * max(1, n_dig))
+            else:
+                out.append(_FMT_JAVA[el])
+            i = m.end()
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 def _convert_fmt_tokens(fmt: Tokens) -> Tokens:
     conv = list(fmt)
     for k, ft in enumerate(conv):
         if ft.kind == STRING:
-            s = ft.text
-            for sf, jf in _SNOWFLAKE_FMT:
-                s = s.replace(sf, jf)
-            s = s.replace("\x01", "DDD")
-            conv[k] = Token(STRING, s)
+            conv[k] = Token(STRING, _convert_fmt_text(ft.text))
     return conv
 
 
@@ -501,6 +528,7 @@ _INITCAP_DEFAULT_DELIMS = (
 
 _PLACEHOLDER_NAMES = frozenset((
     "SLICE_0", "INSTR_SWAP", "TO_CHAR_X", "SQUARE_X", "ARRCONT_SWAP",
+    "SPLITPART_X",
     "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
     "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPOS_SWAP",
     "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
@@ -892,6 +920,20 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 et = f"IF({hi} < 0, size({a}) + {hi}, {hi})"
                 out += tokenize(
                     f"slice({a}, ({ef}) + 1, greatest(({et}) - ({ef}), 0))")
+            elif t.text == "SPLITPART_X" and len(args) == 3:
+                # SPLIT_PART part 0 = part 1 (Snowflake contract);
+                # literal indexes stay bare, dynamic ones wrap a CASE
+                s_ = render(tokens[args[0][0]:args[0][1]]).strip()
+                d_ = render(tokens[args[1][0]:args[1][1]]).strip()
+                n_ = render(tokens[args[2][0]:args[2][1]]).strip()
+                bare = n_.lstrip("+-")
+                if n_ == "0":
+                    n_e = "1"
+                elif bare.isdigit():
+                    n_e = n_
+                else:
+                    n_e = f"(CASE WHEN ({n_}) = 0 THEN 1 ELSE ({n_}) END)"
+                out += tokenize(f"split_part({s_}, {d_}, {n_e})")
             elif t.text == "INSTR_SWAP" and len(args) in (2, 3):
                 # CHARINDEX(needle, haystack[, start]) → Spark locate,
                 # which shares CHARINDEX's argument order AND start-
@@ -2591,6 +2633,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # arity mismatch: emit name sans placeholder best-effort
                 fallback = {
                     "SLICE_0": "slice", "INSTR_SWAP": "locate",
+                    "SPLITPART_X": "split_part",
                     "MD5B_X": "md5", "SHA1B_X": "sha1",
                     "SHA2B_X": "sha2", "B64ENC_X": "base64",
                     "TO_CHAR_X": "CAST", "SQUARE_X": "POWER",
@@ -2809,6 +2852,23 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                     f"{cast_kw}(({x}) AS DECIMAL({p_r}, {s_r}))")
                 i = close + 1
                 continue
+            if len(args) == 2 and t.upper in ("TO_DOUBLE",
+                                              "TRY_TO_DOUBLE"):
+                # TO_DOUBLE(expr, 'format') — documented Snowflake
+                # (r11 probe: previously fell through to the generic
+                # unknown-function error); parse via to_number, cast
+                f_code = [c for c in tokens[args[1][0]:args[1][1]]
+                          if c.kind != WS]
+                if len(f_code) == 1 and f_code[0].kind == STRING:
+                    fn3 = ("try_to_number"
+                           if t.upper.startswith("TRY_")
+                           else "to_number")
+                    x = render(tokens[args[0][0]:args[0][1]]).strip()
+                    out += tokenize(
+                        f"{cast_kw}({fn3}({x}, {f_code[0].text}) "
+                        "AS DOUBLE)")
+                    i = close + 1
+                    continue
             if len(args) == 1:
                 inner = tokens[args[0][0]:args[0][1]]
                 out += [_word(cast_kw), _op("(")] + inner + [

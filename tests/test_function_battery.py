@@ -1169,3 +1169,37 @@ def test_r11_to_number_4arg_type_is_decimal(spark):
     df = spark.sql(t.to_spark(
         "SELECT TO_NUMBER('1,234.56', '9,999.99', 10, 2) AS v"))
     assert df.schema["v"].dataType.simpleString() == "decimal(10,2)"
+
+
+# ---------------------------------------------------------------- r11b
+# Edge-arity probe fixes: case-insensitive datetime format elements
+# (Snowflake 'mm' means MONTH — it passed through as java minutes, a
+# silent wrong answer), 2-arg TO_DOUBLE(expr, fmt), SPLIT_PART part 0.
+R11B_CASES = [
+    ("SELECT TO_CHAR(TIMESTAMP '2024-03-05 13:04:05', "
+     "'DD Mon YYYY HH24:MI')", "05 Mar 2024 13:04"),
+    ("SELECT TO_CHAR(DATE '2024-03-05', 'yyyy/mm/dd')", "2024/03/05"),
+    ("SELECT TO_DATE('05/03/2024', 'dd/mm/yyyy')", "2024-03-05"),
+    ("SELECT TO_CHAR(TIMESTAMP '2024-03-05 13:04:05.123', "
+     "'HH24:MI:SS.FF3')", "13:04:05.123"),
+    ("SELECT TO_CHAR(DATE '2024-03-05', 'Dy DD Mon')", "Tue 05 Mar"),
+    ("SELECT TO_CHAR(DATE '2024-03-05', 'MMMM')", "March"),
+    ("SELECT TO_DOUBLE('1,234.5', '9,999.9')", 1234.5),
+    ("SELECT TRY_TO_DOUBLE('x', '9,999.9')", ("__NULL__",)),
+    ("SELECT SPLIT_PART('a|b|c', '|', 0)", "a"),   # 0 means 1
+    ("SELECT SPLIT_PART('a|b|c', '|', 1)", "a"),
+    ("SELECT SPLIT_PART('a|b|c', '|', -1)", "c"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R11B_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r11b_edge_arities(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r11b_split_part_dynamic_zero(spark):
+    v = spark.sql(t.to_spark(
+        "SELECT SPLIT_PART('a|b|c', '|', n) FROM (SELECT 0 AS n)"
+    )).collect()[0][0]
+    assert v == "a"
