@@ -6296,6 +6296,47 @@ XOP_ORACLES["x82_connect_by_desc_walk"] = """
 """
 
 
+def _x_quantified_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: quantified comparison subqueries (valid Snowflake
+    Spark's parser lacks — previously the generic could-not-parse
+    refusal). ``= ANY`` → IN, ``<> ALL`` → NOT IN, inequality-ANY →
+    MIN/MAX scalar subqueries (exact under not-true filtering; the
+    unreducible inequality-ALL forms refuse naming the aggregate
+    rendering). DuckDB evaluates the SAME quantified syntax natively,
+    so the oracle is the query verbatim — any semantic drift in the
+    reduction breaks the hash."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey <= 2000
+          AND o_orderstatus = ANY (SELECT DISTINCT o_orderstatus
+                                   FROM orders WHERE o_orderkey <= 50)
+          AND o_totalprice > ANY (SELECT o_totalprice FROM orders
+                                  WHERE o_orderkey <= 100)
+          AND o_custkey <> ALL (SELECT o_custkey FROM orders
+                                WHERE o_orderkey <= 10)
+        """
+    )
+
+
+XOP_ORACLES["x83_quantified_any"] = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey <= 2000
+      AND o_orderstatus = ANY (SELECT DISTINCT o_orderstatus
+                               FROM orders WHERE o_orderkey <= 50)
+      AND o_totalprice > ANY (SELECT o_totalprice FROM orders
+                              WHERE o_orderkey <= 100)
+      AND o_custkey <> ALL (SELECT o_custkey FROM orders
+                            WHERE o_orderkey <= 10)
+"""
+
+
 def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
     equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
@@ -7349,6 +7390,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_statement_surface": _q_statement_surface,
     "x81_mr_sum_cap_chunks": _x_mr_sum_cap_chunks,
     "x82_connect_by_desc_walk": _x_connect_by_desc_walk,
+    "x83_quantified_any": _x_quantified_any,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,

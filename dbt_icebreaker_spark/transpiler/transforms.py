@@ -4884,6 +4884,84 @@ def rewrite_listagg_distinct(tokens: Tokens) -> Tokens:
     return out
 
 
+_QCMP_OPS = {"=", "<>", "!=", ">", ">=", "<", "<="}
+
+
+def rewrite_quantified_comparison(tokens: Tokens) -> Tokens:
+    """``<expr> <cmp> ANY|SOME|ALL (SELECT …)`` — Snowflake quantified
+    comparison subqueries, which Spark's parser lacks (r11 probe:
+    previously the generic could-not-parse error):
+
+    - ``= ANY/SOME``    → ``IN (subq)``
+    - ``<>/!= ALL``     → ``NOT IN (subq)`` (exact incl. NULLs)
+    - ``>/>= ANY``      → ``>/>= (SELECT MIN …)``;  ``</<= ANY`` → MAX
+
+    The ANY reductions are exact under SQL's not-true filtering:
+    empty subquery → scalar NULL → comparison unknown, the same
+    not-true ANY yields; NULL elements are skipped by MIN/MAX, and
+    the quantified result could at most differ between FALSE and
+    UNKNOWN, which no WHERE/HAVING/CASE branch distinguishes. The
+    inequality-ALL forms are NOT reducible subquery-side (ALL over an
+    EMPTY set is TRUE, and a NULL element makes ALL unknown even when
+    the non-null MAX satisfies the comparison) and refuse naming the
+    aggregate rendering; ``= ALL`` / ``<> ANY`` likewise. Non-subquery
+    parens (e.g. a function named ANY) never trigger — the previous
+    CODE token must be a comparison op and the parens must open a
+    SELECT/WITH."""
+    from .core import TranspileError
+
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper in ("ANY", "SOME", "ALL"):
+            j = next_code(tokens, i + 1)
+            # last CODE token already emitted (the comparison op)
+            k = len(out) - 1
+            while k >= 0 and out[k].kind in (WS, COMMENT):
+                k -= 1
+            prev_op = (out[k].text if k >= 0 and out[k].kind == OP
+                       and out[k].text in _QCMP_OPS else None)
+            if (prev_op and j < n and tokens[j].is_op("(")):
+                close = find_matching_paren(tokens, j)
+                w = next_code(tokens, j + 1)
+                if (w < close and tokens[w].kind == WORD
+                        and tokens[w].upper in ("SELECT", "WITH")):
+                    is_all = t.upper == "ALL"
+                    sub = render(tokens[j + 1:close]).strip()
+                    if prev_op == "=" and not is_all:
+                        del out[k:]
+                        out += tokenize(f" IN ({sub})")
+                    elif prev_op in ("<>", "!=") and is_all:
+                        del out[k:]
+                        out += tokenize(f" NOT IN ({sub})")
+                    elif prev_op in (">", ">=", "<", "<=") \
+                            and not is_all:
+                        agg = "MIN" if prev_op in (">", ">=") else "MAX"
+                        out += tokenize(
+                            f"(SELECT {agg}(__qc) FROM ({sub}) "
+                            f"AS __qcq(__qc))")
+                    else:
+                        agg2 = ("MAX" if prev_op in (">", ">=")
+                                else "MIN")
+                        raise TranspileError(
+                            f"{prev_op} {t.upper} (subquery): no "
+                            "subquery-side scalar reduction is "
+                            "faithful (ALL over an empty set is TRUE "
+                            "and a NULL element makes ALL unknown) — "
+                            "spell the intent explicitly, e.g. "
+                            f"`expr {prev_op} (SELECT {agg2}(c) FROM "
+                            "…)` plus the empty/NULL policy you want, "
+                            "or use NOT EXISTS"
+                        )
+                    i = close + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_sample(tokens: Tokens) -> Tokens:
     """Snowflake sampling → Spark TABLESAMPLE:
     ``t SAMPLE (10)`` / ``t TABLESAMPLE BERNOULLI (10)`` →
@@ -7930,6 +8008,7 @@ PIPELINE = (
     rewrite_try_to,
     rewrite_listagg_distinct,
     rewrite_array_agg_within,
+    rewrite_quantified_comparison,  # = ANY / <> ALL / > ANY (subq)
     rewrite_sample,
     rewrite_minhash,           # sketch aggregates → JVM array/fold SQL
     rewrite_bracket_literals,  # [..] / {'k': v} constants → constructors

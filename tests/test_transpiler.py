@@ -3597,3 +3597,61 @@ def test_r11_nextval_in_column_default_refuses(spark):
         "SELECT sdft.NEXTVAL AS id, 'a' AS x")
     assert spark.table("r11seqd.td").count() == 1
     spark.sql("DROP TABLE r11seqd.td")
+
+
+class TestR11QuantifiedComparison:
+    """Round-11: <cmp> ANY|SOME|ALL (subquery) — Spark's parser lacks
+    quantified comparisons; = ANY → IN, <> ALL → NOT IN, inequality
+    forms reduce to MIN/MAX scalar subqueries (exact under not-true
+    filtering incl. empty subqueries)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def views(self, spark):
+        spark.sql("CREATE OR REPLACE TEMP VIEW qc_t AS "
+                  "SELECT * FROM VALUES (1),(5),(9) t(v)")
+        spark.sql("CREATE OR REPLACE TEMP VIEW qc_e AS "
+                  "SELECT v FROM qc_t WHERE v > 100")
+
+    @pytest.mark.parametrize("sql,want", [
+        ("SELECT v FROM qc_t WHERE v = ANY (SELECT v FROM qc_t "
+         "WHERE v > 4) ORDER BY v", [5, 9]),
+        ("SELECT v FROM qc_t WHERE v = SOME (SELECT 5)", [5]),
+        ("SELECT v FROM qc_t WHERE v <> ALL (SELECT 5) ORDER BY v",
+         [1, 9]),
+        ("SELECT v FROM qc_t WHERE v != ALL (SELECT 1) ORDER BY v",
+         [5, 9]),
+        ("SELECT v FROM qc_t WHERE v > ANY (SELECT v FROM qc_t "
+         "WHERE v >= 5)", [9]),
+        ("SELECT v FROM qc_t WHERE v <= ANY (SELECT v FROM qc_t) "
+         "ORDER BY v", [1, 5, 9]),
+        # empty subquery: quantified-unknown == scalar-NULL not-true
+        ("SELECT v FROM qc_t WHERE v > ANY (SELECT v FROM qc_e)", []),
+        ("SELECT v FROM qc_t WHERE v = ANY (SELECT v FROM qc_e)", []),
+        # NULL element: ANY stays exact (MIN/MAX skip NULLs; the
+        # only divergence is FALSE vs UNKNOWN, both not-true)
+        ("SELECT v FROM qc_t WHERE v > ANY (SELECT CAST(NULL AS INT) "
+         "UNION ALL SELECT 5)", [9]),
+    ])
+    def test_quantified(self, spark, sql, want):
+        got = [r.v for r in spark.sql(t.to_spark(sql)).collect()]
+        assert got == want, (sql, got)
+
+    @pytest.mark.parametrize("bad", [
+        "SELECT v FROM qc_t WHERE v = ALL (SELECT 5)",
+        "SELECT v FROM qc_t WHERE v <> ANY (SELECT 5)",
+        # inequality-ALL: empty set is TRUE and NULL elements make
+        # ALL unknown — no subquery-side reduction is faithful
+        "SELECT v FROM qc_t WHERE v >= ALL (SELECT v FROM qc_t)",
+        "SELECT v FROM qc_t WHERE v < ALL (SELECT v FROM qc_t)",
+    ])
+    def test_unreducible_pairs_refuse(self, bad):
+        with pytest.raises(TranspileError, match="scalar reduction"):
+            t.to_spark(bad)
+
+    def test_other_all_contexts_untouched(self, spark):
+        # UNION ALL / COUNT(ALL x) / GROUP BY ALL never trigger
+        assert sorted(r[0] for r in spark.sql(t.to_spark(
+            "SELECT v FROM qc_t UNION ALL (SELECT 99)"
+        )).collect()) == [1, 5, 9, 99]
+        assert spark.sql(t.to_spark(
+            "SELECT COUNT(ALL v) FROM qc_t")).collect()[0][0] == 3
