@@ -183,6 +183,16 @@ def substitute_nextval(engine, raw: str) -> str:
                 f"NEXTVAL: unknown sequence {nm!r} (session sequences:"
                 f" {known}) — CREATE SEQUENCE {nm} first")
     words = [t.upper for t in toks if t.kind == "word"]
+    if words[:1] == ["CREATE"] and "VIEW" in words[:5]:
+        # Snowflake re-draws NEXTVAL on every query of the view;
+        # prepare-time substitution would freeze ONE value into the
+        # view text — silent wrong answer on the second SELECT
+        raise ValueError(
+            "NEXTVAL in a VIEW definition: the substitution happens "
+            "at statement-prepare time, so the view would freeze one "
+            "value instead of drawing per query like Snowflake — "
+            "materialize with CREATE TABLE … AS SELECT <seq>.NEXTVAL "
+            "…, or draw the value in the consuming INSERT/SELECT")
     if words[:1] in (["CREATE"], ["ALTER"]) and "DEFAULT" in words \
             and "TABLE" in words[:4]:
         # a sequence column DEFAULT needs per-INSERT evaluation Spark

@@ -3655,3 +3655,40 @@ class TestR11QuantifiedComparison:
         )).collect()) == [1, 5, 9, 99]
         assert spark.sql(t.to_spark(
             "SELECT COUNT(ALL v) FROM qc_t")).collect()[0][0] == 3
+
+
+class TestR11SequenceInteractions:
+    """Round-11 follow-up: NEXTVAL across the engine's statement
+    layers — scripting blocks, EXECUTE IMMEDIATE, and procedures all
+    draw fresh values through the same registry; a VIEW definition
+    refuses (prepare-time substitution would freeze one value where
+    Snowflake re-draws per query)."""
+
+    @pytest.fixture
+    def engine(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+
+        return IcebreakerEngine(spark, schema="r11seqx")
+
+    def test_layers_share_the_registry(self, engine):
+        engine.execute("CREATE OR REPLACE SEQUENCE sqi")
+        a = engine.execute(
+            "EXECUTE IMMEDIATE 'SELECT sqi.NEXTVAL AS v'"
+        ).collect()[0][0]
+        b = engine.execute(
+            "DECLARE v INT; BEGIN LET v := (SELECT sqi.NEXTVAL); "
+            "RETURN v; END").collect()[0][0]
+        engine.execute(
+            "CREATE OR REPLACE PROCEDURE sqi_p() RETURNS INT "
+            "LANGUAGE SQL AS $$ BEGIN RETURN (SELECT sqi.NEXTVAL); "
+            "END $$")
+        c = engine.execute("CALL sqi_p()").collect()[0][0]
+        d = engine.execute("CALL sqi_p()").collect()[0][0]
+        assert [int(a), int(b), int(c), int(d)] == [1, 2, 3, 4]
+
+    def test_view_definition_refuses(self, engine):
+        engine.execute("CREATE OR REPLACE SEQUENCE sqv")
+        with pytest.raises(Exception, match="VIEW definition"):
+            engine.execute(
+                "CREATE OR REPLACE VIEW r11seqx.badv AS "
+                "SELECT sqv.NEXTVAL AS id")
