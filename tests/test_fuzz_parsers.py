@@ -19,3 +19,20 @@ def test_no_parser_crashes():
     from fuzz_parsers import run
 
     assert run(rounds_per_seed=25, seed=1234) == 0
+
+
+def test_differential_fuzz_seeded():
+    """Round-11: randomized cross-engine differential check — 40
+    grammar-limited queries per run, engine vs DuckDB on the same
+    parquet, sorted-rows equality. Any mismatch is a real wrong
+    answer; the seed reproduces it. (120×3 seeds ran green when the
+    harness landed; CI keeps a fast 40.)"""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/fuzz_differential.py", "40", "7"],
+        capture_output=True, text=True, timeout=540,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
