@@ -79,10 +79,47 @@ def predicate(num_cols, str_cols):
     return f"{rng.choice(num_cols)} % {rng.randrange(2, 9)} = 0"
 
 
-def gen_query() -> str:
+def dialect_scalar(num_cols, str_cols):
+    """(snowflake_expr, duckdb_expr) pairs exercising TRANSPILED
+    spellings — a mismatch here is a transpiler bug, not a Spark
+    bug."""
+    c = rng.choice(num_cols)
+    s = rng.choice(str_cols)
+    lit = rng.randrange(1, 500)
+    choices = [
+        (f"IFF({c} > {lit}, 1, 0)",
+         f"CASE WHEN {c} > {lit} THEN 1 ELSE 0 END"),
+        (f"NVL({c}, 0)", f"COALESCE({c}, 0)"),
+        (f"ZEROIFNULL({c})", f"COALESCE({c}, 0)"),
+        # NOTE the explicit ROUND: Spark CAST(double AS int-type)
+        # TRUNCATES while Snowflake/DuckDB ROUND — a documented
+        # deviation the reference shares (sqlglot also leaves int
+        # casts untouched); the engine's TO_NUMBER family is immune
+        # (DECIMAL casts round in Spark too)
+        (f"CAST(ROUND({c}::DOUBLE) AS BIGINT)",
+         f"CAST(ROUND(CAST({c} AS DOUBLE)) AS BIGINT)"),
+        (f"DECODE({s}, 'F', 1, 'O', 2, 0)",
+         f"CASE {s} WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END"),
+        (f"LEN({s})", f"LENGTH({s})"),
+        (f"CHARINDEX('E', {s})", f"CASE WHEN strpos({s}, 'E') IS NULL "
+         f"THEN 0 ELSE strpos({s}, 'E') END"),
+        (f"LENGTH(SPLIT_PART({s}, '-', 1))",
+         f"LENGTH(SPLIT_PART({s}, '-', 1))"),
+        (f"TRY_TO_NUMBER(CAST({c} AS VARCHAR))",
+         f"CAST(TRY_CAST(CAST({c} AS VARCHAR) AS DOUBLE) AS DOUBLE)"),
+        (f"WIDTH_BUCKET({c}, 0, 1000, 10)",
+         f"CAST(CASE WHEN {c} < 0 THEN 0 WHEN {c} >= 1000 THEN 11 "
+         f"ELSE FLOOR({c} / 100) + 1 END AS BIGINT)"),
+    ]
+    return rng.choice(choices)
+
+
+def gen_query():
+    """Returns (engine_sql, duck_sql) — identical text for the
+    pass-through shapes, paired dialect renderings otherwise."""
     table = rng.choice(list(TABLES))
     num_cols, str_cols = TABLES[table]
-    shape = rng.randrange(3)
+    shape = rng.randrange(5)
     if shape == 0:
         # grouped aggregation
         g = rng.choice(str_cols)
@@ -92,21 +129,53 @@ def gen_query() -> str:
              f"WHERE {predicate(num_cols, str_cols)} GROUP BY {g}")
         if rng.random() < 0.4:
             q += " HAVING COUNT(*) > 1"
-        return q
+        return q, q
     if shape == 1:
         # global aggregation with several measures
         aggs = ", ".join(f"{agg(num_cols)} AS a{k}"
                          for k in range(rng.randrange(2, 5)))
-        return (f"SELECT {aggs} FROM {table} "
-                f"WHERE {predicate(num_cols, str_cols)}")
-    # two-table equi-join aggregation
-    g = rng.choice(ORDERS_STR)
-    a1 = agg(LINEITEM_NUM)
-    return (
-        f"SELECT {g} AS g, {a1} AS a0, CAST(COUNT(*) AS BIGINT) AS n "
-        f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
-        f"WHERE {predicate(ORDERS_NUM, ORDERS_STR)} GROUP BY {g}"
-    )
+        q = (f"SELECT {aggs} FROM {table} "
+             f"WHERE {predicate(num_cols, str_cols)}")
+        return q, q
+    if shape == 2:
+        # two-table equi-join aggregation
+        g = rng.choice(ORDERS_STR)
+        a1 = agg(LINEITEM_NUM)
+        q = (
+            f"SELECT {g} AS g, {a1} AS a0, "
+            f"CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            f"WHERE {predicate(ORDERS_NUM, ORDERS_STR)} GROUP BY {g}"
+        )
+        return q, q
+    if shape == 3:
+        # DIALECT scalars grouped: engine gets Snowflake spellings,
+        # duck gets the equivalent rendering
+        g = rng.choice(str_cols)
+        pairs = [dialect_scalar(num_cols, str_cols)
+                 for _ in range(rng.randrange(1, 3))]
+        sf_aggs = ", ".join(
+            f"CAST(SUM({sf}) AS DOUBLE) AS a{k}"
+            for k, (sf, _d) in enumerate(pairs))
+        dk_aggs = ", ".join(
+            f"CAST(SUM({dk}) AS DOUBLE) AS a{k}"
+            for k, (_s, dk) in enumerate(pairs))
+        w = predicate(num_cols, str_cols)
+        return (
+            f"SELECT {g} AS g, {sf_aggs} FROM {table} WHERE {w} "
+            f"GROUP BY {g}",
+            f"SELECT {g} AS g, {dk_aggs} FROM {table} WHERE {w} "
+            f"GROUP BY {g}",
+        )
+    # QUALIFY top-1 per group (DuckDB supports QUALIFY natively)
+    g = rng.choice(str_cols)
+    k = rng.choice(num_cols)
+    n = rng.randrange(1, 4)
+    q = (f"SELECT {g} AS g, CAST({k} AS DOUBLE) AS k FROM {table} "
+         f"WHERE {predicate(num_cols, str_cols)} "
+         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {g} "
+         f"ORDER BY {k}, {num_cols[0]}) <= {n}")
+    return q, q
 
 
 def norm(v):
@@ -136,30 +205,32 @@ def main() -> None:
             f"read_parquet('{SF}/{t}.parquet')")
     fails = 0
     for k in range(N):
-        q = gen_query()
-        try:
-            srows = sorted(
-                tuple(norm(v) for v in r) for r in eng.execute(q).collect())
-        except Exception as e:
-            print(f"FAIL[{k}] spark error: {q}\n  {str(e)[:200]}")
-            fails += 1
-            continue
+        q_sf, q_dk = gen_query()
         try:
             drows = sorted(
                 tuple(norm(v) for v in r)
-                for r in duck.execute(q).fetchall())
+                for r in duck.execute(q_dk).fetchall())
         except Exception as e:
-            print(f"SKIP[{k}] duckdb rejected: {q} ({str(e)[:80]})")
+            # oracle can't express it — not a comparison point
+            print(f"SKIP[{k}] duckdb rejected: {q_dk} ({str(e)[:80]})")
+            continue
+        try:
+            srows = sorted(
+                tuple(norm(v) for v in r)
+                for r in eng.execute(q_sf).collect())
+        except Exception as e:
+            print(f"FAIL[{k}] spark error: {q_sf}\n  {str(e)[:200]}")
+            fails += 1
             continue
         if srows != drows:
             diffs = [
                 (a, b) for a, b in zip(srows, drows) if a != b
             ][:2]
-            print(f"FAIL[{k}] MISMATCH: {q}\n  rows {len(srows)} vs "
-                  f"{len(drows)}; first diffs: {diffs}")
+            print(f"FAIL[{k}] MISMATCH: {q_sf}\n  rows {len(srows)} "
+                  f"vs {len(drows)}; first diffs: {diffs}")
             fails += 1
         else:
-            print(f"ok[{k}] rows={len(srows)} :: {q[:90]}")
+            print(f"ok[{k}] rows={len(srows)} :: {q_sf[:90]}")
     print(f"\n{N - fails} ok, {fails} FAIL (seed={SEED})")
     spark.stop()
     sys.exit(1 if fails else 0)
