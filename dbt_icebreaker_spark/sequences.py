@@ -15,15 +15,17 @@ counter service:
     ``n_occurrences·inc`` — the probe shape ``SELECT s.NEXTVAL``
     yields 1, 2, 3, …;
   * any row-producing statement: occurrence *k* becomes
-    ``(next + k·inc + monotonically_increasing_id()·K·inc)`` with
+    ``next + k·inc + (partition·2^24 + row)·K·inc`` with
     ``K = n_occurrences`` — unique per (row, occurrence), increasing
     in row order within a partition, fully distributed (no shuffle,
-    no driver loop); the cursor then advances by a block reservation
-    of ``K·inc·2^44`` (``monotonically_increasing_id`` is
-    ``partition_id·2^33 + row_index``, so the block covers ~2k
-    partitions × 8B rows — collisions would need a larger single
-    statement than local mode can produce; gaps are the documented
-    contract).
+    no driver loop). The compact offset (not the raw
+    ``monotonically_increasing_id``, whose partition·2^33 stride
+    overflowed INT target columns on the second partition) covers
+    2^20 partitions × 16M rows/partition and raise_errors past
+    either bound instead of silently colliding (override via
+    SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS); the cursor then
+    advances by a block reservation of ``K·inc·2^44`` — gaps are the
+    documented contract, collisions never are.
 
 Reference parity: the reference transpiles sequences away entirely
 (dbt projects use them for surrogate keys); this keeps the DDL + the
@@ -36,6 +38,14 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 _BLOCK_BITS = 44
+
+import os as _os
+
+# rows-per-partition capacity of the compact distributed offset
+# (partition << bits | row); override via env when a single statement
+# legitimately carries more rows per partition
+_ROWS_PER_PARTITION_BITS = int(_os.environ.get(
+    "SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS", "24"))
 
 
 @dataclass
@@ -231,10 +241,35 @@ def substitute_nextval(engine, raw: str) -> str:
                 expr = str(sq.next + k * sq.increment)
             else:
                 kk = counts[nm]
+                # COMPACT distributed offset (r11 interaction probe:
+                # raw monotonically_increasing_id = partition·2^33 +
+                # row jumps to ~8.6B on the second partition and
+                # overflowed INT target columns in a MERGE insert):
+                # offset = partition·2^cap + row with cap = 24
+                # (16M rows/partition), raise_error past either bound
+                # instead of silently colliding — gap-tolerant, never
+                # collision-tolerant. Offsets stay < 2^44, matching
+                # the block reservation.
+                cap = _ROWS_PER_PARTITION_BITS
+                mid = "monotonically_increasing_id()"
+                pid = f"shiftright({mid}, 33)"
+                row = f"({mid} % {1 << 33})"
+                guard_msg = (
+                    "sequence NEXTVAL: a single statement exceeded "
+                    f"{1 << cap} rows in one partition or {1 << 20} "
+                    "partitions - raise "
+                    "SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS (values "
+                    "grow proportionally) or split the statement")
+                offset = (
+                    f"(CASE WHEN {row} < {1 << cap} AND "
+                    f"{pid} < {1 << 20} THEN "
+                    f"shiftleft({pid}, {cap}) + {row} "
+                    f"ELSE CAST(raise_error('{guard_msg}') "
+                    f"AS BIGINT) END)"
+                )
                 expr = (
                     f"(CAST({sq.next + k * sq.increment} AS BIGINT) + "
-                    f"monotonically_increasing_id() * "
-                    f"CAST({kk * sq.increment} AS BIGINT))"
+                    f"{offset} * CAST({kk * sq.increment} AS BIGINT))"
                 )
             out.extend(tokenize(expr))
             i = e

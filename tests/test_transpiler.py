@@ -3692,3 +3692,30 @@ class TestR11SequenceInteractions:
             engine.execute(
                 "CREATE OR REPLACE VIEW r11seqx.badv AS "
                 "SELECT sqv.NEXTVAL AS id")
+
+
+def test_r11_sequence_merge_into_int_column(spark):
+    """Round-11 interaction probe: distributed NEXTVAL values must not
+    blow past INT target columns on small statements (the raw
+    monotonically_increasing_id stride did - partition 1 row 0 was
+    already 8.6B and a MERGE insert died with CAST_OVERFLOW)."""
+    import tempfile
+    import uuid
+
+    from dbt_icebreaker_spark import IcebreakerEngine
+
+    db = f"sqm_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION "
+              f"'{tempfile.mkdtemp()}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    eng.execute("CREATE OR REPLACE SEQUENCE sqm START 1000")
+    eng.execute(f"CREATE TABLE {db}.mt AS SELECT 1 AS k, 'a' AS x")
+    eng.execute(
+        f"MERGE INTO {db}.mt t USING (SELECT sqm.NEXTVAL AS k, "
+        "'n' AS x FROM (SELECT 1 AS d UNION ALL SELECT 2)) s "
+        "ON t.k = s.k WHEN NOT MATCHED THEN "
+        "INSERT (k, x) VALUES (s.k, s.x)")
+    rows = spark.table(f"{db}.mt").collect()
+    assert len(rows) == 3
+    assert len({r.k for r in rows}) == 3
+    spark.sql(f"DROP TABLE {db}.mt")
