@@ -3719,3 +3719,30 @@ def test_r11_sequence_merge_into_int_column(spark):
     assert len(rows) == 3
     assert len({r.k for r in rows}) == 3
     spark.sql(f"DROP TABLE {db}.mt")
+
+
+def test_r11_sequence_through_run_model(spark):
+    """The dbt surrogate-key shape: NEXTVAL inside a model SELECT
+    materialized via run_model (table + incremental paths)."""
+    from dbt_icebreaker_spark import IcebreakerEngine
+    from dbt_icebreaker_spark.sources import register_dir
+
+    register_dir(spark, "/root/testdata/sf0.001")
+    eng = IcebreakerEngine(spark, schema="seqrm")
+    eng.execute("CREATE OR REPLACE SEQUENCE rmseq START 100")
+    eng.run_model(
+        "dim_sk", "SELECT rmseq.NEXTVAL AS sk, o_orderkey "
+        "FROM orders WHERE o_orderkey <= 5", "table")
+    rows = spark.table("seqrm.dim_sk").collect()
+    assert len({r.sk for r in rows}) == len(rows)
+    assert all(r.sk >= 100 for r in rows)
+    eng.run_model(
+        "dim_sk2", "SELECT rmseq.NEXTVAL AS sk, o_orderkey AS k "
+        "FROM orders WHERE o_orderkey <= 3",
+        "incremental", unique_key="k")
+    n = spark.table("seqrm.dim_sk2").count()
+    assert n == spark.sql(
+        "SELECT COUNT(*) FROM orders WHERE o_orderkey <= 3"
+    ).collect()[0][0]
+    spark.sql("DROP TABLE seqrm.dim_sk")
+    spark.sql("DROP TABLE seqrm.dim_sk2")
