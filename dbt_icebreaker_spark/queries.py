@@ -6337,6 +6337,47 @@ XOP_ORACLES["x83_quantified_any"] = """
 """
 
 
+def _x_date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: TO_DATE/TO_TIMESTAMP PARSE direction for day-first
+    format models (r11 verdict What's-wrong #1). The VARIANT unwrap
+    formerly ran every input through
+    COALESCE(get_json_object(x,'$'), x); get_json_object parses JSON
+    *prefixes*, so '15 Jan 2024' truncated to '15' and day-first
+    parses crashed. Round-trips orders dates through 'DD Mon YYYY'
+    text (format → parse) plus a quoted-JSON VARIANT scalar parse so
+    both the plain-string and genuinely-quoted paths of the new
+    LIKE '\"%' guard stay locked against the DuckDB strptime oracle."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT o_orderkey,
+               TO_DATE(TO_CHAR(o_orderdate, 'DD Mon YYYY'),
+                       'DD Mon YYYY') AS d_dayfirst,
+               TO_TIMESTAMP(TO_CHAR(o_orderdate, 'DD Mon YYYY')
+                            || ' 10:30:45',
+                            'DD Mon YYYY HH24:MI:SS') AS ts_dayfirst,
+               TO_DATE(PARSE_JSON('"' || TO_CHAR(o_orderdate,
+                                                 'YYYY-MM-DD')
+                                  || '"')::VARCHAR) AS d_variant
+        FROM orders WHERE o_orderkey <= 1000
+        """
+    )
+
+
+XOP_ORACLES["x84_date_parse_formats"] = """
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%d %b %Y'),
+                    '%d %b %Y')::DATE AS d_dayfirst,
+           strptime(strftime(o_orderdate, '%d %b %Y') || ' 10:30:45',
+                    '%d %b %Y %H:%M:%S')::TIMESTAMP AS ts_dayfirst,
+           strftime(o_orderdate, '%Y-%m-%d')::DATE AS d_variant
+    FROM orders WHERE o_orderkey <= 1000
+"""
+
+
 def _q_merge_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 NULL-key MERGE semantics pin (VERDICT r6 task 6): ON
     equality must be NULL-REJECTING (Snowflake/SQL: NULL = NULL is not
@@ -7391,6 +7432,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x81_mr_sum_cap_chunks": _x_mr_sum_cap_chunks,
     "x82_connect_by_desc_walk": _x_connect_by_desc_walk,
     "x83_quantified_any": _x_quantified_any,
+    "x84_date_parse_formats": _x_date_parse_formats,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,

@@ -1203,3 +1203,52 @@ def test_r11b_split_part_dynamic_zero(spark):
         "SELECT SPLIT_PART('a|b|c', '|', n) FROM (SELECT 0 AS n)"
     )).collect()[0][0]
     assert v == "a"
+
+
+# ---------------------------------------------------------------- r12
+# TO_DATE/TO_TIMESTAMP PARSE direction for digit-leading inputs
+# (r11 verdict What's-wrong #1): the VARIANT unwrap used a blanket
+# COALESCE(get_json_object(x,'$'), x), but get_json_object parses JSON
+# *prefixes* — get_json_object('15 Jan 2024','$') = '15' — so day-first
+# formats fed a truncated input to to_date and crashed. The unwrap now
+# classifies literals at transpile time and guards expressions with a
+# LIKE '"%' quoted-scalar check. These lock the PARSE direction, which
+# the r11 battery only covered via TO_CHAR (output).
+R12_DATE_PARSE_CASES = [
+    ("SELECT TO_DATE('15 Jan 2024', 'DD Mon YYYY')", "2024-01-15"),
+    ("SELECT TO_DATE('05 January 2024', 'DD MMMM YYYY')", "2024-01-05"),
+    ("SELECT TO_TIMESTAMP('15 Jan 2024 10:30:45', "
+     "'DD Mon YYYY HH24:MI:SS')", "2024-01-15 10:30:45"),
+    ("SELECT TO_DATE('15', 'DD')", "1970-01-15"),
+    ("SELECT TO_DATE('15/01/2024', 'DD/MM/YYYY')", "2024-01-15"),
+    # quoted-JSON (VARIANT text) scalars still unwrap:
+    ("SELECT TO_DATE(PARSE_JSON('\"2024-01-15\"'))", "2024-01-15"),
+    ("SELECT TO_TIMESTAMP(PARSE_JSON('\"2024-01-15 10:30:45\"'))",
+     "2024-01-15 10:30:45"),
+    # epoch-like string — 1-arg TO_TIMESTAMP seconds semantics survive:
+    ("SELECT TO_TIMESTAMP('1700000000')", None),
+    # plain ISO literal (regression guard for the happy path):
+    ("SELECT TO_DATE('2024-01-15')", "2024-01-15"),
+    ("SELECT TRY_TO_DATE('nope', 'DD Mon YYYY')", ("__NULL__",)),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12_DATE_PARSE_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12_date_parse_direction(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r12_date_parse_column_expr(spark):
+    # non-literal input through the runtime quoted-scalar guard: a
+    # plain string column must NOT be prefix-truncated, a quoted-JSON
+    # column must unwrap.
+    rows = spark.sql(t.to_spark(
+        "SELECT TO_DATE(s, 'DD Mon YYYY') AS d FROM "
+        "(SELECT '15 Jan 2024'::string AS s)"
+    )).collect()
+    assert str(rows[0][0]) == "2024-01-15"
+    rows = spark.sql(t.to_spark(
+        "SELECT TO_DATE(TO_VARIANT('2024-01-15')::string) AS d"
+    )).collect()
+    assert str(rows[0][0]) == "2024-01-15"
