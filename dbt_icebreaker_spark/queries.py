@@ -175,7 +175,13 @@ _q(
     """,
 )
 
-# ---- window navigation (auto_router.py:140) ------------------------
+# ---- window navigation (auto_router.py:140). Snowflake's default
+# frame for FIRST_VALUE/LAST_VALUE/NTH_VALUE is the ENTIRE window
+# (unlike DuckDB/ANSI cumulative), so the default-frame last_price on
+# the Snowflake side pairs with an EXPLICIT full frame in the oracle;
+# running_last keeps an explicit cumulative frame on both sides, and
+# nth2_last exercises NTH_VALUE … FROM LAST (r12) against its
+# reversed-sort oracle rendering. -----------------------------------
 _q(
     "q06_window_nav",
     """
@@ -183,7 +189,14 @@ _q(
            CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
            CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
            CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
-           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS running_last
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price,
+           CAST(LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_last,
+           CAST(NTH_VALUE(o_totalprice, 2) FROM LAST OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS DOUBLE) AS nth2_last
     FROM orders
     WHERE o_custkey < 100
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -193,7 +206,19 @@ _q(
            CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
            CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
            CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
-           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS running_last
+           CAST(LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS last_price,
+           CAST(LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_last,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS nth2_last
     FROM orders
     WHERE o_custkey < 100
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -6297,21 +6322,43 @@ XOP_ORACLES["x82_connect_by_desc_walk"] = """
 
 
 def _x_quantified_any(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-11: quantified comparison subqueries (valid Snowflake
-    Spark's parser lacks — previously the generic could-not-parse
-    refusal). ``= ANY`` → IN, ``<> ALL`` → NOT IN, inequality-ANY →
-    MIN/MAX scalar subqueries (exact under not-true filtering; the
-    unreducible inequality-ALL forms refuse naming the aggregate
-    rendering). DuckDB evaluates the SAME quantified syntax natively,
-    so the oracle is the query verbatim — any semantic drift in the
-    reduction breaks the hash."""
+    """Round-11/12: the full quantified-comparison matrix (valid
+    Snowflake Spark's parser lacks — previously the generic
+    could-not-parse refusal). ``= ANY`` → IN, ``<> ALL`` → NOT IN;
+    every inequality ANY/ALL form (r12: ALL previously refused) →
+    the truth-preserving CASE over merged MIN/MAX/COUNT scalar
+    subqueries, exact in all three logic values — the ALL columns
+    here include an EMPTY subquery (→ TRUE) and a NULL-element
+    subquery (→ not-true when otherwise satisfied), plus a NOT()
+    context over the ANY form (the r11 advisor's FALSE/UNKNOWN
+    conflation case). DuckDB evaluates the SAME quantified syntax
+    natively, so the oracle is the query verbatim — any semantic
+    drift in the reduction breaks the hash."""
     from .runner import IcebreakerEngine
 
     register_dir(spark, sf_dir)
     eng = IcebreakerEngine(spark, schema="default")
     return eng.execute(
         """
-        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+               o_totalprice > ALL (SELECT o_totalprice FROM orders
+                                   WHERE o_orderkey <= 2000
+                                     AND o_totalprice < 20000)
+                 AS gt_all,
+               o_totalprice <= ALL (SELECT o_totalprice FROM orders
+                                    WHERE o_orderkey < 0)
+                 AS le_all_empty,
+               NOT (o_totalprice < ANY (
+                    SELECT CASE WHEN o_orderkey = 20 THEN NULL
+                                ELSE o_totalprice - 100000 END
+                    FROM orders WHERE o_orderkey <= 20))
+                 AS not_lt_any_nul,
+               o_totalprice = ALL (SELECT o_totalprice FROM orders
+                                   WHERE o_orderkey = 1)
+                 AS eq_all_single,
+               o_custkey <> ANY (SELECT o_custkey FROM orders
+                                 WHERE o_orderkey <= 10)
+                 AS ne_any
         FROM orders
         WHERE o_orderkey <= 2000
           AND o_orderstatus = ANY (SELECT DISTINCT o_orderstatus
@@ -6325,7 +6372,25 @@ def _x_quantified_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XOP_ORACLES["x83_quantified_any"] = """
-    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           o_totalprice > ALL (SELECT o_totalprice FROM orders
+                               WHERE o_orderkey <= 2000
+                                 AND o_totalprice < 20000)
+             AS gt_all,
+           o_totalprice <= ALL (SELECT o_totalprice FROM orders
+                                WHERE o_orderkey < 0)
+             AS le_all_empty,
+           NOT (o_totalprice < ANY (
+                SELECT CASE WHEN o_orderkey = 20 THEN NULL
+                            ELSE o_totalprice - 100000 END
+                FROM orders WHERE o_orderkey <= 20))
+             AS not_lt_any_nul,
+           o_totalprice = ALL (SELECT o_totalprice FROM orders
+                               WHERE o_orderkey = 1)
+             AS eq_all_single,
+           o_custkey <> ANY (SELECT o_custkey FROM orders
+                             WHERE o_orderkey <= 10)
+             AS ne_any
     FROM orders
     WHERE o_orderkey <= 2000
       AND o_orderstatus = ANY (SELECT DISTINCT o_orderstatus

