@@ -37,8 +37,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-_BLOCK_BITS = 44
-
 import os as _os
 
 # rows-per-partition capacity of the compact distributed offset
@@ -46,6 +44,14 @@ import os as _os
 # legitimately carries more rows per partition
 _ROWS_PER_PARTITION_BITS = int(_os.environ.get(
     "SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS", "24"))
+
+# the cursor's per-statement block reservation must cover the largest
+# offset a statement can emit: pid < 2^20 partitions × 2^cap rows →
+# offsets < 2^(cap+20). A FIXED 44-bit reservation silently collided
+# across statements the moment the env var exceeded 24 — exactly the
+# knob the guard message tells users to raise (r11 advisor finding) —
+# so the reservation scales with it.
+_BLOCK_BITS = max(44, _ROWS_PER_PARTITION_BITS + 20)
 
 
 @dataclass
@@ -251,21 +257,29 @@ def substitute_nextval(engine, raw: str) -> str:
                 # collision-tolerant. Offsets stay < 2^44, matching
                 # the block reservation.
                 cap = _ROWS_PER_PARTITION_BITS
-                mid = "monotonically_increasing_id()"
-                pid = f"shiftright({mid}, 33)"
-                row = f"({mid} % {1 << 33})"
                 guard_msg = (
                     "sequence NEXTVAL: a single statement exceeded "
                     f"{1 << cap} rows in one partition or {1 << 20} "
                     "partitions - raise "
                     "SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS (values "
                     "grow proportionally) or split the statement")
+                # the id binds ONCE per row through a single-element
+                # transform lambda (same bind-once trick the JW/zip
+                # kernels use) — two bare monotonically_increasing_id
+                # call sites are two independent nondeterministic
+                # instances, and pid/row derived from different
+                # instances can collide if the optimizer ever splits
+                # or re-evaluates the projection (r11 advisor finding)
+                pid = "shiftright(__sq, 33)"
+                row = f"(__sq % {1 << 33})"
                 offset = (
-                    f"(CASE WHEN {row} < {1 << cap} AND "
+                    f"element_at(transform(array("
+                    f"monotonically_increasing_id()), __sq -> "
+                    f"CASE WHEN {row} < {1 << cap} AND "
                     f"{pid} < {1 << 20} THEN "
                     f"shiftleft({pid}, {cap}) + {row} "
                     f"ELSE CAST(raise_error('{guard_msg}') "
-                    f"AS BIGINT) END)"
+                    f"AS BIGINT) END), 1)"
                 )
                 expr = (
                     f"(CAST({sq.next + k * sq.increment} AS BIGINT) + "

@@ -87,7 +87,17 @@ def parse_measures_sql(text: str) -> list[Measure]:
 
     parts = _split_top_commas(tokenize(text))
     out = [_parse_measure(p) for p in parts]
-    for m in out:
+    _validate_measures(out)
+    return out
+
+
+def _validate_measures(measures) -> None:
+    """Front-door validation shared by both CEP entry points: the CEP
+    event shape exposes exactly (value, ts) — a measure over any other
+    column would pass parsing and die with a raw KeyError inside the
+    stateful executor (r11 advisor finding); MATCH_NUMBER() has no
+    global per-key ordinal over an unbounded stream."""
+    for m in measures:
         if m.fn == "match_number":
             raise ValueError(
                 "stream_pattern_detect: MATCH_NUMBER() is not "
@@ -95,7 +105,14 @@ def parse_measures_sql(text: str) -> list[Measure]:
                 "end_ts (every emitted row is one match) or number "
                 "matches downstream with ROW_NUMBER() in a batch view"
             )
-    return out
+        if m.col is not None and m.col not in ("value", "ts"):
+            raise ValueError(
+                f"pattern-detect measures: column {m.col!r} is not "
+                "part of the CEP event shape — supported columns are "
+                "'value' and 'ts' (project other columns into "
+                "'value' upstream, or use the batch MATCH_RECOGNIZE "
+                "operator, which measures any input column)"
+            )
 
 
 def _measure_fields(measures: list[Measure]) -> list[StructField]:
@@ -419,11 +436,8 @@ def stream_pattern_detect(
             f"'error', got {on_overflow!r}")
     if isinstance(measures, str):
         measures = parse_measures_sql(measures)
-    if measures and any(m.fn == "match_number" for m in measures):
-        raise ValueError(
-            "stream_pattern_detect: MATCH_NUMBER() is not available "
-            "over unbounded streams (no global per-key ordinal); "
-            "number matches downstream if needed")
+    elif measures:
+        _validate_measures(measures)
     return events.groupBy("user_id").applyInPandasWithState(
         _cep_fn(pattern, defines, max_buffer, on_overflow, measures),
         outputStructType=_match_schema(measures),
@@ -445,6 +459,8 @@ def pattern_detect_batch(
     history. ``measures`` mirrors stream_pattern_detect (r11)."""
     if isinstance(measures, str):
         measures = parse_measures_sql(measures)
+    elif measures:
+        _validate_measures(measures)
     terms_spec, progs, _ = _compile_pattern(pattern)
     symbols = [t.symbol for t in terms_spec]
     out_schema = _match_schema(measures)

@@ -816,31 +816,32 @@ def match_recognize(
     def _compile_sf_expr(sql_text: str) -> str:
         """Snowflake expr → Spark SQL: PREV/NEXT → LAG/LEAD with the
         partition window appended, then the dialect transpile — shared
-        by DEFINE conditions and expression-measure input columns."""
-        e2 = re.sub(r"(?i)\bPREV\s*\(", "LAG__MR(", sql_text)
-        e2 = re.sub(r"(?i)\bNEXT\s*\(", "LEAD__MR(", e2)
-        # LAG__MR(expr[, n]) → LAG(expr[, n]) OVER (...): append the
-        # window spec to each marked call
+        by DEFINE conditions and expression-measure input columns.
+        TOKEN-level (r12): the previous raw-text regex rewrote
+        'PREV(' INSIDE string literals and its paren walk counted
+        parens inside literals — a DEFINE comparing against such a
+        literal compiled to garbage SQL."""
+        from ..transpiler.tokenizer import (
+            WORD, find_matching_paren, next_code, render, tokenize,
+        )
+
+        toks = tokenize(sql_text)
         out = []
         i = 0
-        while i < len(e2):
-            mm = re.match(r"(LAG|LEAD)__MR\(", e2[i:])
-            if mm:
-                fn = mm.group(1)
-                j = i + len(mm.group(0))
-                depth = 1
-                while j < len(e2) and depth:
-                    if e2[j] == "(":
-                        depth += 1
-                    elif e2[j] == ")":
-                        depth -= 1
-                    j += 1
-                inner = e2[i + len(mm.group(0)):j - 1]
-                out.append(f"{fn}({inner}) {over}")
-                i = j
-            else:
-                out.append(e2[i])
-                i += 1
+        n = len(toks)
+        while i < n:
+            tk = toks[i]
+            if tk.kind == WORD and tk.upper in ("PREV", "NEXT"):
+                op_i = next_code(toks, i + 1)
+                if op_i < n and toks[op_i].is_op("("):
+                    close = find_matching_paren(toks, op_i)
+                    fn = "LAG" if tk.upper == "PREV" else "LEAD"
+                    inner = render(toks[op_i + 1:close]).strip()
+                    out.append(f"{fn}({inner}) {over}")
+                    i = close + 1
+                    continue
+            out.append(tk.text)
+            i += 1
         sql2 = "".join(out)
         if transpiler is not None:
             wrapped = transpiler.to_spark(f"SELECT {sql2} AS __mr_c0x")
@@ -858,10 +859,27 @@ def match_recognize(
     # OVER (PARTITION BY pk …) — that window's exchange already
     # co-locates every partition key, making a second repartition for
     # the matcher redundant (projections preserve partitioning).
-    _prevnext = re.compile(r"(?i)\b(PREV|NEXT)\s*\(")
+    # Detection is TOKEN-level, skipping string literals: a raw-text
+    # regex would match 'PREV(' INSIDE a literal and silently suppress
+    # the repartition with no window exchange present (r11 advisor).
+    def _has_prevnext(expr_text: str) -> bool:
+        from ..transpiler.tokenizer import (
+            STRING, WORD, next_code, tokenize,
+        )
+
+        toks = tokenize(expr_text)
+        for ti, tk in enumerate(toks):
+            if tk.kind == STRING:
+                continue
+            if tk.kind == WORD and tk.upper in ("PREV", "NEXT"):
+                nx = next_code(toks, ti + 1)
+                if nx < len(toks) and toks[nx].is_op("("):
+                    return True
+        return False
+
     made_window = False
     for in_name, in_expr in (spec.input_exprs or []):
-        made_window = made_window or bool(_prevnext.search(in_expr))
+        made_window = made_window or _has_prevnext(in_expr)
         work = work.withColumn(in_name, F.expr(_compile_sf_expr(in_expr)))
     flag_cols = []
     for k, t in enumerate(spec.pattern):
@@ -871,7 +889,7 @@ def match_recognize(
         if cond is None:
             work = work.withColumn(name, F.lit(True))
             continue
-        made_window = made_window or bool(_prevnext.search(cond))
+        made_window = made_window or _has_prevnext(cond)
         cond_sql = _compile_sf_expr(cond)
         work = work.withColumn(name, F.expr(f"COALESCE({cond_sql}, FALSE)"))
 

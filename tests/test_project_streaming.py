@@ -1114,3 +1114,40 @@ class TestCepMeasuresR11:
                      for r in out if r.user_id == 1)
         # per match: UP rows exclude the head A row
         assert got == [(1, 1, 2.0), (1, 2, 6.0), (1, 2, 11.0)]
+
+
+class TestR12CepMeasureValidation:
+    """Round-12 advisor: the CEP event shape exposes exactly (value,
+    ts) — a measure over any other column must refuse at the front
+    door with the supported-column list, not KeyError inside the
+    stateful executor."""
+
+    def test_unknown_column_refuses_sql(self):
+        from dbt_icebreaker_spark.streaming.cep import (
+            parse_measures_sql,
+        )
+
+        with pytest.raises(ValueError, match="'value' and 'ts'"):
+            parse_measures_sql("MAX(amount) AS mx")
+
+    def test_unknown_column_refuses_measure_list(self, spark):
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+        )
+        from dbt_icebreaker_spark.xops.match_recognize import Measure
+
+        df = spark.createDataFrame(
+            [(1, None, 1.0)], "user_id long, ts timestamp, value double")
+        with pytest.raises(ValueError, match="'value' and 'ts'"):
+            pattern_detect_batch(
+                df, "A", {"A": lambda v, p: True},
+                measures=[Measure("mx", "max", None, "amount")])
+
+    def test_supported_columns_pass(self):
+        from dbt_icebreaker_spark.streaming.cep import (
+            parse_measures_sql,
+        )
+
+        ms = parse_measures_sql(
+            "MAX(value) AS mx, FIRST(ts) AS t0, COUNT(*) AS n")
+        assert [m.name for m in ms] == ["mx", "t0", "n"]

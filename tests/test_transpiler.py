@@ -3753,3 +3753,51 @@ def test_r11_sequence_through_run_model(spark):
     ).collect()[0][0]
     spark.sql("DROP TABLE seqrm.dim_sk")
     spark.sql("DROP TABLE seqrm.dim_sk2")
+
+
+class TestR12SequenceHardening:
+    """Round-12 advisor items: the block reservation scales with the
+    rows-per-partition cap (a fixed 2^44 overlapped consecutive
+    statements' ranges once the env knob exceeded 24), and the
+    distributed offset binds monotonically_increasing_id ONCE per row
+    through a transform lambda (two bare call sites are two
+    independent nondeterministic instances)."""
+
+    def test_block_reservation_covers_the_cap(self, monkeypatch):
+        import importlib
+
+        import dbt_icebreaker_spark.sequences as seqmod
+
+        monkeypatch.setenv(
+            "SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS", "30")
+        importlib.reload(seqmod)
+        try:
+            # offsets reach 2^(30+20); the reservation must cover it
+            assert seqmod._BLOCK_BITS >= 50
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_SEQ_ROWS_PER_PARTITION_BITS")
+            importlib.reload(seqmod)
+            assert seqmod._BLOCK_BITS == 44
+
+    def test_offset_binds_id_once(self, spark):
+        from dbt_icebreaker_spark import IcebreakerEngine
+        from dbt_icebreaker_spark.sequences import substitute_nextval
+
+        eng = IcebreakerEngine(spark, schema="r12seqb")
+        eng.execute("CREATE OR REPLACE SEQUENCE sqb")
+        # the rendered substitution contains exactly ONE
+        # monotonically_increasing_id call site per NEXTVAL occurrence
+        rendered = substitute_nextval(
+            eng, "SELECT sqb.NEXTVAL AS v FROM x")
+        assert rendered.count("monotonically_increasing_id") == 1
+        # engine-level: a multi-partition draw stays collision-free
+        spark.range(0, 50000, 1, 8).createOrReplaceTempView(
+            "r12_seq_src")
+        eng.execute(
+            "CREATE OR REPLACE TABLE r12seqb.tv AS "
+            "SELECT sqb.NEXTVAL AS v, id FROM r12_seq_src")
+        got = spark.table("r12seqb.tv")
+        n = got.count()
+        d = got.select("v").distinct().count()
+        assert n == 50000 and d == n
+        spark.sql("DROP TABLE r12seqb.tv")
