@@ -114,12 +114,101 @@ def dialect_scalar(num_cols, str_cols):
     return rng.choice(choices)
 
 
+# Snowflake format model ↔ DuckDB strftime/strptime codes — the
+# r12 TO_DATE prefix-truncation class: every pair round-trips
+# format → parse on both engines so the whole family stays closed
+DATE_FMTS = [
+    ("DD Mon YYYY", "%d %b %Y"),
+    ("YYYY-MM-DD", "%Y-%m-%d"),
+    ("MM/DD/YYYY", "%m/%d/%Y"),
+    ("DD/MM/YYYY", "%d/%m/%Y"),
+    ("YYYY.MM.DD", "%Y.%m.%d"),
+    ("DD-Mon-YYYY", "%d-%b-%Y"),
+]
+
+# non-ASCII literals: accented Latin, CJK, mixed — LENGTH is
+# char-based in both engines; functions below are locale-free
+NONASCII = ["éàü", "漢字テスト", "Ωπß", "día-año", "Ñandú"]
+
+
+def window_qualify(table, num_cols, str_cols):
+    """Window functions under QUALIFY (both engines native)."""
+    g = rng.choice(str_cols)
+    k = rng.choice(num_cols)
+    tie = num_cols[0]
+    n = rng.randrange(1, 4)
+    fn = rng.choice([
+        f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {k}, {tie})",
+        f"RANK() OVER (PARTITION BY {g} ORDER BY {k}, {tie})",
+        f"DENSE_RANK() OVER (PARTITION BY {g} ORDER BY {k}, {tie})",
+    ])
+    q = (f"SELECT {g} AS g, CAST({k} AS DOUBLE) AS k FROM {table} "
+         f"WHERE {predicate(num_cols, str_cols)} "
+         f"QUALIFY {fn} <= {n}")
+    return q, q
+
+
 def gen_query():
     """Returns (engine_sql, duck_sql) — identical text for the
     pass-through shapes, paired dialect renderings otherwise."""
     table = rng.choice(list(TABLES))
     num_cols, str_cols = TABLES[table]
-    shape = rng.randrange(5)
+    shape = rng.randrange(9)
+    if shape == 5:
+        # date-format round-trip (the r12 TO_DATE truncation class):
+        # format an orders date, parse it back, aggregate
+        sf_fmt, dk_fmt = rng.choice(DATE_FMTS)
+        w = predicate(ORDERS_NUM, ORDERS_STR)
+        sf = (
+            "SELECT DATE_TRUNC('month', o_orderdate) AS m, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            f"MIN(TO_DATE(TO_CHAR(o_orderdate, '{sf_fmt}'), "
+            f"'{sf_fmt}')) AS d "
+            f"FROM orders WHERE {w} GROUP BY 1"
+        )
+        dk = (
+            "SELECT CAST(DATE_TRUNC('month', o_orderdate) AS "
+            "TIMESTAMP) AS m, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"MIN(strptime(strftime(o_orderdate, '{dk_fmt}'), "
+            f"'{dk_fmt}')::DATE) AS d "
+            f"FROM orders WHERE {w} GROUP BY 1"
+        )
+        return sf, dk
+    if shape == 6:
+        # window under QUALIFY
+        return window_qualify(table, num_cols, str_cols)
+    if shape == 7:
+        # non-ASCII string functions (char-length semantics, concat,
+        # replace, split over multibyte text)
+        s = rng.choice(str_cols)
+        lit = rng.choice(NONASCII)
+        expr = rng.choice([
+            f"CAST(LENGTH({s} || '{lit}') AS BIGINT)",
+            f"CAST(LENGTH(REPLACE({s}, 'O', '{lit}')) AS BIGINT)",
+            f"CAST(LENGTH(SUBSTR('{lit}' || {s}, 2)) AS BIGINT)",
+            f"CAST(LENGTH(REVERSE('{lit}')) AS BIGINT) + "
+            f"CAST(LENGTH({s}) AS BIGINT)",
+            f"CAST(LENGTH(SPLIT_PART('{lit}-' || {s}, '-', 1)) "
+            f"AS BIGINT)",
+        ])
+        w = predicate(num_cols, str_cols)
+        q = (f"SELECT {s} AS g, CAST(SUM({expr}) AS BIGINT) AS a0, "
+             f"CAST(COUNT(*) AS BIGINT) AS n FROM {table} "
+             f"WHERE {w} GROUP BY {s}")
+        return q, q
+    if shape == 8:
+        # GROUP BY ALL (both engines native): grouping keys inferred
+        # from the non-aggregate select items, incl. a computed one
+        g = rng.choice(str_cols)
+        k = rng.choice(num_cols)
+        a = agg(num_cols)
+        # FLOOR keeps the bucket integral pre-cast: bare
+        # CAST(double AS BIGINT) truncates in Spark and rounds in
+        # DuckDB (the documented int-cast deviation)
+        q = (f"SELECT {g} AS g, CAST(FLOOR({k} % 5) AS BIGINT) AS b, "
+             f"{a} AS a0 FROM {table} "
+             f"WHERE {predicate(num_cols, str_cols)} GROUP BY ALL")
+        return q, q
     if shape == 0:
         # grouped aggregation
         g = rng.choice(str_cols)
