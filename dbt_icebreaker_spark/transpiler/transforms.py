@@ -421,7 +421,39 @@ _FMT_JAVA = {
 }
 
 
-def _convert_fmt_text(s: str) -> str:
+# PARSE-direction variants: Snowflake parses single-digit field
+# values ('5 January 2024' satisfies DD) while java.time's
+# double-letter patterns require exact width in strict mode —
+# single-letter java patterns accept 1..max digits. Only safe when
+# every element pair is separated by non-digit literal text
+# (adjacent-element formats like 'DDMMYYYY' need fixed widths for
+# java's adjacency parsing).
+_FMT_JAVA_PARSE = {
+    "YYYY": "yyyy", "YY": "yy", "MMMM": "MMMM", "MON": "MMM",
+    "MM": "M", "DDD": "D", "DD": "d", "DY": "EEE",
+    "HH24": "H", "HH12": "h", "HH": "H", "MI": "m", "SS": "s",
+    "AM": "a", "PM": "a",
+}
+
+
+def _convert_fmt_text(s: str, parse: bool = False) -> str:
+    spans = []
+    i = 0
+    while i < len(s):
+        m = _FMT_ELEM_RE.match(s, i)
+        if m:
+            spans.append((i, m.end(), m.group(0).upper()))
+            i = m.end()
+        else:
+            i += 1
+    lenient = parse
+    if lenient:
+        for (a_lo, a_hi, _), (b_lo, _b_hi, _) in zip(spans, spans[1:]):
+            sep = s[a_hi:b_lo]
+            if not sep or any(ch.isdigit() for ch in sep):
+                lenient = False
+                break
+    table = _FMT_JAVA_PARSE if lenient else _FMT_JAVA
     out = []
     i = 0
     while i < len(s):
@@ -433,7 +465,7 @@ def _convert_fmt_text(s: str) -> str:
                 n_dig = int(el[2:]) if len(el) > 2 else 6
                 out.append("S" * max(1, n_dig))
             else:
-                out.append(_FMT_JAVA[el])
+                out.append(table[el])
             i = m.end()
         else:
             out.append(s[i])
@@ -441,11 +473,11 @@ def _convert_fmt_text(s: str) -> str:
     return "".join(out)
 
 
-def _convert_fmt_tokens(fmt: Tokens) -> Tokens:
+def _convert_fmt_tokens(fmt: Tokens, parse: bool = False) -> Tokens:
     conv = list(fmt)
     for k, ft in enumerate(conv):
         if ft.kind == STRING:
-            conv[k] = Token(STRING, _convert_fmt_text(ft.text))
+            conv[k] = Token(STRING, _convert_fmt_text(ft.text, parse))
     return conv
 
 
@@ -1452,7 +1484,7 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
 
                 if len(args) == 2:
                     x = _unq(tokens[args[0][0]:args[0][1]])
-                    conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
+                    conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]], parse=True)
                     out += [_word(fn), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
                 else:
                     x = tokens[args[0][0]:args[0][1]] if args else []
@@ -2809,7 +2841,7 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                 # TO_TIME(s, fmt): a time-only java format already
                 # anchors Spark's to_timestamp at 1970-01-01
                 x = tokens[args[0][0]:args[0][1]]
-                conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
+                conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]], parse=True)
                 fn2 = ("to_timestamp" if t.upper == "TO_TIME"
                        else "try_to_timestamp")
                 out += [_word(fn2), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
@@ -2892,7 +2924,7 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                 # elements (DD→dd, YYYY→yyyy …) like every other
                 # format-taking path
                 x = tokens[args[0][0]:args[0][1]]
-                fmt = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
+                fmt = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]], parse=True)
                 out += [_word("TRY_CAST"), _op("("), _word("try_to_timestamp"), _op("(")] + x + [_op(","), _sp()] + fmt + [_op(")"), _sp(), _word("AS"), _sp()] + tokenize(typ) + [_op(")")]
                 i = close + 1
                 continue

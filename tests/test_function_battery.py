@@ -1371,3 +1371,34 @@ R12C_QUANT_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12c_quantified_matrix(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r12d
+# Lenient-width PARSE formats: Snowflake accepts single-digit field
+# values ('5 January 2024' satisfies DD); java double-letter patterns
+# require exact width in strict mode, so the parse direction now
+# converts to single-letter (1..max digit) patterns — but ONLY when
+# every element pair is separator-delimited (adjacent formats like
+# DDMMYYYY keep fixed widths for java's adjacency parsing). The
+# format (output) direction keeps zero-padded widths.
+R12D_LENIENT_CASES = [
+    ("SELECT TO_DATE('5 January 2024', 'DD MMMM YYYY')", "2024-01-05"),
+    ("SELECT TO_DATE('5/3/2024', 'DD/MM/YYYY')", "2024-03-05"),
+    ("SELECT TO_DATE('05/03/2024', 'DD/MM/YYYY')", "2024-03-05"),
+    ("SELECT TO_TIMESTAMP('5 Jan 2024 9:5:7', "
+     "'DD Mon YYYY HH24:MI:SS')", "2024-01-05 09:05:07"),
+    # adjacent elements stay fixed-width (and still parse 2-digit)
+    ("SELECT TO_DATE('05032024', 'DDMMYYYY')", "2024-03-05"),
+    # output direction stays zero-padded
+    ("SELECT TO_CHAR(DATE '2024-03-05', 'DD/MM/YYYY')", "05/03/2024"),
+    ("SELECT TO_CHAR(TIMESTAMP '2024-03-05 09:05:07', "
+     "'HH24:MI:SS')", "09:05:07"),
+    ("SELECT TRY_TO_DATE('5 Jan 2024', 'DD Mon YYYY')", "2024-01-05"),
+    ("SELECT TRY_TO_DATE('nope', 'DD Mon YYYY')", ("__NULL__",)),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12D_LENIENT_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12d_lenient_parse_formats(spark, sql, expect):
+    _check(spark, sql, expect)
