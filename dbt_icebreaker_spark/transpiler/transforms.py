@@ -5226,6 +5226,24 @@ def _qc_left_operand_start(out: Tokens, k: int) -> int:
                 i -= 1
                 continue
             break  # ',', ';', '(', comparison op, …
+        if t.kind == WORD and t.upper == "END":
+            # a CASE … END left operand: walk back to its CASE,
+            # tracking nesting
+            depth_c = 1
+            j2 = i - 1
+            while j2 >= 0 and depth_c:
+                tj = out[j2]
+                if tj.kind == WORD:
+                    if tj.upper == "END":
+                        depth_c += 1
+                    elif tj.upper == "CASE":
+                        depth_c -= 1
+                j2 -= 1
+            if depth_c:
+                break
+            start = j2 + 1
+            i = j2
+            continue
         if t.kind == WORD and t.upper in _QC_LHS_STOPS:
             break
         if t.kind in (WORD, QIDENT, NUMBER, STRING):

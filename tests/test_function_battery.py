@@ -1402,3 +1402,19 @@ R12D_LENIENT_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12d_lenient_parse_formats(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+def test_r12c_case_left_operand(spark):
+    # CASE … END as the quantified comparison's left operand is
+    # captured wholesale (balanced CASE/END walk), including inside
+    # additive chains; a quantified INSIDE a CASE branch still works
+    for sql, want in [
+        ("SELECT CASE WHEN 1=1 THEN 10 ELSE 0 END > ALL "
+         "(SELECT v FROM (VALUES (1),(5)) s(v)) AS r", True),
+        ("SELECT 1 + CASE WHEN 1=1 THEN 9 ELSE 0 END > ALL "
+         "(SELECT v FROM (VALUES (1),(5)) s(v)) AS r", True),
+        ("SELECT CASE WHEN 2 > ALL (SELECT v FROM (VALUES (1)) s(v)) "
+         "THEN 'y' ELSE 'n' END AS r", "y"),
+    ]:
+        got = spark.sql(t.to_spark(sql)).collect()[0][0]
+        assert got == want, (sql, got)

@@ -795,3 +795,25 @@ class TestRound11MrPartitionReuse:
 
         n_static = df1.count()
         assert n_static > 0
+
+
+class TestQuantifiedCaseSubqueryMerge:
+    """Round-12: the quantified-ALL/ANY CASE rendering references
+    COUNT/MAX/NULL-count scalar subqueries over the SAME derived
+    table; Catalyst's MergeScalarSubqueries must fold them into ONE
+    merged aggregate (a `mergedValue` struct) rather than three
+    separate scans — the scale-path claim in the transform's
+    docstring."""
+
+    def test_scalar_subqueries_merge(self, spark):
+        from dbt_icebreaker_spark.transpiler import Transpiler
+
+        t = Transpiler()
+        spark.range(1000).selectExpr("id AS v").createOrReplaceTempView(
+            "qmv")
+        df = spark.sql(t.to_spark(
+            "SELECT v FROM qmv WHERE v > ALL "
+            "(SELECT v FROM qmv WHERE v < 500)"))
+        plan = _executed_plan(df)
+        # merged: every scalar subquery projects the shared struct
+        assert "mergedValue" in plan, plan[:2000]
