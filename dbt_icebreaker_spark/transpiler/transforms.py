@@ -4267,18 +4267,26 @@ def rewrite_nth_value_from(tokens: Tokens) -> Tokens:
             j = next_code(tokens, close + 1)
             from_last = False
             from_mod_seen = False
-            if j < n and tokens[j].is_word("FROM"):
-                k = next_code(tokens, j + 1)
-                if k < n and tokens[k].is_word("FIRST", "LAST"):
-                    from_mod_seen = True
-                    from_last = tokens[k].is_word("LAST")
-                    j = next_code(tokens, k + 1)
             nulls_mod = ""
-            if j < n and tokens[j].is_word("IGNORE", "RESPECT"):
-                k = next_code(tokens, j + 1)
-                if k < n and tokens[k].is_word("NULLS"):
-                    nulls_mod = f" {tokens[j].upper} NULLS"
-                    j = next_code(tokens, k + 1)
+            # both modifier orders accepted: FROM LAST IGNORE NULLS
+            # and IGNORE NULLS FROM LAST
+            for _pass in range(2):
+                if (not from_mod_seen and j < n
+                        and tokens[j].is_word("FROM")):
+                    k = next_code(tokens, j + 1)
+                    if k < n and tokens[k].is_word("FIRST", "LAST"):
+                        from_mod_seen = True
+                        from_last = tokens[k].is_word("LAST")
+                        j = next_code(tokens, k + 1)
+                        continue
+                if (not nulls_mod and j < n
+                        and tokens[j].is_word("IGNORE", "RESPECT")):
+                    k = next_code(tokens, j + 1)
+                    if k < n and tokens[k].is_word("NULLS"):
+                        nulls_mod = f" {tokens[j].upper} NULLS"
+                        j = next_code(tokens, k + 1)
+                        continue
+                break
             if not (j < n and tokens[j].is_word("OVER")):
                 # no OVER follows (e.g. FROM here is the table FROM
                 # of the enclosing SELECT) — emit the call verbatim,

@@ -1418,3 +1418,14 @@ def test_r12c_case_left_operand(spark):
     ]:
         got = spark.sql(t.to_spark(sql)).collect()[0][0]
         assert got == want, (sql, got)
+
+
+def test_r12b_modifier_orders_equal(spark, wv2):
+    # Snowflake accepts either modifier order around NTH_VALUE
+    a = [r[0] for r in spark.sql(t.to_spark(
+        "SELECT NTH_VALUE(v,2) IGNORE NULLS FROM LAST OVER "
+        "(ORDER BY k) AS r FROM wv2 ORDER BY k")).collect()]
+    b = [r[0] for r in spark.sql(t.to_spark(
+        "SELECT NTH_VALUE(v,2) FROM LAST IGNORE NULLS OVER "
+        "(ORDER BY k) AS r FROM wv2 ORDER BY k")).collect()]
+    assert a == b and float(a[0]) == 30.0
