@@ -437,18 +437,30 @@ _FMT_JAVA_PARSE = {
 
 
 def _convert_fmt_text(s: str, parse: bool = False) -> str:
-    spans = []
+    # segment first: double-quoted sections are Snowflake literal
+    # text ("T" in ISO timestamps) — never element-scanned, and they
+    # become java single-quoted literals ('' inside the enclosing SQL
+    # string literal). Everything else scans for format elements.
+    spans = []   # (lo, hi, element|None-for-literal-char)
     i = 0
     while i < len(s):
+        if s[i] == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                j = len(s) - 1
+            spans.append((i, j + 1, None))
+            i = j + 1
+            continue
         m = _FMT_ELEM_RE.match(s, i)
         if m:
             spans.append((i, m.end(), m.group(0).upper()))
             i = m.end()
         else:
             i += 1
+    elems = [(lo, hi) for lo, hi, el in spans if el is not None]
     lenient = parse
     if lenient:
-        for (a_lo, a_hi, _), (b_lo, _b_hi, _) in zip(spans, spans[1:]):
+        for (_a_lo, a_hi), (b_lo, _b_hi) in zip(elems, elems[1:]):
             sep = s[a_hi:b_lo]
             if not sep or any(ch.isdigit() for ch in sep):
                 lenient = False
@@ -456,17 +468,21 @@ def _convert_fmt_text(s: str, parse: bool = False) -> str:
     table = _FMT_JAVA_PARSE if lenient else _FMT_JAVA
     out = []
     i = 0
+    span_at = {lo: (hi, el) for lo, hi, el in spans}
     while i < len(s):
-        m = _FMT_ELEM_RE.match(s, i)
-        if m:
-            el = m.group(0).upper()
-            if el.startswith("FF"):
+        if i in span_at:
+            hi, el = span_at[i]
+            if el is None:
+                # quoted literal section → java quoted literal;
+                # the SQL string doubles the embedded single quotes
+                out.append("''" + s[i + 1:hi - 1] + "''")
+            elif el.startswith("FF"):
                 # FF[n] → n fraction digits (FF alone: microseconds)
                 n_dig = int(el[2:]) if len(el) > 2 else 6
                 out.append("S" * max(1, n_dig))
             else:
                 out.append(table[el])
-            i = m.end()
+            i = hi
         else:
             out.append(s[i])
             i += 1

@@ -1429,3 +1429,21 @@ def test_r12b_modifier_orders_equal(spark, wv2):
         "SELECT NTH_VALUE(v,2) FROM LAST IGNORE NULLS OVER "
         "(ORDER BY k) AS r FROM wv2 ORDER BY k")).collect()]
     assert a == b and float(a[0]) == 30.0
+
+
+# quoted literal sections in format models: Snowflake "T" → java 'T'
+# (the ISO-8601 timestamp shape); quoted text is never element-scanned
+R12E_QUOTED_FMT_CASES = [
+    ("SELECT TO_TIMESTAMP('2024-01-15T10:30:45', "
+     "'YYYY-MM-DD\"T\"HH24:MI:SS')", "2024-01-15 10:30:45"),
+    ("SELECT TO_CHAR(TIMESTAMP '2024-01-15 10:30:45', "
+     "'YYYY-MM-DD\"T\"HH24:MI:SS')", "2024-01-15T10:30:45"),
+    # pattern letters inside quotes stay literal text
+    ("SELECT TO_CHAR(DATE '2024-01-15', '\"DD is\" DD')", "DD is 15"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12E_QUOTED_FMT_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12e_quoted_format_literals(spark, sql, expect):
+    _check(spark, sql, expect)
