@@ -5392,15 +5392,8 @@ def rewrite_quantified_comparison(tokens: Tokens) -> Tokens:
                         del out[k:]
                         out += tokenize(f" NOT IN ({sub})")
                     else:
-                        if tokens[w].upper == "WITH":
-                            raise TranspileError(
-                                f"{prev_op} {t.upper} (WITH …): the "
-                                "faithful CASE rendering inlines the "
-                                "subquery as a derived table, which "
-                                "cannot carry a WITH prefix — move "
-                                "the CTE into the subquery's SELECT "
-                                "(SELECT … FROM (WITH … SELECT …))"
-                            )
+                        # WITH-form subqueries inline fine: Spark
+                        # accepts a CTE prefix inside a derived table
                         lo = _qc_left_operand_start(out, k)
                         x = render(out[lo:k]).strip()
                         if not x:

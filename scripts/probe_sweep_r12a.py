@@ -57,6 +57,8 @@ cases = [
      "True"),
     ("SELECT CASE WHEN 1=1 THEN 99 ELSE 0 END > ALL "
      "(SELECT v FROM pr_wv)", None),
+    ("SELECT 5 > ALL (WITH c AS (SELECT 1 AS v) SELECT v FROM c)",
+     "True"),
     # sequences still collision-free through the hardened offset
     ("CREATE SEQUENCE pr12_s", None),
     ("SELECT pr12_s.NEXTVAL AS a, pr12_s.NEXTVAL AS b", None),
@@ -66,8 +68,6 @@ cases = [
 refusals = [
     ("SELECT NTH_VALUE(v, 2) FROM LAST OVER (PARTITION BY k) "
      "FROM pr_wv", "ORDER BY"),
-    ("SELECT 1 > ALL (WITH c AS (SELECT 1 AS v) SELECT v FROM c)",
-     "WITH"),
 ]
 
 ok = True
