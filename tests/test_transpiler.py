@@ -384,8 +384,14 @@ class TestExtendedFunctionSurface:
         assert "date_format(d,'yyyy-MM-ddHH:mm:ss.SSS')" in out
 
     def test_to_date_fmt_translation(self):
+        # r12: the PARSE direction uses lenient single-letter widths
+        # (Snowflake accepts single-digit day/month); TO_CHAR keeps
+        # the zero-padded strict form
         out = t.to_spark("SELECT TO_DATE(s, 'DD/MM/YYYY') FROM t1").replace(" ", "")
-        assert "to_date(s,'dd/MM/yyyy')" in out
+        assert "to_date(s,'d/M/yyyy')" in out
+        out2 = t.to_spark(
+            "SELECT TO_CHAR(d, 'DD/MM/YYYY') FROM t1").replace(" ", "")
+        assert "date_format(d,'dd/MM/yyyy')" in out2
 
     def test_to_date_single_arg(self):
         assert "to_date(s)" in t.to_spark("SELECT TO_DATE(s) FROM t1")
