@@ -4823,13 +4823,35 @@ def rewrite_epoch_extract(tokens: Tokens) -> Tokens:
     return out
 _UNIT_ALIASES = {
     "'DAY'": "DAY", "'DAYS'": "DAY", "'D'": "DAY", "'DD'": "DAY",
+    "'DAYOFMONTH'": "DAY",
     "'WEEK'": "WEEK", "'W'": "WEEK", "'WK'": "WEEK",
+    "'WEEKS'": "WEEK", "'WEEKOFYEAR'": "WEEK", "'WOY'": "WEEK",
+    "'WY'": "WEEK",
     "'MONTH'": "MONTH", "'MONTHS'": "MONTH", "'MON'": "MONTH", "'MM'": "MONTH",
+    "'MONS'": "MONTH",
     "'QUARTER'": "QUARTER", "'Q'": "QUARTER",
+    "'QUARTERS'": "QUARTER", "'QTR'": "QUARTER", "'QTRS'": "QUARTER",
     "'YEAR'": "YEAR", "'YEARS'": "YEAR", "'Y'": "YEAR", "'YY'": "YEAR", "'YYYY'": "YEAR",
+    "'YYY'": "YEAR", "'YR'": "YEAR", "'YRS'": "YEAR",
     "'HOUR'": "HOUR", "'H'": "HOUR", "'HH'": "HOUR",
+    "'HOURS'": "HOUR", "'HR'": "HOUR", "'HRS'": "HOUR",
     "'MINUTE'": "MINUTE", "'MI'": "MINUTE", "'MIN'": "MINUTE",
+    "'MINUTES'": "MINUTE", "'MINS'": "MINUTE", "'M'": "MINUTE",
     "'SECOND'": "SECOND", "'S'": "SECOND", "'SEC'": "SECOND",
+    "'SECONDS'": "SECOND", "'SECS'": "SECOND",
+    "'MILLISECOND'": "MILLISECOND", "'MILLISECONDS'": "MILLISECOND",
+    "'MS'": "MILLISECOND", "'MSEC'": "MILLISECOND",
+    "'MICROSECOND'": "MICROSECOND", "'MICROSECONDS'": "MICROSECOND",
+    "'US'": "MICROSECOND", "'USEC'": "MICROSECOND",
+    # NANOSECOND canonicalizes here; the DATEADD/DATEDIFF rewrites
+    # turn it into MICROSECOND arithmetic (timestamps are µs-precision
+    # in Spark — sub-µs components truncate, documented)
+    "'NANOSECOND'": "NANOSECOND", "'NANOSECONDS'": "NANOSECOND",
+    "'NS'": "NANOSECOND", "'NSEC'": "NANOSECOND",
+    "'NANOSEC'": "NANOSECOND", "'NANOSECS'": "NANOSECOND",
+    "'EPOCH_SECOND'": "EPOCH_SECOND",
+    "'EPOCH_MILLISECOND'": "EPOCH_MILLISECOND",
+    "'EPOCH_MICROSECOND'": "EPOCH_MICROSECOND",
 }
 
 
@@ -4858,6 +4880,16 @@ _DATEDIFF_BOUNDARY = {
               " div 60)",
     "SECOND": "(unix_timestamp(CAST(({e}) AS TIMESTAMP)) - "
               "unix_timestamp(CAST(({s}) AS TIMESTAMP)))",
+    # sub-second boundary counts: unix_millis/micros floor to the
+    # unit, so the difference IS the boundary-crossing count; Spark
+    # timestamps are µs-precision, so nanosecond counts are the µs
+    # count × 1000 (sub-µs boundaries unobservable — documented)
+    "MILLISECOND": "(unix_millis(CAST(({e}) AS TIMESTAMP)) - "
+                   "unix_millis(CAST(({s}) AS TIMESTAMP)))",
+    "MICROSECOND": "(unix_micros(CAST(({e}) AS TIMESTAMP)) - "
+                   "unix_micros(CAST(({s}) AS TIMESTAMP)))",
+    "NANOSECOND": "((unix_micros(CAST(({e}) AS TIMESTAMP)) - "
+                  "unix_micros(CAST(({s}) AS TIMESTAMP))) * 1000)",
 }
 
 
@@ -4905,6 +4937,13 @@ def rewrite_date_units(tokens: Tokens) -> Tokens:
     Snowflake also allows a quoted string (ref transpiler.py:372-376
     delegates to sqlglot which does this normalization).
 
+    Bare-word plural/abbreviated spellings (``DATEADD(weeks, …)``,
+    ``hrs``, ``qtrs`` — all valid Snowflake) normalize through the
+    same alias table (r12 probe: they previously reached Spark as
+    column references). ``NANOSECOND`` converts to MICROSECOND
+    arithmetic with the amount divided by 1000 — Spark timestamps are
+    µs-precision, sub-µs components truncate (documented).
+
     DOCUMENTED DEVIATION: Snowflake's DATEADD preserves DATE for date
     input with day-or-coarser units; Spark's 3-arg dateadd always
     returns TIMESTAMP (midnight for dates — same instant). Argument
@@ -4918,14 +4957,32 @@ def rewrite_date_units(tokens: Tokens) -> Tokens:
         if t.kind == WORD and t.upper in _DATE_UNIT_FUNCS and _is_call(tokens, i, t.upper):
             op_i = next_code(tokens, i + 1)
             first = next_code(tokens, op_i + 1)
+            unit = None
             if first < n and tokens[first].kind == STRING:
                 unit = _UNIT_ALIASES.get(tokens[first].upper)
-                if unit:
-                    out.append(t)
-                    out += tokens[i + 1:first]
-                    out.append(_word(unit))
-                    i = first + 1
+            elif first < n and tokens[first].kind == WORD:
+                unit = _BARE_UNITS.get(tokens[first].upper)
+            if unit == "NANOSECOND" and t.upper in (
+                "DATEADD", "TIMESTAMPADD", "TIMEADD",
+            ):
+                close = find_matching_paren(tokens, op_i)
+                args = split_args(tokens, op_i + 1, close)
+                if len(args) == 3:
+                    amt = render(
+                        tokens[args[1][0]:args[1][1]]).strip()
+                    expr = render(
+                        tokens[args[2][0]:args[2][1]]).strip()
+                    out += tokenize(
+                        f"DATEADD(MICROSECOND, ({amt}) div 1000, "
+                        f"{expr})")
+                    i = close + 1
                     continue
+            if unit and unit != "NANOSECOND":
+                out.append(t)
+                out += tokens[i + 1:first]
+                out.append(_word(unit))
+                i = first + 1
+                continue
         out.append(t)
         i += 1
     return out

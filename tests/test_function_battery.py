@@ -1447,3 +1447,40 @@ R12E_QUOTED_FMT_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12e_quoted_format_literals(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r12f
+# Date-unit spelling surface: Snowflake accepts bare-word AND quoted
+# units in singular/plural/abbreviated forms (weeks, qtrs, hrs, mins,
+# secs, ms, us, ns); bare plurals previously reached Spark as column
+# references. NANOSECOND converts to µs arithmetic (Spark timestamps
+# are µs-precision; sub-µs truncates, documented); sub-second
+# DATEDIFF counts unit boundaries via unix_millis/micros.
+R12F_UNIT_CASES = [
+    ("SELECT DATEADD(weeks, 2, '2024-01-01'::DATE)", "2024-01-15"),
+    ("SELECT DATEADD('qtrs', 1, '2024-01-01'::DATE)", "2024-04-01"),
+    ("SELECT DATEADD(hrs, 2, '2024-01-01'::TIMESTAMP)",
+     "2024-01-01 02:00:00"),
+    ("SELECT DATEADD(yrs, 1, '2024-01-01'::DATE)", "2025-01-01"),
+    ("SELECT DATEADD('ns', 2000, '2024-01-01'::TIMESTAMP)",
+     "2024-01-01 00:00:00"),
+    ("SELECT DATEADD('ms', 1500, '2024-01-01'::TIMESTAMP)",
+     "2024-01-01 00:00:01"),
+    ("SELECT DATEADD(us, 1500000, '2024-01-01'::TIMESTAMP)",
+     "2024-01-01 00:00:01"),
+    ("SELECT TIMESTAMPADD(secs, 90, '2024-01-01'::TIMESTAMP)",
+     "2024-01-01 00:01:30"),
+    # boundary semantics: 0.0009 → 0.0011 crosses ONE ms boundary
+    ("SELECT DATEDIFF('ms', '2024-01-01 00:00:00.0009'::TIMESTAMP, "
+     "'2024-01-01 00:00:00.0011'::TIMESTAMP)", 1),
+    ("SELECT DATEDIFF(ns, '2024-01-01'::TIMESTAMP, "
+     "'2024-01-01 00:00:00.000002'::TIMESTAMP)", 2000),
+    ("SELECT DATEDIFF(mins, '2024-01-01 00:00:59'::TIMESTAMP, "
+     "'2024-01-01 00:01:01'::TIMESTAMP)", 1),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12F_UNIT_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12f_unit_spellings(spark, sql, expect):
+    _check(spark, sql, expect)

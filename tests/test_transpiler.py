@@ -201,9 +201,14 @@ class TestDates:
         out = t.to_spark("SELECT DATEDIFF('dd', a, b) FROM t")
         assert "datediff(CAST((b) AS DATE), CAST((a) AS DATE))" in out
 
-    def test_bare_unit_untouched(self):
+    def test_bare_unit_normalizes(self):
+        # r12: bare-word units normalize through the alias table too
+        # (plural/abbreviated spellings previously reached Spark as
+        # column references)
         out = t.to_spark("SELECT DATEADD(day, 1, d) FROM t")
-        assert "DATEADD(day, 1, d)" in out
+        assert "DATEADD(DAY, 1, d)" in out
+        out2 = t.to_spark("SELECT DATEADD(weeks, 1, d) FROM t")
+        assert "DATEADD(WEEK, 1, d)" in out2
 
 
 class TestMultiStatement:
