@@ -2209,31 +2209,99 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                 # replacement is converted; an expression replacement
                 # passes through — runtime backrefs in expressions are
                 # vanishingly rare). 2-arg deletes matches. A position
-                # arg splits the string; occurrence-specific replace
-                # has no Spark rendering.
+                # arg splits the string. A literal occurrence n ≥ 1
+                # replaces ONLY the n-th match via the lazy-quantifier
+                # idiom: (?s)((?:.*?(?:P)){n-1}.*?)(?:P) → $1R — each
+                # lazy block consumes exactly through the next match,
+                # so group 1 ends right before the n-th (r12; was a
+                # refusal). Needs literal pattern+occurrence and a
+                # backref-free replacement (group renumbering inside
+                # the assembled pattern would break \N).
                 s_ = tokens[args[0][0]:args[0][1]]
                 p_ = tokens[args[1][0]:args[1][1]]
+                raw_r = None
                 if len(args) >= 3:
                     r_ = tokens[args[2][0]:args[2][1]]
                     r_code = [c for c in r_ if c.kind != WS]
                     if len(r_code) == 1 and r_code[0].kind == STRING:
-                        conv = _snowflake_backrefs_to_java(r_code[0].text[1:-1])
+                        raw_r = r_code[0].text[1:-1]
+                        conv = _snowflake_backrefs_to_java(raw_r)
                         r_ = [Token(STRING, f"'{conv}'")]
                 else:
+                    raw_r = ""
                     r_ = [Token(STRING, "''")]
+                occ_n = 0
                 if len(args) >= 5:
                     occ_code = [c for c in tokens[args[4][0]:args[4][1]] if c.kind != WS]
-                    if not (len(occ_code) == 1 and occ_code[0].text == "0"):
+                    is_lit = (len(occ_code) == 1
+                              and occ_code[0].kind == NUMBER)
+                    if is_lit:
+                        occ_n = int(occ_code[0].text)
+                    if not is_lit or occ_n < 0:
                         from .core import TranspileError
 
                         raise TranspileError(
-                            "REGEXP_REPLACE with a specific occurrence "
-                            "has no Spark rendering (only occurrence 0 "
-                            "= replace all); restructure with "
-                            "REGEXP_SUBSTR + OVERLAY."
+                            "REGEXP_REPLACE occurrence must be a "
+                            "literal non-negative integer (0 = "
+                            "replace all; n replaces only the n-th "
+                            "match) — a dynamic occurrence has no "
+                            "Spark rendering."
                         )
                 if len(args) == 6:
                     p_ = _apply_regex_params(tokens, args[5], p_, "REGEXP_REPLACE")
+                if occ_n > 0:
+                    from .core import TranspileError
+
+                    p_code = [c for c in p_ if c.kind != WS]
+                    if not (len(p_code) == 1
+                            and p_code[0].kind == STRING):
+                        raise TranspileError(
+                            "REGEXP_REPLACE with a specific "
+                            "occurrence needs a LITERAL pattern (it "
+                            "is assembled into a counting regex)."
+                        )
+                    if raw_r is None or re.search(
+                            r"\\[0-9]", raw_r):
+                        raise TranspileError(
+                            "REGEXP_REPLACE with a specific "
+                            "occurrence needs a literal, backref-free "
+                            "replacement (group numbers shift inside "
+                            "the counting regex)."
+                        )
+                    ptxt = p_code[0].text[1:-1]
+                    # ^-anchored so the counting pattern matches AT
+                    # MOST once — Spark's regexp_replace replaces ALL
+                    # matches, and unanchored the engine would re-match
+                    # after the first replacement and hit later
+                    # occurrences too
+                    outer = (f"(?s)^((?:.*?(?:{ptxt}))"
+                             f"{{{occ_n - 1}}}.*?)(?:{ptxt})")
+                    # a literal $ in the replacement needs java-level
+                    # \$, which is \\$ in the SQL spelling (Spark's
+                    # string parser strips one backslash layer); other
+                    # backslash spellings pass through exactly as the
+                    # replace-all path would send them
+                    esc = raw_r.replace("$", "\\\\$")
+                    repl = Token(STRING, f"'$1{esc}'")
+                    if len(args) >= 4:
+                        pos_ = tokens[args[3][0]:args[3][1]]
+                        out += tokenize(
+                            "concat(substr(("
+                            + render(s_).strip() + "), 1, ("
+                            + render(pos_).strip() + ") - 1), "
+                            "regexp_replace(substr(("
+                            + render(s_).strip() + "), ("
+                            + render(pos_).strip() + ")), "
+                            + f"'{outer}', " + repl.text + "))"
+                        )
+                    else:
+                        out += ([_word("regexp_replace"), _op("(")]
+                                + s_ + [_op(","), _sp(),
+                                        Token(STRING, f"'{outer}'"),
+                                        _op(","), _sp(), repl,
+                                        _op(")")])
+                    i = close + 1
+                    continue
                 core = [_word("regexp_replace"), _op("(")]
                 if len(args) >= 4:
                     pos_ = tokens[args[3][0]:args[3][1]]

@@ -1484,3 +1484,43 @@ R12F_UNIT_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12f_unit_spellings(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r12g
+# Occurrence-specific REGEXP_REPLACE (was a refusal): a literal
+# occurrence n >= 1 replaces ONLY the n-th match via the ^-anchored
+# lazy-counting pattern (?s)^((?:.*?(?:P)){n-1}.*?)(?:P) -> $1R.
+R12G_RXREP_CASES = [
+    ("SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 2)", "a1bXc3"),
+    ("SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 1)", "aXb2c3"),
+    ("SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 3)", "a1b2cX"),
+    # fewer matches than n: unchanged
+    ("SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 9)", "a1b2c3"),
+    # position offset composes with occurrence counting
+    ("SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 3, 1)", "a1bXc3"),
+    # occurrence 0 stays replace-all
+    ("SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 0)", "aXbXcX"),
+    # greedy quantifier inside the counted pattern
+    ("SELECT REGEXP_REPLACE('a1b12c', '[0-9]+', 'N', 1, 2)", "a1bNc"),
+    # dollar in the replacement survives the double escaping layer
+    ("SELECT REGEXP_REPLACE('aXbXc', 'X', '$', 1, 2)", "aXb$c"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12G_RXREP_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12g_regexp_replace_occurrence(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r12g_rxrep_occurrence_refusals():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+
+    with pytest.raises(TranspileError, match="dynamic occurrence"):
+        t.to_spark("SELECT REGEXP_REPLACE(s, 'x', 'y', 1, n) FROM t")
+    with pytest.raises(TranspileError, match="backref"):
+        t.to_spark(
+            "SELECT REGEXP_REPLACE(s, '(x)(y)', '\\\\2\\\\1', 1, 2) "
+            "FROM t")
+    with pytest.raises(TranspileError, match="LITERAL pattern"):
+        t.to_spark("SELECT REGEXP_REPLACE(s, p, 'y', 1, 2) FROM t")

@@ -1771,9 +1771,14 @@ class TestTrimAndRegexpExtended:
         )).collect()[0]
         assert r.a == "aXb-c"
 
-    def test_regexp_replace_occurrence_refused(self):
-        ok, msg = t.can_transpile("SELECT REGEXP_REPLACE(s,'y','z',1,2) FROM v")
-        assert not ok and "occurrence" in msg
+    def test_regexp_replace_occurrence_now_renders(self):
+        # r12: a literal occurrence renders via the anchored
+        # lazy-counting pattern; only DYNAMIC occurrences refuse
+        ok, _ = t.can_transpile("SELECT REGEXP_REPLACE(s,'y','z',1,2) FROM v")
+        assert ok
+        ok2, msg = t.can_transpile(
+            "SELECT REGEXP_REPLACE(s,'y','z',1,n) FROM v")
+        assert not ok2 and "occurrence" in msg
 
     def test_regexp_substr_pos_occ_flags_group(self, spark):
         r = spark.sql(t.to_spark(
