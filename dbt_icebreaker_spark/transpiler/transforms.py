@@ -290,8 +290,8 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "TIMESTAMP_FROM_PARTS": "MAKE_TIMESTAMP",
         "TIMESTAMPFROMPARTS": "MAKE_TIMESTAMP",
         "TIMESTAMP_NTZ_FROM_PARTS": "MAKE_TIMESTAMP_NTZ",
-        "BOOLOR_AGG": "BOOL_OR",
-        "BOOLAND_AGG": "BOOL_AND",
+        "BOOLOR_AGG": "BOOLORAGG_X",    # numeric args coerce: nonzero
+        "BOOLAND_AGG": "BOOLANDAGG_X",  # = true (Snowflake contract)
         "REGR_VALX": "REGRVALX_X",  # NULL-preserving pair helpers
         "REGR_VALY": "REGRVALY_X",
         "DIV0": "DIV0_X",           # a/b with 0 (not error) on b=0
@@ -598,7 +598,8 @@ _PLACEHOLDER_NAMES = frozenset((
     "TIMEFP_X", "CHECKJSON_X", "ISNULLVAL_X", "ASINT_X", "ASNUM_X",
     "ASDBL_X", "ASCHAR_X", "ASBOOL_X", "ASDATE_X", "ASTS_X",
     "IDENT_X", "TOARR_X", "BOOLSC_OR", "BOOLSC_AND", "BOOLSC_XOR",
-    "BOOLSC_NOT", "BOOLXORAGG_X", "NORMAL_X",
+    "BOOLSC_NOT", "BOOLXORAGG_X", "BOOLORAGG_X", "BOOLANDAGG_X",
+    "NORMAL_X",
     "TYPEOF_X", "ISTYPE_OBJECT", "ISTYPE_ARRAY", "ISTYPE_BOOLEAN",
     "ISTYPE_INTEGER", "ISTYPE_NUMBER", "ISTYPE_VARCHAR",
     "EQNULL_X", "NULLIF0_X", "BITNOT_X", "RTLEN_X", "JSONPATHTXT_X",
@@ -2573,6 +2574,15 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
             elif t.text == "BOOLSC_NOT" and len(args) == 1:
                 x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 out += tokenize(f"(NOT CAST({x} AS BOOLEAN))")
+            elif t.text in ("BOOLORAGG_X", "BOOLANDAGG_X") \
+                    and len(args) == 1:
+                # Snowflake BOOLOR_AGG/BOOLAND_AGG accept numerics
+                # (nonzero = true); Spark's bool_or/bool_and are
+                # boolean-only — CAST coerces (identity on booleans)
+                fnb = ("bool_or" if t.text == "BOOLORAGG_X"
+                       else "bool_and")
+                x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
+                out += tokenize(f"{fnb}(CAST({x} AS BOOLEAN))")
             elif t.text == "BOOLXORAGG_X" and len(args) == 1:
                 # Snowflake contract: TRUE iff EXACTLY ONE non-NULL
                 # record is true; all-NULL/empty group → NULL

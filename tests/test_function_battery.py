@@ -1524,3 +1524,21 @@ def test_r12g_rxrep_occurrence_refusals():
             "FROM t")
     with pytest.raises(TranspileError, match="LITERAL pattern"):
         t.to_spark("SELECT REGEXP_REPLACE(s, p, 'y', 1, 2) FROM t")
+
+
+# BOOLOR_AGG/BOOLAND_AGG numeric coercion: Snowflake treats nonzero
+# as true; Spark's bool_or/bool_and are boolean-only (was a type
+# error on numeric args)
+R12H_BOOLAGG_CASES = [
+    ("SELECT BOOLAND_AGG(g) FROM (VALUES (1),(2),(0)) t(g)", False),
+    ("SELECT BOOLAND_AGG(g) FROM (VALUES (1),(2),(3)) t(g)", True),
+    ("SELECT BOOLOR_AGG(g) FROM (VALUES (0),(0),(2)) t(g)", True),
+    ("SELECT BOOLOR_AGG(g) FROM (VALUES (0),(0)) t(g)", False),
+    ("SELECT BOOLAND_AGG(g > 1) FROM (VALUES (2),(3)) t(g)", True),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12H_BOOLAGG_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12h_boolagg_numeric(spark, sql, expect):
+    _check(spark, sql, expect)
