@@ -4098,21 +4098,28 @@ def rewrite_flatten(tokens: Tokens) -> Tokens:
                     # view with key, index, value all resolvable.
                     s_txt = "(" + render(src).strip() + ")"
                     gen = "inline_outer" if outer else "inline"
+                    # PATH mirrors Snowflake: the key name for object
+                    # elements, '[i]' for array elements (r12 probe:
+                    # f.path previously resolved only on the RECURSIVE
+                    # branch)
                     expr = (
                         f"CASE WHEN regexp_like({s_txt}, "
                         f"'^\\\\s*\\\\{{') THEN "
                         f"transform(array_sort(map_entries(from_json("
                         f"{s_txt}, 'map<string,string>'))), "
                         f"e -> struct(e.key AS key, "
-                        f"CAST(NULL AS INT) AS index, e.value AS value)) "
+                        f"CAST(NULL AS INT) AS index, "
+                        f"e.key AS path, e.value AS value)) "
                         f"ELSE transform(from_json({s_txt}, "
                         f"'array<string>'), (v, i) -> "
                         f"struct(CAST(NULL AS STRING) AS key, "
-                        f"CAST(i AS INT) AS index, v AS value)) END"
+                        f"CAST(i AS INT) AS index, "
+                        f"concat('[', CAST(i AS STRING), ']') AS path, "
+                        f"v AS value)) END"
                     )
                     out += [_sp()] + tokenize(
                         f"LATERAL VIEW {gen}({expr}) {alias} "
-                        "AS key, index, value"
+                        "AS key, index, path, value"
                     )
                     i = consumed_to + 1
                     continue

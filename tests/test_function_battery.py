@@ -1542,3 +1542,19 @@ R12H_BOOLAGG_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12h_boolagg_numeric(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+def test_r12i_flatten_path_column(spark):
+    # Snowflake FLATTEN exposes PATH on every branch: the key name
+    # for object elements, '[i]' for array elements (previously only
+    # the RECURSIVE branch emitted it)
+    rows = spark.sql(t.to_spark(
+        "SELECT f.path AS p, f.value AS v FROM "
+        "TABLE(FLATTEN(input => PARSE_JSON('[10,20]'))) f"
+    )).collect()
+    assert [(r.p, r.v) for r in rows] == [("[0]", "10"), ("[1]", "20")]
+    rows = spark.sql(t.to_spark(
+        "SELECT f.path AS p FROM "
+        "TABLE(FLATTEN(input => PARSE_JSON('{\"a\":1}'))) f"
+    )).collect()
+    assert rows[0].p == "a"

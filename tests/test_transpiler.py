@@ -150,7 +150,7 @@ class TestFlatten:
         # dual-mode (array OR object) JSON-text generator
         assert "get_json_object( props, '$.tags')" in out
         assert "'array<string>'" in out and "'map<string,string>'" in out
-        assert "AS key, index, value" in out
+        assert "AS key, index, path, value" in out
 
     def test_flatten_outer(self):
         out = t.to_spark(
