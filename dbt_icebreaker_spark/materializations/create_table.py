@@ -29,6 +29,7 @@ from typing import Optional
 from ..transpiler.tokenizer import (
     COMMENT,
     QIDENT,
+    STRING,
     WORD,
     WS,
     find_matching_paren,
@@ -85,6 +86,7 @@ class CreateTableSpec:
     column_defs: Optional[str] = None     # (col type, …) form
     cluster_by: list[str] = field(default_factory=list)
     like_source: Optional[str] = None     # LIKE <table> form
+    comment: Optional[str] = None         # COMMENT = '…' (raw literal)
 
 
 def parse_create_or_replace_table(sql: str):
@@ -122,10 +124,41 @@ def parse_create_or_replace_table(sql: str):
     if not parts:
         return None
     spec = CreateTableSpec(target=".".join(parts))
+
+    def _consume_props(i: int) -> int:
+        # Snowflake property tail: COMMENT = '…' (kept, applied as a
+        # table property post-create) and retention/tracking metadata
+        # props (dropped — no local meaning). r12 probe: COMMENT =
+        # previously fell through to Spark\'s unsupported REPLACE TABLE.
+        _DROP = {
+            "DATA_RETENTION_TIME_IN_DAYS",
+            "MAX_DATA_EXTENSION_TIME_IN_DAYS", "CHANGE_TRACKING",
+            "DEFAULT_DDL_COLLATION", "ENABLE_SCHEMA_EVOLUTION",
+        }
+        while i < len(toks) and toks[i].kind == WORD:
+            u = toks[i].upper
+            eq = next_code(toks, i + 1)
+            if eq >= len(toks) or not toks[eq].is_op("="):
+                break
+            val = next_code(toks, eq + 1)
+            if val >= len(toks):
+                break
+            if u == "COMMENT" and toks[val].kind == STRING:
+                spec.comment = toks[val].text
+                i = next_code(toks, val + 1)
+                continue
+            if u in _DROP:
+                i = next_code(toks, val + 1)
+                continue
+            break
+        return i
+
+    i = _consume_props(i)
     if i < len(toks) and toks[i].is_op("("):
         close = find_matching_paren(toks, i)
         spec.column_defs = render(toks[i + 1:close]).strip()
         i = next_code(toks, close + 1)
+    i = _consume_props(i)
     if i < len(toks) and toks[i].is_word("CLUSTER"):
         i = next_code(toks, i + 1)
         if i >= len(toks) or not toks[i].is_word("BY"):
@@ -139,6 +172,7 @@ def parse_create_or_replace_table(sql: str):
             if col:
                 spec.cluster_by.append(col)
         i = next_code(toks, close + 1)
+    i = _consume_props(i)
     if i < len(toks) and toks[i].is_word("AS"):
         i = next_code(toks, i + 1)
         spec.select_sql = render(toks[i:]).strip().rstrip(";")
@@ -233,6 +267,16 @@ def run_swap_with(spark, a: str, b: str) -> dict:
     return {"table": f"{a} <-> {b}", "rows_affected": 0}
 
 
+def _apply_table_comment(spark, spec) -> None:
+    """COMMENT = '…' property → the created table's comment (Spark
+    stores it as the 'comment' table property)."""
+    if spec.comment:
+        spark.sql(
+            f"ALTER TABLE {spec.target} SET TBLPROPERTIES "
+            f"('comment' = {spec.comment})"
+        )
+
+
 def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
     """Execute the spec. ``execute_fn`` is the engine's execute (the
     select re-enters it so FLATTEN retries / dialect handling apply)."""
@@ -277,6 +321,7 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         _staged_overwrite(spark, df, spec.target)
+        _apply_table_comment(spark, spec)
         return {"table": spec.target, "rows_affected": obs.get["n"]}
     if spec.like_source is not None:
         # LIKE: empty copy of the source's schema (Snowflake copies
@@ -288,6 +333,7 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
         spark.sql(f"DROP TABLE IF EXISTS {spec.target}")
         clear_orphaned_location(spark, spec.target)
         spark.sql(f"CREATE TABLE {spec.target} ({ddl})")
+        _apply_table_comment(spark, spec)
         return {"table": spec.target, "rows_affected": 0}
     # (col defs) redefinition: map the types, drop, recreate
     spark.sql(f"DROP TABLE IF EXISTS {spec.target}")
@@ -295,4 +341,5 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
     spark.sql(
         f"CREATE TABLE {spec.target} ({_map_column_defs(spec.column_defs)})"
     )
+    _apply_table_comment(spark, spec)
     return {"table": spec.target, "rows_affected": 0}

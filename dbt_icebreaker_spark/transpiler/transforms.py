@@ -8390,6 +8390,88 @@ def rewrite_create_view_modifiers(tokens: Tokens) -> Tokens:
     return [t for k, t in enumerate(tokens) if k not in drop]
 
 
+_CT_DROP_PROPS = frozenset((
+    "DATA_RETENTION_TIME_IN_DAYS", "MAX_DATA_EXTENSION_TIME_IN_DAYS",
+    "CHANGE_TRACKING", "DEFAULT_DDL_COLLATION",
+    "ENABLE_SCHEMA_EVOLUTION", "AUTO_REFRESH", "COPY_GRANTS",
+))
+
+
+def rewrite_create_table_properties(tokens: Tokens) -> Tokens:
+    """Snowflake CREATE TABLE property tail (r12 probe: ``COMMENT =
+    'x'`` died with the generic unparsed-SQL error):
+
+    - ``COMMENT = '<lit>'`` → Spark's ``COMMENT '<lit>'`` (the ``=``
+      is Snowflake-only syntax);
+    - retention/tracking/collation properties (`=` form) → dropped —
+      no local meaning (there is no time-travel retention knob or
+      grant model; Snowflake treats them as metadata too);
+    - ``CLUSTER BY (cols)`` → dropped — Snowflake clustering is an
+      advisory background service; the local equivalent is the
+      explicit z-order maintenance operator
+      (``materializations.maintenance.zorder_table``).
+
+    Head-anchored on CREATE … TABLE and depth-0 only, so column
+    DEFAULTs and names like ``comment`` never match."""
+    i = next_code(tokens, 0)
+    if i >= len(tokens) or not tokens[i].is_word("CREATE"):
+        return tokens
+    has_table = False
+    j = i
+    for _ in range(6):
+        j = next_code(tokens, j + 1)
+        if j >= len(tokens) or tokens[j].kind != WORD:
+            break
+        if tokens[j].is_word("TABLE"):
+            has_table = True
+            break
+        if tokens[j].upper not in (
+            "OR", "REPLACE", "TEMP", "TEMPORARY", "TRANSIENT",
+            "LOCAL", "GLOBAL", "VOLATILE", "ICEBERG",
+        ):
+            break
+    if not has_table:
+        return tokens
+    out: Tokens = []
+    k = 0
+    n = len(tokens)
+    depth = 0
+    while k < n:
+        t = tokens[k]
+        if t.is_op("("):
+            depth += 1
+        elif t.is_op(")"):
+            depth -= 1
+        if depth == 0 and t.kind == WORD:
+            if t.upper == "AS":
+                out += tokens[k:]
+                break
+            if t.upper == "COMMENT":
+                eq = next_code(tokens, k + 1)
+                lit = next_code(tokens, eq + 1) if eq < n else n
+                if (eq < n and tokens[eq].is_op("=")
+                        and lit < n and tokens[lit].kind == STRING):
+                    out += [t, _sp(), tokens[lit]]
+                    k = lit + 1
+                    continue
+            if t.upper in _CT_DROP_PROPS:
+                eq = next_code(tokens, k + 1)
+                val = next_code(tokens, eq + 1) if eq < n else n
+                if eq < n and tokens[eq].is_op("=") and val < n:
+                    k = val + 1
+                    continue
+            if t.upper == "CLUSTER":
+                by = next_code(tokens, k + 1)
+                if by < n and tokens[by].is_word("BY"):
+                    op_i = next_code(tokens, by + 1)
+                    if op_i < n and tokens[op_i].is_op("("):
+                        k = find_matching_paren(tokens, op_i) + 1
+                        continue
+        out.append(t)
+        k += 1
+    return out
+
+
 def rewrite_materialized_view(tokens: Tokens) -> Tokens:
     """``CREATE [OR REPLACE] MATERIALIZED VIEW … AS q`` → ``CREATE
     [OR REPLACE] TABLE … AS q`` and ``DROP MATERIALIZED VIEW`` →
@@ -8581,6 +8663,7 @@ PIPELINE = (
     rewrite_current_statement,  # literal capture of the original text
     rewrite_statement_spellings,  # INSERT OVERWRITE INTO / bare TRUNCATE
     rewrite_create_view_modifiers,  # strip SECURE / COPY GRANTS
+    rewrite_create_table_properties,  # COMMENT =, retention props, CLUSTER BY
     rewrite_materialized_view,  # MATERIALIZED VIEW → TABLE mapping
     rewrite_show_statements,   # Snowflake SHOW dialect → Spark grammar
     rewrite_describe_view,     # DESC VIEW → DESCRIBE TABLE

@@ -3662,3 +3662,45 @@ class TestNonEquiMergeR10:
             engine.execute(
                 f"MERGE INTO {banded} t USING ne_bands s ON "
                 "WHEN MATCHED THEN UPDATE SET band = s.label")
+
+
+class TestR12CreateTableProperties:
+    """Round-12 probe: Snowflake CREATE TABLE property tails —
+    ``COMMENT = '…'`` (kept, applied as the table comment),
+    retention/tracking metadata props (dropped, no local meaning),
+    ``CLUSTER BY`` already handled — previously fell through to
+    Spark's unsupported REPLACE TABLE."""
+
+    def test_comment_property_column_defs(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark)
+        eng.execute(
+            "CREATE OR REPLACE TABLE r12ctp (id INT) COMMENT = 'note'")
+        rows = spark.sql("DESCRIBE TABLE EXTENDED r12ctp").collect()
+        assert ("Comment", "note") in [
+            (r.col_name, r.data_type) for r in rows]
+        spark.sql("DROP TABLE r12ctp")
+
+    def test_comment_property_ctas(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark)
+        eng.execute(
+            "CREATE OR REPLACE TABLE r12ctq COMMENT = 'ctas note' "
+            "AS SELECT 1 AS x")
+        rows = spark.sql("DESCRIBE TABLE EXTENDED r12ctq").collect()
+        assert ("Comment", "ctas note") in [
+            (r.col_name, r.data_type) for r in rows]
+        assert spark.table("r12ctq").count() == 1
+        spark.sql("DROP TABLE r12ctq")
+
+    def test_retention_props_dropped(self, spark):
+        from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+        eng = IcebreakerEngine(spark)
+        eng.execute(
+            "CREATE OR REPLACE TABLE r12ctr (id INT) "
+            "DATA_RETENTION_TIME_IN_DAYS = 1 CHANGE_TRACKING = TRUE")
+        assert spark.table("r12ctr").count() == 0
+        spark.sql("DROP TABLE r12ctr")
