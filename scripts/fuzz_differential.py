@@ -153,7 +153,50 @@ def gen_query():
     pass-through shapes, paired dialect renderings otherwise."""
     table = rng.choice(list(TABLES))
     num_cols, str_cols = TABLES[table]
-    shape = rng.randrange(9)
+    shape = rng.randrange(10)
+    if shape == 9:
+        # date arithmetic: DATEADD with random unit spellings
+        # (singular/plural/abbreviated — the r12 bare-word surface)
+        # and boundary-counting DATEDIFF, paired with DuckDB interval
+        # arithmetic / date_diff (DuckDB counts part boundaries like
+        # Snowflake)
+        sf_unit, dk_unit, amount = rng.choice([
+            ("day", "DAY", 7), ("'days'", "DAY", 3),
+            ("week", "WEEK", 2), ("weeks", "WEEK", 1),
+            ("'month'", "MONTH", 2), ("mons", "MONTH", 5),
+            ("qtrs", "MONTH", None),   # quarter → 3-month interval
+            ("'year'", "YEAR", 1), ("yrs", "YEAR", 2),
+            ("hrs", "HOUR", 36),
+        ])
+        if amount is None:
+            amount, mult = 1, 3
+        else:
+            mult = 1
+        diff_u_sf, diff_u_dk = rng.choice([
+            ("day", "day"), ("'week'", "week"), ("month", "month"),
+            ("'quarter'", "quarter"), ("year", "year"),
+            ("hours", "hour"), ("mins", "minute"),
+        ])
+        w = predicate(ORDERS_NUM, ORDERS_STR)
+        sf = (
+            "SELECT o_orderkey, "
+            f"CAST(DATEADD({sf_unit}, {amount * mult}, o_orderdate) "
+            "AS TIMESTAMP) AS d2, "
+            f"CAST(DATEDIFF({diff_u_sf}, o_orderdate, "
+            f"DATEADD({sf_unit}, {amount * mult}, o_orderdate)) "
+            "AS BIGINT) AS dd "
+            f"FROM orders WHERE {w}"
+        )
+        dk = (
+            "SELECT o_orderkey, "
+            f"CAST(o_orderdate + INTERVAL {amount * mult} {dk_unit} "
+            "AS TIMESTAMP) AS d2, "
+            f"CAST(date_diff('{diff_u_dk}', o_orderdate, "
+            f"o_orderdate + INTERVAL {amount * mult} {dk_unit}) "
+            "AS BIGINT) AS dd "
+            f"FROM orders WHERE {w}"
+        )
+        return sf, dk
     if shape == 5:
         # date-format round-trip (the r12 TO_DATE truncation class):
         # format an orders date, parse it back, aggregate
