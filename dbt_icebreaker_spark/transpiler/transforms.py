@@ -1023,8 +1023,19 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         out += ([_word(fn), _op("("), _word("hex"),
                                  _op("(")] + x + [_op(")"), _op(")")])
                     elif is_num_fmt:
-                        out += ([_word("to_char"), _op("(")] + x
-                                + [_op(","), _sp(), f_code[0], _op(")")])
+                        # Spark's to_char overflows to '#' fill when
+                        # the input's scale exceeds the format's
+                        # (Snowflake rounds) — pre-round by casting to
+                        # the format's decimal scale (r12 probe:
+                        # TO_CHAR(12345.678,'99,999.99') printed
+                        # '## ###.##')
+                        n_scale = (len(fmt_body.rsplit(".", 1)[1])
+                                   if "." in fmt_body else 0)
+                        x_sql = render(x).strip()
+                        out += tokenize(
+                            f"to_char(CAST(({x_sql}) AS "
+                            f"DECIMAL(38, {n_scale})), "
+                            f"{f_code[0].text})")
                     else:
                         conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
                         out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
@@ -1160,9 +1171,20 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     _sp(), _op("/"), _sp(), _word("POWER"), _op("("),
                     _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")")])
             elif t.text == "TO_BOOL_X" and len(args) == 1:
-                # TO_BOOLEAN(x) → CAST(x AS BOOLEAN) (Spark's string→
-                # boolean cast accepts the same t/true/y/yes/1 family)
+                # TO_BOOLEAN(x) → CAST(x AS BOOLEAN). Spark's string→
+                # boolean cast accepts the t/true/y/yes/1 family but
+                # NOT Snowflake's 'on'/'off' (r12 probe) — a string
+                # LITERAL normalizes at transpile time; non-literal
+                # inputs keep the plain cast (a runtime lower()
+                # roundtrip would break numeric inputs)
                 x = tokens[args[0][0]:args[0][1]]
+                code = [c for c in x if c.kind not in (WS, COMMENT)]
+                if len(code) == 1 and code[0].kind == STRING:
+                    body = code[0].text[1:-1].strip().lower()
+                    if body in ("on", "off"):
+                        x = [Token(
+                            STRING,
+                            "'true'" if body == "on" else "'false'")]
                 out += [_word("CAST"), _op("(")] + x + [
                     _sp(), _word("AS"), _sp(), _word("BOOLEAN"), _op(")")]
             elif t.text == "STRTOK_X" and len(args) in (1, 2, 3):

@@ -1558,3 +1558,26 @@ def test_r12i_flatten_path_column(spark):
         "TABLE(FLATTEN(input => PARSE_JSON('{\"a\":1}'))) f"
     )).collect()
     assert rows[0].p == "a"
+
+
+# ---------------------------------------------------------------- r12j
+# Probe batch 8 fixes: numeric TO_CHAR pre-rounds to the format's
+# decimal scale (Spark's to_char overflows to '#' fill when the input
+# scale exceeds the format's; Snowflake rounds), and TO_BOOLEAN
+# accepts Snowflake's 'on'/'off' literals.
+R12J_CASES = [
+    ("SELECT TO_CHAR(12345.678, '99,999.99')", "12,345.68"),
+    ("SELECT TO_CHAR(1234.5, '$9,999.99')", "$1,234.50"),
+    ("SELECT TO_CHAR(0.456, '9.9')", ("0.5", ".5")),
+    ("SELECT TO_BOOLEAN('on')", True),
+    ("SELECT TO_BOOLEAN('OFF')", False),
+    ("SELECT TO_BOOLEAN('yes')", True),
+    ("SELECT TO_BOOLEAN(1)", True),
+    ("SELECT TO_BOOLEAN(0.0)", False),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12J_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12j_tochar_toboolean(spark, sql, expect):
+    _check(spark, sql, expect)

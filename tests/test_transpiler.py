@@ -2342,8 +2342,11 @@ class TestToCharNumericFormats:
     still take the java-mapped date_format path."""
 
     def test_numeric_routing(self):
+        # r12: the input pre-rounds to the format's decimal scale
+        # (Spark to_char overflows to '#' when the scale exceeds it)
         out = t.to_spark("SELECT TO_CHAR(x, '9,999.99') FROM t")
-        assert "to_char(x" in out and "date_format" not in out
+        assert "to_char(CAST((x) AS DECIMAL(38, 2))" in out
+        assert "date_format" not in out
         out = t.to_spark("SELECT TO_CHAR(x, '$9,999.99') FROM t")
         assert "to_char(" in out
 
