@@ -8412,6 +8412,59 @@ def rewrite_create_view_modifiers(tokens: Tokens) -> Tokens:
     return [t for k, t in enumerate(tokens) if k not in drop]
 
 
+_IV_YM_UNITS = frozenset((
+    "YEAR", "YEARS", "Y", "YY", "YYYY", "YR", "YRS",
+    "MONTH", "MONTHS", "MON", "MONS", "MM",
+    "QUARTER", "QUARTERS", "QTR", "QTRS", "Q",
+))
+
+
+def rewrite_interval_commas(tokens: Tokens) -> Tokens:
+    """Snowflake multi-part interval literals separate units with
+    commas (``INTERVAL '2 hours, 30 minutes'``); Spark's multi-unit
+    literal takes spaces only (r12 probe: INVALID_TYPED_LITERAL), and
+    cannot MIX year-month with day-time fields in one literal —
+    a mixed Snowflake literal after ``+``/``-`` splits into two
+    literals applied sequentially across the same operator
+    (``d - INTERVAL '1 year, 3 days'`` → ``d - INTERVAL '1 year'
+    - INTERVAL '3 days'``, matching Snowflake's in-order
+    application)."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == WORD and t.upper == "INTERVAL":
+            j = next_code(tokens, i + 1)
+            if (j < n and tokens[j].kind == STRING
+                    and "," in tokens[j].text):
+                body = " ".join(
+                    tokens[j].text[1:-1].replace(",", " ").split())
+                words = body.split()
+                # classify unit terms: [amount unit]...
+                ym, dt = [], []
+                for k in range(0, len(words) - 1, 2):
+                    amt, unit = words[k], words[k + 1]
+                    tgt = ym if unit.upper() in _IV_YM_UNITS else dt
+                    tgt.append(f"{amt} {unit}")
+                p = len(out) - 1
+                while p >= 0 and out[p].kind in (WS, COMMENT):
+                    p -= 1
+                prev_op = (out[p].text if p >= 0 and out[p].kind == OP
+                           and out[p].text in ("+", "-") else None)
+                if ym and dt and prev_op:
+                    out += tokenize(
+                        f"INTERVAL '{' '.join(ym)}' {prev_op} "
+                        f"INTERVAL '{' '.join(dt)}'")
+                else:
+                    out += [t, _sp(), Token(STRING, f"'{body}'")]
+                i = j + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 _CT_DROP_PROPS = frozenset((
     "DATA_RETENTION_TIME_IN_DAYS", "MAX_DATA_EXTENSION_TIME_IN_DAYS",
     "CHANGE_TRACKING", "DEFAULT_DDL_COLLATION",
@@ -8686,6 +8739,7 @@ PIPELINE = (
     rewrite_statement_spellings,  # INSERT OVERWRITE INTO / bare TRUNCATE
     rewrite_create_view_modifiers,  # strip SECURE / COPY GRANTS
     rewrite_create_table_properties,  # COMMENT =, retention props, CLUSTER BY
+    rewrite_interval_commas,   # INTERVAL '2 hours, 30 minutes' → spaces
     rewrite_materialized_view,  # MATERIALIZED VIEW → TABLE mapping
     rewrite_show_statements,   # Snowflake SHOW dialect → Spark grammar
     rewrite_describe_view,     # DESC VIEW → DESCRIBE TABLE

@@ -1581,3 +1581,27 @@ R12J_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12j_tochar_toboolean(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+# Snowflake multi-part interval literals: commas between units (Spark
+# wants spaces) and mixed year-month + day-time fields (Spark cannot
+# mix them in one literal; the rewrite splits across the preceding
+# +/- operator, preserving Snowflake's in-order application)
+R12K_INTERVAL_CASES = [
+    ("SELECT '2024-01-15'::TIMESTAMP + INTERVAL '2 hours, 30 minutes'",
+     "2024-01-15 02:30:00"),
+    ("SELECT '2024-01-15'::DATE + INTERVAL '1 year, 2 months, 3 days'",
+     "2025-03-18"),
+    ("SELECT '2025-03-18'::DATE - INTERVAL '1 year, 2 months, 3 days'",
+     "2024-01-15"),
+    ("SELECT '2024-01-15'::TIMESTAMP + "
+     "INTERVAL '1 hour, 30 minutes, 15 seconds'",
+     "2024-01-15 01:30:15"),
+    ("SELECT '2024-01-15'::DATE + INTERVAL '1 day'", "2024-01-16"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R12K_INTERVAL_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r12k_interval_literals(spark, sql, expect):
+    _check(spark, sql, expect)
