@@ -160,18 +160,16 @@ def gen_query():
         # and boundary-counting DATEDIFF, paired with DuckDB interval
         # arithmetic / date_diff (DuckDB counts part boundaries like
         # Snowflake)
-        sf_unit, dk_unit, amount = rng.choice([
-            ("day", "DAY", 7), ("'days'", "DAY", 3),
-            ("week", "WEEK", 2), ("weeks", "WEEK", 1),
-            ("'month'", "MONTH", 2), ("mons", "MONTH", 5),
-            ("qtrs", "MONTH", None),   # quarter → 3-month interval
-            ("'year'", "YEAR", 1), ("yrs", "YEAR", 2),
-            ("hrs", "HOUR", 36),
+        # (sf_unit, duck_unit, sf_amount, duck_amount) — quarter has
+        # no DuckDB interval unit, so 1 quarter pairs with 3 months
+        sf_unit, dk_unit, sf_amt, dk_amt = rng.choice([
+            ("day", "DAY", 7, 7), ("'days'", "DAY", 3, 3),
+            ("week", "WEEK", 2, 2), ("weeks", "WEEK", 1, 1),
+            ("'month'", "MONTH", 2, 2), ("mons", "MONTH", 5, 5),
+            ("qtrs", "MONTH", 1, 3),
+            ("'year'", "YEAR", 1, 1), ("yrs", "YEAR", 2, 2),
+            ("hrs", "HOUR", 36, 36),
         ])
-        if amount is None:
-            amount, mult = 1, 3
-        else:
-            mult = 1
         diff_u_sf, diff_u_dk = rng.choice([
             ("day", "day"), ("'week'", "week"), ("month", "month"),
             ("'quarter'", "quarter"), ("year", "year"),
@@ -180,19 +178,19 @@ def gen_query():
         w = predicate(ORDERS_NUM, ORDERS_STR)
         sf = (
             "SELECT o_orderkey, "
-            f"CAST(DATEADD({sf_unit}, {amount * mult}, o_orderdate) "
+            f"CAST(DATEADD({sf_unit}, {sf_amt}, o_orderdate) "
             "AS TIMESTAMP) AS d2, "
             f"CAST(DATEDIFF({diff_u_sf}, o_orderdate, "
-            f"DATEADD({sf_unit}, {amount * mult}, o_orderdate)) "
+            f"DATEADD({sf_unit}, {sf_amt}, o_orderdate)) "
             "AS BIGINT) AS dd "
             f"FROM orders WHERE {w}"
         )
         dk = (
             "SELECT o_orderkey, "
-            f"CAST(o_orderdate + INTERVAL {amount * mult} {dk_unit} "
+            f"CAST(o_orderdate + INTERVAL {dk_amt} {dk_unit} "
             "AS TIMESTAMP) AS d2, "
             f"CAST(date_diff('{diff_u_dk}', o_orderdate, "
-            f"o_orderdate + INTERVAL {amount * mult} {dk_unit}) "
+            f"o_orderdate + INTERVAL {dk_amt} {dk_unit}) "
             "AS BIGINT) AS dd "
             f"FROM orders WHERE {w}"
         )
