@@ -123,13 +123,54 @@ def main() -> None:
     ).collect()
 
     qs = corpus.queries()
-    # two reps per query, report the min: first runs pay one-time JVM
+    # r13 protocol hardening: Spark and DuckDB reps for EACH query run
+    # back-to-back in the same seconds-wide window, instead of a full
+    # Spark pass followed minutes later by a full DuckDB pass. This
+    # host is shared and carries minute-scale external load transients
+    # (r13 bisect: the same x02 query read 0.72 s and 6.98 s in one
+    # session depending on nothing but when it ran — and the suspected
+    # r12 "suite-state inflation" vanished entirely once measurements
+    # were time-local). Per-query pairing makes each ratio
+    # load-symmetric: a spike slows both engines' windows together
+    # instead of landing asymmetrically between the two passes — which
+    # is exactly how the r11/r12 artifact ratios (1.92/2.44 vs
+    # 1.47-1.65 on quiet re-runs) went wrong. Start/end load averages
+    # are recorded in the output for transparency.
+    duck = None
+    oracles: dict[str, str] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        oracles = corpus.oracle_sql()
+        duck = duckdb.connect()
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents embeddings").split():
+            duck.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        # DuckDB warmup twin (not counted): touch the big tables so
+        # both engines start from warm page cache
+        duck.execute("SELECT COUNT(*) FROM lineitem").fetchall()
+        duck.execute("SELECT COUNT(*) FROM documents").fetchall()
+
+    def _load1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
+    load_start = _load1()
+    # three reps per query, report the min: first runs pay one-time JVM
     # JIT/codegen compilation and are exposed to multi-second host
     # noise spikes (observed 1.5-3x swings on this host); the min is
     # the steady-state number a long-lived cluster sees. Declared in
     # the output ("reps"/"agg") for transparency.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    ratio = None
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
@@ -142,37 +183,21 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-
-    total = round(sum(timings.values()), 3)
-
-    # DuckDB twin in the SAME session (r9 verdict #6: the host-drift
-    # episode burned a judge cycle reconstructing the denominator from
-    # a separate bench_oracle.py run — every BENCH_r*.json now carries
-    # its own same-host, same-minute ratio). Opt out with
-    # SPARK_GRAFT_BENCH_DUCKDB=0.
-    duck_times: dict[str, float] = {}
-    ratio = None
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
-        import duckdb
-
-        oracles = corpus.oracle_sql()
-        duck = duckdb.connect()
-        for t in ("region nation customer supplier part orders "
-                  "lineitem events documents embeddings").split():
-            duck.execute(
-                f"CREATE OR REPLACE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-            )
-        for name in BENCH_QUERIES:
-            if name not in oracles:
-                continue
-            best = None
+        # DuckDB twin in the SAME session, same seconds-window (r9
+        # verdict #6 + r13 pairing; rationale above). Opt out with
+        # SPARK_GRAFT_BENCH_DUCKDB=0.
+        if duck is not None and name in oracles:
+            dbest = None
             for _ in range(reps):
                 t0 = time.time()
                 duck.execute(oracles[name]).fetchall()
                 el = time.time() - t0
-                best = el if best is None else min(best, el)
-            duck_times[name] = round(best, 3)
+                dbest = el if dbest is None else min(dbest, el)
+            duck_times[name] = round(dbest, 3)
+
+    total = round(sum(timings.values()), 3)
+    load_end = _load1()
+    if duck_times:
         shared = [n for n in BENCH_QUERIES if n in duck_times]
         spark_shared = round(sum(timings[n] for n in shared), 3)
         duck_shared = round(sum(duck_times.values()), 3)
@@ -186,6 +211,9 @@ def main() -> None:
         "sf": SF_DIR,
         "reps": reps,
         "agg": "min",
+        "pairing": "per-query",
+        "load1_start": load_start,
+        "load1_end": load_end,
     }
     if duck_times:
         out["duckdb_queries"] = duck_times

@@ -86,9 +86,11 @@ def parse_copy_into(sql: str) -> Optional[CopySpec]:
     src = m.group("src")
     if src.startswith("@"):
         raise TranspileError(
-            "COPY INTO FROM @stage: Spark has no stage objects — use a "
-            "direct path: COPY INTO t FROM '/data/files/' "
-            "FILE_FORMAT = (TYPE = PARQUET)"
+            "COPY INTO FROM @stage: no such stage in the engine's "
+            "session registry — CREATE STAGE first (stages.py "
+            "resolves @stage references to managed local "
+            "directories), or use a direct path: COPY INTO t FROM "
+            "'/data/files/' FILE_FORMAT = (TYPE = PARQUET)"
         )
     rest = m.group("rest") or ""
     for kw in _UNSUPPORTED:

@@ -1023,7 +1023,7 @@ _q(
     ORDER BY d
     """,
     """
-    SELECT CAST(DATE '1995-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS d
+    SELECT CAST(DATE '1995-01-01' + i * INTERVAL 1 DAY AS DATE) AS d
     FROM range(120) t(i)
     ORDER BY d
     """,
@@ -6432,6 +6432,111 @@ def _x_date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_format_type_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13: the r12 verdict's two wrong answers, locked as a
+    permanent oracle row over a MIXED-SIGN column. (1) numeric
+    TO_CHAR/TO_VARCHAR renders negatives with a leading '-' and no
+    Oracle space-fill under plain/comma/$/S formats (the sign-drop
+    silent-wrong-answer class — the battery had locked only positive
+    inputs); (2) DATEADD on a statically-DATE input with day-or-
+    coarser units returns DATE, projected BARE so the driver's
+    schema/value compare enforces the type forever; (3) multi-part
+    interval literals apply in written order across the ym/dt class
+    boundary (r12 advisor)."""
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    eng = IcebreakerEngine(spark, schema="default")
+    return eng.execute(
+        """
+        SELECT o_orderkey,
+               TO_CHAR(o_totalprice - 150000, '9,999,999.99')
+                   AS n_plain,
+               TO_VARCHAR(o_totalprice - 150000, '$9,999,999.99')
+                   AS n_curr,
+               TO_CHAR(o_totalprice - 150000, 'S9,999,999.99')
+                   AS n_sign,
+               DATEADD('day', 3, o_orderdate::DATE) AS d_day,
+               DATEADD(month, 1, o_orderdate::DATE) AS d_month,
+               o_orderdate::DATE - INTERVAL '1 day, 1 month' AS d_iv
+        FROM orders WHERE o_orderkey <= 2000
+        """
+    )
+
+
+XOP_ORACLES["x85_format_type_parity"] = """
+    WITH b AS (
+      SELECT o_orderkey, o_orderdate,
+             o_totalprice - 150000 AS v,
+             abs(CAST(o_totalprice - 150000 AS DECIMAL(38,2))) AS a
+      FROM orders WHERE o_orderkey <= 2000
+    ), f AS (
+      SELECT o_orderkey, o_orderdate, v,
+             format('{:,}', CAST(floor(a) AS BIGINT)) || '.' ||
+             lpad(CAST(CAST(a * 100 AS BIGINT) % 100 AS VARCHAR),
+                  2, '0') AS body
+      FROM b
+    )
+    SELECT o_orderkey,
+      CASE WHEN v < 0 THEN '-' ELSE '' END || body AS n_plain,
+      CASE WHEN v < 0 THEN '-' ELSE '' END || '$' || body AS n_curr,
+      CASE WHEN v < 0 THEN '-' ELSE '+' END || body AS n_sign,
+      (o_orderdate::DATE + INTERVAL 3 DAY)::DATE AS d_day,
+      (o_orderdate::DATE + INTERVAL 1 MONTH)::DATE AS d_month,
+      (o_orderdate::DATE - INTERVAL 1 DAY - INTERVAL 1 MONTH)::DATE
+          AS d_iv
+    FROM f
+"""
+
+
+def _x_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 (r12 verdict Missing #2): the CREATE STAGE → PUT →
+    COPY INTO @stage loading idiom end-to-end through the engine's
+    local stage registry (stages.py). A CSV export of nation rides
+    PUT (gzipped by AUTO_COMPRESS default, like Snowflake), lands in
+    a managed stage directory, and COPY INTO resolves the @stage
+    reference onto the existing path-form loader. The oracle is the
+    source table itself: a lossless round-trip."""
+    import os
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="x86_")
+    db = f"x86_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    csv_path = os.path.join(base, "nation.csv")
+    # nation is 25 rows at every SF (TPC-H fixed dimension) — the
+    # driver-side export is the test fixture, not a data-plane op
+    spark.table("nation").toPandas().to_csv(csv_path, index=False)
+    eng.execute(f"CREATE STAGE {db}_load")
+    eng.execute(f"PUT file://{csv_path} @{db}_load/in")
+    eng.execute(
+        f"CREATE TABLE {db}.nation_loaded (n_nationkey BIGINT, "
+        "n_name STRING, n_regionkey BIGINT)"
+    )
+    eng.execute(
+        f"COPY INTO {db}.nation_loaded FROM @{db}_load/in "
+        "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1 "
+        "FIELD_OPTIONALLY_ENCLOSED_BY = '\"')"
+    )
+    return spark.table(f"{db}.nation_loaded").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    ).orderBy("n_nationkey")
+
+
+XOP_ORACLES["x86_stage_roundtrip"] = """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+"""
+
+
 XOP_ORACLES["x84_date_parse_formats"] = """
     SELECT o_orderkey,
            strptime(strftime(o_orderdate, '%d %b %Y'),
@@ -7498,6 +7603,8 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x82_connect_by_desc_walk": _x_connect_by_desc_walk,
     "x83_quantified_any": _x_quantified_any,
     "x84_date_parse_formats": _x_date_parse_formats,
+    "x85_format_type_parity": _x_format_type_parity,
+    "x86_stage_roundtrip": _x_stage_roundtrip,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -1282,6 +1283,25 @@ class IcebreakerEngine:
             if sv is not None:
                 result = sv
                 continue
+            # local internal stages (r13): CREATE/DROP STAGE, SHOW
+            # STAGES, PUT/GET/LIST/REMOVE @stage, COPY INTO @stage
+            # unload — session registry of managed directories
+            # (stages.py); COPY INTO … FROM @stage resolves to the
+            # path-form loader further down
+            _up0 = raw.lstrip()[:8].upper()
+            if ("STAGE" in raw.upper()
+                    or _up0.startswith(("PUT ", "LIST ", "LS ",
+                                        "REMOVE ", "RM "))
+                    or (_up0.startswith("GET ")
+                        and "@" in raw.split("\n", 1)[0])
+                    or re.match(r"^\s*COPY\s+INTO\s+@", raw,
+                                re.IGNORECASE)):
+                from . import stages as _stages
+
+                st_result = _stages.dispatch(self, raw)
+                if st_result is not None:
+                    result = st_result
+                    continue
             # CREATE/DROP SEQUENCE + SHOW SEQUENCES (r11): session
             # registry; NEXTVAL substitution happened in execute()
             up_head = raw.upper().split(None, 4)
@@ -1832,7 +1852,17 @@ class IcebreakerEngine:
                     "table string, rows_affected long",
                 )
                 continue
-            spec = parse_copy_into(raw)
+            # COPY INTO … FROM @stage resolves the stage to its local
+            # directory (r13, stages.py) and rides the path-form
+            # loader; statements with no stage FROM pass unchanged
+            copy_raw = raw
+            if re.search(r"\bFROM\s+'?@", raw, re.IGNORECASE):
+                from . import stages as _stages
+
+                resolved = _stages.resolve_copy_into_stage(self, raw)
+                if resolved is not None:
+                    copy_raw = resolved
+            spec = parse_copy_into(copy_raw)
             if spec is not None:
                 try:
                     stats = run_copy_into(self.spark, spec)

@@ -1,0 +1,480 @@
+"""Local internal-stage registry (S15; r12 verdict Missing #2).
+
+Snowflake internal stages are named file areas, and CREATE STAGE →
+PUT → COPY INTO @stage is the single most common Snowflake loading
+idiom. The reference cannot run any of it locally — its router
+pattern-matches stage statements and sends them to the warehouse
+(ref `auto_router.py:109-134` routes on external-source patterns,
+`connections.py:352-371` surfaces the cloud errors). Here an
+INTERNAL stage maps to a managed local directory, which converts the
+whole family onto the existing path-form COPY INTO loader
+(materializations/copy_into.py): PUT copies files in, LIST/REMOVE
+manage them, COPY INTO resolves ``@stage/prefix`` to the directory,
+and COPY INTO @stage FROM … unloads query results as files.
+
+Supported surface (engine-routed; the bare transpiler still refuses
+with a pointer here — file ops are not expressible as a SELECT):
+
+    CREATE [OR REPLACE] [TEMP[ORARY]] STAGE [IF NOT EXISTS] name
+    DROP STAGE [IF EXISTS] name
+    SHOW STAGES
+    PUT file://<path-or-glob> @name[/prefix]
+        [AUTO_COMPRESS = TRUE|FALSE] [OVERWRITE = TRUE|FALSE]
+        [PARALLEL = n]
+    GET @name[/path] file://<dir> [PARALLEL = n] [PATTERN = '<rx>']
+    LIST @name[/prefix] [PATTERN = '<rx>']
+    REMOVE @name[/prefix-or-file] [PATTERN = '<rx>']
+    COPY INTO t FROM @name[/prefix] [FILE_FORMAT = …] [PATTERN = …]
+    COPY INTO @name[/prefix] FROM <table | (query)>
+        [FILE_FORMAT = (TYPE = CSV|PARQUET|JSON [HEADER=…])]
+        [OVERWRITE = TRUE|FALSE] [HEADER = TRUE|FALSE]
+
+EXTERNAL stages (URL=, STORAGE_INTEGRATION=, CREDENTIALS=,
+ENCRYPTION=) refuse actionably — cloud auth objects have no local
+meaning; read object stores directly with spark.read over the URI.
+
+Faithfulness notes:
+- PUT gzips text files by default (AUTO_COMPRESS=TRUE is Snowflake's
+  default; file.csv lands as file.csv.gz, and LIST/GET/COPY see the
+  .gz name exactly like Snowflake). Already-compressed extensions and
+  binary columnar formats (.gz/.bz2/.zst/.parquet/.orc) are never
+  re-compressed. Spark reads .gz CSV/JSON transparently, so COPY INTO
+  round-trips.
+- Unload writes Spark part-files under the target prefix (a
+  directory), not Snowflake's ``data_0_0_0`` names — documented
+  deviation; LIST shows the real file names.
+- Stage directories are engine-session-scoped temp dirs (same scope
+  as the sequence registry, sequences.py) — Snowflake stages persist
+  per schema; a restart here starts empty.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import hashlib
+import os
+import re
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+_NAME = r"\"[^\"]+\"|[\w.$]+"
+_CREATE_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    rf"STAGE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>{_NAME})"
+    rf"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    rf"^\s*DROP\s+STAGE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>{_NAME})"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+STAGES\s*;?\s*$", re.IGNORECASE)
+_PUT_RE = re.compile(
+    r"^\s*PUT\s+(?P<src>'[^']+'|\S+)\s+(?P<dst>'@[^']+'|@\S+)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GET_RE = re.compile(
+    r"^\s*GET\s+(?P<src>'@[^']+'|@\S+)\s+(?P<dst>'[^']+'|\S+)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LIST_RE = re.compile(
+    r"^\s*(?:LIST|LS)\s+(?P<ref>'@[^']+'|@\S+)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REMOVE_RE = re.compile(
+    r"^\s*(?:REMOVE|RM)\s+(?P<ref>'@[^']+'|@\S+)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNLOAD_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<dst>'@[^']+'|@\S+)\s+FROM\s+(?P<src>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LOAD_FROM_STAGE_RE = re.compile(
+    r"^(?P<head>\s*COPY\s+INTO\s+[\w.]+\s+FROM\s+)"
+    r"(?P<ref>'@[^']+'|@[\w.$/]+)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PATTERN_RE = re.compile(r"PATTERN\s*=\s*'([^']*)'", re.IGNORECASE)
+
+_EXTERNAL_OPTS = (
+    "URL", "STORAGE_INTEGRATION", "CREDENTIALS", "ENCRYPTION",
+    "ENDPOINT", "AWS_KEY_ID", "AZURE_SAS_TOKEN",
+)
+# text formats gzip under AUTO_COMPRESS; already-compressed and
+# binary columnar formats never re-compress (gzip-over-parquet would
+# make the files unreadable to a schema-aligned spark.read)
+_NO_COMPRESS_EXT = (".gz", ".bz2", ".zst", ".br", ".parquet", ".orc",
+                    ".avro", ".zip")
+
+
+@dataclass
+class Stage:
+    name: str
+    path: str
+    created_on: float
+
+
+def _norm_name(name: str) -> str:
+    return name.strip().strip('"').rstrip(";").lower()
+
+
+def _registry(engine) -> dict:
+    if not hasattr(engine, "_stages_registry"):
+        engine._stages_registry = {}
+    return engine._stages_registry
+
+
+def _resolve_ref(engine, ref: str) -> tuple[Stage, str]:
+    """'@name[/sub/path]' → (Stage, relative subpath)."""
+    r = ref.strip().strip("'").rstrip(";")
+    if not r.startswith("@"):
+        raise ValueError(f"stage reference must start with '@': {r!r}")
+    body = r[1:]
+    name, _, sub = body.partition("/")
+    reg = _registry(engine)
+    key = _norm_name(name)
+    if key not in reg:
+        known = ", ".join(sorted(reg)) or "none"
+        raise ValueError(
+            f"unknown stage {name!r} (session stages: {known}) — "
+            "CREATE STAGE first; stages are engine-session scoped"
+        )
+    sub = sub.strip("/")
+    if ".." in sub.split("/"):
+        raise ValueError(f"stage path may not contain '..': {r!r}")
+    return reg[key], sub
+
+
+def _check_external(rest: str) -> None:
+    for kw in _EXTERNAL_OPTS:
+        if re.search(rf"\b{kw}\b", rest, re.IGNORECASE):
+            raise ValueError(
+                f"CREATE STAGE with {kw}: external stages are cloud "
+                "auth objects with no local meaning — read the object "
+                "store directly (spark.read over the URI with hadoop "
+                "credentials confs). Local internal stages (no URL) "
+                "are supported."
+            )
+
+
+def _df(engine, rows, schema) -> DataFrame:
+    return engine.spark.createDataFrame(rows, schema)
+
+
+def create_stage(engine, raw: str) -> DataFrame:
+    m = _CREATE_RE.match(raw)
+    assert m is not None
+    _check_external(m.group("rest") or "")
+    name = _norm_name(m.group("name"))
+    reg = _registry(engine)
+    if name in reg:
+        if m.group("ine"):
+            return _df(
+                engine,
+                [(f"Stage {name.upper()} already exists, statement "
+                  "skipped.",)],
+                "status string",
+            )
+        if not m.group("replace"):
+            raise ValueError(
+                f"CREATE STAGE: stage {name!r} already exists — use "
+                "OR REPLACE / IF NOT EXISTS"
+            )
+        shutil.rmtree(reg[name].path, ignore_errors=True)
+        del reg[name]
+    path = tempfile.mkdtemp(prefix=f"sf_stage_{name.replace('.', '_')}_")
+    reg[name] = Stage(name=name, path=path, created_on=time.time())
+    return _df(
+        engine,
+        [(f"Stage area {name.upper()} successfully created.",)],
+        "status string",
+    )
+
+
+def drop_stage(engine, raw: str) -> DataFrame:
+    m = _DROP_RE.match(raw)
+    assert m is not None
+    name = _norm_name(m.group("name"))
+    reg = _registry(engine)
+    if name in reg:
+        shutil.rmtree(reg[name].path, ignore_errors=True)
+        del reg[name]
+        msg = f"{name.upper()} successfully dropped."
+    elif m.group("ie"):
+        msg = (f"Drop statement executed successfully "
+               f"({name.upper()} already dropped).")
+    else:
+        known = ", ".join(sorted(reg)) or "none"
+        raise ValueError(
+            f"DROP STAGE: unknown stage {name!r} (session stages: "
+            f"{known}) — use IF EXISTS"
+        )
+    return _df(engine, [(msg,)], "status string")
+
+
+def show_stages(engine) -> DataFrame:
+    reg = _registry(engine)
+    rows = [
+        (s.name, "INTERNAL", s.path,
+         time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(s.created_on)))
+        for s in sorted(reg.values(), key=lambda s: s.name)
+    ]
+    return _df(
+        engine, rows,
+        "name string, type string, location string, created_on string",
+    )
+
+
+def _stage_files(stage: Stage, sub: str, pattern: str | None):
+    """(abspath, relpath-under-stage) files under @stage/sub, PATTERN
+    regex applied to the stage-relative path like Snowflake."""
+    root = os.path.join(stage.path, sub) if sub else stage.path
+    out = []
+    if os.path.isfile(root):
+        cands = [root]
+    else:
+        cands = []
+        for r, _d, files in os.walk(stage.path):
+            for f in files:
+                cands.append(os.path.join(r, f))
+    prefix = os.path.join(stage.path, sub) if sub else stage.path
+    rx = re.compile(pattern) if pattern else None
+    for full in sorted(cands):
+        if not full.startswith(prefix):
+            continue
+        rel = os.path.relpath(full, stage.path)
+        if rx and not rx.search(rel):
+            continue
+        out.append((full, rel))
+    return out
+
+
+def put_files(engine, raw: str) -> DataFrame:
+    m = _PUT_RE.match(raw)
+    assert m is not None
+    rest = m.group("rest") or ""
+    opts = {k.upper(): v.upper()
+            for k, v in re.findall(r"(\w+)\s*=\s*'?(\w+)'?", rest)}
+    for k in opts:
+        if k not in ("AUTO_COMPRESS", "OVERWRITE", "PARALLEL",
+                     "SOURCE_COMPRESSION"):
+            raise ValueError(
+                f"PUT option {k} is not implemented by the local "
+                "stage (supported: AUTO_COMPRESS, OVERWRITE, "
+                "PARALLEL)"
+            )
+    auto_compress = opts.get("AUTO_COMPRESS", "TRUE") == "TRUE"
+    overwrite = opts.get("OVERWRITE", "FALSE") == "TRUE"
+    src = m.group("src").strip().strip("'").rstrip(";")
+    if src.startswith("file://"):
+        src = src[len("file://"):]
+    src = os.path.expanduser(src)
+    stage, sub = _resolve_ref(engine, m.group("dst"))
+    dst_dir = os.path.join(stage.path, sub) if sub else stage.path
+    os.makedirs(dst_dir, exist_ok=True)
+    matches = sorted(_glob.glob(src))
+    if not matches:
+        raise ValueError(f"PUT: no files match {src!r}")
+    rows = []
+    for f in matches:
+        if not os.path.isfile(f):
+            continue
+        base = os.path.basename(f)
+        compress = auto_compress and not base.lower().endswith(
+            _NO_COMPRESS_EXT)
+        target = base + ".gz" if compress else base
+        dst = os.path.join(dst_dir, target)
+        if os.path.exists(dst) and not overwrite:
+            rows.append((base, target, os.path.getsize(f), 0,
+                         "SKIPPED"))
+            continue
+        if compress:
+            with open(f, "rb") as fin, gzip.open(dst, "wb") as fout:
+                shutil.copyfileobj(fin, fout)
+        else:
+            shutil.copyfile(f, dst)
+        rows.append((base, target, os.path.getsize(f),
+                     os.path.getsize(dst), "UPLOADED"))
+    return _df(
+        engine, rows,
+        "source string, target string, source_size long, "
+        "target_size long, status string",
+    )
+
+
+def get_files(engine, raw: str) -> DataFrame:
+    m = _GET_RE.match(raw)
+    assert m is not None
+    rest = m.group("rest") or ""
+    for k, _v in re.findall(r"(\w+)\s*=\s*'?([^'\s]+)'?", rest):
+        if k.upper() not in ("PARALLEL", "PATTERN"):
+            raise ValueError(
+                f"GET option {k.upper()} is not implemented by the "
+                "local stage (supported: PARALLEL, PATTERN)"
+            )
+    pm = _PATTERN_RE.search(rest)
+    stage, sub = _resolve_ref(engine, m.group("src"))
+    dst = m.group("dst").strip().strip("'").rstrip(";")
+    if dst.startswith("file://"):
+        dst = dst[len("file://"):]
+    dst = os.path.expanduser(dst)
+    os.makedirs(dst, exist_ok=True)
+    rows = []
+    for full, rel in _stage_files(stage, sub, pm.group(1) if pm else None):
+        out = os.path.join(dst, os.path.basename(rel))
+        shutil.copyfile(full, out)
+        rows.append((os.path.basename(rel), os.path.getsize(out),
+                     "DOWNLOADED"))
+    return _df(engine, rows, "file string, size long, status string")
+
+
+def list_files(engine, raw: str) -> DataFrame:
+    m = _LIST_RE.match(raw)
+    assert m is not None
+    pm = _PATTERN_RE.search(m.group("rest") or "")
+    stage, sub = _resolve_ref(engine, m.group("ref"))
+    rows = []
+    for full, rel in _stage_files(stage, sub, pm.group(1) if pm else None):
+        with open(full, "rb") as f:
+            md5 = hashlib.md5(f.read()).hexdigest()
+        rows.append((
+            f"{stage.name}/{rel}",
+            os.path.getsize(full),
+            md5,
+            time.strftime("%Y-%m-%d %H:%M:%S",
+                          time.gmtime(os.path.getmtime(full))),
+        ))
+    return _df(
+        engine, rows,
+        "name string, size long, md5 string, last_modified string",
+    )
+
+
+def remove_files(engine, raw: str) -> DataFrame:
+    m = _REMOVE_RE.match(raw)
+    assert m is not None
+    pm = _PATTERN_RE.search(m.group("rest") or "")
+    stage, sub = _resolve_ref(engine, m.group("ref"))
+    rows = []
+    for full, rel in _stage_files(stage, sub, pm.group(1) if pm else None):
+        os.remove(full)
+        rows.append((f"{stage.name}/{rel}", "removed"))
+    return _df(engine, rows, "name string, result string")
+
+
+def resolve_copy_into_stage(engine, raw: str) -> str | None:
+    """COPY INTO t FROM @stage[/p] … → the same statement with the
+    stage resolved to its local directory path, feeding the existing
+    path-form loader. None when the statement has no stage FROM."""
+    m = _LOAD_FROM_STAGE_RE.match(raw)
+    if m is None:
+        return None
+    stage, sub = _resolve_ref(engine, m.group("ref"))
+    path = os.path.join(stage.path, sub) if sub else stage.path
+    return f"{m.group('head')}'{path}'{m.group('rest')}"
+
+
+def run_unload(engine, raw: str) -> DataFrame:
+    """COPY INTO @stage[/prefix] FROM <table | (query)> — unload
+    query results as files into the stage directory."""
+    m = _UNLOAD_RE.match(raw)
+    assert m is not None
+    stage, sub = _resolve_ref(engine, m.group("dst"))
+    src = m.group("src").strip().rstrip(";").strip()
+    # split source from the option tail: options start at the first
+    # top-level FILE_FORMAT/OVERWRITE/HEADER/SINGLE/MAX_FILE_SIZE
+    tail_m = re.search(
+        r"\b(FILE_FORMAT|OVERWRITE|HEADER|SINGLE|MAX_FILE_SIZE"
+        r"|DETAILED_OUTPUT)\b",
+        src, re.IGNORECASE,
+    )
+    rest = ""
+    if tail_m is not None:
+        rest = src[tail_m.start():]
+        src = src[:tail_m.start()].strip()
+    for key in re.findall(r"\b(\w+)\s*=", rest):
+        if key.upper() not in ("FILE_FORMAT", "TYPE", "HEADER",
+                               "OVERWRITE", "FIELD_DELIMITER",
+                               "COMPRESSION"):
+            raise ValueError(
+                f"COPY INTO @stage option {key.upper()} is not "
+                "implemented by the local unloader (supported: "
+                "FILE_FORMAT TYPE/FIELD_DELIMITER, HEADER, OVERWRITE, "
+                "COMPRESSION=NONE|GZIP)"
+            )
+    fmt_m = re.search(r"TYPE\s*=\s*'?(\w+)'?", rest, re.IGNORECASE)
+    fmt = fmt_m.group(1).lower() if fmt_m else "csv"
+    if fmt not in ("csv", "parquet", "json"):
+        raise ValueError(
+            f"COPY INTO @stage file format {fmt!r}: supported here "
+            "are CSV / PARQUET / JSON"
+        )
+    comp_m = re.search(r"COMPRESSION\s*=\s*'?(\w+)'?", rest,
+                       re.IGNORECASE)
+    compression = (comp_m.group(1).lower() if comp_m
+                   else ("gzip" if fmt != "parquet" else "snappy"))
+    if compression == "none":
+        compression = None
+    header = bool(re.search(r"HEADER\s*=\s*TRUE", rest, re.IGNORECASE))
+    overwrite = bool(
+        re.search(r"OVERWRITE\s*=\s*TRUE", rest, re.IGNORECASE))
+    delim_m = re.search(r"FIELD_DELIMITER\s*=\s*'([^']*)'", rest,
+                        re.IGNORECASE)
+    # source: a bare table name or a parenthesized query (Snowflake
+    # SQL — goes back through the engine's transpiler)
+    if src.startswith("("):
+        inner = src[1:-1] if src.endswith(")") else src[1:]
+        df = engine.spark.sql(engine.sql_to_spark(inner))
+    else:
+        df = engine.spark.table(src)
+    out_dir = os.path.join(stage.path, sub) if sub else stage.path
+    writer = df.write.mode("overwrite" if overwrite else "errorifexists")
+    if fmt == "csv":
+        writer = writer.option("header", str(header).lower())
+        if delim_m:
+            writer = writer.option("sep", delim_m.group(1))
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.format(fmt).save(out_dir)
+    n = df.count()
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, files in os.walk(out_dir) for f in files
+        if not f.startswith(("_", "."))
+    )
+    return _df(
+        engine, [(n, size)],
+        "rows_unloaded long, output_bytes long",
+    )
+
+
+def dispatch(engine, raw: str) -> DataFrame | None:
+    """Route one statement to the stage registry; None when it is not
+    a stage statement (caller continues normal dispatch)."""
+    s = raw.lstrip()
+    up = s.upper()
+    if _SHOW_RE.match(s):
+        return show_stages(engine)
+    if up.startswith(("CREATE",)) and _CREATE_RE.match(s):
+        return create_stage(engine, s)
+    if up.startswith("DROP") and _DROP_RE.match(s):
+        return drop_stage(engine, s)
+    if up.startswith("PUT") and _PUT_RE.match(s):
+        return put_files(engine, s)
+    if up.startswith("GET") and _GET_RE.match(s):
+        return get_files(engine, s)
+    if up.startswith(("LIST", "LS ")) and _LIST_RE.match(s):
+        return list_files(engine, s)
+    if up.startswith(("REMOVE", "RM ")) and _REMOVE_RE.match(s):
+        return remove_files(engine, s)
+    if _UNLOAD_RE.match(s):
+        return run_unload(engine, s)
+    return None

@@ -1023,19 +1023,50 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         out += ([_word(fn), _op("("), _word("hex"),
                                  _op("(")] + x + [_op(")"), _op(")")])
                     elif is_num_fmt:
-                        # Spark's to_char overflows to '#' fill when
-                        # the input's scale exceeds the format's
-                        # (Snowflake rounds) — pre-round by casting to
-                        # the format's decimal scale (r12 probe:
-                        # TO_CHAR(12345.678,'99,999.99') printed
-                        # '## ###.##')
-                        n_scale = (len(fmt_body.rsplit(".", 1)[1])
-                                   if "." in fmt_body else 0)
+                        # Spark's to_char deviates from Snowflake on
+                        # three axes, each compensated here:
+                        # 1. overflow: input scale > format scale
+                        #    prints '#' fill (Snowflake rounds) —
+                        #    pre-round by casting to the format's
+                        #    decimal scale. Scale counts only digit
+                        #    placeholders ('9'/'0') after the '.', NOT
+                        #    trailing sign elements ('99.99MI' has
+                        #    scale 2, not 4).
+                        # 2. fill: Spark space-fills unused leading
+                        #    '9' positions Oracle-style ('$9,999.00'
+                        #    on 123.46 → '$  123.46'); Snowflake
+                        #    suppresses them entirely ('$123.46') —
+                        #    strip every space from the output (digit/
+                        #    group/currency glyphs never contain one).
+                        # 3. sign: with no S/MI/PR element Spark
+                        #    prints NO sign for negatives
+                        #    (TO_CHAR(-12.5,'99.9') → '12.5', a silent
+                        #    wrong answer); Snowflake prepends '-'.
+                        #    Compensate with CASE + abs(); abs-then-
+                        #    round also reproduces Snowflake's
+                        #    half-away-from-zero rounding.
+                        tail = fmt_body.rsplit(".", 1)[1] if "." in fmt_body else ""
+                        n_scale = sum(ch in "90" for ch in tail)
                         x_sql = render(x).strip()
-                        out += tokenize(
-                            f"to_char(CAST(({x_sql}) AS "
-                            f"DECIMAL(38, {n_scale})), "
-                            f"{f_code[0].text})")
+                        fb_up = fmt_body.upper()
+                        has_sign = (
+                            fb_up.startswith("S") or fb_up.endswith("S")
+                            or fb_up.endswith("MI") or fb_up.endswith("PR")
+                        )
+                        if has_sign:
+                            out += tokenize(
+                                f"replace(to_char(CAST(({x_sql}) AS "
+                                f"DECIMAL(38, {n_scale})), "
+                                f"{f_code[0].text}), ' ', '')")
+                        else:
+                            base = (
+                                f"replace(to_char(CAST(abs({x_sql}) AS "
+                                f"DECIMAL(38, {n_scale})), "
+                                f"{f_code[0].text}), ' ', '')"
+                            )
+                            out += tokenize(
+                                f"CASE WHEN ({x_sql}) < 0 THEN "
+                                f"concat('-', {base}) ELSE {base} END")
                     else:
                         conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
                         out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
@@ -2296,9 +2327,14 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     # MOST once — Spark's regexp_replace replaces ALL
                     # matches, and unanchored the engine would re-match
                     # after the first replacement and hit later
-                    # occurrences too
-                    outer = (f"(?s)^((?:.*?(?:{ptxt}))"
-                             f"{{{occ_n - 1}}}.*?)(?:{ptxt})")
+                    # occurrences too. The pattern occurrences sit in
+                    # ATOMIC groups (?>…): a plain group lets the
+                    # engine backtrack INTO the user pattern and split
+                    # one greedy match into two — 'a+' on 'aaa' with
+                    # occurrence 2 would "find" a second match that
+                    # Snowflake's non-overlapping scan never sees.
+                    outer = (f"(?s)^((?:.*?(?>{ptxt}))"
+                             f"{{{occ_n - 1}}}.*?)(?>{ptxt})")
                     # a literal $ in the replacement needs java-level
                     # \$, which is \\$ in the SQL spelling (Spark's
                     # string parser strips one backslash layer); other
@@ -5051,11 +5087,12 @@ def rewrite_date_units(tokens: Tokens) -> Tokens:
     arithmetic with the amount divided by 1000 — Spark timestamps are
     µs-precision, sub-µs components truncate (documented).
 
-    DOCUMENTED DEVIATION: Snowflake's DATEADD preserves DATE for date
-    input with day-or-coarser units; Spark's 3-arg dateadd always
-    returns TIMESTAMP (midnight for dates — same instant). Argument
-    types are unknowable at transpile time, so the widening stands;
-    cast at the call site when a DATE column is required."""
+    Snowflake's DATEADD preserves DATE for date input with
+    day-or-coarser units; Spark's 3-arg dateadd always returns
+    TIMESTAMP (midnight for dates — same instant).
+    rewrite_dateadd_date_cast (next pass) restores the DATE return
+    type when the input is STATICALLY date-typed; dynamically-typed
+    inputs keep the TIMESTAMP widening (documented there)."""
     out: Tokens = []
     i = 0
     n = len(tokens)
@@ -5089,6 +5126,114 @@ def rewrite_date_units(tokens: Tokens) -> Tokens:
                 out += tokens[i + 1:first]
                 out.append(_word(unit))
                 i = first + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_DATE_PART_UNITS = ("YEAR", "QUARTER", "MONTH", "WEEK", "DAY")
+
+
+def _is_static_date_expr(arg: Tokens) -> bool:
+    """True when an expression is STATICALLY date-typed — recognizable
+    without a catalog: ``DATE '…'`` literals, a trailing ``::DATE``
+    cast, ``CAST(… AS DATE)``, ``TO_DATE(…)``/``TRY_TO_DATE(…)``/
+    ``DATE(…)``/``LAST_DAY(…)`` calls spanning the whole expression,
+    and ``CURRENT_DATE``."""
+    code = [c for c in arg if c.kind != WS]
+    if not code:
+        return False
+    if (len(code) == 2 and code[0].kind == WORD
+            and code[0].upper == "DATE" and code[1].kind == STRING):
+        return True
+    if (len(code) >= 3 and code[-1].kind == WORD
+            and code[-1].upper == "DATE" and code[-2].is_op("::")):
+        return True
+    if code[0].kind == WORD and code[0].upper in (
+        "CURRENT_DATE", "CURRENT_DATE()",
+    ) and len(code) == 1:
+        return True
+    if (len(code) == 3 and code[0].kind == WORD
+            and code[0].upper == "CURRENT_DATE"
+            and code[1].is_op("(") and code[2].is_op(")")):
+        return True
+    # call / CAST spanning the ENTIRE expression: paren opened at [1]
+    # must close at [-1]
+    if len(code) >= 3 and code[0].kind == WORD and code[1].is_op("("):
+        depth = 0
+        for j, c in enumerate(code[1:], start=1):
+            if c.is_op("("):
+                depth += 1
+            elif c.is_op(")"):
+                depth -= 1
+                if depth == 0:
+                    spans_all = j == len(code) - 1
+                    break
+        else:
+            return False
+        if not spans_all:
+            return False
+        head = code[0].upper
+        if head in ("TO_DATE", "TRY_TO_DATE", "DATE", "LAST_DAY"):
+            return True
+        if (head == "CAST" and len(code) >= 5
+                and code[-2].kind == WORD and code[-2].upper == "DATE"
+                and code[-3].kind == WORD and code[-3].upper == "AS"):
+            return True
+    return False
+
+
+def rewrite_dateadd_date_cast(tokens: Tokens) -> Tokens:
+    """DATEADD(day-or-coarser, n, <statically DATE expr>) →
+    CAST(DATEADD(…) AS DATE): Snowflake's DATEADD returns DATE when
+    the input is a DATE and the unit is day or larger; Spark's 3-arg
+    dateadd always widens to TIMESTAMP. Runs after rewrite_date_units
+    (units are bare keywords) and the TIMEADD/TIMESTAMPADD renames.
+
+    DOCUMENTED DEVIATION: only STATICALLY recognizable date inputs
+    (DATE literal, ::DATE, CAST AS DATE, TO_DATE, CURRENT_DATE —
+    applied inside-out, so nested date-unit DATEADDs chain) get the
+    cast; a bare column reference's type is unknowable at transpile
+    time and keeps the TIMESTAMP widening — cast at the call site
+    when a DATE column is required."""
+    out: Tokens = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (t.kind == WORD and t.upper == "DATEADD"
+                and _is_call(tokens, i, "DATEADD")):
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            args = split_args(tokens, op_i + 1, close)
+            if len(args) == 3:
+                u = [c for c in tokens[args[0][0]:args[0][1]]
+                     if c.kind != WS]
+                unit_ok = (len(u) == 1 and u[0].kind == WORD
+                           and u[0].upper in _DATE_PART_UNITS)
+                def _trim(ts: Tokens) -> Tokens:
+                    lo, hi = 0, len(ts)
+                    while lo < hi and ts[lo].kind == WS:
+                        lo += 1
+                    while hi > lo and ts[hi - 1].kind == WS:
+                        hi -= 1
+                    return ts[lo:hi]
+
+                amt = _trim(rewrite_dateadd_date_cast(
+                    tokens[args[1][0]:args[1][1]]))
+                a3 = _trim(rewrite_dateadd_date_cast(
+                    tokens[args[2][0]:args[2][1]]))
+                call = ([_word("DATEADD"), _op("(")] + u
+                        + [_op(","), _sp()] + amt + [_op(","), _sp()]
+                        + a3 + [_op(")")])
+                if unit_ok and _is_static_date_expr(a3):
+                    out += ([_word("CAST"), _op("(")] + call
+                            + [_sp(), _word("AS"), _sp(),
+                               _word("DATE"), _op(")")])
+                else:
+                    out += call
+                i = close + 1
                 continue
         out.append(t)
         i += 1
@@ -5525,8 +5670,9 @@ def rewrite_quantified_comparison(tokens: Tokens) -> Tokens:
     the previous CODE token must be a comparison op and the parens
     must open a SELECT/WITH. The left operand is captured back to the
     nearest clause boundary (``_qc_left_operand_start``); WITH-form
-    subqueries refuse under the CASE rendering (they cannot be
-    inlined as derived tables)."""
+    subqueries are inlined as derived tables — Spark accepts a CTE
+    prefix inside a derived table, so ``(WITH c AS (…) SELECT …)``
+    splices directly into the CASE rendering."""
     from .core import TranspileError
 
     out: Tokens = []
@@ -5865,10 +6011,16 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
     # statement shape → what to use on Spark instead
     ("COPY", "INTO"): "IcebreakerEngine.execute, which runs path-based "
                       "COPY INTO natively (COPY INTO t FROM '/path' "
-                      "FILE_FORMAT = (TYPE = CSV|PARQUET|JSON)); stage "
-                      "forms need direct paths — Spark has no stages",
-    ("CREATE", "STAGE"): "direct paths with spark.read/write — Spark needs "
-                         "no named stage objects",
+                      "FILE_FORMAT = (TYPE = CSV|PARQUET|JSON)) and "
+                      "resolves @stage forms against the engine's "
+                      "local stage registry (CREATE STAGE first)",
+    ("CREATE", "STAGE"): "IcebreakerEngine.execute — the engine keeps "
+                         "a session stage registry of managed local "
+                         "directories (CREATE STAGE / PUT / GET / "
+                         "LIST / REMOVE / COPY INTO @stage, "
+                         "stages.py); plain spark.sql() has no stage "
+                         "objects — external (URL=) stages refuse: "
+                         "read object stores directly with spark.read",
     ("CREATE", "STREAM"): "Structured Streaming (streaming.stream_"
                           "incremental_append / readStream) — change "
                           "capture is checkpoint-based, not a STREAM object",
@@ -5994,10 +6146,11 @@ def detect_snowflake_only_statement(sql: str) -> tuple[str, str] | None:
         ):
             return (
                 words[0] + " @<stage>",
-                "direct filesystem/object-store paths — Spark has no "
-                "stage objects or client file transfer: read with "
-                "spark.read / COPY INTO t FROM '/path', write with "
-                "df.write, manage files with your storage tooling",
+                "IcebreakerEngine.execute — the engine routes "
+                "PUT/GET/LIST/REMOVE against its session stage "
+                "registry of managed local directories (CREATE STAGE "
+                "first; stages.py); plain spark.sql() has no stage "
+                "objects or client file transfer",
             )
         # normalize CREATE OR REPLACE X → CREATE X
         if words[:3] == ["CREATE", "OR", "REPLACE"]:
@@ -8441,21 +8594,34 @@ def rewrite_interval_commas(tokens: Tokens) -> Tokens:
                 body = " ".join(
                     tokens[j].text[1:-1].replace(",", " ").split())
                 words = body.split()
-                # classify unit terms: [amount unit]...
-                ym, dt = [], []
+                # classify unit terms into RUNS of the same class,
+                # PRESERVING written order: Snowflake applies
+                # multi-part interval increments in listed order, and
+                # order matters across the ym/dt boundary under
+                # month-end clamping (DATE '2024-03-31' - INTERVAL
+                # '1 day, 1 month' is Feb 29 — day first — while
+                # '1 month, 1 day' is Feb 28). One Spark literal per
+                # contiguous same-class run keeps that order; grouping
+                # all-ym-then-all-dt would not.
+                runs: list[tuple[str, list[str]]] = []
                 for k in range(0, len(words) - 1, 2):
                     amt, unit = words[k], words[k + 1]
-                    tgt = ym if unit.upper() in _IV_YM_UNITS else dt
-                    tgt.append(f"{amt} {unit}")
+                    cls = ("ym" if unit.upper() in _IV_YM_UNITS
+                           else "dt")
+                    if runs and runs[-1][0] == cls:
+                        runs[-1][1].append(f"{amt} {unit}")
+                    else:
+                        runs.append((cls, [f"{amt} {unit}"]))
                 p = len(out) - 1
                 while p >= 0 and out[p].kind in (WS, COMMENT):
                     p -= 1
                 prev_op = (out[p].text if p >= 0 and out[p].kind == OP
                            and out[p].text in ("+", "-") else None)
-                if ym and dt and prev_op:
+                if len(runs) > 1 and prev_op:
                     out += tokenize(
-                        f"INTERVAL '{' '.join(ym)}' {prev_op} "
-                        f"INTERVAL '{' '.join(dt)}'")
+                        f" {prev_op} ".join(
+                            f"INTERVAL '{' '.join(terms)}'"
+                            for _cls, terms in runs))
                 else:
                     out += [t, _sp(), Token(STRING, f"'{body}'")]
                 i = j + 1
@@ -8777,6 +8943,7 @@ PIPELINE = (
     rewrite_simple_renames,
     _fixup_placeholders,
     rewrite_date_units,
+    rewrite_dateadd_date_cast,  # DATE-in ⇒ DATE-out for date units
     rewrite_datediff_boundaries,  # Snowflake boundary-count semantics
     rewrite_epoch_extract,
     rewrite_generator,

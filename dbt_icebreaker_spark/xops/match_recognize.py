@@ -791,6 +791,25 @@ class _RunningMeasure:
         return self.acc
 
 
+def _has_prevnext(expr_text: str) -> bool:
+    """True when the expression calls PREV( / NEXT( as a real
+    function — token-level, skipping string literals, so a 'PREV('
+    INSIDE a literal never counts (r11 advisor: a raw-text regex
+    would, silently suppressing the matcher's repartition with no
+    window exchange present)."""
+    from ..transpiler.tokenizer import STRING, WORD, next_code, tokenize
+
+    toks = tokenize(expr_text)
+    for ti, tk in enumerate(toks):
+        if tk.kind == STRING:
+            continue
+        if tk.kind == WORD and tk.upper in ("PREV", "NEXT"):
+            nx = next_code(toks, ti + 1)
+            if nx < len(toks) and toks[nx].is_op("("):
+                return True
+    return False
+
+
 def match_recognize(
     df: DataFrame,
     spec: MatchRecognizeSpec,
@@ -859,24 +878,10 @@ def match_recognize(
     # OVER (PARTITION BY pk …) — that window's exchange already
     # co-locates every partition key, making a second repartition for
     # the matcher redundant (projections preserve partitioning).
-    # Detection is TOKEN-level, skipping string literals: a raw-text
-    # regex would match 'PREV(' INSIDE a literal and silently suppress
-    # the repartition with no window exchange present (r11 advisor).
-    def _has_prevnext(expr_text: str) -> bool:
-        from ..transpiler.tokenizer import (
-            STRING, WORD, next_code, tokenize,
-        )
-
-        toks = tokenize(expr_text)
-        for ti, tk in enumerate(toks):
-            if tk.kind == STRING:
-                continue
-            if tk.kind == WORD and tk.upper in ("PREV", "NEXT"):
-                nx = next_code(toks, ti + 1)
-                if nx < len(toks) and toks[nx].is_op("("):
-                    return True
-        return False
-
+    # Detection is TOKEN-level via module-level _has_prevnext,
+    # skipping string literals: a raw-text regex would match 'PREV('
+    # INSIDE a literal and silently suppress the repartition with no
+    # window exchange present (r11 advisor).
     made_window = False
     for in_name, in_expr in (spec.input_exprs or []):
         made_window = made_window or _has_prevnext(in_expr)

@@ -153,7 +153,85 @@ def gen_query():
     pass-through shapes, paired dialect renderings otherwise."""
     table = rng.choice(list(TABLES))
     num_cols, str_cols = TABLES[table]
-    shape = rng.randrange(10)
+    shape = rng.randrange(13)
+    if shape == 10:
+        # signed numeric TO_CHAR (the r12 sign-drop class): negatives
+        # flow through every format family; DuckDB renders the same
+        # Snowflake semantics (leading '-', no fill spaces) with
+        # format(). Inputs keep ≤2 decimals so the format scale never
+        # rounds (ties would split on rounding mode, a separate axis).
+        c = rng.choice(num_cols)
+        mid = rng.randrange(100, 5000)
+        v_sf = f"({c} - {mid})"
+        # DuckDB format() refuses ',' grouping on non-integers —
+        # build the grouped body from integer/fraction parts
+        a = f"abs(CAST({v_sf} AS DECIMAL(38,2)))"
+        grouped = (
+            f"format('{{:,}}', CAST(floor({a}) AS BIGINT)) || '.' || "
+            f"lpad(CAST(CAST({a} * 100 AS BIGINT) % 100 AS VARCHAR), "
+            f"2, '0')")
+        fmt_sf, dk_expr = rng.choice([
+            ("9,999,999,999.99",
+             f"CASE WHEN {v_sf} < 0 THEN '-' ELSE '' END || "
+             f"{grouped}"),
+            ("9999999999.99",
+             f"CASE WHEN {v_sf} < 0 THEN '-' ELSE '' END || "
+             f"format('{{:.2f}}', abs(CAST({v_sf} AS "
+             f"DECIMAL(38,2))))"),
+            ("$9,999,999,999.99",
+             f"CASE WHEN {v_sf} < 0 THEN '-' ELSE '' END || '$' || "
+             f"{grouped}"),
+        ])
+        g = rng.choice(str_cols)
+        w = predicate(num_cols, str_cols)
+        sf = (f"SELECT {g} AS g, MIN(TO_CHAR({v_sf}, '{fmt_sf}')) "
+              f"AS s1, MAX(TO_VARCHAR({v_sf}, '{fmt_sf}')) AS s2 "
+              f"FROM {table} WHERE {w} GROUP BY {g}")
+        dk = (f"SELECT {g} AS g, MIN({dk_expr}) AS s1, "
+              f"MAX({dk_expr}) AS s2 "
+              f"FROM {table} WHERE {w} GROUP BY {g}")
+        return sf, dk
+    if shape == 11:
+        # DATEADD return-type parity (the r12 DATE-vs-TIMESTAMP
+        # class): project the result BARE — Python date != datetime
+        # even at midnight, so the row compare IS the schema check.
+        # Static DATE input + day-or-coarser unit must come back DATE.
+        sf_unit, dk_iv, sf_amt, dk_amt = rng.choice([
+            ("day", "DAY", 7, 7), ("'week'", "WEEK", 2, 2),
+            ("month", "MONTH", 3, 3), ("quarter", "MONTH", 1, 3),
+            ("years", "YEAR", 1, 1),
+        ])
+        w = predicate(ORDERS_NUM, ORDERS_STR)
+        sf = (f"SELECT o_orderkey, DATEADD({sf_unit}, {sf_amt}, "
+              f"o_orderdate::DATE) AS d2 FROM orders WHERE {w}")
+        dk = (f"SELECT o_orderkey, (o_orderdate + INTERVAL {dk_amt} "
+              f"{dk_iv})::DATE AS d2 FROM orders WHERE {w}")
+        return sf, dk
+    if shape == 12:
+        # quantified comparison subqueries with NULL-bearing and
+        # empty subquery sides (locks the T82 matrix into the loop):
+        # identical text — DuckDB's ANY/ALL semantics match
+        # Snowflake's three-valued logic
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        quant = rng.choice(["ANY", "ALL", "SOME"])
+        neg = rng.random() < 0.3
+        sub = rng.choice([
+            # NULL-bearing subquery side
+            ("(SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL "
+             "ELSE l_quantity END FROM lineitem "
+             "WHERE l_orderkey < 200)"),
+            # plain values
+            "(SELECT l_quantity FROM lineitem WHERE l_orderkey < 100)",
+            # empty set
+            "(SELECT l_quantity FROM lineitem WHERE l_orderkey < 0)",
+        ])
+        pred = f"o_totalprice {op} {quant} {sub}"
+        if neg:
+            pred = f"NOT ({pred})"
+        q = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+             f"CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s "
+             f"FROM orders WHERE o_orderkey < 500 AND ({pred})")
+        return q, q
     if shape == 9:
         # date arithmetic: DATEADD with random unit spellings
         # (singular/plural/abbreviated — the r12 bare-word surface)

@@ -1605,3 +1605,130 @@ R12K_INTERVAL_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r12k_interval_literals(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r13a
+# Numeric TO_CHAR sign + fill parity (r12 verdict What's-wrong #1):
+# Snowflake prepends '-' for negatives even without an S/MI/PR
+# element and does NOT space-fill unused leading digit positions;
+# Spark's native to_char drops the sign and Oracle-fills. Negatives
+# locked for EVERY numeric-format shape (plain, comma, $, S, MI, PR,
+# hex) — the r11/r12 one-polarity blind spot class.
+R13A_TOCHAR_SIGN_CASES = [
+    ("SELECT TO_CHAR(-12.5, '99.9')", "-12.5"),
+    ("SELECT TO_VARCHAR(-7.25, '999.99')", "-7.25"),
+    ("SELECT TO_CHAR(-1234.5, '$9,999.99')", "-$1,234.50"),
+    ("SELECT TO_CHAR(-0.456, '9.9')", ("-0.5", "-.5")),
+    ("SELECT TO_CHAR(-7, '999')", "-7"),
+    ("SELECT TO_CHAR(-12345.678, '99,999.99')", "-12,345.68"),
+    # under-width positive: no Oracle space fill (documented Snowflake
+    # fill semantics: '$123.46', not '$  123.46')
+    ("SELECT TO_CHAR(123.456, '$9,999.00')", "$123.46"),
+    ("SELECT TO_CHAR(7.25, '999.99')", "7.25"),
+    # explicit sign elements pass through (spaces still stripped)
+    ("SELECT TO_CHAR(12.5, 'S99.9')", "+12.5"),
+    ("SELECT TO_CHAR(-12.5, 'S99.9')", "-12.5"),
+    ("SELECT TO_CHAR(-12.5, '99.9MI')", "12.5-"),
+    ("SELECT TO_CHAR(12.5, '99.9MI')", "12.5"),
+    ("SELECT TO_CHAR(-12.5, '99.9PR')", "<12.5>"),
+    ("SELECT TO_CHAR(12.5, '99.9PR')", "12.5"),
+    # trailing sign elements do NOT count toward the decimal scale
+    # (r12 advisor: '99.99MI' is scale 2, not 4 — scale 4 re-triggered
+    # the '#'-overflow this path exists to prevent)
+    ("SELECT TO_CHAR(-12.345, '99.99MI')", "12.35-"),
+    ("SELECT TO_CHAR(-12.345, '99.99PR')", "<12.35>"),
+    # half-away-from-zero rounding on negatives (abs-then-round)
+    ("SELECT TO_CHAR(-0.125, '9.99')", ("-0.13", "-.13")),
+    # hex + NULL unchanged by the sign wrapper
+    ("SELECT TO_CHAR(255, 'XXXX')", "FF"),
+    ("SELECT TO_CHAR(CAST(NULL AS DOUBLE), '99.9')", None),
+    # overflow keeps '#' fill
+    ("SELECT TO_CHAR(-99999.9, '99.9')", "-##.#"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13A_TOCHAR_SIGN_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13a_tochar_sign(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r13b
+# DATEADD return-type parity (r12 verdict What's-wrong #2): DATE
+# input + day-or-coarser unit returns DATE in Snowflake; Spark's
+# 3-arg dateadd widens to TIMESTAMP. Statically-recognizable date
+# inputs now CAST back; dynamic inputs keep the documented widening.
+R13B_DATEADD_TYPE_CASES = [
+    ("SELECT DATEADD('day', 1, DATE '2024-01-15') AS d",
+     "date", datetime.date(2024, 1, 16)),
+    ("SELECT DATEADD(month, 1, '2024-01-15'::DATE) AS d",
+     "date", datetime.date(2024, 2, 15)),
+    ("SELECT DATEADD(week, 2, TO_DATE('2024-01-15')) AS d",
+     "date", datetime.date(2024, 1, 29)),
+    ("SELECT TIMESTAMPADD(year, 1, CAST('2024-01-15' AS DATE)) AS d",
+     "date", datetime.date(2025, 1, 15)),
+    ("SELECT DATEADD(day, 1, DATEADD(month, 1, DATE '2024-01-15')) "
+     "AS d", "date", datetime.date(2024, 2, 16)),
+    # sub-day unit: TIMESTAMP even on a DATE input (Snowflake too)
+    ("SELECT DATEADD('hour', 1, DATE '2024-01-15') AS d",
+     "timestamp", datetime.datetime(2024, 1, 15, 1, 0)),
+    # TIMESTAMP input stays TIMESTAMP
+    ("SELECT DATEADD(day, 1, '2024-01-15'::TIMESTAMP) AS d",
+     "timestamp", datetime.datetime(2024, 1, 16, 0, 0)),
+]
+
+
+@pytest.mark.parametrize("sql,dtype,expect", R13B_DATEADD_TYPE_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13b_dateadd_return_type(spark, sql, dtype, expect):
+    df = spark.sql(t.to_spark(sql))
+    assert df.schema.fields[0].dataType.simpleString() == dtype
+    assert df.collect()[0][0] == expect
+
+
+# ---------------------------------------------------------------- r13c
+# Multi-part interval literals apply in WRITTEN order across the
+# year-month/day-time class boundary (r12 advisor: grouping all-ym-
+# then-all-dt flipped month-end-clamp cases).
+R13C_INTERVAL_ORDER_CASES = [
+    ("SELECT DATE '2024-03-31' - INTERVAL '1 day, 1 month'",
+     "2024-02-29"),
+    ("SELECT DATE '2024-03-31' - INTERVAL '1 month, 1 day'",
+     "2024-02-28"),
+    ("SELECT '2024-01-15'::DATE + INTERVAL '3 days, 1 month, 2 days'",
+     "2024-02-20"),
+    ("SELECT DATE '2024-01-31' + INTERVAL '1 month, 1 day'",
+     "2024-03-01"),
+    ("SELECT DATE '2024-01-31' + INTERVAL '1 day, 1 month'",
+     "2024-03-01"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13C_INTERVAL_ORDER_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13c_interval_order(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r13d
+# Occurrence-counting REGEXP_REPLACE uses ATOMIC groups (r12 advisor:
+# plain groups let the Java engine backtrack INTO the user pattern,
+# splitting one greedy match into two — 'a+' on 'aaa' has ONE
+# non-overlapping match, so occurrence 2 must not exist).
+R13D_REGEXP_OCC_CASES = [
+    ("SELECT REGEXP_REPLACE('aaa', 'a+', 'z', 1, 2)", "aaa"),
+    ("SELECT REGEXP_REPLACE('aaa', 'a+', 'z', 1, 1)", "z"),
+    ("SELECT REGEXP_REPLACE('a1a22a333', '\\\\d+', 'z', 1, 2)",
+     "a1aza333"),
+    ("SELECT REGEXP_REPLACE('123', '\\\\d+', 'z', 1, 2)", "123"),
+    ("SELECT REGEXP_REPLACE('abcabcabc', 'abc', 'X', 1, 2)",
+     "abcXabc"),
+    ("SELECT REGEXP_REPLACE('foo1bar2baz', '[0-9]', '_', 1, 2)",
+     "foo1bar_baz"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13D_REGEXP_OCC_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13d_regexp_occurrence_atomic(spark, sql, expect):
+    _check(spark, sql, expect)

@@ -1603,10 +1603,15 @@ class TestR12MadeWindowDetection:
         assert got == want
 
     def test_real_prev_tokens_detected(self):
-        from dbt_icebreaker_spark.transpiler.tokenizer import tokenize
-        # unit-level: the detector fires on real PREV( calls and not
-        # on literals (indirect check through the operator is above)
-        from dbt_icebreaker_spark.xops import match_recognize as mr
-        import inspect
-        src = inspect.getsource(mr)
-        assert "_has_prevnext" in src
+        # unit-level: the detector fires on real PREV(/NEXT( calls and
+        # not on literals (indirect check through the operator is
+        # above; r12 advisor — the old source-grep assertion was
+        # vacuous)
+        from dbt_icebreaker_spark.xops.match_recognize import _has_prevnext
+        assert _has_prevnext("PREV(price) > 1") is True
+        assert _has_prevnext("NEXT( price ) < 2") is True
+        assert _has_prevnext("prev(price, 2) IS NULL") is True
+        assert _has_prevnext("'PREV(' <> 'x'") is False
+        assert _has_prevnext("price > 1") is False
+        assert _has_prevnext("prevision + 1") is False
+        assert _has_prevnext("PREV + 1") is False

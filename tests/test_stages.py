@@ -1,0 +1,211 @@
+"""Local internal-stage registry (stages.py; r12 verdict Missing #2).
+
+CREATE STAGE → PUT → LIST → COPY INTO @stage → REMOVE/GET/DROP, the
+unload direction, the external-stage refusals, and the bare-
+transpiler pointer. Mirrors the reference's stage-statement routing
+surface (ref auto_router.py:109-134 pattern-routes these to the
+warehouse; here they execute locally)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+
+import pytest
+
+from dbt_icebreaker_spark.transpiler.core import Transpiler, TranspileError
+
+
+@pytest.fixture()
+def engine(spark):
+    from dbt_icebreaker_spark.runner import IcebreakerEngine
+
+    return IcebreakerEngine(spark, schema="default")
+
+
+def _write_csv(d, name="data.csv", rows=(("1", "a"), ("2", "b"))):
+    p = os.path.join(d, name)
+    with open(p, "w") as f:
+        f.write("id,val\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    return p
+
+
+class TestStageLifecycle:
+    def test_create_show_drop(self, engine):
+        r = engine.execute("CREATE STAGE ts_a").collect()
+        assert "successfully created" in r[0][0]
+        rows = engine.execute("SHOW STAGES").collect()
+        assert any(x["name"] == "ts_a" for x in rows)
+        assert all(x["type"] == "INTERNAL" for x in rows)
+        r = engine.execute("DROP STAGE ts_a").collect()
+        assert "dropped" in r[0][0]
+        assert not any(
+            x["name"] == "ts_a"
+            for x in engine.execute("SHOW STAGES").collect())
+
+    def test_if_not_exists_and_replace(self, engine):
+        engine.execute("CREATE STAGE ts_b")
+        r = engine.execute("CREATE STAGE IF NOT EXISTS ts_b").collect()
+        assert "already exists" in r[0][0]
+        with pytest.raises(ValueError, match="already exists"):
+            engine.execute("CREATE STAGE ts_b")
+        # OR REPLACE wipes the directory
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        engine.execute(f"PUT file://{p} @ts_b")
+        engine.execute("CREATE OR REPLACE STAGE ts_b")
+        assert engine.execute("LIST @ts_b").count() == 0
+        engine.execute("DROP STAGE ts_b")
+
+    def test_drop_unknown(self, engine):
+        with pytest.raises(ValueError, match="unknown stage"):
+            engine.execute("DROP STAGE ts_nope")
+        r = engine.execute("DROP STAGE IF EXISTS ts_nope").collect()
+        assert "already dropped" in r[0][0]
+
+    def test_external_stage_refuses(self, engine):
+        with pytest.raises(ValueError, match="external stages"):
+            engine.execute(
+                "CREATE STAGE ext_s URL = 's3://bucket/path' "
+                "STORAGE_INTEGRATION = my_int")
+
+    def test_bare_transpiler_points_to_engine(self):
+        t = Transpiler()
+        with pytest.raises(TranspileError, match="stage registry"):
+            t.to_spark("CREATE STAGE bare_s")
+        with pytest.raises(TranspileError, match="IcebreakerEngine"):
+            t.to_spark("PUT file:///tmp/x.csv @bare_s")
+
+
+class TestPutListRemove:
+    def test_put_gzips_by_default(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_put")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        rows = engine.execute(f"PUT file://{p} @ts_put/in").collect()
+        assert rows[0]["target"] == "data.csv.gz"
+        assert rows[0]["status"] == "UPLOADED"
+        lst = engine.execute("LIST @ts_put").collect()
+        assert [x["name"] for x in lst] == ["ts_put/in/data.csv.gz"]
+        assert lst[0]["size"] > 0 and len(lst[0]["md5"]) == 32
+
+    def test_put_auto_compress_false_and_skip(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_put2")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        r = engine.execute(
+            f"PUT file://{p} @ts_put2 AUTO_COMPRESS = FALSE").collect()
+        assert r[0]["target"] == "data.csv"
+        # second PUT without OVERWRITE skips
+        r = engine.execute(
+            f"PUT file://{p} @ts_put2 AUTO_COMPRESS = FALSE").collect()
+        assert r[0]["status"] == "SKIPPED"
+        r = engine.execute(
+            f"PUT file://{p} @ts_put2 AUTO_COMPRESS = FALSE "
+            "OVERWRITE = TRUE").collect()
+        assert r[0]["status"] == "UPLOADED"
+
+    def test_put_glob_and_parquet_not_gzipped(self, engine, spark):
+        engine.execute("CREATE OR REPLACE STAGE ts_put3")
+        d = tempfile.mkdtemp()
+        _write_csv(d, "a.csv")
+        _write_csv(d, "b.csv")
+        rows = engine.execute(f"PUT file://{d}/*.csv @ts_put3").collect()
+        assert {x["target"] for x in rows} == {"a.csv.gz", "b.csv.gz"}
+        pq = os.path.join(d, "x.parquet")
+        spark.range(3).toPandas().to_parquet(pq)
+        r = engine.execute(f"PUT file://{pq} @ts_put3").collect()
+        assert r[0]["target"] == "x.parquet"
+
+    def test_put_unknown_stage_and_option(self, engine):
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        with pytest.raises(ValueError, match="unknown stage"):
+            engine.execute(f"PUT file://{p} @ts_missing")
+        engine.execute("CREATE OR REPLACE STAGE ts_put4")
+        with pytest.raises(ValueError, match="not implemented"):
+            engine.execute(f"PUT file://{p} @ts_put4 FROBNICATE = TRUE")
+
+    def test_list_pattern_and_remove(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_rm")
+        d = tempfile.mkdtemp()
+        _write_csv(d, "keep.csv")
+        _write_csv(d, "drop.csv")
+        engine.execute(f"PUT file://{d}/*.csv @ts_rm")
+        lst = engine.execute(
+            "LIST @ts_rm PATTERN = '.*keep.*'").collect()
+        assert [x["name"] for x in lst] == ["ts_rm/keep.csv.gz"]
+        rm = engine.execute(
+            "REMOVE @ts_rm PATTERN = '.*drop.*'").collect()
+        assert [x["name"] for x in rm] == ["ts_rm/drop.csv.gz"]
+        assert engine.execute("LIST @ts_rm").count() == 1
+
+    def test_get_downloads(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_get")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        engine.execute(f"PUT file://{p} @ts_get")
+        out = tempfile.mkdtemp()
+        rows = engine.execute(f"GET @ts_get file://{out}").collect()
+        assert rows[0]["status"] == "DOWNLOADED"
+        got = os.path.join(out, "data.csv.gz")
+        with gzip.open(got, "rt") as f:
+            assert f.read().startswith("id,val")
+
+
+class TestStageCopyInto:
+    def test_csv_load_through_stage(self, engine, spark):
+        engine.execute("CREATE OR REPLACE STAGE ts_load")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d, rows=(("1", "a"), ("2", "b"), ("3", "c")))
+        engine.execute(f"PUT file://{p} @ts_load/in")
+        spark.sql("DROP TABLE IF EXISTS stage_tgt")
+        spark.sql("CREATE TABLE stage_tgt (id BIGINT, val STRING)")
+        r = engine.execute(
+            "COPY INTO stage_tgt FROM @ts_load/in "
+            "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)"
+        ).collect()
+        assert r[0]["rows_loaded"] == 3
+        got = {(x.id, x.val) for x in spark.table("stage_tgt").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_load_unknown_stage_actionable(self, engine):
+        with pytest.raises(ValueError, match="unknown stage"):
+            engine.execute(
+                "COPY INTO stage_tgt FROM @ts_missing "
+                "FILE_FORMAT = (TYPE = CSV)")
+
+    def test_unload_and_reload(self, engine, spark):
+        engine.execute("CREATE OR REPLACE STAGE ts_out")
+        r = engine.execute(
+            "COPY INTO @ts_out/dump FROM "
+            "(SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y') "
+            "FILE_FORMAT = (TYPE = PARQUET)"
+        ).collect()
+        assert r[0]["rows_unloaded"] == 2
+        lst = engine.execute("LIST @ts_out").collect()
+        assert any(x["name"].endswith(".parquet") for x in lst)
+        spark.sql("DROP TABLE IF EXISTS stage_rt")
+        spark.sql("CREATE TABLE stage_rt (a INT, b STRING)")
+        r = engine.execute(
+            "COPY INTO stage_rt FROM @ts_out/dump "
+            "FILE_FORMAT = (TYPE = PARQUET)").collect()
+        assert r[0]["rows_loaded"] == 2
+
+    def test_unload_csv_header_gzip(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_out2")
+        engine.execute(
+            "COPY INTO @ts_out2/c FROM (SELECT 7 AS n) "
+            "FILE_FORMAT = (TYPE = CSV) HEADER = TRUE")
+        lst = engine.execute("LIST @ts_out2").collect()
+        assert any(x["name"].endswith(".csv.gz") for x in lst)
+
+    def test_unload_unknown_option_refuses(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_out3")
+        with pytest.raises(ValueError, match="not\\s+implemented"):
+            engine.execute(
+                "COPY INTO @ts_out3 FROM (SELECT 1 AS n) "
+                "MAX_FILE_SIZE = 16000000")

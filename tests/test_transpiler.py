@@ -2343,12 +2343,21 @@ class TestToCharNumericFormats:
 
     def test_numeric_routing(self):
         # r12: the input pre-rounds to the format's decimal scale
-        # (Spark to_char overflows to '#' when the scale exceeds it)
+        # (Spark to_char overflows to '#' when the scale exceeds it);
+        # r13: sign-less formats wrap in a CASE that renders the '-'
+        # Spark drops, over abs() so the pre-round half-aways like
+        # Snowflake, and fill spaces strip (Snowflake doesn't fill)
         out = t.to_spark("SELECT TO_CHAR(x, '9,999.99') FROM t")
-        assert "to_char(CAST((x) AS DECIMAL(38, 2))" in out
+        assert "to_char(CAST(abs(x) AS DECIMAL(38, 2))" in out
+        assert "CASE WHEN (x) < 0" in out
         assert "date_format" not in out
         out = t.to_spark("SELECT TO_CHAR(x, '$9,999.99') FROM t")
         assert "to_char(" in out
+        # explicit sign element: no CASE wrapper, scale excludes the
+        # trailing MI (r12 advisor: '99.99MI' is scale 2, not 4)
+        out = t.to_spark("SELECT TO_CHAR(x, '99.99MI') FROM t")
+        assert "CASE WHEN" not in out
+        assert "DECIMAL(38, 2)" in out
 
     def test_date_routing_unchanged(self):
         out = t.to_spark("SELECT TO_CHAR(d, 'YYYY-MM-DD') FROM t")
