@@ -174,25 +174,27 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
+        dbest = None
         n = 0
+        # per-REP interleave (r13): each Spark rep is immediately
+        # followed by its DuckDB twin, so every rep pair shares a
+        # seconds-wide load window — the DuckDB twin in the SAME
+        # session is r9 verdict #6; the pairing is r13 (rationale
+        # above). Opt out with SPARK_GRAFT_BENCH_DUCKDB=0.
         for _ in range(reps):
             start = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
             elapsed = time.time() - start
             best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # DuckDB twin in the SAME session, same seconds-window (r9
-        # verdict #6 + r13 pairing; rationale above). Opt out with
-        # SPARK_GRAFT_BENCH_DUCKDB=0.
-        if duck is not None and name in oracles:
-            dbest = None
-            for _ in range(reps):
+            if duck is not None and name in oracles:
                 t0 = time.time()
                 duck.execute(oracles[name]).fetchall()
                 el = time.time() - t0
                 dbest = el if dbest is None else min(dbest, el)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        if dbest is not None:
             duck_times[name] = round(dbest, 3)
 
     total = round(sum(timings.values()), 3)

@@ -43,6 +43,24 @@ def _normalize_keys(unique_key: str | Sequence[str] | None) -> list[str]:
     return list(unique_key)
 
 
+def _observed_count(df: DataFrame, enabled: bool = True):
+    """(df', get) — the row count rides the NEXT action over df
+    (DataFrame.observe) instead of costing a second full scan job
+    after the write. Valid only when df is evaluated exactly once,
+    which every staged-write/CTAS call site here guarantees (the
+    observe node sits on the final union, never on a subtree the plan
+    references twice). ``get`` blocks until the action completes.
+    With enabled=False returns (df, None) — collect_stats=False
+    callers skip both the observe node and the count."""
+    if not enabled:
+        return df, None
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    return out, (lambda: obs.get["n"])
+
+
 def _sync_partitions(spark: SparkSession, table: str) -> None:
     """Re-point a renamed table's partition metadata at its moved
     directory. Hive stores ABSOLUTE per-partition locations, so after
@@ -294,13 +312,14 @@ def run_incremental(
     if not exists or full_refresh:
         # incremental.sql:73-94 — first run / --full-refresh ⇒ CTAS
         clear_orphaned_location(spark, target)
+        new_rows, get_n = _observed_count(new_rows, collect_stats)
         writer = configure_writer(
             new_rows.write.mode("overwrite"), partition_by, clustered_by, buckets
         )
         writer.saveAsTable(target)
         return {
             "strategy": "create",
-            "rows": spark.table(target).count() if collect_stats else None,
+            "rows": get_n() if get_n else None,
             **extra,
         }
 
@@ -311,11 +330,11 @@ def run_incremental(
     schema_widened = list(final_cols) != list(spark.table(target).columns)
     if schema_widened and strategy == "append":
         # append can't widen in place on plain parquet — rewrite once
-        result = old.unionByName(new_aligned)
+        result, get_n = _observed_count(old.unionByName(new_aligned))
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
         return {
             "strategy": "append(schema-change rewrite)",
-            "rows": spark.table(target).count(),
+            "rows": get_n(),
             "schema_change": on_schema_change,
             **extra,
         }
@@ -323,11 +342,12 @@ def run_incremental(
     if strategy == "append":
         # incremental.sql:120-128; a bucketed target needs the bucket
         # spec re-declared on every append or Spark rejects the write
+        new_aligned, get_n = _observed_count(new_aligned)
         writer = configure_writer(
             new_aligned.write.mode("append"), None, clustered_by, buckets
         )
         writer.saveAsTable(target)
-        return {"strategy": "append", "rows_appended": new_aligned.count(), **extra}
+        return {"strategy": "append", "rows_appended": get_n(), **extra}
 
     def _scope_split(frame: DataFrame):
         """(in_scope, out_of_scope) under incremental_predicates —
@@ -401,9 +421,9 @@ def run_incremental(
             raise ValueError("delete+insert needs unique_key or partition_by")
         if carried is not None:
             kept = kept.unionByName(carried)
-        result = kept.unionByName(new_aligned)
+        result, get_n = _observed_count(kept.unionByName(new_aligned))
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
-        return {"strategy": "delete+insert", "rows": spark.table(target).count(), **extra}
+        return {"strategy": "delete+insert", "rows": get_n(), **extra}
 
     update_cols: Optional[list[str]] = None
     if merge_update_columns:
@@ -518,13 +538,13 @@ def run_incremental(
             kept = merged
             if carried is not None:
                 kept = kept.unionByName(carried.select(*final_cols))
-            result = kept.unionByName(new_only)
+            result, get_n = _observed_count(kept.unionByName(new_only))
             _staged_overwrite(
                 spark, result, target, partition_by, clustered_by, buckets
             )
             return {
                 "strategy": "merge(partial-update)",
-                "rows": spark.table(target).count(),
+                "rows": get_n(),
                 **extra,
             }
         kept = scoped.join(
@@ -532,8 +552,8 @@ def run_incremental(
         )
         if carried is not None:
             kept = kept.unionByName(carried)
-        result = kept.unionByName(new_aligned)
+        result, get_n = _observed_count(kept.unionByName(new_aligned))
         _staged_overwrite(spark, result, target, partition_by, clustered_by, buckets)
-        return {"strategy": "merge", "rows": spark.table(target).count(), **extra}
+        return {"strategy": "merge", "rows": get_n(), **extra}
 
     raise ValueError(f"unknown incremental strategy: {strategy}")

@@ -76,9 +76,10 @@ def parse_measures_sql(text: str) -> list[Measure]:
     """MEASURES-clause text (``FIRST(value) AS v0, COUNT(*) AS n``) →
     Measure list via the batch SQL grammar — the same compiler the
     MATCH_RECOGNIZE operator uses, so the SQL surface routes to
-    streams unchanged (round-11, judge task 4). MATCH_NUMBER() refuses:
-    a global per-key counter would need to persist across micro-batch
-    state with no SQL-visible value in an unbounded stream."""
+    streams unchanged (round-11, judge task 4). MATCH_NUMBER() (r13,
+    previously a refusal) numbers a key's matches 1, 2, … from a
+    counter persisted in the per-key state — see
+    stream_pattern_detect for the epoch semantics."""
     from ..transpiler.match_recognize_sql import (
         _parse_measure,
         _split_top_commas,
@@ -95,16 +96,8 @@ def _validate_measures(measures) -> None:
     """Front-door validation shared by both CEP entry points: the CEP
     event shape exposes exactly (value, ts) — a measure over any other
     column would pass parsing and die with a raw KeyError inside the
-    stateful executor (r11 advisor finding); MATCH_NUMBER() has no
-    global per-key ordinal over an unbounded stream."""
+    stateful executor (r11 advisor finding)."""
     for m in measures:
-        if m.fn == "match_number":
-            raise ValueError(
-                "stream_pattern_detect: MATCH_NUMBER() is not "
-                "available over unbounded streams — use start_ts/"
-                "end_ts (every emitted row is one match) or number "
-                "matches downstream with ROW_NUMBER() in a batch view"
-            )
         if m.col is not None and m.col not in ("value", "ts"):
             raise ValueError(
                 f"pattern-detect measures: column {m.col!r} is not "
@@ -121,7 +114,7 @@ def _measure_fields(measures: list[Measure]) -> list[StructField]:
     batch operator's schema derivation."""
     fields = []
     for m in measures:
-        if m.fn == "count":
+        if m.fn in ("count", "match_number"):
             typ = LongType()
         elif m.fn == "classifier":
             from pyspark.sql.types import StringType
@@ -154,6 +147,10 @@ _STATE_SCHEMA = StructType([
     StructField("vals", ArrayType(DoubleType())),
     StructField("prev_val", DoubleType()),
     StructField("have_prev", BooleanType()),
+    # matches emitted so far for this key (MATCH_NUMBER epoch counter,
+    # r13) — matches are emitted in event-time order per key, so the
+    # running count IS the SQL:2016 per-partition ordinal
+    StructField("match_seq", LongType()),
 ])
 
 
@@ -244,6 +241,10 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
     terms_spec, progs, first_idxs = _compile_pattern(pattern)
     symbols = [t.symbol for t in terms_spec]
     out_schema = _match_schema(measures)
+    # MATCH_NUMBER present → the state must outlive an empty buffer
+    # so the per-key ordinal survives between batches (r13)
+    needs_seq = measures is not None and any(
+        m.fn == "match_number" for m in measures)
 
     def _flags(vals, prev0, have_prev0):
         cols = []
@@ -263,21 +264,24 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
             cols.append(col)
         return cols
 
-    def _emit(key, ts_us, vals, pairs):
+    def _emit(key, ts_us, vals, pairs, seq0=0):
         rows = []
         if measures is not None:
             # arbitrary MEASURES (r11): evaluate through the batch
             # operator's measure compiler over the buffered columns —
-            # identical semantics to the batch twin by construction
+            # identical semantics to the batch twin by construction.
+            # seq0 = matches already emitted for this key (r13):
+            # MATCH_NUMBER() for the i-th new match is seq0 + i + 1
             colvals = {
                 "value": vals,
                 "ts": [pd.Timestamp(u, unit="us") for u in ts_us],
             }
-            for s, e, assign in pairs:
+            for i, (s, e, assign) in enumerate(pairs):
                 row = [key, colvals["ts"][s], colvals["ts"][e - 1]]
                 for m in measures:
                     row.append(_eval_measure(
-                        m, colvals, s, e, assign, terms_spec, 0))
+                        m, colvals, s, e, assign, terms_spec,
+                        seq0 + i + 1))
                 rows.append(row)
         else:
             for s, e, _assign in pairs:
@@ -299,7 +303,7 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                ts_us, vals, prev0, have_prev0 = state.get
+                ts_us, vals, prev0, have_prev0, seq0 = state.get
                 ts_us, vals = list(ts_us), list(vals)
                 state.remove()
                 flags = _flags(vals, prev0, have_prev0)
@@ -307,15 +311,15 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
                 pairs, _, _ = _run_matches(
                     flags, terms_spec, progs, n, n, flush=True)
                 if pairs:
-                    yield _emit(user_id, ts_us, vals, pairs)
+                    yield _emit(user_id, ts_us, vals, pairs, seq0)
             return
 
         new = pd.concat(list(batches))
         if state.exists:
-            ts_us, vals, prev0, have_prev0 = state.get
+            ts_us, vals, prev0, have_prev0, seq0 = state.get
             ts_us, vals = list(ts_us), list(vals)
         else:
-            ts_us, vals, prev0, have_prev0 = [], [], None, False
+            ts_us, vals, prev0, have_prev0, seq0 = [], [], None, False, 0
         wm_ms = state.getCurrentWatermarkMs()
         for ts, v in zip(new["ts"], new["value"]):
             us = int(pd.Timestamp(ts).value // 1_000)
@@ -350,12 +354,13 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
             pairs, _, _ = _run_matches(
                 flags, terms_spec, progs, len(vals), len(vals),
                 flush=True)
-            out = _emit(user_id, ts_us, vals, pairs) if pairs else None
+            out = (_emit(user_id, ts_us, vals, pairs, seq0)
+                   if pairs else None)
             # keep the last value as prev so the NEXT row's predicate
             # still sees its true predecessor after the reset; the
             # timeout garbage-collects the empty state if the key
             # never sends another row
-            state.update(([], [], vals[-1], True))
+            state.update(([], [], vals[-1], True, seq0 + len(pairs)))
             state.setTimeoutTimestamp(
                 max(ts_us[-1] // 1000, wm_ms or 0) + 1)
             if out is not None:
@@ -367,7 +372,9 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
         flags = _flags(vals, prev0, have_prev0)
         pairs, consumed, undecided = _run_matches(
             flags, terms_spec, progs, n, mature)
-        out = _emit(user_id, ts_us, vals, pairs) if pairs else None
+        out = (_emit(user_id, ts_us, vals, pairs, seq0)
+               if pairs else None)
+        seq0 += len(pairs)
         if consumed > 0:
             prev0 = vals[consumed - 1]
             have_prev0 = True
@@ -387,12 +394,20 @@ def _cep_fn(pattern: str, defines: dict, max_buffer: int,
                 have_prev0 = True
                 ts_us, vals = ts_us[drop:], vals[drop:]
         if ts_us:
-            state.update((ts_us, vals, prev0, have_prev0))
+            state.update((ts_us, vals, prev0, have_prev0, seq0))
             # flush once the watermark passes the buffer tail (no row
             # can join the tail match any more); the timestamp must
             # exceed the CURRENT watermark or Spark rejects it
             state.setTimeoutTimestamp(
                 max(ts_us[-1] // 1000, wm_ms or 0) + 1)
+        elif needs_seq and seq0 > 0:
+            # empty buffer but a live MATCH_NUMBER epoch: keep the
+            # counter so an active key's numbering does not reset
+            # between batches; the timeout garbage-collects it if the
+            # key goes idle past the watermark horizon (bounded state
+            # cannot promise unbounded per-key counters — documented)
+            state.update(([], [], prev0, have_prev0, seq0))
+            state.setTimeoutTimestamp((wm_ms or 0) + 1)
         else:
             if state.exists:
                 state.remove()
@@ -429,7 +444,18 @@ def stream_pattern_detect(
     n"``), compiled by the same grammar and evaluated by the same
     measure evaluator as the batch MATCH_RECOGNIZE operator, so
     stream output equals the batch twin's measure-for-measure.
-    Output schema becomes (user_id, start_ts, end_ts, *measures)."""
+    Output schema becomes (user_id, start_ts, end_ts, *measures).
+
+    ``MATCH_NUMBER()`` (r13, previously a refusal): a key's matches
+    number 1, 2, … in event-time order from a counter persisted in
+    the per-key state — matches are emitted in event-time order per
+    key, so the running count is exactly the SQL:2016 per-partition
+    ordinal. Epoch semantics, documented deviation from an unbounded
+    warehouse partition: the counter lives as long as the key's state.
+    A key that goes idle past the watermark horizon is flushed and
+    garbage-collected (bounded state cannot hold every key's counter
+    forever), so a later reappearance restarts at 1; within an epoch,
+    stream numbering equals the batch twin's."""
     if on_overflow not in ("flush", "error"):
         raise ValueError(
             "stream_pattern_detect: on_overflow must be 'flush' or "
@@ -490,11 +516,11 @@ def pattern_detect_batch(
         rows = []
         if measures is not None:
             colvals = {"value": vals, "ts": list(pdf["ts"])}
-            for s, e, assign in pairs:
+            for i, (s, e, assign) in enumerate(pairs):
                 row = [user_id, pdf["ts"].iloc[s], pdf["ts"].iloc[e - 1]]
                 for m in measures:
                     row.append(_eval_measure(
-                        m, colvals, s, e, assign, terms_spec, 0))
+                        m, colvals, s, e, assign, terms_spec, i + 1))
                 rows.append(row)
         else:
             for s, e, _assign in pairs:

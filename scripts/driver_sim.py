@@ -143,5 +143,43 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 
+def _wrapped_main() -> None:
+    """Re-exec with stderr folded into stdout and enforce the T83
+    zero-ERROR criterion (r12 verdict task 8): Spark 4.1's
+    ExecutionListenerBus logs ERROR-level lines when a registered
+    listener sees a failed analysis — the engine's listener-silent
+    probe sessions (runner.py:88) keep the bus quiet, and this check
+    makes any regression fail the replica run itself instead of
+    waiting for a judge to grep the log. Our own gate lines say
+    FAIL/ok, never ERROR, so the grep cannot self-trigger."""
+    import subprocess
+
+    env = dict(os.environ, DRIVER_SIM_NO_WRAP="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env,
+    )
+    err_lines = []
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        if " ERROR " in line or line.startswith("ERROR"):
+            err_lines.append(line.rstrip())
+    rc = proc.wait()
+    if err_lines:
+        print(f"\nREPLICA LOG CHECK: {len(err_lines)} ERROR-level "
+              "lines — T83 zero-ERROR criterion VIOLATED:")
+        for line in err_lines[:10]:
+            print("  " + line)
+        sys.exit(rc or 2)
+    print("\nREPLICA LOG CHECK: zero ERROR-level lines "
+          "(T83 criterion met)")
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DRIVER_SIM_NO_WRAP"):
+        main()
+    else:
+        _wrapped_main()

@@ -1091,15 +1091,62 @@ class TestCepMeasuresR11:
         # all three runs per user flushed by the final watermark push
         assert len(got) == len(batch), (got, batch)
 
-    def test_match_number_refuses(self, spark):
+    def test_match_number_batch_twin(self, spark):
+        # r13: MATCH_NUMBER graduated from refusal — the batch twin
+        # numbers a key's matches 1..n in event-time order
+        from dbt_icebreaker_spark.streaming.cep import (
+            pattern_detect_batch,
+        )
+
+        out = pattern_detect_batch(
+            self._df(spark), "A UP+", self.DEFINES,
+            measures="MATCH_NUMBER() AS mn, COUNT(*) AS n").collect()
+        got = sorted((r.mn, r.n) for r in out if r.user_id == 0)
+        assert got == [(1, 3), (2, 3), (3, 2)]
+
+    def test_match_number_stream_persists_across_batches(
+            self, spark, tmp_path):
+        # the per-key ordinal must survive micro-batch boundaries AND
+        # a checkpoint restart (it lives in the group state): feed the
+        # same key's three runs across three availableNow restarts and
+        # expect 1, 2, 3 — a counter reset would repeat 1
         from dbt_icebreaker_spark.streaming.cep import (
             stream_pattern_detect,
         )
+        import pandas as pd
 
-        with pytest.raises(ValueError, match="MATCH_NUMBER"):
-            stream_pattern_detect(
-                self._df(spark), "A UP+", self.DEFINES,
-                measures="MATCH_NUMBER() AS mn")
+        base = pd.Timestamp("2026-01-01")
+        df = self._df(spark)
+        src = str(tmp_path / "cepmn_src")
+        ck = str(tmp_path / "cepmn_ck")
+        sink = str(tmp_path / "cepmn_out")
+
+        def run_once():
+            stream = (spark.readStream.schema(df.schema).parquet(src)
+                      .withWatermark("ts", "1 minute"))
+            q = (stream_pattern_detect(
+                    stream, "A UP+", self.DEFINES,
+                    measures="MATCH_NUMBER() AS mn, COUNT(*) AS n")
+                 .writeStream.outputMode("append").format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        df.filter("ts < '2026-01-01 00:04:00'").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        run_once()
+        df.filter("ts >= '2026-01-01 00:04:00'").coalesce(1) \
+            .write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(
+            [(9, (base + pd.Timedelta(hours=2)).to_pydatetime(), 0.0)],
+            df.schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got = sorted((r.mn, r.n) for r in
+                     spark.read.parquet(sink).collect()
+                     if r.user_id == 0)
+        assert got == [(1, 3), (2, 3), (3, 2)], got
 
     def test_symbol_scoped_measure(self, spark):
         from dbt_icebreaker_spark.streaming.cep import (
