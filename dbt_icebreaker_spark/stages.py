@@ -75,6 +75,10 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+STAGES\s*;?\s*$", re.IGNORECASE)
+_DESC_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+STAGE\s+(?P<name>{_NAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _PUT_RE = re.compile(
     r"^\s*PUT\s+(?P<src>'[^']+'|\S+)\s+(?P<dst>'@[^']+'|@\S+)"
     r"(?P<rest>.*)$",
@@ -230,6 +234,30 @@ def show_stages(engine) -> DataFrame:
     return _df(
         engine, rows,
         "name string, type string, location string, created_on string",
+    )
+
+
+def describe_stage(engine, raw: str) -> DataFrame:
+    m = _DESC_RE.match(raw)
+    assert m is not None
+    name = _norm_name(m.group("name"))
+    reg = _registry(engine)
+    if name not in reg:
+        known = ", ".join(sorted(reg)) or "none"
+        raise ValueError(
+            f"DESCRIBE STAGE: unknown stage {name!r} (session "
+            f"stages: {known})"
+        )
+    s = reg[name]
+    rows = [
+        ("STAGE_LOCATION", "URL", s.path),
+        ("STAGE_TYPE", "TYPE", "INTERNAL"),
+        ("STAGE_CREATED", "CREATED_ON",
+         time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(s.created_on))),
+    ]
+    return _df(
+        engine, rows,
+        "parent_property string, property string, value string",
     )
 
 
@@ -467,6 +495,8 @@ def dispatch(engine, raw: str) -> DataFrame | None:
         return create_stage(engine, s)
     if up.startswith("DROP") and _DROP_RE.match(s):
         return drop_stage(engine, s)
+    if up.startswith(("DESC", "DESCRIBE")) and _DESC_RE.match(s):
+        return describe_stage(engine, s)
     if up.startswith("PUT") and _PUT_RE.match(s):
         return put_files(engine, s)
     if up.startswith("GET") and _GET_RE.match(s):

@@ -1049,24 +1049,39 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         n_scale = sum(ch in "90" for ch in tail)
                         x_sql = render(x).strip()
                         fb_up = fmt_body.upper()
+                        # 'B' element: blank output for zero values
+                        # (Snowflake/Oracle format model); Spark's
+                        # to_char rejects 'B', so strip it from the
+                        # passed format and render zero as '' via an
+                        # outer CASE
+                        has_b = "B" in fb_up
+                        fmt_lit = f_code[0].text
+                        if has_b:
+                            fmt_lit = ("'" + fmt_body.replace("B", "")
+                                       .replace("b", "") + "'")
                         has_sign = (
                             fb_up.startswith("S") or fb_up.endswith("S")
                             or fb_up.endswith("MI") or fb_up.endswith("PR")
                         )
                         if has_sign:
-                            out += tokenize(
+                            expr_sql = (
                                 f"replace(to_char(CAST(({x_sql}) AS "
                                 f"DECIMAL(38, {n_scale})), "
-                                f"{f_code[0].text}), ' ', '')")
+                                f"{fmt_lit}), ' ', '')")
                         else:
                             base = (
                                 f"replace(to_char(CAST(abs({x_sql}) AS "
                                 f"DECIMAL(38, {n_scale})), "
-                                f"{f_code[0].text}), ' ', '')"
+                                f"{fmt_lit}), ' ', '')"
                             )
-                            out += tokenize(
+                            expr_sql = (
                                 f"CASE WHEN ({x_sql}) < 0 THEN "
                                 f"concat('-', {base}) ELSE {base} END")
+                        if has_b:
+                            expr_sql = (
+                                f"CASE WHEN ({x_sql}) = 0 THEN '' "
+                                f"ELSE {expr_sql} END")
+                        out += tokenize(expr_sql)
                     else:
                         conv = _convert_fmt_tokens(tokens[args[1][0]:args[1][1]])
                         out += [_word("date_format"), _op("(")] + x + [_op(","), _sp()] + conv + [_op(")")]
@@ -3020,8 +3035,26 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                     fn3 = ("try_to_number" if t.upper.startswith("TRY_")
                            else "to_number")
                     x = render(tokens[args[0][0]:args[0][1]]).strip()
+                    # Snowflake accepts a leading sign even when the
+                    # format carries no S/MI element (the TO_CHAR
+                    # round-trip relies on it: TO_CHAR(-12.5,'99.9')
+                    # prints '-12.5'); Spark's to_number errors — peel
+                    # the sign off before the parse (r13)
+                    fmt_body3 = p_code[0].text[1:-1].upper()
+                    signless = not (
+                        fmt_body3.startswith("S")
+                        or fmt_body3.endswith("S")
+                        or fmt_body3.endswith("MI"))
+                    parsed = f"{fn3}({x}, {p_code[0].text})"
+                    if signless:
+                        parsed = (
+                            f"(CASE WHEN ({x}) LIKE '-%' THEN "
+                            f"-{fn3}(substr(({x}), 2), {p_code[0].text}) "
+                            f"WHEN ({x}) LIKE '+%' THEN "
+                            f"{fn3}(substr(({x}), 2), {p_code[0].text}) "
+                            f"ELSE {fn3}(({x}), {p_code[0].text}) END)")
                     if len(args) == 2:
-                        out += tokenize(f"{fn3}({x}, {p_code[0].text})")
+                        out += tokenize(parsed)
                     else:
                         p_r = render(
                             tokens[args[2][0]:args[2][1]]).strip()
@@ -3029,7 +3062,7 @@ def rewrite_try_to(tokens: Tokens) -> Tokens:
                             tokens[args[3][0]:args[3][1]]).strip()
                             if len(args) == 4 else "0")
                         out += tokenize(
-                            f"{cast_kw}({fn3}({x}, {p_code[0].text}) "
+                            f"{cast_kw}({parsed} "
                             f"AS DECIMAL({p_r}, {s_r}))")
                     i = close + 1
                     continue
@@ -8622,6 +8655,21 @@ def rewrite_interval_commas(tokens: Tokens) -> Tokens:
                         f" {prev_op} ".join(
                             f"INTERVAL '{' '.join(terms)}'"
                             for _cls, terms in runs))
+                elif len(runs) > 1:
+                    # mixed year-month/day-time literal OUTSIDE a +/-
+                    # context: Spark cannot represent it as one value
+                    # (INVALID_TYPED_LITERAL / cannot-mix) — refuse
+                    # actionably instead of surfacing the raw error
+                    from .core import TranspileError
+
+                    raise TranspileError(
+                        "INTERVAL literal mixes year-month and "
+                        "day-time units outside a +/- expression — "
+                        "Spark has no single value type for it. "
+                        "Apply it to a date/timestamp (d + INTERVAL "
+                        "'…' splits into sequential adds) or keep "
+                        "the literal to one unit class."
+                    )
                 else:
                     out += [t, _sp(), Token(STRING, f"'{body}'")]
                 i = j + 1

@@ -1732,3 +1732,42 @@ R13D_REGEXP_OCC_CASES = [
                          ids=lambda c: str(c)[:48])
 def test_r13d_regexp_occurrence_atomic(spark, sql, expect):
     _check(spark, sql, expect)
+
+
+# ---------------------------------------------------------------- r13e
+# Late-round probe-batch edges: the 'B' (blank-for-zero) format
+# element Spark's to_char rejects; sign-lenient TO_NUMBER parse (the
+# TO_CHAR round-trip relies on it — Snowflake prints '-12.5' for
+# sign-less formats, so it must parse back); zero/zero-pad shapes.
+R13E_FORMAT_EDGE_CASES = [
+    ("SELECT TO_CHAR(0, 'B99.9')", ""),
+    ("SELECT TO_CHAR(12.5, 'B99.9')", "12.5"),
+    ("SELECT TO_CHAR(-12.5, 'B99.9')", "-12.5"),
+    ("SELECT TO_CHAR(0, '99.9')", ("0.0", ".0")),
+    ("SELECT TO_CHAR(-12.5, '0000.00')", "-0012.50"),
+    ("SELECT TO_CHAR(12.5, '99.9S')", "12.5+"),
+    ("SELECT TO_NUMBER('-12.5', '99.9')",
+     __import__("decimal").Decimal("-12.5")),
+    ("SELECT TO_NUMBER('+12.5', '99.9')",
+     __import__("decimal").Decimal("12.5")),
+    ("SELECT TRY_TO_NUMBER('-$1,234.50', '$9,999.99')",
+     __import__("decimal").Decimal("-1234.50")),
+    ("SELECT TO_NUMBER('-12.5', '99.9', 10, 2)",
+     __import__("decimal").Decimal("-12.50")),
+    ("SELECT TRY_TO_NUMBER('bogus', '99.9')", None),
+    # round trip: format → parse preserves the negative value
+    ("SELECT TO_NUMBER(TO_CHAR(-1234.5, '9,999.99'), '9,999.99')",
+     __import__("decimal").Decimal("-1234.50")),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13E_FORMAT_EDGE_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13e_format_edges(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r13e_mixed_interval_bare_refuses():
+    from dbt_icebreaker_spark.transpiler.core import TranspileError
+    with pytest.raises(TranspileError, match="unit class"):
+        t.to_spark("SELECT INTERVAL '1 month, 2 days'")

@@ -1179,7 +1179,10 @@ class TestCopyInto:
         from dbt_icebreaker_spark.transpiler.core import TranspileError
 
         eng = IcebreakerEngine(spark, schema="ci_t")
-        with _pytest.raises(TranspileError, match="stage"):
+        # r13: @stage forms resolve against the engine's stage
+        # registry — an unregistered stage names the registry instead
+        # of a blanket no-stages refusal
+        with _pytest.raises(ValueError, match="unknown stage"):
             eng.execute("COPY INTO t FROM @my_stage")
         with _pytest.raises(TranspileError, match="ON_ERROR"):
             eng.execute(

@@ -66,6 +66,16 @@ class TestStageLifecycle:
         r = engine.execute("DROP STAGE IF EXISTS ts_nope").collect()
         assert "already dropped" in r[0][0]
 
+    def test_describe_stage(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE ts_desc")
+        rows = engine.execute("DESC STAGE ts_desc").collect()
+        props = {r["property"]: r["value"] for r in rows}
+        assert props["TYPE"] == "INTERNAL"
+        assert props["URL"]
+        with pytest.raises(ValueError, match="unknown stage"):
+            engine.execute("DESCRIBE STAGE ts_nope2")
+        engine.execute("DROP STAGE ts_desc")
+
     def test_external_stage_refuses(self, engine):
         with pytest.raises(ValueError, match="external stages"):
             engine.execute(
