@@ -1289,6 +1289,15 @@ class IcebreakerEngine:
             # (stages.py); COPY INTO … FROM @stage resolves to the
             # path-form loader further down
             _up0 = raw.lstrip()[:8].upper()
+            # named FILE FORMAT objects (r13): session registry;
+            # references inline into COPY INTO / CREATE STAGE below
+            if re.search(r"\bFILE\s+FORMATS?\b", raw, re.IGNORECASE):
+                from . import file_formats as _ff
+
+                ff_result = _ff.dispatch(self, raw)
+                if ff_result is not None:
+                    result = ff_result
+                    continue
             if ("STAGE" in raw.upper()
                     or _up0.startswith(("PUT ", "LIST ", "LS ",
                                         "REMOVE ", "RM "))
@@ -1296,9 +1305,13 @@ class IcebreakerEngine:
                         and "@" in raw.split("\n", 1)[0])
                     or re.match(r"^\s*COPY\s+INTO\s+@", raw,
                                 re.IGNORECASE)):
+                from . import file_formats as _ff
                 from . import stages as _stages
 
-                st_result = _stages.dispatch(self, raw)
+                st_raw = raw
+                if re.search(r"\bFILE_FORMAT\b", raw, re.IGNORECASE):
+                    st_raw = _ff.resolve_format_name(self, raw)
+                st_result = _stages.dispatch(self, st_raw)
                 if st_result is not None:
                     result = st_result
                     continue
@@ -1856,10 +1869,17 @@ class IcebreakerEngine:
             # directory (r13, stages.py) and rides the path-form
             # loader; statements with no stage FROM pass unchanged
             copy_raw = raw
-            if re.search(r"\bFROM\s+'?@", raw, re.IGNORECASE):
+            if re.search(
+                    r"\bFORMAT_NAME\b|FILE_FORMAT\s*=\s*(?!\()", raw,
+                    re.IGNORECASE):
+                from . import file_formats as _ff
+
+                copy_raw = _ff.resolve_format_name(self, copy_raw)
+            if re.search(r"\bFROM\s+'?@", copy_raw, re.IGNORECASE):
                 from . import stages as _stages
 
-                resolved = _stages.resolve_copy_into_stage(self, raw)
+                resolved = _stages.resolve_copy_into_stage(
+                    self, copy_raw)
                 if resolved is not None:
                     copy_raw = resolved
             spec = parse_copy_into(copy_raw)

@@ -124,6 +124,7 @@ class Stage:
     name: str
     path: str
     created_on: float
+    file_format: str | None = None  # raw FILE_FORMAT = (…) tail
 
 
 def _norm_name(name: str) -> str:
@@ -157,7 +158,15 @@ def _resolve_ref(engine, ref: str) -> tuple[Stage, str]:
     return reg[key], sub
 
 
-def _check_external(rest: str) -> None:
+_FILE_FORMAT_RE = re.compile(
+    r"FILE_FORMAT\s*=\s*(\([^)]*\)|\w+)", re.IGNORECASE)
+
+
+def _check_create_options(rest: str) -> str | None:
+    """Validate the CREATE STAGE option tail; returns the stage-level
+    FILE_FORMAT text (normalized to ``FILE_FORMAT = (…)``) when
+    present. Unknown options REFUSE — a silently dropped FILE_FORMAT
+    would make a later COPY INTO parse parquet as CSV."""
     for kw in _EXTERNAL_OPTS:
         if re.search(rf"\b{kw}\b", rest, re.IGNORECASE):
             raise ValueError(
@@ -167,6 +176,29 @@ def _check_external(rest: str) -> None:
                 "credentials confs). Local internal stages (no URL) "
                 "are supported."
             )
+    ff = None
+    fm = _FILE_FORMAT_RE.search(rest)
+    if fm is not None:
+        body = fm.group(1)
+        if not body.startswith("("):
+            raise ValueError(
+                "CREATE STAGE FILE_FORMAT = <name>: named file-format "
+                "objects are not supported — inline the options: "
+                "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)"
+            )
+        ff = f"FILE_FORMAT = {body}"
+        rest = rest[:fm.start()] + rest[fm.end():]
+    # inside-parens keys were consumed with FILE_FORMAT; whatever
+    # KEY = remains must be a known harmless property
+    for key in re.findall(r"(\w+)\s*=", rest):
+        if key.upper() not in ("COMMENT",):
+            raise ValueError(
+                f"CREATE STAGE option {key.upper()} is not "
+                "implemented by the local stage registry (supported: "
+                "FILE_FORMAT = (…), COMMENT) — a silently ignored "
+                "option could change what a later COPY INTO loads"
+            )
+    return ff
 
 
 def _df(engine, rows, schema) -> DataFrame:
@@ -176,7 +208,7 @@ def _df(engine, rows, schema) -> DataFrame:
 def create_stage(engine, raw: str) -> DataFrame:
     m = _CREATE_RE.match(raw)
     assert m is not None
-    _check_external(m.group("rest") or "")
+    ff = _check_create_options(m.group("rest") or "")
     name = _norm_name(m.group("name"))
     reg = _registry(engine)
     if name in reg:
@@ -195,7 +227,8 @@ def create_stage(engine, raw: str) -> DataFrame:
         shutil.rmtree(reg[name].path, ignore_errors=True)
         del reg[name]
     path = tempfile.mkdtemp(prefix=f"sf_stage_{name.replace('.', '_')}_")
-    reg[name] = Stage(name=name, path=path, created_on=time.time())
+    reg[name] = Stage(name=name, path=path, created_on=time.time(),
+                      file_format=ff)
     return _df(
         engine,
         [(f"Stage area {name.upper()} successfully created.",)],
@@ -407,7 +440,13 @@ def resolve_copy_into_stage(engine, raw: str) -> str | None:
         return None
     stage, sub = _resolve_ref(engine, m.group("ref"))
     path = os.path.join(stage.path, sub) if sub else stage.path
-    return f"{m.group('head')}'{path}'{m.group('rest')}"
+    rest = m.group("rest")
+    if stage.file_format and not re.search(
+            r"\bFILE_FORMAT\b", rest, re.IGNORECASE):
+        # stage-level default file format (Snowflake: COPY INTO uses
+        # the stage's FILE_FORMAT when the statement carries none)
+        rest = f" {stage.file_format}{rest}"
+    return f"{m.group('head')}'{path}'{rest}"
 
 
 def run_unload(engine, raw: str) -> DataFrame:

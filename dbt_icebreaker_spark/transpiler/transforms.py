@@ -2527,27 +2527,76 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     pos = "(" + render(tokens[args[2][0]:args[2][1]]) + ")"
                     s_r = f"substr({s_r}, {pos})"
                 out += tokenize(f"regexp_count({s_r}, {render(pat)})")
-            elif t.text == "RXINSTR_X" and len(args) in (2, 3):
-                # REGEXP_INSTR(s, p[, position]): slice from position,
-                # then shift the hit back to original coordinates
-                # (0 = not found stays 0). occurrence/option/group args
-                # are refused in detect_unsupported-style below.
+            elif t.text == "RXINSTR_X" and len(args) in (2, 3, 4):
+                # REGEXP_INSTR(s, p[, position[, occurrence]]): slice
+                # from position, then shift the hit back to original
+                # coordinates (0 = not found stays 0). occurrence > 1
+                # (r13, was a refusal): the n-th match's position is
+                # 1 + length of the prefix before it, captured by the
+                # same ^-anchored ATOMIC counting pattern the
+                # occurrence REGEXP_REPLACE path uses — (?>…) keeps
+                # the engine from backtracking INTO the user pattern
+                # and manufacturing extra occurrences. Literal
+                # backref-free pattern required (group 1 must stay
+                # OUR prefix group). option/params/group args still
+                # refuse below.
                 s_r = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
                 p_r = render(tokens[args[1][0]:args[1][1]])
-                if len(args) == 2:
-                    out += tokenize(f"regexp_instr({s_r}, {p_r})")
+                occ_n = 1
+                if len(args) == 4:
+                    from .core import TranspileError
+
+                    occ_code = [c for c in tokens[args[3][0]:args[3][1]]
+                                if c.kind != WS]
+                    if not (len(occ_code) == 1
+                            and occ_code[0].kind == NUMBER
+                            and int(occ_code[0].text) >= 1):
+                        raise TranspileError(
+                            "REGEXP_INSTR occurrence must be a literal "
+                            "integer >= 1."
+                        )
+                    occ_n = int(occ_code[0].text)
+                    p_code2 = [c for c in tokens[args[1][0]:args[1][1]]
+                               if c.kind != WS]
+                    if occ_n > 1 and not (
+                            len(p_code2) == 1
+                            and p_code2[0].kind == STRING
+                            and not re.search(
+                                r"\\[0-9]", p_code2[0].text)):
+                        raise TranspileError(
+                            "REGEXP_INSTR with occurrence > 1 needs a "
+                            "LITERAL, backref-free pattern (it is "
+                            "assembled into a counting regex)."
+                        )
+                if len(args) >= 3:
+                    pos = "(" + render(
+                        tokens[args[2][0]:args[2][1]]) + ")"
+                    s_eff = f"substr({s_r}, {pos})"
                 else:
-                    pos = "(" + render(tokens[args[2][0]:args[2][1]]) + ")"
-                    hit = f"regexp_instr(substr({s_r}, {pos}), {p_r})"
+                    pos = None
+                    s_eff = s_r
+                if occ_n == 1:
+                    hit = f"regexp_instr({s_eff}, {p_r})"
+                else:
+                    ptxt = p_code2[0].text[1:-1]
+                    counting = (f"(?s)^((?:.*?(?>{ptxt}))"
+                                f"{{{occ_n - 1}}}.*?)(?>{ptxt})")
+                    hit = (
+                        f"(CASE WHEN {s_eff} RLIKE '{counting}' THEN "
+                        f"length(regexp_extract({s_eff}, "
+                        f"'{counting}', 1)) + 1 ELSE 0 END)")
+                if pos is None:
+                    out += tokenize(hit)
+                else:
                     out += tokenize(
                         f"IF({hit} = 0, 0, {hit} + {pos} - 1)")
             elif t.text == "RXINSTR_X":
                 from .core import TranspileError
 
                 raise TranspileError(
-                    "REGEXP_INSTR with occurrence/option/group "
-                    "arguments has no faithful Spark rendering; "
-                    "pre-slice with SUBSTR or use REGEXP_SUBSTR."
+                    "REGEXP_INSTR with option/group arguments has no "
+                    "faithful Spark rendering; pre-slice with SUBSTR "
+                    "or use REGEXP_SUBSTR."
                 )
             elif t.text == "DOWISO_X" and len(args) == 1:
                 x = "(" + render(tokens[args[0][0]:args[0][1]]) + ")"
@@ -6080,10 +6129,13 @@ _SNOWFLAKE_ONLY_STATEMENTS = {
     # governance objects change data VISIBILITY — silently no-oping
     # them (like GRANT) would alter what a query exposes, so they
     # refuse by name instead (r9 batch 3)
-    ("CREATE", "FILE"): "inline format options — COPY INTO t FROM "
-                        "'/path' FILE_FORMAT = (TYPE = CSV …) or "
-                        "spark.read.option(...); Spark has no named "
-                        "file-format objects",
+    ("CREATE", "FILE"): "IcebreakerEngine.execute — the engine keeps "
+                        "a session file-format registry (CREATE FILE "
+                        "FORMAT / FORMAT_NAME references in COPY "
+                        "INTO and CREATE STAGE inline the stored "
+                        "options; file_formats.py); plain spark.sql() "
+                        "has no named file-format objects — use "
+                        "inline FILE_FORMAT = (TYPE = CSV …)",
     ("CREATE", "TAG"): "your lakehouse catalog's tagging/labels — "
                        "Spark's session catalog has no tag objects",
     ("CREATE", "MASKING"): "masking at the model layer (a view that "

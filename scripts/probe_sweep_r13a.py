@@ -133,6 +133,23 @@ if r[0]["rows_loaded"] != 2:
 else:
     print("OK   COPY INTO @stage")
 
+# named file format + FORMAT_NAME reference + multi-statement script
+r = eng.execute(
+    "CREATE FILE FORMAT probe_ff TYPE = CSV SKIP_HEADER = 1; "
+    "COPY INTO probe_stage_tgt FROM @probe_sweep_stage/in "
+    "FILE_FORMAT = (FORMAT_NAME = 'probe_ff')").collect()
+if r[0]["rows_loaded"] != 2:
+    ok = False
+    print("WRONG FORMAT_NAME COPY ->", r)
+else:
+    print("OK   CREATE FILE FORMAT + FORMAT_NAME reference (script)")
+d = eng.execute("DESC FILE FORMAT probe_ff").collect()
+if not any(x["property"] == "TYPE" and x["value"] == "CSV" for x in d):
+    ok = False
+    print("WRONG DESC FILE FORMAT ->", d)
+else:
+    print("OK   DESC FILE FORMAT")
+
 print("SWEEP", "PASS" if ok else "FAIL")
 spark.stop()
 sys.exit(0 if ok else 1)

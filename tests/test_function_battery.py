@@ -1767,6 +1767,27 @@ def test_r13e_format_edges(spark, sql, expect):
     _check(spark, sql, expect)
 
 
+# REGEXP_INSTR occurrence (r13, was a refusal): n-th match position
+# via the atomic counting pattern — 1 + length of the prefix group
+R13F_RXINSTR_CASES = [
+    ("SELECT REGEXP_INSTR('a1b22c333', '\\\\d+')", 2),
+    ("SELECT REGEXP_INSTR('a1b22c333', '\\\\d+', 1, 2)", 4),
+    ("SELECT REGEXP_INSTR('a1b22c333', '\\\\d+', 1, 3)", 7),
+    ("SELECT REGEXP_INSTR('a1b22c333', '\\\\d+', 1, 4)", 0),
+    ("SELECT REGEXP_INSTR('a1b22c333', '\\\\d+', 3, 2)", 7),
+    # one non-overlapping match of a+ in 'aaa' — occurrence 2 must
+    # not exist (the backtracking class r13d pins for REPLACE)
+    ("SELECT REGEXP_INSTR('aaa', 'a+', 1, 2)", 0),
+    ("SELECT REGEXP_INSTR('aaa bbb aaa', 'a+', 1, 2)", 9),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13F_RXINSTR_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13f_regexp_instr_occurrence(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
 def test_r13e_mixed_interval_bare_refuses():
     from dbt_icebreaker_spark.transpiler.core import TranspileError
     with pytest.raises(TranspileError, match="unit class"):

@@ -66,6 +66,32 @@ class TestStageLifecycle:
         r = engine.execute("DROP STAGE IF EXISTS ts_nope").collect()
         assert "already dropped" in r[0][0]
 
+    def test_stage_level_file_format(self, engine, spark):
+        # r13: a stage-attached FILE_FORMAT is the default for COPY
+        # INTO statements that carry none (silently dropping it would
+        # load parquet as CSV)
+        engine.execute(
+            "CREATE OR REPLACE STAGE ts_ff "
+            "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        engine.execute(f"PUT file://{p} @ts_ff")
+        spark.sql("DROP TABLE IF EXISTS stage_ff_tgt")
+        spark.sql("CREATE TABLE stage_ff_tgt (id BIGINT, val STRING)")
+        r = engine.execute("COPY INTO stage_ff_tgt FROM @ts_ff").collect()
+        assert r[0]["rows_loaded"] == 2
+        # statement-level FILE_FORMAT still wins
+        r = engine.execute(
+            "COPY INTO stage_ff_tgt FROM @ts_ff "
+            "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)").collect()
+        assert r[0]["rows_loaded"] == 2
+        # unknown option refuses; an unregistered named format names
+        # the registry (r13 file_formats.py resolves named refs)
+        with pytest.raises(ValueError, match="not\\s+implemented"):
+            engine.execute("CREATE STAGE ts_ff2 SNOWFLAKE_FULL = TRUE")
+        with pytest.raises(ValueError, match="unknown file format"):
+            engine.execute("CREATE STAGE ts_ff3 FILE_FORMAT = my_fmt")
+
     def test_describe_stage(self, engine):
         engine.execute("CREATE OR REPLACE STAGE ts_desc")
         rows = engine.execute("DESC STAGE ts_desc").collect()
@@ -164,6 +190,85 @@ class TestPutListRemove:
         got = os.path.join(out, "data.csv.gz")
         with gzip.open(got, "rt") as f:
             assert f.read().startswith("id,val")
+
+
+class TestFileFormats:
+    """Named FILE FORMAT objects (file_formats.py): session registry;
+    FORMAT_NAME / bare-name references inline into COPY INTO and
+    CREATE STAGE."""
+
+    def test_lifecycle(self, engine):
+        r = engine.execute(
+            "CREATE FILE FORMAT ff_a TYPE = CSV SKIP_HEADER = 1"
+        ).collect()
+        assert "successfully created" in r[0][0]
+        rows = engine.execute("SHOW FILE FORMATS").collect()
+        assert any(x["name"] == "ff_a" and x["type"] == "CSV"
+                   for x in rows)
+        d = engine.execute("DESC FILE FORMAT ff_a").collect()
+        props = {x["property"]: x["value"] for x in d}
+        assert props["TYPE"] == "CSV"
+        assert "SKIP_HEADER = 1" in props["OPTIONS"]
+        r = engine.execute("DROP FILE FORMAT ff_a").collect()
+        assert "dropped" in r[0][0]
+        with pytest.raises(ValueError, match="unknown format"):
+            engine.execute("DROP FILE FORMAT ff_a")
+        r = engine.execute("DROP FILE FORMAT IF EXISTS ff_a").collect()
+        assert "already dropped" in r[0][0]
+
+    def test_unknown_option_refuses(self, engine):
+        with pytest.raises(ValueError, match="NULL_IF"):
+            engine.execute(
+                "CREATE FILE FORMAT ff_bad TYPE = CSV "
+                "NULL_IF = ('NULL')")
+        with pytest.raises(ValueError, match="COMPRESSION"):
+            engine.execute(
+                "CREATE FILE FORMAT ff_bad2 TYPE = CSV "
+                "COMPRESSION = BROTLI")
+
+    def test_copy_into_format_name(self, engine, spark):
+        engine.execute(
+            "CREATE OR REPLACE FILE FORMAT ff_csv "
+            "TYPE = CSV SKIP_HEADER = 1")
+        engine.execute("CREATE OR REPLACE STAGE ts_ffn")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d, rows=(("1", "a"), ("2", "b")))
+        engine.execute(f"PUT file://{p} @ts_ffn")
+        spark.sql("DROP TABLE IF EXISTS ffn_tgt")
+        spark.sql("CREATE TABLE ffn_tgt (id BIGINT, val STRING)")
+        r = engine.execute(
+            "COPY INTO ffn_tgt FROM @ts_ffn "
+            "FILE_FORMAT = (FORMAT_NAME = 'ff_csv')").collect()
+        assert r[0]["rows_loaded"] == 2
+        # bare-name reference
+        r = engine.execute(
+            "COPY INTO ffn_tgt FROM @ts_ffn FILE_FORMAT = ff_csv"
+        ).collect()
+        assert r[0]["rows_loaded"] == 2
+        with pytest.raises(ValueError, match="unknown file format"):
+            engine.execute(
+                "COPY INTO ffn_tgt FROM @ts_ffn "
+                "FILE_FORMAT = (FORMAT_NAME = 'nope')")
+
+    def test_stage_attached_format_name(self, engine, spark):
+        engine.execute(
+            "CREATE OR REPLACE FILE FORMAT ff_stage "
+            "TYPE = CSV SKIP_HEADER = 1")
+        engine.execute(
+            "CREATE OR REPLACE STAGE ts_ffs FILE_FORMAT = ff_stage")
+        d = tempfile.mkdtemp()
+        p = _write_csv(d)
+        engine.execute(f"PUT file://{p} @ts_ffs")
+        spark.sql("DROP TABLE IF EXISTS ffs_tgt")
+        spark.sql("CREATE TABLE ffs_tgt (id BIGINT, val STRING)")
+        r = engine.execute("COPY INTO ffs_tgt FROM @ts_ffs").collect()
+        assert r[0]["rows_loaded"] == 2
+
+    def test_bare_transpiler_points_to_engine(self):
+        t = Transpiler()
+        with pytest.raises(TranspileError, match="file-format registry"
+                           "|file_formats"):
+            t.to_spark("CREATE FILE FORMAT ff TYPE = CSV")
 
 
 class TestStageCopyInto:

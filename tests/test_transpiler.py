@@ -1981,11 +1981,18 @@ class TestRound4Functions:
             "SELECT TO_DECIMAL(x, 10, 2) FROM t")
         assert "TRY_CAST((x) AS DECIMAL(10, 2))" in t.to_spark(
             "SELECT TRY_TO_DECIMAL(x, 10, 2) FROM t")
-        # format strings route to Spark's native to_number family
-        assert "to_number(x, '$99.99')" in t.to_spark(
-            "SELECT TO_NUMBER(x, '$99.99') FROM t")
-        assert "try_to_number(x, '999')" in t.to_spark(
-            "SELECT TRY_TO_NUMBER(x, '999') FROM t")
+        # format strings route to Spark's native to_number family,
+        # wrapped in the r13 sign-peel CASE (sign-less formats accept
+        # a leading '-'/'+' like Snowflake)
+        out = t.to_spark("SELECT TO_NUMBER(x, '$99.99') FROM t")
+        assert "to_number((x), '$99.99')" in out
+        assert "LIKE '-%'" in out and "substr((x), 2)" in out
+        out = t.to_spark("SELECT TRY_TO_NUMBER(x, '999') FROM t")
+        assert "try_to_number((x), '999')" in out
+        # an S-bearing format keeps the bare parse (Spark handles the
+        # sign itself)
+        out = t.to_spark("SELECT TO_NUMBER(x, 'S999') FROM t")
+        assert "CASE" not in out
 
     def test_regex_extended_args(self):
         t = self.t
@@ -1998,8 +2005,14 @@ class TestRound4Functions:
         assert "'^(?:(?is)a.*)$'" in out
         out = t.to_spark("SELECT REGEXP_LIKE(s, p) FROM t")
         assert "concat('^(?:', p, ')$')" in out
+        # r13: occurrence graduated from refusal (atomic counting
+        # pattern); option/group args still refuse
+        out = t.to_spark("SELECT REGEXP_INSTR(s, 'b', 1, 2) FROM t")
+        assert "(?>" in out and "RLIKE" in out
         with pytest.raises(TranspileError, match="REGEXP_INSTR"):
-            t.to_spark("SELECT REGEXP_INSTR(s, 'b', 1, 2) FROM t")
+            t.to_spark("SELECT REGEXP_INSTR(s, 'b', 1, 2, 1) FROM t")
+        with pytest.raises(TranspileError, match="occurrence"):
+            t.to_spark("SELECT REGEXP_INSTR(s, 'b', 1, n) FROM t")
 
     def test_variant_accessors(self):
         t = self.t
@@ -3230,8 +3243,7 @@ class TestStatementTailSweepR10:
 
     @pytest.mark.parametrize("stmt", [
         # SHOW SEQUENCES graduated to a real listing in r11
-        "SHOW STREAMS", "SHOW TASKS", "SHOW PIPES", "SHOW STAGES",
-        "SHOW ALERTS",
+        "SHOW STREAMS", "SHOW TASKS", "SHOW PIPES",         "SHOW ALERTS",
     ])
     def test_show_refuse_families(self, engine, stmt):
         from dbt_icebreaker_spark.transpiler.core import TranspileError
@@ -3251,11 +3263,16 @@ class TestStatementTailSweepR10:
                 for r in engine.execute("SHOW VARIABLES").collect()}
         assert rows.get("r10var") == "7"
 
-    def test_describe_stage_refuses(self, engine):
-        from dbt_icebreaker_spark.transpiler.core import TranspileError
+    def test_describe_stage_unknown_names_registry(self, engine):
+        # r13: stages graduated from refusal to a session registry —
+        # DESCRIBE of an unregistered stage names the registry
+        with pytest.raises(ValueError, match="unknown stage"):
+            engine.execute("DESCRIBE STAGE s1_never_created")
 
-        with pytest.raises(TranspileError, match="no stage objects"):
-            engine.execute("DESCRIBE STAGE s1")
+    def test_show_stages_lists_registry(self, engine):
+        engine.execute("CREATE OR REPLACE STAGE r10_sweep_stage")
+        rows = engine.execute("SHOW STAGES").collect()
+        assert any(r.name == "r10_sweep_stage" for r in rows)
 
     def test_describe_warehouse_noops(self, engine):
         r = engine.execute("DESCRIBE WAREHOUSE w").collect()
