@@ -103,7 +103,7 @@ _UNLOAD_RE = re.compile(
 )
 _LOAD_FROM_STAGE_RE = re.compile(
     r"^(?P<head>\s*COPY\s+INTO\s+[\w.]+\s+FROM\s+)"
-    r"(?P<ref>'@[^']+'|@[\w.$/]+)(?P<rest>.*)$",
+    r"(?P<ref>'@[^']+'|@[\w.$/~%]+)(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _PATTERN_RE = re.compile(r"PATTERN\s*=\s*'([^']*)'", re.IGNORECASE)
@@ -138,7 +138,10 @@ def _registry(engine) -> dict:
 
 
 def _resolve_ref(engine, ref: str) -> tuple[Stage, str]:
-    """'@name[/sub/path]' → (Stage, relative subpath)."""
+    """'@name[/sub/path]' → (Stage, relative subpath). Snowflake's
+    IMPLICIT stages — ``@~`` (user stage) and ``@%table`` (table
+    stage) — need no CREATE STAGE and auto-register lazily, exactly
+    like the warehouse provides them."""
     r = ref.strip().strip("'").rstrip(";")
     if not r.startswith("@"):
         raise ValueError(f"stage reference must start with '@': {r!r}")
@@ -146,6 +149,11 @@ def _resolve_ref(engine, ref: str) -> tuple[Stage, str]:
     name, _, sub = body.partition("/")
     reg = _registry(engine)
     key = _norm_name(name)
+    if key not in reg and (key == "~" or key.startswith("%")):
+        path = tempfile.mkdtemp(
+            prefix="sf_stage_user_" if key == "~"
+            else f"sf_stage_table_{key[1:].replace('.', '_')}_")
+        reg[key] = Stage(name=key, path=path, created_on=time.time())
     if key not in reg:
         known = ", ".join(sorted(reg)) or "none"
         raise ValueError(

@@ -179,6 +179,23 @@ class TestPutListRemove:
         assert [x["name"] for x in rm] == ["ts_rm/drop.csv.gz"]
         assert engine.execute("LIST @ts_rm").count() == 1
 
+    def test_implicit_user_and_table_stages(self, engine, spark):
+        # @~ (user stage) and @%tbl (table stage) auto-register
+        # lazily — no CREATE STAGE needed, like the warehouse
+        d = tempfile.mkdtemp()
+        p = _write_csv(d, "imp.csv", rows=(("9", "z"),))
+        r = engine.execute(f"PUT file://{p} @~/staged").collect()
+        assert r[0]["status"] == "UPLOADED"
+        lst = engine.execute("LIST @~").collect()
+        assert [x["name"] for x in lst] == ["~/staged/imp.csv.gz"]
+        spark.sql("DROP TABLE IF EXISTS imp_tgt")
+        spark.sql("CREATE TABLE imp_tgt (id BIGINT, val STRING)")
+        engine.execute(f"PUT file://{p} @%imp_tgt")
+        r = engine.execute(
+            "COPY INTO imp_tgt FROM @%imp_tgt "
+            "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)").collect()
+        assert r[0]["rows_loaded"] == 1
+
     def test_get_downloads(self, engine):
         engine.execute("CREATE OR REPLACE STAGE ts_get")
         d = tempfile.mkdtemp()
