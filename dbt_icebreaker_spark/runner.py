@@ -1882,6 +1882,38 @@ class IcebreakerEngine:
                     self, copy_raw)
                 if resolved is not None:
                     copy_raw = resolved
+            # transformation COPY (r13): COPY INTO t [(cols)] FROM
+            # (SELECT $1, … FROM @stage|'<path>') — positional file
+            # read + transpiled SELECT (copy_into.py)
+            from .materializations.copy_into import (
+                parse_transform_copy,
+                run_transform_copy,
+            )
+
+            tspec = parse_transform_copy(copy_raw)
+            if tspec is not None:
+                src = tspec.src.strip("'")
+                if src.startswith("@"):
+                    from . import stages as _stages
+
+                    stage, sub = _stages._resolve_ref(self, src)
+                    path = (os.path.join(stage.path, sub)
+                            if sub else stage.path)
+                else:
+                    path = src
+                try:
+                    stats = run_transform_copy(
+                        self.spark, tspec, self.transpiler, path)
+                except (ValueError, TranspileError):
+                    raise  # already actionable
+                except Exception as e:
+                    raise_classified(e, raw)
+                result = self.spark.createDataFrame(
+                    [(stats["table"], stats["rows_loaded"],
+                      stats["format"])],
+                    "table string, rows_loaded long, format string",
+                )
+                continue
             spec = parse_copy_into(copy_raw)
             if spec is not None:
                 try:

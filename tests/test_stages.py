@@ -335,6 +335,61 @@ class TestStageCopyInto:
         lst = engine.execute("LIST @ts_out2").collect()
         assert any(x["name"].endswith(".csv.gz") for x in lst)
 
+    def test_transformation_copy(self, engine, spark):
+        # COPY INTO t FROM (SELECT $1, expr($2) … FROM @stage): the
+        # files read positionally ($N = N-th file column), the SELECT
+        # runs through the transpiler, result maps positionally
+        import os
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as f:
+            f.write("id,name,amt\n1,ab,10.5\n2,cd,20.25\n3,ef,-3.5\n")
+        engine.execute("CREATE OR REPLACE STAGE ts_tc")
+        engine.execute(f"PUT file://{p} @ts_tc")
+        spark.sql("DROP TABLE IF EXISTS tc_t1")
+        spark.sql(
+            "CREATE TABLE tc_t1 (k BIGINT, label STRING, d2 DOUBLE)")
+        r = engine.execute(
+            "COPY INTO tc_t1 FROM (SELECT $1, UPPER($2), "
+            "$3::DOUBLE * 2 FROM @ts_tc) "
+            "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)").collect()
+        assert r[0]["rows_loaded"] == 3
+        got = {tuple(x) for x in spark.table("tc_t1").collect()}
+        assert (1, "AB", 21.0) in got and (3, "EF", -7.0) in got
+        # explicit column list: unlisted target columns NULL-fill
+        spark.sql("DROP TABLE IF EXISTS tc_t2")
+        spark.sql(
+            "CREATE TABLE tc_t2 (k BIGINT, label STRING, x STRING)")
+        engine.execute(
+            "COPY INTO tc_t2 (k, label) FROM (SELECT $1, $2 "
+            "FROM @ts_tc) FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)")
+        row = spark.table("tc_t2").orderBy("k").collect()[0]
+        assert row.label == "ab" and row.x is None
+
+    def test_transformation_copy_refusals(self, engine, spark):
+        import os
+
+        spark.sql("DROP TABLE IF EXISTS tc_t3")
+        spark.sql("CREATE TABLE tc_t3 (k BIGINT, v STRING)")
+        engine.execute("CREATE OR REPLACE STAGE ts_tc2")
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "r.csv")
+        open(p, "w").write("1,x\n")
+        engine.execute(f"PUT file://{p} @ts_tc2")
+        with pytest.raises(ValueError, match="equal arity"):
+            engine.execute(
+                "COPY INTO tc_t3 FROM (SELECT $1 FROM @ts_tc2) "
+                "FILE_FORMAT = (TYPE = CSV)")
+        with pytest.raises(TranspileError, match="CSV sources"):
+            engine.execute(
+                "COPY INTO tc_t3 FROM (SELECT $1, $2 FROM @ts_tc2) "
+                "FILE_FORMAT = (TYPE = PARQUET)")
+        with pytest.raises(TranspileError, match="FILE_FORMAT"):
+            engine.execute(
+                "COPY INTO tc_t3 FROM (SELECT $1, $2 FROM "
+                "@ts_tc2 (FILE_FORMAT => 'f')) ")
+
     def test_unload_unknown_option_refuses(self, engine):
         engine.execute("CREATE OR REPLACE STAGE ts_out3")
         with pytest.raises(ValueError, match="not\\s+implemented"):
