@@ -1315,6 +1315,19 @@ class IcebreakerEngine:
                 if st_result is not None:
                     result = st_result
                     continue
+            # direct staged-file queries (r13): SELECT $1 … FROM
+            # @stage [(FILE_FORMAT => …)] — rewrite the stage ref to
+            # a temp view over the files, then continue normal
+            # dispatch on the clean SQL
+            if (re.match(r"^\s*(WITH|SELECT)\b", raw, re.IGNORECASE)
+                    and re.search(r"\bFROM\s+'?@", raw,
+                                  re.IGNORECASE)):
+                from . import stages as _stages
+
+                rewritten = _stages.rewrite_select_from_stage(
+                    self, raw)
+                if rewritten is not None:
+                    raw = rewritten
             # CREATE/DROP SEQUENCE + SHOW SEQUENCES (r11): session
             # registry; NEXTVAL substitution happened in execute()
             up_head = raw.upper().split(None, 4)

@@ -531,6 +531,106 @@ def run_unload(engine, raw: str) -> DataFrame:
     )
 
 
+_SEL_STAGE_RE = re.compile(
+    r"\bFROM\s+(?P<ref>'@[^']+'|@[\w.$/~%]+)\s*"
+    r"(?P<opts>\(\s*[\w\s,=>'\.]*=>[\w\s,=>'\.]*\))?",
+    re.IGNORECASE,
+)
+_ARROW_OPT_RE = re.compile(r"(\w+)\s*=>\s*('[^']*'|\S+)", re.IGNORECASE)
+
+
+def rewrite_select_from_stage(engine, raw: str) -> str | None:
+    """Direct staged-file queries (r13): ``SELECT $1, t.$2 FROM
+    @stage[/p] [(FILE_FORMAT => '<name>', PATTERN => '<rx>')] t`` —
+    Snowflake's peek-at-staged-data idiom. Each ``@ref`` in a FROM
+    position becomes a temp view over the files (CSV positionally:
+    ``$N`` → the N-th file column; parquet/json by name), using the
+    arrow-option FILE_FORMAT, else the stage-attached format, else
+    CSV. ``METADATA$FILENAME`` maps to input_file_name();
+    METADATA$FILE_ROW_NUMBER refuses (no Spark builtin carries a
+    per-file ordinal through a parallel read). Returns the rewritten
+    statement, or None when it is not a SELECT-from-stage."""
+    s = raw.lstrip()
+    if not re.match(r"^(WITH|SELECT)\b", s, re.IGNORECASE):
+        return None
+    if not _SEL_STAGE_RE.search(raw):
+        return None
+    if re.search(r"METADATA\$FILE_ROW_NUMBER", raw, re.IGNORECASE):
+        raise ValueError(
+            "METADATA$FILE_ROW_NUMBER has no Spark rendering (a "
+            "parallel read carries no per-file ordinal) — derive row "
+            "numbers after load with ROW_NUMBER() OVER "
+            "(PARTITION BY METADATA$FILENAME ORDER BY <a column>)"
+        )
+    from .materializations.copy_into import _parse_format_tail
+
+    counter = [0]
+
+    def _sub(m):
+        stage, sub = _resolve_ref(engine, m.group("ref"))
+        fmt_text = stage.file_format or ""
+        pattern = None
+        for k, v in _ARROW_OPT_RE.findall(m.group("opts") or ""):
+            ku = k.upper()
+            if ku == "FILE_FORMAT":
+                from . import file_formats as _ff
+
+                name = v.strip("'")
+                reg = _ff._registry(engine)
+                key = _ff._norm(name)
+                if key not in reg:
+                    known = ", ".join(sorted(reg)) or "none"
+                    raise ValueError(
+                        f"unknown file format {name!r} (session "
+                        f"formats: {known}) — CREATE FILE FORMAT "
+                        "first"
+                    )
+                fmt_text = f"FILE_FORMAT = ({reg[key].options})"
+            elif ku == "PATTERN":
+                pattern = v.strip("'")
+            else:
+                raise ValueError(
+                    f"staged-file query option {ku} is not "
+                    "implemented (supported: FILE_FORMAT => "
+                    "'<name>', PATTERN => '<regex>')"
+                )
+        fmt, options, _p = _parse_format_tail(fmt_text)
+        path = os.path.join(stage.path, sub) if sub else stage.path
+        src: str | list[str] = path
+        if pattern:
+            from .materializations.copy_into import _pattern_paths
+
+            src = _pattern_paths(path, pattern)
+            if not src:
+                raise ValueError(
+                    f"staged-file query: no file under @{stage.name}/"
+                    f"{sub} matches PATTERN {pattern!r}"
+                )
+        reader = engine.spark.read.options(**options)
+        if fmt == "csv":
+            df = reader.csv(src)
+            df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+        elif fmt == "json":
+            df = reader.json(src)
+        elif fmt == "orc":
+            df = (reader.orc(*src) if isinstance(src, list)
+                  else reader.orc(src))
+        else:
+            df = (reader.parquet(*src) if isinstance(src, list)
+                  else reader.parquet(src))
+        counter[0] += 1
+        view = f"__icebreaker_stage_query_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return f"FROM {view} "
+
+    out = _SEL_STAGE_RE.sub(_sub, raw)
+    out = re.sub(r"\$(\d+)",
+                 lambda m: f"_c{int(m.group(1)) - 1}", out)
+    out = re.sub(r"(?:\w+\.)?METADATA\$FILENAME", "input_file_name()",
+                 out, flags=re.IGNORECASE)
+    return out
+
+
 def dispatch(engine, raw: str) -> DataFrame | None:
     """Route one statement to the stage registry; None when it is not
     a stage statement (caller continues normal dispatch)."""

@@ -390,6 +390,52 @@ class TestStageCopyInto:
                 "COPY INTO tc_t3 FROM (SELECT $1, $2 FROM "
                 "@ts_tc2 (FILE_FORMAT => 'f')) ")
 
+    def test_select_from_stage(self, engine, spark):
+        # direct staged-file queries: SELECT $N FROM @stage, alias.$N,
+        # METADATA$FILENAME, arrow-option FILE_FORMAT, parquet by-name
+        import os
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "q.csv")
+        open(p, "w").write("1,ab,10.5\n2,cd,20.25\n")
+        engine.execute("CREATE OR REPLACE STAGE ts_sq")
+        engine.execute(f"PUT file://{p} @ts_sq AUTO_COMPRESS = FALSE")
+        r = engine.execute(
+            "SELECT $1, $2, $3::DOUBLE * 2 AS d FROM @ts_sq "
+            "ORDER BY 1").collect()
+        assert [tuple(x) for x in r] == [
+            ("1", "ab", 21.0), ("2", "cd", 40.5)]
+        r = engine.execute(
+            "SELECT t.$2 AS name, METADATA$FILENAME AS f "
+            "FROM @ts_sq t ORDER BY 1").collect()
+        assert [x.name for x in r] == ["ab", "cd"]
+        assert all(x.f.endswith("q.csv") for x in r)
+        engine.execute(
+            "CREATE OR REPLACE FILE FORMAT ts_sq_fmt TYPE = CSV")
+        n = engine.execute(
+            "SELECT COUNT(*) AS n FROM @ts_sq "
+            "(FILE_FORMAT => 'ts_sq_fmt')").collect()[0][0]
+        assert n == 2
+        with pytest.raises(ValueError, match="FILE_ROW_NUMBER"):
+            engine.execute(
+                "SELECT METADATA$FILE_ROW_NUMBER FROM @ts_sq")
+
+    def test_select_from_stage_parquet(self, engine, spark):
+        import os
+
+        d = tempfile.mkdtemp()
+        pq = os.path.join(d, "x.parquet")
+        spark.range(3).selectExpr("id", "id * 10 AS v") \
+            .toPandas().to_parquet(pq)
+        engine.execute("CREATE OR REPLACE STAGE ts_sqp")
+        engine.execute(f"PUT file://{pq} @ts_sqp")
+        engine.execute(
+            "CREATE OR REPLACE FILE FORMAT ts_sqp_f TYPE = PARQUET")
+        r = engine.execute(
+            "SELECT v FROM @ts_sqp (FILE_FORMAT => 'ts_sqp_f') "
+            "WHERE id > 0 ORDER BY id").collect()
+        assert [x.v for x in r] == [10, 20]
+
     def test_unload_unknown_option_refuses(self, engine):
         engine.execute("CREATE OR REPLACE STAGE ts_out3")
         with pytest.raises(ValueError, match="not\\s+implemented"):
