@@ -1316,10 +1316,12 @@ class IcebreakerEngine:
                     result = st_result
                     continue
             # direct staged-file queries (r13): SELECT $1 … FROM
-            # @stage [(FILE_FORMAT => …)] — rewrite the stage ref to
-            # a temp view over the files, then continue normal
+            # @stage [(FILE_FORMAT => …)] — also INSERT…SELECT/CTAS/
+            # MERGE USING over staged files — rewrite the stage ref
+            # to a temp view over the files, then continue normal
             # dispatch on the clean SQL
-            if (re.match(r"^\s*(WITH|SELECT)\b", raw, re.IGNORECASE)
+            if (re.match(r"^\s*(WITH|SELECT|INSERT|CREATE|MERGE)\b",
+                         raw, re.IGNORECASE)
                     and re.search(r"\bFROM\s+'?@", raw,
                                   re.IGNORECASE)):
                 from . import stages as _stages

@@ -551,7 +551,12 @@ def rewrite_select_from_stage(engine, raw: str) -> str | None:
     per-file ordinal through a parallel read). Returns the rewritten
     statement, or None when it is not a SELECT-from-stage."""
     s = raw.lstrip()
-    if not re.match(r"^(WITH|SELECT)\b", s, re.IGNORECASE):
+    # any statement whose stage ref sits in QUERY position: plain
+    # SELECT/WITH, INSERT … SELECT, CTAS, MERGE USING (…) — the
+    # file-op statements (PUT/GET/LIST/REMOVE/COPY) were dispatched
+    # before this rewrite runs
+    if not re.match(r"^(WITH|SELECT|INSERT|CREATE|MERGE)\b", s,
+                    re.IGNORECASE):
         return None
     if not _SEL_STAGE_RE.search(raw):
         return None

@@ -420,6 +420,32 @@ class TestStageCopyInto:
             engine.execute(
                 "SELECT METADATA$FILE_ROW_NUMBER FROM @ts_sq")
 
+    def test_insert_and_ctas_from_stage(self, engine, spark):
+        # the rewrite also fires for INSERT…SELECT and CTAS heads —
+        # staged data composes with normal DML (casts explicit, per
+        # Spark's ANSI store-assignment)
+        import os
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "i.csv")
+        open(p, "w").write("1,ab\n2,cd\n")
+        engine.execute("CREATE OR REPLACE STAGE ts_dml")
+        engine.execute(f"PUT file://{p} @ts_dml")
+        spark.sql("DROP TABLE IF EXISTS sdml_t")
+        spark.sql("CREATE TABLE sdml_t (k BIGINT, v STRING)")
+        engine.execute(
+            "INSERT INTO sdml_t SELECT $1::BIGINT, $2 FROM @ts_dml")
+        assert sorted(tuple(r) for r in
+                      spark.table("sdml_t").collect()) == [
+            (1, "ab"), (2, "cd")]
+        spark.sql("DROP TABLE IF EXISTS sdml_ctas")
+        engine.execute(
+            "CREATE TABLE sdml_ctas AS SELECT $1::INT AS k, "
+            "UPPER($2) AS v FROM @ts_dml")
+        assert sorted(tuple(r) for r in
+                      spark.table("sdml_ctas").collect()) == [
+            (1, "AB"), (2, "CD")]
+
     def test_select_from_stage_parquet(self, engine, spark):
         import os
 
