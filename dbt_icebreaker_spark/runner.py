@@ -1322,8 +1322,9 @@ class IcebreakerEngine:
             # dispatch on the clean SQL
             if (re.match(r"^\s*(WITH|SELECT|INSERT|CREATE|MERGE)\b",
                          raw, re.IGNORECASE)
-                    and re.search(r"\bFROM\s+'?@", raw,
-                                  re.IGNORECASE)):
+                    and re.search(
+                        r"\bFROM\s+('?@|DIRECTORY\s*\(\s*'?@)", raw,
+                        re.IGNORECASE)):
                 from . import stages as _stages
 
                 rewritten = _stages.rewrite_select_from_stage(

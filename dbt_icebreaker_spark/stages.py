@@ -317,7 +317,10 @@ def _stage_files(stage: Stage, sub: str, pattern: str | None):
     prefix = os.path.join(stage.path, sub) if sub else stage.path
     rx = re.compile(pattern) if pattern else None
     for full in sorted(cands):
-        if not full.startswith(prefix):
+        # DIRECTORY-boundary prefix match: @s/in must not catch
+        # @s/in2's files (a bare startswith would)
+        if not (full == prefix
+                or full.startswith(prefix.rstrip(os.sep) + os.sep)):
             continue
         rel = os.path.relpath(full, stage.path)
         if rx and not rx.search(rel):
@@ -536,6 +539,10 @@ _SEL_STAGE_RE = re.compile(
     r"(?P<opts>\(\s*[\w\s,=>'\.]*=>[\w\s,=>'\.]*\))?",
     re.IGNORECASE,
 )
+_DIR_RE = re.compile(
+    r"\bFROM\s+DIRECTORY\s*\(\s*(?P<ref>'@[^']+'|@[\w.$/~%]+)\s*\)",
+    re.IGNORECASE,
+)
 _ARROW_OPT_RE = re.compile(r"(\w+)\s*=>\s*('[^']*'|\S+)", re.IGNORECASE)
 
 
@@ -558,8 +565,34 @@ def rewrite_select_from_stage(engine, raw: str) -> str | None:
     if not re.match(r"^(WITH|SELECT|INSERT|CREATE|MERGE)\b", s,
                     re.IGNORECASE):
         return None
+    # DIRECTORY(@stage) — Snowflake's stage directory table — becomes
+    # a view of the listing with the documented columns
+    counter0 = [0]
+
+    def _dir_sub(m):
+        stage, sub = _resolve_ref(engine, m.group("ref"))
+        rows = []
+        for full, rel in _stage_files(stage, sub, None):
+            with open(full, "rb") as f:
+                md5 = hashlib.md5(f.read()).hexdigest()
+            rows.append((
+                rel, os.path.getsize(full),
+                time.strftime("%Y-%m-%d %H:%M:%S",
+                              time.gmtime(os.path.getmtime(full))),
+                md5, None, f"file://{full}",
+            ))
+        counter0[0] += 1
+        view = f"__icebreaker_stage_dir_{counter0[0]}"
+        engine.spark.createDataFrame(
+            rows,
+            "relative_path string, size long, last_modified string, "
+            "md5 string, etag string, file_url string",
+        ).createOrReplaceTempView(view)
+        return f"FROM {view} "
+
+    raw = _DIR_RE.sub(_dir_sub, raw)
     if not _SEL_STAGE_RE.search(raw):
-        return None
+        return raw if counter0[0] else None
     if re.search(r"METADATA\$FILE_ROW_NUMBER", raw, re.IGNORECASE):
         raise ValueError(
             "METADATA$FILE_ROW_NUMBER has no Spark rendering (a "

@@ -420,6 +420,32 @@ class TestStageCopyInto:
             engine.execute(
                 "SELECT METADATA$FILE_ROW_NUMBER FROM @ts_sq")
 
+    def test_directory_table_and_prefix_boundary(self, engine, spark):
+        # DIRECTORY(@stage) lists with Snowflake's columns; LIST @s/in
+        # must NOT catch @s/in2 (directory-boundary prefix match)
+        import os
+
+        d = tempfile.mkdtemp()
+        for n in ("a.csv", "b.csv"):
+            open(os.path.join(d, n), "w").write("1,x\n")
+        engine.execute("CREATE OR REPLACE STAGE ts_dir")
+        engine.execute(f"PUT file://{d}/*.csv @ts_dir/in")
+        engine.execute(f"PUT file://{d}/a.csv @ts_dir/in2")
+        rows = engine.execute(
+            "SELECT relative_path, size, md5, file_url "
+            "FROM DIRECTORY(@ts_dir) ORDER BY relative_path").collect()
+        assert [r.relative_path for r in rows] == [
+            "in/a.csv.gz", "in/b.csv.gz", "in2/a.csv.gz"]
+        assert all(r.size > 0 and len(r.md5) == 32
+                   and r.file_url.startswith("file://") for r in rows)
+        lst = engine.execute("LIST @ts_dir/in").collect()
+        assert [x["name"] for x in lst] == [
+            "ts_dir/in/a.csv.gz", "ts_dir/in/b.csv.gz"]
+        n = engine.execute(
+            "SELECT COUNT(*) AS n FROM DIRECTORY(@ts_dir) "
+            "WHERE relative_path LIKE 'in/%'").collect()[0][0]
+        assert n == 2
+
     def test_insert_and_ctas_from_stage(self, engine, spark):
         # the rewrite also fires for INSERT…SELECT and CTAS heads —
         # staged data composes with normal DML (casts explicit, per
