@@ -28,6 +28,10 @@ SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
 
 rng = random.Random(SEED)
 
+import tempfile as _tempfile
+
+_FUZZ_CSV = _tempfile.mktemp(suffix=".csv", prefix="fuzz_stage_")
+
 ORDERS_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
 ORDERS_STR = ["o_orderstatus", "o_orderpriority"]
 LINEITEM_NUM = ["l_orderkey", "l_partkey", "l_quantity",
@@ -153,7 +157,29 @@ def gen_query():
     pass-through shapes, paired dialect renderings otherwise."""
     table = rng.choice(list(TABLES))
     num_cols, str_cols = TABLES[table]
-    shape = rng.randrange(13)
+    shape = rng.randrange(14)
+    if shape == 13:
+        # staged-file query (r13 stage registry): SELECT $N over a
+        # CSV staged at startup; DuckDB reads the same CSV directly.
+        # Locks the positional read + $N mapping + transpiled
+        # expressions over staged data into the loop permanently.
+        expr_sf, expr_dk = rng.choice([
+            ("$1::BIGINT", "column0::BIGINT"),
+            ("LENGTH($2)", "LENGTH(column1)"),
+            ("IFF($3::DOUBLE > 100000, 1, 0)",
+             "CASE WHEN column2::DOUBLE > 100000 THEN 1 ELSE 0 END"),
+            ("TRY_TO_NUMBER($3, '9999999.99')::DOUBLE",
+             "TRY_CAST(column2 AS DOUBLE)"),
+        ])
+        lim = rng.randrange(1, 2000)
+        sf = (f"SELECT CAST(SUM({expr_sf}) AS DOUBLE) AS a0, "
+              f"CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM @fuzz_stage WHERE $1::BIGINT <= {lim}")
+        dk = (f"SELECT CAST(SUM({expr_dk}) AS DOUBLE) AS a0, "
+              f"CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM read_csv('{_FUZZ_CSV}', header = false) "
+              f"WHERE column0::BIGINT <= {lim}")
+        return sf, dk
     if shape == 10:
         # signed numeric TO_CHAR (the r12 sign-drop class): negatives
         # flow through every format family; DuckDB renders the same
@@ -406,6 +432,17 @@ def main() -> None:
     spark = get_spark(app_name="diff_fuzz", shuffle_partitions=4)
     register_dir(spark, SF)
     eng = IcebreakerEngine(spark)
+    # staged CSV fixture for shape 13: orders subset, no header —
+    # engine reads the gzipped stage copy, DuckDB the original file
+    import duckdb as _ddb
+
+    _ddb.connect().execute(
+        f"COPY (SELECT o_orderkey, o_orderstatus, o_totalprice "
+        f"FROM read_parquet('{SF}/orders.parquet') "
+        f"ORDER BY o_orderkey LIMIT 3000) TO '{_FUZZ_CSV}' "
+        "(FORMAT CSV, HEADER false)")
+    eng.execute("CREATE STAGE fuzz_stage")
+    eng.execute(f"PUT file://{_FUZZ_CSV} @fuzz_stage")
     duck = duckdb.connect()
     for t in ("orders", "lineitem"):
         duck.execute(
