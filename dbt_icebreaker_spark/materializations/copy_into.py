@@ -289,9 +289,12 @@ def run_transform_copy(
     df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     df.createOrReplaceTempView(FILES_VIEW)
     try:
-        sel = re.sub(r"\$(\d+)",
-                     lambda mm: f"_c{int(mm.group(1)) - 1}",
-                     spec.select_sql)
+        from ..stages import _sub_outside_strings
+
+        sel = _sub_outside_strings(
+            re.compile(r"\$(\d+)"),
+            lambda mm: f"_c{int(mm.group(1)) - 1}",
+            spec.select_sql)
         out = spark.sql(transpiler.to_spark(sel))
         tcols = spec.target_cols or [f.name for f in target_schema.fields]
         by_lower = {f.name.lower(): f for f in target_schema.fields}

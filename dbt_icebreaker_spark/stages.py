@@ -546,6 +546,53 @@ _DIR_RE = re.compile(
 _ARROW_OPT_RE = re.compile(r"(\w+)\s*=>\s*('[^']*'|\S+)", re.IGNORECASE)
 
 
+def _string_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted literals ('' escapes)."""
+    spans = []
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_strings(pattern, repl, text: str) -> str:
+    """re.sub that skips matches STARTING inside a string literal —
+    a '$1' or 'FROM @x' inside quoted text must never rewrite (the
+    quoted-@stage ref form is fine: its match starts at the FROM,
+    outside the quotes)."""
+    spans = _string_spans(text)
+
+    def inside(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    out = []
+    last = 0
+    for m in pattern.finditer(text):
+        if inside(m.start()):
+            continue
+        out.append(text[last:m.start()])
+        out.append(repl(m) if callable(repl) else repl)
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+
+
+
 def rewrite_select_from_stage(engine, raw: str) -> str | None:
     """Direct staged-file queries (r13): ``SELECT $1, t.$2 FROM
     @stage[/p] [(FILE_FORMAT => '<name>', PATTERN => '<rx>')] t`` —
@@ -590,7 +637,7 @@ def rewrite_select_from_stage(engine, raw: str) -> str | None:
         ).createOrReplaceTempView(view)
         return f"FROM {view} "
 
-    raw = _DIR_RE.sub(_dir_sub, raw)
+    raw = _sub_outside_strings(_DIR_RE, _dir_sub, raw)
     if not _SEL_STAGE_RE.search(raw):
         return raw if counter0[0] else None
     if re.search(r"METADATA\$FILE_ROW_NUMBER", raw, re.IGNORECASE):
@@ -661,11 +708,13 @@ def rewrite_select_from_stage(engine, raw: str) -> str | None:
         df.createOrReplaceTempView(view)
         return f"FROM {view} "
 
-    out = _SEL_STAGE_RE.sub(_sub, raw)
-    out = re.sub(r"\$(\d+)",
-                 lambda m: f"_c{int(m.group(1)) - 1}", out)
-    out = re.sub(r"(?:\w+\.)?METADATA\$FILENAME", "input_file_name()",
-                 out, flags=re.IGNORECASE)
+    out = _sub_outside_strings(_SEL_STAGE_RE, _sub, raw)
+    out = _sub_outside_strings(
+        re.compile(r"\$(\d+)"),
+        lambda m: f"_c{int(m.group(1)) - 1}", out)
+    out = _sub_outside_strings(
+        re.compile(r"(?:\w+\.)?METADATA\$FILENAME", re.IGNORECASE),
+        "input_file_name()", out)
     return out
 
 

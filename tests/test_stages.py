@@ -446,6 +446,22 @@ class TestStageCopyInto:
             "WHERE relative_path LIKE 'in/%'").collect()[0][0]
         assert n == 2
 
+    def test_rewrite_skips_string_literals(self, engine, spark):
+        # '$1' / 'FROM @stage' INSIDE string literals must survive the
+        # staged-query rewrite untouched (silent-corruption class)
+        import os
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "l.csv")
+        open(p, "w").write("1,ab\n")
+        engine.execute("CREATE OR REPLACE STAGE ts_lit")
+        engine.execute(f"PUT file://{p} @ts_lit")
+        r = engine.execute(
+            "SELECT $1, '$1 costs' AS lit, 'FROM @ts_lit' AS lit2 "
+            "FROM @ts_lit").collect()
+        assert r[0].lit == "$1 costs"
+        assert r[0].lit2 == "FROM @ts_lit"
+
     def test_insert_and_ctas_from_stage(self, engine, spark):
         # the rewrite also fires for INSERT…SELECT and CTAS heads —
         # staged data composes with normal DML (casts explicit, per
