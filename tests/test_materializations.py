@@ -1225,7 +1225,10 @@ class TestCopyIntoReviewFixes:
         from dbt_icebreaker_spark.transpiler.core import TranspileError
 
         eng = IcebreakerEngine(spark, schema="ci_t")
-        with _pytest.raises(TranspileError, match="FORMAT_NAME"):
+        # r13: FORMAT_NAME resolves against the session registry —
+        # an unregistered name names the registry instead of a
+        # blanket refusal
+        with _pytest.raises(ValueError, match="unknown file format"):
             eng.execute(
                 "COPY INTO t FROM '/x' FILE_FORMAT = (FORMAT_NAME = f)"
             )
@@ -3488,8 +3491,12 @@ class TestStatementHeadsBatch3:
             ("a", "int"), ("b", "string")]
 
     def test_governance_objects_refuse(self, engine):
+        # r13: CREATE FILE FORMAT graduated from refusal to the
+        # session registry (file_formats.py)
+        r = engine.execute("CREATE FILE FORMAT f TYPE='CSV'").collect()
+        assert "successfully created" in r[0][0]
+        engine.execute("DROP FILE FORMAT f")
         for stmt in (
-            "CREATE FILE FORMAT f TYPE='CSV'",
             "CREATE TAG cost_center",
             "CREATE MASKING POLICY m AS (v STRING) RETURNS STRING -> v",
             "CREATE ROW ACCESS POLICY p AS (v STRING) "
