@@ -6537,6 +6537,48 @@ XOP_ORACLES["x86_stage_roundtrip"] = """
 """
 
 
+def _x_transform_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13: transformation COPY INTO — ``COPY INTO t FROM
+    (SELECT $1, UPPER($2), $3::BIGINT * 2 FROM @stage)`` — the files
+    read positionally, the SELECT runs through the transpiler, the
+    result maps positionally onto the target. The oracle recomputes
+    the same expressions over the source table: a transform
+    round-trip (copy_into.run_transform_copy)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .runner import IcebreakerEngine
+
+    register_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="x87_")
+    db = f"x87_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/wh'")
+    eng = IcebreakerEngine(spark, schema=db)
+    csv_path = os.path.join(base, "nation.csv")
+    spark.table("nation").toPandas().to_csv(csv_path, index=False)
+    eng.execute(f"CREATE STAGE {db}_tc")
+    eng.execute(f"PUT file://{csv_path} @{db}_tc")
+    eng.execute(
+        f"CREATE TABLE {db}.nation_t (n_nationkey BIGINT, "
+        "name_u STRING, rk2 BIGINT)"
+    )
+    eng.execute(
+        f"COPY INTO {db}.nation_t FROM (SELECT $1, UPPER($2), "
+        f"$3::BIGINT * 2 FROM @{db}_tc) "
+        "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)"
+    )
+    return spark.table(f"{db}.nation_t").orderBy("n_nationkey")
+
+
+XOP_ORACLES["x87_transform_copy"] = """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           UPPER(n_name) AS name_u,
+           CAST(n_regionkey * 2 AS BIGINT) AS rk2
+    FROM nation ORDER BY n_nationkey
+"""
+
+
 XOP_ORACLES["x84_date_parse_formats"] = """
     SELECT o_orderkey,
            strptime(strftime(o_orderdate, '%d %b %Y'),
@@ -7605,6 +7647,7 @@ XOP_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x84_date_parse_formats": _x_date_parse_formats,
     "x85_format_type_parity": _x_format_type_parity,
     "x86_stage_roundtrip": _x_stage_roundtrip,
+    "x87_transform_copy": _x_transform_copy,
     "x74_mr_final_all_rows": _x_mr_final_all_rows,
     "x75_dynamic_subscript": _x_dynamic_subscript,
     "x76_nonequi_merge": _x_nonequi_merge,
