@@ -6458,6 +6458,7 @@ def _x_format_type_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_sign,
                DATEADD('day', 3, o_orderdate::DATE) AS d_day,
                DATEADD(month, 1, o_orderdate::DATE) AS d_month,
+               DATE_TRUNC('month', o_orderdate::DATE) AS d_trunc,
                o_orderdate::DATE - INTERVAL '1 day, 1 month' AS d_iv
         FROM orders WHERE o_orderkey <= 2000
         """
@@ -6483,6 +6484,7 @@ XOP_ORACLES["x85_format_type_parity"] = """
       CASE WHEN v < 0 THEN '-' ELSE '+' END || body AS n_sign,
       (o_orderdate::DATE + INTERVAL 3 DAY)::DATE AS d_day,
       (o_orderdate::DATE + INTERVAL 1 MONTH)::DATE AS d_month,
+      date_trunc('month', o_orderdate::DATE)::DATE AS d_trunc,
       (o_orderdate::DATE - INTERVAL 1 DAY - INTERVAL 1 MONTH)::DATE
           AS d_iv
     FROM f

@@ -1197,9 +1197,10 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
             )([c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS]):
                 # TRUNC(x, 'MONTH'/'HOUR'/…) is DATE truncation in
                 # Snowflake (Spark's trunc can't do sub-day units and
-                # silently NULLs on them) → date_trunc. Output is a
-                # timestamp; Snowflake preserves DATE for date input —
-                # documented deviation, cast at the call site if needed.
+                # silently NULLs on them) → date_trunc. Spark's output
+                # is a timestamp; rewrite_dateadd_date_cast (r13)
+                # restores DATE for statically-DATE inputs, dynamic
+                # inputs keep the documented widening.
                 unit_tok = [c for c in tokens[args[1][0]:args[1][1]] if c.kind != WS][0]
                 unit = _TRUNC_DATE_UNITS[unit_tok.text[1:-1].upper()]
                 x_r = "(" + render(tokens[args[0][0]:args[0][1]]).strip() + ")"
@@ -5226,6 +5227,13 @@ def _is_static_date_expr(arg: Tokens) -> bool:
     code = [c for c in arg if c.kind != WS]
     if not code:
         return False
+    # strip parens that span the WHOLE expression (earlier rewrites
+    # wrap arguments defensively: date_trunc('q', (x::DATE)))
+    while (len(code) >= 3 and code[0].is_op("(")
+           and find_matching_paren(code, 0) == len(code) - 1):
+        code = code[1:-1]
+    if not code:
+        return False
     if (len(code) == 2 and code[0].kind == WORD
             and code[0].upper == "DATE" and code[1].kind == STRING):
         return True
@@ -5270,8 +5278,12 @@ def rewrite_dateadd_date_cast(tokens: Tokens) -> Tokens:
     """DATEADD(day-or-coarser, n, <statically DATE expr>) →
     CAST(DATEADD(…) AS DATE): Snowflake's DATEADD returns DATE when
     the input is a DATE and the unit is day or larger; Spark's 3-arg
-    dateadd always widens to TIMESTAMP. Runs after rewrite_date_units
-    (units are bare keywords) and the TIMEADD/TIMESTAMPADD renames.
+    dateadd always widens to TIMESTAMP. The same contract applies to
+    DATE_TRUNC(unit, d) and the date form of TRUNC(d, 'unit') —
+    Spark's date_trunc always returns TIMESTAMP, so statically-DATE
+    inputs wrap in CAST(… AS DATE) there too (r13 probe batch). Runs
+    after rewrite_date_units (units are bare keywords) and the
+    TIMEADD/TIMESTAMPADD renames.
 
     DOCUMENTED DEVIATION: only STATICALLY recognizable date inputs
     (DATE literal, ::DATE, CAST AS DATE, TO_DATE, CURRENT_DATE —
@@ -5284,6 +5296,42 @@ def rewrite_dateadd_date_cast(tokens: Tokens) -> Tokens:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        if (t.kind == WORD and t.upper in ("DATE_TRUNC", "TRUNC")
+                and _is_call(tokens, i, t.upper)):
+            # same Snowflake contract as DATEADD: DATE_TRUNC / TRUNC
+            # on a DATE input returns DATE; Spark's date_trunc always
+            # widens to TIMESTAMP. DATE_TRUNC(unit, d) has the date
+            # second; TRUNC(d, 'unit') has it first (and TRUNC is
+            # also numeric — only the string-unit form wraps).
+            op_i = next_code(tokens, i + 1)
+            close = find_matching_paren(tokens, op_i)
+            args = split_args(tokens, op_i + 1, close)
+            if len(args) == 2:
+                d_idx = 1 if t.upper == "DATE_TRUNC" else 0
+                u_idx = 1 - d_idx
+                u = [c for c in tokens[args[u_idx][0]:args[u_idx][1]]
+                     if c.kind != WS]
+                unit_ok = len(u) == 1 and (
+                    u[0].kind == STRING or u[0].kind == WORD)
+                d_arg = rewrite_dateadd_date_cast(
+                    tokens[args[d_idx][0]:args[d_idx][1]])
+                if unit_ok and _is_static_date_expr(d_arg):
+                    inner = ([t, _op("(")]
+                             + tokens[args[0][0]:args[0][1]]
+                             + [_op(","), _sp()]
+                             + (d_arg if d_idx == 1
+                                else tokens[args[1][0]:args[1][1]])
+                             + [_op(")")])
+                    if d_idx == 0:
+                        inner = ([t, _op("(")] + d_arg
+                                 + [_op(","), _sp()]
+                                 + tokens[args[1][0]:args[1][1]]
+                                 + [_op(")")])
+                    out += ([_word("CAST"), _op("(")] + inner
+                            + [_sp(), _word("AS"), _sp(),
+                               _word("DATE"), _op(")")])
+                    i = close + 1
+                    continue
         if (t.kind == WORD and t.upper == "DATEADD"
                 and _is_call(tokens, i, "DATEADD")):
             op_i = next_code(tokens, i + 1)

@@ -1767,6 +1767,34 @@ def test_r13e_format_edges(spark, sql, expect):
     _check(spark, sql, expect)
 
 
+# DATE_TRUNC / date-form TRUNC on statically-DATE inputs return DATE
+# (same Snowflake contract as DATEADD — Spark's date_trunc always
+# widens to TIMESTAMP; r13 probe batch)
+R13G_TRUNC_TYPE_CASES = [
+    ("SELECT DATE_TRUNC('month', '2024-03-15'::DATE) AS d",
+     "date", datetime.date(2024, 3, 1)),
+    ("SELECT DATE_TRUNC(quarter, DATE '2024-03-15') AS d",
+     "date", datetime.date(2024, 1, 1)),
+    ("SELECT TRUNC('2024-03-15'::DATE, 'QUARTER') AS d",
+     "date", datetime.date(2024, 1, 1)),
+    ("SELECT TRUNC(DATE '2024-03-15', 'YEAR') AS d",
+     "date", datetime.date(2024, 1, 1)),
+    ("SELECT DATE_TRUNC('week', TO_DATE('2024-03-15')) AS d",
+     "date", datetime.date(2024, 3, 11)),
+    # timestamp/dynamic inputs keep the widening
+    ("SELECT TRUNC('2024-03-15 10:20:30'::TIMESTAMP, 'HOUR') AS d",
+     "timestamp", datetime.datetime(2024, 3, 15, 10, 0)),
+]
+
+
+@pytest.mark.parametrize("sql,dtype,expect", R13G_TRUNC_TYPE_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13g_trunc_return_type(spark, sql, dtype, expect):
+    df = spark.sql(t.to_spark(sql))
+    assert df.schema.fields[0].dataType.simpleString() == dtype
+    assert df.collect()[0][0] == expect
+
+
 # REGEXP_INSTR occurrence (r13, was a refusal): n-th match position
 # via the atomic counting pattern — 1 + length of the prefix group
 R13F_RXINSTR_CASES = [
