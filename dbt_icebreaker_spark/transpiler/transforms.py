@@ -285,9 +285,9 @@ def rewrite_simple_renames(tokens: Tokens) -> Tokens:
         "ARRAY_APPEND": "ARRAPP_X",
         "ARRAY_REMOVE": "ARRREM_X",
         "ARRAY_POSITION": "ARRPOS_SWAP",  # + 1-based→0-based/NULL semantics
-        "DATE_FROM_PARTS": "MAKE_DATE",
-        "DATEFROMPARTS": "MAKE_DATE",
-        "TIMESTAMP_FROM_PARTS": "MAKE_TIMESTAMP",
+        "DATE_FROM_PARTS": "DFP_X",
+        "DATEFROMPARTS": "DFP_X",
+        "TIMESTAMP_FROM_PARTS": "TSFP_X",
         "TIMESTAMPFROMPARTS": "MAKE_TIMESTAMP",
         "TIMESTAMP_NTZ_FROM_PARTS": "MAKE_TIMESTAMP_NTZ",
         "BOOLOR_AGG": "BOOLORAGG_X",    # numeric args coerce: nonzero
@@ -580,6 +580,7 @@ _PLACEHOLDER_NAMES = frozenset((
     "OVERLAY_X", "BITOP_AND", "BITOP_OR", "BITOP_XOR",
     "TO_DATE_X", "TO_TS_X", "GETPATH_X", "ARRPOS_SWAP",
     "DIV0_X", "DIV0NULL_X", "TRUNC0_X", "TO_BOOL_X",
+    "DFP_X", "TSFP_X",
     "REGRVALX_X", "REGRVALY_X",
     "STRTOK_X", "SEQ_X", "B64DEC_X", "HEXDEC_X", "UNIFORM_X",
     "DAYNAME_X", "MONTHNAME_X", "RXALL_X", "OBJAGG_X",
@@ -1217,6 +1218,35 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                     _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")"),
                     _sp(), _op("/"), _sp(), _word("POWER"), _op("("),
                     _word("10"), _op(","), _sp()] + d + [_op(")"), _op(")")])
+            elif t.text == "DFP_X" and len(args) == 3:
+                # DATE_FROM_PARTS normalizes out-of-range parts
+                # (Snowflake: month 13 → next Jan; day 0 → the day
+                # before day 1 — the last-day-of-month idiom
+                # DATE_FROM_PARTS(y, m+1, 0)); Spark's make_date
+                # errors, so build by OFFSET from Jan 1: +(m-1)
+                # months never clamps (day is 1), then +(d-1) days
+                y_, m_, d_ = (render(tokens[a:b2]).strip()
+                              for a, b2 in args)
+                out += tokenize(
+                    f"DATEADD(DAY, ({d_}) - 1, DATEADD(MONTH, "
+                    f"({m_}) - 1, make_date(({y_}), 1, 1)))")
+            elif t.text == "TSFP_X" and len(args) in (6, 7):
+                # TIMESTAMP_FROM_PARTS: same normalization, extended
+                # through the time parts (hour 24 → next day); the
+                # optional 7th arg is nanoseconds (µs-truncated,
+                # same contract as the NANOSECOND unit)
+                parts = [render(tokens[a:b2]).strip()
+                         for a, b2 in args]
+                y_, m_, d_, h_, mi_, s_ = parts[:6]
+                expr = (f"DATEADD(DAY, ({d_}) - 1, DATEADD(MONTH, "
+                        f"({m_}) - 1, make_date(({y_}), 1, 1)))")
+                expr = (f"DATEADD(SECOND, ({s_}), DATEADD(MINUTE, "
+                        f"({mi_}), DATEADD(HOUR, ({h_}), "
+                        f"CAST({expr} AS TIMESTAMP))))")
+                if len(args) == 7:
+                    expr = (f"DATEADD(MICROSECOND, ({parts[6]}) div "
+                            f"1000, {expr})")
+                out += tokenize(expr)
             elif t.text == "TO_BOOL_X" and len(args) == 1:
                 # TO_BOOLEAN(x) → CAST(x AS BOOLEAN). Spark's string→
                 # boolean cast accepts the t/true/y/yes/1 family but
@@ -5265,7 +5295,8 @@ def _is_static_date_expr(arg: Tokens) -> bool:
         if not spans_all:
             return False
         head = code[0].upper
-        if head in ("TO_DATE", "TRY_TO_DATE", "DATE", "LAST_DAY"):
+        if head in ("TO_DATE", "TRY_TO_DATE", "DATE", "LAST_DAY",
+                    "MAKE_DATE"):
             return True
         if (head == "CAST" and len(code) >= 5
                 and code[-2].kind == WORD and code[-2].upper == "DATE"

@@ -1767,6 +1767,34 @@ def test_r13e_format_edges(spark, sql, expect):
     _check(spark, sql, expect)
 
 
+# DATE_FROM_PARTS / TIMESTAMP_FROM_PARTS normalize out-of-range
+# parts like Snowflake (month 13 → next Jan; day 0 → the day before
+# day 1 — the last-day-of-month idiom; hour 24 → next day); Spark's
+# make_date/make_timestamp error instead (r13 probe batch)
+R13H_FROM_PARTS_CASES = [
+    ("SELECT DATE_FROM_PARTS(2024, 13, 1)", "2025-01-01"),
+    ("SELECT DATE_FROM_PARTS(2024, 3, 0)", "2024-02-29"),
+    ("SELECT DATE_FROM_PARTS(2024, 0, 1)", "2023-12-01"),
+    ("SELECT DATE_FROM_PARTS(2024, 2, 30)", "2024-03-01"),
+    ("SELECT DATE_FROM_PARTS(2024, -1, -1)", "2023-10-30"),
+    ("SELECT TIMESTAMP_FROM_PARTS(2024, 1, 15, 24, 0, 0)",
+     "2024-01-16 00:00:00"),
+    ("SELECT TIMESTAMP_FROM_PARTS(2024, 1, 31, 0, 0, 90)",
+     "2024-01-31 00:01:30"),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13H_FROM_PARTS_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13h_from_parts_normalization(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
+def test_r13h_date_from_parts_returns_date(spark):
+    df = spark.sql(t.to_spark("SELECT DATE_FROM_PARTS(2024, 13, 1) AS d"))
+    assert df.schema.fields[0].dataType.simpleString() == "date"
+
+
 # DATE_TRUNC / date-form TRUNC on statically-DATE inputs return DATE
 # (same Snowflake contract as DATEADD — Spark's date_trunc always
 # widens to TIMESTAMP; r13 probe batch)
