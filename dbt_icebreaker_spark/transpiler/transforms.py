@@ -1660,31 +1660,24 @@ def _fixup_placeholders_once(tokens: Tokens) -> Tokens:
                         "group aggregate in a subquery and join it "
                         "back instead."
                     )
-                x = tokens[args[0][0]:args[0][1]]
-                cnt = [_word("count"), _op("(")] + x + [_op(")")]
+                # Snowflake returns NULL below the estimator's minimum
+                # count (SKEW needs 3, KURTOSIS 4); the bare correction
+                # formula instead divides by zero at exactly n = 2 / 3
+                # (r13 probe: KURTOSIS over 3 rows raised
+                # DIVIDE_BY_ZERO) — guard with a COUNT CASE.
+                x_s = render(tokens[args[0][0]:args[0][1]]).strip()
+                c = f"count({x_s})"
                 if t.text == "SKEW_X":
-                    out += ([_op("("), _word("skewness"), _op("(")] + x
-                            + [_op(")"), _sp(), _op("*"), _sp(), _word("sqrt"),
-                               _op("(")] + cnt + [_sp(), _op("*"), _sp(), _op("(")]
-                            + cnt + [_sp(), _op("-"), _sp(), _word("1.0"),
-                                     _op(")"), _op(")"), _sp(), _op("/"), _sp(),
-                                     _op("(")]
-                            + cnt + [_sp(), _op("-"), _sp(), _word("2.0"),
-                                     _op(")"), _op(")")])
+                    out += tokenize(
+                        f"(CASE WHEN {c} >= 3 THEN "
+                        f"(skewness({x_s}) * sqrt({c} * ({c} - 1.0)) "
+                        f"/ ({c} - 2.0)) ELSE NULL END)")
                 else:
-                    out += ([_op("("), _op("(")] + cnt
-                            + [_sp(), _op("-"), _sp(), _word("1.0"), _op(")"),
-                               _sp(), _op("/"), _sp(), _op("("), _op("(")]
-                            + cnt + [_sp(), _op("-"), _sp(), _word("2.0"),
-                                     _op(")"), _sp(), _op("*"), _sp(), _op("(")]
-                            + cnt + [_sp(), _op("-"), _sp(), _word("3.0"),
-                                     _op(")"), _op(")"), _sp(), _op("*"), _sp(),
-                                     _op("("), _op("(")]
-                            + cnt + [_sp(), _op("+"), _sp(), _word("1.0"),
-                                     _op(")"), _sp(), _op("*"), _sp(),
-                                     _word("kurtosis"), _op("(")] + x
-                            + [_op(")"), _sp(), _op("+"), _sp(), _word("6.0"),
-                               _op(")"), _op(")")])
+                    out += tokenize(
+                        f"(CASE WHEN {c} >= 4 THEN "
+                        f"((({c} - 1.0) / (({c} - 2.0) * ({c} - 3.0)))"
+                        f" * (({c} + 1.0) * kurtosis({x_s}) + 6.0)) "
+                        f"ELSE NULL END)")
             elif t.text == "ARRREMAT_X" and len(args) == 2:
                 # Snowflake ARRAY_REMOVE_AT(arr, pos): 0-based, negative
                 # counts from the end; NULL pos → NULL (a NULL lambda

@@ -1767,6 +1767,27 @@ def test_r13e_format_edges(spark, sql, expect):
     _check(spark, sql, expect)
 
 
+# SKEW/KURTOSIS below the estimator's minimum count return NULL like
+# Snowflake (SKEW needs 3 records, KURTOSIS 4); the bare sample
+# correction divided by zero at exactly n = 2 / 3 (r13 probe batch)
+R13I_SKEW_KURT_CASES = [
+    ("SELECT KURTOSIS(v) FROM (SELECT EXPLODE(ARRAY(10.0, 20.0, "
+     "30.0)) v)", ("__NULL__",)),
+    ("SELECT SKEW(v) FROM (SELECT EXPLODE(ARRAY(10.0, 20.0)) v)",
+     ("__NULL__",)),
+    ("SELECT SKEW(v) FROM (SELECT EXPLODE(ARRAY(10.0, 20.0, 30.0)) "
+     "v)", 0.0),
+    ("SELECT ROUND(KURTOSIS(v), 6) FROM (SELECT EXPLODE(ARRAY("
+     "10.0, 20.0, 30.0, 45.0, 80.0)) v)", 1.099275),
+]
+
+
+@pytest.mark.parametrize("sql,expect", R13I_SKEW_KURT_CASES,
+                         ids=lambda c: str(c)[:48])
+def test_r13i_skew_kurtosis_min_count(spark, sql, expect):
+    _check(spark, sql, expect)
+
+
 # DATE_FROM_PARTS / TIMESTAMP_FROM_PARTS normalize out-of-range
 # parts like Snowflake (month 13 → next Jan; day 0 → the day before
 # day 1 — the last-day-of-month idiom; hour 24 → next day); Spark's
