@@ -618,9 +618,10 @@ def dedup_clusters(
       co-partitioned join + distinct, all O(E);
     - ``localCheckpoint`` truncates lineage each round — without it
       the plan doubles per iteration and Catalyst analysis time
-      explodes long before data does; the checkpoint is LAZY and the
-      convergence checksum materializes it, so each round stays ONE
-      Spark job;
+      explodes long before data does; the checkpoint is EAGER and the
+      convergence checksum rides its materialization job as an
+      Observation, so each round stays ONE Spark job with no separate
+      aggregation pass over E;
     - convergence: the (count, sum(src), sum(dst)) checksum of the
       edge set is stable across a full alternation exactly at the
       fixpoint (dst labels are monotonically non-increasing).
@@ -640,11 +641,25 @@ def dedup_clusters(
         .localCheckpoint(eager=False)
     )
 
-    def _checksum(edges: DataFrame):
-        row = edges.agg(
-            F.count(F.lit(1)), F.sum("src"), F.sum("dst")
-        ).collect()[0]
-        return tuple(row)
+    # convergence checksum rides the checkpoint-materialization job as
+    # an Observation (CollectMetrics) instead of a separate agg job
+    # per round: one job per round does star ops + checkpoint + metric,
+    # where the r12 shape paid the same job PLUS a two-stage aggregate
+    # (partial + singleton exchange) to read the checksum back. At
+    # 100 TB that is one fewer pass over E per round; at sf0.1 it
+    # removes 2 of 5 stages per round (measured in OPTIMIZATION_r13.md).
+    from pyspark.sql import Observation
+
+    def _observed_checkpoint(edges: DataFrame, tag: str):
+        obs = Observation(tag)
+        ck = edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("src").alias("s"),
+            F.sum("dst").alias("d"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["s"], m["d"])
 
     # Both star ops compute "minimum of the closed neighborhood" with a
     # WINDOW min over partitionBy(src) instead of groupBy+self-join:
@@ -658,53 +673,41 @@ def dedup_clusters(
     # sf0.1). Both ops preserve the multiset at the fixpoint, so the
     # checksum convergence test is unaffected; the final groupBy in
     # comp construction dedupes once.
-    from pyspark.sql import Window
+    #
+    # The full alternation (large star ∘ small star) is ONE spark.sql
+    # statement over a temp view of the checkpointed edges: the
+    # DataFrame rendering re-ran Catalyst analysis on every chained
+    # transformation (~15 analysis passes/round, measured ~0.2 s/round
+    # of pure driver time at sf0.1 — r13 optimization round); one SQL
+    # statement is one analysis pass, with a physical plan identical
+    # operator-for-operator to the DataFrame version.
+    import uuid
 
-    _w = Window.partitionBy("src")
-
-    def _large_star(edges: DataFrame) -> DataFrame:
-        sym = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    spark = pairs.sparkSession
+    view = f"__cc_edges_{uuid.uuid4().hex[:12]}"
+    round_sql = f"""
+        WITH ls AS (
+          SELECT dst AS src, m AS dst FROM (
+            SELECT src, dst, LEAST(MIN(dst) OVER (PARTITION BY src), src) AS m
+            FROM (SELECT src, dst FROM {view}
+                  UNION ALL
+                  SELECT dst AS src, src AS dst FROM {view})
+          ) WHERE dst > src AND dst <> m
         )
-        with_min = sym.withColumn(
-            "m", F.least(F.min("dst").over(_w), F.col("src"))
+        SELECT e.s AS src, e.m AS dst
+        FROM (
+          SELECT src, dst,
+                 MIN(dst) OVER (PARTITION BY src) AS m,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM (SELECT GREATEST(src, dst) AS src, LEAST(src, dst) AS dst
+                FROM ls)
         )
-        # connect each strictly-larger neighbor to the local minimum
-        return (
-            with_min.filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-
-    def _small_star(edges: DataFrame) -> DataFrame:
-        oriented = edges.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        # same partitioning → ONE shuffle serves both window functions;
-        # row_number emits the center's self-link exactly once (a
-        # per-edge self-link would double the multiset every round)
-        with_min = oriented.withColumn("m", F.min("dst").over(_w)).withColumn(
-            "rn", F.row_number().over(_w.orderBy("dst"))
-        )
-        # link smaller neighbors AND (once) the center to the minimum
-        return (
-            with_min.select(
-                F.explode(
-                    F.when(
-                        F.col("rn") == 1,
-                        F.array(
-                            F.struct(F.col("dst").alias("s"), F.col("m")),
-                            F.struct(F.col("src").alias("s"), F.col("m")),
-                        ),
-                    ).otherwise(
-                        F.array(F.struct(F.col("dst").alias("s"), F.col("m")))
-                    )
-                ).alias("e")
-            )
-            .select(F.col("e.s").alias("src"), F.col("e.m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
+        LATERAL VIEW explode(CASE WHEN rn = 1
+            THEN array(named_struct('s', dst, 'm', m),
+                       named_struct('s', src, 'm', m))
+            ELSE array(named_struct('s', dst, 'm', m)) END) t AS e
+        WHERE e.s <> e.m
+    """
 
     edges = e
     # no baseline checksum of the input: it bought only early exit on
@@ -713,13 +716,18 @@ def dedup_clusters(
     # convergence compares consecutive ROUND checksums instead
     prev = None
     rounds = 0
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        rounds += 1
-        cur = _checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+    try:
+        for i in range(max_iter):
+            edges.createOrReplaceTempView(view)
+            edges, cur = _observed_checkpoint(
+                spark.sql(round_sql), f"__cc_round_{view}_{i}"
+            )
+            rounds += 1
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.catalog.dropTempView(view)
     if stats is not None:
         stats["rounds"] = rounds
     # fixpoint edge set is a union of stars: (node, component_min) for
