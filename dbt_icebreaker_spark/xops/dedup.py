@@ -244,9 +244,17 @@ def incremental_lsh_dedup(
     backfill-sized delta would not fit in a broadcast (falls back to a
     shuffled equi-join on band_key, still bucket-local).
     """
+    # The delta's shingle→md5→min-signature pipeline is consumed three
+    # times (broadcast band join, in-batch window, kept_sigs) — without
+    # a checkpoint Spark re-executes the whole pipeline per consumer
+    # (only the repartition exchange is reused; the SortAggregates ran
+    # twice in the r12 plan). The LAZY localCheckpoint materializes it
+    # exactly once, in the broadcast-build job that needs it first.
+    # Cost posture at 100 TB: the delta is the small side by contract
+    # (it is broadcast below), so its signature RDD is bounded.
     new_sigs = minhash_signatures(
         new_df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
-    )
+    ).localCheckpoint(eager=False)
     new_bands = band_keys(new_sigs, id_col, n_hashes=n_hashes, bands=bands)
     old_bands = band_keys(existing_sigs, id_col, n_hashes=n_hashes, bands=bands)
     delta = F.broadcast(new_bands) if broadcast_delta else new_bands
@@ -265,6 +273,11 @@ def incremental_lsh_dedup(
         .distinct()
     )
     drops = dup_vs_old.unionByName(dup_in_batch).distinct()
+    # drops ⊆ delta ids, so it inherits the delta's small-side bound:
+    # broadcast both anti-joins — map-side drop, no shuffle of the
+    # batch (or of the signature store's delta slice)
+    if broadcast_delta:
+        drops = F.broadcast(drops)
     kept = new_df.join(drops, id_col, "left_anti")
     kept_sigs = new_sigs.join(drops, id_col, "left_anti")
     return kept, kept_sigs
