@@ -585,6 +585,43 @@ def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
     return empty_hit
 
 
+def _first_symbols(progs) -> Optional[set]:
+    """Static first-set of a compiled program list: the union of term
+    indices whose ``char`` can consume the FIRST row of a match, found
+    by walking every zero-consumption path from pc 0. Position guards
+    (bol/eol) and loop checks are traversed conservatively (both
+    targets), so the result can only OVER-approximate candidacy.
+    Returns None when some alternative can match zero rows (a reachable
+    ``match`` before any ``char``) — then every position is a candidate
+    and the caller must skip the mask optimization."""
+    tis: set = set()
+    for prog, _ in progs:
+        work = [0]
+        seen: set = set()
+        while work:
+            pc = work.pop()
+            if pc in seen or pc >= len(prog):
+                continue
+            seen.add(pc)
+            op = prog[pc]
+            kind = op[0]
+            if kind == "char":
+                tis.add(op[1])
+            elif kind == "split":
+                work.append(op[1])
+                work.append(op[2])
+            elif kind == "jmp":
+                work.append(op[1])
+            elif kind in ("mark", "bol", "eol"):
+                work.append(pc + 1)
+            elif kind == "loopchk":
+                work.append(op[2])
+                work.append(op[3])
+            else:  # ("match",) reachable without consuming → no mask
+                return None
+    return tis
+
+
 _AGG_FNS = {"first", "last", "min", "max", "sum", "avg", "count"}
 
 import operator as _op
@@ -982,29 +1019,19 @@ def match_recognize(
     skip_sym = spec.skip_to_symbol.upper() if spec.skip_to_symbol else None
     skip_first = spec.skip_to_first
 
-    def run(key, pdf):
-        # na_position='last' matches Snowflake's NULLS-highest ordering
-        # (the transpiler pins every generated flag window to NULLS
-        # LAST) — the SAME order the DEFINE flags were computed under
-        # (a NULL order key sorted differently would silently shift
-        # adjacency)
-        pdf = pdf.sort_values(
-            ob, kind="mergesort", na_position="last"
-        ).reset_index(drop=True)
-        n = len(pdf)
-        flags = [pdf[c].tolist() for c in flag_cols]
-        # one tolist() per referenced column per group: plain-list
-        # indexing beats pandas .iloc ~10× in the per-match hot loop
-        need = set(data_cols) | {
-            m.col for m in measures if m.col is not None}
-        colvals = {c: pdf[c].tolist() for c in need}
-        dyn_checks = (_build_dyn_checks(dyn_descs_per_term, pdf)
-                      if has_dyn else None)
+    def run_core(flags, colvals, n, dyn_checks, cand):
         rows = []
         covered = [False] * n if with_unmatched else None
         match_no = 0
         pos = 0
         while pos < n:
+            # candidate-start mask: a match cannot begin on a row where
+            # no program's first consumable symbol holds (see
+            # _first_symbols) — skip the VM probe outright. Disabled
+            # (cand None) when zero-width matches are possible.
+            if cand is not None and not cand[pos]:
+                pos += 1
+                continue
             hit = _match_at(flags, terms, pos, n, progs, dyn_checks)
             if hit is None:
                 pos += 1
@@ -1107,9 +1134,10 @@ def match_recognize(
                 for m in measures:
                     rec[m.name] = None
                 rows.append(rec)
-        if not rows:
-            return pd.DataFrame({f.name: [] for f in out_schema.fields})
-        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        return rows
+
+    # static first-set for the candidate-start mask (None disables it)
+    start_tis = _first_symbols(progs)
 
     def run_partition(batches):
         # One Python call per PARTITION, not per group: per-group
@@ -1120,19 +1148,62 @@ def match_recognize(
         # bounded by the shuffle partition size, the same contract as
         # every mapInPandas xop. dropna=False keeps NULL partition
         # keys (SQL groups them together).
+        #
+        # r13 optimization: ONE global mergesort by (pk, ob) NULLS LAST
+        # replaces the per-group sort (groups come out contiguous and
+        # internally ordered exactly as the old per-group sort —
+        # na_position='last' matches Snowflake's NULLS-highest order
+        # the DEFINE flag windows were computed under), column values
+        # convert to plain lists once per partition and are sliced per
+        # group (pointer copies), and all groups' output rows build ONE
+        # pandas DataFrame — the per-group DataFrame chop/sort/finalize
+        # overhead was ~half the matcher's CPU at sf0.1.
         chunks = list(batches)
         if not chunks:
             return
         pdf_all = pd.concat(chunks, ignore_index=True)
         if not len(pdf_all):
             return
-        outs = []
-        for gk, g in pdf_all.groupby(pk, sort=False, dropna=False):
-            r = run(gk, g)
-            if len(r):
-                outs.append(r)
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        pdf_all = pdf_all.sort_values(
+            list(pk) + list(ob), kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+        need = set(data_cols) | {
+            m.col for m in measures if m.col is not None}
+        # one tolist() per referenced column per partition: plain-list
+        # indexing beats pandas .iloc ~10× in the per-match hot loop
+        all_flags = [pdf_all[c].tolist() for c in flag_cols]
+        all_cols = {c: pdf_all[c].tolist() for c in need}
+        if start_tis is not None:
+            import numpy as np
+
+            mask_np = np.zeros(len(pdf_all), dtype=bool)
+            for ti in sorted(start_tis):
+                mask_np |= pdf_all[flag_cols[ti]].to_numpy(dtype=bool)
+            all_cand = mask_np.tolist()
+        else:
+            all_cand = None
+        rows = []
+        # .indices on the sorted frame: contiguous ascending position
+        # arrays per key, NULL keys included under dropna=False
+        for idx in pdf_all.groupby(
+            pk, sort=False, dropna=False
+        ).indices.values():
+            s, e = int(idx[0]), int(idx[-1]) + 1
+            flags = [fl[s:e] for fl in all_flags]
+            colvals = {c: v[s:e] for c, v in all_cols.items()}
+            dyn_checks = (
+                _build_dyn_checks(
+                    dyn_descs_per_term,
+                    pdf_all.iloc[s:e].reset_index(drop=True),
+                )
+                if has_dyn else None
+            )
+            cand = all_cand[s:e] if all_cand is not None else None
+            rows.extend(run_core(flags, colvals, e - s, dyn_checks, cand))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
 
     if not made_window:
         # no PREV/NEXT window co-located the keys — shuffle explicitly
