@@ -583,7 +583,14 @@ def embedding_neardup_pairs(
         "norm",
         F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
-    a = v.alias("a")
+    # the pair join is a broadcast nested loop whose cosine condition
+    # contains higher-order functions (CodegenFallback → interpreted,
+    # the dominant per-pair cost) — spread the STREAM side across the
+    # cluster first: vector corpora often arrive as few large files
+    # (here: one → a single task evaluated every pair). One cheap
+    # shuffle of the (id, vec) rows; the broadcast side is unaffected.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = v.repartition(par, F.col("vid")).alias("a")
     b = v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
