@@ -133,12 +133,90 @@ def minhash_lsh_pairs(
     downstream clustering) is preserved with O(bucket) pairs and
     graph diameter 2 (a chain would stall label propagation), and the
     member list is never materialized.
+
+    The whole pipeline is rendered as ONE spark.sql statement over a
+    temp view of ``df`` (r13 optimization round): the chained
+    DataFrame rendering re-ran Catalyst analysis per transformation
+    (~25 passes, ~0.5 s of driver time per call at sf0.1, paid again
+    by every consumer — x02/x14/x57); one statement is one analysis
+    pass. Expressions are verbatim the same (word_shingles /
+    signatures_from_shingles / band_keys / pairs_from_signatures
+    remain the reference DataFrame rendering for composable callers),
+    so the physical plan and the output are unchanged — oracle-locked.
     """
-    sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
-    return pairs_from_signatures(
-        sig, id_col, n_hashes=n_hashes, bands=bands,
-        max_bucket_size=max_bucket_size,
+    import uuid
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    r = n_hashes // bands
+    k = shingle_k
+    view = f"__mh_docs_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    sig_cols = ",\n                 ".join(
+        f"min(md5(concat_ws(':', {i}, shingle))) AS `{i}`"
+        for i in range(n_hashes)
     )
+    band_structs = ",\n                 ".join(
+        "named_struct('band', {b}, 'band_key', "
+        "md5(concat_ws('|', {b}, {cols})))".format(
+            b=b, cols=", ".join(f"`{b * r + j}`" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    sql = f"""
+        WITH sh AS (
+          SELECT {id_col} AS __id, shingle
+          FROM (SELECT /*+ REPARTITION({par}, {id_col}) */
+                       {id_col}, split({text_col}, ' ') AS __words
+                FROM {view})
+          LATERAL VIEW explode(
+            CASE WHEN size(__words) >= {k}
+                 THEN array_distinct(transform(
+                        sequence(1, size(__words) - {k - 1}),
+                        i -> array_join(slice(__words, i, {k}), ' ')))
+            END) t AS shingle
+          WHERE shingle != ''
+        ),
+        sig AS (
+          SELECT __id,
+                 {sig_cols}
+          FROM sh GROUP BY __id
+        ),
+        banded AS (
+          SELECT __id, bk.band AS band, bk.band_key AS band_key
+          FROM sig
+          LATERAL VIEW explode(array(
+                 {band_structs})) t AS bk
+        ),
+        ranked AS (
+          SELECT __id, band, band_key,
+                 COUNT(*) OVER (PARTITION BY band, band_key) AS __sz,
+                 MIN(__id) OVER (PARTITION BY band, band_key) AS __anchor
+          FROM banded
+        ),
+        pairs_exact AS (
+          SELECT doc_a, doc_b
+          FROM (SELECT sort_array(collect_list(__id)) AS ids
+                FROM ranked
+                WHERE __sz >= 2 AND __sz <= {max_bucket_size}
+                GROUP BY band, band_key)
+          LATERAL VIEW posexplode(ids) p AS pos, doc_a
+          LATERAL VIEW explode(slice(ids, pos + 2, size(ids))) q AS doc_b
+        ),
+        pairs_star AS (
+          SELECT __anchor AS doc_a, __id AS doc_b
+          FROM ranked
+          WHERE __sz > {max_bucket_size} AND __id != __anchor
+        )
+        SELECT DISTINCT CAST(doc_a AS BIGINT) AS doc_a,
+                        CAST(doc_b AS BIGINT) AS doc_b
+        FROM (SELECT doc_a, doc_b FROM pairs_exact
+              UNION ALL
+              SELECT doc_a, doc_b FROM pairs_star)
+    """
+    out = spark.sql(sql)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def band_keys(
