@@ -83,6 +83,37 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def _shingle_sig_sql(
+    view: str, id_col: str, text_col: str, n_hashes: int, k: int, par: int
+) -> str:
+    """SQL text of the shingle→md5→min-signature pipeline over a temp
+    view — shared by minhash_signatures and minhash_lsh_pairs so the
+    whole chain is ONE Catalyst analysis pass (see minhash_lsh_pairs).
+    Expressions mirror word_shingles/signatures_from_shingles exactly."""
+    sig_cols = ",\n                 ".join(
+        f"min(md5(concat_ws(':', {i}, shingle))) AS `{i}`"
+        for i in range(n_hashes)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT {id_col}, shingle
+          FROM (SELECT /*+ REPARTITION({par}, {id_col}) */
+                       {id_col}, split({text_col}, ' ') AS __words
+                FROM {view})
+          LATERAL VIEW explode(
+            CASE WHEN size(__words) >= {k}
+                 THEN array_distinct(transform(
+                        sequence(1, size(__words) - {k - 1}),
+                        i -> array_join(slice(__words, i, {k}), ' ')))
+            END) t AS shingle
+          WHERE shingle != ''
+        )
+        SELECT {id_col},
+               {sig_cols}
+        FROM sh GROUP BY {id_col}
+    """
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
@@ -95,9 +126,21 @@ def minhash_signatures(
     projection collapse would inline (= recompute) the shingling into
     every signature expression; the explode materializes each shingle
     exactly once, and the n mins run as parallel partial aggregates
-    map-side, so the groupBy shuffle carries only n_docs rows."""
-    sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    return signatures_from_shingles(sh, id_col, n_hashes=n_hashes)
+    map-side, so the groupBy shuffle carries only n_docs rows.
+    Rendered as one spark.sql statement (one analysis pass — see
+    minhash_lsh_pairs); signatures_from_shingles remains the
+    DataFrame rendering for precomputed-shingle callers."""
+    import uuid
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    view = f"__mh_sig_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    out = spark.sql(
+        _shingle_sig_sql(view, id_col, text_col, n_hashes, shingle_k, par)
+    )
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def signatures_from_shingles(
@@ -152,10 +195,6 @@ def minhash_lsh_pairs(
     k = shingle_k
     view = f"__mh_docs_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
-    sig_cols = ",\n                 ".join(
-        f"min(md5(concat_ws(':', {i}, shingle))) AS `{i}`"
-        for i in range(n_hashes)
-    )
     band_structs = ",\n                 ".join(
         "named_struct('band', {b}, 'band_key', "
         "md5(concat_ws('|', {b}, {cols})))".format(
@@ -163,24 +202,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     )
+    sig_sql = _shingle_sig_sql(view, id_col, text_col, n_hashes, k, par)
     sql = f"""
-        WITH sh AS (
-          SELECT {id_col} AS __id, shingle
-          FROM (SELECT /*+ REPARTITION({par}, {id_col}) */
-                       {id_col}, split({text_col}, ' ') AS __words
-                FROM {view})
-          LATERAL VIEW explode(
-            CASE WHEN size(__words) >= {k}
-                 THEN array_distinct(transform(
-                        sequence(1, size(__words) - {k - 1}),
-                        i -> array_join(slice(__words, i, {k}), ' ')))
-            END) t AS shingle
-          WHERE shingle != ''
-        ),
-        sig AS (
-          SELECT __id,
-                 {sig_cols}
-          FROM sh GROUP BY __id
+        WITH sig AS (
+          SELECT {id_col} AS __id, * EXCEPT ({id_col})
+          FROM ({sig_sql})
         ),
         banded AS (
           SELECT __id, bk.band AS band, bk.band_key AS band_key
