@@ -1205,6 +1205,22 @@ def match_recognize(
                 rows, columns=[f.name for f in out_schema.fields]
             )
 
+    if not all_rows and not has_dyn:
+        # mapInPandas is opaque to Catalyst's column pruning — project
+        # to exactly what the matcher reads (guide: pass only the
+        # columns the function needs). ONE ROW PER MATCH needs the
+        # partition keys, order keys, measure sources and flag columns;
+        # input columns that only fed the DEFINE windows (already
+        # folded into the flags) stop crossing the Arrow boundary.
+        # ALL ROWS mode emits every input column, and the dyn path
+        # reads descriptor columns from the raw frame — both keep the
+        # full row.
+        needed = list(dict.fromkeys(
+            [*pk, *ob]
+            + [m.col for m in measures if m.col is not None]
+            + flag_cols
+        ))
+        work = work.select(*needed)
     if not made_window:
         # no PREV/NEXT window co-located the keys — shuffle explicitly
         # so every group lands whole in one partition
