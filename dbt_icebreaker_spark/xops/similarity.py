@@ -204,51 +204,77 @@ def kmeans_centroids(
     At 100 TB: iters stays small (IVF needs rough cells, not
     converged ones) and each iteration is one scan + one skinny
     shuffle; n_cells should scale ~sqrt(n_vectors).
+
+    Rendered as ONE spark.sql statement with the Lloyd iterations
+    unrolled as CTEs (r13 optimization round): the chained DataFrame
+    rendering nested each iteration inside the next and re-ran
+    Catalyst analysis per transformation (~0.6 s of driver time per
+    call at sf0.1, paid by x38/x11/x15); one statement is one
+    analysis pass. Expressions mirror the prior DataFrame rendering
+    verbatim (argmin in a projection BELOW the posexplode — in the
+    same SELECT as the LATERAL VIEW it would re-evaluate per exploded
+    element, dim× per vector), so plan shape and output are unchanged
+    — oracle-locked via x38/x11/x15.
+
+    centroid_round quantizes each mean (e.g. 9 dp): summation order
+    across engines/partitions perturbs the last bits, and an
+    unrounded centroid would let that noise flip a nearest-cell
+    argmin — the one cascade point in an otherwise deterministic
+    pipeline (same defense as lsh_topk.round_to).
     """
-    v = _as_double_vec(base, id_col, vec_col, "bid")
-    init = (
-        v.withColumn("__ord", F.md5(F.col("bid").cast("string")))
-        .orderBy("__ord")
-        .limit(n_cells)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("__ord"))
-            .cast("int")
-            .alias("cell"),
-            F.col("bid_vec").alias("centroid"),
-        )
+    import uuid
+
+    spark = base.sparkSession
+    view = f"__km_vecs_{uuid.uuid4().hex[:12]}"
+    base.createOrReplaceTempView(view)
+    argmin = (
+        "array_min(transform(cs, c -> named_struct('dist', "
+        "aggregate(zip_with(bid_vec, c.centroid, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, d) -> acc + d), 'cell', c.cell))).cell"
     )
-    centroids = init
-    for _ in range(iters):
-        cents = centroids.groupBy().agg(
-            F.collect_list(F.struct("cell", "centroid")).alias("cs")
-        )
-        assigned = v.crossJoin(F.broadcast(cents)).select(
-            "bid",
-            "bid_vec",
-            _nearest_cell(F.col("cs"), F.col("bid_vec")).alias("cell"),
-        )
-        # centroid_round quantizes each mean (e.g. 9 dp): summation
-        # order across engines/partitions perturbs the last bits, and
-        # an unrounded centroid would let that noise flip a nearest-
-        # cell argmin — the one cascade point in an otherwise
-        # deterministic pipeline (same defense as lsh_topk.round_to)
-        mean_expr = F.avg("x")
-        if centroid_round is not None:
-            mean_expr = F.round(mean_expr, centroid_round)
-        centroids = (
-            assigned.select("cell", F.posexplode("bid_vec").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(mean_expr.alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-        )
-    return centroids
+    mean_expr = (
+        "avg(x)" if centroid_round is None
+        else f"round(avg(x), {centroid_round})"
+    )
+    ctes = []
+    prev = "init"
+    for i in range(1, iters + 1):
+        ctes.append(f""",
+        cents{i} AS (
+          SELECT collect_list(named_struct('cell', cell, 'centroid', centroid)) AS cs
+          FROM {prev}
+        ),
+        centroids{i} AS (
+          SELECT cell,
+                 transform(array_sort(collect_list(named_struct('pos', pos, 'm', m))),
+                           s -> s.m) AS centroid
+          FROM (SELECT cell, {mean_expr} AS m, pos
+                FROM (SELECT cell, pos, x
+                      FROM (SELECT {argmin} AS cell, bid_vec
+                            FROM (SELECT /*+ BROADCAST(c) */ bid_vec, cs
+                                  FROM v CROSS JOIN cents{i} c)) z
+                      LATERAL VIEW posexplode(bid_vec) t AS pos, x)
+                GROUP BY cell, pos)
+          GROUP BY cell
+        )""")
+        prev = f"centroids{i}"
+    sql = f"""
+        WITH v AS (
+          SELECT {id_col} AS bid,
+                 transform({vec_col}, x -> CAST(x AS DOUBLE)) AS bid_vec
+          FROM {view}
+        ),
+        init AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY __ord) AS INT) AS cell,
+                 bid_vec AS centroid
+          FROM (SELECT md5(CAST(bid AS STRING)) AS __ord, bid_vec
+                FROM v ORDER BY __ord LIMIT {n_cells})
+        ){''.join(ctes)}
+        SELECT cell, centroid FROM {prev}
+    """
+    out = spark.sql(sql)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def _nearest_cell(cells_col, vec_col):
