@@ -1615,3 +1615,33 @@ class TestR12MadeWindowDetection:
         assert _has_prevnext("price > 1") is False
         assert _has_prevnext("prevision + 1") is False
         assert _has_prevnext("PREV + 1") is False
+
+    def test_first_symbols_static_first_set(self):
+        # r13 optimization: the candidate-start mask is derived from
+        # the compiled programs' first consumable symbols — pin the
+        # static analysis on the shapes that matter
+        from dbt_icebreaker_spark.xops.match_recognize import (
+            _compile_program, _first_symbols, _tree_from_terms,
+            parse_pattern_full,
+        )
+
+        def first(pattern):
+            terms, tree = parse_pattern_full(pattern)
+            if tree is None:
+                tree = _tree_from_terms(terms)
+            return _first_symbols([_compile_program(n) for n in tree])
+
+        # plain sequence: only the first symbol can start a match
+        assert first("(A B)") == {0}
+        # optional prefix: both the optional head and its successor
+        assert first("(A? B)") == {0, 1}
+        # PERMUTE: either order may start
+        assert first("(PERMUTE(A, B))") == {0, 1}
+        # anchors traverse conservatively to the first char
+        assert first("(^ A)") == {0}
+        assert first("(A $)") == {0}
+        # alternation: union over branches
+        assert first("(A | B C)") == {0, 1}
+        # a zero-width-capable pattern disables the mask entirely
+        assert first("(A*)") is None
+        assert first("(A? B?)") is None

@@ -59,6 +59,28 @@ class TestDedupClusters:
         got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1}
 
+    def test_sql_rendering_matches_dataframe_rendering(self, spark):
+        # r13 optimization: minhash_lsh_pairs / minhash_signatures are
+        # one-statement SQL renderings; the composable DataFrame
+        # rendering (word_shingles → signatures_from_shingles →
+        # pairs_from_signatures) is retained and must stay
+        # row-identical — this is the equivalence the oracle relies on
+        register_dir(spark, SF)
+        docs = spark.table("documents")
+        ref_sig = dedup.signatures_from_shingles(
+            dedup.word_shingles(docs, "doc_id", "text", k=3), "doc_id"
+        )
+        new_sig = dedup.minhash_signatures(docs, "doc_id", "text")
+        assert new_sig.columns == ref_sig.columns
+        assert sorted(map(tuple, new_sig.collect())) == sorted(
+            map(tuple, ref_sig.collect())
+        )
+        ref_pairs = dedup.pairs_from_signatures(ref_sig, "doc_id")
+        new_pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+        assert sorted(map(tuple, new_pairs.collect())) == sorted(
+            map(tuple, ref_pairs.collect())
+        )
+
     def test_pipeline_over_fixture(self, spark):
         register_dir(spark, SF)
         docs = spark.table("documents")
