@@ -83,6 +83,27 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def _shingle_sql(
+    view: str, id_col: str, text_col: str, k: int, par: int
+) -> str:
+    """SQL text of the distinct-word-k-gram explode over a temp view —
+    the word_shingles pipeline as one subquery (expressions verbatim),
+    shared by the one-statement renderings below."""
+    return f"""
+          SELECT {id_col}, shingle
+          FROM (SELECT /*+ REPARTITION({par}, {id_col}) */
+                       {id_col}, split({text_col}, ' ') AS __words
+                FROM {view})
+          LATERAL VIEW explode(
+            CASE WHEN size(__words) >= {k}
+                 THEN array_distinct(transform(
+                        sequence(1, size(__words) - {k - 1}),
+                        i -> array_join(slice(__words, i, {k}), ' ')))
+            END) t AS shingle
+          WHERE shingle != ''
+    """
+
+
 def _shingle_sig_sql(
     view: str, id_col: str, text_col: str, n_hashes: int, k: int, par: int
 ) -> str:
@@ -96,17 +117,7 @@ def _shingle_sig_sql(
     )
     return f"""
         WITH sh AS (
-          SELECT {id_col}, shingle
-          FROM (SELECT /*+ REPARTITION({par}, {id_col}) */
-                       {id_col}, split({text_col}, ' ') AS __words
-                FROM {view})
-          LATERAL VIEW explode(
-            CASE WHEN size(__words) >= {k}
-                 THEN array_distinct(transform(
-                        sequence(1, size(__words) - {k - 1}),
-                        i -> array_join(slice(__words, i, {k}), ' ')))
-            END) t AS shingle
-          WHERE shingle != ''
+          {_shingle_sql(view, id_col, text_col, k, par)}
         )
         SELECT {id_col},
                {sig_cols}
@@ -435,38 +446,43 @@ def ngram_jaccard_pairs(
     mismatched-size pairs are dropped before the pair aggregation —
     and (b) folding the sizes into the groupBy keys, which removes the
     two post-aggregation size-lookup joins the op otherwise needs.
-    Output: (doc_a, doc_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, k=k).withColumn(
-        "n_sh", F.count("*").over(Window.partitionBy(id_col))
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+    Output: (doc_a, doc_b, jaccard).
+
+    One spark.sql statement over a temp view (one Catalyst analysis
+    pass — see minhash_lsh_pairs); expressions verbatim from the prior
+    DataFrame rendering, oracle-locked."""
+    import uuid
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    view = f"__nj_docs_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    t = f"CAST({threshold!r} AS DOUBLE)"
+    sql = f"""
+        WITH sized AS (
+          SELECT {id_col}, shingle,
+                 COUNT(*) OVER (PARTITION BY {id_col}) AS n_sh
+          FROM ({_shingle_sql(view, id_col, text_col, k, par)})
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("n_shared"))
-    )
-    return (
-        shared.withColumn(
-            "jaccard",
-            (F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
-        )
-    )
+        SELECT CAST(doc_a AS BIGINT) AS doc_a,
+               CAST(doc_b AS BIGINT) AS doc_b,
+               jaccard
+        FROM (SELECT doc_a, doc_b,
+                     CAST(n_shared / (na + nb - n_shared) AS DOUBLE) AS jaccard
+              FROM (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+                           a.n_sh AS na, b.n_sh AS nb,
+                           COUNT(*) AS n_shared
+                    FROM sized a JOIN sized b
+                      ON a.shingle = b.shingle
+                     AND a.{id_col} < b.{id_col}
+                     AND a.n_sh * {t} <= b.n_sh
+                     AND b.n_sh * {t} <= a.n_sh
+                    GROUP BY a.{id_col}, b.{id_col}, a.n_sh, b.n_sh))
+        WHERE jaccard >= {t}
+    """
+    out = spark.sql(sql)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def common_shingle_stats(
