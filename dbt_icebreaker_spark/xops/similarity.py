@@ -46,33 +46,56 @@ def cosine_topk(
     because only k rows per query survive the window filter's
     partial-rank pushdown). Output: (query_id, neighbor_id, cosine,
     rank), ties broken by neighbor_id.
+
+    One spark.sql statement over temp views (one Catalyst analysis
+    pass — see dedup.minhash_lsh_pairs); expressions verbatim from the
+    prior DataFrame rendering, oracle-locked via x06.
     """
-    q = _as_double_vec(queries, id_col, vec_col, "query_id")
-    c = _as_double_vec(corpus, id_col, vec_col, "neighbor_id")
-    dot = F.aggregate(
-        F.zip_with(F.col("query_id_vec"), F.col("neighbor_id_vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias("cosine"),
+    import uuid
+
+    spark = corpus.sparkSession
+    tok = uuid.uuid4().hex[:12]
+    cview, qview = f"__ct_corpus_{tok}", f"__ct_queries_{tok}"
+    corpus.createOrReplaceTempView(cview)
+    queries.createOrReplaceTempView(qview)
+
+    def _vec_cte(view: str, out_id: str) -> str:
+        return f"""
+          SELECT {out_id}, {out_id}_vec,
+                 sqrt(aggregate({out_id}_vec, 0.0D,
+                                (acc, x) -> acc + x * x)) AS {out_id}_norm
+          FROM (SELECT {id_col} AS {out_id},
+                       transform({vec_col}, x -> CAST(x AS DOUBLE))
+                         AS {out_id}_vec
+                FROM {view})
+        """
+
+    sql = f"""
+        WITH q AS ({_vec_cte(qview, "query_id")}),
+        c AS ({_vec_cte(cview, "neighbor_id")}),
+        scored AS (
+          SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+                 aggregate(zip_with(query_id_vec, neighbor_id_vec,
+                                    (x, y) -> x * y),
+                           0.0D, (acc, x) -> acc + x)
+                 / (query_id_norm * neighbor_id_norm) AS cosine
+          FROM c JOIN q ON neighbor_id != query_id
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("query_id").cast("long"),
-            F.col("neighbor_id").cast("long"),
-            "cosine",
-            F.col("rank").cast("int"),
-        )
-    )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT query_id, neighbor_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC,
+                                                 neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+    out = spark.sql(sql)
+    spark.catalog.dropTempView(cview)
+    spark.catalog.dropTempView(qview)
+    return out
 
 
 def hyperplane_buckets(
