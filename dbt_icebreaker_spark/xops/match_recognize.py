@@ -500,8 +500,13 @@ def _vm_match(flags, prog, nslots, start, n, dyn=None, touched=None):
     regs = (-1,) * nslots
     seen: set = set()
     pc, pos = 0, start
+    # without marker slots regs never changes — encode the visited
+    # state as one int (pc*(n+1)+pos) instead of a 3-tuple: int
+    # hashing is ~3x cheaper and this set add/test runs once per VM
+    # op, the hottest line of the matcher (r14)
+    stride = n + 1 if nslots == 0 else 0
     while True:
-        state = (pc, pos, regs)
+        state = pc * stride + pos if stride else (pc, pos, regs)
         if state in seen:
             op = None  # force backtrack
         else:
@@ -585,41 +590,57 @@ def _match_at(flags: list, terms: list[PatternTerm], start: int, n: int,
     return empty_hit
 
 
-def _first_symbols(progs) -> Optional[set]:
-    """Static first-set of a compiled program list: the union of term
-    indices whose ``char`` can consume the FIRST row of a match, found
-    by walking every zero-consumption path from pc 0. Position guards
-    (bol/eol) and loop checks are traversed conservatively (both
+def _first_symbols(progs) -> Optional[tuple]:
+    """Static first-set of a compiled program list, found by walking
+    every zero-consumption path from pc 0. Returns ``(tis, bol_start)``:
+
+    - ``tis`` — term indices whose ``char`` can consume the FIRST row
+      of a match on a path that does NOT cross a ``^`` anchor (those
+      paths can start a match at any position where the flag holds);
+    - ``bol_start`` — True when some path crosses ``^`` before its
+      first ``char``: such a path can only start a match at row 0 of
+      the partition, so it contributes candidacy at position 0 alone
+      (r14 — previously ^-anchored alternatives poisoned the whole
+      mask via conservative traversal, probing every flag-true row for
+      a pattern that can only ever match at the partition head).
+
+    ``eol`` guards and loop checks are traversed conservatively (both
     targets), so the result can only OVER-approximate candidacy.
     Returns None when some alternative can match zero rows (a reachable
     ``match`` before any ``char``) — then every position is a candidate
     and the caller must skip the mask optimization."""
     tis: set = set()
+    bol_start = False
     for prog, _ in progs:
-        work = [0]
+        work = [(0, False)]
         seen: set = set()
         while work:
-            pc = work.pop()
-            if pc in seen or pc >= len(prog):
+            pc, anchored = work.pop()
+            if (pc, anchored) in seen or pc >= len(prog):
                 continue
-            seen.add(pc)
+            seen.add((pc, anchored))
             op = prog[pc]
             kind = op[0]
             if kind == "char":
-                tis.add(op[1])
+                if anchored:
+                    bol_start = True
+                else:
+                    tis.add(op[1])
             elif kind == "split":
-                work.append(op[1])
-                work.append(op[2])
+                work.append((op[1], anchored))
+                work.append((op[2], anchored))
             elif kind == "jmp":
-                work.append(op[1])
-            elif kind in ("mark", "bol", "eol"):
-                work.append(pc + 1)
+                work.append((op[1], anchored))
+            elif kind == "bol":
+                work.append((pc + 1, True))
+            elif kind in ("mark", "eol"):
+                work.append((pc + 1, anchored))
             elif kind == "loopchk":
-                work.append(op[2])
-                work.append(op[3])
+                work.append((op[2], anchored))
+                work.append((op[3], anchored))
             else:  # ("match",) reachable without consuming → no mask
                 return None
-    return tis
+    return tis, bol_start
 
 
 _AGG_FNS = {"first", "last", "min", "max", "sum", "avg", "count"}
@@ -1019,17 +1040,31 @@ def match_recognize(
     skip_sym = spec.skip_to_symbol.upper() if spec.skip_to_symbol else None
     skip_first = spec.skip_to_first
 
-    def run_core(flags, colvals, n, dyn_checks, cand):
+    def run_core(flags, colvals, n, dyn_checks, cand_pos, cand_mask):
         rows = []
         covered = [False] * n if with_unmatched else None
         match_no = 0
         pos = 0
+        ci = 0
         while pos < n:
-            # candidate-start mask: a match cannot begin on a row where
-            # no program's first consumable symbol holds (see
-            # _first_symbols) — skip the VM probe outright. Disabled
-            # (cand None) when zero-width matches are possible.
-            if cand is not None and not cand[pos]:
+            # candidate starts: a match cannot begin on a row where no
+            # program's first consumable symbol holds (_first_symbols).
+            # Two renderings, picked per partition by candidate density
+            # (r14): SPARSE candidates arrive as a sorted position list
+            # (``cand_pos``) and the scan JUMPS to the next candidate
+            # >= pos — O(candidates) pointer walk instead of the old
+            # O(rows) per-row test (a ^-anchored pattern probes ONCE
+            # per group); DENSE candidates keep the per-row boolean
+            # test (``cand_mask``), where pointer bookkeeping costs
+            # more than it saves (measured 0.74x at 2/3 density).
+            # Both disabled when zero-width matches are possible.
+            if cand_pos is not None:
+                while ci < len(cand_pos) and cand_pos[ci] < pos:
+                    ci += 1
+                if ci == len(cand_pos):
+                    break
+                pos = cand_pos[ci]
+            elif cand_mask is not None and not cand_mask[pos]:
                 pos += 1
                 continue
             hit = _match_at(flags, terms, pos, n, progs, dyn_checks)
@@ -1136,8 +1171,9 @@ def match_recognize(
                 rows.append(rec)
         return rows
 
-    # static first-set for the candidate-start mask (None disables it)
-    start_tis = _first_symbols(progs)
+    # static first-set for the candidate-start positions (None
+    # disables the optimization entirely)
+    start_info = _first_symbols(progs)
 
     def run_partition(batches):
         # One Python call per PARTITION, not per group: per-group
@@ -1173,15 +1209,18 @@ def match_recognize(
         # indexing beats pandas .iloc ~10× in the per-match hot loop
         all_flags = [pdf_all[c].tolist() for c in flag_cols]
         all_cols = {c: pdf_all[c].tolist() for c in need}
-        if start_tis is not None:
+        if start_info is not None:
             import numpy as np
 
+            start_tis, bol_start = start_info
             mask_np = np.zeros(len(pdf_all), dtype=bool)
             for ti in sorted(start_tis):
                 mask_np |= pdf_all[flag_cols[ti]].to_numpy(dtype=bool)
-            all_cand = mask_np.tolist()
+            # density decides the rendering (see run_core): sparse →
+            # sorted position lists, dense → per-row boolean mask
+            sparse = bool(mask_np.mean() < 0.3) if len(mask_np) else True
         else:
-            all_cand = None
+            mask_np = None
         rows = []
         # .indices on the sorted frame: contiguous ascending position
         # arrays per key, NULL keys included under dropna=False
@@ -1198,8 +1237,21 @@ def match_recognize(
                 )
                 if has_dyn else None
             )
-            cand = all_cand[s:e] if all_cand is not None else None
-            rows.extend(run_core(flags, colvals, e - s, dyn_checks, cand))
+            cand_pos = cand_mask = None
+            if mask_np is not None:
+                if sparse:
+                    # sorted group-relative candidate positions; a
+                    # ^-anchored alternative adds position 0 (the only
+                    # row where it can start)
+                    cand_pos = np.flatnonzero(mask_np[s:e]).tolist()
+                    if bol_start and (not cand_pos or cand_pos[0] != 0):
+                        cand_pos.insert(0, 0)
+                else:
+                    cand_mask = mask_np[s:e].tolist()
+                    if bol_start and cand_mask:
+                        cand_mask[0] = True
+            rows.extend(run_core(flags, colvals, e - s, dyn_checks,
+                                 cand_pos, cand_mask))
         if rows:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]

@@ -22,7 +22,7 @@ FILTERS = sys.argv[2:]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "plans", "r13")
+                        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
 
 
 def main() -> None:

@@ -1632,16 +1632,21 @@ class TestR12MadeWindowDetection:
             return _first_symbols([_compile_program(n) for n in tree])
 
         # plain sequence: only the first symbol can start a match
-        assert first("(A B)") == {0}
+        assert first("(A B)") == ({0}, False)
         # optional prefix: both the optional head and its successor
-        assert first("(A? B)") == {0, 1}
+        assert first("(A? B)") == ({0, 1}, False)
         # PERMUTE: either order may start
-        assert first("(PERMUTE(A, B))") == {0, 1}
-        # anchors traverse conservatively to the first char
-        assert first("(^ A)") == {0}
-        assert first("(A $)") == {0}
+        assert first("(PERMUTE(A, B))") == ({0, 1}, False)
+        # ^-anchored: no any-position symbol, candidacy at row 0 only
+        # (r14 — previously the anchor traversed conservatively and
+        # the mask probed every A-true row for a head-only pattern)
+        assert first("(^ A)") == (set(), True)
+        assert first("(A $)") == ({0}, False)
+        # mixed: the unanchored branch keeps its first set, the
+        # anchored branch contributes only the row-0 flag
+        assert first("(^ A | B C)") == ({1}, True)
         # alternation: union over branches
-        assert first("(A | B C)") == {0, 1}
+        assert first("(A | B C)") == ({0, 1}, False)
         # a zero-width-capable pattern disables the mask entirely
         assert first("(A*)") is None
         assert first("(A? B?)") is None
