@@ -320,7 +320,10 @@ def run_create_or_replace_table(spark, spec, transpiler, execute_fn) -> dict:
         # observe — no second scan of the output
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        _staged_overwrite(spark, df, spec.target)
+        # CLUSTER BY just established a range layout — the writer's
+        # size-targeted coalesce must not merge those files back
+        _staged_overwrite(spark, df, spec.target,
+                          size_coalesce=not spec.cluster_by)
         _apply_table_comment(spark, spec)
         return {"table": spec.target, "rows_affected": obs.get["n"]}
     if spec.like_source is not None:

@@ -205,7 +205,10 @@ def compact_table(
     else:
         compacted = df.repartition(target_files)
     _staged_overwrite(
-        spark, compacted, target, partition_by, clustered_by, buckets
+        spark, compacted, target, partition_by, clustered_by, buckets,
+        # compaction sized its own output above (target_file_mb) — the
+        # writer's estimate-based coalesce must not second-guess it
+        size_coalesce=False,
     )
     new_loc = table_location(spark, target) or loc
     files_after, _ = _scan_files(new_loc)

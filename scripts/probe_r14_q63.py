@@ -34,23 +34,29 @@ def main() -> None:
     orig_staged = inc._staged_overwrite
 
     def timed_staged(spark_, df, target, partition_by=None,
-                     clustered_by=None, buckets=None):
+                     clustered_by=None, buckets=None, size_coalesce=True):
+        # mirrors incremental._staged_overwrite with phase timers —
+        # keep in sync (r14: size-targeted coalesce + partition probe)
         from dbt_icebreaker_spark.materializations.ddl import configure_writer
         from dbt_icebreaker_spark.materializations.incremental import (
-            _swap_names, _sync_partitions, clear_orphaned_location)
+            _is_partitioned, _size_coalesced, _swap_names,
+            _sync_partitions, clear_orphaned_location)
         staging, backup = _swap_names(target)
         t0 = time.time()
         for t in (staging, backup):
             spark_.sql(f"DROP TABLE IF EXISTS {t}")
             clear_orphaned_location(spark_, t)
         t1 = time.time()
+        if size_coalesce:
+            df = _size_coalesced(df)
         writer = configure_writer(
             df.write.mode("overwrite"), partition_by, clustered_by, buckets)
         writer.saveAsTable(staging)
         t2 = time.time()
         if spark_.catalog.tableExists(target):
             spark_.sql(f"ALTER TABLE {target} RENAME TO {backup}")
-            _sync_partitions(spark_, backup)
+            if _is_partitioned(spark_, backup) is not False:
+                _sync_partitions(spark_, backup)
         spark_.sql(f"ALTER TABLE {staging} RENAME TO {target}")
         if partition_by:
             _sync_partitions(spark_, target)

@@ -373,6 +373,53 @@ class TestStagedOverwriteSafety:
         assert t.groupBy("c_custkey").count().filter("count > 2").count() == 0
 
 
+class TestStagedWriteFileSizing:
+    """r14: _staged_overwrite coalesces small full-rewrite results to
+    size-targeted output files (guide §6 small-files) — a tiny table's
+    rewrite must not scatter one file per shuffle partition, while
+    layout-establishing callers (CLUSTER BY, compaction) opt out."""
+
+    def test_small_rewrite_coalesces_to_one_file(self, spark, engine):
+        import glob
+
+        from dbt_icebreaker_spark.materializations.incremental import (
+            run_incremental,
+        )
+        from dbt_icebreaker_spark.materializations.maintenance import (
+            table_location,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS mat_test.sz1")
+        base = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+        run_incremental(spark, "mat_test.sz1", base, strategy="merge",
+                        unique_key="k")
+        batch = spark.range(500, 1500).selectExpr("id AS k", "id * 3 AS v")
+        # the merge rewrite repartitions through the session shuffle
+        # setting; the staged writer must still emit one sized file
+        stats = run_incremental(spark, "mat_test.sz1", batch,
+                                strategy="merge", unique_key="k")
+        assert stats["rows"] == 1500
+        loc = table_location(spark, "mat_test.sz1")
+        files = glob.glob(loc + "/*.parquet")
+        assert len(files) == 1, files
+        assert spark.table("mat_test.sz1").count() == 1500
+
+    def test_size_coalesced_passthrough_on_big_estimate(self, spark):
+        from dbt_icebreaker_spark.materializations.incremental import (
+            _size_coalesced,
+        )
+
+        df = spark.range(0, 10)
+        big = df.selectExpr("id", "repeat('x', 1000) AS pad")
+        # crossJoin inflates Catalyst's size estimate past 1 GiB —
+        # the helper must return the plan unchanged (no coalesce node)
+        inflated = big.crossJoin(
+            spark.range(0, 20_000_000).selectExpr("id AS j")
+        )
+        out = _size_coalesced(inflated)
+        assert out is inflated
+
+
 class TestSwapCrashRecovery:
     """A crash between _staged_overwrite's two renames leaves no
     target table; the next run must heal (finish the swap from the
