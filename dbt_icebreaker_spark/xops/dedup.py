@@ -709,8 +709,16 @@ def embedding_neardup_pairs(
     # cluster first: vector corpora often arrive as few large files
     # (here: one → a single task evaluated every pair). One cheap
     # shuffle of the (id, vec) rows; the broadcast side is unaffected.
+    # Width-gated (r14, settling the r13 verdict's one open
+    # regression): an input that already arrives in >= par partitions
+    # gains nothing from the shuffle — skip it so already-parallel
+    # corpora don't pay an extra exchange. The partition probe is
+    # plan-only (no job, sub-ms).
     par = df.sparkSession.sparkContext.defaultParallelism
-    a = v.repartition(par, F.col("vid")).alias("a")
+    a = v
+    if v.rdd.getNumPartitions() < par:
+        a = a.repartition(par, F.col("vid"))
+    a = a.alias("a")
     b = v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
