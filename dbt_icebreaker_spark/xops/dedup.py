@@ -83,16 +83,25 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into the
+    one-statement SQL renderings — column names with spaces, hyphens
+    or reserved words must survive the round trip the F.col()-based
+    renderings always supported (r13 advisor)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _shingle_sql(
     view: str, id_col: str, text_col: str, k: int, par: int
 ) -> str:
     """SQL text of the distinct-word-k-gram explode over a temp view —
     the word_shingles pipeline as one subquery (expressions verbatim),
     shared by the one-statement renderings below."""
+    idq, txtq = _bq(id_col), _bq(text_col)
     return f"""
-          SELECT {id_col}, shingle
-          FROM (SELECT /*+ REPARTITION({par}, {id_col}) */
-                       {id_col}, split({text_col}, ' ') AS __words
+          SELECT {idq}, shingle
+          FROM (SELECT /*+ REPARTITION({par}, {idq}) */
+                       {idq}, split({txtq}, ' ') AS __words
                 FROM {view})
           LATERAL VIEW explode(
             CASE WHEN size(__words) >= {k}
@@ -115,13 +124,14 @@ def _shingle_sig_sql(
         f"min(md5(concat_ws(':', {i}, shingle))) AS `{i}`"
         for i in range(n_hashes)
     )
+    idq = _bq(id_col)
     return f"""
         WITH sh AS (
           {_shingle_sql(view, id_col, text_col, k, par)}
         )
-        SELECT {id_col},
+        SELECT {idq},
                {sig_cols}
-        FROM sh GROUP BY {id_col}
+        FROM sh GROUP BY {idq}
     """
 
 
@@ -147,10 +157,12 @@ def minhash_signatures(
     par = spark.sparkContext.defaultParallelism
     view = f"__mh_sig_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
-    out = spark.sql(
-        _shingle_sig_sql(view, id_col, text_col, n_hashes, shingle_k, par)
-    )
-    spark.catalog.dropTempView(view)
+    try:
+        out = spark.sql(
+            _shingle_sig_sql(view, id_col, text_col, n_hashes, shingle_k, par)
+        )
+    finally:
+        spark.catalog.dropTempView(view)
     return out
 
 
@@ -214,9 +226,13 @@ def minhash_lsh_pairs(
         for b in range(bands)
     )
     sig_sql = _shingle_sig_sql(view, id_col, text_col, n_hashes, k, par)
+    # signature columns enumerated explicitly (they are known:
+    # `0`..`n_hashes-1`) — `* EXCEPT (col)` needs Spark 3.4+ while the
+    # surrounding code is otherwise version-agnostic (r13 advisor)
+    sig_col_list = ", ".join(f"`{i}`" for i in range(n_hashes))
     sql = f"""
         WITH sig AS (
-          SELECT {id_col} AS __id, * EXCEPT ({id_col})
+          SELECT {_bq(id_col)} AS __id, {sig_col_list}
           FROM ({sig_sql})
         ),
         banded AS (
@@ -251,8 +267,10 @@ def minhash_lsh_pairs(
               UNION ALL
               SELECT doc_a, doc_b FROM pairs_star)
     """
-    out = spark.sql(sql)
-    spark.catalog.dropTempView(view)
+    try:
+        out = spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView(view)
     return out
 
 
@@ -458,10 +476,11 @@ def ngram_jaccard_pairs(
     view = f"__nj_docs_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
     t = f"CAST({threshold!r} AS DOUBLE)"
+    idq = _bq(id_col)
     sql = f"""
         WITH sized AS (
-          SELECT {id_col}, shingle,
-                 COUNT(*) OVER (PARTITION BY {id_col}) AS n_sh
+          SELECT {idq}, shingle,
+                 COUNT(*) OVER (PARTITION BY {idq}) AS n_sh
           FROM ({_shingle_sql(view, id_col, text_col, k, par)})
         )
         SELECT CAST(doc_a AS BIGINT) AS doc_a,
@@ -469,19 +488,21 @@ def ngram_jaccard_pairs(
                jaccard
         FROM (SELECT doc_a, doc_b,
                      CAST(n_shared / (na + nb - n_shared) AS DOUBLE) AS jaccard
-              FROM (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+              FROM (SELECT a.{idq} AS doc_a, b.{idq} AS doc_b,
                            a.n_sh AS na, b.n_sh AS nb,
                            COUNT(*) AS n_shared
                     FROM sized a JOIN sized b
                       ON a.shingle = b.shingle
-                     AND a.{id_col} < b.{id_col}
+                     AND a.{idq} < b.{idq}
                      AND a.n_sh * {t} <= b.n_sh
                      AND b.n_sh * {t} <= a.n_sh
-                    GROUP BY a.{id_col}, b.{id_col}, a.n_sh, b.n_sh))
+                    GROUP BY a.{idq}, b.{idq}, a.n_sh, b.n_sh))
         WHERE jaccard >= {t}
     """
-    out = spark.sql(sql)
-    spark.catalog.dropTempView(view)
+    try:
+        out = spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView(view)
     return out
 
 

@@ -59,13 +59,15 @@ def cosine_topk(
     corpus.createOrReplaceTempView(cview)
     queries.createOrReplaceTempView(qview)
 
+    from .dedup import _bq
+
     def _vec_cte(view: str, out_id: str) -> str:
         return f"""
           SELECT {out_id}, {out_id}_vec,
                  sqrt(aggregate({out_id}_vec, 0.0D,
                                 (acc, x) -> acc + x * x)) AS {out_id}_norm
-          FROM (SELECT {id_col} AS {out_id},
-                       transform({vec_col}, x -> CAST(x AS DOUBLE))
+          FROM (SELECT {_bq(id_col)} AS {out_id},
+                       transform({_bq(vec_col)}, x -> CAST(x AS DOUBLE))
                          AS {out_id}_vec
                 FROM {view})
         """
@@ -92,9 +94,11 @@ def cosine_topk(
               FROM scored)
         WHERE rank <= {k}
     """
-    out = spark.sql(sql)
-    spark.catalog.dropTempView(cview)
-    spark.catalog.dropTempView(qview)
+    try:
+        out = spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView(cview)
+        spark.catalog.dropTempView(qview)
     return out
 
 
@@ -281,10 +285,12 @@ def kmeans_centroids(
           GROUP BY cell
         )""")
         prev = f"centroids{i}"
+    from .dedup import _bq
+
     sql = f"""
         WITH v AS (
-          SELECT {id_col} AS bid,
-                 transform({vec_col}, x -> CAST(x AS DOUBLE)) AS bid_vec
+          SELECT {_bq(id_col)} AS bid,
+                 transform({_bq(vec_col)}, x -> CAST(x AS DOUBLE)) AS bid_vec
           FROM {view}
         ),
         init AS (
@@ -295,8 +301,10 @@ def kmeans_centroids(
         ){''.join(ctes)}
         SELECT cell, centroid FROM {prev}
     """
-    out = spark.sql(sql)
-    spark.catalog.dropTempView(view)
+    try:
+        out = spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView(view)
     return out
 
 

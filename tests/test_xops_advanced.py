@@ -81,6 +81,127 @@ class TestDedupClusters:
             map(tuple, ref_pairs.collect())
         )
 
+    def test_ngram_jaccard_sql_matches_dataframe_rendering(self, spark):
+        # r13 advisor: the ngram_jaccard_pairs SQL rewrite had no
+        # direct equivalence test — pin it against the retained
+        # DataFrame building blocks (word_shingles + window + size-
+        # ratio-pruned join), expressions mirrored from the docstring
+        from pyspark.sql import Window
+
+        register_dir(spark, SF)
+        docs = spark.table("documents").filter(F.col("doc_id") < 400)
+        k, t = 2, 0.2
+        sh = dedup.word_shingles(docs, "doc_id", "text", k=k)
+        sized = sh.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+        a, b = sized.alias("a"), sized.alias("b")
+        ref = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("a.n_sh") * t <= F.col("b.n_sh"))
+                & (F.col("b.n_sh") * t <= F.col("a.n_sh")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+            .agg(F.count("*").alias("n_shared"))
+            .select(
+                F.col("doc_a").cast("long"),
+                F.col("doc_b").cast("long"),
+                (F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")))
+                .cast("double").alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= t)
+        )
+        new = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=k, threshold=t)
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    def test_cosine_topk_sql_matches_dataframe_rendering(self, spark):
+        # r13 advisor: same pin for the cosine_topk SQL rewrite
+        from pyspark.sql import Window
+
+        register_dir(spark, SF)
+        emb = spark.table("embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+
+        def vecs(df, out_id):
+            v = df.select(
+                F.col("vec_id").alias(out_id),
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+                .alias(f"{out_id}_vec"),
+            )
+            return v.withColumn(
+                f"{out_id}_norm",
+                F.sqrt(F.aggregate(F.col(f"{out_id}_vec"), F.lit(0.0),
+                                   lambda a2, x: a2 + x * x)),
+            )
+
+        qv, cv = vecs(q, "query_id"), vecs(emb, "neighbor_id")
+        dot = F.aggregate(
+            F.zip_with(F.col("query_id_vec"), F.col("neighbor_id_vec"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        scored = cv.join(
+            F.broadcast(qv), F.col("neighbor_id") != F.col("query_id")
+        ).select(
+            "query_id", "neighbor_id",
+            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm")))
+            .alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        ref = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(F.col("query_id").cast("long"),
+                    F.col("neighbor_id").cast("long"),
+                    "cosine", F.col("rank").cast("int"))
+        )
+        new = similarity.cosine_topk(emb, q, k=5)
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    def test_sql_renderings_accept_quoted_identifiers(self, spark):
+        # r14 (r13 advisor): interpolated identifiers are backtick-
+        # escaped, so column names needing quoting work like they did
+        # under the F.col()-based renderings
+        register_dir(spark, SF)
+        docs = (
+            spark.table("documents").filter(F.col("doc_id") < 300)
+            .select(F.col("doc_id").alias("doc id"),
+                    F.col("text").alias("the text"))
+        )
+        plain = spark.table("documents").filter(F.col("doc_id") < 300)
+        got = dedup.minhash_lsh_pairs(docs, "doc id", "the text")
+        want = dedup.minhash_lsh_pairs(plain, "doc_id", "text")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        emb = spark.table("embeddings").select(
+            F.col("vec_id").alias("vec id"),
+            F.col("embedding").alias("the embedding"),
+        )
+        out = similarity.cosine_topk(
+            emb, emb.filter(F.col("vec id") < 5),
+            id_col="vec id", vec_col="the embedding", k=3,
+        )
+        assert out.count() > 0
+        cents = similarity.kmeans_centroids(
+            emb, id_col="vec id", vec_col="the embedding", n_cells=4, iters=1
+        )
+        assert cents.count() == 4
+
     def test_pipeline_over_fixture(self, spark):
         register_dir(spark, SF)
         docs = spark.table("documents")
