@@ -63,19 +63,41 @@ def shingle_array(text_col, k: int):
     return shingles_of(F.split(text_col, " "), k)
 
 
+def _shingle_par(df: DataFrame) -> int | None:
+    """Partition count for the pre-shingle text repartition, or None
+    to skip it (r14). Document corpora often arrive as few large files
+    (the testdata: one), where the CPU-heavy shingle fan-out would run
+    on as many cores as there are input splits — there the shuffle
+    pays for itself. An input that already scans wide gains nothing:
+    every doc's shingles live in one row, so the per-doc min-signature
+    partial aggregation is already complete map-side and the only
+    required shuffle is n_docs × n_hashes partial rows — repartitioning
+    would move the FULL corpus text first, the §8 shuffle-the-payload
+    mistake. Probe = input file count: analysis-only and cheap, where
+    an .rdd partition probe would physical-plan the input and fire its
+    broadcast jobs eagerly on composed inputs (measured on x38).
+    Non-file inputs (local test frames, checkpoints) report zero files
+    and keep the repartition — the conservative default."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= par:
+            return None
+    except Exception:
+        pass
+    return par
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-grams per document: (id, shingle). JVM-side only
     (split/sequence/transform), no Python UDF.
 
-    The input is repartitioned to full parallelism first: document
-    corpora often arrive as few large files (here: one), and the
-    CPU-heavy shingle fan-out would otherwise run on as many cores as
-    there are input splits. The text shuffle is cheap relative to the
-    downstream hashing."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    Few-file inputs are repartitioned to full parallelism first (see
+    _shingle_par — wide inputs skip the text shuffle entirely)."""
+    par = _shingle_par(df)
+    if par is not None:
+        df = df.repartition(par, F.col(id_col))
     return (
-        df.repartition(par, F.col(id_col))
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__words"))
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__words"))
         .select(
             F.col(id_col), F.explode(shingles_of(F.col("__words"), k)).alias("shingle")
         )
